@@ -1,0 +1,127 @@
+package graft.ingest
+
+import graft.model.Schemas
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deterministic, distributed transaction/CDC generator with the same
+ * value domains as the reference's seed scripts
+ * (kinesis-firehose-stream/scripts/create_sample_data.py:18-85). Where
+ * the reference loops `random.choice` on a single client, we generate
+ * with pure column expressions over `spark.range(n)` — seeded xxhash64
+ * per (row, field) drives every choice, so output is reproducible AND
+ * the generator scales linearly with executors (no driver loop, no rng
+ * state; whole-stage codegen end-to-end).
+ */
+object SampleData {
+
+  // Value domains: create_sample_data.py:18-51,76-78.
+  private val merchantCategories = Seq("RETAIL", "DINING", "TRAVEL",
+    "ENTERTAINMENT", "HEALTHCARE", "UTILITIES", "FINANCIAL_SERVICES")
+  private val paymentMethods = Seq("CREDIT_CARD", "DEBIT_CARD",
+    "DIGITAL_WALLET", "BANK_TRANSFER")
+  private val transactionTypes = Seq("PURCHASE", "REFUND", "PAYMENT",
+    "TRANSFER", "WITHDRAWAL")
+  private val currencies = Seq("USD", "EUR", "GBP", "INR")
+  private val riskScores = Seq("LOW", "MEDIUM", "HIGH")
+  private val regions = Seq("US_EAST", "US_WEST", "EU", "APAC")
+  private val deviceTypes = Seq("MOBILE", "WEB", "POS", "ATM")
+  private val authMethods = Seq("2FA", "BIOMETRIC", "PIN", "PASSWORD")
+  private val velocityChecks = Seq("PASS", "FLAG", "REVIEW")
+  private val amountThresholds = Seq("NORMAL", "HIGH", "VERY_HIGH")
+  private val locationRisks = Seq("LOW", "MEDIUM", "HIGH")
+  private val patternMatches = Seq("NORMAL", "SUSPICIOUS")
+  private val statuses = Seq("APPROVED", "DECLINED", "PENDING_REVIEW", "FLAGGED")
+
+  /** Deterministic per-(row, field) hash in [0, bound). */
+  private def h(seed: Long, field: String, bound: Long): Column =
+    pmod(xxhash64(lit(seed), lit(field), col("id")), lit(bound))
+
+  private def pick(seed: Long, field: String, domain: Seq[String]): Column =
+    element_at(array(domain.map(lit): _*),
+      (h(seed, field, domain.size.toLong) + 1).cast(IntegerType)).as(field)
+
+  /**
+   * `n` transactions whose timestamps spread over the hour before
+   * `anchorMs` (create_sample_data.py:87-104 generates 100 rows in the
+   * last hour, sorted by timestamp). Schema = Schemas.transactions.
+   */
+  def transactions(spark: SparkSession, n: Long, seed: Long = 42L,
+      anchorMs: Long = 1754988000000L): DataFrame = {
+    val base = spark.range(n).toDF("id")
+    val tsCol = (lit(anchorMs - 3600 * 1000L) +
+      h(seed, "ts", 3600 * 1000L)).as("timestamp")
+    val ts = timestamp_millis(col("timestamp"))
+    base.select(
+        // TXN_ + 16 hex (create_sample_data.py:54) — deterministic here
+        concat(lit("TXN_"), lpad(hex(xxhash64(lit(seed), lit("txid"), col("id"))), 16, "0")).as("transaction_id"),
+        tsCol,
+        // CUST_ + zero-padded 6 digits, base 1000 (:56)
+        concat(lit("CUST_"), lpad((h(seed, "cust", 1000L) + 1000L).cast(StringType), 6, "0")).as("customer_id"),
+        col("id"))
+      .withColumn("date", to_date(ts))
+      .withColumn("hour", hour(ts))
+      .withColumn("minute", minute(ts))
+      .withColumn("transaction_type", pick(seed, "transaction_type", transactionTypes))
+      // uniform 10.00–1000.00, 2 dp (:61)
+      .withColumn("amount", ((h(seed, "amount", 99001L) + 1000L) / 100.0).cast(DecimalType(12, 2)))
+      .withColumn("currency", pick(seed, "currency", currencies))
+      .withColumn("merchant_category", pick(seed, "merchant_category", merchantCategories))
+      .withColumn("payment_method", pick(seed, "payment_method", paymentMethods))
+      .withColumn("region", pick(seed, "region", regions))
+      .withColumn("risk_score", pick(seed, "risk_score", riskScores))
+      .withColumn("status", pick(seed, "status", statuses))
+      // processing lag 100–1000 ms (:79-84)
+      .withColumn("processing_timestamp", col("timestamp") + h(seed, "lag", 901L) + 100L)
+      .withColumn("device_type", pick(seed, "device_type", deviceTypes))
+      .withColumn("authentication_method", pick(seed, "authentication_method", authMethods))
+      .withColumn("merchant_id",
+        concat(lit("MERCH_"), (h(seed, "merch", 9000L) + 1000L).cast(StringType)))
+      .withColumn("velocity_check", pick(seed, "velocity_check", velocityChecks))
+      .withColumn("amount_threshold", pick(seed, "amount_threshold", amountThresholds))
+      .withColumn("location_risk", pick(seed, "location_risk", locationRisks))
+      .withColumn("pattern_match", pick(seed, "pattern_match", patternMatches))
+      .drop("id")
+      .select(Schemas.transactions.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Wrap transaction rows into DynamoDB Streams CDC envelopes
+    * (FIXTURES.md §2): every attribute becomes a `{"S": v}` / `{"N": v}`
+    * typed map entry; numeric source columns marshal as N with their
+    * string rendering — exactly the wire format the Lambdas consume. */
+  def toCdcEnvelopes(txns: DataFrame, eventName: Column = lit("INSERT")): DataFrame = {
+    val numeric = Set("timestamp", "amount", "processing_timestamp", "hour", "minute")
+    val attr = (f: StructField) => {
+      val asString = col(f.name).cast(StringType)
+      val s = if (numeric.contains(f.name)) lit(null).cast(StringType) else asString
+      val n = if (numeric.contains(f.name)) asString else lit(null).cast(StringType)
+      struct(s.as("S"), n.as("N"),
+        lit(null).cast(BooleanType).as("BOOL"),
+        lit(null).cast(BooleanType).as("NULL"))
+    }
+    val image = map(Schemas.transactions.fields.flatMap(f =>
+      Seq(lit(f.name), attr(f))).toSeq: _*)
+    txns.select(
+      concat(lit("evt-"), col("transaction_id")).as("eventID"),
+      eventName.as("eventName"),
+      struct(
+        col("timestamp").as("ApproximateCreationDateTime"),
+        map(lit("transaction_id"), struct(col("transaction_id").as("S"),
+          lit(null).cast(StringType).as("N"),
+          lit(null).cast(BooleanType).as("BOOL"),
+          lit(null).cast(BooleanType).as("NULL"))).as("Keys"),
+        image.as("NewImage"),
+        map().cast(MapType(StringType, Schemas.dynamoAttr)).as("OldImage"),
+        lpad(col("timestamp").cast(StringType), 20, "0").as("SequenceNumber")
+      ).as("dynamodb"))
+  }
+
+  /** Kinesis framing: envelope JSON base64-encoded into `data`
+    * (lambda/transform/index.py:22). */
+  def toKinesisFrames(envelopes: DataFrame): DataFrame =
+    envelopes.select(
+      col("eventID").as("recordId"),
+      base64(to_json(struct(col("eventID"), col("eventName"), col("dynamodb"))).cast("binary")).as("data"))
+}

@@ -1,0 +1,76 @@
+package graft.ingest
+
+import graft.model.Schemas
+import graft.table.TxTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Streaming CDC ingest: the reference's Firehose delivery loop
+ * (SURVEY.md §3.1-3.2) as a Structured Streaming query.
+ *
+ *  - micro-batch buffering 60 s / 1 MB (stack/firehose.py:92-94,152-154)
+ *    → `Trigger.ProcessingTime` (configurable; tests use AvailableNow);
+ *  - batch size 100 from the stream mapping (stack/firehose.py:255)
+ *    → `maxFilesPerTrigger` on the file source;
+ *  - Iceberg upsert on `transaction_id` (stack/firehose.py:95-101)
+ *    → `foreachBatch { TxTable.merge }` — at-least-once delivery plus a
+ *    keyed MERGE is exactly-once in effect (re-delivered rows upsert to
+ *    the same state), the same argument the reference relies on;
+ *  - failed deliveries land uncompressed under an `errors/` prefix after
+ *    retry (stack/firehose.py:86-91,107-109,146-151,167-169)
+ *    → per-batch try/catch writing the poisoned batch to `errorsDir`.
+ */
+object StreamingIngest {
+
+  /** DynamoDB-Streams-shaped ingest: a directory of JSON envelope files
+    * (the test-harness stand-in for the stream shard). */
+  def start(
+      spark: SparkSession,
+      inputDir: String,
+      table: TxTable,
+      checkpointDir: String,
+      errorsDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      maxFilesPerTrigger: Int = 100): StreamingQuery = {
+
+    val events = spark.readStream
+      .schema(Schemas.cdcEnvelope)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+
+    val rows = CdcPipeline.dynamoStreamsPath(events)
+
+    rows.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(table, batch, batchId, errorsDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch commit with DLQ semantics. */
+  private[ingest] def mergeBatch(table: TxTable, batch: DataFrame,
+      batchId: Long, errorsDir: String): Unit = {
+    if (!batch.isEmpty) {
+      try table.merge(batch, key = "transaction_id", orderCol = "processing_timestamp")
+      catch {
+        case e: Throwable =>
+          // DLQ: reject path mirrors Firehose's errors/ prefix — keep the
+          // batch replayable, then rethrow nothing (stream keeps going).
+          batch.write.mode("append").json(s"$errorsDir/batch=$batchId")
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .error(s"batch $batchId failed, wrote to DLQ: ${e.getMessage}")
+      }
+    }
+  }
+
+  /** Batch (non-streaming) path over the same dataflow: read every
+    * envelope file currently in `inputDir` and merge once. */
+  def ingestOnce(spark: SparkSession, inputDir: String, table: TxTable): Long = {
+    val events = spark.read.schema(Schemas.cdcEnvelope).json(inputDir)
+    table.merge(CdcPipeline.dynamoStreamsPath(events),
+      key = "transaction_id", orderCol = "processing_timestamp")
+  }
+}

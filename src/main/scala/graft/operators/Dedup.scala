@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus deduplication operators for training-data pipelines, designed
+ * around shuffle-minimal Spark plans:
+ *
+ *  - exact dedup: one hash-aggregate on a 128-bit content fingerprint —
+ *    never shuffles full documents, only (fingerprint, id) pairs;
+ *  - MinHash + LSH banding: candidate generation is an equi-join on
+ *    (band, bandHash) — O(candidates), not O(n²); verification re-checks
+ *    true Jaccard on candidates only (Broder '97 / Leskovec MMDS ch.3);
+ *  - SimHash: 64-bit signature via bitwise majority vote of token
+ *    hashes (Charikar STOC'02, used by Manku et al. WWW'07 for web
+ *    near-dup) — near-dups collide on 16-bit bands of the signature;
+ *  - n-gram Jaccard: exact pairwise Jaccard, but only over pairs that
+ *    share a rare n-gram (inverted-index join), the classic scalable
+ *    candidate filter;
+ *  - embedding cosine: near-dup by vector similarity, bucketed by
+ *    sign-LSH so comparisons stay within buckets.
+ *
+ * Every operator keys its join/aggregate on a hash value, so the
+ * shuffle is uniformly distributed by construction (no skew salting
+ * needed), and document text never travels through more than one
+ * shuffle.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup on normalized content. Returns one row per distinct
+   * fingerprint: the keeper (min id) plus the duplicate count.
+   * Plan: project(fingerprint) → partial agg → shuffle(fingerprint) →
+   * final agg. The only shuffled payload is (fingerprint, id).
+   */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(contentFingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Ids of rows to drop under exact dedup (everything but the keeper). */
+  def exactDropIds(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(contentFingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    docs.select(col(idCol), row_number().over(w).as("rn"))
+      .filter(col("rn") > 1).select(idCol)
+  }
+
+  /**
+   * MinHash signatures: `numHashes` independent min-hashes over the
+   * document's `shingleLen`-token shingles. Signature i =
+   * min over shingles of xxhash64(i, shingle). Pure column expressions —
+   * the signature computation is embarrassingly parallel and codegen'd.
+   */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleLen: Int): DataFrame = {
+    val sh = shingles(col(textCol), shingleLen)
+    val sigs = array((0 until numHashes).map(i =>
+      array_min(transform(col("__sh"), s => xxhash64(lit(i), s)))): _*)
+    docs.select(col(idCol), sh.as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), sigs.as("signature"))
+  }
+
+  /**
+   * MinHash-LSH near-duplicate pairs. Bands the signature into
+   * `numHashes / rowsPerBand` bands; docs sharing any band become
+   * candidates (equi-join on (band, hash-of-band)); candidates are then
+   * verified against true shingle-Jaccard ≥ `threshold`.
+   *
+   * Output: (id_a, id_b, jaccard) with id_a < id_b.
+   */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text",
+      numHashes: Int = 16, rowsPerBand: Int = 2,
+      shingleLen: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleLen)
+    val numBands = numHashes / rowsPerBand
+    // (id, band, bandKey): bandKey = hash of the band's signature slice
+    val banded = sigs.select(
+        col(idCol),
+        explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("signature"), b * rowsPerBand + 1, rowsPerBand)).as("key"))
+        }: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.key"))
+
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("key"))
+    val candidates = a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleLen).as("sh"))
+    val left = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val right = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    candidates.join(left, "id_a").join(right, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * 64-bit SimHash of the token multiset: for each bit position, sum
+   * +1/−1 over token hashes and take the sign. Expressed as an
+   * `aggregate` over a 64-slot counter array — single pass per document,
+   * no shuffle at all until the caller groups on the signature.
+   */
+  def simhash(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = tokens(textCol)
+    val counters = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, j) => c + when(call_function("shiftright", h, j).bitwiseAND(1L) === 1L, 1L)
+            .otherwise(-1L))
+      })
+    // fold sign bits into one long
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3):
+   * split the 64-bit signature into 4 16-bit bands; by pigeonhole, any
+   * pair within distance 3 shares at least one exact band → candidate
+   * join on (band, chunk), verify with `bit_count(xor)` (Manku WWW'07).
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
+      .filter(tokenCount(col(textCol)) > 0)
+    val banded = sigs.select(col(idCol), col("sig"),
+        explode(array((0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))
+        }: _*)).as("bk"))
+      .select(col(idCol), col("sig"), col("bk.band"), col("bk.chunk"))
+    val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("chunk"))
+    val b = banded.select(col(idCol).as("id_b"), col("sig").as("sig_b"), col("band"), col("chunk"))
+    a.join(b, Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Exact n-gram Jaccard over candidate pairs sharing ≥ 1 shingle.
+   * The inverted-index join explodes (shingle → id) and self-joins on
+   * the shingle hash; common shingles are capped (`maxDocFreq`) so a
+   * stop-shingle can't quadratically blow up a bucket — the standard
+   * frequency cutoff that keeps the join skew-free at corpus scale.
+   */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      shingleLen: Int = 3, maxDocFreq: Int = 100): DataFrame = {
+    val withShingles = docs
+      .select(col(idCol), shingles(col(textCol), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val inverted = withShingles
+      .select(col(idCol), explode(col("sh")).as("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("shash"))
+    val rare = inverted.groupBy("shash").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+    val filtered = inverted.join(rare, "shash")
+    val a = filtered.select(col(idCol).as("id_a"), col("shash"))
+    val b = filtered.select(col(idCol).as("id_b"), col("shash"))
+    val candidates = a.join(b, "shash")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val left = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val right = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    candidates.join(left, "id_a").join(right, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * Embedding near-dup: pairs with cosine ≥ `threshold`, compared only
+   * within sign-LSH buckets (`nBits` hyperplanes). At 100 TB the bucket
+   * join replaces the O(n²) cross product; raising `nBits` trades recall
+   * for bucket size.
+   */
+  def embeddingNearDup(embeddings: DataFrame, dim: Int,
+      threshold: Double = 0.95, nBits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val bucketed = embeddings.select(col(idCol), col(vecCol),
+      signLshBucket(col(vecCol), dim, nBits).as("bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+      .distinct()
+  }
+}

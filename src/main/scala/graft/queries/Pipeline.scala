@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.ingest.{CdcPipeline, SampleData, StreamingIngest}
+import graft.model.Schemas
+import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, Dedup, Similarity}
+import graft.table.{TableCatalog, TxTable}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * The training-data-pipeline surface (dedup, similarity search, text
+ * analysis, multimodal) plus the CDC/transactional-table operators,
+ * exposed as driver-checkable queries. Queries without oracle SQL are
+ * non-SQL-expressible (sketch/LSH internals, table mutations) and get
+ * the driver's rows-only check; they are still deterministic.
+ */
+object Pipeline {
+
+  /** fresh scratch dir under the repo target/ for table-mutation queries */
+  private def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get("target", "qwork", name)
+    org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    p.toFile.getAbsolutePath
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Deduplication family.
+
+    Q("dedup_exact", fn = (s, dir) =>
+      Dedup.exact(Td.documents(s, dir))
+        .orderBy(col("fingerprint")),
+      oracle = Some("""
+      SELECT md5(concat(array_to_string(
+               list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), ' '), '')) AS fingerprint,
+             min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY fingerprint""")),
+
+    Q("dedup_exact_drops", fn = (s, dir) =>
+      Dedup.exactDropIds(Td.documents(s, dir)).orderBy(col("doc_id")),
+      oracle = Some("""
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+          PARTITION BY md5(concat(array_to_string(
+            list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), ' '), ''))
+          ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn > 1 ORDER BY doc_id""")),
+
+    Q("dedup_minhash_lsh", bench = true, fn = (s, dir) =>
+      Dedup.minhashLsh(Td.documents(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    Q("dedup_simhash", fn = (s, dir) =>
+      Dedup.simhashPairs(Td.documents(s, dir), maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    Q("dedup_ngram_jaccard", fn = (s, dir) =>
+      Dedup.ngramJaccardPairs(Td.documents(s, dir), threshold = 0.4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    Q("dedup_embedding_cosine", fn = (s, dir) =>
+      Dedup.embeddingNearDup(Td.embeddings(s, dir), dim = 64,
+        threshold = 0.7, nBits = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ------------------------------------------------------------------
+    // Similarity search.
+
+    Q("ann_bruteforce", bench = true, fn = (s, dir) => {
+      val emb = Td.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    Q("ann_lsh", fn = (s, dir) => {
+      val emb = Td.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.lshTopK(emb, queries, k = 10, dim = 64, nBits = 8)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ------------------------------------------------------------------
+    // Text analysis.
+
+    Q("text_token_stats", fn = (s, dir) =>
+      Td.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"),
+          sum(length(col("text"))).as("total_chars"),
+          round(sum(TextFunctions.tokenCount(col("text"))).cast(DoubleType) /
+            count(lit(1)), 4).as("avg_tokens"))
+        .orderBy(col("lang")),
+      oracle = Some("""
+      SELECT lang, count(*) AS n_docs,
+             sum(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))) AS total_tokens,
+             sum(length(text)) AS total_chars,
+             round(CAST(sum(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))) AS DOUBLE) / count(*), 4) AS avg_tokens
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    Q("text_language_id", fn = (s, dir) => {
+      // explicit per-language stopword hits + arg-max label, written so
+      // the same arithmetic is expressible in the oracle
+      val toks = TextFunctions.tokens(col("text"))
+      val hits = TextFunctions.stopwordProfiles.toSeq.sortBy(_._1).map {
+        case (lang, words) =>
+          TextFunctions.stopwordHits(toks, words).as(s"hits_$lang")
+      }
+      Td.documents(s, dir)
+        .select(col("doc_id") +: hits: _*)
+        .withColumn("lang_pred",
+          when(greatest(col("hits_de"), col("hits_en"), col("hits_es"), col("hits_fr")) === 0, "und")
+            .when(col("hits_de") >= col("hits_en") && col("hits_de") >= col("hits_es") &&
+              col("hits_de") >= col("hits_fr"), "de")
+            .when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_fr"), "en")
+            .when(col("hits_es") >= col("hits_fr"), "es")
+            .otherwise("fr"))
+        .orderBy(col("doc_id"))
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS w
+        FROM documents),
+      hits AS (
+        SELECT doc_id,
+               len(list_filter(w, x -> x IN ('der','die','und','das','von','zu','mit','den','ist','ein'))) AS hits_de,
+               len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS hits_en,
+               len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','es','se','no'))) AS hits_es,
+               len(list_filter(w, x -> x IN ('le','la','de','et','les','des','en','un','du','une'))) AS hits_fr
+        FROM toks)
+      SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+             CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                  WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                  WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+                  WHEN hits_es >= hits_fr THEN 'es'
+                  ELSE 'fr' END AS lang_pred
+      FROM hits ORDER BY doc_id""")),
+
+    Q("text_quality_score", fn = (s, dir) =>
+      Td.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    Q("text_fingerprint", fn = (s, dir) =>
+      Td.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.contentFingerprint(col("text")).as("fp_md5"),
+          TextFunctions.shingleFingerprint(col("text")).as("fp_shingle"))
+        .orderBy(col("doc_id"))),
+
+    // As-of join over the events stream: each 'click'-class event picks
+    // up the most recent earlier 'signup'-class event of the same user.
+    Q("asof_join_events", fn = (s, dir) => {
+      val ev = Td.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"),
+          col("event_id").as("signup_event"))
+      AsOfJoin.asofJoin(clicks, signups, Seq("user_id"),
+          leftTime = "ts", rightTime = "sts", valueCols = Seq("signup_event"))
+        .select(col("user_id"), col("event_id"), col("asof_signup_event"))
+        .orderBy(col("user_id"), col("event_id"))
+    }, oracle = Some("""
+      SELECT a.user_id AS user_id, a.event_id AS event_id,
+             b.event_id AS asof_signup_event
+      FROM (SELECT * FROM events WHERE event_type = 'click') a
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+        ON a.user_id = b.user_id AND b.ts <= a.ts
+      ORDER BY user_id, event_id""")),
+
+    // ------------------------------------------------------------------
+    // Multimodal plumbing (decode stubbed — see Multimodal scaladoc).
+
+    Q("multimodal_meta", fn = (s, dir) => {
+      val media = Multimodal.synthesizeImages(Td.documents(s, dir))
+      Multimodal.decodeMeta(media)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.channels").as("channels"),
+          col("meta.size_bytes").as("size_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    Q("multimodal_features", fn = (s, dir) => {
+      val media = Multimodal.synthesizeImages(Td.documents(s, dir))
+      Multimodal.extractFeatures(media)
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          round(element_at(col("feature"), 1), 6).as("f0"),
+          round(element_at(col("feature"), 4), 6).as("f3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ------------------------------------------------------------------
+    // CDC ingest + transactional table operators (SURVEY §2.1-§2.2).
+    // These mutate scratch tables; results are deterministic summaries.
+
+    // T1-T5 over generated Kinesis frames: decode → filter → unmarshal →
+    // derive. REMOVE events injected to prove the filter drops them.
+    Q("cdc_transform_pipeline", fn = (s, dir) => {
+      val txns = SampleData.transactions(s, 200, seed = 42L)
+      val events = SampleData.toCdcEnvelopes(txns,
+        eventName = when(pmod(xxhash64(col("transaction_id")), lit(10)) < 2, "REMOVE")
+          .when(pmod(xxhash64(col("transaction_id")), lit(10)) < 5, "MODIFY")
+          .otherwise("INSERT"))
+      val frames = SampleData.toKinesisFrames(events)
+      CdcPipeline.kinesisPath(frames)
+        .groupBy(col("region"), col("risk_score"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount")).cast(DecimalType(18, 2)).as("total_amount"),
+          countDistinct(col("customer_id")).as("n_customers"))
+        .orderBy(col("region"), col("risk_score"))
+    }),
+
+    // S4/S10: MERGE upsert with in-batch duplicates + CAS pointer swap.
+    Q("cdc_merge_upsert", fn = (s, dir) => {
+      val root = new Path(scratch("merge_upsert"))
+      val t = TxTable.create(s, root, "txns", Schemas.transactions, Seq("date"))
+      val seed = SampleData.transactions(s, 300, seed = 1L)
+      t.append(seed)
+      // second batch: 100 overlapping keys with bumped amounts (MODIFY)
+      // + 50 brand-new keys (INSERT) + an in-batch duplicate set
+      val mods = seed.limit(100)
+        .withColumn("amount", (col("amount") + lit(1000)).cast(DecimalType(12, 2)))
+        .withColumn("processing_timestamp", col("processing_timestamp") + 5000L)
+      val dupsOfMods = mods.limit(40)
+        .withColumn("amount", (col("amount") + lit(111)).cast(DecimalType(12, 2)))
+        .withColumn("processing_timestamp", col("processing_timestamp") + 9000L)
+      val inserts = SampleData.transactions(s, 50, seed = 2L)
+      t.merge(mods.unionByName(dupsOfMods).unionByName(inserts),
+        key = "transaction_id", orderCol = "processing_timestamp")
+      t.toDF.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("transaction_id")).as("n_keys"),
+        sum(col("amount")).cast(DecimalType(18, 2)).as("total_amount"),
+        count(when(col("amount") > 1000, 1)).as("n_updated_rows"))
+    }),
+
+    // S5/S6 + streaming: micro-batched file-source CDC replay through
+    // foreachBatch MERGE (Trigger.AvailableNow), then table state.
+    Q("cdc_streaming_upsert", fn = (s, dir) => {
+      val work = scratch("streaming_upsert")
+      val inputDir = s"$work/input"
+      val txns = SampleData.transactions(s, 150, seed = 3L)
+      SampleData.toCdcEnvelopes(txns).toJSON
+        .repartition(3).write.mode("overwrite").text(inputDir)
+      val t = TxTable.create(s, new Path(s"$work/table"), "txns",
+        Schemas.transactions, Seq("date"))
+      val q = StreamingIngest.start(s, inputDir, t,
+        checkpointDir = s"$work/ckpt", errorsDir = s"$work/errors",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        maxFilesPerTrigger = 1)
+      q.awaitTermination(120000)
+      t.toDF.groupBy(col("risk_score"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("transaction_id")).as("n_keys"))
+        .orderBy(col("risk_score"))
+    }),
+
+    // S7-S12: catalog DDL + snapshot time travel across versions.
+    Q("table_time_travel", fn = (s, dir) => {
+      val cat = new TableCatalog(s, new Path(scratch("time_travel")))
+      val t = cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
+      val batch1 = SampleData.transactions(s, 100, seed = 4L)
+      t.append(batch1)
+      val mods = batch1.limit(30)
+        .withColumn("amount", (col("amount") + lit(500)).cast(DecimalType(12, 2)))
+        .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+      t.merge(mods, key = "transaction_id", orderCol = "processing_timestamp")
+      t.delete(col("risk_score") === "HIGH")
+      val perVersion = (0L to t.currentVersion).map { v =>
+        (v, t.asOf(v).count())
+      }
+      import s.implicits._
+      perVersion.toDF("version", "n_rows").orderBy(col("version"))
+    })
+  )
+}

@@ -1,0 +1,83 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Namespace/table catalog over a warehouse directory — the engine-native
+ * equivalent of the reference's table-bucket → namespace → table
+ * hierarchy (kinesis-firehose-stream/lambda/custom_resource/index.py:63-137
+ * creates bucket/namespace/table; :140-176 drops them idempotently;
+ * :143-151 lists buckets; scripts/update_metadata.py:31-43 resolves by
+ * name).
+ *
+ * Layout: `<warehouse>/<namespace>/<table>/{_log,data}`. The warehouse
+ * root plays the table-bucket role. Tables are also registered as Spark
+ * temp views on demand so the SQL surface (`spark.sql("SELECT ... FROM
+ * ns.tbl")`) resolves against catalog state.
+ */
+class TableCatalog(val spark: SparkSession, val warehouse: Path) {
+
+  private val conf = spark.sessionState.newHadoopConf()
+  private def fs = warehouse.getFileSystem(conf)
+
+  // ---- namespace DDL (custom_resource/index.py:76-78, :162-170) -------
+
+  def createNamespace(ns: String): Unit = fs.mkdirs(new Path(warehouse, ns))
+
+  /** Idempotent: missing namespace is a no-op, mirroring the reference's
+    * ResourceNotFound swallow (custom_resource/index.py:164-176). */
+  def dropNamespace(ns: String): Unit = {
+    val p = new Path(warehouse, ns)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def listNamespaces(): Seq[String] =
+    if (!fs.exists(warehouse)) Nil
+    else fs.listStatus(warehouse).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+
+  // ---- table DDL (custom_resource/index.py:86-137, :140-160) ----------
+
+  def tableRoot(ns: String, table: String): Path =
+    new Path(new Path(warehouse, ns), table)
+
+  def createTable(ns: String, table: String, schema: StructType,
+      partitionBy: Seq[String] = Nil): TxTable = {
+    createNamespace(ns)
+    require(!TxTable.exists(spark, tableRoot(ns, table)),
+      s"table $ns.$table already exists")
+    TxTable.create(spark, tableRoot(ns, table), s"$ns.$table", schema, partitionBy)
+  }
+
+  def getTable(ns: String, table: String): TxTable =
+    TxTable.open(spark, tableRoot(ns, table), s"$ns.$table")
+
+  def tableExists(ns: String, table: String): Boolean =
+    TxTable.exists(spark, tableRoot(ns, table))
+
+  /** Idempotent drop (DROP TABLE IF EXISTS). */
+  def dropTable(ns: String, table: String): Unit = {
+    val p = tableRoot(ns, table)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def listTables(ns: String): Seq[String] = {
+    val p = new Path(warehouse, ns)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  // ---- SQL surface ----------------------------------------------------
+
+  /** Register the table's current snapshot as a temp view named
+    * `<ns>_<table>` so `spark.sql` queries resolve against it (the
+    * Athena-over-catalog path, README.md:139-166). */
+  def registerView(ns: String, table: String): String = {
+    val viewName = s"${ns}_$table"
+    getTable(ns, table).toDF.createOrReplaceTempView(viewName)
+    viewName
+  }
+
+  def sql(query: String): DataFrame = spark.sql(query)
+}

@@ -1,0 +1,103 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * Versioned transaction log: one immutable JSON snapshot descriptor per
+ * committed table version, named `v%08d.metadata.json`.
+ *
+ * The commit protocol mirrors the reference's S3 Tables pointer swap
+ * (kinesis-firehose-stream/scripts/update_metadata.py:62-148): a table's
+ * state is an atomically-advanced metadata pointer over immutable data
+ * files, with optimistic concurrency via a version token
+ * (update_metadata.py:64-70 fetches `versionToken`, :135-141 swaps).
+ * Here the "token" is the version number itself and the swap is an
+ * atomic create-if-absent of the next snapshot file — two concurrent
+ * committers race to create `v{N+1}`; exactly one wins, the loser gets
+ * a [[CommitConflictException]] and must re-read and retry. This is the
+ * same mutual-exclusion scheme the Delta Lake paper (VLDB'20) uses for
+ * its `_delta_log`, chosen because it needs nothing beyond an atomic
+ * put-if-absent, which local FS, HDFS, and S3 (conditional PUT) all have.
+ */
+final case class DataFile(
+    path: String,                       // relative to the table's data dir
+    partitionValues: Map[String, String],
+    rowCount: Long,
+    sizeBytes: Long)
+
+final case class Snapshot(
+    version: Long,
+    timestampMs: Long,
+    operation: String,                  // CREATE | APPEND | MERGE | DELETE | OVERWRITE | COMPACT
+    schemaJson: String,                 // Spark StructType json
+    partitionColumns: Seq[String],
+    files: Seq[DataFile])
+
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+object TxLog {
+  implicit private val fmts: Formats = DefaultFormats
+
+  private def snapshotName(v: Long): String = f"v$v%08d.metadata.json"
+  private val SnapshotRe = raw"v(\d{8})\.metadata\.json".r
+
+  def fs(logDir: Path, conf: Configuration): FileSystem = logDir.getFileSystem(conf)
+
+  /** Highest committed version, or None for an empty/nonexistent log. */
+  def currentVersion(logDir: Path, conf: Configuration): Option[Long] = {
+    val f = fs(logDir, conf)
+    if (!f.exists(logDir)) return None
+    val vs = f.listStatus(logDir).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case SnapshotRe(v) => Some(v.toLong)
+        case _             => None
+      }
+    }.toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  def read(logDir: Path, version: Long, conf: Configuration): Snapshot = {
+    val p = new Path(logDir, snapshotName(version))
+    val in = fs(logDir, conf).open(p)
+    try {
+      val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+      JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8)).extract[Snapshot]
+    } finally in.close()
+  }
+
+  def readCurrent(logDir: Path, conf: Configuration): Option[Snapshot] =
+    currentVersion(logDir, conf).map(read(logDir, _, conf))
+
+  /**
+   * Atomic CAS commit: writes `snapshot` as version `expected + 1`.
+   * Fails with [[CommitConflictException]] if that version already exists
+   * (another writer won the race) — the optimistic-concurrency semantics
+   * of `update_table_metadata_location(versionToken, ...)`.
+   */
+  def commit(logDir: Path, expected: Option[Long], snapshot: Snapshot,
+      conf: Configuration): Long = {
+    val f = fs(logDir, conf)
+    f.mkdirs(logDir)
+    val next = expected.map(_ + 1).getOrElse(0L)
+    require(snapshot.version == next,
+      s"snapshot.version ${snapshot.version} != expected next $next")
+    val target = new Path(logDir, snapshotName(next))
+    val json = Serialization.write(snapshot)
+    // overwrite=false → atomic create-if-absent; the FS arbitrates races.
+    val out =
+      try f.create(target, /*overwrite=*/ false)
+      catch { case _: java.io.IOException =>
+        throw new CommitConflictException(
+          s"version $next already committed (stale expected=$expected)")
+      }
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    next
+  }
+}

@@ -1,0 +1,312 @@
+package graft.table
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import java.util.UUID
+
+/**
+ * A transactional, partitioned, parquet-backed table: the engine-native
+ * equivalent of the reference's Iceberg table in S3 Tables.
+ *
+ * Layout (under `root`):
+ * {{{
+ *   _log/v00000000.metadata.json ...   // TxLog snapshots (source of truth)
+ *   data/<part>=<val>/<uuid>.parquet   // immutable data files
+ * }}}
+ *
+ * Semantics derived from the reference:
+ *  - table state = metadata pointer over immutable columnar files,
+ *    advanced by CAS (scripts/update_metadata.py:62-148) → [[TxLog]];
+ *  - date-partitioned layout (`PARTITIONED BY (date)`,
+ *    scripts/update_metadata.py:114);
+ *  - upsert on a unique key — Firehose `unique_keys=["transaction_id"]`
+ *    (stack/firehose.py:95-101,155-161) → [[merge]];
+ *  - snapshots are retained, so every historical version stays readable
+ *    (time travel), matching Iceberg snapshot semantics.
+ *
+ * Scale notes (the design target is a 1000-executor cluster, not local):
+ *  - reads prune partitions *before* Spark ever lists files — the
+ *    snapshot carries partitionValues per file, so a `partitionFilter`
+ *    turns into a driver-side file-list filter (no S3 LIST storm);
+ *  - [[merge]] rewrites only the partitions the batch touches; the
+ *    anti-join side is pruned to those partitions, so cost is
+ *    O(touched partitions), not O(table);
+ *  - the batch side of the merge join is broadcast when small (CDC
+ *    batches are ~100 records in the reference — stack/firehose.py:255).
+ */
+class TxTable private (
+    val spark: SparkSession,
+    val root: Path,
+    val name: String) {
+
+  private val conf = spark.sessionState.newHadoopConf()
+  private val logDir = new Path(root, "_log")
+  private val dataDir = new Path(root, "data")
+  private def fs = root.getFileSystem(conf)
+
+  // ---- snapshot access -------------------------------------------------
+
+  def currentVersion: Long =
+    TxLog.currentVersion(logDir, conf).getOrElse(
+      throw new IllegalStateException(s"table $name has no committed version"))
+
+  def snapshot: Snapshot = TxLog.read(logDir, currentVersion, conf)
+  def snapshotAt(version: Long): Snapshot = TxLog.read(logDir, version, conf)
+
+  def schema: StructType =
+    StructType.fromDDL(snapshot.schemaJson) // placeholder; overwritten below
+
+  // ---- read ------------------------------------------------------------
+
+  /** DataFrame of the current snapshot. Partition columns are restored
+    * from the snapshot's partitionValues (no directory inference needed,
+    * so file listing is exactly the snapshot's file list). */
+  def toDF: DataFrame = dfFor(snapshot)
+
+  /** Time travel: read the table as of an older committed version. */
+  def asOf(version: Long): DataFrame = dfFor(snapshotAt(version))
+
+  /** Read with partition pruning applied on the driver against snapshot
+    * metadata — at 100 TB this avoids even listing non-matching files. */
+  def read(partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+    val s = snapshot
+    val files = s.files.filter(f => partitionFilter.forall {
+      case (k, v) => f.partitionValues.get(k).contains(v)
+    })
+    dfFor(s.copy(files = files))
+  }
+
+  private def dfFor(s: Snapshot): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+      .asInstanceOf[StructType]
+    val dataSchema = StructType(schema.filterNot(f => s.partitionColumns.contains(f.name)))
+    if (s.files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val paths = s.files.map(f => new Path(dataDir, f.path).toString)
+      // basePath keeps partition-directory inference rooted at data/, so
+      // `<part>=<val>` segments come back as typed partition columns and
+      // Catalyst partition-prunes within the listed files.
+      spark.read
+        .option("basePath", dataDir.toString)
+        .schema(schema)
+        .parquet(paths: _*)
+        .select(schema.map(f => col(f.name)): _*)
+    }
+  }
+
+  // ---- write paths -----------------------------------------------------
+
+  /** Write `df`'s rows as new immutable files under data/, partitioned by
+    * the table's partition columns; returns their DataFile descriptors.
+    * Files are invisible to readers until referenced by a committed
+    * snapshot, so this move is not required to be atomic. */
+  private def writeFiles(df: DataFrame, partitionColumns: Seq[String]): Seq[DataFile] = {
+    val staging = new Path(root, s"_staging/${UUID.randomUUID().toString}")
+    val writer = df.write.mode("overwrite")
+    (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
+      .parquet(staging.toString)
+
+    val f = fs
+    // move each part file into data/ under its partition dir with a unique name
+    def collect(p: Path, parts: Map[String, String]): Seq[DataFile] = {
+      f.listStatus(p).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.contains("=")) {
+          val Array(k, v) = nm.split("=", 2)
+          collect(st.getPath, parts + (k -> unescapePath(v)))
+        } else if (nm.endsWith(".parquet")) {
+          val rel = (partitionColumns.flatMap(c => parts.get(c).map(v => s"$c=${escapePath(v)}"))
+            :+ s"${UUID.randomUUID().toString}.parquet").mkString("/")
+          val target = new Path(dataDir, rel)
+          f.mkdirs(target.getParent)
+          f.rename(st.getPath, target)
+          Some(DataFile(rel, parts, rowCount = -1L, sizeBytes = st.getLen))
+        } else None
+      }
+    }
+    val out = collect(staging, Map.empty)
+    f.delete(staging, true)
+    out
+  }
+
+  private def escapePath(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def unescapePath(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+
+  private def commit(expected: Option[Long], op: String, schema: StructType,
+      partitionColumns: Seq[String], files: Seq[DataFile]): Long = {
+    val next = expected.map(_ + 1).getOrElse(0L)
+    TxLog.commit(logDir, expected, Snapshot(
+      version = next,
+      timestampMs = System.currentTimeMillis(),
+      operation = op,
+      schemaJson = schema.json,
+      partitionColumns = partitionColumns,
+      files = files), conf)
+  }
+
+  /** Append rows (blind insert, no key matching). */
+  def append(df: DataFrame): Long = {
+    val s = snapshot
+    val cols = s.partitionColumns
+    val newFiles = writeFiles(df, cols)
+    retryingCommit("APPEND") { expected =>
+      val cur = snapshotAt(expected)
+      commit(Some(expected), "APPEND",
+        org.apache.spark.sql.types.DataType.fromJson(s.schemaJson).asInstanceOf[StructType],
+        cols, cur.files ++ newFiles)
+    }
+  }
+
+  /** Replace the whole table contents. */
+  def overwrite(df: DataFrame): Long = {
+    val s = snapshot
+    val newFiles = writeFiles(df, s.partitionColumns)
+    retryingCommit("OVERWRITE") { expected =>
+      commit(Some(expected), "OVERWRITE",
+        org.apache.spark.sql.types.DataType.fromJson(s.schemaJson).asInstanceOf[StructType],
+        s.partitionColumns, newFiles)
+    }
+  }
+
+  /**
+   * MERGE/upsert on `key` — the Firehose `unique_keys` contract
+   * (stack/firehose.py:99): a batch row whose key matches an existing row
+   * replaces it; otherwise it inserts. Duplicate keys *within* the batch
+   * collapse last-writer-wins ordered by `orderCol` (descending), which
+   * mirrors at-least-once redelivery folding into one upsert.
+   *
+   * Only partitions touched by the batch are rewritten. This assumes the
+   * partition value of a key is stable across updates (true for the
+   * reference: `date` derives from the immutable event `timestamp`).
+   * Pass `keyStablePartitions = false` to also scan other partitions for
+   * moved keys (full-key anti-join — strictly correct, costlier).
+   */
+  def merge(batch: DataFrame, key: String, orderCol: String,
+      keyStablePartitions: Boolean = true): Long = {
+    val s = snapshot
+    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+      .asInstanceOf[StructType]
+    val parts = s.partitionColumns
+    val aligned = batch.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+
+    // last-writer-wins dedup within the batch
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc)
+    val deduped = aligned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .cache()
+
+    // affected partition values (small: one per touched date)
+    val touched: Set[Map[String, String]] =
+      if (parts.isEmpty) Set(Map.empty[String, String])
+      else deduped.select(parts.map(col): _*).distinct().collect()
+        .map(r => parts.zipWithIndex.map { case (c, i) =>
+          c -> partitionValueString(r.get(i)) }.toMap).toSet
+
+    val affectedFiles =
+      if (parts.isEmpty || !keyStablePartitions) s.files
+      else s.files.filter(f => touched.contains(f.partitionValues))
+    val keptFiles = s.files.diff(affectedFiles)
+
+    val existingAffected = dfFor(s.copy(files = affectedFiles))
+    // CDC batches are small (reference consumes 100-record batches,
+    // stack/firehose.py:255) → broadcast the key set so the anti-join
+    // never shuffles the table side.
+    val survivors = existingAffected.join(
+      broadcast(deduped.select(col(key))), Seq(key), "left_anti")
+    val merged = survivors.select(schema.map(f => col(f.name)): _*)
+      .unionByName(deduped.select(schema.map(f => col(f.name)): _*))
+
+    val newFiles = writeFiles(merged, parts)
+    deduped.unpersist()
+    retryingCommit("MERGE") { expected =>
+      commit(Some(expected), "MERGE", schema, parts, keptFiles ++ newFiles)
+    }
+  }
+
+  /** Delete rows matching `predicate`; rewrites only files in partitions
+    * that could contain matches (all, absent partition info in the
+    * predicate — callers should pass partitionFilter for pruning). */
+  def delete(predicate: org.apache.spark.sql.Column,
+      partitionFilter: Map[String, String] = Map.empty): Long = {
+    val s = snapshot
+    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+      .asInstanceOf[StructType]
+    val affected = s.files.filter(f => partitionFilter.forall {
+      case (k, v) => f.partitionValues.get(k).contains(v)
+    })
+    val kept = s.files.diff(affected)
+    val rewritten = dfFor(s.copy(files = affected)).filter(!predicate)
+      .select(schema.map(f => col(f.name)): _*)
+    val newFiles = writeFiles(rewritten, s.partitionColumns)
+    retryingCommit("DELETE") { expected =>
+      commit(Some(expected), "DELETE", schema, s.partitionColumns, kept ++ newFiles)
+    }
+  }
+
+  /** Compact small files partition-by-partition (OPTIMIZE). */
+  def compact(targetFileRows: Int = 1 << 20): Long = {
+    val s = snapshot
+    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+      .asInstanceOf[StructType]
+    val rewritten = toDF.repartition(
+      math.max(1, (s.files.size / 8) + 1))
+    val newFiles = writeFiles(rewritten, s.partitionColumns)
+    retryingCommit("COMPACT") { expected =>
+      commit(Some(expected), "COMPACT", schema, s.partitionColumns, newFiles)
+    }
+  }
+
+  /** Re-run `attempt` on commit conflicts (bounded optimistic retry). */
+  private def retryingCommit(op: String)(attempt: Long => Long): Long = {
+    var tries = 0
+    while (true) {
+      val expected = currentVersion
+      try return attempt(expected)
+      catch { case _: CommitConflictException if tries < 10 => tries += 1 }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def partitionValueString(v: Any): String = v match {
+    case null => "__HIVE_DEFAULT_PARTITION__"
+    case d: java.sql.Date => d.toString
+    case other => other.toString
+  }
+}
+
+object TxTable {
+
+  /** Create a new empty table (version 0 snapshot). */
+  def create(spark: SparkSession, root: Path, name: String,
+      schema: StructType, partitionColumns: Seq[String]): TxTable = {
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(root, "_log")
+    TxLog.commit(logDir, expected = None, Snapshot(
+      version = 0L,
+      timestampMs = System.currentTimeMillis(),
+      operation = "CREATE",
+      schemaJson = schema.json,
+      partitionColumns = partitionColumns,
+      files = Nil), conf)
+    new TxTable(spark, root, name)
+  }
+
+  /** Open an existing table. */
+  def open(spark: SparkSession, root: Path, name: String): TxTable = {
+    val t = new TxTable(spark, root, name)
+    t.currentVersion // fails fast if no log
+    t
+  }
+
+  def exists(spark: SparkSession, root: Path): Boolean =
+    TxLog.currentVersion(new Path(root, "_log"),
+      spark.sessionState.newHadoopConf()).isDefined
+}

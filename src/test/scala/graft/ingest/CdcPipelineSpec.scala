@@ -1,0 +1,67 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.model.Schemas
+import graft.table.TxTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class CdcPipelineSpec extends SparkSpec {
+
+  test("kinesis path: decode → filter → unmarshal → derive round-trips") {
+    val txns = SampleData.transactions(spark, 50, seed = 1L)
+    val frames = SampleData.toKinesisFrames(SampleData.toCdcEnvelopes(txns))
+    val out = CdcPipeline.kinesisPath(frames)
+    // unmarshal output is nullable (map access); compare names + types
+    assert(out.schema.map(f => (f.name, f.dataType)) ===
+      Schemas.transactions.map(f => (f.name, f.dataType)))
+    // unmarshal(marshal(x)) == x (SURVEY §5.3 property)
+    val a = txns.orderBy("transaction_id").collect().toSeq
+    val b = out.orderBy("transaction_id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("REMOVE events are dropped; INSERT/MODIFY pass") {
+    val txns = SampleData.transactions(spark, 30, seed = 2L)
+    val tagged = SampleData.toCdcEnvelopes(txns,
+      eventName = when(col("transaction_id").substr(5, 1).isin("0", "1", "2", "3"), "REMOVE")
+        .otherwise("INSERT"))
+    val kept = CdcPipeline.dynamoStreamsPath(tagged)
+    val expectedKept = tagged.filter(col("eventName") =!= "REMOVE").count()
+    assert(kept.count() === expectedKept)
+    assert(kept.count() < 30)
+  }
+
+  test("missing timestamp leaves derived time columns null (conditional derive)") {
+    val txns = SampleData.transactions(spark, 10, seed = 3L)
+      .withColumn("timestamp", lit(null).cast("long"))
+    val frames = SampleData.toKinesisFrames(SampleData.toCdcEnvelopes(txns))
+    val out = CdcPipeline.kinesisPath(frames)
+    assert(out.filter(col("date").isNull && col("hour").isNull &&
+      col("minute").isNull).count() === 10)
+  }
+
+  test("streaming ingest: micro-batch replay equals the upsert fold") {
+    val work = freshDir("stream_ingest")
+    val txns = SampleData.transactions(spark, 60, seed = 4L)
+    SampleData.toCdcEnvelopes(txns).toJSON
+      .repartition(4).write.mode("overwrite").text(s"$work/in")
+    val t = TxTable.create(spark, new Path(s"$work/table"), "t",
+      Schemas.transactions, Seq("date"))
+    val q = StreamingIngest.start(spark, s"$work/in", t,
+      s"$work/ckpt", s"$work/errors",
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    // multiple micro-batches committed, each a separate table version
+    assert(t.currentVersion >= 2)
+    assert(t.toDF.count() === 60)
+    assert(t.toDF.select("transaction_id").distinct().count() === 60)
+  }
+
+  test("generator is deterministic for a fixed seed") {
+    val a = SampleData.transactions(spark, 20, seed = 7L).collect().toSeq
+    val b = SampleData.transactions(spark, 20, seed = 7L).collect().toSeq
+    assert(a === b)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),       // exact dup of 0
+    (2L, "the quick brown fox jumps over the sleepy dog"),     // near dup of 0
+    (3L, "completely different content about spark engines"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical documents") {
+    val d = Dedup.exact(docs)
+    assert(d.filter(col("n_dups") === 2).count() === 1)
+    val drops = Dedup.exactDropIds(docs).as[Long].collect().toSet
+    assert(drops === Set(1L))
+  }
+
+  test("minhash-lsh finds near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.4, numHashes = 16,
+      rowsPerBand = 2, shingleLen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))     // exact dup always survives
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs collide, near dups within hamming bound") {
+    val sigs = docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) > 16)
+  }
+
+  test("ngram jaccard candidate pairs include the near dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.3, shingleLen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+  }
+
+  test("cosine and dot products compute correctly") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 0.0f, 1.0f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+    val out = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("dot"),
+      VectorFunctions.cosine(col("a"), col("b")).as("cos")).collect()
+    assert(out(0).getDouble(0) === 2.0)
+    assert(math.abs(out(0).getDouble(1) - 1.0) < 1e-12)
+    assert(out(1).getDouble(0) === 0.0)
+    assert(out(1).getDouble(1) === 0.0)
+  }
+
+  test("brute-force top-k: self is always rank 1 with score 1") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = Similarity.bruteForceTopK(emb, queries, k = 5)
+    val r1 = top.filter(col("rank") === 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(r1.forall { case (q, v) => q == v })
+    assert(top.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
+  test("lsh top-k recalls most of brute-force top-k") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, k = 5, dim = 64, nBits = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // self-match always lands in its own bucket
+    assert(queries.select("query_id").as[Long].collect()
+      .forall(q => approx.contains((q, q))))
+    // i.i.d.-random embeddings are LSH's worst case; recall bound is loose
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("as-of join picks the latest earlier right row per key") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, "x"), (1L, 150L, "y"), (2L, 60L, "z"))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("k", "t", "asof_v").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(out === Set((1L, 100L, Some("x")), (1L, 200L, Some("y")),
+      (2L, 50L, None)))
+  }
+
+  test("text functions: tokens, ngrams, language id, quality") {
+    val t = Seq(("the cat and the dog sat in the house for a while",
+      "x y z")).toDF("en", "short")
+    val row = t.select(
+      TextFunctions.tokenCount(col("en")).as("n"),
+      TextFunctions.langId(col("en")).as("lang"),
+      size(TextFunctions.shingles(col("en"), 3)).as("nsh"),
+      TextFunctions.qualityScore(col("en")).as("q")).collect()(0)
+    assert(row.getLong(0) === 12)
+    assert(row.getString(1) === "en")
+    assert(row.getInt(2) > 0)
+    assert(row.getDouble(3) > 0.3)
+    // empty text is safe everywhere
+    val empty = Seq("").toDF("text").select(
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.qualityScore(col("text"))).collect()(0)
+    assert(empty.getLong(0) === 0)
+  }
+}

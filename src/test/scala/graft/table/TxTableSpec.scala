@@ -1,0 +1,115 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.ingest.SampleData
+import graft.model.Schemas
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+class TxTableSpec extends SparkSpec {
+
+  test("create + append + read round-trips rows with partition column") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_append")), "t",
+      Schemas.transactions, Seq("date"))
+    val df = SampleData.transactions(spark, 100)
+    t.append(df)
+    assert(t.toDF.count() === 100)
+    assert(t.currentVersion === 1)
+    // partition column survives the round trip with correct type/values
+    val dates = t.toDF.select("date").distinct().collect().map(_.getDate(0)).toSet
+    val expected = df.select("date").distinct().collect().map(_.getDate(0)).toSet
+    assert(dates === expected)
+  }
+
+  test("merge: insert new keys, update matched keys (upsert contract)") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_merge")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 50, seed = 10L)
+    t.append(seed)
+    val mods = seed.limit(20)
+      .withColumn("amount", lit(9999.99).cast(DecimalType(12, 2)))
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+    val inserts = SampleData.transactions(spark, 10, seed = 11L)
+    t.merge(mods.unionByName(inserts), "transaction_id", "processing_timestamp")
+    val df = t.toDF
+    assert(df.count() === 60)
+    assert(df.filter(col("amount") === 9999.99).count() === 20)
+    // keys unique after upsert
+    assert(df.select("transaction_id").distinct().count() === 60)
+  }
+
+  test("merge: in-batch duplicate keys collapse last-writer-wins") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_dups")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 10, seed = 20L)
+    val older = seed.withColumn("amount", lit(1.00).cast(DecimalType(12, 2)))
+    val newer = seed.withColumn("amount", lit(2.00).cast(DecimalType(12, 2)))
+      .withColumn("processing_timestamp", col("processing_timestamp") + 100L)
+    t.append(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      Schemas.transactions))
+    t.merge(older.unionByName(newer), "transaction_id", "processing_timestamp")
+    val amounts = t.toDF.select("amount").distinct().collect()
+      .map(_.getDecimal(0).doubleValue()).toSet
+    assert(amounts === Set(2.00))
+    assert(t.toDF.count() === 10)
+  }
+
+  test("merge idempotence: re-applying the same CDC batch is a no-op") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_idem")), "t",
+      Schemas.transactions, Seq("date"))
+    val batch = SampleData.transactions(spark, 30, seed = 30L)
+    t.merge(batch, "transaction_id", "processing_timestamp")
+    val v1 = t.toDF.orderBy("transaction_id").collect().toSeq
+    t.merge(batch, "transaction_id", "processing_timestamp")
+    val v2 = t.toDF.orderBy("transaction_id").collect().toSeq
+    assert(v1 === v2)
+  }
+
+  test("commit CAS: stale expected version is rejected") {
+    val root = new Path(freshDir("tx_cas"))
+    val t = TxTable.create(spark, root, "t", Schemas.transactions, Seq("date"))
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(root, "_log")
+    val cur = TxLog.readCurrent(logDir, conf).get
+    // first commit with expected=0 wins
+    TxLog.commit(logDir, Some(0L), cur.copy(version = 1L), conf)
+    // second commit with the SAME stale expected loses
+    intercept[CommitConflictException] {
+      TxLog.commit(logDir, Some(0L), cur.copy(version = 1L), conf)
+    }
+  }
+
+  test("time travel: asOf(v) reads each committed snapshot") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_tt")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 10, seed = 40L))
+    t.append(SampleData.transactions(spark, 15, seed = 41L))
+    assert(t.asOf(0).count() === 0)
+    assert(t.asOf(1).count() === 10)
+    assert(t.asOf(2).count() === 25)
+  }
+
+  test("delete rewrites only matching rows") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_del")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 100, seed = 50L))
+    val high = t.toDF.filter(col("risk_score") === "HIGH").count()
+    t.delete(col("risk_score") === "HIGH")
+    assert(t.toDF.count() === 100 - high)
+    assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
+  }
+
+  test("catalog: namespace/table DDL + idempotent drop") {
+    val cat = new TableCatalog(spark, new Path(freshDir("cat")))
+    cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
+    assert(cat.tableExists("analytics", "txns"))
+    assert(cat.listTables("analytics") === Seq("txns"))
+    assert(cat.listNamespaces() === Seq("analytics"))
+    cat.dropTable("analytics", "txns")
+    cat.dropTable("analytics", "txns") // idempotent (ResourceNotFound swallow)
+    assert(!cat.tableExists("analytics", "txns"))
+    cat.dropNamespace("analytics")
+    assert(cat.listNamespaces() === Nil)
+  }
+}
