@@ -1,0 +1,40 @@
+package graft.functions
+
+import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SQL-surface registration for the engine's native expressions, so
+ * `spark.sql("SELECT vector_cosine(a, b) ...")` works — the analogue of
+ * the reference's Lambda extension points (SURVEY §2.5, UDF row), but
+ * as codegen-capable Catalyst expressions rather than black-box UDFs.
+ *
+ * Two registration paths:
+ *  - [[GraftExtensions]] for `SparkSession.builder.withExtensions` /
+ *    the `spark.sql.extensions` conf (cluster deployment);
+ *  - [[GraftFunctions.register]] for an already-built session.
+ */
+object GraftFunctions {
+
+  private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    ("vector_dot", exprs => DotProduct(exprs(0), exprs(1))),
+    ("vector_cosine", exprs => CosineSimilarity(exprs(0), exprs(1))),
+    ("vector_l2_distance", exprs => L2Distance(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+  }
+
+  private[functions] def inject(e: SparkSessionExtensions): Unit =
+    fns.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.expressions", name), builder))
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
+}

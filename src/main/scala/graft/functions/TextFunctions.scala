@@ -26,12 +26,28 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
 
-  /** Word n-grams as space-joined strings:
-    * `slice` over the token array — one pass, no shuffle. */
+  /**
+   * Sliding windows of `n` consecutive tokens as an array of structs
+   * with fields t0..t(n-1): `arrays_zip` of n shifted slices.
+   *
+   * This shape matters for performance: each slice is one O(T) pass and
+   * the downstream `transform` lambda reads only its own element. The
+   * tempting alternative — `transform(sequence(...), i =>
+   * f(element_at(toks, i)))` — re-evaluates the outer `toks` expression
+   * on EVERY lambda iteration in interpreted HOF eval (no common
+   * subexpression elimination), which turns tokenization into
+   * O(tokens²) per document.
+   */
+  def tokenWindows(toks: Column, n: Int): Column = {
+    val len = size(toks) - (n - 1)
+    arrays_zip((0 until n).map(o => slice(toks, lit(o + 1), len).as(s"t$o")): _*)
+  }
+
+  /** Word n-grams as space-joined strings. */
   def ngrams(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast(ArrayType(StringType)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(transform(tokenWindows(toks, n),
+        w => concat_ws(" ", (0 until n).map(o => w.getField(s"t$o")): _*)))
 
   /** Distinct shingles (deduped n-grams) — the MinHash input set. */
   def shingles(text: Column, n: Int): Column = array_distinct(ngrams(tokens(text), n))

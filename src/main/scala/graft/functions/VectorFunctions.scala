@@ -1,43 +1,55 @@
 package graft.functions
 
+import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /**
- * Dense-vector math over `array<float>` embedding columns, composed from
- * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs,
- * so the whole similarity pipeline stays in Tungsten-generated code.
+ * Dense-vector math over `array<float>` / `array<double>` embedding
+ * columns.
  *
- * All arithmetic is done in Double for precision; inputs are float
- * arrays as produced by every embedding pipeline (FIXTURES.md §4,
- * `embeddings.embedding list<float>`).
+ * The hot-path kernels (dot, cosine, L2) are native Catalyst
+ * expressions with fused codegen loops
+ * ([[graft.functions.expressions.VectorBinaryExpression]]) — one pass,
+ * no intermediate arrays, inside whole-stage codegen. The composed
+ * `zip_with`/`aggregate` forms are kept as `*Composed` reference
+ * implementations (and for property-testing the native kernels
+ * against).
  */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ */
+  private def expr(c: Column) = ColumnBridge.expression(c)
+
+  /** Σ aᵢ·bᵢ — native codegen kernel. */
   def dot(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(expr(a), expr(b)))
+
+  /** cosine(a, b) ∈ [-1, 1]; 0 when either norm is 0 — native kernel. */
+  def cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(expr(a), expr(b)))
+
+  /** ‖a − b‖₂ — native kernel. */
+  def l2Distance(a: Column, b: Column): Column =
+    ColumnBridge.column(L2Distance(expr(a), expr(b)))
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  // ---- composed reference implementations (higher-order functions) ----
+
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** ‖a‖₂ */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) =>
-      acc + x.cast(DoubleType) * x.cast(DoubleType)))
-
-  /** cosine(a, b) ∈ [-1, 1]; null-safe 0 when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val n = l2Norm(a) * l2Norm(b)
+  def cosineComposed(a: Column, b: Column): Column = {
+    val d = dotComposed(a, b)
+    val n = sqrt(dotComposed(a, a)) * sqrt(dotComposed(b, b))
     when(n === 0.0, 0.0).otherwise(d / n)
   }
 
-  /** ‖a − b‖₂ */
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => {
-      val diff = x.cast(DoubleType) - y.cast(DoubleType)
-      diff * diff
-    }), lit(0.0), (acc, x) => acc + x))
+  // ---- LSH bucketing ---------------------------------------------------
 
   /**
    * Deterministic pseudo-random hyperplane `p` of dimension `dim` for

@@ -52,21 +52,43 @@ object Dedup {
       .filter(col("rn") > 1).select(idCol)
   }
 
+  /** Distinct 64-bit shingle hashes per document — the shared input of
+    * signature computation and Jaccard verification.
+    *
+    * The shingle hash is computed positionally — xxhash64 over the n
+    * tokens at each offset via O(1) `element_at` — instead of
+    * materializing joined n-gram strings (the `slice`-based form is
+    * O(tokens²) per document, which dominated the whole LSH pipeline on
+    * long documents). Everything downstream operates on `array<long>`. */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int): DataFrame = {
+    // token windows via zipped slices — the lambda reads only its own
+    // element (see TextFunctions.tokenWindows for why this shape);
+    // guard short docs (negative slice length is an error)
+    val toks = tokens(col(textCol))
+    val sh = when(size(toks) < shingleLen, array().cast(ArrayType(LongType)))
+      .otherwise(array_distinct(transform(
+        tokenWindows(toks, shingleLen),
+        w => xxhash64((0 until shingleLen).map(o => w.getField(s"t$o")): _*))))
+    docs.select(col(idCol), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+  }
+
+  /** Signature i = min over shingle hashes of xxhash64(i, h) — hashing
+    * longs, not strings, so 16 permutations cost about one string pass. */
+  private def signatureCol(numHashes: Int) =
+    array((0 until numHashes).map(i =>
+      array_min(transform(col("sh"), h => xxhash64(lit(i), h)))): _*)
+
   /**
    * MinHash signatures: `numHashes` independent min-hashes over the
-   * document's `shingleLen`-token shingles. Signature i =
-   * min over shingles of xxhash64(i, shingle). Pure column expressions —
-   * the signature computation is embarrassingly parallel and codegen'd.
+   * document's `shingleLen`-token shingles. Pure column expressions —
+   * embarrassingly parallel, fully codegen'd.
    */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleLen: Int): DataFrame = {
-    val sh = shingles(col(textCol), shingleLen)
-    val sigs = array((0 until numHashes).map(i =>
-      array_min(transform(col("__sh"), s => xxhash64(lit(i), s)))): _*)
-    docs.select(col(idCol), sh.as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col(idCol), sigs.as("signature"))
-  }
+      numHashes: Int, shingleLen: Int): DataFrame =
+    hashedShingles(docs, idCol, textCol, shingleLen)
+      .select(col(idCol), signatureCol(numHashes).as("signature"))
 
   /**
    * MinHash-LSH near-duplicate pairs. Bands the signature into
@@ -74,16 +96,35 @@ object Dedup {
    * candidates (equi-join on (band, hash-of-band)); candidates are then
    * verified against true shingle-Jaccard ≥ `threshold`.
    *
+   * Scale tuning, measured at sf0.1 (50k docs):
+   *  - band width r sets the candidate rate to ~j^r per band; r=2 made
+   *    low-similarity corpora quadratic (every pair with j≈0.2 had a
+   *    4% per-band collision chance), r=4 keeps the S-curve centered
+   *    near (1/b)^(1/r)≈0.7 and the candidate set linear;
+   *  - verification shuffles hashed shingles (array<long>), never the
+   *    shingle strings — an order of magnitude less shuffle payload;
+   *  - a size-ratio prefilter drops candidates where
+   *    min(|A|,|B|)/max(|A|,|B|) < threshold (an upper bound on
+   *    Jaccard) before the expensive intersect.
+   *
    * Output: (id_a, id_b, jaccard) with id_a < id_b.
    */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
-      numHashes: Int = 16, rowsPerBand: Int = 2,
+      numHashes: Int = 16, rowsPerBand: Int = 4,
       shingleLen: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, numHashes, shingleLen)
+    // Tokenize/shingle/hash each document EXACTLY once, then persist the
+    // compact (id, array<long>) base — it feeds the signature pass and
+    // both sides of the verification join. At lake scale this would be a
+    // materialized staging table; here persist() plays that role.
+    val base = hashedShingles(docs, idCol, textCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     val numBands = numHashes / rowsPerBand
     // (id, band, bandKey): bandKey = hash of the band's signature slice
-    val banded = sigs.select(
+    val banded = base
+      .select(col(idCol), signatureCol(numHashes).as("signature"))
+      .select(
         col(idCol),
         explode(array((0 until numBands).map { b =>
           struct(lit(b).as("band"),
@@ -97,10 +138,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val withShingles = docs.select(col(idCol), shingles(col(textCol), shingleLen).as("sh"))
-    val left = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val right = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val left = base.select(col(idCol).as("id_a"),
+      col("sh").as("sh_a"), size(col("sh")).as("n_a"))
+    val right = base.select(col(idCol).as("id_b"),
+      col("sh").as("sh_b"), size(col("sh")).as("n_b"))
     candidates.join(left, "id_a").join(right, "id_b")
+      // Jaccard <= min/max of set sizes: cheap upper-bound prune before
+      // the intersect
+      .filter(least(col("n_a"), col("n_b")).cast(DoubleType) /
+        greatest(col("n_a"), col("n_b")).cast(DoubleType) >= threshold)
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType)).as("jaccard"))
@@ -167,12 +213,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
       shingleLen: Int = 3, maxDocFreq: Int = 100): DataFrame = {
-    val withShingles = docs
-      .select(col(idCol), shingles(col(textCol), shingleLen).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val inverted = withShingles
-      .select(col(idCol), explode(col("sh")).as("shingle"))
-      .select(col(idCol), xxhash64(col("shingle")).as("shash"))
+    val base = hashedShingles(docs, idCol, textCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inverted = base.select(col(idCol), explode(col("sh")).as("shash"))
     val rare = inverted.groupBy("shash").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq && col("df") >= 2)
     val filtered = inverted.join(rare, "shash")
@@ -181,8 +224,8 @@ object Dedup {
     val candidates = a.join(b, "shash")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val left = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val right = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val left = base.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val right = base.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     candidates.join(left, "id_a").join(right, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("native cosine/dot match the composed higher-order-function forms") {
+    val a = emb.select(col("vec_id"), col("embedding")).limit(50)
+    val pairs = a.crossJoin(a.select(col("vec_id").as("id2"),
+        col("embedding").as("e2")).limit(10))
+    val diffs = pairs.select(
+      abs(VectorFunctions.cosine(col("embedding"), col("e2")) -
+        VectorFunctions.cosineComposed(col("embedding"), col("e2"))).as("dc"),
+      abs(VectorFunctions.dot(col("embedding"), col("e2")) -
+        VectorFunctions.dotComposed(col("embedding"), col("e2"))).as("dd"))
+      .agg(max("dc"), max("dd")).collect()(0)
+    assert(diffs.getDouble(0) < 1e-12)
+    assert(diffs.getDouble(1) < 1e-12)
+  }
+
+  test("native kernels survive both codegen and interpreted eval") {
+    val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f))).toDF("a", "b")
+    // codegen path
+    val r1 = df.select(VectorFunctions.cosine(col("a"), col("b"))).collect()
+    assert(math.abs(r1(0).getDouble(0) - 1.0) < 1e-12)
+    assert(r1(1).getDouble(0) === 0.0)
+    // interpreted path (codegen off)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val r2 = df.select(VectorFunctions.dot(col("a"), col("b"))).collect()
+      assert(r2(0).getDouble(0) === 25.0)
+      assert(r2(1).getDouble(0) === 0.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("null vector yields null, zero vector yields 0") {
+    val df = Seq((Some(Array(1.0f)), None: Option[Array[Float]]),
+      (Some(Array(0.0f, 0.0f)), Some(Array(1.0f, 1.0f)))).toDF("a", "b")
+    val rows = df.select(VectorFunctions.cosine(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) === 0.0)
+  }
+
+  test("SQL surface: vector_* functions registered and callable") {
+    GraftFunctions.register(spark)
+    emb.limit(5).createOrReplaceTempView("emb_v")
+    val out = spark.sql(
+      "SELECT vec_id, vector_cosine(embedding, embedding) AS c, " +
+        "vector_dot(embedding, embedding) AS d, " +
+        "vector_l2_distance(embedding, embedding) AS l FROM emb_v").collect()
+    assert(out.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    assert(out.forall(_.getDouble(3) === 0.0))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-shape assertions (SURVEY §4): at 100 TB the *plan* is the
+ * product — these tests pin the properties that keep the engine
+ * scan-bound instead of shuffle-bound:
+ *  - filters and projections reach the parquet scan (PushedFilters /
+ *    ReadSchema);
+ *  - small dimensions broadcast instead of shuffling the fact table;
+ *  - narrow transforms stay inside whole-stage codegen.
+ */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.debug._
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val df = Td.lineitem(spark, sf0001)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("LessThan(l_orderkey,100)"), plan)
+    // column pruning: scan schema carries only the two needed columns
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val df = SparkEntryHelpers.joinStar(spark, sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the fact-fact join (lineitem x orders) is NOT broadcast both ways:
+    // exactly the two dims (customer, nation) broadcast
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("partition pruning on date predicate (flagship filter folds to literal)") {
+    val df = Td.orders(spark, sf0001)
+      .filter(col("o_orderdate") >= expr("DATE '1998-08-01' - INTERVAL '400' DAY"))
+    val plan = formatted(df)
+    // Catalyst constant-folds the interval arithmetic into a literal
+    // pushed filter — no per-row date math at scan time
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
+  test("ingest transforms fuse into whole-stage codegen") {
+    val txns = graft.ingest.SampleData.transactions(spark, 10)
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in toString
+    val plan = planOf(txns)
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("aggregation plans partial (map-side) before the exchange") {
+    val df = Td.lineitem(spark, sf0001)
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = planOf(df)
+    // two HashAggregate levels around one shuffle = map-side combine
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange"), plan)
+  }
+}
+
+/** test-only access to query internals */
+object SparkEntryHelpers {
+  def joinStar(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.SparkEntry.queries("join_star_revenue")(spark, dir)
+}
