@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.ingest.{CdcPipeline, SampleData}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/**
+ * Property tests (SURVEY §5.3): the invariants the reference's
+ * at-least-once + unique-key contract depends on, checked across
+ * multiple generator seeds (deterministic, seed-parameterized inputs
+ * rather than fixed fixtures).
+ */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val seeds = Seq(0L, 7L, 42L, 99L, 1234L)
+
+  test("unmarshal(marshal(x)) == x for any generator seed") {
+    seeds.foreach { seed =>
+      val txns = SampleData.transactions(spark, 20, seed = seed)
+      val back = CdcPipeline.dynamoStreamsPath(SampleData.toCdcEnvelopes(txns))
+      assert(back.orderBy("transaction_id").collect().toSeq ===
+        txns.orderBy("transaction_id").collect().toSeq, s"seed=$seed")
+    }
+  }
+
+  test("conditional counts never exceed COUNT(*)") {
+    seeds.foreach { seed =>
+      val txns = SampleData.transactions(spark, 50, seed = seed)
+      val row = txns.agg(
+        count(lit(1)).as("n"),
+        count(when(col("risk_score") === "HIGH", 1)).as("high")).collect()(0)
+      assert(row.getLong(1) <= row.getLong(0), s"seed=$seed")
+    }
+  }
+
+  test("text invariants: token count, quality range, fingerprint shape") {
+    val texts = Seq("", " ", "a", "the quick brown fox",
+      "x y z w v u t s r q", "the the the the", "  padded   spaces  ",
+      "ONE-token")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val rows = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.contentFingerprint(col("text")).as("fp"),
+      size(TextFunctions.shingles(col("text"), 3)).as("nsh")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+      assert(r.getString(2).length === 32) // md5 hex
+      assert(r.getInt(3) >= 0)
+    }
+  }
+
+  test("jaccard pairs are ordered (a<b), bounded, above threshold") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "unrelated words entirely different content here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.3, shingleLen = 2).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0)
+    }
+    // the exact duplicate pair is always found with jaccard 1.0
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L &&
+      r.getDouble(2) == 1.0))
+  }
+
+  test("merge is idempotent for any batch seed (at-least-once contract)") {
+    seeds.take(3).foreach { seed =>
+      val root = new org.apache.hadoop.fs.Path(freshDir(s"prop_merge_$seed"))
+      val t = graft.table.TxTable.create(spark, root, "t",
+        graft.model.Schemas.transactions, Seq("date"))
+      val batch = SampleData.transactions(spark, 15, seed = seed)
+      t.merge(batch, "transaction_id", "processing_timestamp")
+      val once = t.toDF.orderBy("transaction_id").collect().toSeq
+      t.merge(batch, "transaction_id", "processing_timestamp")
+      val twice = t.toDF.orderBy("transaction_id").collect().toSeq
+      assert(once === twice, s"seed=$seed")
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+case class Ev(user: Long, ts: Timestamp, value: Double)
+
+/**
+ * Streaming semantics (SURVEY §2.5 streaming rows): event-time windows
+ * with watermarks (late data dropped), watermark-scoped dedup, and
+ * custom per-key state via mapGroupsWithState. The reference itself has
+ * no watermark — late records simply upsert (covered by
+ * CdcPipelineSpec's foreachBatch-MERGE tests); these are the additive
+ * event-time semantics.
+ */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base aligned to a 10-minute epoch boundary, so window(ts, "10 minutes")
+  // starts land exactly on ts(0), ts(10), ...
+  private def ts(minutes: Int): Timestamp =
+    new Timestamp(1700000400000L + minutes * 60000L)
+
+  test("tumbling event-time window with watermark drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("user"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      // batch 1: two on-time events in window [0,10)
+      in.addData(Ev(1, ts(1), 1.0), Ev(1, ts(5), 1.0))
+      q.processAllAvailable()
+      // batch 2: event at minute 40 advances the watermark to minute 30,
+      // finalizing (and emitting) everything before it
+      in.addData(Ev(1, ts(40), 1.0))
+      q.processAllAvailable()
+      // batch 3: a LATE event for window [0,10) — behind the watermark,
+      // must be dropped, not create/extend a finalized window
+      in.addData(Ev(1, ts(2), 99.0))
+      q.processAllAvailable()
+      val out = spark.table("tumbling_out")
+        .select("wstart", "n").as[(Timestamp, Long)].collect().toMap
+      assert(out(ts(0)) === 2L)      // late event did NOT bump this
+      assert(!out.contains(ts(40)))  // open window not emitted yet in append mode
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups redelivered events") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val deduped = in.toDF()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user", "ts")
+    val q = deduped.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_out").start()
+    try {
+      in.addData(Ev(1, ts(1), 1.0), Ev(1, ts(1), 1.0)) // dup in batch
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(1), 1.0))                    // redelivery across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 1)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-key aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val counts = in.toDS()
+      .groupByKey(_.user)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("state_out").start()
+    try {
+      in.addData(Ev(1, ts(0), 1.0), Ev(1, ts(1), 1.0), Ev(2, ts(2), 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(3), 1.0))
+      q.processAllAvailable()
+      // Update mode: last emitted row per key reflects the running count
+      val last = spark.table("state_out").groupBy("_1").agg(max("_2"))
+        .as[(Long, Long)].collect().toMap
+      assert(last(1L) === 3L)
+      assert(last(2L) === 1L)
+    } finally q.stop()
+  }
+
+  test("sliding windows assign events to overlapping buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sliding_out").start()
+    try {
+      in.addData(Ev(1, ts(7), 1.0))
+      q.processAllAvailable()
+      val starts = spark.table("sliding_out").select("wstart")
+        .as[Timestamp].collect().toSet
+      // minute 7 falls in [0,10) and [5,15)
+      assert(starts === Set(ts(0), ts(5)))
+    } finally q.stop()
+  }
+}
