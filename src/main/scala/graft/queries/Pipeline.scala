@@ -274,6 +274,27 @@ object Pipeline {
         .orderBy(col("risk_score"))
     }),
 
+    // CDC merge-upsert throughput (BASELINE.md headline): generator →
+    // envelope files → kinesis-path transforms → MERGE into a
+    // partitioned TxTable, at a bench-sized row count. Returns the
+    // committed per-partition row counts (rows/sec = 40k / bench secs).
+    Q("cdc_ingest_bench", bench = true, fn = (s, dir) => {
+      val work = scratch("ingest_bench")
+      val framesDir = s"$work/frames"
+      SampleData.toKinesisFrames(
+          SampleData.toCdcEnvelopes(SampleData.transactions(s, 40000, seed = 7L)))
+        .write.mode("overwrite").json(framesDir)
+      val frames = s.read.schema(Schemas.kinesisFrame).json(framesDir)
+      val t = TxTable.create(s, new Path(s"$work/table"), "txns",
+        Schemas.transactions, Seq("date"))
+      t.merge(CdcPipeline.kinesisPath(frames),
+        key = "transaction_id", orderCol = "processing_timestamp")
+      t.toDF.groupBy(col("date"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("transaction_id")).as("n_keys"))
+        .orderBy(col("date"))
+    }),
+
     // S7-S12: catalog DDL + snapshot time travel across versions.
     Q("table_time_travel", fn = (s, dir) => {
       val cat = new TableCatalog(s, new Path(scratch("time_travel")))

@@ -100,6 +100,26 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
   }
 
+  test("read(partitionFilter) prunes to snapshot files of that partition") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_prune")), "t",
+      Schemas.transactions, Seq("date"))
+    // two distinct dates via two anchors
+    t.append(SampleData.transactions(spark, 40, seed = 60L,
+      anchorMs = 1754988000000L))
+    t.append(SampleData.transactions(spark, 25, seed = 61L,
+      anchorMs = 1755988000000L))
+    val dates = t.toDF.select("date").distinct().collect()
+      .map(_.getDate(0).toString).sorted
+    assert(dates.length >= 2)
+    val pruned = t.read(Map("date" -> dates.head))
+    assert(pruned.count() === t.toDF
+      .filter(col("date") === dates.head).count())
+    // driver-side pruning: the pruned plan reads strictly fewer files
+    val allFiles = t.snapshot.files.size
+    val prunedFiles = t.snapshot.files.count(_.partitionValues("date") == dates.head)
+    assert(prunedFiles < allFiles)
+  }
+
   test("catalog: namespace/table DDL + idempotent drop") {
     val cat = new TableCatalog(spark, new Path(freshDir("cat")))
     cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
