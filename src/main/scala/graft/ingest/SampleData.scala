@@ -87,6 +87,74 @@ object SampleData {
       .select(Schemas.transactions.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
+  // Item categories and price ranges: create_sample_orders.py:11-17.
+  private val itemCategories = Seq(
+    ("Electronics", 29999L, 129999L),
+    ("Accessories", 999L, 9999L),
+    ("Books", 499L, 4999L),
+    ("Clothing", 1999L, 19999L),
+    ("Home", 2999L, 49999L))
+
+  /**
+   * `n` orders with a nested 1–5-element `items` array-of-struct column
+   * and `totalAmount` = Σ price×quantity, mirroring
+   * create_sample_orders.py:22-57 — the reference's denormalized
+   * multi-entity schema (SURVEY §1.2 array-of-struct row). Seeded,
+   * distributed, loop-free like [[transactions]].
+   */
+  def orders(spark: SparkSession, n: Long, seed: Long = 42L,
+      anchorMs: Long = 1754988000000L): DataFrame = {
+    val base = spark.range(n).toDF("id")
+    val catCase = (j: Column) => {
+      // deterministic per-(order, item) category + integer-cents price
+      val pick = pmod(xxhash64(lit(seed), lit("cat"), col("id"), j),
+        lit(itemCategories.size.toLong))
+      itemCategories.zipWithIndex.foldLeft(lit(null).cast(StringType)) {
+        case (acc, ((name, _, _), i)) => when(pick === i, name).otherwise(acc)
+      }
+    }
+    val priceCents = (j: Column) => {
+      val pick = pmod(xxhash64(lit(seed), lit("cat"), col("id"), j),
+        lit(itemCategories.size.toLong))
+      itemCategories.zipWithIndex.foldLeft(lit(0L)) {
+        case (acc, ((_, lo, hi), i)) =>
+          when(pick === i,
+            lit(lo) + pmod(xxhash64(lit(seed), lit("price"), col("id"), j), lit(hi - lo + 1)))
+            .otherwise(acc)
+      }
+    }
+    val items = transform(
+      sequence(lit(1), (pmod(xxhash64(lit(seed), lit("nitems"), col("id")), lit(5)) + 1)
+        .cast(IntegerType)),
+      j => struct(
+        concat(lit("PROD"), lpad(hex(xxhash64(lit(seed), lit("prod"), col("id"), j)), 8, "0"))
+          .as("productId"),
+        catCase(j).as("category"),
+        (priceCents(j).cast(DecimalType(12, 0)) / 100).cast(DecimalType(10, 2)).as("price"),
+        (pmod(xxhash64(lit(seed), lit("qty"), col("id"), j), lit(5L)) + 1)
+          .cast(IntegerType).as("quantity")))
+    base.select(
+        concat(lit("ORD"), upper(lpad(hex(xxhash64(lit(seed), lit("oid"), col("id"))), 8, "0")))
+          .as("orderId"),
+        (lit(anchorMs - 90L * 24 * 3600 * 1000) +
+          pmod(xxhash64(lit(seed), lit("ots"), col("id")), lit(90L * 24 * 3600 * 1000)))
+          .as("timestamp"),
+        concat(lit("CUST"), lpad(pmod(xxhash64(lit(seed), lit("ocust"), col("id")), lit(500L))
+          .cast(StringType), 4, "0")).as("customerId"),
+        items.as("items"),
+        col("id"))
+      .withColumn("totalAmount",
+        aggregate(col("items"), lit(0).cast(DecimalType(12, 2)),
+          (acc, it) => (acc + it.getField("price") * it.getField("quantity"))
+            .cast(DecimalType(12, 2))))
+      .withColumn("region", pick(seed, "region_ord",
+        Seq("East", "West", "North", "South", "Central")))
+      .withColumn("paymentMethod", pick(seed, "pay_ord",
+        Seq("Credit Card", "Debit Card", "PayPal", "Bank Transfer")))
+      .drop("id")
+      .select(Schemas.orders.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
   /** Wrap transaction rows into DynamoDB Streams CDC envelopes
     * (FIXTURES.md §2): every attribute becomes a `{"S": v}` / `{"N": v}`
     * typed map entry; numeric source columns marshal as N with their

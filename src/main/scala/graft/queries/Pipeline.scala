@@ -64,7 +64,33 @@ object Pipeline {
     Q("dedup_ngram_jaccard", fn = (s, dir) =>
       Dedup.ngramJaccardPairs(Td.documents(s, dir), threshold = 0.4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b")),
+      oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in generate_series(1, len(w) - 2)]) AS s
+        FROM toks WHERE len(w) >= 3),
+      inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 100),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN keep USING (g) JOIN inv b USING (g)
+        WHERE a.doc_id < b.doc_id)
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                   len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+            len(list_distinct(list_concat(sa.s, sb.s))) >= 0.4
+      ORDER BY id_a, id_b""")),
 
     Q("dedup_embedding_cosine", fn = (s, dir) =>
       Dedup.embeddingNearDup(Td.embeddings(s, dir), dim = 64,
@@ -82,7 +108,21 @@ object Pipeline {
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
-    }),
+    }, oracle = Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 8),
+      scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS score
+        FROM embeddings e CROSS JOIN q),
+      ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id, round(score, 6) AS score
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")),
 
     Q("ann_lsh", fn = (s, dir) => {
       val emb = Td.embeddings(s, dir)
@@ -158,7 +198,32 @@ object Pipeline {
           round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
           round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
           TextFunctions.qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id")),
+      oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               len(w) AS n_tokens,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                         / length(text) END AS punct,
+               CASE WHEN len(w) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(w, x -> x IN
+                        ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                         / len(w) END AS stopr
+        FROM t)
+      SELECT doc_id, n_tokens,
+             round(punct, 6) AS punct_ratio,
+             round(stopr, 6) AS stopword_ratio,
+             round(greatest(0.0,
+               least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0) * 0.4 +
+               least(stopr * 4.0, 1.0) * 0.4 +
+               (1.0 - least(punct * 4.0, 1.0)) * 0.2), 6) AS quality
+      FROM m ORDER BY doc_id""")),
 
     Q("text_fingerprint", fn = (s, dir) =>
       Td.documents(s, dir)
@@ -272,6 +337,23 @@ object Pipeline {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("transaction_id")).as("n_keys"))
         .orderBy(col("risk_score"))
+    }),
+
+    // Nested array-of-struct path (orders schema, FIXTURES §3): explode
+    // the items array, aggregate per category — the reference's only
+    // multi-entity shape. Generated data → rows-only check; the
+    // totalAmount = Σ price×qty invariant is asserted in OrdersSpec.
+    Q("orders_explode_items", fn = (s, dir) => {
+      val orders = SampleData.orders(s, 2000, seed = 5L)
+      orders.select(col("orderId"), col("region"),
+          explode(col("items")).as("item"))
+        .groupBy(col("item.category").as("category"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("item.quantity")).as("total_qty"),
+          sum((col("item.price") * col("item.quantity")).cast(DecimalType(18, 2)))
+            .cast(DecimalType(18, 2)).as("revenue"),
+          countDistinct(col("orderId")).as("n_orders"))
+        .orderBy(col("category"))
     }),
 
     // CDC merge-upsert throughput (BASELINE.md headline): generator →

@@ -294,6 +294,22 @@ object Relational2 {
              round(CAST(sum(pc * qc) AS DOUBLE) / sum(qc), 4) AS weighted_avg_price_cents
       FROM t GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Scalar Scala UDF surface (SURVEY §2.5 UDF row): registered and
+    // invoked through SQL; the oracle states the same logic as a CASE.
+    // (Prefer native expressions for hot paths — this pins the API.)
+    Q("udf_scalar", fn = (s, dir) => {
+      s.udf.register("price_band", (p: Double) =>
+        if (p < 50000) "low" else if (p < 150000) "mid" else "high")
+      Td.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT price_band(o_totalprice) AS band, count(*) AS n
+        FROM orders GROUP BY 1 ORDER BY band""")
+    }, oracle = Some("""
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                  WHEN o_totalprice < 150000 THEN 'mid'
+                  ELSE 'high' END AS band, count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY band""")),
+
     // Mergeable-moments Aggregator (Welford/Chan) — float accumulation
     // order differs from any SQL rewrite, so this one is rows-only.
     Q("agg_variance_udaf", fn = (s, dir) => {
