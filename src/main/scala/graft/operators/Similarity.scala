@@ -40,6 +40,98 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+   * corpus into `k` cells; each query scans only its `nprobe` nearest
+   * cells. This is the classic billion-scale layout (Jégou et al.,
+   * "Product Quantization for Nearest Neighbor Search", PAMI'11 — the
+   * IVF part, without PQ compression).
+   *
+   * Training is `iters` Lloyd rounds as pure DataFrame ops:
+   *  - centroids seed deterministically from the `k` smallest
+   *    xxhash64(id) rows (a uniform hash-min sample — no RNG state);
+   *  - assignment broadcasts the k centroids (k is small) and argmins
+   *    with the native cosine kernel — one corpus pass per round;
+   *  - update averages member vectors per cell (posexplode → groupBy
+   *    (cell, dim) → avg → collect k×dim to the driver; k·dim is tiny).
+   *
+   * At 100 TB the corpus pass is the only large stage and it is
+   * embarrassingly parallel; centroids always fit on the driver.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    // --- train the coarse quantizer ---------------------------------
+    var centroids: Array[(Int, Array[Double])] = corpus
+      .select(col(corpusId), col(corpusVec))
+      .withColumn("__h", xxhash64(col(corpusId)))
+      .orderBy(col("__h")).limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+      }
+
+    def centroidDf(cs: Array[(Int, Array[Double])]): DataFrame = {
+      val schema = StructType(Seq(StructField("cell", IntegerType),
+        StructField("cvec", ArrayType(DoubleType))))
+      spark.createDataFrame(
+        java.util.Arrays.asList(cs.map(c => Row(c._1, c._2.toSeq)): _*), schema)
+    }
+
+    def assign(df: DataFrame, vecCol: String): DataFrame = {
+      val cs = centroidDf(centroids)
+      val scored = df.join(broadcast(cs))
+        .withColumn("__sim", cosine(col(vecCol), col("cvec")))
+      val w = Window.partitionBy(df.columns.map(col): _*)
+        .orderBy(col("__sim").desc, col("cell").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__sim", "__rn", "cvec")
+    }
+
+    (0 until iters).foreach { _ =>
+      val assigned = assign(corpus.select(col(corpusId), col(corpusVec)), corpusVec)
+      val updated = assigned
+        .select(col("cell"), posexplode(col(corpusVec)).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val vec = new Array[Double](dim)
+          rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
+          (cell, vec)
+        }.toArray
+      // keep empty cells at their previous position
+      val updatedMap = updated.toMap
+      centroids = centroids.map { case (c, v) => (c, updatedMap.getOrElse(c, v)) }
+    }
+
+    // --- search ------------------------------------------------------
+    val cells = assign(corpus.select(col(corpusId), col(corpusVec)), corpusVec)
+    val cs = centroidDf(centroids)
+    val probeW = Window.partitionBy(col(queryId))
+      .orderBy(col("__sim").desc, col("cell").asc)
+    val probes = queries.join(broadcast(cs))
+      .withColumn("__sim", cosine(col(queryVec), col("cvec")))
+      .withColumn("__rn", row_number().over(probeW))
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryId), col(queryVec), col("cell"))
+    val scored = cells.join(probes, "cell")
+      .select(col(queryId), col(corpusId),
+        cosine(col(corpusVec), col(queryVec)).as("score"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(corpusId).asc)
+    scored.select(col(queryId), col(corpusId), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * LSH-bucketed ANN: corpus bucketed once by `nBits` hyperplane signs;
    * queries probe their own bucket plus every 1-bit-flip neighbor
    * (multiprobe), then rank exactly within probed buckets.

@@ -134,6 +134,17 @@ object Pipeline {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    Q("ann_ivf", fn = (s, dir) => {
+      val emb = Td.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.ivfTopK(emb, queries, k = 10, dim = 64,
+          nCells = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ------------------------------------------------------------------
     // Text analysis.
 
@@ -262,6 +273,14 @@ object Pipeline {
         .select(col("doc_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.channels").as("channels"),
           col("meta.size_bytes").as("size_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    Q("multimodal_frames", fn = (s, dir) => {
+      val media = Multimodal.synthesizeImages(Td.documents(s, dir))
+      Multimodal.sampleFrames(media, frameSize = 32, stride = 2)
+        .select(col("doc_id"), col("n_frames"), col("n_sampled"),
+          length(element_at(col("frames"), 1)).as("first_frame_len"))
         .orderBy(col("doc_id"))
     }),
 

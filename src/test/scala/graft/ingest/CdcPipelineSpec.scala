@@ -59,6 +59,20 @@ class CdcPipelineSpec extends SparkSpec {
     assert(t.toDF.select("transaction_id").distinct().count() === 60)
   }
 
+  test("poisoned micro-batch lands in the DLQ, stream-side state intact") {
+    val work = freshDir("dlq")
+    val t = TxTable.create(spark, new Path(s"$work/table"), "t",
+      Schemas.transactions, Seq("date"))
+    // batch missing most transaction columns → merge schema alignment fails
+    import spark.implicits._
+    val poisoned = Seq(("TXN_x", 1L)).toDF("transaction_id", "timestamp")
+    StreamingIngest.mergeBatch(t, poisoned, batchId = 7, errorsDir = s"$work/errors")
+    // rejected batch replayable from errors/ (Firehose errors/ prefix)
+    val dlq = spark.read.json(s"$work/errors/batch=7")
+    assert(dlq.count() === 1)
+    assert(t.currentVersion === 0) // no partial commit
+  }
+
   test("generator is deterministic for a fixed seed") {
     val a = SampleData.transactions(spark, 20, seed = 7L).collect().toSeq
     val b = SampleData.transactions(spark, 20, seed = 7L).collect().toSeq

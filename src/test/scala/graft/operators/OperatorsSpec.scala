@@ -86,6 +86,22 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("ivf top-k: self found at rank 1; recall comparable to probing ratio") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, dim = 64,
+      nCells = 8, nprobe = 3)
+    val r1 = ivf.filter(col("rank") === 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(r1.forall { case (q, v) => q == v })
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = ivf.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
   test("as-of join picks the latest earlier right row per key") {
     val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
       .toDF("k", "t", "tag")

@@ -100,6 +100,21 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
   }
 
+  test("compact rewrites small files into fewer, preserving contents") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_compact")), "t",
+      Schemas.transactions, Seq("date"))
+    // several small appends → many small files
+    (0 until 4).foreach(i =>
+      t.append(SampleData.transactions(spark, 25, seed = 70L + i)))
+    val before = t.snapshot.files.size
+    val contentBefore = t.toDF.orderBy("transaction_id").collect().toSeq
+    t.compact()
+    assert(t.snapshot.files.size < before)
+    assert(t.toDF.orderBy("transaction_id").collect().toSeq === contentBefore)
+    // pre-compaction snapshots still readable (time travel preserved)
+    assert(t.asOf(t.currentVersion - 1).count() === 100)
+  }
+
   test("read(partitionFilter) prunes to snapshot files of that partition") {
     val t = TxTable.create(spark, new Path(freshDir("tx_prune")), "t",
       Schemas.transactions, Seq("date"))
