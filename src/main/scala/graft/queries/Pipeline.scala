@@ -264,6 +264,56 @@ object Pipeline {
         ON a.user_id = b.user_id AND b.ts <= a.ts
       ORDER BY user_id, event_id""")),
 
+    // End-to-end corpus curation: quality/length gate → exact dedup
+    // (keep lowest id per content fingerprint) → per-source yield
+    // report. The composition every training-data pipeline runs; fully
+    // oracle-checked.
+    Q("curation_pipeline", fn = (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = Td.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"),
+          TextFunctions.contentFingerprint(col("text")).as("fp"))
+        .filter(col("q") >= 0.5 && col("n_tok") >= 10)
+      val keepers = scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      keepers.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(col("q").cast(DecimalType(8, 6))).cast(DoubleType) /
+            count(lit(1)), 4).as("avg_quality"))
+        .orderBy(col("source"))
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, source, text,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      m AS (
+        SELECT doc_id, source,
+               len(w) AS n_tok,
+               md5(concat(array_to_string(w, ' '), '')) AS fp,
+               round(greatest(0.0,
+                 least(CAST(len(w) AS DOUBLE) / 20.0, 1.0) * 0.4 +
+                 least(CASE WHEN len(w) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(w, x -> x IN
+                           ('the','a','of','and','to','in','is','it','that','for'))) AS DOUBLE)
+                            / len(w) END * 4.0, 1.0) * 0.4 +
+                 (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                            / length(text) END * 4.0, 1.0)) * 0.2), 6) AS q
+        FROM t),
+      filtered AS (SELECT * FROM m WHERE q >= 0.5 AND n_tok >= 10),
+      keepers AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM filtered) WHERE rn = 1)
+      SELECT source, count(*) AS n_kept,
+             round(CAST(sum(CAST(q AS DECIMAL(8,6))) AS DOUBLE) / count(*), 4) AS avg_quality
+      FROM keepers GROUP BY source ORDER BY source""")),
+
     // ------------------------------------------------------------------
     // Multimodal plumbing (decode stubbed — see Multimodal scaladoc).
 
