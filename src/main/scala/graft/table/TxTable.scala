@@ -163,7 +163,9 @@ class TxTable private (
     }
   }
 
-  /** Replace the whole table contents. */
+  /** Replace the whole table contents. Overwrite is idempotent w.r.t.
+    * prior contents, so losing a CAS race just means retrying with the
+    * same file set against the new head. */
   def overwrite(df: DataFrame): Long = {
     val s = snapshot
     val newFiles = writeFiles(df, s.partitionColumns)
@@ -226,9 +228,12 @@ class TxTable private (
 
     val newFiles = writeFiles(merged, parts)
     deduped.unpersist()
-    retryingCommit("MERGE") { expected =>
-      commit(Some(expected), "MERGE", schema, parts, keptFiles ++ newFiles)
-    }
+    // No blind retry: the rewritten files were derived from THIS
+    // snapshot; a concurrent commit invalidates them (retrying would
+    // silently drop its rows). Conflicts surface to the caller, who
+    // re-reads and re-merges — serializable upsert semantics. The
+    // streaming ingest path is single-writer, so this never fires there.
+    commit(Some(s.version), "MERGE", schema, parts, keptFiles ++ newFiles)
   }
 
   /** Delete rows matching `predicate`; rewrites only files in partitions
@@ -243,12 +248,14 @@ class TxTable private (
       case (k, v) => f.partitionValues.get(k).contains(v)
     })
     val kept = s.files.diff(affected)
-    val rewritten = dfFor(s.copy(files = affected)).filter(!predicate)
+    // SQL DELETE semantics: remove only rows where the predicate is
+    // TRUE; rows where it evaluates NULL are kept (a bare `!pred`
+    // filter would drop them — null negates to null, which filters out)
+    val rewritten = dfFor(s.copy(files = affected))
+      .filter(!coalesce(predicate, lit(false)))
       .select(schema.map(f => col(f.name)): _*)
     val newFiles = writeFiles(rewritten, s.partitionColumns)
-    retryingCommit("DELETE") { expected =>
-      commit(Some(expected), "DELETE", schema, s.partitionColumns, kept ++ newFiles)
-    }
+    commit(Some(s.version), "DELETE", schema, s.partitionColumns, kept ++ newFiles)
   }
 
   /** Compact small files partition-by-partition (OPTIMIZE). */
@@ -259,12 +266,15 @@ class TxTable private (
     val rewritten = toDF.repartition(
       math.max(1, (s.files.size / 8) + 1))
     val newFiles = writeFiles(rewritten, s.partitionColumns)
-    retryingCommit("COMPACT") { expected =>
-      commit(Some(expected), "COMPACT", schema, s.partitionColumns, newFiles)
-    }
+    commit(Some(s.version), "COMPACT", schema, s.partitionColumns, newFiles)
   }
 
-  /** Re-run `attempt` on commit conflicts (bounded optimistic retry). */
+  /** Re-run `attempt` on commit conflicts (bounded optimistic retry).
+    * Only used by operations whose file set stays valid against a moved
+    * head (APPEND re-reads the head inside the attempt; OVERWRITE
+    * replaces everything). MERGE/DELETE/COMPACT commit exactly once —
+    * their rewrites are derived from a specific snapshot, so a conflict
+    * must surface to the caller for a full re-read (serializability). */
   private def retryingCommit(op: String)(attempt: Long => Long): Long = {
     var tries = 0
     while (true) {

@@ -100,6 +100,23 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
   }
 
+  test("delete keeps rows where the predicate evaluates to NULL") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_del_null")), "t",
+      Schemas.transactions, Seq("date"))
+    val base = SampleData.transactions(spark, 40, seed = 55L)
+    val withNulls = base.withColumn("region",
+      when(col("minute") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("region")))
+    t.append(withNulls)
+    val nullRegion = t.toDF.filter(col("region").isNull).count()
+    val usEast = t.toDF.filter(col("region") === "US_EAST").count()
+    assert(nullRegion > 0)
+    t.delete(col("region") === "US_EAST")
+    // only TRUE-predicate rows removed; NULL-predicate rows survive
+    assert(t.toDF.count() === 40 - usEast)
+    assert(t.toDF.filter(col("region").isNull).count() === nullRegion)
+  }
+
   test("compact rewrites small files into fewer, preserving contents") {
     val t = TxTable.create(spark, new Path(freshDir("tx_compact")), "t",
       Schemas.transactions, Seq("date"))
