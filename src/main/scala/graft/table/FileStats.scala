@@ -1,0 +1,139 @@
+package graft.table
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * Per-file column statistics for data skipping, harvested from parquet
+ * footers at commit time (no extra scan — the writer already computed
+ * row-group min/max; we fold them per file and record them in the
+ * snapshot).
+ *
+ * At 100 TB this is what turns a point/range query on a non-partition
+ * column into a scan of a handful of files: the driver filters the
+ * snapshot's file list against [min, max] intervals before Spark ever
+ * lists or opens anything — the same mechanism as Delta/Iceberg file
+ * skipping (Armbrust et al., VLDB'20 §4.2).
+ *
+ * min/max are stored as strings with a type tag so snapshots stay
+ * JSON-portable; comparisons at skip time are numeric for numeric tags
+ * and lexicographic for strings.
+ */
+object FileStats {
+
+  /** columns worth stats: scalar orderable types */
+  def collect(file: Path, conf: Configuration): Map[String, ColStats] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val acc = scala.collection.mutable.Map[String, (Any, Any, Long, String)]()
+      footer.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { chunk =>
+          val pathParts = chunk.getPath.toArray
+          if (pathParts.length == 1) { // top-level scalar columns only
+            val name = pathParts(0)
+            val stats = chunk.getStatistics
+            if (stats != null && stats.hasNonNullValue) {
+              val primitive = schema.getType(Array(name): _*).asPrimitiveType()
+              val logical = primitive.getLogicalTypeAnnotation
+              val tagAndVals: Option[(String, Any, Any)] =
+                primitive.getPrimitiveTypeName match {
+                  case INT32 if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+                    Some(("date",
+                      stats.genericGetMin.asInstanceOf[Number].intValue(),
+                      stats.genericGetMax.asInstanceOf[Number].intValue()))
+                  case INT32 =>
+                    Some(("long",
+                      stats.genericGetMin.asInstanceOf[Number].longValue(),
+                      stats.genericGetMax.asInstanceOf[Number].longValue()))
+                  case INT64 =>
+                    Some(("long",
+                      stats.genericGetMin.asInstanceOf[Number].longValue(),
+                      stats.genericGetMax.asInstanceOf[Number].longValue()))
+                  case DOUBLE | FLOAT =>
+                    Some(("double",
+                      stats.genericGetMin.asInstanceOf[Number].doubleValue(),
+                      stats.genericGetMax.asInstanceOf[Number].doubleValue()))
+                  case BINARY if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                    Some(("string",
+                      stats.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
+                      stats.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))
+                  case _ => None
+                }
+              tagAndVals.foreach { case (tag, mn, mx) =>
+                val merged = acc.get(name) match {
+                  case None => (mn, mx, stats.getNumNulls, tag)
+                  case Some((omn, omx, on, t)) =>
+                    (minOf(t, omn, mn), maxOf(t, omx, mx),
+                      on + stats.getNumNulls, t)
+                }
+                acc(name) = merged
+              }
+            }
+          }
+        }
+      }
+      acc.map { case (name, (mn, mx, nulls, tag)) =>
+        name -> ColStats(tag, mn.toString, mx.toString, nulls)
+      }.toMap
+    } finally reader.close()
+  }
+
+  private def minOf(tag: String, a: Any, b: Any): Any = tag match {
+    case "double" => math.min(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "string" =>
+      if (a.asInstanceOf[String] <= b.asInstanceOf[String]) a else b
+    case "date" => math.min(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case _ => math.min(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+  private def maxOf(tag: String, a: Any, b: Any): Any = tag match {
+    case "double" => math.max(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case "string" =>
+      if (a.asInstanceOf[String] >= b.asInstanceOf[String]) a else b
+    case "date" => math.max(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case _ => math.max(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  /** Can a file with these stats contain a value in [lo, hi] (either
+    * bound optional, inclusive)? Unknown columns → must read (true). */
+  def mayContainRange(stats: Map[String, ColStats], column: String,
+      lo: Option[Any], hi: Option[Any]): Boolean =
+    stats.get(column) match {
+      case None => true
+      case Some(cs) =>
+        val loOk = hi.forall(h => compare(cs.tag, cs.min, h) <= 0)
+        val hiOk = lo.forall(l => compare(cs.tag, cs.max, l) >= 0)
+        loOk && hiOk
+    }
+
+  private def compare(tag: String, stored: String, v: Any): Int = tag match {
+    case "double" => stored.toDouble.compareTo(toDouble(v))
+    case "string" => stored.compareTo(v.toString)
+    case "date" => stored.toInt.compareTo(toDays(v))
+    case _ => stored.toLong.compareTo(toDouble(v).toLong)
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case s: String => s.toDouble
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toDouble
+    case other => other.toString.toDouble
+  }
+
+  private def toDays(v: Any): Int = v match {
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case s: String => java.time.LocalDate.parse(s).toEpochDay.toInt
+    case n: Number => n.intValue()
+  }
+}
+
+/** JSON-portable per-column file statistics. */
+final case class ColStats(tag: String, min: String, max: String, nullCount: Long)

@@ -29,7 +29,10 @@ final case class DataFile(
     path: String,                       // relative to the table's data dir
     partitionValues: Map[String, String],
     rowCount: Long,
-    sizeBytes: Long)
+    sizeBytes: Long,
+    /** per-column min/max/nullCount from the parquet footer — drives
+      * driver-side data skipping (see [[FileStats]]) */
+    stats: Option[Map[String, ColStats]] = None)
 
 final case class Snapshot(
     version: Long,

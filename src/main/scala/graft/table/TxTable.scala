@@ -79,6 +79,31 @@ class TxTable private (
     dfFor(s.copy(files = files))
   }
 
+  /**
+   * Data-skipping read: prune files whose footer [min, max] interval
+   * for `column` cannot intersect [lo, hi] (either bound optional,
+   * inclusive), then apply the same predicate as a row filter. Files
+   * without stats for the column are conservatively read. This is the
+   * Delta/Iceberg-style skip on NON-partition columns — for a
+   * timestamp-ordered ingest workload it reduces a range query to the
+   * few files whose ranges overlap.
+   */
+  def readWhere(column: String, lo: Option[Any], hi: Option[Any]): DataFrame = {
+    val s = snapshot
+    val files = s.files.filter(f =>
+      f.stats.forall(st => FileStats.mayContainRange(st, column, lo, hi)))
+    var df = dfFor(s.copy(files = files))
+    lo.foreach(l => df = df.filter(col(column) >= lit(l)))
+    hi.foreach(h => df = df.filter(col(column) <= lit(h)))
+    df
+  }
+
+  /** Number of files the current snapshot would scan for a range — for
+    * tests/observability of skipping effectiveness. */
+  def filesForRange(column: String, lo: Option[Any], hi: Option[Any]): Int =
+    snapshot.files.count(f =>
+      f.stats.forall(st => FileStats.mayContainRange(st, column, lo, hi)))
+
   private def dfFor(s: Snapshot): DataFrame = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
       .asInstanceOf[StructType]
@@ -124,7 +149,12 @@ class TxTable private (
           val target = new Path(dataDir, rel)
           f.mkdirs(target.getParent)
           f.rename(st.getPath, target)
-          Some(DataFile(rel, parts, rowCount = -1L, sizeBytes = st.getLen))
+          // footer stats are free (writer already computed them) and
+          // enable file skipping on non-partition columns at read time
+          val stats = try Some(FileStats.collect(target, conf))
+            catch { case _: Throwable => None }
+          Some(DataFile(rel, parts, rowCount = -1L, sizeBytes = st.getLen,
+            stats = stats))
         } else None
       }
     }

@@ -100,6 +100,31 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
   }
 
+  test("data skipping: readWhere prunes files by footer min/max stats") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_skip")), "t",
+      Schemas.transactions, Seq("date"))
+    // three appends with disjoint timestamp ranges (different anchors)
+    val anchors = Seq(1754988000000L, 1755988000000L, 1756988000000L)
+    anchors.zipWithIndex.foreach { case (a, i) =>
+      t.append(SampleData.transactions(spark, 30, seed = 80L + i, anchorMs = a)
+        .coalesce(1))
+    }
+    // stats recorded for the timestamp column
+    assert(t.snapshot.files.forall(_.stats.exists(_.contains("timestamp"))))
+    val all = t.snapshot.files.size
+    // a range inside the first anchor's hour must skip the other appends
+    val lo = anchors.head - 3600 * 1000L
+    val hi = anchors.head
+    val scanned = t.filesForRange("timestamp", Some(lo), Some(hi))
+    assert(scanned < all, s"scanned=$scanned all=$all")
+    // and the skipped read returns exactly the filtered rows
+    assert(t.readWhere("timestamp", Some(lo), Some(hi)).count() ===
+      t.toDF.filter(col("timestamp") >= lo && col("timestamp") <= hi).count())
+    // skipping on a string column works too
+    assert(t.readWhere("risk_score", Some("HIGH"), Some("HIGH")).count() ===
+      t.toDF.filter(col("risk_score") === "HIGH").count())
+  }
+
   test("delete keeps rows where the predicate evaluates to NULL") {
     val t = TxTable.create(spark, new Path(freshDir("tx_del_null")), "t",
       Schemas.transactions, Seq("date"))
