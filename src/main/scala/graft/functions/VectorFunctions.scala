@@ -49,6 +49,14 @@ object VectorFunctions {
     when(n === 0.0, 0.0).otherwise(d / n)
   }
 
+  // ---- sketches --------------------------------------------------------
+
+  /** KMV distinct-count sketch aggregate (see
+    * [[graft.functions.expressions.KmvDistinct]]). */
+  def kmvDistinct(c: Column, k: Int = 256): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.KmvDistinct(expr(c), k).toAggregateExpression())
+
   // ---- LSH bucketing ---------------------------------------------------
 
   /**

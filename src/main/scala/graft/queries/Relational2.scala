@@ -310,6 +310,16 @@ object Relational2 {
                   ELSE 'high' END AS band, count(*) AS n
       FROM orders GROUP BY 1 ORDER BY band""")),
 
+    // KMV sketch (TypedImperativeAggregate) vs exact — deterministic,
+    // but no SQL equivalent exists (rows-only; accuracy pinned in
+    // OperatorsSpec).
+    Q("agg_kmv_distinct", fn = (s, dir) =>
+      Td.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.VectorFunctions.kmvDistinct(col("l_partkey")).as("kmv_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))),
+
     // Mergeable-moments Aggregator (Welford/Chan) — float accumulation
     // order differs from any SQL rewrite, so this one is rows-only.
     Q("agg_variance_udaf", fn = (s, dir) => {

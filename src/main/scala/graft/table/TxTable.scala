@@ -180,11 +180,21 @@ class TxTable private (
       files = files), conf)
   }
 
+  /** Align an incoming frame to the table schema: cast matching
+    * columns, pad columns the frame lacks (post-evolution) with null. */
+  private def align(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
   /** Append rows (blind insert, no key matching). */
   def append(df: DataFrame): Long = {
     val s = snapshot
     val cols = s.partitionColumns
-    val newFiles = writeFiles(df, cols)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+      .asInstanceOf[StructType]
+    val newFiles = writeFiles(align(df, schema), cols)
     retryingCommit("APPEND") { expected =>
       val cur = snapshotAt(expected)
       commit(Some(expected), "APPEND",
@@ -225,7 +235,12 @@ class TxTable private (
     val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
       .asInstanceOf[StructType]
     val parts = s.partitionColumns
-    val aligned = batch.select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // an upsert without its key is always a pipeline bug — reject it
+    // rather than silently padding (other absent columns pad to null,
+    // which is the schema-evolution contract)
+    require(batch.columns.contains(key),
+      s"merge batch lacks the upsert key column '$key'")
+    val aligned = align(batch, schema)
 
     // last-writer-wins dedup within the batch
     import org.apache.spark.sql.expressions.Window
@@ -297,6 +312,23 @@ class TxTable private (
       math.max(1, (s.files.size / 8) + 1))
     val newFiles = writeFiles(rewritten, s.partitionColumns)
     commit(Some(s.version), "COMPACT", schema, s.partitionColumns, newFiles)
+  }
+
+  /**
+   * Schema evolution: add a nullable column. Metadata-only commit — no
+   * data files rewritten; readers pad the new column with nulls for
+   * files written before the change (the parquet reader fills absent
+   * columns when given an explicit read schema). Subsequent
+   * appends/merges align to the new schema automatically.
+   */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long = {
+    val s = snapshot
+    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+      .asInstanceOf[StructType]
+    require(!schema.fieldNames.contains(name), s"column $name already exists")
+    val evolved = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    commit(Some(s.version), "ADD_COLUMN", evolved, s.partitionColumns, s.files)
   }
 
   /** Re-run `attempt` on commit conflicts (bounded optimistic retry).

@@ -63,9 +63,9 @@ class CdcPipelineSpec extends SparkSpec {
     val work = freshDir("dlq")
     val t = TxTable.create(spark, new Path(s"$work/table"), "t",
       Schemas.transactions, Seq("date"))
-    // batch missing most transaction columns → merge schema alignment fails
+    // batch missing the upsert key column → merge rejects it
     import spark.implicits._
-    val poisoned = Seq(("TXN_x", 1L)).toDF("transaction_id", "timestamp")
+    val poisoned = Seq((1L, "oops")).toDF("timestamp", "junk")
     StreamingIngest.mergeBatch(t, poisoned, batchId = 7, errorsDir = s"$work/errors")
     // rejected batch replayable from errors/ (Firehose errors/ prefix)
     val dlq = spark.read.json(s"$work/errors/batch=7")

@@ -86,6 +86,21 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("kmv sketch: exact below k, within 15% above k, mergeable across partitions") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet").repartition(8)
+    val row = li.agg(
+      graft.functions.VectorFunctions.kmvDistinct(col("l_partkey"), k = 256).as("kmv"),
+      countDistinct(col("l_partkey")).as("exact")).collect()(0)
+    val (kmv, exact) = (row.getLong(0), row.getLong(1))
+    if (exact <= 256) assert(kmv === exact)
+    else assert(math.abs(kmv - exact).toDouble / exact < 0.15, s"kmv=$kmv exact=$exact")
+    // small-cardinality exactness
+    val small = li.filter(col("l_partkey") < 20).agg(
+      graft.functions.VectorFunctions.kmvDistinct(col("l_partkey")).as("kmv"),
+      countDistinct(col("l_partkey")).as("exact")).collect()(0)
+    assert(small.getLong(0) === small.getLong(1))
+  }
+
   test("ivf top-k: self found at rank 1; recall comparable to probing ratio") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)

@@ -100,6 +100,29 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
   }
 
+  test("schema evolution: addColumn pads old files, accepts new writes") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_evolve")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 20, seed = 90L))
+    t.addColumn("fraud_flag", org.apache.spark.sql.types.BooleanType)
+    // old rows read back with the new column as null
+    assert(t.toDF.columns.contains("fraud_flag"))
+    assert(t.toDF.filter(col("fraud_flag").isNull).count() === 20)
+    // new writes can carry the column; old-schema batches still merge
+    val batch2 = SampleData.transactions(spark, 10, seed = 91L)
+      .withColumn("fraud_flag", lit(true))
+    t.merge(batch2, "transaction_id", "processing_timestamp")
+    assert(t.toDF.filter(col("fraud_flag") === true).count() === 10)
+    val oldSchemaBatch = SampleData.transactions(spark, 5, seed = 92L)
+    t.merge(oldSchemaBatch, "transaction_id", "processing_timestamp")
+    assert(t.toDF.count() === 35)
+    // merge without the key column is rejected
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      t.merge(Seq(1L).toDF("timestamp"), "transaction_id", "processing_timestamp")
+    }
+  }
+
   test("data skipping: readWhere prunes files by footer min/max stats") {
     val t = TxTable.create(spark, new Path(freshDir("tx_skip")), "t",
       Schemas.transactions, Seq("date"))
