@@ -86,6 +86,21 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low")
   }
 
+  test("salted join matches plain join results on skewed data") {
+    // 90% of rows share one hot key
+    val skewed = spark.range(2000)
+      .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val dim = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val plain = skewed.join(dim, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    val salted = SkewJoin.saltedJoin(skewed, dim, "k", salt = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .orderBy("k").collect().toSeq
+    assert(salted === plain)
+  }
+
   test("kmv sketch: exact below k, within 15% above k, mergeable across partitions") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet").repartition(8)
     val row = li.agg(

@@ -97,6 +97,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join within event-time bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val imps = MemoryStream[Ev]
+    val c = clicks.toDF().withWatermark("ts", "20 minutes")
+      .select(col("user").as("c_user"), col("ts").as("c_ts"))
+    val i = imps.toDF().withWatermark("ts", "20 minutes")
+      .select(col("user").as("i_user"), col("ts").as("i_ts"))
+    // attribute a click to an impression at most 10 minutes earlier
+    val joined = c.join(i,
+      col("c_user") === col("i_user") &&
+        col("c_ts") >= col("i_ts") &&
+        col("c_ts") <= col("i_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ss_join_out").start()
+    try {
+      imps.addData(Ev(1, ts(0), 0.0), Ev(2, ts(0), 0.0))
+      clicks.addData(Ev(1, ts(5), 1.0),   // within 10 min → joins
+        Ev(2, ts(15), 1.0))               // too late → no match
+      q.processAllAvailable()
+      val out = spark.table("ss_join_out")
+        .select("c_user").as[Long].collect().toSeq
+      assert(out === Seq(1L))
+    } finally q.stop()
+  }
+
   test("sliding windows assign events to overlapping buckets") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
