@@ -117,10 +117,13 @@ object Multimodal {
       binCol: String = "media", frameSize: Int = 64, stride: Int = 4): DataFrame = {
     val body = col(binCol).cast(StringType)
     val nFrames = floor(octet_length(col(binCol)) / frameSize).cast(IntegerType)
-    media.select(col(idCol), nFrames.as("n_frames"),
-        transform(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)),
-          i => body.substr(i * frameSize + 1, lit(frameSize)))
-          .as("frames"))
+    // payloads shorter than one frame yield an EMPTY frames array
+    // (a bare sequence(0, max(nFrames-1, 0)) would emit one phantom
+    // truncated frame when nFrames = 0)
+    val frames = when(nFrames <= 0, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0), nFrames - 1, lit(stride)),
+        i => body.substr(i * frameSize + 1, lit(frameSize))))
+    media.select(col(idCol), nFrames.as("n_frames"), frames.as("frames"))
       .withColumn("n_sampled", size(col("frames")))
   }
 }

@@ -35,15 +35,24 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val t = col("__t")
 
+    // Right-side values ride in ONE wrapper struct (non-null whenever a
+    // right row exists, even if every value inside is null) — running
+    // last(_, ignoreNulls) over bare value columns would skip a matched
+    // right row whose value is null and resurrect an older row's value.
+    val valueStruct = struct(valueCols.map(col): _*)
+
     val taggedRight = right.select(
       keyCols.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag"),
+          valueStruct.as("__vals")) ++
         leftCols.filterNot(keyCols.contains).map(c => lit(null).as(c)): _*)
+    val nullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(
+        right.select(valueCols.map(col): _*).schema.fields))
     val taggedLeft = left.select(
       keyCols.map(col) ++
-        Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
-        valueCols.map(c => lit(null).as(s"__v_$c")) ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag"),
+          nullStruct.as("__vals")) ++
         leftCols.filterNot(keyCols.contains).map(col): _*)
 
     val w = Window.partitionBy(keyCols.map(col): _*)
@@ -51,11 +60,11 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedRight.unionByName(taggedLeft)
+      .withColumn("__last", last(col("__vals"), ignoreNulls = true).over(w))
       .select((keyCols.map(col) ++
         Seq(t, col("__tag")) ++
         leftCols.filterNot(keyCols.contains).map(col) ++
-        valueCols.map(c => last(col(s"__v_$c"), ignoreNulls = true).over(w)
-          .as(s"asof_$c"))): _*)
+        valueCols.map(c => col("__last").getField(c).as(s"asof_$c"))): _*)
       .filter(col("__tag") === 1)
       .drop("__t", "__tag")
   }

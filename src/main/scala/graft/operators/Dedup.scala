@@ -117,6 +117,9 @@ object Dedup {
     // compact (id, array<long>) base — it feeds the signature pass and
     // both sides of the verification join. At lake scale this would be a
     // materialized staging table; here persist() plays that role.
+    // Known tradeoff: the cache outlives the returned (lazy) DataFrame —
+    // callers running many dedup passes in one session should
+    // spark.catalog.clearCache() between them or stage via parquet.
     val base = hashedShingles(docs, idCol, textCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

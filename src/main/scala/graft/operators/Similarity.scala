@@ -72,7 +72,8 @@ object Similarity {
       .orderBy(col("__h")).limit(nCells)
       .collect().zipWithIndex
       .map { case (r, i) =>
-        (i, r.getSeq[Float](1).map(_.toDouble).toArray)
+        // element type may be float or double — go through Number
+        (i, r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
       }
 
     def centroidDf(cs: Array[(Int, Array[Double])]): DataFrame = {

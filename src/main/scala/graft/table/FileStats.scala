@@ -44,25 +44,31 @@ object FileStats {
             if (stats != null && stats.hasNonNullValue) {
               val primitive = schema.getType(Array(name): _*).asPrimitiveType()
               val logical = primitive.getLogicalTypeAnnotation
+              // Logical annotations change the VALUE ENCODING of the
+              // physical type: a Decimal-annotated INT64 stores unscaled
+              // units, a Timestamp-annotated INT64 stores micros/millis.
+              // Recording those as plain longs would make readWhere
+              // compare unscaled file stats against scaled query bounds
+              // and silently skip matching files — so only plain ints,
+              // Date, floating point, and UTF8 strings carry stats;
+              // anything else is conservatively left stat-less (= the
+              // file is always read).
               val tagAndVals: Option[(String, Any, Any)] =
-                primitive.getPrimitiveTypeName match {
-                  case INT32 if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+                (primitive.getPrimitiveTypeName, logical) match {
+                  case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
                     Some(("date",
                       stats.genericGetMin.asInstanceOf[Number].intValue(),
                       stats.genericGetMax.asInstanceOf[Number].intValue()))
-                  case INT32 =>
+                  case (INT32 | INT64, l)
+                      if l == null || l.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
                     Some(("long",
                       stats.genericGetMin.asInstanceOf[Number].longValue(),
                       stats.genericGetMax.asInstanceOf[Number].longValue()))
-                  case INT64 =>
-                    Some(("long",
-                      stats.genericGetMin.asInstanceOf[Number].longValue(),
-                      stats.genericGetMax.asInstanceOf[Number].longValue()))
-                  case DOUBLE | FLOAT =>
+                  case (DOUBLE | FLOAT, _) =>
                     Some(("double",
                       stats.genericGetMin.asInstanceOf[Number].doubleValue(),
                       stats.genericGetMax.asInstanceOf[Number].doubleValue()))
-                  case BINARY if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                  case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
                     Some(("string",
                       stats.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
                       stats.genericGetMax.asInstanceOf[Binary].toStringUsingUTF8))

@@ -93,11 +93,19 @@ object TxLog {
     val target = new Path(logDir, snapshotName(next))
     val json = Serialization.write(snapshot)
     // overwrite=false → atomic create-if-absent; the FS arbitrates races.
+    // Only an actual already-exists outcome is a CAS conflict; other
+    // IOExceptions (disk full, permissions, transient store failure)
+    // must surface as-is — retrying or re-reading cannot help those.
     val out =
       try f.create(target, /*overwrite=*/ false)
-      catch { case _: java.io.IOException =>
-        throw new CommitConflictException(
-          s"version $next already committed (stale expected=$expected)")
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new CommitConflictException(
+            s"version $next already committed (stale expected=$expected)")
+        case e: java.io.IOException if f.exists(target) =>
+          throw new CommitConflictException(
+            s"version $next already committed (stale expected=$expected): ${e.getMessage}")
       }
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()

@@ -56,8 +56,10 @@ class TxTable private (
   def snapshot: Snapshot = TxLog.read(logDir, currentVersion, conf)
   def snapshotAt(version: Long): Snapshot = TxLog.read(logDir, version, conf)
 
-  def schema: StructType =
-    StructType.fromDDL(snapshot.schemaJson) // placeholder; overwritten below
+  private def schemaOf(s: Snapshot): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+
+  def schema: StructType = schemaOf(snapshot)
 
   // ---- read ------------------------------------------------------------
 
@@ -105,8 +107,7 @@ class TxTable private (
       f.stats.forall(st => FileStats.mayContainRange(st, column, lo, hi)))
 
   private def dfFor(s: Snapshot): DataFrame = {
-    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
-      .asInstanceOf[StructType]
+    val schema = schemaOf(s)
     val dataSchema = StructType(schema.filterNot(f => s.partitionColumns.contains(f.name)))
     if (s.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -163,10 +164,14 @@ class TxTable private (
     out
   }
 
+  // Use Spark's own Hive-style partition-path escaping so directory
+  // names written by partitionBy, the snapshot's partitionValues, and
+  // the read path's partition inference all agree (URLEncoder would
+  // diverge: '+' ↔ space corruption).
   private def escapePath(v: String): String =
-    java.net.URLEncoder.encode(v, "UTF-8")
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
   private def unescapePath(v: String): String =
-    java.net.URLDecoder.decode(v, "UTF-8")
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
   private def commit(expected: Option[Long], op: String, schema: StructType,
       partitionColumns: Seq[String], files: Seq[DataFile]): Long = {
@@ -191,15 +196,15 @@ class TxTable private (
   /** Append rows (blind insert, no key matching). */
   def append(df: DataFrame): Long = {
     val s = snapshot
-    val cols = s.partitionColumns
-    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
-      .asInstanceOf[StructType]
-    val newFiles = writeFiles(align(df, schema), cols)
+    val newFiles = writeFiles(align(df, schemaOf(s)), s.partitionColumns)
     retryingCommit("APPEND") { expected =>
+      // commit against the CURRENT head's schema/partitioning, not the
+      // snapshot we aligned to — otherwise an append racing an
+      // addColumn would silently revert the evolved schema (readers pad
+      // our old-schema files with nulls either way)
       val cur = snapshotAt(expected)
-      commit(Some(expected), "APPEND",
-        org.apache.spark.sql.types.DataType.fromJson(s.schemaJson).asInstanceOf[StructType],
-        cols, cur.files ++ newFiles)
+      commit(Some(expected), "APPEND", schemaOf(cur),
+        cur.partitionColumns, cur.files ++ newFiles)
     }
   }
 
@@ -208,10 +213,9 @@ class TxTable private (
     * same file set against the new head. */
   def overwrite(df: DataFrame): Long = {
     val s = snapshot
-    val newFiles = writeFiles(df, s.partitionColumns)
+    val newFiles = writeFiles(align(df, schemaOf(s)), s.partitionColumns)
     retryingCommit("OVERWRITE") { expected =>
-      commit(Some(expected), "OVERWRITE",
-        org.apache.spark.sql.types.DataType.fromJson(s.schemaJson).asInstanceOf[StructType],
+      commit(Some(expected), "OVERWRITE", schemaOf(s),
         s.partitionColumns, newFiles)
     }
   }
@@ -232,8 +236,7 @@ class TxTable private (
   def merge(batch: DataFrame, key: String, orderCol: String,
       keyStablePartitions: Boolean = true): Long = {
     val s = snapshot
-    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
-      .asInstanceOf[StructType]
+    val schema = schemaOf(s)
     val parts = s.partitionColumns
     // an upsert without its key is always a pipeline bug — reject it
     // rather than silently padding (other absent columns pad to null,
@@ -287,8 +290,7 @@ class TxTable private (
   def delete(predicate: org.apache.spark.sql.Column,
       partitionFilter: Map[String, String] = Map.empty): Long = {
     val s = snapshot
-    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
-      .asInstanceOf[StructType]
+    val schema = schemaOf(s)
     val affected = s.files.filter(f => partitionFilter.forall {
       case (k, v) => f.partitionValues.get(k).contains(v)
     })
@@ -303,15 +305,16 @@ class TxTable private (
     commit(Some(s.version), "DELETE", schema, s.partitionColumns, kept ++ newFiles)
   }
 
-  /** Compact small files partition-by-partition (OPTIMIZE). */
-  def compact(targetFileRows: Int = 1 << 20): Long = {
+  /** Compact small files (OPTIMIZE): rewrite the table into files of
+    * roughly `targetFileBytes`, sized from the snapshot's recorded
+    * byte totals. */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val s = snapshot
-    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
-      .asInstanceOf[StructType]
-    val rewritten = toDF.repartition(
-      math.max(1, (s.files.size / 8) + 1))
+    val totalBytes = math.max(1L, s.files.map(_.sizeBytes).sum)
+    val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
+    val rewritten = toDF.repartition(numFiles.toInt)
     val newFiles = writeFiles(rewritten, s.partitionColumns)
-    commit(Some(s.version), "COMPACT", schema, s.partitionColumns, newFiles)
+    commit(Some(s.version), "COMPACT", schemaOf(s), s.partitionColumns, newFiles)
   }
 
   /**
@@ -323,8 +326,7 @@ class TxTable private (
    */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long = {
     val s = snapshot
-    val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
-      .asInstanceOf[StructType]
+    val schema = schemaOf(s)
     require(!schema.fieldNames.contains(name), s"column $name already exists")
     val evolved = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(name, dataType, nullable = true))

@@ -144,6 +144,25 @@ class OperatorsSpec extends SparkSpec {
       (2L, 50L, None)))
   }
 
+  test("as-of join: a matched right row with a NULL value yields NULL, not an older value") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 50L, Some("old")), (1L, 90L, None: Option[String]))
+      .toDF("k", "rt", "v")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .select("asof_v").as[Option[String]].collect()
+    assert(out.toSeq === Seq(None)) // latest match (t=90) has v=null
+  }
+
+  test("frame sampling: sub-frame payloads yield an empty frames array") {
+    val tiny = Seq((1L, "short")).toDF("doc_id", "text")
+    val media = graft.multimodal.Multimodal.synthesizeImages(tiny)
+    val out = graft.multimodal.Multimodal
+      .sampleFrames(media, frameSize = 1024, stride = 1)
+      .select("n_frames", "n_sampled").collect()(0)
+    assert(out.getInt(0) === 0)
+    assert(out.getInt(1) === 0)
+  }
+
   test("text functions: tokens, ngrams, language id, quality") {
     val t = Seq(("the cat and the dog sat in the house for a while",
       "x y z")).toDF("en", "short")

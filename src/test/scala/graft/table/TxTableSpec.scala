@@ -100,6 +100,27 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
   }
 
+  test("partition values with spaces and '+' round-trip through merge") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cat", org.apache.spark.sql.types.StringType)))
+    val t = TxTable.create(spark, new Path(freshDir("tx_escape")), "t",
+      schema, Seq("cat"))
+    import spark.implicits._
+    val rows = Seq((1L, 10L, "a b"), (2L, 10L, "a+b"), (3L, 10L, "plain"))
+      .toDF("id", "ts", "cat")
+    t.merge(rows, "id", "ts")
+    // values survive the dir-name escaping round trip exactly
+    assert(t.toDF.select("cat").as[String].collect().toSet ===
+      Set("a b", "a+b", "plain"))
+    // and a second merge matches the SAME partitions (no duplicate keys)
+    t.merge(rows, "id", "ts")
+    assert(t.toDF.count() === 3)
+    assert(t.snapshot.files.map(_.partitionValues("cat")).toSet ===
+      Set("a b", "a+b", "plain"))
+  }
+
   test("schema evolution: addColumn pads old files, accepts new writes") {
     val t = TxTable.create(spark, new Path(freshDir("tx_evolve")), "t",
       Schemas.transactions, Seq("date"))
