@@ -30,7 +30,8 @@ object CdcPipeline {
     * (lambda/transform/index.py:22-23). */
   def decodeKinesisFrames(frames: DataFrame): DataFrame =
     frames.select(
-      from_json(unbase64(col("data")).cast(StringType), Schemas.cdcEnvelope)
+      // slim schema: from_json only materializes eventName + NewImage
+      from_json(unbase64(col("data")).cast(StringType), Schemas.cdcEnvelopeSlim)
         .as("event"))
       .select("event.*")
 

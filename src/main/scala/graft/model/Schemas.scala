@@ -103,6 +103,17 @@ object Schemas {
     )))
   ))
 
+  /** Projection of [[cdcEnvelope]] to the fields the ingest dataflow
+    * actually consumes (eventName + post-image). `from_json` skips
+    * fields absent from its schema, so parsing with this instead of the
+    * full envelope avoids materializing Keys/OldImage/sequence metadata
+    * for every record — measurably faster on the JSON-decode hot path. */
+  val cdcEnvelopeSlim: StructType = StructType(Seq(
+    StructField("eventName", StringType),
+    StructField("dynamodb", StructType(Seq(
+      StructField("NewImage", MapType(StringType, dynamoAttr))
+    )))))
+
   /** Kinesis-framed record: the CDC envelope JSON is base64-encoded into
     * `data` (lambda/transform/index.py:22). */
   val kinesisFrame: StructType = StructType(Seq(
