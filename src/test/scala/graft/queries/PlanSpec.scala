@@ -62,6 +62,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("as-of join plans exactly one shuffle (union-sort, not a quadratic join)") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 50L, "x")).toDF("k", "rt", "v")
+    val plan = planOf(graft.operators.AsOfJoin.asofJoin(
+      left, right, Seq("k"), "t", "rt", Seq("v")))
+    // one hash-partition exchange on the key; no Join operator at all
+    assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("aggregation plans partial (map-side) before the exchange") {
     val df = Td.lineitem(spark, sf0001)
       .groupBy("l_returnflag").agg(sum("l_quantity"))

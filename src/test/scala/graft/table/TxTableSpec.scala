@@ -100,6 +100,26 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
   }
 
+  test("concurrent appends all land under real contention (CAS + retry)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = new Path(freshDir("tx_concurrent"))
+    TxTable.create(spark, root, "t", Schemas.transactions, Seq("date"))
+    val writers = (0 until 4).map { i =>
+      Future {
+        // each writer opens its own handle, as separate jobs would
+        val t = TxTable.open(spark, root, "t")
+        t.append(SampleData.transactions(spark, 20, seed = 100L + i))
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val t = TxTable.open(spark, root, "t")
+    assert(t.currentVersion === 4) // every append became its own commit
+    assert(t.toDF.count() === 80)  // no writer's rows were lost
+    assert(t.toDF.select("transaction_id").distinct().count() === 80)
+  }
+
   test("partition values with spaces and '+' round-trip through merge") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
