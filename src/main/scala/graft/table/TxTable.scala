@@ -318,6 +318,38 @@ class TxTable private (
   }
 
   /**
+   * VACUUM: physically delete data files referenced by no retained
+   * snapshot, keeping the newest `retainVersions` snapshots readable
+   * (time travel inside the retention window, storage reclaimed outside
+   * it). Older snapshot descriptors stay in the log but their exclusive
+   * files are gone — reads of vacuumed versions fail, as in
+   * Delta/Iceberg retention. Returns the number of files removed.
+   */
+  def vacuum(retainVersions: Int = 2): Int = {
+    val head = currentVersion
+    val keepFrom = math.max(0L, head - (retainVersions - 1))
+    val retained: Set[String] = (keepFrom to head)
+      .flatMap(v => snapshotAt(v).files.map(_.path)).toSet
+    val f = fs
+    var removed = 0
+    // walk data/ accumulating the relative path explicitly (string or
+    // URI prefix-stripping is scheme-fragile: listStatus returns
+    // file:/-qualified paths while the base may be bare)
+    def walk(p: Path, rel: String): Unit = {
+      if (f.exists(p)) f.listStatus(p).foreach { st =>
+        val childRel =
+          if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"
+        if (st.isDirectory) walk(st.getPath, childRel)
+        else if (childRel.endsWith(".parquet") && !retained.contains(childRel)) {
+          if (f.delete(st.getPath, false)) removed += 1
+        }
+      }
+    }
+    walk(dataDir, "")
+    removed
+  }
+
+  /**
    * Schema evolution: add a nullable column. Metadata-only commit — no
    * data files rewritten; readers pad the new column with nulls for
    * files written before the change (the parquet reader fills absent

@@ -100,6 +100,22 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
   }
 
+  test("vacuum reclaims files outside the retention window only") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_vacuum")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 30, seed = 110L))  // v1
+    t.delete(col("risk_score") === "HIGH")                     // v2 rewrites
+    t.append(SampleData.transactions(spark, 10, seed = 111L))  // v3
+    val countNow = t.toDF.count()
+    val removed = t.vacuum(retainVersions = 2)                 // keep v2, v3
+    assert(removed > 0) // v1's replaced files were reclaimed
+    // retained snapshots stay fully readable
+    assert(t.toDF.count() === countNow)
+    assert(t.asOf(t.currentVersion - 1).count() === countNow - 10)
+    // a second vacuum is a no-op
+    assert(t.vacuum(retainVersions = 2) === 0)
+  }
+
   test("concurrent appends all land under real contention (CAS + retry)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
