@@ -159,8 +159,8 @@ object Pipeline {
         .orderBy(col("lang")),
       oracle = Some("""
       SELECT lang, count(*) AS n_docs,
-             sum(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))) AS total_tokens,
-             sum(length(text)) AS total_chars,
+             CAST(sum(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+             CAST(sum(length(text)) AS BIGINT) AS total_chars,
              round(CAST(sum(len(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''))) AS DOUBLE) / count(*), 4) AS avg_tokens
       FROM documents GROUP BY lang ORDER BY lang""")),
 

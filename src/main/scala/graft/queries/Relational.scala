@@ -13,6 +13,13 @@ import org.apache.spark.sql.types._
  *  - monetary doubles are cast to DECIMAL before aggregation (decimal
  *    sums are exact and order-independent → bit-identical across
  *    engines and shuffle schedules);
+ *  - final OUTPUT columns are never DECIMAL and never a DuckDB
+ *    integer-sum (HUGEINT): the harness reads the Spark side via
+ *    arrow (python Decimal) and the oracle side via pandas (float64),
+ *    so a DECIMAL output hash-mismatches on trailing zeros and a
+ *    HUGEINT renders as '123.0' vs '123'. Exact decimal sums are cast
+ *    to DOUBLE at the very end on BOTH sides (same exact value → same
+ *    IEEE double), and DuckDB integer sums are CAST(... AS BIGINT);
  *  - ratios/averages divide exact decimals cast to double and round —
  *    both engines perform the identical IEEE division;
  *  - date anchors are fixed literals, never CURRENT_DATE (SURVEY §7
@@ -29,6 +36,9 @@ object Relational {
 
   private def dec(c: org.apache.spark.sql.Column) = c.cast(D18_2)
 
+  /** exact decimal → final double output (see numeric policy above) */
+  private def asDbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -43,7 +53,7 @@ object Relational {
         .groupBy(col("o_orderpriority"), col("o_orderstatus"))
         .agg(
           count(lit(1)).as("total_orders"),
-          dec(sum(dec(col("o_totalprice")))).as("total_amount"),
+          asDbl(sum(dec(col("o_totalprice")))).as("total_amount"),
           count(when(col("o_totalprice") > 200000, 1)).as("high_value_count"),
           count(when(col("o_totalprice") < 50000, 1)).as("low_value_count"),
           countDistinct(col("o_custkey")).as("unique_customers"))
@@ -53,7 +63,7 @@ object Relational {
     }, oracle = Some("""
       SELECT o_orderpriority, o_orderstatus,
              count(*) AS total_orders,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_amount,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
              count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS high_value_count,
              count(CASE WHEN o_totalprice < 50000 THEN 1 END) AS low_value_count,
              count(DISTINCT o_custkey) AS unique_customers
@@ -73,7 +83,7 @@ object Relational {
         .agg(
           count(lit(1)).as("event_count"),
           countDistinct(col("user_id")).as("unique_users"),
-          dec(sum(dec(col("value")))).as("total_value"),
+          asDbl(sum(dec(col("value")))).as("total_value"),
           count(when(col("value") > 150, 1)).as("high_value_events"))
         .orderBy(col("event_date").asc, col("event_hour").asc,
           col("event_type").asc)
@@ -81,7 +91,7 @@ object Relational {
       SELECT CAST(ts AS DATE) AS event_date, hour(ts::TIMESTAMP) AS event_hour, event_type,
              count(*) AS event_count,
              count(DISTINCT user_id) AS unique_users,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
              count(CASE WHEN value > 150 THEN 1 END) AS high_value_events
       FROM events
       GROUP BY 1, 2, 3
@@ -91,11 +101,11 @@ object Relational {
     Q("scan_orderby_limit", fn = (s, dir) =>
       Td.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-          dec(col("o_totalprice")).as("o_totalprice_dec"))
+          asDbl(dec(col("o_totalprice"))).as("o_totalprice_dec"))
         .orderBy(col("o_orderkey")).limit(100),
       oracle = Some("""
       SELECT o_orderkey, o_custkey, o_orderstatus,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice_dec
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice_dec
       FROM orders ORDER BY o_orderkey LIMIT 100""")),
 
     // TPC-H Q1 shape: the canonical multi-aggregate hash aggregation.
@@ -104,22 +114,19 @@ object Relational {
         .filter(col("l_shipdate") <= expr("DATE '1998-09-02'"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dec(sum(dec(col("l_quantity")))).as("sum_qty"),
-          dec(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
-          // keep the exact scale-4 sum — downcasting to scale 2 is
-          // rounding-mode-dependent across engines (Spark HALF_UP,
-          // DuckDB truncates)
+          asDbl(sum(dec(col("l_quantity")))).as("sum_qty"),
+          asDbl(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
           sum(dec(col("l_extendedprice")) * (lit(1).cast(D18_2) - dec(col("l_discount"))))
-            .cast(DecimalType(38, 4)).as("sum_disc_price"),
+            .cast(DoubleType).as("sum_disc_price"),
           round(dec(sum(dec(col("l_quantity")))).cast(DoubleType) / count(lit(1)), 4)
             .as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }, oracle = Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
              round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_qty,
              count(*) AS count_order
       FROM lineitem
@@ -136,14 +143,14 @@ object Relational {
           count(lit(1)).as("n"),
           count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
           sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
-          dec(sum(when(col("o_totalprice") > 100000, dec(col("o_totalprice")))
+          asDbl(sum(when(col("o_totalprice") > 100000, dec(col("o_totalprice")))
             .otherwise(lit(0).cast(D18_2)))).as("big_total"))
         .orderBy(col("o_orderpriority")),
       oracle = Some("""
       SELECT o_orderpriority, count(*) AS n,
              count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
-             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-             CAST(sum(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS big_total
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             CAST(sum(CASE WHEN o_totalprice > 100000 THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // CASE-bucketed projection + group on the computed column.
@@ -179,12 +186,12 @@ object Relational {
         .filter(col("o_orderdate") >= expr("DATE '1998-08-01' - INTERVAL '90' DAY") &&
           col("o_orderdate") < expr("DATE '1998-08-01'"))
         .agg(count(lit(1)).as("n"),
-          dec(sum(dec(col("o_totalprice")))).as("total"),
+          asDbl(sum(dec(col("o_totalprice")))).as("total"),
           min(to_date(col("o_orderdate"))).as("first_date"),
           max(to_date(col("o_orderdate"))).as("last_date")),
       oracle = Some("""
       SELECT count(*) AS n,
-             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
              min(CAST(o_orderdate AS DATE)) AS first_date,
              max(CAST(o_orderdate AS DATE)) AS last_date
       FROM orders
@@ -195,13 +202,13 @@ object Relational {
     Q("having_orderby", fn = (s, dir) =>
       Td.lineitem(s, dir).groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n_items"),
-          dec(sum(dec(col("l_extendedprice")))).as("supplier_revenue"))
+          asDbl(sum(dec(col("l_extendedprice")))).as("supplier_revenue"))
         .filter(col("n_items") > 20)
         .orderBy(col("supplier_revenue").desc, col("l_suppkey").asc)
         .limit(50),
       oracle = Some("""
       SELECT l_suppkey, count(*) AS n_items,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS supplier_revenue
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS supplier_revenue
       FROM lineitem GROUP BY l_suppkey
       HAVING count(*) > 20
       ORDER BY supplier_revenue DESC, l_suppkey ASC LIMIT 50""")),
@@ -248,12 +255,12 @@ object Relational {
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) *
           (lit(1).cast(D18_2) - dec(col("l_discount"))))
-          .cast(DecimalType(38, 4)).as("revenue"),
+          .cast(DoubleType).as("revenue"),
           count(lit(1)).as("n_lineitems"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }, oracle = Some("""
       SELECT n_name,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
              count(*) AS n_lineitems
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -328,12 +335,12 @@ object Relational {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("rk"), col("o_orderkey"),
-          dec(col("o_totalprice")).as("price"))
+          asDbl(dec(col("o_totalprice"))).as("price"))
         .orderBy(col("o_custkey"), col("rk"))
     }, oracle = Some("""
       SELECT o_custkey, rk, o_orderkey, price FROM (
         SELECT o_custkey, o_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
                row_number() OVER (PARTITION BY o_custkey
                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
         FROM orders) t
@@ -345,14 +352,14 @@ object Relational {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Td.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"),
-          dec(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
+          asDbl(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
         .filter(col("o_custkey") < 50)
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }, oracle = Some("""
       SELECT o_custkey, o_orderkey,
              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       FROM orders WHERE o_custkey < 50
       ORDER BY o_custkey, o_orderkey""")),
 
@@ -410,7 +417,7 @@ object Relational {
     Q("rollup_agg", fn = (s, dir) =>
       Td.lineitem(s, dir)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), dec(sum(dec(col("l_quantity")))).as("qty"))
+        .agg(count(lit(1)).as("n"), asDbl(sum(dec(col("l_quantity")))).as("qty"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n"), col("qty"))
@@ -419,7 +426,7 @@ object Relational {
       SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
              coalesce(l_linestatus, 'ALL') AS linestatus,
              count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY returnflag, linestatus""")),
 
@@ -520,7 +527,7 @@ object Relational {
         .orderBy(col("event_type")),
       oracle = Some("""
       SELECT event_type, count(*) AS n,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_high
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
@@ -571,14 +578,14 @@ object Relational {
     Q("event_tumbling_window", fn = (s, dir) =>
       Td.events(s, dir)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dec(sum(dec(col("value")))).as("total_value"))
+        .agg(count(lit(1)).as("n"), asDbl(sum(dec(col("value")))).as("total_value"))
         .select(col("w.start").as("wstart"), col("event_type"), col("n"),
           col("total_value"))
         .orderBy(col("wstart"), col("event_type")),
       oracle = Some("""
       SELECT date_trunc('hour', ts::TIMESTAMP) AS wstart, event_type,
              count(*) AS n,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""")),
 
     // Session windows (30-min gap) per user — oracle via the classic

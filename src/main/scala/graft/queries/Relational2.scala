@@ -107,7 +107,7 @@ object Relational2 {
           count(col("rf_null")).as("n_nonnull"),
           countDistinct(col("rf_null")).as("n_distinct_nonnull"),
           max(coalesce(col("rf_null"), lit("ZZZ"))).as("max_coalesced"),
-          dec(sum(when(col("rf_null").isNull, dec(col("l_quantity"))))).as("sum_where_null"))
+          sum(when(col("rf_null").isNull, dec(col("l_quantity")))).cast(DoubleType).as("sum_where_null"))
         .orderBy(col("l_linestatus")),
       oracle = Some("""
       SELECT l_linestatus, count(*) AS n_rows,
@@ -115,7 +115,7 @@ object Relational2 {
              count(DISTINCT nullif(l_returnflag, 'N')) AS n_distinct_nonnull,
              max(coalesce(nullif(l_returnflag, 'N'), 'ZZZ')) AS max_coalesced,
              CAST(sum(CASE WHEN nullif(l_returnflag, 'N') IS NULL
-                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS sum_where_null
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_where_null
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
     Q("distinct_rows", fn = (s, dir) =>

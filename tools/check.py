@@ -3,44 +3,80 @@
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
-Loads each <verifyOutDir>/<name> parquet (Spark result), runs the
-matching oracle SQL from oracle_sql.json in DuckDB over the testdata
-parquet tables, sorts columns by name and rows by value, and compares.
+Mimics the driver's ASYMMETRIC read path (learned from round 1):
+the Spark result parquet is read via pyarrow/pandas (decimals stay
+python Decimal, int64 stays int64), while the oracle SQL runs in
+DuckDB and is fetched via .df() (DECIMAL and HUGEINT become float64).
+Values are then canonicalized to strings and compared — so a DECIMAL
+output column ('123.40' vs '123.4') or a DuckDB integer-sum HUGEINT
+('123' vs '123.0') FAILS here exactly like it fails in the driver.
+
+Policy that keeps queries green: final output columns must be
+string/bigint/double/date/timestamp/bool (never DECIMAL; wrap DuckDB
+integer sums in CAST(... AS BIGINT)).
 """
+import datetime
+import decimal
 import json
 import math
 import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 
 def canon(v):
-    if v is None:
-        return ("null",)
-    if isinstance(v, float):
+    if v is None or v is pd.NaT:
+        return "null"
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return ("nan",)
-        return ("f", repr(v))
-    if isinstance(v, (list, tuple)):
-        return ("l", tuple(canon(x) for x in v))
-    import decimal
+            return "null"
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, decimal.Decimal):
-        return ("d", str(v.normalize()))
-    return (type(v).__name__[:1], str(v))
+        return str(v)  # deliberately NOT normalized — mimics the driver
+    if isinstance(v, pd.Timestamp):
+        if v is pd.NaT:
+            return "null"
+        return v.isoformat()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if v is pd.NaT:
+        return "null"
+    try:
+        if pd.isna(v):
+            return "null"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
 
 
-def table_rows(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+def df_rows(df):
+    cols = list(df.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        out.append(tuple(canon(row[i]) for i in order))
     return sorted(cols), sorted(out)
+
+
+def spark_df(spark_dir):
+    parts = sorted(Path(spark_dir).glob("*.parquet"))
+    return pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
 
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])  # optional: check just these query names
     oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -52,15 +88,16 @@ def main():
     results = {}
     n_pass = n_fail = 0
     for name in sorted(oracles):
+        if only and name not in only:
+            continue
         spark_dir = Path(out_dir) / name
         if not spark_dir.exists():
             results[name] = "MISSING spark output"
             n_fail += 1
             continue
         try:
-            scols, srows = table_rows(
-                con, f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-            ocols, orows = table_rows(con, oracles[name])
+            scols, srows = df_rows(spark_df(spark_dir))
+            ocols, orows = df_rows(con.execute(oracles[name]).df())
         except Exception as e:
             results[name] = f"ERROR {e}"
             n_fail += 1
@@ -84,7 +121,7 @@ def main():
     for name, res in results.items():
         mark = "PASS" if res.startswith("OK") else "FAIL"
         print(f"[{mark}] {name}: {res}")
-    print(f"\n{n_pass} pass / {n_fail} fail / {len(oracles)} with oracle")
+    print(f"\n{n_pass} pass / {n_fail} fail / {len(results)} checked")
     sys.exit(1 if n_fail else 0)
 
 
