@@ -18,7 +18,11 @@ import org.apache.spark.sql.types._
  */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // a null ELEMENT makes the whole result null (matching the zip_with/
+  // aggregate fallback, which propagates null) — so the expression is
+  // nullable whenever the array type admits null elements
+  override def nullable: Boolean =
+    left.nullable || right.nullable || anyElemNullable
 
   // inputs must be array<float> or array<double>; enforced by the typed
   // builders in graft.functions.VectorFunctions (AbstractDataType /
@@ -37,8 +41,26 @@ abstract class VectorBinaryExpression extends BinaryExpression {
       s"$prettyName expects array<float|double>, got $t")
   }
 
+  /** true when either input array may hold null elements; only then do
+    * the fused loops pay a per-element isNullAt branch (for the common
+    * containsNull=false embedding column the loop stays branch-free) */
+  protected lazy val anyElemNullable: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+  }
+
   @inline protected final def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** codegen: mark the result null and bail when element i is null —
+    * empty when the types guarantee non-null elements (ev.isNull is a
+    * real variable in the nullable case, so the assignment compiles) */
+  protected def elemNullCheck(ev: ExprCode, a: String, b: String, i: String): String =
+    if (anyElemNullable)
+      s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+    else ""
 
   /** java accessor snippet for codegen */
   protected def getter(arr: String, i: String, isFloat: Boolean): String =
@@ -57,7 +79,11 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var sum = 0.0
     var i = 0
-    while (i < n) { sum += elem(a, i, leftElemIsFloat) * elem(b, i, rightElemIsFloat); i += 1 }
+    while (i < n) {
+      if (anyElemNullable && (a.isNullAt(i) || b.isNullAt(i))) return null
+      sum += elem(a, i, leftElemIsFloat) * elem(b, i, rightElemIsFloat)
+      i += 1
+    }
     sum
   }
 
@@ -70,6 +96,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  ${elemNullCheck(ev, a, b, i)}
          |  $sum += ${getter(a, i, leftElemIsFloat)} * ${getter(b, i, rightElemIsFloat)};
          |}
          |${ev.value} = $sum;
@@ -94,6 +121,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (anyElemNullable && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = elem(a, i, leftElemIsFloat)
       val y = elem(b, i, rightElemIsFloat)
       dot += x * y; na += x * x; nb += y * y
@@ -116,6 +144,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  ${elemNullCheck(ev, a, b, i)}
          |  double $x = ${getter(a, i, leftElemIsFloat)};
          |  double $y = ${getter(b, i, rightElemIsFloat)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
@@ -142,6 +171,7 @@ case class L2Distance(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (anyElemNullable && (a.isNullAt(i) || b.isNullAt(i))) return null
       val d = elem(a, i, leftElemIsFloat) - elem(b, i, rightElemIsFloat)
       sum += d * d; i += 1
     }
@@ -158,6 +188,7 @@ case class L2Distance(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  ${elemNullCheck(ev, a, b, i)}
          |  double $d = ${getter(a, i, leftElemIsFloat)} - ${getter(b, i, rightElemIsFloat)};
          |  $sum += $d * $d;
          |}

@@ -28,12 +28,14 @@ import scala.jdk.CollectionConverters._
  */
 object FileStats {
 
-  /** columns worth stats: scalar orderable types */
-  def collect(file: Path, conf: Configuration): Map[String, ColStats] = {
+  /** Footer metadata for one file: exact row count plus min/max stats
+    * for scalar orderable columns (one footer read serves both). */
+  def collect(file: Path, conf: Configuration): (Long, Map[String, ColStats]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       val footer = reader.getFooter
       val schema = footer.getFileMetaData.getSchema
+      val rowCount = footer.getBlocks.asScala.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map[String, (Any, Any, Long, String)]()
       footer.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { chunk =>
@@ -87,9 +89,9 @@ object FileStats {
           }
         }
       }
-      acc.map { case (name, (mn, mx, nulls, tag)) =>
+      (rowCount, acc.map { case (name, (mn, mx, nulls, tag)) =>
         name -> ColStats(tag, mn.toString, mx.toString, nulls)
-      }.toMap
+      }.toMap)
     } finally reader.close()
   }
 
@@ -124,7 +126,25 @@ object FileStats {
     case "double" => stored.toDouble.compareTo(toDouble(v))
     case "string" => stored.compareTo(v.toString)
     case "date" => stored.toInt.compareTo(toDays(v))
-    case _ => stored.toLong.compareTo(toDouble(v).toLong)
+    case _ =>
+      // integral bounds compare exactly as longs — routing them through
+      // Double would lose precision above 2^53 and could skip a file
+      // whose true max exceeds the rounded bound (e.g. 2^62-scale ids);
+      // fractional bounds compare via BigDecimal (exact for any double)
+      v match {
+        case n @ (_: java.lang.Long | _: java.lang.Integer |
+                  _: java.lang.Short | _: java.lang.Byte) =>
+          java.lang.Long.compare(stored.toLong, n.asInstanceOf[Number].longValue())
+        case b: BigInt =>
+          BigDecimal(stored).compare(BigDecimal(b))
+        case b: java.math.BigInteger =>
+          new java.math.BigDecimal(stored).compareTo(new java.math.BigDecimal(b))
+        case other =>
+          // new BigDecimal(double) is the exact binary value, so no
+          // double-rounding sneaks in on either side
+          new java.math.BigDecimal(stored)
+            .compareTo(new java.math.BigDecimal(toDouble(other)))
+      }
   }
 
   private def toDouble(v: Any): Double = v match {

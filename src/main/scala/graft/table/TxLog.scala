@@ -67,11 +67,28 @@ object TxLog {
 
   def read(logDir: Path, version: Long, conf: Configuration): Snapshot = {
     val p = new Path(logDir, snapshotName(version))
-    val in = fs(logDir, conf).open(p)
-    try {
-      val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
-      JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8)).extract[Snapshot]
-    } finally in.close()
+    val f = fs(logDir, conf)
+    // The local-FS commit publishes content with an atomic rename onto a
+    // just-reserved empty file, so a racing reader can glimpse the empty
+    // reservation for a moment — retry briefly before giving up.
+    var attempt = 0
+    while (true) {
+      val in = f.open(p)
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      if (bytes.nonEmpty) {
+        return JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
+          .extract[Snapshot]
+      }
+      attempt += 1
+      if (attempt >= 50) {
+        throw new java.io.IOException(
+          s"snapshot $p still empty after $attempt reads — aborted commit?")
+      }
+      Thread.sleep(10)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def readCurrent(logDir: Path, conf: Configuration): Option[Snapshot] =
@@ -92,10 +109,51 @@ object TxLog {
       s"snapshot.version ${snapshot.version} != expected next $next")
     val target = new Path(logDir, snapshotName(next))
     val json = Serialization.write(snapshot)
-    // overwrite=false → atomic create-if-absent; the FS arbitrates races.
-    // Only an actual already-exists outcome is a CAS conflict; other
-    // IOExceptions (disk full, permissions, transient store failure)
-    // must surface as-is — retrying or re-reading cannot help those.
+    val scheme = Option(target.toUri.getScheme).getOrElse(
+      Option(f.getUri).map(_.getScheme).getOrElse("file"))
+    if (scheme == "file") commitLocalAtomic(f, target, json, next, expected)
+    else commitViaFs(f, target, json, next, expected)
+    next
+  }
+
+  /**
+   * file: scheme — Hadoop's RawLocalFileSystem implements
+   * create(overwrite=false) as a NON-atomic exists-check-then-create, so
+   * two racing committers could both "win" and one snapshot would
+   * silently overwrite the other. Use java.nio instead: content is first
+   * written to a hidden temp file, the version slot is reserved with
+   * Files.createFile (O_EXCL — kernel-atomic create-if-absent, losers
+   * get FileAlreadyExistsException), then the full content is published
+   * onto the reserved name with an ATOMIC_MOVE rename so readers never
+   * observe a partially-written snapshot (read() retries the brief
+   * empty-reservation window).
+   */
+  private def commitLocalAtomic(f: FileSystem, target: Path, json: String,
+      next: Long, expected: Option[Long]): Unit = {
+    import java.nio.file.{Files, Paths => JPaths, StandardCopyOption}
+    val targetNio = JPaths.get(target.toUri.getPath)
+    val tmp = targetNio.resolveSibling(
+      s".${targetNio.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    try {
+      try Files.createFile(targetNio)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new CommitConflictException(
+            s"version $next already committed (stale expected=$expected)")
+      }
+      Files.move(tmp, targetNio,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Non-local schemes: HDFS create(overwrite=false) is atomic on the
+    * NameNode; S3-compatible stores map it to a conditional PUT
+    * (If-None-Match). Only an actual already-exists outcome is a CAS
+    * conflict; other IOExceptions (disk full, permissions, transient
+    * store failure) must surface as-is. */
+  private def commitViaFs(f: FileSystem, target: Path, json: String,
+      next: Long, expected: Option[Long]): Unit = {
     val out =
       try f.create(target, /*overwrite=*/ false)
       catch {
@@ -109,6 +167,5 @@ object TxLog {
       }
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    next
   }
 }

@@ -108,7 +108,6 @@ class TxTable private (
 
   private def dfFor(s: Snapshot): DataFrame = {
     val schema = schemaOf(s)
-    val dataSchema = StructType(schema.filterNot(f => s.partitionColumns.contains(f.name)))
     if (s.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
@@ -150,11 +149,15 @@ class TxTable private (
           val target = new Path(dataDir, rel)
           f.mkdirs(target.getParent)
           f.rename(st.getPath, target)
-          // footer stats are free (writer already computed them) and
-          // enable file skipping on non-partition columns at read time
-          val stats = try Some(FileStats.collect(target, conf))
-            catch { case _: Throwable => None }
-          Some(DataFile(rel, parts, rowCount = -1L, sizeBytes = st.getLen,
+          // the footer is read once for both row count and min/max
+          // stats — free metadata (writer already computed it) that
+          // drives file skipping and size-aware planning at read time
+          val (rowCount, stats) =
+            try {
+              val (rc, st2) = FileStats.collect(target, conf)
+              (rc, Some(st2))
+            } catch { case _: Throwable => (-1L, None) }
+          Some(DataFile(rel, parts, rowCount = rowCount, sizeBytes = st.getLen,
             stats = stats))
         } else None
       }
@@ -324,14 +327,28 @@ class TxTable private (
    * it). Older snapshot descriptors stay in the log but their exclusive
    * files are gone — reads of vacuumed versions fail, as in
    * Delta/Iceberg retention. Returns the number of files removed.
+   *
+   * Two safeguards protect concurrent writers (writeFiles renames files
+   * into data/ BEFORE its CAS commit, so an unreferenced file may be a
+   * commit in flight, not garbage):
+   *  - files modified within `graceMillis` are never deleted
+   *    (Delta-style retention grace — covers staged-but-uncommitted
+   *    files);
+   *  - after the walk, the head is re-read and anything referenced by a
+   *    snapshot ≥ the original keepFrom AT DELETE TIME survives (covers
+   *    commits that landed mid-vacuum).
+   * Pass `graceMillis = 0` only when no writer can be active (tests,
+   * single-writer maintenance windows).
    */
-  def vacuum(retainVersions: Int = 2): Int = {
+  def vacuum(retainVersions: Int = 2,
+      graceMillis: Long = 10L * 60 * 1000): Int = {
     val head = currentVersion
     val keepFrom = math.max(0L, head - (retainVersions - 1))
     val retained: Set[String] = (keepFrom to head)
       .flatMap(v => snapshotAt(v).files.map(_.path)).toSet
+    val cutoffMs = System.currentTimeMillis() - graceMillis
     val f = fs
-    var removed = 0
+    val candidates = scala.collection.mutable.ArrayBuffer[(Path, String)]()
     // walk data/ accumulating the relative path explicitly (string or
     // URI prefix-stripping is scheme-fragile: listStatus returns
     // file:/-qualified paths while the base may be bare)
@@ -340,12 +357,22 @@ class TxTable private (
         val childRel =
           if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"
         if (st.isDirectory) walk(st.getPath, childRel)
-        else if (childRel.endsWith(".parquet") && !retained.contains(childRel)) {
-          if (f.delete(st.getPath, false)) removed += 1
+        else if (childRel.endsWith(".parquet") && !retained.contains(childRel) &&
+            st.getModificationTime < cutoffMs) {
+          candidates += ((st.getPath, childRel))
         }
       }
     }
     walk(dataDir, "")
+    // commits may have landed during the walk — nothing a currently
+    // retained snapshot references is deletable, whatever the first
+    // retained-set said
+    val retainedNow: Set[String] = (keepFrom to currentVersion)
+      .flatMap(v => snapshotAt(v).files.map(_.path)).toSet
+    var removed = 0
+    candidates.foreach { case (p, rel) =>
+      if (!retainedNow.contains(rel) && f.delete(p, false)) removed += 1
+    }
     removed
   }
 

@@ -50,6 +50,32 @@ class VectorExprSpec extends SparkSpec {
     assert(rows(1).getDouble(0) === 0.0)
   }
 
+  test("null ELEMENTS propagate to a null result (both eval paths)") {
+    // Option[Float] elements → ArrayType(FloatType, containsNull=true)
+    val df = Seq(
+      (Array(Option(1.0f), None), Array(Option(1.0f), Option(2.0f))),
+      (Array(Option(3.0f), Option(4.0f)), Array(Option(3.0f), Option(4.0f))))
+      .toDF("a", "b")
+    def checkAll(): Unit = {
+      val rows = df.select(
+        VectorFunctions.dot(col("a"), col("b")),
+        VectorFunctions.cosine(col("a"), col("b")),
+        VectorFunctions.l2Distance(col("a"), col("b"))).collect()
+      (0 until 3).foreach(i => assert(rows(0).isNullAt(i), s"col $i"))
+      assert(rows(1).getDouble(0) === 25.0)
+      assert(math.abs(rows(1).getDouble(1) - 1.0) < 1e-12)
+      assert(rows(1).getDouble(2) === 0.0)
+    }
+    checkAll() // codegen
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try checkAll() // interpreted
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("SQL surface: vector_* functions registered and callable") {
     GraftFunctions.register(spark)
     emb.limit(5).createOrReplaceTempView("emb_v")

@@ -107,13 +107,35 @@ class TxTableSpec extends SparkSpec {
     t.delete(col("risk_score") === "HIGH")                     // v2 rewrites
     t.append(SampleData.transactions(spark, 10, seed = 111L))  // v3
     val countNow = t.toDF.count()
-    val removed = t.vacuum(retainVersions = 2)                 // keep v2, v3
+    // files are minutes old at most → within the default grace period,
+    // nothing may be reclaimed yet (that's the concurrent-writer guard)
+    assert(t.vacuum(retainVersions = 2) === 0)
+    val removed = t.vacuum(retainVersions = 2, graceMillis = 0) // keep v2, v3
     assert(removed > 0) // v1's replaced files were reclaimed
     // retained snapshots stay fully readable
     assert(t.toDF.count() === countNow)
     assert(t.asOf(t.currentVersion - 1).count() === countNow - 10)
     // a second vacuum is a no-op
-    assert(t.vacuum(retainVersions = 2) === 0)
+    assert(t.vacuum(retainVersions = 2, graceMillis = 0) === 0)
+  }
+
+  test("vacuum never deletes staged files inside the grace period") {
+    val root = new Path(freshDir("tx_vacuum_grace"))
+    val t = TxTable.create(spark, root, "t", Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 20, seed = 112L))
+    t.append(SampleData.transactions(spark, 20, seed = 113L))
+    // simulate a concurrent writer that has renamed its file into data/
+    // but not yet committed: a fresh parquet no snapshot references
+    val staged = new Path(root, "data/date=2099-01-01/staged-in-flight.parquet")
+    val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(staged.getParent)
+    val out = fs.create(staged)
+    out.write("not-yet-committed".getBytes); out.close()
+    t.vacuum(retainVersions = 1) // default grace → must NOT delete it
+    assert(fs.exists(staged), "vacuum deleted a staged (in-flight) file")
+    // outside the grace period the orphan is reclaimable
+    t.vacuum(retainVersions = 1, graceMillis = 0)
+    assert(!fs.exists(staged))
   }
 
   test("concurrent appends all land under real contention (CAS + retry)") {
@@ -255,6 +277,52 @@ class TxTableSpec extends SparkSpec {
     val allFiles = t.snapshot.files.size
     val prunedFiles = t.snapshot.files.count(_.partitionValues("date") == dates.head)
     assert(prunedFiles < allFiles)
+  }
+
+  test("raw commit race: N threads CAS the same version, exactly one wins") {
+    val root = new Path(freshDir("tx_raw_race"))
+    TxTable.create(spark, root, "t", Schemas.transactions, Seq("date"))
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(root, "_log")
+    val base = TxLog.readCurrent(logDir, conf).get
+    // hammer the SAME next-version slot from many threads — on a local
+    // FS this exercises the O_EXCL create path (Hadoop's own
+    // create(overwrite=false) is exists-then-create, which can double-win)
+    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 16).map { i =>
+      new Thread(() =>
+        try {
+          TxLog.commit(logDir, Some(0L),
+            base.copy(version = 1L, operation = s"RACE_$i"), conf)
+          winners.incrementAndGet()
+        } catch { case _: CommitConflictException => () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(winners.get() === 1)
+    // and the committed snapshot is intact (no torn/overwritten JSON)
+    val committed = TxLog.read(logDir, 1L, conf)
+    assert(committed.operation.startsWith("RACE_"))
+  }
+
+  test("stats skipping compares 2^62-scale long bounds exactly") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType)))
+    val t = TxTable.create(spark, new Path(freshDir("tx_bigid")), "t", schema, Nil)
+    import spark.implicits._
+    // snowflake-style ids around 2^62: adjacent values collapse when
+    // routed through Double (ulp at this magnitude is 512)
+    val base = 1L << 62 // ulp(Double) here is 1024: +1100 rounds to +1024
+    t.append(Seq((base + 1100L, 1L), (base + 1150L, 2L)).toDF("id", "ts").coalesce(1))
+    t.append(Seq((base + 2000L, 3L), (base + 2100L, 4L)).toDF("id", "ts").coalesce(1))
+    // hi exactly at file 1's min: a Double-rounded bound (base+1024)
+    // would fall below the min and silently skip the matching row
+    assert(t.readWhere("id", None, Some(base + 1100L)).count() === 1)
+    // lo between the files still skips file 1 (no false positives kept)
+    assert(t.filesForRange("id", Some(base + 1160L), None) === 1)
+    assert(t.readWhere("id", Some(base + 1160L), None).count() === 2)
+    // row counts are real footer counts now, not -1 placeholders
+    assert(t.snapshot.files.forall(_.rowCount === 2L))
   }
 
   test("catalog: namespace/table DDL + idempotent drop") {
