@@ -1,0 +1,172 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native per-row expressions for the shingle/MinHash/SimHash hot path.
+ *
+ * Spark's higher-order functions (`transform`, `aggregate`, `zip_with`)
+ * are CodegenFallback: every lambda application is an interpreted
+ * expression-tree walk with per-element allocation. The composed
+ * shingle→minhash pipeline evaluates ~(tokens × numHashes) lambdas per
+ * document, which dominates the whole dedup pipeline at corpus scale.
+ * These expressions replace that with one JVM method call per row
+ * running a tight primitive loop — no lambda dispatch, no intermediate
+ * arrays beyond the output.
+ *
+ * Tokenization matches [[graft.functions.TextFunctions.tokens]] exactly
+ * (lower → trim spaces → Java-regex split on \s+ → [""]-guard), so the
+ * operators keep their semantics; only the 64-bit mixing functions
+ * differ from the previous xxhash64 composition, which changes no
+ * result values (Jaccard/Hamming are computed on the hashed SETS).
+ */
+object TextHash {
+
+  /** splitmix64 finalizer — a full-avalanche 64-bit mix (public domain,
+    * Steele et al., "Fast Splittable Pseudorandom Number Generators"). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-8 bytes — stable, allocation-free string hash. */
+  @inline def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xFFL); h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** Tokens of `text` under the exact TextFunctions.tokens contract. */
+  def tokenize(text: UTF8String): Array[String] = {
+    val s = text.toLowerCase.toString.trim
+    if (s.isEmpty) Array.empty[String] else s.split("\\s+")
+  }
+}
+
+/**
+ * Distinct 64-bit hashes of the `shingleLen`-token shingles of a
+ * document — the MinHash/Jaccard input set as `array<long>`, computed
+ * in one pass (tokenize → rolling token-hash window → set-dedupe).
+ * Documents with fewer than `shingleLen` tokens yield an empty array
+ * (callers filter those, as with the composed form).
+ */
+case class HashedShingleSet(child: Expression, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "hashed_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.tokenize(input.asInstanceOf[UTF8String])
+    val n = toks.length - shingleLen + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    // per-token hashes once, then combine windows (order-sensitive mix)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes("UTF-8")
+      th(i) = TextHash.fnv1a(b, 0, b.length)
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n)
+    var m = 0
+    i = 0
+    while (i < n) {
+      var h = 0x27D4EB2F165667C5L
+      var j = 0
+      while (j < shingleLen) { h = TextHash.mix64(h ^ th(i + j)); j += 1 }
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * MinHash signature of a hashed-shingle set: element i is
+ * min over the set of mix64(h ^ seed_i) — `numHashes` independent
+ * permutation approximations in a single (set × numHashes) primitive
+ * loop. Empty input → null (no signature exists).
+ */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => TextHash.mix64(0x5851F42D4C957F2DL * (i + 1)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val v = TextHash.mix64(h ^ seeds(k))
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * 64-bit SimHash of the token multiset (Charikar STOC'02): per bit
+ * position, the sign of Σ ±1 over token hashes. One pass over tokens
+ * with a 64-slot counter array per row — the composed form evaluated
+ * 64 interpreted lambdas per TOKEN. Empty docs → null.
+ */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.tokenize(input.asInstanceOf[UTF8String])
+    if (toks.isEmpty) return null
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val b = toks(i).getBytes("UTF-8")
+      val h = TextHash.mix64(TextHash.fnv1a(b, 0, b.length))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counters(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -192,4 +192,21 @@ object SampleData {
     envelopes.select(
       col("eventID").as("recordId"),
       base64(to_json(struct(col("eventID"), col("eventName"), col("dynamodb"))).cast("binary")).as("data"))
+
+  /**
+   * Generate-and-stage `n` Kinesis frames as JSON files, once per JVM:
+   * the content is fully determined by (n, seed), so repeat callers
+   * (bench warmup + timed run, repeated Verify) reuse the staged files.
+   * Frame generation is harness setup — staging it keeps ingest
+   * benchmarks measuring decode → merge → commit, not the generator.
+   */
+  def stagedKinesisFrames(spark: SparkSession, n: Long, seed: Long): String =
+    synchronized {
+      val dir = new java.io.File(s"target/qwork/frames_n${n}_s$seed")
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        toKinesisFrames(toCdcEnvelopes(transactions(spark, n, seed)))
+          .write.mode("overwrite").json(dir.getAbsolutePath)
+      }
+      dir.getAbsolutePath
+    }
 }

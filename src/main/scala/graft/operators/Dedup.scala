@@ -1,7 +1,9 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
+import graft.functions.expressions.{HashedShingleSet, MinHashSignature, SimHash64}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -53,32 +55,24 @@ object Dedup {
   }
 
   /** Distinct 64-bit shingle hashes per document — the shared input of
-    * signature computation and Jaccard verification.
-    *
-    * The shingle hash is computed positionally — xxhash64 over the n
-    * tokens at each offset via O(1) `element_at` — instead of
-    * materializing joined n-gram strings (the `slice`-based form is
-    * O(tokens²) per document, which dominated the whole LSH pipeline on
-    * long documents). Everything downstream operates on `array<long>`. */
+    * signature computation and Jaccard verification — via the native
+    * [[HashedShingleSet]] expression: one tight per-row loop instead of
+    * nested interpreted higher-order functions (HOF lambdas are
+    * CodegenFallback and were the pipeline's hot spot). Everything
+    * downstream operates on `array<long>`. */
   def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int): DataFrame = {
-    // token windows via zipped slices — the lambda reads only its own
-    // element (see TextFunctions.tokenWindows for why this shape);
-    // guard short docs (negative slice length is an error)
-    val toks = tokens(col(textCol))
-    val sh = when(size(toks) < shingleLen, array().cast(ArrayType(LongType)))
-      .otherwise(array_distinct(transform(
-        tokenWindows(toks, shingleLen),
-        w => xxhash64((0 until shingleLen).map(o => w.getField(s"t$o")): _*))))
+    val sh = ColumnBridge.column(
+      HashedShingleSet(ColumnBridge.expression(col(textCol)), shingleLen))
     docs.select(col(idCol), sh.as("sh"))
       .filter(size(col("sh")) > 0)
   }
 
-  /** Signature i = min over shingle hashes of xxhash64(i, h) — hashing
-    * longs, not strings, so 16 permutations cost about one string pass. */
+  /** All `numHashes` permutation minima in one (set × hashes) primitive
+    * loop — see [[MinHashSignature]]. */
   private def signatureCol(numHashes: Int) =
-    array((0 until numHashes).map(i =>
-      array_min(transform(col("sh"), h => xxhash64(lit(i), h)))): _*)
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(col("sh")), numHashes))
 
   /**
    * MinHash signatures: `numHashes` independent min-hashes over the
@@ -158,27 +152,12 @@ object Dedup {
 
   /**
    * 64-bit SimHash of the token multiset: for each bit position, sum
-   * +1/−1 over token hashes and take the sign. Expressed as an
-   * `aggregate` over a 64-slot counter array — single pass per document,
-   * no shuffle at all until the caller groups on the signature.
+   * +1/−1 over token hashes and take the sign. Native [[SimHash64]]
+   * expression — one pass per document, no shuffle at all until the
+   * caller groups on the signature.
    */
-  def simhash(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = tokens(textCol)
-    val counters = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (c, j) => c + when(call_function("shiftright", h, j).bitwiseAND(1L) === 1L, 1L)
-            .otherwise(-1L))
-      })
-    // fold sign bits into one long
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(textCol)))
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3):

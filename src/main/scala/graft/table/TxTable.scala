@@ -137,7 +137,7 @@ class TxTable private (
 
     val f = fs
     // move each part file into data/ under its partition dir with a unique name
-    def collect(p: Path, parts: Map[String, String]): Seq[DataFile] = {
+    def collect(p: Path, parts: Map[String, String]): Seq[(String, Map[String, String], Path, Long)] = {
       f.listStatus(p).toSeq.flatMap { st =>
         val nm = st.getPath.getName
         if (st.isDirectory && nm.contains("=")) {
@@ -149,22 +149,53 @@ class TxTable private (
           val target = new Path(dataDir, rel)
           f.mkdirs(target.getParent)
           f.rename(st.getPath, target)
-          // the footer is read once for both row count and min/max
-          // stats — free metadata (writer already computed it) that
-          // drives file skipping and size-aware planning at read time
-          val (rowCount, stats) =
-            try {
-              val (rc, st2) = FileStats.collect(target, conf)
-              (rc, Some(st2))
-            } catch { case _: Throwable => (-1L, None) }
-          Some(DataFile(rel, parts, rowCount = rowCount, sizeBytes = st.getLen,
-            stats = stats))
+          Some((rel, parts, target, st.getLen))
         } else None
       }
     }
-    val out = collect(staging, Map.empty)
+    val moved = collect(staging, Map.empty)
     f.delete(staging, true)
-    out
+    // One footer read per file yields both row count and min/max stats
+    // (free metadata — the writer already computed it — that drives file
+    // skipping and size-aware planning). The reads are independent, so
+    // run them concurrently instead of serially on the driver.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = moved.map { case (rel, parts, target, len) =>
+      Future {
+        val (rowCount, stats) =
+          try {
+            val (rc, st2) = FileStats.collect(target, conf)
+            (rc, Some(st2))
+          } catch { case _: Throwable => (-1L, None) }
+        DataFile(rel, parts, rowCount = rowCount, sizeBytes = len, stats = stats)
+      }
+    }
+    Await.result(Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
+  }
+
+  /** Output-file sizing for partition rewrites: aim at `targetFileBytes`
+    * per file given the bytes being rewritten plus the incoming batch.
+    * Without this, every merge writes (shuffle.partitions × touched
+    * partitions) files — tiny-file debris locally, and a metadata storm
+    * at lake scale. */
+  private def sizedForWrite(df: DataFrame, rewriteBytes: Long,
+      batchRows: Long, bytesPerRowHint: Double,
+      partitionColumns: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    val estBytes = rewriteBytes + (batchRows * bytesPerRowHint).toLong
+    val numFiles = math.max(1L, (estBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (partitionColumns.nonEmpty)
+      df.repartition(numFiles, partitionColumns.map(col): _*)
+    else df.repartition(numFiles)
+  }
+
+  /** Observed bytes/row from a snapshot's committed files (falls back to
+    * a conservative default for empty tables). */
+  private def bytesPerRow(s: Snapshot): Double = {
+    val counted = s.files.filter(_.rowCount > 0)
+    val rows = counted.map(_.rowCount).sum
+    if (rows > 0) counted.map(_.sizeBytes).sum.toDouble / rows else 256.0
   }
 
   // Use Spark's own Hive-style partition-path escaping so directory
@@ -277,7 +308,12 @@ class TxTable private (
     val merged = survivors.select(schema.map(f => col(f.name)): _*)
       .unionByName(deduped.select(schema.map(f => col(f.name)): _*))
 
-    val newFiles = writeFiles(merged, parts)
+    // cheap: deduped is already cache-materialized by the `touched` scan
+    val batchRows = deduped.count()
+    val newFiles = writeFiles(
+      sizedForWrite(merged, affectedFiles.map(_.sizeBytes).sum, batchRows,
+        bytesPerRow(s), parts),
+      parts)
     deduped.unpersist()
     // No blind retry: the rewritten files were derived from THIS
     // snapshot; a concurrent commit invalidates them (retrying would
@@ -304,7 +340,10 @@ class TxTable private (
     val rewritten = dfFor(s.copy(files = affected))
       .filter(!coalesce(predicate, lit(false)))
       .select(schema.map(f => col(f.name)): _*)
-    val newFiles = writeFiles(rewritten, s.partitionColumns)
+    val newFiles = writeFiles(
+      sizedForWrite(rewritten, affected.map(_.sizeBytes).sum,
+        batchRows = 0L, bytesPerRow(s), s.partitionColumns),
+      s.partitionColumns)
     commit(Some(s.version), "DELETE", schema, s.partitionColumns, kept ++ newFiles)
   }
 
