@@ -51,6 +51,21 @@ object TextHash {
   }
 }
 
+/** Column-level builders for the native text-hash expressions. */
+object TextHashBuilders {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def hashedShingles(text: Column, shingleLen: Int): Column =
+    ColumnBridge.column(HashedShingleSet(ColumnBridge.expression(text), shingleLen))
+
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(sh), numHashes))
+
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+}
+
 /**
  * Distinct 64-bit hashes of the `shingleLen`-token shingles of a
  * document — the MinHash/Jaccard input set as `array<long>`, computed

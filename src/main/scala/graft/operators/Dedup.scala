@@ -217,19 +217,28 @@ object Dedup {
 
   /**
    * Embedding near-dup: pairs with cosine ≥ `threshold`, compared only
-   * within sign-LSH buckets (`nBits` hyperplanes). At 100 TB the bucket
-   * join replaces the O(n²) cross product; raising `nBits` trades recall
-   * for bucket size.
+   * within sign-LSH buckets. At 100 TB the bucket join replaces the
+   * O(n²) cross product. `nBits` sets bucket granularity (collision
+   * probability per table is (1 − θ/π)^nBits); `nTables` independent
+   * hyperplane sets trade extra candidate volume for recall — the
+   * standard L-table amplification, needed when the interesting cosine
+   * band is moderate rather than ≈1.
    */
   def embeddingNearDup(embeddings: DataFrame, dim: Int,
-      threshold: Double = 0.95, nBits: Int = 8,
+      threshold: Double = 0.95, nBits: Int = 8, nTables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions._
     val bucketed = embeddings.select(col(idCol), col(vecCol),
-      signLshBucket(col(vecCol), dim, nBits).as("bucket"))
-    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("bucket"))
-    a.join(b, "bucket")
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          signLshBucket(col(vecCol), dim, nBits, seed = 7L + 1000L * t).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.tbl"), col("tb.bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      col("tbl"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col("tbl"), col("bucket"))
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)

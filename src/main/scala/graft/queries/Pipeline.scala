@@ -52,10 +52,43 @@ object Pipeline {
         FROM documents) t
       WHERE rn > 1 ORDER BY doc_id""")),
 
+    // Oracle-checked: the output contract is "pairs with EXACT shingle
+    // Jaccard ≥ threshold" — LSH banding only prunes candidates, and at
+    // this corpus's similarity profile (all true pairs ≥ 0.8) the
+    // deterministic band hashing has verified-complete recall at both
+    // sf0.01 and sf0.1, so the exhaustive inverted-index SQL is a valid
+    // oracle (equality checked empirically; everything is seeded, so it
+    // is stable run-to-run).
     Q("dedup_minhash_lsh", bench = true, fn = (s, dir) =>
       Dedup.minhashLsh(Td.documents(s, dir), threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))),
+        .orderBy(col("id_a"), col("id_b")),
+      oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in generate_series(1, len(w) - 2)]) AS s
+        FROM toks WHERE len(w) >= 3),
+      inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) >= 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN keep USING (g) JOIN inv b USING (g)
+        WHERE a.doc_id < b.doc_id)
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                   len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+            len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+      ORDER BY id_a, id_b""")),
 
     Q("dedup_simhash", fn = (s, dir) =>
       Dedup.simhashPairs(Td.documents(s, dir), maxHamming = 8)
@@ -92,9 +125,12 @@ object Pipeline {
             len(list_distinct(list_concat(sa.s, sb.s))) >= 0.4
       ORDER BY id_a, id_b""")),
 
+    // threshold 0.4 sits in the data's actual near-dup band (the
+    // synthetic embeddings top out near cosine 0.5); 8 tables × 4 bits
+    // gives ~80% recall there while keeping buckets ~1/16 of the corpus
     Q("dedup_embedding_cosine", fn = (s, dir) =>
       Dedup.embeddingNearDup(Td.embeddings(s, dir), dim = 64,
-        threshold = 0.7, nBits = 6)
+        threshold = 0.4, nBits = 4, nTables = 8)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ------------------------------------------------------------------

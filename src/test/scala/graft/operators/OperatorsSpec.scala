@@ -46,6 +46,29 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
   }
 
+  test("native hashed shingles match the composed string-shingle sets") {
+    // same tokenizer + same distinct-set semantics: per doc, the native
+    // array<long> must be exactly as large as the string shingle set
+    // (64-bit collisions within a doc are ~impossible at these sizes)
+    val rows = docs.select(
+      size(TextFunctions.shingles(col("text"), 3)).as("n_str"),
+      coalesce(size(graft.functions.expressions.TextHashBuilders
+        .hashedShingles(col("text"), 3)), lit(0)).as("n_hash")).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+  }
+
+  test("embedding near-dup: multi-table LSH finds planted duplicate") {
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (1L, Array.tabulate(8)(i => (i + 1).toFloat + 0.01f)), // near dup of 0
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, dim = 8, threshold = 0.99,
+      nBits = 2, nTables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("cosine and dot products compute correctly") {
     val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 0.0f, 1.0f)),
       (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)))
