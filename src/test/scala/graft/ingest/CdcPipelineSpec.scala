@@ -59,6 +59,36 @@ class CdcPipelineSpec extends SparkSpec {
     assert(t.toDF.select("transaction_id").distinct().count() === 60)
   }
 
+  test("continuous ingest: ProcessingTime trigger keeps merging new files") {
+    val work = freshDir("stream_pt")
+    val t = TxTable.create(spark, new Path(s"$work/table"), "t",
+      Schemas.transactions, Seq("date"))
+    val wave1 = SampleData.transactions(spark, 40, seed = 8L)
+    SampleData.toCdcEnvelopes(wave1).toJSON
+      .repartition(2).write.mode("overwrite").text(s"$work/in")
+    // the reference buffers 60 s between deliveries (firehose.py:92-94);
+    // 500 ms here only shrinks the wall-clock of the same loop
+    val q = StreamingIngest.start(spark, s"$work/in", t,
+      s"$work/ckpt", s"$work/errors",
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    def awaitCount(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (t.toDF.count() != n && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(t.toDF.count() === n)
+    }
+    try {
+      awaitCount(40)
+      // a second wave arriving while the query is live: the next tick
+      // must pick it up without restart — the Firehose delivery loop
+      val wave2 = SampleData.transactions(spark, 25, seed = 9L)
+      SampleData.toCdcEnvelopes(wave2).toJSON
+        .repartition(1).write.mode("append").text(s"$work/in")
+      awaitCount(65)
+      assert(t.toDF.select("transaction_id").distinct().count() === 65)
+    } finally { q.stop(); q.awaitTermination(30000) }
+  }
+
   test("poisoned micro-batch lands in the DLQ, stream-side state intact") {
     val work = freshDir("dlq")
     val t = TxTable.create(spark, new Path(s"$work/table"), "t",

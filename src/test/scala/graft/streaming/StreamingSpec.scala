@@ -123,6 +123,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge in streaming mode and close at the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val agg = in.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("sstart"),
+        col("session_window.end").as("send"), col("user"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("session_out").start()
+    try {
+      // two events 5 min apart → one session; a separate user far later
+      in.addData(Ev(1, ts(0), 1.0), Ev(1, ts(5), 1.0))
+      q.processAllAvailable()
+      // nothing emitted yet: session still open (append waits for close)
+      assert(spark.table("session_out").count() === 0)
+      // event at minute 120 pushes the watermark past session end
+      // (minute 35) → the session finalizes and is emitted, MERGED as
+      // one row spanning both events
+      in.addData(Ev(2, ts(120), 1.0))
+      q.processAllAvailable()
+      val out = spark.table("session_out")
+        .select("sstart", "send", "user", "n")
+        .as[(Timestamp, Timestamp, Long, Long)].collect()
+      assert(out.toSeq === Seq((ts(0), ts(35), 1L, 2L)))
+    } finally q.stop()
+  }
+
   test("sliding windows assign events to overlapping buckets") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
