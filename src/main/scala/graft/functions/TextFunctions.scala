@@ -121,11 +121,17 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     md5(array_join(tokens(text), " ").cast(BinaryType))
 
-  /** 64-bit rolling shingle fingerprint: min of xxhash64 over the
-    * document's shingles (a 1-perm MinHash — cheap near-dup prefilter). */
+  /** Shingle fingerprint: min over the document's shingles of a 60-bit
+    * md5-derived hash (first 15 hex chars read as an integer) — a
+    * 1-perm MinHash near-dup prefilter whose value is reproducible in
+    * any engine with md5 (DuckDB/Trino/Athena), so fingerprints written
+    * by this engine can be joined against ones computed elsewhere. For
+    * the pure-Spark hot path, [[graft.operators.Dedup.hashedShingles]]'s
+    * native expression is the faster choice. */
   def shingleFingerprint(text: Column, n: Int = 3): Column = {
     val sh = shingles(text, n)
     when(size(sh) === 0, lit(null).cast(LongType))
-      .otherwise(array_min(transform(sh, s => xxhash64(s))))
+      .otherwise(array_min(transform(sh, s =>
+        conv(substring(md5(s), 1, 15), 16, 10).cast(LongType))))
   }
 }

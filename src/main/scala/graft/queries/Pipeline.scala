@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
  * exposed as driver-checkable queries. Queries without oracle SQL are
  * non-SQL-expressible (sketch/LSH internals, table mutations) and get
  * the driver's rows-only check; they are still deterministic.
+ *
+ * Generated-input queries stage their (seed-deterministic) inputs under
+ * `target/qwork/oracle_inputs/` and their oracle SQL reads those staged
+ * files back with `read_parquet`/`read_json` at ABSOLUTE paths — so even
+ * pipelines whose input never existed as a driver table (CDC envelopes,
+ * nested orders) are hash-checked end-to-end against DuckDB.
  */
 object Pipeline {
 
@@ -26,6 +32,22 @@ object Pipeline {
     org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
     p.toFile.getAbsolutePath
   }
+
+  /** Absolute root for staged oracle inputs — baked into oracle SQL
+    * strings, so Verify's JVM and the driver's DuckDB agree on paths. */
+  private val oracleInputsRoot: String =
+    new java.io.File("target/qwork/oracle_inputs").getAbsolutePath
+
+  /** Stage a deterministic input dataset once per JVM (json or parquet
+    * by `format`); returns the absolute directory path. */
+  private def stagedInput(name: String, format: String)(gen: => DataFrame): String =
+    synchronized {
+      val dir = new java.io.File(s"$oracleInputsRoot/$name")
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        gen.write.mode("overwrite").format(format).save(dir.getAbsolutePath)
+      }
+      dir.getAbsolutePath
+    }
 
   val all: Seq[Q] = Seq(
 
@@ -277,7 +299,22 @@ object Pipeline {
         .select(col("doc_id"),
           TextFunctions.contentFingerprint(col("text")).as("fp_md5"),
           TextFunctions.shingleFingerprint(col("text")).as("fp_shingle"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id")),
+      oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents)
+      SELECT doc_id,
+             md5(concat(array_to_string(w, ' '), '')) AS fp_md5,
+             CASE WHEN len(w) >= 3 THEN
+               list_min(list_transform(
+                 [array_to_string(w[i:i+2], ' ')
+                  for i in generate_series(1, len(w) - 2)],
+                 g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)))
+             END AS fp_shingle
+      FROM t ORDER BY doc_id""")),
 
     // As-of join over the events stream: each 'click'-class event picks
     // up the most recent earlier 'signup'-class event of the same user.
@@ -385,43 +422,91 @@ object Pipeline {
 
     // T1-T5 over generated Kinesis frames: decode → filter → unmarshal →
     // derive. REMOVE events injected to prove the filter drops them.
+    // The frames are staged as JSON and the oracle REPLAYS THE WHOLE
+    // TRANSFORM in DuckDB (base64 decode → JSON extract → event filter →
+    // typed aggregation) against the same staged bytes.
     Q("cdc_transform_pipeline", fn = (s, dir) => {
-      val txns = SampleData.transactions(s, 200, seed = 42L)
-      val events = SampleData.toCdcEnvelopes(txns,
-        eventName = when(pmod(xxhash64(col("transaction_id")), lit(10)) < 2, "REMOVE")
-          .when(pmod(xxhash64(col("transaction_id")), lit(10)) < 5, "MODIFY")
-          .otherwise("INSERT"))
-      val frames = SampleData.toKinesisFrames(events)
+      val framesDir = stagedInput("cdc_transform_frames", "json") {
+        val txns = SampleData.transactions(s, 200, seed = 42L)
+        val events = SampleData.toCdcEnvelopes(txns,
+          eventName = when(pmod(xxhash64(col("transaction_id")), lit(10)) < 2, "REMOVE")
+            .when(pmod(xxhash64(col("transaction_id")), lit(10)) < 5, "MODIFY")
+            .otherwise("INSERT"))
+        SampleData.toKinesisFrames(events)
+      }
+      val frames = s.read.schema(Schemas.kinesisFrame).json(framesDir)
       CdcPipeline.kinesisPath(frames)
         .groupBy(col("region"), col("risk_score"))
         .agg(count(lit(1)).as("n"),
-          sum(col("amount")).cast(DecimalType(18, 2)).as("total_amount"),
+          sum(col("amount")).cast(DoubleType).as("total_amount"),
           countDistinct(col("customer_id")).as("n_customers"))
         .orderBy(col("region"), col("risk_score"))
-    }),
+    }, oracle = Some(s"""
+      WITH decoded AS (
+        SELECT json_extract_string(j, '$$.eventName') AS en,
+               json_extract_string(j, '$$.dynamodb.NewImage.region.S') AS region,
+               json_extract_string(j, '$$.dynamodb.NewImage.risk_score.S') AS risk_score,
+               json_extract_string(j, '$$.dynamodb.NewImage.amount.N') AS amount,
+               json_extract_string(j, '$$.dynamodb.NewImage.customer_id.S') AS customer_id
+        FROM (SELECT decode(from_base64(replace(replace(data, chr(13), ''), chr(10), ''))) AS j
+              FROM read_json('$oracleInputsRoot/cdc_transform_frames/*.json',
+                             columns={'recordId':'VARCHAR','data':'VARCHAR'})))
+      SELECT region, risk_score, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(12,2))) AS DOUBLE) AS total_amount,
+             count(DISTINCT customer_id) AS n_customers
+      FROM decoded WHERE en IN ('INSERT', 'MODIFY')
+      GROUP BY region, risk_score
+      ORDER BY region, risk_score""")),
 
     // S4/S10: MERGE upsert with in-batch duplicates + CAS pointer swap.
+    // Seed and batch are staged as parquet; the oracle recomputes the
+    // MERGE contract in SQL (last-writer-wins by processing_timestamp
+    // within the batch, batch replaces matched keys, survivors union) —
+    // an independent check of the upsert semantics, not just row counts.
     Q("cdc_merge_upsert", fn = (s, dir) => {
+      val seedDir = stagedInput("merge_upsert_seed", "parquet") {
+        SampleData.transactions(s, 300, seed = 1L)
+      }
+      val batchDir = stagedInput("merge_upsert_batch", "parquet") {
+        val seed = s.read.parquet(seedDir)
+        // 100 overlapping keys with bumped amounts (MODIFY) + 50 brand-
+        // new keys (INSERT) + an in-batch duplicate set
+        val mods = seed.orderBy("transaction_id").limit(100)
+          .withColumn("amount", (col("amount") + lit(1000)).cast(DecimalType(12, 2)))
+          .withColumn("processing_timestamp", col("processing_timestamp") + 5000L)
+        val dupsOfMods = mods.orderBy("transaction_id").limit(40)
+          .withColumn("amount", (col("amount") + lit(111)).cast(DecimalType(12, 2)))
+          .withColumn("processing_timestamp", col("processing_timestamp") + 9000L)
+        mods.unionByName(dupsOfMods)
+          .unionByName(SampleData.transactions(s, 50, seed = 2L))
+      }
       val root = new Path(scratch("merge_upsert"))
       val t = TxTable.create(s, root, "txns", Schemas.transactions, Seq("date"))
-      val seed = SampleData.transactions(s, 300, seed = 1L)
-      t.append(seed)
-      // second batch: 100 overlapping keys with bumped amounts (MODIFY)
-      // + 50 brand-new keys (INSERT) + an in-batch duplicate set
-      val mods = seed.limit(100)
-        .withColumn("amount", (col("amount") + lit(1000)).cast(DecimalType(12, 2)))
-        .withColumn("processing_timestamp", col("processing_timestamp") + 5000L)
-      val dupsOfMods = mods.limit(40)
-        .withColumn("amount", (col("amount") + lit(111)).cast(DecimalType(12, 2)))
-        .withColumn("processing_timestamp", col("processing_timestamp") + 9000L)
-      val inserts = SampleData.transactions(s, 50, seed = 2L)
-      t.merge(mods.unionByName(dupsOfMods).unionByName(inserts),
+      t.append(s.read.parquet(seedDir))
+      t.merge(s.read.parquet(batchDir),
         key = "transaction_id", orderCol = "processing_timestamp")
       t.toDF.agg(count(lit(1)).as("n_rows"),
         countDistinct(col("transaction_id")).as("n_keys"),
-        sum(col("amount")).cast(DecimalType(18, 2)).as("total_amount"),
+        sum(col("amount")).cast(DoubleType).as("total_amount"),
         count(when(col("amount") > 1000, 1)).as("n_updated_rows"))
-    }),
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$oracleInputsRoot/merge_upsert_seed/*.parquet')),
+      batch AS (SELECT * FROM read_parquet('$oracleInputsRoot/merge_upsert_batch/*.parquet')),
+      bdedup AS (
+        SELECT * EXCLUDE rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY transaction_id
+            ORDER BY processing_timestamp DESC) AS rn
+          FROM batch) WHERE rn = 1),
+      merged AS (
+        SELECT * FROM bdedup
+        UNION ALL
+        SELECT * FROM seed
+        WHERE transaction_id NOT IN (SELECT transaction_id FROM bdedup))
+      SELECT count(*) AS n_rows,
+             count(DISTINCT transaction_id) AS n_keys,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+             count(CASE WHEN amount > 1000 THEN 1 END) AS n_updated_rows
+      FROM merged""")),
 
     // S5/S6 + streaming: micro-batched file-source CDC replay through
     // foreachBatch MERGE (Trigger.AvailableNow), then table state.
@@ -446,20 +531,33 @@ object Pipeline {
 
     // Nested array-of-struct path (orders schema, FIXTURES §3): explode
     // the items array, aggregate per category — the reference's only
-    // multi-entity shape. Generated data → rows-only check; the
+    // multi-entity shape. The generated orders are staged as parquet and
+    // the oracle unnests the same nested bytes in DuckDB; the
     // totalAmount = Σ price×qty invariant is asserted in OrdersSpec.
     Q("orders_explode_items", fn = (s, dir) => {
-      val orders = SampleData.orders(s, 2000, seed = 5L)
-      orders.select(col("orderId"), col("region"),
+      val ordersDir = stagedInput("orders_nested", "parquet") {
+        SampleData.orders(s, 2000, seed = 5L)
+      }
+      s.read.parquet(ordersDir)
+        .select(col("orderId"), col("region"),
           explode(col("items")).as("item"))
         .groupBy(col("item.category").as("category"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("item.quantity")).as("total_qty"),
           sum((col("item.price") * col("item.quantity")).cast(DecimalType(18, 2)))
-            .cast(DecimalType(18, 2)).as("revenue"),
+            .cast(DoubleType).as("revenue"),
           countDistinct(col("orderId")).as("n_orders"))
         .orderBy(col("category"))
-    }),
+    }, oracle = Some(s"""
+      WITH exploded AS (
+        SELECT orderId, unnest(items) AS item
+        FROM read_parquet('$oracleInputsRoot/orders_nested/*.parquet'))
+      SELECT item.category AS category,
+             count(*) AS n_items,
+             CAST(sum(item.quantity) AS BIGINT) AS total_qty,
+             CAST(sum(CAST(item.price * item.quantity AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(DISTINCT orderId) AS n_orders
+      FROM exploded GROUP BY category ORDER BY category""")),
 
     // CDC merge-upsert throughput (BASELINE.md headline): staged
     // envelope files → kinesis-path transforms → MERGE into a
