@@ -509,13 +509,16 @@ object Pipeline {
       FROM merged""")),
 
     // S5/S6 + streaming: micro-batched file-source CDC replay through
-    // foreachBatch MERGE (Trigger.AvailableNow), then table state.
+    // foreachBatch MERGE (Trigger.AvailableNow), then table state. The
+    // envelope files are staged; the oracle recomputes the fold's end
+    // state (every key distinct → upsert of all envelopes) from the same
+    // staged JSON, so the streamed replay is value-checked end-to-end.
     Q("cdc_streaming_upsert", fn = (s, dir) => {
+      val inputDir = stagedInput("streaming_upsert_envelopes", "text") {
+        SampleData.toCdcEnvelopes(SampleData.transactions(s, 150, seed = 3L))
+          .toJSON.repartition(3).toDF("value")
+      }
       val work = scratch("streaming_upsert")
-      val inputDir = s"$work/input"
-      val txns = SampleData.transactions(s, 150, seed = 3L)
-      SampleData.toCdcEnvelopes(txns).toJSON
-        .repartition(3).write.mode("overwrite").text(inputDir)
       val t = TxTable.create(s, new Path(s"$work/table"), "txns",
         Schemas.transactions, Seq("date"))
       val q = StreamingIngest.start(s, inputDir, t,
@@ -527,7 +530,16 @@ object Pipeline {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("transaction_id")).as("n_keys"))
         .orderBy(col("risk_score"))
-    }),
+    }, oracle = Some(s"""
+      WITH env AS (
+        SELECT json_extract_string(dynamodb, '$$.NewImage.risk_score.S') AS risk_score,
+               json_extract_string(dynamodb, '$$.NewImage.transaction_id.S') AS transaction_id
+        FROM read_json('$oracleInputsRoot/streaming_upsert_envelopes/*.txt',
+                       format='newline_delimited',
+                       columns={'eventID':'VARCHAR','eventName':'VARCHAR','dynamodb':'JSON'}))
+      SELECT risk_score, count(*) AS n,
+             count(DISTINCT transaction_id) AS n_keys
+      FROM env GROUP BY risk_score ORDER BY risk_score""")),
 
     // Nested array-of-struct path (orders schema, FIXTURES §3): explode
     // the items array, aggregate per category — the reference's only
@@ -580,13 +592,20 @@ object Pipeline {
         .orderBy(col("date"))
     }),
 
-    // S7-S12: catalog DDL + snapshot time travel across versions.
+    // S7-S12: catalog DDL + snapshot time travel across versions. The
+    // seed batch is staged; the oracle recomputes each version's
+    // expected row count from it (create → append → keyed merge of
+    // existing keys → DELETE of HIGH-risk rows), so the snapshot
+    // history itself is value-checked.
     Q("table_time_travel", fn = (s, dir) => {
+      val seedDir = stagedInput("time_travel_seed", "parquet") {
+        SampleData.transactions(s, 100, seed = 4L)
+      }
+      val batch1 = s.read.parquet(seedDir)
       val cat = new TableCatalog(s, new Path(scratch("time_travel")))
       val t = cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
-      val batch1 = SampleData.transactions(s, 100, seed = 4L)
       t.append(batch1)
-      val mods = batch1.limit(30)
+      val mods = batch1.orderBy("transaction_id").limit(30)
         .withColumn("amount", (col("amount") + lit(500)).cast(DecimalType(12, 2)))
         .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
       t.merge(mods, key = "transaction_id", orderCol = "processing_timestamp")
@@ -596,6 +615,12 @@ object Pipeline {
       }
       import s.implicits._
       perVersion.toDF("version", "n_rows").orderBy(col("version"))
-    })
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$oracleInputsRoot/time_travel_seed/*.parquet'))
+      SELECT CAST(0 AS BIGINT) AS version, CAST(0 AS BIGINT) AS n_rows
+      UNION ALL SELECT 1, count(*) FROM seed
+      UNION ALL SELECT 2, count(*) FROM seed  -- merge touched only existing keys
+      UNION ALL SELECT 3, count(*) FROM seed WHERE risk_score <> 'HIGH'
+      ORDER BY version""")),
   )
 }
