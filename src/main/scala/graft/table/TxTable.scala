@@ -347,16 +347,70 @@ class TxTable private (
     commit(Some(s.version), "DELETE", schema, s.partitionColumns, kept ++ newFiles)
   }
 
-  /** Compact small files (OPTIMIZE): rewrite the table into files of
-    * roughly `targetFileBytes`, sized from the snapshot's recorded
-    * byte totals. */
-  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+  /**
+   * Compact small files (OPTIMIZE): rewrite the table into files of
+   * roughly `targetFileBytes`, sized from the snapshot's recorded
+   * byte totals.
+   *
+   * With `clusterBy`, rows are Z-ORDER clustered first (Morton
+   * interleave of min-max-normalized 16-bit buckets, the Delta
+   * `OPTIMIZE ZORDER BY` technique): each output file then covers a
+   * small hyper-rectangle of the clustered columns' value space, so
+   * the footer min/max stats prune range queries on ANY clustered
+   * column — the multi-dimensional complement of partition pruning.
+   * The Z value is plain column bit-arithmetic (fully codegen'd), and
+   * the global ordering comes from one `repartitionByRange` on it.
+   * Clustered columns must be numeric, date, or timestamp.
+   */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Long = {
     val s = snapshot
     val totalBytes = math.max(1L, s.files.map(_.sizeBytes).sum)
-    val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes)
-    val rewritten = toDF.repartition(numFiles.toInt)
+    val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = toDF
+    val rewritten =
+      if (clusterBy.isEmpty) df.repartition(numFiles)
+      else {
+        val zc = zValueColumn(df, clusterBy)
+        df.withColumn("__zorder", zc)
+          .repartitionByRange(numFiles, col("__zorder"))
+          .sortWithinPartitions("__zorder")
+          .drop("__zorder")
+      }
     val newFiles = writeFiles(rewritten, s.partitionColumns)
     commit(Some(s.version), "COMPACT", schemaOf(s), s.partitionColumns, newFiles)
+  }
+
+  /** Morton/Z value over `clusterBy`: min-max normalize each column to a
+    * 16-bit bucket (bounds from one small aggregate over the table),
+    * then bit-interleave the buckets. Nulls sort first (bucket 0). */
+  private def zValueColumn(df: DataFrame, clusterBy: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+    require(clusterBy.nonEmpty && clusterBy.size <= 4,
+      "clusterBy supports 1-4 columns (16 bits each)")
+    val schema = df.schema
+    def asDouble(c: String): org.apache.spark.sql.Column = schema(c).dataType match {
+      case _: NumericType => col(c).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType | TimestampNTZType => col(c).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"clusterBy column $c has non-orderable-numeric type $other")
+    }
+    val bounds = df.select(clusterBy.flatMap(c =>
+      Seq(min(asDouble(c)), max(asDouble(c)))): _*).head()
+    val bits = 16
+    val buckets = clusterBy.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = if (bounds.isNullAt(2 * i)) (0.0, 1.0)
+        else (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val span = if (hi > lo) hi - lo else 1.0
+      coalesce(floor((asDouble(c) - lit(lo)) / lit(span) * ((1 << bits) - 1))
+        .cast("long"), lit(0L))
+    }
+    (0 until bits).flatMap { i =>
+      buckets.zipWithIndex.map { case (b, j) =>
+        shiftleft(shiftright(b, i).bitwiseAND(1L), i * buckets.size + j)
+      }
+    }.reduce(_.bitwiseOR(_))
   }
 
   /**

@@ -279,6 +279,38 @@ class TxTableSpec extends SparkSpec {
     assert(prunedFiles < allFiles)
   }
 
+  test("z-order compact makes range queries prune files on BOTH columns") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType)))
+    val t = TxTable.create(spark, new Path(freshDir("tx_zorder")), "t", schema, Nil)
+    import spark.implicits._
+    // two independent uniform dimensions, written in random (hash) order
+    val rows = spark.range(20000).select(
+      (xxhash64(col("id"), lit(1)) % 10000).as("x"),
+      (xxhash64(col("id"), lit(2)) % 10000).as("y"))
+    t.append(rows)
+    val fileBytes = t.snapshot.files.map(_.sizeBytes).sum
+    val target = math.max(1L, fileBytes / 16) // force ~16 output files
+    def scanned(c: String): Int =
+      t.filesForRange(c, Some(Long.box(0L)), Some(Long.box(500L)))
+    // unclustered compact: every file spans the whole range of both dims
+    t.compact(targetFileBytes = target)
+    val all = t.snapshot.files.size
+    assert(all >= 8, s"expected many files, got $all")
+    assert(scanned("x") === all)
+    assert(scanned("y") === all)
+    // z-order compact: a narrow range on EITHER dimension prunes files
+    t.compact(targetFileBytes = target, clusterBy = Seq("x", "y"))
+    val allZ = t.snapshot.files.size
+    assert(scanned("x") < allZ, s"x: ${scanned("x")} of $allZ")
+    assert(scanned("y") < allZ, s"y: ${scanned("y")} of $allZ")
+    // and the clustered rewrite kept every row
+    assert(t.toDF.count() === 20000)
+    assert(t.readWhere("x", Some(Long.box(0L)), Some(Long.box(500L))).count() ===
+      t.toDF.filter(col("x") >= 0 && col("x") <= 500).count())
+  }
+
   test("raw commit race: N threads CAS the same version, exactly one wins") {
     val root = new Path(freshDir("tx_raw_race"))
     TxTable.create(spark, root, "t", Schemas.transactions, Seq("date"))
