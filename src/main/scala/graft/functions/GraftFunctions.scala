@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.functions.expressions.{CosineSimilarity, DotProduct, L2Distance}
+import graft.functions.expressions.{CosineSimilarity, DotProduct, HashedShingleSet, L2Distance, MinHashSignature, SimHash64}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,10 +18,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  */
 object GraftFunctions {
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("vector_dot", exprs => DotProduct(exprs(0), exprs(1))),
     ("vector_cosine", exprs => CosineSimilarity(exprs(0), exprs(1))),
-    ("vector_l2_distance", exprs => L2Distance(exprs(0), exprs(1))))
+    ("vector_l2_distance", exprs => L2Distance(exprs(0), exprs(1))),
+    // text-hash family: hashed_shingles(text, n), minhash_signature(sh, k),
+    // simhash64(text) — the dedup pipeline's kernels, SQL-callable
+    ("hashed_shingles", exprs =>
+      HashedShingleSet(exprs(0), intLit(exprs(1), "shingleLen"))),
+    ("minhash_signature", exprs =>
+      MinHashSignature(exprs(0), intLit(exprs(1), "numHashes"))),
+    ("simhash64", exprs => SimHash64(exprs(0))))
 
   def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

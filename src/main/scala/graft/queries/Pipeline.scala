@@ -38,16 +38,25 @@ object Pipeline {
   private val oracleInputsRoot: String =
     new java.io.File("target/qwork/oracle_inputs").getAbsolutePath
 
-  /** Stage a deterministic input dataset once per JVM (json or parquet
-    * by `format`); returns the absolute directory path. */
-  private def stagedInput(name: String, format: String)(gen: => DataFrame): String =
-    synchronized {
-      val dir = new java.io.File(s"$oracleInputsRoot/$name")
-      if (!new java.io.File(dir, "_SUCCESS").exists()) {
-        gen.write.mode("overwrite").format(format).save(dir.getAbsolutePath)
-      }
-      dir.getAbsolutePath
+  /** Stage a deterministic input dataset once per JVM (json/parquet/
+    * text by `format`); returns the absolute directory path. `key`
+    * invalidates the staging when the generating inputs change (e.g.
+    * the scale-factor dir) — the oracle path stays fixed, the bytes
+    * refresh. */
+  private def stagedInput(name: String, format: String, key: String = "")(
+      gen: => DataFrame): String = synchronized {
+    val dir = new java.io.File(s"$oracleInputsRoot/$name")
+    val keyFile = new java.io.File(dir, ".staged_key")
+    val current =
+      if (keyFile.exists())
+        new String(java.nio.file.Files.readAllBytes(keyFile.toPath), "UTF-8")
+      else null
+    if (!new java.io.File(dir, "_SUCCESS").exists() || current != key) {
+      gen.write.mode("overwrite").format(format).save(dir.getAbsolutePath)
+      java.nio.file.Files.write(keyFile.toPath, key.getBytes("UTF-8"))
     }
+    dir.getAbsolutePath
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -390,22 +399,48 @@ object Pipeline {
     // ------------------------------------------------------------------
     // Multimodal plumbing (decode stubbed — see Multimodal scaladoc).
 
+    // The synthesized media is staged as parquet; the oracle parses the
+    // same binary payloads in DuckDB (decode → header split), so the
+    // metadata-decode plumbing is value-checked, not just row-counted.
     Q("multimodal_meta", fn = (s, dir) => {
-      val media = Multimodal.synthesizeImages(Td.documents(s, dir))
-      Multimodal.decodeMeta(media)
+      val mediaDir = stagedInput("multimodal_media", "parquet", key = dir) {
+        Multimodal.synthesizeImages(Td.documents(s, dir))
+      }
+      Multimodal.decodeMeta(s.read.parquet(mediaDir))
         .select(col("doc_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.channels").as("channels"),
           col("meta.size_bytes").as("size_bytes"))
         .orderBy(col("doc_id"))
-    }),
+    }, oracle = Some(s"""
+      WITH p AS (
+        SELECT doc_id, string_split(decode(media), '|') AS parts,
+               octet_length(media) AS sz
+        FROM read_parquet('$oracleInputsRoot/multimodal_media/*.parquet'))
+      SELECT doc_id,
+             CAST(parts[2] AS INTEGER) AS width,
+             CAST(parts[3] AS INTEGER) AS height,
+             CAST(parts[4] AS INTEGER) AS channels,
+             CAST(sz AS BIGINT) AS size_bytes
+      FROM p ORDER BY doc_id""")),
 
     Q("multimodal_frames", fn = (s, dir) => {
-      val media = Multimodal.synthesizeImages(Td.documents(s, dir))
-      Multimodal.sampleFrames(media, frameSize = 32, stride = 2)
+      val mediaDir = stagedInput("multimodal_media", "parquet", key = dir) {
+        Multimodal.synthesizeImages(Td.documents(s, dir))
+      }
+      Multimodal.sampleFrames(s.read.parquet(mediaDir), frameSize = 32, stride = 2)
         .select(col("doc_id"), col("n_frames"), col("n_sampled"),
           length(element_at(col("frames"), 1)).as("first_frame_len"))
         .orderBy(col("doc_id"))
-    }),
+    }, oracle = Some(s"""
+      WITH x AS (
+        SELECT doc_id,
+               CAST(floor(octet_length(media) / 32) AS INTEGER) AS n_frames
+        FROM read_parquet('$oracleInputsRoot/multimodal_media/*.parquet'))
+      SELECT doc_id, n_frames,
+             CAST(CASE WHEN n_frames <= 0 THEN 0
+                       ELSE (n_frames - 1) // 2 + 1 END AS INTEGER) AS n_sampled,
+             CAST(CASE WHEN n_frames <= 0 THEN NULL ELSE 32 END AS INTEGER) AS first_frame_len
+      FROM x ORDER BY doc_id""")),
 
     Q("multimodal_features", fn = (s, dir) => {
       val media = Multimodal.synthesizeImages(Td.documents(s, dir))

@@ -85,5 +85,13 @@ class VectorExprSpec extends SparkSpec {
         "vector_l2_distance(embedding, embedding) AS l FROM emb_v").collect()
     assert(out.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9))
     assert(out.forall(_.getDouble(3) === 0.0))
+    // text-hash family is SQL-callable too
+    val th = spark.sql(
+      "SELECT size(hashed_shingles('a b c d', 3)) AS ns, " +
+        "size(minhash_signature(hashed_shingles('a b c d', 3), 8)) AS k, " +
+        "simhash64('a b c d') AS sig").collect()(0)
+    assert(th.getInt(0) === 2)
+    assert(th.getInt(1) === 8)
+    assert(!th.isNullAt(2))
   }
 }
