@@ -625,7 +625,22 @@ object Pipeline {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("transaction_id")).as("n_keys"))
         .orderBy(col("date"))
-    }),
+    }, oracle = Some(s"""
+      WITH decoded AS (
+        SELECT json_extract_string(j, '$$.eventName') AS en,
+               json_extract_string(j, '$$.dynamodb.NewImage.transaction_id.S') AS tid,
+               CAST(json_extract_string(j, '$$.dynamodb.NewImage.timestamp.N') AS BIGINT) AS ts,
+               CAST(json_extract_string(j, '$$.dynamodb.NewImage.processing_timestamp.N') AS BIGINT) AS pts
+        FROM (SELECT decode(from_base64(replace(replace(data, chr(13), ''), chr(10), ''))) AS j
+              FROM read_json('${new java.io.File("target/qwork/frames_n40000_s7").getAbsolutePath}/*.json',
+                             columns={'recordId':'VARCHAR','data':'VARCHAR'}))),
+      upserted AS (
+        SELECT * EXCLUDE rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY tid ORDER BY pts DESC) AS rn
+          FROM decoded WHERE en IN ('INSERT', 'MODIFY')) WHERE rn = 1)
+      SELECT CAST(make_timestamp(ts * 1000) AS DATE) AS date,
+             count(*) AS n, count(DISTINCT tid) AS n_keys
+      FROM upserted GROUP BY date ORDER BY date""")),
 
     // S7-S12: catalog DDL + snapshot time travel across versions. The
     // seed batch is staged; the oracle recomputes each version's
