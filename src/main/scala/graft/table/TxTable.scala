@@ -106,6 +106,20 @@ class TxTable private (
     snapshot.files.count(f =>
       f.stats.forall(st => FileStats.mayContainRange(st, column, lo, hi)))
 
+  /** Exact row count from snapshot metadata — O(files) on the driver,
+    * zero data scanned (the Delta/Iceberg metadata-only `count(*)`; at
+    * 100 TB this answers in milliseconds what a scan answers in
+    * minutes). Falls back to a real scan if any file predates footer
+    * row counts. Optionally restricted to partitions. */
+  def count(partitionFilter: Map[String, String] = Map.empty): Long = {
+    val s = snapshot
+    val files = s.files.filter(f => partitionFilter.forall {
+      case (k, v) => f.partitionValues.get(k).contains(v)
+    })
+    if (files.forall(_.rowCount >= 0)) files.map(_.rowCount).sum
+    else dfFor(s.copy(files = files)).count()
+  }
+
   private def dfFor(s: Snapshot): DataFrame = {
     val schema = schemaOf(s)
     if (s.files.isEmpty) {

@@ -357,6 +357,24 @@ class TxTableSpec extends SparkSpec {
     assert(t.snapshot.files.forall(_.rowCount === 2L))
   }
 
+  test("metadata-only count answers without scanning, incl. per-partition") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_metacount")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 60, seed = 120L,
+      anchorMs = 1754988000000L))
+    t.append(SampleData.transactions(spark, 25, seed = 121L,
+      anchorMs = 1755988000000L))
+    assert(t.count() === t.toDF.count())
+    val dates = t.snapshot.files.map(_.partitionValues("date")).distinct
+    dates.foreach { d =>
+      assert(t.count(Map("date" -> d)) ===
+        t.toDF.filter(col("date") === d).count())
+    }
+    // merge/delete keep the metadata counts truthful
+    t.delete(col("risk_score") === "HIGH")
+    assert(t.count() === t.toDF.count())
+  }
+
   test("catalog: namespace/table DDL + idempotent drop") {
     val cat = new TableCatalog(spark, new Path(freshDir("cat")))
     cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
