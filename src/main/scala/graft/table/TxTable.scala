@@ -106,6 +106,19 @@ class TxTable private (
     snapshot.files.count(f =>
       f.stats.forall(st => FileStats.mayContainRange(st, column, lo, hi)))
 
+  /** Commit history (newest first) from snapshot metadata only — the
+    * DESCRIBE HISTORY surface: version, operation, commit time, and
+    * file/row/byte totals per version. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    (currentVersion to 0L by -1).map { v =>
+      val s = snapshotAt(v)
+      val rows = if (s.files.forall(_.rowCount >= 0)) s.files.map(_.rowCount).sum else -1L
+      (s.version, s.operation, new java.sql.Timestamp(s.timestampMs),
+        s.files.size, rows, s.files.map(_.sizeBytes).sum)
+    }.toDF("version", "operation", "committed_at", "n_files", "n_rows", "total_bytes")
+  }
+
   /** Exact row count from snapshot metadata — O(files) on the driver,
     * zero data scanned (the Delta/Iceberg metadata-only `count(*)`; at
     * 100 TB this answers in milliseconds what a scan answers in

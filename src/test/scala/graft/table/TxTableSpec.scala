@@ -357,6 +357,18 @@ class TxTableSpec extends SparkSpec {
     assert(t.snapshot.files.forall(_.rowCount === 2L))
   }
 
+  test("history() lists every commit with truthful totals, newest first") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_history")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 40, seed = 130L))
+    t.delete(col("risk_score") === "HIGH")
+    val h = t.history().collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L))
+    assert(h.map(_.getString(1)).toSeq === Seq("DELETE", "APPEND", "CREATE"))
+    assert(h.find(_.getLong(0) == 1L).get.getLong(4) === 40L)
+    assert(h.find(_.getLong(0) == 2L).get.getLong(4) === t.count())
+  }
+
   test("metadata-only count answers without scanning, incl. per-partition") {
     val t = TxTable.create(spark, new Path(freshDir("tx_metacount")), "t",
       Schemas.transactions, Seq("date"))
