@@ -45,16 +45,24 @@ object StreamingIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(table, batch, batchId, errorsDir)
+        mergeBatch(table, batch, batchId, errorsDir,
+          streamAppId = Some(checkpointDir))
       }
       .start()
   }
 
-  /** One micro-batch commit with DLQ semantics. */
+  /** One micro-batch commit with DLQ semantics. With `streamAppId`, the
+    * (appId, batchId) pair rides the table's transaction watermark, so
+    * a micro-batch replayed after a crash-between-commit-and-checkpoint
+    * is FENCED instead of re-merged — exactly-once table effects on an
+    * at-least-once stream. */
   private[ingest] def mergeBatch(table: TxTable, batch: DataFrame,
-      batchId: Long, errorsDir: String): Unit = {
+      batchId: Long, errorsDir: String,
+      streamAppId: Option[String] = None): Unit = {
     if (!batch.isEmpty) {
-      try table.merge(batch, key = "transaction_id", orderCol = "processing_timestamp")
+      try table.merge(batch, key = "transaction_id",
+        orderCol = "processing_timestamp",
+        txn = streamAppId.map(app => (app, batchId)))
       catch {
         case e: Throwable =>
           // DLQ: reject path mirrors Firehose's errors/ prefix — keep the

@@ -40,7 +40,12 @@ final case class Snapshot(
     operation: String,                  // CREATE | APPEND | MERGE | DELETE | OVERWRITE | COMPACT
     schemaJson: String,                 // Spark StructType json
     partitionColumns: Seq[String],
-    files: Seq[DataFile])
+    files: Seq[DataFile],
+    /** per-writer transaction watermarks (appId → highest applied
+      * version), the Delta `txn` action: lets an at-least-once stream
+      * fence replayed micro-batches for exactly-once table effects.
+      * Default keeps pre-existing snapshot JSON readable. */
+    appTxns: Map[String, Long] = Map.empty)
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 

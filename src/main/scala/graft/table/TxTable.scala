@@ -235,15 +235,19 @@ class TxTable private (
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
   private def commit(expected: Option[Long], op: String, schema: StructType,
-      partitionColumns: Seq[String], files: Seq[DataFile]): Long = {
+      partitionColumns: Seq[String], files: Seq[DataFile],
+      appTxns: Map[String, Long] = null): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
+    val txns = Option(appTxns).getOrElse(
+      expected.map(v => snapshotAt(v).appTxns).getOrElse(Map.empty))
     TxLog.commit(logDir, expected, Snapshot(
       version = next,
       timestampMs = System.currentTimeMillis(),
       operation = op,
       schemaJson = schema.json,
       partitionColumns = partitionColumns,
-      files = files), conf)
+      files = files,
+      appTxns = txns), conf)
   }
 
   /** Align an incoming frame to the table schema: cast matching
@@ -293,10 +297,20 @@ class TxTable private (
    * reference: `date` derives from the immutable event `timestamp`).
    * Pass `keyStablePartitions = false` to also scan other partitions for
    * moved keys (full-key anti-join — strictly correct, costlier).
+   *
+   * `txn = Some((appId, txnVersion))` fences replays: if the table has
+   * already applied a transaction from `appId` with a version ≥
+   * `txnVersion`, the merge is a NO-OP (returns the current table
+   * version) — the Delta `txn` idempotent-writer protocol, which turns
+   * an at-least-once stream into exactly-once table effects.
    */
   def merge(batch: DataFrame, key: String, orderCol: String,
-      keyStablePartitions: Boolean = true): Long = {
+      keyStablePartitions: Boolean = true,
+      txn: Option[(String, Long)] = None): Long = {
     val s = snapshot
+    txn.foreach { case (appId, txnVersion) =>
+      if (s.appTxns.get(appId).exists(_ >= txnVersion)) return s.version
+    }
     val schema = schemaOf(s)
     val parts = s.partitionColumns
     // an upsert without its key is always a pipeline bug — reject it
@@ -347,7 +361,11 @@ class TxTable private (
     // silently drop its rows). Conflicts surface to the caller, who
     // re-reads and re-merges — serializable upsert semantics. The
     // streaming ingest path is single-writer, so this never fires there.
-    commit(Some(s.version), "MERGE", schema, parts, keptFiles ++ newFiles)
+    val txns = txn.map { case (appId, v) =>
+      s.appTxns + (appId -> math.max(v, s.appTxns.getOrElse(appId, Long.MinValue)))
+    }.getOrElse(s.appTxns)
+    commit(Some(s.version), "MERGE", schema, parts, keptFiles ++ newFiles,
+      appTxns = txns)
   }
 
   /** Delete rows matching `predicate`; rewrites only files in partitions

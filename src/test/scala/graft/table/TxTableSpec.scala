@@ -357,6 +357,29 @@ class TxTableSpec extends SparkSpec {
     assert(t.snapshot.files.forall(_.rowCount === 2L))
   }
 
+  test("txn fencing: a replayed (appId, version) merge is a no-op") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_fence")), "t",
+      Schemas.transactions, Seq("date"))
+    val b1 = SampleData.transactions(spark, 20, seed = 140L)
+    val v1 = t.merge(b1, "transaction_id", "processing_timestamp",
+      txn = Some(("stream-a", 0L)))
+    // replay of batch 0 (same or older txn version) must not commit —
+    // even with DIFFERENT data, the fence wins (exactly-once contract)
+    val replay = b1.withColumn("amount", lit(1.23).cast(DecimalType(12, 2)))
+    assert(t.merge(replay, "transaction_id", "processing_timestamp",
+      txn = Some(("stream-a", 0L))) === v1)
+    assert(t.currentVersion === v1)
+    assert(t.toDF.filter(col("amount") === 1.23).count() === 0)
+    // the next batch applies, and an unrelated appId is not fenced
+    assert(t.merge(replay, "transaction_id", "processing_timestamp",
+      txn = Some(("stream-a", 1L))) === v1 + 1)
+    assert(t.merge(b1, "transaction_id", "processing_timestamp",
+      txn = Some(("stream-b", 0L))) === v1 + 2)
+    // watermarks survive unrelated commits and are visible in snapshots
+    t.delete(col("risk_score") === "__none__")
+    assert(t.snapshot.appTxns === Map("stream-a" -> 1L, "stream-b" -> 0L))
+  }
+
   test("history() lists every commit with truthful totals, newest first") {
     val t = TxTable.create(spark, new Path(freshDir("tx_history")), "t",
       Schemas.transactions, Seq("date"))
