@@ -44,10 +44,22 @@ object TextHash {
     h
   }
 
-  /** Tokens of `text` under the exact TextFunctions.tokens contract. */
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Tokens of `text` under the exact TextFunctions.tokens contract:
+    * Spark's `trim` strips 0x20 ONLY (not tabs/newlines — Java
+    * String.trim would), and Spark's `split` keeps leading/trailing
+    * empty tokens (Java's default split drops trailing ones), so both
+    * are reproduced precisely — a doc like "\tfoo" tokenizes
+    * identically through the native and the composed path. */
   def tokenize(text: UTF8String): Array[String] = {
-    val s = text.toLowerCase.toString.trim
-    if (s.isEmpty) Array.empty[String] else s.split("\\s+")
+    val lowered = text.toLowerCase.toString
+    var b = 0
+    var e = lowered.length
+    while (b < e && lowered.charAt(b) == ' ') b += 1
+    while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
+    val s = lowered.substring(b, e)
+    if (s.isEmpty) Array.empty[String] else Whitespace.split(s, -1)
   }
 }
 

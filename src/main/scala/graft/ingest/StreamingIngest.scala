@@ -32,7 +32,13 @@ object StreamingIngest {
       checkpointDir: String,
       errorsDir: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
-      maxFilesPerTrigger: Int = 100): StreamingQuery = {
+      maxFilesPerTrigger: Int = 100,
+      /** Exactly-once fencing identity; defaults to the checkpoint
+        * path. IMPORTANT: if a checkpoint is ever DELETED and recreated
+        * at the same path (batchIds restart at 0), pass a fresh appId —
+        * otherwise the table's old watermark fences the new batches
+        * (the same rule Delta documents for its txn appId). */
+      streamAppId: Option[String] = None): StreamingQuery = {
 
     val events = spark.readStream
       .schema(Schemas.cdcEnvelope)
@@ -46,7 +52,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(table, batch, batchId, errorsDir,
-          streamAppId = Some(checkpointDir))
+          streamAppId = Some(streamAppId.getOrElse(checkpointDir)))
       }
       .start()
   }

@@ -33,6 +33,15 @@ object Pipeline {
     p.toFile.getAbsolutePath
   }
 
+  /** cdc_ingest_bench sizing — the staged-frames path is derived from
+    * these in BOTH the query and its oracle, so changing the scale
+    * cannot desynchronize them. */
+  private val ingestBenchRows = 40000L
+  private val ingestBenchSeed = 7L
+  private def ingestBenchFramesPath: String =
+    new java.io.File(
+      s"target/qwork/frames_n${ingestBenchRows}_s$ingestBenchSeed").getAbsolutePath
+
   /** Absolute root for staged oracle inputs — baked into oracle SQL
     * strings, so Verify's JVM and the driver's DuckDB agree on paths. */
   private val oracleInputsRoot: String =
@@ -614,7 +623,7 @@ object Pipeline {
     // generator. Returns committed per-partition row counts
     // (rows/sec = 40k / bench secs).
     Q("cdc_ingest_bench", bench = true, fn = (s, dir) => {
-      val framesDir = SampleData.stagedKinesisFrames(s, 40000, seed = 7L)
+      val framesDir = SampleData.stagedKinesisFrames(s, ingestBenchRows, ingestBenchSeed)
       val work = scratch("ingest_bench")
       val frames = s.read.schema(Schemas.kinesisFrame).json(framesDir)
       val t = TxTable.create(s, new Path(s"$work/table"), "txns",
@@ -632,7 +641,7 @@ object Pipeline {
                CAST(json_extract_string(j, '$$.dynamodb.NewImage.timestamp.N') AS BIGINT) AS ts,
                CAST(json_extract_string(j, '$$.dynamodb.NewImage.processing_timestamp.N') AS BIGINT) AS pts
         FROM (SELECT decode(from_base64(replace(replace(data, chr(13), ''), chr(10), ''))) AS j
-              FROM read_json('${new java.io.File("target/qwork/frames_n40000_s7").getAbsolutePath}/*.json',
+              FROM read_json('$ingestBenchFramesPath/*.json',
                              columns={'recordId':'VARCHAR','data':'VARCHAR'}))),
       upserted AS (
         SELECT * EXCLUDE rn FROM (

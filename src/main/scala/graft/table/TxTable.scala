@@ -205,17 +205,27 @@ class TxTable private (
     * per file given the bytes being rewritten plus the incoming batch.
     * Without this, every merge writes (shuffle.partitions × touched
     * partitions) files — tiny-file debris locally, and a metadata storm
-    * at lake scale. */
+    * at lake scale. Partitioned tables are RANGE-partitioned on
+    * (partition columns, `splitCol`): ranges split a large partition
+    * across tasks (a hash on the partition value alone would funnel an
+    * entire partition through one task — no parallelism, unbounded file
+    * size) while keeping each task's rows on few partition values. */
   private def sizedForWrite(df: DataFrame, rewriteBytes: Long,
       batchRows: Long, bytesPerRowHint: Double,
-      partitionColumns: Seq[String],
+      partitionColumns: Seq[String], splitCol: Option[String],
       targetFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
     val estBytes = rewriteBytes + (batchRows * bytesPerRowHint).toLong
     val numFiles = math.max(1L, (estBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    if (partitionColumns.nonEmpty)
-      df.repartition(numFiles, partitionColumns.map(col): _*)
+    val rangeCols = partitionColumns.map(col) ++
+      splitCol.filterNot(partitionColumns.contains).map(col)
+    if (rangeCols.nonEmpty) df.repartitionByRange(numFiles, rangeCols: _*)
     else df.repartition(numFiles)
   }
+
+  /** a within-partition tie-breaker column for range splits: the first
+    * non-partition field of the schema */
+  private def defaultSplitCol(schema: StructType, parts: Seq[String]): Option[String] =
+    schema.fields.map(_.name).find(n => !parts.contains(n))
 
   /** Observed bytes/row from a snapshot's committed files (falls back to
     * a conservative default for empty tables). */
@@ -353,7 +363,7 @@ class TxTable private (
     val batchRows = deduped.count()
     val newFiles = writeFiles(
       sizedForWrite(merged, affectedFiles.map(_.sizeBytes).sum, batchRows,
-        bytesPerRow(s), parts),
+        bytesPerRow(s), parts, splitCol = Some(key)),
       parts)
     deduped.unpersist()
     // No blind retry: the rewritten files were derived from THIS
@@ -387,7 +397,8 @@ class TxTable private (
       .select(schema.map(f => col(f.name)): _*)
     val newFiles = writeFiles(
       sizedForWrite(rewritten, affected.map(_.sizeBytes).sum,
-        batchRows = 0L, bytesPerRow(s), s.partitionColumns),
+        batchRows = 0L, bytesPerRow(s), s.partitionColumns,
+        splitCol = defaultSplitCol(schema, s.partitionColumns)),
       s.partitionColumns)
     commit(Some(s.version), "DELETE", schema, s.partitionColumns, kept ++ newFiles)
   }
@@ -416,10 +427,15 @@ class TxTable private (
     val rewritten =
       if (clusterBy.isEmpty) df.repartition(numFiles)
       else {
+        // range on (partition cols, z): a bare z-range crossed with
+        // partitionBy would write numFiles × nPartitions tiny files —
+        // leading with the partition columns keeps each task on few
+        // partition values while z still clusters within them
         val zc = zValueColumn(df, clusterBy)
+        val rangeCols = s.partitionColumns.map(col) :+ col("__zorder")
         df.withColumn("__zorder", zc)
-          .repartitionByRange(numFiles, col("__zorder"))
-          .sortWithinPartitions("__zorder")
+          .repartitionByRange(numFiles, rangeCols: _*)
+          .sortWithinPartitions(rangeCols: _*)
           .drop("__zorder")
       }
     val newFiles = writeFiles(rewritten, s.partitionColumns)
