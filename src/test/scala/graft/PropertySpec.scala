@@ -54,6 +54,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native tokenizer matches Spark's trim/split on pathological whitespace") {
+    // exact-parity contract (TextHashExpressions.TextHash.tokenize):
+    // Spark trim strips spaces ONLY; Spark split keeps empty tokens.
+    val texts = Seq("", " ", "\t", "\tfoo bar baz", "foo bar\t", "a b c",
+      "  x  Y\tz  ", "one\n\ntwo three", "UPPER lower MiXeD case here", "\n",
+      " leading and trailing ", "multi   space   runs   here")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // the composed path's token array vs the native path's token count,
+    // plus full shingle-set-size parity (native hashes per window of
+    // the SAME token sequence)
+    val rows = df.select(
+      size(TextFunctions.tokens(col("text"))).as("n_composed"),
+      size(graft.functions.expressions.TextHashBuilders
+        .hashedShingles(col("text"), 2)).as("nsh_native"),
+      size(TextFunctions.shingles(col("text"), 2)).as("nsh_composed"),
+      col("text")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) === r.getInt(2),
+        s"shingle sets diverge for ${r.getString(3).replace("\t", "\\t")}")
+    }
+  }
+
   test("jaccard pairs are ordered (a<b), bounded, above threshold") {
     val docs = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
