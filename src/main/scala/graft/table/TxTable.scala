@@ -100,6 +100,23 @@ class TxTable private (
     df
   }
 
+  /** Multi-column data-skipping read: a file survives only if EVERY
+    * range can intersect its stats — the natural companion of Z-order
+    * clustering (one clustered file covers a small hyper-rectangle, so
+    * a conjunctive range query prunes on all clustered dimensions). */
+  def readWhereAll(ranges: Seq[(String, Option[Any], Option[Any])]): DataFrame = {
+    val s = snapshot
+    val files = s.files.filter(f => ranges.forall { case (c, lo, hi) =>
+      f.stats.forall(st => FileStats.mayContainRange(st, c, lo, hi))
+    })
+    var df = dfFor(s.copy(files = files))
+    ranges.foreach { case (c, lo, hi) =>
+      lo.foreach(l => df = df.filter(col(c) >= lit(l)))
+      hi.foreach(h => df = df.filter(col(c) <= lit(h)))
+    }
+    df
+  }
+
   /** Number of files the current snapshot would scan for a range — for
     * tests/observability of skipping effectiveness. */
   def filesForRange(column: String, lo: Option[Any], hi: Option[Any]): Int =

@@ -309,6 +309,12 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.count() === 20000)
     assert(t.readWhere("x", Some(Long.box(0L)), Some(Long.box(500L))).count() ===
       t.toDF.filter(col("x") >= 0 && col("x") <= 500).count())
+    // conjunctive multi-column skip: both dimensions prune together
+    val box = Seq(
+      ("x", Some(Long.box(0L)), Some(Long.box(500L))),
+      ("y", Some(Long.box(0L)), Some(Long.box(500L))))
+    assert(t.readWhereAll(box).count() ===
+      t.toDF.filter(col("x").between(0, 500) && col("y").between(0, 500)).count())
   }
 
   test("raw commit race: N threads CAS the same version, exactly one wins") {
