@@ -65,11 +65,30 @@ object VectorFunctions {
    * for random-hyperplane (SimHash-for-vectors) bucketing — two vectors
    * with high cosine land in the same sign bucket with high probability
    * (Charikar, STOC'02).
+   *
+   * Component j derives from md5("{seed}_{p}_{j}"): first 15 hex chars
+   * as a 60-bit int, mod 10^6, scaled to [-0.5, 0.5). md5 — not an
+   * engine-private hash like xxhash64 — so ANY engine can recompute the
+   * exact buckets; the DuckDB correctness oracle replays the full LSH
+   * bucketing in SQL:
+   * {{{
+   *   (CAST('0x' || substr(md5(seed || '_' || p || '_' || j), 1, 15)
+   *     AS BIGINT) % 1000000) / 1000000.0 - 0.5
+   * }}}
+   * Values are computed once driver-side and inlined as an array
+   * literal, so the per-row cost is a single fused dot product.
    */
+  def hyperplaneValues(seed: Long, p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${seed}_${p}_$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 1000000L) /
+        1000000.0 - 0.5
+    }
+
   def hyperplane(seed: Long, p: Int, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      j => (pmod(xxhash64(lit(seed), lit(p), j), lit(1000000L)).cast(DoubleType)
-        / 1000000.0) - 0.5)
+    typedlit(hyperplaneValues(seed, p, dim).toSeq)
 
   /** `nBits`-bit sign-LSH bucket id of vector `v`. */
   def signLshBucket(v: Column, dim: Int, nBits: Int, seed: Long = 7L): Column =

@@ -161,6 +161,53 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 /**
+ * 60-bit ENGINE-PORTABLE SimHash: identical to [[SimHash64]] except the
+ * per-token hash is the first 15 hex chars of md5(token) — a value any
+ * SQL engine reproduces as
+ * `CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)` — so the DuckDB
+ * oracle can replay the full signature + banding pipeline. 60 bits
+ * (not 64) because a 16-hex-char parse can overflow a signed BIGINT in
+ * SQL; bands become 4 × 15 bits. Use [[SimHash64]] (FNV+splitmix, no
+ * md5 per token) when cross-engine verifiability isn't needed.
+ */
+case class SimHash60Portable(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "simhash60_portable"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = TextHash.tokenize(input.asInstanceOf[UTF8String])
+    if (toks.isEmpty) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counters = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val d = md.digest(toks(i).getBytes("UTF-8"))
+      // first 15 hex chars = the top 60 bits of the first 8 digest bytes
+      var x = 0L
+      var k = 0
+      while (k < 8) { x = (x << 8) | (d(k) & 0xFFL); k += 1 }
+      val h = x >>> 4
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (counters(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * 64-bit SimHash of the token multiset (Charikar STOC'02): per bit
  * position, the sign of Σ ±1 over token hashes. One pass over tokens
  * with a 64-slot counter array per row — the composed form evaluated

@@ -159,20 +159,35 @@ object Dedup {
   def simhash(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(textCol)))
 
+  /** Portable 60-bit SimHash (md5-derived token hashes — replayable by
+    * the DuckDB oracle; see [[SimHash60Portable]]). */
+  def simhashPortable(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ColumnBridge.column(
+      graft.functions.expressions.SimHash60Portable(ColumnBridge.expression(textCol)))
+
   /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3):
    * split the 64-bit signature into 4 16-bit bands; by pigeonhole, any
    * pair within distance 3 shares at least one exact band → candidate
    * join on (band, chunk), verify with `bit_count(xor)` (Manku WWW'07).
+   *
+   * `portable = true` switches to the 60-bit md5-hash signature
+   * ([[SimHash60Portable]], 4 × 15-bit bands) whose whole pipeline a
+   * SQL oracle can replay; the default FNV/splitmix signature is the
+   * faster production path.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
+      idCol: String = "doc_id", textCol: String = "text",
+      portable: Boolean = false): DataFrame = {
+    val (sigCol, bandBits) =
+      if (portable) (simhashPortable(col(textCol)), 15) else (simhash(col(textCol)), 16)
+    val mask = (1L << bandBits) - 1L
+    val sigs = docs.select(col(idCol), sigCol.as("sig"))
       .filter(tokenCount(col(textCol)) > 0)
     val banded = sigs.select(col(idCol), col("sig"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
-            shiftright(col("sig"), b * 16).bitwiseAND(0xFFFFL).as("chunk"))
+            shiftright(col("sig"), b * bandBits).bitwiseAND(mask).as("chunk"))
         }: _*)).as("bk"))
       .select(col(idCol), col("sig"), col("bk.band"), col("bk.chunk"))
     val a = banded.select(col(idCol).as("id_a"), col("sig").as("sig_a"), col("band"), col("chunk"))
@@ -223,26 +238,33 @@ object Dedup {
    * hyperplane sets trade extra candidate volume for recall — the
    * standard L-table amplification, needed when the interesting cosine
    * band is moderate rather than ≈1.
+   *
+   * Shuffle discipline (r2 VERDICT fix): the candidate self-join runs
+   * on (id, tbl, bucket) rows ONLY — embedding arrays never enter the
+   * bucket shuffle; vectors are fetched by two id-equi-joins after the
+   * candidate set is distinct, so each vector crosses the wire once per
+   * surviving candidate side, not once per (table × bucket collision).
    */
   def embeddingNearDup(embeddings: DataFrame, dim: Int,
-      threshold: Double = 0.95, nBits: Int = 8, nTables: Int = 4,
+      threshold: Double = 0.95, nBits: Int = 8, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions._
-    val bucketed = embeddings.select(col(idCol), col(vecCol),
+    val bucketed = embeddings.select(col(idCol),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
           signLshBucket(col(vecCol), dim, nBits, seed = 7L + 1000L * t).as("bucket"))
       }: _*)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.tbl"), col("tb.bucket"))
-    val a = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      col("tbl"), col("bucket"))
-    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
-      col("tbl"), col("bucket"))
-    a.join(b, Seq("tbl", "bucket"))
+      .select(col(idCol), col("tb.tbl"), col("tb.bucket"))
+    val a = bucketed.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
+    val b = bucketed.select(col(idCol).as("id_b"), col("tbl"), col("bucket"))
+    val candidates = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val left = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val right = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    candidates.join(left, "id_a").join(right, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
-      .distinct()
   }
 }

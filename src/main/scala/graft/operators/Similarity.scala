@@ -48,11 +48,20 @@ object Similarity {
    *
    * Training is `iters` Lloyd rounds as pure DataFrame ops:
    *  - centroids seed deterministically from the `k` smallest
-   *    xxhash64(id) rows (a uniform hash-min sample — no RNG state);
-   *  - assignment broadcasts the k centroids (k is small) and argmins
-   *    with the native cosine kernel — one corpus pass per round;
+   *    portable-hash(id) rows (a uniform hash-min sample — no RNG
+   *    state; md5-derived, so a SQL oracle can re-derive the same
+   *    seeds);
+   *  - assignment inlines the k centroids as array literals and argmaxes
+   *    with the native cosine kernel — a NARROW map stage, one corpus
+   *    pass per round with zero shuffle (see [[assign]]);
    *  - update averages member vectors per cell (posexplode → groupBy
-   *    (cell, dim) → avg → collect k×dim to the driver; k·dim is tiny).
+   *    (cell, dim) → avg → collect k×dim to the driver; k·dim is tiny;
+   *    only partial sums shuffle, never vectors).
+   *
+   * With `iters = 0` the quantizer is exactly the hash-min sample —
+   * fully deterministic AND engine-portable, which is what the
+   * oracle-checked `ann_ivf` query uses (float averaging order makes
+   * Lloyd-refined centroids impossible to replay bit-exactly in SQL).
    *
    * At 100 TB the corpus pass is the only large stage and it is
    * embarrassingly parallel; centroids always fit on the driver.
@@ -66,10 +75,14 @@ object Similarity {
     import org.apache.spark.sql.types._
 
     // --- train the coarse quantizer ---------------------------------
+    // portable 60-bit hash (md5 hex prefix): the DuckDB oracle derives
+    // the identical seed sample with the same expression in SQL
+    val seedHash = conv(substring(md5(col(corpusId).cast(StringType)), 1, 15),
+      16, 10).cast(LongType)
     var centroids: Array[(Int, Array[Double])] = corpus
       .select(col(corpusId), col(corpusVec))
-      .withColumn("__h", xxhash64(col(corpusId)))
-      .orderBy(col("__h")).limit(nCells)
+      .withColumn("__h", seedHash)
+      .orderBy(col("__h"), col(corpusId)).limit(nCells)
       .collect().zipWithIndex
       .map { case (r, i) =>
         // element type may be float or double — go through Number
@@ -83,15 +96,19 @@ object Similarity {
         java.util.Arrays.asList(cs.map(c => Row(c._1, c._2.toSeq)): _*), schema)
     }
 
+    // Argmax-cosine cell per row with ZERO shuffle: the k centroids are
+    // inlined as array literals and the argmax is one greatest() over
+    // (sim, -cell) structs — a narrow, codegen'd map stage. (The r2 form
+    // window-partitioned over every column, shuffling n×k scored rows
+    // INCLUDING the embedding arrays once per Lloyd round.) Ties break
+    // to the lowest cell: max struct = max sim, then max(-cell).
     def assign(df: DataFrame, vecCol: String): DataFrame = {
-      val cs = centroidDf(centroids)
-      val scored = df.join(broadcast(cs))
-        .withColumn("__sim", cosine(col(vecCol), col("cvec")))
-      val w = Window.partitionBy(df.columns.map(col): _*)
-        .orderBy(col("__sim").desc, col("cell").asc)
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__sim", "__rn", "cvec")
+      val scored = centroids.map { case (cellId, cvec) =>
+        struct(cosine(col(vecCol), typedlit(cvec.toSeq)).as("sim"),
+          lit(-cellId).as("neg_cell"))
+      }
+      val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+      df.withColumn("cell", (-best.getField("neg_cell")).cast(IntegerType))
     }
 
     (0 until iters).foreach { _ =>
@@ -122,7 +139,9 @@ object Similarity {
       .withColumn("__rn", row_number().over(probeW))
       .filter(col("__rn") <= nprobe)
       .select(col(queryId), col(queryVec), col("cell"))
-    val scored = cells.join(probes, "cell")
+    // probe set is |queries|×nprobe — broadcast it so the bucketed
+    // corpus never shuffles (cells is a narrow projection of the scan)
+    val scored = cells.join(broadcast(probes), "cell")
       .select(col(queryId), col(corpusId),
         cosine(col(corpusVec), col(queryVec)).as("score"))
     val w = Window.partitionBy(col(queryId))

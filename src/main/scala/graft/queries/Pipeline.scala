@@ -130,9 +130,41 @@ object Pipeline {
             len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
       ORDER BY id_a, id_b""")),
 
+    // Portable 60-bit signature (md5 token hashes) so the oracle can
+    // recompute every stage in SQL: per-token hash → bitwise majority
+    // vote → 4 × 15-bit banding → hamming verification.
     Q("dedup_simhash", fn = (s, dir) =>
-      Dedup.simhashPairs(Td.documents(s, dir), maxHamming = 8)
-        .orderBy(col("id_a"), col("id_b"))),
+      Dedup.simhashPairs(Td.documents(s, dir), maxHamming = 8, portable = true)
+        .orderBy(col("id_a"), col("id_b")),
+      oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '')) AS t
+        FROM documents),
+      h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+        FROM toks),
+      bitsum AS (
+        SELECT doc_id, b.b AS b,
+               sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        FROM h, generate_series(0, 59) b(b)
+        GROUP BY doc_id, b.b),
+      sigs AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+        FROM bitsum GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, sig, g.band, (sig >> (g.band * 15)) & 32767 AS chunk
+        FROM sigs, generate_series(0, 3) g(band)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.sig AS sig_a,
+                        b.doc_id AS id_b, b.sig AS sig_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+        WHERE a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+      ORDER BY id_a, id_b""")),
 
     Q("dedup_ngram_jaccard", fn = (s, dir) =>
       Dedup.ngramJaccardPairs(Td.documents(s, dir), threshold = 0.4)
@@ -166,12 +198,42 @@ object Pipeline {
       ORDER BY id_a, id_b""")),
 
     // threshold 0.4 sits in the data's actual near-dup band (the
-    // synthetic embeddings top out near cosine 0.5); 8 tables × 4 bits
-    // gives ~80% recall there while keeping buckets ~1/16 of the corpus
+    // synthetic embeddings top out near cosine 0.5). 8 tables × 8 bits
+    // keeps buckets at 1/256 of the corpus (scale-safe); the md5-derived
+    // hyperplanes are engine-portable, so the oracle REPLAYS THE FULL
+    // LSH BUCKETING in SQL — the pair set, including LSH's partial
+    // recall at this moderate-cosine band, is checked exactly, not
+    // against an exhaustive gold standard it never promised.
     Q("dedup_embedding_cosine", fn = (s, dir) =>
       Dedup.embeddingNearDup(Td.embeddings(s, dir), dim = 64,
-        threshold = 0.4, nBits = 4, nTables = 8)
-        .orderBy(col("id_a"), col("id_b"))),
+        threshold = 0.4, nBits = 8, nTables = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      oracle = Some("""
+      WITH hps AS (
+        SELECT t.t AS tbl, p.p AS p,
+               [(CAST('0x' || substr(md5(CAST(7 + 1000 * t.t AS VARCHAR) || '_' ||
+                   CAST(p.p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 1000000) / 1000000.0 - 0.5
+                for j in generate_series(0, 63)] AS hp
+        FROM generate_series(0, 7) t(t), generate_series(0, 7) p(p)),
+      buckets AS (
+        SELECT e.vec_id, h.tbl,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], h.hp) >= 0
+                        THEN (1::BIGINT << h.p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e, hps h
+        GROUP BY e.vec_id, h.tbl),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id)
+      SELECT c.id_a, c.id_b,
+             round(list_cosine_similarity(ea.embedding::DOUBLE[],
+               eb.embedding::DOUBLE[]), 6) AS cosine
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) >= 0.4
+      ORDER BY id_a, id_b""")),
 
     // ------------------------------------------------------------------
     // Similarity search.
@@ -200,6 +262,10 @@ object Pipeline {
       FROM ranked WHERE rank <= 10
       ORDER BY query_id, rank""")),
 
+    // The md5-portable hyperplanes make the whole LSH search replayable
+    // in SQL: the oracle re-derives corpus buckets, the query's probe
+    // set (own bucket + every 1-bit flip), and the exact within-bucket
+    // ranking — approximate recall and all.
     Q("ann_lsh", fn = (s, dir) => {
       val emb = Td.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 8)
@@ -208,18 +274,94 @@ object Pipeline {
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
-    }),
+    }, oracle = Some("""
+      WITH hps AS (
+        SELECT p.p AS p,
+               [(CAST('0x' || substr(md5('7_' || CAST(p.p AS VARCHAR) || '_' ||
+                   CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) / 1000000.0 - 0.5
+                for j in generate_series(0, 63)] AS hp
+        FROM generate_series(0, 7) p(p)),
+      buckets AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], h.hp) >= 0
+                        THEN (1::BIGINT << h.p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM embeddings e, hps h
+        GROUP BY e.vec_id),
+      flips AS (
+        SELECT 0::BIGINT AS f
+        UNION ALL SELECT (1::BIGINT << g.p) FROM generate_series(0, 7) g(p)),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, cb.vec_id
+        FROM buckets q CROSS JOIN flips
+        JOIN buckets cb ON cb.bucket = xor(q.bucket, flips.f)
+        WHERE q.vec_id < 8),
+      scored AS (
+        SELECT c.query_id, c.vec_id,
+               list_cosine_similarity(ce.embedding::DOUBLE[],
+                 qe.embedding::DOUBLE[]) AS score
+        FROM cand c
+        JOIN embeddings ce ON ce.vec_id = c.vec_id
+        JOIN embeddings qe ON qe.vec_id = c.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id, round(score, 6) AS score
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")),
 
+    // iters = 0 pins the quantizer to the deterministic hash-min seed
+    // sample (Lloyd refinement averages floats, whose partial-merge
+    // order no SQL engine can replay bit-exactly), so the oracle
+    // re-derives the same 16 centroids, the same cell assignment, the
+    // same nprobe probing, and the same within-cell exact ranking.
     Q("ann_ivf", fn = (s, dir) => {
       val emb = Td.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.ivfTopK(emb, queries, k = 10, dim = 64,
-          nCells = 16, nprobe = 4)
+          nCells = 16, nprobe = 4, iters = 0)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
-    }),
+    }, oracle = Some("""
+      WITH cents AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, cvec
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h,
+                     vec_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                     DESC, c.cell ASC) AS rn
+          FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cell FROM (
+          SELECT q.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec)
+                     DESC, c.cell ASC) AS rn
+          FROM embeddings q CROSS JOIN cents c
+          WHERE q.vec_id < 8) WHERE rn <= 4),
+      scored AS (
+        SELECT p.query_id, a.vec_id,
+               list_cosine_similarity(ce.embedding::DOUBLE[],
+                 qe.embedding::DOUBLE[]) AS score
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        JOIN embeddings ce ON ce.vec_id = a.vec_id
+        JOIN embeddings qe ON qe.vec_id = p.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id, round(score, 6) AS score
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""")),
 
     // ------------------------------------------------------------------
     // Text analysis.
@@ -451,14 +593,39 @@ object Pipeline {
              CAST(CASE WHEN n_frames <= 0 THEN NULL ELSE 32 END AS INTEGER) AS first_frame_len
       FROM x ORDER BY doc_id""")),
 
+    // Feature extraction (the mapPartitions codec seam) value-checked:
+    // the oracle recomputes the 8-bin byte histogram from the same
+    // staged payload bytes (documents are ASCII, so per-char code
+    // points ARE the payload bytes; bin = byte >> 5 = byte // 32).
     Q("multimodal_features", fn = (s, dir) => {
-      val media = Multimodal.synthesizeImages(Td.documents(s, dir))
-      Multimodal.extractFeatures(media)
+      val mediaDir = stagedInput("multimodal_media", "parquet", key = dir) {
+        Multimodal.synthesizeImages(Td.documents(s, dir))
+      }
+      Multimodal.extractFeatures(s.read.parquet(mediaDir))
         .select(col("doc_id"), col("width"), col("height"), col("channels"),
           round(element_at(col("feature"), 1), 6).as("f0"),
           round(element_at(col("feature"), 4), 6).as("f3"))
         .orderBy(col("doc_id"))
-    }),
+    }, oracle = Some(s"""
+      WITH p AS (
+        SELECT doc_id, string_split(decode(media), '|') AS parts
+        FROM read_parquet('$oracleInputsRoot/multimodal_media/*.parquet')),
+      b AS (
+        SELECT doc_id,
+               CAST(parts[2] AS INTEGER) AS width,
+               CAST(parts[3] AS INTEGER) AS height,
+               CAST(parts[4] AS INTEGER) AS channels,
+               parts[5] AS body
+        FROM p),
+      f AS (
+        SELECT doc_id, width, height, channels,
+               [ascii(body[i]) // 32 for i in generate_series(1, length(body))] AS bins,
+               greatest(length(body), 1) AS total
+        FROM b)
+      SELECT doc_id, width, height, channels,
+             round(CAST(len(list_filter(bins, x -> x = 0)) AS DOUBLE) / total, 6) AS f0,
+             round(CAST(len(list_filter(bins, x -> x = 3)) AS DOUBLE) / total, 6) AS f3
+      FROM f ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // CDC ingest + transactional table operators (SURVEY §2.1-§2.2).

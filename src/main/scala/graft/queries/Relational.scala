@@ -558,19 +558,48 @@ object Relational {
              quantile_cont(l_quantity, 0.9) AS p90_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // HLL / approximate — not oracle-comparable across engines (different
-    // sketch impls); the driver records a rows-only check.
+    // HLL sketch values differ across engines by construction, so the
+    // checkable contract is "within the sketch's error envelope of the
+    // exact count": the query emits the exact count (cross-engine
+    // verifiable) plus a tolerance flag computed against Spark's HLL;
+    // the oracle recomputes the exact count and asserts the flag.
     Q("approx_count_distinct", fn = (s, dir) =>
       Td.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy(col("l_returnflag"))),
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts")).cast(DoubleType) /
+            col("exact_parts") <= 0.05).as("hll_within_5pct"))
+        .orderBy(col("l_returnflag")),
+      oracle = Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             true AS hll_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    Q("approx_percentile", fn = (s, dir) =>
-      Td.lineitem(s, dir)
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)")
-          .as("price_quantiles"))),
+    // Same contract for the quantile sketch: exact percentiles are the
+    // verifiable values; the sketch must land within 1% relative error.
+    Q("approx_percentile", fn = (s, dir) => {
+      val li = Td.lineitem(s, dir)
+        .select(col("l_extendedprice").cast(DoubleType).as("p"))
+      val agged = li.agg(
+        expr("percentile(p, array(0.5, 0.95, 0.99))").as("exact"),
+        expr("approx_percentile(p, array(0.5, 0.95, 0.99), 10000)").as("approx"))
+      def ok(i: Int) = (abs(element_at(col("approx"), i) - element_at(col("exact"), i)) /
+        element_at(col("exact"), i) <= 0.01)
+      agged.select(
+        round(element_at(col("exact"), 1), 4).as("exact_p50"),
+        round(element_at(col("exact"), 2), 4).as("exact_p95"),
+        round(element_at(col("exact"), 3), 4).as("exact_p99"),
+        ok(1).as("p50_within_1pct"), ok(2).as("p95_within_1pct"),
+        ok(3).as("p99_within_1pct"))
+    }, oracle = Some("""
+      SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS exact_p50,
+             round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4) AS exact_p95,
+             round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 4) AS exact_p99,
+             true AS p50_within_1pct, true AS p95_within_1pct,
+             true AS p99_within_1pct
+      FROM lineitem""")),
 
     // ------------------------------------------------------------------
     // Event-time windows (streaming semantics, batch-checkable oracle).

@@ -368,16 +368,12 @@ class TxTable private (
     val keptFiles = s.files.diff(affectedFiles)
 
     val existingAffected = dfFor(s.copy(files = affectedFiles))
-    // CDC batches are small (reference consumes 100-record batches,
-    // stack/firehose.py:255) → broadcast the key set so the anti-join
-    // never shuffles the table side.
-    val survivors = existingAffected.join(
-      broadcast(deduped.select(col(key))), Seq(key), "left_anti")
-    val merged = survivors.select(schema.map(f => col(f.name)): _*)
-      .unionByName(deduped.select(schema.map(f => col(f.name)): _*))
-
     // cheap: deduped is already cache-materialized by the `touched` scan
     val batchRows = deduped.count()
+    val survivors = TxTable.antiJoinSurvivors(existingAffected,
+      deduped.select(col(key)), key, batchRows)
+    val merged = survivors.select(schema.map(f => col(f.name)): _*)
+      .unionByName(deduped.select(schema.map(f => col(f.name)): _*))
     val newFiles = writeFiles(
       sizedForWrite(merged, affectedFiles.map(_.sizeBytes).sum, batchRows,
         bytesPerRow(s), parts, splitCol = Some(key)),
@@ -587,6 +583,23 @@ class TxTable private (
 }
 
 object TxTable {
+
+  /** Merge batches up to this many keys broadcast their key set in the
+    * survivors anti-join (the reference's CDC batches are ~100 records,
+    * stack/firehose.py:255 — always broadcast). Above it — a backfill-
+    * sized merge — the key set would OOM the driver as a broadcast, so
+    * the anti-join falls back to a plain shuffled join on the key. */
+  private[table] val MergeBroadcastMaxKeys = 500000L
+
+  /** Rows of `existing` whose `key` does NOT appear in `keys` — the
+    * merge's survivor set. Broadcast vs shuffled is gated on the known
+    * batch row count (see [[MergeBroadcastMaxKeys]]). */
+  private[table] def antiJoinSurvivors(existing: DataFrame, keys: DataFrame,
+      key: String, batchRows: Long): DataFrame = {
+    val keySide =
+      if (batchRows <= MergeBroadcastMaxKeys) broadcast(keys) else keys
+    existing.join(keySide, Seq(key), "left_anti")
+  }
 
   /** Create a new empty table (version 0 snapshot). */
   def create(spark: SparkSession, root: Path, name: String,

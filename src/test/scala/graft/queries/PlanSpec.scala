@@ -74,6 +74,42 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("ivf: no shuffle exchange ever carries an embedding array") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    // iters = 1 exercises the Lloyd-update stage too, not just search
+    val df = graft.operators.Similarity.ivfTopK(emb, queries, k = 5, dim = 64,
+      nCells = 4, nprobe = 2, iters = 1)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // vectors only ever move via broadcast (probes) or stay in the scan;
+    // every shuffled row is (id, cell/score) — scalars
+    shuffles.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"embedding array shuffled: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("embedding near-dup: the LSH candidate join shuffles ids only") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val df = graft.operators.Dedup.embeddingNearDup(emb, dim = 64,
+      threshold = 0.4, nBits = 8, nTables = 8)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // a bucket-keyed shuffle carrying vectors = the r2 quadratic-payload
+    // bug; vectors may only shuffle in the post-distinct fetch joins
+    val bad = shuffles.filter(e => e.output.exists(_.name == "bucket") &&
+      e.output.exists(_.dataType.isInstanceOf[ArrayType]))
+    assert(bad.isEmpty, bad.map(_.output.map(_.name)).toString)
+  }
+
   test("aggregation plans partial (map-side) before the exchange") {
     val df = Td.lineitem(spark, sf0001)
       .groupBy("l_returnflag").agg(sum("l_quantity"))

@@ -416,6 +416,27 @@ class TxTableSpec extends SparkSpec {
     assert(t.count() === t.toDF.count())
   }
 
+  test("merge anti-join: broadcast below the key gate, shuffled above, same rows") {
+    val existing = spark.range(1000)
+      .select(col("id").cast("string").as("k"), col("id").as("v"))
+    val keys = spark.range(10).select(col("id").cast("string").as("k"))
+    // CDC-sized batch → forced broadcast (plan carries the hint even with
+    // auto-broadcast disabled); backfill-sized → plain shuffled anti-join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val small = TxTable.antiJoinSurvivors(existing, keys, "k", batchRows = 10)
+      assert(small.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val big = TxTable.antiJoinSurvivors(existing, keys, "k",
+        batchRows = TxTable.MergeBroadcastMaxKeys + 1)
+      assert(!big.queryExecution.executedPlan.toString.contains("Broadcast"),
+        big.queryExecution.executedPlan.toString)
+      assert(big.orderBy("k").collect().toSeq ===
+        small.orderBy("k").collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("catalog: namespace/table DDL + idempotent drop") {
     val cat = new TableCatalog(spark, new Path(freshDir("cat")))
     cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
