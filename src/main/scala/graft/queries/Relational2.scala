@@ -310,25 +310,55 @@ object Relational2 {
                   ELSE 'high' END AS band, count(*) AS n
       FROM orders GROUP BY 1 ORDER BY band""")),
 
-    // KMV sketch (TypedImperativeAggregate) vs exact — deterministic,
-    // but no SQL equivalent exists (rows-only; accuracy pinned in
-    // OperatorsSpec).
+    // KMV sketch values have no SQL equivalent, so the checkable
+    // contract mirrors approx_count_distinct: exact counts (verified
+    // cross-engine) plus a sketch-accuracy flag (k=256 => sigma ~ 6%;
+    // 15% is the same envelope OperatorsSpec pins).
     Q("agg_kmv_distinct", fn = (s, dir) =>
       Td.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(graft.functions.VectorFunctions.kmvDistinct(col("l_partkey")).as("kmv_parts"),
+        .agg(graft.functions.VectorFunctions.kmvDistinct(col("l_partkey")).as("kmv"),
           countDistinct(col("l_partkey")).as("exact_parts"))
-        .orderBy(col("l_returnflag"))),
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("kmv") - col("exact_parts")).cast(DoubleType) /
+            col("exact_parts") <= 0.15).as("kmv_within_15pct"))
+        .orderBy(col("l_returnflag")),
+      oracle = Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             true AS kmv_within_15pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // Mergeable-moments Aggregator (Welford/Chan) — float accumulation
-    // order differs from any SQL rewrite, so this one is rows-only.
+    // Mergeable-moments Aggregator (Welford/Chan): its float merge order
+    // can't be replayed in SQL, but the decimal-exact two-pass variance
+    // CAN (stats_moments arithmetic) — so the query emits that exact
+    // value and a flag that the Welford stream agrees to 1e-9 relative.
     Q("agg_variance_udaf", fn = (s, dir) => {
       val va = udaf(new Aggregators.VarianceAgg())
+      val q = dec(col("l_quantity"))
+      val s1d = col("s1").cast(DoubleType)
+      val s2d = col("s2").cast(DoubleType)
+      val exactVar = (s2d - s1d * s1d / col("n")) / (col("n") - 1)
       Td.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(round(va(col("l_quantity")), 2).as("var_qty"))
+        .agg(va(col("l_quantity").cast(DoubleType)).as("welford"),
+          count(lit(1)).as("n"),
+          sum(q).cast(DecimalType(38, 2)).as("s1"),
+          sum((q * q).cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          round(exactVar, 4).as("var_qty"),
+          (abs(col("welford") - exactVar) / exactVar <= 1e-9)
+            .as("welford_matches_exact"))
         .orderBy(col("l_returnflag"))
-    })
+    }, oracle = Some("""
+      WITH t AS (
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s1,
+               CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS s2
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 4) AS var_qty,
+             true AS welford_matches_exact
+      FROM t ORDER BY l_returnflag"""))
   )
 }
 
