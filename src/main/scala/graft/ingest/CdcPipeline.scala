@@ -78,6 +78,72 @@ object CdcPipeline {
       .withColumn("minute", minute(ts))
   }
 
+  // ---- type-generic unmarshal (nested schemas) -------------------------
+
+  /**
+   * T4, TYPE-GENERIC: unmarshal a DynamoDB attribute of any wire tag
+   * into a value of Spark type `dt`. Mirrors the reference's
+   * `list(v.values())[0]` (lambda/transform/index.py:30), which is
+   * tag-agnostic — but recursively, so `L`-of-`M` shapes (the nested
+   * orders `items` array, scripts/create_sample_orders.py:29-56) decode
+   * into real array<struct> columns instead of failing like the
+   * scalar-only round-2 form. An explicit `NULL: true` tag decodes to
+   * SQL NULL (stricter than the reference, which would pass `True`
+   * through).
+   */
+  def unmarshalValue(attr: Column, dt: DataType): Column = {
+    val decoded: Column = dt match {
+      case ArrayType(elem, _) =>
+        val fromL = transform(attr.getField("L"), e => unmarshalValue(e, elem))
+        elem match {
+          case StringType =>
+            coalesce(fromL, attr.getField("SS").cast(ArrayType(StringType)))
+          case n: NumericType =>
+            coalesce(fromL,
+              transform(attr.getField("NS"), x => x.cast(n)))
+          case _ => fromL
+        }
+      case st: StructType =>
+        val m = attr.getField("M")
+        when(m.isNotNull,
+          struct(st.map(f =>
+            unmarshalValue(m.getField(f.name), f.dataType).as(f.name)): _*))
+      case MapType(StringType, v, _) =>
+        transform_values(attr.getField("M"), (_, a) => unmarshalValue(a, v))
+      case BinaryType => unbase64(attr.getField("B"))
+      case _ =>
+        coalesce(attr.getField("S"), attr.getField("N"),
+          attr.getField("BOOL").cast(StringType)).cast(dt)
+    }
+    when(attr.getField("NULL") === true, lit(null).cast(dt)).otherwise(decoded)
+  }
+
+  /** T3+T4 for a struct-keyed NewImage (see [[Schemas.dynamoImageFor]]):
+    * project and unmarshal every attribute of `schema`, nested shapes
+    * included. */
+  def unmarshalNested(events: DataFrame, schema: StructType): DataFrame = {
+    val img = col("dynamodb").getField("NewImage")
+    events.select(schema.map(f =>
+      unmarshalValue(img.getField(f.name), f.dataType).as(f.name)): _*)
+  }
+
+  /** T1 parameterized by target schema — parses NewImage as a typed
+    * struct tree instead of the flat path's homogeneous map. */
+  def decodeKinesisFramesAs(frames: DataFrame, schema: StructType): DataFrame =
+    frames.select(
+      from_json(unbase64(col("data")).cast(StringType),
+        Schemas.cdcEnvelopeSlimFor(schema)).as("event"))
+      .select("event.*")
+
+  /** Full transform-Lambda dataflow for ANY target schema (nested
+    * arrays-of-structs included): frames in, typed rows out, time
+    * columns derived when the schema carries an epoch-ms `timestamp`
+    * (the reference's `if "timestamp" in item` guard). */
+  def kinesisPathAs(frames: DataFrame, schema: StructType): DataFrame = {
+    val typed = unmarshalNested(filterEvents(decodeKinesisFramesAs(frames, schema)), schema)
+    if (schema.fieldNames.contains("timestamp")) deriveTimeColumns(typed) else typed
+  }
+
   /** Full transform-Lambda dataflow (Kinesis path, §3.2): frames in,
     * typed flat transaction rows out. One codegen stage end-to-end. */
   def kinesisPath(frames: DataFrame): DataFrame =

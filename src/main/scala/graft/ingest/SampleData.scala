@@ -186,6 +186,37 @@ object SampleData {
       ).as("dynamodb"))
   }
 
+  /** Marshal a value of Spark type `dt` into its DynamoDB typed-attr
+    * wire form — the inverse of CdcPipeline.unmarshalValue. Each case
+    * sets exactly one tag; to_json drops the null siblings, so the wire
+    * bytes are the canonical `{"S": ...}` / `{"L": [{"M": ...}]}`
+    * shapes DynamoDB Streams emits. */
+  def marshalValue(c: Column, dt: DataType): Column = dt match {
+    case ArrayType(elem, _) =>
+      struct(transform(c, e => marshalValue(e, elem)).as("L"))
+    case st: StructType =>
+      struct(struct(st.map(f =>
+        marshalValue(c.getField(f.name), f.dataType).as(f.name)): _*).as("M"))
+    case BinaryType => struct(base64(c).as("B"))
+    case BooleanType => struct(c.as("BOOL"))
+    case _: NumericType => struct(c.cast(StringType).as("N"))
+    case _ => struct(c.cast(StringType).as("S"))
+  }
+
+  /** Wrap rows of ANY schema (nested orders included) into DynamoDB
+    * Streams CDC envelopes with a struct-keyed NewImage — the generic
+    * sibling of [[toCdcEnvelopes]] (which keeps the flat transactions
+    * map shape the streaming-ingest contract consumes). */
+  def toCdcEnvelopesOf(rows: DataFrame, schema: StructType, keyCol: String,
+      eventName: Column = lit("INSERT")): DataFrame = {
+    val image = struct(schema.map(f =>
+      marshalValue(col(f.name), f.dataType).as(f.name)): _*)
+    rows.select(
+      concat(lit("evt-"), col(keyCol)).as("eventID"),
+      eventName.as("eventName"),
+      struct(image.as("NewImage")).as("dynamodb"))
+  }
+
   /** Kinesis framing: envelope JSON base64-encoded into `data`
     * (lambda/transform/index.py:22). */
   def toKinesisFrames(envelopes: DataFrame): DataFrame =

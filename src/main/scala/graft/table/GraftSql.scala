@@ -1,0 +1,98 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+/**
+ * SQL-text DDL router over [[TableCatalog]] (SURVEY §2.1 S9): the
+ * reference manages tables with Athena DDL *strings* —
+ * `CREATE TABLE IF NOT EXISTS ns.tbl (… STRUCT<…>, …) PARTITIONED BY
+ * (date) LOCATION '…' TBLPROPERTIES ('table_type'='ICEBERG')`
+ * (scripts/update_metadata.py:78-125) and idempotent drops
+ * (lambda/custom_resource/index.py:140-160) — so the engine accepts the
+ * same statements as text.
+ *
+ * Column lists (nested STRUCT<>, DECIMAL(p,s), `--` comments) are
+ * parsed with Spark's own DDL parser (`StructType.fromDDL`), so the
+ * accepted type dialect is exactly Spark SQL's. LOCATION and
+ * TBLPROPERTIES are accepted and ignored: the catalog owns physical
+ * layout, and the storage format is always the native transaction log.
+ * Statements that aren't CREATE/DROP TABLE delegate to `spark.sql`
+ * (the query surface over registered views).
+ */
+object GraftSql {
+
+  private val CreateRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s*\((.*)""".r
+  private val DropRe =
+    """(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
+  private val PartitionedRe =
+    """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r.unanchored
+
+  /** Route one SQL statement: DDL against the catalog, everything else
+    * to spark.sql. DDL returns a one-row (result: string) frame, the
+    * way a CLI echoes `CREATED analytics.txns`. */
+  def sql(cat: TableCatalog, text: String): DataFrame = {
+    val spark = cat.spark
+    import spark.implicits._
+    val stripped = stripLineComments(text)
+    stripped match {
+      case CreateRe(ifNotExists, rawName, rest) =>
+        val (colsDdl, tail) = splitAtMatchingParen(rest)
+        val schema = StructType.fromDDL(colsDdl)
+        val parts = PartitionedRe.findFirstMatchIn(tail)
+          .map(_.group(1).split(",").map(cleanIdent).toSeq).getOrElse(Nil)
+        parts.foreach(p => require(schema.fieldNames.contains(p),
+          s"PARTITIONED BY column '$p' is not in the column list"))
+        val (ns, tbl) = splitName(rawName)
+        if (ifNotExists != null && cat.tableExists(ns, tbl))
+          Seq(s"EXISTS $ns.$tbl").toDF("result")
+        else {
+          cat.createTable(ns, tbl, schema, parts)
+          Seq(s"CREATED $ns.$tbl").toDF("result")
+        }
+      case DropRe(ifExists, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        if (!cat.tableExists(ns, tbl) && ifExists == null)
+          throw new IllegalArgumentException(s"table $ns.$tbl does not exist")
+        cat.dropTable(ns, tbl)
+        Seq(s"DROPPED $ns.$tbl").toDF("result")
+      case _ => spark.sql(text)
+    }
+  }
+
+  /** drop `-- …` comments (the reference's DDL annotates column groups
+    * with them); safe here because the routed DDL carries no string
+    * literals we preserve (LOCATION/TBLPROPERTIES are ignored). */
+  private def stripLineComments(s: String): String =
+    s.linesIterator.map(_.replaceFirst("--.*$", "")).mkString("\n")
+
+  /** body up to the paren matching the already-consumed `(`, plus tail.
+    * Tracks only `()` depth — DECIMAL(12,2) nests, STRUCT<> doesn't. */
+  private def splitAtMatchingParen(s: String): (String, String) = {
+    var depth = 1
+    var i = 0
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0, "unbalanced parentheses in CREATE TABLE column list")
+    (s.substring(0, i - 1), s.substring(i))
+  }
+
+  private def cleanIdent(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** `ns.table` or bare `table` (namespace defaults like Athena's
+    * `default` database). */
+  private def splitName(raw: String): (String, String) =
+    cleanIdent(raw).split('.') match {
+      case Array(ns, tbl) => (ns, tbl)
+      case Array(tbl) => ("default", tbl)
+      case other => throw new IllegalArgumentException(
+        s"expected [namespace.]table, got '${other.mkString(".")}'")
+    }
+}

@@ -79,5 +79,9 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
     viewName
   }
 
-  def sql(query: String): DataFrame = spark.sql(query)
+  /** SQL-text surface: CREATE/DROP TABLE statements (the reference's
+    * Athena-DDL management path) route through this catalog via
+    * [[GraftSql]]; queries delegate to spark.sql over registered
+    * views. */
+  def sql(query: String): DataFrame = GraftSql.sql(this, query)
 }

@@ -108,4 +108,39 @@ class CdcPipelineSpec extends SparkSpec {
     val b = SampleData.transactions(spark, 20, seed = 7L).collect().toSeq
     assert(a === b)
   }
+
+  test("nested orders round-trip the generic marshal/unmarshal (L-of-M)") {
+    val orders = SampleData.orders(spark, 30, seed = 13L)
+    val frames = SampleData.toKinesisFrames(
+      SampleData.toCdcEnvelopesOf(orders, Schemas.orders, keyCol = "orderId"))
+    val back = CdcPipeline.kinesisPathAs(frames, Schemas.orders)
+      .select(Schemas.orders.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val orig = orders.orderBy("orderId").collect().toSeq
+    val got = back.orderBy("orderId").collect().toSeq
+    assert(got === orig) // items array-of-struct, decimals, ints — exact
+  }
+
+  test("generic unmarshal: NULL tag, BOOL, binary, string-set shapes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("flag", BooleanType),
+      StructField("blob", BinaryType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("gone", StringType)))
+    val json =
+      """{"eventName":"INSERT","dynamodb":{"NewImage":{
+        |"id":{"S":"a"},"flag":{"BOOL":true},"blob":{"B":"aGk="},
+        |"tags":{"SS":["x","y"]},"gone":{"NULL":true}}}}""".stripMargin.replace("\n", "")
+    import spark.implicits._
+    val events = spark.read.schema(Schemas.cdcEnvelopeSlimFor(schema))
+      .json(Seq(json).toDS)
+    val row = CdcPipeline.unmarshalNested(events, schema).collect()(0)
+    assert(row.getString(0) === "a")
+    assert(row.getBoolean(1) === true)
+    assert(new String(row.getAs[Array[Byte]](2), "UTF-8") === "hi")
+    assert(row.getSeq[String](3) === Seq("x", "y"))
+    assert(row.isNullAt(4))
+  }
 }

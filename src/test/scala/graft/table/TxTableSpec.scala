@@ -437,6 +437,39 @@ class TxTableSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("catalog: SQL-text CREATE/DROP TABLE route through GraftSql") {
+    val cat = new TableCatalog(spark, new Path(freshDir("sqlddl")))
+    val created = cat.sql("""
+      CREATE TABLE analytics.orders (
+        -- identifiers
+        orderId STRING,
+        amount DECIMAL(12,2),
+        meta STRUCT<region: STRING, channel: STRING>,
+        date DATE
+      ) PARTITIONED BY (date) TBLPROPERTIES ('table_type'='ICEBERG')""")
+    assert(created.collect()(0).getString(0) === "CREATED analytics.orders")
+    val t = cat.getTable("analytics", "orders")
+    assert(t.schema.fieldNames.toSeq ===
+      Seq("orderId", "amount", "meta", "date"))
+    assert(t.snapshot.partitionColumns === Seq("date"))
+    // IF NOT EXISTS is a no-op on an existing table
+    assert(cat.sql("CREATE TABLE IF NOT EXISTS analytics.orders (x INT)")
+      .collect()(0).getString(0) === "EXISTS analytics.orders")
+    // bare CREATE on an existing table fails
+    intercept[IllegalArgumentException] {
+      cat.sql("CREATE TABLE analytics.orders (x INT)")
+    }
+    // DROP IF EXISTS is idempotent; bare DROP on a missing table fails
+    assert(cat.sql("DROP TABLE IF EXISTS analytics.orders")
+      .collect()(0).getString(0) === "DROPPED analytics.orders")
+    cat.sql("DROP TABLE IF EXISTS analytics.orders")
+    intercept[IllegalArgumentException] {
+      cat.sql("DROP TABLE analytics.orders")
+    }
+    // non-DDL text delegates to spark.sql
+    assert(cat.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) === 2)
+  }
+
   test("catalog: namespace/table DDL + idempotent drop") {
     val cat = new TableCatalog(spark, new Path(freshDir("cat")))
     cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
