@@ -24,21 +24,27 @@ object Bench {
       try fns(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // two timed runs per query, report the faster — each query is
-    // deterministic and side-effect-isolated (fresh scratch dirs), so
-    // min-of-2 measures the engine, not transient machine noise
+    // two timed runs per query: run 1 is the cold number (first touch
+    // of the target-SF data after JIT warm-up — comparable to r1's
+    // single-run timing), min-of-2 is the steady-state number. BOTH are
+    // reported so round-over-round comparisons stay honest about which
+    // methodology they use; `queries`/`value` keep the warm (min-of-2)
+    // semantics the driver has parsed since r2.
     val results = names.map { name =>
       val secs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fns(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> secs.min
+      (name, secs.head, secs.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, Double, Double)) => Double): String =
+      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val warmMap = jmap(_._3)
+    val coldMap = jmap(_._2)
+    val total = results.map(_._3).sum
+    val coldTotal = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -76,6 +76,11 @@ object TextHashBuilders {
 
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  /** table-generating: one output row per word n-gram — alias the two
+    * generated columns with `.as(Seq("pos", "ngram"))` */
+  def ngramGenerate(text: Column, n: Int): Column =
+    ColumnBridge.column(NgramGenerate(ColumnBridge.expression(text), n))
 }
 
 /**
@@ -154,6 +159,45 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Native table-generating function (SURVEY §2.5 UDTF row): one input
+ * row fans out to one row per word n-gram, `(pos, ngram)`. A custom
+ * Catalyst `Generator` is the engine's UDTF extension point — the
+ * analyzer plans it as a `Generate` node exactly like built-in
+ * explode/posexplode (so it distributes and pipelines; no driver
+ * collection), while a Scala UDF could only return an array to explode
+ * afterwards. Tokenization shares [[TextHash.tokenize]]'s exact
+ * contract. Fewer than `n` tokens (or null text) generates nothing.
+ */
+case class NgramGenerate(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+
+  override def prettyName: String = "ngram_generate"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("ngram", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Nil
+    else {
+      val toks = TextHash.tokenize(t.asInstanceOf[UTF8String])
+      val m = toks.length - n + 1
+      if (m <= 0) Nil
+      else (0 until m).map { i =>
+        InternalRow(i,
+          UTF8String.fromString(toks.slice(i, i + n).mkString(" ")))
+      }
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

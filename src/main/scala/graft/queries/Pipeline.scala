@@ -476,6 +476,31 @@ object Pipeline {
              END AS fp_shingle
       FROM t ORDER BY doc_id""")),
 
+    // UDTF surface (§2.5 last row): a custom Catalyst Generator fans
+    // each document out to (pos, ngram) rows — planned as a Generate
+    // node like built-in explode, not a collect-and-flatten UDF. The
+    // oracle regenerates the same n-grams positionally in SQL.
+    Q("udtf_ngrams", fn = (s, dir) =>
+      Td.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          graft.functions.expressions.TextHashBuilders
+            .ngramGenerate(col("text"), 2).as(Seq("pos", "ngram")))
+        .orderBy(col("doc_id"), col("pos")),
+      oracle = Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents WHERE doc_id < 50),
+      g AS (
+        SELECT doc_id,
+               [{'pos': i - 1, 'ngram': array_to_string(w[i:i+1], ' ')}
+                for i in generate_series(1, len(w) - 1)] AS pairs
+        FROM t WHERE len(w) >= 2)
+      SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.ngram AS ngram
+      FROM (SELECT doc_id, unnest(pairs) AS u FROM g)
+      ORDER BY doc_id, pos""")),
+
     // As-of join over the events stream: each 'click'-class event picks
     // up the most recent earlier 'signup'-class event of the same user.
     Q("asof_join_events", fn = (s, dir) => {

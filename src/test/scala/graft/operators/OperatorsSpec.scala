@@ -186,6 +186,21 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getInt(1) === 0)
   }
 
+  test("ngram generator: fans out positions, empty for short/null docs") {
+    import graft.functions.expressions.TextHashBuilders
+    val docs = Seq((1L, Some("a b c")), (2L, Some("solo")), (3L, None))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextHashBuilders.ngramGenerate(col("text"), 2).as(Seq("pos", "ngram")))
+      .as[(Long, Int, String)].collect().toSet
+    assert(out === Set((1L, 0, "a b"), (1L, 1, "b c")))
+    // the plan is a Generate node (distributed fan-out), not a UDF+explode
+    val plan = docs.select(col("doc_id"),
+      TextHashBuilders.ngramGenerate(col("text"), 2).as(Seq("pos", "ngram")))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("Generate"), plan)
+  }
+
   test("text functions: tokens, ngrams, language id, quality") {
     val t = Seq(("the cat and the dog sat in the house for a while",
       "x y z")).toDF("en", "short")
