@@ -66,10 +66,17 @@ object Similarity {
    * At 100 TB the corpus pass is the only large stage and it is
    * embarrassingly parallel; centroids always fit on the driver.
    */
+  /** Above this many inlined centroid components (nCells×dim) the
+    * argmax expression would blow past JVM codegen method limits
+    * (~64KB) and bloat the driver plan, so [[ivfTopK]] switches to the
+    * broadcast-join assignment path. */
+  val AssignInlineMaxComponents = 65536
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nprobe: Int = 4, iters: Int = 3,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
-      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      assignInlineMax: Int = AssignInlineMaxComponents): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -96,19 +103,34 @@ object Similarity {
         java.util.Arrays.asList(cs.map(c => Row(c._1, c._2.toSeq)): _*), schema)
     }
 
-    // Argmax-cosine cell per row with ZERO shuffle: the k centroids are
-    // inlined as array literals and the argmax is one greatest() over
-    // (sim, -cell) structs — a narrow, codegen'd map stage. (The r2 form
-    // window-partitioned over every column, shuffling n×k scored rows
-    // INCLUDING the embedding arrays once per Lloyd round.) Ties break
-    // to the lowest cell: max struct = max sim, then max(-cell).
+    // Argmax-cosine cell per row. Small quantizers (nCells×dim within
+    // codegen limits): centroids inlined as array literals, argmax as
+    // one greatest() over (sim, -cell) structs — a narrow, codegen'd
+    // map stage with ZERO shuffle. (The r2 form window-partitioned over
+    // every column, shuffling n×k scored rows INCLUDING the embedding
+    // arrays once per Lloyd round.) Ties break to the lowest cell:
+    // max struct = max sim, then max(-cell).
+    // Large quantizers (thousands of cells at 100 TB): broadcast-join
+    // the centroid table instead — score on vector-free (id, cell, sim)
+    // rows, argmax via max_by, join the assignment back by id. Vectors
+    // cross one exchange (the join-back), never the n×k scored rows.
     def assign(df: DataFrame, vecCol: String): DataFrame = {
-      val scored = centroids.map { case (cellId, cvec) =>
-        struct(cosine(col(vecCol), typedlit(cvec.toSeq)).as("sim"),
-          lit(-cellId).as("neg_cell"))
+      if (centroids.length.toLong * dim <= assignInlineMax) {
+        val scored = centroids.map { case (cellId, cvec) =>
+          struct(cosine(col(vecCol), typedlit(cvec.toSeq)).as("sim"),
+            lit(-cellId).as("neg_cell"))
+        }
+        val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+        df.withColumn("cell", (-best.getField("neg_cell")).cast(IntegerType))
+      } else {
+        val idCols = df.columns.filterNot(_ == vecCol).map(col).toSeq
+        val best = df.join(broadcast(centroidDf(centroids)))
+          .select((idCols :+ col("cell") :+
+            cosine(col(vecCol), col("cvec")).as("__sim")): _*)
+          .groupBy(idCols: _*)
+          .agg(max_by(col("cell"), struct(col("__sim"), -col("cell"))).as("cell"))
+        df.join(best, df.columns.filterNot(_ == vecCol).toSeq)
       }
-      val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
-      df.withColumn("cell", (-best.getField("neg_cell")).cast(IntegerType))
     }
 
     (0 until iters).foreach { _ =>

@@ -346,7 +346,10 @@ object Relational2 {
           sum((q * q).cast(DecimalType(38, 4))).cast(DecimalType(38, 4)).as("s2"))
         .select(col("l_returnflag"), col("n"),
           round(exactVar, 4).as("var_qty"),
-          (abs(col("welford") - exactVar) / exactVar <= 1e-9)
+          // absolute-or-relative tolerance: a zero-variance or n=1 group
+          // would make a pure relative test null/indeterminate
+          (col("n") > 1 && abs(col("welford") - exactVar) <=
+            greatest(abs(exactVar) * 1e-9, lit(1e-12)))
             .as("welford_matches_exact"))
         .orderBy(col("l_returnflag"))
     }, oracle = Some("""
@@ -357,7 +360,7 @@ object Relational2 {
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
              round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1), 4) AS var_qty,
-             true AS welford_matches_exact
+             n > 1 AS welford_matches_exact
       FROM t ORDER BY l_returnflag"""))
   )
 }

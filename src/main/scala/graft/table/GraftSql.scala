@@ -40,6 +40,7 @@ object GraftSql {
       case CreateRe(ifNotExists, rawName, rest) =>
         val (colsDdl, tail) = splitAtMatchingParen(rest)
         val schema = StructType.fromDDL(colsDdl)
+        requireKnownTail(tail)
         val parts = PartitionedRe.findFirstMatchIn(tail)
           .map(_.group(1).split(",").map(cleanIdent).toSeq).getOrElse(Nil)
         parts.foreach(p => require(schema.fieldNames.contains(p),
@@ -62,10 +63,24 @@ object GraftSql {
   }
 
   /** drop `-- …` comments (the reference's DDL annotates column groups
-    * with them); safe here because the routed DDL carries no string
-    * literals we preserve (LOCATION/TBLPROPERTIES are ignored). */
+    * with them) — but only outside single-quoted literals, so
+    * `COMMENT 'a--b'` or `LOCATION 's3://x--y'` survive intact. */
   private def stripLineComments(s: String): String =
-    s.linesIterator.map(_.replaceFirst("--.*$", "")).mkString("\n")
+    s.linesIterator.map { line =>
+      var inQuote = false
+      var cut = -1
+      var i = 0
+      while (i < line.length && cut < 0) {
+        line.charAt(i) match {
+          case '\'' => inQuote = !inQuote
+          case '-' if !inQuote && i + 1 < line.length && line.charAt(i + 1) == '-' =>
+            cut = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (cut >= 0) line.substring(0, cut) else line
+    }.mkString("\n")
 
   /** body up to the paren matching the already-consumed `(`, plus tail.
     * Tracks only `()` depth — DECIMAL(12,2) nests, STRUCT<> doesn't. */
@@ -84,12 +99,25 @@ object GraftSql {
     (s.substring(0, i - 1), s.substring(i))
   }
 
+  /** The tail after the column list may only carry the clauses we accept
+    * (PARTITIONED BY / LOCATION / TBLPROPERTIES); anything else (USING,
+    * AS SELECT, CLUSTERED BY, …) is rejected rather than silently
+    * dropped — a swallowed clause would change table semantics. */
+  private val TailClauseRe =
+    """(?is)\s*(?:PARTITIONED\s+BY\s*\([^)]*\)|LOCATION\s+'[^']*'|TBLPROPERTIES\s*\([^)]*\)|;)\s*""".r
+  private def requireKnownTail(tail: String): Unit = {
+    val residue = TailClauseRe.replaceAllIn(tail, " ").trim
+    require(residue.isEmpty,
+      s"unsupported clause in CREATE TABLE (only PARTITIONED BY / LOCATION / TBLPROPERTIES accepted): '$residue'")
+  }
+
   private def cleanIdent(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
 
   /** `ns.table` or bare `table` (namespace defaults like Athena's
-    * `default` database). */
+    * `default` database). Split on dots first, then unquote per segment,
+    * so per-segment quoting like `` `analytics`.`txns` `` resolves. */
   private def splitName(raw: String): (String, String) =
-    cleanIdent(raw).split('.') match {
+    raw.split('.').map(cleanIdent) match {
       case Array(ns, tbl) => (ns, tbl)
       case Array(tbl) => ("default", tbl)
       case other => throw new IllegalArgumentException(

@@ -155,6 +155,20 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("ivf assign: broadcast-join fallback path matches the inlined-centroid path") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    def run(inlineMax: Int) =
+      Similarity.ivfTopK(emb, queries, k = 5, dim = 64,
+          nCells = 8, nprobe = 3, iters = 1, assignInlineMax = inlineMax)
+        .select("query_id", "vec_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    // inlineMax=0 forces the large-quantizer broadcast-join assignment;
+    // results must be identical (same centroids, same argmax tie-break)
+    assert(run(Similarity.AssignInlineMaxComponents) === run(0))
+  }
+
   test("as-of join picks the latest earlier right row per key") {
     val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
       .toDF("k", "t", "tag")

@@ -470,6 +470,28 @@ class TxTableSpec extends SparkSpec {
     assert(cat.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) === 2)
   }
 
+  test("catalog: SQL DDL edge cases — quoted literals, per-segment backticks, unknown tail") {
+    val cat = new TableCatalog(spark, new Path(freshDir("sqlddl2")))
+    // '--' inside a quoted COMMENT is not a line comment
+    val created = cat.sql("""
+      CREATE TABLE `analytics`.`annotated` (
+        id STRING COMMENT 'a--b', -- a real comment
+        v INT
+      ) LOCATION 's3://bucket/pre--fix/path'""")
+    assert(created.collect()(0).getString(0) === "CREATED analytics.annotated")
+    val t = cat.getTable("analytics", "annotated")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v"))
+    assert(t.schema("id").getComment().contains("a--b"))
+    // unknown tail clauses are rejected, not silently dropped
+    val err = intercept[IllegalArgumentException] {
+      cat.sql("CREATE TABLE analytics.bad (x INT) USING csv")
+    }
+    assert(err.getMessage.contains("unsupported clause"))
+    intercept[IllegalArgumentException] {
+      cat.sql("CREATE TABLE analytics.bad2 (x INT) AS SELECT 1")
+    }
+  }
+
   test("catalog: namespace/table DDL + idempotent drop") {
     val cat = new TableCatalog(spark, new Path(freshDir("cat")))
     cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
