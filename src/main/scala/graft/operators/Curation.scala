@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline needs
+ * beyond dedup/similarity: benchmark decontamination, deterministic
+ * sampling and dataset splits, sequence packing, and repetition-based
+ * quality filters (the "Gopher rules" family).
+ *
+ * Everything here is declarative DataFrame code — narrow map stages
+ * where possible, hash-partitioned aggregations where not — and every
+ * randomized-looking decision (sampling, splits) is a pure function of
+ * a portable md5 hash, so results are reproducible run-to-run, engine
+ * to engine (a SQL oracle can replay them exactly), and stable under
+ * repartitioning — the property that matters when a 100 TB corpus is
+ * re-curated incrementally.
+ */
+object Curation {
+
+  // ---- deterministic hashing --------------------------------------------
+
+  /** Uniform-[0,1) fraction from a portable 60-bit md5 hash of
+    * `key` + `salt`. Stable across engines (DuckDB re-derives it with
+    * the same expression), partitioning, and runs; changing `salt`
+    * draws an independent sample. */
+  def hashFraction(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast(StringType), lit("_" + salt))), 1, 15),
+      16, 10).cast(LongType) % 1000000L / 1000000.0
+
+  /** Keep each row with probability `rate`, deterministically by key.
+    * A narrow filter — no shuffle, no RNG state, safe to re-run on any
+    * subset of partitions (the property reservoir sampling lacks). */
+  def bernoulliSample(df: DataFrame, key: Column, rate: Double,
+      salt: String = "sample"): DataFrame =
+    df.filter(hashFraction(key, salt) < rate)
+
+  /** Per-stratum sampling rates (domain mixing): rows in stratum s keep
+    * with probability rates(s), `defaultRate` otherwise. This is the
+    * standard way to hit a target domain mixture on a corpus too large
+    * to shuffle: one narrow pass, no per-stratum scans. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double,
+      salt: String = "strata"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(stratum === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashFraction(key, salt) < rate)
+  }
+
+  /** Assign each row a split label from cumulative `weights`
+    * (e.g. train 0.8 / val 0.1 / test 0.1) by hash range. Disjoint,
+    * exhaustive, deterministic — and docs keep their split when the
+    * corpus grows, so eval sets never silently absorb training docs. */
+  def assignSplit(df: DataFrame, key: Column,
+      weights: Seq[(String, Double)], salt: String = "split"): DataFrame = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val f = hashFraction(key, salt)
+    val cuts = weights.scanLeft(0.0)(_ + _._2).tail
+    val expr = weights.init.zip(cuts.init).foldRight(
+      lit(weights.last._1): Column) { case (((name, _), cut), acc) =>
+      when(f < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  // ---- benchmark decontamination ----------------------------------------
+
+  /**
+   * Flag corpus documents that share ≥ `minShared` distinct word
+   * `n`-grams with any benchmark/eval document — the standard guard
+   * against test-set leakage into training data.
+   *
+   * Plan shape (the only one that survives 100 TB): both sides explode
+   * to (id, shingle) inverted indexes and meet in an equi-join keyed by
+   * the shingle string — work is proportional to true overlap, never
+   * |corpus|×|bench|. Shingles seen in more than `maxDocFreq` corpus
+   * docs are boilerplate (and join-skew bombs); they are dropped from
+   * BOTH sides, which only makes the filter conservative about
+   * ubiquitous phrases, exactly like production decontamination at
+   * n-gram sizes 8-13 where such collisions are noise anyway.
+   */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+      minShared: Int = 2, maxDocFreq: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIdCol: String = "bench_id"): DataFrame = {
+    def inv(df: DataFrame, id: String) = df.select(col(id),
+      explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    val corpusInv = inv(corpus, idCol)
+    val keep = corpusInv.groupBy(col("g"))
+      .agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxDocFreq)
+      .select(col("g"))
+    val benchInv = inv(bench.withColumnRenamed(idCol, benchIdCol), benchIdCol)
+    corpusInv.join(keep, "g")
+      .join(benchInv, "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col(benchIdCol)).as("n_bench_docs"))
+      .filter(col("n_shared_ngrams") >= minShared)
+  }
+
+  // ---- sequence packing -------------------------------------------------
+
+  /**
+   * Contiguous greedy packing: within each `group`, documents in
+   * `order` accumulate into bins of ≈ `budgetTokens` — bin =
+   * floor(exclusive-running-sum / budget), so a bin closes once the
+   * docs before the current one fill the budget. This is the
+   * distributed analogue of first-fit packing for training-sequence
+   * construction: one window per group (a single hash-partitioned
+   * sort), no driver loop, deterministic. Groups are the parallelism
+   * unit — at corpus scale, pack per (source, shard) to bound any one
+   * group's sort.
+   */
+  def packContiguous(docs: DataFrame, budgetTokens: Long,
+      group: Column, order: Column, tokenCount: Column): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.withColumn("n_tokens", tokenCount)
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) /
+          budgetTokens).cast(LongType))
+  }
+
+  // ---- repetition quality filters (Gopher rules) ------------------------
+
+  /**
+   * Per-document repetition statistics (Rae et al., "Scaling Language
+   * Models: ... Gopher", arXiv:2112.11446 §A1.1 data pipeline):
+   * duplicate-bigram fraction and most-frequent-token share. Both are
+   * cheap distributed passes: the bigram fraction is a pure array
+   * expression (narrow), the top-token share is two partial-aggregated
+   * groupBys keyed by (doc, token) then doc — no all-pairs anything.
+   * Returned frame: id, n_tokens, dup_bigram_frac, top_token_share.
+   */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val bi = TextFunctions.ngrams(toks, 2)
+    val base = docs.select(col(idCol), toks.as("__toks"), bi.as("__bi"))
+      .select(col(idCol),
+        size(col("__toks")).cast(LongType).as("n_tokens"),
+        when(size(col("__bi")) > 0,
+          lit(1.0) - size(array_distinct(col("__bi"))).cast(DoubleType) /
+            size(col("__bi")))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"),
+        col("__toks"))
+    val freq = base.select(col(idCol), explode(col("__toks")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg((max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_token_share"))
+    base.drop("__toks")
+      .join(freq, Seq(idCol), "left")
+      .withColumn("top_token_share", coalesce(col("top_token_share"), lit(0.0)))
+  }
+}

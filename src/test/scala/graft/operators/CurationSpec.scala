@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignSplit: disjoint, exhaustive, deterministic, ~weight-proportioned") {
+    val docs = spark.range(10000).toDF("id")
+    val split = Curation.assignSplit(docs, col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") - 8000) < 300, counts)
+    assert(math.abs(counts("val") - 1000) < 150, counts)
+    assert(math.abs(counts("test") - 1000) < 150, counts)
+    // stability: the same keys get the same split regardless of
+    // partitioning or corpus size (hash of key only)
+    val sub = Curation.assignSplit(
+      spark.range(100).toDF("id").repartition(7), col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    val full = split.filter(col("id") < 100).as[(Long, String)].collect().toMap
+    assert(sub === full)
+  }
+
+  test("stratifiedSample: per-stratum rates hit, deterministic by key") {
+    val df = spark.range(20000)
+      .select(col("id"), (when(col("id") % 2 === 0, "a").otherwise("b")).as("s"))
+    val sampled = Curation.stratifiedSample(df, col("s"), col("id"),
+      Map("a" -> 0.5), defaultRate = 0.05)
+    val counts = sampled.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("a") - 5000) < 300, counts)
+    assert(math.abs(counts("b") - 500) < 120, counts)
+    // re-running draws the identical sample
+    assert(sampled.agg(sum("id")).head.getLong(0) ===
+      Curation.stratifiedSample(df, col("s"), col("id"), Map("a" -> 0.5), 0.05)
+        .agg(sum("id")).head.getLong(0))
+  }
+
+  test("decontaminate flags docs overlapping the benchmark, not clean docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "entirely unrelated words describing cabbages and kings here"),
+      (3L, "quick brown fox jumps over something else entirely now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a benchmark question about the quick brown fox jumps clearly")
+    ).toDF("doc_id", "text")
+    val hits = Curation.decontaminate(corpus, bench, n = 3, minShared = 2)
+      .select("doc_id", "n_shared_ngrams").as[(Long, Long)].collect().toMap
+    // docs 1 and 3 share ≥2 3-grams ("quick brown fox", "brown fox jumps");
+    // doc 2 shares none
+    assert(hits.keySet === Set(1L, 3L), hits)
+    assert(hits.values.forall(_ >= 2))
+  }
+
+  test("packContiguous: bins close when the docs before fill the budget") {
+    val docs = Seq(
+      ("s", 1L, 300L), ("s", 2L, 300L), ("s", 3L, 300L), ("s", 4L, 50L),
+      ("t", 1L, 900L), ("t", 2L, 10L)
+    ).toDF("source", "doc_id", "nt")
+    val packed = Curation.packContiguous(docs, budgetTokens = 512,
+        group = col("source"), order = col("doc_id"), tokenCount = col("nt"))
+      .select("source", "doc_id", "bin").as[(String, Long, Long)]
+      .collect().toSet
+    // s: cum-before = 0,300,600,900 → bins 0,0,1,1 ; t: 0,900 → 0,1
+    assert(packed === Set(("s", 1L, 0L), ("s", 2L, 0L), ("s", 3L, 1L),
+      ("s", 4L, 1L), ("t", 1L, 0L), ("t", 2L, 1L)))
+  }
+
+  test("repetitionStats: hand-computed fractions, empty doc safe") {
+    val docs = Seq(
+      (1L, "a b a b a"),      // bigrams: ab,ba,ab,ba → dup 0.5; top a: 3/5
+      (2L, "x y z"),          // all distinct → dup 0 ; top 1/3
+      (3L, "")                // empty → zeros
+    ).toDF("doc_id", "text")
+    val st = Curation.repetitionStats(docs)
+      .select("doc_id", "n_tokens", "dup_bigram_frac", "top_token_share")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(st(1L)._1 === 5L)
+    assert(math.abs(st(1L)._2 - 0.5) < 1e-12)
+    assert(math.abs(st(1L)._3 - 0.6) < 1e-12)
+    assert(st(2L) === ((3L, 0.0, math.abs(1.0 / 3))))
+    assert(st(3L) === ((0L, 0.0, 0.0)))
+  }
+
+  test("bucketed join: no shuffle exchange between bucketed tables") {
+    val li = Td2.lineitemSmall(spark, sf0001)
+    val o = Td2.ordersSmall(spark, sf0001)
+    li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("spec_bkt_lineitem")
+    o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("spec_bkt_orders")
+    val joined = spark.table("spec_bkt_lineitem").hint("merge")
+      .join(spark.table("spec_bkt_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    joined.count() // materialize so AQE finalizes the plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      plan)
+    // same rows as the plain (shuffled) join
+    val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() === expected)
+  }
+
+  /** tiny projections for the bucketing test */
+  private object Td2 {
+    def lineitemSmall(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.queries.Td.lineitem(s, dir).select("l_orderkey", "l_quantity")
+    def ordersSmall(s: org.apache.spark.sql.SparkSession, dir: String) =
+      graft.queries.Td.orders(s, dir).select("o_orderkey", "o_orderpriority")
+  }
+
+  test("tokenCount parity: packContiguous uses the oracle's token definition") {
+    val docs = Seq(("s", 1L, "  hello   world  "), ("s", 2L, "")).toDF("source", "doc_id", "text")
+    val out = Curation.packContiguous(docs, 512, col("source"), col("doc_id"),
+        TextFunctions.tokenCount(col("text")))
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 2L -> 0L))
+  }
+}
