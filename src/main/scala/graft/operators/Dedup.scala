@@ -267,4 +267,53 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /**
+   * Connected components over a near-duplicate pair graph — the cluster
+   * resolution step production dedup needs after candidate pairs: each
+   * document gets the min doc-id of its transitive duplicate cluster as
+   * `component`, so "keep one per cluster" is then a single filter
+   * (`id == component`).
+   *
+   * Algorithm: iterative min-label propagation as pure DataFrame ops —
+   * per round, every node takes the min of its own label and its
+   * neighbors' labels (one |E| equi-join + one (id, comp) min-agg, both
+   * hash-partitioned; labels are two longs, so a round shuffles
+   * O(|E|) 16-byte rows regardless of document size). Converges in
+   * graph-diameter rounds, which for dedup graphs (small, dense
+   * clusters) is 2-4; the loop stops early on a fixed point and is
+   * capped by `maxIters`. For adversarially long paths the
+   * two-phase large-star/small-star variant (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14) drops rounds to
+   * O(log n) — not needed at dedup-cluster diameters.
+   *
+   * Returns (id, component) for every node that appears in `pairs`.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val half = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = half.union(half.select(col("dst"), col("src")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).persist(lvl)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select(col("id"), col("comp")).union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .persist(lvl)
+      converged = next
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

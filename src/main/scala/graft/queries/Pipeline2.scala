@@ -14,6 +14,17 @@ import org.apache.spark.sql.types._
  */
 object Pipeline2 {
 
+  /** Drop a session-catalog table AND its leftover warehouse directory —
+    * the in-memory catalog forgets tables across JVMs while their
+    * location survives on disk, which makes a bare saveAsTable fail
+    * with LOCATION_ALREADY_EXISTS on the next run. */
+  def dropManagedTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+  }
+
   /** DuckDB replica of [[Curation.hashFraction]] for a BIGINT key. */
   private def duckHash(keyExpr: String, salt: String): String =
     s"(CAST('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '_$salt'), 1, 15) " +
@@ -54,6 +65,52 @@ object Pipeline2 {
       GROUP BY c.doc_id
       HAVING count(DISTINCT c.g) >= 2
       ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Dedup cluster resolution: connected components over the
+    // MinHash-LSH near-dup pair graph (min-label propagation — O(|E|)
+    // label rows per round, converges at cluster diameter). The oracle
+    // rebuilds the identical pair set, then closes it transitively with
+    // a recursive CTE — the whole pairs→clusters path is hash-checked.
+    Q("dedup_clusters", fn = (s, dir) => {
+      val pairs = graft.operators.Dedup.minhashLsh(
+        Td.documents(s, dir), threshold = 0.5)
+      graft.operators.Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy(col("doc_id"))
+    }, oracle = Some("""
+      WITH RECURSIVE
+      toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in generate_series(1, len(w) - 2)]) AS s
+        FROM toks WHERE len(w) >= 3),
+      inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) >= 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM inv a JOIN keep USING (g) JOIN inv b USING (g)
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+              len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT a AS id, a AS r FROM edges
+        UNION
+        SELECT e.a AS id, r.r FROM edges e JOIN reach r ON r.id = e.b)
+      SELECT id AS doc_id, min(r) AS component
+      FROM reach GROUP BY id ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
     // Deterministic stratified sampling (domain mixing): per-language
@@ -241,6 +298,8 @@ object Pipeline2 {
     Q("join_bucketed", fn = (s, dir) => {
       val li = Td.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
       val o = Td.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      dropManagedTable(s, "graft_bkt_lineitem")
+      dropManagedTable(s, "graft_bkt_orders")
       li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .mode("overwrite").saveAsTable("graft_bkt_lineitem")
       o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -92,6 +92,8 @@ class CurationSpec extends SparkSpec {
   test("bucketed join: no shuffle exchange between bucketed tables") {
     val li = Td2.lineitemSmall(spark, sf0001)
     val o = Td2.ordersSmall(spark, sf0001)
+    graft.queries.Pipeline2.dropManagedTable(spark, "spec_bkt_lineitem")
+    graft.queries.Pipeline2.dropManagedTable(spark, "spec_bkt_orders")
     li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable("spec_bkt_lineitem")
     o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
@@ -115,6 +117,16 @@ class CurationSpec extends SparkSpec {
       graft.queries.Td.lineitem(s, dir).select("l_orderkey", "l_quantity")
     def ordersSmall(s: org.apache.spark.sql.SparkSession, dir: String) =
       graft.queries.Td.orders(s, dir).select("o_orderkey", "o_orderpriority")
+  }
+
+  test("connectedComponents: path graph needs multiple rounds, isolated pair kept apart") {
+    // path 1-2-3-4-5 (diameter 4 → >1 propagation round) + pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
   }
 
   test("tokenCount parity: packContiguous uses the oracle's token definition") {
