@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
 object Pipeline {
 
   /** fresh scratch dir under the repo target/ for table-mutation queries */
-  private def scratch(name: String): String = {
+  private[queries] def scratch(name: String): String = {
     val p = java.nio.file.Paths.get("target", "qwork", name)
     org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
     p.toFile.getAbsolutePath
@@ -44,7 +44,7 @@ object Pipeline {
 
   /** Absolute root for staged oracle inputs — baked into oracle SQL
     * strings, so Verify's JVM and the driver's DuckDB agree on paths. */
-  private val oracleInputsRoot: String =
+  private[queries] val oracleInputsRoot: String =
     new java.io.File("target/qwork/oracle_inputs").getAbsolutePath
 
   /** Stage a deterministic input dataset once per JVM (json/parquet/
@@ -52,7 +52,7 @@ object Pipeline {
     * invalidates the staging when the generating inputs change (e.g.
     * the scale-factor dir) — the oracle path stays fixed, the bytes
     * refresh. */
-  private def stagedInput(name: String, format: String, key: String = "")(
+  private[queries] def stagedInput(name: String, format: String, key: String = "")(
       gen: => DataFrame): String = synchronized {
     val dir = new java.io.File(s"$oracleInputsRoot/$name")
     val keyFile = new java.io.File(dir, ".staged_key")

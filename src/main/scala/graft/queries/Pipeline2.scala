@@ -289,6 +289,63 @@ object Pipeline2 {
       GROUP BY label, i ORDER BY label, dim""")),
 
     // ------------------------------------------------------------------
+    // Change feed out of the transactional table: TxTable.diff replays
+    // insert/update/delete between committed snapshots (computed
+    // Delta-CDF). The staged seed + merge batch let the oracle classify
+    // the same changes in SQL — the append→merge→delete history and the
+    // diff logic are both under the hash check.
+    Q("table_change_feed", fn = (s, dir) => {
+      import graft.ingest.SampleData
+      import graft.model.Schemas
+      import graft.table.TableCatalog
+      import org.apache.hadoop.fs.Path
+      val seedDir = Pipeline.stagedInput("cdf_seed", "parquet") {
+        SampleData.transactions(s, 100, seed = 5L)
+      }
+      val batchDir = Pipeline.stagedInput("cdf_batch", "parquet") {
+        val seed = s.read.parquet(seedDir)
+        val mods = seed.orderBy("transaction_id").limit(20)
+          .withColumn("amount", (col("amount") + lit(100)).cast(DecimalType(12, 2)))
+          .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+        val inserts = SampleData.transactions(s, 120, seed = 5L)
+          .join(seed.select("transaction_id"), Seq("transaction_id"), "left_anti")
+        mods.unionByName(inserts.select(mods.columns.map(col): _*))
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("cdf")))
+      val t = cat.createTable("analytics", "txns_cdf",
+        Schemas.transactions, Seq("date"))
+      t.append(s.read.parquet(seedDir))                                  // v1
+      t.merge(s.read.parquet(batchDir),
+        key = "transaction_id", orderCol = "processing_timestamp")       // v2
+      t.delete(col("risk_score") === "HIGH")                             // v3
+      t.diff(1, 2, "transaction_id").withColumn("phase", lit("v1_v2"))
+        .unionByName(
+          t.diff(2, 3, "transaction_id").withColumn("phase", lit("v2_v3")))
+        .select(col("phase"), col("_change_type").as("change_type"),
+          col("transaction_id"), col("amount").cast(DoubleType).as("amount"))
+        .orderBy(col("phase"), col("change_type"), col("transaction_id"))
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('${Pipeline.oracleInputsRoot}/cdf_seed/*.parquet')),
+      batch AS (SELECT * FROM read_parquet('${Pipeline.oracleInputsRoot}/cdf_batch/*.parquet')),
+      v2 AS (
+        SELECT * FROM batch
+        UNION ALL
+        SELECT s.* FROM seed s WHERE NOT EXISTS
+          (SELECT 1 FROM batch b WHERE b.transaction_id = s.transaction_id)),
+      d12 AS (
+        SELECT 'v1_v2' AS phase,
+               CASE WHEN s.transaction_id IS NULL THEN 'insert'
+                    ELSE 'update' END AS change_type,
+               b.transaction_id, CAST(b.amount AS DOUBLE) AS amount
+        FROM batch b LEFT JOIN seed s ON b.transaction_id = s.transaction_id),
+      d23 AS (
+        SELECT 'v2_v3' AS phase, 'delete' AS change_type,
+               transaction_id, CAST(amount AS DOUBLE) AS amount
+        FROM v2 WHERE risk_score = 'HIGH')
+      SELECT * FROM d12 UNION ALL SELECT * FROM d23
+      ORDER BY phase, change_type, transaction_id""")),
+
+    // ------------------------------------------------------------------
     // Bucketed co-located join (SURVEY "co-locate joins via bucketing"):
     // both sides written bucketed+sorted on the join key into the
     // session catalog, then sort-merge joined with ZERO shuffle — the

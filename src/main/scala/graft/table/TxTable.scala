@@ -285,6 +285,41 @@ class TxTable private (
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
 
+  /**
+   * Row-level change feed between two committed snapshots (the
+   * Delta "Change Data Feed" surface, computed rather than stored):
+   * every key inserted, updated, or deleted from `fromVersion` to
+   * `toVersion`, tagged in `_change_type`, carrying the new-side row
+   * for insert/update and the old-side row for delete. Rows whose
+   * content is unchanged are suppressed (copy-on-write rewrites carry
+   * rows into new files without changing them — a file-level diff
+   * would misreport those; this one never does).
+   *
+   * Plan: one full-outer shuffle join keyed on `key` between the two
+   * snapshot scans — both sides partition-prune and column-prune as
+   * normal reads, and the join key is the table's unique key, so the
+   * shuffle is skew-free by construction. The old side aligns to the
+   * newer schema (added columns diff as null≠value, i.e. an update).
+   */
+  def diff(fromVersion: Long, toVersion: Long, key: String): DataFrame = {
+    val toSchema = schemaOf(snapshotAt(toVersion))
+    val cols = toSchema.map(_.name)
+    val a = align(asOf(fromVersion), toSchema).alias("a")
+    val b = align(asOf(toVersion), toSchema).alias("b")
+    val aKey = col(s"a.$key")
+    val bKey = col(s"b.$key")
+    val aRow = struct(cols.map(c => col(s"a.$c")): _*)
+    val bRow = struct(cols.map(c => col(s"b.$c")): _*)
+    a.join(b, aKey === bKey, "full_outer")
+      .where(aKey.isNull || bKey.isNull || !(aRow <=> bRow))
+      .select(
+        (when(aKey.isNull, lit("insert"))
+          .when(bKey.isNull, lit("delete"))
+          .otherwise(lit("update")).as("_change_type")) +:
+        cols.map(c => when(bKey.isNull, col(s"a.$c"))
+          .otherwise(col(s"b.$c")).as(c)): _*)
+  }
+
   /** Append rows (blind insert, no key matching). */
   def append(df: DataFrame): Long = {
     val s = snapshot

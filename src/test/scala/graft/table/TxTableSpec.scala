@@ -39,6 +39,41 @@ class TxTableSpec extends SparkSpec {
     assert(df.select("transaction_id").distinct().count() === 60)
   }
 
+  test("diff: change feed reports insert/update/delete and suppresses carried-over rows") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_diff")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 50, seed = 30L)
+    t.append(seed) // v1
+    val modKeys = seed.orderBy("transaction_id").limit(5)
+      .select("transaction_id").collect().map(_.getString(0)).toSet
+    val mods = seed.orderBy("transaction_id").limit(5)
+      .withColumn("amount", lit(7777.77).cast(DecimalType(12, 2)))
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+    val inserts = SampleData.transactions(spark, 7, seed = 31L)
+    val insertKeys = inserts.select("transaction_id").collect().map(_.getString(0)).toSet
+    t.merge(mods.unionByName(inserts), "transaction_id", "processing_timestamp") // v2
+    val d12 = t.diff(1, 2, "transaction_id")
+      .select("_change_type", "transaction_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // exactly the 5 updates + 7 inserts — the 45 rows merge carried
+    // into rewritten files are suppressed
+    assert(d12.count(_._1 == "update") === 5)
+    assert(d12.filter(_._1 == "update").map(_._2).toSet === modKeys)
+    assert(d12.count(_._1 == "insert") === 7)
+    assert(d12.filter(_._1 == "insert").map(_._2).toSet === insertKeys)
+    assert(d12.length === 12)
+    // deletes carry the old-side row
+    val nHigh = t.toDF.filter(col("risk_score") === "HIGH").count()
+    t.delete(col("risk_score") === "HIGH") // v3
+    val d23 = t.diff(2, 3, "transaction_id")
+    assert(d23.count() === nHigh)
+    assert(d23.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("delete"))
+    assert(d23.filter(col("risk_score") =!= "HIGH").count() === 0)
+    // identical snapshots diff to nothing
+    assert(t.diff(3, 3, "transaction_id").isEmpty)
+  }
+
   test("merge: in-batch duplicate keys collapse last-writer-wins") {
     val t = TxTable.create(spark, new Path(freshDir("tx_dups")), "t",
       Schemas.transactions, Seq("date"))
