@@ -150,6 +150,32 @@ object CdcPipeline {
     deriveTimeColumns(unmarshal(filterEvents(decodeKinesisFrames(frames)),
       Schemas.transactions))
 
+  /**
+   * DELETE-PROPAGATING Kinesis dataflow: where the reference's Lambda
+   * silently drops REMOVE events (lambda/transform/index.py:25 — its
+   * lake can only grow), this path forwards them as flagged rows so
+   * `TxTable.merge(deleteCol = Some("_deleted"))` can apply
+   * MERGE-WHEN-MATCHED-DELETE semantics. A REMOVE record carries no
+   * post-image; its row content (key and, crucially, the partition
+   * columns that keep the merge partition-pruned) is unmarshalled from
+   * the pre-image instead (NEW_AND_OLD_IMAGES stream view). Still one
+   * codegen'd project+filter — the image choice is a per-row `when`.
+   */
+  def kinesisPathWithDeletes(frames: DataFrame): DataFrame = {
+    val events = frames.select(
+        from_json(unbase64(col("data")).cast(StringType),
+          Schemas.cdcEnvelopeSlimWithOld).as("event"))
+      .select("event.*")
+      .filter(col("eventName").isin("INSERT", "MODIFY", "REMOVE"))
+    val img = when(col("eventName") === "REMOVE",
+        col("dynamodb").getField("OldImage"))
+      .otherwise(col("dynamodb").getField("NewImage"))
+    val typed = events.select(Schemas.transactions.map(f =>
+      unmarshalAttr(img, f)) :+
+      (col("eventName") === "REMOVE").as("_deleted"): _*)
+    deriveTimeColumns(typed)
+  }
+
   /** Firehose-Lambda dataflow (DynamoDB Streams path, §3.1): parsed
     * envelopes in, typed rows out. This path does NOT derive time
     * columns — the seed generator pre-computes them

@@ -186,6 +186,38 @@ object SampleData {
       ).as("dynamodb"))
   }
 
+  /** REMOVE change records for the given rows: Keys + the full row as
+    * the PRE-image under `OldImage` (NEW_AND_OLD_IMAGES stream view,
+    * stack/pipeline.py:75), NewImage absent — the DynamoDB wire shape
+    * of a delete. `processing_timestamp` must already reflect WHEN the
+    * delete happened (it drives last-writer-wins merge ordering). */
+  def toCdcRemoveEnvelopes(txns: DataFrame): DataFrame = {
+    val numeric = Set("timestamp", "amount", "processing_timestamp", "hour", "minute")
+    val attr = (f: StructField) => {
+      val asString = col(f.name).cast(StringType)
+      val s = if (numeric.contains(f.name)) lit(null).cast(StringType) else asString
+      val n = if (numeric.contains(f.name)) asString else lit(null).cast(StringType)
+      struct(s.as("S"), n.as("N"),
+        lit(null).cast(BooleanType).as("BOOL"),
+        lit(null).cast(BooleanType).as("NULL"))
+    }
+    val image = map(Schemas.transactions.fields.flatMap(f =>
+      Seq(lit(f.name), attr(f))).toSeq: _*)
+    txns.select(
+      concat(lit("evt-rm-"), col("transaction_id")).as("eventID"),
+      lit("REMOVE").as("eventName"),
+      struct(
+        col("processing_timestamp").as("ApproximateCreationDateTime"),
+        map(lit("transaction_id"), struct(col("transaction_id").as("S"),
+          lit(null).cast(StringType).as("N"),
+          lit(null).cast(BooleanType).as("BOOL"),
+          lit(null).cast(BooleanType).as("NULL"))).as("Keys"),
+        map().cast(MapType(StringType, Schemas.dynamoAttr)).as("NewImage"),
+        image.as("OldImage"),
+        lpad(col("processing_timestamp").cast(StringType), 20, "0").as("SequenceNumber")
+      ).as("dynamodb"))
+  }
+
   /** Marshal a value of Spark type `dt` into its DynamoDB typed-attr
     * wire form — the inverse of CdcPipeline.unmarshalValue. Each case
     * sets exactly one tag; to_json drops the null siblings, so the wire

@@ -164,6 +164,17 @@ object Schemas {
       StructField("NewImage", MapType(StringType, dynamoAttr))
     )))))
 
+  /** Slim envelope for the delete-propagating CDC path: REMOVE records
+    * carry no NewImage — their row content (key AND partition columns,
+    * needed for partition-pruned merge deletes) rides in the pre-image,
+    * which NEW_AND_OLD_IMAGES streams populate (stack/pipeline.py:75). */
+  val cdcEnvelopeSlimWithOld: StructType = StructType(Seq(
+    StructField("eventName", StringType),
+    StructField("dynamodb", StructType(Seq(
+      StructField("NewImage", MapType(StringType, dynamoAttr)),
+      StructField("OldImage", MapType(StringType, dynamoAttr))
+    )))))
+
   /** Kinesis-framed record: the CDC envelope JSON is base64-encoded into
     * `data` (lambda/transform/index.py:22). */
   val kinesisFrame: StructType = StructType(Seq(

@@ -104,6 +104,60 @@ object Curation {
       .filter(col("n_shared_ngrams") >= minShared)
   }
 
+  /**
+   * Bloom-prefiltered decontamination — the 100 TB shape of
+   * [[decontaminate]]. The benchmark side is always small (eval suites:
+   * thousands of docs, millions of n-grams); the corpus is not. So:
+   * build a Bloom filter over the benchmark's distinct n-grams once (a
+   * `treeAggregate` — executors build partial filters, the driver ORs
+   * them), broadcast it, and drop ~every corpus n-gram MAP-SIDE before
+   * anything shuffles. Only the ≈|true overlap| × (1+fpp) survivors
+   * enter the exact equi-join that removes false positives — so the
+   * output is EXACT (identical to [[decontaminate]] without the
+   * doc-frequency cutoff) while the shuffle volume falls from
+   * |corpus n-grams| to |overlap|. This is the same runtime-filter
+   * technique Spark's own bloom-join rule applies, made explicit
+   * because the build side here is an exploded intermediate, not a
+   * scan.
+   */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, n: Int = 3,
+      minShared: Int = 2, fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIdCol: String = "bench_id"): DataFrame = {
+    def inv(df: DataFrame, id: String) = df.select(col(id),
+      explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    val benchInv = inv(bench.withColumnRenamed(idCol, benchIdCol), benchIdCol)
+    val benchGrams = benchInv.select(col("g")).distinct().cache()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("g", expected, fpp)
+    val spark = corpus.sparkSession
+    val bcast = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bcast.value.mightContainString(g))
+    inv(corpus, idCol)
+      .filter(mightContain(col("g")))        // map-side: no shuffle yet
+      .join(benchInv, "g")                   // exact: false positives die here
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_ngrams"),
+        countDistinct(col(benchIdCol)).as("n_bench_docs"))
+      .filter(col("n_shared_ngrams") >= minShared)
+  }
+
+  /**
+   * Weighted sampling without replacement, top-`k` (Efraimidis–Spirtsis
+   * A-Res): each row draws u = [[hashFraction]](key) and scores
+   * u^(1/weight); the k largest scores are the sample, distributed as
+   * weighted draws without replacement. Deterministic (the "draw" is
+   * the portable md5 hash), one narrow map + a TakeOrdered (per-
+   * partition top-k, then a k-row merge on the driver) — no full sort,
+   * no shuffle of the data itself. Weights must be > 0.
+   */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = "wsample"): DataFrame =
+    df.withColumn("sample_score",
+        pow(hashFraction(key, salt), lit(1.0) / weight.cast(DoubleType)))
+      .orderBy(col("sample_score").desc, key)
+      .limit(k)
+
   // ---- sequence packing -------------------------------------------------
 
   /**

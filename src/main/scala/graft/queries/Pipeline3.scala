@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.ingest.{CdcPipeline, SampleData}
+import graft.model.Schemas
+import graft.operators.Curation
+import graft.table.TableCatalog
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Round-5 surface: row-level DML (UPDATE / DELETE as SQL text routed to
+ * the transactional table), delete-propagating CDC merge (the REMOVE
+ * path the reference's Lambda drops), incremental materialized-view
+ * maintenance off the pre-image change feed, Bloom-prefiltered
+ * decontamination, and weighted sampling. Every query is oracle-checked
+ * — table mutations replay in SQL from staged seed inputs.
+ */
+object Pipeline3 {
+
+  /** DuckDB replica of [[Curation.hashFraction]] (same as Pipeline2's). */
+  private def duckHash(keyExpr: String, salt: String): String =
+    s"(CAST('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '_$salt'), 1, 15) " +
+      s"AS BIGINT) % 1000000) / 1000000.0"
+
+  private val root = Pipeline.oracleInputsRoot
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Row-level DML as SQL TEXT: UPDATE … SET … WHERE and DELETE FROM …
+    // routed through GraftSql to copy-on-write rewrites on the
+    // transactional table (the Athena/Iceberg row-level-ops surface the
+    // reference gets from its engine; update_metadata.py manages the
+    // same tables by SQL string). SET expressions read PRE-update
+    // values; the oracle replays both statements over the staged seed.
+    Q("table_update_delete", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("ud_seed", "parquet") {
+        SampleData.transactions(s, 200, seed = 11L)
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("upddel")))
+      val t = cat.createTable("analytics", "txns_ud",
+        Schemas.transactions, Seq("date"))
+      t.append(s.read.parquet(seedDir))
+      cat.sql("UPDATE analytics.txns_ud SET status = 'REVIEWED', " +
+        "amount = amount * 2 WHERE risk_score = 'HIGH'")
+      cat.sql("DELETE FROM analytics.txns_ud WHERE status = 'DECLINED'")
+      t.toDF.select(col("transaction_id"),
+          col("amount").cast(DoubleType).as("amount"),
+          col("status"), col("risk_score"))
+        .orderBy(col("transaction_id"))
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/ud_seed/*.parquet')),
+      u AS (
+        SELECT transaction_id,
+               CAST(CASE WHEN risk_score = 'HIGH' THEN amount * 2
+                         ELSE amount END AS DOUBLE) AS amount,
+               CASE WHEN risk_score = 'HIGH' THEN 'REVIEWED'
+                    ELSE status END AS status,
+               risk_score
+        FROM seed)
+      SELECT * FROM u WHERE status IS NULL OR status <> 'DECLINED'
+      ORDER BY transaction_id""")),
+
+    // ------------------------------------------------------------------
+    // DELETE-PROPAGATING CDC merge: where the reference drops REMOVE
+    // events (lambda/transform/index.py:25), this path forwards them —
+    // batch 2 carries REMOVEs for every HIGH-risk row (pre-image wire
+    // shape: Keys + OldImage) racing later MODIFY re-inserts for the
+    // FLAGGED subset. Last-writer-wins by processing_timestamp decides
+    // per key: the re-inserted rows survive with new values, the rest
+    // of the HIGH rows are deleted from the table. The oracle replays
+    // exactly that algebra from the staged row sets.
+    Q("cdc_remove_merge", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("cdcrm_seed", "parquet") {
+        SampleData.transactions(s, 300, seed = 13L)
+      }
+      val rmDir = Pipeline.stagedInput("cdcrm_removes", "parquet") {
+        s.read.parquet(seedDir).filter(col("risk_score") === "HIGH")
+          .withColumn("processing_timestamp",
+            col("processing_timestamp") + 10000L)
+      }
+      val reDir = Pipeline.stagedInput("cdcrm_reinserts", "parquet") {
+        s.read.parquet(seedDir)
+          .filter(col("risk_score") === "HIGH" && col("status") === "FLAGGED")
+          .withColumn("processing_timestamp",
+            col("processing_timestamp") + 20000L)
+          .withColumn("amount", (col("amount") + 1000).cast(DecimalType(12, 2)))
+          .withColumn("status", lit("RESTORED"))
+      }
+      // frames go through a storage boundary, like every ingest path
+      // (generator and decoder must not fuse into one Catalyst plan)
+      val f1 = Pipeline.stagedInput("cdcrm_frames1", "json") {
+        SampleData.toKinesisFrames(
+          SampleData.toCdcEnvelopes(s.read.parquet(seedDir)))
+      }
+      val f2 = Pipeline.stagedInput("cdcrm_frames2", "json") {
+        SampleData.toKinesisFrames(
+          SampleData.toCdcRemoveEnvelopes(s.read.parquet(rmDir)).unionByName(
+            SampleData.toCdcEnvelopes(s.read.parquet(reDir), lit("MODIFY"))))
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("cdcrm")))
+      val t = cat.createTable("analytics", "txns_rm",
+        Schemas.transactions, Seq("date"))
+      t.merge(CdcPipeline.kinesisPath(
+          s.read.schema(Schemas.kinesisFrame).json(f1)),
+        key = "transaction_id", orderCol = "processing_timestamp")
+      t.merge(CdcPipeline.kinesisPathWithDeletes(
+          s.read.schema(Schemas.kinesisFrame).json(f2)),
+        key = "transaction_id", orderCol = "processing_timestamp",
+        deleteCol = Some("_deleted"))
+      t.toDF.select(col("transaction_id"),
+          col("amount").cast(DoubleType).as("amount"),
+          col("status"), col("risk_score"))
+        .orderBy(col("transaction_id"))
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/cdcrm_seed/*.parquet')),
+      rm AS (SELECT transaction_id FROM read_parquet('$root/cdcrm_removes/*.parquet')),
+      re AS (SELECT * FROM read_parquet('$root/cdcrm_reinserts/*.parquet'))
+      SELECT transaction_id, CAST(amount AS DOUBLE) AS amount, status, risk_score
+      FROM (
+        SELECT s.* FROM seed s
+        WHERE s.transaction_id NOT IN (SELECT transaction_id FROM rm)
+        UNION ALL
+        SELECT * FROM re)
+      ORDER BY transaction_id""")),
+
+    // ------------------------------------------------------------------
+    // Incremental materialized-view maintenance: a per-region aggregate
+    // is initialized once from v1, then advanced to v3 using ONLY the
+    // pre-image change feed (diff with update_preimage/update_postimage
+    // rows): insert/postimage add, delete/preimage subtract — never a
+    // re-scan of the base table. At 100 TB this is the difference
+    // between touching |changes| rows and recomputing the world. The
+    // hash check proves incremental == full recompute, because the
+    // oracle computes the v3 aggregate directly from the staged inputs.
+    Q("mv_incremental", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("mv_seed", "parquet") {
+        SampleData.transactions(s, 150, seed = 17L)
+      }
+      val batchDir = Pipeline.stagedInput("mv_batch", "parquet") {
+        val seed = s.read.parquet(seedDir)
+        val mods = seed.orderBy("transaction_id").limit(30)
+          .withColumn("amount", (col("amount") + 50).cast(DecimalType(12, 2)))
+          .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+        val inserts = SampleData.transactions(s, 180, seed = 17L)
+          .join(seed.select("transaction_id"), Seq("transaction_id"), "left_anti")
+        mods.unionByName(inserts.select(mods.columns.map(col): _*))
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("mvinc")))
+      val t = cat.createTable("analytics", "txns_mv",
+        Schemas.transactions, Seq("date"))
+      t.append(s.read.parquet(seedDir))                                  // v1
+      val mv0 = t.asOf(1).groupBy(col("region"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount")).cast(DecimalType(22, 2)).as("total"))
+      t.merge(s.read.parquet(batchDir),
+        key = "transaction_id", orderCol = "processing_timestamp")       // v2
+      t.delete(col("risk_score") === "HIGH")                             // v3
+      val changes = t.diff(1, 3, "transaction_id", preimages = true)
+      val adds = col("_change_type").isin("insert", "update_postimage")
+      val delta = changes.groupBy(col("region"))
+        .agg(sum(when(adds, 1L).otherwise(-1L)).as("dn"),
+          sum(when(adds, col("amount")).otherwise(-col("amount")))
+            .cast(DecimalType(22, 2)).as("dtotal"))
+      mv0.join(delta, Seq("region"), "full_outer")
+        .select(col("region"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("total"), lit(0).cast(DecimalType(22, 2))) +
+            coalesce(col("dtotal"), lit(0).cast(DecimalType(22, 2))))
+            .cast(DoubleType).as("total"))
+        .filter(col("n") > 0)
+        .orderBy(col("region"))
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/mv_seed/*.parquet')),
+      batch AS (SELECT * FROM read_parquet('$root/mv_batch/*.parquet')),
+      v2 AS (
+        SELECT * FROM batch
+        UNION ALL
+        SELECT s.* FROM seed s WHERE NOT EXISTS
+          (SELECT 1 FROM batch b WHERE b.transaction_id = s.transaction_id)),
+      v3 AS (SELECT * FROM v2 WHERE risk_score <> 'HIGH')
+      SELECT region, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(amount) AS DOUBLE) AS total
+      FROM v3 GROUP BY region ORDER BY region""")),
+
+    // ------------------------------------------------------------------
+    // Bloom-prefiltered decontamination: benchmark n-grams folded into a
+    // broadcast Bloom filter, corpus n-grams dropped map-side before the
+    // exact verify join — same EXACT output as an unfiltered inverted-
+    // index join (false positives die in the join), shuffle volume
+    // ~|overlap| instead of |corpus n-grams|. Oracle: the plain exact
+    // inverted-index decontamination in SQL.
+    Q("decontaminate_bloom", fn = (s, dir) => {
+      val docs = Td.documents(s, dir)
+      Curation.decontaminateBloom(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), n = 3, minShared = 2)
+        .orderBy(col("doc_id"))
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in generate_series(1, len(w) - 2)]) AS s
+        FROM toks WHERE len(w) >= 3),
+      inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      corpus AS (SELECT * FROM inv WHERE doc_id % 97 <> 0),
+      bench AS (SELECT doc_id AS bench_id, g FROM inv WHERE doc_id % 97 = 0)
+      SELECT c.doc_id,
+             count(DISTINCT c.g) AS n_shared_ngrams,
+             count(DISTINCT b.bench_id) AS n_bench_docs
+      FROM corpus c JOIN bench b USING (g)
+      GROUP BY c.doc_id
+      HAVING count(DISTINCT c.g) >= 2
+      ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Weighted sampling without replacement (Efraimidis–Spirtsis A-Res):
+    // score = u^(1/weight) with u the portable md5 hash fraction, take
+    // the global top-k — one narrow map + TakeOrdered, no shuffle of
+    // the data. Weight here is document length, so longer docs are
+    // proportionally likelier, and the oracle re-derives every draw.
+    Q("sample_weighted", fn = (s, dir) =>
+      Curation.weightedSample(
+          Td.documents(s, dir).withColumn("n_chars", length(col("text"))),
+          col("doc_id"), greatest(col("n_chars"), lit(1)).cast(DoubleType),
+          k = 25)
+        .select(col("doc_id"), col("n_chars")),
+      oracle = Some(s"""
+      WITH sc AS (
+        SELECT doc_id, length(text) AS n_chars,
+               pow(${duckHash("doc_id", "wsample")},
+                   1.0 / greatest(length(text), 1)) AS score
+        FROM documents)
+      SELECT doc_id, n_chars FROM sc
+      ORDER BY score DESC, doc_id LIMIT 25"""))
+  )
+}

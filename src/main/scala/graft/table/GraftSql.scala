@@ -28,6 +28,10 @@ object GraftSql {
     """(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
   private val PartitionedRe =
     """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r.unanchored
+  private val UpdateRe =
+    """(?is)\s*UPDATE\s+([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val DeleteFromRe =
+    """(?is)\s*DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
 
   /** Route one SQL statement: DDL against the catalog, everything else
     * to spark.sql. DDL returns a one-row (result: string) frame, the
@@ -58,6 +62,22 @@ object GraftSql {
           throw new IllegalArgumentException(s"table $ns.$tbl does not exist")
         cat.dropTable(ns, tbl)
         Seq(s"DROPPED $ns.$tbl").toDF("result")
+      case UpdateRe(rawName, setList, where) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val set = splitTopLevel(setList, ',').map { assignment =>
+          val eq = topLevelIndexOf(assignment, '=')
+          require(eq > 0, s"malformed SET assignment: '$assignment'")
+          cleanIdent(assignment.substring(0, eq)) ->
+            org.apache.spark.sql.functions.expr(assignment.substring(eq + 1))
+        }.toMap
+        val v = t.update(predicateOf(where), set)
+        Seq(s"UPDATED $ns.$tbl v$v").toDF("result")
+      case DeleteFromRe(rawName, where) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val v = t.delete(predicateOf(where))
+        Seq(s"DELETED $ns.$tbl v$v").toDF("result")
       case _ => spark.sql(text)
     }
   }
@@ -112,6 +132,47 @@ object GraftSql {
   }
 
   private def cleanIdent(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** WHERE-less DML touches every row (standard SQL). */
+  private def predicateOf(where: String): org.apache.spark.sql.Column =
+    if (where == null) org.apache.spark.sql.functions.lit(true)
+    else org.apache.spark.sql.functions.expr(where)
+
+  /** Split on `sep` at paren/quote depth 0 — `SET a = f(x, y), b = 2`
+    * must not split inside the call, nor inside a string literal. */
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inQuote = false; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case c if c == sep && depth == 0 && !inQuote =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  /** First occurrence of `c` at depth 0 outside quotes (−1 if absent). */
+  private def topLevelIndexOf(s: String, c: Char): Int = {
+    var depth = 0; var inQuote = false; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case x if x == c && depth == 0 && !inQuote => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
 
   /** `ns.table` or bare `table` (namespace defaults like Athena's
     * `default` database). Split on dots first, then unquote per segment,

@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -301,7 +301,8 @@ class TxTable private (
    * shuffle is skew-free by construction. The old side aligns to the
    * newer schema (added columns diff as null≠value, i.e. an update).
    */
-  def diff(fromVersion: Long, toVersion: Long, key: String): DataFrame = {
+  def diff(fromVersion: Long, toVersion: Long, key: String,
+      preimages: Boolean = false): DataFrame = {
     val toSchema = schemaOf(snapshotAt(toVersion))
     val cols = toSchema.map(_.name)
     val a = align(asOf(fromVersion), toSchema).alias("a")
@@ -310,14 +311,30 @@ class TxTable private (
     val bKey = col(s"b.$key")
     val aRow = struct(cols.map(c => col(s"a.$c")): _*)
     val bRow = struct(cols.map(c => col(s"b.$c")): _*)
-    a.join(b, aKey === bKey, "full_outer")
+    val changed = a.join(b, aKey === bKey, "full_outer")
       .where(aKey.isNull || bKey.isNull || !(aRow <=> bRow))
-      .select(
+    if (!preimages)
+      changed.select(
         (when(aKey.isNull, lit("insert"))
           .when(bKey.isNull, lit("delete"))
           .otherwise(lit("update")).as("_change_type")) +:
         cols.map(c => when(bKey.isNull, col(s"a.$c"))
           .otherwise(col(s"b.$c")).as(c)): _*)
+    else {
+      // Delta-CDF shape: updates emit BOTH sides (update_preimage /
+      // update_postimage), which is what downstream incremental
+      // maintenance needs — a sum is updated by `-pre + post`, not by
+      // the post-image alone.
+      val entry = (t: String, r: Column) =>
+        struct(lit(t).as("_change_type"), r.as("_row"))
+      val rows = when(aKey.isNull, array(entry("insert", bRow)))
+        .when(bKey.isNull, array(entry("delete", aRow)))
+        .otherwise(array(
+          entry("update_preimage", aRow), entry("update_postimage", bRow)))
+      changed.select(explode(rows).as("e"))
+        .select(col("e._change_type").as("_change_type") +:
+          cols.map(c => col(s"e._row.$c").as(c)): _*)
+    }
   }
 
   /** Append rows (blind insert, no key matching). */
@@ -365,10 +382,18 @@ class TxTable private (
    * `txnVersion`, the merge is a NO-OP (returns the current table
    * version) — the Delta `txn` idempotent-writer protocol, which turns
    * an at-least-once stream into exactly-once table effects.
+   *
+   * `deleteCol` names a boolean batch column marking rows as DELETES
+   * (the CDC `REMOVE` event): a key whose last-writer-wins winner is
+   * flagged is removed from the table instead of upserted — MERGE ...
+   * WHEN MATCHED AND flag THEN DELETE semantics. Delete rows must carry
+   * the table's partition columns (the DynamoDB `REMOVE` pre-image
+   * does) so partition pruning still applies.
    */
   def merge(batch: DataFrame, key: String, orderCol: String,
       keyStablePartitions: Boolean = true,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      deleteCol: Option[String] = None): Long = {
     val s = snapshot
     txn.foreach { case (appId, txnVersion) =>
       if (s.appTxns.get(appId).exists(_ >= txnVersion)) return s.version
@@ -380,7 +405,16 @@ class TxTable private (
     // which is the schema-evolution contract)
     require(batch.columns.contains(key),
       s"merge batch lacks the upsert key column '$key'")
-    val aligned = align(batch, schema)
+    val delFlag = deleteCol.map(c =>
+      coalesce(col(c).cast(org.apache.spark.sql.types.BooleanType), lit(false)))
+      .getOrElse(lit(false))
+    // align to the table schema but keep the delete flag alongside
+    // (align() alone would project it away)
+    val flagged = batch.withColumn("__del", delFlag)
+    val aligned = flagged.select((schema.map { f =>
+      if (flagged.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } :+ col("__del")): _*)
 
     // last-writer-wins dedup within the batch
     import org.apache.spark.sql.expressions.Window
@@ -405,10 +439,13 @@ class TxTable private (
     val existingAffected = dfFor(s.copy(files = affectedFiles))
     // cheap: deduped is already cache-materialized by the `touched` scan
     val batchRows = deduped.count()
+    // ALL batch keys (upserts and deletes) evict their existing rows;
+    // only the non-delete winners are re-inserted
     val survivors = TxTable.antiJoinSurvivors(existingAffected,
       deduped.select(col(key)), key, batchRows)
+    val upserts = deduped.filter(!col("__del"))
     val merged = survivors.select(schema.map(f => col(f.name)): _*)
-      .unionByName(deduped.select(schema.map(f => col(f.name)): _*))
+      .unionByName(upserts.select(schema.map(f => col(f.name)): _*))
     val newFiles = writeFiles(
       sizedForWrite(merged, affectedFiles.map(_.sizeBytes).sum, batchRows,
         bytesPerRow(s), parts, splitCol = Some(key)),
@@ -449,6 +486,42 @@ class TxTable private (
         splitCol = defaultSplitCol(schema, s.partitionColumns)),
       s.partitionColumns)
     commit(Some(s.version), "DELETE", schema, s.partitionColumns, kept ++ newFiles)
+  }
+
+  /** UPDATE … SET … WHERE …: copy-on-write rewrite of the files in
+    * partitions that could contain matches (pass `partitionFilter` to
+    * prune, as with [[delete]]). Rows where the predicate is TRUE get
+    * each `set` expression applied (evaluated against the OLD row, so
+    * `amount -> col("amount") * 2` reads pre-update values, standard SQL
+    * UPDATE semantics); NULL/false predicate rows pass through. Updating
+    * a partition column is allowed — rewritten rows land in their new
+    * partition's files (copy-on-write moves rows for free). */
+  def update(predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      partitionFilter: Map[String, String] = Map.empty): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"UPDATE SET column '$k' is not in the table schema"))
+    val affected = s.files.filter(f => partitionFilter.forall {
+      case (k, v) => f.partitionValues.get(k).contains(v)
+    })
+    val kept = s.files.diff(affected)
+    val hit = coalesce(predicate, lit(false))
+    val rewritten = dfFor(s.copy(files = affected))
+      .select(schema.map { f =>
+        set.get(f.name) match {
+          case Some(e) => when(hit, e.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val newFiles = writeFiles(
+      sizedForWrite(rewritten, affected.map(_.sizeBytes).sum,
+        batchRows = 0L, bytesPerRow(s), s.partitionColumns,
+        splitCol = defaultSplitCol(schema, s.partitionColumns)),
+      s.partitionColumns)
+    commit(Some(s.version), "UPDATE", schema, s.partitionColumns, kept ++ newFiles)
   }
 
   /**

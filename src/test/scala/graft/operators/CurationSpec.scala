@@ -58,6 +58,45 @@ class CurationSpec extends SparkSpec {
     assert(hits.values.forall(_ >= 2))
   }
 
+  test("decontaminateBloom: identical hits to the exact inverted-index join") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "entirely unrelated words describing cabbages and kings here"),
+      (3L, "quick brown fox jumps over something else entirely now"),
+      (4L, "more clean filler text that overlaps with no benchmark at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "a benchmark question about the quick brown fox jumps clearly")
+    ).toDF("doc_id", "text")
+    val exact = Curation.decontaminate(corpus, bench, n = 3, minShared = 2,
+        maxDocFreq = Int.MaxValue)
+      .select("doc_id", "n_shared_ngrams", "n_bench_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    val bloomed = Curation.decontaminateBloom(corpus, bench, n = 3, minShared = 2)
+      .select("doc_id", "n_shared_ngrams", "n_bench_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    // the bloom prefilter may only SHRINK the joined volume, never the
+    // answer — false positives die in the verify join
+    assert(bloomed === exact)
+    assert(exact.map(_._1) === Set(1L, 3L))
+  }
+
+  test("weightedSample: deterministic, weight-monotone on equal draws") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("w", (col("id") % 10 + 1).cast("double"))
+    val s1 = Curation.weightedSample(df, col("id"), col("w"), k = 50)
+      .select("id").as[Long].collect().toSeq
+    val s2 = Curation.weightedSample(df, col("id"), col("w"), k = 50)
+      .select("id").as[Long].collect().toSeq
+    assert(s1 === s2)                  // same draws every run
+    assert(s1.distinct.size === 50)    // without replacement
+    // heavier rows must be overrepresented: mean weight of the sample
+    // is well above the population mean (5.5)
+    val meanW = Curation.weightedSample(df, col("id"), col("w"), k = 200)
+      .agg(avg("w")).head.getDouble(0)
+    assert(meanW > 6.0, s"weighted sample mean weight $meanW")
+  }
+
   test("packContiguous: bins close when the docs before fill the budget") {
     val docs = Seq(
       ("s", 1L, 300L), ("s", 2L, 300L), ("s", 3L, 300L), ("s", 4L, 50L),

@@ -527,6 +527,106 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("update applies SET expressions to matching rows, pre-update semantics") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_upd")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 100, seed = 60L)
+    t.append(seed)
+    val before = t.toDF.select(col("transaction_id"), col("amount"),
+      col("status"), col("risk_score")).collect()
+      .map(r => r.getString(0) -> ((r.getDecimal(1), r.getString(2), r.getString(3)))).toMap
+    t.update(col("risk_score") === "HIGH",
+      Map("amount" -> (col("amount") * 2), "status" -> lit("REVIEWED")))
+    t.toDF.select(col("transaction_id"), col("amount"), col("status"),
+      col("risk_score")).collect().foreach { r =>
+      val (amt0, st0, risk) = before(r.getString(0))
+      if (risk == "HIGH") {
+        assert(r.getDecimal(1) === amt0.multiply(new java.math.BigDecimal(2))
+          .setScale(2))
+        assert(r.getString(2) === "REVIEWED")
+      } else {
+        assert(r.getDecimal(1) === amt0)
+        assert(r.getString(2) === st0)
+      }
+    }
+    assert(t.toDF.count() === 100) // UPDATE never changes cardinality
+    intercept[IllegalArgumentException] {
+      t.update(lit(true), Map("not_a_column" -> lit(1)))
+    }
+  }
+
+  test("merge deleteCol: flagged winners delete, racing later upsert wins") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_mergedel")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 60, seed = 61L)
+    t.append(seed)
+    val doomed = seed.orderBy("transaction_id").limit(20)
+    // all 20 flagged for delete at t+10; the first 5 also re-upserted at t+20
+    val dels = doomed
+      .withColumn("processing_timestamp", col("processing_timestamp") + 10L)
+      .withColumn("_deleted", lit(true))
+    val back = doomed.orderBy("transaction_id").limit(5)
+      .withColumn("processing_timestamp", col("processing_timestamp") + 20L)
+      .withColumn("status", lit("RESTORED"))
+      .withColumn("_deleted", lit(false))
+    t.merge(dels.unionByName(back), "transaction_id", "processing_timestamp",
+      deleteCol = Some("_deleted"))
+    assert(t.toDF.count() === 60 - 20 + 5)
+    assert(t.toDF.filter(col("status") === "RESTORED").count() === 5)
+    // deleting an absent key is a no-op, not an error
+    val ghost = seed.limit(1)
+      .withColumn("transaction_id", lit("TXN_GHOST"))
+      .withColumn("_deleted", lit(true))
+    t.merge(ghost, "transaction_id", "processing_timestamp",
+      deleteCol = Some("_deleted"))
+    assert(t.toDF.filter(col("transaction_id") === "TXN_GHOST").count() === 0)
+  }
+
+  test("diff preimages: updates emit pre- and post-image rows") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_diffpre")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 30, seed = 62L)
+    t.append(seed)                                                     // v1
+    val mods = seed.orderBy("transaction_id").limit(10)
+      .withColumn("amount", (col("amount") + 50).cast(DecimalType(12, 2)))
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+    t.merge(mods, "transaction_id", "processing_timestamp")            // v2
+    val d = t.diff(1, 2, "transaction_id", preimages = true)
+    val byType = d.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("update_preimage" -> 10L, "update_postimage" -> 10L))
+    // pre+post for one key differ by exactly the applied delta
+    val k = mods.select("transaction_id").orderBy("transaction_id")
+      .first().getString(0)
+    val rows = d.filter(col("transaction_id") === k)
+      .select("_change_type", "amount").collect()
+      .map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(rows("update_postimage").subtract(rows("update_preimage"))
+      .compareTo(new java.math.BigDecimal("50.00")) === 0)
+  }
+
+  test("catalog: SQL-text UPDATE and DELETE FROM route to the table") {
+    val cat = new TableCatalog(spark, new Path(freshDir("sqldml")))
+    val t = cat.createTable("analytics", "txns_dml",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 80, seed = 63L))
+    val high = t.toDF.filter(col("risk_score") === "HIGH").count()
+    val res = cat.sql("UPDATE analytics.txns_dml SET status = 'REVIEWED', " +
+      "amount = round(amount * 2, 2) WHERE risk_score = 'HIGH'")
+    assert(res.collect()(0).getString(0).startsWith("UPDATED analytics.txns_dml"))
+    assert(t.toDF.filter(col("status") === "REVIEWED").count() === high)
+    val declined = t.toDF.filter(col("status") === "DECLINED").count()
+    cat.sql("DELETE FROM analytics.txns_dml WHERE status = 'DECLINED'")
+    assert(t.toDF.count() === 80 - declined)
+    // WHERE-less DELETE empties the table (standard SQL)
+    cat.sql("DELETE FROM analytics.txns_dml")
+    assert(t.toDF.count() === 0)
+    // SET with a function call containing commas parses correctly
+    intercept[Exception] {
+      cat.sql("UPDATE analytics.missing SET x = 1")
+    }
+  }
+
   test("catalog: namespace/table DDL + idempotent drop") {
     val cat = new TableCatalog(spark, new Path(freshDir("cat")))
     cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
