@@ -57,6 +57,13 @@ object VectorFunctions {
     ColumnBridge.column(
       graft.functions.expressions.KmvDistinct(expr(c), k).toAggregateExpression())
 
+  /** Space-Saving heavy-hitters sketch aggregate (see
+    * [[graft.functions.expressions.SpaceSavingTopK]]). */
+  def topkSketch(c: Column, k: Int = 10, capacity: Int = 1024): Column =
+    ColumnBridge.column(
+      graft.functions.expressions.SpaceSavingTopK(expr(c), k, capacity)
+        .toAggregateExpression())
+
   // ---- LSH bucketing ---------------------------------------------------
 
   /**

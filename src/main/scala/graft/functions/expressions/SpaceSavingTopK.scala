@@ -1,0 +1,190 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/**
+ * Space-Saving heavy hitters (Metwally et al., "Efficient computation
+ * of frequent and top-k elements in data streams", ICDT'05) as a
+ * `TypedImperativeAggregate`: at most `capacity` counters; an unseen
+ * item evicts the minimum counter and inherits its count as error
+ * bound, so every reported `count_est` satisfies
+ * `true ≤ count_est ≤ true + err`. Summaries MERGE by summing
+ * counters keyed by item and re-truncating to the largest `capacity`
+ * (Agarwal et al., "Mergeable summaries", PODS'12) — that is what
+ * makes this a real distributed aggregate: partial summaries build
+ * map-side, only `capacity` counters per partition cross the shuffle,
+ * never the stream itself. With `capacity` ≥ distinct items no
+ * eviction ever fires anywhere and the counts are EXACT (err 0) — the
+ * regime the DuckDB oracle checks; accuracy under eviction is pinned
+ * in OperatorsSpec.
+ *
+ * Returns the `k` largest counters as
+ * `array<struct<item, count_est, err>>`, ordered (count desc, item
+ * asc) so output is deterministic.
+ */
+case class SpaceSavingTopK(
+    child: Expression,
+    k: Int = 10,
+    capacity: Int = 1024,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]] {
+
+  require(k <= capacity, "k must be <= capacity")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType),
+    StructField("count_est", LongType),
+    StructField("err", LongType))))
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_sketch"
+
+  type Buf = java.util.HashMap[String, Array[Long]]
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  /** deterministic eviction victim: min count, then LARGEST key — so
+    * which counter dies never depends on hash-map iteration order. */
+  private def victim(buf: Buf): (String, Array[Long]) = {
+    var bk: String = null
+    var bv: Array[Long] = null
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (bk == null || e.getValue()(0) < bv(0) ||
+          (e.getValue()(0) == bv(0) && e.getKey > bk)) {
+        bk = e.getKey; bv = e.getValue
+      }
+    }
+    (bk, bv)
+  }
+
+  private def add(buf: Buf, item: String, count: Long, err: Long): Unit = {
+    val cur = buf.get(item)
+    if (cur != null) { cur(0) += count; cur(1) += err }
+    else if (buf.size < capacity) buf.put(item, Array(count, err))
+    else {
+      val (vk, vv) = victim(buf)
+      val base = vv(0)
+      buf.remove(vk)
+      // the evicted count becomes this item's error bound
+      buf.put(item, Array(base + count, base + err))
+    }
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.toString, 1L, 0L)
+    buf
+  }
+
+  /** min counter value; only meaningful when the buffer is full (a
+    * buffer below capacity never evicted, so an absent key truly has
+    * count 0 there). */
+  private def minCountOf(buf: Buf): Long = {
+    var m = Long.MaxValue
+    val it = buf.values().iterator()
+    while (it.hasNext) { val v = it.next()(0); if (v < m) m = v }
+    m
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    // Upper-bound-preserving merge (Agarwal et al., PODS'12): a key
+    // absent from a FULL summary may have had up to that summary's min
+    // count absorbed into other counters, so the absent side
+    // contributes its min to both the estimate and the error bound.
+    // (A non-full summary never evicted — absent there means count 0.)
+    // This keeps `true ≤ count_est ≤ true + err` through any merge
+    // tree, which is what makes the sketch safe to partial-aggregate.
+    val mThis = if (buf.size >= capacity) minCountOf(buf) else 0L
+    val mOther = if (other.size >= capacity) minCountOf(other) else 0L
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val o = other.get(e.getKey)
+      if (o != null) { e.getValue()(0) += o(0); e.getValue()(1) += o(1) }
+      else { e.getValue()(0) += mOther; e.getValue()(1) += mOther }
+    }
+    val it2 = other.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      if (!buf.containsKey(e.getKey))
+        buf.put(e.getKey, Array(e.getValue()(0) + mThis, e.getValue()(1) + mThis))
+    }
+    // re-truncate to the capacity largest counters; evict smallest
+    // counts first, largest keys first on ties
+    while (buf.size > capacity) {
+      val (vk, _) = victim(buf)
+      buf.remove(vk)
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    val entries = new Array[(String, Long, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      entries(i) = (e.getKey, e.getValue()(0), e.getValue()(1)); i += 1
+    }
+    val top = entries.sortBy { case (item, c, _) => (-c, item) }.take(k)
+    new GenericArrayData(top.map { case (item, c, err) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(item), c, err))
+    })
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    var bytes = 4
+    val items = new java.util.ArrayList[(Array[Byte], Array[Long])](buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val b = e.getKey.getBytes(StandardCharsets.UTF_8)
+      items.add((b, e.getValue))
+      bytes += 4 + b.length + 16
+    }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(items.size)
+    var i = 0
+    while (i < items.size) {
+      val (b, v) = items.get(i)
+      bb.putInt(b.length); bb.put(b); bb.putLong(v(0)); bb.putLong(v(1))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      buf.put(new String(b, StandardCharsets.UTF_8),
+        Array(bb.getLong, bb.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}

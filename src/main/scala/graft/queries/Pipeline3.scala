@@ -219,6 +219,59 @@ object Pipeline3 {
       ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // Space-Saving heavy hitters as a native TypedImperativeAggregate:
+    // at most `capacity` counters per partition cross the shuffle, the
+    // stream itself never does — the sketch that answers "top tokens /
+    // domains / brands" on a corpus too large to group-by exactly.
+    // Run here with capacity ≥ distinct items, where Space-Saving is
+    // provably exact (no eviction anywhere), so the DuckDB oracle can
+    // hash-check counts; accuracy under eviction is pinned in
+    // OperatorsSpec.
+    Q("agg_topk_sketch", fn = (s, dir) =>
+      Td.part(s, dir)
+        .agg(graft.functions.VectorFunctions.topkSketch(col("p_brand"),
+          k = 10, capacity = 1024).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("p_brand"), col("e.count_est").as("n"),
+          col("e.err").as("err"))
+        .orderBy(col("n").desc, col("p_brand")),
+      oracle = Some("""
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS err
+      FROM part GROUP BY p_brand
+      ORDER BY n DESC, p_brand LIMIT 10""")),
+
+    // ------------------------------------------------------------------
+    // BPE-style pre-tokenization (the GPT-2 pattern family): split text
+    // into contraction / space-prefixed letter runs / digit runs /
+    // punctuation runs / whitespace — the unit a byte-pair tokenizer
+    // merges within. Pure regexp_extract_all, codegen'd, narrow; the
+    // oracle runs the identical pattern through DuckDB's RE2.
+    Q("text_pretokenize", fn = (s, dir) => {
+      val pat = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+|\\s+"
+      val pieces = regexp_extract_all(lower(col("text")), lit(pat), lit(0))
+      Td.documents(s, dir)
+        .select(col("doc_id"),
+          size(pieces).cast(LongType).as("n_pieces"),
+          size(filter(pieces, p => p.rlike("^ ?[a-z]")))
+            .cast(LongType).as("n_word_pieces"),
+          size(filter(pieces, p => p.rlike("^ ?[0-9]")))
+            .cast(LongType).as("n_num_pieces"))
+        .orderBy(col("doc_id"))
+    }, oracle = Some("""
+      WITH p AS (
+        SELECT doc_id, regexp_extract_all(lower(text),
+          '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+|\s+')
+          AS pieces
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(pieces) AS BIGINT) AS n_pieces,
+             CAST(len(list_filter(pieces, x -> regexp_matches(x, '^ ?[a-z]')))
+               AS BIGINT) AS n_word_pieces,
+             CAST(len(list_filter(pieces, x -> regexp_matches(x, '^ ?[0-9]')))
+               AS BIGINT) AS n_num_pieces
+      FROM p ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // Weighted sampling without replacement (Efraimidis–Spirtsis A-Res):
     // score = u^(1/weight) with u the portable md5 hash fraction, take
     // the global top-k — one narrow map + TakeOrdered, no shuffle of

@@ -139,6 +139,37 @@ class OperatorsSpec extends SparkSpec {
     assert(small.getLong(0) === small.getLong(1))
   }
 
+  test("topk sketch: exact without eviction, bounded error and true top-1 under eviction") {
+    import spark.implicits._
+    // zipf-ish stream: item i appears ~ 4000/i times, shuffled across 8
+    // partitions so map-side partials merge through the shuffle
+    val rows = (1 to 40).flatMap(i => Seq.fill(4000 / i)(s"item_$i"))
+    val df = rows.toDF("t").repartition(8)
+    // capacity >= distinct: exact counts, zero error
+    val exact = df.agg(VectorFunctions.topkSketch(col("t"), k = 5,
+        capacity = 64).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count_est"), col("e.err"))
+      .as[(String, Long, Long)].collect()
+    assert(exact.map(_._1).toSeq === Seq("item_1", "item_2", "item_3", "item_4", "item_5"))
+    assert(exact.map(_._2).toSeq === Seq(4000L, 2000L, 1333L, 1000L, 800L))
+    assert(exact.forall(_._3 === 0L))
+    // capacity << distinct: eviction fires; count_est must stay an upper
+    // bound within err of the truth, and the clear top-1 must survive
+    val approx = df.agg(VectorFunctions.topkSketch(col("t"), k = 3,
+        capacity = 8).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count_est"), col("e.err"))
+      .as[(String, Long, Long)].collect()
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(approx.head._1 === "item_1")
+    approx.foreach { case (item, est, err) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(est >= t, s"$item est=$est true=$t")
+      assert(est - err <= t, s"$item est=$est err=$err true=$t")
+    }
+  }
+
   test("ivf top-k: self found at rank 1; recall comparable to probing ratio") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
