@@ -9,6 +9,32 @@ import java.sql.Timestamp
 
 case class Ev(user: Long, ts: Timestamp, value: Double)
 
+/** Spark-4 `transformWithState` processor: per-key (count, sum) in a
+  * typed ValueState — the arbitrary-state successor to
+  * mapGroupsWithState (SPARK-42931), exercised here because any
+  * long-lived 100 TB ingest keeps exactly this kind of per-key
+  * bookkeeping (rate counters, dedup horizons) in the state store. */
+class RunningStatsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, (Long, Long, Double)] {
+  @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    st = getHandle.getValueState[(Long, Double)]("stats",
+      org.apache.spark.sql.Encoders.product[(Long, Double)],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, s0) = if (st.exists()) st.get() else (0L, 0.0)
+    var n = n0; var s = s0
+    rows.foreach { e => n += 1; s += e.value }
+    st.update((n, s))
+    Iterator.single((key, n, s))
+  }
+}
+
 /**
  * Streaming semantics (SURVEY §2.5 streaming rows): event-time windows
  * with watermarks (late data dropped), watermark-scoped dedup, and
@@ -95,6 +121,39 @@ class StreamingSpec extends SparkSpec {
       assert(last(1L) === 3L)
       assert(last(2L) === 1L)
     } finally q.stop()
+  }
+
+  test("transformWithState (Spark 4 state API): per-key running stats on RocksDB") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val out = in.toDS()
+        .groupByKey(_.user)
+        .transformWithState(new RunningStatsProcessor(),
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws_out").start()
+      try {
+        in.addData(Ev(1, ts(0), 2.0), Ev(1, ts(1), 4.0), Ev(2, ts(2), 10.0))
+        q.processAllAvailable()
+        in.addData(Ev(1, ts(3), 6.0))       // state must survive the batch
+        q.processAllAvailable()
+        val last = spark.table("tws_out").groupBy("_1")
+          .agg(max("_2").as("n"), max("_3").as("sum"))
+          .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(last(1L) === ((3L, 12.0)))
+        assert(last(2L) === ((1L, 10.0)))
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("stream-stream join within event-time bounds") {
