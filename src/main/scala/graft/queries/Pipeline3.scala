@@ -219,6 +219,31 @@ object Pipeline3 {
       ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // Partition evolution (Iceberg REPLACE PARTITION FIELD): the table
+    // starts date-partitioned, is atomically re-laid-out by region, and
+    // must read back byte-identical rows — with the query pattern now
+    // partition-pruned on region instead of date. The oracle is the
+    // staged seed itself: evolution must be invisible to readers.
+    Q("table_partition_evolution", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("pe_seed", "parquet") {
+        SampleData.transactions(s, 120, seed = 19L)
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("pevolve")))
+      val t = cat.createTable("analytics", "txns_pe",
+        Schemas.transactions, Seq("date"))
+      t.append(s.read.parquet(seedDir))
+      t.repartitionTable(Seq("region"))
+      t.read(Map("region" -> "EU"))
+        .select(col("transaction_id"),
+          col("amount").cast(DoubleType).as("amount"),
+          col("region"), col("risk_score"))
+        .orderBy(col("transaction_id"))
+    }, oracle = Some(s"""
+      SELECT transaction_id, CAST(amount AS DOUBLE) AS amount, region, risk_score
+      FROM read_parquet('$root/pe_seed/*.parquet')
+      WHERE region = 'EU' ORDER BY transaction_id""")),
+
+    // ------------------------------------------------------------------
     // Space-Saving heavy hitters as a native TypedImperativeAggregate:
     // at most `capacity` counters per partition cross the shuffle, the
     // stream itself never does — the sketch that answers "top tokens /

@@ -563,6 +563,26 @@ class TxTable private (
     commit(Some(s.version), "COMPACT", schemaOf(s), s.partitionColumns, newFiles)
   }
 
+  /**
+   * PARTITION EVOLUTION: rewrite the table under a new partitioning
+   * (the Iceberg `REPLACE PARTITION FIELD` surface, realized as one
+   * copy-on-write pass since our layout is physical). Readers never
+   * notice mid-flight — the new layout becomes visible atomically at
+   * the commit, and time travel still reads old snapshots in their old
+   * layout (each DataFile carries its own partitionValues). Use when a
+   * table's query pattern shifts — e.g. hourly partitions that should
+   * become (date, region) once region predicates dominate.
+   */
+  def repartitionTable(newPartitionColumns: Seq[String]): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    newPartitionColumns.foreach(p => require(schema.fieldNames.contains(p),
+      s"partition column '$p' is not in the table schema"))
+    val newFiles = writeFiles(toDF.select(schema.map(f => col(f.name)): _*),
+      newPartitionColumns)
+    commit(Some(s.version), "REPARTITION", schema, newPartitionColumns, newFiles)
+  }
+
   /** Morton/Z value over `clusterBy`: min-max normalize each column to a
     * 16-bit bucket (bounds from one small aggregate over the table),
     * then bit-interleave the buckets. Nulls sort first (bucket 0). */

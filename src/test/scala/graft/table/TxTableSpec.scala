@@ -605,6 +605,43 @@ class TxTableSpec extends SparkSpec {
       .compareTo(new java.math.BigDecimal("50.00")) === 0)
   }
 
+  test("partition evolution: repartitionTable relays out atomically, old snapshots intact") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_evolve")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 120, seed = 64L)
+    t.append(seed)                                                     // v1
+    val before = t.toDF.orderBy("transaction_id").collect()
+    t.repartitionTable(Seq("region"))                                  // v2
+    assert(t.snapshot.partitionColumns === Seq("region"))
+    // identical rows through the layout change
+    assert(t.toDF.orderBy("transaction_id").collect() === before)
+    // new layout actually partition-prunes on region
+    val eu = t.toDF.filter(col("region") === "EU").count()
+    assert(t.count(Map("region" -> "EU")) === eu)
+    assert(t.snapshot.files.forall(_.partitionValues.keySet == Set("region")))
+    // time travel still reads the old layout
+    assert(t.asOf(1).orderBy("transaction_id").collect() === before)
+    assert(t.snapshotAt(1).partitionColumns === Seq("date"))
+  }
+
+  test("update(partitionFilter) rewrites only the targeted partition's files") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_updprune")), "t",
+      Schemas.transactions, Seq("region"))
+    t.append(SampleData.transactions(spark, 150, seed = 65L))
+    val filesBefore = t.snapshot.files.map(f => f.partitionValues -> f.path)
+    val untouchedBefore = filesBefore.filter(_._1("region") != "EU").toSet
+    t.update(col("risk_score") === "HIGH", Map("status" -> lit("REVIEWED")),
+      partitionFilter = Map("region" -> "EU"))
+    val after = t.snapshot.files.map(f => f.partitionValues -> f.path).toSet
+    // every non-EU file survives the commit byte-identical (same path)
+    assert(untouchedBefore.subsetOf(after))
+    // and only EU rows changed
+    assert(t.toDF.filter(col("status") === "REVIEWED" &&
+      col("region") =!= "EU").count() === 0)
+    assert(t.toDF.filter(col("region") === "EU" &&
+      col("risk_score") === "HIGH" && col("status") =!= "REVIEWED").count() === 0)
+  }
+
   test("catalog: SQL-text UPDATE and DELETE FROM route to the table") {
     val cat = new TableCatalog(spark, new Path(freshDir("sqldml")))
     val t = cat.createTable("analytics", "txns_dml",
