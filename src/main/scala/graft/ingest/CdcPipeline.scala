@@ -182,4 +182,18 @@ object CdcPipeline {
     * (scripts/create_sample_data.py:57-59); they arrive in the image. */
   def dynamoStreamsPath(events: DataFrame): DataFrame =
     unmarshal(filterEvents(events), Schemas.transactions)
+
+  /** Delete-propagating DynamoDB Streams dataflow: like
+    * [[kinesisPathWithDeletes]] but over parsed full envelopes — REMOVE
+    * rows unmarshal from the pre-image and carry `_deleted = true` for
+    * `TxTable.merge(deleteCol = ...)`. */
+  def dynamoStreamsPathWithDeletes(events: DataFrame): DataFrame = {
+    val filtered = events.filter(col("eventName").isin("INSERT", "MODIFY", "REMOVE"))
+    val img = when(col("eventName") === "REMOVE",
+        col("dynamodb").getField("OldImage"))
+      .otherwise(col("dynamodb").getField("NewImage"))
+    filtered.select(Schemas.transactions.map(f =>
+      unmarshalAttr(img, f)) :+
+      (col("eventName") === "REMOVE").as("_deleted"): _*)
+  }
 }

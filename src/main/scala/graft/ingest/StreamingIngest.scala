@@ -38,21 +38,27 @@ object StreamingIngest {
         * at the same path (batchIds restart at 0), pass a fresh appId —
         * otherwise the table's old watermark fences the new batches
         * (the same rule Delta documents for its txn appId). */
-      streamAppId: Option[String] = None): StreamingQuery = {
+      streamAppId: Option[String] = None,
+      /** forward REMOVE events as table deletes (the reference drops
+        * them); requires the stream view to carry pre-images. */
+      propagateDeletes: Boolean = false): StreamingQuery = {
 
     val events = spark.readStream
       .schema(Schemas.cdcEnvelope)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(inputDir)
 
-    val rows = CdcPipeline.dynamoStreamsPath(events)
+    val rows =
+      if (propagateDeletes) CdcPipeline.dynamoStreamsPathWithDeletes(events)
+      else CdcPipeline.dynamoStreamsPath(events)
 
     rows.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(table, batch, batchId, errorsDir,
-          streamAppId = Some(streamAppId.getOrElse(checkpointDir)))
+          streamAppId = Some(streamAppId.getOrElse(checkpointDir)),
+          deleteCol = if (propagateDeletes) Some("_deleted") else None)
       }
       .start()
   }
@@ -64,11 +70,13 @@ object StreamingIngest {
     * at-least-once stream. */
   private[ingest] def mergeBatch(table: TxTable, batch: DataFrame,
       batchId: Long, errorsDir: String,
-      streamAppId: Option[String] = None): Unit = {
+      streamAppId: Option[String] = None,
+      deleteCol: Option[String] = None): Unit = {
     if (!batch.isEmpty) {
       try table.merge(batch, key = "transaction_id",
         orderCol = "processing_timestamp",
-        txn = streamAppId.map(app => (app, batchId)))
+        txn = streamAppId.map(app => (app, batchId)),
+        deleteCol = deleteCol)
       catch {
         case e: Throwable =>
           // DLQ: reject path mirrors Firehose's errors/ prefix — keep the

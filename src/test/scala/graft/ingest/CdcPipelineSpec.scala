@@ -59,6 +59,29 @@ class CdcPipelineSpec extends SparkSpec {
     assert(t.toDF.select("transaction_id").distinct().count() === 60)
   }
 
+  test("streaming ingest with propagateDeletes: REMOVE wave deletes its keys") {
+    val work = freshDir("stream_ingest_del")
+    val txns = SampleData.transactions(spark, 40, seed = 5L)
+    // wave 1: all 40 insert; wave 2 (later files): REMOVE the HIGH-risk
+    // rows, delete stamped after the insert's processing time
+    val removes = txns.filter(col("risk_score") === "HIGH")
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1000L)
+    SampleData.toCdcEnvelopes(txns).toJSON
+      .repartition(2).write.mode("overwrite").text(s"$work/in")
+    SampleData.toCdcRemoveEnvelopes(removes).toJSON
+      .repartition(1).write.mode("append").text(s"$work/in")
+    val t = TxTable.create(spark, new Path(s"$work/table"), "t",
+      Schemas.transactions, Seq("date"))
+    val q = StreamingIngest.start(spark, s"$work/in", t,
+      s"$work/ckpt", s"$work/errors",
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = 1,
+      propagateDeletes = true)
+    q.awaitTermination(120000)
+    val nHigh = removes.count()
+    assert(t.toDF.count() === 40 - nHigh)
+    assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
+  }
+
   test("continuous ingest: ProcessingTime trigger keeps merging new files") {
     val work = freshDir("stream_pt")
     val t = TxTable.create(spark, new Path(s"$work/table"), "t",
