@@ -297,6 +297,54 @@ object Pipeline3 {
       FROM p ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // TF-IDF top terms per document — the classic corpus-keyword pass.
+    // Plan shape at 100 TB: tf is one hash aggregation on (doc, term);
+    // df one more on term (both partial-aggregated map-side); idf joins
+    // back by term (dimension-sized — Spark broadcasts it); the top-3
+    // window partitions by doc_id, the same key tf already hashed on.
+    // Scores are rounded BEFORE ranking so the oracle's libm and the
+    // JVM's agree on the ordering they rank over.
+    Q("text_tfidf_topterms", fn = (s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Td.documents(s, dir)
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(df_, "term")
+        .withColumn("score",
+          round(col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast(LongType).as("rank"),
+          col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, term,
+               round(tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS score
+        FROM tf CROSS JOIN n JOIN df USING (term)),
+      ranked AS (
+        SELECT doc_id, term, score, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        FROM scored)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+      FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // ------------------------------------------------------------------
     // Weighted sampling without replacement (Efraimidis–Spirtsis A-Res):
     // score = u^(1/weight) with u the portable md5 hash fraction, take
     // the global top-k — one narrow map + TakeOrdered, no shuffle of

@@ -110,6 +110,17 @@ class PlanSpec extends SparkSpec {
     assert(bad.isEmpty, bad.map(_.output.map(_.name)).toString)
   }
 
+  test("weighted sample plans a TakeOrdered, not a global sort") {
+    val docs = Td.documents(spark, sf0001)
+    val sampled = graft.operators.Curation.weightedSample(docs,
+      col("doc_id"), greatest(length(col("text")), lit(1)).cast("double"), k = 25)
+    val plan = planOf(sampled)
+    // per-partition top-k merged on the driver: O(k) memory, no
+    // corpus-wide exchange-and-sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
   test("aggregation plans partial (map-side) before the exchange") {
     val df = Td.lineitem(spark, sf0001)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
