@@ -5,6 +5,7 @@ import graft.model.Schemas
 import graft.operators.Curation
 import graft.table.TableCatalog
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -295,6 +296,98 @@ object Pipeline3 {
              CAST(len(list_filter(pieces, x -> regexp_matches(x, '^ ?[0-9]')))
                AS BIGINT) AS n_num_pieces
       FROM p ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
+    // Data-quality checks (the Deequ-style ANALYZE surface a lake runs
+    // before publishing a table): completeness, composite-key
+    // uniqueness, value range, accepted values, referential integrity.
+    // Every check is one partial-aggregated scan (plus a left-anti join
+    // for RI) — the whole battery is two jobs regardless of table
+    // width, the shape that matters when the table is 100 TB.
+    Q("data_quality_checks", fn = (s, dir) => {
+      val li = Td.lineitem(s, dir)
+      val o = Td.orders(s, dir)
+      def row(name: String, metric: Column, passed: Column)(df: DataFrame) =
+        df.select(lit(name).as("check_name"),
+          round(metric, 6).cast(DoubleType).as("metric"),
+          passed.as("passed"))
+      val completeness = row("completeness_l_orderkey",
+        col("m"), col("m") === 1.0)(
+        li.agg((count(col("l_orderkey")).cast(DoubleType) / count(lit(1))).as("m")))
+      val uniqueness = row("uniqueness_orderkey_linenumber",
+        col("m"), col("m") === 1.0)(
+        li.agg((countDistinct(concat_ws("|", col("l_orderkey"),
+          col("l_linenumber"))).cast(DoubleType) / count(lit(1))).as("m")))
+      val range = row("range_l_quantity_1_50",
+        col("mx"), col("mn") >= 1.0 && col("mx") <= 50.0)(
+        li.agg(min(col("l_quantity")).as("mn"), max(col("l_quantity")).as("mx")))
+      val accepted = row("accepted_values_l_returnflag",
+        col("m"), col("m") === 0.0)(
+        li.agg(sum(when(col("l_returnflag").isin("A", "N", "R"), 0)
+          .otherwise(1)).cast(DoubleType).as("m")))
+      val ri = row("referential_l_orderkey_in_orders",
+        col("m"), col("m") === 0.0)(
+        li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).cast(DoubleType).as("m")))
+      completeness.unionByName(uniqueness).unionByName(range)
+        .unionByName(accepted).unionByName(ri)
+        .orderBy(col("check_name"))
+    }, oracle = Some("""
+      SELECT * FROM (
+        SELECT 'completeness_l_orderkey' AS check_name,
+               round(count(l_orderkey) * 1.0 / count(*), 6) AS metric,
+               count(l_orderkey) = count(*) AS passed
+        FROM lineitem
+        UNION ALL
+        SELECT 'uniqueness_orderkey_linenumber',
+               round(count(DISTINCT concat_ws('|', l_orderkey, l_linenumber))
+                 * 1.0 / count(*), 6),
+               count(DISTINCT concat_ws('|', l_orderkey, l_linenumber)) = count(*)
+        FROM lineitem
+        UNION ALL
+        SELECT 'range_l_quantity_1_50', round(max(l_quantity), 6),
+               min(l_quantity) >= 1.0 AND max(l_quantity) <= 50.0
+        FROM lineitem
+        UNION ALL
+        SELECT 'accepted_values_l_returnflag',
+               round(CAST(sum(CASE WHEN l_returnflag IN ('A','N','R')
+                 THEN 0 ELSE 1 END) AS DOUBLE), 6),
+               sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) = 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'referential_l_orderkey_in_orders',
+               CAST(count(*) AS DOUBLE), count(*) = 0
+        FROM lineitem l WHERE NOT EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      ) ORDER BY check_name""")),
+
+    // ------------------------------------------------------------------
+    // RANGE-frame window (value-based, not row-based): trailing-30-day
+    // spend per customer — frames defined on a day-number axis so both
+    // engines agree exactly. One hash partition per customer, sorted
+    // once; the frame is a pointer range over the sorted run.
+    Q("window_range_frame", fn = (s, dir) => {
+      val o = Td.orders(s, dir).filter(col("o_custkey") % 100 === 0)
+        .withColumn("day", datediff(to_date(col("o_orderdate")),
+          lit("1990-01-01").cast(DateType)).cast(LongType))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+          round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    }, oracle = Some("""
+      WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(date_diff('day', DATE '1990-01-01',
+                 CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+               o_totalprice
+        FROM orders WHERE o_custkey % 100 = 0)
+      SELECT o_orderkey, o_custkey, day,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY day
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+      FROM o ORDER BY o_custkey, day, o_orderkey""")),
 
     // ------------------------------------------------------------------
     // TF-IDF top terms per document — the classic corpus-keyword pass.
