@@ -15,7 +15,8 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (only.nonEmpty) SparkEntry.benchNames.filter(only) else SparkEntry.benchNames
+    val names = if (only.nonEmpty) SparkEntry.queries.keys.toSeq.filter(only).sorted
+      else SparkEntry.benchNames
     names.foreach { n =>
       println(s"\n========== $n ==========")
       try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
