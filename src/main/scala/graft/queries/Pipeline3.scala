@@ -220,6 +220,38 @@ object Pipeline3 {
       ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // Per-file Bloom index point lookup: min/max stats cannot prune a
+    // high-cardinality id spread across every file, the Bloom sidecar
+    // can — and with no false negatives the result stays exact, which
+    // is what the oracle (a plain filter over the staged seed) checks.
+    Q("table_bloom_pointlookup", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("bloom_seed", "parquet") {
+        SampleData.transactions(s, 400, seed = 23L)
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("bloomix")))
+      val t = cat.createTable("analytics", "txns_bloom",
+        Schemas.transactions, Nil)
+      val seed = s.read.parquet(seedDir)
+      // four appends → four full-range files
+      (0 until 4).foreach(i => t.append(seed.filter(pmod(xxhash64(
+        col("transaction_id")), lit(4)) === i)))
+      t.buildBloomIndex("transaction_id")
+      val probes = seed.select("transaction_id").orderBy("transaction_id")
+        .limit(5).collect().map(_.getString(0))
+      probes.map(p => t.readWhereEquals("transaction_id", p)
+          .select(col("transaction_id"),
+            col("amount").cast(DoubleType).as("amount"), col("status")))
+        .reduce(_ unionByName _)
+        .orderBy(col("transaction_id"))
+    }, oracle = Some(s"""
+      SELECT transaction_id, CAST(amount AS DOUBLE) AS amount, status
+      FROM read_parquet('$root/bloom_seed/*.parquet')
+      WHERE transaction_id IN (
+        SELECT transaction_id FROM read_parquet('$root/bloom_seed/*.parquet')
+        ORDER BY transaction_id LIMIT 5)
+      ORDER BY transaction_id""")),
+
+    // ------------------------------------------------------------------
     // Partition evolution (Iceberg REPLACE PARTITION FIELD): the table
     // starts date-partitioned, is atomically re-laid-out by region, and
     // must read back byte-identical rows — with the query pattern now

@@ -34,6 +34,14 @@ final case class DataFile(
       * driver-side data skipping (see [[FileStats]]) */
     stats: Option[Map[String, ColStats]] = None)
 
+/** Sidecar per-file Bloom index (see `TxTable.buildBloomIndex`):
+  * serialized filters keyed by immutable data-file path. */
+final case class BloomIndex(
+    column: String,
+    fpp: Double,
+    builtAtVersion: Long,
+    entries: Map[String, String])        // path -> base64 filter bytes
+
 final case class Snapshot(
     version: Long,
     timestampMs: Long,

@@ -123,6 +123,94 @@ class TxTable private (
     snapshot.files.count(f =>
       f.stats.forall(st => FileStats.mayContainRange(st, column, lo, hi)))
 
+  // ---- per-file Bloom index (point-lookup skipping) --------------------
+
+  /**
+   * Build (or rebuild) a per-file Bloom index on `column` — the
+   * Delta-style BLOOMFILTER INDEX for point lookups on high-cardinality
+   * columns where min/max stats cannot prune (every file's [min, max]
+   * id range overlaps every other's). ONE distributed scan: rows group
+   * by their source file and fold into a [[graft.functions.expressions
+   * .BloomFilterAgg]] per file; the driver only ever holds the
+   * serialized filters (~KB each), never rows. The index is a sidecar
+   * (`_index/bloom_<column>.json`) keyed by immutable file path — files
+   * written after the build simply have no entry and are read
+   * conservatively, so a stale index can never drop rows.
+   */
+  def buildBloomIndex(column: String, fpp: Double = 0.001): Int = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    require(schema.fieldNames.contains(column),
+      s"bloom index column '$column' is not in the table schema")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val perFileRows = math.max(1L, if (s.files.isEmpty) 1L
+      else s.files.map(f => math.max(f.rowCount, 0L)).max)
+    val agg = ColumnBridge.column(
+      graft.functions.expressions.BloomFilterAgg(
+        ColumnBridge.expression(col(column)), perFileRows, fpp)
+        .toAggregateExpression())
+    val collected = dfFor(s)
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__file")).agg(agg.as("bloom"))
+      .collect()
+    // match scan URIs back to snapshot paths by the unique file name
+    val byName = collected.map(r =>
+      new Path(r.getString(0)).getName -> r.getAs[Array[Byte]](1)).toMap
+    val enc = java.util.Base64.getEncoder
+    val entries = s.files.flatMap(f =>
+      byName.get(new Path(f.path).getName)
+        .map(b => f.path -> enc.encodeToString(b))).toMap
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val json = org.json4s.jackson.Serialization.write(
+      BloomIndex(column, fpp, s.version, entries))
+    val out = fs.create(bloomIndexPath(column), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    entries.size
+  }
+
+  private def bloomIndexPath(column: String): Path =
+    new Path(root, s"_index/bloom_$column.json")
+
+  private def loadBloomIndex(column: String): Map[String, Array[Byte]] = {
+    val p = bloomIndexPath(column)
+    if (!fs.exists(p)) Map.empty
+    else {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val in = fs.open(p)
+      val json = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      val idx = org.json4s.jackson.JsonMethods.parse(json).extract[BloomIndex]
+      val dec = java.util.Base64.getDecoder
+      idx.entries.map { case (k, v) => k -> dec.decode(v) }
+    }
+  }
+
+  /** Point-lookup read: prune files by min/max stats AND (when a Bloom
+    * index exists for `column`) by per-file Bloom membership — no false
+    * negatives, so the result is always exact; files without an index
+    * entry are read conservatively. */
+  def readWhereEquals(column: String, value: Any): DataFrame = {
+    dfFor(snapshot.copy(files = candidateFilesForEquals(column, value)))
+      .filter(col(column) === lit(value))
+  }
+
+  /** The files a point lookup would scan — observability for tests. */
+  def candidateFilesForEquals(column: String, value: Any): Seq[DataFile] = {
+    val s = snapshot
+    val dt = schemaOf(s)(column).dataType
+    val idx = loadBloomIndex(column)
+    s.files.filter { f =>
+      f.stats.forall(st =>
+        FileStats.mayContainRange(st, column, Some(value), Some(value))) &&
+      idx.get(f.path).forall(b =>
+        graft.functions.expressions.BloomFilterAgg.mightContain(b, value, dt))
+    }
+  }
+
   /** Commit history (newest first) from snapshot metadata only — the
     * DESCRIBE HISTORY surface: version, operation, commit time, and
     * file/row/byte totals per version. */

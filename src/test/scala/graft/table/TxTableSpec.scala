@@ -642,6 +642,41 @@ class TxTableSpec extends SparkSpec {
       col("risk_score") === "HIGH" && col("status") =!= "REVIEWED").count() === 0)
   }
 
+  test("bloom index: point lookups skip files min/max cannot prune") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_bloom")), "t",
+      Schemas.transactions, Nil)
+    // several appends → several files, each with the FULL id hash range
+    // (ids are not clustered), so min/max stats prune nothing
+    (0 until 5).foreach(i =>
+      t.append(SampleData.transactions(spark, 200, seed = 70L + i)))
+    val nFiles = t.snapshot.files.size
+    assert(nFiles >= 5)
+    // probe a MID-RANGE id: every file's [min, max] hex span contains
+    // it (the global minimum would be stats-prunable on its own)
+    val probe = t.toDF.select("transaction_id").orderBy("transaction_id")
+      .limit(500).collect()(499).getString(0)
+    // without the index, min/max stats keep nearly every file
+    assert(t.candidateFilesForEquals("transaction_id", probe).size >= nFiles / 2)
+    assert(t.buildBloomIndex("transaction_id") === nFiles)
+    // with the index, ~1 candidate (fpp 0.001 → extra candidates are
+    // vanishingly unlikely across a handful of files)
+    val cands = t.candidateFilesForEquals("transaction_id", probe)
+    assert(cands.size <= 2, s"bloom pruned to ${cands.size} of $nFiles")
+    assert(cands.size < nFiles)
+    // exactness: the pruned read returns exactly the matching row(s)
+    val viaIndex = t.readWhereEquals("transaction_id", probe).collect()
+    val full = t.toDF.filter(col("transaction_id") === probe).collect()
+    assert(viaIndex.toSet === full.toSet && viaIndex.nonEmpty)
+    // absent key → typically zero candidate files, always zero rows
+    assert(t.readWhereEquals("transaction_id", "TXN_NOPE").count() === 0)
+    // files appended AFTER the build have no entry → read conservatively
+    t.append(SampleData.transactions(spark, 50, seed = 99L))
+    val newProbe = SampleData.transactions(spark, 50, seed = 99L)
+      .select("transaction_id").orderBy("transaction_id").limit(1)
+      .collect()(0).getString(0)
+    assert(t.readWhereEquals("transaction_id", newProbe).count() >= 1)
+  }
+
   test("catalog: SQL-text UPDATE and DELETE FROM route to the table") {
     val cat = new TableCatalog(spark, new Path(freshDir("sqldml")))
     val t = cat.createTable("analytics", "txns_dml",
