@@ -127,6 +127,56 @@ object Pipeline3 {
       ORDER BY transaction_id""")),
 
     // ------------------------------------------------------------------
+    // SQL-text MERGE INTO (the Iceberg/Athena statement the reference's
+    // engine runs for its unique_keys upsert, WHEN MATCHED AND op='D'
+    // THEN DELETE included): routed to TxTable.merge with LWW + delete
+    // semantics. The oracle replays upsert/delete algebra in SQL.
+    Q("table_sql_merge", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("sqlm_seed", "parquet") {
+        SampleData.transactions(s, 200, seed = 29L)
+      }
+      val batchDir = Pipeline.stagedInput("sqlm_batch", "parquet") {
+        val seed = s.read.parquet(seedDir)
+        val ups = seed.filter(col("risk_score") === "HIGH")
+          .withColumn("amount", (col("amount") + 7).cast(DecimalType(12, 2)))
+          .withColumn("__op", lit("U"))
+        val dels = seed.filter(col("status") === "DECLINED" &&
+            col("risk_score") =!= "HIGH")
+          .withColumn("__op", lit("D"))
+        val fresh = SampleData.transactions(s, 230, seed = 29L)
+          .join(seed.select("transaction_id"), Seq("transaction_id"), "left_anti")
+          .withColumn("__op", lit("U"))
+        ups.unionByName(dels).unionByName(fresh.select(ups.columns.map(col): _*))
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("sqlmerge")))
+      val t = cat.createTable("analytics", "txns_sm",
+        Schemas.transactions, Seq("date"))
+      t.append(s.read.parquet(seedDir))
+      s.read.parquet(batchDir).createOrReplaceTempView("sqlm_cdc")
+      cat.sql("""
+        MERGE INTO analytics.txns_sm AS t USING sqlm_cdc AS s
+        ON t.transaction_id = s.transaction_id
+        WHEN MATCHED AND s.__op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      t.toDF.select(col("transaction_id"),
+          col("amount").cast(DoubleType).as("amount"),
+          col("status"), col("risk_score"))
+        .orderBy(col("transaction_id"))
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/sqlm_seed/*.parquet')),
+      batch AS (SELECT * FROM read_parquet('$root/sqlm_batch/*.parquet'))
+      SELECT transaction_id, CAST(amount AS DOUBLE) AS amount, status, risk_score
+      FROM (
+        SELECT transaction_id, amount, status, risk_score
+        FROM batch WHERE __op <> 'D'
+        UNION ALL
+        SELECT s.transaction_id, s.amount, s.status, s.risk_score
+        FROM seed s WHERE NOT EXISTS
+          (SELECT 1 FROM batch b WHERE b.transaction_id = s.transaction_id))
+      ORDER BY transaction_id""")),
+
+    // ------------------------------------------------------------------
     // Incremental materialized-view maintenance: a per-region aggregate
     // is initialized once from v1, then advanced to v3 using ONLY the
     // pre-image change feed (diff with update_preimage/update_postimage

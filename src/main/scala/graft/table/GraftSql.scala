@@ -32,6 +32,16 @@ object GraftSql {
     """(?is)\s*UPDATE\s+([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val DeleteFromRe =
     """(?is)\s*DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+([`\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|TABLE|FROM|WITH)\b.*?)\s*;?\s*""".r
+  /** The Iceberg/Athena CDC MERGE shape (optionally with a leading
+    * DELETE branch), the statement the reference's engine runs for its
+    * `unique_keys` upsert contract. */
+  private val MergeRe =
+    ("""(?is)\s*MERGE\s+INTO\s+([`\w.]+)(?:\s+AS\s+\w+)?\s+USING\s+([`\w.]+)(?:\s+AS\s+\w+)?""" +
+     """\s+ON\s+(.+?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE\s+)?""" +
+     """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  private val OnEqRe = """(?s)\s*(?:[`\w]+\.)?([`\w]+)\s*=\s*(?:[`\w]+\.)?([`\w]+)\s*""".r
 
   /** Route one SQL statement: DDL against the catalog, everything else
     * to spark.sql. DDL returns a one-row (result: string) frame, the
@@ -78,7 +88,41 @@ object GraftSql {
         val t = cat.getTable(ns, tbl)
         val v = t.delete(predicateOf(where))
         Seq(s"DELETED $ns.$tbl v$v").toDF("result")
-      case _ => spark.sql(text)
+      case InsertRe(rawName, colList, query) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val df = spark.sql(rewriteTableRefs(cat, query))
+        // SQL INSERT is POSITIONAL: map query columns onto the target's
+        // (or the explicit column list's) names in order; columns the
+        // list omits pad to null via append's schema alignment
+        val targets =
+          if (colList == null) t.schema.fieldNames.toSeq
+          else colList.split(",").map(cleanIdent).toSeq
+        require(df.columns.length == targets.length,
+          s"INSERT column count ${df.columns.length} != target ${targets.length}")
+        val v = t.append(df.toDF(targets: _*))
+        Seq(s"INSERTED $ns.$tbl v$v").toDF("result")
+      case MergeRe(rawName, source, on, deleteCond) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val key = on.trim match {
+          case OnEqRe(a, b) if cleanIdent(a) == cleanIdent(b) => cleanIdent(a)
+          case other => throw new IllegalArgumentException(
+            s"MERGE ON must be an equality on the same column name both sides, got '$other'")
+        }
+        val src = spark.sql(s"SELECT * FROM ${rewriteTableRefs(cat, source)}")
+        // alias qualifiers (s.col) have no scope once the source is a
+        // frame — strip them from the DELETE condition
+        val batch = deleteCond match {
+          case null => src
+          case cond => src.withColumn("__sql_del",
+            org.apache.spark.sql.functions.expr(
+              cond.replaceAll("""\b[`\w]+\.""", "")))
+        }
+        val v = t.merge(batch, key = key, orderCol = key,
+          deleteCol = if (deleteCond == null) None else Some("__sql_del"))
+        Seq(s"MERGED $ns.$tbl v$v").toDF("result")
+      case _ => spark.sql(rewriteTableRefs(cat, text))
     }
   }
 
@@ -132,6 +176,27 @@ object GraftSql {
   }
 
   private def cleanIdent(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
+
+  /** Make `ns.tbl` references in query text resolve against this
+    * catalog: every known table whose qualified name appears is
+    * registered as a snapshot temp view and the reference rewritten to
+    * the view's name. Identifier-level rewrite (word-bounded) — the
+    * pragmatic CLI surface, not a full Spark catalog plugin; a quoted
+    * string literal that happens to contain a qualified table name
+    * would be rewritten too, so don't name string constants after
+    * tables. Unknown references pass through to spark.sql untouched. */
+  private def rewriteTableRefs(cat: TableCatalog, text: String): String = {
+    var out = text
+    for (ns <- cat.listNamespaces(); tbl <- cat.listTables(ns)) {
+      val qualified = s"$ns.$tbl"
+      if (out.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(qualified)}\\b.*")) {
+        val view = cat.registerView(ns, tbl)
+        out = out.replaceAll(
+          s"\\b${java.util.regex.Pattern.quote(qualified)}\\b", view)
+      }
+    }
+    out
+  }
 
   /** WHERE-less DML touches every row (standard SQL). */
   private def predicateOf(where: String): org.apache.spark.sql.Column =

@@ -699,6 +699,50 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("catalog: SQL-text INSERT INTO, MERGE INTO, and SELECT over ns.tbl") {
+    val cat = new TableCatalog(spark, new Path(freshDir("sqlfull")))
+    val t = cat.createTable("analytics", "txns_sql",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 40, seed = 80L)
+    t.append(seed)
+    // INSERT INTO ... SELECT (positional)
+    seed.limit(0).createOrReplaceTempView("empty_batch")
+    val extra = SampleData.transactions(spark, 10, seed = 81L)
+    extra.createOrReplaceTempView("extra_batch")
+    val ins = cat.sql("INSERT INTO analytics.txns_sql SELECT * FROM extra_batch")
+    assert(ins.collect()(0).getString(0).startsWith("INSERTED"))
+    assert(t.toDF.count() === 50)
+    // SELECT auto-resolves ns.tbl via a snapshot view
+    val n = cat.sql("SELECT count(*) AS n FROM analytics.txns_sql")
+      .collect()(0).getLong(0)
+    assert(n === 50)
+    // MERGE INTO with a delete branch: 5 upserts (changed amount),
+    // 5 deletes, 5 fresh inserts
+    val ups = seed.orderBy("transaction_id").limit(5)
+      .withColumn("amount", lit(1.23).cast(DecimalType(12, 2)))
+      .withColumn("__op", lit("U"))
+    val dels = seed.orderBy(col("transaction_id").desc).limit(5)
+      .withColumn("__op", lit("D"))
+    val fresh = SampleData.transactions(spark, 5, seed = 82L)
+      .withColumn("__op", lit("U"))
+    ups.unionByName(dels).unionByName(fresh).createOrReplaceTempView("cdc_batch")
+    val m = cat.sql("""
+      MERGE INTO analytics.txns_sql AS t USING cdc_batch AS s
+      ON t.transaction_id = s.transaction_id
+      WHEN MATCHED AND s.__op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(m.collect()(0).getString(0).startsWith("MERGED"))
+    assert(t.toDF.count() === 50 - 5 + 5)
+    assert(t.toDF.filter(col("amount") === 1.23).count() === 5)
+    // unsupported MERGE shapes are rejected, not silently misrouted
+    intercept[IllegalArgumentException] {
+      cat.sql("MERGE INTO analytics.txns_sql USING cdc_batch " +
+        "ON t.transaction_id = s.other_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+  }
+
   test("catalog: namespace/table DDL + idempotent drop") {
     val cat = new TableCatalog(spark, new Path(freshDir("cat")))
     cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
