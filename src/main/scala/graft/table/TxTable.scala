@@ -211,6 +211,65 @@ class TxTable private (
     }
   }
 
+  // ---- metadata tables & tags ------------------------------------------
+
+  /** Iceberg-style `files` metadata table: one row per data file of the
+    * current snapshot, straight from the transaction log — zero data
+    * I/O, so "how is my table laid out" never scans the table. */
+  def filesDf: DataFrame = {
+    import spark.implicits._
+    snapshot.files.map(f => (f.path, f.partitionValues, f.rowCount,
+        f.sizeBytes, f.stats.isDefined))
+      .toDF("path", "partition_values", "row_count", "size_bytes", "has_stats")
+  }
+
+  /** Iceberg-style `partitions` metadata table: per-partition file/
+    * row/byte totals, again metadata-only. */
+  def partitionsDf: DataFrame = {
+    import spark.implicits._
+    snapshot.files.groupBy(_.partitionValues).toSeq
+      .map { case (pv, fs) =>
+        (pv, fs.size.toLong, fs.map(f => math.max(f.rowCount, 0L)).sum,
+          fs.map(_.sizeBytes).sum)
+      }
+      .toDF("partition_values", "file_count", "row_count", "size_bytes")
+  }
+
+  private def tagsPath: Path = new Path(root, "_log/tags.json")
+
+  /** Name a committed version (the Iceberg tag / Delta "version alias"
+    * surface): `tag("audit-2025Q3")` pins the current version against
+    * vacuum-by-confusion — readers use [[asOfTag]] without having to
+    * know version numbers. Tags live in one sidecar JSON; re-tagging a
+    * name moves it. */
+  def tag(name: String, version: Long = -1L): Unit = {
+    val v = if (version < 0) currentVersion else version
+    require(v <= currentVersion, s"cannot tag future version $v")
+    val updated = tags + (name -> v)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val out = fs.create(tagsPath, true)
+    try out.write(org.json4s.jackson.Serialization.write(updated)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def tags: Map[String, Long] = {
+    if (!fs.exists(tagsPath)) Map.empty
+    else {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val in = fs.open(tagsPath)
+      val json = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      org.json4s.jackson.JsonMethods.parse(json).extract[Map[String, Long]]
+    }
+  }
+
+  def asOfTag(name: String): DataFrame = asOf(tags.getOrElse(name,
+    throw new IllegalArgumentException(s"no tag '$name' on table $this.name")))
+
   /** Commit history (newest first) from snapshot metadata only — the
     * DESCRIBE HISTORY surface: version, operation, commit time, and
     * file/row/byte totals per version. */

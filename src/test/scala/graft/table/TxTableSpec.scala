@@ -699,6 +699,28 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables and tags: files/partitions from the log, tagged reads") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_meta")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 100, seed = 90L))        // v1
+    val files = t.filesDf.collect()
+    assert(files.length === t.snapshot.files.size)
+    assert(files.map(_.getLong(2)).sum === 100L)                     // row_count
+    val parts = t.partitionsDf.collect()
+    assert(parts.map(_.getLong(2)).sum === 100L)
+    assert(parts.map(_.getLong(1)).sum === files.length.toLong)      // file_count
+    // tag the pre-delete version; a later delete must not affect it
+    t.tag("pre-delete")
+    t.delete(col("risk_score") === "HIGH")                           // v2
+    assert(t.asOfTag("pre-delete").count() === 100)
+    assert(t.toDF.count() < 100)
+    // re-tagging moves the name; unknown tags are an error
+    t.tag("pre-delete", t.currentVersion)
+    assert(t.asOfTag("pre-delete").count() === t.toDF.count())
+    intercept[IllegalArgumentException] { t.asOfTag("nope") }
+    intercept[IllegalArgumentException] { t.tag("future", 99L) }
+  }
+
   test("catalog: SQL-text INSERT INTO, MERGE INTO, and SELECT over ns.tbl") {
     val cat = new TableCatalog(spark, new Path(freshDir("sqlfull")))
     val t = cat.createTable("analytics", "txns_sql",
