@@ -54,6 +54,26 @@ object Dedup {
       .filter(col("rn") > 1).select(idCol)
   }
 
+  /**
+   * INCREMENTAL dedup — the shape a continuously-curated corpus runs
+   * every ingest cycle: a new batch dedups against the accumulated
+   * fingerprint store (anti-join on content fingerprint) and within
+   * itself (keep min-id per fingerprint), WITHOUT ever re-reading the
+   * historical corpus — only its fingerprints, which are 16 bytes/doc
+   * no matter how wide the documents are. Returns the surviving batch
+   * rows; append their fingerprints to the store afterwards (the
+   * returned frame carries `fingerprint` for exactly that purpose).
+   */
+  def exactIncremental(batch: DataFrame, fingerprintStore: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = batch.withColumn("fingerprint", contentFingerprint(col(textCol)))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
+    fp.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(fingerprintStore.select(col("fingerprint")).distinct(),
+        Seq("fingerprint"), "left_anti")
+  }
+
   /** Distinct 64-bit shingle hashes per document — the shared input of
     * signature computation and Jaccard verification — via the native
     * [[HashedShingleSet]] expression: one tight per-row loop instead of

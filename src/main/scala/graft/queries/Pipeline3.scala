@@ -236,6 +236,34 @@ object Pipeline3 {
       FROM v3 GROUP BY region ORDER BY region""")),
 
     // ------------------------------------------------------------------
+    // Incremental dedup: a new ingest batch dedups against the
+    // accumulated fingerprint store (16 bytes/doc) and within itself —
+    // the historical CORPUS is never re-read, which is the only shape
+    // that works when history is 100 TB and the daily batch is 100 GB.
+    // documents with doc_id % 3 == 0 play the new batch; the rest are
+    // history.
+    Q("dedup_incremental", fn = (s, dir) => {
+      val docs = Td.documents(s, dir)
+      val store = graft.operators.Dedup.exact(docs.filter(col("doc_id") % 3 =!= 0))
+        .select(col("fingerprint"))
+      graft.operators.Dedup.exactIncremental(
+          docs.filter(col("doc_id") % 3 === 0), store)
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }, oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, md5(concat(array_to_string(
+          list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), ' '),
+          '')) AS fingerprint
+        FROM documents),
+      hist AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 3 <> 0),
+      keep AS (SELECT fingerprint, min(doc_id) AS doc_id
+               FROM f WHERE doc_id % 3 = 0 GROUP BY 1)
+      SELECT doc_id, fingerprint FROM keep
+      WHERE fingerprint NOT IN (SELECT fingerprint FROM hist)
+      ORDER BY doc_id""")),
+
+    // ------------------------------------------------------------------
     // Bloom-prefiltered decontamination: benchmark n-grams folded into a
     // broadcast Bloom filter, corpus n-grams dropped map-side before the
     // exact verify join — same EXACT output as an unfiltered inverted-
