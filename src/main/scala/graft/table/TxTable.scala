@@ -235,6 +235,29 @@ class TxTable private (
       .toDF("partition_values", "file_count", "row_count", "size_bytes")
   }
 
+  /**
+   * Row provenance (the Delta/Iceberg `_metadata`-column surface): the
+   * current snapshot's rows plus `_commit_version` — the version whose
+   * commit first introduced each row's FILE. Metadata-only derivation:
+   * walk the log once to find each live file's first appearance, then
+   * decorate rows by their source file name; copy-on-write rewrites
+   * (merge/update/compact) re-version the rows they carry, which is
+   * truthful — those bytes were written by that commit.
+   */
+  def readWithProvenance(): DataFrame = {
+    val s = snapshot
+    val firstSeen = scala.collection.mutable.Map[String, Long]()
+    (1L to s.version).foreach { v =>
+      TxLog.read(logDir, v, conf).files.foreach(f =>
+        if (!firstSeen.contains(f.path)) firstSeen(f.path) = v)
+    }
+    val byName: Map[String, Long] = s.files.map(f =>
+      new Path(f.path).getName -> firstSeen.getOrElse(f.path, s.version)).toMap
+    val lookup = udf((file: String) =>
+      byName.getOrElse(new Path(file).getName, -1L))
+    dfFor(s).withColumn("_commit_version", lookup(input_file_name()))
+  }
+
   private def tagsPath: Path = new Path(root, "_log/tags.json")
 
   /** Name a committed version (the Iceberg tag / Delta "version alias"

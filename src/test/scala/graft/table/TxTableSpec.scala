@@ -721,6 +721,25 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.tag("future", 99L) }
   }
 
+  test("row provenance: _commit_version tracks the commit that wrote each file") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_prov")), "t",
+      Schemas.transactions, Seq("date"))
+    val a = SampleData.transactions(spark, 30, seed = 91L)
+    val b = SampleData.transactions(spark, 20, seed = 92L)
+    t.append(a)                                                      // v1
+    t.append(b)                                                      // v2
+    val prov = t.readWithProvenance()
+    val byVersion = prov.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVersion === Map(1L -> 30L, 2L -> 20L))
+    // a copy-on-write delete re-versions the rewritten rows
+    t.delete(col("risk_score") === "HIGH")                           // v3
+    val after = t.readWithProvenance()
+    assert(after.filter(col("_commit_version") === 3L).count() ===
+      after.count())
+    assert(after.filter(col("_commit_version").isin(1L, 2L)).count() === 0)
+  }
+
   test("catalog: SQL-text INSERT INTO, MERGE INTO, and SELECT over ns.tbl") {
     val cat = new TableCatalog(spark, new Path(freshDir("sqlfull")))
     val t = cat.createTable("analytics", "txns_sql",
