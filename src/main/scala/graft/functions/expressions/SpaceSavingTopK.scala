@@ -36,7 +36,7 @@ case class SpaceSavingTopK(
     capacity: Int = 1024,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, Array[Long]]] {
+  extends TypedImperativeAggregate[SpaceSavingTopK.Buf] {
 
   require(k <= capacity, "k must be <= capacity")
 
@@ -48,16 +48,16 @@ case class SpaceSavingTopK(
   override def nullable: Boolean = false
   override def prettyName: String = "topk_sketch"
 
-  type Buf = java.util.HashMap[String, Array[Long]]
+  type Buf = SpaceSavingTopK.Buf
 
-  override def createAggregationBuffer(): Buf = new Buf()
+  override def createAggregationBuffer(): Buf = new SpaceSavingTopK.Buf()
 
   /** deterministic eviction victim: min count, then LARGEST key — so
     * which counter dies never depends on hash-map iteration order. */
   private def victim(buf: Buf): (String, Array[Long]) = {
     var bk: String = null
     var bv: Array[Long] = null
-    val it = buf.entrySet().iterator()
+    val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (bk == null || e.getValue()(0) < bv(0) ||
@@ -69,15 +69,16 @@ case class SpaceSavingTopK(
   }
 
   private def add(buf: Buf, item: String, count: Long, err: Long): Unit = {
-    val cur = buf.get(item)
+    val cur = buf.m.get(item)
     if (cur != null) { cur(0) += count; cur(1) += err }
-    else if (buf.size < capacity) buf.put(item, Array(count, err))
+    else if (buf.m.size < capacity) { buf.m.put(item, Array(count, err)); () }
     else {
       val (vk, vv) = victim(buf)
       val base = vv(0)
-      buf.remove(vk)
+      buf.m.remove(vk)
+      buf.evicted = true
       // the evicted count becomes this item's error bound
-      buf.put(item, Array(base + count, base + err))
+      buf.m.put(item, Array(base + count, base + err))
     }
   }
 
@@ -87,52 +88,54 @@ case class SpaceSavingTopK(
     buf
   }
 
-  /** min counter value; only meaningful when the buffer is full (a
-    * buffer below capacity never evicted, so an absent key truly has
-    * count 0 there). */
+  /** min counter value; only meaningful when the buffer has actually
+    * evicted (otherwise an absent key truly has count 0 there). */
   private def minCountOf(buf: Buf): Long = {
     var m = Long.MaxValue
-    val it = buf.values().iterator()
+    val it = buf.m.values().iterator()
     while (it.hasNext) { val v = it.next()(0); if (v < m) m = v }
-    m
+    if (m == Long.MaxValue) 0L else m
   }
 
   override def merge(buf: Buf, other: Buf): Buf = {
     // Upper-bound-preserving merge (Agarwal et al., PODS'12): a key
-    // absent from a FULL summary may have had up to that summary's min
-    // count absorbed into other counters, so the absent side
-    // contributes its min to both the estimate and the error bound.
-    // (A non-full summary never evicted — absent there means count 0.)
-    // This keeps `true ≤ count_est ≤ true + err` through any merge
-    // tree, which is what makes the sketch safe to partial-aggregate.
-    val mThis = if (buf.size >= capacity) minCountOf(buf) else 0L
-    val mOther = if (other.size >= capacity) minCountOf(other) else 0L
-    val it = buf.entrySet().iterator()
+    // absent from a summary that has EVICTED may have had up to that
+    // summary's min count absorbed into other counters, so the absent
+    // side contributes its min to both the estimate and the error
+    // bound. A summary that never evicted (tracked explicitly — being
+    // exactly at capacity is not evidence of loss) contributes 0 for
+    // absent keys. This keeps `true ≤ count_est ≤ true + err` through
+    // any merge tree, and keeps the capacity ≥ distinct regime EXACT.
+    val mThis = if (buf.evicted) minCountOf(buf) else 0L
+    val mOther = if (other.evicted) minCountOf(other) else 0L
+    val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val o = other.get(e.getKey)
+      val o = other.m.get(e.getKey)
       if (o != null) { e.getValue()(0) += o(0); e.getValue()(1) += o(1) }
       else { e.getValue()(0) += mOther; e.getValue()(1) += mOther }
     }
-    val it2 = other.entrySet().iterator()
+    val it2 = other.m.entrySet().iterator()
     while (it2.hasNext) {
       val e = it2.next()
-      if (!buf.containsKey(e.getKey))
-        buf.put(e.getKey, Array(e.getValue()(0) + mThis, e.getValue()(1) + mThis))
+      if (!buf.m.containsKey(e.getKey))
+        buf.m.put(e.getKey, Array(e.getValue()(0) + mThis, e.getValue()(1) + mThis))
     }
+    buf.evicted ||= other.evicted
     // re-truncate to the capacity largest counters; evict smallest
     // counts first, largest keys first on ties
-    while (buf.size > capacity) {
+    while (buf.m.size > capacity) {
       val (vk, _) = victim(buf)
-      buf.remove(vk)
+      buf.m.remove(vk)
+      buf.evicted = true
     }
     buf
   }
 
   override def eval(buf: Buf): Any = {
-    val entries = new Array[(String, Long, Long)](buf.size)
+    val entries = new Array[(String, Long, Long)](buf.m.size)
     var i = 0
-    val it = buf.entrySet().iterator()
+    val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       entries(i) = (e.getKey, e.getValue()(0), e.getValue()(1)); i += 1
@@ -144,9 +147,9 @@ case class SpaceSavingTopK(
   }
 
   override def serialize(buf: Buf): Array[Byte] = {
-    var bytes = 4
-    val items = new java.util.ArrayList[(Array[Byte], Array[Long])](buf.size)
-    val it = buf.entrySet().iterator()
+    var bytes = 5
+    val items = new java.util.ArrayList[(Array[Byte], Array[Long])](buf.m.size)
+    val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val b = e.getKey.getBytes(StandardCharsets.UTF_8)
@@ -154,6 +157,7 @@ case class SpaceSavingTopK(
       bytes += 4 + b.length + 16
     }
     val bb = ByteBuffer.allocate(bytes)
+    bb.put(if (buf.evicted) 1.toByte else 0.toByte)
     bb.putInt(items.size)
     var i = 0
     while (i < items.size) {
@@ -166,14 +170,15 @@ case class SpaceSavingTopK(
 
   override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
     val buf = createAggregationBuffer()
+    buf.evicted = bb.get() == 1.toByte
+    val n = bb.getInt
     var i = 0
     while (i < n) {
       val len = bb.getInt
       val b = new Array[Byte](len)
       bb.get(b)
-      buf.put(new String(b, StandardCharsets.UTF_8),
+      buf.m.put(new String(b, StandardCharsets.UTF_8),
         Array(bb.getLong, bb.getLong))
       i += 1
     }
@@ -187,4 +192,15 @@ case class SpaceSavingTopK(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+object SpaceSavingTopK {
+  /** counters + whether ANY eviction/truncation has happened in this
+    * summary's history — sitting exactly at capacity is NOT evidence of
+    * loss, and treating it as such would break the documented
+    * "capacity ≥ distinct ⇒ exact, err 0" regime at equality. */
+  final class Buf extends Serializable {
+    val m = new java.util.HashMap[String, Array[Long]]()
+    var evicted: Boolean = false
+  }
 }

@@ -130,6 +130,11 @@ object Curation {
     val benchGrams = benchInv.select(col("g")).distinct().cache()
     val expected = math.max(benchGrams.count(), 1L)
     val bloom = benchGrams.stat.bloomFilter("g", expected, fpp)
+    // the filter is materialized driver-side now — drop the cached RDD
+    // before returning so repeated calls don't pile up storage blocks.
+    // (The broadcast itself must outlive the returned plan's execution;
+    // Spark GCs it with the variable.)
+    benchGrams.unpersist()
     val spark = corpus.sparkSession
     val bcast = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => g != null && bcast.value.mightContainString(g))
@@ -153,10 +158,11 @@ object Curation {
    */
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
       salt: String = "wsample"): DataFrame =
-    df.withColumn("sample_score",
+    df.withColumn("__wsample_score",
         pow(hashFraction(key, salt), lit(1.0) / weight.cast(DoubleType)))
-      .orderBy(col("sample_score").desc, key)
+      .orderBy(col("__wsample_score").desc, key)
       .limit(k)
+      .drop("__wsample_score")   // internal ranking key, not output
 
   // ---- sequence packing -------------------------------------------------
 

@@ -29,16 +29,17 @@ object GraftSql {
   private val PartitionedRe =
     """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r.unanchored
   private val UpdateRe =
-    """(?is)\s*UPDATE\s+([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
+    """(?is)\s*UPDATE\s+([`\w.]+)\s+SET\s+(.*?)\s*;?\s*""".r
   private val DeleteFromRe =
     """(?is)\s*DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+([`\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|TABLE|FROM|WITH)\b.*?)\s*;?\s*""".r
   /** The Iceberg/Athena CDC MERGE shape (optionally with a leading
     * DELETE branch), the statement the reference's engine runs for its
-    * `unique_keys` upsert contract. */
+    * `unique_keys` upsert contract. Aliases are captured so DELETE
+    * conditions can strip exactly them — never other dotted text. */
   private val MergeRe =
-    ("""(?is)\s*MERGE\s+INTO\s+([`\w.]+)(?:\s+AS\s+\w+)?\s+USING\s+([`\w.]+)(?:\s+AS\s+\w+)?""" +
+    ("""(?is)\s*MERGE\s+INTO\s+([`\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+([`\w.]+)(?:\s+AS\s+(\w+))?""" +
      """\s+ON\s+(.+?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE\s+)?""" +
      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
   private val OnEqRe = """(?s)\s*(?:[`\w]+\.)?([`\w]+)\s*=\s*(?:[`\w]+\.)?([`\w]+)\s*""".r
@@ -72,21 +73,26 @@ object GraftSql {
           throw new IllegalArgumentException(s"table $ns.$tbl does not exist")
         cat.dropTable(ns, tbl)
         Seq(s"DROPPED $ns.$tbl").toDF("result")
-      case UpdateRe(rawName, setList, where) =>
+      case UpdateRe(rawName, setAndWhere) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        // split SET list from WHERE at the first TOP-LEVEL keyword —
+        // a 'WHERE' inside a string literal must not end the SET list
+        val (setList, where) = splitAtKeyword(setAndWhere, "WHERE")
         val set = splitTopLevel(setList, ',').map { assignment =>
           val eq = topLevelIndexOf(assignment, '=')
           require(eq > 0, s"malformed SET assignment: '$assignment'")
           cleanIdent(assignment.substring(0, eq)) ->
             org.apache.spark.sql.functions.expr(assignment.substring(eq + 1))
         }.toMap
-        val v = t.update(predicateOf(where), set)
+        val v = t.update(predicateOf(where),
+          set, partitionFilterFrom(where, t.snapshot.partitionColumns))
         Seq(s"UPDATED $ns.$tbl v$v").toDF("result")
       case DeleteFromRe(rawName, where) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
-        val v = t.delete(predicateOf(where))
+        val v = t.delete(predicateOf(where),
+          partitionFilterFrom(where, t.snapshot.partitionColumns))
         Seq(s"DELETED $ns.$tbl v$v").toDF("result")
       case InsertRe(rawName, colList, query) =>
         val (ns, tbl) = splitName(rawName)
@@ -102,7 +108,7 @@ object GraftSql {
           s"INSERT column count ${df.columns.length} != target ${targets.length}")
         val v = t.append(df.toDF(targets: _*))
         Seq(s"INSERTED $ns.$tbl v$v").toDF("result")
-      case MergeRe(rawName, source, on, deleteCond) =>
+      case MergeRe(rawName, targetAlias, source, sourceAlias, on, deleteCond) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         val key = on.trim match {
@@ -111,13 +117,25 @@ object GraftSql {
             s"MERGE ON must be an equality on the same column name both sides, got '$other'")
         }
         val src = spark.sql(s"SELECT * FROM ${rewriteTableRefs(cat, source)}")
-        // alias qualifiers (s.col) have no scope once the source is a
-        // frame — strip them from the DELETE condition
+        // SQL MERGE errors when several source rows match one target key
+        // (Delta/Athena "multiple source rows matched") — enforce it,
+        // don't pick a nondeterministic winner
+        val dup = src.groupBy(org.apache.spark.sql.functions.col(key))
+          .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"MERGE source has multiple rows for $key='${dup(0).get(0)}'")
+        // alias qualifiers (s.col / t.col) have no scope once the source
+        // is a frame — strip exactly the DECLARED aliases, nothing else
+        // (a blanket \w+\. strip would mangle decimal literals like 3.5)
+        val aliases = Seq(Option(targetAlias), Option(sourceAlias)).flatten
         val batch = deleteCond match {
           case null => src
-          case cond => src.withColumn("__sql_del",
-            org.apache.spark.sql.functions.expr(
-              cond.replaceAll("""\b[`\w]+\.""", "")))
+          case cond =>
+            val stripped = aliases.foldLeft(cond)((c, a) =>
+              c.replaceAll(s"\\b${java.util.regex.Pattern.quote(a)}\\.", ""))
+            src.withColumn("__sql_del",
+              org.apache.spark.sql.functions.expr(stripped))
         }
         val v = t.merge(batch, key = key, orderCol = key,
           deleteCol = if (deleteCond == null) None else Some("__sql_del"))
@@ -202,6 +220,66 @@ object GraftSql {
   private def predicateOf(where: String): org.apache.spark.sql.Column =
     if (where == null) org.apache.spark.sql.functions.lit(true)
     else org.apache.spark.sql.functions.expr(where)
+
+  /** Split `s` at the first TOP-LEVEL (outside quotes/parens) occurrence
+    * of the keyword; returns (before, after-or-null). Case-insensitive,
+    * word-bounded — `SET note = 'see WHERE docs' WHERE id = 3` splits at
+    * the second WHERE. */
+  private def splitAtKeyword(s: String, kw: String): (String, String) = {
+    var depth = 0; var inQuote = false; var i = 0
+    val upper = s.toUpperCase(java.util.Locale.ROOT)
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inQuote = !inQuote
+        case '(' if !inQuote => depth += 1
+        case ')' if !inQuote => depth -= 1
+        case _ if !inQuote && depth == 0 &&
+            upper.startsWith(kw, i) &&
+            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+            (i + kw.length >= s.length ||
+              !Character.isLetterOrDigit(s.charAt(i + kw.length))) =>
+          return (s.substring(0, i).trim, s.substring(i + kw.length).trim)
+        case _ =>
+      }
+      i += 1
+    }
+    (s.trim, null)
+  }
+
+  /** Best-effort partition pruning for SQL DML: a top-level AND-conjunct
+    * of the form `<partitionColumn> = <literal>` guarantees rows of
+    * other partitions are untouched, so the copy-on-write rewrite can
+    * skip their files entirely. Anything more complex prunes nothing
+    * (correct, just less efficient). */
+  private def partitionFilterFrom(where: String,
+      partCols: Seq[String]): Map[String, String] = {
+    if (where == null || partCols.isEmpty) return Map.empty
+    // RHS must be a LITERAL: quoted, or numeric/date-shaped (digit-led).
+    // A bare identifier (`date = other_col`) must NOT prune — it is a
+    // column reference, not a partition value.
+    val EqRe = """(?s)\s*(?:[`\w]+\.)?([`\w]+)\s*=\s*(?:'([^']*)'|(-?\d[\w.-]*))\s*""".r
+    splitTopLevelKeyword(where, "AND").flatMap {
+      case EqRe(col, quoted, bare) =>
+        val c = cleanIdent(col)
+        if (partCols.contains(c)) Some(c -> (if (quoted != null) quoted else bare))
+        else None
+      case _ => None
+    }.toMap
+  }
+
+  /** Split on a top-level keyword separator (e.g. AND) outside quotes
+    * and parens. */
+  private def splitTopLevelKeyword(s: String, kw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var rest = s
+    var done = false
+    while (!done) {
+      val (head, tail) = splitAtKeyword(rest, kw)
+      out += head
+      if (tail == null) done = true else rest = tail
+    }
+    out.result()
+  }
 
   /** Split on `sep` at paren/quote depth 0 — `SET a = f(x, y), b = 2`
     * must not split inside the call, nor inside a string literal. */

@@ -172,35 +172,56 @@ class TxTable private (
   private def bloomIndexPath(column: String): Path =
     new Path(root, s"_index/bloom_$column.json")
 
-  private def loadBloomIndex(column: String): Map[String, Array[Byte]] = {
-    val p = bloomIndexPath(column)
-    if (!fs.exists(p)) Map.empty
-    else {
-      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      val in = fs.open(p)
-      val json = try {
-        val bos = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-        bos.toString("UTF-8")
-      } finally in.close()
-      val idx = org.json4s.jackson.JsonMethods.parse(json).extract[BloomIndex]
-      val dec = java.util.Base64.getDecoder
-      idx.entries.map { case (k, v) => k -> dec.decode(v) }
+  /** decoded Bloom filters per column, cached against the sidecar's
+    * modification time — a point-lookup workload must not re-read and
+    * re-deserialize the whole index on every probe. */
+  @transient private var bloomCache: Map[String, (Long, Map[String, Array[Byte]])] =
+    Map.empty
+
+  private def loadBloomIndex(column: String): Map[String, Array[Byte]] =
+    synchronized {
+      val p = bloomIndexPath(column)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val mtime = fs.getFileStatus(p).getModificationTime
+        bloomCache.get(column) match {
+          case Some((t, cached)) if t == mtime => cached
+          case _ =>
+            implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+            val in = fs.open(p)
+            val json = try {
+              val bos = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+              bos.toString("UTF-8")
+            } finally in.close()
+            val idx = org.json4s.jackson.JsonMethods.parse(json).extract[BloomIndex]
+            val dec = java.util.Base64.getDecoder
+            val decoded = idx.entries.map { case (k, v) => k -> dec.decode(v) }
+            bloomCache += column -> (mtime, decoded)
+            decoded
+        }
+      }
     }
-  }
 
   /** Point-lookup read: prune files by min/max stats AND (when a Bloom
     * index exists for `column`) by per-file Bloom membership — no false
     * negatives, so the result is always exact; files without an index
     * entry are read conservatively. */
   def readWhereEquals(column: String, value: Any): DataFrame = {
-    dfFor(snapshot.copy(files = candidateFilesForEquals(column, value)))
+    // ONE snapshot read: pruned file list and read schema must come
+    // from the same version (a commit between two reads would pair
+    // them inconsistently)
+    val s = snapshot
+    dfFor(s.copy(files = candidateFiles(s, column, value)))
       .filter(col(column) === lit(value))
   }
 
   /** The files a point lookup would scan — observability for tests. */
-  def candidateFilesForEquals(column: String, value: Any): Seq[DataFile] = {
-    val s = snapshot
+  def candidateFilesForEquals(column: String, value: Any): Seq[DataFile] =
+    candidateFiles(snapshot, column, value)
+
+  private def candidateFiles(s: Snapshot, column: String,
+      value: Any): Seq[DataFile] = {
     val dt = schemaOf(s)(column).dataType
     val idx = loadBloomIndex(column)
     s.files.filter { f =>
@@ -290,8 +311,8 @@ class TxTable private (
     }
   }
 
-  def asOfTag(name: String): DataFrame = asOf(tags.getOrElse(name,
-    throw new IllegalArgumentException(s"no tag '$name' on table $this.name")))
+  def asOfTag(tagName: String): DataFrame = asOf(tags.getOrElse(tagName,
+    throw new IllegalArgumentException(s"no tag '$tagName' on table $name")))
 
   /** Commit history (newest first) from snapshot metadata only — the
     * DESCRIBE HISTORY surface: version, operation, commit time, and
@@ -578,13 +599,12 @@ class TxTable private (
     val delFlag = deleteCol.map(c =>
       coalesce(col(c).cast(org.apache.spark.sql.types.BooleanType), lit(false)))
       .getOrElse(lit(false))
-    // align to the table schema but keep the delete flag alongside
-    // (align() alone would project it away)
-    val flagged = batch.withColumn("__del", delFlag)
-    val aligned = flagged.select((schema.map { f =>
-      if (flagged.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    } :+ col("__del")): _*)
+    // align to the table schema EXTENDED by the delete flag — one
+    // alignment code path, the flag just rides along
+    val aligned = align(batch.withColumn("__del", delFlag),
+      StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("__del",
+          org.apache.spark.sql.types.BooleanType)))
 
     // last-writer-wins dedup within the batch
     import org.apache.spark.sql.expressions.Window

@@ -782,6 +782,52 @@ class TxTableSpec extends SparkSpec {
         "ON t.transaction_id = s.other_id " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     }
+    // duplicate source keys are an ERROR (SQL MERGE contract), never a
+    // nondeterministic winner
+    spark.table("cdc_batch").unionByName(spark.table("cdc_batch"))
+      .createOrReplaceTempView("dup_batch")
+    val dupErr = intercept[IllegalArgumentException] {
+      cat.sql("""
+        MERGE INTO analytics.txns_sql AS t USING dup_batch AS s
+        ON t.transaction_id = s.transaction_id
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    }
+    assert(dupErr.getMessage.contains("multiple"))
+  }
+
+  test("catalog SQL edge cases: literals with keywords, decimal delete conds, pruned DML") {
+    val cat = new TableCatalog(spark, new Path(freshDir("sqledge")))
+    val t = cat.createTable("analytics", "txns_edge",
+      Schemas.transactions, Seq("region"))
+    t.append(SampleData.transactions(spark, 60, seed = 85L))
+    // a WHERE keyword inside a string literal must not end the SET list
+    cat.sql("UPDATE analytics.txns_edge SET pattern_match = 'see WHERE docs' " +
+      "WHERE risk_score = 'HIGH'")
+    val high = t.toDF.filter(col("risk_score") === "HIGH").count()
+    assert(t.toDF.filter(col("pattern_match") === "see WHERE docs").count() === high)
+    // SQL DML with a partition-column equality conjunct prunes: files of
+    // other partitions survive the commit untouched
+    val before = t.snapshot.files.filter(_.partitionValues("region") != "EU")
+      .map(_.path).toSet
+    cat.sql("DELETE FROM analytics.txns_edge " +
+      "WHERE region = 'EU' AND status = 'DECLINED'")
+    val after = t.snapshot.files.map(_.path).toSet
+    assert(before.subsetOf(after))
+    // a MERGE delete condition with a DECIMAL literal survives alias
+    // stripping intact (the old blanket strip mangled `9999.5` → `5`)
+    val delBatch = t.toDF.limit(10)
+      .withColumn("amount", lit(10000.00).cast(DecimalType(12, 2)))
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+    delBatch.createOrReplaceTempView("edge_batch")
+    val total = t.toDF.count()
+    cat.sql("""
+      MERGE INTO analytics.txns_edge AS t USING edge_batch AS s
+      ON t.transaction_id = s.transaction_id
+      WHEN MATCHED AND s.amount > 9999.5 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    // every batch row has amount 10000 > 9999.5 → all 10 deleted
+    assert(t.toDF.count() === total - 10)
   }
 
   test("catalog: namespace/table DDL + idempotent drop") {
