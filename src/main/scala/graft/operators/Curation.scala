@@ -164,6 +164,35 @@ object Curation {
       .limit(k)
       .drop("__wsample_score")   // internal ranking key, not output
 
+  /**
+   * Split documents into fixed-size token chunks with overlap — the
+   * standard pre-training / retrieval chunking pass. Chunk i covers
+   * tokens [i·stride, i·stride + chunkTokens) with
+   * stride = chunkTokens − overlapTokens; a document yields
+   * max(1, ⌈(n − overlap) / stride⌉) chunks, so short docs emit
+   * themselves once and nothing is dropped. Pure array expressions
+   * (tokenize once, slice per chunk) — a narrow map + generate, no
+   * shuffle; documents with no tokens are filtered out.
+   */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(overlapTokens < chunkTokens, "overlap must be < chunk size")
+    val stride = chunkTokens - overlapTokens
+    val toks = TextFunctions.tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(overlapTokens)).cast(DoubleType) / stride).cast(IntegerType))
+    docs.select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__nc"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkTokens)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).cast(LongType).as("n_chunk_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
   // ---- sequence packing -------------------------------------------------
 
   /**

@@ -500,6 +500,36 @@ object Pipeline3 {
       FROM o ORDER BY o_custkey, day, o_orderkey""")),
 
     // ------------------------------------------------------------------
+    // Document chunking: fixed 64-token windows with 16-token overlap
+    // (stride 48) — the pre-training / retrieval chunking pass. One
+    // tokenize + slice per chunk, narrow all the way; the oracle
+    // re-derives every window with list slicing.
+    Q("chunk_documents", fn = (s, dir) =>
+      Curation.chunkDocuments(Td.documents(s, dir),
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      base AS (
+        SELECT doc_id, w,
+               greatest(1, CAST(ceil((len(w) - 16) / 48.0) AS INTEGER)) AS nc
+        FROM toks WHERE len(w) > 0),
+      c AS (
+        SELECT doc_id,
+               unnest([i for i in generate_series(0, nc - 1)]) AS chunk_id,
+               unnest([w[i*48+1 : i*48+64]
+                       for i in generate_series(0, nc - 1)]) AS ch
+        FROM base)
+      SELECT doc_id, chunk_id,
+             CAST(len(ch) AS BIGINT) AS n_chunk_tokens,
+             array_to_string(ch, ' ') AS chunk_text
+      FROM c ORDER BY doc_id, chunk_id""")),
+
+    // ------------------------------------------------------------------
     // TF-IDF top terms per document — the classic corpus-keyword pass.
     // Plan shape at 100 TB: tf is one hash aggregation on (doc, term);
     // df one more on term (both partial-aggregated map-side); idf joins

@@ -97,6 +97,26 @@ class CurationSpec extends SparkSpec {
     assert(meanW > 6.0, s"weighted sample mean weight $meanW")
   }
 
+  test("chunkDocuments: overlapping windows cover every token, short docs emit once") {
+    val text100 = (1 to 100).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text100), (2L, "just five little tokens here"),
+      (3L, "")).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(docs, chunkTokens = 64, overlapTokens = 16)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Long, String)].collect()
+    // 100 tokens, stride 48 → ceil((100-16)/48) = 2 chunks: [1,64], [49,100]
+    val d1 = chunks.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3)).toSeq === Seq((0, 64L), (1, 52L)))
+    assert(d1(0)._4.startsWith("t1 ") && d1(0)._4.endsWith(" t64"))
+    assert(d1(1)._4.startsWith("t49 ") && d1(1)._4.endsWith(" t100"))
+    // overlap: chunk 1 re-covers tokens 49-64
+    assert(d1(1)._4.split(" ").take(16).toSeq ===
+      d1(0)._4.split(" ").takeRight(16).toSeq)
+    // short doc → exactly one chunk of its own length; empty doc → none
+    assert(chunks.filter(_._1 == 2L).map(c => (c._2, c._3)).toSeq === Seq((0, 5L)))
+    assert(!chunks.exists(_._1 == 3L))
+  }
+
   test("packContiguous: bins close when the docs before fill the budget") {
     val docs = Seq(
       ("s", 1L, 300L), ("s", 2L, 300L), ("s", 3L, 300L), ("s", 4L, 50L),
