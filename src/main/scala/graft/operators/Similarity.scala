@@ -72,6 +72,74 @@ object Similarity {
     * broadcast-join assignment path. */
   val AssignInlineMaxComponents = 65536
 
+  /**
+   * Product-Quantization ANN (Jégou et al., PAMI'11 — the PQ part):
+   * each vector splits into `m` subvectors of dim/m dims; every
+   * subvector is quantized to its nearest of `kCodes` codewords, so the
+   * corpus compresses from dim doubles to m small codes per vector —
+   * at 100 TB this is the difference between scanning vectors and
+   * scanning BYTES (64-dim float64 → 8 codes is a 64× reduction), and
+   * it is how billion-vector indexes fit in memory at all.
+   *
+   * Codebooks seed from the `kCodes` smallest portable-hash(id) rows'
+   * subvectors (deterministic AND engine-portable, like [[ivfTopK]]
+   * with iters = 0 — a SQL oracle re-derives them exactly). Encoding
+   * argmins L2 per subspace with the codebook INLINED into a narrow
+   * codegen'd map — one corpus pass, zero shuffle. Search reconstructs
+   * each corpus vector from its codes (the decode is a per-row lookup
+   * into the broadcast codebook literal) and scores
+   * `dot(query, reconstruction)` = Σ_m dot(q_m, codeword_m) — the
+   * asymmetric-distance computation of the paper, expressed columnar.
+   * Returned: (query_id, rank, corpus id, approximate dot score).
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, kCodes: Int = 16,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    val dSub = dim / m
+    val seedHash = conv(substring(md5(col(corpusId).cast(
+        org.apache.spark.sql.types.StringType)), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+    val sample = corpus.select(col(corpusId), col(corpusVec))
+      .withColumn("__h", seedHash)
+      .orderBy(col("__h"), col(corpusId)).limit(kCodes)
+      .collect()
+      .map(r => r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    // codebooks(mi)(j) = sample j's mi-th subvector
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
+      sample.toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq))
+
+    // encode: per subspace, argmin L2 to the inlined codewords
+    // (argmax of (-l2, -code) structs breaks ties to the LOWEST code)
+    val codeCols = (0 until m).map { mi =>
+      val sub = slice(col(corpusVec), mi * dSub + 1, dSub)
+      val scored = codebooks(mi).zipWithIndex.map { case (cw, j) =>
+        struct((-l2Distance(sub, typedlit(cw))).as("negd"), lit(-j).as("negcode"))
+      }
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      (-best.getField("negcode")).cast(org.apache.spark.sql.types.IntegerType)
+    }
+    val encoded = corpus.select(col(corpusId), array(codeCols: _*).as("codes"))
+
+    // decode: codes -> reconstructed vector via the broadcast codebook
+    // literal; one small per-row lookup, then native dot against each
+    // broadcast query
+    val cb = typedlit(codebooks)
+    val recon = flatten(zip_with(col("codes"),
+      sequence(lit(0), lit(m - 1)),
+      (code, mi) => element_at(element_at(cb, mi + 1), code + 1)))
+    val scored = encoded.withColumn("__recon", recon)
+      .join(broadcast(queries))
+      .select(col(queryId), col(corpusId),
+        dot(col(queryVec), col("__recon")).as("score"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(corpusId).asc)
+    scored.select(col(queryId), col(corpusId), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nprobe: Int = 4, iters: Int = 3,
       corpusId: String = "vec_id", corpusVec: String = "embedding",

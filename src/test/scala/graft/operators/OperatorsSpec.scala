@@ -170,6 +170,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pq top-k: reconstruction search recalls a useful fraction of exact top-k") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val pq = Similarity.pqTopK(emb, queries, k = 10, dim = 64, m = 8, kCodes = 16)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      pq.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 16 codewords × 8 subspaces is a COARSE quantizer — demand a
+    // useful signal, not perfection (exact recall is pinned by the
+    // oracle-checked ann_pq query's full output equality)
+    assert(mean >= 0.2, s"mean PQ recall@10 $mean")
+  }
+
   test("ivf top-k: self found at rank 1; recall comparable to probing ratio") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
