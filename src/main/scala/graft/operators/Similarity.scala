@@ -140,6 +140,86 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * IVF-PQ — the composed billion-scale layout (Jégou et al., PAMI'11;
+   * the FAISS `IVFx,PQy` index): ONE corpus pass assigns each vector a
+   * coarse cell AND its m PQ codes; a query scans only its `nprobe`
+   * nearest cells and scores against PQ reconstructions. At 100 TB the
+   * residency story compounds: the scan touches nprobe/nCells of the
+   * corpus, and what it touches is codes, not vectors. Both quantizers
+   * seed from the deterministic hash-min sample (no Lloyd rounds), so
+   * the whole index — cells, codes, probes, scores — replays exactly in
+   * the SQL oracle.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
+      corpusId: String = "vec_id", corpusVec: String = "embedding",
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    val dSub = dim / m
+    val seedHash = conv(substring(md5(col(corpusId).cast(
+        org.apache.spark.sql.types.StringType)), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+    val sample = corpus.select(col(corpusId), col(corpusVec))
+      .withColumn("__h", seedHash)
+      .orderBy(col("__h"), col(corpusId)).limit(math.max(nCells, kCodes))
+      .collect()
+      .map(r => r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    val cellCents = sample.take(nCells)
+    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
+      sample.take(kCodes).toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq))
+
+    // coarse cell: argmax cosine over the inlined cell centroids
+    def cellOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val scored = cellCents.zipWithIndex.map { case (cv, c) =>
+        struct(cosine(vec, typedlit(cv.toSeq)).as("sim"), lit(-c).as("negcell"))
+      }
+      val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+      (-best.getField("negcell")).cast(org.apache.spark.sql.types.IntegerType)
+    }
+    // PQ codes: argmin L2 per subspace over the inlined codewords
+    val codeCols = (0 until m).map { mi =>
+      val sub = slice(col(corpusVec), mi * dSub + 1, dSub)
+      val scored = codebooks(mi).zipWithIndex.map { case (cw, j) =>
+        struct((-l2Distance(sub, typedlit(cw))).as("negd"), lit(-j).as("negcode"))
+      }
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      (-best.getField("negcode")).cast(org.apache.spark.sql.types.IntegerType)
+    }
+    // the single corpus pass: (id, cell, codes) — vectors never persist
+    val indexed = corpus.select(col(corpusId), cellOf(col(corpusVec)).as("cell"),
+      array(codeCols: _*).as("codes"))
+
+    // per-query probe list: nprobe nearest cells (queries are few)
+    val probes = queries.select(col(queryId), col(queryVec),
+        posexplode(array(cellCents.zipWithIndex.map { case (cv, c) =>
+          struct(lit(c).as("cell"),
+            cosine(col(queryVec), typedlit(cv.toSeq)).as("sim"))
+        }.toSeq: _*)).as(Seq("__pos", "__e")))
+      .select(col(queryId), col(queryVec),
+        col("__e.cell").as("cell"), col("__e.sim").as("sim"))
+    val pw = Window.partitionBy(col(queryId))
+      .orderBy(col("sim").desc, col("cell").asc)
+    val probed = probes.withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nprobe)
+      .select(col(queryId), col(queryVec), col("cell"))
+
+    // score probed cells against PQ reconstructions
+    val cb = typedlit(codebooks)
+    val recon = flatten(zip_with(col("codes"),
+      sequence(lit(0), lit(m - 1)),
+      (code, mi) => element_at(element_at(cb, mi + 1), code + 1)))
+    val scored = indexed.withColumn("__recon", recon)
+      .join(broadcast(probed), Seq("cell"))
+      .select(col(queryId), col(corpusId),
+        dot(col(queryVec), col("__recon")).as("score"))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(corpusId).asc)
+    scored.select(col(queryId), col(corpusId), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nprobe: Int = 4, iters: Int = 3,
       corpusId: String = "vec_id", corpusVec: String = "embedding",

@@ -550,6 +550,73 @@ object Pipeline3 {
       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // ------------------------------------------------------------------
+    // IVF-PQ: the composed billion-scale ANN layout — coarse cells
+    // bound WHAT a query scans (nprobe/nCells of the corpus), PQ codes
+    // bound what the scan READS (8 bytes, not 64 doubles). Both
+    // quantizers are the deterministic hash-min sample, so the oracle
+    // replays cells, probes, codes, reconstructions, and scores.
+    Q("ann_ivfpq", fn = (s, dir) => {
+      val emb = Td.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.operators.Similarity.ivfPqTopK(emb, queries, k = 10, dim = 64,
+          nCells = 16, nprobe = 4, m = 8, kCodes = 16)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }, oracle = Some("""
+      WITH cents AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, cvec
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h,
+                     vec_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+      assigned AS (
+        SELECT vec_id, j AS cell FROM (
+          SELECT e.vec_id, c.j,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                     DESC, c.j ASC) AS rn
+          FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, j AS cell FROM (
+          SELECT q.vec_id, c.j,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec)
+                     DESC, c.j ASC) AS rn
+          FROM embeddings q CROSS JOIN cents c
+          WHERE q.vec_id < 8) WHERE rn <= 4),
+      subs AS (
+        SELECT j, mi, cvec[mi*8+1 : mi*8+8] AS cw
+        FROM cents, generate_series(0, 7) g(mi)),
+      codes AS (
+        SELECT vec_id, mi, j AS code FROM (
+          SELECT e.vec_id, s.mi, s.j,
+                 row_number() OVER (PARTITION BY e.vec_id, s.mi
+                   ORDER BY list_distance(
+                     (e.embedding::DOUBLE[])[s.mi*8+1 : s.mi*8+8], s.cw) ASC,
+                     s.j ASC) AS rn
+          FROM embeddings e CROSS JOIN subs s) WHERE rn = 1),
+      recons AS (
+        SELECT c.vec_id, flatten(list(s.cw ORDER BY c.mi)) AS recon
+        FROM codes c JOIN subs s ON s.mi = c.mi AND s.j = c.code
+        GROUP BY c.vec_id),
+      scored AS (
+        SELECT p.query_id, a.vec_id,
+               list_dot_product(qe.embedding::DOUBLE[], r.recon) AS score
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell
+        JOIN recons r ON r.vec_id = a.vec_id
+        JOIN embeddings qe ON qe.vec_id = p.query_id),
+      ranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id, round(score, 6) AS score
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
     // Document chunking: fixed 64-token windows with 16-token overlap
     // (stride 48) — the pre-training / retrieval chunking pass. One
     // tokenize + slice per chunk, narrow all the way; the oracle
