@@ -44,7 +44,22 @@ object Bench {
     val coldMap = jmap(_._2)
     val total = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"sf":"$sfDir"}""")
+    // supplementary: training-pipeline heavies, timed once each AFTER
+    // the headline set (extra keys — the headline `queries`/`value`
+    // stay comparable to every earlier round's bench)
+    val pipelineNames = Seq("dedup_embedding_cosine", "ann_ivfpq",
+      "decontaminate_bloom", "chunk_documents", "curation_pipeline",
+      "text_tfidf_topterms")
+    val pipeline = pipelineNames.flatMap { name =>
+      fns.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val pipelineMap = pipeline.map { case (n, s) => "\"" + n + "\":" + s }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

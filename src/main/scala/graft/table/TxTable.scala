@@ -469,11 +469,22 @@ class TxTable private (
   }
 
   /** Align an incoming frame to the table schema: cast matching
-    * columns, pad columns the frame lacks (post-evolution) with null. */
+    * columns, pad columns the frame lacks (post-evolution) with null —
+    * and ENFORCE declared NOT NULL constraints (a null in a
+    * non-nullable column raises at write time instead of corrupting the
+    * table; the reference's `transaction_id` key is declared NOT NULL,
+    * tabledefinition.json:10-14). The check is a per-row `when` inside
+    * the same pass — no extra scan. */
   private def align(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.map { f =>
-      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      val base =
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)
+      val v = if (f.nullable) base
+        else when(base.isNull, raise_error(
+          lit(s"NOT NULL constraint violated: column '${f.name}'"))
+          .cast(f.dataType)).otherwise(base)
+      v.as(f.name)
     }: _*)
 
   /**
@@ -875,6 +886,41 @@ class TxTable private (
     val evolved = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
     commit(Some(s.version), "ADD_COLUMN", evolved, s.partitionColumns, s.files)
+  }
+
+  /** Metadata-only column DROP: readers project the narrowed schema, so
+    * existing files simply stop exposing the column (the parquet reader
+    * skips columns absent from the requested schema). Column mapping is
+    * NAME-based (no Iceberg field IDs): re-adding a same-named column
+    * later would RESURRECT the old files' values — compact() after the
+    * drop if the name must be reusable. Partition columns cannot drop. */
+  def dropColumn(name: String): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    require(schema.fieldNames.contains(name), s"no column $name")
+    require(!s.partitionColumns.contains(name),
+      s"cannot drop partition column $name (repartitionTable first)")
+    val evolved = StructType(schema.fields.filterNot(_.name == name))
+    commit(Some(s.version), "DROP_COLUMN", evolved, s.partitionColumns, s.files)
+  }
+
+  /** Column RENAME via copy-on-write rewrite: without field IDs a
+    * metadata-only rename would orphan the data under the old name, so
+    * the files are rewritten once under the new schema (old snapshots
+    * still read the old name — time travel is unaffected). Renaming a
+    * partition column re-lays out its directories too. */
+  def renameColumn(from: String, to: String): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    require(schema.fieldNames.contains(from), s"no column $from")
+    require(!schema.fieldNames.contains(to), s"column $to already exists")
+    val evolved = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val parts = s.partitionColumns.map(p => if (p == from) to else p)
+    val newFiles = writeFiles(
+      toDF.withColumnRenamed(from, to)
+        .select(evolved.map(f => col(f.name)): _*), parts)
+    commit(Some(s.version), "RENAME_COLUMN", evolved, parts, newFiles)
   }
 
   /** Re-run `attempt` on commit conflicts (bounded optimistic retry).

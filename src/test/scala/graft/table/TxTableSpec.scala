@@ -699,6 +699,37 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: dropColumn, renameColumn, NOT NULL write enforcement") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_evolve2")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 50, seed = 95L)
+    t.append(seed)                                                    // v1
+    // metadata-only drop: the column vanishes from reads, rows intact
+    t.dropColumn("pattern_match")                                     // v2
+    assert(!t.toDF.columns.contains("pattern_match"))
+    assert(t.toDF.count() === 50)
+    intercept[IllegalArgumentException] { t.dropColumn("date") }      // partition col
+    // rename rewrites once; values survive under the new name, and
+    // time travel still shows the old schema
+    val before = t.toDF.select("transaction_id", "velocity_check")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    t.renameColumn("velocity_check", "velocity_flag")                 // v3
+    assert(t.toDF.columns.contains("velocity_flag") &&
+      !t.toDF.columns.contains("velocity_check"))
+    t.toDF.select("transaction_id", "velocity_flag").collect()
+      .foreach(r => assert(r.getString(1) === before(r.getString(0))))
+    assert(t.asOf(1).columns.contains("velocity_check"))
+    // NOT NULL key: a batch with a null transaction_id is REJECTED at
+    // write time, and the table is untouched
+    val poisoned = seed.limit(3).withColumn("transaction_id",
+      when(col("risk_score") === col("risk_score"), lit(null).cast("string")))
+    val err = intercept[Throwable] { t.append(poisoned) }
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Nil else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(err).exists(_.contains("NOT NULL")), err.toString)
+    assert(t.toDF.count() === 50)
+  }
+
   test("metadata tables and tags: files/partitions from the log, tagged reads") {
     val t = TxTable.create(spark, new Path(freshDir("tx_meta")), "t",
       Schemas.transactions, Seq("date"))
