@@ -53,8 +53,12 @@ object Bench {
     val pipeline = pipelineNames.flatMap { name =>
       fns.get(name).map { fn =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        // a failed query must be VISIBLE as -1, not pass off its
+        // time-to-failure as a (fast-looking) successful run
+        val secs = try { fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        name -> secs
       }
     }
     val pipelineMap = pipeline.map { case (n, s) => "\"" + n + "\":" + s }

@@ -176,7 +176,9 @@ object Curation {
    */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int, overlapTokens: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(overlapTokens < chunkTokens, "overlap must be < chunk size")
+    require(chunkTokens > 0, "chunk size must be positive")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlap must be in [0, chunk size) — a negative overlap would skip tokens")
     val stride = chunkTokens - overlapTokens
     val toks = TextFunctions.tokens(col(textCol))
     val n = size(toks)

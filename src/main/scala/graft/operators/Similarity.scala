@@ -72,6 +72,55 @@ object Similarity {
     * broadcast-join assignment path. */
   val AssignInlineMaxComponents = 65536
 
+  // ---- shared PQ/IVF building blocks -----------------------------------
+
+  /** The `n` rows with the smallest portable md5 hash of their id — the
+    * deterministic, engine-portable "random" sample both quantizers
+    * seed from (a SQL oracle re-derives it with the same expression). */
+  private def hashMinSample(corpus: DataFrame, n: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] = {
+    val seedHash = conv(substring(md5(col(idCol).cast(
+        org.apache.spark.sql.types.StringType)), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("__h", seedHash)
+      .orderBy(col("__h"), col(idCol)).limit(n)
+      .collect()
+      .map(r => r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+  }
+
+  /** Per-subspace PQ code columns: argmin L2 to the INLINED codewords
+    * (ties break to the lowest code), a narrow codegen'd map. */
+  private def pqCodeCols(codebooks: Seq[Seq[Seq[Double]]], vecCol: String,
+      dSub: Int): Seq[org.apache.spark.sql.Column] =
+    codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col(vecCol), mi * dSub + 1, dSub)
+      val scored = cb.zipWithIndex.map { case (cw, j) =>
+        struct((-l2Distance(sub, typedlit(cw))).as("negd"), lit(-j).as("negcode"))
+      }
+      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
+      (-best.getField("negcode")).cast(org.apache.spark.sql.types.IntegerType)
+    }
+
+  /** Reconstruction of a `codes` array via the broadcast codebook
+    * literal — a per-row lookup, no join. */
+  private def pqRecon(codebooks: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
+    val cb = typedlit(codebooks)
+    flatten(zip_with(col("codes"),
+      sequence(lit(0), lit(codebooks.size - 1)),
+      (code, mi) => element_at(element_at(cb, mi + 1), code + 1)))
+  }
+
+  /** Per-query top-k of scored (queryId, corpusId, score) rows. */
+  private def topKByScore(scored: DataFrame, k: Int,
+      queryId: String, corpusId: String): DataFrame = {
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(corpusId).asc)
+    scored.select(col(queryId), col(corpusId), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /**
    * Product-Quantization ANN (Jégou et al., PAMI'11 — the PQ part):
    * each vector splits into `m` subvectors of dim/m dims; every
@@ -85,12 +134,16 @@ object Similarity {
    * subvectors (deterministic AND engine-portable, like [[ivfTopK]]
    * with iters = 0 — a SQL oracle re-derives them exactly). Encoding
    * argmins L2 per subspace with the codebook INLINED into a narrow
-   * codegen'd map — one corpus pass, zero shuffle. Search reconstructs
-   * each corpus vector from its codes (the decode is a per-row lookup
-   * into the broadcast codebook literal) and scores
-   * `dot(query, reconstruction)` = Σ_m dot(q_m, codeword_m) — the
-   * asymmetric-distance computation of the paper, expressed columnar.
-   * Returned: (query_id, rank, corpus id, approximate dot score).
+   * codegen'd map — one corpus pass, zero shuffle. Search decodes each
+   * corpus row's codes back to a reconstruction (a per-row lookup into
+   * the broadcast codebook literal — no join) and scores
+   * `dot(query, reconstruction)`; mathematically this equals the
+   * paper's Σ_m LUT[m][code] asymmetric distance, though it spends
+   * dim multiplies per pair rather than m table lookups — the win this
+   * implementation banks is the STORAGE/shuffle one (codes persist and
+   * move, vectors do not), which is the binding constraint at corpus
+   * scale; swapping the scoring kernel for per-query LUTs is a local
+   * change on top. Returned: (query_id, rank, id, approximate score).
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       m: Int = 8, kCodes: Int = 16,
@@ -98,46 +151,17 @@ object Similarity {
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val dSub = dim / m
-    val seedHash = conv(substring(md5(col(corpusId).cast(
-        org.apache.spark.sql.types.StringType)), 1, 15), 16, 10)
-      .cast(org.apache.spark.sql.types.LongType)
-    val sample = corpus.select(col(corpusId), col(corpusVec))
-      .withColumn("__h", seedHash)
-      .orderBy(col("__h"), col(corpusId)).limit(kCodes)
-      .collect()
-      .map(r => r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    val sample = hashMinSample(corpus, kCodes, corpusId, corpusVec)
     // codebooks(mi)(j) = sample j's mi-th subvector
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
       sample.toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq))
-
-    // encode: per subspace, argmin L2 to the inlined codewords
-    // (argmax of (-l2, -code) structs breaks ties to the LOWEST code)
-    val codeCols = (0 until m).map { mi =>
-      val sub = slice(col(corpusVec), mi * dSub + 1, dSub)
-      val scored = codebooks(mi).zipWithIndex.map { case (cw, j) =>
-        struct((-l2Distance(sub, typedlit(cw))).as("negd"), lit(-j).as("negcode"))
-      }
-      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-      (-best.getField("negcode")).cast(org.apache.spark.sql.types.IntegerType)
-    }
-    val encoded = corpus.select(col(corpusId), array(codeCols: _*).as("codes"))
-
-    // decode: codes -> reconstructed vector via the broadcast codebook
-    // literal; one small per-row lookup, then native dot against each
-    // broadcast query
-    val cb = typedlit(codebooks)
-    val recon = flatten(zip_with(col("codes"),
-      sequence(lit(0), lit(m - 1)),
-      (code, mi) => element_at(element_at(cb, mi + 1), code + 1)))
-    val scored = encoded.withColumn("__recon", recon)
+    val encoded = corpus.select(col(corpusId),
+      array(pqCodeCols(codebooks, corpusVec, dSub): _*).as("codes"))
+    val scored = encoded.withColumn("__recon", pqRecon(codebooks))
       .join(broadcast(queries))
       .select(col(queryId), col(corpusId),
         dot(col(queryVec), col("__recon")).as("score"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("score").desc, col(corpusId).asc)
-    scored.select(col(queryId), col(corpusId), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k, queryId, corpusId)
   }
 
   /**
@@ -157,14 +181,8 @@ object Similarity {
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val dSub = dim / m
-    val seedHash = conv(substring(md5(col(corpusId).cast(
-        org.apache.spark.sql.types.StringType)), 1, 15), 16, 10)
-      .cast(org.apache.spark.sql.types.LongType)
-    val sample = corpus.select(col(corpusId), col(corpusVec))
-      .withColumn("__h", seedHash)
-      .orderBy(col("__h"), col(corpusId)).limit(math.max(nCells, kCodes))
-      .collect()
-      .map(r => r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+    val sample = hashMinSample(corpus, math.max(nCells, kCodes),
+      corpusId, corpusVec)
     val cellCents = sample.take(nCells)
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
       sample.take(kCodes).toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq))
@@ -177,18 +195,9 @@ object Similarity {
       val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
       (-best.getField("negcell")).cast(org.apache.spark.sql.types.IntegerType)
     }
-    // PQ codes: argmin L2 per subspace over the inlined codewords
-    val codeCols = (0 until m).map { mi =>
-      val sub = slice(col(corpusVec), mi * dSub + 1, dSub)
-      val scored = codebooks(mi).zipWithIndex.map { case (cw, j) =>
-        struct((-l2Distance(sub, typedlit(cw))).as("negd"), lit(-j).as("negcode"))
-      }
-      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-      (-best.getField("negcode")).cast(org.apache.spark.sql.types.IntegerType)
-    }
     // the single corpus pass: (id, cell, codes) — vectors never persist
     val indexed = corpus.select(col(corpusId), cellOf(col(corpusVec)).as("cell"),
-      array(codeCols: _*).as("codes"))
+      array(pqCodeCols(codebooks, corpusVec, dSub): _*).as("codes"))
 
     // per-query probe list: nprobe nearest cells (queries are few)
     val probes = queries.select(col(queryId), col(queryVec),
@@ -205,19 +214,11 @@ object Similarity {
       .select(col(queryId), col(queryVec), col("cell"))
 
     // score probed cells against PQ reconstructions
-    val cb = typedlit(codebooks)
-    val recon = flatten(zip_with(col("codes"),
-      sequence(lit(0), lit(m - 1)),
-      (code, mi) => element_at(element_at(cb, mi + 1), code + 1)))
-    val scored = indexed.withColumn("__recon", recon)
+    val scored = indexed.withColumn("__recon", pqRecon(codebooks))
       .join(broadcast(probed), Seq("cell"))
       .select(col(queryId), col(corpusId),
         dot(col(queryVec), col("__recon")).as("score"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("score").desc, col(corpusId).asc)
-    scored.select(col(queryId), col(corpusId), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k, queryId, corpusId)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,

@@ -53,7 +53,12 @@ final case class Snapshot(
       * version), the Delta `txn` action: lets an at-least-once stream
       * fence replayed micro-batches for exactly-once table effects.
       * Default keeps pre-existing snapshot JSON readable. */
-    appTxns: Map[String, Long] = Map.empty)
+    appTxns: Map[String, Long] = Map.empty,
+    /** names dropped by `dropColumn` whose data may survive in files
+      * this snapshot still references — column mapping is NAME-based,
+      * so re-adding such a name would resurrect old values; addColumn
+      * refuses until a full rewrite (compact/overwrite) clears this. */
+    droppedColumns: Seq[String] = Nil)
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 

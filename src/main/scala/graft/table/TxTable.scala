@@ -454,10 +454,14 @@ class TxTable private (
 
   private def commit(expected: Option[Long], op: String, schema: StructType,
       partitionColumns: Seq[String], files: Seq[DataFile],
-      appTxns: Map[String, Long] = null): Long = {
+      appTxns: Map[String, Long] = null,
+      droppedColumns: Seq[String] = null): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
+    val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
-      expected.map(v => snapshotAt(v).appTxns).getOrElse(Map.empty))
+      prior.map(_.appTxns).getOrElse(Map.empty))
+    val dropped = Option(droppedColumns).getOrElse(
+      prior.map(_.droppedColumns).getOrElse(Nil))
     TxLog.commit(logDir, expected, Snapshot(
       version = next,
       timestampMs = System.currentTimeMillis(),
@@ -465,7 +469,8 @@ class TxTable private (
       schemaJson = schema.json,
       partitionColumns = partitionColumns,
       files = files,
-      appTxns = txns), conf)
+      appTxns = txns,
+      droppedColumns = dropped), conf)
   }
 
   /** Align an incoming frame to the table schema: cast matching
@@ -475,12 +480,13 @@ class TxTable private (
     * table; the reference's `transaction_id` key is declared NOT NULL,
     * tabledefinition.json:10-14). The check is a per-row `when` inside
     * the same pass — no extra scan. */
-  private def align(df: DataFrame, schema: StructType): DataFrame =
+  private def align(df: DataFrame, schema: StructType,
+      enforceNotNull: Boolean = true): DataFrame =
     df.select(schema.map { f =>
       val base =
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType)
-      val v = if (f.nullable) base
+      val v = if (f.nullable || !enforceNotNull) base
         else when(base.isNull, raise_error(
           lit(s"NOT NULL constraint violated: column '${f.name}'"))
           .cast(f.dataType)).otherwise(base)
@@ -507,8 +513,8 @@ class TxTable private (
       preimages: Boolean = false): DataFrame = {
     val toSchema = schemaOf(snapshotAt(toVersion))
     val cols = toSchema.map(_.name)
-    val a = align(asOf(fromVersion), toSchema).alias("a")
-    val b = align(asOf(toVersion), toSchema).alias("b")
+    val a = align(asOf(fromVersion), toSchema, enforceNotNull = false).alias("a")
+    val b = align(asOf(toVersion), toSchema, enforceNotNull = false).alias("b")
     val aKey = col(s"a.$key")
     val bKey = col(s"b.$key")
     val aRow = struct(cols.map(c => col(s"a.$c")): _*)
@@ -562,7 +568,7 @@ class TxTable private (
     val newFiles = writeFiles(align(df, schemaOf(s)), s.partitionColumns)
     retryingCommit("OVERWRITE") { expected =>
       commit(Some(expected), "OVERWRITE", schemaOf(s),
-        s.partitionColumns, newFiles)
+        s.partitionColumns, newFiles, droppedColumns = Nil)
     }
   }
 
@@ -709,14 +715,16 @@ class TxTable private (
     })
     val kept = s.files.diff(affected)
     val hit = coalesce(predicate, lit(false))
-    val rewritten = dfFor(s.copy(files = affected))
+    // align() re-applies the NOT NULL write guard — a SET expression
+    // must not be able to null out a non-nullable column
+    val rewritten = align(dfFor(s.copy(files = affected))
       .select(schema.map { f =>
         set.get(f.name) match {
           case Some(e) => when(hit, e.cast(f.dataType))
             .otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      }: _*)
+      }: _*), schema)
     val newFiles = writeFiles(
       sizedForWrite(rewritten, affected.map(_.sizeBytes).sum,
         batchRows = 0L, bytesPerRow(s), s.partitionColumns,
@@ -761,7 +769,8 @@ class TxTable private (
           .drop("__zorder")
       }
     val newFiles = writeFiles(rewritten, s.partitionColumns)
-    commit(Some(s.version), "COMPACT", schemaOf(s), s.partitionColumns, newFiles)
+    commit(Some(s.version), "COMPACT", schemaOf(s), s.partitionColumns, newFiles,
+      droppedColumns = Nil)
   }
 
   /**
@@ -781,7 +790,8 @@ class TxTable private (
       s"partition column '$p' is not in the table schema"))
     val newFiles = writeFiles(toDF.select(schema.map(f => col(f.name)): _*),
       newPartitionColumns)
-    commit(Some(s.version), "REPARTITION", schema, newPartitionColumns, newFiles)
+    commit(Some(s.version), "REPARTITION", schema, newPartitionColumns, newFiles,
+      droppedColumns = Nil)
   }
 
   /** Morton/Z value over `clusterBy`: min-max normalize each column to a
@@ -883,6 +893,12 @@ class TxTable private (
     val s = snapshot
     val schema = schemaOf(s)
     require(!schema.fieldNames.contains(name), s"column $name already exists")
+    // NAME-based column mapping: re-adding a dropped name would read the
+    // old files' values back (see dropColumn) — refuse until a full
+    // rewrite has cleared the files that still carry the old data
+    require(!s.droppedColumns.contains(name),
+      s"column $name was previously dropped and old files still carry its " +
+        "data; compact() or overwrite() first to make the name reusable")
     val evolved = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
     commit(Some(s.version), "ADD_COLUMN", evolved, s.partitionColumns, s.files)
@@ -901,7 +917,8 @@ class TxTable private (
     require(!s.partitionColumns.contains(name),
       s"cannot drop partition column $name (repartitionTable first)")
     val evolved = StructType(schema.fields.filterNot(_.name == name))
-    commit(Some(s.version), "DROP_COLUMN", evolved, s.partitionColumns, s.files)
+    commit(Some(s.version), "DROP_COLUMN", evolved, s.partitionColumns, s.files,
+      droppedColumns = (s.droppedColumns :+ name).distinct)
   }
 
   /** Column RENAME via copy-on-write rewrite: without field IDs a
@@ -920,7 +937,8 @@ class TxTable private (
     val newFiles = writeFiles(
       toDF.withColumnRenamed(from, to)
         .select(evolved.map(f => col(f.name)): _*), parts)
-    commit(Some(s.version), "RENAME_COLUMN", evolved, parts, newFiles)
+    commit(Some(s.version), "RENAME_COLUMN", evolved, parts, newFiles,
+      droppedColumns = Nil)
   }
 
   /** Re-run `attempt` on commit conflicts (bounded optimistic retry).

@@ -709,6 +709,16 @@ class TxTableSpec extends SparkSpec {
     assert(!t.toDF.columns.contains("pattern_match"))
     assert(t.toDF.count() === 50)
     intercept[IllegalArgumentException] { t.dropColumn("date") }      // partition col
+    // name-based mapping: re-adding the dropped name would resurrect
+    // old file data — refused until a full rewrite clears those files
+    val resErr = intercept[IllegalArgumentException] {
+      t.addColumn("pattern_match", org.apache.spark.sql.types.StringType)
+    }
+    assert(resErr.getMessage.contains("previously dropped"))
+    t.compact()
+    t.addColumn("pattern_match", org.apache.spark.sql.types.StringType)
+    // post-rewrite the re-added column reads as null, never stale data
+    assert(t.toDF.filter(col("pattern_match").isNotNull).count() === 0)
     // rename rewrites once; values survive under the new name, and
     // time travel still shows the old schema
     val before = t.toDF.select("transaction_id", "velocity_check")
