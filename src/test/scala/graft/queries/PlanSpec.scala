@@ -94,6 +94,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq: shuffles carry codes and scores, never full vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val df = graft.operators.Similarity.ivfPqTopK(emb, queries, k = 5,
+      dim = 64, nCells = 4, nprobe = 2, m = 8, kCodes = 8)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // the only array allowed through an exchange is the m-int CODES
+    // array — a 64-double embedding crossing a shuffle would defeat
+    // the compression
+    shuffles.foreach { e =>
+      e.output.foreach { a =>
+        a.dataType match {
+          case ArrayType(DoubleType, _) =>
+            fail(s"double-array (vector) shuffled: ${a.name}")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("chunking is a narrow map + generate: no shuffle at all") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Td.documents(spark, sf0001)
+    val df = graft.operators.Curation.chunkDocuments(docs, 64, 16)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty,
+      s"chunking should be embarrassingly parallel, found ${shuffles.size} exchanges")
+  }
+
+  test("registry integrity: every query has an oracle and a unique name") {
+    val qs = graft.SparkEntry.queries
+    val os = graft.SparkEntry.oracleSql
+    assert(qs.size === graft.SparkEntry.registry.size) // no name collisions
+    // the correctness gate is the product: every single operator query
+    // must be DuckDB-checkable
+    val missing = qs.keySet -- os.keySet
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
+
   test("embedding near-dup: the LSH candidate join shuffles ids only") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
