@@ -52,13 +52,17 @@ object Bench {
       "text_tfidf_topterms")
     val pipeline = pipelineNames.flatMap { name =>
       fns.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        // a failed query must be VISIBLE as -1, not pass off its
-        // time-to-failure as a (fast-looking) successful run
-        val secs = try { fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => -1.0 }
-        name -> secs
+        // min-of-2 like the headline set: run 1 absorbs staged-input
+        // (re)generation and JIT, run 2 is the steady-state number. A
+        // failed query must be VISIBLE as -1, not pass off its
+        // time-to-failure as a (fast-looking) successful run.
+        val secs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        }
+        name -> (if (secs.contains(-1.0)) -1.0 else secs.min)
       }
     }
     val pipelineMap = pipeline.map { case (n, s) => "\"" + n + "\":" + s }
