@@ -43,6 +43,12 @@ object GraftSql {
      """\s+ON\s+(.+?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE\s+)?""" +
      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
   private val OnEqRe = """(?s)\s*(?:[`\w]+\.)?([`\w]+)\s*=\s*(?:[`\w]+\.)?([`\w]+)\s*""".r
+  private val ShowTablesRe =
+    """(?is)\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([`\w]+))?\s*;?\s*""".r
+  private val ShowNamespacesRe =
+    """(?is)\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s*;?\s*""".r
+  private val DescribeRe =
+    """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*""".r
 
   /** Route one SQL statement: DDL against the catalog, everything else
     * to spark.sql. DDL returns a one-row (result: string) frame, the
@@ -140,6 +146,20 @@ object GraftSql {
         val v = t.merge(batch, key = key, orderCol = key,
           deleteCol = if (deleteCond == null) None else Some("__sql_del"))
         Seq(s"MERGED $ns.$tbl v$v").toDF("result")
+      case ShowNamespacesRe() =>
+        cat.listNamespaces().toDF("namespace")
+      case ShowTablesRe(ns) =>
+        val spaces = Option(ns).map(n => Seq(cleanIdent(n)))
+          .getOrElse(cat.listNamespaces())
+        spaces.flatMap(n => cat.listTables(n).map(t => (n, t)))
+          .toDF("namespace", "table_name")
+      case DescribeRe(rawName) if !rawName.equalsIgnoreCase("TABLE") =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val parts = t.snapshot.partitionColumns.toSet
+        t.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString,
+            f.nullable, parts.contains(f.name)))
+          .toDF("col_name", "data_type", "nullable", "is_partition")
       case _ => spark.sql(rewriteTableRefs(cat, text))
     }
   }

@@ -871,6 +871,60 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.count() === total - 10)
   }
 
+  test("catalog: SHOW TABLES / SHOW NAMESPACES / DESCRIBE route to metadata") {
+    val cat = new TableCatalog(spark, new Path(freshDir("sqlshow")))
+    cat.createTable("analytics", "txns_a", Schemas.transactions, Seq("date"))
+    cat.createTable("raw", "events_b", Schemas.transactions, Nil)
+    assert(cat.sql("SHOW NAMESPACES").collect().map(_.getString(0)).sorted
+      === Array("analytics", "raw"))
+    assert(cat.sql("SHOW TABLES IN analytics").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("analytics", "txns_a")))
+    assert(cat.sql("SHOW TABLES").count() === 2)
+    val desc = cat.sql("DESCRIBE analytics.txns_a").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(desc("transaction_id") === (("string", false, false)))
+    assert(desc("date") === (("date", true, true)))
+    assert(desc("amount")._1 === "decimal(12,2)")
+  }
+
+  test("concurrent copy-on-write writers: exactly one wins, loser surfaces the conflict") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_conflict")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 60, seed = 96L))
+    // two rewrites derived from the SAME snapshot race their commits:
+    // serializable copy-on-write means one wins, the other must see
+    // CommitConflictException (silent retry would drop the winner's
+    // effect — the policy documented on merge/delete/update)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val results = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          start.await(10, TimeUnit.SECONDS)
+          try {
+            if (i == 0) t.delete(col("risk_score") === "HIGH")
+            else t.update(col("risk_score") === "LOW",
+              Map("status" -> lit("CHECKED")))
+            None
+          } catch { case e: Throwable => Some(e) }
+        }
+      })
+    }
+    start.countDown()
+    val outcomes = results.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val failures = outcomes.flatten
+    assert(failures.size === 1, s"expected exactly one conflict, got $outcomes")
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(failures.head).exists(_.isInstanceOf[CommitConflictException]),
+      failures.head.toString)
+    // the table reflects exactly the winner's change, nothing mixed
+    assert(t.currentVersion === 2)
+  }
+
   test("catalog: namespace/table DDL + idempotent drop") {
     val cat = new TableCatalog(spark, new Path(freshDir("cat")))
     cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
