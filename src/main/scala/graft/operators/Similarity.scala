@@ -121,6 +121,40 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** One-or-more Lloyd rounds per subspace: re-encode (narrow pass),
+    * each codeword moves to the mean of its member subvectors. Only
+    * (mi, code, pos, partial-sum) cells shuffle — m·kCodes·dSub values
+    * — never vectors; empty codewords keep their previous position.
+    * (The combined encode-all-subspaces expression can exceed the JVM's
+    * 64KB generated-method limit at large m·kCodes — Spark then falls
+    * back to interpreted evaluation for that stage, which is correct
+    * and only matters for training throughput, not search.) */
+  private def refineCodebooks(corpus: DataFrame, vecCol: String,
+      seeded: Seq[Seq[Seq[Double]]], dSub: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    var codebooks = seeded
+    for (_ <- 0 until iters) {
+      val updated = corpus
+        .select(col(vecCol).as("__v"),
+          posexplode(array(pqCodeCols(codebooks, vecCol, dSub): _*))
+            .as(Seq("mi", "code")))
+        .select(col("mi"), col("code"),
+          posexplode(slice(col("__v"), col("mi") * dSub + 1, lit(dSub)))
+            .as(Seq("pos", "x")))
+        .groupBy(col("mi"), col("code"), col("pos"))
+        .agg(avg(col("x")).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+        .toMap
+      codebooks = codebooks.zipWithIndex.map { case (cb, mi) =>
+        cb.zipWithIndex.map { case (cw, j) =>
+          cw.indices.map(p => updated.getOrElse((mi, j, p), cw(p)))
+        }
+      }
+    }
+    codebooks
+  }
+
   /**
    * Product-Quantization ANN (Jégou et al., PAMI'11 — the PQ part):
    * each vector splits into `m` subvectors of dim/m dims; every
@@ -146,15 +180,19 @@ object Similarity {
    * change on top. Returned: (query_id, rank, id, approximate score).
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      m: Int = 8, kCodes: Int = 16,
+      m: Int = 8, kCodes: Int = 16, iters: Int = 0,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val dSub = dim / m
     val sample = hashMinSample(corpus, kCodes, corpusId, corpusVec)
     // codebooks(mi)(j) = sample j's mi-th subvector
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
-      sample.toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq))
+    // iters = 0 keeps the hash-min codebooks — the engine-portable
+    // regime the SQL oracle replays; iters > 0 Lloyd-refines them
+    val codebooks = refineCodebooks(corpus, corpusVec,
+      (0 until m).map(mi =>
+        sample.toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq)),
+      dSub, iters)
     val encoded = corpus.select(col(corpusId),
       array(pqCodeCols(codebooks, corpusVec, dSub): _*).as("codes"))
     val scored = encoded.withColumn("__recon", pqRecon(codebooks))
@@ -162,6 +200,25 @@ object Similarity {
       .select(col(queryId), col(corpusId),
         dot(col(queryVec), col("__recon")).as("score"))
     topKByScore(scored, k, queryId, corpusId)
+  }
+
+  /** Mean L2 distance between vectors and their PQ reconstructions —
+    * the quantization-error metric Lloyd refinement minimizes; exposed
+    * for tests/tuning. */
+  def pqQuantizationError(corpus: DataFrame, dim: Int, m: Int, kCodes: Int,
+      iters: Int,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Double = {
+    val dSub = dim / m
+    val sample = hashMinSample(corpus, kCodes, corpusId, corpusVec)
+    val codebooks = refineCodebooks(corpus, corpusVec,
+      (0 until m).map(mi =>
+        sample.toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq)),
+      dSub, iters)
+    corpus.select(col(corpusVec).as("__v"),
+        array(pqCodeCols(codebooks, corpusVec, dSub): _*).as("codes"))
+      .withColumn("__recon", pqRecon(codebooks))
+      .select(l2Distance(col("__v"), col("__recon")).as("e"))
+      .agg(avg(col("e"))).head().getDouble(0)
   }
 
   /**

@@ -170,6 +170,17 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("pq Lloyd refinement reduces quantization error") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val e0 = Similarity.pqQuantizationError(emb, dim = 64, m = 8,
+      kCodes = 16, iters = 0)
+    val e2 = Similarity.pqQuantizationError(emb, dim = 64, m = 8,
+      kCodes = 16, iters = 2)
+    // k-means monotonically reduces within-cluster distortion; two
+    // rounds over hash-min seeds must land strictly below the seeds
+    assert(e2 < e0, s"iters=2 error $e2 !< iters=0 error $e0")
+  }
+
   test("pq top-k: reconstruction search recalls a useful fraction of exact top-k") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 5)
