@@ -24,6 +24,9 @@ object GraftSql {
 
   private val CreateRe =
     """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s*\((.*)""".r
+  private val CtasRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+([`\w.]+)\s*""" +
+     """(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*?|WITH\b.*?)\s*;?\s*""").r
   private val DropRe =
     """(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
   private val PartitionedRe =
@@ -58,6 +61,18 @@ object GraftSql {
     import spark.implicits._
     val stripped = stripLineComments(text)
     stripped match {
+      // CTAS must match before the column-list form (it has no parens
+      // after the table name)
+      case CtasRe(rawName, partList, query) =>
+        val (ns, tbl) = splitName(rawName)
+        val df = spark.sql(rewriteTableRefs(cat, query))
+        val parts = Option(partList)
+          .map(_.split(",").map(cleanIdent).toSeq).getOrElse(Nil)
+        parts.foreach(p => require(df.columns.contains(p),
+          s"PARTITIONED BY column '$p' is not in the query output"))
+        val t = cat.createTable(ns, tbl, df.schema, parts)
+        t.append(df)
+        Seq(s"CREATED $ns.$tbl AS SELECT").toDF("result")
       case CreateRe(ifNotExists, rawName, rest) =>
         val (colsDdl, tail) = splitAtMatchingParen(rest)
         val schema = StructType.fromDDL(colsDdl)

@@ -156,6 +156,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental MV: foreachBatch advances an aggregate table exactly-once") {
+    import graft.table.TxTable
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val mvSchema = StructType(Seq(
+      StructField("user", LongType, nullable = false),
+      StructField("n", LongType), StructField("total", DoubleType)))
+    val mv = TxTable.create(spark,
+      new Path(freshDir("stream_mv")), "mv", mvSchema, Nil)
+    val in = MemoryStream[Ev]
+    val q = in.toDS().writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Ev], batchId: Long) =>
+        // delta-agg the micro-batch, fold into the MV: new = old + delta
+        // per key; the (appId, batchId) txn fences replays, so the MV
+        // advances exactly once per batch even on at-least-once delivery
+        val delta = batch.groupBy(col("user"))
+          .agg(count(lit(1)).as("dn"), sum(col("value")).as("dtotal"))
+        val merged = mv.toDF.join(delta, Seq("user"), "full_outer")
+          .select(col("user"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+            (coalesce(col("total"), lit(0.0)) +
+              coalesce(col("dtotal"), lit(0.0))).as("total"))
+        mv.merge(merged, key = "user", orderCol = "n",
+          txn = Some(("stream_mv_app", batchId)))
+        ()
+      }
+      .start()
+    try {
+      in.addData(Ev(1, ts(0), 2.0), Ev(1, ts(1), 3.0), Ev(2, ts(2), 10.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts(3), 5.0), Ev(3, ts(4), 7.0))
+      q.processAllAvailable()
+      val got = mv.toDF.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got === Map(1L -> ((3L, 10.0)), 2L -> ((1L, 10.0)),
+        3L -> ((1L, 7.0))))
+      // a replayed batchId is fenced — the MV must NOT double-count
+      val bogus = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(3L, 99L, 999.0)),
+        mvSchema)
+      mv.merge(bogus, key = "user", orderCol = "n",
+        txn = Some(("stream_mv_app", 1L)))
+      assert(mv.toDF.filter(col("user") === 3L).head().getLong(1) === 1L)
+    } finally q.stop()
+  }
+
   test("stream-stream join within event-time bounds") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]

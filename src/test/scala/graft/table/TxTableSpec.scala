@@ -834,6 +834,14 @@ class TxTableSpec extends SparkSpec {
         WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
     }
     assert(dupErr.getMessage.contains("multiple"))
+    // CTAS (optionally partitioned) materializes a query into a new table
+    val ctas = cat.sql("CREATE TABLE analytics.high_risk PARTITIONED BY (date) " +
+      "AS SELECT * FROM analytics.txns_sql WHERE risk_score = 'HIGH'")
+    assert(ctas.collect()(0).getString(0).startsWith("CREATED analytics.high_risk"))
+    val expected = t.toDF.filter(col("risk_score") === "HIGH").count()
+    assert(cat.getTable("analytics", "high_risk").toDF.count() === expected)
+    assert(cat.getTable("analytics", "high_risk").snapshot
+      .partitionColumns === Seq("date"))
   }
 
   test("catalog SQL edge cases: literals with keywords, decimal delete conds, pruned DML") {
