@@ -408,6 +408,54 @@ object Pipeline3 {
       FROM p ORDER BY doc_id""")),
 
     // ------------------------------------------------------------------
+    // ntile quartiles + cume_dist over a TOTALLY ordered window (the
+    // tiebreak on orderkey is what makes ntile engine-portable — both
+    // engines then assign identical bucket boundaries).
+    Q("window_ntile", fn = (s, dir) =>
+      Td.orders(s, dir).filter(col("o_custkey") % 250 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          ntile(4).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).as("quartile"),
+          round(cume_dist().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))), 6).as("cd"))
+        .orderBy(col("o_orderkey")),
+      oracle = Some("""
+      SELECT o_orderkey, o_custkey,
+             ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+             round(cume_dist() OVER (ORDER BY o_totalprice DESC, o_orderkey), 6) AS cd
+      FROM orders WHERE o_custkey % 250 = 0
+      ORDER BY o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // FULL OUTER join (both-sides-preserved; the shape diff() builds
+    // on): per-customer order/lineitem totals where either side may be
+    // absent.
+    Q("join_full_outer", fn = (s, dir) => {
+      val o = Td.orders(s, dir).filter(col("o_custkey") % 500 === 0)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val big = Td.orders(s, dir).filter(col("o_totalprice") > 350000)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_big"))
+      o.join(big, Seq("custkey"), "full_outer")
+        .select(col("custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+        .orderBy(col("custkey"))
+    }, oracle = Some("""
+      WITH o AS (
+        SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders WHERE o_custkey % 500 = 0 GROUP BY 1),
+      big AS (
+        SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_big
+        FROM orders WHERE o_totalprice > 350000 GROUP BY 1)
+      SELECT coalesce(o.custkey, big.custkey) AS custkey,
+             coalesce(o.n_orders, 0) AS n_orders,
+             coalesce(big.n_big, 0) AS n_big
+      FROM o FULL OUTER JOIN big ON o.custkey = big.custkey
+      ORDER BY custkey""")),
+
+    // ------------------------------------------------------------------
     // Data-quality checks (the Deequ-style ANALYZE surface a lake runs
     // before publishing a table): completeness, composite-key
     // uniqueness, value range, accepted values, referential integrity.
