@@ -2,7 +2,7 @@ package graft
 
 import graft.ingest.{CdcPipeline, SampleData}
 import graft.model.Schemas
-import graft.queries.{Pipeline, Pipeline2, Pipeline3, Q, Relational, Relational2}
+import graft.queries.{Pipeline, Pipeline2, Pipeline3, Pipeline4, Q, Relational, Relational2}
 import graft.table.TxTable
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -15,7 +15,7 @@ object SparkEntry {
   /** Full registry: relational surface + pipeline/table operators. */
   lazy val registry: Seq[Q] =
     Relational.all ++ Relational2.all ++ Pipeline.all ++ Pipeline2.all ++
-      Pipeline3.all
+      Pipeline3.all ++ Pipeline4.all
 
   /**
    * Flagship end-to-end slice (SURVEY §7 "minimum end-to-end slice"):

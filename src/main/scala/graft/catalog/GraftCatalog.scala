@@ -1,0 +1,172 @@
+package graft.catalog
+
+import graft.table.{TableCatalog => GraftTableCatalog, TxTable}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/**
+ * DataSource V2 catalog plugin: exposes the graft transaction-log table
+ * layer as a first-class Spark catalog, the way the reference's tables
+ * are exposed through `s3tablescatalog` to Athena (`Database=analytics,
+ * Catalog=s3tablescatalog/streamtablebucket`,
+ * kinesis-firehose-stream/README.md:147). Register with
+ *
+ * {{{
+ *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+ *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/warehouse")
+ * }}}
+ *
+ * after which every `spark.sql` statement resolves graft tables natively —
+ * `SELECT … FROM graft.analytics.txns`, `CREATE TABLE graft.ns.t (…)
+ * PARTITIONED BY (date)`, `INSERT INTO/OVERWRITE`, `ALTER TABLE … ADD/
+ * DROP/RENAME COLUMN`, `SHOW TABLES IN graft.ns`, `DESCRIBE` — parsed and
+ * analyzed by Catalyst against this catalog instead of the regex rewrite
+ * in [[graft.table.GraftSql]].
+ *
+ * The warehouse path is read from the session conf ON EVERY ACCESS (not
+ * captured at `initialize`): Spark's CatalogManager caches one plugin
+ * instance per catalog name for the session's lifetime, while tests and
+ * the verify harness point the same session at many scratch warehouses —
+ * a captured path would silently pin the first one.
+ */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def inner: GraftTableCatalog = {
+    val key = s"spark.sql.catalog.$catalogName.warehouse"
+    val wh = spark.conf.getOption(key).getOrElse(
+      throw new IllegalStateException(s"$key is not set"))
+    new GraftTableCatalog(spark, new Path(wh))
+  }
+
+  private def ns1(namespace: Array[String]): String = {
+    require(namespace.length == 1,
+      s"graft namespaces are single-level, got ${namespace.mkString(".")}")
+    namespace(0)
+  }
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val cat = inner
+    val ns = ns1(namespace)
+    if (!cat.listNamespaces().contains(ns)) throw new NoSuchNamespaceException(namespace)
+    cat.listTables(ns).map(t => Identifier.of(namespace, t)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val cat = inner
+    val (ns, tbl) = (ns1(ident.namespace()), ident.name())
+    if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
+    new GraftV2Table(cat.getTable(ns, tbl))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val cat = inner
+    val (ns, tbl) = (ns1(ident.namespace()), ident.name())
+    if (cat.tableExists(ns, tbl)) throw new TableAlreadyExistsException(ident)
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name() == "identity",
+        s"only identity partitioning is supported, got $t")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    new GraftV2Table(cat.createTable(ns, tbl, schema, partCols))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val cat = inner
+    val (ns, tbl) = (ns1(ident.namespace()), ident.name())
+    if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
+    val t = cat.getTable(ns, tbl)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1, "nested ADD COLUMN is not supported")
+        t.addColumn(add.fieldNames()(0), add.dataType())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1, "nested DROP COLUMN is not supported")
+        t.dropColumn(del.fieldNames()(0))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1, "nested RENAME COLUMN is not supported")
+        t.renameColumn(ren.fieldNames()(0), ren.newName())
+      case other =>
+        throw new UnsupportedOperationException(s"ALTER TABLE change $other")
+    }
+    new GraftV2Table(cat.getTable(ns, tbl))
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val cat = inner
+    val (ns, tbl) = (ns1(ident.namespace()), ident.name())
+    val existed = cat.tableExists(ns, tbl)
+    if (existed) cat.dropTable(ns, tbl)
+    existed
+  }
+
+  /** Rename is a directory move: table identity lives in the warehouse
+    * layout, the log inside moves with it (same-namespace moves only,
+    * mirroring the reference's immovable bucket/namespace hierarchy). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val cat = inner
+    val (ons, otbl) = (ns1(oldIdent.namespace()), oldIdent.name())
+    val (nns, ntbl) = (ns1(newIdent.namespace()), newIdent.name())
+    if (!cat.tableExists(ons, otbl)) throw new NoSuchTableException(oldIdent)
+    if (cat.tableExists(nns, ntbl)) throw new TableAlreadyExistsException(newIdent)
+    val fs = cat.tableRoot(ons, otbl).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    cat.createNamespace(nns)
+    fs.rename(cat.tableRoot(ons, otbl), cat.tableRoot(nns, ntbl))
+  }
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    inner.listNamespaces().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (inner.listNamespaces().contains(ns1(namespace))) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (inner.listNamespaces().contains(ns1(namespace)))
+      Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    inner.createNamespace(ns1(namespace))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val cat = inner
+    val ns = ns1(namespace)
+    val existed = cat.listNamespaces().contains(ns)
+    if (existed) {
+      if (!cascade) require(cat.listTables(ns).isEmpty,
+        s"namespace $ns is not empty (use CASCADE)")
+      cat.dropNamespace(ns)
+    }
+    existed
+  }
+}

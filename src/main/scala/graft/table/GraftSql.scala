@@ -25,7 +25,7 @@ object GraftSql {
   private val CreateRe =
     """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s*\((.*)""".r
   private val CtasRe =
-    ("""(?is)\s*CREATE\s+TABLE\s+([`\w.]+)\s*""" +
+    ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s*""" +
      """(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*?|WITH\b.*?)\s*;?\s*""").r
   private val DropRe =
     """(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
@@ -53,9 +53,40 @@ object GraftSql {
   private val DescribeRe =
     """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*""".r
 
+  /** The catalog name GraftSql registers for native statement routing —
+    * distinct from any user-configured graft catalog so per-call
+    * warehouse switches can't clobber one. */
+  private val SqlCatalogName = "graftsql"
+
+  /**
+   * Run `f` with this [[TableCatalog]]'s warehouse exposed as the
+   * session's CURRENT catalog through the DataSource V2 plugin
+   * ([[graft.catalog.GraftCatalog]]), so `ns.tbl` references inside the
+   * statement resolve natively by Catalyst — no text rewriting. The
+   * plugin reads its warehouse from the session conf on every access,
+   * so repointing the conf here re-targets the cached plugin instance.
+   */
+  private def withCurrentCatalog[T](cat: TableCatalog)(f: => T): T = {
+    val spark = cat.spark
+    spark.conf.set(s"spark.sql.catalog.$SqlCatalogName",
+      "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$SqlCatalogName.warehouse",
+      cat.warehouse.toString)
+    val prev = spark.catalog.currentCatalog()
+    spark.catalog.setCurrentCatalog(SqlCatalogName)
+    try f finally spark.catalog.setCurrentCatalog(prev)
+  }
+
+  private def nativeSql(cat: TableCatalog, text: String): DataFrame =
+    withCurrentCatalog(cat)(cat.spark.sql(text))
+
   /** Route one SQL statement: DDL against the catalog, everything else
-    * to spark.sql. DDL returns a one-row (result: string) frame, the
-    * way a CLI echoes `CREATED analytics.txns`. */
+    * to spark.sql with this catalog CURRENT (so `ns.tbl` references
+    * resolve through the V2 plugin). DDL returns a one-row
+    * (result: string) frame, the way a CLI echoes `CREATED
+    * analytics.txns`. DML on tables the catalog does not know falls
+    * through to spark.sql rather than erroring — the statement may
+    * target a temp view or a session-catalog table. */
   def sql(cat: TableCatalog, text: String): DataFrame = {
     val spark = cat.spark
     import spark.implicits._
@@ -63,16 +94,20 @@ object GraftSql {
     stripped match {
       // CTAS must match before the column-list form (it has no parens
       // after the table name)
-      case CtasRe(rawName, partList, query) =>
+      case CtasRe(ifNotExists, rawName, partList, query) =>
         val (ns, tbl) = splitName(rawName)
-        val df = spark.sql(rewriteTableRefs(cat, query))
-        val parts = Option(partList)
-          .map(_.split(",").map(cleanIdent).toSeq).getOrElse(Nil)
-        parts.foreach(p => require(df.columns.contains(p),
-          s"PARTITIONED BY column '$p' is not in the query output"))
-        val t = cat.createTable(ns, tbl, df.schema, parts)
-        t.append(df)
-        Seq(s"CREATED $ns.$tbl AS SELECT").toDF("result")
+        if (ifNotExists != null && cat.tableExists(ns, tbl))
+          Seq(s"EXISTS $ns.$tbl").toDF("result")
+        else {
+          val df = nativeSql(cat, query)
+          val parts = Option(partList)
+            .map(_.split(",").map(cleanIdent).toSeq).getOrElse(Nil)
+          parts.foreach(p => require(df.columns.contains(p),
+            s"PARTITIONED BY column '$p' is not in the query output"))
+          val t = cat.createTable(ns, tbl, df.schema, parts)
+          t.append(df)
+          Seq(s"CREATED $ns.$tbl AS SELECT").toDF("result")
+        }
       case CreateRe(ifNotExists, rawName, rest) =>
         val (colsDdl, tail) = splitAtMatchingParen(rest)
         val schema = StructType.fromDDL(colsDdl)
@@ -94,7 +129,7 @@ object GraftSql {
           throw new IllegalArgumentException(s"table $ns.$tbl does not exist")
         cat.dropTable(ns, tbl)
         Seq(s"DROPPED $ns.$tbl").toDF("result")
-      case UpdateRe(rawName, setAndWhere) =>
+      case UpdateRe(rawName, setAndWhere) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         // split SET list from WHERE at the first TOP-LEVEL keyword —
@@ -109,16 +144,16 @@ object GraftSql {
         val v = t.update(predicateOf(where),
           set, partitionFilterFrom(where, t.snapshot.partitionColumns))
         Seq(s"UPDATED $ns.$tbl v$v").toDF("result")
-      case DeleteFromRe(rawName, where) =>
+      case DeleteFromRe(rawName, where) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         val v = t.delete(predicateOf(where),
           partitionFilterFrom(where, t.snapshot.partitionColumns))
         Seq(s"DELETED $ns.$tbl v$v").toDF("result")
-      case InsertRe(rawName, colList, query) =>
+      case InsertRe(rawName, colList, query) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
-        val df = spark.sql(rewriteTableRefs(cat, query))
+        val df = nativeSql(cat, query)
         // SQL INSERT is POSITIONAL: map query columns onto the target's
         // (or the explicit column list's) names in order; columns the
         // list omits pad to null via append's schema alignment
@@ -129,7 +164,8 @@ object GraftSql {
           s"INSERT column count ${df.columns.length} != target ${targets.length}")
         val v = t.append(df.toDF(targets: _*))
         Seq(s"INSERTED $ns.$tbl v$v").toDF("result")
-      case MergeRe(rawName, targetAlias, source, sourceAlias, on, deleteCond) =>
+      case MergeRe(rawName, targetAlias, source, sourceAlias, on, deleteCond)
+          if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         val key = on.trim match {
@@ -137,7 +173,7 @@ object GraftSql {
           case other => throw new IllegalArgumentException(
             s"MERGE ON must be an equality on the same column name both sides, got '$other'")
         }
-        val src = spark.sql(s"SELECT * FROM ${rewriteTableRefs(cat, source)}")
+        val src = nativeSql(cat, s"SELECT * FROM $source")
         // SQL MERGE errors when several source rows match one target key
         // (Delta/Athena "multiple source rows matched") — enforce it,
         // don't pick a nondeterministic winner
@@ -168,16 +204,24 @@ object GraftSql {
           .getOrElse(cat.listNamespaces())
         spaces.flatMap(n => cat.listTables(n).map(t => (n, t)))
           .toDF("namespace", "table_name")
-      case DescribeRe(rawName) if !rawName.equalsIgnoreCase("TABLE") =>
+      case DescribeRe(rawName)
+          if !rawName.equalsIgnoreCase("TABLE") && knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         val parts = t.snapshot.partitionColumns.toSet
         t.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString,
             f.nullable, parts.contains(f.name)))
           .toDF("col_name", "data_type", "nullable", "is_partition")
-      case _ => spark.sql(rewriteTableRefs(cat, text))
+      case _ => nativeSql(cat, text)
     }
   }
+
+  /** True iff `raw` is a `[ns.]table` this catalog knows — statements on
+    * anything else (temp views, session-catalog tables, three-part
+    * names) fall through to the native path instead of erroring. */
+  private def knownTable(cat: TableCatalog, raw: String): Boolean =
+    try { val (ns, tbl) = splitName(raw); cat.tableExists(ns, tbl) }
+    catch { case _: IllegalArgumentException => false }
 
   /** drop `-- …` comments (the reference's DDL annotates column groups
     * with them) — but only outside single-quoted literals, so
@@ -229,27 +273,6 @@ object GraftSql {
   }
 
   private def cleanIdent(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
-
-  /** Make `ns.tbl` references in query text resolve against this
-    * catalog: every known table whose qualified name appears is
-    * registered as a snapshot temp view and the reference rewritten to
-    * the view's name. Identifier-level rewrite (word-bounded) — the
-    * pragmatic CLI surface, not a full Spark catalog plugin; a quoted
-    * string literal that happens to contain a qualified table name
-    * would be rewritten too, so don't name string constants after
-    * tables. Unknown references pass through to spark.sql untouched. */
-  private def rewriteTableRefs(cat: TableCatalog, text: String): String = {
-    var out = text
-    for (ns <- cat.listNamespaces(); tbl <- cat.listTables(ns)) {
-      val qualified = s"$ns.$tbl"
-      if (out.matches(s"(?s).*\\b${java.util.regex.Pattern.quote(qualified)}\\b.*")) {
-        val view = cat.registerView(ns, tbl)
-        out = out.replaceAll(
-          s"\\b${java.util.regex.Pattern.quote(qualified)}\\b", view)
-      }
-    }
-    out
-  }
 
   /** WHERE-less DML touches every row (standard SQL). */
   private def predicateOf(where: String): org.apache.spark.sql.Column =

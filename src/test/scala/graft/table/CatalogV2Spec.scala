@@ -1,0 +1,112 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+/**
+ * DataSource V2 catalog plugin ([[graft.catalog.GraftCatalog]]):
+ * `spark.sql` statements resolve graft tables natively — DDL, DML,
+ * ALTER, SHOW/DESCRIBE, CTAS — and scans are V2 `BatchScan`s over the
+ * snapshot file index with filters pushed to parquet.
+ */
+class CatalogV2Spec extends SparkSpec {
+
+  private def withCatalog[T](tag: String)(f: String => T): T = {
+    val wh = freshDir(s"v2cat_$tag")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    f(wh)
+  }
+
+  test("V2 catalog: CREATE/INSERT/SELECT/OVERWRITE/DROP round trip") {
+    withCatalog("crud") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.analytics")
+      spark.sql("""CREATE TABLE graft.analytics.txns (
+          transaction_id STRING, date DATE, amount DECIMAL(12,2), region STRING)
+          PARTITIONED BY (date)""")
+      spark.sql("""INSERT INTO graft.analytics.txns VALUES
+        ('t1', DATE'2026-01-01', 10.50, 'EU'),
+        ('t2', DATE'2026-01-01', 20.00, 'US'),
+        ('t3', DATE'2026-01-02', 30.25, 'EU')""")
+      assert(spark.sql("SELECT * FROM graft.analytics.txns").count() === 3)
+      // snapshot-pinned read: the underlying TxTable sees the same rows
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      assert(cat.getTable("analytics", "txns").toDF.count() === 3)
+      // typed partition column round trip
+      val jan1 = spark.sql(
+        "SELECT transaction_id FROM graft.analytics.txns WHERE date = DATE'2026-01-01'")
+      assert(jan1.collect().map(_.getString(0)).sorted === Array("t1", "t2"))
+      spark.sql("INSERT OVERWRITE graft.analytics.txns VALUES ('t9', DATE'2026-02-01', 1.00, 'AP')")
+      assert(spark.sql("SELECT * FROM graft.analytics.txns").count() === 1)
+      assert(spark.sql("SHOW TABLES IN graft.analytics").count() === 1)
+      spark.sql("DROP TABLE graft.analytics.txns")
+      assert(spark.sql("SHOW TABLES IN graft.analytics").count() === 0)
+    }
+  }
+
+  test("V2 scan: BatchScan with pushed data filters and partition pruning") {
+    withCatalog("scan") { _ =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.s")
+      spark.sql("CREATE TABLE graft.s.t (id STRING, date DATE, v INT) PARTITIONED BY (date)")
+      spark.sql("""INSERT INTO graft.s.t VALUES
+        ('a', DATE'2026-01-01', 1), ('b', DATE'2026-01-02', 2), ('c', DATE'2026-01-03', 3)""")
+      val q = spark.sql("SELECT id FROM graft.s.t WHERE date = DATE'2026-01-02' AND v > 1")
+      val scans = q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(scans.length === 1, "expected exactly one V2 BatchScan")
+      val scan = scans.head
+      val desc = scan.scan.description()
+      assert(desc.contains("SnapshotFileIndex"), s"scan not snapshot-pinned: $desc")
+      assert(desc.contains("GreaterThan(v,1)"), s"data filter not pushed: $desc")
+      // partition pruning happened at planning: only the matching file is read
+      assert(scan.inputRDD.getNumPartitions <= 1)
+      assert(q.collect().map(_.getString(0)) === Array("b"))
+    }
+  }
+
+  test("V2 catalog: ALTER TABLE ADD/RENAME/DROP COLUMN via SQL text") {
+    withCatalog("alter") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.a")
+      spark.sql("CREATE TABLE graft.a.t (id STRING, v INT)")
+      spark.sql("INSERT INTO graft.a.t VALUES ('x', 1)")
+      spark.sql("ALTER TABLE graft.a.t ADD COLUMN note STRING")
+      assert(spark.table("graft.a.t").columns.toSeq === Seq("id", "v", "note"))
+      spark.sql("ALTER TABLE graft.a.t RENAME COLUMN note TO remark")
+      assert(spark.table("graft.a.t").columns.toSeq === Seq("id", "v", "remark"))
+      spark.sql("ALTER TABLE graft.a.t DROP COLUMN remark")
+      assert(spark.table("graft.a.t").columns.toSeq === Seq("id", "v"))
+      // evolution is a log commit each time
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      assert(cat.getTable("a", "t").currentVersion === 4)
+    }
+  }
+
+  test("V2 catalog: CTAS and current-catalog unqualified resolution") {
+    withCatalog("ctas") { _ =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.c")
+      spark.sql("CREATE TABLE graft.c.src (id INT, grp STRING)")
+      spark.sql("INSERT INTO graft.c.src SELECT id, CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(10)")
+      spark.sql("CREATE TABLE graft.c.evens AS SELECT * FROM graft.c.src WHERE grp = 'even'")
+      assert(spark.table("graft.c.evens").count() === 5)
+      val prev = spark.catalog.currentCatalog()
+      spark.catalog.setCurrentCatalog("graft")
+      try assert(spark.sql("SELECT count(*) FROM c.src").head().getLong(0) === 10)
+      finally spark.catalog.setCurrentCatalog(prev)
+    }
+  }
+
+  test("GraftSql routes SELECT over ns.tbl through the V2 catalog (no temp views)") {
+    withCatalog("gsql") { wh =>
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      cat.sql("CREATE TABLE mart.sales (id STRING, amount DECIMAL(10,2))")
+      cat.sql("INSERT INTO mart.sales VALUES ('a', 5.00), ('b', 7.50)")
+      val r = cat.sql("SELECT sum(amount) AS s FROM mart.sales")
+      assert(r.head().getDecimal(0).doubleValue() === 12.5)
+      // a string literal containing a qualified table name must survive
+      // (the old regex rewrite would have mangled it)
+      val lit = cat.sql("SELECT 'mart.sales' AS label FROM mart.sales LIMIT 1")
+      assert(lit.head().getString(0) === "mart.sales")
+      // the native route leaves no temp view behind
+      assert(!spark.catalog.tableExists("mart_sales"))
+    }
+  }
+}
