@@ -37,15 +37,12 @@ object GraftSql {
     """(?is)\s*DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val InsertRe =
     """(?is)\s*INSERT\s+INTO\s+([`\w.]+)\s*(?:\(([^)]*)\)\s*)?((?:SELECT|VALUES|TABLE|FROM|WITH)\b.*?)\s*;?\s*""".r
-  /** The Iceberg/Athena CDC MERGE shape (optionally with a leading
-    * DELETE branch), the statement the reference's engine runs for its
-    * `unique_keys` upsert contract. Aliases are captured so DELETE
-    * conditions can strip exactly them — never other dotted text. */
-  private val MergeRe =
-    ("""(?is)\s*MERGE\s+INTO\s+([`\w.]+)(?:\s+AS\s+(\w+))?\s+USING\s+([`\w.]+)(?:\s+AS\s+(\w+))?""" +
-     """\s+ON\s+(.+?)\s+(?:WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE\s+)?""" +
-     """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
-  private val OnEqRe = """(?s)\s*(?:[`\w]+\.)?([`\w]+)\s*=\s*(?:[`\w]+\.)?([`\w]+)\s*""".r
+  /** MERGE statement head — the branch list is parsed by [[parseMerge]]
+    * (arbitrary `ON`, multiple conditional WHEN branches, the full
+    * Iceberg/Delta/Athena statement the reference's engine runs for its
+    * `unique_keys` upsert contract). */
+  private val MergeHeadRe =
+    """(?is)\s*MERGE\s+INTO\s+([`\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)([`\w]+))?\s+USING\s+(.*)""".r
   private val ShowTablesRe =
     """(?is)\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([`\w]+))?\s*;?\s*""".r
   private val ShowNamespacesRe =
@@ -164,38 +161,14 @@ object GraftSql {
           s"INSERT column count ${df.columns.length} != target ${targets.length}")
         val v = t.append(df.toDF(targets: _*))
         Seq(s"INSERTED $ns.$tbl v$v").toDF("result")
-      case MergeRe(rawName, targetAlias, source, sourceAlias, on, deleteCond)
-          if knownTable(cat, rawName) =>
+      case MergeHeadRe(rawName, _, _) if knownTable(cat, rawName) =>
+        val pm = parseMerge(stripped).getOrElse(throw new IllegalArgumentException(
+          s"unsupported MERGE statement shape"))
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
-        val key = on.trim match {
-          case OnEqRe(a, b) if cleanIdent(a) == cleanIdent(b) => cleanIdent(a)
-          case other => throw new IllegalArgumentException(
-            s"MERGE ON must be an equality on the same column name both sides, got '$other'")
-        }
-        val src = nativeSql(cat, s"SELECT * FROM $source")
-        // SQL MERGE errors when several source rows match one target key
-        // (Delta/Athena "multiple source rows matched") — enforce it,
-        // don't pick a nondeterministic winner
-        val dup = src.groupBy(org.apache.spark.sql.functions.col(key))
-          .count().filter(org.apache.spark.sql.functions.col("count") > 1)
-          .limit(1).collect()
-        if (dup.nonEmpty) throw new IllegalArgumentException(
-          s"MERGE source has multiple rows for $key='${dup(0).get(0)}'")
-        // alias qualifiers (s.col / t.col) have no scope once the source
-        // is a frame — strip exactly the DECLARED aliases, nothing else
-        // (a blanket \w+\. strip would mangle decimal literals like 3.5)
-        val aliases = Seq(Option(targetAlias), Option(sourceAlias)).flatten
-        val batch = deleteCond match {
-          case null => src
-          case cond =>
-            val stripped = aliases.foldLeft(cond)((c, a) =>
-              c.replaceAll(s"\\b${java.util.regex.Pattern.quote(a)}\\.", ""))
-            src.withColumn("__sql_del",
-              org.apache.spark.sql.functions.expr(stripped))
-        }
-        val v = t.merge(batch, key = key, orderCol = key,
-          deleteCol = if (deleteCond == null) None else Some("__sql_del"))
+        val src = nativeSql(cat, pm.sourceQuery)
+        val v = t.mergeBranches(src, pm.tgtAlias, pm.srcAlias, pm.on,
+          pm.matched, pm.notMatched, pm.bySource)
         Seq(s"MERGED $ns.$tbl v$v").toDF("result")
       case ShowNamespacesRe() =>
         cat.listNamespaces().toDF("namespace")
@@ -215,6 +188,126 @@ object GraftSql {
       case _ => nativeSql(cat, text)
     }
   }
+
+  private final case class ParsedMerge(
+      rawName: String, tgtAlias: String, sourceQuery: String,
+      srcAlias: String, on: String,
+      matched: Seq[TxTable.MatchedBranch],
+      notMatched: Seq[TxTable.InsertBranch],
+      bySource: Seq[TxTable.MatchedBranch])
+
+  private val SourceNameRe = """(?s)^\s*([`\w.]+)(.*)$""".r
+  private val SrcAliasRe = """(?is)^\s*(?:AS\s+)?(?!ON\b)([`\w]+)\b(.*)$""".r
+  private val OnTailRe = """(?is)^\s*ON\b(.*)$""".r
+  private val MatchedHeadRe = """(?is)^\s*MATCHED\s*(?:AND\s+(.+))?$""".r
+  private val BySourceHeadRe =
+    """(?is)^\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+))?$""".r
+  private val NotMatchedHeadRe =
+    """(?is)^\s*NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+))?$""".r
+  private val DeleteActRe = """(?is)^\s*DELETE\s*;?\s*$""".r
+  private val UpdateStarRe = """(?is)^\s*UPDATE\s+SET\s+\*\s*;?\s*$""".r
+  private val UpdateSetRe = """(?is)^\s*UPDATE\s+SET\s+(.+?)\s*;?\s*$""".r
+  private val InsertStarRe = """(?is)^\s*INSERT\s+\*\s*;?\s*$""".r
+  private val InsertColsRe = """(?is)^\s*INSERT\s*\((.*)$""".r
+  private val ValuesTailRe = """(?is)^\s*VALUES\s*\((.*)$""".r
+
+  /**
+   * Parse the full standard MERGE statement: arbitrary `ON`, ordered
+   * `WHEN MATCHED [AND cond] THEN UPDATE SET star-or-assignments |
+   * DELETE`, `WHEN NOT MATCHED [BY TARGET] [AND cond] THEN INSERT
+   * star-or-cols-values`, and `WHEN NOT MATCHED BY SOURCE [AND cond]
+   * THEN UPDATE/DELETE` branches. The source may be a table/view name
+   * or a parenthesized subquery (alias required, as in the standard).
+   * Splitting happens at TOP-LEVEL keywords only (quotes and parens
+   * respected), so conditions containing WHEN/THEN inside string
+   * literals survive.
+   */
+  private def parseMerge(text: String): Option[ParsedMerge] = text match {
+    case MergeHeadRe(rawName, tgtAliasRaw, rest) =>
+      val trimmed = rest.trim
+      val (sourceQuery, afterSrc, subquery, nameAlias) =
+        if (trimmed.startsWith("(")) {
+          val (body, tail) = splitAtMatchingParen(trimmed.drop(1))
+          (body.trim, tail, true, null)
+        } else trimmed match {
+          case SourceNameRe(nm, tail) =>
+            (s"SELECT * FROM ${nm.trim}", tail, false,
+              cleanIdent(nm).split('.').last)
+          case _ => return None
+        }
+      val (srcAlias, afterAlias) = afterSrc match {
+        case SrcAliasRe(a, tail) => (cleanIdent(a), tail)
+        case _ =>
+          if (subquery) throw new IllegalArgumentException(
+            "MERGE USING (subquery) requires an alias")
+          (nameAlias, afterSrc)
+      }
+      val onTail = afterAlias match {
+        case OnTailRe(tail) => tail
+        case _ => return None
+      }
+      val pieces = splitTopLevelKeyword(onTail, "WHEN")
+      if (pieces.length < 2) return None
+      val tgtAlias = Option(tgtAliasRaw).map(cleanIdent)
+        .getOrElse(cleanIdent(rawName).split('.').last)
+      var matched = Vector.empty[TxTable.MatchedBranch]
+      var notMatched = Vector.empty[TxTable.InsertBranch]
+      var bySource = Vector.empty[TxTable.MatchedBranch]
+      for (seg <- pieces.tail) {
+        val (head, action) = splitAtKeyword(seg, "THEN")
+        require(action != null, s"MERGE WHEN clause lacks THEN: '$seg'")
+        def matchedAction(cond: Option[String]): TxTable.MatchedBranch =
+          action match {
+            case DeleteActRe() => TxTable.MatchedBranch(cond, isDelete = true, None)
+            case UpdateStarRe() => TxTable.MatchedBranch(cond, isDelete = false, None)
+            case UpdateSetRe(assigns) => TxTable.MatchedBranch(cond,
+              isDelete = false, Some(parseAssignments(assigns)))
+            case other => throw new IllegalArgumentException(
+              s"unsupported MERGE matched action: '${other.trim}'")
+          }
+        head match {
+          case BySourceHeadRe(c) => bySource :+= matchedAction(Option(c).map(_.trim))
+          case MatchedHeadRe(c) => matched :+= matchedAction(Option(c).map(_.trim))
+          case NotMatchedHeadRe(c) =>
+            val cond = Option(c).map(_.trim)
+            action match {
+              case InsertStarRe() =>
+                notMatched :+= TxTable.InsertBranch(cond, None, Nil)
+              case InsertColsRe(afterParen) =>
+                val (colsStr, tail2) = splitAtMatchingParen(afterParen)
+                val cols = splitTopLevel(colsStr, ',')
+                  .map(c2 => cleanIdent(c2).split('.').last)
+                tail2 match {
+                  case ValuesTailRe(afterV) =>
+                    val (valsStr, _) = splitAtMatchingParen(afterV)
+                    val vals = splitTopLevel(valsStr, ',').map(_.trim)
+                    require(vals.length == cols.length,
+                      s"INSERT has ${cols.length} columns but ${vals.length} values")
+                    notMatched :+= TxTable.InsertBranch(cond, Some(cols), vals)
+                  case _ => throw new IllegalArgumentException(
+                    "MERGE INSERT (columns) requires VALUES (...)")
+                }
+              case other => throw new IllegalArgumentException(
+                s"unsupported MERGE not-matched action: '${other.trim}'")
+            }
+          case other => throw new IllegalArgumentException(
+            s"unsupported MERGE WHEN clause: 'WHEN ${other.trim}'")
+        }
+      }
+      Some(ParsedMerge(rawName, tgtAlias, sourceQuery, srcAlias,
+        pieces.head.trim, matched, notMatched, bySource))
+    case _ => None
+  }
+
+  /** `a = expr, b = expr` → column → raw expression text (LHS may be
+    * alias-qualified; the last segment names the target column). */
+  private def parseAssignments(s: String): Map[String, String] =
+    splitTopLevel(s, ',').map { assignment =>
+      val eq = topLevelIndexOf(assignment, '=')
+      require(eq > 0, s"malformed SET assignment: '$assignment'")
+      cleanIdent(assignment.substring(0, eq)).split('.').last ->
+        assignment.substring(eq + 1).trim
+    }.toMap
 
   /** True iff `raw` is a `[ns.]table` this catalog knows — statements on
     * anything else (temp views, session-catalog tables, three-part

@@ -670,6 +670,163 @@ class TxTable private (
       appTxns = txns)
   }
 
+  /**
+   * General multi-branch MERGE — the full Iceberg/Delta/Athena statement
+   * shape (arbitrary equi/theta `ON`, ordered `WHEN MATCHED [AND cond]
+   * THEN UPDATE/DELETE` branches, `WHEN NOT MATCHED [AND cond] THEN
+   * INSERT` branches, optional `WHEN NOT MATCHED BY SOURCE` branches).
+   * This is the statement behind the reference's engine-side upsert
+   * contract (stack/firehose.py:155-161) as every SQL engine spells it.
+   *
+   * Copy-on-write in two passes, the Iceberg COW MERGE plan shape:
+   *  1. ONE cached source⟕target join yields (a) the touched target
+   *     partitions — only their files are rewritten — and (b) the
+   *     unmatched source rows that feed the INSERT branches. The source
+   *     is evaluated exactly once (it may be a non-deterministic query).
+   *  2. Affected-partition rows re-join the cached source; branch
+   *     conditions apply FIRST-MATCH-WINS via a `when` chain, exactly
+   *     the standard's ordered-branch semantics. A target row matching
+   *     more than one source row raises (the Delta/Iceberg
+   *     MERGE_CARDINALITY_VIOLATION) instead of picking a winner.
+   *
+   * Unlike [[merge]] (the keyed CDC fast path), unmatched source rows
+   * whose would-be DELETE condition is true still INSERT when an
+   * unconditional `WHEN NOT MATCHED THEN INSERT` branch exists — the
+   * statement means what it says.
+   *
+   * Branch condition / assignment / value strings may qualify columns
+   * with `targetAlias.` / `sourceAlias.` — both frames are aliased, so
+   * Catalyst resolves the references natively (no text stripping).
+   * `assignments = None` means `UPDATE SET *`; `InsertBranch.columns =
+   * None` means `INSERT *` (both resolve source→target BY NAME and
+   * require the source to carry every target column).
+   */
+  def mergeBranches(source: DataFrame, targetAlias: String,
+      sourceAlias: String, onExpr: String,
+      matched: Seq[TxTable.MatchedBranch],
+      notMatched: Seq[TxTable.InsertBranch],
+      notMatchedBySource: Seq[TxTable.MatchedBranch] = Nil): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    val parts = s.partitionColumns
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE requires at least one WHEN clause")
+    val needsStarCols =
+      matched.exists(b => !b.isDelete && b.assignments.isEmpty) ||
+        notMatched.exists(_.columns.isEmpty)
+    if (needsStarCols) {
+      val missing = schema.fieldNames.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"UPDATE SET * / INSERT * requires the source to carry every " +
+          s"target column; missing: ${missing.mkString(", ")}")
+    }
+    val src = source.cache()
+    var pass1: DataFrame = null
+    try {
+      val on = expr(onExpr)
+      // ---- pass 1: touched partitions + unmatched source rows --------
+      // dfFor(s), not toDF: both passes must read the SAME snapshot
+      val tMark = dfFor(s).withColumn("__graft_m", lit(true)).alias(targetAlias)
+      pass1 = src.alias(sourceAlias).join(tMark, on, "left_outer")
+        .select(Seq(col(s"$sourceAlias.*"),
+          coalesce(col("__graft_m"), lit(false)).as("__graft_m")) ++
+          parts.map(c => col(s"$targetAlias.$c").as(s"__graft_p_$c")): _*)
+        .cache()
+      val srcRows = pass1.count() // materializes: source runs exactly once
+      val touched: Set[Map[String, String]] =
+        if (parts.isEmpty) Set(Map.empty)
+        else pass1.filter(col("__graft_m"))
+          .select(parts.map(c => col(s"__graft_p_$c")): _*).distinct()
+          .collect()
+          .map(r => parts.zipWithIndex.map { case (c, i) =>
+            c -> partitionValueString(r.get(i)) }.toMap).toSet
+      val rewriteNeeded = matched.nonEmpty || notMatchedBySource.nonEmpty
+      val affected =
+        if (!rewriteNeeded) Seq.empty[DataFile]        // pure-INSERT merge
+        else if (notMatchedBySource.nonEmpty || parts.isEmpty) s.files
+        else s.files.filter(f => touched.contains(f.partitionValues))
+      val kept = s.files.diff(affected)
+
+      // ---- pass 2: rewrite affected rows through the branch chain ----
+      val sm = coalesce(col("__graft_sm"), lit(false))
+      def guard(cond: Option[String], base: Column): Column =
+        coalesce(cond.map(expr).getOrElse(lit(true)), lit(false)) && base
+      // ordered branch list: matched branches fire only on matched rows,
+      // by-source branches only on unmatched-by-source rows
+      val chain: Seq[(Column, TxTable.MatchedBranch)] =
+        matched.map(b => (guard(b.cond, sm), b)) ++
+          notMatchedBySource.map(b => (guard(b.cond, !sm), b))
+      val rewritten =
+        if (affected.isEmpty) dfFor(s.copy(files = Nil))
+        else {
+          val tAff = dfFor(s.copy(files = affected))
+            .withColumn("__graft_tid", monotonically_increasing_id())
+            .alias(targetAlias)
+          val joined = tAff.join(
+            src.withColumn("__graft_sm", lit(true)).alias(sourceAlias),
+            on, "left_outer")
+          val dup = joined.groupBy(col("__graft_tid")).count()
+            .filter(col("count") > 1).limit(1).count() > 0
+          if (dup) throw new IllegalArgumentException(
+            "MERGE cardinality violation: multiple source rows match one target row")
+          val delFlag = chain.foldRight(lit(false)) { case ((g, b), els) =>
+            when(g, lit(b.isDelete)).otherwise(els)
+          }
+          def newValue(f: org.apache.spark.sql.types.StructField): Column = {
+            val base = col(s"$targetAlias.${f.name}")
+            chain.foldRight(base) { case ((g, b), els) =>
+              val v =
+                if (b.isDelete) base
+                else b.assignments match {
+                  case None => col(s"$sourceAlias.${f.name}") // SET *
+                  case Some(m) => m.get(f.name).map(expr).getOrElse(base)
+                }
+              when(g, v.cast(f.dataType)).otherwise(els)
+            }
+          }
+          joined.withColumn("__graft_del", delFlag)
+            .filter(!col("__graft_del"))
+            .select(schema.map(f => newValue(f).as(f.name)): _*)
+        }
+
+      // ---- INSERT branches over unmatched source rows -----------------
+      val unmatchedSrc = pass1.filter(!col("__graft_m"))
+        .drop("__graft_m").drop(parts.map(c => s"__graft_p_$c"): _*)
+        .alias(sourceAlias)
+      def icond(c: Option[String]): Column =
+        coalesce(c.map(expr).getOrElse(lit(true)), lit(false))
+      val keepIns = notMatched.foldRight(lit(false)) { (b, els) =>
+        when(icond(b.cond), lit(true)).otherwise(els)
+      }
+      def insValue(f: org.apache.spark.sql.types.StructField): Column =
+        notMatched.foldRight(lit(null).cast(f.dataType)) { (b, els) =>
+          val v = b.columns match {
+            case None => col(s"$sourceAlias.${f.name}") // INSERT *
+            case Some(cols) => cols.indexOf(f.name) match {
+              case -1 => lit(null).cast(f.dataType)
+              case i => expr(b.values(i))
+            }
+          }
+          when(icond(b.cond), v.cast(f.dataType)).otherwise(els)
+        }
+      val inserts =
+        if (notMatched.isEmpty) None
+        else Some(unmatchedSrc.filter(keepIns)
+          .select(schema.map(f => insValue(f).as(f.name)): _*))
+
+      val content = inserts.fold(rewritten)(rewritten.unionByName(_))
+      val newFiles = writeFiles(
+        sizedForWrite(align(content, schema),
+          affected.map(_.sizeBytes).sum, srcRows, bytesPerRow(s), parts,
+          splitCol = defaultSplitCol(schema, parts)),
+        parts)
+      commit(Some(s.version), "MERGE", schema, parts, kept ++ newFiles)
+    } finally {
+      if (pass1 != null) pass1.unpersist()
+      src.unpersist()
+    }
+  }
+
   /** Delete rows matching `predicate`; rewrites only files in partitions
     * that could contain matches (all, absent partition info in the
     * predicate — callers should pass partitionFilter for pruning). */
@@ -965,6 +1122,23 @@ class TxTable private (
 }
 
 object TxTable {
+
+  /** One `WHEN MATCHED [AND cond] THEN ...` (or `WHEN NOT MATCHED BY
+    * SOURCE ...`) branch of a multi-branch MERGE: `isDelete` for THEN
+    * DELETE; otherwise UPDATE with `assignments` (column → SQL
+    * expression), or UPDATE SET * when `assignments` is None. */
+  final case class MatchedBranch(
+      cond: Option[String],
+      isDelete: Boolean,
+      assignments: Option[Map[String, String]])
+
+  /** One `WHEN NOT MATCHED [AND cond] THEN INSERT` branch: explicit
+    * `(columns) VALUES (values)` lists, or INSERT * when `columns` is
+    * None. */
+  final case class InsertBranch(
+      cond: Option[String],
+      columns: Option[Seq[String]],
+      values: Seq[String])
 
   /** Merge batches up to this many keys broadcast their key set in the
     * survivors anti-join (the reference's CDC batches are ~100 records,

@@ -107,6 +107,12 @@ class CatalogV2Spec extends SparkSpec {
       assert(lit.head().getString(0) === "mart.sales")
       // the native route leaves no temp view behind
       assert(!spark.catalog.tableExists("mart_sales"))
+      // ALTER TABLE statements (no GraftSql regex) route natively too,
+      // and the catalog's own DESCRIBE sees the evolved schema
+      cat.sql("ALTER TABLE mart.sales ADD COLUMN note STRING")
+      val cols = cat.sql("DESCRIBE mart.sales").collect().map(_.getString(0))
+      assert(cols.contains("note"))
+      assert(cat.getTable("mart", "sales").schema.fieldNames.contains("note"))
     }
   }
 }

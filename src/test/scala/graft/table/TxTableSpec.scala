@@ -817,8 +817,10 @@ class TxTableSpec extends SparkSpec {
     assert(m.collect()(0).getString(0).startsWith("MERGED"))
     assert(t.toDF.count() === 50 - 5 + 5)
     assert(t.toDF.filter(col("amount") === 1.23).count() === 5)
-    // unsupported MERGE shapes are rejected, not silently misrouted
-    intercept[IllegalArgumentException] {
+    // a MERGE whose ON references undeclared aliases is rejected by
+    // analysis (aliases default to the table/source simple names), not
+    // silently misrouted
+    intercept[org.apache.spark.sql.AnalysisException] {
       cat.sql("MERGE INTO analytics.txns_sql USING cdc_batch " +
         "ON t.transaction_id = s.other_id " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
@@ -944,5 +946,84 @@ class TxTableSpec extends SparkSpec {
     assert(!cat.tableExists("analytics", "txns"))
     cat.dropNamespace("analytics")
     assert(cat.listNamespaces() === Nil)
+  }
+
+  test("mergeBranches: unmatched source rows INSERT even beside a DELETE branch") {
+    // Standard MERGE semantics (Delta/Iceberg/Athena): WHEN NOT MATCHED
+    // THEN INSERT * has no implicit carve-out for rows that WOULD have
+    // matched a DELETE branch — such rows insert. The keyed CDC fast
+    // path (merge with deleteCol) intentionally drops them; the SQL
+    // statement must not.
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("tx_mb_ins")), "t",
+      Seq(("a", 1, false)).toDF("id", "v", "flag").schema, Nil)
+    t.append(Seq(("a", 1, false), ("b", 2, false)).toDF("id", "v", "flag"))
+    val src = Seq(("b", 20, true), ("z", 26, true)).toDF("id", "v", "flag")
+    t.mergeBranches(src, "t", "s", "t.id = s.id",
+      matched = Seq(TxTable.MatchedBranch(Some("s.flag"), isDelete = true, None)),
+      notMatched = Seq(TxTable.InsertBranch(None, None, Nil)))
+    val out = t.toDF.orderBy("id").collect().map(r => (r.getString(0), r.getInt(1)))
+    // b deleted (matched + flag); z INSERTED despite flag=true (unmatched)
+    assert(out.toSeq === Seq(("a", 1), ("z", 26)))
+  }
+
+  test("mergeBranches: NOT MATCHED BY SOURCE branches touch unmatched target rows") {
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("tx_mb_bysrc")), "t",
+      Seq(("a", 1)).toDF("id", "v").schema, Nil)
+    t.append(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "v"))
+    val src = Seq(("a", 10)).toDF("id", "v")
+    // matched → update from source; not matched by source → v = -1,
+    // except c which deletes
+    t.mergeBranches(src, "t", "s", "t.id = s.id",
+      matched = Seq(TxTable.MatchedBranch(None, isDelete = false, None)),
+      notMatched = Nil,
+      notMatchedBySource = Seq(
+        TxTable.MatchedBranch(Some("t.id = 'c'"), isDelete = true, None),
+        TxTable.MatchedBranch(None, isDelete = false,
+          Some(Map("v" -> "-1")))))
+    val out = t.toDF.orderBy("id").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out.toSeq === Seq(("a", 10), ("b", -1)))
+  }
+
+  test("mergeBranches: cardinality violation raises; partition pruning holds") {
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("tx_mb_card")), "t",
+      Seq(("a", "p1", 1)).toDF("id", "p", "v").schema, Seq("p"))
+    t.append(Seq(("a", "p1", 1), ("b", "p2", 2), ("c", "p3", 3)).toDF("id", "p", "v"))
+    val dup = Seq(("a", 10), ("a", 11)).toDF("id", "nv")
+    val err = intercept[IllegalArgumentException] {
+      t.mergeBranches(dup, "t", "s", "t.id = s.id",
+        matched = Seq(TxTable.MatchedBranch(None, isDelete = false,
+          Some(Map("v" -> "s.nv")))),
+        notMatched = Nil)
+    }
+    assert(err.getMessage.contains("multiple"))
+    // pruning: an update matching only partition p1 leaves p2/p3 files alone
+    val before = t.snapshot.files.filterNot(_.partitionValues("p") == "p1")
+      .map(_.path).toSet
+    t.mergeBranches(Seq(("a", 99)).toDF("id", "nv"), "t", "s", "t.id = s.id",
+      matched = Seq(TxTable.MatchedBranch(None, isDelete = false,
+        Some(Map("v" -> "s.nv")))),
+      notMatched = Nil)
+    assert(before.subsetOf(t.snapshot.files.map(_.path).toSet))
+    assert(t.toDF.filter(col("id") === "a").head().getInt(2) === 99)
+  }
+
+  test("merge key distribution is size-gated: broadcast hint below threshold only") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val existing = spark.range(1000).toDF("k")
+      val keys = spark.range(10).toDF("k")
+      def planOf(batchRows: Long): String =
+        TxTable.antiJoinSurvivors(existing, keys, "k", batchRows)
+          .queryExecution.sparkPlan.toString
+      assert(planOf(100L).contains("BroadcastHashJoin"),
+        "small batch should broadcast its key set")
+      assert(!planOf(TxTable.MergeBroadcastMaxKeys + 1).contains("BroadcastHashJoin"),
+        "oversized batch must not broadcast (driver OOM risk)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
