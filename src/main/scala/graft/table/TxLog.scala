@@ -42,6 +42,16 @@ final case class BloomIndex(
     builtAtVersion: Long,
     entries: Map[String, String])        // path -> base64 filter bytes
 
+/** Pointer to an immutable manifest file under the log dir holding a
+  * `Seq[DataFile]` group — the Iceberg manifest-list indirection that
+  * keeps per-commit snapshot JSON O(changed files) instead of O(table
+  * files). `fileCount` is carried so planning can size the file list
+  * without opening every manifest. */
+final case class ManifestRef(path: String, fileCount: Long)
+
+/** On-disk body of a manifest file. */
+final case class Manifest(files: Seq[DataFile])
+
 final case class Snapshot(
     version: Long,
     timestampMs: Long,
@@ -58,7 +68,17 @@ final case class Snapshot(
       * this snapshot still references — column mapping is NAME-based,
       * so re-adding such a name would resurrect old values; addColumn
       * refuses until a full rewrite (compact/overwrite) clears this. */
-    droppedColumns: Seq[String] = Nil)
+    droppedColumns: Seq[String] = Nil,
+    /** manifest groups this snapshot references; on disk, `files` holds
+      * only the inline (non-manifested) remainder. [[TxLog.read]]
+      * returns the RESOLVED snapshot (manifests expanded into `files`),
+      * so every consumer above TxLog sees the full list. */
+    manifests: Seq[ManifestRef] = Nil,
+    /** paths first introduced by THIS commit — the per-commit
+      * added-files record that lets provenance walk the log in
+      * O(changed) per version instead of O(table files). Computed by
+      * [[TxLog.commit]]; callers need not set it. */
+    added: Seq[String] = Nil)
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
@@ -83,7 +103,9 @@ object TxLog {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  def read(logDir: Path, version: Long, conf: Configuration): Snapshot = {
+  /** Parse a snapshot AS STORED: inline files + unresolved manifest
+    * refs. Commit and provenance use this — it is O(changed files). */
+  def readRaw(logDir: Path, version: Long, conf: Configuration): Snapshot = {
     val p = new Path(logDir, snapshotName(version))
     val f = fs(logDir, conf)
     // The local-FS commit publishes content with an atomic rename onto a
@@ -109,6 +131,70 @@ object TxLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Read the RESOLVED snapshot: manifest groups expanded into `files`
+    * (manifest order, then inline remainder). Everything above TxLog
+    * consumes this full view. */
+  def read(logDir: Path, version: Long, conf: Configuration): Snapshot = {
+    val raw = readRaw(logDir, version, conf)
+    if (raw.manifests.isEmpty) raw
+    else raw.copy(files =
+      raw.manifests.flatMap(loadManifest(logDir, _, conf)) ++ raw.files)
+  }
+
+  /** Paths first introduced by commit `version` — O(changed) per call. */
+  def readAdded(logDir: Path, version: Long, conf: Configuration): Seq[String] =
+    readRaw(logDir, version, conf).added
+
+  private def manifestName(version: Long): String =
+    f"m-$version%08d-${java.util.UUID.randomUUID().toString}.manifest.json"
+
+  // Manifests are immutable once referenced, so a small LRU keyed by
+  // absolute path is always coherent; it turns the per-read resolution
+  // and the per-commit reuse check into cache hits.
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Seq[DataFile]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean = size > 256
+    }
+
+  private def loadManifest(logDir: Path, ref: ManifestRef,
+      conf: Configuration): Seq[DataFile] = {
+    val key = new Path(logDir, ref.path).toString
+    val cached = manifestCache.synchronized(Option(manifestCache.get(key)))
+    cached.getOrElse {
+      val f = fs(logDir, conf)
+      val in = f.open(new Path(logDir, ref.path))
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      val files = JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
+        .extract[Manifest].files
+      manifestCache.synchronized(manifestCache.put(key, files))
+      files
+    }
+  }
+
+  private def writeManifest(logDir: Path, version: Long,
+      files: Seq[DataFile], conf: Configuration): ManifestRef = {
+    val name = manifestName(version)
+    val f = fs(logDir, conf)
+    f.mkdirs(logDir)
+    val out = f.create(new Path(logDir, name), /*overwrite=*/ false)
+    try out.write(Serialization.write(Manifest(files))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    manifestCache.synchronized(
+      manifestCache.put(new Path(logDir, name).toString, files))
+    ManifestRef(name, files.size)
+  }
+
+  /** Small remainders stay inline in the snapshot JSON; past this they
+    * go to a manifest file. */
+  private val InlineMaxFiles = 8
+  /** Compact the ref list into one manifest before it grows unbounded
+    * (a ref per commit would make snapshot JSON O(commits)). */
+  private val MaxManifestRefs = 32
+
   def readCurrent(logDir: Path, conf: Configuration): Option[Snapshot] =
     currentVersion(logDir, conf).map(read(logDir, _, conf))
 
@@ -126,12 +212,63 @@ object TxLog {
     require(snapshot.version == next,
       s"snapshot.version ${snapshot.version} != expected next $next")
     val target = new Path(logDir, snapshotName(next))
-    val json = Serialization.write(snapshot)
+    val json = Serialization.write(layout(logDir, expected, snapshot, conf))
     val scheme = Option(target.toUri.getScheme).getOrElse(
       Option(f.getUri).map(_.getScheme).getOrElse("file"))
     if (scheme == "file") commitLocalAtomic(f, target, json, next, expected)
     else commitViaFs(f, target, json, next, expected)
     next
+  }
+
+  /**
+   * Decide the on-disk shape of a commit. The caller hands the FULL
+   * logical file list; this splits it into (reused manifest refs, new
+   * manifest, inline remainder) so the snapshot JSON is O(changed
+   * files), not O(table files):
+   *  - every previous manifest whose files ALL survive unchanged is
+   *    referenced by id, never re-serialized;
+   *  - the remainder (added files + survivors of partially-deleted
+   *    manifests) goes to one new manifest, or stays inline when tiny;
+   *  - once the ref list hits [[MaxManifestRefs]] everything is
+   *    compacted into a single manifest (amortized O(1) refs/commit).
+   * Also records `added` (paths not in the previous snapshot) for
+   * O(changed) provenance walks. A manifest written here whose commit
+   * then loses the CAS race is an unreferenced orphan — harmless, and
+   * rewritten by the retry.
+   */
+  private def layout(logDir: Path, expected: Option[Long],
+      snapshot: Snapshot, conf: Configuration): Snapshot = {
+    val prevRaw = expected.map(readRaw(logDir, _, conf))
+    val prevManifests: Seq[(ManifestRef, Seq[DataFile])] =
+      prevRaw.toSeq.flatMap(_.manifests)
+        .map(r => r -> loadManifest(logDir, r, conf))
+    val prevPaths: Set[String] =
+      prevRaw.toSeq.flatMap(_.files.map(_.path)).toSet ++
+        prevManifests.flatMap(_._2.map(_.path))
+    val added = snapshot.files.map(_.path).filterNot(prevPaths)
+
+    // files still to place, keyed by path (insertion-ordered)
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      snapshot.files.map(f => f.path -> f): _*)
+    val kept = scala.collection.mutable.ArrayBuffer[ManifestRef]()
+    prevManifests.foreach { case (ref, mf) =>
+      // reuse only if every entry survives BYTE-IDENTICAL (paths are
+      // immutable so stats never change for a live path, but compare
+      // whole entries to be safe against future mutation)
+      if (mf.nonEmpty && mf.forall(df => remaining.get(df.path).contains(df))) {
+        kept += ref
+        mf.foreach(df => remaining -= df.path)
+      }
+    }
+    val (refs, inline) =
+      if (kept.size >= MaxManifestRefs) {
+        (Seq(writeManifest(logDir, snapshot.version, snapshot.files, conf)), Nil)
+      } else if (remaining.size > InlineMaxFiles) {
+        (kept.toSeq :+
+          writeManifest(logDir, snapshot.version, remaining.values.toSeq, conf),
+          Nil)
+      } else (kept.toSeq, remaining.values.toSeq)
+    snapshot.copy(files = inline, manifests = refs, added = added)
   }
 
   /**

@@ -266,17 +266,27 @@ class TxTable private (
    * truthful — those bytes were written by that commit.
    */
   def readWithProvenance(): DataFrame = {
+    import spark.implicits._
     val s = snapshot
+    // per-commit `added` records make this walk O(changed files) per
+    // version — not O(table files) — so 10⁵ commits stay driver-cheap
     val firstSeen = scala.collection.mutable.Map[String, Long]()
-    (1L to s.version).foreach { v =>
-      TxLog.read(logDir, v, conf).files.foreach(f =>
-        if (!firstSeen.contains(f.path)) firstSeen(f.path) = v)
+    (0L to s.version).foreach { v =>
+      TxLog.readAdded(logDir, v, conf).foreach(p =>
+        if (!firstSeen.contains(p)) firstSeen(p) = v)
     }
-    val byName: Map[String, Long] = s.files.map(f =>
-      new Path(f.path).getName -> firstSeen.getOrElse(f.path, s.version)).toMap
-    val lookup = udf((file: String) =>
-      byName.getOrElse(new Path(file).getName, -1L))
-    dfFor(s).withColumn("_commit_version", lookup(input_file_name()))
+    val byName = s.files.map(f =>
+      (new Path(f.path).getName, firstSeen.getOrElse(f.path, s.version)))
+      .toDF("__graft_file", "_commit_version")
+    // broadcast join on the file name keeps the decoration inside
+    // whole-stage codegen (a per-row UDF here would block it)
+    dfFor(s)
+      .withColumn("__graft_file",
+        element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(byName), Seq("__graft_file"), "left")
+      .withColumn("_commit_version",
+        coalesce(col("_commit_version"), lit(-1L)))
+      .drop("__graft_file")
   }
 
   private def tagsPath: Path = new Path(root, "_log/tags.json")

@@ -1026,4 +1026,70 @@ class TxTableSpec extends SparkSpec {
         "oversized batch must not broadcast (driver OOM risk)")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("log checkpointing: 500 commits keep snapshot JSON O(changed files)") {
+    // TxLog-level (synthetic DataFiles, no parquet I/O): each commit
+    // adds one file to a growing table. With manifest reuse the stored
+    // snapshot must reference unchanged groups by id, so its JSON stays
+    // bounded while the logical file list grows to 500.
+    val logDir = new Path(freshDir("tx_ckpt"), "_log")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    var files = Vector.empty[DataFile]
+    var expected: Option[Long] = None
+    (0 until 500).foreach { i =>
+      files = files :+ DataFile(f"f$i%05d.parquet", Map.empty, 10L, 100L)
+      val v = TxLog.commit(logDir, expected, Snapshot(
+        version = expected.map(_ + 1).getOrElse(0L),
+        timestampMs = 0L, operation = if (i == 0) "CREATE" else "APPEND",
+        schemaJson = schema.json, partitionColumns = Nil, files = files), conf)
+      expected = Some(v)
+    }
+    val fsys = TxLog.fs(logDir, conf)
+    val headLen = fsys.getFileStatus(
+      new Path(logDir, f"v${499L}%08d.metadata.json")).getLen
+    // a full 500-file list would serialize to ~40KB+; the checkpointed
+    // head must stay an order of magnitude under that
+    assert(headLen < 4096, s"head snapshot is $headLen bytes — not O(changed)")
+    val head = TxLog.read(logDir, 499L, conf)
+    assert(head.files.size === 500)
+    assert(head.files.map(_.path).distinct.size === 500)
+    assert(head.manifests.nonEmpty)
+    // per-commit added records are exact: commit i added exactly file i
+    assert(TxLog.readAdded(logDir, 0L, conf) === Seq("f00000.parquet"))
+    assert(TxLog.readAdded(logDir, 317L, conf) === Seq("f00317.parquet"))
+    // a delete that breaks one manifest group only rewrites that group
+    val without = head.files.filterNot(_.path == "f00007.parquet")
+    TxLog.commit(logDir, expected, Snapshot(
+      version = 500L, timestampMs = 0L, operation = "DELETE",
+      schemaJson = schema.json, partitionColumns = Nil,
+      files = without), conf)
+    val afterDel = TxLog.read(logDir, 500L, conf)
+    assert(afterDel.files.size === 499)
+    assert(TxLog.readAdded(logDir, 500L, conf) === Nil)
+    val delLen = fsys.getFileStatus(
+      new Path(logDir, f"v${500L}%08d.metadata.json")).getLen
+    assert(delLen < 8192, s"delete snapshot is $delLen bytes")
+  }
+
+  test("provenance stays exact across checkpointed commits") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_prov_ckpt")), "t",
+      Schemas.transactions, Nil)
+    // enough commits that manifests kick in (InlineMaxFiles=8) and at
+    // least one reuse+remainder split happens
+    (1 to 12).foreach { i =>
+      t.append(SampleData.transactions(spark, 5, seed = 700L + i))
+    }
+    val prov = t.readWithProvenance()
+    val byVersion = prov.groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVersion === (1 to 12).map(v => v.toLong -> 5L).toMap)
+    // and the plan carries no UDF: the file→version decoration is a
+    // broadcast join, which stays inside codegen
+    val plan = prov.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("udf("),
+      s"provenance decoration should be a broadcast join, got:\n$plan")
+  }
 }
