@@ -52,33 +52,18 @@ case class SpaceSavingTopK(
 
   override def createAggregationBuffer(): Buf = new SpaceSavingTopK.Buf()
 
-  /** deterministic eviction victim: min count, then LARGEST key — so
-    * which counter dies never depends on hash-map iteration order. */
-  private def victim(buf: Buf): (String, Array[Long]) = {
-    var bk: String = null
-    var bv: Array[Long] = null
-    val it = buf.m.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (bk == null || e.getValue()(0) < bv(0) ||
-          (e.getValue()(0) == bv(0) && e.getKey > bk)) {
-        bk = e.getKey; bv = e.getValue
-      }
-    }
-    (bk, bv)
-  }
-
   private def add(buf: Buf, item: String, count: Long, err: Long): Unit = {
-    val cur = buf.m.get(item)
-    if (cur != null) { cur(0) += count; cur(1) += err }
-    else if (buf.m.size < capacity) { buf.m.put(item, Array(count, err)); () }
-    else {
-      val (vk, vv) = victim(buf)
-      val base = vv(0)
-      buf.m.remove(vk)
-      buf.evicted = true
-      // the evicted count becomes this item's error bound
-      buf.m.put(item, Array(base + count, base + err))
+    if (!buf.increment(item, count, err)) {
+      if (buf.size < capacity) buf.put(item, count, err)
+      else {
+        // deterministic eviction victim: min count, then LARGEST key —
+        // which counter dies never depends on hash-map iteration order
+        val (vk, base) = buf.victim()
+        buf.remove(vk)
+        buf.evicted = true
+        // the evicted count becomes this item's error bound
+        buf.put(item, base + count, base + err)
+      }
     }
   }
 
@@ -86,15 +71,6 @@ case class SpaceSavingTopK(
     val v = child.eval(input)
     if (v != null) add(buf, v.toString, 1L, 0L)
     buf
-  }
-
-  /** min counter value; only meaningful when the buffer has actually
-    * evicted (otherwise an absent key truly has count 0 there). */
-  private def minCountOf(buf: Buf): Long = {
-    var m = Long.MaxValue
-    val it = buf.m.values().iterator()
-    while (it.hasNext) { val v = it.next()(0); if (v < m) m = v }
-    if (m == Long.MaxValue) 0L else m
   }
 
   override def merge(buf: Buf, other: Buf): Buf = {
@@ -106,27 +82,28 @@ case class SpaceSavingTopK(
     // exactly at capacity is not evidence of loss) contributes 0 for
     // absent keys. This keeps `true ≤ count_est ≤ true + err` through
     // any merge tree, and keeps the capacity ≥ distinct regime EXACT.
-    val mThis = if (buf.evicted) minCountOf(buf) else 0L
-    val mOther = if (other.evicted) minCountOf(other) else 0L
+    // minCount is read BEFORE any mutation (both are pre-merge bounds).
+    val mThis = if (buf.evicted) buf.minCount else 0L
+    val mOther = if (other.evicted) other.minCount else 0L
     val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val o = other.m.get(e.getKey)
-      if (o != null) { e.getValue()(0) += o(0); e.getValue()(1) += o(1) }
-      else { e.getValue()(0) += mOther; e.getValue()(1) += mOther }
+      if (o != null) buf.increment(e.getKey, o(0), o(1))
+      else if (mOther != 0L) buf.increment(e.getKey, mOther, mOther)
     }
     val it2 = other.m.entrySet().iterator()
     while (it2.hasNext) {
       val e = it2.next()
       if (!buf.m.containsKey(e.getKey))
-        buf.m.put(e.getKey, Array(e.getValue()(0) + mThis, e.getValue()(1) + mThis))
+        buf.put(e.getKey, e.getValue()(0) + mThis, e.getValue()(1) + mThis)
     }
     buf.evicted ||= other.evicted
     // re-truncate to the capacity largest counters; evict smallest
     // counts first, largest keys first on ties
-    while (buf.m.size > capacity) {
-      val (vk, _) = victim(buf)
-      buf.m.remove(vk)
+    while (buf.size > capacity) {
+      val (vk, _) = buf.victim()
+      buf.remove(vk)
       buf.evicted = true
     }
     buf
@@ -178,8 +155,7 @@ case class SpaceSavingTopK(
       val len = bb.getInt
       val b = new Array[Byte](len)
       bb.get(b)
-      buf.m.put(new String(b, StandardCharsets.UTF_8),
-        Array(bb.getLong, bb.getLong))
+      buf.put(new String(b, StandardCharsets.UTF_8), bb.getLong, bb.getLong)
       i += 1
     }
     buf
@@ -195,12 +171,73 @@ case class SpaceSavingTopK(
 }
 
 object SpaceSavingTopK {
-  /** counters + whether ANY eviction/truncation has happened in this
-    * summary's history — sitting exactly at capacity is NOT evidence of
-    * loss, and treating it as such would break the documented
-    * "capacity ≥ distinct ⇒ exact, err 0" regime at equality. */
+  /**
+   * Counters plus a count-ordered index (the Stream-Summary idea with a
+   * tree in place of the bucket list): `idx` maps each live count to
+   * the ordered set of keys holding it, so the eviction victim —
+   * (min count, largest key) — is `idx.firstEntry().getValue.last()`,
+   * O(log capacity), where a linear scan made every post-saturation
+   * unseen item cost O(capacity) (the exact regime the sketch exists
+   * for). Every counter mutation goes through [[put]]/[[increment]]/
+   * [[remove]] to keep the two structures in lockstep.
+   *
+   * `evicted` records whether ANY eviction/truncation has happened in
+   * this summary's history — sitting exactly at capacity is NOT
+   * evidence of loss, and treating it as such would break the
+   * documented "capacity ≥ distinct ⇒ exact, err 0" regime at
+   * equality.
+   */
   final class Buf extends Serializable {
     val m = new java.util.HashMap[String, Array[Long]]()
+    private val idx = new java.util.TreeMap[Long, java.util.TreeSet[String]]()
     var evicted: Boolean = false
+
+    private def idxAdd(key: String, c: Long): Unit = {
+      var s = idx.get(c)
+      if (s == null) { s = new java.util.TreeSet[String](); idx.put(c, s) }
+      s.add(key); ()
+    }
+
+    private def idxRemove(key: String, c: Long): Unit = {
+      val s = idx.get(c)
+      s.remove(key)
+      if (s.isEmpty) { idx.remove(c); () }
+    }
+
+    def size: Int = m.size
+
+    /** Insert a key known to be absent (or rebuild via deserialize). */
+    def put(key: String, count: Long, err: Long): Unit = {
+      val prev = m.put(key, Array(count, err))
+      if (prev != null) idxRemove(key, prev(0))
+      idxAdd(key, count)
+    }
+
+    /** Add to an existing counter; false if the key is untracked. */
+    def increment(key: String, dCount: Long, dErr: Long): Boolean = {
+      val cur = m.get(key)
+      if (cur == null) false
+      else {
+        idxRemove(key, cur(0))
+        cur(0) += dCount; cur(1) += dErr
+        idxAdd(key, cur(0))
+        true
+      }
+    }
+
+    def remove(key: String): Unit = {
+      val cur = m.remove(key)
+      if (cur != null) idxRemove(key, cur(0))
+    }
+
+    /** (largest key at the minimum count, that count). */
+    def victim(): (String, Long) = {
+      val e = idx.firstEntry()
+      (e.getValue.last(), e.getKey)
+    }
+
+    /** min counter value; only meaningful when the buffer has actually
+      * evicted (otherwise an absent key truly has count 0 there). */
+    def minCount: Long = if (idx.isEmpty) 0L else idx.firstKey()
   }
 }

@@ -129,17 +129,28 @@ object Curation {
     val benchInv = inv(bench.withColumnRenamed(idCol, benchIdCol), benchIdCol)
     val benchGrams = benchInv.select(col("g")).distinct().cache()
     val expected = math.max(benchGrams.count(), 1L)
-    val bloom = benchGrams.stat.bloomFilter("g", expected, fpp)
-    // the filter is materialized driver-side now — drop the cached RDD
-    // before returning so repeated calls don't pile up storage blocks.
-    // (The broadcast itself must outlive the returned plan's execution;
-    // Spark GCs it with the variable.)
+    // Build the filter over xxhash64(g) longs and probe with Spark's
+    // own BloomFilterMightContain expression (the one its runtime
+    // bloom-join rule injects) — the probe stays inside whole-stage
+    // codegen, where a Scala UDF would force per-row boxing and block
+    // the codegen span. Hashing must match end to end: putLong(
+    // xxhash64(g)) on the build side, mightContainLong(XxHash64(g)) on
+    // the probe side. A null g hashes to the seed and may pass the
+    // filter; the exact join below never matches nulls, so output is
+    // unchanged.
+    val bloom = benchGrams.select(xxhash64(col("g")).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
     benchGrams.unpersist()
-    val spark = corpus.sparkSession
-    val bcast = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bcast.value.mightContainString(g))
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val probe = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(org.apache.spark.sql.graft.ColumnBridge.expression(col("g"))))))
     inv(corpus, idCol)
-      .filter(mightContain(col("g")))        // map-side: no shuffle yet
+      .filter(probe)                         // map-side: no shuffle yet
       .join(benchInv, "g")                   // exact: false positives die here
       .groupBy(col(idCol))
       .agg(countDistinct(col("g")).as("n_shared_ngrams"),

@@ -103,13 +103,38 @@ object Similarity {
     }
 
   /** Reconstruction of a `codes` array via the broadcast codebook
-    * literal — a per-row lookup, no join. */
+    * literal — a per-row lookup, no join. Used by
+    * [[pqQuantizationError]]; search scores via [[adcScore]] instead. */
   private def pqRecon(codebooks: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.Column = {
     val cb = typedlit(codebooks)
     flatten(zip_with(col("codes"),
       sequence(lit(0), lit(codebooks.size - 1)),
       (code, mi) => element_at(element_at(cb, mi + 1), code + 1)))
   }
+
+  /** Per-query asymmetric-distance lookup table (Jégou et al., PAMI'11
+    * §IV-A): lut[mi][j] = dot(query subvector mi, codeword j of
+    * subspace mi) — m×kCodes doubles computed ONCE per query row (a
+    * narrow map over the tiny query side), after which scoring a
+    * corpus row is m table lookups instead of dim multiplies: the 8×
+    * compute win per (query, corpus) pair at corpus scale. */
+  private def adcLut(codebooks: Seq[Seq[Seq[Double]]], queryVec: String,
+      dSub: Int): org.apache.spark.sql.Column =
+    array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sub = slice(col(queryVec), mi * dSub + 1, dSub)
+      array(cb.map(cw => dot(sub, typedlit(cw))): _*)
+    }: _*)
+
+  /** ADC score of a corpus row: Σ_mi lut[mi][codes[mi]], accumulated in
+    * subspace order (deterministic association; equals
+    * dot(query, reconstruction) up to float re-association, which the
+    * 6-decimal output rounding absorbs). */
+  private def adcScore(lut: org.apache.spark.sql.Column,
+      m: Int): org.apache.spark.sql.Column =
+    aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, mi) => element_at(element_at(lut, mi + 1), code + 1)),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Per-query top-k of scored (queryId, corpusId, score) rows. */
   private def topKByScore(scored: DataFrame, k: Int,
@@ -168,16 +193,13 @@ object Similarity {
    * subvectors (deterministic AND engine-portable, like [[ivfTopK]]
    * with iters = 0 — a SQL oracle re-derives them exactly). Encoding
    * argmins L2 per subspace with the codebook INLINED into a narrow
-   * codegen'd map — one corpus pass, zero shuffle. Search decodes each
-   * corpus row's codes back to a reconstruction (a per-row lookup into
-   * the broadcast codebook literal — no join) and scores
-   * `dot(query, reconstruction)`; mathematically this equals the
-   * paper's Σ_m LUT[m][code] asymmetric distance, though it spends
-   * dim multiplies per pair rather than m table lookups — the win this
-   * implementation banks is the STORAGE/shuffle one (codes persist and
-   * move, vectors do not), which is the binding constraint at corpus
-   * scale; swapping the scoring kernel for per-query LUTs is a local
-   * change on top. Returned: (query_id, rank, id, approximate score).
+   * codegen'd map — one corpus pass, zero shuffle. Search is the
+   * paper's asymmetric-distance computation: each query precomputes an
+   * m×kCodes lookup table ([[adcLut]]) and a corpus row scores as m
+   * table lookups ([[adcScore]]) — no reconstruction column ever
+   * materializes, so scoring reads codes and nothing else (the 8×
+   * per-pair compute win on top of the 64× storage/shuffle win).
+   * Returned: (query_id, rank, id, approximate score).
    */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       m: Int = 8, kCodes: Int = 16, iters: Int = 0,
@@ -195,10 +217,11 @@ object Similarity {
       dSub, iters)
     val encoded = corpus.select(col(corpusId),
       array(pqCodeCols(codebooks, corpusVec, dSub): _*).as("codes"))
-    val scored = encoded.withColumn("__recon", pqRecon(codebooks))
-      .join(broadcast(queries))
+    val withLut = queries.select(col(queryId),
+      adcLut(codebooks, queryVec, dSub).as("__lut"))
+    val scored = encoded.join(broadcast(withLut))
       .select(col(queryId), col(corpusId),
-        dot(col(queryVec), col("__recon")).as("score"))
+        adcScore(col("__lut"), m).as("score"))
     topKByScore(scored, k, queryId, corpusId)
   }
 
@@ -270,11 +293,13 @@ object Similarity {
       .filter(col("__pr") <= nprobe)
       .select(col(queryId), col(queryVec), col("cell"))
 
-    // score probed cells against PQ reconstructions
-    val scored = indexed.withColumn("__recon", pqRecon(codebooks))
-      .join(broadcast(probed), Seq("cell"))
+    // score probed cells via the per-query ADC lookup table — the scan
+    // over a probed cell reads codes only, never a reconstruction
+    val probedLut = probed.select(col(queryId), col("cell"),
+      adcLut(codebooks, queryVec, dSub).as("__lut"))
+    val scored = indexed.join(broadcast(probedLut), Seq("cell"))
       .select(col(queryId), col(corpusId),
-        dot(col(queryVec), col("__recon")).as("score"))
+        adcScore(col("__lut"), m).as("score"))
     topKByScore(scored, k, queryId, corpusId)
   }
 
@@ -381,22 +406,30 @@ object Similarity {
 
   /**
    * LSH-bucketed ANN: corpus bucketed once by `nBits` hyperplane signs;
-   * queries probe their own bucket plus every 1-bit-flip neighbor
-   * (multiprobe), then rank exactly within probed buckets.
+   * queries probe every bucket within Hamming distance `probeDepth` of
+   * their own (multiprobe — Lv et al., VLDB'07: near-miss sign flips
+   * hold most of the residual recall), then rank exactly within probed
+   * buckets. `probeDepth` is the recall/cost knob: depth d probes
+   * Σ_{i≤d} C(nBits, i) of the 2^nBits buckets.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nBits: Int = 8,
+      nBits: Int = 8, probeDepth: Int = 1,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    require(probeDepth >= 0 && probeDepth <= nBits, s"probeDepth $probeDepth")
     val bucketedCorpus = corpus.select(col(corpusId), col(corpusVec),
       signLshBucket(col(corpusVec), dim, nBits).as("bucket"))
     val qBucket = signLshBucket(col(queryVec), dim, nBits)
-    // multiprobe: own bucket + each single-bit flip
+    // all XOR masks of popcount <= probeDepth (own bucket = mask 0)
+    val masks: Seq[Long] = (0L until (1L << nBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeDepth)
     val probes = explode(array(
-      (Seq(qBucket) ++ (0 until nBits).map(b =>
-        qBucket.bitwiseXOR(lit(1L << b)))): _*)).as("bucket")
+      masks.map(m => qBucket.bitwiseXOR(lit(m))): _*)).as("bucket")
     val probedQueries = queries.select(col(queryId), col(queryVec), probes)
-    val scored = bucketedCorpus.join(probedQueries, "bucket")
+    // probe set is |queries|×(nBits+1) — pin the broadcast so a large
+    // query batch under the 10MB auto-threshold can never demote this
+    // to a shuffle of the bucketed corpus
+    val scored = bucketedCorpus.join(broadcast(probedQueries), "bucket")
       .select(col(queryId), col(corpusId),
         cosine(col(corpusVec), col(queryVec)).as("score"))
       // a (query, corpus) pair can surface from several probes — dedup

@@ -549,11 +549,13 @@ object Pipeline3 {
 
     // ------------------------------------------------------------------
     // Product-Quantization ANN: 64-dim vectors compress to 8 one-byte
-    // codes (8 subspaces × 16 codewords); search scores queries against
-    // RECONSTRUCTED vectors (asymmetric distance). Codebooks are the
-    // deterministic hash-min sample (no Lloyd rounds), so the oracle
-    // re-derives codebooks, codes, reconstructions, and scores exactly
-    // — the score is one 64-dim dot in index order on both engines.
+    // codes (8 subspaces × 16 codewords); search is the paper's
+    // asymmetric-distance computation — a per-query m×kCodes lookup
+    // table, m lookups per scored pair, no reconstruction column.
+    // Codebooks are the deterministic hash-min sample (no Lloyd
+    // rounds), so the oracle re-derives codebooks, codes, and scores
+    // exactly; the engines' float association differs only at ULP
+    // scale, absorbed by the 6-decimal rounding.
     Q("ann_pq", fn = (s, dir) => {
       val emb = Td.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 8)

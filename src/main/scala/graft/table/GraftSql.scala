@@ -139,13 +139,13 @@ object GraftSql {
             org.apache.spark.sql.functions.expr(assignment.substring(eq + 1))
         }.toMap
         val v = t.update(predicateOf(where),
-          set, partitionFilterFrom(where, t.snapshot.partitionColumns))
+          set, partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns))
         Seq(s"UPDATED $ns.$tbl v$v").toDF("result")
       case DeleteFromRe(rawName, where) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         val v = t.delete(predicateOf(where),
-          partitionFilterFrom(where, t.snapshot.partitionColumns))
+          partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns))
         Seq(s"DELETED $ns.$tbl v$v").toDF("result")
       case InsertRe(rawName, colList, query) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
@@ -401,8 +401,16 @@ object GraftSql {
     * of the form `<partitionColumn> = <literal>` guarantees rows of
     * other partitions are untouched, so the copy-on-write rewrite can
     * skip their files entirely. Anything more complex prunes nothing
-    * (correct, just less efficient). */
+    * (correct, just less efficient).
+    *
+    * The literal is CANONICALIZED through the partition column's data
+    * type before matching — `hour = 05`, `hour = 5.0`, and `hour = 5`
+    * on an int partition all render to the stored "5"; raw-text
+    * comparison would match no file and silently no-op the statement.
+    * A literal the type cannot parse drops the conjunct (no pruning —
+    * always correct). */
   private def partitionFilterFrom(where: String,
+      schema: org.apache.spark.sql.types.StructType,
       partCols: Seq[String]): Map[String, String] = {
     if (where == null || partCols.isEmpty) return Map.empty
     // RHS must be a LITERAL: quoted, or numeric/date-shaped (digit-led).
@@ -412,10 +420,33 @@ object GraftSql {
     splitTopLevelKeyword(where, "AND").flatMap {
       case EqRe(col, quoted, bare) =>
         val c = cleanIdent(col)
-        if (partCols.contains(c)) Some(c -> (if (quoted != null) quoted else bare))
-        else None
+        if (!partCols.contains(c)) None
+        else {
+          val raw = if (quoted != null) quoted else bare
+          schema.fields.find(_.name == c)
+            .flatMap(f => canonicalPartitionLiteral(raw, f.dataType))
+            .map(c -> _)
+        }
       case _ => None
     }.toMap
+  }
+
+  /** Cast a SQL literal's text through `dt` and re-render it the way
+    * snapshot `partitionValues` are rendered (dates as yyyy-MM-dd,
+    * numbers without leading zeros). None = unparseable → caller skips
+    * pruning on that conjunct. */
+  private def canonicalPartitionLiteral(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types._
+    val v = try Cast(Literal(raw), dt, Some("UTC")).eval() catch {
+      case _: Exception => null
+    }
+    Option(v).map {
+      case days: Int if dt == DateType =>
+        java.time.LocalDate.ofEpochDay(days.toLong).toString
+      case other => other.toString       // UTF8String/number/Decimal
+    }
   }
 
   /** Split on a top-level keyword separator (e.g. AND) outside quotes

@@ -119,6 +119,67 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("pq: ADC scoring materializes no reconstruction column") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val df = graft.operators.Similarity.pqTopK(emb, queries, k = 5,
+      dim = 64, m = 8, kCodes = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    // scoring is m lookups into the per-query LUT — a reconstructed
+    // vector in the plan means we regressed to dim multiplies per pair
+    assert(!plan.contains("__recon"), "reconstruction column in scored plan")
+    // the LUT rides the query broadcast; no shuffle may carry vectors
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.foreach { e =>
+      e.output.foreach { a =>
+        a.dataType match {
+          case ArrayType(DoubleType, _) =>
+            fail(s"double-array shuffled: ${a.name}")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("lsh: probes broadcast even without the auto-threshold") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val df = graft.operators.Similarity.lshTopK(emb, queries, k = 5,
+        dim = 64, nBits = 8)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin"),
+        "probe set must broadcast — a shuffled bucket join moves the corpus")
+      // and the bucketed corpus never crosses an exchange with vectors
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        assert(!(e.output.exists(_.name == "bucket") &&
+          e.output.exists(_.dataType.isInstanceOf[ArrayType])),
+          s"bucketed corpus shuffled: ${e.output.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bloom prefilter probes inside codegen, not via a UDF") {
+    val docs = Td.documents(spark, sf0001).limit(200)
+    val bench = Td.documents(spark, sf0001).limit(20)
+      .select(col("doc_id"), col("text"))
+    val df = graft.operators.Curation.decontaminateBloom(docs, bench, n = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "prefilter should be Spark's native BloomFilterMightContain")
+    assert(!plan.contains("UDF") && !plan.contains("BatchEvalPython"),
+      "bloom probe must not be a UDF")
+  }
+
   test("chunking is a narrow map + generate: no shuffle at all") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = Td.documents(spark, sf0001)

@@ -699,6 +699,29 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("SQL DML partition pruning canonicalizes literals through the column type") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, new Path(freshDir("sqlprune")))
+    val t = cat.createTable("analytics", "by_hour",
+      Seq(("a", 5, 1.0)).toDF("id", "hour", "v").schema, Seq("hour"))
+    t.append(Seq(("a", 5, 1.0), ("b", 5, 2.0), ("c", 12, 3.0))
+      .toDF("id", "hour", "v"))
+    // 'hour = 05' renders "05" raw but must match the stored "5" —
+    // without canonicalization the UPDATE silently no-ops (prunes to
+    // zero files) even though its predicate matches rows
+    cat.sql("UPDATE analytics.by_hour SET v = v + 10 WHERE hour = 05")
+    assert(t.toDF.filter(col("hour") === 5 && col("v") >= 10).count() === 2)
+    // '5.0' on an int partition also canonicalizes to "5"
+    cat.sql("DELETE FROM analytics.by_hour WHERE hour = 5.0 AND id = 'a'")
+    assert(t.toDF.count() === 2)
+    // pruning still holds: a DELETE on hour=12 must not rewrite hour=5
+    val keepFiles = t.snapshot.files
+      .filter(_.partitionValues("hour") == "5").map(_.path).toSet
+    cat.sql("DELETE FROM analytics.by_hour WHERE hour = 12")
+    assert(keepFiles.subsetOf(t.snapshot.files.map(_.path).toSet))
+    assert(t.toDF.count() === 1)
+  }
+
   test("schema evolution: dropColumn, renameColumn, NOT NULL write enforcement") {
     val t = TxTable.create(spark, new Path(freshDir("tx_evolve2")), "t",
       Schemas.transactions, Seq("date"))
