@@ -3,13 +3,16 @@ package graft.catalog
 import graft.table.TxTable
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.graft.ScanBridge
+import org.apache.spark.sql.graft.PredicateBridge
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,9 +34,30 @@ import scala.jdk.CollectionConverters._
  * Writes go through the `V1Write` bridge to [[TxTable.append]] /
  * [[TxTable.overwrite]], so INSERT INTO / INSERT OVERWRITE / CTAS /
  * `df.writeTo(...)` all land as ACID log commits with footer stats.
+ *
+ * `DELETE FROM graft.ns.t WHERE …` is native too, via the same two-step
+ * contract Iceberg uses: [[SupportsRowLevelOperations]] lets the
+ * analyzer rewrite the statement into a group-based `ReplaceData`, and
+ * Spark's `OptimizeMetadataOnlyDeleteFromTable` then converts any
+ * filter-convertible condition back into a [[SupportsDeleteV2]]
+ * `deleteWhere` — which routes to [[TxTable.delete]] as a copy-on-write
+ * rewrite, with top-level partition-equality conjuncts pruning the
+ * rewrite to the touched partitions. `TRUNCATE TABLE` is native too
+ * (`truncateTable()` → always-true `deleteWhere`). One known edge: a
+ * bare `DELETE FROM t` (no WHERE) is deliberately NOT row-level
+ * rewritten by Spark's analyzer (it reserves it for the planner's
+ * truncate path, which requires the scan to preserve declared column
+ * order — ours appends partition columns last, as Spark's own file
+ * scans do); use TRUNCATE TABLE or the SQL router for that statement.
+ * Conditions that cannot become filters (and UPDATE/MERGE, which
+ * always need the rewrite) would execute the group-based write itself —
+ * that needs a real V2 `BatchWrite` with dynamic-partition writers
+ * (`ReplaceData` has no V1 bridge), so it fails with a pointer to the
+ * SQL-text router, which covers those statements today.
  */
 class GraftV2Table(val tx: TxTable) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations {
 
   private val snap = tx.snapshot
   private val fullSchema: StructType =
@@ -52,6 +76,58 @@ class GraftV2Table(val tx: TxTable) extends Table
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p =>
+      PredicateBridge.toV1(p).exists(f => GraftV2Table.filterColumn(f).isDefined))
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val v1 = predicates.toSeq.map(p => PredicateBridge.toV1(p).getOrElse(
+      throw new UnsupportedOperationException(s"cannot convert $p")))
+    val cond = v1
+      .map(f => GraftV2Table.filterColumn(f).getOrElse(
+        throw new UnsupportedOperationException(s"cannot translate filter $f")))
+      .foldLeft(lit(true))(_ && _)
+    // top-level partition-equality conjuncts prune the COW rewrite to
+    // the partitions the statement can touch
+    val partFilter = v1.collect {
+      case sources.EqualTo(a, v) if snap.partitionColumns.contains(a) =>
+        a -> tx.partitionValueString(v)
+    }.toMap
+    tx.delete(cond, partFilter)
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation = new RowLevelOperation {
+        override def command(): RowLevelOperation.Command = info.command()
+        override def description(): String =
+          s"GraftRowLevelOperation(${info.command()})"
+        // the scan that finds affected groups is the ordinary table scan
+        // (pushed filters included), so group planning prunes correctly
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+          GraftV2Table.this.newScanBuilder(options)
+        override def requiredMetadataAttributes(): Array[NamedReference] =
+          Array.empty
+        // Built during optimization (V2Writes) but only EXECUTED when
+        // the metadata-only conversion could not apply — fail there,
+        // lazily, with an actionable message. Throwing here instead
+        // would kill filter-convertible DELETEs too.
+        override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+          new WriteBuilder {
+            override def build(): Write = new Write {
+              override def description(): String = "graft-replace-data"
+              override def toBatch: BatchWrite =
+                throw new UnsupportedOperationException(
+                  s"graft: group-based ${info.command()} rewrite is not " +
+                    "supported natively; DELETE works for filter " +
+                    "conditions, and UPDATE/MERGE are available through " +
+                    "graft.table.GraftSql / TxTable")
+            }
+          }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val dataSchema =
@@ -88,4 +164,35 @@ class GraftV2Table(val tx: TxTable) extends Table
           }
       }
     }
+}
+
+object GraftV2Table {
+
+  /** V1 `sources.Filter` → `Column`, total over the standard filter
+    * algebra (None = a shape we refuse, which fails `canDeleteWhere`
+    * and surfaces as an analysis error instead of a wrong delete).
+    * Values are external types (String/number/java.sql.Date/…) —
+    * `lit()` handles them all. */
+  private[catalog] def filterColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.AlwaysTrue()            => Some(lit(true))
+    case sources.AlwaysFalse()           => Some(lit(false))
+    case sources.EqualTo(a, v)           => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v)     => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v)       => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v)          => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v)   => Some(col(a) <= lit(v))
+    case sources.In(a, vs)               => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a)               => Some(col(a).isNull)
+    case sources.IsNotNull(a)            => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v)  => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v)    => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v)    => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+    case sources.Not(c) => filterColumn(c).map(not)
+    case _ => None
+  }
 }

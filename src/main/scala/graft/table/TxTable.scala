@@ -1046,6 +1046,35 @@ class TxTable private (
     candidates.foreach { case (p, rel) =>
       if (!retainedNow.contains(rel) && f.delete(p, false)) removed += 1
     }
+    removed + vacuumManifests(keepFrom, cutoffMs)
+  }
+
+  /** Delete manifest files referenced by no snapshot ≥ `keepFrom` (the
+    * same retention horizon as the data-file walk): checkpointed
+    * commits leave one manifest per commit, and rewrites orphan the
+    * groups they break. The grace window covers a commit in flight —
+    * its manifest is written BEFORE its snapshot wins the CAS. Reads of
+    * vacuumed-out versions fail, same as for their data files. */
+  private def vacuumManifests(keepFrom: Long, cutoffMs: Long): Int = {
+    val f = fs
+    val referenced: Set[String] = (keepFrom to currentVersion)
+      .flatMap(v => TxLog.readRaw(logDir, v, conf).manifests.map(_.path)).toSet
+    val candidates =
+      if (!f.exists(logDir)) Seq.empty
+      else f.listStatus(logDir).toSeq.filter { st =>
+        val nm = st.getPath.getName
+        nm.endsWith(".manifest.json") && !referenced.contains(nm) &&
+          st.getModificationTime < cutoffMs
+      }
+    // one re-check against the head AT DELETE TIME (a commit may have
+    // landed during the listing), mirroring the data-file walk
+    val refNow: Set[String] = (keepFrom to currentVersion)
+      .flatMap(v => TxLog.readRaw(logDir, v, conf).manifests.map(_.path)).toSet
+    var removed = 0
+    candidates.foreach { st =>
+      if (!refNow.contains(st.getPath.getName) && f.delete(st.getPath, false))
+        removed += 1
+    }
     removed
   }
 
@@ -1124,7 +1153,7 @@ class TxTable private (
     throw new IllegalStateException("unreachable")
   }
 
-  private def partitionValueString(v: Any): String = v match {
+  private[graft] def partitionValueString(v: Any): String = v match {
     case null => "__HIVE_DEFAULT_PARTITION__"
     case d: java.sql.Date => d.toString
     case other => other.toString

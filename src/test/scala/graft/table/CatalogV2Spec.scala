@@ -94,6 +94,50 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 catalog: native DELETE FROM with partition pruning; TRUNCATE") {
+    withCatalog("del") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.d")
+      spark.sql("CREATE TABLE graft.d.t (id STRING, date DATE, v INT) PARTITIONED BY (date)")
+      spark.sql("""INSERT INTO graft.d.t VALUES
+        ('a', DATE'2026-01-01', 1), ('b', DATE'2026-01-01', 2),
+        ('c', DATE'2026-01-02', 3), ('d', DATE'2026-01-03', 4)""")
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val tx = cat.getTable("d", "t")
+      // data-predicate delete: Catalyst parses it, SupportsDeleteV2
+      // executes it as a COW rewrite
+      spark.sql("DELETE FROM graft.d.t WHERE v >= 4")
+      assert(spark.table("graft.d.t").count() === 3)
+      // partition-equality conjunct prunes the rewrite: files of other
+      // partitions survive untouched
+      val before = tx.snapshot.files
+        .filterNot(_.partitionValues("date") == "2026-01-01").map(_.path).toSet
+      spark.sql("DELETE FROM graft.d.t WHERE date = DATE'2026-01-01' AND id = 'a'")
+      assert(before.subsetOf(tx.snapshot.files.map(_.path).toSet))
+      assert(spark.table("graft.d.t").collect().map(_.getString(0)).sorted
+        === Array("b", "c"))
+      // every delete was a real versioned commit
+      assert(tx.history().head().getString(1) === "DELETE")
+      // TRUNCATE TABLE routes through truncateTable() -> deleteWhere
+      // (the native WHERE-less wipe; bare `DELETE FROM t` is the one
+      // shape the planner can't map through our reordered scan — see
+      // GraftV2Table scaladoc — and GraftSql covers it)
+      spark.sql("TRUNCATE TABLE graft.d.t")
+      assert(spark.table("graft.d.t").count() === 0)
+      // UPDATE needs the group-based rewrite we don't implement: the
+      // failure must be the actionable message, not a wrong result
+      spark.sql("INSERT INTO graft.d.t VALUES ('z', DATE'2026-01-05', 9)")
+      val err = intercept[Exception] {
+        spark.sql("UPDATE graft.d.t SET v = 10 WHERE id = 'z'")
+      }
+      def rootMessages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+      assert(rootMessages(err).exists(_.contains("GraftSql")),
+        s"expected actionable UPDATE error, got: ${rootMessages(err)}")
+      assert(spark.table("graft.d.t").head().getInt(2) === 9)
+    }
+  }
+
   test("GraftSql routes SELECT over ns.tbl through the V2 catalog (no temp views)") {
     withCatalog("gsql") { wh =>
       val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))

@@ -1097,6 +1097,31 @@ class TxTableSpec extends SparkSpec {
     assert(delLen < 8192, s"delete snapshot is $delLen bytes")
   }
 
+  test("vacuum removes orphaned manifests but never referenced ones") {
+    val root = new Path(freshDir("tx_vac_manifest"))
+    val t = TxTable.create(spark, root, "t", Schemas.transactions, Nil)
+    (1 to 12).foreach { i =>
+      t.append(SampleData.transactions(spark, 5, seed = 900L + i))
+    }
+    // an overwrite breaks every previous manifest group (orphans them
+    // once their snapshots age out of retention)
+    t.overwrite(SampleData.transactions(spark, 10, seed = 999L))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifests(): Set[String] =
+      fs.listStatus(new Path(root, "_log")).map(_.getPath.getName)
+        .filter(_.endsWith(".manifest.json")).toSet
+    val before = manifests()
+    val removed = t.vacuum(retainVersions = 1, graceMillis = 0)
+    assert(removed > 0)
+    val after = manifests()
+    assert(after.subsetOf(before))
+    // every manifest the head still references survives, and reads work
+    val headRefs = TxLog.readRaw(new Path(root, "_log"), t.currentVersion,
+      spark.sparkContext.hadoopConfiguration).manifests.map(_.path).toSet
+    assert(headRefs.subsetOf(after))
+    assert(t.toDF.count() === 10)
+  }
+
   test("provenance stays exact across checkpointed commits") {
     val t = TxTable.create(spark, new Path(freshDir("tx_prov_ckpt")), "t",
       Schemas.transactions, Nil)
