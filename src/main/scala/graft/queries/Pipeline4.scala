@@ -108,6 +108,68 @@ object Pipeline4 {
       ORDER BY query_id, rank""")),
 
     // ------------------------------------------------------------------
+    // Okapi BM25 retrieval (Robertson TREC-3, Lucene-shape idf) over
+    // the documents table: the "search the lake for these prompts"
+    // pipeline op. Scores total as micro-unit INTEGERS (per-term
+    // contribution rounded to 1e-6, exact integer sum), so float
+    // association can never flip a rank and the oracle replays totals
+    // bit-for-bit. The SQL mirrors the double arithmetic term by term —
+    // constants written as the same expressions ((1.2 + 1.0), not 2.2)
+    // so both engines parse and combine identical doubles.
+    Q("text_bm25_search", fn = (s, dir) => {
+      val docs = Td.documents(s, dir)
+      graft.operators.Retrieval.bm25TopK(docs, Seq(
+          0L -> "spark window agg",
+          1L -> "customer query join",
+          2L -> "fast hash scan",
+          3L -> "stream batch merge"), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }, oracle = Some("""
+      WITH qterms(query_id, term) AS (VALUES
+        (0, 'spark'), (0, 'window'), (0, 'agg'),
+        (1, 'customer'), (1, 'query'), (1, 'join'),
+        (2, 'fast'), (2, 'hash'), (2, 'scan'),
+        (3, 'stream'), (3, 'batch'), (3, 'merge')),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '')) AS term
+        FROM documents),
+      stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT count(*) FROM toks) AS total_toks),
+      dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+      tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM toks t JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+        GROUP BY 1, 2),
+      dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      contrib AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(round(
+                 ln(1.0 + (CAST(s.n AS DOUBLE) - dfs.df + 0.5) / (dfs.df + 0.5))
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dlen
+                     / (CAST(s.total_toks AS DOUBLE) / s.n)))
+                 * 1e6, 0) AS BIGINT) AS ci
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dfs USING (term)
+        JOIN qterms q USING (term)
+        CROSS JOIN stats s),
+      scored AS (
+        SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS score_micro
+        FROM contrib GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id ASC) AS rank
+        FROM scored)
+      SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+             doc_id, score_micro / 1e6 AS score
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
     // Generalized SQL MERGE (VERDICT r5 #4): differing column names in
     // ON (t.transaction_id = s.tid), MULTIPLE ordered WHEN MATCHED AND
     // branches (DELETE, assignment-UPDATE, unconditional UPDATE), and a

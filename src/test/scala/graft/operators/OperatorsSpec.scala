@@ -151,6 +151,27 @@ class OperatorsSpec extends SparkSpec {
     assert(ivfFull > ivf && lshDeep > lsh)
   }
 
+  test("bm25: full matches outrank partial, rare terms outweigh common") {
+    val corpus = Seq(
+      (0L, "spark window agg spark window agg"),   // all 3 terms, twice
+      (1L, "spark window table table table"),      // 2 of 3
+      (2L, "spark table table table table"),       // 1 of 3
+      (3L, "table row column value key"),          // 0 of 3
+      (4L, "agg agg agg agg agg")                  // rare term, high tf
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(corpus,
+      Seq(0L -> "spark window agg"), k = 5).collect()
+    val ranked = out.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    // doc 3 shares no terms: absent entirely
+    assert(!ranked.contains(3L) && out.length === 4)
+    // the full match wins; the 2-term match beats the 1-term match
+    assert(ranked.head === 0L)
+    assert(ranked.indexOf(1L) < ranked.indexOf(2L))
+    // scores strictly ordered with rank, all positive
+    val scores = out.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+    assert(scores === scores.sorted.reverse && scores.forall(_ > 0))
+  }
+
   test("salted join matches plain join results on skewed data") {
     // 90% of rows share one hot key
     val skewed = spark.range(2000)
