@@ -1,0 +1,206 @@
+package graft.catalog
+
+import graft.table.TxTable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
+import org.apache.spark.sql.graft.{ParquetWriteBundle, RowSink}
+import org.apache.spark.sql.types._
+
+import java.util.UUID
+import scala.collection.mutable
+
+/**
+ * The group-based `ReplaceData` write behind native `UPDATE` / `MERGE
+ * INTO` / non-filter `DELETE` on graft tables — the copy-on-write
+ * commit Iceberg calls a "rewrite files" operation:
+ *
+ *  - the operation's SCAN records exactly which snapshot files it
+ *    listed (SnapshotFileIndex capture, post partition-pruning) — those
+ *    are the replaced groups;
+ *  - executors write replacement rows as partitioned parquet THROUGH
+ *    Spark's own `ParquetFileFormat` writer ([[ParquetWriteBundle]]),
+ *    routing rows to `<col>=<value>` directories exactly as the table's
+ *    batch writer does (updated partition values move rows for free);
+ *  - the driver commit describes the new files from their footers
+ *    (row counts + min/max stats, same as every other commit) and CAS
+ *    commits `kept ∪ new` against the snapshot the statement planned
+ *    on — a concurrent writer fails the statement, never corrupts it.
+ *
+ * The write declares a CLUSTERED distribution on the partition columns,
+ * so Spark shuffles replacement rows partition-wise first — without it
+ * every task would open a file per touched partition (tasks×partitions
+ * small files, the classic rewrite debris at scale).
+ */
+class GraftReplaceDataWrite(
+    tx: TxTable,
+    snapVersion: Long,
+    writeSchema: StructType,
+    partitionColumns: Seq[String],
+    operation: String,
+    capturedFiles: () => Set[String])
+  extends Write with RequiresDistributionAndOrdering {
+
+  private val dataDir = new Path(tx.root, "data")
+  private val dataSchema =
+    StructType(writeSchema.filterNot(f => partitionColumns.contains(f.name)))
+
+  override def description(): String = s"graft-replace-data($operation)"
+
+  override def requiredDistribution(): Distribution =
+    if (partitionColumns.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      partitionColumns.map(c => Expressions.identity(c)).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val bundle = new ParquetWriteBundle(tx.spark, dataSchema)
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      new GraftDataWriterFactory(bundle, dataDir.toString, writeSchema,
+        partitionColumns)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val newFiles = messages.toSeq
+        .collect { case m: GraftFileMessage => m.files }.flatten
+        .map { case (rel, parts) => tx.describeDataFile(rel, parts) }
+      val replaced = capturedFiles()
+      val snap = tx.snapshotAt(snapVersion)
+      val kept = snap.files.filterNot(f => replaced.contains(f.path))
+      tx.commitReplace(snapVersion, operation, kept ++ newFiles)
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      tx.deleteDataFiles(messages.toSeq
+        .collect { case m: GraftFileMessage => m.files }.flatten.map(_._1))
+  }
+}
+
+/** (snapshot-relative path, partition values) per file written. */
+case class GraftFileMessage(files: Seq[(String, Map[String, String])])
+  extends WriterCommitMessage
+
+class GraftDataWriterFactory(
+    bundle: ParquetWriteBundle,
+    dataDir: String,
+    writeSchema: StructType,
+    partitionColumns: Seq[String]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(bundle, dataDir, writeSchema, partitionColumns,
+      partitionId, taskId)
+}
+
+/**
+ * Executor-side dynamic-partition writer: routes each row to the sink
+ * for its partition directory (opened lazily, one file per directory
+ * per task — the upstream clustered distribution keeps that near one
+ * per task), writing the NON-partition columns only; partition values
+ * live in the directory name, exactly like the batch `partitionBy`
+ * path, so readers see one uniform layout.
+ */
+class GraftDataWriter(
+    bundle: ParquetWriteBundle,
+    dataDir: String,
+    writeSchema: StructType,
+    partitionColumns: Seq[String],
+    partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  // The incoming layout depends on which writing task Spark picked:
+  // with a metadata projection it hands rows ALREADY projected to the
+  // write schema; the plain task (our case — no required metadata
+  // attributes) hands the raw ReplaceData query output, which is
+  // [__row_operation] ++ writeSchema. Detect by arity on first row;
+  // with the operation column present, rows flagged DELETE (1) are
+  // skipped rather than written (group-based COW streams mark every
+  // keeper WRITE/WRITE_WITH_METADATA).
+  private var opOffset: Int = -1
+  private def projFor(offset: Int) = UnsafeProjection.create(
+    writeSchema.fields.zipWithIndex
+      .filterNot { case (f, _) => partitionColumns.contains(f.name) }
+      .map { case (f, i) => BoundReference(i + offset, f.dataType, f.nullable) })
+  private var dataProj: UnsafeProjection = _
+  private var partFields: Seq[(String, Int, DataType)] = _
+
+  private def bind(row: InternalRow): Unit = {
+    opOffset = row.numFields - writeSchema.length
+    require(opOffset == 0 || opOffset == 1,
+      s"unexpected replace-data row arity ${row.numFields} for " +
+        s"schema ${writeSchema.fieldNames.mkString(",")}")
+    dataProj = projFor(opOffset)
+    partFields = partitionColumns.map { c =>
+      val i = writeSchema.fieldIndex(c)
+      (c, i + opOffset, writeSchema(i).dataType)
+    }
+  }
+
+  // dirRel -> (sink, partitionValues, relPath)
+  private val sinks =
+    mutable.LinkedHashMap.empty[String, (RowSink, Map[String, String], String)]
+
+  /** Internal-value rendering that matches TxTable's external-value
+    * `partitionValueString` byte for byte — the directory name IS the
+    * partition value contract. */
+  private def render(v: Any, dt: DataType): String =
+    if (v == null) "__HIVE_DEFAULT_PARTITION__"
+    else dt match {
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DoubleType | FloatType => v.toString
+      case _: DecimalType =>
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toBigDecimal.bigDecimal.toPlainString
+      case other => throw new UnsupportedOperationException(
+        s"partition column type $other not supported by the V2 write")
+    }
+
+  override def write(row: InternalRow): Unit = {
+    if (opOffset < 0) bind(row)
+    // __row_operation = 1 is DELETE — a row the rewrite drops
+    if (opOffset == 1 && !row.isNullAt(0) && row.getInt(0) == 1) return
+    val partVals: Map[String, String] = partFields.map { case (c, i, dt) =>
+      c -> render(if (row.isNullAt(i)) null else row.get(i, dt), dt)
+    }.toMap
+    val dirRel = partFields.map { case (c, _, _) =>
+      s"$c=${ExternalCatalogUtils.escapePathName(partVals(c))}"
+    }.mkString("/")
+    val (sink, _, _) = sinks.getOrElseUpdate(dirRel, {
+      val rel = (if (dirRel.isEmpty) "" else s"$dirRel/") +
+        s"${UUID.randomUUID().toString}.parquet"
+      (bundle.open(new Path(dataDir, rel).toString, partitionId, taskId),
+        partVals, rel)
+    })
+    sink.write(dataProj(row))
+  }
+
+  private var closed = false
+  private def closeAll(): Unit = if (!closed) {
+    closed = true
+    sinks.values.foreach(s => try s._1.close() catch { case _: Throwable => () })
+  }
+
+  override def commit(): WriterCommitMessage = {
+    closeAll()
+    GraftFileMessage(sinks.values.map(v => (v._3, v._2)).toSeq)
+  }
+
+  override def abort(): Unit = {
+    closeAll()
+    val fs = new Path(dataDir).getFileSystem(bundle.hadoopConf)
+    sinks.values.foreach(v =>
+      try fs.delete(new Path(new Path(dataDir), v._3), false)
+      catch { case _: Throwable => () })
+  }
+
+  override def close(): Unit = closeAll()
+}

@@ -49,11 +49,15 @@ import scala.jdk.CollectionConverters._
  * truncate path, which requires the scan to preserve declared column
  * order — ours appends partition columns last, as Spark's own file
  * scans do); use TRUNCATE TABLE or the SQL router for that statement.
- * Conditions that cannot become filters (and UPDATE/MERGE, which
- * always need the rewrite) would execute the group-based write itself —
- * that needs a real V2 `BatchWrite` with dynamic-partition writers
- * (`ReplaceData` has no V1 bridge), so it fails with a pointer to the
- * SQL-text router, which covers those statements today.
+ *
+ * `UPDATE` and `MERGE INTO` (and non-filter DELETEs) execute the
+ * group-based rewrite itself — [[GraftReplaceDataWrite]], a real V2
+ * `BatchWrite`: the operation's scan captures exactly the file groups
+ * it listed (partition filters prune groups; data filters are
+ * deliberately NOT pushed, because a copy-on-write scan must return
+ * every row of a matched group), executors write replacement rows
+ * through Spark's own parquet writer with dynamic partition routing,
+ * and the driver CAS-commits kept ∪ new files.
  */
 class GraftV2Table(val tx: TxTable) extends Table
     with SupportsRead with SupportsWrite with SupportsDeleteV2
@@ -101,41 +105,59 @@ class GraftV2Table(val tx: TxTable) extends Table
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
+        // every scan this operation plans records the files it listed
+        // (post partition-pruning) — the groups the write replaces
+        private val indexes =
+          new java.util.concurrent.CopyOnWriteArrayList[
+            org.apache.spark.sql.graft.SnapshotFileIndex]()
+
         override def command(): RowLevelOperation.Command = info.command()
         override def description(): String =
           s"GraftRowLevelOperation(${info.command()})"
-        // the scan that finds affected groups is the ordinary table scan
-        // (pushed filters included), so group planning prunes correctly
-        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-          GraftV2Table.this.newScanBuilder(options)
+
+        override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+          val (builder, index) = scanBuilderCapturing(options)
+          indexes.add(index)
+          // group-scan contract: partition filters prune file groups,
+          // but no pushed filter may drop ROWS of a matched group (the
+          // rewrite must copy untouched rows through)
+          ScanBridge.groupScanBuilder(builder, snap.partitionColumns.toSet)
+        }
+
         override def requiredMetadataAttributes(): Array[NamedReference] =
           Array.empty
-        // Built during optimization (V2Writes) but only EXECUTED when
-        // the metadata-only conversion could not apply — fail there,
-        // lazily, with an actionable message. Throwing here instead
-        // would kill filter-convertible DELETEs too.
+
         override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
           new WriteBuilder {
-            override def build(): Write = new Write {
-              override def description(): String = "graft-replace-data"
-              override def toBatch: BatchWrite =
-                throw new UnsupportedOperationException(
-                  s"graft: group-based ${info.command()} rewrite is not " +
-                    "supported natively; DELETE works for filter " +
-                    "conditions, and UPDATE/MERGE are available through " +
-                    "graft.table.GraftSql / TxTable")
+            override def build(): Write = {
+              val ws = writeInfo.schema()
+              require(ws.fieldNames.sorted.sameElements(
+                  fullSchema.fieldNames.sorted),
+                s"replace-data write schema ${ws.fieldNames.mkString(",")} " +
+                  s"!= table schema ${fullSchema.fieldNames.mkString(",")}")
+              new GraftReplaceDataWrite(tx, snap.version, ws,
+                snap.partitionColumns, info.command().toString,
+                () => {
+                  import scala.jdk.CollectionConverters._
+                  indexes.asScala.flatMap(_.capturedFiles).toSet
+                })
             }
           }
       }
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    scanBuilderCapturing(options)._1
+
+  private def scanBuilderCapturing(options: CaseInsensitiveStringMap)
+      : (ScanBuilder, org.apache.spark.sql.graft.SnapshotFileIndex) = {
     val dataSchema =
       StructType(fullSchema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val index = ScanBridge.snapshotIndex(tx.spark, new Path(tx.root, "data"),
       fullSchema, snap.partitionColumns,
       snap.files.map(f => (f.path, f.partitionValues, f.sizeBytes)))
-    ScanBridge.parquetScanBuilder(tx.spark, index, fullSchema, dataSchema, options)
+    (ScanBridge.parquetScanBuilder(tx.spark, index, fullSchema, dataSchema,
+      options), index)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -419,6 +419,38 @@ class TxTable private (
     Await.result(Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
   }
 
+  /** Describe a data file already written under data/ (footer row count
+    * + min/max stats, size) — used by the V2 ReplaceData write, whose
+    * executors write files directly and hand back (path, partition)
+    * pairs. */
+  private[graft] def describeDataFile(rel: String,
+      partitionValues: Map[String, String]): DataFile = {
+    val target = new Path(dataDir, rel)
+    val len = fs.getFileStatus(target).getLen
+    val (rowCount, stats) =
+      try {
+        val (rc, st) = FileStats.collect(target, conf)
+        (rc, Some(st))
+      } catch { case _: Throwable => (-1L, None) }
+    DataFile(rel, partitionValues, rowCount = rowCount, sizeBytes = len,
+      stats = stats)
+  }
+
+  /** Commit a row-level REPLACE planned outside TxTable (the V2
+    * ReplaceData write): `files` is the complete post-replace list.
+    * CAS against `expectedVersion` — a concurrent commit surfaces as
+    * [[CommitConflictException]], failing the statement cleanly. */
+  private[graft] def commitReplace(expectedVersion: Long, op: String,
+      files: Seq[DataFile]): Long = {
+    val s = snapshotAt(expectedVersion)
+    commit(Some(expectedVersion), op, schemaOf(s), s.partitionColumns, files)
+  }
+
+  /** Delete files written by an aborted V2 write (never committed, so
+    * invisible to readers — this is just prompt garbage collection). */
+  private[graft] def deleteDataFiles(rels: Seq[String]): Unit =
+    rels.foreach(rel => fs.delete(new Path(dataDir, rel), false))
+
   /** Output-file sizing for partition rewrites: aim at `targetFileBytes`
     * per file given the bytes being rewritten plus the incoming batch.
     * Without this, every merge writes (shuffle.partitions × touched

@@ -65,6 +65,32 @@ class SnapshotFileIndex(
       (p, new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L, p), parts)
     }
 
+  private val relByPath: Map[Path, String] =
+    files.map { case (rel, _, _) => new Path(dataDir, rel) -> rel }.toMap
+
+  // ---- scan-file capture (group-based row-level operations) ----------
+  // A copy-on-write REPLACE must rewrite exactly the file groups its
+  // scan read: Spark plans the scan with pushed partition filters, this
+  // index prunes, and whatever `listFiles` actually returned IS the
+  // replaced set. Accumulated (union) because planning may list more
+  // than once; driver-side only.
+  @volatile private var captured = Set.empty[String]
+
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    val dirs = super.listFiles(partitionFilters, dataFilters)
+    val listed = dirs.flatMap(_.files.flatMap(f =>
+      relByPath.get(f.fileStatus.getPath))).toSet
+    synchronized { captured = captured ++ listed }
+    dirs
+  }
+
+  /** Snapshot-relative paths of every file a scan over this index has
+    * listed so far. */
+  def capturedFiles: Set[String] = captured
+
   override def rootPaths: Seq[Path] = Seq(dataDir)
 
   override def leafFiles: LinkedHashMap[Path, FileStatus] =
@@ -108,6 +134,40 @@ object ScanBridge {
       dataDir: Path,
       fullSchema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[(String, Map[String, String], Long)]): PartitioningAwareFileIndex =
+      files: Seq[(String, Map[String, String], Long)]): SnapshotFileIndex =
     new SnapshotFileIndex(spark, dataDir, fullSchema, partitionColumns, files)
+
+  /**
+   * Wrap a scan builder for a GROUP-BASED row-level operation: forward
+   * only predicates that reference exclusively PARTITION columns to the
+   * inner builder (they prune whole file groups — always safe), report
+   * every predicate as residual, and swallow data filters entirely. A
+   * copy-on-write rewrite must read EVERY ROW of every matched group;
+   * a pushed data filter on a generic parquet scan can drop rows at
+   * row-group/page granularity, silently losing the untouched rows of
+   * a rewritten file.
+   */
+  def groupScanBuilder(inner: ScanBuilder,
+      partitionColumns: Set[String]): ScanBuilder =
+    new org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+      override def pushFilters(
+          filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+        val partOnly = filters.filter(f =>
+          f.references.nonEmpty &&
+            f.references.forall(a => partitionColumns.contains(a.name)) &&
+            f.deterministic)
+        inner match {
+          case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+            c.pushFilters(partOnly)
+          case _ =>
+        }
+        filters // everything is residual: no row may be dropped
+      }
+      override def pushedFilters()
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        inner.build()
+    }
 }

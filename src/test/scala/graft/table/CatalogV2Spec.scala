@@ -10,6 +10,7 @@ import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
  * snapshot file index with filters pushed to parquet.
  */
 class CatalogV2Spec extends SparkSpec {
+  import spark.implicits._
 
   private def withCatalog[T](tag: String)(f: String => T): T = {
     val wh = freshDir(s"v2cat_$tag")
@@ -123,18 +124,59 @@ class CatalogV2Spec extends SparkSpec {
       // GraftV2Table scaladoc — and GraftSql covers it)
       spark.sql("TRUNCATE TABLE graft.d.t")
       assert(spark.table("graft.d.t").count() === 0)
-      // UPDATE needs the group-based rewrite we don't implement: the
-      // failure must be the actionable message, not a wrong result
+      // UPDATE executes the full group-based ReplaceData write
       spark.sql("INSERT INTO graft.d.t VALUES ('z', DATE'2026-01-05', 9)")
-      val err = intercept[Exception] {
-        spark.sql("UPDATE graft.d.t SET v = 10 WHERE id = 'z'")
-      }
-      def rootMessages(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(e =>
-          Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
-      assert(rootMessages(err).exists(_.contains("GraftSql")),
-        s"expected actionable UPDATE error, got: ${rootMessages(err)}")
-      assert(spark.table("graft.d.t").head().getInt(2) === 9)
+      spark.sql("UPDATE graft.d.t SET v = 10 WHERE id = 'z'")
+      assert(spark.table("graft.d.t").head().getInt(2) === 10)
+    }
+  }
+
+  test("V2 catalog: native UPDATE and MERGE INTO via group-based ReplaceData") {
+    withCatalog("rowlevel") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.r")
+      spark.sql("CREATE TABLE graft.r.t (id STRING, date DATE, v INT) PARTITIONED BY (date)")
+      spark.sql("""INSERT INTO graft.r.t VALUES
+        ('a', DATE'2026-01-01', 1), ('b', DATE'2026-01-01', 2),
+        ('c', DATE'2026-01-02', 3), ('d', DATE'2026-01-03', 4)""")
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val tx = cat.getTable("r", "t")
+
+      // UPDATE with a partition-equality conjunct: only that partition's
+      // files are replaced, the others survive byte-identical
+      val before = tx.snapshot.files
+        .filterNot(_.partitionValues("date") == "2026-01-01").map(_.path).toSet
+      spark.sql("UPDATE graft.r.t SET v = v + 100 WHERE date = DATE'2026-01-01' AND id = 'a'")
+      assert(before.subsetOf(tx.snapshot.files.map(_.path).toSet))
+      assert(spark.table("graft.r.t").orderBy("id").collect()
+        .map(r => (r.getString(0), r.getInt(2))).toSeq
+        === Seq(("a", 101), ("b", 2), ("c", 3), ("d", 4)))
+
+      // UPDATE that MOVES a row across partitions (copy-on-write routes
+      // rewritten rows to their new partition directory)
+      spark.sql("UPDATE graft.r.t SET date = DATE'2026-01-09' WHERE id = 'c'")
+      assert(spark.sql(
+        "SELECT id FROM graft.r.t WHERE date = DATE'2026-01-09'")
+        .head().getString(0) === "c")
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.r.t WHERE date = DATE'2026-01-02'")
+        .head().getLong(0) === 0)
+
+      // MERGE INTO with update + delete + insert branches, all native
+      Seq(("a", 7), ("d", -1), ("e", 5)).toDF("mid", "mv")
+        .createOrReplaceTempView("merge_src")
+      spark.sql("""
+        MERGE INTO graft.r.t t USING merge_src s ON t.id = s.mid
+        WHEN MATCHED AND s.mv < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.mv
+        WHEN NOT MATCHED THEN INSERT (id, date, v) VALUES (s.mid, DATE'2026-02-01', s.mv)""")
+      assert(spark.table("graft.r.t").orderBy("id").collect()
+        .map(r => (r.getString(0), r.getInt(2))).toSeq
+        === Seq(("a", 7), ("b", 2), ("c", 3), ("e", 5)))
+      // the merge was one versioned commit with footer stats intact
+      assert(tx.history().head().getString(1) === "MERGE")
+      assert(tx.snapshot.files.forall(_.rowCount > 0))
+      // and a metadata-only count still answers from the snapshot
+      assert(tx.count() === 4)
     }
   }
 
