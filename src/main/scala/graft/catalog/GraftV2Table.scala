@@ -78,7 +78,8 @@ class GraftV2Table(val tx: TxTable) extends Table
     Map("provider" -> "graft", "version" -> snap.version.toString).asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
@@ -147,7 +148,10 @@ class GraftV2Table(val tx: TxTable) extends Table
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    scanBuilderCapturing(options)._1
+    // batch plans delegate straight through (pushdown forwarded);
+    // toMicroBatchStream tails the commit log from this snapshot on
+    ScanBridge.streamCapable(scanBuilderCapturing(options)._1,
+      _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns))
 
   private def scanBuilderCapturing(options: CaseInsensitiveStringMap)
       : (ScanBuilder, org.apache.spark.sql.graft.SnapshotFileIndex) = {

@@ -108,6 +108,62 @@ object Pipeline4 {
       ORDER BY query_id, rank""")),
 
     // ------------------------------------------------------------------
+    // Native row-level DML through the V2 catalog (the r6 ReplaceData
+    // write): DELETE, UPDATE, and a three-branch MERGE INTO all parsed
+    // by Catalyst and executed as group-based copy-on-write commits —
+    // no SQL-text routing anywhere. The oracle replays the statement
+    // algebra over the staged seed.
+    Q("catalog_v2_dml", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("v2dml_seed", "parquet") {
+        SampleData.transactions(s, 250, seed = 44L)
+      }
+      val wh = Pipeline.scratch("v2dml")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("v2dml_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.analytics")
+      s.sql("""CREATE TABLE graft.analytics.txns_dml PARTITIONED BY (date) AS
+               SELECT * FROM v2dml_seed""")
+      s.sql("DELETE FROM graft.analytics.txns_dml WHERE status = 'DECLINED'")
+      s.sql("""UPDATE graft.analytics.txns_dml
+               SET status = 'REVIEWED', amount = round(amount * 2, 2)
+               WHERE risk_score = 'HIGH'""")
+      s.sql("""
+        MERGE INTO graft.analytics.txns_dml t
+        USING (SELECT transaction_id AS tid,
+                      round(amount / 2, 2) AS half
+               FROM v2dml_seed WHERE risk_score = 'MEDIUM') s
+        ON t.transaction_id = s.tid
+        WHEN MATCHED AND t.status = 'PENDING' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET amount = s.half""")
+      s.sql("""
+        SELECT risk_score, status, count(*) AS n,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft.analytics.txns_dml
+        GROUP BY risk_score, status
+        ORDER BY risk_score, status""")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/v2dml_seed/*.parquet')),
+      after_del AS (SELECT * FROM seed WHERE status <> 'DECLINED'),
+      after_upd AS (
+        SELECT * REPLACE(
+          CASE WHEN risk_score = 'HIGH' THEN 'REVIEWED' ELSE status END AS status,
+          CASE WHEN risk_score = 'HIGH' THEN round(amount * 2, 2) ELSE amount END AS amount)
+        FROM after_del),
+      m AS (SELECT transaction_id AS tid, round(amount / 2, 2) AS half
+            FROM seed WHERE risk_score = 'MEDIUM'),
+      after_merge AS (
+        SELECT t.* REPLACE(
+          CASE WHEN m.tid IS NOT NULL AND t.status <> 'PENDING'
+               THEN m.half ELSE t.amount END AS amount)
+        FROM after_upd t LEFT JOIN m ON t.transaction_id = m.tid
+        WHERE NOT (m.tid IS NOT NULL AND t.status = 'PENDING'))
+      SELECT risk_score, status, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM after_merge GROUP BY risk_score, status
+      ORDER BY risk_score, status""")),
+
+    // ------------------------------------------------------------------
     // Okapi BM25 retrieval (Robertson TREC-3, Lucene-shape idf) over
     // the documents table: the "search the lake for these prompts"
     // pipeline op. Scores total as micro-unit INTEGERS (per-term

@@ -115,6 +115,36 @@ class SnapshotFileIndex(
   override def sizeInBytes: Long = files.map(_._3).sum
 }
 
+/** Reorders each row from `scanSchema` order to the permutation given
+  * by `perm` (target ordinal → scan ordinal). Forces row-based reads —
+  * streaming micro-batches are incremental, so the columnar give-up is
+  * bounded and correctness wins. */
+private[graft] class ReorderingReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    scanSchema: StructType,
+    perm: Array[Int])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      partition: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    false
+
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val r = inner.createReader(partition)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      perm.toIndexedSeq.map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, scanSchema(i).dataType, scanSchema(i).nullable)))
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
 /** Constructors for `private[sql]` scan machinery used by the public
   * `graft.catalog` connector classes. */
 object ScanBridge {
@@ -136,6 +166,107 @@ object ScanBridge {
       partitionColumns: Seq[String],
       files: Seq[(String, Map[String, String], Long)]): SnapshotFileIndex =
     new SnapshotFileIndex(spark, dataDir, fullSchema, partitionColumns, files)
+
+  /**
+   * Plan one micro-batch of a streaming table read: a fresh parquet
+   * batch scan over exactly `files`, returning its input partitions and
+   * reader factory. Factories from scans with identical schemas and
+   * options are interchangeable (the FilePartition carries the files),
+   * so the stream creates ONE factory and re-plans partitions per
+   * batch.
+   */
+  def parquetBatch(
+      spark: SparkSession,
+      dataDir: Path,
+      fullSchema: StructType,
+      partitionColumns: Seq[String],
+      files: Seq[(String, Map[String, String], Long)])
+      : (Array[org.apache.spark.sql.connector.read.InputPartition],
+         org.apache.spark.sql.connector.read.PartitionReaderFactory) = {
+    val index = snapshotIndex(spark, dataDir, fullSchema, partitionColumns, files)
+    val dataSchema =
+      StructType(fullSchema.filterNot(f => partitionColumns.contains(f.name)))
+    val batch = ParquetScanBuilder(spark, index, fullSchema, dataSchema,
+      CaseInsensitiveStringMap.empty()).build().toBatch
+    // the parquet scan emits [data columns ++ partition columns]; the
+    // streaming relation expects DECLARED order and (unlike the batch
+    // path) no pushdown rule inserts a reordering Project — so reorder
+    // in the reader factory itself
+    val scanSchema = StructType(dataSchema ++ StructType(
+      partitionColumns.map(c => fullSchema(fullSchema.fieldIndex(c)))))
+    val factory =
+      if (scanSchema.fieldNames.sameElements(fullSchema.fieldNames)) {
+        batch.createReaderFactory()
+      } else {
+        val perm = fullSchema.fieldNames.map(scanSchema.fieldIndex)
+        new ReorderingReaderFactory(batch.createReaderFactory(), scanSchema, perm)
+      }
+    (batch.planInputPartitions(), factory)
+  }
+
+  /**
+   * Give a parquet scan builder a streaming personality: the built scan
+   * delegates batch reads untouched and answers `toMicroBatchStream`
+   * with the provided factory. Every pushdown interface the parquet
+   * builder implements is forwarded, so batch plans through this
+   * wrapper keep filter/column/aggregate pushdown.
+   */
+  def streamCapable(inner: ScanBuilder,
+      stream: String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+      : ScanBuilder = {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
+    import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+    import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    new SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
+        with SupportsPushDownAggregates with SupportsPushDownVariantExtractions {
+      override def pushFilters(
+          filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        inner match {
+          case c: SupportsPushDownCatalystFilters => c.pushFilters(filters)
+          case _ => filters
+        }
+      override def pushedFilters()
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        inner match {
+          case c: SupportsPushDownCatalystFilters => c.pushedFilters
+          case _ => Array.empty
+        }
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        inner match {
+          case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
+          case _ =>
+        }
+      override def pushAggregation(aggregation: Aggregation): Boolean =
+        inner match {
+          case c: SupportsPushDownAggregates => c.pushAggregation(aggregation)
+          case _ => false
+        }
+      override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+        inner match {
+          case c: SupportsPushDownAggregates => c.supportCompletePushDown(aggregation)
+          case _ => false
+        }
+      override def pushVariantExtractions(
+          extractions: Array[VariantExtraction]): Array[Boolean] =
+        inner match {
+          case c: SupportsPushDownVariantExtractions =>
+            c.pushVariantExtractions(extractions)
+          case _ => Array.fill(extractions.length)(false)
+        }
+      override def build(): Scan = {
+        val built = inner.build()
+        new Scan {
+          override def readSchema(): StructType = built.readSchema()
+          override def description(): String = built.description()
+          override def toBatch: Batch = built.toBatch
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            stream(checkpointLocation)
+        }
+      }
+    }
+  }
 
   /**
    * Wrap a scan builder for a GROUP-BASED row-level operation: forward

@@ -258,6 +258,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming table source: readStream.table tails the commit log") {
+    // the Delta-style "table as a stream": first batch = full snapshot,
+    // subsequent batches = exactly the files added by new commits
+    val wh = freshDir("v2cat_stream")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
+    spark.sql("CREATE TABLE graft.st.t (id STRING, date DATE, v INT) PARTITIONED BY (date)")
+    spark.sql("INSERT INTO graft.st.t VALUES ('a', DATE'2026-01-01', 1), ('b', DATE'2026-01-02', 2)")
+    val q = spark.readStream.table("graft.st.t")
+      .writeStream.format("memory").queryName("table_stream_out")
+      .option("checkpointLocation", s"${freshDir("v2cat_stream_ckpt")}/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // initial load: the live snapshot
+      assert(spark.table("table_stream_out").count() === 2)
+      // two more commits while the stream runs
+      spark.sql("INSERT INTO graft.st.t VALUES ('c', DATE'2026-01-03', 3)")
+      spark.sql("INSERT INTO graft.st.t VALUES ('d', DATE'2026-01-01', 4)")
+      q.processAllAvailable()
+      val out = spark.table("table_stream_out")
+        .select("id", "v").as[(String, Int)].collect().toSet
+      assert(out === Set(("a", 1), ("b", 2), ("c", 3), ("d", 4)))
+      // partition column survives the stream as a typed column
+      assert(spark.table("table_stream_out")
+        .filter(col("date") === java.sql.Date.valueOf("2026-01-01"))
+        .count() === 2)
+    } finally q.stop()
+  }
+
   test("sliding windows assign events to overlapping buckets") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
