@@ -78,6 +78,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftV2Table(cat.getTable(ns, tbl))
   }
 
+  /** `SELECT … FROM graft.ns.t VERSION AS OF <v|tag>` — native time
+    * travel: a number pins that committed version, anything else
+    * resolves as a tag name (the Iceberg branch/tag addressing shape). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val cat = inner
+    val (ns, tbl) = (ns1(ident.namespace()), ident.name())
+    if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
+    val t = cat.getTable(ns, tbl)
+    val v = version.trim match {
+      case n if n.forall(_.isDigit) => n.toLong
+      case tag => t.tags.getOrElse(tag,
+        throw new IllegalArgumentException(
+          s"no version or tag '$tag' on table $ns.$tbl"))
+    }
+    new GraftV2Table(t, asOfVersion = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` — Spark hands MICROseconds; pin the newest
+    * version committed at or before that instant. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val cat = inner
+    val (ns, tbl) = (ns1(ident.namespace()), ident.name())
+    if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
+    val t = cat.getTable(ns, tbl)
+    val cutoffMs = timestamp / 1000L
+    val v = (0L to t.currentVersion).reverse
+      .find(v => t.snapshotAt(v).timestampMs <= cutoffMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $ns.$tbl committed at or before $cutoffMs ms"))
+    new GraftV2Table(t, asOfVersion = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val cat = inner

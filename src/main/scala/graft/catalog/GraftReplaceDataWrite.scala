@@ -99,6 +99,20 @@ class GraftDataWriterFactory(
       partitionId, taskId)
 }
 
+/** Streaming flavor of the same writers — one per (task, epoch). */
+class GraftStreamingWriterFactory(
+    bundle: ParquetWriteBundle,
+    dataDir: String,
+    writeSchema: StructType,
+    partitionColumns: Seq[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(bundle, dataDir, writeSchema, partitionColumns,
+      partitionId, taskId)
+}
+
 /**
  * Executor-side dynamic-partition writer: routes each row to the sink
  * for its partition directory (opened lazily, one file per directory

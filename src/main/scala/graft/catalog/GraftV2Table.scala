@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsDeleteV2, SupportsRead, S
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsOverwriteV2, V1Write, Write, WriteBuilder, streaming}
 import org.apache.spark.sql.functions.{col, lit, not}
 import org.apache.spark.sql.graft.ScanBridge
 import org.apache.spark.sql.graft.PredicateBridge
@@ -59,11 +59,16 @@ import scala.jdk.CollectionConverters._
  * through Spark's own parquet writer with dynamic partition routing,
  * and the driver CAS-commits kept ∪ new files.
  */
-class GraftV2Table(val tx: TxTable) extends Table
+class GraftV2Table(val tx: TxTable, asOfVersion: Option[Long] = None)
+    extends Table
     with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations {
 
-  private val snap = tx.snapshot
+  private val snap = asOfVersion.map(tx.snapshotAt).getOrElse(tx.snapshot)
+
+  private def requireWritable(action: String): Unit =
+    asOfVersion.foreach(v => throw new UnsupportedOperationException(
+      s"cannot $action a time-travel snapshot (v$v) of ${tx.name}"))
   private val fullSchema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
 
@@ -79,7 +84,7 @@ class GraftV2Table(val tx: TxTable) extends Table
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
@@ -87,6 +92,7 @@ class GraftV2Table(val tx: TxTable) extends Table
       PredicateBridge.toV1(p).exists(f => GraftV2Table.filterColumn(f).isDefined))
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    requireWritable("DELETE from")
     val v1 = predicates.toSeq.map(p => PredicateBridge.toV1(p).getOrElse(
       throw new UnsupportedOperationException(s"cannot convert $p")))
     val cond = v1
@@ -103,7 +109,8 @@ class GraftV2Table(val tx: TxTable) extends Table
   }
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireWritable(s"run ${info.command()} against")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation = new RowLevelOperation {
         // every scan this operation plans records the files it listed
@@ -146,6 +153,7 @@ class GraftV2Table(val tx: TxTable) extends Table
           }
       }
     }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // batch plans delegate straight through (pushdown forwarded);
@@ -164,7 +172,8 @@ class GraftV2Table(val tx: TxTable) extends Table
       options), index)
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireWritable("write to")
     new WriteBuilder with SupportsOverwriteV2 {
       private var overwriteAll = false
 
@@ -188,8 +197,50 @@ class GraftV2Table(val tx: TxTable) extends Table
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
               if (overwriteAll || overwrite) tx.overwrite(data) else tx.append(data)
           }
+
+        /** `df.writeStream.toTable("graft.ns.t")` — append-mode
+          * streaming sink. Each epoch's executors write parquet through
+          * the same dynamic-partition writers as ReplaceData; the epoch
+          * commit appends those files with the `(queryId, epochId)`
+          * transaction fence, so a micro-batch replayed after a
+          * crash-between-commit-and-checkpoint is skipped (and its
+          * re-written files deleted) instead of duplicated —
+          * exactly-once table effects on an at-least-once stream. */
+        override def toStreaming: streaming.StreamingWrite = {
+          if (overwriteAll) throw new UnsupportedOperationException(
+            "graft streaming sink supports append mode only")
+          val schema = info.schema()
+          require(schema.fieldNames.sorted.sameElements(
+              fullSchema.fieldNames.sorted),
+            s"streaming write schema ${schema.fieldNames.mkString(",")} " +
+              s"!= table schema ${fullSchema.fieldNames.mkString(",")}")
+          val queryId = info.queryId()
+          new streaming.StreamingWrite {
+            private val bundle = new org.apache.spark.sql.graft.ParquetWriteBundle(
+              tx.spark, StructType(schema.filterNot(f =>
+                snap.partitionColumns.contains(f.name))))
+            override def createStreamingWriterFactory(
+                pInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+                : streaming.StreamingDataWriterFactory =
+              new GraftStreamingWriterFactory(bundle,
+                new Path(tx.root, "data").toString, schema,
+                snap.partitionColumns)
+            override def commit(epochId: Long,
+                messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+              val newFiles = messages.toSeq
+                .collect { case m: GraftFileMessage => m.files }.flatten
+                .map { case (rel, parts) => tx.describeDataFile(rel, parts) }
+              tx.commitAppendFiles(newFiles, Some((queryId, epochId)))
+            }
+            override def abort(epochId: Long,
+                messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit =
+              tx.deleteDataFiles(messages.toSeq
+                .collect { case m: GraftFileMessage => m.files }.flatten.map(_._1))
+          }
+        }
       }
     }
+  }
 }
 
 object GraftV2Table {

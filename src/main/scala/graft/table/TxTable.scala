@@ -436,6 +436,32 @@ class TxTable private (
       stats = stats)
   }
 
+  /**
+   * Append pre-written data files as one commit with the Delta `txn`
+   * idempotent-writer fence — the streaming-sink epoch commit. A
+   * replayed epoch (its `(appId, epochId)` already at or below the
+   * table's watermark) deletes its freshly re-written files and
+   * returns the current version: exactly-once table effects on an
+   * at-least-once stream.
+   */
+  private[graft] def commitAppendFiles(newFiles: Seq[DataFile],
+      txn: Option[(String, Long)]): Long = {
+    def fencedAt(s: Snapshot): Boolean =
+      txn.exists { case (a, v) => s.appTxns.get(a).exists(_ >= v) }
+    retryingCommit("APPEND") { expected =>
+      val cur = snapshotAt(expected)
+      if (fencedAt(cur)) {
+        deleteDataFiles(newFiles.map(_.path))
+        cur.version
+      } else {
+        val txns = txn.map { case (a, v) => cur.appTxns + (a -> v) }
+          .getOrElse(cur.appTxns)
+        commit(Some(expected), "APPEND", schemaOf(cur),
+          cur.partitionColumns, cur.files ++ newFiles, appTxns = txns)
+      }
+    }
+  }
+
   /** Commit a row-level REPLACE planned outside TxTable (the V2
     * ReplaceData write): `files` is the complete post-replace list.
     * CAS against `expectedVersion` — a concurrent commit surfaces as

@@ -289,6 +289,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming table sink: writeStream.toTable appends with epoch fencing") {
+    val wh = freshDir("v2cat_sink")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sk")
+    spark.sql("CREATE TABLE graft.sk.t (id LONG, date DATE, v DOUBLE) PARTITIONED BY (date)")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Int, Double)]
+    val q = in.toDF().toDF("id", "d", "v")
+      .select(col("id"),
+        date_add(lit(java.sql.Date.valueOf("2026-01-01")), col("d")).as("date"),
+        col("v"))
+      .writeStream
+      .option("checkpointLocation", s"${freshDir("v2cat_sink_ckpt")}/ckpt")
+      .toTable("graft.sk.t")
+    try {
+      in.addData((1L, 0, 1.5), (2L, 1, 2.5))
+      q.processAllAvailable()
+      in.addData((3L, 0, 3.5))
+      q.processAllAvailable()
+      val out = spark.table("graft.sk.t").orderBy("id")
+        .select("id", "v").as[(Long, Double)].collect().toSeq
+      assert(out === Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+      // two epochs -> two APPEND commits, each fenced by (queryId, epoch)
+      val cat = new graft.table.TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val tx = cat.getTable("sk", "t")
+      assert(tx.currentVersion === 2)
+      assert(tx.snapshot.appTxns.values.max === 1L)
+      // a replayed epoch is a no-op: same (appId, epoch) commits nothing
+      val before = tx.currentVersion
+      val fenced = tx.commitAppendFiles(Nil,
+        Some((tx.snapshot.appTxns.keys.head, 0L)))
+      assert(fenced === before && tx.currentVersion === before)
+      // partitioned layout holds: date dirs carry the values
+      assert(spark.table("graft.sk.t")
+        .filter(col("date") === java.sql.Date.valueOf("2026-01-01")).count() === 2)
+    } finally q.stop()
+  }
+
   test("sliding windows assign events to overlapping buckets") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]

@@ -180,6 +180,39 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 catalog: VERSION AS OF / TIMESTAMP AS OF / tag time travel") {
+    withCatalog("tt") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tt")
+      spark.sql("CREATE TABLE graft.tt.t (id STRING, v INT)")
+      spark.sql("INSERT INTO graft.tt.t VALUES ('a', 1)")          // v1
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val tx = cat.getTable("tt", "t")
+      val tsAfterV1 = System.currentTimeMillis()
+      tx.tag("first-load")
+      Thread.sleep(5)
+      spark.sql("INSERT INTO graft.tt.t VALUES ('b', 2)")          // v2
+      spark.sql("UPDATE graft.tt.t SET v = 10 WHERE id = 'a'")     // v3
+      assert(spark.table("graft.tt.t").count() === 2)
+      // numeric version
+      assert(spark.sql("SELECT * FROM graft.tt.t VERSION AS OF 1").count() === 1)
+      assert(spark.sql(
+        "SELECT v FROM graft.tt.t VERSION AS OF 2 WHERE id = 'a'")
+        .head().getInt(0) === 1)
+      // tag name resolves through the table's tag store
+      assert(spark.sql(
+        "SELECT * FROM graft.tt.t VERSION AS OF 'first-load'").count() === 1)
+      // timestamp pins the newest version committed at or before it
+      val ts = new java.sql.Timestamp(tsAfterV1)
+      assert(spark.sql(
+        s"SELECT * FROM graft.tt.t TIMESTAMP AS OF '$ts'").count() === 1)
+      // a time-travel relation is read-only
+      val err = intercept[Exception] {
+        spark.sql("DELETE FROM (SELECT * FROM graft.tt.t VERSION AS OF 1)")
+      }
+      assert(err != null)
+    }
+  }
+
   test("GraftSql routes SELECT over ns.tbl through the V2 catalog (no temp views)") {
     withCatalog("gsql") { wh =>
       val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
