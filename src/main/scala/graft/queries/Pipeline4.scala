@@ -164,6 +164,51 @@ object Pipeline4 {
       ORDER BY risk_score, status""")),
 
     // ------------------------------------------------------------------
+    // Streaming table-to-table sync through the V2 catalog: the commit
+    // log of the source table IS the stream (readStream.table tails it,
+    // initial snapshot + per-commit added files), and the sink appends
+    // with (queryId, epochId)-fenced exactly-once commits
+    // (writeStream.toTable). AvailableNow drains the seed + two extra
+    // commits; the oracle checks the synced table equals the full seed.
+    Q("table_stream_sync", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("stream_sync_seed", "parquet") {
+        SampleData.transactions(s, 180, seed = 55L)
+      }
+      val wh = Pipeline.scratch("streamsync")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val seed = s.read.parquet(seedDir)
+      seed.createOrReplaceTempView("stream_sync_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.sync")
+      s.sql("""CREATE TABLE graft.sync.src PARTITIONED BY (date) AS
+               SELECT * FROM stream_sync_seed WHERE risk_score = 'LOW'""")
+      s.sql("""INSERT INTO graft.sync.src
+               SELECT * FROM stream_sync_seed WHERE risk_score = 'MEDIUM'""")
+      s.sql("""INSERT INTO graft.sync.src
+               SELECT * FROM stream_sync_seed WHERE risk_score = 'HIGH'""")
+      s.sql(s"""CREATE TABLE graft.sync.dst (
+        ${seed.schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")}
+        ) PARTITIONED BY (date)""")
+      val q = s.readStream.table("graft.sync.src")
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", s"${Pipeline.scratch("streamsync_ckpt")}/ckpt")
+        .toTable("graft.sync.dst")
+      q.awaitTermination(120000)
+      s.sql("""
+        SELECT risk_score, count(*) AS n,
+               count(DISTINCT transaction_id) AS n_keys,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft.sync.dst
+        GROUP BY risk_score ORDER BY risk_score""")
+    }, oracle = Some(s"""
+      SELECT risk_score, count(*) AS n,
+             count(DISTINCT transaction_id) AS n_keys,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/stream_sync_seed/*.parquet')
+      GROUP BY risk_score ORDER BY risk_score""")),
+
+    // ------------------------------------------------------------------
     // Okapi BM25 retrieval (Robertson TREC-3, Lucene-shape idf) over
     // the documents table: the "search the lake for these prompts"
     // pipeline op. Scores total as micro-unit INTEGERS (per-term
