@@ -71,8 +71,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     cat.listTables(ns).map(t => Identifier.of(namespace, t)).toArray
   }
 
+  private val MetadataKinds = Set("files", "partitions", "history", "tags")
+
   override def loadTable(ident: Identifier): Table = {
     val cat = inner
+    // `graft.ns.t.files` parses as namespace [ns, t] + name "files" —
+    // the Iceberg metadata-table addressing; serve it when [ns, t]
+    // names a real table and the suffix is a known metadata kind
+    if (ident.namespace().length == 2 &&
+        MetadataKinds.contains(ident.name()) &&
+        cat.tableExists(ident.namespace()(0), ident.namespace()(1))) {
+      return new GraftMetadataTable(
+        cat.getTable(ident.namespace()(0), ident.namespace()(1)), ident.name())
+    }
     val (ns, tbl) = (ns1(ident.namespace()), ident.name())
     if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
     new GraftV2Table(cat.getTable(ns, tbl))

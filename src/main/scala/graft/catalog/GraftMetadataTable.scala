@@ -1,0 +1,58 @@
+package graft.catalog
+
+import graft.table.TxTable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+/**
+ * Iceberg-style metadata tables addressed as a suffix on the table
+ * identifier — `SELECT * FROM graft.ns.t.files` / `.history` /
+ * `.partitions` / `.tags` — resolved by [[GraftCatalog.loadTable]]
+ * when the two-level namespace names a real table.
+ *
+ * Served as a [[LocalScan]]: the rows ARE driver metadata (snapshot
+ * descriptors, commit history, the tag store) — the whole point of the
+ * surface is answering from the log without touching data files, so a
+ * distributed scan would be theater. At 10⁶-file scale the `files`
+ * listing is manifest-resolution work, still metadata-bound.
+ */
+class GraftMetadataTable(tx: TxTable, kind: String) extends Table
+    with SupportsRead {
+
+  private val df: DataFrame = kind match {
+    case "files"      => tx.filesDf
+    case "partitions" => tx.partitionsDf
+    case "history"    => tx.history()
+    case "tags"       =>
+      val spark = tx.spark
+      import spark.implicits._
+      tx.tags.toSeq.sortBy(_._1).toDF("tag", "version")
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata table '$other' (files|partitions|history|tags)")
+  }
+
+  override def name(): String = s"${tx.name}.$kind"
+  override def schema(): StructType = df.schema
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft-metadata").asJava
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = df.schema
+        override def rows(): Array[InternalRow] =
+          df.queryExecution.executedPlan.executeCollect()
+        override def description(): String = s"GraftMetadata(${name()})"
+      }
+    }
+}

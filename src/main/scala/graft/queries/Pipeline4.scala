@@ -164,6 +164,32 @@ object Pipeline4 {
       ORDER BY risk_score, status""")),
 
     // ------------------------------------------------------------------
+    // Metadata-table surface (the Iceberg `t.partitions` suffix): the
+    // per-partition row counts answer from SNAPSHOT METADATA — zero
+    // data files touched (footer row counts recorded at commit) — and
+    // must equal what the oracle computes by actually scanning.
+    Q("catalog_v2_metadata", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("v2meta_seed", "parquet") {
+        SampleData.transactions(s, 220, seed = 66L)
+      }
+      val wh = Pipeline.scratch("v2meta")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("v2meta_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.meta")
+      s.sql("""CREATE TABLE graft.meta.txns PARTITIONED BY (date) AS
+               SELECT * FROM v2meta_seed""")
+      s.sql("""
+        SELECT partition_values['date'] AS date_str,
+               CAST(row_count AS BIGINT) AS n
+        FROM graft.meta.txns.partitions
+        ORDER BY date_str""")
+    }, oracle = Some(s"""
+      SELECT CAST(date AS VARCHAR) AS date_str, count(*) AS n
+      FROM read_parquet('$root/v2meta_seed/*.parquet')
+      GROUP BY date ORDER BY date_str""")),
+
+    // ------------------------------------------------------------------
     // Streaming table-to-table sync through the V2 catalog: the commit
     // log of the source table IS the stream (readStream.table tails it,
     // initial snapshot + per-commit added files), and the sink appends

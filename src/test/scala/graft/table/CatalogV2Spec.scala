@@ -213,6 +213,39 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 catalog: metadata tables files/partitions/history/tags") {
+    withCatalog("meta") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.m")
+      spark.sql("CREATE TABLE graft.m.t (id STRING, date DATE, v INT) PARTITIONED BY (date)")
+      spark.sql("""INSERT INTO graft.m.t VALUES
+        ('a', DATE'2026-01-01', 1), ('b', DATE'2026-01-02', 2)""")
+      spark.sql("INSERT INTO graft.m.t VALUES ('c', DATE'2026-01-01', 3)")
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      cat.getTable("m", "t").tag("audit")
+      // files: one row per live data file, partition values attached
+      val files = spark.sql("SELECT * FROM graft.m.t.files")
+      assert(files.count() === cat.getTable("m", "t").snapshot.files.size)
+      assert(files.columns.contains("partition_values"))
+      // partitions: per-partition rollup, metadata only
+      val parts = spark.sql(
+        "SELECT partition_values['date'] AS d, row_count FROM graft.m.t.partitions ORDER BY d")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(parts.toSeq === Seq(("2026-01-01", 2L), ("2026-01-02", 1L)))
+      // history: newest first, one row per commit (create + 2 inserts)
+      val hist = spark.sql("SELECT version, operation FROM graft.m.t.history")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(hist.head._1 === 2L && hist.length === 3)
+      assert(hist.map(_._2).toSet === Set("CREATE", "APPEND"))
+      // tags: the tag store as a table
+      val tags = spark.sql("SELECT * FROM graft.m.t.tags").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(tags.toSeq === Seq(("audit", 2L)))
+      // predicates and aggregates compose over metadata tables
+      assert(spark.sql(
+        "SELECT sum(row_count) FROM graft.m.t.partitions").head().getLong(0) === 3L)
+    }
+  }
+
   test("GraftSql routes SELECT over ns.tbl through the V2 catalog (no temp views)") {
     withCatalog("gsql") { wh =>
       val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
