@@ -114,8 +114,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
     val t = cat.getTable(ns, tbl)
     val cutoffMs = timestamp / 1000L
+    // raw snapshot headers carry the commit time — no manifest loads
+    val logDir = new Path(t.root, "_log")
+    val conf = spark.sessionState.newHadoopConf()
     val v = (0L to t.currentVersion).reverse
-      .find(v => t.snapshotAt(v).timestampMs <= cutoffMs)
+      .find(v => graft.table.TxLog.readRaw(logDir, v, conf).timestampMs <= cutoffMs)
       .getOrElse(throw new IllegalArgumentException(
         s"no version of $ns.$tbl committed at or before $cutoffMs ms"))
     new GraftV2Table(t, asOfVersion = Some(v))

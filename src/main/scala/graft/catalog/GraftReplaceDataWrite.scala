@@ -180,7 +180,8 @@ class GraftDataWriter(
 
   override def write(row: InternalRow): Unit = {
     if (opOffset < 0) bind(row)
-    // __row_operation = 1 is DELETE — a row the rewrite drops
+    // RowDeltaUtils.DELETE_OPERATION = 1 — a row the rewrite drops
+    // (group-based COW streams mark keepers 5/6, WRITE[_WITH_METADATA])
     if (opOffset == 1 && !row.isNullAt(0) && row.getInt(0) == 1) return
     val partVals: Map[String, String] = partFields.map { case (c, i, dt) =>
       c -> render(if (row.isNullAt(i)) null else row.get(i, dt), dt)
