@@ -174,6 +174,13 @@ class GraftDataWriter(
       case _: DecimalType =>
         v.asInstanceOf[org.apache.spark.sql.types.Decimal]
           .toBigDecimal.bigDecimal.toPlainString
+      case TimestampType =>
+        // internal micros → java.sql.Timestamp.toString, the rendering
+        // the V1 append path's partitionValueString produced for the
+        // same row — keeps UPDATE/MERGE/DELETE working on tables the
+        // append path created with a timestamp partition column
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(v.asInstanceOf[Long]).toString
       case other => throw new UnsupportedOperationException(
         s"partition column type $other not supported by the V2 write")
     }

@@ -167,7 +167,8 @@ class GraftV2Table(val tx: TxTable, asOfVersion: Option[Long] = None)
       StructType(fullSchema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val index = ScanBridge.snapshotIndex(tx.spark, new Path(tx.root, "data"),
       fullSchema, snap.partitionColumns,
-      snap.files.map(f => (f.path, f.partitionValues, f.sizeBytes)))
+      snap.files.map(f => (f.path, f.partitionValues, f.sizeBytes)),
+      snap.files.flatMap(f => f.stats.map(f.path -> _)).toMap)
     (ScanBridge.parquetScanBuilder(tx.spark, index, fullSchema, dataSchema,
       options), index)
   }

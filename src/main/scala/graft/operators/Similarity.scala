@@ -417,12 +417,21 @@ object Similarity {
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(probeDepth >= 0 && probeDepth <= nBits, s"probeDepth $probeDepth")
+    require(nBits >= 1 && nBits <= 62, s"nBits $nBits must fit a signed long bucket")
     val bucketedCorpus = corpus.select(col(corpusId), col(corpusVec),
       signLshBucket(col(corpusVec), dim, nBits).as("bucket"))
     val qBucket = signLshBucket(col(queryVec), dim, nBits)
-    // all XOR masks of popcount <= probeDepth (own bucket = mask 0)
-    val masks: Seq[Long] = (0L until (1L << nBits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeDepth)
+    // all XOR masks of popcount <= probeDepth (own bucket = mask 0),
+    // built combinatorially — O(Σ C(nBits, i)) work, never a 2^nBits
+    // sweep, so a wide signature (nBits ≥ 24) can't hang the driver
+    def masksUpTo(depth: Int): Seq[Long] = {
+      def choose(start: Int, left: Int, acc: Long): Seq[Long] =
+        if (left == 0) Seq(acc)
+        else (start until nBits).flatMap(b =>
+          choose(b + 1, left - 1, acc | (1L << b)))
+      (0 to depth).flatMap(d => choose(0, d, 0L))
+    }
+    val masks: Seq[Long] = masksUpTo(probeDepth)
     val probes = explode(array(
       masks.map(m => qBucket.bitwiseXOR(lit(m))): _*)).as("bucket")
     val probedQueries = queries.select(col(queryId), col(queryVec), probes)

@@ -139,13 +139,15 @@ object GraftSql {
             org.apache.spark.sql.functions.expr(assignment.substring(eq + 1))
         }.toMap
         val v = t.update(predicateOf(where),
-          set, partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns))
+          set, partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns,
+            spark.sessionState.conf.sessionLocalTimeZone))
         Seq(s"UPDATED $ns.$tbl v$v").toDF("result")
       case DeleteFromRe(rawName, where) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         val v = t.delete(predicateOf(where),
-          partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns))
+          partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns,
+            spark.sessionState.conf.sessionLocalTimeZone))
         Seq(s"DELETED $ns.$tbl v$v").toDF("result")
       case InsertRe(rawName, colList, query) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
@@ -411,7 +413,8 @@ object GraftSql {
     * always correct). */
   private def partitionFilterFrom(where: String,
       schema: org.apache.spark.sql.types.StructType,
-      partCols: Seq[String]): Map[String, String] = {
+      partCols: Seq[String],
+      sessionZone: String = "UTC"): Map[String, String] = {
     if (where == null || partCols.isEmpty) return Map.empty
     // RHS must be a LITERAL: quoted, or numeric/date-shaped (digit-led).
     // A bare identifier (`date = other_col`) must NOT prune — it is a
@@ -424,7 +427,7 @@ object GraftSql {
         else {
           val raw = if (quoted != null) quoted else bare
           schema.fields.find(_.name == c)
-            .flatMap(f => canonicalPartitionLiteral(raw, f.dataType))
+            .flatMap(f => canonicalPartitionLiteral(raw, f.dataType, sessionZone))
             .map(c -> _)
         }
       case _ => None
@@ -436,16 +439,44 @@ object GraftSql {
     * numbers without leading zeros). None = unparseable → caller skips
     * pruning on that conjunct. */
   private def canonicalPartitionLiteral(raw: String,
-      dt: org.apache.spark.sql.types.DataType): Option[String] = {
+      dt: org.apache.spark.sql.types.DataType,
+      sessionZone: String = "UTC"): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     import org.apache.spark.sql.types._
-    val v = try Cast(Literal(raw), dt, Some("UTC")).eval() catch {
+    // Only types whose INTERNAL value renders identically to the row
+    // value `partitionValueString` saw at write time may prune. Anything
+    // else (TimestampNTZ, binary, intervals, …) returns None — the
+    // conjunct is dropped and the rewrite scans every file, which is
+    // always correct. A TimestampType internal value is epoch MICROS, so
+    // bare `.toString` would yield '1704067200000000' while the stored
+    // value is java.sql.Timestamp's '2024-01-01 00:00:00.0'. It gets its
+    // own branch: parse the literal in the SESSION zone (the same zone
+    // the row predicate evaluates in, so the pruned instant IS the
+    // matched instant) and render via java.sql.Timestamp.toString (the
+    // rendering the write-side partitionValueString produced).
+    val zone = dt match {
+      case TimestampType => sessionZone
+      case _             => "UTC"
+    }
+    val v = try Cast(Literal(raw), dt, Some(zone)).eval() catch {
       case _: Exception => null
     }
-    Option(v).map {
-      case days: Int if dt == DateType =>
-        java.time.LocalDate.ofEpochDay(days.toLong).toString
-      case other => other.toString       // UTF8String/number/Decimal
+    Option(v).flatMap { value =>
+      (dt, value) match {
+        case (DateType, days: Int) =>
+          Some(java.time.LocalDate.ofEpochDay(days.toLong).toString)
+        case (TimestampType, micros: Long) =>
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .toJavaTimestamp(micros).toString)
+        case (StringType | BooleanType | ByteType | ShortType |
+              IntegerType | LongType | FloatType | DoubleType, other) =>
+          Some(other.toString)           // UTF8String/number render as stored
+        case (d: DecimalType, dec: org.apache.spark.sql.types.Decimal) =>
+          // Decimal.toString is the scaled BigDecimal — same rendering
+          // as the java.math.BigDecimal the row-side collect produced
+          Some(dec.toBigDecimal.setScale(d.scale).toString)
+        case _ => None                   // unknown rendering → no pruning
+      }
     }
   }
 

@@ -275,6 +275,21 @@ class TxTable private (
       TxLog.readAdded(logDir, v, conf).foreach(p =>
         if (!firstSeen.contains(p)) firstSeen(p) = v)
     }
+    // Logs predating the per-commit `added` record leave their files
+    // unattributed here; falling through to the head version would
+    // silently mis-version them. For exactly those files, replay the
+    // resolved snapshots oldest-first (the exact legacy derivation,
+    // O(versions × files) — paid only on pre-upgrade logs, and only
+    // until every legacy file is attributed).
+    val legacy = scala.collection.mutable.Set[String](
+      s.files.map(_.path).filterNot(firstSeen.contains): _*)
+    var v = 0L
+    while (legacy.nonEmpty && v <= s.version) {
+      TxLog.read(logDir, v, conf).files.foreach { f =>
+        if (legacy.remove(f.path)) firstSeen(f.path) = v
+      }
+      v += 1
+    }
     val byName = s.files.map(f =>
       (new Path(f.path).getName, firstSeen.getOrElse(f.path, s.version)))
       .toDF("__graft_file", "_commit_version")

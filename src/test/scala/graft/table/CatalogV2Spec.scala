@@ -65,6 +65,49 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 scan: file-level min/max skipping prunes files on data predicates") {
+    withCatalog("skip") { wh =>
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sk")
+      spark.sql("CREATE TABLE graft.sk.t (id STRING, v BIGINT)")
+      // three commits with disjoint value ranges → ≥3 files with
+      // disjoint [min, max] footer stats
+      spark.sql("INSERT INTO graft.sk.t VALUES ('a', 1), ('b', 2)")
+      spark.sql("INSERT INTO graft.sk.t VALUES ('c', 100), ('d', 101)")
+      spark.sql("INSERT INTO graft.sk.t VALUES ('e', 200), ('f', 201)")
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val total = cat.getTable("sk", "t").snapshot.files.size
+      assert(total >= 3)
+      def scannedFiles(q: org.apache.spark.sql.DataFrame): Int =
+        q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+          .map(_.inputPartitions.map {
+            case fp: FilePartition => fp.files.length
+            case _ => 0
+          }.sum).sum
+      val eq = spark.sql("SELECT id FROM graft.sk.t WHERE v = 100")
+      assert(eq.collect().map(_.getString(0)) === Array("c"))
+      assert(scannedFiles(eq) < total, "v = 100 should skip non-matching files")
+      val range = spark.sql("SELECT id FROM graft.sk.t WHERE v > 150")
+      assert(range.collect().map(_.getString(0)).sorted === Array("e", "f"))
+      assert(scannedFiles(range) < total, "v > 150 should skip non-matching files")
+      // string column skipping
+      val s = spark.sql("SELECT v FROM graft.sk.t WHERE id = 'f'")
+      assert(s.collect().map(_.getLong(0)) === Array(201L))
+      assert(scannedFiles(s) < total, "id = 'f' should skip non-matching files")
+      // a predicate matching nothing plans zero files but still answers
+      val none = spark.sql("SELECT id FROM graft.sk.t WHERE v = 50")
+      assert(none.count() === 0)
+      assert(scannedFiles(none) === 0)
+      // the wrapped V2 scan still reports real statistics (broadcast
+      // decisions depend on it — defaultSizeInBytes would be MaxValue)
+      val rel = spark.table("graft.sk.t")
+      val sz = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(sz > 0 && sz < BigInt(Long.MaxValue) / 4,
+        s"scan stats not reported: $sz")
+      spark.sql("DROP TABLE graft.sk.t")
+    }
+  }
+
   test("V2 catalog: ALTER TABLE ADD/RENAME/DROP COLUMN via SQL text") {
     withCatalog("alter") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.a")

@@ -722,6 +722,31 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.count() === 1)
   }
 
+  test("SQL DML on a timestamp-partitioned table updates rows (no silent no-op)") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, new Path(freshDir("sqlprune_ts")))
+    val ts1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    val t = cat.createTable("analytics", "by_ts",
+      Seq(("a", ts1, 1.0)).toDF("id", "ts", "v").schema, Seq("ts"))
+    t.append(Seq(("a", ts1, 1.0), ("b", ts1, 2.0), ("c", ts2, 3.0))
+      .toDF("id", "ts", "v"))
+    // pre-fix, the timestamp literal canonicalized to raw epoch micros,
+    // matched no partition, and the UPDATE reported success while
+    // touching zero rows
+    cat.sql("UPDATE analytics.by_ts SET v = v + 10 " +
+      "WHERE ts = TIMESTAMP'2026-01-01 00:00:00'")
+    assert(t.toDF.filter(col("v") >= 10).count() === 2)
+    // pruning actually engaged: the other partition's file survived
+    val keep = t.snapshot.files
+      .filterNot(_.partitionValues("ts").startsWith("2026-01-01"))
+      .map(_.path).toSet
+    assert(keep.nonEmpty && keep.subsetOf(t.snapshot.files.map(_.path).toSet))
+    cat.sql("DELETE FROM analytics.by_ts WHERE ts = TIMESTAMP'2026-01-02 00:00:00'")
+    assert(t.toDF.count() === 2)
+    assert(keep.intersect(t.snapshot.files.map(_.path).toSet).isEmpty)
+  }
+
   test("schema evolution: dropColumn, renameColumn, NOT NULL write enforcement") {
     val t = TxTable.create(spark, new Path(freshDir("tx_evolve2")), "t",
       Schemas.transactions, Seq("date"))
