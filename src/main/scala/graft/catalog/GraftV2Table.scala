@@ -159,7 +159,8 @@ class GraftV2Table(val tx: TxTable, asOfVersion: Option[Long] = None)
     // batch plans delegate straight through (pushdown forwarded);
     // toMicroBatchStream tails the commit log from this snapshot on
     ScanBridge.streamCapable(scanBuilderCapturing(options)._1,
-      _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns))
+      _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns,
+        options))
 
   private def scanBuilderCapturing(options: CaseInsensitiveStringMap)
       : (ScanBuilder, org.apache.spark.sql.graft.SnapshotFileIndex) = {

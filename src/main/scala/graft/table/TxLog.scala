@@ -145,6 +145,27 @@ object TxLog {
   def readAdded(logDir: Path, version: Long, conf: Configuration): Seq[String] =
     readRaw(logDir, version, conf).added
 
+  /** Full [[DataFile]] records for the files FIRST ADDED by `version`'s
+    * commit, resolved in O(changed files): [[layout]] guarantees an
+    * added file lives in the commit's inline remainder or in a manifest
+    * the commit itself introduced (a reused ref only ever carries files
+    * that already existed), so only the NEW manifests are opened —
+    * never the whole snapshot. Streaming catch-up over K commits is
+    * K × |changed|, not K × |table|. (The rare ref-compaction commit
+    * rewrites one full-table manifest; that single load is the
+    * amortized cost of keeping the ref list O(1).) */
+  def readChanged(logDir: Path, version: Long, conf: Configuration): Seq[DataFile] = {
+    val raw = readRaw(logDir, version, conf)
+    val added = raw.added.toSet
+    if (added.isEmpty) return Nil
+    val prevManifests: Set[String] =
+      if (version == 0) Set.empty
+      else readRaw(logDir, version - 1, conf).manifests.map(_.path).toSet
+    val introduced = raw.manifests.filterNot(m => prevManifests.contains(m.path))
+    (raw.files ++ introduced.flatMap(loadManifest(logDir, _, conf)))
+      .filter(f => added.contains(f.path))
+  }
+
   private def manifestName(version: Long): String =
     f"m-$version%08d-${java.util.UUID.randomUUID().toString}.manifest.json"
 
@@ -157,8 +178,15 @@ object TxLog {
           e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean = size > 256
     }
 
+  /** Manifest resolutions (cache hits included) — a manifest resolved
+    * from cache still costs an O(entries) scan downstream, so specs pin
+    * catch-up planning cost by asserting this counter's delta. */
+  private val manifestResolutions = new java.util.concurrent.atomic.AtomicLong
+  def manifestResolutionCount: Long = manifestResolutions.get
+
   private def loadManifest(logDir: Path, ref: ManifestRef,
       conf: Configuration): Seq[DataFile] = {
+    manifestResolutions.incrementAndGet()
     val key = new Path(logDir, ref.path).toString
     val cached = manifestCache.synchronized(Option(manifestCache.get(key)))
     cached.getOrElse {

@@ -289,6 +289,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming table source: maxFilesPerTrigger drains a backlog in bounded batches") {
+    val wh = freshDir("v2cat_admit")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ad")
+    spark.sql("CREATE TABLE graft.ad.t (id STRING, v INT)")
+    // six commits of one file each — the backlog a restarting stream
+    // faces; without admission control this plans ONE batch of all six
+    (1 to 6).foreach(i =>
+      spark.sql(s"INSERT INTO graft.ad.t VALUES ('r$i', $i)"))
+    val q = spark.readStream
+      .option("startingVersion", "1")       // skip the initial snapshot
+      .option("maxFilesPerTrigger", "2")
+      .table("graft.ad.t")
+      .writeStream.format("memory").queryName("admit_out")
+      .option("checkpointLocation", s"${freshDir("v2cat_admit_ckpt")}/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "AvailableNow run did not finish")
+      assert(spark.table("admit_out").count() === 6)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length >= 3,
+        s"expected >=3 bounded micro-batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows <= 2),
+        s"a batch exceeded the 2-file bound: ${batches.map(_.numInputRows).toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming table source: startingVersion=latest sees only new commits") {
+    val wh = freshDir("v2cat_latest")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.lt")
+    spark.sql("CREATE TABLE graft.lt.t (id STRING, v INT)")
+    spark.sql("INSERT INTO graft.lt.t VALUES ('old', 0)")
+    val q = spark.readStream
+      .option("startingVersion", "latest")
+      .table("graft.lt.t")
+      .writeStream.format("memory").queryName("latest_out")
+      .option("checkpointLocation", s"${freshDir("v2cat_latest_ckpt")}/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("latest_out").count() === 0,
+        "pre-existing snapshot must be skipped")
+      spark.sql("INSERT INTO graft.lt.t VALUES ('new', 1)")
+      q.processAllAvailable()
+      val out = spark.table("latest_out").select("id").as[String].collect().toSeq
+      assert(out === Seq("new"))
+    } finally q.stop()
+  }
+
   test("streaming table sink: writeStream.toTable appends with epoch fencing") {
     val wh = freshDir("v2cat_sink")
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
