@@ -161,29 +161,7 @@ class GraftDataWriter(
   private val sinks =
     mutable.LinkedHashMap.empty[String, (RowSink, Map[String, String], String)]
 
-  /** Internal-value rendering that matches TxTable's external-value
-    * `partitionValueString` byte for byte — the directory name IS the
-    * partition value contract. */
-  private def render(v: Any, dt: DataType): String =
-    if (v == null) "__HIVE_DEFAULT_PARTITION__"
-    else dt match {
-      case DateType =>
-        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
-      case StringType | IntegerType | LongType | ShortType | ByteType |
-           BooleanType | DoubleType | FloatType => v.toString
-      case _: DecimalType =>
-        v.asInstanceOf[org.apache.spark.sql.types.Decimal]
-          .toBigDecimal.bigDecimal.toPlainString
-      case TimestampType =>
-        // internal micros → java.sql.Timestamp.toString, the rendering
-        // the V1 append path's partitionValueString produced for the
-        // same row — keeps UPDATE/MERGE/DELETE working on tables the
-        // append path created with a timestamp partition column
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .toJavaTimestamp(v.asInstanceOf[Long]).toString
-      case other => throw new UnsupportedOperationException(
-        s"partition column type $other not supported by the V2 write")
-    }
+  private def render(v: Any, dt: DataType): String = PartitionRender(v, dt)
 
   override def write(row: InternalRow): Unit = {
     if (opOffset < 0) bind(row)
@@ -225,4 +203,34 @@ class GraftDataWriter(
   }
 
   override def close(): Unit = closeAll()
+}
+
+/** CATALYST-INTERNAL-value rendering of a partition value that matches
+  * TxTable's external-value `partitionValueString` byte for byte — the
+  * directory name and snapshot `partitionValues` ARE the partition value
+  * contract. Shared by the row-level V2 writer (per-row dynamic
+  * routing) and the partition-scoped INSERT OVERWRITE predicate
+  * translation. */
+private[catalog] object PartitionRender {
+  def apply(v: Any, dt: DataType): String =
+    if (v == null) "__HIVE_DEFAULT_PARTITION__"
+    else dt match {
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType | DoubleType | FloatType => v.toString
+      case _: DecimalType =>
+        v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toBigDecimal.bigDecimal.toPlainString
+      case TimestampType =>
+        // internal micros → java.sql.Timestamp.toString, the rendering
+        // the V1 append path's partitionValueString produced for the
+        // same row — keeps row-level DML and partition overwrite
+        // working on tables the append path created with a timestamp
+        // partition column
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(v.asInstanceOf[Long]).toString
+      case other => throw new UnsupportedOperationException(
+        s"partition column type $other not supported by the V2 write")
+    }
 }

@@ -59,7 +59,7 @@ import scala.jdk.CollectionConverters._
  * through Spark's own parquet writer with dynamic partition routing,
  * and the driver CAS-commits kept ∪ new files.
  */
-class GraftV2Table(val tx: TxTable, asOfVersion: Option[Long] = None)
+class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     extends Table
     with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations {
@@ -178,18 +178,48 @@ class GraftV2Table(val tx: TxTable, asOfVersion: Option[Long] = None)
     requireWritable("write to")
     new WriteBuilder with SupportsOverwriteV2 {
       private var overwriteAll = false
+      // partition-scoped static overwrite: column -> stored value string
+      private var overwritePartitionFilter: Option[Map[String, String]] = None
 
       override def truncate(): WriteBuilder = { overwriteAll = true; this }
 
+      /** Equality predicate on a single top-level partition column →
+        * (column, stored-partition-value string); None for anything the
+        * composite delete+append commit can't scope safely. */
+      private def partitionEquality(p: Predicate): Option[(String, String)] = {
+        val partCols = snap.partitionColumns.toSet
+        def of(f: org.apache.spark.sql.connector.expressions.Expression,
+            l: org.apache.spark.sql.connector.expressions.Expression) =
+          (f, l) match {
+            case (r: NamedReference,
+                  v: org.apache.spark.sql.connector.expressions.Literal[_])
+                if r.fieldNames.length == 1 && partCols(r.fieldNames()(0)) =>
+              Some(r.fieldNames()(0) -> PartitionRender(v.value, v.dataType))
+            case _ => None
+          }
+        p.name() match {
+          case "=" | "<=>" =>
+            val cs = p.children()
+            if (cs.length != 2) None
+            else of(cs(0), cs(1)).orElse(of(cs(1), cs(0)))
+          case _ => None
+        }
+      }
+
       override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
-        // Only full-table overwrite (INSERT OVERWRITE without a partition
-        // spec analyzes to an always-true predicate). Partition-scoped
-        // overwrite would need a delete+append composite commit.
+        // INSERT OVERWRITE without a partition spec analyzes to an
+        // always-true predicate → full-table overwrite. A static
+        // `PARTITION (col=v, …)` spec arrives as partition-equality
+        // predicates → one delete+append composite commit scoped to
+        // exactly those partitions (TxTable.overwritePartitions).
         val alwaysTrue = predicates.isEmpty ||
           (predicates.length == 1 && predicates(0).name() == "ALWAYS_TRUE")
-        if (!alwaysTrue) throw new UnsupportedOperationException(
-          s"partial OVERWRITE by ${predicates.mkString(", ")}")
-        overwriteAll = true
+        if (alwaysTrue) { overwriteAll = true; return this }
+        val eqs = predicates.toSeq.map(partitionEquality)
+        if (eqs.exists(_.isEmpty)) throw new UnsupportedOperationException(
+          s"partial OVERWRITE by ${predicates.mkString(", ")} — only " +
+            "partition-equality predicates are supported")
+        overwritePartitionFilter = Some(eqs.flatten.toMap)
         this
       }
 
@@ -197,7 +227,12 @@ class GraftV2Table(val tx: TxTable, asOfVersion: Option[Long] = None)
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit =
-              if (overwriteAll || overwrite) tx.overwrite(data) else tx.append(data)
+              overwritePartitionFilter match {
+                case Some(filter) => tx.overwritePartitions(data, filter)
+                case None =>
+                  if (overwriteAll || overwrite) tx.overwrite(data)
+                  else tx.append(data)
+              }
           }
 
         /** `df.writeStream.toTable("graft.ns.t")` — append-mode

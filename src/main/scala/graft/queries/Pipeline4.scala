@@ -164,6 +164,59 @@ object Pipeline4 {
       ORDER BY risk_score, status""")),
 
     // ------------------------------------------------------------------
+    // Partition-scoped INSERT OVERWRITE (the Athena/Iceberg static
+    // `PARTITION (col=v)` overwrite): the equality predicate reaches
+    // GraftV2Table.overwrite as a V2 partition-equality Predicate and
+    // executes as ONE delete+append composite commit
+    // (TxTable.overwritePartitions) — the earliest date's partition is
+    // replaced with restated rows, every other partition's files are
+    // carried forward untouched. The oracle replays the replacement
+    // algebra over the staged seed.
+    Q("catalog_v2_overwrite_partition", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("v2ow_seed", "parquet") {
+        SampleData.transactions(s, 240, seed = 77L)
+      }
+      val wh = Pipeline.scratch("v2ow")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val seed = s.read.parquet(seedDir)
+      seed.createOrReplaceTempView("v2ow_seed")
+      val minDate = seed.agg(min(col("date"))).head.getDate(0).toString
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.analytics")
+      s.sql("""CREATE TABLE graft.analytics.txns_ow PARTITIONED BY (date) AS
+               SELECT * FROM v2ow_seed""")
+      seed.filter(col("date") === to_date(lit(minDate)))
+        .withColumn("amount",
+          round(col("amount") * 2, 2).cast(DecimalType(12, 2)))
+        .withColumn("status", lit("RESTATED"))
+        .drop("date")
+        .createOrReplaceTempView("v2ow_replacement")
+      s.sql(s"""INSERT OVERWRITE graft.analytics.txns_ow
+                PARTITION (date = DATE'$minDate')
+                SELECT * FROM v2ow_replacement""")
+      s.sql("""
+        SELECT CAST(date AS STRING) AS date_str, status, count(*) AS n,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft.analytics.txns_ow
+        GROUP BY date, status
+        ORDER BY date_str, status""")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/v2ow_seed/*.parquet')),
+      md AS (SELECT min(date) AS d FROM seed),
+      repl AS (
+        SELECT * REPLACE(
+          CAST(round(amount * 2, 2) AS DECIMAL(12,2)) AS amount,
+          'RESTATED' AS status)
+        FROM seed WHERE date = (SELECT d FROM md)),
+      fin AS (
+        SELECT * FROM seed WHERE date <> (SELECT d FROM md)
+        UNION ALL SELECT * FROM repl)
+      SELECT CAST(date AS VARCHAR) AS date_str, status, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM fin GROUP BY date, status
+      ORDER BY date_str, status""")),
+
+    // ------------------------------------------------------------------
     // Metadata-table surface (the Iceberg `t.partitions` suffix): the
     // per-partition row counts answer from SNAPSHOT METADATA — zero
     // data files touched (footer row counts recorded at commit) — and

@@ -106,6 +106,7 @@ object TxLog {
   /** Parse a snapshot AS STORED: inline files + unresolved manifest
     * refs. Commit and provenance use this — it is O(changed files). */
   def readRaw(logDir: Path, version: Long, conf: Configuration): Snapshot = {
+    rawHeaderReads.incrementAndGet()
     val p = new Path(logDir, snapshotName(version))
     val f = fs(logDir, conf)
     // The local-FS commit publishes content with an atomic rename onto a
@@ -177,6 +178,11 @@ object TxLog {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean = size > 256
     }
+
+  /** Raw snapshot-header reads — specs pin time-travel resolution cost
+    * (binary search must be O(log commits), not a linear walk). */
+  private val rawHeaderReads = new java.util.concurrent.atomic.AtomicLong
+  def rawHeaderReadCount: Long = rawHeaderReads.get
 
   /** Manifest resolutions (cache hits included) — a manifest resolved
     * from cache still costs an O(entries) scan downstream, so specs pin

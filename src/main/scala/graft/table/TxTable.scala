@@ -655,6 +655,31 @@ class TxTable private (
     }
   }
 
+  /** Partition-scoped overwrite (the `INSERT OVERWRITE t PARTITION
+    * (col=v, …)` surface): one atomic commit replaces exactly the files
+    * whose partitionValues match EVERY entry of `partitionFilter` with
+    * the batch's files — a delete+append composite under a single CAS,
+    * the Iceberg static-overwrite shape. Files of other partitions are
+    * carried forward untouched. Values are matched against the stored
+    * partition-value strings (see [[partitionValueString]]). */
+  def overwritePartitions(df: DataFrame,
+      partitionFilter: Map[String, String]): Long = {
+    require(partitionFilter.nonEmpty, "use overwrite() for full-table overwrite")
+    val s = snapshot
+    val unknown = partitionFilter.keySet -- s.partitionColumns.toSet
+    require(unknown.isEmpty,
+      s"not partition columns of $name: ${unknown.mkString(", ")}")
+    val newFiles = writeFiles(align(df, schemaOf(s)), s.partitionColumns)
+    retryingCommit("OVERWRITE") { expected =>
+      val cur = snapshotAt(expected)
+      val kept = cur.files.filterNot(f =>
+        partitionFilter.forall { case (c, v) =>
+          f.partitionValues.get(c).contains(v) })
+      commit(Some(expected), "OVERWRITE", schemaOf(cur),
+        cur.partitionColumns, kept ++ newFiles)
+    }
+  }
+
   /**
    * MERGE/upsert on `key` — the Firehose `unique_keys` contract
    * (stack/firehose.py:99): a batch row whose key matches an existing row

@@ -257,6 +257,79 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 catalog: partition-scoped INSERT OVERWRITE replaces only that partition") {
+    withCatalog("pow") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
+      spark.sql("""CREATE TABLE graft.ow.t (id STRING, date DATE, v INT)
+          PARTITIONED BY (date)""")
+      spark.sql("""INSERT INTO graft.ow.t VALUES
+        ('a', DATE'2026-01-01', 1), ('b', DATE'2026-01-01', 2),
+        ('c', DATE'2026-01-02', 3)""")
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val t = cat.getTable("ow", "t")
+      val keepFiles = t.snapshot.files
+        .filter(_.partitionValues("date") == "2026-01-02").map(_.path).toSet
+      val vBefore = t.currentVersion
+      spark.sql("""INSERT OVERWRITE graft.ow.t PARTITION (date = DATE'2026-01-01')
+                   VALUES ('x', 9), ('y', 10)""")
+      // one composite commit: delete+append under a single CAS
+      assert(t.currentVersion === vBefore + 1)
+      val out = spark.sql("SELECT id, v FROM graft.ow.t ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(out === Seq(("c", 3), ("x", 9), ("y", 10)))
+      // the untouched partition's files are carried forward byte-identical
+      assert(keepFiles.subsetOf(t.snapshot.files.map(_.path).toSet))
+      // overwriting a partition that matches nothing still appends its rows
+      spark.sql("""INSERT OVERWRITE graft.ow.t PARTITION (date = DATE'2026-03-01')
+                   VALUES ('z', 42)""")
+      assert(spark.sql("SELECT count(*) FROM graft.ow.t").head.getLong(0) === 4L)
+      // full-table overwrite still works
+      spark.sql("INSERT OVERWRITE graft.ow.t VALUES ('w', DATE'2026-05-05', 0)")
+      assert(spark.sql("SELECT count(*) FROM graft.ow.t").head.getLong(0) === 1L)
+    }
+  }
+
+  test("TIMESTAMP AS OF resolves by binary search: O(log n) header reads") {
+    withCatalog("ttbin") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tb")
+      spark.sql("CREATE TABLE graft.tb.t (id INT)")                   // v0
+      // synthesize 400 further commits with strictly monotone times —
+      // header-only resolution needs no data files
+      val logDir = new org.apache.hadoop.fs.Path(s"$wh/tb/t/_log")
+      val conf = spark.sessionState.newHadoopConf()
+      val base = TxLog.readRaw(logDir, 0L, conf)
+      val t0 = base.timestampMs
+      (1L to 400L).foreach { i =>
+        TxLog.commit(logDir, Some(i - 1), base.copy(
+          version = i, timestampMs = t0 + i * 1000L,
+          operation = "APPEND"), conf)
+      }
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("tb"), "t")
+      def resolve(cutoffMs: Long): (Long, Long) = {
+        val before = TxLog.rawHeaderReadCount
+        val tbl = cat.loadTable(ident, cutoffMs * 1000L) // micros
+          .asInstanceOf[graft.catalog.GraftV2Table]
+        (tbl.asOfVersion.get, TxLog.rawHeaderReadCount - before)
+      }
+      // exact hit, between-commit instant, and head
+      val (v1, r1) = resolve(t0 + 137 * 1000L)
+      assert(v1 === 137L)
+      val (v2, r2) = resolve(t0 + 137 * 1000L + 500L)
+      assert(v2 === 137L)
+      val (v3, r3) = resolve(t0 + 400 * 1000L + 60000L)
+      assert(v3 === 400L)
+      // log2(401) ≈ 8.6 → ≤ ~10 probes + boundary check (+ table-open
+      // overhead); a linear walk would read 264-401 headers
+      Seq(r1, r2, r3).foreach(r =>
+        assert(r <= 20L, s"time-travel resolution read $r headers — not O(log n)"))
+      // pre-creation instant errors
+      intercept[IllegalArgumentException] { resolve(t0 - 10000L) }
+    }
+  }
+
   test("V2 catalog: metadata tables files/partitions/history/tags") {
     withCatalog("meta") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.m")
