@@ -50,28 +50,43 @@ object GraftSql {
   private val DescribeRe =
     """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*""".r
 
-  /** The catalog name GraftSql registers for native statement routing —
-    * distinct from any user-configured graft catalog so per-call
-    * warehouse switches can't clobber one. */
-  private val SqlCatalogName = "graftsql"
+  /** ONE catalog name per warehouse (`graftsql_<md5(path)>`): the
+    * plugin's conf entries for a given name are written once with fixed
+    * values and never repointed, so concurrent GraftSql calls against
+    * catalogs with DIFFERENT warehouses can never clobber each other's
+    * warehouse conf — the round-6 single-name design re-pointed one
+    * shared `graftsql.warehouse` key per call. */
+  private def catalogNameFor(cat: TableCatalog): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(cat.warehouse.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"graftsql_${digest.map(b => f"$b%02x").mkString}"
+  }
+
+  /** The current-catalog flip is still session-global state; serialize
+    * it (and the analysis/eager-command execution inside) so two
+    * threads routing statements through one SparkSession cannot
+    * cross-target. Lazy queries resolve their plan inside the lock and
+    * execute after release, so only analysis and eager DDL/DML
+    * serialize. */
+  private val currentCatalogLock = new Object
 
   /**
    * Run `f` with this [[TableCatalog]]'s warehouse exposed as the
    * session's CURRENT catalog through the DataSource V2 plugin
    * ([[graft.catalog.GraftCatalog]]), so `ns.tbl` references inside the
-   * statement resolve natively by Catalyst — no text rewriting. The
-   * plugin reads its warehouse from the session conf on every access,
-   * so repointing the conf here re-targets the cached plugin instance.
+   * statement resolve natively by Catalyst — no text rewriting.
    */
   private def withCurrentCatalog[T](cat: TableCatalog)(f: => T): T = {
     val spark = cat.spark
-    spark.conf.set(s"spark.sql.catalog.$SqlCatalogName",
-      "graft.catalog.GraftCatalog")
-    spark.conf.set(s"spark.sql.catalog.$SqlCatalogName.warehouse",
+    val name = catalogNameFor(cat)
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse",
       cat.warehouse.toString)
-    val prev = spark.catalog.currentCatalog()
-    spark.catalog.setCurrentCatalog(SqlCatalogName)
-    try f finally spark.catalog.setCurrentCatalog(prev)
+    currentCatalogLock.synchronized {
+      val prev = spark.catalog.currentCatalog()
+      spark.catalog.setCurrentCatalog(name)
+      try f finally spark.catalog.setCurrentCatalog(prev)
+    }
   }
 
   private def nativeSql(cat: TableCatalog, text: String): DataFrame =

@@ -1122,6 +1122,36 @@ class TxTableSpec extends SparkSpec {
     assert(delLen < 8192, s"delete snapshot is $delLen bytes")
   }
 
+  test("concurrent GraftSql routing across two warehouses never cross-targets") {
+    import spark.implicits._
+    val catA = new TableCatalog(spark, new Path(freshDir("sql_thr_a")))
+    val catB = new TableCatalog(spark, new Path(freshDir("sql_thr_b")))
+    catA.createTable("ns", "t", Seq((1, "x")).toDF("id", "tag").schema, Nil)
+    catB.createTable("ns", "t", Seq((1, "x")).toDF("id", "tag").schema, Nil)
+    // same statement text, same ns.tbl name, different warehouses — the
+    // round-6 single shared catalog name could cross-target under
+    // concurrency (one thread's warehouse repoint visible to the other)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = Seq(("A", catA), ("B", catB)).map { case (tag, cat) =>
+        pool.submit(new java.util.concurrent.Callable[(Long, Seq[String])] {
+          override def call(): (Long, Seq[String]) = {
+            (1 to 10).foreach(i =>
+              cat.sql(s"INSERT INTO ns.t VALUES ($i, '$tag')"))
+            val tags = cat.sql("SELECT DISTINCT tag FROM ns.t")
+              .as[String].collect().toSeq
+            val n = cat.sql("SELECT count(*) AS n FROM ns.t")
+              .as[Long].head()
+            (n, tags)
+          }
+        })
+      }
+      val results = tasks.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(results(0) === ((10L, Seq("A"))), s"catalog A saw ${results(0)}")
+      assert(results(1) === ((10L, Seq("B"))), s"catalog B saw ${results(1)}")
+    } finally pool.shutdown()
+  }
+
   test("readChanged resolves a K-commit catch-up in O(changed), not O(K x table)") {
     // Synthetic log, 120 single-file commits: readChanged(v) must open
     // only the manifest commit v itself introduced — never the whole
