@@ -43,12 +43,12 @@ import scala.jdk.CollectionConverters._
  * `deleteWhere` — which routes to [[TxTable.delete]] as a copy-on-write
  * rewrite, with top-level partition-equality conjuncts pruning the
  * rewrite to the touched partitions. `TRUNCATE TABLE` is native too
- * (`truncateTable()` → always-true `deleteWhere`). One known edge: a
- * bare `DELETE FROM t` (no WHERE) is deliberately NOT row-level
- * rewritten by Spark's analyzer (it reserves it for the planner's
- * truncate path, which requires the scan to preserve declared column
- * order — ours appends partition columns last, as Spark's own file
- * scans do); use TRUNCATE TABLE or the SQL router for that statement.
+ * (`truncateTable()` → always-true `deleteWhere`), and so is a bare
+ * `DELETE FROM t`: the analyzer reserves it for the planner's truncate
+ * path, which requires an unwrapped scan relation — satisfied because
+ * the scan reports `readSchema` in the requested column order (the
+ * `ScanBridge.streamCapable` permuting wrapper), so no reordering
+ * Project is inserted above the relation.
  *
  * `UPDATE` and `MERGE INTO` (and non-filter DELETEs) execute the
  * group-based rewrite itself — [[GraftReplaceDataWrite]], a real V2

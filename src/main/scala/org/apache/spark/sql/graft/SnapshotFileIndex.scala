@@ -215,6 +215,56 @@ private[graft] class ReorderingReaderFactory(
   }
 }
 
+/** Reorders scan output from `scanSchema` order to the permutation
+  * `perm` (output ordinal → scan ordinal) WITHOUT giving up columnar
+  * reads: a columnar batch is permuted by re-wrapping its column
+  * vectors (a pointer shuffle, no data copied); row-based reads project
+  * per row. Used by the batch V2 scan so `readSchema` can match the
+  * requested column order exactly. */
+private[graft] class PermutingReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    scanSchema: StructType,
+    perm: Array[Int])
+  extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      partition: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    inner.supportColumnarReads(partition)
+
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val r = inner.createReader(partition)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      perm.toIndexedSeq.map(i =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i, scanSchema(i).dataType, scanSchema(i).nullable)))
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = proj(r.get())
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val r = inner.createColumnarReader(partition)
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = r.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = r.get()
+        val cols = perm.map(b.column(_))
+        new org.apache.spark.sql.vectorized.ColumnarBatch(
+          cols.toArray[org.apache.spark.sql.vectorized.ColumnVector], b.numRows())
+      }
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
 /** Constructors for `private[sql]` scan machinery used by the public
   * `graft.catalog` connector classes. */
 object ScanBridge {
@@ -279,10 +329,19 @@ object ScanBridge {
 
   /**
    * Give a parquet scan builder a streaming personality: the built scan
-   * delegates batch reads untouched and answers `toMicroBatchStream`
-   * with the provided factory. Every pushdown interface the parquet
-   * builder implements is forwarded, so batch plans through this
-   * wrapper keep filter/column/aggregate pushdown.
+   * delegates batch reads and answers `toMicroBatchStream` with the
+   * provided factory. Every pushdown interface the parquet builder
+   * implements is forwarded, so batch plans through this wrapper keep
+   * filter/column/aggregate pushdown.
+   *
+   * The built scan also reports `readSchema` in the REQUESTED column
+   * order (the parquet scan emits data columns then partition columns;
+   * rows/batches are permuted in the reader — a pointer shuffle for
+   * columnar batches). Matching the requested order means the pushdown
+   * rule inserts no reordering Project above the relation, which is
+   * what lets the planner's bare `DELETE FROM t` truncate path — which
+   * requires an unwrapped scan relation — accept partitioned graft
+   * tables, exactly as Iceberg's order-preserving scan does.
    */
   def streamCapable(inner: ScanBuilder,
       stream: String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
@@ -292,6 +351,10 @@ object ScanBridge {
     import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     new SupportsPushDownCatalystFilters with SupportsPushDownRequiredColumns
         with SupportsPushDownAggregates with SupportsPushDownVariantExtractions {
+      // requested column order, captured at pruneColumns time; the
+      // built scan reorders to it when the parquet scan's output is a
+      // permutation (aggregate pushdown output, for example, is not)
+      private var requestedOrder: Option[Seq[String]] = None
       override def pushFilters(
           filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
           : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
@@ -305,11 +368,13 @@ object ScanBridge {
           case c: SupportsPushDownCatalystFilters => c.pushedFilters
           case _ => Array.empty
         }
-      override def pruneColumns(requiredSchema: StructType): Unit =
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        requestedOrder = Some(requiredSchema.fieldNames.toSeq)
         inner match {
           case c: SupportsPushDownRequiredColumns => c.pruneColumns(requiredSchema)
           case _ =>
         }
+      }
       override def pushAggregation(aggregation: Aggregation): Boolean =
         inner match {
           case c: SupportsPushDownAggregates => c.pushAggregation(aggregation)
@@ -329,15 +394,36 @@ object ScanBridge {
         }
       override def build(): Scan = {
         val built = inner.build()
+        val builtSchema = built.readSchema()
+        // reorder only when the scan output is a true permutation of
+        // the requested columns (a pushed aggregate's output is not)
+        val perm: Option[Array[Int]] = requestedOrder
+          .filter(names => builtSchema.fieldNames.toSeq != names &&
+            builtSchema.fieldNames.sorted.toSeq == names.sorted)
+          .map(names => names.map(builtSchema.fieldIndex).toArray)
         // SupportsReportStatistics must survive the wrap: FileScan
         // reports real sizeInBytes/rowCount, and without it
         // DataSourceV2ScanRelation falls back to defaultSizeInBytes
         // (Long.MaxValue) and joins against graft tables never
         // auto-broadcast.
         new Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-          override def readSchema(): StructType = built.readSchema()
+          override def readSchema(): StructType = perm match {
+            case Some(p) => StructType(p.toIndexedSeq.map(builtSchema(_)))
+            case None    => builtSchema
+          }
           override def description(): String = built.description()
-          override def toBatch: Batch = built.toBatch
+          override def toBatch: Batch = perm match {
+            case None => built.toBatch
+            case Some(p) =>
+              val b = built.toBatch
+              new Batch {
+                override def planInputPartitions(): Array[InputPartition] =
+                  b.planInputPartitions()
+                override def createReaderFactory(): PartitionReaderFactory =
+                  new PermutingReaderFactory(b.createReaderFactory(),
+                    builtSchema, p)
+              }
+          }
           override def estimateStatistics()
               : org.apache.spark.sql.connector.read.Statistics = built match {
             case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>

@@ -257,6 +257,33 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 catalog: bare DELETE FROM works on partitioned and unpartitioned tables") {
+    withCatalog("baredel") { _ =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bd")
+      spark.sql("CREATE TABLE graft.bd.p (id STRING, date DATE, v INT) PARTITIONED BY (date)")
+      spark.sql("""INSERT INTO graft.bd.p VALUES
+        ('a', DATE'2026-01-01', 1), ('b', DATE'2026-01-02', 2)""")
+      // pre-fix this threw INTERNAL_ERROR: the pushdown rule wrapped the
+      // partitioned scan in a reordering Project the truncate path rejects
+      spark.sql("DELETE FROM graft.bd.p")
+      assert(spark.sql("SELECT count(*) FROM graft.bd.p").head.getLong(0) === 0L)
+      spark.sql("CREATE TABLE graft.bd.u (id STRING, v INT)")
+      spark.sql("INSERT INTO graft.bd.u VALUES ('a', 1)")
+      spark.sql("DELETE FROM graft.bd.u")
+      assert(spark.sql("SELECT count(*) FROM graft.bd.u").head.getLong(0) === 0L)
+      // the order-matched scan plans with no Project above the relation:
+      // SELECT * output equals declared order straight from the scan
+      spark.sql("""INSERT INTO graft.bd.p VALUES ('c', DATE'2026-01-03', 3)""")
+      val star = spark.sql("SELECT * FROM graft.bd.p")
+      assert(star.columns.toSeq === Seq("id", "date", "v"))
+      val hasProject = star.queryExecution.optimizedPlan.collect {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+      }.nonEmpty
+      assert(!hasProject, "SELECT * should plan without a reordering Project")
+      assert(star.collect().map(_.getString(0)) === Array("c"))
+    }
+  }
+
   test("V2 catalog: partition-scoped INSERT OVERWRITE replaces only that partition") {
     withCatalog("pow") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ow")
