@@ -81,7 +81,10 @@ object Bench {
     graft.ingest.SampleData.toCdcEnvelopes(
         graft.ingest.SampleData.transactions(spark, streamRows, seed = 11L))
       .toJSON.repartition(32).write.text(envDir)
-    val streamSecs = (1 to 2).map { r =>
+    // best-of-3: the r6 two-run spread hit 2.1× under sandbox
+    // contention; a third run tightens the min and both extremes stay
+    // visible in `runs`
+    val streamSecs = (1 to 3).map { r =>
       val work = new java.io.File(s"target/qwork/bench_stream_run$r").getAbsolutePath
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
       val t = graft.table.TxTable.create(spark,
@@ -102,7 +105,87 @@ object Bench {
       if (streamSecs.exists(_ <= 0)) -1.0
       else math.round(streamRows / streamSecs.min).toDouble
     val streamingJson = s"""{"rows":$streamRows,"runs":[${streamSecs.mkString(",")}],"rows_per_sec":$streamRate}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"sf":"$sfDir"}""")
+    val metadataJson = metadataShakeout(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"metadata":$metadataJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /**
+   * Metadata-scale shakeout: a synthetic 10⁴-commit / 10⁴-file log
+   * (header-only — planning cost is pure metadata, no parquet needed)
+   * timing the four operations whose complexity the checkpointed log
+   * design claims: resolved snapshot read (O(files)), the provenance
+   * added-walk (O(commits × changed)), `TIMESTAMP AS OF` resolution
+   * (O(log commits) binary search), and streaming catch-up planning
+   * over every commit (O(commits × changed) via readChanged). The log
+   * is built once and reused across bench runs (immutable once the head
+   * version exists).
+   */
+  private def metadataShakeout(spark: SparkSession): String = {
+    import graft.table.{DataFile, Snapshot, TxLog}
+    import org.apache.hadoop.fs.Path
+    val commits = 10000
+    val wh = new java.io.File("target/qwork/bench_metadata_wh").getAbsolutePath
+    val logDir = new Path(s"$wh/meta/big/_log")
+    val conf = spark.sessionState.newHadoopConf()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      val head = commits - 1L
+      val buildSecs =
+        if (TxLog.currentVersion(logDir, conf).contains(head)) 0.0
+        else {
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(s"$wh/meta/big"))
+          val t0 = System.nanoTime()
+          var files = Vector.empty[DataFile]
+          var expected: Option[Long] = None
+          (0 until commits).foreach { i =>
+            files = files :+ DataFile(f"f$i%06d.parquet",
+              Map("date" -> f"2026-01-${i % 28 + 1}%02d"), 1000L, 1000000L)
+            expected = Some(TxLog.commit(logDir, expected, Snapshot(
+              version = expected.map(_ + 1).getOrElse(0L),
+              timestampMs = 1700000000000L + i * 1000L,
+              operation = if (i == 0) "CREATE" else "APPEND",
+              schemaJson = schema.json,
+              partitionColumns = Seq("date"), files = files), conf))
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+      val (snap, snapshotRead) = timed(TxLog.read(logDir, head, conf))
+      require(snap.files.size == commits, s"bad synthetic log: ${snap.files.size}")
+      val (_, provenanceWalk) = timed(
+        (0L to head).foreach(v => TxLog.readAdded(logDir, v, conf)))
+      val (changedTotal, catchupPlan) = timed(
+        (0L to head).map(v => TxLog.readChanged(logDir, v, conf).size).sum)
+      require(changedTotal == commits, s"catch-up saw $changedTotal adds")
+      // TIMESTAMP AS OF through the real catalog path, 10 resolutions
+      // at spread instants (each = tableExists + open + binary search)
+      spark.conf.set("spark.sql.catalog.graftbench",
+        "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graftbench.warehouse", wh)
+      val cat = spark.sessionState.catalogManager.catalog("graftbench")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("meta"), "big")
+      val (_, tAsOf) = timed {
+        (1 to 10).foreach { k =>
+          val cutoffMicros = (1700000000000L + k * (commits / 10) * 1000L - 500L) * 1000L
+          cat.loadTable(ident, cutoffMicros)
+        }
+      }
+      s"""{"commits":$commits,"files":$commits,"build_sec":${f"$buildSecs%.3f"},""" +
+        s""""snapshot_read_sec":${f"$snapshotRead%.3f"},""" +
+        s""""provenance_walk_sec":${f"$provenanceWalk%.3f"},""" +
+        s""""catchup_plan_sec":${f"$catchupPlan%.3f"},""" +
+        s""""timestamp_as_of_10x_sec":${f"$tAsOf%.3f"}}"""
+    } catch {
+      case e: Throwable =>
+        s"""{"error":"${e.getClass.getSimpleName}"}"""
+    }
   }
 }
