@@ -211,7 +211,7 @@ class GraftDataWriter(
   * contract. Shared by the row-level V2 writer (per-row dynamic
   * routing) and the partition-scoped INSERT OVERWRITE predicate
   * translation. */
-private[catalog] object PartitionRender {
+object PartitionRender {
   def apply(v: Any, dt: DataType): String =
     if (v == null) "__HIVE_DEFAULT_PARTITION__"
     else dt match {

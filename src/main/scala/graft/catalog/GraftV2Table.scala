@@ -158,9 +158,10 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // batch plans delegate straight through (pushdown forwarded);
     // toMicroBatchStream tails the commit log from this snapshot on
-    ScanBridge.streamCapable(scanBuilderCapturing(options)._1,
-      _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns,
-        options))
+    { val (builder, index) = scanBuilderCapturing(options)
+      ScanBridge.streamCapable(builder, index,
+        _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns,
+          options)) }
 
   private def scanBuilderCapturing(options: CaseInsensitiveStringMap)
       : (ScanBuilder, org.apache.spark.sql.graft.SnapshotFileIndex) = {

@@ -90,9 +90,32 @@ object TxLog {
 
   def fs(logDir: Path, conf: Configuration): FileSystem = logDir.getFileSystem(conf)
 
-  /** Highest committed version, or None for an empty/nonexistent log. */
+  private val HintName = "_head.hint"
+
+  /** Highest committed version, or None for an empty/nonexistent log.
+    *
+    * Discovery is hint-first (the Iceberg `version-hint.text` / Delta
+    * `_last_checkpoint` shape): every commit best-effort overwrites
+    * `_head.hint` with its version, and a reader verifies the hinted
+    * snapshot exists then PROBES FORWARD to the true head — so version
+    * discovery is O(1 + hint lag) instead of an O(commits) directory
+    * listing per call (on a 10⁴-commit log the listing dominated every
+    * table open / time-travel resolution). The hint is never trusted
+    * blindly: a torn/partial hint read parses to a smaller-or-invalid
+    * value, and any underestimate is corrected by the forward probe;
+    * a missing or unverifiable hint falls back to the full listing. */
   def currentVersion(logDir: Path, conf: Configuration): Option[Long] = {
     val f = fs(logDir, conf)
+    readHint(f, logDir) match {
+      case Some(h) if f.exists(new Path(logDir, snapshotName(h))) =>
+        var v = h
+        while (f.exists(new Path(logDir, snapshotName(v + 1)))) v += 1
+        Some(v)
+      case _ => listedVersion(f, logDir)
+    }
+  }
+
+  private def listedVersion(f: FileSystem, logDir: Path): Option[Long] = {
     if (!f.exists(logDir)) return None
     val vs = f.listStatus(logDir).iterator.flatMap { st =>
       st.getPath.getName match {
@@ -102,6 +125,29 @@ object TxLog {
     }.toSeq
     if (vs.isEmpty) None else Some(vs.max)
   }
+
+  private def readHint(f: FileSystem, logDir: Path): Option[Long] =
+    try {
+      val p = new Path(logDir, HintName)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s =
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            StandardCharsets.UTF_8).trim
+          finally in.close()
+        if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toLong) else None
+      }
+    } catch { case _: Exception => None }
+
+  /** Best-effort: losing this write (crash, race) only degrades the
+    * next discovery to probe-forward/listing — never correctness. */
+  private def writeHint(f: FileSystem, logDir: Path, version: Long): Unit =
+    try {
+      val out = f.create(new Path(logDir, HintName), /*overwrite=*/ true)
+      try out.write(version.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case _: Exception => () }
 
   /** Parse a snapshot AS STORED: inline files + unresolved manifest
     * refs. Commit and provenance use this — it is O(changed files). */
@@ -251,6 +297,7 @@ object TxLog {
       Option(f.getUri).map(_.getScheme).getOrElse("file"))
     if (scheme == "file") commitLocalAtomic(f, target, json, next, expected)
     else commitViaFs(f, target, json, next, expected)
+    writeHint(f, logDir, next)
     next
   }
 

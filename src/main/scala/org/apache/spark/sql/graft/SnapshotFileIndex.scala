@@ -79,6 +79,26 @@ class SnapshotFileIndex(
   // than once; driver-side only.
   @volatile private var captured = Set.empty[String]
 
+  // ---- runtime (dynamic partition pruning) filter --------------------
+  // column -> allowed stored partition-value strings, set by the scan's
+  // SupportsRuntimeV2Filtering.filter once the join's build side has
+  // materialized; listFiles then skips files of other partitions. DPP
+  // predicates are redundant with the join itself, so an unset/partial
+  // filter only costs IO, never correctness.
+  @volatile private var runtimeKeep = Map.empty[String, Set[String]]
+
+  def setRuntimePartitionFilter(keep: Map[String, Set[String]]): Unit =
+    synchronized {
+      runtimeKeep = keep.foldLeft(runtimeKeep) { case (acc, (c, vs)) =>
+        acc.updated(c, acc.get(c).map(_.intersect(vs)).getOrElse(vs))
+      }
+    }
+
+  def partitionColumnNames: Seq[String] = partitionColumns
+
+  private val partValsByPath: Map[Path, Map[String, String]] =
+    statuses.map { case (p, _, vals) => p -> vals }.toMap
+
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -90,14 +110,25 @@ class SnapshotFileIndex(
     // et al., VLDB'20 §4.2) that turns a selective non-partition query
     // at 100 TB into a handful of file reads. Conservative throughout:
     // anything not understood keeps the file.
+    val keepRt = runtimeKeep
     val dirs =
-      if (dataFilters.isEmpty || statsByPath.isEmpty) partitioned
+      if ((dataFilters.isEmpty || statsByPath.isEmpty) && keepRt.isEmpty)
+        partitioned
       else partitioned.flatMap { dir =>
         val kept = dir.files.filter { f =>
-          relByPath.get(f.fileStatus.getPath).flatMap(statsByPath.get) match {
-            case Some(stats) => dataFilters.forall(mayMatch(stats, _))
-            case None        => true
+          val path = f.fileStatus.getPath
+          val statsOk =
+            relByPath.get(path).flatMap(statsByPath.get) match {
+              case Some(stats) if dataFilters.nonEmpty =>
+                dataFilters.forall(mayMatch(stats, _))
+              case _ => true
+            }
+          val runtimeOk = keepRt.isEmpty || {
+            val vals = partValsByPath.getOrElse(path, Map.empty)
+            keepRt.forall { case (c, allowed) =>
+              vals.get(c).forall(allowed.contains) }
           }
+          statsOk && runtimeOk
         }
         if (kept.isEmpty) None
         else if (kept.length == dir.files.length) Some(dir)
@@ -265,6 +296,48 @@ private[graft] class PermutingReaderFactory(
   }
 }
 
+/** Parses the V2 predicates BatchScanExec hands to a
+  * `SupportsRuntimeV2Filtering` scan after the DPP build side
+  * materializes — `col IN (v…)` / `col = v` on a single top-level
+  * partition column — into (column → allowed stored-value strings).
+  * Anything else parses to None and simply doesn't prune. */
+private[graft] object RuntimePartitionFilter {
+  import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Literal => VLit, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  def parse(p: Predicate, partCols: Set[String]): Option[(String, Set[String])] = {
+    def colOf(e: VExpr): Option[String] = e match {
+      case r: NamedReference
+          if r.fieldNames.length == 1 && partCols(r.fieldNames()(0)) =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    def render(e: VExpr): Option[String] = e match {
+      case l: VLit[_] =>
+        try Some(_root_.graft.catalog.PartitionRender(l.value, l.dataType))
+        catch { case _: UnsupportedOperationException => None }
+      case _ => None
+    }
+    val cs = p.children()
+    p.name() match {
+      case "IN" if cs.length >= 2 =>
+        for {
+          c <- colOf(cs(0))
+          vals <- traverse(cs.toSeq.drop(1))(render)
+        } yield c -> vals.toSet
+      case "=" | "<=>" if cs.length == 2 =>
+        colOf(cs(0)).flatMap(c => render(cs(1)).map(v => c -> Set(v)))
+          .orElse(colOf(cs(1)).flatMap(c => render(cs(0)).map(v => c -> Set(v))))
+      case _ => None
+    }
+  }
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] =
+    xs.foldLeft(Option(Vector.empty[B])) { (acc, x) =>
+      acc.flatMap(v => f(x).map(v :+ _))
+    }
+}
+
 /** Constructors for `private[sql]` scan machinery used by the public
   * `graft.catalog` connector classes. */
 object ScanBridge {
@@ -344,6 +417,7 @@ object ScanBridge {
    * tables, exactly as Iceberg's order-preserving scan does.
    */
   def streamCapable(inner: ScanBuilder,
+      index: SnapshotFileIndex,
       stream: String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
       : ScanBuilder = {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
@@ -406,16 +480,48 @@ object ScanBridge {
         // DataSourceV2ScanRelation falls back to defaultSizeInBytes
         // (Long.MaxValue) and joins against graft tables never
         // auto-broadcast.
-        new Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+        new Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
+            with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
           override def readSchema(): StructType = perm match {
             case Some(p) => StructType(p.toIndexedSeq.map(builtSchema(_)))
             case None    => builtSchema
           }
+          // Runtime (dynamic partition pruning) filtering — a V2 gap
+          // Spark's own FileScan does not close: once the join's build
+          // side materializes, BatchScanExec hands the IN-list here;
+          // matched partition-equality/IN conjuncts prune the snapshot
+          // file index and the scan re-plans against the pruned list.
+          // At 100 TB this is the difference between scanning one
+          // partition and scanning the lake on every fact×dim join.
+          // DPP predicates are redundant with the join, so unparseable
+          // shapes are ignored (no pruning, never wrong).
+          @volatile private var current: Scan = built
+          override def filterAttributes()
+              : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+            val inOutput = readSchema().fieldNames.toSet
+            index.partitionColumnNames.filter(inOutput)
+              .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+              .toArray
+          }
+          override def filter(
+              predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+              : Unit = {
+            val partCols = index.partitionColumnNames.toSet
+            val keep = predicates.toSeq
+              .flatMap(RuntimePartitionFilter.parse(_, partCols))
+              .groupMapReduce(_._1)(_._2)(_ intersect _)
+            if (keep.nonEmpty) {
+              index.setRuntimePartitionFilter(keep)
+              // rebuild: FileScan caches its planned partitions in a
+              // lazy val, so re-listing must go through a fresh scan
+              current = inner.build()
+            }
+          }
           override def description(): String = built.description()
           override def toBatch: Batch = perm match {
-            case None => built.toBatch
+            case None => current.toBatch
             case Some(p) =>
-              val b = built.toBatch
+              val b = current.toBatch
               new Batch {
                 override def planInputPartitions(): Array[InputPartition] =
                   b.planInputPartitions()
@@ -425,7 +531,7 @@ object ScanBridge {
               }
           }
           override def estimateStatistics()
-              : org.apache.spark.sql.connector.read.Statistics = built match {
+              : org.apache.spark.sql.connector.read.Statistics = current match {
             case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
               s.estimateStatistics()
             case _ => new org.apache.spark.sql.connector.read.Statistics {
@@ -440,7 +546,7 @@ object ScanBridge {
             built.supportedCustomMetrics()
           override def reportDriverMetrics()
               : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
-            built.reportDriverMetrics()
+            current.reportDriverMetrics()
           override def columnarSupportMode(): Scan.ColumnarSupportMode =
             built.columnarSupportMode()
           override def toMicroBatchStream(checkpointLocation: String)

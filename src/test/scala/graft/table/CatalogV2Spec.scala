@@ -257,6 +257,63 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 scan: dynamic partition pruning prunes the fact scan at runtime") {
+    withCatalog("dpp") { _ =>
+      val prev = spark.conf.getOption(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+      val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+      // plain (non-AQE) plan so the scan node is reachable via collect
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dp")
+        spark.sql("""CREATE TABLE graft.dp.fact (id STRING, date DATE, v INT)
+            PARTITIONED BY (date)""")
+        spark.sql("""INSERT INTO graft.dp.fact
+            SELECT CAST(id AS STRING),
+                   date_add(DATE'2026-01-01', CAST(id % 30 AS INT)),
+                   CAST(id AS INT)
+            FROM range(3000)""")
+        val dimPath = freshDir("dpp_dim")
+        import spark.implicits._
+        (0 until 30).map(i => (java.sql.Date.valueOf(
+            java.time.LocalDate.of(2026, 1, 1).plusDays(i).toString),
+            if (i == 4) "keep" else s"x$i"))
+          .toDF("ddate", "tag").write.parquet(dimPath)
+        spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+        val q = spark.sql("""SELECT count(*) FROM graft.dp.fact f
+            JOIN dpp_dim d ON f.date = d.ddate WHERE d.tag = 'keep'""")
+        // collect() (not head — head builds a separate limited
+        // QueryExecution, leaving THIS plan's metrics untouched)
+        assert(q.collect()(0).getLong(0) === 100L)
+        // the graft scan carries a dynamic-pruning runtime filter...
+        val planStr = q.queryExecution.executedPlan.toString
+        assert(planStr.contains("dynamicpruning"),
+          s"no runtime filter on the fact scan:\n$planStr")
+        // ...and it actually pruned: the scan emitted one partition's
+        // rows (100), not the whole fact table (3000)
+        val scanRows = q.queryExecution.executedPlan.collect {
+          case b: BatchScanExec if b.toString.contains("SnapshotFileIndex") =>
+            b.metrics("numOutputRows").value
+        }
+        assert(scanRows.nonEmpty && scanRows.head === 100L,
+          s"fact scan output $scanRows rows — DPP did not prune")
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", v)
+          case None => spark.conf.unset(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+        }
+        prevAqe match {
+          case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+          case None    => spark.conf.unset("spark.sql.adaptive.enabled")
+        }
+      }
+    }
+  }
+
   test("V2 catalog: bare DELETE FROM works on partitioned and unpartitioned tables") {
     withCatalog("baredel") { _ =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bd")

@@ -1152,6 +1152,52 @@ class TxTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("head-hint version discovery: hint happy path, probe-forward, and listing fallbacks") {
+    val logDir = new Path(freshDir("tx_hint"), "_log")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    var expected: Option[Long] = None
+    (0 until 5).foreach { i =>
+      expected = Some(TxLog.commit(logDir, expected, Snapshot(
+        version = expected.map(_ + 1).getOrElse(0L),
+        timestampMs = 0L, operation = if (i == 0) "CREATE" else "APPEND",
+        schemaJson = schema.json, partitionColumns = Nil,
+        files = Seq(DataFile(f"h$i%03d.parquet", Map.empty, 1L, 10L))), conf))
+    }
+    val f = TxLog.fs(logDir, conf)
+    val hint = new Path(logDir, "_head.hint")
+    def hintContent(): String = {
+      val in = f.open(hint)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    def writeHint(s: String): Unit = {
+      val out = f.create(hint, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // commit wrote the head hint
+    assert(f.exists(hint) && hintContent() === "4")
+    assert(TxLog.currentVersion(logDir, conf) === Some(4L))
+    // a stale hint is corrected by the forward probe, never trusted
+    writeHint("1")
+    assert(TxLog.currentVersion(logDir, conf) === Some(4L))
+    // a torn/corrupt hint falls back to the listing
+    writeHint("not-a-number")
+    assert(TxLog.currentVersion(logDir, conf) === Some(4L))
+    // a missing hint falls back to the listing
+    f.delete(hint, false)
+    assert(TxLog.currentVersion(logDir, conf) === Some(4L))
+    // and the next commit restores it
+    TxLog.commit(logDir, Some(4L), Snapshot(
+      version = 5L, timestampMs = 0L, operation = "APPEND",
+      schemaJson = schema.json, partitionColumns = Nil,
+      files = Seq(DataFile("h005.parquet", Map.empty, 1L, 10L))), conf)
+    assert(hintContent() === "5")
+    assert(TxLog.currentVersion(logDir, conf) === Some(5L))
+  }
+
   test("readChanged resolves a K-commit catch-up in O(changed), not O(K x table)") {
     // Synthetic log, 120 single-file commits: readChanged(v) must open
     // only the manifest commit v itself introduced — never the whole
