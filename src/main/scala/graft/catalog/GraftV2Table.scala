@@ -167,10 +167,31 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       : (ScanBuilder, org.apache.spark.sql.graft.SnapshotFileIndex) = {
     val dataSchema =
       StructType(fullSchema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    // Incremental batch read (`spark.read.option("startingVersion", N)
+    // [.option("endingVersion", M)].table(...)`): scan only the files
+    // FIRST COMMITTED in [N, M] — O(changed) planning per commit, the
+    // Iceberg incremental-scan surface. Mirrors the streaming source's
+    // startingVersion semantics (commits >= N); "latest" is
+    // streaming-only and means the empty range here.
+    val scanFiles: Seq[graft.table.DataFile] =
+      Option(options.get("startingVersion")) match {
+        case None => snap.files
+        case Some(s) if s.trim.equalsIgnoreCase("latest") => Nil
+        case Some(s) =>
+          val from = s.trim.toLong
+          val to = Option(options.get("endingVersion"))
+            .map(_.trim.toLong).getOrElse(snap.version)
+          require(from >= 0 && to <= snap.version,
+            s"incremental range [$from, $to] outside log [0, ${snap.version}]")
+          val logDir = new Path(tx.root, "_log")
+          val conf = tx.spark.sessionState.newHadoopConf()
+          (from to to).flatMap(v =>
+            graft.table.TxLog.readChanged(logDir, v, conf))
+      }
     val index = ScanBridge.snapshotIndex(tx.spark, new Path(tx.root, "data"),
       fullSchema, snap.partitionColumns,
-      snap.files.map(f => (f.path, f.partitionValues, f.sizeBytes)),
-      snap.files.flatMap(f => f.stats.map(f.path -> _)).toMap)
+      scanFiles.map(f => (f.path, f.partitionValues, f.sizeBytes)),
+      scanFiles.flatMap(f => f.stats.map(f.path -> _)).toMap)
     (ScanBridge.parquetScanBuilder(tx.spark, index, fullSchema, dataSchema,
       options), index)
   }

@@ -217,6 +217,44 @@ object Pipeline4 {
       ORDER BY date_str, status""")),
 
     // ------------------------------------------------------------------
+    // Incremental batch read (the Iceberg incremental-scan surface):
+    // `spark.read.option("startingVersion", N).table(...)` scans ONLY
+    // the files first committed in [N, head] — O(changed) planning per
+    // commit, the incremental-ETL read that never touches the base
+    // table. Three commits split the seed deterministically; reading
+    // from the second commit must return exactly slices 2+3.
+    Q("catalog_v2_incremental", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("v2incr_seed", "parquet") {
+        SampleData.transactions(s, 260, seed = 88L)
+      }
+      val wh = Pipeline.scratch("v2incr")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("v2incr_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.analytics")
+      s.sql("""CREATE TABLE graft.analytics.txns_incr PARTITIONED BY (date) AS
+               SELECT * FROM v2incr_seed WHERE risk_score = 'LOW'""")     // v0+v1
+      s.sql("""INSERT INTO graft.analytics.txns_incr
+               SELECT * FROM v2incr_seed WHERE risk_score = 'MEDIUM'""")  // v2
+      s.sql("""INSERT INTO graft.analytics.txns_incr
+               SELECT * FROM v2incr_seed WHERE risk_score = 'HIGH'""")    // v3
+      s.read.option("startingVersion", "2").table("graft.analytics.txns_incr")
+        .createOrReplaceTempView("v2incr_changes")
+      s.sql("""
+        SELECT risk_score, status, count(*) AS n,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM v2incr_changes
+        GROUP BY risk_score, status
+        ORDER BY risk_score, status""")
+    }, oracle = Some(s"""
+      SELECT risk_score, status, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/v2incr_seed/*.parquet')
+      WHERE risk_score IN ('MEDIUM', 'HIGH')
+      GROUP BY risk_score, status
+      ORDER BY risk_score, status""")),
+
+    // ------------------------------------------------------------------
     // Metadata-table surface (the Iceberg `t.partitions` suffix): the
     // per-partition row counts answer from SNAPSHOT METADATA — zero
     // data files touched (footer row counts recorded at commit) — and

@@ -304,6 +304,37 @@ class TxTable private (
       .drop("__graft_file")
   }
 
+  /**
+   * Incremental batch read (the Iceberg incremental-scan / Delta
+   * `startingVersion` batch surface): rows of files FIRST COMMITTED in
+   * versions `[fromVersion, toVersion]`, decorated with
+   * `_commit_version`. Planning is O(changed files) per commit via the
+   * per-commit manifest resolution ([[TxLog.readChanged]]) — the
+   * incremental-ETL read that touches only new data, never the table.
+   * Same semantics as the streaming source's catch-up batches:
+   * appends surface exactly once; a copy-on-write rewrite re-surfaces
+   * the rewritten files' rows (those bytes were genuinely
+   * re-committed), which downstream key-dedup absorbs.
+   */
+  def changesBetween(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val to = if (toVersion < 0) currentVersion else toVersion
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"bad incremental range [$fromVersion, $to]")
+    val byVersion = (fromVersion to to)
+      .map(v => v -> TxLog.readChanged(logDir, v, conf))
+    val files = byVersion.flatMap(_._2)
+    val base = dfFor(snapshotAt(to).copy(files = files))
+    val byName = byVersion
+      .flatMap { case (v, fs) => fs.map(f => (new Path(f.path).getName, v)) }
+      .toDF("__graft_file", "_commit_version")
+    base
+      .withColumn("__graft_file",
+        element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(byName), Seq("__graft_file"), "inner")
+      .drop("__graft_file")
+  }
+
   private def tagsPath: Path = new Path(root, "_log/tags.json")
 
   /** Name a committed version (the Iceberg tag / Delta "version alias"

@@ -373,6 +373,34 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("incremental batch reads: startingVersion/endingVersion and changesBetween") {
+    withCatalog("incr") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ic")
+      spark.sql("CREATE TABLE graft.ic.t (id STRING, v INT)")           // v0
+      spark.sql("INSERT INTO graft.ic.t VALUES ('a', 1)")               // v1
+      spark.sql("INSERT INTO graft.ic.t VALUES ('b', 2)")               // v2
+      spark.sql("INSERT INTO graft.ic.t VALUES ('c', 3)")               // v3
+      def ids(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select("id").collect().map(_.getString(0)).sorted.toSeq
+      // commits >= 2
+      assert(ids(spark.read.option("startingVersion", "2")
+        .table("graft.ic.t")) === Seq("b", "c"))
+      // bounded range [2, 2]
+      assert(ids(spark.read.option("startingVersion", "2")
+        .option("endingVersion", "2").table("graft.ic.t")) === Seq("b"))
+      // full-log range = full table (append-only)
+      assert(ids(spark.read.option("startingVersion", "0")
+        .table("graft.ic.t")) === Seq("a", "b", "c"))
+      // TxTable surface adds _commit_version
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val ch = cat.getTable("ic", "t").changesBetween(2, 3)
+      assert(ch.columns.contains("_commit_version"))
+      assert(ch.select("id", "_commit_version").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet ===
+        Set(("b", 2L), ("c", 3L)))
+    }
+  }
+
   test("TIMESTAMP AS OF resolves by binary search: O(log n) header reads") {
     withCatalog("ttbin") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tb")
