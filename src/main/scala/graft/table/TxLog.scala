@@ -32,7 +32,26 @@ final case class DataFile(
     sizeBytes: Long,
     /** per-column min/max/nullCount from the parquet footer — drives
       * driver-side data skipping (see [[FileStats]]) */
-    stats: Option[Map[String, ColStats]] = None)
+    stats: Option[Map[String, ColStats]] = None,
+    /** commit sequence: the version whose commit FIRST added this file
+      * (stamped by [[TxLog.layout]]; 0 for pre-upgrade logs). Equality
+      * deletes apply only to files with `seq` < the delete's seq —
+      * the Iceberg v2 sequence-number rule that lets a re-inserted key
+      * survive an older delete. */
+    seq: Long = 0L)
+
+/** A merge-on-read equality-delete file (the Iceberg v2 equality
+  * delete): `path` (relative to the table's `deletes/` dir) holds a
+  * parquet of `keyColumn` values whose rows are deleted from every data
+  * file with seq < this delete's `seq` — no data file is rewritten at
+  * delete time; readers anti-join. Point/small deletes at 100 TB cost
+  * one tiny file instead of a gigabyte rewrite; compaction applies and
+  * clears them. */
+final case class EqualityDeleteFile(
+    path: String,
+    keyColumn: String,
+    seq: Long,
+    count: Long)
 
 /** Sidecar per-file Bloom index (see `TxTable.buildBloomIndex`):
   * serialized filters keyed by immutable data-file path. */
@@ -78,7 +97,11 @@ final case class Snapshot(
       * added-files record that lets provenance walk the log in
       * O(changed) per version instead of O(table files). Computed by
       * [[TxLog.commit]]; callers need not set it. */
-    added: Seq[String] = Nil)
+    added: Seq[String] = Nil,
+    /** outstanding merge-on-read equality deletes (see
+      * [[EqualityDeleteFile]]); carried commit-to-commit until a full
+      * rewrite (overwrite/compact) applies and clears them. */
+    equalityDeletes: Seq[EqualityDeleteFile] = Nil)
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
@@ -328,9 +351,27 @@ object TxLog {
         prevManifests.flatMap(_._2.map(_.path))
     val added = snapshot.files.map(_.path).filterNot(prevPaths)
 
+    // Commit-sequence bookkeeping (equality deletes apply only to files
+    // with seq < the delete's seq): first-appearance files are stamped
+    // with THIS version; carried-forward files whose caller dropped the
+    // seq (reconstructed DataFiles) re-adopt the STORED seq, so entries
+    // stay byte-identical to their manifests and reuse below still
+    // fires — without this, a seq-less caller would silently degrade
+    // every commit to a full-manifest rewrite.
+    val addedSet = added.toSet
+    val storedSeq: Map[String, Long] =
+      (prevRaw.toSeq.flatMap(_.files) ++ prevManifests.flatMap(_._2))
+        .map(f => f.path -> f.seq).toMap
+    val stamped = snapshot.files.map { f =>
+      if (addedSet(f.path)) { if (f.seq == 0L) f.copy(seq = snapshot.version) else f }
+      else if (f.seq == 0L) storedSeq.get(f.path).filter(_ != 0L)
+        .map(sq => f.copy(seq = sq)).getOrElse(f)
+      else f
+    }
+
     // files still to place, keyed by path (insertion-ordered)
     val remaining = scala.collection.mutable.LinkedHashMap(
-      snapshot.files.map(f => f.path -> f): _*)
+      stamped.map(f => f.path -> f): _*)
     val kept = scala.collection.mutable.ArrayBuffer[ManifestRef]()
     prevManifests.foreach { case (ref, mf) =>
       // reuse only if every entry survives BYTE-IDENTICAL (paths are
@@ -343,7 +384,7 @@ object TxLog {
     }
     val (refs, inline) =
       if (kept.size >= MaxManifestRefs) {
-        (Seq(writeManifest(logDir, snapshot.version, snapshot.files, conf)), Nil)
+        (Seq(writeManifest(logDir, snapshot.version, stamped, conf)), Nil)
       } else if (remaining.size > InlineMaxFiles) {
         (kept.toSeq :+
           writeManifest(logDir, snapshot.version, remaining.values.toSeq, conf),

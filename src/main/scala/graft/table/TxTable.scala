@@ -393,13 +393,16 @@ class TxTable private (
     val files = s.files.filter(f => partitionFilter.forall {
       case (k, v) => f.partitionValues.get(k).contains(v)
     })
-    if (files.forall(_.rowCount >= 0)) files.map(_.rowCount).sum
+    // outstanding MOR deletes make footer row counts an overcount —
+    // fall back to a real (delete-applied) count until compaction
+    if (s.equalityDeletes.isEmpty && files.forall(_.rowCount >= 0))
+      files.map(_.rowCount).sum
     else dfFor(s.copy(files = files)).count()
   }
 
   private def dfFor(s: Snapshot): DataFrame = {
     val schema = schemaOf(s)
-    if (s.files.isEmpty) {
+    val base = if (s.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val paths = s.files.map(f => new Path(dataDir, f.path).toString)
@@ -411,6 +414,76 @@ class TxTable private (
         .schema(schema)
         .parquet(paths: _*)
         .select(schema.map(f => col(f.name)): _*)
+    }
+    applyEqualityDeletes(base, s)
+  }
+
+  /** Merge-on-read: subtract outstanding equality deletes from a scan.
+    * A row is dropped when some delete holds its key AND the row's
+    * FILE was committed before the delete (`file.seq < delete.seq` —
+    * the Iceberg v2 sequence rule, so a later re-insert of a deleted
+    * key survives). One broadcast anti-join per key column (normally
+    * one): delete sets are small by design — large deletions should go
+    * through the copy-on-write path, and `compact()` applies+clears
+    * accumulated deletes. */
+  private def applyEqualityDeletes(base: DataFrame, s: Snapshot): DataFrame = {
+    if (s.equalityDeletes.isEmpty || s.files.isEmpty) return base
+    import spark.implicits._
+    val seqByName = s.files.map(f => (new Path(f.path).getName, f.seq))
+      .toDF("__graft_file", "__graft_fseq")
+    val withSeq = base
+      .withColumn("__graft_file",
+        element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(seqByName), Seq("__graft_file"), "left")
+      .withColumn("__graft_fseq", coalesce(col("__graft_fseq"), lit(0L)))
+    val filtered = s.equalityDeletes.groupBy(_.keyColumn).foldLeft(withSeq) {
+      case (df, (keyCol, dels)) =>
+        val delDf = dels.map { d =>
+          spark.read.parquet(new Path(deletesDir, d.path).toString)
+            .select(col(keyCol).as("__graft_dkey"))
+            .withColumn("__graft_dseq", lit(d.seq))
+        }.reduce(_ unionByName _)
+        df.join(broadcast(delDf),
+          df(keyCol) === delDf("__graft_dkey") &&
+            col("__graft_fseq") < col("__graft_dseq"),
+          "left_anti")
+    }
+    filtered.drop("__graft_file", "__graft_fseq")
+  }
+
+  private def deletesDir: Path = new Path(root, "deletes")
+
+  /**
+   * Merge-on-read DELETE (the Iceberg v2 equality-delete write): rows
+   * matching `predicate` are deleted by writing ONE small parquet of
+   * their `keyColumn` values — no data file is rewritten, the commit is
+   * O(matched keys) regardless of table size. Readers anti-join the
+   * delete set (see [[applyEqualityDeletes]]); `compact()` later
+   * applies and clears accumulated deletes. Use for point/small deletes
+   * on huge tables (GDPR erasure, bad-record excision) where the
+   * copy-on-write [[delete]] would rewrite gigabytes per row.
+   */
+  def deleteMor(predicate: Column, keyColumn: String): Long = {
+    val s = snapshot
+    require(schemaOf(s).fieldNames.contains(keyColumn),
+      s"key column '$keyColumn' is not in the table schema")
+    val keys = dfFor(s).filter(predicate).select(col(keyColumn)).distinct()
+    val rel = s"eq-delete-${java.util.UUID.randomUUID()}.parquet"
+    val target = new Path(deletesDir, rel)
+    // one file: delete sets are small by contract (large deletes →
+    // copy-on-write delete())
+    keys.coalesce(1).write.mode("overwrite").parquet(target.toString)
+    val count = spark.read.parquet(target.toString).count()
+    if (count == 0) {
+      fs.delete(target, true)
+      return s.version                       // nothing matched: no commit
+    }
+    retryingCommit("DELETE_MOR") { expected =>
+      val cur = snapshotAt(expected)
+      commit(Some(expected), "DELETE_MOR", schemaOf(cur),
+        cur.partitionColumns, cur.files,
+        equalityDeletes = cur.equalityDeletes :+
+          EqualityDeleteFile(rel, keyColumn, expected + 1, count))
     }
   }
 
@@ -569,13 +642,18 @@ class TxTable private (
   private def commit(expected: Option[Long], op: String, schema: StructType,
       partitionColumns: Seq[String], files: Seq[DataFile],
       appTxns: Map[String, Long] = null,
-      droppedColumns: Seq[String] = null): Long = {
+      droppedColumns: Seq[String] = null,
+      equalityDeletes: Seq[EqualityDeleteFile] = null): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
       prior.map(_.appTxns).getOrElse(Map.empty))
     val dropped = Option(droppedColumns).getOrElse(
       prior.map(_.droppedColumns).getOrElse(Nil))
+    // outstanding MOR deletes carry commit-to-commit by default; only a
+    // full rewrite (overwrite/compact) passes Nil to clear them
+    val eqDeletes = Option(equalityDeletes).getOrElse(
+      prior.map(_.equalityDeletes).getOrElse(Nil))
     TxLog.commit(logDir, expected, Snapshot(
       version = next,
       timestampMs = System.currentTimeMillis(),
@@ -584,7 +662,8 @@ class TxTable private (
       partitionColumns = partitionColumns,
       files = files,
       appTxns = txns,
-      droppedColumns = dropped), conf)
+      droppedColumns = dropped,
+      equalityDeletes = eqDeletes), conf)
   }
 
   /** Align an incoming frame to the table schema: cast matching
@@ -681,8 +760,10 @@ class TxTable private (
     val s = snapshot
     val newFiles = writeFiles(align(df, schemaOf(s)), s.partitionColumns)
     retryingCommit("OVERWRITE") { expected =>
+      // a full replacement: outstanding MOR deletes are moot — clear
       commit(Some(expected), "OVERWRITE", schemaOf(s),
-        s.partitionColumns, newFiles, droppedColumns = Nil)
+        s.partitionColumns, newFiles, droppedColumns = Nil,
+        equalityDeletes = Nil)
     }
   }
 
@@ -1065,8 +1146,10 @@ class TxTable private (
           .drop("__zorder")
       }
     val newFiles = writeFiles(rewritten, s.partitionColumns)
+    // the rewrite read through dfFor, so MOR deletes are applied in the
+    // new files — clear them (this is the MOR "apply deletes" path)
     commit(Some(s.version), "COMPACT", schemaOf(s), s.partitionColumns, newFiles,
-      droppedColumns = Nil)
+      droppedColumns = Nil, equalityDeletes = Nil)
   }
 
   /**
@@ -1087,7 +1170,7 @@ class TxTable private (
     val newFiles = writeFiles(toDF.select(schema.map(f => col(f.name)): _*),
       newPartitionColumns)
     commit(Some(s.version), "REPARTITION", schema, newPartitionColumns, newFiles,
-      droppedColumns = Nil)
+      droppedColumns = Nil, equalityDeletes = Nil)
   }
 
   /** Morton/Z value over `clusterBy`: min-max normalize each column to a
@@ -1175,7 +1258,25 @@ class TxTable private (
     candidates.foreach { case (p, rel) =>
       if (!retainedNow.contains(rel) && f.delete(p, false)) removed += 1
     }
-    removed + vacuumManifests(keepFrom, cutoffMs)
+    removed + vacuumManifests(keepFrom, cutoffMs) +
+      vacuumEqualityDeletes(keepFrom, cutoffMs)
+  }
+
+  /** Delete equality-delete files referenced by no snapshot ≥
+    * `keepFrom` — compaction clears applied deletes from the snapshot,
+    * orphaning their files after the retention horizon passes. */
+  private def vacuumEqualityDeletes(keepFrom: Long, cutoffMs: Long): Int = {
+    val f = fs
+    if (!f.exists(deletesDir)) return 0
+    val referenced: Set[String] = (keepFrom to currentVersion)
+      .flatMap(v => snapshotAt(v).equalityDeletes.map(_.path)).toSet
+    var removed = 0
+    f.listStatus(deletesDir).foreach { st =>
+      if (!referenced.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoffMs && f.delete(st.getPath, true))
+        removed += 1
+    }
+    removed
   }
 
   /** Delete manifest files referenced by no snapshot ≥ `keepFrom` (the

@@ -1152,6 +1152,48 @@ class TxTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("merge-on-read equality deletes: no rewrite, sequence rule, compact applies") {
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("tx_mor")), "t",
+      Seq(("k1", 1, "a")).toDF("id", "v", "tag").schema, Nil)
+    t.append(Seq(("k1", 1, "a"), ("k2", 2, "a"), ("k3", 3, "b"))
+      .toDF("id", "v", "tag"))                                        // v1
+    val dataFilesBefore = t.snapshot.files.map(_.path).toSet
+    // MOR delete: commit is metadata + one tiny delete file — the data
+    // files are untouched
+    t.deleteMor(col("tag") === "a" && col("v") >= 2, "id")            // v2
+    assert(t.snapshot.files.map(_.path).toSet === dataFilesBefore,
+      "MOR delete must not rewrite data files")
+    assert(t.snapshot.equalityDeletes.size === 1)
+    assert(t.toDF.select("id").as[String].collect().sorted === Array("k1", "k3"))
+    assert(t.count() === 2L)                 // metadata count falls back
+    // sequence rule: re-inserting a deleted key AFTER the delete
+    // survives (its file's seq > the delete's seq)
+    t.append(Seq(("k2", 99, "c")).toDF("id", "v", "tag"))             // v3
+    assert(t.toDF.select("id", "v").as[(String, Int)].collect().toSet ===
+      Set(("k1", 1), ("k3", 3), ("k2", 99)))
+    // a second MOR delete stacks (deletes the re-inserted row too)
+    t.deleteMor(col("id") === "k3" || col("id") === "k2", "id")       // v4
+    assert(t.toDF.select("id").as[String].collect() === Array("k1"))
+    assert(t.snapshot.equalityDeletes.size === 2)
+    // predicates evaluate against the delete-applied view: deleting
+    // already-deleted rows is a no-op commit
+    val vBefore = t.currentVersion
+    t.deleteMor(col("tag") === "b", "id")
+    assert(t.currentVersion === vBefore, "empty delete set must not commit")
+    // COW ops read delete-applied data; compact applies & clears
+    t.compact()                                                       // v5
+    assert(t.snapshot.equalityDeletes.isEmpty, "compact must clear deletes")
+    assert(t.toDF.select("id").as[String].collect() === Array("k1"))
+    assert(t.count() === 1L)                 // metadata-only again
+    // orphaned delete files reclaimed past the retention horizon
+    val deletesDir = new Path(t.root, "deletes")
+    val fsys = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.listStatus(deletesDir).nonEmpty)
+    t.vacuum(retainVersions = 1, graceMillis = 0)
+    assert(!fsys.exists(deletesDir) || fsys.listStatus(deletesDir).isEmpty)
+  }
+
   test("head-hint version discovery: hint happy path, probe-forward, and listing fallbacks") {
     val logDir = new Path(freshDir("tx_hint"), "_log")
     val conf = spark.sparkContext.hadoopConfiguration
