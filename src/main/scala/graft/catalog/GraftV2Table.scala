@@ -123,13 +123,30 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
         override def description(): String =
           s"GraftRowLevelOperation(${info.command()})"
 
+        private val morBuilders =
+          new java.util.concurrent.CopyOnWriteArrayList[
+            org.apache.spark.sql.graft.MorScanBuilder]()
+
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-          val (builder, index) = scanBuilderCapturing(options)
-          indexes.add(index)
-          // group-scan contract: partition filters prune file groups,
-          // but no pushed filter may drop ROWS of a matched group (the
-          // rewrite must copy untouched rows through)
-          ScanBridge.groupScanBuilder(builder, snap.partitionColumns.toSet)
+          if (snap.equalityDeletes.nonEmpty) {
+            // outstanding MOR deletes: the rewrite scan must NOT copy
+            // deleted rows into new files (they'd resurrect with a seq
+            // above every delete's) — the MOR scan filters them and
+            // still honors the group contract (partition filters only)
+            val mb = new org.apache.spark.sql.graft.MorScanBuilder(
+              tx.spark, new Path(tx.root, "data"), fullSchema,
+              snap.partitionColumns, morGroups(snap.files),
+              partitionFiltersOnly = true)
+            morBuilders.add(mb)
+            mb
+          } else {
+            val (builder, index) = scanBuilderCapturing(options)
+            indexes.add(index)
+            // group-scan contract: partition filters prune file groups,
+            // but no pushed filter may drop ROWS of a matched group (the
+            // rewrite must copy untouched rows through)
+            ScanBridge.groupScanBuilder(builder, snap.partitionColumns.toSet)
+          }
         }
 
         override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -147,7 +164,9 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
                 snap.partitionColumns, info.command().toString,
                 () => {
                   import scala.jdk.CollectionConverters._
-                  indexes.asScala.flatMap(_.capturedFiles).toSet
+                  (indexes.asScala.flatMap(_.capturedFiles) ++
+                    morBuilders.asScala.flatMap(_.indexes)
+                      .flatMap(_.capturedFiles)).toSet
                 })
             }
           }
@@ -156,38 +175,78 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    // batch plans delegate straight through (pushdown forwarded);
-    // toMicroBatchStream tails the commit log from this snapshot on
-    { val (builder, index) = scanBuilderCapturing(options)
+    if (snap.equalityDeletes.nonEmpty) {
+      // merge-on-read: group files by applicable deletes and filter in
+      // the reader. Streaming a table with outstanding deletes is
+      // rejected (the MOR scan has no toMicroBatchStream) — compact()
+      // applies and clears them first.
+      new org.apache.spark.sql.graft.MorScanBuilder(
+        tx.spark, new Path(tx.root, "data"), fullSchema,
+        snap.partitionColumns, morGroups(scanFilesFor(options)),
+        partitionFiltersOnly = false)
+    } else {
+      // batch plans delegate straight through (pushdown forwarded);
+      // toMicroBatchStream tails the commit log from this snapshot on
+      val (builder, index) = scanBuilderCapturing(options)
       ScanBridge.streamCapable(builder, index,
         _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns,
-          options)) }
+          options))
+    }
+
+  /** Incremental batch read (`spark.read.option("startingVersion", N)
+    * [.option("endingVersion", M)].table(...)`): scan only the files
+    * FIRST COMMITTED in [N, M] — O(changed) planning per commit, the
+    * Iceberg incremental-scan surface. Mirrors the streaming source's
+    * startingVersion semantics (commits >= N); "latest" is
+    * streaming-only and means the empty range here. */
+  private def scanFilesFor(options: CaseInsensitiveStringMap)
+      : Seq[graft.table.DataFile] =
+    Option(options.get("startingVersion")) match {
+      case None => snap.files
+      case Some(s) if s.trim.equalsIgnoreCase("latest") => Nil
+      case Some(s) =>
+        val from = s.trim.toLong
+        val to = Option(options.get("endingVersion"))
+          .map(_.trim.toLong).getOrElse(snap.version)
+        require(from >= 0 && to <= snap.version,
+          s"incremental range [$from, $to] outside log [0, ${snap.version}]")
+        val logDir = new Path(tx.root, "_log")
+        val conf = tx.spark.sessionState.newHadoopConf()
+        (from to to).flatMap(v =>
+          graft.table.TxLog.readChanged(logDir, v, conf))
+    }
+
+  /** Seq-group the scan's files by which equality deletes apply
+    * (`file.seq < delete.seq`), loading each delete's key set once. */
+  private def morGroups(scanFiles: Seq[graft.table.DataFile])
+      : Seq[org.apache.spark.sql.graft.MorGroup] = {
+    val deletes = snap.equalityDeletes
+    val deletesDir = new Path(tx.root, "deletes")
+    val keysByDelete: Map[String, Set[Any]] = deletes.map { d =>
+      d.path -> org.apache.spark.sql.graft.MorScan.loadDeletedKeys(
+        tx.spark, deletesDir, d.path, d.keyColumn,
+        fullSchema(d.keyColumn).dataType)
+    }.toMap
+    scanFiles
+      .groupBy(f => deletes.filter(_.seq > f.seq).map(_.path))
+      .toSeq
+      .map { case (sig, fs) =>
+        val applicable = deletes.filter(d => sig.contains(d.path))
+        val keys: Map[String, Set[Any]] = applicable.groupBy(_.keyColumn)
+          .map { case (c, ds) =>
+            c -> ds.map(d => keysByDelete(d.path)).reduce(_ ++ _) }
+        org.apache.spark.sql.graft.MorGroup(
+          fs.map(f => (f.path, f.partitionValues, f.sizeBytes)),
+          fs.flatMap(f => f.stats.map(f.path -> _)).toMap,
+          keys)
+      }
+  }
 
   private def scanBuilderCapturing(options: CaseInsensitiveStringMap)
       : (ScanBuilder, org.apache.spark.sql.graft.SnapshotFileIndex) = {
     val dataSchema =
       StructType(fullSchema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    // Incremental batch read (`spark.read.option("startingVersion", N)
-    // [.option("endingVersion", M)].table(...)`): scan only the files
-    // FIRST COMMITTED in [N, M] — O(changed) planning per commit, the
-    // Iceberg incremental-scan surface. Mirrors the streaming source's
-    // startingVersion semantics (commits >= N); "latest" is
-    // streaming-only and means the empty range here.
-    val scanFiles: Seq[graft.table.DataFile] =
-      Option(options.get("startingVersion")) match {
-        case None => snap.files
-        case Some(s) if s.trim.equalsIgnoreCase("latest") => Nil
-        case Some(s) =>
-          val from = s.trim.toLong
-          val to = Option(options.get("endingVersion"))
-            .map(_.trim.toLong).getOrElse(snap.version)
-          require(from >= 0 && to <= snap.version,
-            s"incremental range [$from, $to] outside log [0, ${snap.version}]")
-          val logDir = new Path(tx.root, "_log")
-          val conf = tx.spark.sessionState.newHadoopConf()
-          (from to to).flatMap(v =>
-            graft.table.TxLog.readChanged(logDir, v, conf))
-      }
+    val scanFiles = scanFilesFor(options)
     val index = ScanBridge.snapshotIndex(tx.spark, new Path(tx.root, "data"),
       fullSchema, snap.partitionColumns,
       scanFiles.map(f => (f.path, f.partitionValues, f.sizeBytes)),

@@ -217,6 +217,54 @@ object Pipeline4 {
       ORDER BY date_str, status""")),
 
     // ------------------------------------------------------------------
+    // Merge-on-read equality deletes (the Iceberg v2 delete shape): a
+    // DELETE writes one tiny key file instead of rewriting data files;
+    // readers anti-join with the sequence rule (a later re-insert of a
+    // deleted key survives). The SQL read here goes through the native
+    // V2 MOR scan — grouped per-seq sub-scans with reader-level key
+    // filtering. The oracle replays the delete + re-insert algebra.
+    Q("catalog_v2_mor_delete", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("v2mor_seed", "parquet") {
+        SampleData.transactions(s, 230, seed = 99L)
+      }
+      val wh = Pipeline.scratch("v2mor")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("v2mor_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.analytics")
+      s.sql("""CREATE TABLE graft.analytics.txns_mor PARTITIONED BY (date) AS
+               SELECT * FROM v2mor_seed""")
+      val cat = new graft.table.TableCatalog(s,
+        new org.apache.hadoop.fs.Path(wh))
+      val t = cat.getTable("analytics", "txns_mor")
+      // MOR delete every HIGH-risk row: one key file, zero data rewrite
+      t.deleteMor(col("risk_score") === "HIGH", "transaction_id")
+      // re-insert the deleted keys' rows RESTATED — files committed
+      // after the delete survive it (the sequence rule)
+      s.read.parquet(seedDir).filter(col("risk_score") === "HIGH")
+        .withColumn("status", lit("RESTATED"))
+        .createOrReplaceTempView("v2mor_restated")
+      s.sql("""INSERT INTO graft.analytics.txns_mor
+               SELECT * FROM v2mor_restated""")
+      s.sql("""
+        SELECT risk_score, status, count(*) AS n,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft.analytics.txns_mor
+        GROUP BY risk_score, status
+        ORDER BY risk_score, status""")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/v2mor_seed/*.parquet')),
+      fin AS (
+        SELECT * FROM seed WHERE risk_score <> 'HIGH'
+        UNION ALL
+        SELECT * REPLACE ('RESTATED' AS status)
+        FROM seed WHERE risk_score = 'HIGH')
+      SELECT risk_score, status, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM fin GROUP BY risk_score, status
+      ORDER BY risk_score, status""")),
+
+    // ------------------------------------------------------------------
     // Incremental batch read (the Iceberg incremental-scan surface):
     // `spark.read.option("startingVersion", N).table(...)` scans ONLY
     // the files first committed in [N, head] — O(changed) planning per

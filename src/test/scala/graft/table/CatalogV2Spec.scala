@@ -373,6 +373,47 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 reads apply merge-on-read equality deletes (and DML doesn't resurrect)") {
+    withCatalog("mor") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mr")
+      spark.sql("""CREATE TABLE graft.mr.t (id STRING, date DATE, v INT)
+          PARTITIONED BY (date)""")
+      spark.sql("""INSERT INTO graft.mr.t VALUES
+        ('k1', DATE'2026-01-01', 1), ('k2', DATE'2026-01-01', 2),
+        ('k3', DATE'2026-01-02', 3), ('k4', DATE'2026-01-02', 4)""")
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val t = cat.getTable("mr", "t")
+      t.deleteMor(col("id") === "k2" || col("id") === "k4", "id")
+      // plain SQL SELECT sees the deletes
+      assert(spark.sql("SELECT id FROM graft.mr.t ORDER BY id")
+        .collect().map(_.getString(0)) === Array("k1", "k3"))
+      // count(*) does not count deleted rows (no aggregate pushdown on
+      // a MOR scan)
+      assert(spark.sql("SELECT count(*) FROM graft.mr.t").collect()(0)
+        .getLong(0) === 2L)
+      // pruned projections that drop the key column still filter
+      assert(spark.sql("SELECT sum(v) FROM graft.mr.t").collect()(0)
+        .getLong(0) === 4L)
+      // partition pruning still applies on the MOR scan
+      assert(spark.sql(
+          "SELECT id FROM graft.mr.t WHERE date = DATE'2026-01-02'")
+        .collect().map(_.getString(0)) === Array("k3"))
+      // a re-inserted key (file seq above the delete's) survives
+      spark.sql("INSERT INTO graft.mr.t VALUES ('k2', DATE'2026-01-03', 22)")
+      assert(spark.sql("SELECT id, v FROM graft.mr.t ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq ===
+        Seq(("k1", 1), ("k2", 22), ("k3", 3)))
+      // native UPDATE on the MOR table must not resurrect deleted rows
+      spark.sql("UPDATE graft.mr.t SET v = v + 100 WHERE date = DATE'2026-01-01'")
+      assert(spark.sql("SELECT id, v FROM graft.mr.t ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq ===
+        Seq(("k1", 101), ("k2", 22), ("k3", 3)))
+      // time travel to the pre-delete version still sees all four rows
+      assert(spark.sql("SELECT count(*) FROM graft.mr.t VERSION AS OF 1")
+        .collect()(0).getLong(0) === 4L)
+    }
+  }
+
   test("incremental batch reads: startingVersion/endingVersion and changesBetween") {
     withCatalog("incr") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ic")
