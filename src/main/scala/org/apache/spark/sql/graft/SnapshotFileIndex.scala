@@ -99,6 +99,26 @@ class SnapshotFileIndex(
   private val partValsByPath: Map[Path, Map[String, String]] =
     statuses.map { case (p, _, vals) => p -> vals }.toMap
 
+  /** Stored partition-value strings per file path (storage-partitioned
+    * join grouping key) plus the TYPED key row (what
+    * `HasPartitionKey.partitionKey` must return, partition-column
+    * order). */
+  def partitionKeyFor(p: Path): Option[(Seq[String], InternalRow)] =
+    partValsByPath.get(p).map { vals =>
+      val rendered = partitionColumns.map(c => vals.getOrElse(c, null))
+      val typed = InternalRow.fromSeq(partitionColumns.map(c =>
+        castValue(vals.getOrElse(c, null),
+          partSchema(partSchema.fieldIndex(c)).dataType)))
+      (rendered, typed)
+    }
+
+  /** Distinct partition-value tuples in the snapshot. */
+  def distinctPartitionKeys: Int =
+    statuses.map(s => partitionColumns.map(c => s._3.getOrElse(c, null)))
+      .distinct.size
+
+  def session: SparkSession = spark
+
   override def listFiles(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
@@ -296,6 +316,20 @@ private[graft] class PermutingReaderFactory(
   }
 }
 
+/** A [[org.apache.spark.sql.execution.datasources.FilePartition]] that
+  * also reports its typed partition-value row — the
+  * `HasPartitionKey` contract behind storage-partitioned joins. The
+  * parquet reader factory sees a plain FilePartition; Spark's scan exec
+  * groups splits by this key. */
+private[graft] class KeyedFilePartition(
+    idx: Int,
+    override val files: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: InternalRow)
+  extends org.apache.spark.sql.execution.datasources.FilePartition(idx, files)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 /** Parses the V2 predicates BatchScanExec hands to a
   * `SupportsRuntimeV2Filtering` scan after the DPP build side
   * materializes — `col IN (v…)` / `col = v` on a single top-level
@@ -475,17 +509,51 @@ object ScanBridge {
           .filter(names => builtSchema.fieldNames.toSeq != names &&
             builtSchema.fieldNames.sorted.toSeq == names.sorted)
           .map(names => names.map(builtSchema.fieldIndex).toArray)
+        // Storage-partitioned join eligibility (opt-in via Spark's own
+        // v2-bucketing conf): the scan reports KeyGroupedPartitioning
+        // over the identity partition transforms and plans ONE input
+        // split per partition value, so a join of two graft tables
+        // co-partitioned on the join keys needs NO shuffle on either
+        // side — at 100 TB the single largest cost a co-located layout
+        // can delete. Requires the partition columns in the scan output
+        // (the planner must resolve the transforms against it).
+        val spjCols: Option[Seq[String]] = {
+          val cols = index.partitionColumnNames
+          val out = perm match {
+            case Some(p) => p.map(builtSchema(_).name).toSet
+            case None    => builtSchema.fieldNames.toSet
+          }
+          if (cols.nonEmpty &&
+              index.session.sessionState.conf.v2BucketingEnabled &&
+              cols.forall(out.contains)) Some(cols)
+          else None
+        }
         // SupportsReportStatistics must survive the wrap: FileScan
         // reports real sizeInBytes/rowCount, and without it
         // DataSourceV2ScanRelation falls back to defaultSizeInBytes
         // (Long.MaxValue) and joins against graft tables never
         // auto-broadcast.
         new Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
-            with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+            with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+            with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
           override def readSchema(): StructType = perm match {
             case Some(p) => StructType(p.toIndexedSeq.map(builtSchema(_)))
             case None    => builtSchema
           }
+          override def outputPartitioning()
+              : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+            spjCols match {
+              case Some(cols) =>
+                new org.apache.spark.sql.connector.read.partitioning
+                  .KeyGroupedPartitioning(
+                    cols.map(c => org.apache.spark.sql.connector.expressions
+                      .Expressions.identity(c))
+                      .toArray[org.apache.spark.sql.connector.expressions.Expression],
+                    math.max(1, index.distinctPartitionKeys))
+              case None =>
+                new org.apache.spark.sql.connector.read.partitioning
+                  .UnknownPartitioning(0)
+            }
           // Runtime (dynamic partition pruning) filtering — a V2 gap
           // Spark's own FileScan does not close: once the join's build
           // side materializes, BatchScanExec hands the IN-list here;
@@ -518,17 +586,46 @@ object ScanBridge {
             }
           }
           override def description(): String = built.description()
-          override def toBatch: Batch = perm match {
-            case None => current.toBatch
-            case Some(p) =>
-              val b = current.toBatch
-              new Batch {
-                override def planInputPartitions(): Array[InputPartition] =
-                  b.planInputPartitions()
-                override def createReaderFactory(): PartitionReaderFactory =
-                  new PermutingReaderFactory(b.createReaderFactory(),
-                    builtSchema, p)
+          override def toBatch: Batch = {
+            val b = current.toBatch
+            val base: Batch = perm match {
+              case None => b
+              case Some(p) =>
+                new Batch {
+                  override def planInputPartitions(): Array[InputPartition] =
+                    b.planInputPartitions()
+                  override def createReaderFactory(): PartitionReaderFactory =
+                    new PermutingReaderFactory(b.createReaderFactory(),
+                      builtSchema, p)
+                }
+            }
+            if (spjCols.isEmpty) base
+            else new Batch {
+              // one split per partition value, each tagged with its
+              // typed key (HasPartitionKey) — Spark groups same-key
+              // splits into co-located tasks and EnsureRequirements
+              // elides the shuffle when both join sides report the
+              // same key-grouped layout
+              override def planInputPartitions(): Array[InputPartition] = {
+                val parts = base.planInputPartitions()
+                val allFiles = parts.flatMap {
+                  case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                    fp.files
+                  case _ => return parts        // non-file plan: leave as-is
+                }
+                val grouped = allFiles
+                  .flatMap(f => index.partitionKeyFor(f.filePath.toPath)
+                    .map { case (rendered, typed) => (rendered, typed, f) })
+                if (grouped.length != allFiles.length) return parts
+                grouped.groupBy(_._1).values.zipWithIndex.map {
+                  case (fs, i) =>
+                    new KeyedFilePartition(i, fs.map(_._3), fs.head._2)
+                      : InputPartition
+                }.toArray
               }
+              override def createReaderFactory(): PartitionReaderFactory =
+                base.createReaderFactory()
+            }
           }
           override def estimateStatistics()
               : org.apache.spark.sql.connector.read.Statistics = current match {

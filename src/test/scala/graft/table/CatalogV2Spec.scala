@@ -373,6 +373,49 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("storage-partitioned join: co-partitioned graft tables join with zero shuffles") {
+    withCatalog("spj") { _ =>
+      val prevConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.sj")
+        spark.sql("""CREATE TABLE graft.sj.a (id STRING, date DATE, v INT)
+            PARTITIONED BY (date)""")
+        spark.sql("""CREATE TABLE graft.sj.b (id STRING, date DATE, w INT)
+            PARTITIONED BY (date)""")
+        spark.sql("""INSERT INTO graft.sj.a
+            SELECT CAST(id AS STRING),
+                   date_add(DATE'2026-01-01', CAST(id % 10 AS INT)),
+                   CAST(id AS INT) FROM range(1000)""")
+        spark.sql("""INSERT INTO graft.sj.b
+            SELECT CAST(id AS STRING),
+                   date_add(DATE'2026-01-01', CAST(id % 10 AS INT)),
+                   CAST(id AS INT) FROM range(500)""")
+        val q = spark.sql("""SELECT a.date, count(*) AS n
+            FROM graft.sj.a a JOIN graft.sj.b b ON a.date = b.date
+            GROUP BY a.date""")
+        assert(q.collect().map(_.getLong(1)).sum === 50000L)
+        val plan = q.queryExecution.executedPlan.toString
+        // both sides report KeyGroupedPartitioning over date, so
+        // EnsureRequirements elides the join shuffles — and the GROUP
+        // BY on date reuses the same layout: ZERO exchanges anywhere
+        assert(!plan.contains("Exchange"),
+          s"expected a shuffle-free storage-partitioned join plan:\n$plan")
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      } finally prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("V2 reads apply merge-on-read equality deletes (and DML doesn't resurrect)") {
     withCatalog("mor") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mr")
