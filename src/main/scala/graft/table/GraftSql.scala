@@ -49,6 +49,12 @@ object GraftSql {
     """(?is)\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)\s*;?\s*""".r
   private val DescribeRe =
     """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*""".r
+  private val DescribeHistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([`\w.]+)\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+([`\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+([`\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
 
   /** ONE catalog name per warehouse (`graftsql_<md5(path)>`): the
     * plugin's conf entries for a given name are written once with fixed
@@ -187,6 +193,27 @@ object GraftSql {
         val v = t.mergeBranches(src, pm.tgtAlias, pm.srcAlias, pm.on,
           pm.matched, pm.notMatched, pm.bySource)
         Seq(s"MERGED $ns.$tbl v$v").toDF("result")
+      // maintenance statements (the Delta OPTIMIZE / VACUUM / DESCRIBE
+      // HISTORY surface; Athena exposes the same via OPTIMIZE ...
+      // REWRITE DATA). HISTORY must match before the plain DESCRIBE.
+      case DescribeHistoryRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        cat.getTable(ns, tbl).history()
+      case OptimizeRe(rawName, zorderCols) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val cluster = Option(zorderCols)
+          .map(_.split(",").map(cleanIdent).toSeq.filter(_.nonEmpty))
+          .getOrElse(Nil)
+        val v = t.compact(clusterBy = cluster)
+        val how = if (cluster.isEmpty) "" else s" ZORDER BY (${cluster.mkString(", ")})"
+        Seq(s"OPTIMIZED $ns.$tbl$how v$v").toDF("result")
+      case VacuumRe(rawName, retain) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val n = t.vacuum(retainVersions =
+          Option(retain).map(_.toInt).getOrElse(2))
+        Seq(s"VACUUMED $ns.$tbl removed $n files").toDF("result")
       case ShowNamespacesRe() =>
         cat.listNamespaces().toDF("namespace")
       case ShowTablesRe(ns) =>

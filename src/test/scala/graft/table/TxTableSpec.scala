@@ -1152,6 +1152,30 @@ class TxTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("SQL maintenance: OPTIMIZE [ZORDER BY], VACUUM, DESCRIBE HISTORY route") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, new Path(freshDir("sql_maint")))
+    val t = cat.createTable("ops", "t",
+      Seq((1L, 2.0)).toDF("id", "v").schema, Nil)
+    (1 to 5).foreach(i =>
+      t.append(Seq((i.toLong, i * 1.0)).toDF("id", "v")))
+    val filesBefore = t.snapshot.files.size
+    assert(filesBefore >= 5)
+    val res = cat.sql("OPTIMIZE ops.t ZORDER BY (id, v)")
+      .collect()(0).getString(0)
+    assert(res.startsWith("OPTIMIZED ops.t ZORDER BY (id, v)"), res)
+    assert(t.snapshot.files.size < filesBefore)
+    assert(t.toDF.count() === 5)
+    val hist = cat.sql("DESCRIBE HISTORY ops.t")
+    assert(hist.columns.contains("operation"))
+    assert(hist.select("operation").as[String].collect().head === "COMPACT")
+    // vacuum with retention keeps current-version files (grace window
+    // protects the rest in this fresh table)
+    val vac = cat.sql("VACUUM ops.t RETAIN 1 VERSIONS").collect()(0).getString(0)
+    assert(vac.startsWith("VACUUMED ops.t removed"), vac)
+    assert(t.toDF.count() === 5)
+  }
+
   test("merge-on-read equality deletes: no rewrite, sequence rule, compact applies") {
     import spark.implicits._
     val t = TxTable.create(spark, new Path(freshDir("tx_mor")), "t",
