@@ -217,6 +217,54 @@ object Pipeline4 {
       ORDER BY date_str, status""")),
 
     // ------------------------------------------------------------------
+    // Storage-partitioned join: two graft tables co-partitioned on
+    // `date` join under the v2-bucketing conf with a forced SMJ — the
+    // scans report KeyGroupedPartitioning and plan one split per
+    // partition value, so EnsureRequirements elides BOTH join shuffles
+    // (plan shape pinned in CatalogV2Spec; here the executed SPJ path
+    // is value-checked against DuckDB's replay of the same join). The
+    // result is materialized inside the conf scope so the key-grouped
+    // plan is what actually runs, then confs are restored.
+    Q("catalog_v2_spj_join", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("v2spj_seed", "parquet") {
+        SampleData.transactions(s, 280, seed = 111L)
+      }
+      val wh = Pipeline.scratch("v2spj")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("v2spj_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.analytics")
+      s.sql("""CREATE TABLE graft.analytics.spj_a PARTITIONED BY (date) AS
+               SELECT * FROM v2spj_seed WHERE risk_score <> 'HIGH'""")
+      s.sql("""CREATE TABLE graft.analytics.spj_b PARTITIONED BY (date) AS
+               SELECT * FROM v2spj_seed WHERE status <> 'DECLINED'""")
+      val prev = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      try {
+        val df = s.sql("""
+          SELECT /*+ MERGE(b) */ CAST(a.date AS STRING) AS date_str,
+                 count(*) AS pairs,
+                 CAST(sum(CAST(a.amount AS DECIMAL(18,2))) AS DOUBLE) AS a_total
+          FROM graft.analytics.spj_a a
+          JOIN graft.analytics.spj_b b ON a.date = b.date
+          GROUP BY a.date
+          ORDER BY date_str""")
+        df.count()                       // execute through the SPJ plan
+        df
+      } finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => s.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/v2spj_seed/*.parquet')),
+      a AS (SELECT * FROM seed WHERE risk_score <> 'HIGH'),
+      b AS (SELECT * FROM seed WHERE status <> 'DECLINED')
+      SELECT CAST(a.date AS VARCHAR) AS date_str, count(*) AS pairs,
+             CAST(sum(CAST(a.amount AS DECIMAL(18,2))) AS DOUBLE) AS a_total
+      FROM a JOIN b ON a.date = b.date
+      GROUP BY a.date ORDER BY date_str""")),
+
+    // ------------------------------------------------------------------
     // Merge-on-read equality deletes (the Iceberg v2 delete shape): a
     // DELETE writes one tiny key file instead of rewriting data files;
     // readers anti-join with the sequence rule (a later re-insert of a
