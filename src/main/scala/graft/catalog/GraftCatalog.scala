@@ -119,21 +119,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // winning the CAS), so binary-search the version range: O(log n)
     // header reads where a linear walk on a 10⁵-commit log would be
     // 10⁵ small reads per time-travel query.
-    val logDir = new Path(t.root, "_log")
-    val conf = spark.sessionState.newHadoopConf()
-    def tsOf(v: Long): Long =
-      graft.table.TxLog.readRaw(logDir, v, conf).timestampMs
-    if (tsOf(0L) > cutoffMs)
-      throw new IllegalArgumentException(
-        s"no version of $ns.$tbl committed at or before $cutoffMs ms")
-    // invariant: tsOf(lo) <= cutoffMs < tsOf(v) for all v > hi
-    var lo = 0L
-    var hi = t.currentVersion
-    while (lo < hi) {
-      val mid = lo + (hi - lo + 1) / 2
-      if (tsOf(mid) <= cutoffMs) lo = mid else hi = mid - 1
+    val v = try graft.table.TxLog.versionAtOrBefore(
+      new Path(t.root, "_log"), t.currentVersion, cutoffMs,
+      spark.sessionState.newHadoopConf())
+    catch {
+      case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"no version of $ns.$tbl committed at or before $cutoffMs ms")
     }
-    new GraftV2Table(t, asOfVersion = Some(lo))
+    new GraftV2Table(t, asOfVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

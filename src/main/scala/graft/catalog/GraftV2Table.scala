@@ -202,6 +202,9 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
   private def scanFilesFor(options: CaseInsensitiveStringMap)
       : Seq[graft.table.DataFile] =
     Option(options.get("startingVersion")) match {
+      // (`versionAsOf`/`timestampAsOf` read options never reach here:
+      // Spark's analyzer extracts them as a TimeTravelSpec and resolves
+      // through GraftCatalog.loadTable(ident, version/timestamp))
       case None => snap.files
       case Some(s) if s.trim.equalsIgnoreCase("latest") => Nil
       case Some(s) =>

@@ -172,6 +172,25 @@ object TxLog {
       finally out.close()
     } catch { case _: Exception => () }
 
+  /** Newest version committed at or before `cutoffMs` — binary search
+    * over the monotone commit timestamps in raw snapshot headers,
+    * O(log commits) header reads (the `TIMESTAMP AS OF` resolver).
+    * Throws when even version 0 is newer than the cutoff. */
+  def versionAtOrBefore(logDir: Path, head: Long, cutoffMs: Long,
+      conf: Configuration): Long = {
+    def tsOf(v: Long): Long = readRaw(logDir, v, conf).timestampMs
+    if (tsOf(0L) > cutoffMs)
+      throw new IllegalArgumentException(
+        s"no version committed at or before $cutoffMs ms")
+    var lo = 0L
+    var hi = head
+    while (lo < hi) {
+      val mid = lo + (hi - lo + 1) / 2
+      if (tsOf(mid) <= cutoffMs) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
   /** Parse a snapshot AS STORED: inline files + unresolved manifest
     * refs. Commit and provenance use this — it is O(changed files). */
   def readRaw(logDir: Path, version: Long, conf: Configuration): Snapshot = {

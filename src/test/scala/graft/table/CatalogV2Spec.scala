@@ -254,6 +254,12 @@ class CatalogV2Spec extends SparkSpec {
         spark.sql("DELETE FROM (SELECT * FROM graft.tt.t VERSION AS OF 1)")
       }
       assert(err != null)
+      // Delta-style DataFrame read options resolve through the same
+      // loadTable overloads (Spark's TimeTravelSpec extraction)
+      assert(spark.read.option("versionAsOf", "1")
+        .table("graft.tt.t").count() === 1)
+      assert(spark.read.option("timestampAsOf", ts.toString)
+        .table("graft.tt.t").count() === 1)
     }
   }
 
