@@ -172,22 +172,51 @@ object TxLog {
       finally out.close()
     } catch { case _: Exception => () }
 
+  /** Expire snapshot HEADERS below `keepFrom` (the Iceberg
+    * expire_snapshots / Delta log-cleanup surface): deletes
+    * `v*.metadata.json` for versions < keepFrom except `protect`ed
+    * ones (tags). Data files are untouched (vacuum owns those);
+    * manifests referenced only by expired snapshots become vacuumable.
+    * Time travel below the horizon fails with a missing-snapshot
+    * error afterwards — the standard retention contract. Returns the
+    * number of headers removed. */
+  def expire(logDir: Path, keepFrom: Long, protect: Set[Long],
+      conf: Configuration): Int = {
+    val f = fs(logDir, conf)
+    var removed = 0
+    (0L until keepFrom).foreach { v =>
+      if (!protect.contains(v)) {
+        val p = new Path(logDir, snapshotName(v))
+        if (f.exists(p) && f.delete(p, false)) removed += 1
+      }
+    }
+    removed
+  }
+
   /** Newest version committed at or before `cutoffMs` — binary search
     * over the monotone commit timestamps in raw snapshot headers,
     * O(log commits) header reads (the `TIMESTAMP AS OF` resolver).
     * Throws when even version 0 is newer than the cutoff. */
   def versionAtOrBefore(logDir: Path, head: Long, cutoffMs: Long,
       conf: Configuration): Long = {
-    def tsOf(v: Long): Long = readRaw(logDir, v, conf).timestampMs
-    if (tsOf(0L) > cutoffMs)
-      throw new IllegalArgumentException(
+    // expired (deleted) headers read as "older than any retained
+    // commit": the search walks past them, and only errors if the
+    // RESULT itself is expired
+    def tsOpt(v: Long): Option[Long] =
+      try Some(readRaw(logDir, v, conf).timestampMs)
+      catch { case _: java.io.FileNotFoundException => None }
+    tsOpt(0L).foreach { t0 =>
+      if (t0 > cutoffMs) throw new IllegalArgumentException(
         s"no version committed at or before $cutoffMs ms")
+    }
     var lo = 0L
     var hi = head
     while (lo < hi) {
       val mid = lo + (hi - lo + 1) / 2
-      if (tsOf(mid) <= cutoffMs) lo = mid else hi = mid - 1
+      if (tsOpt(mid).forall(_ <= cutoffMs)) lo = mid else hi = mid - 1
     }
+    if (tsOpt(lo).isEmpty) throw new IllegalArgumentException(
+      s"version $lo is expired — the timestamp precedes the retained log")
     lo
   }
 

@@ -270,9 +270,13 @@ class TxTable private (
     val s = snapshot
     // per-commit `added` records make this walk O(changed files) per
     // version — not O(table files) — so 10⁵ commits stay driver-cheap
+    // expired versions (expireSnapshots) contribute nothing — their
+    // files end up attributed -1 (unknown) below, never mis-versioned
+    def tolerate[T](f: => Seq[T]): Seq[T] =
+      try f catch { case _: java.io.FileNotFoundException => Nil }
     val firstSeen = scala.collection.mutable.Map[String, Long]()
     (0L to s.version).foreach { v =>
-      TxLog.readAdded(logDir, v, conf).foreach(p =>
+      tolerate(TxLog.readAdded(logDir, v, conf)).foreach(p =>
         if (!firstSeen.contains(p)) firstSeen(p) = v)
     }
     // Logs predating the per-commit `added` record leave their files
@@ -285,13 +289,13 @@ class TxTable private (
       s.files.map(_.path).filterNot(firstSeen.contains): _*)
     var v = 0L
     while (legacy.nonEmpty && v <= s.version) {
-      TxLog.read(logDir, v, conf).files.foreach { f =>
+      tolerate(TxLog.read(logDir, v, conf).files).foreach { f =>
         if (legacy.remove(f.path)) firstSeen(f.path) = v
       }
       v += 1
     }
     val byName = s.files.map(f =>
-      (new Path(f.path).getName, firstSeen.getOrElse(f.path, s.version)))
+      (new Path(f.path).getName, firstSeen.getOrElse(f.path, -1L)))
       .toDF("__graft_file", "_commit_version")
     // broadcast join on the file name keeps the decoration inside
     // whole-stage codegen (a per-row UDF here would block it)
@@ -1260,6 +1264,25 @@ class TxTable private (
     }
     removed + vacuumManifests(keepFrom, cutoffMs) +
       vacuumEqualityDeletes(keepFrom, cutoffMs)
+  }
+
+  /**
+   * Expire snapshot metadata below the retention horizon (the Iceberg
+   * `expire_snapshots` surface): deletes the version HEADERS older than
+   * the last `retainVersions`, except tagged versions — at 10⁵-commit
+   * scale this is what keeps the log directory bounded. Data files are
+   * untouched ([[vacuum]] owns those; run it after to reclaim manifests
+   * and files only expired snapshots referenced). Time travel below
+   * the horizon fails with a missing-snapshot error afterwards;
+   * provenance attributes files from expired commits to the earliest
+   * RETAINED snapshot containing them ("first seen in the retained
+   * log"). Returns the number of headers removed.
+   */
+  def expireSnapshots(retainVersions: Int = 10): Int = {
+    require(retainVersions >= 1, "must retain at least the head version")
+    val head = currentVersion
+    val keepFrom = math.max(0L, head - (retainVersions - 1))
+    TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
   }
 
   /** Delete equality-delete files referenced by no snapshot ≥

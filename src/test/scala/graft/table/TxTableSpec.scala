@@ -1152,6 +1152,44 @@ class TxTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("expireSnapshots bounds the log: headers below horizon go, tags survive") {
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("tx_expire")), "t",
+      Seq((1L, 1.0)).toDF("id", "v").schema, Nil)
+    (1 to 9).foreach(i => t.append(Seq((i.toLong, i * 1.0)).toDF("id", "v")))
+    assert(t.currentVersion === 9L)
+    t.tag("audit", 2L)                       // protect an old version
+    val tsAtV5 = TxLog.readRaw(new Path(t.root, "_log"), 5L,
+      spark.sparkContext.hadoopConfiguration).timestampMs
+    val removed = t.expireSnapshots(retainVersions = 3)  // keep 7, 8, 9
+    assert(removed === 6, s"removed $removed")           // 0,1,3,4,5,6 (2 tagged)
+    val fsys = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fsys.exists(new Path(t.root, "_log/v00000000.metadata.json")))
+    assert(fsys.exists(new Path(t.root, "_log/v00000002.metadata.json")))
+    // head reads, history of retained versions, counts all intact
+    assert(t.toDF.count() === 9)
+    assert(t.currentVersion === 9L)
+    // tagged version still time-travels
+    assert(t.asOfTag("audit").count() === 2)
+    // expired version fails cleanly
+    intercept[Exception] { t.asOf(5L).count() }
+    // TIMESTAMP AS OF with a cutoff inside the expired range errors
+    // (the instant's snapshot no longer exists), while a recent cutoff
+    // still resolves
+    intercept[IllegalArgumentException] {
+      TxLog.versionAtOrBefore(new Path(t.root, "_log"), 9L, tsAtV5,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    assert(TxLog.versionAtOrBefore(new Path(t.root, "_log"), 9L,
+      System.currentTimeMillis(),
+      spark.sparkContext.hadoopConfiguration) === 9L)
+    // provenance still answers: expired-commit files attribute to the
+    // earliest retained (or tagged) snapshot containing them
+    val prov = t.readWithProvenance()
+    assert(prov.count() === 9)
+    assert(prov.select("_commit_version").as[Long].collect().forall(_ >= 2L))
+  }
+
   test("SQL maintenance: OPTIMIZE [ZORDER BY], VACUUM, DESCRIBE HISTORY route") {
     import spark.implicits._
     val cat = new TableCatalog(spark, new Path(freshDir("sql_maint")))
