@@ -55,6 +55,8 @@ object GraftSql {
     """(?is)\s*OPTIMIZE\s+([`\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([`\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
 
   /** ONE catalog name per warehouse (`graftsql_<md5(path)>`): the
     * plugin's conf entries for a given name are written once with fixed
@@ -208,6 +210,10 @@ object GraftSql {
         val v = t.compact(clusterBy = cluster)
         val how = if (cluster.isEmpty) "" else s" ZORDER BY (${cluster.mkString(", ")})"
         Seq(s"OPTIMIZED $ns.$tbl$how v$v").toDF("result")
+      case RestoreRe(rawName, version) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val v = cat.getTable(ns, tbl).restore(version.toLong)
+        Seq(s"RESTORED $ns.$tbl to v$version as v$v").toDF("result")
       case VacuumRe(rawName, retain) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)

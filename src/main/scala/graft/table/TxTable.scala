@@ -1267,6 +1267,33 @@ class TxTable private (
   }
 
   /**
+   * Restore the table to an older committed version (the Delta RESTORE
+   * surface): a NEW commit whose file list, schema, and partitioning
+   * are the target snapshot's — history is preserved (the restore
+   * itself is version head+1, and the restored-away versions remain
+   * time-travelable until expired). Metadata-only: no data files move.
+   * MOR deletes committed after the target no longer apply (their seq
+   * exceeds every restored file's), but are cleared explicitly so the
+   * read path skips the anti-join entirely.
+   */
+  def restore(version: Long): Long = {
+    val target = snapshotAt(version)
+    // a vacuum run after `version` aged out may have reclaimed files
+    // the target references — fail the restore up front, not at read
+    val missing = target.files.filterNot(f =>
+      fs.exists(new Path(dataDir, f.path)))
+    require(missing.isEmpty,
+      s"cannot restore $name to v$version: ${missing.size} data file(s) " +
+        s"already vacuumed (first: ${missing.headOption.map(_.path).orNull})")
+    retryingCommit("RESTORE") { expected =>
+      commit(Some(expected), "RESTORE", schemaOf(target),
+        target.partitionColumns, target.files,
+        droppedColumns = target.droppedColumns,
+        equalityDeletes = target.equalityDeletes)
+    }
+  }
+
+  /**
    * Expire snapshot metadata below the retention horizon (the Iceberg
    * `expire_snapshots` surface): deletes the version HEADERS older than
    * the last `retainVersions`, except tagged versions — at 10⁵-commit

@@ -1152,6 +1152,34 @@ class TxTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("RESTORE rewinds table state as a new commit, history preserved") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_restore")))
+    val t = cat.createTable("ops", "r",
+      Seq((1L, "a")).toDF("id", "tag").schema, Nil)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))             // v1
+    t.append(Seq((3L, "c")).toDF("id", "tag"))                        // v2
+    t.delete(col("id") === 1L)                                        // v3
+    assert(t.toDF.count() === 2)
+    val res = cat.sql("RESTORE TABLE ops.r TO VERSION AS OF 1")
+      .collect()(0).getString(0)
+    assert(res === "RESTORED ops.r to v1 as v4", res)
+    // state is exactly v1's; the restore is a NEW commit
+    assert(t.currentVersion === 4L)
+    assert(t.toDF.select("id").as[Long].collect().sorted === Array(1L, 2L))
+    // restored-away versions remain time-travelable
+    assert(t.asOf(3L).count() === 2)
+    assert(t.asOf(2L).count() === 3)
+    // restoring to a vacuumed-away version fails cleanly: overwrite
+    // orphans v1's files, vacuum reclaims them, restore must refuse
+    t.overwrite(Seq((9L, "z")).toDF("id", "tag"))                     // v5
+    t.vacuum(retainVersions = 1, graceMillis = 0)
+    val err = intercept[IllegalArgumentException] {
+      t.restore(1L)
+    }
+    assert(err.getMessage.contains("already vacuumed"))
+  }
+
   test("expireSnapshots bounds the log: headers below horizon go, tags survive") {
     import spark.implicits._
     val t = TxTable.create(spark, new Path(freshDir("tx_expire")), "t",
