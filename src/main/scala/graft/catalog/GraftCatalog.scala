@@ -84,26 +84,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       return new GraftMetadataTable(
         cat.getTable(ident.namespace()(0), ident.namespace()(1)), ident.name())
     }
+    // `graft.ns.t.branch_audit` — the Iceberg branch addressing: reads
+    // AND writes (INSERT / UPDATE / MERGE) target the branch chain
+    if (ident.namespace().length == 2 && ident.name().startsWith("branch_") &&
+        cat.tableExists(ident.namespace()(0), ident.namespace()(1))) {
+      val t = cat.getTable(ident.namespace()(0), ident.namespace()(1))
+      val b = ident.name().stripPrefix("branch_")
+      if (t.branches.contains(b)) return new GraftV2Table(t.branch(b))
+    }
     val (ns, tbl) = (ns1(ident.namespace()), ident.name())
     if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
     new GraftV2Table(cat.getTable(ns, tbl))
   }
 
-  /** `SELECT … FROM graft.ns.t VERSION AS OF <v|tag>` — native time
-    * travel: a number pins that committed version, anything else
-    * resolves as a tag name (the Iceberg branch/tag addressing shape). */
+  /** `SELECT … FROM graft.ns.t VERSION AS OF <v|tag|branch>` — native
+    * time travel: a number pins that committed version; otherwise the
+    * name resolves as a tag, then as a branch head (the Iceberg
+    * branch/tag addressing shape). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val cat = inner
     val (ns, tbl) = (ns1(ident.namespace()), ident.name())
     if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
     val t = cat.getTable(ns, tbl)
-    val v = version.trim match {
-      case n if n.forall(_.isDigit) => n.toLong
-      case tag => t.tags.getOrElse(tag,
-        throw new IllegalArgumentException(
-          s"no version or tag '$tag' on table $ns.$tbl"))
+    val ref = version.trim
+    if (ref.forall(_.isDigit) && ref.nonEmpty)
+      return new GraftV2Table(t, asOfVersion = Some(ref.toLong))
+    t.tags.get(ref) match {
+      case Some(v) => new GraftV2Table(t, asOfVersion = Some(v))
+      case None if t.branches.contains(ref) => new GraftV2Table(t.branch(ref))
+      case None => throw new IllegalArgumentException(
+        s"no version, tag, or branch '$ref' on table $ns.$tbl")
     }
-    new GraftV2Table(t, asOfVersion = Some(v))
   }
 
   /** `TIMESTAMP AS OF` — Spark hands MICROseconds; pin the newest

@@ -188,9 +188,14 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       // batch plans delegate straight through (pushdown forwarded);
       // toMicroBatchStream tails the commit log from this snapshot on
       val (builder, index) = scanBuilderCapturing(options)
+      val exactRows =
+        if (snap.equalityDeletes.isEmpty && snap.files.forall(_.rowCount >= 0))
+          Some(snap.files.map(_.rowCount).sum)
+        else None
       ScanBridge.streamCapable(builder, index,
         _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns,
-          options))
+          options),
+        exactRowCount = exactRows, tableStats = tx.tableStats)
     }
 
   /** Incremental batch read (`spark.read.option("startingVersion", N)

@@ -554,5 +554,100 @@ object Pipeline4 {
           (SELECT 1 FROM seed se WHERE se.transaction_id = b.tid))
       SELECT * FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
       ORDER BY transaction_id""")),
+
+    // ------------------------------------------------------------------
+    // Branch write-audit-publish (the Iceberg branch / WAP surface):
+    // fork a branch, run an audit-shaped UPDATE + DELETE + append ON
+    // THE BRANCH (main never sees intermediate states — asserted
+    // mid-flight), then publish with one fast-forward metadata commit.
+    // The oracle replays the same update→delete→append algebra over the
+    // staged inputs, so the published state is value-checked end to end.
+    Q("table_branch_wap", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("wap_seed", "parquet") {
+        SampleData.transactions(s, 220, seed = 121L)
+      }
+      val lateDir = Pipeline.stagedInput("wap_late", "parquet") {
+        SampleData.transactions(s, 40, seed = 122L)
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("wap")))
+      val t = cat.createTable("analytics", "txns_wap",
+        Schemas.transactions, Seq("date"))
+      t.append(s.read.parquet(seedDir))
+      val mainBefore = t.currentVersion
+      t.createBranch("audit")
+      val b = t.branch("audit")
+      b.update(col("risk_score") === "HIGH", Map("status" -> lit("AUDITED")))
+      b.delete(col("status") === "DECLINED")
+      b.append(s.read.parquet(lateDir))
+      // the audit ran entirely on the branch: main is untouched
+      require(t.currentVersion == mainBefore,
+        "branch writes must not advance main before publish")
+      t.fastForward("audit")
+      t.toDF.groupBy("risk_score", "status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy("risk_score", "status")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/wap_seed/*.parquet')),
+      late AS (SELECT * FROM read_parquet('$root/wap_late/*.parquet')),
+      after_upd AS (
+        SELECT * REPLACE(
+          CASE WHEN risk_score = 'HIGH' THEN 'AUDITED' ELSE status END AS status)
+        FROM seed),
+      after_del AS (SELECT * FROM after_upd WHERE status <> 'DECLINED'),
+      fin AS (SELECT * FROM after_del UNION ALL SELECT * FROM late)
+      SELECT risk_score, status, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM fin GROUP BY risk_score, status
+      ORDER BY risk_score, status""")),
+
+    // ------------------------------------------------------------------
+    // Shallow clone (the Delta CREATE TABLE ... SHALLOW CLONE surface):
+    // a metadata-only table copy referencing the source's data files by
+    // absolute path — zero bytes of data moved at clone time (asserted:
+    // the clone has no data dir until it writes). The clone then takes
+    // an UPDATE and a DELETE of its own while the source must stay
+    // byte-identical (asserted mid-flight). The oracle replays the
+    // update→delete algebra over the staged seed.
+    Q("table_shallow_clone", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("clone_seed", "parquet") {
+        SampleData.transactions(s, 200, seed = 131L)
+      }
+      val wh = Pipeline.scratch("clone")
+      val cat = new TableCatalog(s, new Path(wh))
+      val src = cat.createTable("analytics", "txns_src",
+        Schemas.transactions, Seq("date"))
+      src.append(s.read.parquet(seedDir))
+      graft.table.GraftSql.sql(cat,
+        "CREATE TABLE analytics.txns_clone SHALLOW CLONE analytics.txns_src")
+      val c = cat.getTable("analytics", "txns_clone")
+      // the clone was metadata-only: no data directory of its own yet
+      require(!new java.io.File(s"$wh/analytics/txns_clone/data").exists(),
+        "shallow clone must not copy data files")
+      c.update(col("risk_score") === "MEDIUM",
+        Map("amount" -> round(col("amount") * 3, 2).cast(DecimalType(12, 2))))
+      c.delete(col("status") === "FAILED")
+      // source untouched by clone-side DML
+      require(src.currentVersion == 1L && src.toDF.count() == 200L,
+        "source table must be unaffected by clone writes")
+      c.toDF.groupBy("risk_score", "status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy("risk_score", "status")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/clone_seed/*.parquet')),
+      after_upd AS (
+        SELECT * REPLACE(
+          CASE WHEN risk_score = 'MEDIUM'
+               THEN CAST(round(amount * 3, 2) AS DECIMAL(12,2))
+               ELSE amount END AS amount)
+        FROM seed),
+      fin AS (SELECT * FROM after_upd WHERE status <> 'FAILED')
+      SELECT risk_score, status, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM fin GROUP BY risk_score, status
+      ORDER BY risk_score, status""")),
   )
 }

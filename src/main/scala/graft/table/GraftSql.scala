@@ -57,6 +57,22 @@ object GraftSql {
     """(?is)\s*VACUUM\s+([`\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s+SHALLOW\s+CLONE\s+([`\w.]+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val CreateBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+CREATE\s+BRANCH\s+([`\w-]+)\s*;?\s*""".r
+  private val DropBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+BRANCH\s+([`\w-]+)\s*;?\s*""".r
+  private val FastForwardRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+FAST[\s-]?FORWARD\s+(?:BRANCH\s+)?([`\w-]+)\s*;?\s*""".r
+  private val ShowBranchesRe =
+    """(?is)\s*SHOW\s+BRANCHES\s+(?:IN\s+|FROM\s+)?([`\w.]+)\s*;?\s*""".r
+  private val AddConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+CONSTRAINT\s+([`\w]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+CONSTRAINT\s+([`\w]+)\s*;?\s*""".r
+  private val AnalyzeRe =
+    """(?is)\s*ANALYZE\s+TABLE\s+([`\w.]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([^;]+?)))?\s*;?\s*""".r
 
   /** ONE catalog name per warehouse (`graftsql_<md5(path)>`): the
     * plugin's conf entries for a given name are written once with fixed
@@ -112,6 +128,21 @@ object GraftSql {
     import spark.implicits._
     val stripped = stripLineComments(text)
     stripped match {
+      // SHALLOW CLONE must match before the CTAS/column-list forms
+      case CloneRe(ifNotExists, destRaw, srcRaw, ver) if knownTable(cat, srcRaw) =>
+        val (dns, dtbl) = splitName(destRaw)
+        val (sns, stbl) = splitName(srcRaw)
+        if (cat.tableExists(dns, dtbl)) {
+          require(ifNotExists != null, s"table $dns.$dtbl already exists")
+          Seq(s"EXISTS $dns.$dtbl").toDF("result")
+        } else {
+          cat.createNamespace(dns)
+          val src = cat.getTable(sns, stbl)
+          val t = src.cloneTo(cat.tableRoot(dns, dtbl), s"$dns.$dtbl",
+            Option(ver).map(_.toLong).getOrElse(-1L))
+          Seq(s"CLONED $sns.$stbl -> $dns.$dtbl at v${t.currentVersion}")
+            .toDF("result")
+        }
       // CTAS must match before the column-list form (it has no parens
       // after the table name)
       case CtasRe(ifNotExists, rawName, partList, query) =>
@@ -214,6 +245,44 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val v = cat.getTable(ns, tbl).restore(version.toLong)
         Seq(s"RESTORED $ns.$tbl to v$version as v$v").toDF("result")
+      // branch DDL (the Iceberg WAP surface) — must precede the native
+      // fallthrough: Spark's parser rejects these ALTER shapes
+      case CreateBranchRe(rawName, branch) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val v = cat.getTable(ns, tbl).createBranch(cleanIdent(branch))
+        Seq(s"CREATED BRANCH ${cleanIdent(branch)} ON $ns.$tbl at v$v").toDF("result")
+      case DropBranchRe(rawName, branch) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        cat.getTable(ns, tbl).dropBranch(cleanIdent(branch))
+        Seq(s"DROPPED BRANCH ${cleanIdent(branch)} ON $ns.$tbl").toDF("result")
+      case FastForwardRe(rawName, branch) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val v = cat.getTable(ns, tbl).fastForward(cleanIdent(branch))
+        Seq(s"FAST-FORWARDED $ns.$tbl to branch ${cleanIdent(branch)} as v$v")
+          .toDF("result")
+      case AddConstraintRe(rawName, cname, cond) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val v = cat.getTable(ns, tbl).addConstraint(cleanIdent(cname), cond.trim)
+        Seq(s"ADDED CONSTRAINT ${cleanIdent(cname)} ON $ns.$tbl v$v").toDF("result")
+      case DropConstraintRe(rawName, cname) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val v = cat.getTable(ns, tbl).dropConstraint(cleanIdent(cname))
+        Seq(s"DROPPED CONSTRAINT ${cleanIdent(cname)} ON $ns.$tbl v$v").toDF("result")
+      case AnalyzeRe(rawName, allCols, colList) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val cols =
+          if (colList != null) colList.split(",").map(cleanIdent).toSeq
+          else Nil                       // ALL COLUMNS and bare form alike
+        val st = t.analyze(cols)
+        Seq(s"ANALYZED $ns.$tbl v${st.analyzedVersion}: " +
+          s"${st.rowCount} rows, ${st.cols.size} column(s)").toDF("result")
+      case ShowBranchesRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        t.branches.map(b => (b, t.branch(b).currentVersion,
+            t.branchForkVersion(b)))
+          .toDF("branch", "head_version", "fork_version")
       case VacuumRe(rawName, retain) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)

@@ -53,6 +53,23 @@ final case class EqualityDeleteFile(
     seq: Long,
     count: Long)
 
+/** Table-level per-column statistics computed by `TxTable.analyze`
+  * (the ANALYZE TABLE ... COMPUTE STATISTICS surface), reported to
+  * Spark through the V2 scan's `estimateStatistics` so the CBO sees
+  * ndv/nullCount/avgLen/maxLen when reordering joins. Stale-tolerated
+  * (the standard engine contract): `analyzedVersion` records when they
+  * were computed. */
+final case class ColumnStatsRec(
+    ndv: Long,
+    nullCount: Long,
+    avgLen: Long,
+    maxLen: Long)
+
+final case class TableStats(
+    analyzedVersion: Long,
+    rowCount: Long,
+    cols: Map[String, ColumnStatsRec])
+
 /** Sidecar per-file Bloom index (see `TxTable.buildBloomIndex`):
   * serialized filters keyed by immutable data-file path. */
 final case class BloomIndex(
@@ -101,7 +118,13 @@ final case class Snapshot(
     /** outstanding merge-on-read equality deletes (see
       * [[EqualityDeleteFile]]); carried commit-to-commit until a full
       * rewrite (overwrite/compact) applies and clears them. */
-    equalityDeletes: Seq[EqualityDeleteFile] = Nil)
+    equalityDeletes: Seq[EqualityDeleteFile] = Nil,
+    /** CHECK constraints (name → boolean SQL expression over the row),
+      * the Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK` surface:
+      * enforced on every ingest write path (append/merge/overwrite) —
+      * a violating row fails the write, never corrupts the table.
+      * Carried commit-to-commit like appTxns. */
+    constraints: Map[String, String] = Map.empty)
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
@@ -370,6 +393,54 @@ object TxLog {
     else commitViaFs(f, target, json, next, expected)
     writeHint(f, logDir, next)
     next
+  }
+
+  /**
+   * Bootstrap a NEW linear chain (a branch ref) at an arbitrary start
+   * version: writes `snapshot` — already RESOLVED — as the chain's
+   * first snapshot, laying every file into one self-contained manifest
+   * under `logDir`. Branch dirs own their manifests outright; nothing
+   * resolves across directories, so the layout needs no relative-path
+   * tricks an object store would mangle. File entries are preserved
+   * BYTE-EXACT — commit seqs survive the fork, which is what keeps the
+   * Iceberg v2 `file.seq < delete.seq` rule coherent between a branch
+   * chain and the chain it forked from (branch versions continue ABOVE
+   * the fork version, never restarting at 0). `added` stays empty: a
+   * fork introduces no files. One O(table-files) metadata write, paid
+   * once per branch — data files are shared, never copied.
+   */
+  def bootstrap(logDir: Path, snapshot: Snapshot, conf: Configuration): Long = {
+    val f = fs(logDir, conf)
+    f.mkdirs(logDir)
+    val (refs, inline) =
+      if (snapshot.files.size > InlineMaxFiles)
+        (Seq(writeManifest(logDir, snapshot.version, snapshot.files, conf)), Nil)
+      else (Seq.empty[ManifestRef], snapshot.files)
+    val laid = snapshot.copy(files = inline, manifests = refs, added = Nil)
+    val target = new Path(logDir, snapshotName(snapshot.version))
+    val json = Serialization.write(laid)
+    val scheme = Option(target.toUri.getScheme).getOrElse(
+      Option(f.getUri).map(_.getScheme).getOrElse("file"))
+    if (scheme == "file") commitLocalAtomic(f, target, json, snapshot.version, None)
+    else commitViaFs(f, target, json, snapshot.version, None)
+    writeHint(f, logDir, snapshot.version)
+    snapshot.version
+  }
+
+  /** Smallest committed version in `logDir` — branch chains start at
+    * their fork version, not 0. Listing-based: branch logs are short
+    * (the ref's own commits plus the bootstrap), so the listing stays
+    * cheap even when the MAIN log is 10⁵ commits. */
+  def minVersion(logDir: Path, conf: Configuration): Option[Long] = {
+    val f = fs(logDir, conf)
+    if (!f.exists(logDir)) return None
+    val vs = f.listStatus(logDir).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case SnapshotRe(v) => Some(v.toLong)
+        case _             => None
+      }
+    }.toSeq
+    if (vs.isEmpty) None else Some(vs.min)
   }
 
   /**

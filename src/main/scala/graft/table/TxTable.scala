@@ -40,10 +40,15 @@ import java.util.UUID
 class TxTable private (
     val spark: SparkSession,
     val root: Path,
-    val name: String) {
+    val name: String,
+    /** `Some(branch)` binds this handle to a branch ref: same data
+      * directory, its own commit chain under `_log/refs/<branch>`. */
+    val branchName: Option[String] = None) {
 
   private val conf = spark.sessionState.newHadoopConf()
-  private val logDir = new Path(root, "_log")
+  private val logDir = branchName
+    .map(b => new Path(root, s"_log/refs/$b"))
+    .getOrElse(new Path(root, "_log"))
   private val dataDir = new Path(root, "data")
   private def fs = root.getFileSystem(conf)
 
@@ -347,6 +352,7 @@ class TxTable private (
     * know version numbers. Tags live in one sidecar JSON; re-tagging a
     * name moves it. */
   def tag(name: String, version: Long = -1L): Unit = {
+    requireMain("tag")
     val v = if (version < 0) currentVersion else version
     require(v <= currentVersion, s"cannot tag future version $v")
     val updated = tags + (name -> v)
@@ -374,16 +380,262 @@ class TxTable private (
   def asOfTag(tagName: String): DataFrame = asOf(tags.getOrElse(tagName,
     throw new IllegalArgumentException(s"no tag '$tagName' on table $name")))
 
+  // ---- branches (write-audit-publish) ----------------------------------
+
+  private def refsDir: Path = new Path(root, "_log/refs")
+  private def branchLogDir(b: String): Path = new Path(refsDir, b)
+  private def requireMain(op: String): Unit =
+    require(branchName.isEmpty,
+      s"$op must run on the main table handle, not branch '${branchName.orNull}'")
+
+  /**
+   * Fork a branch at the current version (the Iceberg branch / WAP
+   * "write-audit-publish" surface): the branch gets its OWN commit
+   * chain under `_log/refs/<name>`, sharing every data file with main
+   * — creation copies file METADATA once (one manifest write), never
+   * data. Branch versions continue from the fork version rather than
+   * restarting at 0, so commit seqs stay globally ordered and the
+   * merge-on-read `file.seq < delete.seq` rule keeps working across
+   * the fork. Writes through [[branch]] land only on the branch; main
+   * readers never see them until [[fastForward]] publishes.
+   */
+  def createBranch(branch: String): Long = {
+    requireMain("createBranch")
+    require(branch.matches("[A-Za-z0-9_-]+"), s"invalid branch name '$branch'")
+    require(!fs.exists(branchLogDir(branch)),
+      s"branch '$branch' already exists on table $name")
+    val s = snapshot
+    TxLog.bootstrap(branchLogDir(branch),
+      s.copy(operation = "BRANCH", timestampMs = System.currentTimeMillis()),
+      conf)
+  }
+
+  /** Handle bound to a branch: reads and writes (append / merge /
+    * update / delete / compact) target the branch chain only. */
+  def branch(branch: String): TxTable = {
+    requireMain("branch")
+    require(fs.exists(branchLogDir(branch)),
+      s"no branch '$branch' on table $name")
+    new TxTable(spark, root, name, Some(branch))
+  }
+
+  def branches: Seq[String] = {
+    if (!fs.exists(refsDir)) Nil
+    else fs.listStatus(refsDir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Version main pointed at when `branch` was forked — the branch
+    * chain's own first (bootstrap) version. */
+  def branchForkVersion(branch: String): Long =
+    TxLog.minVersion(branchLogDir(branch), conf).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$branch' on table $name"))
+
+  /** Drop the branch's metadata (data files are shared and stay; any
+    * file only the branch referenced becomes vacuumable). */
+  def dropBranch(branch: String): Unit = {
+    requireMain("dropBranch")
+    require(fs.exists(branchLogDir(branch)),
+      s"no branch '$branch' on table $name")
+    fs.delete(branchLogDir(branch), true)
+  }
+
+  /**
+   * Publish a branch onto main (the WAP "publish" step / Iceberg
+   * fast_forward): ONE metadata commit whose state is the branch
+   * head's. Requires main unmoved since the fork — a diverged main
+   * fails fast (merge the data instead); the CAS closes any remaining
+   * race. Branch-added files are re-stamped to the publish version
+   * (they first appear on MAIN here); files carried from the fork keep
+   * their seqs. Equality deletes CREATED on the branch cannot cross
+   * chains (their seqs live in the branch's version space, above the
+   * publish version) — compact the branch first, which applies and
+   * clears them.
+   */
+  def fastForward(branch: String): Long = {
+    requireMain("fastForward")
+    val bs = this.branch(branch).snapshot
+    val fork = branchForkVersion(branch)
+    val head = currentVersion
+    require(head == fork,
+      s"main moved to v$head since branch '$branch' forked at v$fork — " +
+        "fast-forward requires no divergence; MERGE the branch instead")
+    val forkSnap = snapshotAt(fork)
+    val forkDeletes = forkSnap.equalityDeletes.map(_.path).toSet
+    val branchDeletes = bs.equalityDeletes.filterNot(d => forkDeletes(d.path))
+    require(branchDeletes.isEmpty,
+      s"branch '$branch' carries ${branchDeletes.size} merge-on-read " +
+        s"delete(s) created on the branch; run branch(\"$branch\")" +
+        ".compact() to apply them before fastForward")
+    val mainPaths = forkSnap.files.map(_.path).toSet
+    val files = bs.files.map(f =>
+      if (mainPaths.contains(f.path)) f else f.copy(seq = 0L))
+    commit(Some(fork), "FASTFORWARD", schemaOf(bs), bs.partitionColumns,
+      files, appTxns = bs.appTxns, droppedColumns = bs.droppedColumns,
+      equalityDeletes = bs.equalityDeletes, constraints = bs.constraints)
+  }
+
+  // ---- CHECK constraints ----------------------------------------------
+
+  /** Declared CHECK constraints (name → boolean SQL condition). */
+  def constraints: Map[String, String] = snapshot.constraints
+
+  /**
+   * `ALTER TABLE ... ADD CONSTRAINT name CHECK (cond)` (the Delta
+   * constraint surface): existing rows are validated ONCE (a violating
+   * table refuses the constraint), then every ingest write
+   * (append/merge/overwrite/update) enforces it per row inside the
+   * alignment pass — a violating row fails the write with the
+   * constraint's name, and the table never holds data the declared
+   * invariants exclude. NULL-valued conditions pass (SQL semantics).
+   */
+  def addConstraint(cname: String, condition: String): Long = {
+    require(cname.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid constraint name '$cname'")
+    val s = snapshot
+    require(!s.constraints.contains(cname),
+      s"constraint '$cname' already exists on table $name")
+    val violations = dfFor(s)
+      .filter(!coalesce(expr(condition), lit(true))).count()
+    require(violations == 0L,
+      s"cannot add CHECK constraint '$cname': $violations existing " +
+        s"row(s) violate ($condition)")
+    retryingCommit("ADD_CONSTRAINT") { expected =>
+      val cur = snapshotAt(expected)
+      commit(Some(expected), "ADD_CONSTRAINT", schemaOf(cur),
+        cur.partitionColumns, cur.files,
+        constraints = cur.constraints + (cname -> condition))
+    }
+  }
+
+  def dropConstraint(cname: String): Long = {
+    val s = snapshot
+    require(s.constraints.contains(cname),
+      s"no constraint '$cname' on table $name")
+    retryingCommit("DROP_CONSTRAINT") { expected =>
+      val cur = snapshotAt(expected)
+      commit(Some(expected), "DROP_CONSTRAINT", schemaOf(cur),
+        cur.partitionColumns, cur.files,
+        constraints = cur.constraints - cname)
+    }
+  }
+
+  // ---- table statistics (ANALYZE / CBO) --------------------------------
+
+  private def statsPath: Path = new Path(logDir, "stats.json")
+
+  /**
+   * ANALYZE TABLE ... COMPUTE STATISTICS: ONE scan over the table
+   * computing, per column, approximate distinct count (HLL++),
+   * null count, and average/max byte length — the inputs Spark's
+   * cost-based optimizer uses for join reordering and build-side
+   * choice. All columns fold into a single aggregate pass (no
+   * per-column scans), so the cost is one table read regardless of
+   * column count. Stats are stored beside the log (per-branch) and
+   * reported through the V2 scan's `estimateStatistics`; they are
+   * stale-tolerated, like every engine's — re-run after large rewrites.
+   */
+  def analyze(columns: Seq[String] = Nil): TableStats = {
+    import org.apache.spark.sql.types._
+    val sch = schema
+    val cols = if (columns.isEmpty) sch.fields.toSeq.map(_.name)
+      else { columns.foreach(c => require(sch.fieldNames.contains(c),
+        s"no column '$c' in table $name")); columns }
+    val df = toDF
+    def lenOf(c: String): Column = sch(c).dataType match {
+      case StringType | BinaryType => length(col(c)).cast(LongType)
+      case dt => lit(dt.defaultSize.toLong)
+    }
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc_$c"),
+        avg(lenOf(c)).as(s"__al_$c"),
+        max(lenOf(c)).as(s"__ml_$c"))
+    }
+    val row = df.groupBy().agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("__rows"), aggs: _*).head()
+    def l(field: String): Long = row.getAs[Any](field) match {
+      case null => 0L
+      case n: Long => n
+      case n: Double => math.ceil(n).toLong
+      case n: java.math.BigDecimal => n.longValue()
+      case n: Number => n.longValue()
+    }
+    val stats = TableStats(currentVersion, l("__rows"),
+      cols.map(c => c -> ColumnStatsRec(
+        ndv = l(s"__ndv_$c"), nullCount = l(s"__nc_$c"),
+        avgLen = math.max(1L, l(s"__al_$c")), maxLen = l(s"__ml_$c"))).toMap)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val out = fs.create(statsPath, true)
+    try out.write(org.json4s.jackson.Serialization.write(stats)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    stats
+  }
+
+  /** Last ANALYZE result, if any. */
+  def tableStats: Option[TableStats] = {
+    if (!fs.exists(statsPath)) None
+    else try {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      val in = fs.open(statsPath)
+      val json = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      Some(org.json4s.jackson.JsonMethods.parse(json).extract[TableStats])
+    } catch { case _: Exception => None }
+  }
+
+  /**
+   * Shallow clone (the Delta `CREATE TABLE ... SHALLOW CLONE` surface):
+   * a NEW independent table whose first snapshot references THIS
+   * table's data files BY ABSOLUTE PATH — metadata-only, zero data
+   * copied, O(file-metadata) regardless of table size. The clone's
+   * history starts at the source's version number (not 0), keeping
+   * commit seqs in one ordered space so carried merge-on-read deletes
+   * keep applying correctly. New writes land under the clone's own
+   * `data/`; `compact()` migrates everything local. Caveat shared with
+   * Delta: `vacuum` on the SOURCE does not know about clones — a
+   * cloned file vacuumed at the source breaks the clone's reads (pin
+   * the source version with a tag, or compact the clone first).
+   */
+  def cloneTo(destRoot: Path, destName: String, version: Long = -1L): TxTable = {
+    require(!TxTable.exists(spark, destRoot),
+      s"table at $destRoot already exists")
+    val v = if (version < 0) currentVersion else version
+    val s = snapshotAt(v)
+    val abs = s.files.map { f =>
+      if (new Path(f.path).isAbsolute) f
+      else f.copy(path = new Path(dataDir, f.path).toString)
+    }
+    val absDel = s.equalityDeletes.map { d =>
+      if (new Path(d.path).isAbsolute) d
+      else d.copy(path = new Path(deletesDir, d.path).toString)
+    }
+    TxLog.bootstrap(new Path(destRoot, "_log"), s.copy(
+      operation = "CLONE", timestampMs = System.currentTimeMillis(),
+      files = abs, equalityDeletes = absDel), conf)
+    TxTable.open(spark, destRoot, destName)
+  }
+
   /** Commit history (newest first) from snapshot metadata only — the
     * DESCRIBE HISTORY surface: version, operation, commit time, and
     * file/row/byte totals per version. */
   def history(): DataFrame = {
     import spark.implicits._
-    (currentVersion to 0L by -1).map { v =>
-      val s = snapshotAt(v)
-      val rows = if (s.files.forall(_.rowCount >= 0)) s.files.map(_.rowCount).sum else -1L
-      (s.version, s.operation, new java.sql.Timestamp(s.timestampMs),
-        s.files.size, rows, s.files.map(_.sizeBytes).sum)
+    // expired headers (expireSnapshots) and the versions below a
+    // branch's fork point simply don't appear — history covers what
+    // the chain can still read
+    val floor = TxLog.minVersion(logDir, conf).getOrElse(0L)
+    (currentVersion to floor by -1).flatMap { v =>
+      try {
+        val s = snapshotAt(v)
+        val rows = if (s.files.forall(_.rowCount >= 0)) s.files.map(_.rowCount).sum else -1L
+        Some((s.version, s.operation, new java.sql.Timestamp(s.timestampMs),
+          s.files.size, rows, s.files.map(_.sizeBytes).sum))
+      } catch { case _: java.io.FileNotFoundException => None }
     }.toDF("version", "operation", "committed_at", "n_files", "n_rows", "total_bytes")
   }
 
@@ -409,15 +661,26 @@ class TxTable private (
     val base = if (s.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      val paths = s.files.map(f => new Path(dataDir, f.path).toString)
-      // basePath keeps partition-directory inference rooted at data/, so
-      // `<part>=<val>` segments come back as typed partition columns and
-      // Catalyst partition-prunes within the listed files.
-      spark.read
-        .option("basePath", dataDir.toString)
-        .schema(schema)
-        .parquet(paths: _*)
-        .select(schema.map(f => col(f.name)): _*)
+      // basePath keeps partition-directory inference rooted at the file
+      // group's data root, so `<part>=<val>` segments come back as typed
+      // partition columns and Catalyst partition-prunes within the
+      // listed files. Relative paths root at this table's data/;
+      // absolute paths (shallow clones referencing their source's
+      // files) root at the SOURCE data dir, recovered by stripping the
+      // partition directories off the file path — one read per root,
+      // unioned (a clone that has also written locally has two roots).
+      val nSegs = s.partitionColumns.size + 1
+      val groups = s.files.groupBy { f =>
+        if (!new Path(f.path).isAbsolute) dataDir
+        else (1 to nSegs).foldLeft(new Path(dataDir, f.path))((p, _) => p.getParent)
+      }
+      groups.map { case (root, fls) =>
+        spark.read
+          .option("basePath", root.toString)
+          .schema(schema)
+          .parquet(fls.map(f => new Path(dataDir, f.path).toString): _*)
+          .select(schema.map(f => col(f.name)): _*)
+      }.reduce(_ unionByName _)
     }
     applyEqualityDeletes(base, s)
   }
@@ -647,7 +910,8 @@ class TxTable private (
       partitionColumns: Seq[String], files: Seq[DataFile],
       appTxns: Map[String, Long] = null,
       droppedColumns: Seq[String] = null,
-      equalityDeletes: Seq[EqualityDeleteFile] = null): Long = {
+      equalityDeletes: Seq[EqualityDeleteFile] = null,
+      constraints: Map[String, String] = null): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
@@ -658,6 +922,8 @@ class TxTable private (
     // full rewrite (overwrite/compact) passes Nil to clear them
     val eqDeletes = Option(equalityDeletes).getOrElse(
       prior.map(_.equalityDeletes).getOrElse(Nil))
+    val cks = Option(constraints).getOrElse(
+      prior.map(_.constraints).getOrElse(Map.empty))
     TxLog.commit(logDir, expected, Snapshot(
       version = next,
       timestampMs = System.currentTimeMillis(),
@@ -667,7 +933,8 @@ class TxTable private (
       files = files,
       appTxns = txns,
       droppedColumns = dropped,
-      equalityDeletes = eqDeletes), conf)
+      equalityDeletes = eqDeletes,
+      constraints = cks), conf)
   }
 
   /** Align an incoming frame to the table schema: cast matching
@@ -676,10 +943,14 @@ class TxTable private (
     * non-nullable column raises at write time instead of corrupting the
     * table; the reference's `transaction_id` key is declared NOT NULL,
     * tabledefinition.json:10-14). The check is a per-row `when` inside
-    * the same pass — no extra scan. */
+    * the same pass — no extra scan. CHECK constraints ride the same
+    * pass, woven into the first output column's expression (SQL
+    * semantics: NULL-valued conditions pass; only a strict FALSE
+    * raises). */
   private def align(df: DataFrame, schema: StructType,
-      enforceNotNull: Boolean = true): DataFrame =
-    df.select(schema.map { f =>
+      enforceNotNull: Boolean = true,
+      constraints: Map[String, String] = Map.empty): DataFrame = {
+    val selected = df.select(schema.map { f =>
       val base =
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
         else lit(null).cast(f.dataType)
@@ -689,6 +960,22 @@ class TxTable private (
           .cast(f.dataType)).otherwise(base)
       v.as(f.name)
     }: _*)
+    if (constraints.isEmpty) selected
+    else {
+      // weave the guard into a CONSUMED column (a standalone guard
+      // column would be pruned away, raise_error and all)
+      val f0 = schema.head
+      val guarded = constraints.toSeq.sortBy(_._1)
+        .foldLeft(col(f0.name)) { case (c, (nm, cond)) =>
+          when(!coalesce(expr(cond), lit(true)),
+            raise_error(lit(s"CHECK constraint '$nm' violated: ($cond)"))
+              .cast(f0.dataType))
+            .otherwise(c)
+        }
+      selected.select(schema.map(f =>
+        (if (f.name == f0.name) guarded else col(f.name)).as(f.name)): _*)
+    }
+  }
 
   /**
    * Row-level change feed between two committed snapshots (the
@@ -745,7 +1032,8 @@ class TxTable private (
   /** Append rows (blind insert, no key matching). */
   def append(df: DataFrame): Long = {
     val s = snapshot
-    val newFiles = writeFiles(align(df, schemaOf(s)), s.partitionColumns)
+    val newFiles = writeFiles(align(df, schemaOf(s),
+      constraints = s.constraints), s.partitionColumns)
     retryingCommit("APPEND") { expected =>
       // commit against the CURRENT head's schema/partitioning, not the
       // snapshot we aligned to — otherwise an append racing an
@@ -762,7 +1050,8 @@ class TxTable private (
     * same file set against the new head. */
   def overwrite(df: DataFrame): Long = {
     val s = snapshot
-    val newFiles = writeFiles(align(df, schemaOf(s)), s.partitionColumns)
+    val newFiles = writeFiles(align(df, schemaOf(s),
+      constraints = s.constraints), s.partitionColumns)
     retryingCommit("OVERWRITE") { expected =>
       // a full replacement: outstanding MOR deletes are moot — clear
       commit(Some(expected), "OVERWRITE", schemaOf(s),
@@ -785,7 +1074,8 @@ class TxTable private (
     val unknown = partitionFilter.keySet -- s.partitionColumns.toSet
     require(unknown.isEmpty,
       s"not partition columns of $name: ${unknown.mkString(", ")}")
-    val newFiles = writeFiles(align(df, schemaOf(s)), s.partitionColumns)
+    val newFiles = writeFiles(align(df, schemaOf(s),
+      constraints = s.constraints), s.partitionColumns)
     retryingCommit("OVERWRITE") { expected =>
       val cur = snapshotAt(expected)
       val kept = cur.files.filterNot(f =>
@@ -845,7 +1135,8 @@ class TxTable private (
     val aligned = align(batch.withColumn("__del", delFlag),
       StructType(schema.fields :+
         org.apache.spark.sql.types.StructField("__del",
-          org.apache.spark.sql.types.BooleanType)))
+          org.apache.spark.sql.types.BooleanType)),
+      constraints = s.constraints)
 
     // last-writer-wins dedup within the batch
     import org.apache.spark.sql.expressions.Window
@@ -1040,7 +1331,7 @@ class TxTable private (
 
       val content = inserts.fold(rewritten)(rewritten.unionByName(_))
       val newFiles = writeFiles(
-        sizedForWrite(align(content, schema),
+        sizedForWrite(align(content, schema, constraints = s.constraints),
           affected.map(_.sizeBytes).sum, srcRows, bytesPerRow(s), parts,
           splitCol = defaultSplitCol(schema, parts)),
         parts)
@@ -1096,8 +1387,9 @@ class TxTable private (
     })
     val kept = s.files.diff(affected)
     val hit = coalesce(predicate, lit(false))
-    // align() re-applies the NOT NULL write guard — a SET expression
-    // must not be able to null out a non-nullable column
+    // align() re-applies the NOT NULL and CHECK write guards — a SET
+    // expression must not be able to null out a non-nullable column or
+    // violate a declared constraint
     val rewritten = align(dfFor(s.copy(files = affected))
       .select(schema.map { f =>
         set.get(f.name) match {
@@ -1105,7 +1397,7 @@ class TxTable private (
             .otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      }: _*), schema)
+      }: _*), schema, constraints = s.constraints)
     val newFiles = writeFiles(
       sizedForWrite(rewritten, affected.map(_.sizeBytes).sum,
         batchRows = 0L, bytesPerRow(s), s.partitionColumns,
@@ -1231,10 +1523,12 @@ class TxTable private (
    */
   def vacuum(retainVersions: Int = 2,
       graceMillis: Long = 10L * 60 * 1000): Int = {
+    requireMain("vacuum")
     val head = currentVersion
     val keepFrom = math.max(0L, head - (retainVersions - 1))
     val retained: Set[String] = (keepFrom to head)
-      .flatMap(v => snapshotAt(v).files.map(_.path)).toSet
+      .flatMap(v => snapshotAt(v).files.map(_.path)).toSet ++
+      branchRetainedFiles()
     val cutoffMs = System.currentTimeMillis() - graceMillis
     val f = fs
     val candidates = scala.collection.mutable.ArrayBuffer[(Path, String)]()
@@ -1255,9 +1549,10 @@ class TxTable private (
     walk(dataDir, "")
     // commits may have landed during the walk — nothing a currently
     // retained snapshot references is deletable, whatever the first
-    // retained-set said
+    // retained-set said (branches created mid-walk likewise)
     val retainedNow: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => snapshotAt(v).files.map(_.path)).toSet
+      .flatMap(v => snapshotAt(v).files.map(_.path)).toSet ++
+      branchRetainedFiles()
     var removed = 0
     candidates.foreach { case (p, rel) =>
       if (!retainedNow.contains(rel) && f.delete(p, false)) removed += 1
@@ -1289,7 +1584,8 @@ class TxTable private (
       commit(Some(expected), "RESTORE", schemaOf(target),
         target.partitionColumns, target.files,
         droppedColumns = target.droppedColumns,
-        equalityDeletes = target.equalityDeletes)
+        equalityDeletes = target.equalityDeletes,
+        constraints = target.constraints)
     }
   }
 
@@ -1306,11 +1602,35 @@ class TxTable private (
    * log"). Returns the number of headers removed.
    */
   def expireSnapshots(retainVersions: Int = 10): Int = {
+    requireMain("expireSnapshots")
     require(retainVersions >= 1, "must retain at least the head version")
     val head = currentVersion
     val keepFrom = math.max(0L, head - (retainVersions - 1))
     TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
   }
+
+  /** Every data file any branch chain still references — vacuum must
+    * never reclaim a file a live branch can read. Branch chains are
+    * short (fork..head), so the walk is cheap; tolerate concurrent
+    * branch drops. */
+  private def branchRetainedFiles(): Set[String] =
+    branchRetained(s => s.files.map(_.path))
+
+  /** Equality-delete files any branch still references (branch-created
+    * MOR deletes live in the shared deletes/ dir too). */
+  private def branchRetainedDeletes(): Set[String] =
+    branchRetained(s => s.equalityDeletes.map(_.path))
+
+  private def branchRetained(extract: Snapshot => Seq[String]): Set[String] =
+    branches.flatMap { b =>
+      val bd = branchLogDir(b)
+      try {
+        TxLog.minVersion(bd, conf).toSeq.flatMap { lo =>
+          val hi = TxLog.currentVersion(bd, conf).getOrElse(lo)
+          (lo to hi).flatMap(v => extract(TxLog.read(bd, v, conf)))
+        }
+      } catch { case _: java.io.FileNotFoundException => Nil }
+    }.toSet
 
   /** Delete equality-delete files referenced by no snapshot ≥
     * `keepFrom` — compaction clears applied deletes from the snapshot,
@@ -1319,7 +1639,8 @@ class TxTable private (
     val f = fs
     if (!f.exists(deletesDir)) return 0
     val referenced: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => snapshotAt(v).equalityDeletes.map(_.path)).toSet
+      .flatMap(v => snapshotAt(v).equalityDeletes.map(_.path)).toSet ++
+      branchRetainedDeletes()
     var removed = 0
     f.listStatus(deletesDir).foreach { st =>
       if (!referenced.contains(st.getPath.getName) &&

@@ -212,7 +212,18 @@ class SnapshotFileIndex(
     * listed so far. */
   def capturedFiles: Set[String] = captured
 
-  override def rootPaths: Seq[Path] = Seq(dataDir)
+  /** Every distinct data root the snapshot references: the table's own
+    * data/ plus, for shallow clones, the source roots their absolute
+    * paths live under — `allFiles()` resolves unpartitioned tables by
+    * looking leaf dirs up under these keys, so a root missing here
+    * silently drops its files from every scan. */
+  override def rootPaths: Seq[Path] = {
+    val nSegs = partitionColumns.size + 1
+    val roots = statuses.map { case (p, _, _) =>
+      (1 to nSegs).foldLeft(p)((q, _) => q.getParent)
+    }.distinct
+    if (roots.isEmpty) Seq(dataDir) else roots
+  }
 
   override def leafFiles: LinkedHashMap[Path, FileStatus] =
     LinkedHashMap(statuses.map(t => t._1 -> t._2): _*)
@@ -452,7 +463,12 @@ object ScanBridge {
    */
   def streamCapable(inner: ScanBuilder,
       index: SnapshotFileIndex,
-      stream: String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+      stream: String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream,
+      /** exact snapshot row count from commit metadata (absent when any
+        * file predates footer counts or MOR deletes are outstanding) */
+      exactRowCount: Option[Long] = None,
+      /** ANALYZE-computed per-column stats for the CBO */
+      tableStats: Option[_root_.graft.table.TableStats] = None)
       : ScanBuilder = {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownVariantExtractions, VariantExtraction}
     import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
@@ -628,14 +644,50 @@ object ScanBridge {
             }
           }
           override def estimateStatistics()
-              : org.apache.spark.sql.connector.read.Statistics = current match {
-            case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-              s.estimateStatistics()
-            case _ => new org.apache.spark.sql.connector.read.Statistics {
+              : org.apache.spark.sql.connector.read.Statistics = {
+            val innerStats = current match {
+              case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+                Some(s.estimateStatistics())
+              case _ => None
+            }
+            // exact numRows from commit metadata beats the FileScan's
+            // size-only estimate; ANALYZE column stats feed the CBO
+            // (DataSourceV2Relation.transformV2Stats maps them into
+            // catalyst ColumnStat for join reordering) — both reported
+            // on top of the inner scan's sizeInBytes.
+            val colStatsJava: java.util.Map[
+                org.apache.spark.sql.connector.expressions.NamedReference,
+                org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+              val m = new java.util.HashMap[
+                org.apache.spark.sql.connector.expressions.NamedReference,
+                org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+              tableStats.foreach(_.cols.foreach { case (name, rec) =>
+                m.put(org.apache.spark.sql.connector.expressions.Expressions.column(name),
+                  new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                    override def distinctCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(rec.ndv)
+                    override def nullCount(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(rec.nullCount)
+                    override def avgLen(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(rec.avgLen)
+                    override def maxLen(): java.util.OptionalLong =
+                      java.util.OptionalLong.of(rec.maxLen)
+                  })
+              })
+              m
+            }
+            new org.apache.spark.sql.connector.read.Statistics {
               override def sizeInBytes(): java.util.OptionalLong =
-                java.util.OptionalLong.empty()
+                innerStats.map(_.sizeInBytes())
+                  .getOrElse(java.util.OptionalLong.empty())
               override def numRows(): java.util.OptionalLong =
-                java.util.OptionalLong.empty()
+                exactRowCount.map(java.util.OptionalLong.of).getOrElse(
+                  innerStats.map(_.numRows())
+                    .getOrElse(java.util.OptionalLong.empty()))
+              override def columnStats(): java.util.Map[
+                  org.apache.spark.sql.connector.expressions.NamedReference,
+                  org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+                colStatsJava
             }
           }
           override def supportedCustomMetrics()

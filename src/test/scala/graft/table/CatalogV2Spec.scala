@@ -624,4 +624,60 @@ class CatalogV2Spec extends SparkSpec {
       assert(cat.getTable("mart", "sales").schema.fieldNames.contains("note"))
     }
   }
+
+  test("V2 catalog: ANALYZE TABLE feeds exact rowCount and column stats to the optimizer") {
+    withCatalog("stats") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.st")
+      spark.sql("CREATE TABLE graft.st.t (id STRING, grp STRING, v INT)")
+      spark.sql("""INSERT INTO graft.st.t SELECT
+        CAST(id AS STRING), CAST(id % 7 AS STRING), CAST(id % 13 AS INT)
+        FROM range(1000)""")
+      // exact numRows flows from commit metadata even before ANALYZE
+      val pre = spark.sql("SELECT * FROM graft.st.t")
+        .queryExecution.optimizedPlan.stats
+      assert(pre.rowCount.contains(BigInt(1000)),
+        s"metadata rowCount should reach the optimizer, got ${pre.rowCount}")
+      // ANALYZE via the SQL router, then ndv/nullCount are CBO-visible
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val msg = GraftSql.sql(cat,
+        "ANALYZE TABLE st.t COMPUTE STATISTICS FOR ALL COLUMNS")
+        .first().getString(0)
+      assert(msg.contains("1000 rows") && msg.contains("3 column(s)"))
+      val st = cat.getTable("st", "t").tableStats.get
+      assert(st.rowCount === 1000L)
+      assert(st.cols("grp").ndv >= 6 && st.cols("grp").ndv <= 8) // ~7, HLL
+      assert(st.cols("id").nullCount === 0L)
+      val post = spark.sql("SELECT * FROM graft.st.t")
+        .queryExecution.optimizedPlan.stats
+      val byName = post.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.get("grp").flatMap(_.distinctCount)
+        .exists(n => n >= 6 && n <= 8),
+        s"grp ndv should reach the optimizer, got ${byName.get("grp")}")
+      assert(byName.get("v").flatMap(_.distinctCount)
+        .exists(n => n >= 12 && n <= 14))
+    }
+  }
+
+  test("V2 catalog: branch addressing — t.branch_x writes, VERSION AS OF reads") {
+    withCatalog("branch") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.br")
+      spark.sql("CREATE TABLE graft.br.t (id STRING, v INT)")
+      spark.sql("INSERT INTO graft.br.t VALUES ('a', 1), ('b', 2)")
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      cat.getTable("br", "t").createBranch("audit")
+      // write through the Iceberg-style branch identifier: main untouched
+      spark.sql("INSERT INTO graft.br.t.branch_audit VALUES ('c', 3)")
+      spark.sql("UPDATE graft.br.t.branch_audit SET v = 20 WHERE id = 'b'")
+      assert(spark.sql("SELECT * FROM graft.br.t").count() === 2)
+      assert(spark.sql("SELECT sum(v) FROM graft.br.t").first().getLong(0) === 3L)
+      // read the branch two ways: identifier suffix and VERSION AS OF
+      assert(spark.sql("SELECT * FROM graft.br.t.branch_audit").count() === 3)
+      assert(spark.sql(
+        "SELECT v FROM graft.br.t VERSION AS OF 'audit' WHERE id = 'b'")
+        .first().getInt(0) === 20)
+      // publish, then main sees the branch state
+      GraftSql.sql(cat, "ALTER TABLE br.t FAST FORWARD audit")
+      assert(spark.sql("SELECT sum(v) FROM graft.br.t").first().getLong(0) === 24L)
+    }
+  }
 }

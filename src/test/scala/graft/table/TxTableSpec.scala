@@ -1411,4 +1411,226 @@ class TxTableSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("udf("),
       s"provenance decoration should be a broadcast join, got:\n$plan")
   }
+
+  test("branch: write-audit-publish lifecycle (isolation, fast-forward, drop)") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_branch_wap")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 50, seed = 800L)) // v1
+    val fork = t.createBranch("audit")
+    assert(fork === 1L)
+    assert(t.branches === Seq("audit"))
+    val b = t.branch("audit")
+    assert(b.toDF.count() === 50)
+    // branch writes: an append and an update, invisible to main
+    b.append(SampleData.transactions(spark, 10, seed = 801L))
+    b.update(col("risk_score") === "HIGH",
+      Map("risk_score" -> lit("AUDITED")))
+    assert(b.toDF.count() === 60)
+    assert(b.toDF.filter(col("risk_score") === "AUDITED").count() > 0)
+    assert(t.toDF.count() === 50)
+    assert(t.toDF.filter(col("risk_score") === "AUDITED").count() === 0)
+    assert(t.currentVersion === 1L)
+    // branch chain continues ABOVE the fork version (seq coherence)
+    assert(b.currentVersion > fork)
+    // publish: one metadata commit; main now shows the audited state
+    val v = t.fastForward("audit")
+    assert(v === 2L)
+    assert(t.toDF.count() === 60)
+    assert(t.toDF.filter(col("risk_score") === "AUDITED").count()
+      === b.toDF.filter(col("risk_score") === "AUDITED").count())
+    assert(t.history().select("operation").first().getString(0)
+      === "FASTFORWARD")
+    t.dropBranch("audit")
+    assert(t.branches.isEmpty)
+    // branch-handle misuse fails fast
+    intercept[IllegalArgumentException](b.createBranch("nested"))
+    intercept[IllegalArgumentException](b.vacuum())
+  }
+
+  test("branch: fast-forward refuses a diverged main") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_branch_diverge")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 20, seed = 810L))
+    t.createBranch("wip")
+    t.branch("wip").append(SampleData.transactions(spark, 5, seed = 811L))
+    t.append(SampleData.transactions(spark, 5, seed = 812L)) // main moves
+    val e = intercept[IllegalArgumentException](t.fastForward("wip"))
+    assert(e.getMessage.contains("diverge"))
+    // main and branch both intact after the refusal
+    assert(t.toDF.count() === 25)
+    assert(t.branch("wip").toDF.count() === 25)
+  }
+
+  test("branch: merge-on-read deletes keep seq coherence across the fork") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_branch_mor")), "t",
+      Schemas.transactions, Nil)
+    t.append(SampleData.transactions(spark, 30, seed = 820L)) // v1, seqs=1
+    t.createBranch("gdpr")
+    val b = t.branch("gdpr")
+    val victim = b.toDF.select("transaction_id").orderBy("transaction_id")
+      .first().getString(0)
+    // MOR delete on the branch: fork files (seq 1) < delete seq (> fork)
+    b.deleteMor(col("transaction_id") === victim, "transaction_id")
+    assert(b.toDF.filter(col("transaction_id") === victim).count() === 0)
+    assert(b.toDF.count() === 29)
+    // re-insert AFTER the delete: its file seq exceeds the delete's — survives
+    val reborn = SampleData.transactions(spark, 30, seed = 820L)
+      .filter(col("transaction_id") === victim)
+    b.append(reborn)
+    assert(b.toDF.filter(col("transaction_id") === victim).count() === 1)
+    // publishing with a branch-created MOR delete outstanding is refused
+    val e = intercept[IllegalArgumentException](t.fastForward("gdpr"))
+    assert(e.getMessage.contains("merge-on-read"))
+    // compaction applies + clears the delete; publish then succeeds
+    b.compact()
+    t.fastForward("gdpr")
+    assert(t.toDF.count() === 30)
+    assert(t.toDF.filter(col("transaction_id") === victim).count() === 1)
+  }
+
+  test("branch: vacuum never reclaims files a live branch references") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_branch_vacuum")), "t",
+      Schemas.transactions, Nil)
+    t.append(SampleData.transactions(spark, 20, seed = 830L)) // v1
+    t.createBranch("keepme")
+    // main overwrites everything — v1's files now referenced ONLY by
+    // the branch (and v1 itself, which retainVersions=1 drops)
+    t.overwrite(SampleData.transactions(spark, 5, seed = 831L)) // v2
+    t.vacuum(retainVersions = 1, graceMillis = 0)
+    // branch still reads its fork state intact
+    assert(t.branch("keepme").toDF.count() === 20)
+    // after the branch is dropped the files become reclaimable
+    t.dropBranch("keepme")
+    val removed = t.vacuum(retainVersions = 1, graceMillis = 0)
+    assert(removed > 0)
+    assert(t.toDF.count() === 5)
+  }
+
+  test("CHECK constraints: validated on add, enforced on every write path") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_constraints")))
+    cat.createNamespace("ns")
+    GraftSql.sql(cat, "CREATE TABLE ns.c (id INT, amount INT, status STRING)")
+    GraftSql.sql(cat, "INSERT INTO ns.c SELECT 1, 10, 'OK'")
+    // adding a constraint existing data violates is refused
+    val bad = intercept[IllegalArgumentException](GraftSql.sql(cat,
+      "ALTER TABLE ns.c ADD CONSTRAINT amount_neg CHECK (amount < 0)"))
+    assert(bad.getMessage.contains("1 existing row"))
+    GraftSql.sql(cat,
+      "ALTER TABLE ns.c ADD CONSTRAINT amount_pos CHECK (amount > 0)")
+    val t = cat.getTable("ns", "c")
+    assert(t.constraints === Map("amount_pos" -> "amount > 0"))
+    // a violating INSERT fails with the constraint's name; nothing lands
+    val e = intercept[Exception](
+      GraftSql.sql(cat, "INSERT INTO ns.c SELECT 2, -5, 'BAD'"))
+    assert(e.getMessage.contains("amount_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("amount_pos")))
+    assert(t.toDF.count() === 1)
+    // NULL conditions pass (SQL CHECK semantics)
+    GraftSql.sql(cat, "INSERT INTO ns.c SELECT 3, NULL, 'NULL_OK'")
+    assert(t.toDF.count() === 2)
+    // UPDATE cannot smuggle a violation through SET
+    val u = intercept[Exception](
+      GraftSql.sql(cat, "UPDATE ns.c SET amount = -1 WHERE id = 1"))
+    assert(u.getMessage.contains("amount_pos") ||
+      Option(u.getCause).exists(_.getMessage.contains("amount_pos")))
+    // merge path enforces too
+    val m = intercept[Exception] {
+      t.merge(spark.sql("SELECT 9 AS id, -7 AS amount, 'X' AS status, 1L AS ts"),
+        "id", "ts")
+    }
+    assert(m.getMessage.contains("amount_pos") ||
+      Option(m.getCause).exists(_.getMessage.contains("amount_pos")))
+    // dropped constraint stops gating
+    GraftSql.sql(cat, "ALTER TABLE ns.c DROP CONSTRAINT amount_pos")
+    GraftSql.sql(cat, "INSERT INTO ns.c SELECT 4, -5, 'NOW_OK'")
+    assert(t.toDF.count() === 3)
+  }
+
+  test("shallow clone: metadata-only copy, independent histories") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_clone_src")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 40, seed = 840L)) // v1
+    val destDir = freshDir("tx_clone_dst")
+    val c = t.cloneTo(new Path(destDir), "c")
+    // clone starts at the source's version and sees the same rows
+    assert(c.currentVersion === t.currentVersion)
+    assert(c.toDF.count() === 40)
+    // no data was copied: the clone's own data dir doesn't exist yet
+    assert(!new java.io.File(destDir, "data").exists())
+    // clone writes don't touch the source; source writes don't touch the clone
+    c.update(col("risk_score") === "HIGH", Map("status" -> lit("CLONED")))
+    c.append(SampleData.transactions(spark, 10, seed = 841L))
+    assert(c.toDF.count() === 50)
+    assert(t.toDF.count() === 40)
+    assert(t.toDF.filter(col("status") === "CLONED").count() === 0)
+    t.append(SampleData.transactions(spark, 5, seed = 842L))
+    assert(c.toDF.count() === 50)
+    // compact migrates the clone fully local: every path relative after
+    c.compact()
+    assert(c.snapshot.files.forall(f => !new Path(f.path).isAbsolute))
+    assert(c.toDF.count() === 50)
+  }
+
+  test("shallow clone: carries MOR deletes and seq semantics") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_clone_mor_src")), "t",
+      Schemas.transactions, Nil)
+    t.append(SampleData.transactions(spark, 20, seed = 850L)) // v1
+    val victim = t.toDF.select("transaction_id").orderBy("transaction_id")
+      .first().getString(0)
+    t.deleteMor(col("transaction_id") === victim, "transaction_id") // v2
+    // re-insert after the delete: survives via seq rule
+    t.append(SampleData.transactions(spark, 20, seed = 850L)
+      .filter(col("transaction_id") === victim)) // v3
+    assert(t.toDF.count() === 20)
+    val c = t.cloneTo(new Path(freshDir("tx_clone_mor_dst")), "c")
+    // the clone sees the identical MOR-resolved state
+    assert(c.toDF.count() === 20)
+    assert(c.toDF.filter(col("transaction_id") === victim).count() === 1)
+    // a clone-side MOR delete works too (its seq continues the chain)
+    val victim2 = c.toDF.select("transaction_id").orderBy(col("transaction_id").desc)
+      .first().getString(0)
+    c.deleteMor(col("transaction_id") === victim2, "transaction_id")
+    assert(c.toDF.count() === 19)
+    assert(t.toDF.count() === 20)
+  }
+
+  test("shallow clone: SQL surface with VERSION AS OF") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_clone_sql")))
+    cat.createNamespace("ns")
+    GraftSql.sql(cat, "CREATE TABLE ns.src (id INT, v STRING)")
+    GraftSql.sql(cat, "INSERT INTO ns.src SELECT 1, 'a'") // v1
+    GraftSql.sql(cat, "INSERT INTO ns.src SELECT 2, 'b'") // v2
+    GraftSql.sql(cat, "CREATE TABLE ns.dst SHALLOW CLONE ns.src VERSION AS OF 1")
+    assert(GraftSql.sql(cat, "SELECT count(*) FROM ns.dst").first().getLong(0) === 1L)
+    GraftSql.sql(cat, "CREATE TABLE ns.dst2 SHALLOW CLONE ns.src")
+    assert(GraftSql.sql(cat, "SELECT count(*) FROM ns.dst2").first().getLong(0) === 2L)
+    // IF NOT EXISTS tolerated, plain re-create rejected
+    val r = GraftSql.sql(cat,
+      "CREATE TABLE IF NOT EXISTS ns.dst SHALLOW CLONE ns.src")
+    assert(r.first().getString(0).startsWith("EXISTS"))
+    intercept[IllegalArgumentException](
+      GraftSql.sql(cat, "CREATE TABLE ns.dst SHALLOW CLONE ns.src"))
+  }
+
+  test("branch: SQL surface — CREATE/SHOW/FAST FORWARD/DROP BRANCH") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_branch_sql")))
+    cat.createNamespace("ns")
+    GraftSql.sql(cat,
+      "CREATE TABLE ns.b (id INT, v STRING) PARTITIONED BY (v)")
+    GraftSql.sql(cat, "INSERT INTO ns.b SELECT 1, 'a'")
+    GraftSql.sql(cat, "ALTER TABLE ns.b CREATE BRANCH audit")
+    val shown = GraftSql.sql(cat, "SHOW BRANCHES IN ns.b").collect()
+    assert(shown.map(_.getString(0)).toSeq === Seq("audit"))
+    assert(shown.head.getLong(2) === 1L) // fork_version
+    // write through the branch handle, then publish via SQL
+    cat.getTable("ns", "b").branch("audit")
+      .append(spark.sql("SELECT 2 AS id, 'b' AS v"))
+    assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM ns.b")
+      .first().getLong(0) === 1L)
+    GraftSql.sql(cat, "ALTER TABLE ns.b FAST FORWARD audit")
+    assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM ns.b")
+      .first().getLong(0) === 2L)
+    GraftSql.sql(cat, "ALTER TABLE ns.b DROP BRANCH audit")
+    assert(cat.getTable("ns", "b").branches.isEmpty)
+  }
 }
