@@ -178,11 +178,25 @@ object Bench {
           cat.loadTable(ident, cutoffMicros)
         }
       }
+      // branch fork and shallow clone are the two new O(file-metadata)
+      // operations — time them on the same 10⁴-file table (both are
+      // pure metadata: one manifest write each, main chain untouched)
+      val tx = graft.table.TxTable.open(spark, new Path(s"$wh/meta/big"),
+        "meta.big")
+      if (tx.branches.contains("bench")) tx.dropBranch("bench")
+      val (_, branchCreate) = timed(tx.createBranch("bench"))
+      tx.dropBranch("bench")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$wh/meta/clone"))
+      val (_, cloneSec) = timed(
+        tx.cloneTo(new Path(s"$wh/meta/clone"), "meta.clone"))
       s"""{"commits":$commits,"files":$commits,"build_sec":${f"$buildSecs%.3f"},""" +
         s""""snapshot_read_sec":${f"$snapshotRead%.3f"},""" +
         s""""provenance_walk_sec":${f"$provenanceWalk%.3f"},""" +
         s""""catchup_plan_sec":${f"$catchupPlan%.3f"},""" +
-        s""""timestamp_as_of_10x_sec":${f"$tAsOf%.3f"}}"""
+        s""""timestamp_as_of_10x_sec":${f"$tAsOf%.3f"},""" +
+        s""""branch_create_sec":${f"$branchCreate%.3f"},""" +
+        s""""shallow_clone_sec":${f"$cloneSec%.3f"}}"""
     } catch {
       case e: Throwable =>
         s"""{"error":"${e.getClass.getSimpleName}"}"""

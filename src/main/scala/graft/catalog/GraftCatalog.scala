@@ -71,7 +71,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     cat.listTables(ns).map(t => Identifier.of(namespace, t)).toArray
   }
 
-  private val MetadataKinds = Set("files", "partitions", "history", "tags")
+  private val MetadataKinds =
+    Set("files", "partitions", "history", "tags", "branches", "constraints")
 
   override def loadTable(ident: Identifier): Table = {
     val cat = inner

@@ -35,8 +35,18 @@ class GraftMetadataTable(tx: TxTable, kind: String) extends Table
       val spark = tx.spark
       import spark.implicits._
       tx.tags.toSeq.sortBy(_._1).toDF("tag", "version")
+    case "branches"   =>
+      val spark = tx.spark
+      import spark.implicits._
+      tx.branches.map(b => (b, tx.branch(b).currentVersion,
+        tx.branchForkVersion(b))).toDF("branch", "head_version", "fork_version")
+    case "constraints" =>
+      val spark = tx.spark
+      import spark.implicits._
+      tx.constraints.toSeq.sortBy(_._1).toDF("name", "condition")
     case other => throw new IllegalArgumentException(
-      s"unknown metadata table '$other' (files|partitions|history|tags)")
+      s"unknown metadata table '$other' " +
+        "(files|partitions|history|tags|branches|constraints)")
   }
 
   override def name(): String = s"${tx.name}.$kind"

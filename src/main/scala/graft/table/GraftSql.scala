@@ -51,8 +51,10 @@ object GraftSql {
     """(?is)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*""".r
   private val DescribeHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([`\w.]+)\s*;?\s*""".r
+  private val DescribeDetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([`\w.]+)\s*;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+([`\w.]+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([`\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+([`\w.]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val RestoreRe =
@@ -232,14 +234,40 @@ object GraftSql {
       case DescribeHistoryRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         cat.getTable(ns, tbl).history()
-      case OptimizeRe(rawName, zorderCols) if knownTable(cat, rawName) =>
+      case DescribeDetailRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val s = t.snapshot
+        Seq(("graft", s"$ns.$tbl", t.root.toString, s.version, s.operation,
+            new java.sql.Timestamp(s.timestampMs),
+            s.partitionColumns.mkString(","), s.files.size.toLong,
+            s.files.map(_.sizeBytes).sum, t.branches.mkString(","),
+            s.constraints.size.toLong))
+          .toDF("format", "name", "location", "version", "last_operation",
+            "last_modified", "partition_columns", "num_files",
+            "size_bytes", "branches", "num_constraints")
+      case OptimizeRe(rawName, where, zorderCols) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         val cluster = Option(zorderCols)
           .map(_.split(",").map(cleanIdent).toSeq.filter(_.nonEmpty))
           .getOrElse(Nil)
-        val v = t.compact(clusterBy = cluster)
-        val how = if (cluster.isEmpty) "" else s" ZORDER BY (${cluster.mkString(", ")})"
+        // OPTIMIZE has no row predicate to fall back on, so a WHERE
+        // must convert ENTIRELY to partition equalities — a dropped
+        // conjunct would silently widen the rewrite
+        val pf = partitionFilterFrom(where, t.schema,
+          t.snapshot.partitionColumns,
+          spark.sessionState.conf.sessionLocalTimeZone)
+        if (where != null) {
+          val conjuncts = splitTopLevelKeyword(where, "AND").size
+          require(pf.size == conjuncts,
+            s"OPTIMIZE WHERE must be partition-column equalities " +
+              s"(got: $where)")
+        }
+        val v = t.compact(clusterBy = cluster, partitionFilter = pf)
+        val how = (if (pf.isEmpty) ""
+          else s" WHERE ${pf.map { case (k, x) => s"$k=$x" }.mkString(" AND ")}") +
+          (if (cluster.isEmpty) "" else s" ZORDER BY (${cluster.mkString(", ")})")
         Seq(s"OPTIMIZED $ns.$tbl$how v$v").toDF("result")
       case RestoreRe(rawName, version) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)

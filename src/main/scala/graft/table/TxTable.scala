@@ -1422,11 +1422,20 @@ class TxTable private (
    * Clustered columns must be numeric, date, or timestamp.
    */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil,
+      /** restrict the rewrite to matching partitions (the Delta
+        * `OPTIMIZE ... WHERE` surface) — at 100 TB you compact the
+        * partitions the stream fragmented today, not the lake */
+      partitionFilter: Map[String, String] = Map.empty): Long = {
     val s = snapshot
-    val totalBytes = math.max(1L, s.files.map(_.sizeBytes).sum)
+    val affected = s.files.filter(f => partitionFilter.forall {
+      case (k, v) => f.partitionValues.get(k).contains(v)
+    })
+    if (affected.isEmpty) return s.version
+    val kept = s.files.diff(affected)
+    val totalBytes = math.max(1L, affected.map(_.sizeBytes).sum)
     val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = toDF
+    val df = dfFor(s.copy(files = affected))
     val rewritten =
       if (clusterBy.isEmpty) df.repartition(numFiles)
       else {
@@ -1442,10 +1451,17 @@ class TxTable private (
           .drop("__zorder")
       }
     val newFiles = writeFiles(rewritten, s.partitionColumns)
-    // the rewrite read through dfFor, so MOR deletes are applied in the
-    // new files — clear them (this is the MOR "apply deletes" path)
-    commit(Some(s.version), "COMPACT", schemaOf(s), s.partitionColumns, newFiles,
-      droppedColumns = Nil, equalityDeletes = Nil)
+    // a FULL rewrite read every row through dfFor, so MOR deletes are
+    // applied in the new files — clear them (the MOR "apply deletes"
+    // path) and the dropped-column resurrection guard with them. A
+    // partition-scoped rewrite must CARRY both: untouched files still
+    // need the deletes at read time (the rewritten files are immune
+    // either way — their seq exceeds every outstanding delete's).
+    val full = kept.isEmpty
+    commit(Some(s.version), "COMPACT", schemaOf(s), s.partitionColumns,
+      kept ++ newFiles,
+      droppedColumns = if (full) Nil else null,
+      equalityDeletes = if (full) Nil else null)
   }
 
   /**
@@ -1606,6 +1622,20 @@ class TxTable private (
     require(retainVersions >= 1, "must retain at least the head version")
     val head = currentVersion
     val keepFrom = math.max(0L, head - (retainVersions - 1))
+    TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
+  }
+
+  /** Expire snapshots committed AT OR BEFORE `cutoffMs` (the Iceberg
+    * `expire_snapshots(older_than => ts)` form): resolves the cutoff to
+    * a version via the same binary search `TIMESTAMP AS OF` uses, then
+    * expires it and everything below. The head always survives; tagged
+    * versions are protected as in [[expireSnapshots]]. */
+  def expireSnapshotsOlderThan(cutoffMs: Long): Int = {
+    requireMain("expireSnapshots")
+    val head = currentVersion
+    val below = try TxLog.versionAtOrBefore(logDir, head, cutoffMs, conf)
+      catch { case _: IllegalArgumentException => return 0 }
+    val keepFrom = math.min(head, below + 1)
     TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
   }
 

@@ -678,6 +678,13 @@ class CatalogV2Spec extends SparkSpec {
       // publish, then main sees the branch state
       GraftSql.sql(cat, "ALTER TABLE br.t FAST FORWARD audit")
       assert(spark.sql("SELECT sum(v) FROM graft.br.t").first().getLong(0) === 24L)
+      // metadata tables cover the new surfaces
+      val b = spark.sql("SELECT * FROM graft.br.t.branches").collect()
+      assert(b.map(_.getString(0)).toSeq === Seq("audit"))
+      cat.getTable("br", "t").addConstraint("v_pos", "v > 0")
+      val ck = spark.sql("SELECT * FROM graft.br.t.constraints").collect()
+      assert(ck.map(r => (r.getString(0), r.getString(1))).toSeq
+        === Seq(("v_pos", "v > 0")))
     }
   }
 }

@@ -1506,6 +1506,57 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.count() === 5)
   }
 
+  test("DESCRIBE DETAIL and time-based snapshot expiration") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_detail")))
+    cat.createNamespace("ns")
+    GraftSql.sql(cat, "CREATE TABLE ns.d (id INT, p STRING) PARTITIONED BY (p)")
+    (1 to 3).foreach(i => GraftSql.sql(cat, s"INSERT INTO ns.d SELECT $i, 'x'"))
+    val t = cat.getTable("ns", "d")
+    t.createBranch("wip")
+    t.addConstraint("id_pos", "id > 0")
+    val d = GraftSql.sql(cat, "DESCRIBE DETAIL ns.d").collect().head
+    assert(d.getAs[String]("name") === "ns.d")
+    assert(d.getAs[Long]("version") === 4L) // create + 3 inserts + constraint
+    assert(d.getAs[String]("partition_columns") === "p")
+    assert(d.getAs[Long]("num_files") === 3L)
+    assert(d.getAs[String]("branches") === "wip")
+    assert(d.getAs[Long]("num_constraints") === 1L)
+    // time-based expiration: everything at/before v2's commit time goes,
+    // except tag-protected versions; later versions stay readable
+    t.tag("keep_v1", 1L)
+    val cutoff = t.snapshotAt(2L).timestampMs
+    val removed = t.expireSnapshotsOlderThan(cutoff)
+    assert(removed === 2) // v0 and v2 expired; v1 tag-protected
+    assert(t.asOfTag("keep_v1").count() === 1)
+    intercept[Exception](t.snapshotAt(2L))
+    assert(t.toDF.count() === 3)
+  }
+
+  test("OPTIMIZE WHERE: compaction rewrites only the selected partitions") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_opt_where")))
+    cat.createNamespace("ns")
+    GraftSql.sql(cat, "CREATE TABLE ns.o (id INT, p STRING) PARTITIONED BY (p)")
+    // fragment partition 'a' with 4 tiny commits; 'b' gets one
+    (1 to 4).foreach(i =>
+      GraftSql.sql(cat, s"INSERT INTO ns.o SELECT $i, 'a'"))
+    GraftSql.sql(cat, "INSERT INTO ns.o SELECT 9, 'b'")
+    val t = cat.getTable("ns", "o")
+    val before = t.snapshot.files
+    assert(before.count(_.partitionValues.get("p").contains("a")) === 4)
+    val bFiles = before.filter(_.partitionValues.get("p").contains("b")).map(_.path)
+    GraftSql.sql(cat, "OPTIMIZE ns.o WHERE p = 'a'")
+    val after = t.snapshot.files
+    // 'a' compacted to one file; 'b' files untouched (same paths)
+    assert(after.count(_.partitionValues.get("p").contains("a")) === 1)
+    assert(after.filter(_.partitionValues.get("p").contains("b")).map(_.path)
+      === bFiles)
+    assert(t.toDF.count() === 5)
+    // a non-partition WHERE is refused, not silently widened
+    val e = intercept[IllegalArgumentException](
+      GraftSql.sql(cat, "OPTIMIZE ns.o WHERE id = 1"))
+    assert(e.getMessage.contains("partition-column"))
+  }
+
   test("CHECK constraints: validated on add, enforced on every write path") {
     val cat = new TableCatalog(spark, new Path(freshDir("tx_constraints")))
     cat.createNamespace("ns")
