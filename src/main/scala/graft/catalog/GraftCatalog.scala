@@ -152,7 +152,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"only identity partitioning is supported, got $t")
       t.references()(0).fieldNames().mkString(".")
     }
-    new GraftV2Table(cat.createTable(ns, tbl, schema, partCols))
+    // user TBLPROPERTIES persist in the snapshot; Spark's reserved
+    // bookkeeping keys (provider/location/owner/...) do not
+    import scala.jdk.CollectionConverters._
+    val userProps = properties.asScala.toMap -- Seq(
+      "provider", "location", "comment", "owner", "external",
+      "option.path", "path", "is_managed_location")
+    new GraftV2Table(cat.createTable(ns, tbl, schema, partCols, userProps))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -170,6 +176,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1, "nested RENAME COLUMN is not supported")
         t.renameColumn(ren.fieldNames()(0), ren.newName())
+      case set: TableChange.SetProperty =>
+        t.setProperties(Map(set.property() -> set.value()))
+      case rm: TableChange.RemoveProperty =>
+        t.unsetProperties(Seq(rm.property()))
       case other =>
         throw new UnsupportedOperationException(s"ALTER TABLE change $other")
     }

@@ -80,7 +80,8 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     snap.partitionColumns.map(Expressions.identity).toArray
 
   override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft", "version" -> snap.version.toString).asJava
+    (snap.properties ++
+      Map("provider" -> "graft", "version" -> snap.version.toString)).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

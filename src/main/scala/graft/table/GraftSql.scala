@@ -53,6 +53,18 @@ object GraftSql {
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([`\w.]+)\s*;?\s*""".r
   private val DescribeDetailRe =
     """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([`\w.]+)\s*;?\s*""".r
+  private val ShowCreateRe =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+([`\w.]+)\s*;?\s*""".r
+  private val SetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val UnsetPropsRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?\(([^)]*)\)\s*;?\s*""".r
+  private val ShowPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+([`\w.]+)\s*;?\s*""".r
+  private val PropPairRe = """'([^']*)'\s*=\s*'([^']*)'""".r
+
+  private def parseProps(list: String): Map[String, String] =
+    PropPairRe.findAllMatchIn(list).map(m => m.group(1) -> m.group(2)).toMap
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+([`\w.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
@@ -173,7 +185,10 @@ object GraftSql {
         if (ifNotExists != null && cat.tableExists(ns, tbl))
           Seq(s"EXISTS $ns.$tbl").toDF("result")
         else {
-          cat.createTable(ns, tbl, schema, parts)
+          val props = """(?is)TBLPROPERTIES\s*\(([^)]*)\)""".r
+            .findFirstMatchIn(tail).map(m => parseProps(m.group(1)))
+            .getOrElse(Map.empty[String, String])
+          cat.createTable(ns, tbl, schema, parts, props)
           Seq(s"CREATED $ns.$tbl").toDF("result")
         }
       case DropRe(ifExists, rawName) =>
@@ -234,6 +249,25 @@ object GraftSql {
       case DescribeHistoryRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         cat.getTable(ns, tbl).history()
+      case ShowCreateRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val s = t.snapshot
+        val cols = t.schema.fields.map(f =>
+          s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
+        val partClause =
+          if (s.partitionColumns.isEmpty) ""
+          else s"\nPARTITIONED BY (${s.partitionColumns.mkString(", ")})"
+        val propClause =
+          if (s.properties.isEmpty) ""
+          else "\nTBLPROPERTIES (" + s.properties.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+        val ckClauses = s.constraints.toSeq.sortBy(_._1).map {
+          case (nm, cond) => s"\nALTER TABLE $ns.$tbl ADD CONSTRAINT $nm CHECK ($cond);"
+        }.mkString
+        val ddl = s"CREATE TABLE $ns.$tbl (\n${cols.mkString(",\n")}\n)" +
+          partClause + propClause + ";" + ckClauses
+        Seq(ddl).toDF("createtab_stmt")
       case DescribeDetailRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
@@ -288,6 +322,23 @@ object GraftSql {
         val v = cat.getTable(ns, tbl).fastForward(cleanIdent(branch))
         Seq(s"FAST-FORWARDED $ns.$tbl to branch ${cleanIdent(branch)} as v$v")
           .toDF("result")
+      case SetPropsRe(rawName, list) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val props = parseProps(list)
+        require(props.nonEmpty, s"no 'k'='v' pairs in TBLPROPERTIES ($list)")
+        val v = cat.getTable(ns, tbl).setProperties(props)
+        Seq(s"SET ${props.size} TBLPROPERTIES ON $ns.$tbl v$v").toDF("result")
+      case UnsetPropsRe(rawName, list) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val keys = """'([^']*)'""".r.findAllMatchIn(list)
+          .map(_.group(1)).toSeq
+        require(keys.nonEmpty, s"no 'key' entries in TBLPROPERTIES ($list)")
+        val v = cat.getTable(ns, tbl).unsetProperties(keys)
+        Seq(s"UNSET ${keys.size} TBLPROPERTIES ON $ns.$tbl v$v").toDF("result")
+      case ShowPropsRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        cat.getTable(ns, tbl).properties.toSeq.sortBy(_._1)
+          .toDF("key", "value")
       case AddConstraintRe(rawName, cname, cond) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val v = cat.getTable(ns, tbl).addConstraint(cleanIdent(cname), cond.trim)

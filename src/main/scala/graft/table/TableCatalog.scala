@@ -43,11 +43,13 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
     new Path(new Path(warehouse, ns), table)
 
   def createTable(ns: String, table: String, schema: StructType,
-      partitionBy: Seq[String] = Nil): TxTable = {
+      partitionBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): TxTable = {
     createNamespace(ns)
     require(!TxTable.exists(spark, tableRoot(ns, table)),
       s"table $ns.$table already exists")
-    TxTable.create(spark, tableRoot(ns, table), s"$ns.$table", schema, partitionBy)
+    TxTable.create(spark, tableRoot(ns, table), s"$ns.$table", schema,
+      partitionBy, properties)
   }
 
   def getTable(ns: String, table: String): TxTable =

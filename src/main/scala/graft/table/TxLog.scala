@@ -124,7 +124,10 @@ final case class Snapshot(
       * enforced on every ingest write path (append/merge/overwrite) —
       * a violating row fails the write, never corrupts the table.
       * Carried commit-to-commit like appTxns. */
-    constraints: Map[String, String] = Map.empty)
+    constraints: Map[String, String] = Map.empty,
+    /** user table properties (TBLPROPERTIES) — opaque key/values
+      * carried commit-to-commit; SET/UNSET are metadata-only commits. */
+    properties: Map[String, String] = Map.empty)
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 

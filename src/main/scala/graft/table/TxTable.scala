@@ -472,8 +472,32 @@ class TxTable private (
       if (mainPaths.contains(f.path)) f else f.copy(seq = 0L))
     commit(Some(fork), "FASTFORWARD", schemaOf(bs), bs.partitionColumns,
       files, appTxns = bs.appTxns, droppedColumns = bs.droppedColumns,
-      equalityDeletes = bs.equalityDeletes, constraints = bs.constraints)
+      equalityDeletes = bs.equalityDeletes, constraints = bs.constraints,
+      properties = bs.properties)
   }
+
+  // ---- table properties (TBLPROPERTIES) --------------------------------
+
+  def properties: Map[String, String] = snapshot.properties
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES (...)` — metadata-only commit. */
+  def setProperties(props: Map[String, String]): Long =
+    retryingCommit("SET_TBLPROPERTIES") { expected =>
+      val cur = snapshotAt(expected)
+      commit(Some(expected), "SET_TBLPROPERTIES", schemaOf(cur),
+        cur.partitionColumns, cur.files,
+        properties = cur.properties ++ props)
+    }
+
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES (...)` — unknown keys are
+    * ignored (the IF EXISTS behavior every engine defaults to). */
+  def unsetProperties(keys: Seq[String]): Long =
+    retryingCommit("UNSET_TBLPROPERTIES") { expected =>
+      val cur = snapshotAt(expected)
+      commit(Some(expected), "UNSET_TBLPROPERTIES", schemaOf(cur),
+        cur.partitionColumns, cur.files,
+        properties = cur.properties -- keys)
+    }
 
   // ---- CHECK constraints ----------------------------------------------
 
@@ -911,7 +935,8 @@ class TxTable private (
       appTxns: Map[String, Long] = null,
       droppedColumns: Seq[String] = null,
       equalityDeletes: Seq[EqualityDeleteFile] = null,
-      constraints: Map[String, String] = null): Long = {
+      constraints: Map[String, String] = null,
+      properties: Map[String, String] = null): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
@@ -924,6 +949,8 @@ class TxTable private (
       prior.map(_.equalityDeletes).getOrElse(Nil))
     val cks = Option(constraints).getOrElse(
       prior.map(_.constraints).getOrElse(Map.empty))
+    val props = Option(properties).getOrElse(
+      prior.map(_.properties).getOrElse(Map.empty))
     TxLog.commit(logDir, expected, Snapshot(
       version = next,
       timestampMs = System.currentTimeMillis(),
@@ -934,7 +961,8 @@ class TxTable private (
       appTxns = txns,
       droppedColumns = dropped,
       equalityDeletes = eqDeletes,
-      constraints = cks), conf)
+      constraints = cks,
+      properties = props), conf)
   }
 
   /** Align an incoming frame to the table schema: cast matching
@@ -1601,7 +1629,8 @@ class TxTable private (
         target.partitionColumns, target.files,
         droppedColumns = target.droppedColumns,
         equalityDeletes = target.equalityDeletes,
-        constraints = target.constraints)
+        constraints = target.constraints,
+        properties = target.properties)
     }
   }
 
@@ -1829,7 +1858,8 @@ object TxTable {
 
   /** Create a new empty table (version 0 snapshot). */
   def create(spark: SparkSession, root: Path, name: String,
-      schema: StructType, partitionColumns: Seq[String]): TxTable = {
+      schema: StructType, partitionColumns: Seq[String],
+      properties: Map[String, String] = Map.empty): TxTable = {
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(root, "_log")
     TxLog.commit(logDir, expected = None, Snapshot(
@@ -1838,7 +1868,8 @@ object TxTable {
       operation = "CREATE",
       schemaJson = schema.json,
       partitionColumns = partitionColumns,
-      files = Nil), conf)
+      files = Nil,
+      properties = properties), conf)
     new TxTable(spark, root, name)
   }
 

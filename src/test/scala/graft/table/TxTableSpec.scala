@@ -1506,6 +1506,62 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.count() === 5)
   }
 
+  test("TBLPROPERTIES: stored at create, SET/UNSET/SHOW, carried by commits") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_props")))
+    cat.createNamespace("ns")
+    GraftSql.sql(cat,
+      "CREATE TABLE ns.p (id INT) TBLPROPERTIES ('owner'='graft', 'tier'='gold')")
+    val t = cat.getTable("ns", "p")
+    assert(t.properties === Map("owner" -> "graft", "tier" -> "gold"))
+    GraftSql.sql(cat, "ALTER TABLE ns.p SET TBLPROPERTIES ('tier'='silver', 'ttl'='30d')")
+    GraftSql.sql(cat, "ALTER TABLE ns.p UNSET TBLPROPERTIES ('owner', 'missing')")
+    val shown = GraftSql.sql(cat, "SHOW TBLPROPERTIES ns.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown === Map("tier" -> "silver", "ttl" -> "30d"))
+    // data commits carry properties; SHOW CREATE emits them
+    GraftSql.sql(cat, "INSERT INTO ns.p SELECT 1")
+    assert(t.properties("tier") === "silver")
+    val ddl = GraftSql.sql(cat, "SHOW CREATE TABLE ns.p").first().getString(0)
+    assert(ddl.contains("TBLPROPERTIES ('tier'='silver', 'ttl'='30d')"))
+    // V2 table exposure
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", cat.warehouse.toString)
+    val v2props = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("ns"), "p")).properties()
+    assert(v2props.get("tier") === "silver")
+    // the NATIVE V2 path stores/removes them too (Catalyst-parsed ALTER
+    // and CREATE ... TBLPROPERTIES through the catalog plugin)
+    spark.sql("ALTER TABLE graft.ns.p SET TBLPROPERTIES ('native'='yes')")
+    assert(cat.getTable("ns", "p").properties("native") === "yes")
+    spark.sql("ALTER TABLE graft.ns.p UNSET TBLPROPERTIES ('native')")
+    assert(!cat.getTable("ns", "p").properties.contains("native"))
+    spark.sql(
+      "CREATE TABLE graft.ns.p2 (id INT) TBLPROPERTIES ('kind'='native')")
+    assert(cat.getTable("ns", "p2").properties === Map("kind" -> "native"))
+  }
+
+  test("SHOW CREATE TABLE round-trips through the DDL parser") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_showcreate")))
+    cat.createNamespace("ns")
+    GraftSql.sql(cat,
+      """CREATE TABLE ns.s (id STRING NOT NULL, amount DECIMAL(12,2),
+         meta STRUCT<a: STRING, b: INT>, date DATE) PARTITIONED BY (date)""")
+    cat.getTable("ns", "s").addConstraint("amt_pos", "amount > 0")
+    val ddl = GraftSql.sql(cat, "SHOW CREATE TABLE ns.s").first().getString(0)
+    assert(ddl.contains("id STRING NOT NULL"))
+    assert(ddl.contains("PARTITIONED BY (date)"))
+    assert(ddl.contains("ADD CONSTRAINT amt_pos CHECK (amount > 0)"))
+    // the emitted statements rebuild an identical table
+    ddl.split(";").map(_.trim).filter(_.nonEmpty).foreach(stmt =>
+      GraftSql.sql(cat, stmt.replace("ns.s", "ns.s2")))
+    val a = cat.getTable("ns", "s"); val b = cat.getTable("ns", "s2")
+    assert(a.schema === b.schema)
+    assert(a.snapshot.partitionColumns === b.snapshot.partitionColumns)
+    assert(a.constraints === b.constraints)
+  }
+
   test("DESCRIBE DETAIL and time-based snapshot expiration") {
     val cat = new TableCatalog(spark, new Path(freshDir("tx_detail")))
     cat.createNamespace("ns")
