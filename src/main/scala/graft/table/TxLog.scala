@@ -85,6 +85,22 @@ final case class BloomIndex(
   * without opening every manifest. */
 final case class ManifestRef(path: String, fileCount: Long)
 
+/** One field of a hidden-partitioning spec (see
+  * [[graft.table.PartitionTransform]]): the PHYSICAL partition column
+  * `name` derives from schema column `source` via `transform`
+  * (identity | year | month | day | hour | bucket | truncate); `param`
+  * is the bucket count / truncate width. Identity fields have
+  * name == source and ARE schema columns; derived fields are hidden —
+  * never in the schema, materialized only in directory names and
+  * `DataFile.partitionValues`. */
+final case class PartField(
+    name: String,
+    transform: String,
+    source: String,
+    param: Int = 0) {
+  def isIdentity: Boolean = transform == "identity"
+}
+
 /** On-disk body of a manifest file. */
 final case class Manifest(files: Seq[DataFile])
 
@@ -127,7 +143,11 @@ final case class Snapshot(
     constraints: Map[String, String] = Map.empty,
     /** user table properties (TBLPROPERTIES) — opaque key/values
       * carried commit-to-commit; SET/UNSET are metadata-only commits. */
-    properties: Map[String, String] = Map.empty)
+    properties: Map[String, String] = Map.empty,
+    /** hidden-partitioning spec (empty = every partition column is
+      * identity, the pre-transform log shape). When non-empty,
+      * `partitionColumns == partitionSpec.map(_.name)`. */
+    partitionSpec: Seq[PartField] = Nil)
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 

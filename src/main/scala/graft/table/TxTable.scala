@@ -473,7 +473,7 @@ class TxTable private (
     commit(Some(fork), "FASTFORWARD", schemaOf(bs), bs.partitionColumns,
       files, appTxns = bs.appTxns, droppedColumns = bs.droppedColumns,
       equalityDeletes = bs.equalityDeletes, constraints = bs.constraints,
-      properties = bs.properties)
+      properties = bs.properties, partitionSpec = bs.partitionSpec)
   }
 
   // ---- table properties (TBLPROPERTIES) --------------------------------
@@ -780,6 +780,20 @@ class TxTable private (
 
   // ---- write paths -----------------------------------------------------
 
+  /** The table's partition spec (identity fields synthesized for
+    * pre-transform logs). */
+  def partitionSpec: Seq[PartField] = PartitionTransform.resolve(snapshot)
+
+  /** Append the snapshot's DERIVED (hidden) partition columns to a
+    * frame about to be written — identity fields are schema columns
+    * already; identity-only specs are a no-op. Every bulk write path
+    * routes its frame through here before sizing/partitioning, so the
+    * physical layout always reflects the spec. */
+  private def withDerivedParts(df: DataFrame, s: Snapshot): DataFrame =
+    if (!PartitionTransform.hasTransforms(s)) df
+    else PartitionTransform.derive(df, PartitionTransform.resolve(s),
+      schemaOf(s), spark.sessionState.conf.sessionLocalTimeZone)
+
   /** Write `df`'s rows as new immutable files under data/, partitioned by
     * the table's partition columns; returns their DataFile descriptors.
     * Files are invisible to readers until referenced by a committed
@@ -936,7 +950,8 @@ class TxTable private (
       droppedColumns: Seq[String] = null,
       equalityDeletes: Seq[EqualityDeleteFile] = null,
       constraints: Map[String, String] = null,
-      properties: Map[String, String] = null): Long = {
+      properties: Map[String, String] = null,
+      partitionSpec: Seq[PartField] = null): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
@@ -951,6 +966,12 @@ class TxTable private (
       prior.map(_.constraints).getOrElse(Map.empty))
     val props = Option(properties).getOrElse(
       prior.map(_.properties).getOrElse(Map.empty))
+    // partition spec rides along by default, but only while the commit
+    // keeps the same physical partition columns — a partition-evolution
+    // commit that changes them must set the spec explicitly
+    val spec = Option(partitionSpec).getOrElse(
+      prior.map(_.partitionSpec).filter(_.map(_.name) == partitionColumns)
+        .getOrElse(Nil))
     TxLog.commit(logDir, expected, Snapshot(
       version = next,
       timestampMs = System.currentTimeMillis(),
@@ -962,7 +983,8 @@ class TxTable private (
       droppedColumns = dropped,
       equalityDeletes = eqDeletes,
       constraints = cks,
-      properties = props), conf)
+      properties = props,
+      partitionSpec = spec), conf)
   }
 
   /** Align an incoming frame to the table schema: cast matching
@@ -1060,8 +1082,8 @@ class TxTable private (
   /** Append rows (blind insert, no key matching). */
   def append(df: DataFrame): Long = {
     val s = snapshot
-    val newFiles = writeFiles(align(df, schemaOf(s),
-      constraints = s.constraints), s.partitionColumns)
+    val newFiles = writeFiles(withDerivedParts(align(df, schemaOf(s),
+      constraints = s.constraints), s), s.partitionColumns)
     retryingCommit("APPEND") { expected =>
       // commit against the CURRENT head's schema/partitioning, not the
       // snapshot we aligned to — otherwise an append racing an
@@ -1078,8 +1100,8 @@ class TxTable private (
     * same file set against the new head. */
   def overwrite(df: DataFrame): Long = {
     val s = snapshot
-    val newFiles = writeFiles(align(df, schemaOf(s),
-      constraints = s.constraints), s.partitionColumns)
+    val newFiles = writeFiles(withDerivedParts(align(df, schemaOf(s),
+      constraints = s.constraints), s), s.partitionColumns)
     retryingCommit("OVERWRITE") { expected =>
       // a full replacement: outstanding MOR deletes are moot — clear
       commit(Some(expected), "OVERWRITE", schemaOf(s),
@@ -1102,8 +1124,8 @@ class TxTable private (
     val unknown = partitionFilter.keySet -- s.partitionColumns.toSet
     require(unknown.isEmpty,
       s"not partition columns of $name: ${unknown.mkString(", ")}")
-    val newFiles = writeFiles(align(df, schemaOf(s),
-      constraints = s.constraints), s.partitionColumns)
+    val newFiles = writeFiles(withDerivedParts(align(df, schemaOf(s),
+      constraints = s.constraints), s), s.partitionColumns)
     retryingCommit("OVERWRITE") { expected =>
       val cur = snapshotAt(expected)
       val kept = cur.files.filterNot(f =>
@@ -1174,10 +1196,13 @@ class TxTable private (
       .filter(col("__rn") === 1).drop("__rn")
       .cache()
 
-    // affected partition values (small: one per touched date)
+    // affected partition values (small: one per touched date) —
+    // hidden-partitioning specs derive them from the batch's source
+    // columns first
     val touched: Set[Map[String, String]] =
       if (parts.isEmpty) Set(Map.empty[String, String])
-      else deduped.select(parts.map(col): _*).distinct().collect()
+      else withDerivedParts(deduped, s).select(parts.map(col): _*)
+        .distinct().collect()
         .map(r => parts.zipWithIndex.map { case (c, i) =>
           c -> partitionValueString(r.get(i)) }.toMap).toSet
 
@@ -1197,7 +1222,8 @@ class TxTable private (
     val merged = survivors.select(schema.map(f => col(f.name)): _*)
       .unionByName(upserts.select(schema.map(f => col(f.name)): _*))
     val newFiles = writeFiles(
-      sizedForWrite(merged, affectedFiles.map(_.sizeBytes).sum, batchRows,
+      sizedForWrite(withDerivedParts(merged, s),
+        affectedFiles.map(_.sizeBytes).sum, batchRows,
         bytesPerRow(s), parts, splitCol = Some(key)),
       parts)
     deduped.unpersist()
@@ -1273,7 +1299,12 @@ class TxTable private (
       pass1 = src.alias(sourceAlias).join(tMark, on, "left_outer")
         .select(Seq(col(s"$sourceAlias.*"),
           coalesce(col("__graft_m"), lit(false)).as("__graft_m")) ++
-          parts.map(c => col(s"$targetAlias.$c").as(s"__graft_p_$c")): _*)
+          PartitionTransform.resolve(s).map(f =>
+            (if (f.isIdentity) col(s"$targetAlias.${f.name}")
+             else PartitionTransform.columnOver(f,
+               col(s"$targetAlias.${f.source}"), schema(f.source).dataType,
+               spark.sessionState.conf.sessionLocalTimeZone))
+              .as(s"__graft_p_${f.name}")): _*)
         .cache()
       val srcRows = pass1.count() // materializes: source runs exactly once
       val touched: Set[Map[String, String]] =
@@ -1359,7 +1390,8 @@ class TxTable private (
 
       val content = inserts.fold(rewritten)(rewritten.unionByName(_))
       val newFiles = writeFiles(
-        sizedForWrite(align(content, schema, constraints = s.constraints),
+        sizedForWrite(
+          withDerivedParts(align(content, schema, constraints = s.constraints), s),
           affected.map(_.sizeBytes).sum, srcRows, bytesPerRow(s), parts,
           splitCol = defaultSplitCol(schema, parts)),
         parts)
@@ -1388,7 +1420,8 @@ class TxTable private (
       .filter(!coalesce(predicate, lit(false)))
       .select(schema.map(f => col(f.name)): _*)
     val newFiles = writeFiles(
-      sizedForWrite(rewritten, affected.map(_.sizeBytes).sum,
+      sizedForWrite(withDerivedParts(rewritten, s),
+        affected.map(_.sizeBytes).sum,
         batchRows = 0L, bytesPerRow(s), s.partitionColumns,
         splitCol = defaultSplitCol(schema, s.partitionColumns)),
       s.partitionColumns)
@@ -1427,7 +1460,8 @@ class TxTable private (
         }
       }: _*), schema, constraints = s.constraints)
     val newFiles = writeFiles(
-      sizedForWrite(rewritten, affected.map(_.sizeBytes).sum,
+      sizedForWrite(withDerivedParts(rewritten, s),
+        affected.map(_.sizeBytes).sum,
         batchRows = 0L, bytesPerRow(s), s.partitionColumns,
         splitCol = defaultSplitCol(schema, s.partitionColumns)),
       s.partitionColumns)
@@ -1463,7 +1497,7 @@ class TxTable private (
     val kept = s.files.diff(affected)
     val totalBytes = math.max(1L, affected.map(_.sizeBytes).sum)
     val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = dfFor(s.copy(files = affected))
+    val df = withDerivedParts(dfFor(s.copy(files = affected)), s)
     val rewritten =
       if (clusterBy.isEmpty) df.repartition(numFiles)
       else {
@@ -1630,7 +1664,8 @@ class TxTable private (
         droppedColumns = target.droppedColumns,
         equalityDeletes = target.equalityDeletes,
         constraints = target.constraints,
-        properties = target.properties)
+        properties = target.properties,
+        partitionSpec = target.partitionSpec)
     }
   }
 
@@ -1772,6 +1807,9 @@ class TxTable private (
     require(schema.fieldNames.contains(name), s"no column $name")
     require(!s.partitionColumns.contains(name),
       s"cannot drop partition column $name (repartitionTable first)")
+    require(!s.partitionSpec.exists(f => !f.isIdentity && f.source == name),
+      s"cannot drop $name: a hidden partition field derives from it " +
+        "(repartitionTable first)")
     val evolved = StructType(schema.fields.filterNot(_.name == name))
     commit(Some(s.version), "DROP_COLUMN", evolved, s.partitionColumns, s.files,
       droppedColumns = (s.droppedColumns :+ name).distinct)
@@ -1787,6 +1825,9 @@ class TxTable private (
     val schema = schemaOf(s)
     require(schema.fieldNames.contains(from), s"no column $from")
     require(!schema.fieldNames.contains(to), s"column $to already exists")
+    require(!s.partitionSpec.exists(f => !f.isIdentity && f.source == from),
+      s"cannot rename $from: a hidden partition field derives from it " +
+        "(repartitionTable first)")
     val evolved = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     val parts = s.partitionColumns.map(p => if (p == from) to else p)
@@ -1856,10 +1897,18 @@ object TxTable {
     existing.join(keySide, Seq(key), "left_anti")
   }
 
-  /** Create a new empty table (version 0 snapshot). */
+  /** Create a new empty table (version 0 snapshot). A non-empty
+    * `partitionSpec` enables hidden partitioning (transform fields
+    * derive physical partition values from schema columns — see
+    * [[PartitionTransform]]); `partitionColumns` is then taken from the
+    * spec's field names. */
   def create(spark: SparkSession, root: Path, name: String,
       schema: StructType, partitionColumns: Seq[String],
-      properties: Map[String, String] = Map.empty): TxTable = {
+      properties: Map[String, String] = Map.empty,
+      partitionSpec: Seq[PartField] = Nil): TxTable = {
+    if (partitionSpec.nonEmpty) PartitionTransform.validate(partitionSpec, schema)
+    val parts =
+      if (partitionSpec.nonEmpty) partitionSpec.map(_.name) else partitionColumns
     val conf = spark.sessionState.newHadoopConf()
     val logDir = new Path(root, "_log")
     TxLog.commit(logDir, expected = None, Snapshot(
@@ -1867,9 +1916,10 @@ object TxTable {
       timestampMs = System.currentTimeMillis(),
       operation = "CREATE",
       schemaJson = schema.json,
-      partitionColumns = partitionColumns,
+      partitionColumns = parts,
       files = Nil,
-      properties = properties), conf)
+      properties = properties,
+      partitionSpec = partitionSpec), conf)
     new TxTable(spark, root, name)
   }
 
