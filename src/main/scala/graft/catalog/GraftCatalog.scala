@@ -147,18 +147,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val cat = inner
     val (ns, tbl) = (ns1(ident.namespace()), ident.name())
     if (cat.tableExists(ns, tbl)) throw new TableAlreadyExistsException(ident)
-    val partCols = partitions.toSeq.map { t =>
-      require(t.name() == "identity",
-        s"only identity partitioning is supported, got $t")
-      t.references()(0).fieldNames().mkString(".")
-    }
+    val spec = partitions.toSeq.map(GraftCatalog.toPartField)
     // user TBLPROPERTIES persist in the snapshot; Spark's reserved
     // bookkeeping keys (provider/location/owner/...) do not
     import scala.jdk.CollectionConverters._
     val userProps = properties.asScala.toMap -- Seq(
       "provider", "location", "comment", "owner", "external",
       "option.path", "path", "is_managed_location")
-    new GraftV2Table(cat.createTable(ns, tbl, schema, partCols, userProps))
+    val created =
+      if (spec.forall(_.isIdentity))
+        // identity-only keeps the plain (pre-spec) log shape
+        cat.createTable(ns, tbl, schema, spec.map(_.name), userProps)
+      else
+        cat.createTable(ns, tbl, schema, Nil, userProps, partitionSpec = spec)
+    new GraftV2Table(created)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
@@ -242,5 +244,41 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       cat.dropNamespace(ns)
     }
     existed
+  }
+}
+
+object GraftCatalog {
+
+  /** `PARTITIONED BY (days(ts), bucket(16, id), truncate(4, code))` —
+    * Spark's V2 transforms → the table layer's partition-spec fields
+    * (Iceberg's hidden partitioning; derived fields are named
+    * `<source>_<transform>`, the Iceberg naming). Singular spellings
+    * (`day(ts)`) arrive as ApplyTransform and are accepted too. */
+  private[catalog] def toPartField(
+      t: org.apache.spark.sql.connector.expressions.Transform)
+      : graft.table.PartField = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    def ref: String = {
+      val rs = t.references()
+      require(rs.length == 1 && rs(0).fieldNames().length == 1,
+        s"partition transform $t must reference one top-level column")
+      rs(0).fieldNames()(0)
+    }
+    def intArg: Int = t.arguments().collectFirst {
+      case l: VLit[_] => l.value().toString.toInt
+    }.getOrElse(throw new IllegalArgumentException(
+      s"transform $t needs an integer argument"))
+    t.name().toLowerCase match {
+      case "identity"         => graft.table.PartField(ref, "identity", ref)
+      case "years" | "year"   => graft.table.PartField(s"${ref}_year", "year", ref)
+      case "months" | "month" => graft.table.PartField(s"${ref}_month", "month", ref)
+      case "days" | "day"     => graft.table.PartField(s"${ref}_day", "day", ref)
+      case "hours" | "hour"   => graft.table.PartField(s"${ref}_hour", "hour", ref)
+      case "bucket"           => graft.table.PartField(s"${ref}_bucket", "bucket", ref, intArg)
+      case "truncate"         => graft.table.PartField(s"${ref}_trunc", "truncate", ref, intArg)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other' (supported: identity, " +
+          "year(s), month(s), day(s), hour(s), bucket(n, col), truncate(n, col))")
+    }
   }
 }

@@ -54,7 +54,8 @@ case class GraftOffset(version: Long) extends Offset {
  */
 class GraftMicroBatchStream(tx: TxTable, fullSchema: StructType,
     partitionColumns: Seq[String],
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    partSpec: Seq[graft.table.PartField] = Nil)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -179,12 +180,12 @@ class GraftMicroBatchStream(tx: TxTable, fullSchema: StructType,
     val e = end.asInstanceOf[GraftOffset].version
     if (e <= s && s >= 0) return Array.empty
     org.apache.spark.sql.graft.ScanBridge.parquetBatch(tx.spark, dataDir,
-      fullSchema, partitionColumns, filesFor(s, e))._1
+      fullSchema, partitionColumns, filesFor(s, e), partSpec)._1
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     // factories are schema-determined and file-agnostic: one built over
     // an empty file list serves every batch's partitions
     org.apache.spark.sql.graft.ScanBridge.parquetBatch(tx.spark, dataDir,
-      fullSchema, partitionColumns, Nil)._2
+      fullSchema, partitionColumns, Nil, partSpec)._2
 }

@@ -41,21 +41,28 @@ class GraftReplaceDataWrite(
     tx: TxTable,
     snapVersion: Long,
     writeSchema: StructType,
-    partitionColumns: Seq[String],
+    partSpec: Seq[graft.table.PartField],
+    zoneId: String,
     operation: String,
     capturedFiles: () => Set[String])
   extends Write with RequiresDistributionAndOrdering {
 
   private val dataDir = new Path(tx.root, "data")
+  // identity partition values live in the directory name only; a
+  // DERIVED field's source column is ordinary data and stays in the file
+  private val identityCols = partSpec.filter(_.isIdentity).map(_.name).toSet
   private val dataSchema =
-    StructType(writeSchema.filterNot(f => partitionColumns.contains(f.name)))
+    StructType(writeSchema.filterNot(f => identityCols.contains(f.name)))
 
   override def description(): String = s"graft-replace-data($operation)"
 
   override def requiredDistribution(): Distribution =
-    if (partitionColumns.isEmpty) Distributions.unspecified()
+    if (partSpec.isEmpty) Distributions.unspecified()
     else Distributions.clustered(
-      partitionColumns.map(c => Expressions.identity(c)).toArray)
+      // cluster on the SOURCE columns (the only ones in the write
+      // schema) — same-partition rows still co-locate, because the
+      // partition value is a function of the source value
+      partSpec.map(_.source).distinct.map(c => Expressions.identity(c)).toArray)
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
@@ -65,7 +72,7 @@ class GraftReplaceDataWrite(
     override def createBatchWriterFactory(
         info: PhysicalWriteInfo): DataWriterFactory =
       new GraftDataWriterFactory(bundle, dataDir.toString, writeSchema,
-        partitionColumns)
+        partSpec, zoneId)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val newFiles = messages.toSeq
@@ -91,11 +98,12 @@ class GraftDataWriterFactory(
     bundle: ParquetWriteBundle,
     dataDir: String,
     writeSchema: StructType,
-    partitionColumns: Seq[String]) extends DataWriterFactory {
+    partSpec: Seq[graft.table.PartField],
+    zoneId: String) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(bundle, dataDir, writeSchema, partitionColumns,
+    new GraftDataWriter(bundle, dataDir, writeSchema, partSpec, zoneId,
       partitionId, taskId)
 }
 
@@ -104,12 +112,13 @@ class GraftStreamingWriterFactory(
     bundle: ParquetWriteBundle,
     dataDir: String,
     writeSchema: StructType,
-    partitionColumns: Seq[String])
+    partSpec: Seq[graft.table.PartField],
+    zoneId: String)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(bundle, dataDir, writeSchema, partitionColumns,
+    new GraftDataWriter(bundle, dataDir, writeSchema, partSpec, zoneId,
       partitionId, taskId)
 }
 
@@ -125,9 +134,12 @@ class GraftDataWriter(
     bundle: ParquetWriteBundle,
     dataDir: String,
     writeSchema: StructType,
-    partitionColumns: Seq[String],
+    partSpec: Seq[graft.table.PartField],
+    zoneId: String,
     partitionId: Int,
     taskId: Long) extends DataWriter[InternalRow] {
+
+  private val identityCols = partSpec.filter(_.isIdentity).map(_.name).toSet
 
   // The incoming layout depends on which writing task Spark picked:
   // with a metadata projection it hands rows ALREADY projected to the
@@ -140,10 +152,13 @@ class GraftDataWriter(
   private var opOffset: Int = -1
   private def projFor(offset: Int) = UnsafeProjection.create(
     writeSchema.fields.zipWithIndex
-      .filterNot { case (f, _) => partitionColumns.contains(f.name) }
+      .filterNot { case (f, _) => identityCols.contains(f.name) }
       .map { case (f, i) => BoundReference(i + offset, f.dataType, f.nullable) })
   private var dataProj: UnsafeProjection = _
-  private var partFields: Seq[(String, Int, DataType)] = _
+  // partition field name -> row-to-string renderer (identity: the V1
+  // rendering of the column value; derived: the shared transform
+  // expression over the SOURCE column — one definition everywhere)
+  private var partFields: Seq[(String, InternalRow => String)] = _
 
   private def bind(row: InternalRow): Unit = {
     opOffset = row.numFields - writeSchema.length
@@ -151,9 +166,15 @@ class GraftDataWriter(
       s"unexpected replace-data row arity ${row.numFields} for " +
         s"schema ${writeSchema.fieldNames.mkString(",")}")
     dataProj = projFor(opOffset)
-    partFields = partitionColumns.map { c =>
-      val i = writeSchema.fieldIndex(c)
-      (c, i + opOffset, writeSchema(i).dataType)
+    partFields = partSpec.map { f =>
+      val i = writeSchema.fieldIndex(f.source)
+      val dt = writeSchema(i).dataType
+      val ord = i + opOffset
+      if (f.isIdentity)
+        (f.name, (row: InternalRow) =>
+          PartitionRender(if (row.isNullAt(ord)) null else row.get(ord, dt), dt))
+      else
+        (f.name, graft.table.PartitionTransform.rowEval(f, ord, dt, zoneId))
     }
   }
 
@@ -161,17 +182,15 @@ class GraftDataWriter(
   private val sinks =
     mutable.LinkedHashMap.empty[String, (RowSink, Map[String, String], String)]
 
-  private def render(v: Any, dt: DataType): String = PartitionRender(v, dt)
-
   override def write(row: InternalRow): Unit = {
     if (opOffset < 0) bind(row)
     // RowDeltaUtils.DELETE_OPERATION = 1 — a row the rewrite drops
     // (group-based COW streams mark keepers 5/6, WRITE[_WITH_METADATA])
     if (opOffset == 1 && !row.isNullAt(0) && row.getInt(0) == 1) return
-    val partVals: Map[String, String] = partFields.map { case (c, i, dt) =>
-      c -> render(if (row.isNullAt(i)) null else row.get(i, dt), dt)
+    val partVals: Map[String, String] = partFields.map { case (c, eval) =>
+      c -> eval(row)
     }.toMap
-    val dirRel = partFields.map { case (c, _, _) =>
+    val dirRel = partFields.map { case (c, _) =>
       s"$c=${ExternalCatalogUtils.escapePathName(partVals(c))}"
     }.mkString("/")
     val (sink, _, _) = sinks.getOrElseUpdate(dirRel, {

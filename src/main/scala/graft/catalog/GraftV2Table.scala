@@ -72,12 +72,40 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
   private val fullSchema: StructType =
     org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
 
+  /** partition spec (identity fields synthesized for plain tables) */
+  private val partSpec: Seq[graft.table.PartField] =
+    graft.table.PartitionTransform.resolve(snap)
+
+  private def zoneId: String =
+    tx.spark.sessionState.conf.sessionLocalTimeZone
+
+  /** scan-side schema: the table schema plus the DERIVED (hidden)
+    * partition fields as string columns — they exist only in directory
+    * names / snapshot metadata, never in query output, but the file
+    * index needs them in its schema to type the partition spec. */
+  private val scanFullSchema: StructType =
+    StructType(fullSchema ++ partSpec
+      .filterNot(f => f.isIdentity || fullSchema.fieldNames.contains(f.name))
+      .map(f => org.apache.spark.sql.types.StructField(
+        f.name, org.apache.spark.sql.types.StringType)))
+
   override def name(): String = tx.name
 
   override def schema(): StructType = fullSchema
 
-  override def partitioning(): Array[Transform] =
-    snap.partitionColumns.map(Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = partSpec.map { f =>
+    f.transform match {
+      case "identity" => Expressions.identity(f.name)
+      case "year"     => Expressions.years(f.source)
+      case "month"    => Expressions.months(f.source)
+      case "day"      => Expressions.days(f.source)
+      case "hour"     => Expressions.hours(f.source)
+      case "bucket"   => Expressions.bucket(f.param, f.source)
+      case "truncate" => Expressions.apply("truncate",
+        Expressions.column(f.source), Expressions.literal(f.param))
+      case other => throw new IllegalStateException(s"unknown transform $other")
+    }
+  }.toArray
 
   override def properties(): util.Map[String, String] =
     (snap.properties ++
@@ -101,12 +129,35 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
         throw new UnsupportedOperationException(s"cannot translate filter $f")))
       .foldLeft(lit(true))(_ && _)
     // top-level partition-equality conjuncts prune the COW rewrite to
-    // the partitions the statement can touch
+    // the partitions the statement can touch; for hidden partitioning,
+    // equality on a transform's SOURCE column projects onto the derived
+    // partition (type must match the column — a bucket hash over a
+    // differently-typed literal is a different hash)
     val partFilter = v1.collect {
-      case sources.EqualTo(a, v) if snap.partitionColumns.contains(a) =>
+      case sources.EqualTo(a, v) if partSpec.exists(f => f.isIdentity && f.name == a) =>
         a -> tx.partitionValueString(v)
     }.toMap
-    tx.delete(cond, partFilter)
+    // hidden partitioning: project source-column comparisons onto the
+    // derived partitions (bucket equality, day/hour ranges) so the COW
+    // rewrite touches only partitions that can hold matches
+    val constraints = {
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, Literal => CLit}
+      val sourceDts = partSpec.filterNot(_.isIdentity)
+        .map(f => f.source -> fullSchema(f.source).dataType).toMap
+      def attr(a: String) = sourceDts.get(a).map(dt => AttributeReference(a, dt)())
+      val exprs = v1.flatMap {
+        case sources.EqualTo(a, v) if v != null => attr(a).map(CEq(_, CLit(v)))
+        case sources.GreaterThan(a, v) if v != null => attr(a).map(CGt(_, CLit(v)))
+        case sources.GreaterThanOrEqual(a, v) if v != null => attr(a).map(CGte(_, CLit(v)))
+        case sources.LessThan(a, v) if v != null => attr(a).map(CLt(_, CLit(v)))
+        case sources.LessThanOrEqual(a, v) if v != null => attr(a).map(CLte(_, CLit(v)))
+        case sources.In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+          attr(a).map(CIn(_, vs.toIndexedSeq.map(x => CLit(x): org.apache.spark.sql.catalyst.expressions.Expression)))
+        case _ => None
+      }
+      graft.table.PartitionTransform.constraintsFor(partSpec, exprs, zoneId)
+    }
+    tx.delete(cond, partFilter, constraints)
   }
 
   override def newRowLevelOperationBuilder(
@@ -135,9 +186,9 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             // above every delete's) — the MOR scan filters them and
             // still honors the group contract (partition filters only)
             val mb = new org.apache.spark.sql.graft.MorScanBuilder(
-              tx.spark, new Path(tx.root, "data"), fullSchema,
+              tx.spark, new Path(tx.root, "data"), scanFullSchema,
               snap.partitionColumns, morGroups(snap.files),
-              partitionFiltersOnly = true)
+              partitionFiltersOnly = true, partSpec)
             morBuilders.add(mb)
             mb
           } else {
@@ -145,8 +196,12 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             indexes.add(index)
             // group-scan contract: partition filters prune file groups,
             // but no pushed filter may drop ROWS of a matched group (the
-            // rewrite must copy untouched rows through)
-            ScanBridge.groupScanBuilder(builder, snap.partitionColumns.toSet)
+            // rewrite must copy untouched rows through); the index
+            // additionally prunes whole FILES by stats and hidden-
+            // partition transforms (an unlisted file is kept, never
+            // rewritten)
+            ScanBridge.groupScanBuilder(builder, snap.partitionColumns.toSet,
+              Some(index))
           }
         }
 
@@ -162,7 +217,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
                 s"replace-data write schema ${ws.fieldNames.mkString(",")} " +
                   s"!= table schema ${fullSchema.fieldNames.mkString(",")}")
               new GraftReplaceDataWrite(tx, snap.version, ws,
-                snap.partitionColumns, info.command().toString,
+                partSpec, zoneId, info.command().toString,
                 () => {
                   import scala.jdk.CollectionConverters._
                   (indexes.asScala.flatMap(_.capturedFiles) ++
@@ -182,9 +237,9 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       // rejected (the MOR scan has no toMicroBatchStream) — compact()
       // applies and clears them first.
       new org.apache.spark.sql.graft.MorScanBuilder(
-        tx.spark, new Path(tx.root, "data"), fullSchema,
+        tx.spark, new Path(tx.root, "data"), scanFullSchema,
         snap.partitionColumns, morGroups(scanFilesFor(options)),
-        partitionFiltersOnly = false)
+        partitionFiltersOnly = false, partSpec)
     } else {
       // batch plans delegate straight through (pushdown forwarded);
       // toMicroBatchStream tails the commit log from this snapshot on
@@ -195,7 +250,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
         else None
       ScanBridge.streamCapable(builder, index,
         _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns,
-          options),
+          options, partSpec),
         exactRowCount = exactRows, tableStats = tx.tableStats)
     }
 
@@ -253,14 +308,16 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
 
   private def scanBuilderCapturing(options: CaseInsensitiveStringMap)
       : (ScanBuilder, org.apache.spark.sql.graft.SnapshotFileIndex) = {
+    // identity partition columns come back from directory metadata;
+    // a derived field's SOURCE column is ordinary file data
     val dataSchema =
       StructType(fullSchema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val scanFiles = scanFilesFor(options)
     val index = ScanBridge.snapshotIndex(tx.spark, new Path(tx.root, "data"),
-      fullSchema, snap.partitionColumns,
+      scanFullSchema, snap.partitionColumns,
       scanFiles.map(f => (f.path, f.partitionValues, f.sizeBytes)),
-      scanFiles.flatMap(f => f.stats.map(f.path -> _)).toMap)
-    (ScanBridge.parquetScanBuilder(tx.spark, index, fullSchema, dataSchema,
+      scanFiles.flatMap(f => f.stats.map(f.path -> _)).toMap, partSpec)
+    (ScanBridge.parquetScanBuilder(tx.spark, index, scanFullSchema, dataSchema,
       options), index)
   }
 
@@ -343,15 +400,17 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
               s"!= table schema ${fullSchema.fieldNames.mkString(",")}")
           val queryId = info.queryId()
           new streaming.StreamingWrite {
+            private val identityCols =
+              partSpec.filter(_.isIdentity).map(_.name).toSet
             private val bundle = new org.apache.spark.sql.graft.ParquetWriteBundle(
               tx.spark, StructType(schema.filterNot(f =>
-                snap.partitionColumns.contains(f.name))))
+                identityCols.contains(f.name))))
             override def createStreamingWriterFactory(
                 pInfo: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
                 : streaming.StreamingDataWriterFactory =
               new GraftStreamingWriterFactory(bundle,
                 new Path(tx.root, "data").toString, schema,
-                snap.partitionColumns)
+                partSpec, zoneId)
             override def commit(epochId: Long,
                 messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
               val newFiles = messages.toSeq

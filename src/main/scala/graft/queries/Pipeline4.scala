@@ -422,6 +422,54 @@ object Pipeline4 {
       GROUP BY risk_score ORDER BY risk_score""")),
 
     // ------------------------------------------------------------------
+    // Hidden partitioning (Iceberg partition transforms — the layout
+    // the reference's S3-Tables/Iceberg tables use for
+    // `PARTITIONED BY (days(ts))`): the table partitions on day(ts) ×
+    // bucket(8, customer_id), neither derived column exists in the
+    // schema, and every path — V1 append, a ts-range-scoped row-level
+    // UPDATE through the V2 ReplaceData writer, the final scan — routes
+    // rows through the shared transform expressions. The oracle replays
+    // the update algebra over the staged seed; matching results prove
+    // the derived-directory round trip loses and duplicates nothing.
+    Q("table_hidden_partitioning", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("hp_seed", "parquet") {
+        SampleData.transactions(s, 300, seed = 77L)
+      }
+      val wh = Pipeline.scratch("hiddenpart")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.analytics")
+      s.sql("""CREATE TABLE graft.analytics.txns_hp (
+        transaction_id STRING, ts TIMESTAMP, customer_id STRING,
+        amount DECIMAL(12,2), region STRING, risk_score STRING)
+        PARTITIONED BY (days(ts), bucket(8, customer_id))""")
+      s.read.parquet(seedDir)
+        .select(col("transaction_id"),
+          timestamp_millis(col("timestamp")).as("ts"),
+          col("customer_id"), col("amount"), col("region"), col("risk_score"))
+        .createOrReplaceTempView("hp_seed_v")
+      s.sql("INSERT INTO graft.analytics.txns_hp SELECT * FROM hp_seed_v")
+      s.sql("""UPDATE graft.analytics.txns_hp SET region = 'AUDIT'
+               WHERE risk_score = 'HIGH'""")
+      s.sql("""
+        SELECT region, count(*) AS n,
+               count(DISTINCT customer_id) AS buyers,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft.analytics.txns_hp
+        GROUP BY region ORDER BY region""")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/hp_seed/*.parquet')),
+      upd AS (
+        SELECT CASE WHEN risk_score = 'HIGH' THEN 'AUDIT' ELSE region END
+                 AS region,
+               customer_id, amount
+        FROM seed)
+      SELECT region, count(*) AS n,
+             count(DISTINCT customer_id) AS buyers,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM upd GROUP BY region ORDER BY region""")),
+
+    // ------------------------------------------------------------------
     // Okapi BM25 retrieval (Robertson TREC-3, Lucene-shape idf) over
     // the documents table: the "search the lake for these prompts"
     // pipeline op. Scores total as micro-unit INTEGERS (per-term

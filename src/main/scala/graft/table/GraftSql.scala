@@ -257,7 +257,19 @@ object GraftSql {
           s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
         val partClause =
           if (s.partitionColumns.isEmpty) ""
-          else s"\nPARTITIONED BY (${s.partitionColumns.mkString(", ")})"
+          else {
+            // hidden partitioning renders as its transform calls
+            // (days(ts), bucket(8, id)), the re-runnable DDL form
+            val rendered = PartitionTransform.resolve(s).map { f =>
+              f.transform match {
+                case "identity" => f.name
+                case "bucket"   => s"bucket(${f.param}, ${f.source})"
+                case "truncate" => s"truncate(${f.param}, ${f.source})"
+                case t          => s"${t}s(${f.source})"
+              }
+            }
+            s"\nPARTITIONED BY (${rendered.mkString(", ")})"
+          }
         val propClause =
           if (s.properties.isEmpty) ""
           else "\nTBLPROPERTIES (" + s.properties.toSeq.sortBy(_._1)

@@ -170,4 +170,97 @@ object PartitionTransform {
         .eval(InternalRow.empty)
       Option(v).map(_.toString)
     } catch { case _: Exception => None }
+
+  /**
+   * Project pushed data predicates on a transform's SOURCE column onto
+   * its stored partition values — Iceberg's predicate projection
+   * ("Scan Planning" in the spec): `WHERE ts >= X` prunes `day(ts)`
+   * partitions, `WHERE id = k` prunes `bucket(id)` partitions, with no
+   * partition column ever named in the query. Extraction is
+   * conservative: only null-rejecting comparisons whose literal type
+   * matches the source column exactly (a bucket hash over a differently
+   * -typed literal would be a DIFFERENT hash — wrong pruning), and
+   * range bounds only for transforms whose rendering preserves order.
+   */
+  def constraintsFor(spec: Seq[PartField],
+      filters: Seq[Expression], zoneId: String): Seq[PartConstraint] =
+    spec.filterNot(_.isIdentity).flatMap { f =>
+      var allowed: Option[Set[String]] = None
+      var lo: Option[String] = None
+      var hi: Option[String] = None
+      def addEq(vs: Set[String]): Unit =
+        allowed = Some(allowed.map(_ intersect vs).getOrElse(vs))
+      def addLo(v: String): Unit =
+        lo = Some(lo.filter(_ >= v).getOrElse(v))
+      def addHi(v: String): Unit =
+        hi = Some(hi.filter(_ <= v).getOrElse(v))
+      // literal type must equal the column type — comparisons arrive
+      // post-analysis, so Spark has already cast the literal when the
+      // query wrote a different type
+      def render(a: AttributeReference, v: Any, dt: DataType): Option[String] =
+        if (a.name != f.source || v == null || dt != a.dataType) None
+        else renderLiteral(f, v, dt, zoneId)
+      // strict upper bound: `ts < X` admits no row AT X, so project
+      // day(X − 1µs) — this is what lets `ts < next-midnight` exclude
+      // that whole day (Iceberg's strict projection)
+      def strictHi(v: Any, dt: DataType): Any = dt match {
+        case TimestampType => v.asInstanceOf[Long] - 1L
+        case DateType      => v.asInstanceOf[Int] - 1
+        case _             => v
+      }
+      filters.foreach {
+        case EqualTo(a: AttributeReference, Literal(v, dt)) =>
+          render(a, v, dt).foreach(r => addEq(Set(r)))
+        case EqualTo(Literal(v, dt), a: AttributeReference) =>
+          render(a, v, dt).foreach(r => addEq(Set(r)))
+        case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
+              case Literal(x, _) => x != null
+              case _             => false
+            } =>
+          val rs = vs.map { case Literal(x, dt) => render(a, x, dt) }
+          if (rs.forall(_.isDefined)) addEq(rs.flatten.toSet)
+        case InSet(a: AttributeReference, vs)
+            if a.name == f.source && vs.nonEmpty && !vs.contains(null) =>
+          val rs = vs.toSeq.map(v => render(a, v, a.dataType))
+          if (rs.forall(_.isDefined)) addEq(rs.flatten.toSet)
+        case GreaterThan(a: AttributeReference, Literal(v, dt)) if monotonic(f) =>
+          render(a, v, dt).foreach(addLo)
+        case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) if monotonic(f) =>
+          render(a, v, dt).foreach(addLo)
+        case LessThan(a: AttributeReference, Literal(v, dt)) if monotonic(f) =>
+          render(a, strictHi(v, dt), dt).foreach(addHi)
+        case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) if monotonic(f) =>
+          render(a, v, dt).foreach(addHi)
+        case GreaterThan(Literal(v, dt), a: AttributeReference) if monotonic(f) =>
+          render(a, strictHi(v, dt), dt).foreach(addHi)
+        case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) if monotonic(f) =>
+          render(a, v, dt).foreach(addHi)
+        case LessThan(Literal(v, dt), a: AttributeReference) if monotonic(f) =>
+          render(a, v, dt).foreach(addLo)
+        case LessThanOrEqual(Literal(v, dt), a: AttributeReference) if monotonic(f) =>
+          render(a, v, dt).foreach(addLo)
+        case _ => ()
+      }
+      if (allowed.isEmpty && lo.isEmpty && hi.isEmpty) None
+      else Some(PartConstraint(f.name, allowed, lo, hi))
+    }
+}
+
+/**
+ * File-level constraint on one derived partition field. `permits` is
+ * conservative: a file with no stored value for the field (pre-spec
+ * commit) is kept; the null partition (`__HIVE_DEFAULT_PARTITION__`)
+ * is droppable because every extracted comparison is null-rejecting.
+ * Range bounds are INCLUSIVE at partition granularity — `ts > X` admits
+ * day(X) itself (rows later the same day), so strictness never tightens
+ * the partition bound.
+ */
+final case class PartConstraint(field: String, allowed: Option[Set[String]],
+    lo: Option[String], hi: Option[String]) {
+  def permits(stored: Option[String]): Boolean = stored match {
+    case None => true
+    case Some(v) =>
+      if (v == "__HIVE_DEFAULT_PARTITION__") false
+      else allowed.forall(_.contains(v)) && lo.forall(v >= _) && hi.forall(v <= _)
+  }
 }

@@ -44,12 +44,13 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
 
   def createTable(ns: String, table: String, schema: StructType,
       partitionBy: Seq[String] = Nil,
-      properties: Map[String, String] = Map.empty): TxTable = {
+      properties: Map[String, String] = Map.empty,
+      partitionSpec: Seq[PartField] = Nil): TxTable = {
     createNamespace(ns)
     require(!TxTable.exists(spark, tableRoot(ns, table)),
       s"table $ns.$table already exists")
     TxTable.create(spark, tableRoot(ns, table), s"$ns.$table", schema,
-      partitionBy, properties)
+      partitionBy, properties, partitionSpec)
   }
 
   def getTable(ns: String, table: String): TxTable =

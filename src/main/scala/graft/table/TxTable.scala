@@ -1404,14 +1404,17 @@ class TxTable private (
 
   /** Delete rows matching `predicate`; rewrites only files in partitions
     * that could contain matches (all, absent partition info in the
-    * predicate — callers should pass partitionFilter for pruning). */
+    * predicate — callers should pass partitionFilter for pruning, and
+    * `partConstraints` for hidden-partitioning range/equality scoping
+    * projected from source-column predicates). */
   def delete(predicate: org.apache.spark.sql.Column,
-      partitionFilter: Map[String, String] = Map.empty): Long = {
+      partitionFilter: Map[String, String] = Map.empty,
+      partConstraints: Seq[PartConstraint] = Nil): Long = {
     val s = snapshot
     val schema = schemaOf(s)
     val affected = s.files.filter(f => partitionFilter.forall {
       case (k, v) => f.partitionValues.get(k).contains(v)
-    })
+    } && partConstraints.forall(c => c.permits(f.partitionValues.get(c.field))))
     val kept = s.files.diff(affected)
     // SQL DELETE semantics: remove only rows where the predicate is
     // TRUE; rows where it evaluates NULL are kept (a bare `!pred`

@@ -46,14 +46,20 @@ class MorScanBuilder(
     groups: Seq[MorGroup],
     /** forward only partition-column conjuncts to the group scans
       * (group-based row-level operations must read whole file groups) */
-    partitionFiltersOnly: Boolean)
+    partitionFiltersOnly: Boolean,
+    /** hidden-partitioning spec (fullSchema then includes the derived
+      * string fields); requested columns never include them */
+    partSpec: Seq[_root_.graft.table.PartField] = Nil)
   extends SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   private val keyColumns: Seq[String] =
     groups.flatMap(_.deletedKeys.keys).distinct
 
-  private var requested: StructType = fullSchema
+  // default to the TABLE schema (derived hidden-partition fields are
+  // scan-internal — never part of a result)
+  private var requested: StructType = StructType(fullSchema.filterNot(f =>
+    partSpec.exists(p => !p.isIdentity && p.name == f.name)))
   private var pushed: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
   private var pushedReport
       : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -98,7 +104,7 @@ class MorScanBuilder(
 
   private def newGroupBuilder(g: MorGroup): ParquetScanBuilder = {
     val index = new SnapshotFileIndex(spark, dataDir, fullSchema,
-      partitionColumns, g.files, g.statsByPath)
+      partitionColumns, g.files, g.statsByPath, partSpec)
     indexes += index
     val dataSchema =
       StructType(fullSchema.filterNot(f => partitionColumns.contains(f.name)))

@@ -40,7 +40,11 @@ class SnapshotFileIndex(
     files: Seq[(String, Map[String, String], Long)], // (relPath, partitionValues, sizeBytes)
     /** per-file column min/max from the snapshot (keyed by relPath) —
       * drives file-level data skipping in [[listFiles]] */
-    statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty)
+    statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty,
+    /** hidden-partitioning spec: pushed data predicates on a transform's
+      * SOURCE column prune the DERIVED partitions in [[listFiles]]
+      * (`fullSchema` must then include the derived fields as strings) */
+    partSpec: Seq[_root_.graft.table.PartField] = Nil)
   extends PartitioningAwareFileIndex(spark, Map.empty, Some(fullSchema), NoopCache) {
 
   // Fully qualify against the filesystem: `allFiles()` looks leaf dirs up
@@ -94,6 +98,23 @@ class SnapshotFileIndex(
       }
     }
 
+  // ---- file-level prune filters (group-based row-level operations) ---
+  // A copy-on-write rewrite scan must return every ROW of a matched
+  // group, so its builder pushes no data filters into the parquet
+  // reader — but dropping a whole FILE no row of which can match is
+  // always safe (the unlisted file is simply kept, not rewritten).
+  // The group scan builder parks the statement's filters here and
+  // listFiles applies them at file granularity only: min/max stats
+  // skipping plus hidden-partition transform pruning, the reason an
+  // UPDATE on a day(ts)-partitioned table rewrites one day, not the
+  // lake.
+  @volatile private var filePruneFilters:
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
+
+  def setFilePrune(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    filePruneFilters = filters.filter(_.deterministic)
+
   def partitionColumnNames: Seq[String] = partitionColumns
 
   private val partValsByPath: Map[Path, Map[String, String]] =
@@ -129,18 +150,28 @@ class SnapshotFileIndex(
     // dropped from the plan — the Iceberg/Delta scan behavior (Armbrust
     // et al., VLDB'20 §4.2) that turns a selective non-partition query
     // at 100 TB into a handful of file reads. Conservative throughout:
-    // anything not understood keeps the file.
+    // anything not understood keeps the file. Group-based row-level
+    // operations contribute their statement filters via [[setFilePrune]]
+    // (file granularity only — see there).
     val keepRt = runtimeKeep
+    val effFilters = dataFilters ++ filePruneFilters
+    // hidden partitioning: project source-column predicates onto the
+    // derived partition values (bucket equality, day/hour ranges)
+    val specConstraints =
+      if (partSpec.forall(_.isIdentity)) Nil
+      else _root_.graft.table.PartitionTransform.constraintsFor(
+        partSpec, effFilters, zoneId)
     val dirs =
-      if ((dataFilters.isEmpty || statsByPath.isEmpty) && keepRt.isEmpty)
+      if ((effFilters.isEmpty || statsByPath.isEmpty) && keepRt.isEmpty &&
+          specConstraints.isEmpty)
         partitioned
       else partitioned.flatMap { dir =>
         val kept = dir.files.filter { f =>
           val path = f.fileStatus.getPath
           val statsOk =
             relByPath.get(path).flatMap(statsByPath.get) match {
-              case Some(stats) if dataFilters.nonEmpty =>
-                dataFilters.forall(mayMatch(stats, _))
+              case Some(stats) if effFilters.nonEmpty =>
+                effFilters.forall(mayMatch(stats, _))
               case _ => true
             }
           val runtimeOk = keepRt.isEmpty || {
@@ -148,7 +179,11 @@ class SnapshotFileIndex(
             keepRt.forall { case (c, allowed) =>
               vals.get(c).forall(allowed.contains) }
           }
-          statsOk && runtimeOk
+          val specOk = specConstraints.isEmpty || {
+            val vals = partValsByPath.getOrElse(path, Map.empty)
+            specConstraints.forall(c => c.permits(vals.get(c.field)))
+          }
+          statsOk && runtimeOk && specOk
         }
         if (kept.isEmpty) None
         else if (kept.length == dir.files.length) Some(dir)
@@ -403,10 +438,11 @@ object ScanBridge {
       fullSchema: StructType,
       partitionColumns: Seq[String],
       files: Seq[(String, Map[String, String], Long)],
-      statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty)
+      statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty,
+      partSpec: Seq[_root_.graft.table.PartField] = Nil)
       : SnapshotFileIndex =
     new SnapshotFileIndex(spark, dataDir, fullSchema, partitionColumns, files,
-      statsByPath)
+      statsByPath, partSpec)
 
   /**
    * Plan one micro-batch of a streaming table read: a fresh parquet
@@ -421,20 +457,29 @@ object ScanBridge {
       dataDir: Path,
       fullSchema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[(String, Map[String, String], Long)])
+      files: Seq[(String, Map[String, String], Long)],
+      partSpec: Seq[_root_.graft.table.PartField] = Nil)
       : (Array[org.apache.spark.sql.connector.read.InputPartition],
          org.apache.spark.sql.connector.read.PartitionReaderFactory) = {
-    val index = snapshotIndex(spark, dataDir, fullSchema, partitionColumns, files)
+    // hidden partitioning: the scan-side schema carries the derived
+    // partition fields (string-typed, directory-encoded); the reorder
+    // projection below drops them from the emitted rows
+    val scanFull = StructType(fullSchema ++
+      partSpec.filterNot(f => f.isIdentity ||
+          fullSchema.fieldNames.contains(f.name))
+        .map(f => org.apache.spark.sql.types.StructField(f.name, StringType)))
+    val index = snapshotIndex(spark, dataDir, scanFull, partitionColumns, files,
+      partSpec = partSpec)
     val dataSchema =
-      StructType(fullSchema.filterNot(f => partitionColumns.contains(f.name)))
-    val batch = ParquetScanBuilder(spark, index, fullSchema, dataSchema,
+      StructType(scanFull.filterNot(f => partitionColumns.contains(f.name)))
+    val batch = ParquetScanBuilder(spark, index, scanFull, dataSchema,
       CaseInsensitiveStringMap.empty()).build().toBatch
     // the parquet scan emits [data columns ++ partition columns]; the
     // streaming relation expects DECLARED order and (unlike the batch
     // path) no pushdown rule inserts a reordering Project — so reorder
     // in the reader factory itself
     val scanSchema = StructType(dataSchema ++ StructType(
-      partitionColumns.map(c => fullSchema(fullSchema.fieldIndex(c)))))
+      partitionColumns.map(c => scanFull(scanFull.fieldIndex(c)))))
     val factory =
       if (scanSchema.fieldNames.sameElements(fullSchema.fieldNames)) {
         batch.createReaderFactory()
@@ -717,8 +762,25 @@ object ScanBridge {
    * a rewritten file.
    */
   def groupScanBuilder(inner: ScanBuilder,
-      partitionColumns: Set[String]): ScanBuilder =
-    new org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+      partitionColumns: Set[String],
+      /** when set, the statement's filters also prune at FILE
+        * granularity (stats + hidden-partition transforms) via
+        * [[SnapshotFileIndex.setFilePrune]] — safe for a group scan
+        * because an unlisted file is kept, never rewritten */
+      index: Option[SnapshotFileIndex] = None): ScanBuilder =
+    new org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // forward column pruning: the rewrite rule prunes to the
+      // relation's output, which keeps every TABLE column (a COW scan
+      // needs them all) but drops scan-internal DERIVED partition
+      // fields — without this the group scan's readSchema would name
+      // columns the relation cannot resolve
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        inner match {
+          case c: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+            c.pruneColumns(requiredSchema)
+          case _ =>
+        }
       override def pushFilters(
           filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
           : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
@@ -731,6 +793,7 @@ object ScanBridge {
             c.pushFilters(partOnly)
           case _ =>
         }
+        index.foreach(_.setFilePrune(filters))
         filters // everything is residual: no row may be dropped
       }
       override def pushedFilters()

@@ -1,0 +1,217 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Hidden partitioning ([[PartitionTransform]]): Iceberg-style partition
+ * transforms — `day(ts)`, `bucket(n, id)`, `truncate(w, s)` — where the
+ * derived partition column never appears in the table schema and
+ * queries filter on the SOURCE column only; the engine projects
+ * predicates onto partitions itself (Iceberg spec, "Partition
+ * Transforms" / "Scan Planning"; the reference's S3-Tables tables are
+ * Iceberg, whose `PARTITIONED BY (days(ts))` layouts this mirrors).
+ */
+class HiddenPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCatalog[T](tag: String)(f: String => T): T = {
+    val wh = freshDir(s"hidden_$tag")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    f(wh)
+  }
+
+  private def scannedFiles(q: org.apache.spark.sql.DataFrame): Int =
+    q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .map(_.inputPartitions.map {
+        case fp: FilePartition => fp.files.length
+        case _                 => 0
+      }.sum).sum
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("ts", TimestampType),
+    StructField("v", StringType)))
+
+  private def rows(ids: Range, day: String) =
+    ids.map(i => (i.toLong, java.sql.Timestamp.valueOf(s"$day ${10 + i % 8}:00:00"), s"v$i"))
+      .toDF("id", "ts", "v")
+
+  test("spec validation rejects bad transforms at create") {
+    val root = new Path(freshDir("hp_validate"))
+    def mk(spec: Seq[PartField]) =
+      TxTable.create(spark, new Path(root, spec.hashCode.toString), "t",
+        schema, Nil, partitionSpec = spec)
+    intercept[IllegalArgumentException] {
+      mk(Seq(PartField("x_day", "dayz", "ts")))          // unknown transform
+    }
+    intercept[IllegalArgumentException] {
+      mk(Seq(PartField("x_day", "day", "nope")))         // missing source
+    }
+    intercept[IllegalArgumentException] {
+      mk(Seq(PartField("v", "day", "ts")))               // collides with schema col
+    }
+    intercept[IllegalArgumentException] {
+      mk(Seq(PartField("id_bucket", "bucket", "id")))    // bucket without count
+    }
+    intercept[IllegalArgumentException] {
+      mk(Seq(PartField("ts_day", "day", "id")))          // day of a long
+    }
+  }
+
+  test("V1: append + merge land in derived partition dirs; reads stay schema-only") {
+    val root = new Path(freshDir("hp_v1"), "t")
+    val t = TxTable.create(spark, root, "hp.t", schema, Nil, partitionSpec = Seq(
+      PartField("ts_day", "day", "ts"), PartField("id_bucket", "bucket", "id", 4)))
+    t.append(rows(0 until 16, "2026-01-01").union(rows(16 until 32, "2026-01-02")))
+    // physical layout: ts_day=YYYY-MM-DD/id_bucket=N directories
+    val parts = t.snapshot.files.map(_.partitionValues)
+    assert(parts.nonEmpty)
+    assert(parts.forall(p => p.keySet == Set("ts_day", "id_bucket")))
+    assert(parts.map(_("ts_day")).toSet === Set("2026-01-01", "2026-01-02"))
+    assert(parts.map(_("id_bucket")).toSet.subsetOf(Set("0", "1", "2", "3")))
+    assert(t.snapshot.files.forall(f =>
+      f.path.startsWith(s"ts_day=${f.partitionValues("ts_day")}/")))
+    // the derived columns never surface in a read
+    assert(t.toDF.columns.toSeq === Seq("id", "ts", "v"))
+    assert(t.toDF.count() === 32)
+    // merge (upsert by id): updates land in the right derived partitions
+    val upd = Seq((3L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "UPDATED"),
+      (99L, java.sql.Timestamp.valueOf("2026-01-03 09:00:00"), "NEW"))
+      .toDF("id", "ts", "v")
+    t.merge(upd, "id", orderCol = "ts")
+    val out = t.toDF.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(3L) === "UPDATED")
+    assert(out(99L) === "NEW")
+    assert(out.size === 33)
+    assert(t.snapshot.files.map(_.partitionValues("ts_day")).toSet
+      === Set("2026-01-01", "2026-01-02", "2026-01-03"))
+    // schema evolution guards: a transform source cannot be dropped/renamed
+    intercept[IllegalArgumentException] { t.dropColumn("ts") }
+    intercept[IllegalArgumentException] { t.renameColumn("id", "id2") }
+  }
+
+  test("SQL DDL: PARTITIONED BY (days(ts), bucket(4, id)) round trips") {
+    withCatalog("ddl") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.h")
+      spark.sql("""CREATE TABLE graft.h.events (id BIGINT, ts TIMESTAMP, v STRING)
+        PARTITIONED BY (days(ts), bucket(4, id))""")
+      // schema: no derived columns
+      assert(spark.table("graft.h.events").columns.toSeq === Seq("id", "ts", "v"))
+      // partitioning reported as transforms (DESCRIBE shows them)
+      val desc = spark.sql("DESCRIBE TABLE graft.h.events").collect()
+        .map(_.getString(0)).mkString("\n")
+      assert(desc.contains("Part 0") || desc.contains("# Partitioning"),
+        s"partitioning not described:\n$desc")
+      rows(0 until 16, "2026-03-01").union(rows(16 until 32, "2026-03-02"))
+        .writeTo("graft.h.events").append()
+      assert(spark.table("graft.h.events").count() === 32)
+      val cat = new TableCatalog(spark, new Path(wh))
+      val t = cat.getTable("h", "events")
+      assert(t.partitionSpec.map(f => (f.name, f.transform, f.source, f.param))
+        === Seq(("ts_day", "day", "ts", 0), ("id_bucket", "bucket", "id", 4)))
+      assert(t.snapshot.files.map(_.partitionValues("ts_day")).toSet
+        === Set("2026-03-01", "2026-03-02"))
+    }
+  }
+
+  test("scan pruning: source predicates prune derived partitions") {
+    withCatalog("prune") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+      spark.sql("""CREATE TABLE graft.p.e (id BIGINT, ts TIMESTAMP, v STRING)
+        PARTITIONED BY (days(ts), bucket(4, id))""")
+      // one append spanning 3 days × 4 buckets; every bucket file's id
+      // [min, max] spans nearly the whole range, so ONLY the bucket
+      // transform can prune an id-equality probe
+      rows(0 until 32, "2026-03-01")
+        .union(rows(0 until 32, "2026-03-02"))
+        .union(rows(0 until 32, "2026-03-03"))
+        .writeTo("graft.p.e").append()
+      val cat = new TableCatalog(spark, new Path(wh))
+      val total = cat.getTable("p", "e").snapshot.files.size
+      assert(total >= 12, s"expected >= 12 files (3 days × 4 buckets), got $total")
+      // day range on ts: only the matching days' files are planned
+      val dayQ = spark.sql(
+        "SELECT v FROM graft.p.e WHERE ts >= TIMESTAMP'2026-03-03 00:00:00'")
+      assert(dayQ.count() === 32)
+      assert(scannedFiles(dayQ) <= total / 3,
+        s"day pruning: planned ${scannedFiles(dayQ)} of $total files")
+      // bucket equality on id: at most one bucket per day is planned
+      // (min/max stats cannot help here — ranges overlap by design)
+      val idQ = spark.sql("SELECT v FROM graft.p.e WHERE id = 7")
+      assert(idQ.count() === 3)
+      assert(scannedFiles(idQ) <= total / 4,
+        s"bucket pruning: planned ${scannedFiles(idQ)} of $total files")
+      // conjunction prunes on both dimensions
+      val bothQ = spark.sql(
+        """SELECT v FROM graft.p.e
+           WHERE id = 7 AND ts >= TIMESTAMP'2026-03-03 00:00:00'""")
+      assert(bothQ.count() === 1)
+      assert(scannedFiles(bothQ) <= total / 12,
+        s"combined pruning: planned ${scannedFiles(bothQ)} of $total files")
+      // a probe matching nothing still answers (conservatively planned)
+      assert(spark.sql("SELECT v FROM graft.p.e WHERE ts < TIMESTAMP'2020-01-01 00:00:00'")
+        .count() === 0)
+    }
+  }
+
+  test("row-level UPDATE/DELETE rewrite only the partitions they can touch") {
+    withCatalog("dml") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.d")
+      spark.sql("""CREATE TABLE graft.d.e (id BIGINT, ts TIMESTAMP, v STRING)
+        PARTITIONED BY (days(ts))""")
+      rows(0 until 8, "2026-04-01")
+        .union(rows(8 until 16, "2026-04-02"))
+        .union(rows(16 until 24, "2026-04-03"))
+        .writeTo("graft.d.e").append()
+      val cat = new TableCatalog(spark, new Path(wh))
+      def filesByDay = cat.getTable("d", "e").snapshot.files
+        .groupBy(_.partitionValues("ts_day")).view.mapValues(_.map(_.path).toSet).toMap
+      val before = filesByDay
+      // UPDATE scoped to one day by a ts range on the SOURCE column
+      spark.sql("""UPDATE graft.d.e SET v = 'X'
+        WHERE ts >= TIMESTAMP'2026-04-02 00:00:00'
+          AND ts < TIMESTAMP'2026-04-03 00:00:00'""")
+      val after = filesByDay
+      assert(spark.sql("SELECT count(*) FROM graft.d.e WHERE v = 'X'")
+        .head().getLong(0) === 8)
+      // untouched days keep their exact files (no needless rewrite)
+      assert(after("2026-04-01") === before("2026-04-01"))
+      assert(after("2026-04-03") === before("2026-04-03"))
+      assert(after("2026-04-02") !== before("2026-04-02"))
+      // DELETE scoped the same way
+      spark.sql("""DELETE FROM graft.d.e
+        WHERE ts >= TIMESTAMP'2026-04-03 00:00:00'""")
+      assert(spark.table("graft.d.e").count() === 16)
+      val afterDelete = filesByDay
+      assert(afterDelete("2026-04-01") === before("2026-04-01"))
+      assert(!afterDelete.contains("2026-04-03"))
+      // rows remain consistent: re-read through a fresh statement
+      assert(spark.sql("SELECT count(*) FROM graft.d.e WHERE v = 'X'")
+        .head().getLong(0) === 8)
+    }
+  }
+
+  test("truncate transform: string prefix partitioning with equality pruning") {
+    withCatalog("trunc") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t")
+      spark.sql("""CREATE TABLE graft.t.docs (code STRING, n INT)
+        PARTITIONED BY (truncate(2, code))""")
+      Seq(("alpha", 1), ("amber", 2), ("beta", 3), ("bravo", 4), ("gamma", 5))
+        .toDF("code", "n").writeTo("graft.t.docs").append()
+      val cat = new TableCatalog(spark, new Path(wh))
+      val t = cat.getTable("t", "docs")
+      assert(t.snapshot.files.map(_.partitionValues("code_trunc")).toSet
+        === Set("al", "am", "be", "br", "ga"))
+      val total = t.snapshot.files.size
+      val q = spark.sql("SELECT n FROM graft.t.docs WHERE code = 'beta'")
+      assert(q.collect().map(_.getInt(0)) === Array(3))
+      assert(scannedFiles(q) < total)
+      assert(spark.table("graft.t.docs").count() === 5)
+    }
+  }
+}
