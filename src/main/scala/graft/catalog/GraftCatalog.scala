@@ -38,7 +38,8 @@ import scala.jdk.CollectionConverters._
  * the verify harness point the same session at many scratch warehouses —
  * a captured path would silently pin the first one.
  */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = "graft"
 
@@ -210,6 +211,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     cat.createNamespace(nns)
     fs.rename(cat.tableRoot(ons, otbl), cat.tableRoot(nns, ntbl))
   }
+
+  // ---- functions (the Iceberg `system.bucket`-style transform fns) ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.length <= 1)
+      GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
+  /** Transform functions resolve from ANY namespace depth (Spark's SPJ
+    * resolution asks with an empty namespace; users may qualify). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name()).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+
+  override def functionExists(ident: Identifier): Boolean =
+    GraftFunctions.load(ident.name()).isDefined
 
   // ---- namespaces ------------------------------------------------------
 

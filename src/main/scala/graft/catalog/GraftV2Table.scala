@@ -93,19 +93,8 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
 
   override def schema(): StructType = fullSchema
 
-  override def partitioning(): Array[Transform] = partSpec.map { f =>
-    f.transform match {
-      case "identity" => Expressions.identity(f.name)
-      case "year"     => Expressions.years(f.source)
-      case "month"    => Expressions.months(f.source)
-      case "day"      => Expressions.days(f.source)
-      case "hour"     => Expressions.hours(f.source)
-      case "bucket"   => Expressions.bucket(f.param, f.source)
-      case "truncate" => Expressions.apply("truncate",
-        Expressions.column(f.source), Expressions.literal(f.param))
-      case other => throw new IllegalStateException(s"unknown transform $other")
-    }
-  }.toArray
+  override def partitioning(): Array[Transform] =
+    partSpec.map(graft.table.PartitionTransform.toV2).toArray
 
   override def properties(): util.Map[String, String] =
     (snap.properties ++

@@ -148,6 +148,26 @@ object PartitionTransform {
       else acc.withColumn(f.name, columnFor(f, schema(f.source).dataType, zoneId))
     }
 
+  /** A spec field as Spark's V2 connector `Transform` (what
+    * `Table.partitioning()` and SPJ `KeyGroupedPartitioning` report).
+    * Param-first argument order for bucket/truncate — the Iceberg
+    * `system.bucket(n, col)` convention. */
+  def toV2(f: PartField)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    f.transform match {
+      case Identity   => Expressions.identity(f.name)
+      case "year"     => Expressions.years(f.source)
+      case "month"    => Expressions.months(f.source)
+      case "day"      => Expressions.days(f.source)
+      case "hour"     => Expressions.hours(f.source)
+      case "bucket"   => Expressions.bucket(f.param, f.source)
+      case "truncate" => Expressions.apply("truncate",
+        Expressions.literal(f.param), Expressions.column(f.source))
+      case other => throw new IllegalStateException(s"unknown transform $other")
+    }
+  }
+
   /** Per-row evaluator over an InternalRow layout (the V2 row-level
     * writer): `ordinal`/`dt` locate the SOURCE column. */
   def rowEval(f: PartField, ordinal: Int, dt: DataType,

@@ -1546,8 +1546,28 @@ class TxTable private (
       s"partition column '$p' is not in the table schema"))
     val newFiles = writeFiles(toDF.select(schema.map(f => col(f.name)): _*),
       newPartitionColumns)
+    // explicit empty spec: the new layout is identity-partitioned
     commit(Some(s.version), "REPARTITION", schema, newPartitionColumns, newFiles,
-      droppedColumns = Nil, equalityDeletes = Nil)
+      droppedColumns = Nil, equalityDeletes = Nil, partitionSpec = Nil)
+  }
+
+  /** Partition evolution onto a HIDDEN-partitioning spec (`day(ts)`,
+    * `bucket(n, id)`, …): one atomic rewrite of the whole table into the
+    * new derived layout. Unlike Iceberg's lazy spec evolution (old files
+    * keep the old spec), the rewrite normalizes every file — simpler
+    * reader model, one commit, and old snapshots still read their own
+    * layout through time travel. */
+  def evolvePartitionSpec(newSpec: Seq[PartField]): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    PartitionTransform.validate(newSpec, schema)
+    val parts = newSpec.map(_.name)
+    val derived = PartitionTransform.derive(
+      toDF.select(schema.map(f => col(f.name)): _*), newSpec, schema,
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val newFiles = writeFiles(derived, parts)
+    commit(Some(s.version), "REPARTITION", schema, parts, newFiles,
+      droppedColumns = Nil, equalityDeletes = Nil, partitionSpec = newSpec)
   }
 
   /** Morton/Z value over `clusterBy`: min-max normalize each column to a

@@ -117,6 +117,12 @@ class SnapshotFileIndex(
 
   def partitionColumnNames: Seq[String] = partitionColumns
 
+  /** The effective partition spec (identity synthesized when the table
+    * predates hidden partitioning). */
+  def partitionSpecFields: Seq[_root_.graft.table.PartField] =
+    if (partSpec.nonEmpty) partSpec
+    else partitionColumns.map(c => _root_.graft.table.PartField(c, "identity", c))
+
   private val partValsByPath: Map[Path, Map[String, String]] =
     statuses.map { case (p, _, vals) => p -> vals }.toMap
 
@@ -572,21 +578,26 @@ object ScanBridge {
           .map(names => names.map(builtSchema.fieldIndex).toArray)
         // Storage-partitioned join eligibility (opt-in via Spark's own
         // v2-bucketing conf): the scan reports KeyGroupedPartitioning
-        // over the identity partition transforms and plans ONE input
-        // split per partition value, so a join of two graft tables
-        // co-partitioned on the join keys needs NO shuffle on either
-        // side — at 100 TB the single largest cost a co-located layout
-        // can delete. Requires the partition columns in the scan output
-        // (the planner must resolve the transforms against it).
-        val spjCols: Option[Seq[String]] = {
-          val cols = index.partitionColumnNames
+        // over the partition transforms and plans ONE input split per
+        // partition value, so a join of two graft tables co-partitioned
+        // on the join keys needs NO shuffle on either side — at 100 TB
+        // the single largest cost a co-located layout can delete.
+        // Identity fields need the column itself in the scan output;
+        // a derived (hidden) field needs its SOURCE column — the
+        // transform resolves as a catalog FUNCTION over it
+        // (GraftFunctions), which is how bucket(16, id) joins elide
+        // shuffles without `id_bucket` ever appearing in a schema.
+        val spjSpec: Option[Seq[_root_.graft.table.PartField]] = {
+          val spec = index.partitionSpecFields
           val out = perm match {
             case Some(p) => p.map(builtSchema(_).name).toSet
             case None    => builtSchema.fieldNames.toSet
           }
-          if (cols.nonEmpty &&
+          if (spec.nonEmpty &&
               index.session.sessionState.conf.v2BucketingEnabled &&
-              cols.forall(out.contains)) Some(cols)
+              spec.forall(f =>
+                out.contains(if (f.isIdentity) f.name else f.source)))
+            Some(spec)
           else None
         }
         // SupportsReportStatistics must survive the wrap: FileScan
@@ -603,13 +614,13 @@ object ScanBridge {
           }
           override def outputPartitioning()
               : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-            spjCols match {
-              case Some(cols) =>
+            spjSpec match {
+              case Some(spec) =>
                 new org.apache.spark.sql.connector.read.partitioning
                   .KeyGroupedPartitioning(
-                    cols.map(c => org.apache.spark.sql.connector.expressions
-                      .Expressions.identity(c))
-                      .toArray[org.apache.spark.sql.connector.expressions.Expression],
+                    spec.map(f => _root_.graft.table.PartitionTransform.toV2(f)
+                      : org.apache.spark.sql.connector.expressions.Expression)
+                      .toArray,
                     math.max(1, index.distinctPartitionKeys))
               case None =>
                 new org.apache.spark.sql.connector.read.partitioning
@@ -660,7 +671,7 @@ object ScanBridge {
                       builtSchema, p)
                 }
             }
-            if (spjCols.isEmpty) base
+            if (spjSpec.isEmpty) base
             else new Batch {
               // one split per partition value, each tagged with its
               // typed key (HasPartitionKey) — Spark groups same-key

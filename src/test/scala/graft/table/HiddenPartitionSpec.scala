@@ -196,6 +196,71 @@ class HiddenPartitionSpec extends SparkSpec {
     }
   }
 
+  test("partition evolution: identity -> hidden spec -> identity round trips") {
+    val root = new Path(freshDir("hp_evolve"), "t")
+    val full = StructType(schema.fields :+ StructField("d", StringType))
+    val t = TxTable.create(spark, root, "hp.evolve", full, Seq("d"))
+    t.append(rows(0 until 8, "2026-05-01").withColumn("d", lit("x"))
+      .union(rows(8 until 16, "2026-05-02").withColumn("d", lit("y"))))
+    val v1 = t.currentVersion
+    assert(t.snapshot.files.forall(_.partitionValues.keySet == Set("d")))
+    // evolve onto a hidden day(ts) spec: one atomic rewrite
+    t.evolvePartitionSpec(Seq(PartField("ts_day", "day", "ts")))
+    assert(t.partitionSpec.map(_.transform) === Seq("day"))
+    assert(t.snapshot.files.map(_.partitionValues("ts_day")).toSet
+      === Set("2026-05-01", "2026-05-02"))
+    assert(t.toDF.count() === 16)
+    assert(t.toDF.columns.toSeq === Seq("id", "ts", "v", "d"))
+    // old snapshot still reads its own identity layout (time travel)
+    assert(t.asOf(v1).count() === 16)
+    // and back to identity: the spec clears
+    t.repartitionTable(Seq("d"))
+    assert(t.partitionSpec.map(_.transform) === Seq("identity"))
+    assert(t.snapshot.files.forall(_.partitionValues.keySet == Set("d")))
+    assert(t.toDF.count() === 16)
+  }
+
+  test("storage-partitioned join over bucket transforms: zero shuffles") {
+    withCatalog("spj") { _ =>
+      val prevConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bj")
+        spark.sql("""CREATE TABLE graft.bj.a (id BIGINT, v INT)
+            PARTITIONED BY (bucket(4, id))""")
+        spark.sql("""CREATE TABLE graft.bj.b (id BIGINT, w INT)
+            PARTITIONED BY (bucket(4, id))""")
+        spark.sql("""INSERT INTO graft.bj.a
+            SELECT id, CAST(id AS INT) FROM range(1000)""")
+        spark.sql("""INSERT INTO graft.bj.b
+            SELECT id, CAST(id * 2 AS INT) FROM range(500)""")
+        val q = spark.sql("""SELECT sum(a.v + b.w) AS s, count(*) AS n
+            FROM graft.bj.a a JOIN graft.bj.b b ON a.id = b.id""")
+        val row = q.collect().head
+        // sum over id<500 of (id + 2*id) = 3 * 499*500/2
+        assert(row.getLong(1) === 500L)
+        assert(row.getLong(0) === 3L * 499 * 500 / 2)
+        // both sides report KeyGroupedPartitioning over bucket(4, id) —
+        // resolved via the catalog's bucket FUNCTION — so the join
+        // needs no exchange on either side
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"expected a shuffle-free bucket-transform join:\n$plan")
+      } finally prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("truncate transform: string prefix partitioning with equality pruning") {
     withCatalog("trunc") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t")
