@@ -39,7 +39,7 @@ import scala.jdk.CollectionConverters._
  * a captured path would silently pin the first one.
  */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ViewCatalog {
 
   private var catalogName: String = "graft"
 
@@ -211,6 +211,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     cat.createNamespace(nns)
     fs.rename(cat.tableRoot(ons, otbl), cat.tableRoot(nns, ntbl))
   }
+
+  // ---- views (persistent SQL views — the Athena CREATE VIEW surface) --
+
+  private def warehousePath: Path = {
+    val key = s"spark.sql.catalog.$catalogName.warehouse"
+    new Path(spark.conf.getOption(key).getOrElse(
+      throw new IllegalStateException(s"$key is not set")))
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    if (namespace.length != 1) Array.empty
+    else GraftViews.list(spark, warehousePath, namespace.head).toArray
+
+  override def loadView(ident: Identifier): View =
+    GraftViews.load(spark, warehousePath, ident)
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(spark, warehousePath, ident)
+
+  override def createView(info: ViewInfo): View = {
+    inner.createNamespace(ns1(info.ident.namespace()))
+    GraftViews.create(spark, warehousePath, info, replace = false)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (!orCreate && !viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident)
+    inner.createNamespace(ns1(info.ident.namespace()))
+    GraftViews.create(spark, warehousePath, info, replace = true)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val sets = changes.collect {
+      case s: ViewChange.SetProperty => s.property() -> s.value() }.toMap
+    val unsets = changes.collect {
+      case u: ViewChange.RemoveProperty => u.property() }
+    GraftViews.setProperties(spark, warehousePath, ident, sets, unsets)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(spark, warehousePath, ident)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    GraftViews.rename(spark, warehousePath, oldIdent, newIdent)
 
   // ---- functions (the Iceberg `system.bucket`-style transform fns) ----
 

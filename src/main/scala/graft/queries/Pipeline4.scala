@@ -470,6 +470,36 @@ object Pipeline4 {
       FROM upd GROUP BY region ORDER BY region""")),
 
     // ------------------------------------------------------------------
+    // Persistent SQL views (the Athena CREATE VIEW surface): view
+    // definitions are stored SQL text substituted PLAN-level at read —
+    // never materialized — so a view over a view reflects current table
+    // state. The oracle replays the nested view algebra from the seed.
+    Q("table_sql_views", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("views_seed", "parquet") {
+        SampleData.transactions(s, 250, seed = 99L)
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("views")))
+      val t = cat.createTable("analytics", "txns_vw",
+        Schemas.transactions, Seq("date"))
+      t.append(s.read.parquet(seedDir))
+      cat.sql("""CREATE VIEW analytics.risky AS
+        SELECT region, status, amount FROM analytics.txns_vw
+        WHERE risk_score = 'HIGH'""")
+      cat.sql("""CREATE VIEW analytics.risk_summary AS
+        SELECT region, count(*) AS n,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM analytics.risky GROUP BY region""")
+      cat.sql("SELECT * FROM analytics.risk_summary ORDER BY region")
+    }, oracle = Some(s"""
+      WITH risky AS (
+        SELECT region, status, amount
+        FROM read_parquet('$root/views_seed/*.parquet')
+        WHERE risk_score = 'HIGH')
+      SELECT region, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM risky GROUP BY region ORDER BY region""")),
+
+    // ------------------------------------------------------------------
     // Okapi BM25 retrieval (Robertson TREC-3, Lucene-shape idf) over
     // the documents table: the "search the lake for these prompts"
     // pipeline op. Scores total as micro-unit INTEGERS (per-term

@@ -87,6 +87,12 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+CONSTRAINT\s+([`\w]+)\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*ANALYZE\s+TABLE\s+([`\w.]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([^;]+?)))?\s*;?\s*""".r
+  private val CreateViewRe =
+    """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s+AS\s+(.*?)\s*;?\s*""".r
+  private val DropViewRe =
+    """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
+  private val ShowViewsRe =
+    """(?is)\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([`\w]+))?\s*;?\s*""".r
 
   /** ONE catalog name per warehouse (`graftsql_<md5(path)>`): the
     * plugin's conf entries for a given name are written once with fixed
@@ -128,7 +134,55 @@ object GraftSql {
   }
 
   private def nativeSql(cat: TableCatalog, text: String): DataFrame =
-    withCurrentCatalog(cat)(cat.spark.sql(text))
+    withCurrentCatalog(cat) {
+      val spark = cat.spark
+      // stored-view substitution: splice each view's PARSED definition
+      // under its reference (plan-level, never text rewriting) — the
+      // Athena/Hive view model, resolved lazily so views always see
+      // current table state. No view references → plain delegation.
+      val bridge = org.apache.spark.sql.graft.ColumnBridge
+      val plan =
+        try bridge.parsePlan(spark, text)
+        catch { case _: Exception => null }   // non-plan statements (SET …)
+      if (plan == null) spark.sql(text)
+      else {
+        val sub = substituteViews(cat, plan, depth = 0)
+        if (sub eq plan) spark.sql(text) else bridge.ofRows(spark, sub)
+      }
+    }
+
+  /** Replace references to stored views (`ns.v`, or catalog-qualified
+    * with THIS catalog's name) with their parsed definitions,
+    * recursively — nested views resolve through the same path. Depth-
+    * capped against definition cycles. */
+  private def substituteViews(cat: TableCatalog,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      depth: Int): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    import org.apache.spark.sql.connector.catalog.Identifier
+    require(depth < 16, "view nesting deeper than 16 (definition cycle?)")
+    val spark = cat.spark
+    val myCatalog = catalogNameFor(cat)
+    plan.transformUpWithSubqueries {
+      case r: UnresolvedRelation =>
+        val target: Option[(String, String)] = r.multipartIdentifier match {
+          case Seq(ns, v)                       => Some((ns, v))
+          case Seq(c, ns, v) if c == myCatalog  => Some((ns, v))
+          case _                                => None
+        }
+        target.flatMap { case (ns, v) =>
+          val ident = Identifier.of(Array(ns), v)
+          if (!graft.catalog.GraftViews.exists(spark, cat.warehouse, ident)) None
+          else {
+            val view = graft.catalog.GraftViews.load(spark, cat.warehouse, ident)
+            Some(SubqueryAlias(v, substituteViews(cat,
+              org.apache.spark.sql.graft.ColumnBridge
+                .parsePlan(spark, view.query), depth + 1)))
+          }
+        }.getOrElse(r)
+    }
+  }
 
   /** Route one SQL statement: DDL against the catalog, everything else
     * to spark.sql with this catalog CURRENT (so `ns.tbl` references
@@ -197,6 +251,40 @@ object GraftSql {
           throw new IllegalArgumentException(s"table $ns.$tbl does not exist")
         cat.dropTable(ns, tbl)
         Seq(s"DROPPED $ns.$tbl").toDF("result")
+      // persistent views (the Athena CREATE VIEW surface): stored SQL
+      // text + definition-time schema, substituted plan-level on read
+      case CreateViewRe(orReplace, ifNotExists, rawName, query) =>
+        val (ns, v) = splitName(rawName)
+        val ident = org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array(ns), v)
+        if (graft.catalog.GraftViews.exists(spark, cat.warehouse, ident) &&
+            orReplace == null) {
+          if (ifNotExists != null) Seq(s"EXISTS $ns.$v").toDF("result")
+          else throw new IllegalArgumentException(s"view $ns.$v already exists")
+        } else {
+          // analyzing the query now (a) validates it and (b) captures
+          // the definition-time schema; nested views substitute inside
+          val schema = nativeSql(cat, query).schema
+          cat.createNamespace(ns)
+          graft.catalog.GraftViews.createStored(spark, cat.warehouse, ident,
+            query, schema, replace = true)
+          Seq(s"CREATED VIEW $ns.$v").toDF("result")
+        }
+      case DropViewRe(ifExists, rawName) =>
+        val (ns, v) = splitName(rawName)
+        val existed = graft.catalog.GraftViews.drop(spark, cat.warehouse,
+          org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), v))
+        if (!existed && ifExists == null)
+          throw new IllegalArgumentException(s"view $ns.$v does not exist")
+        Seq(s"DROPPED VIEW $ns.$v").toDF("result")
+      case ShowViewsRe(nsRaw) =>
+        val names = Option(nsRaw).map(cleanIdent) match {
+          case Some(n) => graft.catalog.GraftViews.list(spark, cat.warehouse, n)
+          case None => cat.listNamespaces()
+            .flatMap(n => graft.catalog.GraftViews.list(spark, cat.warehouse, n))
+        }
+        names.map(i => (i.namespace()(0), i.name()))
+          .toDF("namespace", "viewName")
       case UpdateRe(rawName, setAndWhere) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)

@@ -68,7 +68,9 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
   def listTables(ns: String): Seq[String] = {
     val p = new Path(warehouse, ns)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    // underscore-prefixed dirs are catalog internals (_views), not tables
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("_")).toSeq.sorted
   }
 
   // ---- SQL surface ----------------------------------------------------

@@ -687,4 +687,52 @@ class CatalogV2Spec extends SparkSpec {
         === Seq(("v_pos", "v > 0")))
     }
   }
+
+  test("persistent views: CREATE/SELECT/nested/REPLACE/SHOW/DROP via GraftSql") {
+    val wh = freshDir("v2cat_views")
+    val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+    cat.sql("CREATE TABLE vw.t (id STRING, region STRING, v INT)")
+    cat.sql("""INSERT INTO vw.t VALUES
+      ('a', 'EU', 1), ('b', 'EU', 2), ('c', 'US', 3)""")
+    cat.sql("""CREATE VIEW vw.eu_total AS
+      SELECT region, sum(v) AS total FROM vw.t
+      WHERE region = 'EU' GROUP BY region""")
+    val r1 = cat.sql("SELECT * FROM vw.eu_total").collect()
+    assert(r1.map(r => (r.getString(0), r.getLong(1))).toSeq === Seq(("EU", 3L)))
+    // a view is SQL text, not a snapshot: new rows show up on re-read
+    cat.sql("INSERT INTO vw.t VALUES ('d', 'EU', 10)")
+    assert(cat.sql("SELECT total FROM vw.eu_total").first().getLong(0) === 13L)
+    // views on views: nested substitution
+    cat.sql("""CREATE VIEW vw.eu_doubled AS
+      SELECT region, total * 2 AS dbl FROM vw.eu_total""")
+    assert(cat.sql("SELECT dbl FROM vw.eu_doubled").first().getLong(0) === 26L)
+    // the _views store never shows up as a table
+    assert(cat.listTables("vw") === Seq("t"))
+    assert(cat.sql("SHOW VIEWS IN vw").collect()
+      .map(_.getString(1)).toSeq === Seq("eu_doubled", "eu_total"))
+    cat.sql("""CREATE OR REPLACE VIEW vw.eu_total AS
+      SELECT region, count(*) AS total FROM vw.t GROUP BY region""")
+    assert(cat.sql("SELECT * FROM vw.eu_total").count() === 2)
+    // the V2 ViewCatalog interface reads the same storage (the
+    // connector surface engines with view-DDL extensions resolve)
+    spark.conf.set("spark.sql.catalog.graftvtest", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftvtest.warehouse", wh)
+    val vc = new graft.catalog.GraftCatalog
+    vc.initialize("graftvtest",
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("vw"), "eu_total")
+    assert(vc.viewExists(ident))
+    assert(vc.loadView(ident).query.contains("count(*)"))
+    assert(vc.listViews("vw").map(_.name()).toSeq === Seq("eu_doubled", "eu_total"))
+    // duplicate create refused; IF NOT EXISTS tolerated
+    intercept[IllegalArgumentException] {
+      cat.sql("CREATE VIEW vw.eu_total AS SELECT 1 AS one") }
+    assert(cat.sql("CREATE VIEW IF NOT EXISTS vw.eu_total AS SELECT 1 AS one")
+      .first().getString(0).startsWith("EXISTS"))
+    cat.sql("DROP VIEW vw.eu_doubled")
+    cat.sql("DROP VIEW vw.eu_total")
+    assert(cat.sql("SHOW VIEWS IN vw").count() === 0)
+    intercept[Exception] { cat.sql("SELECT * FROM vw.eu_total").collect() }
+  }
 }
