@@ -26,11 +26,13 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s*\((.*)""".r
   private val CtasRe =
     ("""(?is)\s*CREATE\s+TABLE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s*""" +
-     """(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?AS\s+(SELECT\b.*?|WITH\b.*?)\s*;?\s*""").r
+     """(?:PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)\s*)?AS\s+(SELECT\b.*?|WITH\b.*?)\s*;?\s*""").r
   private val DropRe =
     """(?is)\s*DROP\s+TABLE\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
+  // one nesting level inside the item list — transform calls
+  // (`bucket(8, id)`) carry their own parentheses
   private val PartitionedRe =
-    """(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""".r.unanchored
+    """(?is)PARTITIONED\s+BY\s*\(((?:[^()]|\([^()]*\))*)\)""".r.unanchored
   private val UpdateRe =
     """(?is)\s*UPDATE\s+([`\w.]+)\s+SET\s+(.*?)\s*;?\s*""".r
   private val DeleteFromRe =
@@ -87,6 +89,8 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+CONSTRAINT\s+([`\w]+)\s*;?\s*""".r
   private val AnalyzeRe =
     """(?is)\s*ANALYZE\s+TABLE\s+([`\w.]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([^;]+?)))?\s*;?\s*""".r
+  private val SetPartSpecRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+SET\s+PARTITION\s+SPEC\s*\(((?:[^()]|\([^()]*\))*)\)\s*;?\s*""".r
   private val CreateViewRe =
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s+AS\s+(.*?)\s*;?\s*""".r
   private val DropViewRe =
@@ -219,11 +223,14 @@ object GraftSql {
           Seq(s"EXISTS $ns.$tbl").toDF("result")
         else {
           val df = nativeSql(cat, query)
-          val parts = Option(partList)
-            .map(_.split(",").map(cleanIdent).toSeq).getOrElse(Nil)
-          parts.foreach(p => require(df.columns.contains(p),
-            s"PARTITIONED BY column '$p' is not in the query output"))
-          val t = cat.createTable(ns, tbl, df.schema, parts)
+          val spec = Option(partList).map(parsePartSpec).getOrElse(Nil)
+          spec.filter(_.isIdentity).foreach(f =>
+            require(df.columns.contains(f.name),
+              s"PARTITIONED BY column '${f.name}' is not in the query output"))
+          val t =
+            if (spec.forall(_.isIdentity))
+              cat.createTable(ns, tbl, df.schema, spec.map(_.name))
+            else cat.createTable(ns, tbl, df.schema, Nil, partitionSpec = spec)
           t.append(df)
           Seq(s"CREATED $ns.$tbl AS SELECT").toDF("result")
         }
@@ -231,10 +238,11 @@ object GraftSql {
         val (colsDdl, tail) = splitAtMatchingParen(rest)
         val schema = StructType.fromDDL(colsDdl)
         requireKnownTail(tail)
-        val parts = PartitionedRe.findFirstMatchIn(tail)
-          .map(_.group(1).split(",").map(cleanIdent).toSeq).getOrElse(Nil)
-        parts.foreach(p => require(schema.fieldNames.contains(p),
-          s"PARTITIONED BY column '$p' is not in the column list"))
+        val spec = PartitionedRe.findFirstMatchIn(tail)
+          .map(m => parsePartSpec(m.group(1))).getOrElse(Nil)
+        spec.filter(_.isIdentity).foreach(f =>
+          require(schema.fieldNames.contains(f.name),
+            s"PARTITIONED BY column '${f.name}' is not in the column list"))
         val (ns, tbl) = splitName(rawName)
         if (ifNotExists != null && cat.tableExists(ns, tbl))
           Seq(s"EXISTS $ns.$tbl").toDF("result")
@@ -242,7 +250,9 @@ object GraftSql {
           val props = """(?is)TBLPROPERTIES\s*\(([^)]*)\)""".r
             .findFirstMatchIn(tail).map(m => parseProps(m.group(1)))
             .getOrElse(Map.empty[String, String])
-          cat.createTable(ns, tbl, schema, parts, props)
+          if (spec.forall(_.isIdentity))
+            cat.createTable(ns, tbl, schema, spec.map(_.name), props)
+          else cat.createTable(ns, tbl, schema, Nil, props, partitionSpec = spec)
           Seq(s"CREATED $ns.$tbl").toDF("result")
         }
       case DropRe(ifExists, rawName) =>
@@ -285,6 +295,16 @@ object GraftSql {
         }
         names.map(i => (i.namespace()(0), i.name()))
           .toDF("namespace", "viewName")
+      // partition evolution, identity or hidden spec:
+      //   ALTER TABLE t SET PARTITION SPEC (days(ts), bucket(8, id))
+      case SetPartSpecRe(rawName, list) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val spec = parsePartSpec(list)
+        val v =
+          if (spec.forall(_.isIdentity)) t.repartitionTable(spec.map(_.name))
+          else t.evolvePartitionSpec(spec)
+        Seq(s"REPARTITIONED $ns.$tbl v$v").toDF("result")
       case UpdateRe(rawName, setAndWhere) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
@@ -656,7 +676,7 @@ object GraftSql {
     * AS SELECT, CLUSTERED BY, …) is rejected rather than silently
     * dropped — a swallowed clause would change table semantics. */
   private val TailClauseRe =
-    """(?is)\s*(?:PARTITIONED\s+BY\s*\([^)]*\)|LOCATION\s+'[^']*'|TBLPROPERTIES\s*\([^)]*\)|;)\s*""".r
+    """(?is)\s*(?:PARTITIONED\s+BY\s*\((?:[^()]|\([^()]*\))*\)|LOCATION\s+'[^']*'|TBLPROPERTIES\s*\([^)]*\)|;)\s*""".r
   private def requireKnownTail(tail: String): Unit = {
     val residue = TailClauseRe.replaceAllIn(tail, " ").trim
     require(residue.isEmpty,
@@ -664,6 +684,21 @@ object GraftSql {
   }
 
   private def cleanIdent(s: String): String = s.trim.stripPrefix("`").stripSuffix("`")
+
+  private val TransformCallRe = """(?is)^\s*(\w+)\s*\((.*)\)\s*$""".r
+
+  /** Parse a PARTITIONED BY item list — bare columns (identity) and
+    * transform calls (`days(ts)`, `bucket(8, id)`) — into a partition
+    * spec. */
+  private def parsePartSpec(list: String): Seq[PartField] =
+    splitTopLevel(list, ',').map(_.trim).filter(_.nonEmpty).map {
+      case TransformCallRe(fn, args) =>
+        PartitionTransform.fromCall(fn,
+          args.split(",").map(cleanIdent).toSeq)
+      case bare =>
+        val c = cleanIdent(bare)
+        PartField(c, PartitionTransform.Identity, c)
+    }
 
   /** WHERE-less DML touches every row (standard SQL). */
   private def predicateOf(where: String): org.apache.spark.sql.Column =

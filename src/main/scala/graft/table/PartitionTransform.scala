@@ -148,6 +148,38 @@ object PartitionTransform {
       else acc.withColumn(f.name, columnFor(f, schema(f.source).dataType, zoneId))
     }
 
+  /** Parse one partition-spec item from a SQL call shape —
+    * `days(ts)` / `day(ts)` / `bucket(16, id)` / `truncate(4, code)` /
+    * `identity(c)` — into a [[PartField]] (derived fields named
+    * `<source>_<transform>`, the Iceberg naming). Shared by the V2
+    * catalog's Transform mapping and the text-DDL parser so both
+    * surfaces mint identical specs. */
+  def fromCall(fn: String, args: Seq[String]): PartField = {
+    def one: String = {
+      require(args.length == 1, s"$fn(col) expects 1 argument, got $args")
+      args.head
+    }
+    def paramAndCol: (Int, String) = {
+      require(args.length == 2 && args.head.forall(_.isDigit),
+        s"$fn(n, col) expects (int, column), got $args")
+      (args.head.toInt, args(1))
+    }
+    fn.toLowerCase match {
+      case "identity"         => PartField(one, Identity, one)
+      case "year" | "years"   => PartField(s"${one}_year", "year", one)
+      case "month" | "months" => PartField(s"${one}_month", "month", one)
+      case "day" | "days"     => PartField(s"${one}_day", "day", one)
+      case "hour" | "hours"   => PartField(s"${one}_hour", "hour", one)
+      case "bucket" =>
+        val (n, c) = paramAndCol; PartField(s"${c}_bucket", "bucket", c, n)
+      case "truncate" =>
+        val (n, c) = paramAndCol; PartField(s"${c}_trunc", "truncate", c, n)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other' (supported: identity, " +
+          "year(s), month(s), day(s), hour(s), bucket(n, col), truncate(n, col))")
+    }
+  }
+
   /** A spec field as Spark's V2 connector `Transform` (what
     * `Table.partitioning()` and SPJ `KeyGroupedPartitioning` report).
     * Param-first argument order for bucket/truncate — the Iceberg

@@ -261,6 +261,33 @@ class HiddenPartitionSpec extends SparkSpec {
     }
   }
 
+  test("text-DDL surface: CREATE TABLE / SET PARTITION SPEC with transforms") {
+    val cat = new TableCatalog(spark,
+      new Path(freshDir("hp_textddl")))
+    cat.sql("""CREATE TABLE lake.ev (
+        id BIGINT, ts TIMESTAMP, v STRING
+      ) PARTITIONED BY (day(ts), bucket(4, id))""")
+    val t = cat.getTable("lake", "ev")
+    assert(t.partitionSpec.map(f => (f.name, f.transform, f.param))
+      === Seq(("ts_day", "day", 0), ("id_bucket", "bucket", 4)))
+    t.append(rows(0 until 16, "2026-06-01"))
+    assert(cat.sql("SELECT count(*) AS n FROM lake.ev").head().getLong(0) === 16)
+    // SHOW CREATE TABLE renders re-runnable transform DDL
+    val ddl = cat.sql("SHOW CREATE TABLE lake.ev").head().getString(0)
+    assert(ddl.contains("PARTITIONED BY (days(ts), bucket(4, id))"), ddl)
+    // evolve the spec by SQL text
+    cat.sql("ALTER TABLE lake.ev SET PARTITION SPEC (hours(ts))")
+    assert(cat.getTable("lake", "ev").partitionSpec.map(_.transform)
+      === Seq("hour"))
+    assert(cat.sql("SELECT count(*) AS n FROM lake.ev").head().getLong(0) === 16)
+    // CTAS with a transform spec
+    cat.sql("""CREATE TABLE lake.ev2 PARTITIONED BY (bucket(2, id)) AS
+      SELECT * FROM lake.ev WHERE id < 8""")
+    val t2 = cat.getTable("lake", "ev2")
+    assert(t2.partitionSpec.map(_.transform) === Seq("bucket"))
+    assert(t2.toDF.count() === 8)
+  }
+
   test("truncate transform: string prefix partitioning with equality pruning") {
     withCatalog("trunc") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.t")
