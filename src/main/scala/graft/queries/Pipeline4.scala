@@ -470,6 +470,55 @@ object Pipeline4 {
       FROM upd GROUP BY region ORDER BY region""")),
 
     // ------------------------------------------------------------------
+    // Schema evolution on write (Delta mergeSchema / Iceberg ingest
+    // evolution): a producer starts emitting a new column; the table
+    // widens in one metadata commit, historical rows read NULL, and a
+    // CDC merge carrying the new column upserts normally. The oracle
+    // replays seed ∪ evolved-batch with NULL-padding, then the same
+    // merge algebra.
+    Q("table_schema_evolution", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("evo_seed", "parquet") {
+        SampleData.transactions(s, 200, seed = 101L)
+          .select(col("transaction_id"), col("date"), col("region"),
+            col("amount"), col("status"))
+      }
+      val evoDir = Pipeline.stagedInput("evo_batch", "parquet") {
+        SampleData.transactions(s, 200, seed = 102L)
+          .filter(col("risk_score") === "HIGH")
+          .select(col("transaction_id"), col("date"), col("region"),
+            col("amount"), col("status"),
+            upper(col("payment_method")).as("channel"))
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("evolve")))
+      val t = cat.createTable("analytics", "txns_evo",
+        s.read.parquet(seedDir).schema, Seq("date"))
+      t.append(s.read.parquet(seedDir))
+      t.append(s.read.parquet(evoDir), mergeSchema = true)
+      // NULL channel (pre-evolution rows) rendered as a sentinel so the
+      // ORDER BY agrees across engines (Spark sorts NULLS FIRST, DuckDB
+      // NULLS LAST)
+      t.toDF.withColumn("channel", coalesce(col("channel"), lit("NONE")))
+        .groupBy("region", "channel")
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy("region", "channel")
+    }, oracle = Some(s"""
+      WITH seed AS (
+        SELECT *, CAST(NULL AS VARCHAR) AS channel
+        FROM read_parquet('$root/evo_seed/*.parquet')),
+      evo AS (SELECT * FROM read_parquet('$root/evo_batch/*.parquet')),
+      fin AS (SELECT region, COALESCE(channel, 'NONE') AS channel, amount
+              FROM seed
+              UNION ALL
+              SELECT region, COALESCE(channel, 'NONE') AS channel, amount
+              FROM evo)
+      SELECT region, channel, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM fin GROUP BY region, channel
+      ORDER BY region, channel""")),
+
+    // ------------------------------------------------------------------
     // Persistent SQL views (the Athena CREATE VIEW surface): view
     // definitions are stored SQL text substituted PLAN-level at read —
     // never materialized — so a view over a view reflects current table

@@ -1079,6 +1079,40 @@ class TxTable private (
     }
   }
 
+  /** Schema evolution on write (the Delta `mergeSchema` / Iceberg
+    * ingest-evolution surface): widen the table schema by the frame's
+    * NEW columns — appended at the end, forced nullable (historical
+    * files have no values), frame-declared types — in one metadata
+    * commit. Existing columns are untouched (the write path's `align`
+    * casts them); re-using a dropped name stays refused (see
+    * [[addColumn]]). No new columns → no commit. */
+  private def evolveSchemaFor(df: DataFrame): Unit = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    val extra = df.schema.fields.filterNot(f =>
+      schema.fieldNames.contains(f.name) || f.name.startsWith("__"))
+    if (extra.isEmpty) return
+    extra.foreach { f =>
+      require(!s.droppedColumns.contains(f.name),
+        s"column ${f.name} was previously dropped and old files still carry " +
+          "its data; compact() or overwrite() first to make the name reusable")
+      require(!s.partitionColumns.contains(f.name),
+        s"column ${f.name} collides with a (derived) partition column")
+    }
+    val evolved = StructType(schema.fields ++ extra.map(_.copy(nullable = true)))
+    retryingCommit("ADD_COLUMNS") { expected =>
+      val cur = snapshotAt(expected)
+      commit(Some(expected), "ADD_COLUMNS", evolved, cur.partitionColumns,
+        cur.files)
+    }
+  }
+
+  /** Append with optional automatic schema evolution. */
+  def append(df: DataFrame, mergeSchema: Boolean): Long = {
+    if (mergeSchema) evolveSchemaFor(df)
+    append(df)
+  }
+
   /** Append rows (blind insert, no key matching). */
   def append(df: DataFrame): Long = {
     val s = snapshot
@@ -1165,7 +1199,13 @@ class TxTable private (
   def merge(batch: DataFrame, key: String, orderCol: String,
       keyStablePartitions: Boolean = true,
       txn: Option[(String, Long)] = None,
-      deleteCol: Option[String] = None): Long = {
+      deleteCol: Option[String] = None,
+      /** evolve the table schema by the batch's new columns first —
+        * the CDC-ingest schema-evolution contract (a producer adds a
+        * field; the table follows, old rows read NULL) */
+      mergeSchema: Boolean = false): Long = {
+    if (mergeSchema) evolveSchemaFor(
+      deleteCol.map(batch.drop).getOrElse(batch))
     val s = snapshot
     txn.foreach { case (appId, txnVersion) =>
       if (s.appTxns.get(appId).exists(_ >= txnVersion)) return s.version

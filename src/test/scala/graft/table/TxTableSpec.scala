@@ -1740,4 +1740,37 @@ class TxTableSpec extends SparkSpec {
     GraftSql.sql(cat, "ALTER TABLE ns.b DROP BRANCH audit")
     assert(cat.getTable("ns", "b").branches.isEmpty)
   }
+
+  test("schema evolution on write: mergeSchema widens, old rows read NULL") {
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("tx_evolve"), "t"),
+      "ns.evolve", org.apache.spark.sql.types.StructType.fromDDL(
+        "id STRING, v INT"), Nil)
+    t.append(Seq(("a", 1), ("b", 2)).toDF("id", "v"))
+    // plain append still DROPS unknown columns (strict by default)
+    t.append(Seq(("c", 3, "x")).toDF("id", "v", "extra"))
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v"))
+    // mergeSchema: new column appended nullable; old rows read NULL
+    t.append(Seq(("d", 4, "DE", 1.5)).toDF("id", "v", "cc", "score"),
+      mergeSchema = true)
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "cc", "score"))
+    assert(t.schema("cc").nullable && t.schema("score").nullable)
+    val byId = t.toDF.collect().map(r => r.getString(0) ->
+      (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(byId("a") === ((None, None)))
+    assert(byId("d") === ((Some("DE"), Some(1.5))))
+    // CDC merge evolves too: upsert carrying a new column
+    t.merge(Seq(("a", 10, "FR", 0.5, "m1")).toDF("id", "v", "cc", "score", "note"),
+      key = "id", orderCol = "v", mergeSchema = true)
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v", "cc", "score", "note"))
+    val a = t.toDF.filter($"id" === "a").head()
+    assert(a.getInt(1) === 10 && a.getString(2) === "FR" && a.getString(4) === "m1")
+    assert(t.toDF.count() === 4)
+    // evolution refuses a name colliding with a dropped column's data
+    t.dropColumn("note")
+    intercept[IllegalArgumentException] {
+      t.append(Seq(("e", 5, "note-data")).toDF("id", "v", "note"),
+        mergeSchema = true)
+    }
+  }
 }
