@@ -179,6 +179,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1, "nested RENAME COLUMN is not supported")
         t.renameColumn(ren.fieldNames()(0), ren.newName())
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1, "nested ALTER COLUMN is not supported")
+        t.widenColumn(upd.fieldNames()(0), upd.newDataType())
       case set: TableChange.SetProperty =>
         t.setProperties(Map(set.property() -> set.value()))
       case rm: TableChange.RemoveProperty =>

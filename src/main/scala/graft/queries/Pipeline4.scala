@@ -5,7 +5,7 @@ import graft.model.Schemas
 import graft.table.TableCatalog
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType}
 
 /**
  * Round-6 surface: the DataSource V2 catalog path — `spark.sql`
@@ -517,6 +517,85 @@ object Pipeline4 {
              CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM fin GROUP BY region, channel
       ORDER BY region, channel""")),
+
+    // ------------------------------------------------------------------
+    // Type widening on write (the Iceberg ALTER COLUMN TYPE / Delta
+    // type-widening surface): a producer's qty outgrows INT and its
+    // score precision doubles; mergeSchema promotes the stored types in
+    // one metadata commit and the pre-widening files read through the
+    // parquet reader's type promotion — no rewrite. score values are
+    // quarter-fractions (exact in float, double, and decimal) so sums
+    // are order-independent across engines.
+    Q("table_type_widening", fn = (s, dir) => {
+      val qtySmall = pmod(xxhash64(col("transaction_id")), lit(1000))
+      val seedDir = Pipeline.stagedInput("widen_seed", "parquet") {
+        SampleData.transactions(s, 200, seed = 104L)
+          .select(col("transaction_id"), col("region"),
+            qtySmall.cast(IntegerType).as("qty"),
+            (pmod(xxhash64(col("transaction_id")), lit(50)) + lit(0.25))
+              .cast(FloatType).as("score"))
+      }
+      val batchDir = Pipeline.stagedInput("widen_batch", "parquet") {
+        SampleData.transactions(s, 200, seed = 105L)
+          .select(col("transaction_id"), col("region"),
+            (qtySmall + lit(4000000000L)).as("qty"),
+            (pmod(xxhash64(col("transaction_id")), lit(50)) + lit(0.75))
+              .as("score"))
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("widen")))
+      val t = cat.createTable("analytics", "txns_widen",
+        s.read.parquet(seedDir).schema, Nil)
+      t.append(s.read.parquet(seedDir))
+      t.append(s.read.parquet(batchDir), mergeSchema = true)
+      t.toDF.groupBy("region")
+        .agg(count(lit(1)).as("n"),
+          sum(col("qty")).as("total_qty"),
+          sum(col("score")).as("total_score"))
+        .orderBy("region")
+    }, oracle = Some(s"""
+      WITH fin AS (
+        SELECT region, CAST(qty AS BIGINT) AS qty, CAST(score AS DOUBLE) AS score
+        FROM read_parquet('$root/widen_seed/*.parquet')
+        UNION ALL
+        SELECT region, qty, score FROM read_parquet('$root/widen_batch/*.parquet'))
+      SELECT region, count(*) AS n,
+             CAST(sum(qty) AS BIGINT) AS total_qty,
+             sum(score) AS total_score
+      FROM fin GROUP BY region ORDER BY region""")),
+
+    // ------------------------------------------------------------------
+    // Idempotent bulk file ingest (the Delta COPY INTO surface): wave1
+    // is copied twice (the replay is a tracked no-op), wave2 once —
+    // every source file lands in the table exactly once, which is the
+    // whole contract. The oracle reads each staged wave exactly once.
+    Q("table_copy_into", fn = (s, dir) => {
+      val w1 = Pipeline.stagedInput("copy_wave1", "parquet") {
+        SampleData.transactions(s, 150, seed = 106L)
+          .select(col("transaction_id"), col("region"), col("amount"))
+      }
+      val w2 = Pipeline.stagedInput("copy_wave2", "parquet") {
+        SampleData.transactions(s, 150, seed = 107L)
+          .select(col("transaction_id"), col("region"), col("amount"))
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("copyinto")))
+      val t = cat.createTable("analytics", "txns_copy",
+        s.read.parquet(w1).schema, Nil)
+      t.copyInto(w1)
+      t.copyInto(w1)   // replay: loads nothing
+      t.copyInto(w2)
+      t.toDF.groupBy("region")
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy("region")
+    }, oracle = Some(s"""
+      WITH fin AS (
+        SELECT region, amount FROM read_parquet('$root/copy_wave1/*.parquet')
+        UNION ALL
+        SELECT region, amount FROM read_parquet('$root/copy_wave2/*.parquet'))
+      SELECT region, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM fin GROUP BY region ORDER BY region""")),
 
     // ------------------------------------------------------------------
     // Persistent SQL views (the Athena CREATE VIEW surface): view

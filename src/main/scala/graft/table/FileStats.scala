@@ -139,6 +139,15 @@ object FileStats {
           BigDecimal(stored).compare(BigDecimal(b))
         case b: java.math.BigInteger =>
           new java.math.BigDecimal(stored).compareTo(new java.math.BigDecimal(b))
+        // decimal bounds compare exactly (a widened int→decimal column
+        // probes "long"-tagged stats from pre-widening files; routing
+        // through Double could false-skip above 2^53)
+        case d: java.math.BigDecimal =>
+          new java.math.BigDecimal(stored).compareTo(d)
+        case d: BigDecimal =>
+          BigDecimal(stored).compare(d)
+        case d: org.apache.spark.sql.types.Decimal =>
+          BigDecimal(stored).compare(d.toBigDecimal)
         case other =>
           // new BigDecimal(double) is the exact binary value, so no
           // double-rounding sneaks in on either side

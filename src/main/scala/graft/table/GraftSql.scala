@@ -91,6 +91,14 @@ object GraftSql {
     """(?is)\s*ANALYZE\s+TABLE\s+([`\w.]+)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+([^;]+?)))?\s*;?\s*""".r
   private val SetPartSpecRe =
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+SET\s+PARTITION\s+SPEC\s*\(((?:[^()]|\([^()]*\))*)\)\s*;?\s*""".r
+  private val WriteOrderedRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+WRITE\s+ORDERED\s+BY\s*\(([^)]+)\)\s*;?\s*""".r
+  private val WriteUnorderedRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
+  private val CopyIntoRe =
+    """(?is)\s*COPY\s+INTO\s+([`\w.]+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""".r
+  private val AddFilesRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+FILES\s+'([^']+)'\s*;?\s*""".r
   private val CreateViewRe =
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s+AS\s+(.*?)\s*;?\s*""".r
   private val DropViewRe =
@@ -427,6 +435,37 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val v = cat.getTable(ns, tbl).restore(version.toLong)
         Seq(s"RESTORED $ns.$tbl to v$version as v$v").toDF("result")
+      // write sort order (the Iceberg WRITE ORDERED BY surface):
+      // declared layout metadata — writes cluster by it (see
+      // TxTable.writeFiles), readers never depend on it
+      case WriteOrderedRe(rawName, colList) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val cols = colList.split(",").map(cleanIdent).toSeq.filter(_.nonEmpty)
+        val unknown = cols.filterNot(t.schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"WRITE ORDERED BY names unknown column(s): ${unknown.mkString(", ")}")
+        val v = t.setProperties(Map(
+          graft.table.TxTable.SortOrderProperty -> cols.mkString(",")))
+        Seq(s"WRITE ORDER $ns.$tbl (${cols.mkString(", ")}) v$v").toDF("result")
+      case WriteUnorderedRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val v = cat.getTable(ns, tbl)
+          .unsetProperties(Seq(graft.table.TxTable.SortOrderProperty))
+        Seq(s"WRITE UNORDERED $ns.$tbl v$v").toDF("result")
+      // bulk file ingest: idempotent COPY INTO (Delta surface) and
+      // metadata-only ADD FILES (the Iceberg add_files procedure) —
+      // both precede the native fallthrough (Spark's parser rejects
+      // these shapes)
+      case CopyIntoRe(rawName, path, fmt) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val (v, n) = cat.getTable(ns, tbl).copyInto(path,
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
+        Seq(s"COPIED $n file(s) INTO $ns.$tbl v$v").toDF("result")
+      case AddFilesRe(rawName, path) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val (v, n) = cat.getTable(ns, tbl).addFiles(path)
+        Seq(s"ADDED $n file(s) TO $ns.$tbl v$v").toDF("result")
       // branch DDL (the Iceberg WAP surface) — must precede the native
       // fallthrough: Spark's parser rejects these ALTER shapes
       case CreateBranchRe(rawName, branch) if knownTable(cat, rawName) =>

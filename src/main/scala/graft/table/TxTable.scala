@@ -799,8 +799,26 @@ class TxTable private (
     * Files are invisible to readers until referenced by a committed
     * snapshot, so this move is not required to be atomic. */
   private def writeFiles(df: DataFrame, partitionColumns: Seq[String]): Seq[DataFile] = {
+    // Declared write sort order (the Iceberg WRITE ORDERED BY surface):
+    // range-distribute on (partition cols, order cols) and sort within
+    // tasks, so each file covers a narrow [min,max] interval on the
+    // order columns — the layout that makes min/max skipping selective
+    // on NON-partition predicates (a point lookup reads one file, not
+    // every file of the partition). Opt-in per table via property;
+    // costs one range-sampling pass per write, which is the standard
+    // clustered-write trade.
+    val sortCols = TxTable.sortOrderColumns(snapshot)
+      .filter(df.columns.contains)
+    val clustered =
+      if (sortCols.isEmpty) df
+      else {
+        val n = math.max(1, df.rdd.getNumPartitions)
+        val keys = (partitionColumns.filter(df.columns.contains) ++ sortCols)
+          .distinct.map(col)
+        df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+      }
     val staging = new Path(root, s"_staging/${UUID.randomUUID().toString}")
-    val writer = df.write.mode("overwrite")
+    val writer = clustered.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(staging.toString)
 
@@ -1082,16 +1100,26 @@ class TxTable private (
   /** Schema evolution on write (the Delta `mergeSchema` / Iceberg
     * ingest-evolution surface): widen the table schema by the frame's
     * NEW columns — appended at the end, forced nullable (historical
-    * files have no values), frame-declared types — in one metadata
-    * commit. Existing columns are untouched (the write path's `align`
-    * casts them); re-using a dropped name stays refused (see
-    * [[addColumn]]). No new columns → no commit. */
+    * files have no values), frame-declared types — and WIDEN existing
+    * columns whose incoming type is a lossless promotion
+    * ([[TxTable.widens]]: int→long, float→double, decimal growth …),
+    * all in one metadata commit. Old files read through the widened
+    * schema via the parquet reader's type promotion — no rewrite.
+    * Non-widening type differences keep the stored type (the write
+    * path's `align` casts them, Delta's mergeSchema contract);
+    * re-using a dropped name stays refused (see [[addColumn]]). No
+    * change → no commit. */
   private def evolveSchemaFor(df: DataFrame): Unit = {
     val s = snapshot
     val schema = schemaOf(s)
-    val extra = df.schema.fields.filterNot(f =>
-      schema.fieldNames.contains(f.name) || f.name.startsWith("__"))
-    if (extra.isEmpty) return
+    val incoming = df.schema.fields.filterNot(_.name.startsWith("__"))
+    val byName = incoming.map(f => f.name -> f).toMap
+    val widenedNames = schema.fields.flatMap(f => byName.get(f.name) match {
+      case Some(in) if TxTable.widens(f.dataType, in.dataType) =>
+        refuseWidenIfPartition(s, f.name); Some(f.name -> in.dataType)
+      case _ => None
+    }).toMap
+    val extra = incoming.filterNot(f => schema.fieldNames.contains(f.name))
     extra.foreach { f =>
       require(!s.droppedColumns.contains(f.name),
         s"column ${f.name} was previously dropped and old files still carry " +
@@ -1099,12 +1127,60 @@ class TxTable private (
       require(!s.partitionColumns.contains(f.name),
         s"column ${f.name} collides with a (derived) partition column")
     }
-    val evolved = StructType(schema.fields ++ extra.map(_.copy(nullable = true)))
-    retryingCommit("ADD_COLUMNS") { expected =>
+    if (extra.isEmpty && widenedNames.isEmpty) return
+    val widened = schema.fields.map(f =>
+      widenedNames.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
+    val evolved = StructType(widened ++ extra.map(_.copy(nullable = true)))
+    retryingCommit("EVOLVE_SCHEMA") { expected =>
       val cur = snapshotAt(expected)
-      commit(Some(expected), "ADD_COLUMNS", evolved, cur.partitionColumns,
+      commit(Some(expected), "EVOLVE_SCHEMA", evolved, cur.partitionColumns,
         cur.files)
     }
+    widenedNames.keys.foreach(invalidateBloomIndex)
+  }
+
+  /** A hidden-transform source or physical partition column cannot
+    * widen: partition-value rendering and bucket hashing are
+    * type-dependent, so a promotion would silently re-key the layout. */
+  private def refuseWidenIfPartition(s: Snapshot, name: String): Unit = {
+    require(!s.partitionColumns.contains(name),
+      s"cannot widen partition column $name (repartitionTable first)")
+    require(!s.partitionSpec.exists(f => !f.isIdentity && f.source == name),
+      s"cannot widen $name: a hidden partition field derives from it " +
+        "(repartitionTable first)")
+  }
+
+  /** A widened column's Bloom sidecar hashes values under the OLD type
+    * tag ([[graft.functions.expressions.BloomFilterAgg.hashValue]] is
+    * type-dispatched), so probes under the new type would false-skip —
+    * drop it; [[readWhereEquals]] reads index-less files
+    * conservatively, and the index can be rebuilt any time. */
+  private def invalidateBloomIndex(column: String): Unit = synchronized {
+    val p = bloomIndexPath(column)
+    if (fs.exists(p)) fs.delete(p, false)
+    bloomCache -= column
+  }
+
+  /** Explicit column-type evolution (the Iceberg `ALTER COLUMN … TYPE`
+    * surface): metadata-only promotion to a lossless wider type —
+    * existing files read through parquet type promotion, no rewrite.
+    * Narrowing or lossy changes are refused. */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    require(schema.fieldNames.contains(name), s"no column $name")
+    val from = schema(name).dataType
+    require(TxTable.widens(from, to),
+      s"cannot change column $name from ${from.sql} to ${to.sql}: not a " +
+        "lossless widening (allowed: integral up-rank, float→double, " +
+        "byte/short/int→double, decimal growth, integral→decimal)")
+    refuseWidenIfPartition(s, name)
+    val evolved = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    val v = commit(Some(s.version), "WIDEN_COLUMN", evolved,
+      s.partitionColumns, s.files)
+    invalidateBloomIndex(name)
+    v
   }
 
   /** Append with optional automatic schema evolution. */
@@ -1168,6 +1244,177 @@ class TxTable private (
       commit(Some(expected), "OVERWRITE", schemaOf(cur),
         cur.partitionColumns, kept ++ newFiles)
     }
+  }
+
+  // ---- bulk file ingest ------------------------------------------------
+
+  private def ingestManifestSet(rel: Option[String]): Set[String] = rel match {
+    case None => Set.empty
+    case Some(r) =>
+      val p = new Path(logDir, r)
+      if (!fs.exists(p)) Set.empty   // pointer copied onto a fresh table
+      else {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val in = fs.open(p)
+        val json = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+          bos.toString("UTF-8")
+        } finally in.close()
+        org.json4s.jackson.JsonMethods.parse(json).extract[Seq[String]].toSet
+      }
+  }
+
+  private def writeIngestManifest(hash: String, version: Long,
+      names: Set[String]): String = {
+    val rel = s"ingest/$hash-v$version.json"
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val json = org.json4s.jackson.Serialization.write(names.toSeq.sorted)
+    val out = fs.create(new Path(logDir, rel), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    rel
+  }
+
+  /**
+   * Idempotent bulk file ingest (the Delta `COPY INTO` surface): load
+   * the files of `srcDir` this table has not yet ingested from that
+   * source, as ONE append commit. Loaded-file tracking is a sorted-name
+   * manifest under `_log/ingest/` whose pointer rides the snapshot's
+   * properties — advanced in the SAME commit as the data, so a retried
+   * or replayed COPY can never double-load, and a no-op COPY commits
+   * nothing. Files are matched by name within the source (immutable
+   * source files, the COPY INTO contract); new files appearing later in
+   * the same directory load on the next call. Non-parquet sources read
+   * through `format`/`options` and align to the table schema (missing
+   * columns pad NULL, matching columns cast). Returns
+   * (table version, files loaded by this call).
+   */
+  def copyInto(srcDir: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): (Long, Long) = {
+    val src0 = new Path(srcDir)
+    val sfs = src0.getFileSystem(conf)
+    val src = sfs.makeQualified(src0)
+    val key = TxTable.ingestPropertyKey(src.toString)
+    val hash = key.stripPrefix(TxTable.IngestPropertyPrefix)
+    val listed = sfs.listStatus(src).toSeq.filter(st => st.isFile &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    val s = snapshot
+    val loaded = ingestManifestSet(s.properties.get(key))
+    val fresh = listed.filterNot(st => loaded(st.getPath.getName))
+    if (fresh.isEmpty) return (s.version, 0L)
+    val names = fresh.map(_.getPath.getName).toSet
+    val raw = spark.read.format(format).options(options)
+      .load(fresh.map(_.getPath.toString): _*)
+    val newFiles = writeFiles(withDerivedParts(align(raw, schemaOf(s),
+      constraints = s.constraints), s), s.partitionColumns)
+    val v = retryingCommit("COPY_INTO") { expected =>
+      val cur = snapshotAt(expected)
+      val nowLoaded = ingestManifestSet(cur.properties.get(key))
+      if (names.exists(nowLoaded)) {
+        // a concurrent COPY from the same source landed after our
+        // planning: abort cleanly rather than double-load — the caller
+        // re-runs and picks up only what remains
+        deleteDataFiles(newFiles.map(_.path))
+        throw new IllegalStateException(
+          s"concurrent COPY INTO $name from $src; re-run to load the rest")
+      }
+      val manifestRel = writeIngestManifest(hash, expected + 1,
+        nowLoaded ++ names)
+      commit(Some(expected), "COPY_INTO", schemaOf(cur),
+        cur.partitionColumns, cur.files ++ newFiles,
+        properties = cur.properties + (key -> manifestRel))
+    }
+    (v, names.size.toLong)
+  }
+
+  /**
+   * Metadata-only registration of EXTERNAL parquet files (the Iceberg
+   * `add_files` procedure): the table references the source files IN
+   * PLACE via absolute paths — the shallow-clone read machinery — so
+   * no byte of data is copied, moved, or rewritten; one commit.
+   * Footer stats are harvested exactly as for native writes, so
+   * metadata row counts and min/max data skipping work immediately.
+   * Idempotent: already-referenced paths are skipped. A partitioned
+   * table requires a Hive-layout source over exactly its partition
+   * columns (in order); hidden-transform specs are refused — an
+   * external layout's derived values cannot be trusted. Shared-fate
+   * caveat as shallow clones: the table does not own the files
+   * (vacuum never touches them; deleting the source breaks reads);
+   * `compact()` migrates everything local. Returns
+   * (table version, files added by this call).
+   */
+  def addFiles(srcDir: String): (Long, Int) = {
+    val s = snapshot
+    require(PartitionTransform.resolve(s).forall(_.isIdentity),
+      s"addFiles requires identity partitioning; $name partitions via " +
+        "hidden transforms (write through the table instead)")
+    val parts = s.partitionColumns
+    val src0 = new Path(srcDir)
+    val sfs = src0.getFileSystem(conf)
+    val src = sfs.makeQualified(src0)
+    def walk(dir: Path, level: Int, vals: Map[String, String])
+        : Seq[(org.apache.hadoop.fs.FileStatus, Map[String, String])] =
+      sfs.listStatus(dir).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) Nil
+        else if (st.isDirectory) {
+          require(level < parts.size,
+            s"unexpected subdirectory $nm below the partition depth")
+          val c = parts(level)
+          require(nm.startsWith(c + "="),
+            s"expected $c=<value> directory at level $level, found $nm")
+          walk(st.getPath, level + 1,
+            vals + (c -> unescapePath(nm.substring(c.length + 1))))
+        } else if (nm.endsWith(".parquet")) {
+          require(level == parts.size,
+            s"file $nm at depth $level; expected under ${parts.size} " +
+              "partition directories")
+          Seq((st, vals))
+        } else Nil
+      }
+    val found = walk(src, 0, Map.empty)
+    val existing = s.files.map(_.path).toSet
+    val fresh = found.filterNot { case (st, _) =>
+      existing.contains(st.getPath.toString) }
+    if (fresh.isEmpty) return (s.version, 0)
+    // every column shared with the table must read through the declared
+    // type (equal, or a promotion the parquet reader applies losslessly)
+    val schema = schemaOf(s)
+    val fileSchema = spark.read.parquet(fresh.map(_._1.getPath.toString): _*)
+      .schema
+    fileSchema.fields.foreach { f =>
+      if (schema.fieldNames.contains(f.name) && !parts.contains(f.name)) {
+        val t = schema(f.name).dataType
+        require(f.dataType == t || TxTable.widens(f.dataType, t),
+          s"column ${f.name}: source type ${f.dataType.sql} cannot read " +
+            s"as table type ${t.sql}")
+      }
+    }
+    // one footer read per file — concurrent, same shape as writeFiles
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = fresh.map { case (st, vals) =>
+      Future {
+        val (rowCount, stats) =
+          try {
+            val (rc, cs) = FileStats.collect(st.getPath, conf)
+            (rc, Some(cs))
+          } catch { case _: Throwable => (-1L, None) }
+        DataFile(st.getPath.toString, vals, rowCount = rowCount,
+          sizeBytes = st.getLen, stats = stats)
+      }
+    }
+    val newFiles = Await.result(Future.sequence(futures),
+      scala.concurrent.duration.Duration.Inf)
+    val v = retryingCommit("ADD_FILES") { expected =>
+      val cur = snapshotAt(expected)
+      val curPaths = cur.files.map(_.path).toSet
+      commit(Some(expected), "ADD_FILES", schemaOf(cur),
+        cur.partitionColumns,
+        cur.files ++ newFiles.filterNot(f => curPaths.contains(f.path)))
+    }
+    (v, newFiles.size)
   }
 
   /**
@@ -1925,6 +2172,62 @@ class TxTable private (
 }
 
 object TxTable {
+
+  /** Snapshot-property prefix under which [[TxTable.copyInto]] keeps
+    * its per-source ingest-manifest pointers. */
+  private[table] val IngestPropertyPrefix = "graft.ingest."
+
+  /** Table property declaring the write sort order (comma-separated
+    * column names) — the Iceberg `WRITE ORDERED BY` surface. Advisory
+    * layout metadata: writes cluster by it, readers never depend on it. */
+  private[table] val SortOrderProperty = "graft.write.sort-order"
+
+  private[table] def sortOrderColumns(s: Snapshot): Seq[String] =
+    s.properties.get(SortOrderProperty).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** ONE property key per ingest source (qualified source URI hashed —
+    * `dir`, `dir/`, and relative spellings of the same directory must
+    * collapse to one tracking stream). */
+  private[table] def ingestPropertyKey(qualifiedSource: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    IngestPropertyPrefix + digest.digest(
+      qualifiedSource.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Is `to` a LOSSLESS widening of `from` that Spark's parquet readers
+    * can apply to already-written files without rewrite? (Empirically
+    * verified against this build's vectorized reader: integral up-rank,
+    * float→double, byte/short/int→double, decimal growth with scale
+    * kept or raised, integral→decimal with room for every value.
+    * long→double is refused — it loses precision above 2^53.) The
+    * Iceberg/Delta type-evolution matrix. */
+  def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => 0
+    }
+    // max base-10 digits an integral type's values can need — the
+    // decimal's integer part must hold all of them
+    def digits(dt: DataType): Int = dt match {
+      case ByteType => 3; case ShortType => 5
+      case IntegerType => 10; case LongType => 19; case _ => 0
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(f) < rank(t)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t != f && t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale
+      case (f, t: DecimalType) if digits(f) > 0 =>
+        t.precision - t.scale >= digits(f)
+      case _ => false
+    }
+  }
 
   /** One `WHEN MATCHED [AND cond] THEN ...` (or `WHEN NOT MATCHED BY
     * SOURCE ...`) branch of a multi-branch MERGE: `isDelete` for THEN

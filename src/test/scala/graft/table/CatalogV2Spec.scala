@@ -735,4 +735,24 @@ class CatalogV2Spec extends SparkSpec {
     assert(cat.sql("SHOW VIEWS IN vw").count() === 0)
     intercept[Exception] { cat.sql("SELECT * FROM vw.eu_total").collect() }
   }
+
+  test("ALTER COLUMN TYPE widens via SQL; old files read through promotion") {
+    withCatalog("widen") { _ =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.w")
+      spark.sql("CREATE TABLE graft.w.t (id STRING, qty INT, score FLOAT)")
+      spark.sql("INSERT INTO graft.w.t VALUES ('a', 7, CAST(1.5 AS FLOAT))")
+      spark.sql("ALTER TABLE graft.w.t ALTER COLUMN qty TYPE BIGINT")
+      spark.sql("ALTER TABLE graft.w.t ALTER COLUMN score TYPE DOUBLE")
+      spark.sql("INSERT INTO graft.w.t VALUES ('b', 6000000000, 2.25)")
+      val rows = spark.sql("SELECT id, qty, score FROM graft.w.t ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("a", 7L, 1.5), ("b", 6000000000L, 2.25)))
+      // pushed filters over the widened column stay exact on old files
+      assert(spark.sql("SELECT id FROM graft.w.t WHERE qty = 7").collect()
+        .map(_.getString(0)).toSeq === Seq("a"))
+      // narrowing is refused by the catalog
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.w.t ALTER COLUMN qty TYPE INT") }
+    }
+  }
 }

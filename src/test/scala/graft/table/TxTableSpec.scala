@@ -1773,4 +1773,197 @@ class TxTableSpec extends SparkSpec {
         mergeSchema = true)
     }
   }
+
+  test("WRITE ORDERED BY clusters files into disjoint ranges; point reads hit one file") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val wh = freshDir("tx_writeorder")
+    val cat = new TableCatalog(spark, new Path(wh))
+    val t = cat.createTable("ns", "wo", StructType.fromDDL("id STRING, v INT"), Nil)
+    GraftSql.sql(cat, "ALTER TABLE ns.wo WRITE ORDERED BY (v)")
+    // unknown column refused
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(cat, "ALTER TABLE ns.wo WRITE ORDERED BY (nope)") }
+    // a shuffled frame across 4 tasks: without the declared order every
+    // file would span ~the full [0,1000) value range
+    val rnd = new scala.util.Random(7)
+    val df = rnd.shuffle((0 until 1000).toList)
+      .map(i => (s"id$i", i)).toDF("id", "v").repartition(4)
+    t.append(df)
+    val ranges = t.snapshot.files
+      .flatMap(_.stats.flatMap(_.get("v"))).map(cs => (cs.min.toLong, cs.max.toLong))
+    assert(ranges.size >= 2, s"expected multiple files, got $ranges")
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 <= b._1, s"overlapping file ranges: $sorted")
+      case _ =>
+    }
+    // min/max skipping now isolates a point predicate to ONE file
+    assert(t.readWhere("v", Some(500), Some(500)).inputFiles.length === 1)
+    assert(t.readWhere("v", Some(500), Some(500)).collect()
+      .map(_.getString(0)).toSeq === Seq("id500"))
+    // WRITE UNORDERED clears the property; later writes stop clustering
+    GraftSql.sql(cat, "ALTER TABLE ns.wo WRITE UNORDERED")
+    assert(!cat.getTable("ns", "wo").snapshot.properties
+      .contains(graft.table.TxTable.SortOrderProperty))
+  }
+
+  test("COPY INTO: idempotent file ingest — each source file loads exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = freshDir("tx_copyinto")
+    val srcDir = new Path(dir, "incoming").toString
+    Seq(("a", 1), ("b", 2)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val t = TxTable.create(spark, new Path(dir, "t"), "ns.copy",
+      StructType.fromDDL("id STRING, v INT"), Nil)
+    val (v1, n1) = t.copyInto(srcDir)
+    assert(n1 === 1L && t.toDF.count() === 2)
+    // replay: nothing new, NO commit
+    val (v2, n2) = t.copyInto(srcDir)
+    assert(n2 === 0L && v2 === v1 && t.toDF.count() === 2)
+    // a new file arriving later in the same directory loads alone
+    Seq(("c", 3)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val (_, n3) = t.copyInto(srcDir)
+    assert(n3 === 1L)
+    assert(t.toDF.collect().map(r => (r.getString(0), r.getInt(1))).toSet ===
+      Set(("a", 1), ("b", 2), ("c", 3)))
+    // path spelling variants track as ONE source (qualified-URI key)
+    val (_, n4) = t.copyInto(srcDir + "/")
+    assert(n4 === 0L)
+  }
+
+  test("ADD FILES registers external parquet in place: no copy, stats and vacuum safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = freshDir("tx_addfiles")
+    val ext = new Path(dir, "external").toString
+    Seq(("a", 10), ("b", 20)).toDF("id", "v").coalesce(1).write.parquet(ext)
+    Seq(("c", 30), ("d", 40)).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(ext)
+    val t = TxTable.create(spark, new Path(dir, "t"), "ns.addf",
+      StructType.fromDDL("id STRING, v INT"), Nil)
+    val (_, n1) = t.addFiles(ext)
+    assert(n1 === 2)
+    // metadata-only: nothing was copied under the table's own data dir
+    val hfs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val ownData = new Path(dir, "t/data")
+    assert(!hfs.exists(ownData) || hfs.listStatus(ownData).isEmpty)
+    // footer stats drive metadata counts and skipping as for native files
+    assert(t.count() === 4)
+    assert(t.readWhere("v", Some(30), None).collect()
+      .map(_.getString(0)).toSet === Set("c", "d"))
+    // idempotent
+    assert(t.addFiles(ext)._2 === 0)
+    // vacuum never touches files it does not own
+    t.vacuum(retainVersions = 1, graceMillis = 0)
+    def extParquets = hfs.listStatus(new Path(ext))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(extParquets === 2 && t.toDF.count() === 4)
+    // compact migrates everything local; the external source is untouched
+    t.compact()
+    assert(extParquets === 2 && t.toDF.count() === 4)
+    assert(hfs.exists(ownData) && hfs.listStatus(ownData).nonEmpty)
+  }
+
+  test("ADD FILES: Hive-layout partition inference; incompatible types refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = freshDir("tx_addfiles_hive")
+    val ext = new Path(dir, "ext").toString
+    Seq(("a", "EU", 1), ("b", "US", 2)).toDF("id", "region", "v")
+      .write.partitionBy("region").parquet(ext)
+    val t = TxTable.create(spark, new Path(dir, "t"), "ns.addh",
+      StructType.fromDDL("id STRING, region STRING, v INT"), Seq("region"))
+    val (_, n) = t.addFiles(ext)
+    assert(n === 2)
+    assert(t.toDF.filter($"region" === "EU").collect()
+      .map(_.getString(0)).toSeq === Seq("a"))
+    assert(t.count(Map("region" -> "US")) === 1)
+    // a source column WIDER than the table's declared type cannot read
+    val bad = new Path(dir, "bad").toString
+    Seq(("x", "EU", 5L)).toDF("id", "region", "v")
+      .write.partitionBy("region").parquet(bad)
+    intercept[IllegalArgumentException] { t.addFiles(bad) }
+  }
+
+  test("SQL: COPY INTO and ALTER TABLE ADD FILES route through GraftSql") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val wh = freshDir("tx_sql_ingest")
+    val cat = new TableCatalog(spark, new Path(wh))
+    val src = new Path(wh, "src").toString
+    Seq(("a", 1)).toDF("id", "v").coalesce(1).write.parquet(src)
+    cat.createTable("ns", "cp", StructType.fromDDL("id STRING, v INT"), Nil)
+    assert(GraftSql.sql(cat, s"COPY INTO ns.cp FROM '$src'")
+      .first().getString(0).startsWith("COPIED 1"))
+    assert(GraftSql.sql(cat, s"COPY INTO ns.cp FROM '$src'")
+      .first().getString(0).startsWith("COPIED 0"))
+    val ext = new Path(wh, "ext").toString
+    Seq(("b", 2)).toDF("id", "v").coalesce(1).write.parquet(ext)
+    assert(GraftSql.sql(cat, s"ALTER TABLE ns.cp ADD FILES '$ext'")
+      .first().getString(0).startsWith("ADDED 1"))
+    assert(cat.getTable("ns", "cp").toDF.count() === 2)
+  }
+
+  test("type widening: mergeSchema and widenColumn promote losslessly, no rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = TxTable.create(spark, new Path(freshDir("tx_widen"), "t"),
+      "ns.widen", StructType.fromDDL("id STRING, qty INT, score FLOAT"), Nil)
+    t.append(Seq(("a", 1, 1.5f), ("b", 2, 2.5f)).toDF("id", "qty", "score"))
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    // widening append: qty beyond int range arrives as LONG, score as DOUBLE
+    t.append(Seq(("c", 5000000000L, 3.25)).toDF("id", "qty", "score"),
+      mergeSchema = true)
+    assert(t.schema("qty").dataType === LongType)
+    assert(t.schema("score").dataType === DoubleType)
+    // metadata-only evolution: the pre-widening files were not rewritten
+    assert(filesBefore.subsetOf(t.snapshot.files.map(_.path).toSet))
+    val byId = t.toDF.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byId("a") === ((1L, 1.5)))
+    assert(byId("c") === ((5000000000L, 3.25)))
+    // min/max skipping stays exact across mixed int32/int64 files
+    assert(t.readWhere("qty", Some(5000000000L), None)
+      .collect().map(_.getString(0)).toSeq === Seq("c"))
+    // explicit evolution to decimal; old long values read scaled
+    t.widenColumn("qty", DecimalType(22, 2))
+    assert(t.toDF.filter($"id" === "c").head().getDecimal(1) ===
+      new java.math.BigDecimal("5000000000.00"))
+    // decimal pushdown over pre-widening "long"-tagged stats stays exact
+    assert(t.readWhere("qty", Some(new java.math.BigDecimal("5000000000")), None)
+      .collect().map(_.getString(0)).toSeq === Seq("c"))
+    // lossy/narrowing changes are refused
+    intercept[IllegalArgumentException] { t.widenColumn("score", FloatType) }
+    intercept[IllegalArgumentException] { t.widenColumn("id", LongType) }
+    // a non-widening incoming type under mergeSchema keeps the stored type
+    t.append(Seq(("d", 7, 1.0)).toDF("id", "qty", "score"), mergeSchema = true)
+    assert(t.schema("qty").dataType === DecimalType(22, 2))
+  }
+
+  test("type widening invalidates the column's bloom index; lookups stay exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = TxTable.create(spark, new Path(freshDir("tx_widen_bloom"), "t"),
+      "ns.widenbloom", StructType.fromDDL("id STRING, v INT"), Nil)
+    // one file per append (coalesce) so file ranges SPAN the probe value
+    t.append(Seq(("a", 10), ("b", 20)).toDF("id", "v").coalesce(1))
+    t.append(Seq(("c", 30), ("d", 40)).toDF("id", "v").coalesce(1))
+    t.buildBloomIndex("v")
+    // bloom prunes a value inside the global [min,max] that no file holds
+    assert(t.candidateFilesForEquals("v", 15).isEmpty)
+    // widening drops the index (old filters hashed ints; probes would
+    // hash longs and false-skip) — lookups fall back to stats, stay exact
+    t.append(Seq(("e", 9000000000L)).toDF("id", "v"), mergeSchema = true)
+    assert(t.schema("v").dataType === LongType)
+    assert(t.candidateFilesForEquals("v", 15L).nonEmpty)
+    assert(t.readWhereEquals("v", 20L).collect().map(_.getString(0)).toSeq === Seq("b"))
+    assert(t.readWhereEquals("v", 9000000000L).collect()
+      .map(_.getString(0)).toSeq === Seq("e"))
+    // rebuilt index hashes under the widened type and prunes again
+    t.buildBloomIndex("v")
+    assert(t.candidateFilesForEquals("v", 15L).isEmpty)
+  }
 }
