@@ -39,7 +39,7 @@ import scala.jdk.CollectionConverters._
  * a captured path would silently pin the first one.
  */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ViewCatalog {
+    with FunctionCatalog with ViewCatalog with ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
@@ -277,6 +277,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def functionExists(ident: Identifier): Boolean =
     GraftFunctions.load(ident.name()).isDefined
+
+  // ---- procedures (the Iceberg `CALL catalog.system.<proc>` surface) --
+
+  /** Procedures resolve under `system` (the Iceberg convention) or an
+    * empty namespace — `CALL graft.system.expire_snapshots(...)`. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got ${ident.namespace().mkString(".")}")
+    GraftProcedures.load(ident.name(), () => inner).getOrElse(
+      throw new RuntimeException(
+        s"no procedure ${ident.name()} " +
+          s"(available: ${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   // ---- namespaces ------------------------------------------------------
 

@@ -1,0 +1,196 @@
+package graft.catalog
+
+import graft.table.{TableCatalog => GraftTableCatalog, TxLog, TxTable}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Collections, Iterator => JIterator}
+
+/**
+ * Stored maintenance procedures served through Spark's native
+ * `ProcedureCatalog` — the Iceberg `CALL catalog.system.<proc>(...)`
+ * surface (the managed-engine side of the reference's S3 Tables
+ * maintenance: automatic compaction / snapshot expiration described in
+ * kinesis-firehose-stream/README.md's S3 Tables setup). Spark 4 parses
+ * `CALL graft.system.expire_snapshots(table => 'ns.t', retain_last => 5)`
+ * natively; the analyzer binds here and invokes [[BoundProcedure.call]],
+ * whose result rows surface as the statement's result set.
+ *
+ * All procedures are driver-side METADATA operations on the transaction
+ * log (or kick off table-layer jobs like compaction that are themselves
+ * distributed) — a [[LocalScan]] result is the honest shape, exactly as
+ * for [[GraftMetadataTable]].
+ */
+private[catalog] object GraftProcedures {
+
+  /** table argument, shared by every procedure */
+  private val TableParam =
+    ProcedureParameter.in("table", StringType).build()
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def pDefault(name: String, dt: DataType, sql: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(sql).build()
+
+  val names: Seq[String] = Seq(
+    "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "rollback_to_version", "rollback_to_timestamp", "fast_forward",
+    "create_branch", "drop_branch", "create_tag", "add_files",
+    "analyze_table", "build_bloom_index", "shallow_clone")
+
+  def load(name: String, cat: () => GraftTableCatalog): Option[UnboundProcedure] =
+    if (names.contains(name)) Some(new GraftProcedure(name, cat)) else None
+
+  /** `'ns.t'` → the transaction-log table (the procedure-argument
+    * addressing; a bare `'t'` is refused — procedures act across
+    * namespaces, so the caller must say which). */
+  private def resolve(cat: GraftTableCatalog, ref: String): TxTable = {
+    val parts = ref.split("\\.")
+    require(parts.length == 2,
+      s"procedure table argument must be 'namespace.table', got '$ref'")
+    cat.getTable(parts(0), parts(1))
+  }
+
+  private final class GraftProcedure(procName: String,
+      cat: () => GraftTableCatalog) extends UnboundProcedure {
+
+    override def name(): String = procName
+    override def description(): String = s"graft maintenance procedure $procName"
+
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = procName
+      override def description(): String = s"graft maintenance procedure $procName"
+      override def isDeterministic: Boolean = false
+
+      override def parameters(): Array[ProcedureParameter] = procName match {
+        case "expire_snapshots" => Array(TableParam,
+          pDefault("retain_last", IntegerType, "10"),
+          pDefault("older_than", TimestampType, "NULL"))
+        case "remove_orphan_files" => Array(TableParam,
+          pDefault("retain_versions", IntegerType, "2"),
+          pDefault("grace_millis", LongType, (10L * 60 * 1000).toString))
+        case "rewrite_data_files" => Array(TableParam,
+          pDefault("target_file_size_bytes", LongType, (128L * 1024 * 1024).toString),
+          pDefault("zorder_by", StringType, "NULL"),
+          pDefault("where", StringType, "NULL"))
+        case "rollback_to_version"   => Array(TableParam, p("version", LongType))
+        case "rollback_to_timestamp" => Array(TableParam, p("timestamp", TimestampType))
+        case "fast_forward"          => Array(TableParam, p("branch", StringType))
+        case "create_branch"         => Array(TableParam, p("branch", StringType))
+        case "drop_branch"           => Array(TableParam, p("branch", StringType))
+        case "create_tag" => Array(TableParam, p("tag", StringType),
+          pDefault("version", LongType, "-1"))
+        case "add_files"  => Array(TableParam, p("source", StringType))
+        case "analyze_table" => Array(TableParam,
+          pDefault("columns", StringType, "NULL"))
+        case "build_bloom_index" => Array(TableParam, p("column", StringType),
+          pDefault("fpp", DoubleType, "0.001"))
+        case "shallow_clone" => Array(TableParam, p("destination", StringType),
+          pDefault("version", LongType, "-1"))
+      }
+
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val c = cat()
+        val t = resolve(c, input.getString(0))
+        procName match {
+          case "expire_snapshots" =>
+            val olderThan = if (input.isNullAt(2)) None
+              else Some(input.getLong(2) / 1000L)   // micros → ms
+            val n = olderThan match {
+              case Some(ms) => t.expireSnapshotsOlderThan(ms)
+              case None     => t.expireSnapshots(input.getInt(1))
+            }
+            result("expired_snapshots" -> n)
+          case "remove_orphan_files" =>
+            result("removed_files" ->
+              t.vacuum(input.getInt(1), input.getLong(2)))
+          case "rewrite_data_files" =>
+            val zorder = if (input.isNullAt(2)) Nil
+              else input.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            // as for OPTIMIZE ... WHERE: the filter must convert entirely
+            // to partition equalities (a dropped conjunct would widen the
+            // rewrite); the simple `col = value` csv form is accepted here
+            val pf = if (input.isNullAt(3)) Map.empty[String, String]
+              else input.getString(3).split(",").map { kv =>
+                val Array(k, v) = kv.split("=", 2).map(_.trim)
+                k -> v.stripPrefix("'").stripSuffix("'")
+              }.toMap
+            result("version" ->
+              t.compact(input.getLong(1), clusterBy = zorder, partitionFilter = pf))
+          case "rollback_to_version" =>
+            result("version" -> t.restore(input.getLong(1)))
+          case "rollback_to_timestamp" =>
+            val ms = input.getLong(1) / 1000L
+            val v = TxLog.versionAtOrBefore(new Path(t.root, "_log"),
+              t.currentVersion, ms, sparkConf)
+            result("restored_from" -> v, "version" -> t.restore(v))
+          case "fast_forward" =>
+            result("version" -> t.fastForward(input.getString(1)))
+          case "create_branch" =>
+            result("fork_version" -> t.createBranch(input.getString(1)))
+          case "drop_branch" =>
+            t.dropBranch(input.getString(1)); result("dropped" -> true)
+          case "create_tag" =>
+            val v = input.getLong(2)
+            t.tag(input.getString(1), v)
+            result("tagged_version" -> (if (v >= 0) v else t.currentVersion))
+          case "add_files" =>
+            val (v, n) = t.addFiles(input.getString(1))
+            result("version" -> v, "added_files" -> n)
+          case "analyze_table" =>
+            val cols = if (input.isNullAt(1)) Nil
+              else input.getString(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val stats = t.analyze(cols)
+            result("row_count" -> stats.rowCount,
+              "analyzed_columns" -> stats.cols.size)
+          case "build_bloom_index" =>
+            result("indexed_files" ->
+              t.buildBloomIndex(input.getString(1), input.getDouble(2)))
+          case "shallow_clone" =>
+            val parts = input.getString(1).split("\\.")
+            require(parts.length == 2,
+              s"destination must be 'namespace.table', got '${input.getString(1)}'")
+            c.createNamespace(parts(0))
+            val cloned = t.cloneTo(c.tableRoot(parts(0), parts(1)),
+              s"${parts(0)}.${parts(1)}", input.getLong(2))
+            result("version" -> cloned.currentVersion)
+        }
+      }
+
+      private def sparkConf =
+        SparkSession.active.sessionState.newHadoopConf()
+    }
+  }
+
+  /** One-row LocalScan result set: (name → value) pairs with types
+    * inferred from the Scala values. */
+  private def result(fields: (String, Any)*): JIterator[Scan] = {
+    val schema = StructType(fields.map { case (n, v) =>
+      StructField(n, v match {
+        case _: Int => IntegerType
+        case _: Long => LongType
+        case _: Boolean => BooleanType
+        case _: Double => DoubleType
+        case _ => StringType
+      }, nullable = false)
+    })
+    val row = new GenericInternalRow(fields.map {
+      case (_, v: String) => UTF8String.fromString(v)
+      case (_, v) => v.asInstanceOf[Any]
+    }.toArray)
+    Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+      override def description(): String = "GraftProcedureResult"
+    }).iterator()
+  }
+}

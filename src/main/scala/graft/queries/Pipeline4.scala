@@ -598,6 +598,48 @@ object Pipeline4 {
       FROM fin GROUP BY region ORDER BY region""")),
 
     // ------------------------------------------------------------------
+    // Native stored procedures (the Iceberg CALL surface): tag, rollback,
+    // compact, snapshot expiration, and orphan-file removal all through
+    // `CALL graft.system.<proc>(...)` — parsed by Spark's CALL statement,
+    // bound via ProcedureCatalog, no SQL-text routing. Three insert waves
+    // land as versions 1..3; rollback_to_version(2) rewinds to the first
+    // two, and the maintenance procedures (rewrite_data_files,
+    // expire_snapshots, remove_orphan_files) must preserve exactly that
+    // state. The oracle recomputes from the staged seed's bucket column.
+    Q("table_call_procedures", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("proc_seed", "parquet") {
+        SampleData.transactions(s, 300, seed = 108L)
+          .withColumn("bucket", pmod(xxhash64(col("transaction_id")), lit(3)))
+      }
+      val wh = Pipeline.scratch("callproc")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("proc_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.maint")
+      s.sql("""CREATE TABLE graft.maint.txns (
+               transaction_id STRING, region STRING, amount STRING, bucket BIGINT)""")
+      (0 to 2).foreach(b => s.sql(
+        s"""INSERT INTO graft.maint.txns
+            SELECT transaction_id, region, amount, bucket
+            FROM proc_seed WHERE bucket = $b"""))
+      s.sql("CALL graft.system.create_tag(table => 'maint.txns', tag => 'all_waves')")
+      s.sql("CALL graft.system.rollback_to_version('maint.txns', 2)")
+      s.sql("CALL graft.system.rewrite_data_files('maint.txns')")
+      s.sql("CALL graft.system.expire_snapshots(table => 'maint.txns', retain_last => 2)")
+      s.sql("""CALL graft.system.remove_orphan_files(
+               table => 'maint.txns', retain_versions => 1, grace_millis => 0)""")
+      s.sql("""
+        SELECT region, count(*) AS n,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft.maint.txns GROUP BY region ORDER BY region""")
+    }, oracle = Some(s"""
+      SELECT region, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/proc_seed/*.parquet')
+      WHERE bucket IN (0, 1)
+      GROUP BY region ORDER BY region""")),
+
+    // ------------------------------------------------------------------
     // Persistent SQL views (the Athena CREATE VIEW surface): view
     // definitions are stored SQL text substituted PLAN-level at read —
     // never materialized — so a view over a view reflects current table

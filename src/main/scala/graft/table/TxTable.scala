@@ -1916,7 +1916,8 @@ class TxTable private (
     val keepFrom = math.max(0L, head - (retainVersions - 1))
     val retained: Set[String] = (keepFrom to head)
       .flatMap(v => snapshotAt(v).files.map(_.path)).toSet ++
-      branchRetainedFiles()
+      branchRetainedFiles() ++
+      taggedRetained(keepFrom)(v => snapshotAt(v).files.map(_.path))
     val cutoffMs = System.currentTimeMillis() - graceMillis
     val f = fs
     val candidates = scala.collection.mutable.ArrayBuffer[(Path, String)]()
@@ -1940,7 +1941,8 @@ class TxTable private (
     // retained-set said (branches created mid-walk likewise)
     val retainedNow: Set[String] = (keepFrom to currentVersion)
       .flatMap(v => snapshotAt(v).files.map(_.path)).toSet ++
-      branchRetainedFiles()
+      branchRetainedFiles() ++
+      taggedRetained(keepFrom)(v => snapshotAt(v).files.map(_.path))
     var removed = 0
     candidates.foreach { case (p, rel) =>
       if (!retainedNow.contains(rel) && f.delete(p, false)) removed += 1
@@ -2013,6 +2015,18 @@ class TxTable private (
     TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
   }
 
+  /** What tagged versions BELOW the retention horizon still reference —
+    * tag time travel must survive vacuum exactly as tagged headers
+    * survive [[expireSnapshots]] (Iceberg's contract: expiration and
+    * orphan cleanup never touch what a ref can still read). Versions in
+    * the retained range are already covered by the main walk; a tag
+    * whose header was expired by pre-protection code resolves to
+    * nothing and is skipped. */
+  private def taggedRetained[A](keepFrom: Long)(extract: Long => Seq[A]): Set[A] =
+    tags.values.toSet.filter(_ < keepFrom).flatMap { v =>
+      try extract(v) catch { case _: Exception => Seq.empty[A] }
+    }
+
   /** Every data file any branch chain still references — vacuum must
     * never reclaim a file a live branch can read. Branch chains are
     * short (fork..head), so the walk is cheap; tolerate concurrent
@@ -2044,7 +2058,8 @@ class TxTable private (
     if (!f.exists(deletesDir)) return 0
     val referenced: Set[String] = (keepFrom to currentVersion)
       .flatMap(v => snapshotAt(v).equalityDeletes.map(_.path)).toSet ++
-      branchRetainedDeletes()
+      branchRetainedDeletes() ++
+      taggedRetained(keepFrom)(v => snapshotAt(v).equalityDeletes.map(_.path))
     var removed = 0
     f.listStatus(deletesDir).foreach { st =>
       if (!referenced.contains(st.getPath.getName) &&
@@ -2062,8 +2077,11 @@ class TxTable private (
     * vacuumed-out versions fail, same as for their data files. */
   private def vacuumManifests(keepFrom: Long, cutoffMs: Long): Int = {
     val f = fs
+    def taggedManifests = taggedRetained(keepFrom)(v =>
+      TxLog.readRaw(logDir, v, conf).manifests.map(_.path))
     val referenced: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => TxLog.readRaw(logDir, v, conf).manifests.map(_.path)).toSet
+      .flatMap(v => TxLog.readRaw(logDir, v, conf).manifests.map(_.path)).toSet ++
+      taggedManifests
     val candidates =
       if (!f.exists(logDir)) Seq.empty
       else f.listStatus(logDir).toSeq.filter { st =>
@@ -2074,7 +2092,8 @@ class TxTable private (
     // one re-check against the head AT DELETE TIME (a commit may have
     // landed during the listing), mirroring the data-file walk
     val refNow: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => TxLog.readRaw(logDir, v, conf).manifests.map(_.path)).toSet
+      .flatMap(v => TxLog.readRaw(logDir, v, conf).manifests.map(_.path)).toSet ++
+      taggedManifests
     var removed = 0
     candidates.foreach { st =>
       if (!refNow.contains(st.getPath.getName) && f.delete(st.getPath, false))

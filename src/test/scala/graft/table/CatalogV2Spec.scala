@@ -755,4 +755,68 @@ class CatalogV2Spec extends SparkSpec {
         spark.sql("ALTER TABLE graft.w.t ALTER COLUMN qty TYPE INT") }
     }
   }
+
+  test("CALL procedures: tag/rollback/expire/compact/analyze via native SQL") {
+    withCatalog("proc") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
+      spark.sql("CREATE TABLE graft.p.t (id STRING, v INT)")
+      spark.sql("INSERT INTO graft.p.t VALUES ('a', 1)")          // v1
+      spark.sql("INSERT INTO graft.p.t VALUES ('b', 2)")          // v2
+      spark.sql("INSERT INTO graft.p.t VALUES ('c', 3)")          // v3
+      // create_tag pins the current version; by-name arguments work
+      val tagged = spark.sql(
+        "CALL graft.system.create_tag(table => 'p.t', tag => 'launch')")
+      assert(tagged.collect().head.getLong(0) === 3L)
+      // rollback_to_version restores as a NEW commit
+      val rb = spark.sql("CALL graft.system.rollback_to_version('p.t', 2)")
+      assert(rb.collect().head.getLong(0) === 4L)
+      assert(spark.sql("SELECT count(*) FROM graft.p.t").head().getLong(0) === 2L)
+      // rewrite_data_files compacts into one commit
+      val rw = spark.sql("CALL graft.system.rewrite_data_files('p.t')")
+      assert(rw.collect().head.getLong(0) === 5L)
+      // analyze_table reports the row count it computed
+      val an = spark.sql("CALL graft.system.analyze_table('p.t')")
+      assert(an.collect().head.getLong(0) === 2L)
+      // expire_snapshots retains the head (tagged v3 is protected)
+      val ex = spark.sql(
+        "CALL graft.system.expire_snapshots(table => 'p.t', retain_last => 1)")
+      assert(ex.collect().head.getInt(0) >= 1)
+      // the tagged version survives expiration
+      assert(spark.sql("SELECT count(*) FROM graft.p.t VERSION AS OF 'launch'")
+        .head().getLong(0) === 3L)
+      // SHOW PROCEDURES lists the registry
+      val procs = spark.sql("SHOW PROCEDURES IN graft")
+        .select("procedure_name").collect().map(_.getString(0))
+      assert(procs.contains("expire_snapshots") && procs.contains("shallow_clone"))
+      // unknown procedure is refused with the available list
+      val err = intercept[Exception] {
+        spark.sql("CALL graft.system.nope('p.t')") }
+      assert(err.getMessage.contains("nope"))
+    }
+  }
+
+  test("CALL procedures: branches, shallow_clone, remove_orphan_files") {
+    withCatalog("proc2") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.q")
+      spark.sql("CREATE TABLE graft.q.t (id STRING, v INT)")
+      spark.sql("INSERT INTO graft.q.t VALUES ('a', 1)")
+      // branch fork + write + fast-forward publish (WAP via CALL)
+      spark.sql("CALL graft.system.create_branch('q.t', 'audit')")
+      spark.sql("INSERT INTO graft.q.t.branch_audit VALUES ('b', 2)")
+      assert(spark.sql("SELECT count(*) FROM graft.q.t").head().getLong(0) === 1L)
+      spark.sql("CALL graft.system.fast_forward('q.t', 'audit')")
+      assert(spark.sql("SELECT count(*) FROM graft.q.t").head().getLong(0) === 2L)
+      spark.sql("CALL graft.system.drop_branch('q.t', 'audit')")
+      // shallow_clone: metadata-only copy readable immediately
+      val cl = spark.sql("CALL graft.system.shallow_clone('q.t', 'q.t2')")
+      assert(cl.collect().head.getLong(0) >= 0L)
+      assert(spark.sql("SELECT count(*) FROM graft.q.t2").head().getLong(0) === 2L)
+      // remove_orphan_files with zero grace reclaims rolled-over files
+      spark.sql("INSERT OVERWRITE graft.q.t VALUES ('z', 9)")
+      val rm = spark.sql(
+        "CALL graft.system.remove_orphan_files(table => 'q.t', retain_versions => 1, grace_millis => 0)")
+      assert(rm.collect().head.getInt(0) >= 1)
+      assert(spark.sql("SELECT count(*) FROM graft.q.t").head().getLong(0) === 1L)
+    }
+  }
 }

@@ -1774,6 +1774,22 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuum never reclaims files or manifests a tag still references") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = TxTable.create(spark, new Path(freshDir("tx_tagvac"), "t"),
+      "ns.tagvac", StructType.fromDDL("id STRING, v INT"), Nil)
+    t.append(Seq(("a", 1)).toDF("id", "v"))                     // v1
+    t.append(Seq(("b", 2)).toDF("id", "v"))                     // v2
+    t.tag("keep", 2)
+    t.overwrite(Seq(("z", 9)).toDF("id", "v"))                  // v3: rolls v1-v2 files out of head
+    // expire + vacuum below the tag: the tagged snapshot must stay readable
+    t.expireSnapshots(retainVersions = 1)
+    t.vacuum(retainVersions = 1, graceMillis = 0)
+    assert(t.asOfTag("keep").collect().map(_.getString(0)).toSet === Set("a", "b"))
+    assert(t.toDF.collect().map(_.getString(0)).toSeq === Seq("z"))
+  }
+
   test("WRITE ORDERED BY clusters files into disjoint ranges; point reads hit one file") {
     import spark.implicits._
     import org.apache.spark.sql.types._
