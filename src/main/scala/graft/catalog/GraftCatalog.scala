@@ -39,7 +39,8 @@ import scala.jdk.CollectionConverters._
  * a captured path would silently pin the first one.
  */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ViewCatalog with ProcedureCatalog {
+    with FunctionCatalog with ViewCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = "graft"
 
@@ -143,26 +144,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftV2Table(t, asOfVersion = Some(v))
   }
 
+  /** user TBLPROPERTIES persist in the snapshot; Spark's reserved
+    * bookkeeping keys (provider/location/owner/...) do not */
+  private def userProps(properties: util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap -- Seq(
+      "provider", "location", "comment", "owner", "external",
+      "option.path", "path", "is_managed_location")
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val cat = inner
     val (ns, tbl) = (ns1(ident.namespace()), ident.name())
     if (cat.tableExists(ns, tbl)) throw new TableAlreadyExistsException(ident)
     val spec = partitions.toSeq.map(GraftCatalog.toPartField)
-    // user TBLPROPERTIES persist in the snapshot; Spark's reserved
-    // bookkeeping keys (provider/location/owner/...) do not
-    import scala.jdk.CollectionConverters._
-    val userProps = properties.asScala.toMap -- Seq(
-      "provider", "location", "comment", "owner", "external",
-      "option.path", "path", "is_managed_location")
     val created =
       if (spec.forall(_.isIdentity))
         // identity-only keeps the plain (pre-spec) log shape
-        cat.createTable(ns, tbl, schema, spec.map(_.name), userProps)
+        cat.createTable(ns, tbl, schema, spec.map(_.name), userProps(properties))
       else
-        cat.createTable(ns, tbl, schema, Nil, userProps, partitionSpec = spec)
+        cat.createTable(ns, tbl, schema, Nil, userProps(properties),
+          partitionSpec = spec)
     new GraftV2Table(created)
   }
+
+  // ---- staged CTAS / RTAS (atomic CREATE OR REPLACE ... AS SELECT) ----
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      mode: String): StagedTable = {
+    val cat = inner
+    val (ns, tbl) = (ns1(ident.namespace()), ident.name())
+    if (mode == "create" && cat.tableExists(ns, tbl))
+      throw new TableAlreadyExistsException(ident)
+    cat.createNamespace(ns)
+    // hidden staging root: underscore prefix keeps it out of listTables
+    val stagedRoot = new Path(new Path(cat.warehouse, ns),
+      s"_stage_${tbl}_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val spec = partitions.toSeq.map(GraftCatalog.toPartField)
+    val staged =
+      if (spec.forall(_.isIdentity))
+        graft.table.TxTable.create(spark, stagedRoot, s"$ns.$tbl",
+          schema, spec.map(_.name), userProps(properties))
+      else
+        graft.table.TxTable.create(spark, stagedRoot, s"$ns.$tbl",
+          schema, Nil, userProps(properties), partitionSpec = spec)
+    new GraftStagedTable(spark, cat, ns, tbl, staged, mode)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, "create")
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, "replace")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties, "createOrReplace")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val cat = inner

@@ -598,6 +598,41 @@ object Pipeline4 {
       FROM fin GROUP BY region ORDER BY region""")),
 
     // ------------------------------------------------------------------
+    // Atomic REPLACE TABLE AS SELECT (the StagingTableCatalog surface):
+    // the AS-SELECT writes into a hidden staging table and publication
+    // is one CAS commit swapping schema + file list — readers see the
+    // old shape or the new one, never a mix, and the pre-replace version
+    // stays time-travelable. The final SELECT reads the replaced shape
+    // (a per-region aggregate of the seed); the oracle recomputes it
+    // from the staged seed directly.
+    Q("catalog_v2_rtas", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("rtas_seed", "parquet") {
+        SampleData.transactions(s, 250, seed = 109L)
+      }
+      val wh = Pipeline.scratch("rtas")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("rtas_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.shapes")
+      s.sql("""CREATE TABLE graft.shapes.txns AS
+               SELECT transaction_id, region, amount FROM rtas_seed""")
+      s.sql("""REPLACE TABLE graft.shapes.txns AS
+               SELECT region, count(*) AS n,
+                      CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+               FROM graft.shapes.txns GROUP BY region""")
+      // the replaced (aggregated) shape is the table now; the
+      // pre-replace row-level version remains addressable as v1
+      val rowLevel = s.sql("SELECT count(*) FROM graft.shapes.txns VERSION AS OF 1")
+        .head().getLong(0)
+      require(rowLevel == 250L, s"pre-replace version lost: $rowLevel")
+      s.sql("SELECT region, n, total FROM graft.shapes.txns ORDER BY region")
+    }, oracle = Some(s"""
+      SELECT region, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/rtas_seed/*.parquet')
+      GROUP BY region ORDER BY region""")),
+
+    // ------------------------------------------------------------------
     // Native stored procedures (the Iceberg CALL surface): tag, rollback,
     // compact, snapshot expiration, and orphan-file removal all through
     // `CALL graft.system.<proc>(...)` — parsed by Spark's CALL statement,

@@ -1418,6 +1418,38 @@ class TxTable private (
   }
 
   /**
+   * Atomic REPLACE TABLE ... AS SELECT adoption (the StagingTableCatalog
+   * commit path): move the data files of `staged` — a freshly written
+   * staging table nobody else references — into THIS table's data dir
+   * preserving their partition-relative layout (invisible until the
+   * commit, exactly like [[writeFiles]]' staging move), then commit ONE
+   * REPLACE_TABLE carrying the staged schema, partitioning, spec,
+   * properties, and constraints. Readers see the old table or the new
+   * one, never a mix; a concurrent commit retries the CAS against the
+   * new head (the moved files stay invisible until referenced). Dropped
+   * columns, MOR deletes, and txn watermarks reset — the replace is a
+   * full rewrite by definition.
+   */
+  private[graft] def replaceFrom(staged: TxTable): Long = {
+    val ss = staged.snapshot
+    require(ss.files.forall(f => !new Path(f.path).isAbsolute),
+      "staged table must hold only table-local files")
+    ss.files.foreach { df =>
+      val src = new Path(staged.dataDir, df.path)
+      val dst = new Path(dataDir, df.path)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(src, dst), s"failed to adopt staged file ${df.path}")
+    }
+    retryingCommit("REPLACE_TABLE") { expected =>
+      commit(Some(expected), "REPLACE_TABLE", schemaOf(ss),
+        ss.partitionColumns, ss.files, appTxns = Map.empty,
+        droppedColumns = Nil, equalityDeletes = Nil,
+        constraints = ss.constraints, properties = ss.properties,
+        partitionSpec = ss.partitionSpec)
+    }
+  }
+
+  /**
    * MERGE/upsert on `key` — the Firehose `unique_keys` contract
    * (stack/firehose.py:99): a batch row whose key matches an existing row
    * replaces it; otherwise it inserts. Duplicate keys *within* the batch

@@ -756,6 +756,42 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("atomic CREATE OR REPLACE TABLE AS SELECT via StagingTableCatalog") {
+    withCatalog("rtas") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.r")
+      // staged CTAS: the table appears only at publication
+      spark.sql("""CREATE TABLE graft.r.t PARTITIONED BY (region) AS
+        SELECT * FROM VALUES ('a', 'EU', 1), ('b', 'US', 2) AS v(id, region, n)""")
+      assert(spark.sql("SELECT * FROM graft.r.t").count() === 2)
+      // no staging debris after publication
+      val fs = new org.apache.hadoop.fs.Path(wh)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def stageDirs = fs.listStatus(new org.apache.hadoop.fs.Path(wh, "r"))
+        .map(_.getPath.getName).filter(_.startsWith("_stage_"))
+      assert(stageDirs.isEmpty, s"staging debris: ${stageDirs.mkString(",")}")
+      // REPLACE swaps schema + data in one commit; history survives
+      spark.sql("""REPLACE TABLE graft.r.t AS
+        SELECT * FROM VALUES ('x', 10L), ('y', 20L), ('z', 30L) AS v(key, total)""")
+      val after = spark.sql("SELECT key, total FROM graft.r.t ORDER BY key")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(after.toSeq === Seq(("x", 10L), ("y", 20L), ("z", 30L)))
+      assert(stageDirs.isEmpty)
+      // the pre-replace table stays time-travelable (version 1 = CTAS data)
+      assert(spark.sql("SELECT count(*) FROM graft.r.t VERSION AS OF 1")
+        .head().getLong(0) === 2L)
+      // CREATE OR REPLACE over existing; plain CTAS on existing still fails
+      spark.sql("CREATE OR REPLACE TABLE graft.r.t AS SELECT 1 AS one")
+      assert(spark.sql("SELECT one FROM graft.r.t").head().getInt(0) === 1)
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graft.r.t AS SELECT 2 AS two") }
+      // REPLACE of a missing table is refused and leaves nothing behind
+      intercept[Exception] {
+        spark.sql("REPLACE TABLE graft.r.missing AS SELECT 1 AS one") }
+      assert(stageDirs.isEmpty)
+      assert(spark.sql("SHOW TABLES IN graft.r").count() === 1)
+    }
+  }
+
   test("CALL procedures: tag/rollback/expire/compact/analyze via native SQL") {
     withCatalog("proc") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.p")
