@@ -49,6 +49,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** DEFAULT-valued columns are accepted in CREATE/ALTER (stored as
+    * Spark's standard schema-metadata keys — see
+    * [[graft.table.TxTable.CurrentDefaultKey]]). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    Set(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE).asJava
+
   private def spark: SparkSession = SparkSession.active
 
   private def inner: GraftTableCatalog = {
@@ -213,7 +219,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1, "nested ADD COLUMN is not supported")
-        t.addColumn(add.fieldNames()(0), add.dataType())
+        val metadata = Option(add.defaultValue()).map { dv =>
+          // store the SQL text under Spark's default-value keys: the
+          // analyzer applies CURRENT_DEFAULT to inserts omitting the
+          // column; the parquet readers fill absent columns from
+          // EXISTS_DEFAULT, so the add is metadata-only
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(graft.table.TxTable.CurrentDefaultKey, dv.getSql)
+            .putString(graft.table.TxTable.ExistsDefaultKey, dv.getSql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
+        t.addColumn(org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), nullable = true, metadata))
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        require(upd.fieldNames().length == 1, "nested ALTER COLUMN is not supported")
+        t.setColumnDefault(upd.fieldNames()(0),
+          Option(upd.newCurrentDefault()).map(_.getSql).filter(_.nonEmpty))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1, "nested DROP COLUMN is not supported")
         t.dropColumn(del.fieldNames()(0))

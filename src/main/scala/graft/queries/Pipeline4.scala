@@ -598,6 +598,55 @@ object Pipeline4 {
       FROM fin GROUP BY region ORDER BY region""")),
 
     // ------------------------------------------------------------------
+    // DEFAULT column values (the Delta/Iceberg default-value surface):
+    // inserts that omit a defaulted column take its CURRENT DEFAULT;
+    // a column added WITH a default is metadata-only — rows written
+    // before it existed report the EXISTS default through Spark's
+    // parquet readers, no rewrite. The oracle replays the same
+    // semantics over the staged seed with explicit literals.
+    Q("table_column_defaults", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("defaults_seed", "parquet") {
+        SampleData.transactions(s, 200, seed = 110L)
+          .select(col("transaction_id"), col("region"), col("amount"),
+            pmod(xxhash64(col("transaction_id")), lit(2)).as("wave"))
+      }
+      val wh = Pipeline.scratch("defaults")
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("defaults_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+      s.sql("""CREATE TABLE graft.dv.txns (
+               transaction_id STRING, region STRING, amount STRING,
+               channel STRING DEFAULT 'WEB')""")
+      // wave 0 omits channel -> current default 'WEB'
+      s.sql("""INSERT INTO graft.dv.txns (transaction_id, region, amount)
+               SELECT transaction_id, region, amount FROM defaults_seed
+               WHERE wave = 0""")
+      // priority added AFTER wave 0 with default 3: wave-0 rows report 3
+      s.sql("ALTER TABLE graft.dv.txns ADD COLUMN priority INT DEFAULT 3")
+      // future default changes don't rewrite what existing rows report
+      s.sql("ALTER TABLE graft.dv.txns ALTER COLUMN channel SET DEFAULT 'MOBILE'")
+      s.sql("""INSERT INTO graft.dv.txns (transaction_id, region, amount)
+               SELECT transaction_id, region, amount FROM defaults_seed
+               WHERE wave = 1""")
+      s.sql("""
+        SELECT region, channel, priority, count(*) AS n,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graft.dv.txns
+        GROUP BY region, channel, priority
+        ORDER BY region, channel, priority""")
+    }, oracle = Some(s"""
+      WITH fin AS (
+        SELECT region, amount,
+               CASE WHEN wave = 0 THEN 'WEB' ELSE 'MOBILE' END AS channel,
+               3 AS priority
+        FROM read_parquet('$root/defaults_seed/*.parquet'))
+      SELECT region, channel, priority, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM fin GROUP BY region, channel, priority
+      ORDER BY region, channel, priority""")),
+
+    // ------------------------------------------------------------------
     // Atomic REPLACE TABLE AS SELECT (the StagingTableCatalog surface):
     // the AS-SELECT writes into a hidden staging table and publication
     // is one CAS commit swapping schema + file list — readers see the

@@ -1021,7 +1021,11 @@ class TxTable private (
     val selected = df.select(schema.map { f =>
       val base =
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
-        else lit(null).cast(f.dataType)
+        // a column the frame lacks takes its declared CURRENT DEFAULT
+        // (the SQL-standard DEFAULT-on-insert semantics); null otherwise
+        else TxTable.currentDefaultSql(f)
+          .map(sql => expr(sql).cast(f.dataType))
+          .getOrElse(lit(null).cast(f.dataType))
       val v = if (f.nullable || !enforceNotNull) base
         else when(base.isNull, raise_error(
           lit(s"NOT NULL constraint violated: column '${f.name}'"))
@@ -2141,19 +2145,51 @@ class TxTable private (
    * columns when given an explicit read schema). Subsequent
    * appends/merges align to the new schema automatically.
    */
-  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long = {
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long =
+    addColumn(org.apache.spark.sql.types.StructField(name, dataType,
+      nullable = true))
+
+  /** Full-field variant carrying metadata — notably the DEFAULT-value
+    * keys (`CURRENT_DEFAULT`, applied when an insert omits the column;
+    * `EXISTS_DEFAULT`, what rows written BEFORE the column existed
+    * report — Spark's parquet readers fill absent columns from it, so
+    * the add stays metadata-only even with a non-null default). */
+  def addColumn(field: org.apache.spark.sql.types.StructField): Long = {
     val s = snapshot
     val schema = schemaOf(s)
-    require(!schema.fieldNames.contains(name), s"column $name already exists")
+    require(!schema.fieldNames.contains(field.name),
+      s"column ${field.name} already exists")
     // NAME-based column mapping: re-adding a dropped name would read the
     // old files' values back (see dropColumn) — refuse until a full
     // rewrite has cleared the files that still carry the old data
-    require(!s.droppedColumns.contains(name),
-      s"column $name was previously dropped and old files still carry its " +
-        "data; compact() or overwrite() first to make the name reusable")
-    val evolved = StructType(schema.fields :+
-      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    require(!s.droppedColumns.contains(field.name),
+      s"column ${field.name} was previously dropped and old files still carry " +
+        "its data; compact() or overwrite() first to make the name reusable")
+    val evolved = StructType(schema.fields :+ field.copy(nullable = true))
     commit(Some(s.version), "ADD_COLUMN", evolved, s.partitionColumns, s.files)
+  }
+
+  /** Set or clear a column's CURRENT DEFAULT (`ALTER TABLE ... ALTER
+    * COLUMN ... SET/DROP DEFAULT`): future inserts that omit the column
+    * take the new default; what existing rows report (EXISTS_DEFAULT,
+    * fixed at add time) never changes — the SQL-standard split. */
+  def setColumnDefault(name: String, defaultSql: Option[String]): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    require(schema.fieldNames.contains(name), s"no column $name")
+    val evolved = StructType(schema.fields.map { f =>
+      if (f.name != name) f
+      else {
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        defaultSql match {
+          case Some(sql) => mb.putString(TxTable.CurrentDefaultKey, sql)
+          case None      => mb.remove(TxTable.CurrentDefaultKey)
+        }
+        f.copy(metadata = mb.build())
+      }
+    })
+    commit(Some(s.version), "SET_DEFAULT", evolved, s.partitionColumns, s.files)
   }
 
   /** Metadata-only column DROP: readers project the narrowed schema, so
@@ -2223,6 +2259,22 @@ class TxTable private (
 }
 
 object TxTable {
+
+  /** Spark's column-default metadata keys (ResolveDefaultColumns): the
+    * SQL text of the default applied when an INSERT omits the column /
+    * reported by rows written before the column existed. */
+  private[graft] val CurrentDefaultKey =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+  private[graft] val ExistsDefaultKey =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+
+  private[graft] def currentDefaultSql(
+      f: org.apache.spark.sql.types.StructField): Option[String] =
+    if (f.metadata.contains(CurrentDefaultKey))
+      Some(f.metadata.getString(CurrentDefaultKey))
+    else None
 
   /** Snapshot-property prefix under which [[TxTable.copyInto]] keeps
     * its per-source ingest-manifest pointers. */

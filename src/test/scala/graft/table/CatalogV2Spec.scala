@@ -756,6 +756,37 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("DEFAULT column values: create, add, alter, and existence defaults") {
+    withCatalog("defaults") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.d")
+      spark.sql("""CREATE TABLE graft.d.t (
+        id STRING, qty INT DEFAULT 1, status STRING DEFAULT 'NEW')""")
+      // INSERT omitting defaulted columns takes the current defaults
+      spark.sql("INSERT INTO graft.d.t (id) VALUES ('a')")
+      spark.sql("INSERT INTO graft.d.t VALUES ('b', 5, 'DONE')")
+      val rows = spark.sql("SELECT id, qty, status FROM graft.d.t ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      assert(rows.toSeq === Seq(("a", 1, "NEW"), ("b", 5, "DONE")))
+      // ADD COLUMN with DEFAULT is metadata-only: rows written BEFORE
+      // the column existed report the existence default on read
+      spark.sql("ALTER TABLE graft.d.t ADD COLUMN score INT DEFAULT 7")
+      val withNew = spark.sql("SELECT id, score FROM graft.d.t ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getInt(1)))
+      assert(withNew.toSeq === Seq(("a", 7), ("b", 7)))
+      // DEFAULT keyword and omission both resolve on the new column
+      spark.sql("INSERT INTO graft.d.t VALUES ('c', DEFAULT, DEFAULT, 9)")
+      spark.sql("INSERT INTO graft.d.t (id) VALUES ('d')")
+      // SET DEFAULT changes future inserts only; existing rows keep
+      // reporting the add-time existence default
+      spark.sql("ALTER TABLE graft.d.t ALTER COLUMN qty SET DEFAULT 100")
+      spark.sql("INSERT INTO graft.d.t (id) VALUES ('e')")
+      val all = spark.sql("SELECT id, qty, score FROM graft.d.t ORDER BY id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      assert(all.toSeq === Seq(("a", 1, 7), ("b", 5, 7), ("c", 1, 9),
+        ("d", 1, 7), ("e", 100, 7)))
+    }
+  }
+
   test("atomic CREATE OR REPLACE TABLE AS SELECT via StagingTableCatalog") {
     withCatalog("rtas") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.r")
