@@ -85,4 +85,41 @@ object Retrieval {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col(idCol), (col("score_micro") / lit(1e6)).as("score"))
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09) of ranked
+   * retrieval runs — the standard hybrid-search combiner (sparse BM25 +
+   * dense cosine in RAG stacks): `score(q,d) = Σ_runs 1/(k0+rank)`,
+   * with documents absent from a run contributing nothing. Fusing on
+   * RANKS needs no score calibration between runs, which is why RRF is
+   * the default hybrid combiner in production search engines.
+   *
+   * Each run is `(query_id, rank, <idCol>)` — the output shape of
+   * [[bm25TopK]] and of [[graft.operators.Similarity]]'s top-k family.
+   * Contributions are micro-unit integers (`round(1e6/(k0+rank))`)
+   * summed exactly, so fused scores and ranks are order-independent
+   * and SQL-replayable; ties break on doc id.
+   *
+   * Scale shape: inputs are already per-query top-k — O(queries·k·runs)
+   * rows total, corpus-size-independent — so the fusion is a union, one
+   * hash aggregate, and one per-query window over a tiny frame. The
+   * expensive work stays in the run producers, which each keep their
+   * own 100 TB plan shape.
+   */
+  def rrfFuse(runs: Seq[DataFrame], k: Int, k0: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    val contrib = runs.map(r =>
+      r.select(col("query_id"), col(idCol),
+        round(lit(1e6) / (lit(k0) + col("rank")), 0).cast("long").as("ci")))
+      .reduce(_ unionByName _)
+    val fused = contrib.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("ci")).as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol), (col("score_micro") / lit(1e6)).as("score"))
+  }
 }

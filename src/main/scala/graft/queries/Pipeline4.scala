@@ -816,6 +816,96 @@ object Pipeline4 {
       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // ------------------------------------------------------------------
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack & Clarke,
+    // SIGIR'09) — the sparse+dense combiner of production RAG stacks:
+    // a BM25 top-20 run over `documents` fused with a dense cosine
+    // top-20 run over `embeddings` (shared 0..499 id space) purely on
+    // RANKS, 1/(60+rank) summed in micro-units. The oracle replays both
+    // runs and the fusion; rank-only fusion keeps it calibration-free
+    // and bit-stable.
+    Q("retrieval_hybrid_rrf", fn = (s, dir) => {
+      val docs = Td.documents(s, dir)
+      val emb = Td.embeddings(s, dir)
+      val sparse = graft.operators.Retrieval.bm25TopK(docs, Seq(
+          0L -> "spark window agg",
+          1L -> "customer query join",
+          2L -> "fast hash scan",
+          3L -> "stream batch merge"), k = 20)
+      val qv = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val dense = graft.operators.Similarity.bruteForceTopK(emb, qv, k = 20)
+        .withColumnRenamed("vec_id", "doc_id")
+      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }, oracle = Some("""
+      WITH qterms(query_id, term) AS (VALUES
+        (0, 'spark'), (0, 'window'), (0, 'agg'),
+        (1, 'customer'), (1, 'query'), (1, 'join'),
+        (2, 'fast'), (2, 'hash'), (2, 'scan'),
+        (3, 'stream'), (3, 'batch'), (3, 'merge')),
+      toks AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '')) AS term
+        FROM documents),
+      stats AS (
+        SELECT (SELECT count(*) FROM documents) AS n,
+               (SELECT count(*) FROM toks) AS total_toks),
+      dl AS (SELECT doc_id, count(*) AS dlen FROM toks GROUP BY 1),
+      tf AS (
+        SELECT t.doc_id, t.term, count(*) AS tf
+        FROM toks t JOIN (SELECT DISTINCT term FROM qterms) q USING (term)
+        GROUP BY 1, 2),
+      dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      bm AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(round(
+                 ln(1.0 + (CAST(s.n AS DOUBLE) - dfs.df + 0.5) / (dfs.df + 0.5))
+                 * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dlen
+                     / (CAST(s.total_toks AS DOUBLE) / s.n)))
+                 * 1e6, 0) AS BIGINT) AS ci
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dfs USING (term)
+        JOIN qterms q USING (term)
+        CROSS JOIN stats s),
+      sparse AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY sum(ci) DESC, doc_id ASC) AS rank
+        FROM bm GROUP BY query_id, doc_id
+        QUALIFY rank <= 20),
+      qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id < 4),
+      dense AS (
+        SELECT query_id, vec_id AS doc_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.v)
+                   DESC, vec_id ASC) AS rank
+        FROM embeddings e CROSS JOIN qv q
+        QUALIFY rank <= 20),
+      runs AS (
+        SELECT query_id, doc_id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) AS ci
+        FROM sparse
+        UNION ALL
+        SELECT query_id, doc_id, CAST(round(1e6 / (60 + rank), 0) AS BIGINT) AS ci
+        FROM dense),
+      fused AS (
+        SELECT query_id, doc_id, CAST(sum(ci) AS BIGINT) AS score_micro
+        FROM runs GROUP BY 1, 2),
+      franked AS (
+        SELECT query_id, doc_id, score_micro,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_micro DESC, doc_id ASC) AS rank
+        FROM fused)
+      SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+             doc_id, round(score_micro / 1e6, 6) AS score
+      FROM franked WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // ------------------------------------------------------------------
     // Generalized SQL MERGE (VERDICT r5 #4): differing column names in
     // ON (t.transaction_id = s.tid), MULTIPLE ordered WHEN MATCHED AND
     // branches (DELETE, assignment-UPDATE, unconditional UPDATE), and a
