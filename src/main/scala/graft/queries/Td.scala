@@ -6,15 +6,26 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver testdata tables (TESTDATA.md / FIXTURES.md §4). */
 object Td {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects by default; read it as raw nanos and derive a microsecond
-    * TimestampType `ts` (floor-truncation — matching DuckDB's
-    * `ts::TIMESTAMP` cast so oracle comparisons agree). */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some
+    * testdata generations (Spark's reader rejects it by default) and
+    * as plain micros (reading as TIMESTAMP_NTZ) in others — adapt to
+    * whichever shape is on disk and normalize to a microsecond
+    * session-zone TimestampType `ts` (floor-truncation — matching
+    * DuckDB's `ts::TIMESTAMP` cast so oracle comparisons agree; the
+    * session zone is UTC in every entry point, so the NTZ cast is
+    * value-preserving against DuckDB's naive read). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>           // TIMESTAMP(NANOS) read as raw nanos
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>   // plain micros, not adjusted to UTC
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
