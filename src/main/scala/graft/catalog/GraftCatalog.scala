@@ -93,6 +93,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       return new GraftMetadataTable(
         cat.getTable(ident.namespace()(0), ident.namespace()(1)), ident.name())
     }
+    // `graft.ns.t.changes` — the stored Change Data Feed (batch +
+    // micro-batch streaming), the Delta table_changes / Iceberg
+    // changelog addressing; data-volume rows, so a DISTRIBUTED scan
+    // (unlike the driver-local metadata tables above)
+    if (ident.namespace().length == 2 && ident.name() == "changes" &&
+        cat.tableExists(ident.namespace()(0), ident.namespace()(1))) {
+      return new GraftChangesTable(
+        cat.getTable(ident.namespace()(0), ident.namespace()(1)))
+    }
     // `graft.ns.t.branch_audit` — the Iceberg branch addressing: reads
     // AND writes (INSERT / UPDATE / MERGE) target the branch chain
     if (ident.namespace().length == 2 && ident.name().startsWith("branch_") &&

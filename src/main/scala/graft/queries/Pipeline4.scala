@@ -1071,5 +1071,57 @@ object Pipeline4 {
              CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM fin GROUP BY risk_score, status
       ORDER BY risk_score, status""")),
+
+    // ------------------------------------------------------------------
+    // STORED Change Data Feed (the Delta CDF surface, round 7): DML
+    // commits on a CDF-enabled table persist row-level change parquet
+    // under _change_data/, and changeFeed replays the exact history in
+    // O(changes) — appends synthesized from the commit's added files,
+    // update pre/post images and delete pre-images read back from
+    // storage. The oracle replays the same three commits from the
+    // staged seed, so the stored images (not just counts) are under
+    // the hash check.
+    Q("table_cdf_stored", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("cdfs_seed", "parquet") {
+        SampleData.transactions(s, 120, seed = 71L)
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("cdfs")))
+      val t = cat.createTable("analytics", "txns_cdfs",
+        Schemas.transactions, Seq("date"),
+        properties = Map(graft.table.TxTable.ChangeFeedProperty -> "true"))
+      t.append(s.read.parquet(seedDir))                                // v1
+      t.update(col("risk_score") === "HIGH",
+        Map("amount" -> (col("amount") + 50).cast(DecimalType(12, 2)))) // v2
+      t.delete(col("status") === "FAILED")                             // v3
+      t.changeFeed(0)
+        .select(col("_commit_version").as("v"),
+          col("_change_type").as("change_type"),
+          col("transaction_id"),
+          col("amount").cast(DoubleType).as("amount"))
+        .orderBy("v", "change_type", "transaction_id")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/cdfs_seed/*.parquet')),
+      ins AS (
+        SELECT CAST(1 AS BIGINT) AS v, 'insert' AS change_type,
+               transaction_id, CAST(amount AS DOUBLE) AS amount FROM seed),
+      upd_pre AS (
+        SELECT CAST(2 AS BIGINT) AS v, 'update_preimage' AS change_type,
+               transaction_id, CAST(amount AS DOUBLE) AS amount
+        FROM seed WHERE risk_score = 'HIGH'),
+      upd_post AS (
+        SELECT CAST(2 AS BIGINT) AS v, 'update_postimage' AS change_type,
+               transaction_id,
+               CAST(CAST(amount + 50 AS DECIMAL(12,2)) AS DOUBLE) AS amount
+        FROM seed WHERE risk_score = 'HIGH'),
+      del AS (
+        SELECT CAST(3 AS BIGINT) AS v, 'delete' AS change_type,
+               transaction_id,
+               CAST(CASE WHEN risk_score = 'HIGH'
+                         THEN CAST(amount + 50 AS DECIMAL(12,2))
+                         ELSE amount END AS DOUBLE) AS amount
+        FROM seed WHERE status = 'FAILED')
+      SELECT * FROM ins UNION ALL SELECT * FROM upd_pre
+      UNION ALL SELECT * FROM upd_post UNION ALL SELECT * FROM del
+      ORDER BY v, change_type, transaction_id""")),
   )
 }

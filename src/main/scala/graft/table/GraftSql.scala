@@ -105,6 +105,10 @@ object GraftSql {
     """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
   private val ShowViewsRe =
     """(?is)\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([`\w]+))?\s*;?\s*""".r
+  /** `SELECT * FROM table_changes('ns.tbl', from [, to])` — the Delta
+    * CDF TVF read over the STORED change feed (TxTable.changeFeed). */
+  private val TableChangesRe =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*'([`\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*;?\s*""".r
 
   /** ONE catalog name per warehouse (`graftsql_<md5(path)>`): the
     * plugin's conf entries for a given name are written once with fixed
@@ -365,6 +369,10 @@ object GraftSql {
       case DescribeHistoryRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         cat.getTable(ns, tbl).history()
+      case TableChangesRe(rawName, from, to) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        cat.getTable(ns, tbl).changeFeed(from.toLong,
+          Option(to).map(_.toLong).getOrElse(-1L))
       case ShowCreateRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)

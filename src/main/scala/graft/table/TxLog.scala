@@ -144,6 +144,15 @@ final case class Snapshot(
     /** user table properties (TBLPROPERTIES) — opaque key/values
       * carried commit-to-commit; SET/UNSET are metadata-only commits. */
     properties: Map[String, String] = Map.empty,
+    /** stored Change Data Feed files written BY THIS COMMIT (the Delta
+      * `_change_data` shape): parquet under the table's `_change_data/`
+      * dir holding the commit's row-level changes — table columns plus
+      * `_change_type` (insert | update_preimage | update_postimage |
+      * delete). Per-commit, never carried forward; Nil for commits made
+      * without CDF enabled and for appends (whose changes are
+      * synthesized from `added` at read time — see
+      * `TxTable.changeFeed`). */
+    changeFiles: Seq[String] = Nil,
     /** hidden-partitioning spec (empty = every partition column is
       * identity, the pre-transform log shape). When non-empty,
       * `partitionColumns == partitionSpec.map(_.name)`. */

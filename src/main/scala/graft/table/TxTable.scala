@@ -769,13 +769,154 @@ class TxTable private (
       fs.delete(target, true)
       return s.version                       // nothing matched: no commit
     }
+    // stored CDF: the deleted rows' pre-images, from one extra
+    // pushed-predicate scan (MOR deletes already applied by dfFor, so
+    // these are exactly the live rows this commit removes)
+    val cdfFiles =
+      if (!cdfEnabled(s)) Nil
+      else writeChangeData(dfFor(s).filter(predicate)
+        .select(schemaOf(s).map(f => col(f.name)) :+
+          lit("delete").as("_change_type"): _*))
     retryingCommit("DELETE_MOR") { expected =>
       val cur = snapshotAt(expected)
       commit(Some(expected), "DELETE_MOR", schemaOf(cur),
         cur.partitionColumns, cur.files,
         equalityDeletes = cur.equalityDeletes :+
-          EqualityDeleteFile(rel, keyColumn, expected + 1, count))
+          EqualityDeleteFile(rel, keyColumn, expected + 1, count),
+        changeFiles = cdfFiles)
     }
+  }
+
+  // ---- stored change data feed (CDF) -----------------------------------
+
+  private[graft] def changeDataDir: Path = new Path(root, "_change_data")
+
+  /** Classify one commit's row-level changes from the log — the shared
+    * resolution behind [[changeFeed]] and the `.changes` V2 batch /
+    * streaming scans. O(changed files) per commit: raw header first,
+    * the commit's own manifest only when the op synthesizes. */
+  private[graft] def commitChanges(v: Long): CommitChanges = {
+    val raw = TxLog.readRaw(logDir, v, conf)
+    if (raw.changeFiles.nonEmpty)
+      CommitChanges.Stored(raw.changeFiles, raw.timestampMs)
+    else if (CommitChanges.appendLike.contains(raw.operation)) {
+      val changed = TxLog.readChanged(logDir, v, conf)
+      if (changed.isEmpty) CommitChanges.NoChanges
+      else CommitChanges.Inserts(changed, raw.timestampMs)
+    } else if (CommitChanges.overwriteLike.contains(raw.operation)) {
+      val cur = TxLog.read(logDir, v, conf)
+      val prev = TxLog.read(logDir, v - 1, conf)
+      val curPaths = cur.files.map(_.path).toSet
+      val removed = prev.files.filterNot(f => curPaths.contains(f.path))
+      val added = TxLog.readChanged(logDir, v, conf)
+      if (removed.isEmpty && added.isEmpty) CommitChanges.NoChanges
+      else CommitChanges.Overwrite(removed, added, raw.timestampMs)
+    } else if (CommitChanges.noRowChange.contains(raw.operation))
+      CommitChanges.NoChanges
+    else throw new IllegalStateException(
+      s"change data not recorded for $name v$v (${raw.operation}): " +
+        s"set TBLPROPERTIES ('${TxTable.ChangeFeedProperty}'='true') " +
+        "before the commits to replay, and route row-level DML " +
+        "through the table API / GraftSql")
+  }
+
+  private def cdfEnabled(s: Snapshot): Boolean =
+    s.properties.get(TxTable.ChangeFeedProperty)
+      .exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Write one commit's change rows (table columns + `_change_type`) as
+    * parquet under `_change_data/`; returns the relative names the
+    * commit records in [[Snapshot.changeFiles]]. Files are invisible
+    * until that commit wins its CAS — a failed commit strands them as
+    * orphans, reclaimed by [[vacuum]] exactly like unreferenced data
+    * files. Unpartitioned on purpose: a commit's change set is
+    * O(changes), and the reader addresses files by commit, never by
+    * partition directory. */
+  private def writeChangeData(df: DataFrame): Seq[String] = {
+    val staging = new Path(root, s"_staging/${UUID.randomUUID().toString}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val f = fs
+    f.mkdirs(changeDataDir)
+    val moved = f.listStatus(staging).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val rel = s"${UUID.randomUUID().toString}.parquet"
+        f.rename(st.getPath, new Path(changeDataDir, rel))
+        rel
+      }
+    f.delete(staging, true)
+    moved
+  }
+
+  /**
+   * Read the stored row-level Change Data Feed (the Delta CDF
+   * `table_changes` surface): every row-level change committed in
+   * versions `[fromVersion, toVersion]`, as the table's columns plus
+   * `_change_type` (insert | update_preimage | update_postimage |
+   * delete), `_commit_version`, and `_commit_timestamp`.
+   *
+   * Cost is O(changes in range), never O(table):
+   *  - DML commits made with [[TxTable.ChangeFeedProperty]] = true
+   *    ([[update]] / [[delete]] / [[merge]] / [[mergeBranches]] /
+   *    [[deleteMor]]) read their stored `_change_data` parquet;
+   *  - append-shaped commits (CREATE/APPEND/COPY_INTO/ADD_FILES)
+   *    synthesize `insert` rows from the commit's own added files — the
+   *    Delta trick that keeps appends storage-free;
+   *  - OVERWRITE / REPLACE_TABLE synthesize exactly from file moves
+   *    (every removed file's row is a delete, every added file's an
+   *    insert — overwrites move whole files, so file-level is
+   *    row-exact);
+   *  - physical rewrites (COMPACT/REPARTITION) and metadata commits
+   *    change no rows and emit nothing.
+   *
+   * A row-level DML commit made WITHOUT the property enabled, and
+   * RESTORE / FASTFORWARD commits (whose row effect is not derivable
+   * from file moves — surviving rows travel between files), raise —
+   * the Delta contract: enable CDF before the history you want to
+   * replay. Older-schema change files conform to the schema at
+   * `toVersion` (missing columns read null, the schema-evolution read
+   * rule).
+   */
+  def changeFeed(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.types._
+    val to = if (toVersion < 0) currentVersion else toVersion
+    require(fromVersion >= 0 && fromVersion <= to,
+      s"bad change-feed range [$fromVersion, $to]")
+    val outSchema = schemaOf(snapshotAt(to))
+    def conform(df: DataFrame, ct: Column, v: Long, tsMs: Long): DataFrame =
+      df.select(outSchema.map { f =>
+        (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      } ++ Seq(ct.cast(StringType).as("_change_type"),
+        lit(v).as("_commit_version"),
+        lit(new java.sql.Timestamp(tsMs)).as("_commit_timestamp")): _*)
+    val frames: Seq[DataFrame] = (fromVersion to to).flatMap { v =>
+      commitChanges(v) match {
+        case CommitChanges.Stored(files, ts) =>
+          val paths = files.map(r => new Path(changeDataDir, r).toString)
+          Seq(conform(spark.read.parquet(paths: _*),
+            col("_change_type"), v, ts))
+        case CommitChanges.Inserts(files, ts) =>
+          val raw = TxLog.readRaw(logDir, v, conf)
+          Seq(conform(dfFor(raw.copy(files = files)), lit("insert"), v, ts))
+        case CommitChanges.Overwrite(removed, added, ts) =>
+          val raw = TxLog.readRaw(logDir, v, conf)
+          (if (removed.isEmpty) Nil
+           else Seq(conform(dfFor(raw.copy(files = removed,
+             equalityDeletes = TxLog.read(logDir, v - 1, conf).equalityDeletes)),
+             lit("delete"), v, ts))) ++
+          (if (added.isEmpty) Nil
+           else Seq(conform(dfFor(raw.copy(files = added)), lit("insert"), v, ts)))
+        case CommitChanges.NoChanges => Nil
+      }
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(outSchema.fields ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_commit_version", LongType),
+          StructField("_commit_timestamp", TimestampType)))))
   }
 
   // ---- write paths -----------------------------------------------------
@@ -911,6 +1052,14 @@ class TxTable private (
   private[graft] def commitReplace(expectedVersion: Long, op: String,
       files: Seq[DataFile]): Long = {
     val s = snapshotAt(expectedVersion)
+    // The V2 group-based ReplaceData write hands back replacement rows
+    // without pre-images, so it cannot record the change feed. Fail the
+    // statement up front rather than leave a CDF-enabled table with an
+    // unreplayable commit (changeFeed would raise at read time).
+    require(!cdfEnabled(s),
+      s"table $name has ${TxTable.ChangeFeedProperty}=true: route " +
+        "row-level DML through GraftSql / the TxTable API so the " +
+        "change feed stays complete")
     commit(Some(expectedVersion), op, schemaOf(s), s.partitionColumns, files)
   }
 
@@ -969,7 +1118,8 @@ class TxTable private (
       equalityDeletes: Seq[EqualityDeleteFile] = null,
       constraints: Map[String, String] = null,
       properties: Map[String, String] = null,
-      partitionSpec: Seq[PartField] = null): Long = {
+      partitionSpec: Seq[PartField] = null,
+      changeFiles: Seq[String] = Nil): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
@@ -1002,7 +1152,8 @@ class TxTable private (
       equalityDeletes = eqDeletes,
       constraints = cks,
       properties = props,
-      partitionSpec = spec), conf)
+      partitionSpec = spec,
+      changeFiles = changeFiles), conf)
   }
 
   /** Align an incoming frame to the table schema: cast matching
@@ -1542,6 +1693,34 @@ class TxTable private (
     val survivors = TxTable.antiJoinSurvivors(existingAffected,
       deduped.select(col(key)), key, batchRows)
     val upserts = deduped.filter(!col("__del"))
+    // stored CDF: ONE key-equi join of the pruned target against the
+    // (cached) deduped batch classifies every change — matched upserts
+    // emit update pre/post images, matched deletes a delete pre-image,
+    // unmatched upserts an insert; unmatched deletes are no-ops. Cost
+    // is O(touched partitions + batch), the merge's own class, keyed
+    // on the table's unique key (skew-free by construction).
+    val cdfFiles =
+      if (!cdfEnabled(s)) Nil
+      else {
+        val tPrefixed = existingAffected.select(
+          schema.map(f => col(f.name).as(s"__t_${f.name}")): _*)
+        val matched = col(s"__t_$key").isNotNull
+        val pre = struct(schema.map(f => col(s"__t_${f.name}").as(f.name)): _*)
+        val post = struct(schema.map(f => col(f.name).as(f.name)): _*)
+        val entries = when(matched && !col("__del"), array(
+            struct(lit("update_preimage").as("_ct"), pre.as("_row")),
+            struct(lit("update_postimage").as("_ct"), post.as("_row"))))
+          .when(matched && col("__del"), array(
+            struct(lit("delete").as("_ct"), pre.as("_row"))))
+          .otherwise(array(
+            struct(lit("insert").as("_ct"), post.as("_row"))))
+        writeChangeData(deduped
+          .join(tPrefixed, col(key) === col(s"__t_$key"), "left_outer")
+          .filter(matched || !col("__del"))
+          .select(explode(entries).as("e"))
+          .select(schema.map(f => col(s"e._row.${f.name}").as(f.name)) :+
+            col("e._ct").as("_change_type"): _*))
+      }
     val merged = survivors.select(schema.map(f => col(f.name)): _*)
       .unionByName(upserts.select(schema.map(f => col(f.name)): _*))
     val newFiles = writeFiles(
@@ -1559,7 +1738,7 @@ class TxTable private (
       s.appTxns + (appId -> math.max(v, s.appTxns.getOrElse(appId, Long.MinValue)))
     }.getOrElse(s.appTxns)
     commit(Some(s.version), "MERGE", schema, parts, keptFiles ++ newFiles,
-      appTxns = txns)
+      appTxns = txns, changeFiles = cdfFiles)
   }
 
   /**
@@ -1653,6 +1832,10 @@ class TxTable private (
       val chain: Seq[(Column, TxTable.MatchedBranch)] =
         matched.map(b => (guard(b.cond, sm), b)) ++
           notMatchedBySource.map(b => (guard(b.cond, !sm), b))
+      // stored CDF (set inside the rewrite branch, where the joined
+      // frame and branch chain are in scope): matched rows whose branch
+      // fired emit delete or update pre/post images
+      var matchedChanges: Option[DataFrame] = None
       val rewritten =
         if (affected.isEmpty) dfFor(s.copy(files = Nil))
         else {
@@ -1680,6 +1863,23 @@ class TxTable private (
                 }
               when(g, v.cast(f.dataType)).otherwise(els)
             }
+          }
+          if (cdfEnabled(s)) {
+            val fired = chain.foldRight(lit(false)) { case ((g, _), els) =>
+              when(g, lit(true)).otherwise(els)
+            }
+            val pre = struct(schema.map(f =>
+              col(s"$targetAlias.${f.name}").as(f.name)): _*)
+            val post = struct(schema.map(f => newValue(f).as(f.name)): _*)
+            matchedChanges = Some(joined.filter(fired)
+              .select(explode(when(delFlag, array(
+                  struct(lit("delete").as("_ct"), pre.as("_row"))))
+                .otherwise(array(
+                  struct(lit("update_preimage").as("_ct"), pre.as("_row")),
+                  struct(lit("update_postimage").as("_ct"), post.as("_row")))))
+                .as("e"))
+              .select(schema.map(f => col(s"e._row.${f.name}").as(f.name)) :+
+                col("e._ct").as("_change_type"): _*))
           }
           joined.withColumn("__graft_del", delFlag)
             .filter(!col("__graft_del"))
@@ -1712,13 +1912,26 @@ class TxTable private (
           .select(schema.map(f => insValue(f).as(f.name)): _*))
 
       val content = inserts.fold(rewritten)(rewritten.unionByName(_))
+      // stored CDF: matched-branch images (captured above) plus the
+      // INSERT-branch rows as `insert` entries, one parquet write
+      val cdfFiles =
+        if (!cdfEnabled(s)) Nil
+        else {
+          val insertChanges = inserts.map(df => df.select(
+            schema.map(f => col(f.name)) :+
+              lit("insert").as("_change_type"): _*))
+          (matchedChanges.toSeq ++ insertChanges.toSeq)
+            .reduceOption(_.unionByName(_))
+            .map(writeChangeData).getOrElse(Nil)
+        }
       val newFiles = writeFiles(
         sizedForWrite(
           withDerivedParts(align(content, schema, constraints = s.constraints), s),
           affected.map(_.sizeBytes).sum, srcRows, bytesPerRow(s), parts,
           splitCol = defaultSplitCol(schema, parts)),
         parts)
-      commit(Some(s.version), "MERGE", schema, parts, kept ++ newFiles)
+      commit(Some(s.version), "MERGE", schema, parts, kept ++ newFiles,
+        changeFiles = cdfFiles)
     } finally {
       if (pass1 != null) pass1.unpersist()
       src.unpersist()
@@ -1745,13 +1958,23 @@ class TxTable private (
     val rewritten = dfFor(s.copy(files = affected))
       .filter(!coalesce(predicate, lit(false)))
       .select(schema.map(f => col(f.name)): _*)
+    // stored CDF: the deleted rows are exactly the predicate-TRUE rows
+    // of the affected files — one extra pushed-predicate scan of the
+    // pruned file set, O(touched partitions), only when enabled
+    val cdfFiles =
+      if (!cdfEnabled(s)) Nil
+      else writeChangeData(dfFor(s.copy(files = affected))
+        .filter(coalesce(predicate, lit(false)))
+        .select(schema.map(f => col(f.name)) :+
+          lit("delete").as("_change_type"): _*))
     val newFiles = writeFiles(
       sizedForWrite(withDerivedParts(rewritten, s),
         affected.map(_.sizeBytes).sum,
         batchRows = 0L, bytesPerRow(s), s.partitionColumns,
         splitCol = defaultSplitCol(schema, s.partitionColumns)),
       s.partitionColumns)
-    commit(Some(s.version), "DELETE", schema, s.partitionColumns, kept ++ newFiles)
+    commit(Some(s.version), "DELETE", schema, s.partitionColumns,
+      kept ++ newFiles, changeFiles = cdfFiles)
   }
 
   /** UPDATE … SET … WHERE …: copy-on-write rewrite of the files in
@@ -1785,13 +2008,33 @@ class TxTable private (
           case None => col(f.name)
         }
       }: _*), schema, constraints = s.constraints)
+    // stored CDF: pre/post images of the predicate-TRUE rows, exploded
+    // from one extra pushed-predicate scan of the pruned file set (SET
+    // expressions evaluate against the OLD row, same as the rewrite)
+    val cdfFiles =
+      if (!cdfEnabled(s)) Nil
+      else {
+        val pre = struct(schema.map(f => col(f.name).as(f.name)): _*)
+        val post = struct(schema.map { f =>
+          set.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(col(f.name).as(f.name))
+        }: _*)
+        writeChangeData(dfFor(s.copy(files = affected)).filter(hit)
+          .select(explode(array(
+            struct(lit("update_preimage").as("_ct"), pre.as("_row")),
+            struct(lit("update_postimage").as("_ct"), post.as("_row"))))
+            .as("e"))
+          .select(schema.map(f => col(s"e._row.${f.name}").as(f.name)) :+
+            col("e._ct").as("_change_type"): _*))
+      }
     val newFiles = writeFiles(
       sizedForWrite(withDerivedParts(rewritten, s),
         affected.map(_.sizeBytes).sum,
         batchRows = 0L, bytesPerRow(s), s.partitionColumns,
         splitCol = defaultSplitCol(schema, s.partitionColumns)),
       s.partitionColumns)
-    commit(Some(s.version), "UPDATE", schema, s.partitionColumns, kept ++ newFiles)
+    commit(Some(s.version), "UPDATE", schema, s.partitionColumns,
+      kept ++ newFiles, changeFiles = cdfFiles)
   }
 
   /**
@@ -1984,7 +2227,31 @@ class TxTable private (
       if (!retainedNow.contains(rel) && f.delete(p, false)) removed += 1
     }
     removed + vacuumManifests(keepFrom, cutoffMs) +
-      vacuumEqualityDeletes(keepFrom, cutoffMs)
+      vacuumEqualityDeletes(keepFrom, cutoffMs) +
+      vacuumChangeData(keepFrom, cutoffMs)
+  }
+
+  /** Delete `_change_data/` files referenced by no snapshot ≥ `keepFrom`
+    * (expired commits' change feeds age out with their snapshots;
+    * failed commits' stranded files age out with the grace window). */
+  private def vacuumChangeData(keepFrom: Long, cutoffMs: Long): Int = {
+    val f = fs
+    if (!f.exists(changeDataDir)) return 0
+    def referenced: Set[String] = (keepFrom to currentVersion)
+      .flatMap(v => TxLog.readRaw(logDir, v, conf).changeFiles).toSet ++
+      branchRetainedChangeData() ++
+      taggedRetained(keepFrom)(v => TxLog.readRaw(logDir, v, conf).changeFiles)
+    val candidates = f.listStatus(changeDataDir).toSeq.filter { st =>
+      !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoffMs
+    }
+    val refNow = referenced // re-check: a commit may have landed mid-list
+    var removed = 0
+    candidates.foreach { st =>
+      if (!refNow.contains(st.getPath.getName) && f.delete(st.getPath, false))
+        removed += 1
+    }
+    removed
   }
 
   /**
@@ -2074,6 +2341,9 @@ class TxTable private (
     * MOR deletes live in the shared deletes/ dir too). */
   private def branchRetainedDeletes(): Set[String] =
     branchRetained(s => s.equalityDeletes.map(_.path))
+
+  private def branchRetainedChangeData(): Set[String] =
+    branchRetained(_.changeFiles)
 
   private def branchRetained(extract: Snapshot => Seq[String]): Set[String] =
     branches.flatMap { b =>
@@ -2258,6 +2528,30 @@ class TxTable private (
   }
 }
 
+/** One commit's row-level changes as resolved from the transaction log
+  * (see [[TxTable.commitChanges]]): stored `_change_data` parquet,
+  * synthesized inserts from added files, overwrite file moves (removed
+  * rows are deletes, added rows inserts — exact, because overwrites
+  * move whole files), or nothing. */
+sealed trait CommitChanges
+object CommitChanges {
+  final case class Stored(files: Seq[String], tsMs: Long)
+    extends CommitChanges
+  final case class Inserts(files: Seq[DataFile], tsMs: Long)
+    extends CommitChanges
+  final case class Overwrite(removed: Seq[DataFile], added: Seq[DataFile],
+      tsMs: Long) extends CommitChanges
+  case object NoChanges extends CommitChanges
+
+  private[graft] val appendLike =
+    Set("CREATE", "APPEND", "COPY_INTO", "ADD_FILES")
+  private[graft] val overwriteLike = Set("OVERWRITE", "REPLACE_TABLE")
+  private[graft] val noRowChange = Set("COMPACT", "REPARTITION",
+    "ADD_COLUMN", "DROP_COLUMN", "RENAME_COLUMN", "WIDEN_COLUMN",
+    "EVOLVE_SCHEMA", "SET_TBLPROPERTIES", "UNSET_TBLPROPERTIES",
+    "ADD_CONSTRAINT", "DROP_CONSTRAINT", "SET_DEFAULT")
+}
+
 object TxTable {
 
   /** Spark's column-default metadata keys (ResolveDefaultColumns): the
@@ -2284,6 +2578,12 @@ object TxTable {
     * column names) — the Iceberg `WRITE ORDERED BY` surface. Advisory
     * layout metadata: writes cluster by it, readers never depend on it. */
   private[table] val SortOrderProperty = "graft.write.sort-order"
+
+  /** Table property enabling the STORED Change Data Feed (the Delta
+    * `delta.enableChangeDataFeed` surface): when `"true"`, row-level
+    * DML commits write their change rows under `_change_data/` and
+    * [[TxTable.changeFeed]] replays them in O(changes). */
+  val ChangeFeedProperty = "graft.enableChangeDataFeed"
 
   private[table] def sortOrderColumns(s: Snapshot): Seq[String] =
     s.properties.get(SortOrderProperty).toSeq

@@ -381,6 +381,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("changes table: batch and streaming CDF reads through the catalog") {
+    val wh = freshDir("v2cat_cdf")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.cd")
+    spark.sql("CREATE TABLE graft.cd.t (id STRING, v INT)")
+    val cat = new graft.table.TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+    val tx = cat.getTable("cd", "t")
+    tx.setProperties(Map(graft.table.TxTable.ChangeFeedProperty -> "true"))
+    spark.sql("INSERT INTO graft.cd.t VALUES ('a', 1), ('b', 2)")
+    val q = spark.readStream.table("graft.cd.t.changes")
+      .writeStream.format("memory").queryName("cdf_stream_out")
+      .option("checkpointLocation", s"${freshDir("v2cat_cdf_ckpt")}/ckpt")
+      .start()
+    try {
+      q.processAllAvailable()
+      // the recorded history so far: two synthesized inserts
+      val first = spark.table("cdf_stream_out")
+      assert(first.count() === 2)
+      assert(first.select("_change_type").as[String].collect().toSet === Set("insert"))
+      // DML while the stream runs: stored pre/post images flow through
+      tx.update(col("id") === "a", Map("v" -> lit(10)))
+      tx.delete(col("id") === "b")
+      q.processAllAvailable()
+      val out = spark.table("cdf_stream_out")
+        .select("_change_type", "id", "v").as[(String, String, Int)]
+        .collect().toSet
+      assert(out === Set(
+        ("insert", "a", 1), ("insert", "b", 2),
+        ("update_preimage", "a", 1), ("update_postimage", "a", 10),
+        ("delete", "b", 2)))
+      // commit versions are attributed per change
+      assert(spark.table("cdf_stream_out")
+        .filter(col("_change_type").startsWith("update"))
+        .select("_commit_version").distinct().as[Long].collect().toSeq
+        .forall(_ === tx.currentVersion - 1))
+    } finally q.stop()
+    // batch read of a version range through the same addressing
+    val batch = spark.read.option("startingVersion", tx.currentVersion)
+      .table("graft.cd.t.changes")
+      .select("_change_type", "id").as[(String, String)].collect().toSet
+    assert(batch === Set(("delete", "b")))
+  }
+
   test("sliding windows assign events to overlapping buckets") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
