@@ -71,10 +71,18 @@ class GraftChangesTable(tx: TxTable) extends Table with SupportsRead {
         override def readSchema(): StructType = outSchema
         override def description(): String = s"GraftChanges(${tx.name})"
         override def toBatch: Batch = new Batch {
+          private def ms(s: String): Long =
+            java.sql.Timestamp.valueOf(s.trim).getTime
           private val from = Option(options.get("startingVersion"))
-            .map(_.trim.toLong).getOrElse(0L)
+            .map(_.trim.toLong)
+            .orElse(Option(options.get("startingTimestamp"))
+              .map(s => tx.firstVersionAtOrAfter(ms(s))))
+            .getOrElse(0L)
           private val to = Option(options.get("endingVersion"))
-            .map(_.trim.toLong).getOrElse(tx.currentVersion)
+            .map(_.trim.toLong)
+            .orElse(Option(options.get("endingTimestamp"))
+              .map(s => tx.versionAtOrBefore(ms(s))))
+            .getOrElse(tx.currentVersion)
           override def planInputPartitions(): Array[InputPartition] =
             ChangesScan.plan(tx, baseSchema, ctSchema, partCols, partSpec,
               from, to)
@@ -215,7 +223,12 @@ private[catalog] class GraftChangesMicroBatchStream(tx: TxTable,
 
   override def initialOffset(): Offset =
     Option(options.get("startingVersion")).map(_.trim) match {
-      case None => GraftOffset(-1L)       // replay the full recorded feed
+      case None =>
+        Option(options.get("startingTimestamp")).map(_.trim) match {
+          case Some(t) => GraftOffset(tx.firstVersionAtOrAfter(
+            java.sql.Timestamp.valueOf(t).getTime) - 1)
+          case None => GraftOffset(-1L)   // replay the full recorded feed
+        }
       case Some(s) if s.equalsIgnoreCase("latest") =>
         GraftOffset(tx.currentVersion)    // only commits after start
       case Some(s) =>

@@ -1123,5 +1123,61 @@ object Pipeline4 {
       SELECT * FROM ins UNION ALL SELECT * FROM upd_pre
       UNION ALL SELECT * FROM upd_post UNION ALL SELECT * FROM del
       ORDER BY v, change_type, transaction_id""")),
+
+    // ------------------------------------------------------------------
+    // Materialized view with INCREMENTAL refresh (round 7): REFRESH
+    // folds ONLY the stored change feed — signed contributions per
+    // group, O(changes since last refresh) source-side — never a
+    // source re-scan (the mode is pinned with a require below). The
+    // oracle recomputes the final aggregate from the staged inputs with
+    // the same update/append/delete history applied, so the folded
+    // values themselves are under the hash check.
+    Q("mv_refresh_incremental", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("mvr_seed", "parquet") {
+        SampleData.transactions(s, 150, seed = 72L)
+      }
+      val extraDir = Pipeline.stagedInput("mvr_extra", "parquet") {
+        SampleData.transactions(s, 200, seed = 72L)
+          .join(s.read.parquet(seedDir).select("transaction_id"),
+            Seq("transaction_id"), "left_anti")
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("mvr")))
+      val t = cat.createTable("analytics", "txns_mvr",
+        Schemas.transactions, Seq("date"),
+        properties = Map(graft.table.TxTable.ChangeFeedProperty -> "true"))
+      t.append(s.read.parquet(seedDir))
+      cat.sql("""CREATE MATERIALIZED VIEW analytics.mv_risk AS
+        SELECT risk_score, COUNT(*) AS n, SUM(amount) AS total
+        FROM analytics.txns_mvr WHERE status <> 'FAILED'
+        GROUP BY risk_score""")
+      t.update(col("risk_score") === "HIGH",
+        Map("amount" -> (col("amount") + 25).cast(DecimalType(12, 2))))
+      t.append(s.read.parquet(extraDir))
+      t.delete(col("status") === "PENDING")
+      val res = cat.sql("REFRESH MATERIALIZED VIEW analytics.mv_risk")
+        .collect()(0).getString(0)
+      require(res.contains("incremental"),
+        s"refresh must fold the change feed, got: $res")
+      cat.getTable("analytics", "mv_risk").toDF
+        .select(col("risk_score"), col("n"),
+          col("total").cast(DoubleType).as("total"))
+        .orderBy("risk_score")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/mvr_seed/*.parquet')),
+      extra AS (SELECT * FROM read_parquet('$root/mvr_extra/*.parquet')),
+      upd AS (
+        SELECT * REPLACE(
+          CASE WHEN risk_score = 'HIGH'
+               THEN CAST(amount + 25 AS DECIMAL(12,2)) ELSE amount END
+          AS amount)
+        FROM seed),
+      fin AS (
+        SELECT * FROM upd WHERE status <> 'PENDING'
+        UNION ALL
+        SELECT * FROM extra WHERE status <> 'PENDING')
+      SELECT risk_score, count(*) AS n,
+             CAST(sum(amount) AS DOUBLE) AS total
+      FROM fin WHERE status <> 'FAILED'
+      GROUP BY risk_score ORDER BY risk_score""")),
   )
 }

@@ -101,14 +101,26 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+FILES\s+'([^']+)'\s*;?\s*""".r
   private val CreateViewRe =
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s+AS\s+(.*?)\s*;?\s*""".r
+  private val CreateMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s+AS\s+(.*?)\s*;?\s*""".r
+  private val RefreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([`\w.]+)\s*;?\s*""".r
+  private val DropMvRe =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
   private val DropViewRe =
     """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
   private val ShowViewsRe =
     """(?is)\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([`\w]+))?\s*;?\s*""".r
   /** `SELECT * FROM table_changes('ns.tbl', from [, to])` — the Delta
-    * CDF TVF read over the STORED change feed (TxTable.changeFeed). */
+    * CDF TVF read over the STORED change feed (TxTable.changeFeed).
+    * Bounds are versions (bare numbers) or commit timestamps (quoted
+    * `yyyy-MM-dd HH:mm:ss[.f]`, resolved by binary search). */
   private val TableChangesRe =
     """(?is)\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*'([`\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*;?\s*""".r
+  private val TableChangesTsRe =
+    """(?is)\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*'([`\w.]+)'\s*,\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)\s*;?\s*""".r
+  private val ShowMvRe =
+    """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS(?:\s+(?:IN|FROM)\s+([`\w]+))?\s*;?\s*""".r
 
   /** ONE catalog name per warehouse (`graftsql_<md5(path)>`): the
     * plugin's conf entries for a given name are written once with fixed
@@ -275,6 +287,27 @@ object GraftSql {
         Seq(s"DROPPED $ns.$tbl").toDF("result")
       // persistent views (the Athena CREATE VIEW surface): stored SQL
       // text + definition-time schema, substituted plan-level on read
+      // materialized views (must precede CREATE VIEW: the keyword
+      // MATERIALIZED otherwise falls into Spark's parser and errors)
+      case CreateMvRe(ifNotExists, rawName, query) =>
+        val (ns, mv) = splitName(rawName)
+        if (MaterializedViews.exists(cat, ns, mv)) {
+          if (ifNotExists != null) Seq(s"EXISTS $ns.$mv").toDF("result")
+          else throw new IllegalArgumentException(
+            s"materialized view $ns.$mv already exists")
+        } else {
+          val v = MaterializedViews.create(cat, ns, mv, query,
+            items => splitTopLevel(items, ','))
+          Seq(s"CREATED MATERIALIZED VIEW $ns.$mv @v$v").toDF("result")
+        }
+      case RefreshMvRe(rawName) =>
+        val (ns, mv) = splitName(rawName)
+        val (mode, commits) = MaterializedViews.refresh(cat, ns, mv)
+        Seq(s"REFRESHED $ns.$mv ($mode, $commits commit(s))").toDF("result")
+      case DropMvRe(ifExists, rawName) =>
+        val (ns, mv) = splitName(rawName)
+        MaterializedViews.drop(cat, ns, mv, ifExists != null)
+        Seq(s"DROPPED MATERIALIZED VIEW $ns.$mv").toDF("result")
       case CreateViewRe(orReplace, ifNotExists, rawName, query) =>
         val (ns, v) = splitName(rawName)
         val ident = org.apache.spark.sql.connector.catalog.Identifier
@@ -373,6 +406,18 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         cat.getTable(ns, tbl).changeFeed(from.toLong,
           Option(to).map(_.toLong).getOrElse(-1L))
+      case TableChangesTsRe(rawName, from, to) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        def ms(s: String) = java.sql.Timestamp.valueOf(s.trim).getTime
+        cat.getTable(ns, tbl).changeFeedByTime(ms(from),
+          Option(to).map(ms).getOrElse(Long.MaxValue))
+      case ShowMvRe(nsRaw) =>
+        val pairs = Option(nsRaw).map(cleanIdent) match {
+          case Some(n) => MaterializedViews.list(cat, n).map((n, _))
+          case None => cat.listNamespaces()
+            .flatMap(n => MaterializedViews.list(cat, n).map((n, _)))
+        }
+        pairs.toDF("namespace", "viewName")
       case ShowCreateRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)

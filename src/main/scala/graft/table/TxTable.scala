@@ -919,6 +919,29 @@ class TxTable private (
           StructField("_commit_timestamp", TimestampType)))))
   }
 
+  /** Newest version committed at or before `cutoffMs` — O(log commits)
+    * binary search (see [[TxLog.versionAtOrBefore]]). */
+  private[graft] def versionAtOrBefore(cutoffMs: Long): Long =
+    TxLog.versionAtOrBefore(logDir, currentVersion, cutoffMs, conf)
+
+  /** Oldest version committed at or after `ms` (0 when `ms` precedes
+    * the log) — the starting-timestamp resolution. */
+  private[graft] def firstVersionAtOrAfter(ms: Long): Long =
+    try versionAtOrBefore(ms - 1) + 1
+    catch { case _: IllegalArgumentException => 0L }
+
+  /** [[changeFeed]] addressed by commit TIME instead of version (the
+    * Delta `startingTimestamp`/`endingTimestamp` CDF surface): replays
+    * every commit whose timestamp falls in `[startMs, endMs]`. Version
+    * bounds resolve by binary search over the monotone commit
+    * timestamps — O(log commits) header reads, never a log walk. */
+  def changeFeedByTime(startMs: Long, endMs: Long = Long.MaxValue): DataFrame = {
+    val endV = versionAtOrBefore(endMs)
+    val startV = firstVersionAtOrAfter(startMs)
+    require(startV <= endV, s"no commits in time range [$startMs, $endMs]")
+    changeFeed(startV, endV)
+  }
+
   // ---- write paths -----------------------------------------------------
 
   /** The table's partition spec (identity fields synthesized for

@@ -149,6 +149,34 @@ class CdfSpec extends SparkSpec {
       .count() === 25 + nLow)
   }
 
+  test("changeFeedByTime and the timestamp TVF resolve commit-time ranges") {
+    val root = freshDir("cdf_time")
+    val cat = new TableCatalog(spark, new Path(root))
+    val t = cat.createTable("analytics", "txns_cdf_ts",
+      Schemas.transactions, Seq("date"),
+      properties = Map(TxTable.ChangeFeedProperty -> "true"))
+    t.append(SampleData.transactions(spark, 20, seed = 69L))         // v1
+    val afterAppend = t.snapshot.timestampMs
+    Thread.sleep(5)
+    t.delete(col("risk_score") === "HIGH")                           // v2
+    val nHigh = 20 - t.toDF.count()
+    // from just after the append: only the delete commit replays
+    val feed = t.changeFeedByTime(afterAppend + 1)
+    assert(feed.count() === nHigh)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet === Set("delete"))
+    // full range from epoch covers both commits
+    assert(t.changeFeedByTime(0L).count() === 20 + nHigh)
+    intercept[IllegalArgumentException] {
+      t.changeFeedByTime(System.currentTimeMillis() + 60000)
+    }
+    // SQL TVF with quoted timestamps (session-zone rendering)
+    val fromTs = new java.sql.Timestamp(afterAppend + 1).toString
+    assert(cat.sql(
+      s"SELECT * FROM table_changes('analytics.txns_cdf_ts', '$fromTs')")
+      .count() === nHigh)
+  }
+
   test("deleteMor records pre-images; vacuum keeps referenced change files") {
     val t = cdfTable("cdf_mor")
     val seed = SampleData.transactions(spark, 30, seed = 67L)
