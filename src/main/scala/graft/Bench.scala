@@ -106,8 +106,58 @@ object Bench {
       else math.round(streamRows / streamSecs.min).toDouble
     val streamingJson = s"""{"rows":$streamRows,"runs":[${streamSecs.mkString(",")}],"rows_per_sec":$streamRate}"""
     val metadataJson = metadataShakeout(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"metadata":$metadataJson,"sf":"$sfDir"}""")
+    val cdfJson = cdfShakeout(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"metadata":$metadataJson,"cdf":$cdfJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /**
+   * Stored-CDF tax and read rate: the SAME 20k-row CDC merge into a
+   * 40k-row table with the feed off (baseline) and on (the classify +
+   * change-parquet write ride-along), then one O(changes) feed read of
+   * the merge commit. The delta between the merge numbers IS the cost
+   * of enabling `graft.enableChangeDataFeed` on the ingest path; the
+   * feed read shows the consumer side never rescans the table.
+   */
+  private def cdfShakeout(spark: SparkSession): String = try {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    import graft.ingest.SampleData
+    import graft.model.Schemas
+    import graft.table.{TableCatalog, TxTable}
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val whF = new java.io.File("target/qwork/bench_cdf_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(whF)
+    val cat = new TableCatalog(spark, new Path(whF.getAbsolutePath))
+    val seed = SampleData.transactions(spark, 40000, seed = 9L).cache()
+    seed.count()
+    val batch = seed.orderBy("transaction_id").limit(20000)
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+      .cache()
+    batch.count()
+    def seeded(name: String, props: Map[String, String]): TxTable = {
+      val t = cat.createTable("bench", name, Schemas.transactions,
+        Seq("date"), properties = props)
+      t.append(seed)
+      t
+    }
+    val off = seeded("cdf_off", Map.empty)
+    val (_, mergeOff) = timed(
+      off.merge(batch, "transaction_id", "processing_timestamp"))
+    val on = seeded("cdf_on", Map(TxTable.ChangeFeedProperty -> "true"))
+    val (_, mergeOn) = timed(
+      on.merge(batch, "transaction_id", "processing_timestamp"))
+    val v = on.currentVersion
+    val (feedRows, feedSec) = timed(on.changeFeed(v, v).count())
+    seed.unpersist(); batch.unpersist()
+    s"""{"merge_rows":20000,"merge_off_sec":${f"$mergeOff%.3f"},""" +
+      s""""merge_on_sec":${f"$mergeOn%.3f"},""" +
+      s""""feed_rows":$feedRows,"feed_read_sec":${f"$feedSec%.3f"}}"""
+  } catch {
+    case e: Throwable =>
+      s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
 
   /**

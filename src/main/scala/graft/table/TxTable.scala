@@ -1716,33 +1716,42 @@ class TxTable private (
     val survivors = TxTable.antiJoinSurvivors(existingAffected,
       deduped.select(col(key)), key, batchRows)
     val upserts = deduped.filter(!col("__del"))
-    // stored CDF: ONE key-equi join of the pruned target against the
-    // (cached) deduped batch classifies every change — matched upserts
-    // emit update pre/post images, matched deletes a delete pre-image,
-    // unmatched upserts an insert; unmatched deletes are no-ops. Cost
-    // is O(touched partitions + batch), the merge's own class, keyed
-    // on the table's unique key (skew-free by construction).
+    // stored CDF, classified by two joins shaped like the merge's own
+    // survivors gate:
+    //  - matched rows: INNER join of the pruned target against the
+    //    (cached) deduped batch, batch side broadcast below the key
+    //    gate — a CDC-sized batch classifies with ZERO shuffle of the
+    //    touched partitions; past the gate it degrades to the same
+    //    keyed SMJ as the rewrite itself. Upserts emit update pre/post
+    //    images, delete-flagged winners a delete pre-image.
+    //  - inserts: batch anti-join against the target's KEY COLUMN only
+    //    (never full rows), so the big side's shuffle is one column.
+    //    Unmatched deletes are no-ops by construction.
     val cdfFiles =
       if (!cdfEnabled(s)) Nil
       else {
         val tPrefixed = existingAffected.select(
           schema.map(f => col(f.name).as(s"__t_${f.name}")): _*)
-        val matched = col(s"__t_$key").isNotNull
+        val batchSide =
+          if (batchRows <= TxTable.MergeBroadcastMaxKeys) broadcast(deduped)
+          else deduped
         val pre = struct(schema.map(f => col(s"__t_${f.name}").as(f.name)): _*)
         val post = struct(schema.map(f => col(f.name).as(f.name)): _*)
-        val entries = when(matched && !col("__del"), array(
-            struct(lit("update_preimage").as("_ct"), pre.as("_row")),
-            struct(lit("update_postimage").as("_ct"), post.as("_row"))))
-          .when(matched && col("__del"), array(
+        val matchedEntries = when(col("__del"), array(
             struct(lit("delete").as("_ct"), pre.as("_row"))))
           .otherwise(array(
-            struct(lit("insert").as("_ct"), post.as("_row"))))
-        writeChangeData(deduped
-          .join(tPrefixed, col(key) === col(s"__t_$key"), "left_outer")
-          .filter(matched || !col("__del"))
-          .select(explode(entries).as("e"))
+            struct(lit("update_preimage").as("_ct"), pre.as("_row")),
+            struct(lit("update_postimage").as("_ct"), post.as("_row"))))
+        val matchedChanges = tPrefixed
+          .join(batchSide, col(s"__t_$key") === col(key), "inner")
+          .select(explode(matchedEntries).as("e"))
           .select(schema.map(f => col(s"e._row.${f.name}").as(f.name)) :+
-            col("e._ct").as("_change_type"): _*))
+            col("e._ct").as("_change_type"): _*)
+        val insertChanges = upserts
+          .join(existingAffected.select(col(key)), Seq(key), "left_anti")
+          .select(schema.map(f => col(f.name)) :+
+            lit("insert").as("_change_type"): _*)
+        writeChangeData(matchedChanges.unionByName(insertChanges))
       }
     val merged = survivors.select(schema.map(f => col(f.name)): _*)
       .unionByName(upserts.select(schema.map(f => col(f.name)): _*))
