@@ -169,7 +169,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             org.apache.spark.sql.graft.MorScanBuilder]()
 
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-          if (snap.equalityDeletes.nonEmpty) {
+          if (snap.equalityDeletes.nonEmpty || snap.deletionVectors.nonEmpty) {
             // outstanding MOR deletes: the rewrite scan must NOT copy
             // deleted rows into new files (they'd resurrect with a seq
             // above every delete's) — the MOR scan filters them and
@@ -220,7 +220,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (snap.equalityDeletes.nonEmpty) {
+    if (snap.equalityDeletes.nonEmpty || snap.deletionVectors.nonEmpty) {
       // merge-on-read: group files by applicable deletes and filter in
       // the reader. Streaming a table with outstanding deletes is
       // rejected (the MOR scan has no toMicroBatchStream) — compact()
@@ -235,7 +235,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       val (builder, index) = scanBuilderCapturing(options)
       val exactRows =
         if (snap.equalityDeletes.isEmpty && snap.files.forall(_.rowCount >= 0))
-          Some(snap.files.map(_.rowCount).sum)
+          Some(snap.files.map(_.rowCount).sum)   // DVs never reach here
         else None
       ScanBridge.streamCapable(builder, index,
         _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns,
@@ -270,7 +270,9 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     }
 
   /** Seq-group the scan's files by which equality deletes apply
-    * (`file.seq < delete.seq`), loading each delete's key set once. */
+    * (`file.seq < delete.seq`), loading each delete's key set once;
+    * deletion vectors attach per file (position sets loaded once,
+    * driver-side — point deletes by contract). */
   private def morGroups(scanFiles: Seq[graft.table.DataFile])
       : Seq[org.apache.spark.sql.graft.MorGroup] = {
     val deletes = snap.equalityDeletes
@@ -280,6 +282,8 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
         tx.spark, deletesDir, d.path, d.keyColumn,
         fullSchema(d.keyColumn).dataType)
     }.toMap
+    val dvByFile: Map[String, Array[Long]] = snap.deletionVectors
+      .map(d => d.dataFile -> tx.readDvPositions(d.path)).toMap
     scanFiles
       .groupBy(f => deletes.filter(_.seq > f.seq).map(_.path))
       .toSeq
@@ -291,7 +295,8 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
         org.apache.spark.sql.graft.MorGroup(
           fs.map(f => (f.path, f.partitionValues, f.sizeBytes)),
           fs.flatMap(f => f.stats.map(f.path -> _)).toMap,
-          keys)
+          keys,
+          dvByFile.filter { case (p, _) => fs.exists(_.path == p) })
       }
   }
 

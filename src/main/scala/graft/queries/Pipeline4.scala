@@ -1179,5 +1179,39 @@ object Pipeline4 {
              CAST(sum(amount) AS DOUBLE) AS total
       FROM fin WHERE status <> 'FAILED'
       GROUP BY risk_score ORDER BY risk_score""")),
+
+    // ------------------------------------------------------------------
+    // Deletion vectors (round 7): positional merge-on-read delete — no
+    // key column, no data rewrite, one sorted-positions sidecar per
+    // affected file (require() pins that the data files are untouched).
+    // Two stacked deletePos calls exercise per-file vector MERGING; the
+    // aggregate read goes through the DV-applying scan, and the oracle
+    // recomputes from the staged seed with both predicates applied.
+    Q("table_dv_delete", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("dv_seed", "parquet") {
+        SampleData.transactions(s, 180, seed = 73L)
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("dvq")))
+      val t = cat.createTable("analytics", "txns_dv",
+        Schemas.transactions, Seq("date"))
+      t.append(s.read.parquet(seedDir))
+      val filesBefore = t.snapshot.files.map(_.path).toSet
+      t.deletePos(col("status") === "FAILED")
+      t.deletePos(col("risk_score") === "HIGH")
+      require(t.snapshot.files.map(_.path).toSet == filesBefore,
+        "positional delete must not rewrite data files")
+      require(t.snapshot.deletionVectors.nonEmpty, "vectors must be recorded")
+      t.toDF.groupBy("risk_score", "status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy("risk_score", "status")
+    }, oracle = Some(s"""
+      SELECT risk_score, status, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/dv_seed/*.parquet')
+      WHERE status <> 'FAILED' AND risk_score <> 'HIGH'
+      GROUP BY risk_score, status
+      ORDER BY risk_score, status""")),
   )
 }

@@ -53,6 +53,20 @@ final case class EqualityDeleteFile(
     seq: Long,
     count: Long)
 
+/** A deletion vector (the Delta DV / Iceberg positional-delete shape):
+  * ONE sidecar per data file holding the sorted ROW POSITIONS deleted
+  * from exactly that file — `dataFile` is the snapshot-relative data
+  * path, `path` the vector file under `deletes/` (sorted little-endian
+  * longs), `count` its cardinality. Because a position references an
+  * immutable file, no sequence-number rule is needed: a copy-on-write
+  * rewrite replaces the file and the vector drops out of the snapshot
+  * with it (commit filters vectors to surviving files). Point/small
+  * deletes by contract — large predicates go copy-on-write. */
+final case class DeletionVector(
+    dataFile: String,
+    path: String,
+    count: Long)
+
 /** Table-level per-column statistics computed by `TxTable.analyze`
   * (the ANALYZE TABLE ... COMPUTE STATISTICS surface), reported to
   * Spark through the V2 scan's `estimateStatistics` so the CBO sees
@@ -135,6 +149,10 @@ final case class Snapshot(
       * [[EqualityDeleteFile]]); carried commit-to-commit until a full
       * rewrite (overwrite/compact) applies and clears them. */
     equalityDeletes: Seq[EqualityDeleteFile] = Nil,
+    /** outstanding deletion vectors, one per affected data file (see
+      * [[DeletionVector]]); carried commit-to-commit FILTERED to files
+      * the commit still references, so rewrites retire them for free. */
+    deletionVectors: Seq[DeletionVector] = Nil,
     /** CHECK constraints (name → boolean SQL expression over the row),
       * the Delta `ALTER TABLE ... ADD CONSTRAINT ... CHECK` surface:
       * enforced on every ingest write path (append/merge/overwrite) —

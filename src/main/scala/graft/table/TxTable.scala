@@ -673,11 +673,16 @@ class TxTable private (
     val files = s.files.filter(f => partitionFilter.forall {
       case (k, v) => f.partitionValues.get(k).contains(v)
     })
-    // outstanding MOR deletes make footer row counts an overcount —
-    // fall back to a real (delete-applied) count until compaction
-    if (s.equalityDeletes.isEmpty && files.forall(_.rowCount >= 0))
-      files.map(_.rowCount).sum
-    else dfFor(s.copy(files = files)).count()
+    // outstanding equality deletes make footer row counts an overcount
+    // — fall back to a real (delete-applied) count until compaction.
+    // Deletion vectors stay metadata-answerable: each vector's exact
+    // cardinality is in the snapshot, keyed to one live file.
+    if (s.equalityDeletes.isEmpty && files.forall(_.rowCount >= 0)) {
+      val paths = files.map(_.path).toSet
+      files.map(_.rowCount).sum -
+        s.deletionVectors.filter(d => paths.contains(d.dataFile))
+          .map(_.count).sum
+    } else dfFor(s.copy(files = files)).count()
   }
 
   private def dfFor(s: Snapshot): DataFrame = {
@@ -698,15 +703,40 @@ class TxTable private (
         if (!new Path(f.path).isAbsolute) dataDir
         else (1 to nSegs).foldLeft(new Path(dataDir, f.path))((p, _) => p.getParent)
       }
+      // outstanding deletion vectors need each row's position — select
+      // the parquet row-index metadata column at scan time (projected
+      // away again after the anti-join); zero overhead otherwise
+      val withPos = s.deletionVectors.nonEmpty
       groups.map { case (root, fls) =>
-        spark.read
+        val r = spark.read
           .option("basePath", root.toString)
           .schema(schema)
           .parquet(fls.map(f => new Path(dataDir, f.path).toString): _*)
-          .select(schema.map(f => col(f.name)): _*)
+        r.select(schema.map(f => col(f.name)) ++
+          (if (withPos) Seq(col("_metadata.row_index").as("__graft_pos"))
+           else Nil): _*)
       }.reduce(_ unionByName _)
     }
-    applyEqualityDeletes(base, s)
+    applyEqualityDeletes(applyDeletionVectors(base, s), s)
+  }
+
+  /** Merge-on-read positional deletes: anti-join the scan against the
+    * broadcast (file name, position) pairs of the snapshot's deletion
+    * vectors. Vectors are small by contract (point deletes; large
+    * predicates go copy-on-write), so the pair set loads driver-side
+    * and broadcasts — the scan itself never shuffles. */
+  private def applyDeletionVectors(base: DataFrame, s: Snapshot): DataFrame = {
+    if (s.deletionVectors.isEmpty || s.files.isEmpty) return base
+    import spark.implicits._
+    val pairs = s.deletionVectors.flatMap { d =>
+      val name = new Path(d.dataFile).getName
+      readDvPositions(d.path).map(p => (name, p))
+    }.toDF("__graft_file", "__graft_pos")
+    base
+      .withColumn("__graft_file",
+        element_at(split(input_file_name(), "/"), -1))
+      .join(broadcast(pairs), Seq("__graft_file", "__graft_pos"), "left_anti")
+      .drop("__graft_file", "__graft_pos")
   }
 
   /** Merge-on-read: subtract outstanding equality deletes from a scan.
@@ -743,6 +773,125 @@ class TxTable private (
   }
 
   private def deletesDir: Path = new Path(root, "deletes")
+
+  /** Write a deletion vector (sorted positions, little-endian longs)
+    * under `deletes/`; returns its relative name. Tiny by contract, so
+    * a plain binary sidecar beats a parquet file (one stream write,
+    * trivial merge, no footer tax). */
+  private def writeDvFile(positions: Array[Long]): String = {
+    val rel = s"dv-${java.util.UUID.randomUUID()}.bin"
+    val out = fs.create(new Path(deletesDir, rel), true)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(positions.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      positions.foreach(buf.putLong)
+      out.write(buf.array())
+    } finally out.close()
+    rel
+  }
+
+  private[graft] def readDvPositions(rel: String): Array[Long] = {
+    val p = new Path(deletesDir, rel)
+    val len = fs.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(len / 8)(buf.getLong)
+  }
+
+  /**
+   * Merge-on-read positional DELETE (the Delta deletion-vector /
+   * Iceberg positional-delete write): rows matching `predicate` are
+   * deleted by recording their ROW POSITIONS against the immutable
+   * files that hold them — one small sidecar per affected file, no
+   * data rewritten, no key column required (the advantage over
+   * [[deleteMor]]'s equality deletes). The commit is O(matched rows).
+   * Readers anti-join broadcast (file, position) pairs; a copy-on-write
+   * rewrite retires a file's vector automatically; `compact()` applies
+   * and clears them all. Point/small deletes by contract — large
+   * predicates should go through the copy-on-write [[delete]].
+   */
+  def deletePos(predicate: Column): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    // live matched rows with their (file, position) refs: existing DVs
+    // and equality deletes are applied by the ref scan, so re-deleting
+    // is naturally idempotent and never double-counts
+    val refs = dfForWithRefs(s).filter(predicate)
+      .select(col("__graft_file"), col("__graft_pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (refs.isEmpty) return s.version
+    // stored CDF: the deleted rows' pre-images (same pushed scan)
+    val cdfFiles =
+      if (!cdfEnabled(s)) Nil
+      else writeChangeData(dfFor(s).filter(predicate)
+        .select(schema.map(f => col(f.name)) :+
+          lit("delete").as("_change_type"): _*))
+    val relByName = s.files.map(f => new Path(f.path).getName -> f.path).toMap
+    val existing = s.deletionVectors.map(d => d.dataFile -> d).toMap
+    val updated: Map[String, DeletionVector] = refs.groupBy(_._1).map {
+      case (name, rs) =>
+        val rel = relByName.getOrElse(name,
+          throw new IllegalStateException(s"matched row in unknown file $name"))
+        val merged = (existing.get(rel)
+          .map(d => readDvPositions(d.path)).getOrElse(Array.empty[Long]) ++
+          rs.map(_._2)).distinct.sorted
+        rel -> DeletionVector(rel, writeDvFile(merged), merged.length)
+    }
+    retryingCommit("DELETE_DV") { expected =>
+      val cur = snapshotAt(expected)
+      val live = cur.files.map(_.path).toSet
+      val dvs = (cur.deletionVectors.filterNot(d => updated.contains(d.dataFile))
+        ++ updated.values).filter(d => live.contains(d.dataFile))
+      commit(Some(expected), "DELETE_DV", schemaOf(cur),
+        cur.partitionColumns, cur.files,
+        deletionVectors = dvs, changeFiles = cdfFiles)
+    }
+  }
+
+  /** The live table with each row's `(__graft_file, __graft_pos)` scan
+    * refs attached — the positional-delete write scan (DVs and
+    * equality deletes applied, so only live rows match). */
+  private def dfForWithRefs(s: Snapshot): DataFrame = {
+    val schema = schemaOf(s)
+    if (s.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("__graft_file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__graft_pos",
+            org.apache.spark.sql.types.LongType))))
+    val nSegs = s.partitionColumns.size + 1
+    val groups = s.files.groupBy { f =>
+      if (!new Path(f.path).isAbsolute) dataDir
+      else (1 to nSegs).foldLeft(new Path(dataDir, f.path))((p, _) => p.getParent)
+    }
+    val base = groups.map { case (root, fls) =>
+      spark.read
+        .option("basePath", root.toString)
+        .schema(schema)
+        .parquet(fls.map(f => new Path(dataDir, f.path).toString): _*)
+        .select(schema.map(f => col(f.name)) :+
+          col("_metadata.row_index").as("__graft_pos"): _*)
+    }.reduce(_ unionByName _)
+      .withColumn("__graft_file",
+        element_at(split(input_file_name(), "/"), -1))
+    val dvApplied =
+      if (s.deletionVectors.isEmpty) base
+      else {
+        import spark.implicits._
+        val pairs = s.deletionVectors.flatMap { d =>
+          val name = new Path(d.dataFile).getName
+          readDvPositions(d.path).map(p => (name, p))
+        }.toDF("__graft_file", "__graft_pos")
+        base.join(broadcast(pairs), Seq("__graft_file", "__graft_pos"),
+          "left_anti")
+      }
+    applyEqualityDeletes(dvApplied, s)
+  }
 
   /**
    * Merge-on-read DELETE (the Iceberg v2 equality-delete write): rows
@@ -1142,7 +1291,8 @@ class TxTable private (
       constraints: Map[String, String] = null,
       properties: Map[String, String] = null,
       partitionSpec: Seq[PartField] = null,
-      changeFiles: Seq[String] = Nil): Long = {
+      changeFiles: Seq[String] = Nil,
+      deletionVectors: Seq[DeletionVector] = null): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
@@ -1153,6 +1303,16 @@ class TxTable private (
     // full rewrite (overwrite/compact) passes Nil to clear them
     val eqDeletes = Option(equalityDeletes).getOrElse(
       prior.map(_.equalityDeletes).getOrElse(Nil))
+    // deletion vectors carry FILTERED to surviving files: a rewrite
+    // that replaces a file retires its vector with no extra bookkeeping
+    val dvs = Option(deletionVectors).getOrElse {
+      val carried = prior.map(_.deletionVectors).getOrElse(Nil)
+      if (carried.isEmpty) Nil
+      else {
+        val live = files.map(_.path).toSet
+        carried.filter(d => live.contains(d.dataFile))
+      }
+    }
     val cks = Option(constraints).getOrElse(
       prior.map(_.constraints).getOrElse(Map.empty))
     val props = Option(properties).getOrElse(
@@ -1176,7 +1336,8 @@ class TxTable private (
       constraints = cks,
       properties = props,
       partitionSpec = spec,
-      changeFiles = changeFiles), conf)
+      changeFiles = changeFiles,
+      deletionVectors = dvs), conf)
   }
 
   /** Align an incoming frame to the table schema: cast matching
@@ -2312,7 +2473,8 @@ class TxTable private (
         equalityDeletes = target.equalityDeletes,
         constraints = target.constraints,
         properties = target.properties,
-        partitionSpec = target.partitionSpec)
+        partitionSpec = target.partitionSpec,
+        deletionVectors = target.deletionVectors)
     }
   }
 
@@ -2394,10 +2556,14 @@ class TxTable private (
   private def vacuumEqualityDeletes(keepFrom: Long, cutoffMs: Long): Int = {
     val f = fs
     if (!f.exists(deletesDir)) return 0
+    // equality deletes AND deletion vectors share deletes/ — both kinds
+    // referenced by any retained snapshot must survive the sweep
+    def morPaths(s: Snapshot): Seq[String] =
+      s.equalityDeletes.map(_.path) ++ s.deletionVectors.map(_.path)
     val referenced: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => snapshotAt(v).equalityDeletes.map(_.path)).toSet ++
-      branchRetainedDeletes() ++
-      taggedRetained(keepFrom)(v => snapshotAt(v).equalityDeletes.map(_.path))
+      .flatMap(v => morPaths(snapshotAt(v))).toSet ++
+      branchRetained(morPaths) ++
+      taggedRetained(keepFrom)(v => morPaths(snapshotAt(v)))
     var removed = 0
     f.listStatus(deletesDir).foreach { st =>
       if (!referenced.contains(st.getPath.getName) &&

@@ -19,7 +19,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 case class MorGroup(
     files: Seq[(String, Map[String, String], Long)],
     statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]],
-    deletedKeys: Map[String, Set[Any]])
+    deletedKeys: Map[String, Set[Any]],
+    /** outstanding DELETION VECTORS by file path: sorted row positions
+      * deleted from exactly that file. DV'd files plan one-file
+      * sub-scans with only partition filters pushed (no data pushdown
+      * → no row-group skipping → the reader's running count IS the
+      * file row index, reconstructed per split from footer metadata). */
+    dvByPath: Map[String, Array[Long]] = Map.empty)
 
 /**
  * Scan builder for a graft table with OUTSTANDING merge-on-read
@@ -121,18 +127,41 @@ class MorScanBuilder(
     val readSchemaForGroups = StructType(
       fullSchema.filter(f => readCols.contains(f.name)))
     indexes.clear()
-    val groupScans: Seq[(Scan, MorGroup)] = groups.map { g =>
-      val b = newGroupBuilder(g)
-      b.pushFilters(pushed)
-      b.pruneColumns(readSchemaForGroups)
-      (b.build(), g)
-    }
+    // partition-only conjuncts are safe to push into positional
+    // sub-scans: they prune whole files at the index, never row groups,
+    // so the reader still sees every row of an included file in order
+    val partOnlyPushed = pushed.filter(f => f.references.nonEmpty &&
+      f.deterministic &&
+      f.references.forall(a => partitionColumns.contains(a.name)))
+    // one sub-scan per (group, plain-files) + one per DV'd file
+    val subScans: Seq[(Scan, MorGroup, Option[(String, Array[Long])])] =
+      groups.flatMap { g =>
+        val (dvFiles, plain) = g.files.partition(f => g.dvByPath.contains(f._1))
+        val plainScan =
+          if (plain.isEmpty) Nil
+          else {
+            val b = newGroupBuilder(g.copy(files = plain))
+            b.pushFilters(pushed)
+            b.pruneColumns(readSchemaForGroups)
+            Seq((b.build(), g, Option.empty[(String, Array[Long])]))
+          }
+        val dvScans = dvFiles.map { f =>
+          val b = newGroupBuilder(g.copy(files = Seq(f)))
+          b.pushFilters(partOnlyPushed)
+          b.pruneColumns(readSchemaForGroups)
+          (b.build(), g, Some((f._1, g.dvByPath(f._1))))
+        }
+        plainScan ++ dvScans
+      }
     val requestedOut = requested
+    val sparkLocal = spark
+    val dataDirLocal = dataDir
     new Scan with SupportsReportStatistics {
       override def readSchema(): StructType = requestedOut
       override def description(): String =
-        s"graft-mor-scan(${groups.size} groups, " +
-          s"${groups.map(_.deletedKeys.values.map(_.size).sum).sum} deleted keys)"
+        s"graft-mor-scan(${subScans.size} sub-scans, " +
+          s"${groups.map(_.deletedKeys.values.map(_.size).sum).sum} deleted keys, " +
+          s"${groups.map(_.dvByPath.values.map(_.length).sum).sum} deleted positions)"
       override def estimateStatistics()
           : org.apache.spark.sql.connector.read.Statistics =
         new org.apache.spark.sql.connector.read.Statistics {
@@ -143,22 +172,56 @@ class MorScanBuilder(
             java.util.OptionalLong.empty()
         }
       override def toBatch: Batch = new Batch {
-        private val planned: Seq[(Batch, MorGroup)] =
-          groupScans.map { case (s, g) => (s.toBatch, g) }
+        private val planned: Seq[(Batch, MorGroup, Option[(String, Array[Long])])] =
+          subScans.map { case (s, g, dv) => (s.toBatch, g, dv) }
         override def planInputPartitions(): Array[InputPartition] =
-          planned.zipWithIndex.flatMap { case ((b, _), gi) =>
-            b.planInputPartitions().map(p => MorInputPartition(p, gi))
+          planned.zipWithIndex.flatMap { case ((b, _, dv), si) =>
+            val parts = b.planInputPartitions()
+            dv match {
+              case None => parts.map(p => MorInputPartition(p, si))
+              case Some((path, _)) =>
+                // reconstruct each split's starting row offset from the
+                // file footer (one driver read per DV'd file): a block
+                // belongs to the split containing its midpoint — the
+                // parquet range-filter rule the task-side reader applies
+                val abs = new Path(dataDirLocal, path)
+                val conf = sparkLocal.sessionState.newHadoopConf()
+                val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile
+                    .fromPath(abs, conf))
+                val blocks =
+                  try {
+                    import scala.jdk.CollectionConverters._
+                    rd.getFooter.getBlocks.asScala.toSeq.map(blk =>
+                      (blk.getStartingPos + blk.getCompressedSize / 2,
+                        blk.getRowCount))
+                  } finally rd.close()
+                parts.map { p =>
+                  val fp = p.asInstanceOf[
+                    org.apache.spark.sql.execution.datasources.FilePartition]
+                  val segs = fp.files.map { pf =>
+                    val lo = pf.start
+                    val hi = pf.start + pf.length
+                    val startRow = blocks.filter(_._1 < lo).map(_._2).sum
+                    val rows = blocks
+                      .filter(b => b._1 >= lo && b._1 < hi).map(_._2).sum
+                    (startRow, rows)
+                  }
+                  MorInputPartition(p, si, segs)
+                }
+            }
           }.toArray
         override def createReaderFactory(): PartitionReaderFactory = {
-          val specs = planned.zipWithIndex.map { case ((b, g), gi) =>
-            val scanSchema = groupScans(gi)._1.readSchema()
+          val specs = planned.zipWithIndex.map { case ((b, g, dv), si) =>
+            val scanSchema = subScans(si)._1.readSchema()
             MorGroupSpec(
               b.createReaderFactory(),
               scanSchema,
               requestedOut.fieldNames.map(scanSchema.fieldIndex),
               g.deletedKeys.toSeq.map { case (c, ks) =>
                 (scanSchema.fieldIndex(c), scanSchema(c).dataType, ks)
-              })
+              },
+              dv.map(_._2).getOrElse(Array.empty))
           }
           new MorReaderFactory(specs.toArray)
         }
@@ -167,28 +230,28 @@ class MorScanBuilder(
   }
 }
 
-/** An input partition tagged with its seq-group ordinal. */
-case class MorInputPartition(inner: InputPartition, group: Int)
+/** An input partition tagged with its sub-scan ordinal; positional
+  * partitions additionally carry each split's (start row offset, row
+  * count) so the reader can reconstruct exact file row indexes. */
+case class MorInputPartition(inner: InputPartition, group: Int,
+    segs: Seq[(Long, Long)] = Nil)
   extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
-/** Per-group reading spec: the group's inner factory, its scan schema,
-  * the projection to the requested order, and (ordinal, type, deleted
-  * values) checks. */
+/** Per-sub-scan reading spec: the inner factory, its scan schema, the
+  * projection to the requested order, (ordinal, type, deleted values)
+  * equality checks, and (positional sub-scans) the file's sorted
+  * deleted positions. */
 case class MorGroupSpec(
     factory: PartitionReaderFactory,
     scanSchema: StructType,
     perm: Array[Int],
-    keyChecks: Seq[(Int, DataType, Set[Any])])
+    keyChecks: Seq[(Int, DataType, Set[Any])],
+    positions: Array[Long] = Array.empty)
 
 class MorReaderFactory(specs: Array[MorGroupSpec])
   extends PartitionReaderFactory {
-
-  private def spec(p: InputPartition): (MorGroupSpec, InputPartition) = {
-    val mp = p.asInstanceOf[MorInputPartition]
-    (specs(mp.group), mp.inner)
-  }
 
   // Spark requires every partition of a scan to agree on columnar
   // support ("Cannot mix row-based and columnar input partitions"), so
@@ -199,17 +262,36 @@ class MorReaderFactory(specs: Array[MorGroupSpec])
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val (s, inner) = spec(partition)
-    val r = s.factory.createReader(inner)
+    val mp = partition.asInstanceOf[MorInputPartition]
+    val s = specs(mp.group)
+    val r = s.factory.createReader(mp.inner)
     val proj = UnsafeProjection.create(s.perm.toIndexedSeq.map(i =>
       BoundReference(i, s.scanSchema(i).dataType, s.scanSchema(i).nullable)))
     val checks = s.keyChecks
+    val positions = s.positions
+    val segs = mp.segs.toArray
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
+      // positional bookkeeping: the n-th row this reader emits sits at
+      // file row index segs(i)._1 + offset-within-segment — exact
+      // because positional sub-scans push no data filters (no row-group
+      // or page skipping) and splits cover disjoint block ranges
+      private var segIdx = 0
+      private var segConsumed = 0L
+      private def nextRowIndex(): Long = {
+        while (segConsumed >= segs(segIdx)._2) { segIdx += 1; segConsumed = 0L }
+        val idx = segs(segIdx)._1 + segConsumed
+        segConsumed += 1
+        idx
+      }
       override def next(): Boolean = {
         while (r.next()) {
           val row = r.get()
-          val deleted = checks.exists { case (ord, dt, ks) =>
+          val posDeleted = positions.nonEmpty && {
+            val idx = nextRowIndex()
+            java.util.Arrays.binarySearch(positions, idx) >= 0
+          }
+          val deleted = posDeleted || checks.exists { case (ord, dt, ks) =>
             !row.isNullAt(ord) && ks.contains(row.get(ord, dt))
           }
           if (!deleted) { current = proj(row); return true }

@@ -1,0 +1,140 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.ingest.SampleData
+import graft.model.Schemas
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Positional merge-on-read deletes (deletion vectors): one sorted
+  * sidecar per data file, applied on the V1 scan by broadcast anti-join
+  * and on the V2 scan by counting readers; retired automatically by
+  * copy-on-write rewrites. */
+class DeletionVectorSpec extends SparkSpec {
+
+  test("deletePos removes exactly the matched rows without rewriting data") {
+    val t = TxTable.create(spark, new Path(freshDir("dv_basic")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 60, seed = 91L)
+    t.append(seed)
+    val dataFilesBefore = t.snapshot.files.map(_.path).toSet
+    val nHigh = seed.filter(col("risk_score") === "HIGH").count()
+    t.deletePos(col("risk_score") === "HIGH")
+    // no data file rewritten — only vectors recorded
+    assert(t.snapshot.files.map(_.path).toSet === dataFilesBefore)
+    assert(t.snapshot.deletionVectors.nonEmpty)
+    assert(t.toDF.count() === 60 - nHigh)
+    assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
+    // metadata count stays exact (vector cardinalities subtract)
+    assert(t.count() === 60 - nHigh)
+    // second positional delete MERGES per-file vectors (idempotent on
+    // already-deleted rows, additive on new matches)
+    val nMed = seed.filter(col("risk_score") === "MEDIUM").count()
+    t.deletePos(col("risk_score").isin("HIGH", "MEDIUM"))
+    assert(t.toDF.count() === 60 - nHigh - nMed)
+    assert(t.count() === 60 - nHigh - nMed)
+    // one vector per affected file, never stacking duplicates
+    val perFile = t.snapshot.deletionVectors.groupBy(_.dataFile)
+    assert(perFile.values.forall(_.size == 1))
+  }
+
+  test("copy-on-write rewrite retires the affected files' vectors") {
+    val t = TxTable.create(spark, new Path(freshDir("dv_retire")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 50, seed = 92L)
+    t.append(seed)
+    t.deletePos(col("risk_score") === "LOW")
+    val live = t.toDF.count()
+    assert(t.snapshot.deletionVectors.nonEmpty)
+    // full compaction rewrites every file: vectors applied and retired
+    t.compact()
+    assert(t.snapshot.deletionVectors.isEmpty)
+    assert(t.toDF.count() === live)
+    assert(t.toDF.filter(col("risk_score") === "LOW").count() === 0)
+  }
+
+  test("V2 catalog scans apply deletion vectors (counting readers)") {
+    val wh = freshDir("dv_v2")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dv")
+    spark.sql("CREATE TABLE graft.dv.t (id STRING, v INT)")
+    val rows = (1 to 500).map(i => s"('r$i', $i)").mkString(", ")
+    spark.sql(s"INSERT INTO graft.dv.t VALUES $rows")
+    val cat = new TableCatalog(spark, new Path(wh))
+    val tx = cat.getTable("dv", "t")
+    tx.deletePos(col("v") % 7 === 0)
+    val expect = (1 to 500).count(_ % 7 != 0)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dv.t")
+      .collect()(0).getLong(0) === expect)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dv.t WHERE v % 7 = 0")
+      .collect()(0).getLong(0) === 0)
+    // selective predicate over the DV'd file still answers correctly
+    // (data conjuncts stay residual above positional sub-scans)
+    assert(spark.sql("SELECT v FROM graft.dv.t WHERE v IN (13, 14, 15)")
+      .collect().map(_.getInt(0)).toSet === Set(13, 15))
+    // and equality deletes compose with positional ones
+    tx.deleteMor(col("v") === 13, "id")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.dv.t")
+      .collect()(0).getLong(0) === expect - 1)
+  }
+
+  test("V2 counting readers stay exact across row groups and file splits") {
+    val wh = freshDir("dv_splits")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    val oldMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      // tiny row groups at write time + tiny split size at read time:
+      // the DV'd file plans as MANY splits over MANY row groups, so the
+      // per-split (start row offset, row count) reconstruction is what
+      // this test actually exercises
+      hconf.set("parquet.block.size", "16384")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dvs")
+      spark.sql("CREATE TABLE graft.dvs.t (id STRING, v INT)")
+      val cat = new TableCatalog(spark, new Path(wh))
+      val tx = cat.getTable("dvs", "t")
+      import spark.implicits._
+      tx.append((1 to 50000).map(i => (s"row$i", i)).toDF("id", "v")
+        .coalesce(1))
+      tx.deletePos(col("v") % 997 === 0)
+      val expect = (1 to 50000).count(_ % 997 != 0)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.dvs.t")
+        .collect()(0).getLong(0) === expect)
+      val survivors = spark.sql(
+        "SELECT v FROM graft.dvs.t WHERE v % 997 = 0 OR v % 991 = 0")
+        .collect().map(_.getInt(0)).toSet
+      assert(survivors === (1 to 50000)
+        .filter(i => i % 997 != 0 && i % 991 == 0).toSet)
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMaxPart)
+    }
+  }
+
+  test("deletePos records CDF pre-images and survives vacuum") {
+    val t = TxTable.create(spark, new Path(freshDir("dv_cdf")), "t",
+      Schemas.transactions, Seq("date"),
+      properties = Map(TxTable.ChangeFeedProperty -> "true"))
+    val seed = SampleData.transactions(spark, 40, seed = 93L)
+    t.append(seed)
+    val nHigh = seed.filter(col("risk_score") === "HIGH").count()
+    t.deletePos(col("risk_score") === "HIGH")
+    val v = t.currentVersion
+    val feed = t.changeFeed(v, v)
+    assert(feed.count() === nHigh)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet === Set("delete"))
+    // vacuum keeps the referenced vector files; reads stay correct
+    t.vacuum(retainVersions = 10, graceMillis = 0L)
+    assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
+    // restore to the pre-delete version resurrects the rows (vectors
+    // roll back with the snapshot)
+    t.restore(v - 1)
+    assert(t.toDF.count() === 40)
+  }
+}
