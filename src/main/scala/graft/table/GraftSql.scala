@@ -362,16 +362,24 @@ object GraftSql {
           cleanIdent(assignment.substring(0, eq)) ->
             org.apache.spark.sql.functions.expr(assignment.substring(eq + 1))
         }.toMap
-        val v = t.update(predicateOf(where),
-          set, partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns,
-            spark.sessionState.conf.sessionLocalTimeZone))
+        // write.update.mode=merge-on-read (Iceberg shape): positions +
+        // appended post-images instead of a copy-on-write rewrite
+        val v =
+          if (TxTable.morMode(t.snapshot, TxTable.UpdateModeProperty))
+            t.updateMor(predicateOf(where), set)
+          else t.update(predicateOf(where), set,
+            partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns,
+              spark.sessionState.conf.sessionLocalTimeZone))
         Seq(s"UPDATED $ns.$tbl v$v").toDF("result")
       case DeleteFromRe(rawName, where) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
-        val v = t.delete(predicateOf(where),
-          partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns,
-            spark.sessionState.conf.sessionLocalTimeZone))
+        val v =
+          if (TxTable.morMode(t.snapshot, TxTable.DeleteModeProperty))
+            t.deletePos(predicateOf(where))
+          else t.delete(predicateOf(where),
+            partitionFilterFrom(where, t.schema, t.snapshot.partitionColumns,
+              spark.sessionState.conf.sessionLocalTimeZone))
         Seq(s"DELETED $ns.$tbl v$v").toDF("result")
       case InsertRe(rawName, colList, query) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)

@@ -851,6 +851,79 @@ class TxTable private (
     }
   }
 
+  /**
+   * Merge-on-read UPDATE (the Delta deletion-vector update shape):
+   * matched rows' positions are marked deleted in per-file vectors and
+   * their UPDATED images appended as new files — one commit, no
+   * existing file rewritten, cost O(matched rows) regardless of how
+   * large the touched files are. SET expressions evaluate against the
+   * OLD row (standard UPDATE semantics); updated rows land in their
+   * (possibly new) partition via the normal write path, so partition-
+   * column updates work for free. Point/small updates by contract —
+   * broad predicates should use the copy-on-write [[update]].
+   */
+  def updateMor(predicate: Column,
+      set: Map[String, Column]): Long = {
+    val s = snapshot
+    val schema = schemaOf(s)
+    set.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"UPDATE SET column '$k' is not in the table schema"))
+    val hit = coalesce(predicate, lit(false))
+    // ONE cached ref scan feeds all three consumers: the positions to
+    // mark deleted, the post-images to append, and the CDF record
+    val matched = dfForWithRefs(s).filter(hit).cache()
+    try {
+      val refs = matched.select(col("__graft_file"), col("__graft_pos"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      if (refs.isEmpty) return s.version
+      val post = matched.select(schema.map { f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name).as(f.name))
+      }: _*)
+      val cdfFiles =
+        if (!cdfEnabled(s)) Nil
+        else {
+          val pre = struct(schema.map(f => col(f.name).as(f.name)): _*)
+          val postS = struct(schema.map { f =>
+            set.get(f.name).map(_.cast(f.dataType).as(f.name))
+              .getOrElse(col(f.name).as(f.name))
+          }: _*)
+          writeChangeData(matched.select(explode(array(
+              struct(lit("update_preimage").as("_ct"), pre.as("_row")),
+              struct(lit("update_postimage").as("_ct"), postS.as("_row"))))
+              .as("e"))
+            .select(schema.map(f => col(s"e._row.${f.name}").as(f.name)) :+
+              col("e._ct").as("_change_type"): _*))
+        }
+      val newFiles = writeFiles(
+        sizedForWrite(
+          withDerivedParts(align(post, schema, constraints = s.constraints), s),
+          rewriteBytes = 0L, batchRows = refs.length.toLong, bytesPerRow(s),
+          s.partitionColumns,
+          splitCol = defaultSplitCol(schema, s.partitionColumns)),
+        s.partitionColumns)
+      val relByName = s.files.map(f => new Path(f.path).getName -> f.path).toMap
+      val existing = s.deletionVectors.map(d => d.dataFile -> d).toMap
+      val updated: Map[String, DeletionVector] = refs.groupBy(_._1).map {
+        case (name, rs) =>
+          val rel = relByName.getOrElse(name,
+            throw new IllegalStateException(s"matched row in unknown file $name"))
+          val merged = (existing.get(rel)
+            .map(d => readDvPositions(d.path)).getOrElse(Array.empty[Long]) ++
+            rs.map(_._2)).distinct.sorted
+          rel -> DeletionVector(rel, writeDvFile(merged), merged.length)
+      }
+      val files = s.files ++ newFiles
+      val live = files.map(_.path).toSet
+      val dvs = (s.deletionVectors.filterNot(d => updated.contains(d.dataFile))
+        ++ updated.values).filter(d => live.contains(d.dataFile))
+      // CAS against the snapshot the refs were computed from — a
+      // concurrent commit surfaces as a conflict, same as update()
+      commit(Some(s.version), "UPDATE_MOR", schema, s.partitionColumns,
+        files, deletionVectors = dvs, changeFiles = cdfFiles)
+    } finally matched.unpersist()
+  }
+
   /** The live table with each row's `(__graft_file, __graft_pos)` scan
     * refs attached — the positional-delete write scan (DVs and
     * equality deletes applied, so only live rows match). */
@@ -2782,6 +2855,16 @@ object TxTable {
     * DML commits write their change rows under `_change_data/` and
     * [[TxTable.changeFeed]] replays them in O(changes). */
   val ChangeFeedProperty = "graft.enableChangeDataFeed"
+
+  /** Row-level DML modes for the SQL surface (the Iceberg
+    * `write.delete.mode` / `write.update.mode` shape): `copy-on-write`
+    * (default — rewrite affected files) or `merge-on-read` (record
+    * deletion vectors; updates append post-images). */
+  val DeleteModeProperty = "graft.delete.mode"
+  val UpdateModeProperty = "graft.update.mode"
+
+  private[graft] def morMode(s: Snapshot, prop: String): Boolean =
+    s.properties.get(prop).exists(_.trim.equalsIgnoreCase("merge-on-read"))
 
   private[table] def sortOrderColumns(s: Snapshot): Seq[String] =
     s.properties.get(SortOrderProperty).toSeq

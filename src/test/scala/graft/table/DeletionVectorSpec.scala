@@ -116,6 +116,55 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("updateMor: positions + appended post-images, one commit, CDF images") {
+    val t = TxTable.create(spark, new Path(freshDir("dv_upd")), "t",
+      Schemas.transactions, Seq("date"),
+      properties = Map(TxTable.ChangeFeedProperty -> "true"))
+    val seed = SampleData.transactions(spark, 60, seed = 94L)
+    t.append(seed)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    val nHigh = seed.filter(col("risk_score") === "HIGH").count()
+    t.updateMor(col("risk_score") === "HIGH",
+      Map("amount" -> lit(77.77).cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+    // no original file rewritten; new post-image files appended
+    assert(t.snapshot.files.map(_.path).toSet.intersect(filesBefore) === filesBefore)
+    assert(t.snapshot.files.size > filesBefore.size)
+    assert(t.snapshot.deletionVectors.nonEmpty)
+    assert(t.toDF.count() === 60)
+    assert(t.toDF.filter(col("amount") === 77.77).count() === nHigh)
+    assert(t.count() === 60)
+    // CDF carries both images
+    val v = t.currentVersion
+    val feed = t.changeFeed(v, v)
+    assert(feed.filter(col("_change_type") === "update_preimage").count() === nHigh)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .filter(col("amount") =!= 77.77).count() === 0)
+  }
+
+  test("write modes: SQL DELETE/UPDATE honor merge-on-read properties") {
+    val cat = new TableCatalog(spark, new Path(freshDir("dv_modes")))
+    val t = cat.createTable("analytics", "txns_mor",
+      Schemas.transactions, Seq("date"),
+      properties = Map(
+        TxTable.DeleteModeProperty -> "merge-on-read",
+        TxTable.UpdateModeProperty -> "merge-on-read"))
+    val seed = SampleData.transactions(spark, 50, seed = 95L)
+    t.append(seed)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    cat.sql("DELETE FROM analytics.txns_mor WHERE risk_score = 'LOW'")
+    cat.sql("UPDATE analytics.txns_mor SET status = 'FLAGGED' WHERE risk_score = 'HIGH'")
+    // both statements were merge-on-read: originals untouched
+    assert(t.snapshot.files.map(_.path).toSet.intersect(filesBefore) === filesBefore)
+    assert(t.snapshot.deletionVectors.nonEmpty)
+    val nLow = seed.filter(col("risk_score") === "LOW").count()
+    val nHigh = seed.filter(col("risk_score") === "HIGH").count()
+    assert(t.toDF.count() === 50 - nLow)
+    assert(t.toDF.filter(col("risk_score") === "HIGH")
+      .filter(col("status") =!= "FLAGGED").count() === 0)
+    assert(nHigh === t.toDF.filter(col("status") === "FLAGGED" &&
+      col("risk_score") === "HIGH").count())
+  }
+
   test("deletePos records CDF pre-images and survives vacuum") {
     val t = TxTable.create(spark, new Path(freshDir("dv_cdf")), "t",
       Schemas.transactions, Seq("date"),
