@@ -148,12 +148,22 @@ object GraftSql {
    * ([[graft.catalog.GraftCatalog]]), so `ns.tbl` references inside the
    * statement resolve natively by Catalyst — no text rewriting.
    */
-  private def withCurrentCatalog[T](cat: TableCatalog)(f: => T): T = {
+  /** Register (idempotently) the V2 catalog plugin for this warehouse
+    * and return its session catalog name — lets callers address tables
+    * fully qualified (`<name>.ns.tbl[.changes]`) without flipping the
+    * session's current catalog. */
+  private[graft] def ensureCatalogRegistered(cat: TableCatalog): String = {
     val spark = cat.spark
     val name = catalogNameFor(cat)
     spark.conf.set(s"spark.sql.catalog.$name", "graft.catalog.GraftCatalog")
     spark.conf.set(s"spark.sql.catalog.$name.warehouse",
       cat.warehouse.toString)
+    name
+  }
+
+  private def withCurrentCatalog[T](cat: TableCatalog)(f: => T): T = {
+    val spark = cat.spark
+    val name = ensureCatalogRegistered(cat)
     currentCatalogLock.synchronized {
       val prev = spark.catalog.currentCatalog()
       spark.catalog.setCurrentCatalog(name)

@@ -170,27 +170,77 @@ object MaterializedViews {
     atVersion
   }
 
+  /** The fence identity for a materialized view's folds: commits to the
+    * backing table record the highest SOURCE version reflected under
+    * this appId (the Delta txn protocol), which is AUTHORITATIVE over
+    * the sidecar's advisory `lastSourceVersion` — a crash between a
+    * fold commit and the sidecar write can never double-fold. */
+  private def fenceId(ns: String, name: String) = s"graft-mv:$ns.$name"
+
+  /** Highest source version the backing table's contents reflect. */
+  private def reflectedVersion(backing: TxTable, m: Stored,
+      ns: String): Long =
+    backing.snapshot.appTxns.getOrElse(fenceId(ns, m.name),
+      m.lastSourceVersion)
+
   /** REFRESH: incremental off the stored change feed when replayable,
     * full recompute otherwise. Returns (mode, folded source commits). */
   def refresh(cat: TableCatalog, ns: String, name: String): (String, Long) = {
     val m = load(cat, ns, name)
     val src = cat.getTable(m.sourceNs, m.sourceTable)
     val head = src.currentVersion
-    if (head <= m.lastSourceVersion) return ("fresh", 0L)
     val backing = cat.getTable(ns, name)
+    val reflected = reflectedVersion(backing, m, ns)
+    if (head <= reflected) return ("fresh", 0L)
+    val txn = Some((fenceId(ns, name), head))
     val mode =
       try {
-        val feed = src.changeFeed(m.lastSourceVersion + 1, head)
-        backing.overwrite(fold(backing.toDF, feed, m))
+        val feed = src.changeFeed(reflected + 1, head)
+        backing.overwrite(fold(backing.toDF, feed, m), txn)
         "incremental"
       } catch {
         case _: IllegalStateException =>    // unreplayable gap in the feed
           backing.overwrite(recompute(src.asOf(head), m.groupCols, m.aggs,
-            m.whereSql))
+            m.whereSql), txn)
           "full"
       }
     store(cat, ns, m.copy(lastSourceVersion = head))
-    (mode, head - m.lastSourceVersion)
+    (mode, head - reflected)
+  }
+
+  /**
+   * CONTINUOUS refresh: a Structured Streaming query over the source's
+   * `.changes` stream (the stored CDF as a V2 table) folding each
+   * micro-batch's deltas into the backing table. Exactly-once: every
+   * fold commits under the MV's txn fence keyed by the batch's highest
+   * `_commit_version`, so a replayed micro-batch (restart, retry) is a
+   * no-op on the table. Source-side cost per batch is O(that batch's
+   * changes); the aggregate rewrite is O(|MV|). Stop the query with
+   * `.stop()`; a later batch/manual REFRESH picks up from the fence.
+   */
+  def startContinuous(cat: TableCatalog, ns: String, name: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val m = load(cat, ns, name)
+    val backing = cat.getTable(ns, name)
+    val reflected = reflectedVersion(backing, m, ns)
+    val catalogName = GraftSql.ensureCatalogRegistered(cat)
+    cat.spark.readStream
+      .option("startingVersion", reflected + 1)
+      .table(s"$catalogName.${m.sourceNs}.${m.sourceTable}.changes")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cur = load(cat, ns, name)
+          val b = cat.getTable(ns, name)
+          val maxV = batch.agg(max(col("_commit_version"))).collect()(0).getLong(0)
+          b.overwrite(fold(b.toDF, batch, cur),
+            Some((fenceId(ns, name), maxV)))
+          store(cat, ns, cur.copy(lastSourceVersion = maxV))
+        }
+      }
+      .start()
   }
 
   /** Fold the change feed into the current MV contents: signed

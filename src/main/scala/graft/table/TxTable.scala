@@ -1619,16 +1619,32 @@ class TxTable private (
 
   /** Replace the whole table contents. Overwrite is idempotent w.r.t.
     * prior contents, so losing a CAS race just means retrying with the
-    * same file set against the new head. */
-  def overwrite(df: DataFrame): Long = {
+    * same file set against the new head. An optional `txn` applies the
+    * Delta idempotent-writer fence (see [[commitAppendFiles]]): a
+    * replayed `(appId, version)` overwrite deletes its re-written files
+    * and leaves the table untouched — exactly-once effects for
+    * at-least-once drivers (the continuous MV fold). */
+  def overwrite(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
     val s = snapshot
+    txn.foreach { case (appId, v) =>
+      if (s.appTxns.get(appId).exists(_ >= v)) return s.version
+    }
     val newFiles = writeFiles(withDerivedParts(align(df, schemaOf(s),
       constraints = s.constraints), s), s.partitionColumns)
     retryingCommit("OVERWRITE") { expected =>
-      // a full replacement: outstanding MOR deletes are moot — clear
-      commit(Some(expected), "OVERWRITE", schemaOf(s),
-        s.partitionColumns, newFiles, droppedColumns = Nil,
-        equalityDeletes = Nil)
+      val cur = snapshotAt(expected)
+      if (txn.exists { case (a, v) => cur.appTxns.get(a).exists(_ >= v) }) {
+        deleteDataFiles(newFiles.map(_.path))
+        cur.version
+      } else {
+        val txns = txn.map { case (a, v) =>
+          cur.appTxns + (a -> math.max(v, cur.appTxns.getOrElse(a, Long.MinValue)))
+        }.getOrElse(cur.appTxns)
+        // a full replacement: outstanding MOR deletes are moot — clear
+        commit(Some(expected), "OVERWRITE", schemaOf(s),
+          s.partitionColumns, newFiles, droppedColumns = Nil,
+          equalityDeletes = Nil, appTxns = txns)
+      }
     }
   }
 

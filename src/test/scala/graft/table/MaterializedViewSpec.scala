@@ -75,6 +75,41 @@ class MaterializedViewSpec extends SparkSpec {
     assert(mvContents(cat, "analytics", "mv_risk") === recomputed(t.toDF))
   }
 
+  test("continuous refresh folds the .changes stream exactly-once") {
+    val cat = new TableCatalog(spark, new Path(freshDir("mv_cont")))
+    val t = cat.createTable("analytics", "txns", Schemas.transactions,
+      Seq("date"), properties = Map(TxTable.ChangeFeedProperty -> "true"))
+    t.append(SampleData.transactions(spark, 60, seed = 85L))
+    cat.sql("""
+      CREATE MATERIALIZED VIEW analytics.mv_risk AS
+      SELECT risk_score, COUNT(*) AS n, SUM(amount) AS total
+      FROM analytics.txns WHERE status <> 'FAILED'
+      GROUP BY risk_score""")
+    val q = MaterializedViews.startContinuous(cat, "analytics", "mv_risk",
+      s"${freshDir("mv_cont_ckpt")}/ckpt")
+    try {
+      // DML flows through the stream into the aggregate
+      t.update(col("risk_score") === "HIGH",
+        Map("amount" -> (col("amount") + 10).cast(DecimalType(12, 2))))
+      t.delete(col("risk_score") === "LOW")
+      q.processAllAvailable()
+      assert(mvContents(cat, "analytics", "mv_risk") === recomputed(t.toDF))
+      // a second wave keeps folding
+      t.append(SampleData.transactions(spark, 25, seed = 86L))
+      q.processAllAvailable()
+      assert(mvContents(cat, "analytics", "mv_risk") === recomputed(t.toDF))
+    } finally q.stop()
+    // the fold fence is authoritative: a manual refresh sees it fresh
+    assert(cat.sql("REFRESH MATERIALIZED VIEW analytics.mv_risk")
+      .collect()(0).getString(0).contains("fresh"))
+    // replaying an epoch is a table no-op (fence): same source version
+    val backing = cat.getTable("analytics", "mv_risk")
+    val vBefore = backing.currentVersion
+    backing.overwrite(backing.toDF,
+      Some(("graft-mv:analytics.mv_risk", t.currentVersion)))
+    assert(backing.currentVersion === vBefore)
+  }
+
   test("shape validation, IF NOT EXISTS, and DROP") {
     val cat = new TableCatalog(spark, new Path(freshDir("mv_ddl")))
     val t = cat.createTable("analytics", "txns", Schemas.transactions, Nil)
