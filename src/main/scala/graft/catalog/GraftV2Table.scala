@@ -307,10 +307,18 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     val dataSchema =
       StructType(fullSchema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val scanFiles = scanFilesFor(options)
+    // per-file Bloom sidecars (buildBloomIndex) extend min/max skipping
+    // to point lookups on high-cardinality keys; loaded once per scan
+    // build (TxTable caches the decoded index against the sidecar mtime)
+    val blooms = tx.bloomIndexedColumns.flatMap { c =>
+      fullSchema.fields.find(_.name == c)
+        .map(f => c -> (f.dataType, tx.bloomEntries(c)))
+    }.toMap
     val index = ScanBridge.snapshotIndex(tx.spark, new Path(tx.root, "data"),
       scanFullSchema, snap.partitionColumns,
       scanFiles.map(f => (f.path, f.partitionValues, f.sizeBytes)),
-      scanFiles.flatMap(f => f.stats.map(f.path -> _)).toMap, partSpec)
+      scanFiles.flatMap(f => f.stats.map(f.path -> _)).toMap, partSpec,
+      blooms)
     (ScanBridge.parquetScanBuilder(tx.spark, index, scanFullSchema, dataSchema,
       options), index)
   }

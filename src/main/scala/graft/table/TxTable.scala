@@ -177,6 +177,19 @@ class TxTable private (
   private def bloomIndexPath(column: String): Path =
     new Path(root, s"_index/bloom_$column.json")
 
+  /** Columns with a built Bloom sidecar — the V2 scan consults these
+    * for equality-predicate file skipping. */
+  private[graft] def bloomIndexedColumns: Seq[String] = {
+    val d = new Path(root, "_index")
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("bloom_") && n.endsWith(".json") =>
+        n.stripPrefix("bloom_").stripSuffix(".json") }
+  }
+
+  private[graft] def bloomEntries(column: String): Map[String, Array[Byte]] =
+    loadBloomIndex(column)
+
   /** decoded Bloom filters per column, cached against the sidecar's
     * modification time — a point-lookup workload must not re-read and
     * re-deserialize the whole index on every probe. */

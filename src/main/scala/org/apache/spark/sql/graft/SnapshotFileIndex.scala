@@ -44,7 +44,13 @@ class SnapshotFileIndex(
     /** hidden-partitioning spec: pushed data predicates on a transform's
       * SOURCE column prune the DERIVED partitions in [[listFiles]]
       * (`fullSchema` must then include the derived fields as strings) */
-    partSpec: Seq[_root_.graft.table.PartField] = Nil)
+    partSpec: Seq[_root_.graft.table.PartField] = Nil,
+    /** per-file Bloom filters by indexed column (column → (type, relPath
+      * → serialized filter)) — equality/IN pushed predicates prune files
+      * min/max ranges cannot (point lookups on high-cardinality keys).
+      * No false negatives, so pruning is always exact; files without an
+      * entry (post-index commits) are kept conservatively. */
+    bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty)
   extends PartitioningAwareFileIndex(spark, Map.empty, Some(fullSchema), NoopCache) {
 
   // Fully qualify against the filesystem: `allFiles()` looks leaf dirs up
@@ -168,8 +174,8 @@ class SnapshotFileIndex(
       else _root_.graft.table.PartitionTransform.constraintsFor(
         partSpec, effFilters, zoneId)
     val dirs =
-      if ((effFilters.isEmpty || statsByPath.isEmpty) && keepRt.isEmpty &&
-          specConstraints.isEmpty)
+      if ((effFilters.isEmpty || (statsByPath.isEmpty && bloomByColumn.isEmpty)) &&
+          keepRt.isEmpty && specConstraints.isEmpty)
         partitioned
       else partitioned.flatMap { dir =>
         val kept = dir.files.filter { f =>
@@ -180,6 +186,9 @@ class SnapshotFileIndex(
                 effFilters.forall(mayMatch(stats, _))
               case _ => true
             }
+          val bloomOk = bloomByColumn.isEmpty || effFilters.isEmpty ||
+            relByPath.get(path).forall(rel =>
+              effFilters.forall(mayMatchBloom(rel, _)))
           val runtimeOk = keepRt.isEmpty || {
             val vals = partValsByPath.getOrElse(path, Map.empty)
             keepRt.forall { case (c, allowed) =>
@@ -189,7 +198,7 @@ class SnapshotFileIndex(
             val vals = partValsByPath.getOrElse(path, Map.empty)
             specConstraints.forall(c => c.permits(vals.get(c.field)))
           }
-          statsOk && runtimeOk && specOk
+          statsOk && bloomOk && runtimeOk && specOk
         }
         if (kept.isEmpty) None
         else if (kept.length == dir.files.length) Some(dir)
@@ -245,6 +254,37 @@ class SnapshotFileIndex(
         // stats exist only when the column has ≥1 non-null value; a
         // recorded nullCount of 0 proves no NULL row is present
         stats.get(a.name).forall(_.nullCount > 0)
+      case _ => true
+    }
+  }
+
+  /** Can this file's Bloom filters possibly accept a row satisfying
+    * `filter`? Probes only equality/IN on indexed columns; everything
+    * else keeps the file. Pushed literal values are catalyst-internal —
+    * the probe's `convertToCatalyst` passes them through unchanged, so
+    * the hash matches the build side. */
+  private def mayMatchBloom(rel: String,
+      filter: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def probe(name: String, v: Any): Boolean =
+      bloomByColumn.get(name).forall { case (dt, entries) =>
+        entries.get(rel).forall(bytes =>
+          _root_.graft.functions.expressions.BloomFilterAgg
+            .mightContain(bytes, v, dt))
+      }
+    filter match {
+      case And(l, r) => mayMatchBloom(rel, l) && mayMatchBloom(rel, r)
+      case Or(l, r)  => mayMatchBloom(rel, l) || mayMatchBloom(rel, r)
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        probe(a.name, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+        probe(a.name, v)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall {
+            case Literal(x, _) => x != null
+            case _             => false
+          } =>
+        vs.exists { case Literal(x, _) => probe(a.name, x) }
       case _ => true
     }
   }
@@ -445,10 +485,11 @@ object ScanBridge {
       partitionColumns: Seq[String],
       files: Seq[(String, Map[String, String], Long)],
       statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty,
-      partSpec: Seq[_root_.graft.table.PartField] = Nil)
+      partSpec: Seq[_root_.graft.table.PartField] = Nil,
+      bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty)
       : SnapshotFileIndex =
     new SnapshotFileIndex(spark, dataDir, fullSchema, partitionColumns, files,
-      statsByPath, partSpec)
+      statsByPath, partSpec, bloomByColumn)
 
   /**
    * Plan one micro-batch of a streaming table read: a fresh parquet

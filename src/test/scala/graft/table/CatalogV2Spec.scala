@@ -108,6 +108,48 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("V2 scan: Bloom-index skipping prunes files min/max cannot") {
+    withCatalog("bloomskip") { wh =>
+      import org.apache.spark.sql.execution.datasources.FilePartition
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.bl")
+      spark.sql("CREATE TABLE graft.bl.t (id STRING, v BIGINT)")
+      val cat = new TableCatalog(spark, new org.apache.hadoop.fs.Path(wh))
+      val tx = cat.getTable("bl", "t")
+      // ONE file per append, every file spanning ['aaa','zzz'] on id —
+      // min/max stats can never prune an id point lookup; only Bloom
+      // membership can
+      import spark.implicits._
+      Seq(
+        Seq(("aaa", 1L), ("k1", 2L), ("zzz", 3L)),
+        Seq(("aab", 4L), ("k2", 5L), ("zzy", 6L)),
+        Seq(("aac", 7L), ("k3", 8L), ("zzx", 9L))
+      ).foreach(rows => tx.append(rows.toDF("id", "v").coalesce(1)))
+      val total = tx.snapshot.files.size
+      assert(total === 3)
+      def scannedFiles(q: org.apache.spark.sql.DataFrame): Int =
+        q.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+          .map(_.inputPartitions.map {
+            case fp: FilePartition => fp.files.length
+            case _ => 0
+          }.sum).sum
+      // without the index: every file planned (ranges overlap)
+      val before = spark.sql("SELECT v FROM graft.bl.t WHERE id = 'k2'")
+      assert(before.collect().map(_.getLong(0)) === Array(5L))
+      assert(scannedFiles(before) === total)
+      tx.buildBloomIndex("id")
+      val after = spark.sql("SELECT v FROM graft.bl.t WHERE id = 'k2'")
+      assert(after.collect().map(_.getLong(0)) === Array(5L))
+      assert(scannedFiles(after) < total,
+        "bloom index should prune files the overlapping min/max cannot")
+      // IN probes each value; commits AFTER the index stay conservative
+      tx.append(Seq(("aad", 10L), ("k4", 11L), ("zzw", 12L))
+        .toDF("id", "v").coalesce(1))
+      val in = spark.sql("SELECT v FROM graft.bl.t WHERE id IN ('k1', 'k4')")
+      assert(in.collect().map(_.getLong(0)).sorted === Array(2L, 11L))
+      spark.sql("DROP TABLE graft.bl.t")
+    }
+  }
+
   test("V2 catalog: ALTER TABLE ADD/RENAME/DROP COLUMN via SQL text") {
     withCatalog("alter") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.a")
