@@ -43,6 +43,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
+    "rewrite_position_deletes",
     "rollback_to_version", "rollback_to_timestamp", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "add_files",
     "analyze_table", "build_bloom_index", "shallow_clone")
@@ -82,6 +83,8 @@ private[catalog] object GraftProcedures {
           pDefault("target_file_size_bytes", LongType, (128L * 1024 * 1024).toString),
           pDefault("zorder_by", StringType, "NULL"),
           pDefault("where", StringType, "NULL"))
+        case "rewrite_position_deletes" => Array(TableParam,
+          pDefault("target_file_size_bytes", LongType, (128L * 1024 * 1024).toString))
         case "rollback_to_version"   => Array(TableParam, p("version", LongType))
         case "rollback_to_timestamp" => Array(TableParam, p("timestamp", TimestampType))
         case "fast_forward"          => Array(TableParam, p("branch", StringType))
@@ -126,6 +129,9 @@ private[catalog] object GraftProcedures {
               }.toMap
             result("version" ->
               t.compact(input.getLong(1), clusterBy = zorder, partitionFilter = pf))
+          case "rewrite_position_deletes" =>
+            val (v, n) = t.rewritePositionDeletes(input.getLong(1))
+            result("version" -> v, "rewritten_files" -> n)
           case "rollback_to_version" =>
             result("version" -> t.restore(input.getLong(1)))
           case "rollback_to_timestamp" =>

@@ -937,6 +937,38 @@ class TxTable private (
     } finally matched.unpersist()
   }
 
+  /**
+   * Apply and clear deletion vectors by rewriting ONLY the files that
+   * have one (the Iceberg `rewrite_position_delete_files` maintenance
+   * action): cost is O(DV'd file bytes) — a point-delete cleanup never
+   * becomes a full-table compact. Untouched files and their absence of
+   * vectors carry through; outstanding equality deletes still apply at
+   * read time and are NOT consumed here. Returns (version, files
+   * rewritten).
+   */
+  def rewritePositionDeletes(
+      targetFileBytes: Long = 128L * 1024 * 1024): (Long, Int) = {
+    val s = snapshot
+    if (s.deletionVectors.isEmpty) return (s.version, 0)
+    val schema = schemaOf(s)
+    val dvPaths = s.deletionVectors.map(_.dataFile).toSet
+    val affected = s.files.filter(f => dvPaths.contains(f.path))
+    val kept = s.files.diff(affected)
+    // the pruned DV-applying scan: only DV'd files read, vectors folded
+    val rewritten = dfFor(s.copy(files = affected))
+      .select(schema.map(f => col(f.name)): _*)
+    val newFiles = writeFiles(
+      sizedForWrite(withDerivedParts(rewritten, s),
+        affected.map(_.sizeBytes).sum, batchRows = 0L, bytesPerRow(s),
+        s.partitionColumns,
+        splitCol = defaultSplitCol(schema, s.partitionColumns),
+        targetFileBytes = targetFileBytes),
+      s.partitionColumns)
+    val v = commit(Some(s.version), "REWRITE_DV", schema,
+      s.partitionColumns, kept ++ newFiles)
+    (v, affected.size)
+  }
+
   /** The live table with each row's `(__graft_file, __graft_pos)` scan
     * refs attached — the positional-delete write scan (DVs and
     * equality deletes applied, so only live rows match). */
@@ -2847,9 +2879,10 @@ object CommitChanges {
     Set("CREATE", "APPEND", "COPY_INTO", "ADD_FILES")
   private[graft] val overwriteLike = Set("OVERWRITE", "REPLACE_TABLE")
   private[graft] val noRowChange = Set("COMPACT", "REPARTITION",
-    "ADD_COLUMN", "DROP_COLUMN", "RENAME_COLUMN", "WIDEN_COLUMN",
-    "EVOLVE_SCHEMA", "SET_TBLPROPERTIES", "UNSET_TBLPROPERTIES",
-    "ADD_CONSTRAINT", "DROP_CONSTRAINT", "SET_DEFAULT")
+    "REWRITE_DV", "ADD_COLUMN", "DROP_COLUMN", "RENAME_COLUMN",
+    "WIDEN_COLUMN", "EVOLVE_SCHEMA", "SET_TBLPROPERTIES",
+    "UNSET_TBLPROPERTIES", "ADD_CONSTRAINT", "DROP_CONSTRAINT",
+    "SET_DEFAULT")
 }
 
 object TxTable {

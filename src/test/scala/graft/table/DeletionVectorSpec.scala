@@ -165,6 +165,35 @@ class DeletionVectorSpec extends SparkSpec {
       col("risk_score") === "HIGH").count())
   }
 
+  test("rewrite_position_deletes applies vectors by rewriting only DV'd files") {
+    val wh = freshDir("dv_rewrite")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.rw")
+    spark.sql("CREATE TABLE graft.rw.t (id STRING, v INT)")
+    val cat = new TableCatalog(spark, new Path(wh))
+    val tx = cat.getTable("rw", "t")
+    import spark.implicits._
+    // two files; only the first gets a vector
+    tx.append((1 to 100).map(i => (s"a$i", i)).toDF("id", "v").coalesce(1))
+    tx.append((101 to 200).map(i => (s"b$i", i)).toDF("id", "v").coalesce(1))
+    tx.deletePos(col("v") <= 10)
+    val untouched = tx.snapshot.files.map(_.path)
+      .filterNot(tx.snapshot.deletionVectors.map(_.dataFile).contains)
+    val res = spark.sql(
+      "CALL graft.system.rewrite_position_deletes(table => 'rw.t')").collect()
+    assert(res(0).getInt(1) === 1, "exactly one DV'd file rewritten")
+    assert(tx.snapshot.deletionVectors.isEmpty)
+    // the clean file carried through untouched; contents exact
+    assert(untouched.forall(tx.snapshot.files.map(_.path).contains))
+    assert(tx.toDF.count() === 190)
+    assert(tx.count() === 190)
+    // the rewrite is a no-logical-change commit for the change feed
+    val v = tx.currentVersion
+    tx.setProperties(Map(TxTable.ChangeFeedProperty -> "true"))
+    assert(tx.changeFeed(v, v).count() === 0)
+  }
+
   test("deletePos records CDF pre-images and survives vacuum") {
     val t = TxTable.create(spark, new Path(freshDir("dv_cdf")), "t",
       Schemas.transactions, Seq("date"),
