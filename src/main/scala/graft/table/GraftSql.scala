@@ -99,6 +99,8 @@ object GraftSql {
     """(?is)\s*COPY\s+INTO\s+([`\w.]+)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*(\w+))?\s*;?\s*""".r
   private val AddFilesRe =
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+FILES\s+'([^']+)'\s*;?\s*""".r
+  private val DropPartitionRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\)\s*;?\s*""".r
   private val CreateViewRe =
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s+AS\s+(.*?)\s*;?\s*""".r
   private val CreateMvRe =
@@ -537,6 +539,21 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val (v, n) = cat.getTable(ns, tbl).addFiles(path)
         Seq(s"ADDED $n file(s) TO $ns.$tbl v$v").toDF("result")
+      // metadata-only partition drop (Hive/Athena syntax): the spec's
+      // `k='v', k2=v2` list canonicalizes through the column types the
+      // same way DML partition pruning does — every entry must convert
+      // (a dropped conjunct would silently widen the drop)
+      case DropPartitionRe(rawName, specList) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val asWhere = splitTopLevel(specList, ',').mkString(" AND ")
+        val pf = partitionFilterFrom(asWhere, t.schema,
+          t.snapshot.partitionColumns,
+          spark.sessionState.conf.sessionLocalTimeZone)
+        require(pf.size == splitTopLevel(specList, ',').size,
+          s"DROP PARTITION spec must be partition-column equalities (got: $specList)")
+        val (v, n) = t.dropPartitions(pf)
+        Seq(s"DROPPED $n file(s) FROM $ns.$tbl v$v").toDF("result")
       // branch DDL (the Iceberg WAP surface) — must precede the native
       // fallthrough: Spark's parser rejects these ALTER shapes
       case CreateBranchRe(rawName, branch) if knownTable(cat, rawName) =>

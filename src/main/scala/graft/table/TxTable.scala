@@ -938,6 +938,30 @@ class TxTable private (
   }
 
   /**
+   * Metadata-only partition drop (the Hive/Athena `ALTER TABLE ... DROP
+   * PARTITION` surface): every file whose partitionValues match ALL of
+   * `partitionFilter` leaves the snapshot in one commit — no data read,
+   * no rewrite, O(metadata) however large the partition. The dropped
+   * files' vectors retire with them; time travel still reads them until
+   * expiry+vacuum. The change feed synthesizes the dropped rows as
+   * exact `delete`s (whole-file removal, the overwrite rule). Returns
+   * (version, files dropped).
+   */
+  def dropPartitions(partitionFilter: Map[String, String]): (Long, Int) = {
+    require(partitionFilter.nonEmpty, "DROP PARTITION needs a partition spec")
+    val s = snapshot
+    val unknown = partitionFilter.keySet -- s.partitionColumns.toSet
+    require(unknown.isEmpty,
+      s"not partition columns of $name: ${unknown.mkString(", ")}")
+    val (dropped, kept) = s.files.partition(f =>
+      partitionFilter.forall { case (k, v) =>
+        f.partitionValues.get(k).contains(v) })
+    if (dropped.isEmpty) return (s.version, 0)
+    (commit(Some(s.version), "DROP_PARTITION", schemaOf(s),
+      s.partitionColumns, kept), dropped.size)
+  }
+
+  /**
    * Apply and clear deletion vectors by rewriting ONLY the files that
    * have one (the Iceberg `rewrite_position_delete_files` maintenance
    * action): cost is O(DV'd file bytes) — a point-delete cleanup never
@@ -1168,9 +1192,14 @@ class TxTable private (
           Seq(conform(dfFor(raw.copy(files = files)), lit("insert"), v, ts))
         case CommitChanges.Overwrite(removed, added, ts) =>
           val raw = TxLog.readRaw(logDir, v, conf)
+          // removed files read under the PREVIOUS snapshot's MOR state:
+          // rows already equality- or position-deleted before this
+          // commit must not resurface as overwrite deletes
+          lazy val prev = TxLog.read(logDir, v - 1, conf)
           (if (removed.isEmpty) Nil
            else Seq(conform(dfFor(raw.copy(files = removed,
-             equalityDeletes = TxLog.read(logDir, v - 1, conf).equalityDeletes)),
+             equalityDeletes = prev.equalityDeletes,
+             deletionVectors = prev.deletionVectors)),
              lit("delete"), v, ts))) ++
           (if (added.isEmpty) Nil
            else Seq(conform(dfFor(raw.copy(files = added)), lit("insert"), v, ts)))
@@ -2877,7 +2906,8 @@ object CommitChanges {
 
   private[graft] val appendLike =
     Set("CREATE", "APPEND", "COPY_INTO", "ADD_FILES")
-  private[graft] val overwriteLike = Set("OVERWRITE", "REPLACE_TABLE")
+  private[graft] val overwriteLike =
+    Set("OVERWRITE", "REPLACE_TABLE", "DROP_PARTITION")
   private[graft] val noRowChange = Set("COMPACT", "REPARTITION",
     "REWRITE_DV", "ADD_COLUMN", "DROP_COLUMN", "RENAME_COLUMN",
     "WIDEN_COLUMN", "EVOLVE_SCHEMA", "SET_TBLPROPERTIES",

@@ -177,6 +177,46 @@ class CdfSpec extends SparkSpec {
       .count() === nHigh)
   }
 
+  test("DROP PARTITION is metadata-only and feeds exact deletes to CDF") {
+    val cat = new TableCatalog(spark, new Path(freshDir("cdf_droppart")))
+    val t = cat.createTable("analytics", "txns_dp",
+      Schemas.transactions, Seq("date"),
+      properties = Map(TxTable.ChangeFeedProperty -> "true"))
+    // spread the generator's single date over three partitions
+    val seed = SampleData.transactions(spark, 80, seed = 70L)
+      .withColumn("date",
+        date_add(col("date"), abs(hash(col("transaction_id"))) % 3))
+    t.append(seed)
+    val firstDate = seed.filter(col("date").isNotNull)
+      .select(min(col("date"))).collect()(0).getDate(0)
+    val nDropped = seed.filter(col("date") === firstDate).count()
+    val res = cat.sql(
+      s"ALTER TABLE analytics.txns_dp DROP PARTITION (date='$firstDate')")
+      .collect()(0).getString(0)
+    assert(res.startsWith("DROPPED"))
+    assert(t.toDF.count() === 80 - nDropped)
+    assert(t.toDF.filter(col("date") === firstDate).count() === 0)
+    // the drop commit wrote no data files (metadata-only)
+    assert(t.snapshot.operation === "DROP_PARTITION")
+    // CDF synthesizes the dropped rows as exact deletes
+    val v = t.currentVersion
+    val feed = t.changeFeed(v, v)
+    assert(feed.count() === nDropped)
+    assert(feed.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet === Set("delete"))
+    // already position-deleted rows never resurface as partition-drop
+    // deletes: DV a few rows of the next date, then drop it
+    val secondDate = t.toDF.filter(col("date").isNotNull)
+      .select(min(col("date"))).collect()(0).getDate(0)
+    val inPart = t.toDF.filter(col("date") === secondDate).count()
+    val dvd = t.toDF.filter(col("date") === secondDate &&
+      col("risk_score") === "HIGH").count()
+    t.deletePos(col("date") === secondDate && col("risk_score") === "HIGH")
+    cat.sql(s"ALTER TABLE analytics.txns_dp DROP PARTITION (date='$secondDate')")
+    val v2 = t.currentVersion
+    assert(t.changeFeed(v2, v2).count() === inPart - dvd)
+  }
+
   test("deleteMor records pre-images; vacuum keeps referenced change files") {
     val t = cdfTable("cdf_mor")
     val seed = SampleData.transactions(spark, 30, seed = 67L)
