@@ -151,9 +151,14 @@ object Bench {
       on.merge(batch, "transaction_id", "processing_timestamp"))
     val v = on.currentVersion
     val (feedRows, feedSec) = timed(on.changeFeed(v, v).count())
+    // the no-rewrite path: same merge through deletion vectors
+    val mor = seeded("cdf_mor", Map(TxTable.MergeModeProperty -> "merge-on-read"))
+    val (_, mergeMor) = timed(
+      mor.merge(batch, "transaction_id", "processing_timestamp"))
     seed.unpersist(); batch.unpersist()
     s"""{"merge_rows":20000,"merge_off_sec":${f"$mergeOff%.3f"},""" +
       s""""merge_on_sec":${f"$mergeOn%.3f"},""" +
+      s""""merge_mor_sec":${f"$mergeMor%.3f"},""" +
       s""""feed_rows":$feedRows,"feed_read_sec":${f"$feedSec%.3f"}}"""
   } catch {
     case e: Throwable =>

@@ -2077,6 +2077,49 @@ class TxTable private (
             lit("insert").as("_change_type"): _*)
         writeChangeData(matchedChanges.unionByName(insertChanges))
       }
+    val txns = txn.map { case (appId, v) =>
+      s.appTxns + (appId -> math.max(v, s.appTxns.getOrElse(appId, Long.MinValue)))
+    }.getOrElse(s.appTxns)
+    // graft.merge.mode=merge-on-read: instead of rewriting the touched
+    // partitions, mark every matched key's OLD row deleted in per-file
+    // vectors and append only the winners — commit cost O(batch +
+    // matched positions), never O(touched-partition bytes). The CDC
+    // fast path for huge hot partitions; the batch-sized contract of
+    // the other MOR writes applies (positions collect on the driver).
+    if (TxTable.morMode(s, TxTable.MergeModeProperty)) {
+      val keySide =
+        if (batchRows <= TxTable.MergeBroadcastMaxKeys)
+          broadcast(deduped.select(col(key)))
+        else deduped.select(col(key))
+      val refs = dfForWithRefs(s.copy(files = affectedFiles))
+        .join(keySide, Seq(key), "left_semi")
+        .select(col("__graft_file"), col("__graft_pos"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val newFiles = writeFiles(
+        sizedForWrite(withDerivedParts(
+            upserts.select(schema.map(f => col(f.name)): _*), s),
+          rewriteBytes = 0L, batchRows, bytesPerRow(s), parts,
+          splitCol = Some(key)),
+        parts)
+      deduped.unpersist()
+      val relByName = s.files.map(f => new Path(f.path).getName -> f.path).toMap
+      val existing = s.deletionVectors.map(d => d.dataFile -> d).toMap
+      val updated: Map[String, DeletionVector] = refs.groupBy(_._1).map {
+        case (name, rs) =>
+          val rel = relByName.getOrElse(name,
+            throw new IllegalStateException(s"matched row in unknown file $name"))
+          val mergedPos = (existing.get(rel)
+            .map(d => readDvPositions(d.path)).getOrElse(Array.empty[Long]) ++
+            rs.map(_._2)).distinct.sorted
+          rel -> DeletionVector(rel, writeDvFile(mergedPos), mergedPos.length)
+      }
+      val files = s.files ++ newFiles
+      val live = files.map(_.path).toSet
+      val dvs = (s.deletionVectors.filterNot(d => updated.contains(d.dataFile))
+        ++ updated.values).filter(d => live.contains(d.dataFile))
+      return commit(Some(s.version), "MERGE_MOR", schema, parts, files,
+        appTxns = txns, deletionVectors = dvs, changeFiles = cdfFiles)
+    }
     val merged = survivors.select(schema.map(f => col(f.name)): _*)
       .unionByName(upserts.select(schema.map(f => col(f.name)): _*))
     val newFiles = writeFiles(
@@ -2090,9 +2133,6 @@ class TxTable private (
     // silently drop its rows). Conflicts surface to the caller, who
     // re-reads and re-merges — serializable upsert semantics. The
     // streaming ingest path is single-writer, so this never fires there.
-    val txns = txn.map { case (appId, v) =>
-      s.appTxns + (appId -> math.max(v, s.appTxns.getOrElse(appId, Long.MinValue)))
-    }.getOrElse(s.appTxns)
     commit(Some(s.version), "MERGE", schema, parts, keptFiles ++ newFiles,
       appTxns = txns, changeFiles = cdfFiles)
   }
@@ -2954,6 +2994,7 @@ object TxTable {
     * deletion vectors; updates append post-images). */
   val DeleteModeProperty = "graft.delete.mode"
   val UpdateModeProperty = "graft.update.mode"
+  val MergeModeProperty = "graft.merge.mode"
 
   private[graft] def morMode(s: Snapshot, prop: String): Boolean =
     s.properties.get(prop).exists(_.trim.equalsIgnoreCase("merge-on-read"))

@@ -165,6 +165,56 @@ class DeletionVectorSpec extends SparkSpec {
       col("risk_score") === "HIGH").count())
   }
 
+  test("merge-on-read MERGE: vectors for matched keys, appended winners") {
+    val t = TxTable.create(spark, new Path(freshDir("dv_merge")), "t",
+      Schemas.transactions, Seq("date"),
+      properties = Map(
+        TxTable.MergeModeProperty -> "merge-on-read",
+        TxTable.ChangeFeedProperty -> "true"))
+    val seed = SampleData.transactions(spark, 50, seed = 96L)
+    t.append(seed)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    val mods = seed.orderBy("transaction_id").limit(12)
+      .withColumn("amount",
+        lit(333.33).cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+      .withColumn("__kill", lit(false))
+    val kills = seed.orderBy(col("transaction_id").desc).limit(4)
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+      .withColumn("__kill", lit(true))
+    val news = SampleData.transactions(spark, 60, seed = 96L)
+      .join(seed.select("transaction_id"), Seq("transaction_id"), "left_anti")
+      .withColumn("__kill", lit(false))
+    val nNew = news.count()
+    t.merge(mods.unionByName(kills).unionByName(news.select(mods.columns.map(col): _*)),
+      key = "transaction_id", orderCol = "processing_timestamp",
+      deleteCol = Some("__kill"))
+    // no original file rewritten; matched keys' old rows are vectored
+    assert(t.snapshot.operation === "MERGE_MOR")
+    assert(t.snapshot.files.map(_.path).toSet.intersect(filesBefore) === filesBefore)
+    assert(t.snapshot.deletionVectors.nonEmpty)
+    assert(t.toDF.count() === 50 - 4 + nNew)
+    assert(t.count() === 50 - 4 + nNew)
+    assert(t.toDF.filter(col("amount") === 333.33).count() === 12)
+    // upsert contract holds: keys unique after the MOR merge
+    assert(t.toDF.select("transaction_id").distinct().count() === 50 - 4 + nNew)
+    // CDF classification identical to the COW merge
+    val v = t.currentVersion
+    val feed = t.changeFeed(v, v)
+    assert(feed.filter(col("_change_type") === "insert").count() === nNew)
+    assert(feed.filter(col("_change_type") === "update_preimage").count() === 12)
+    assert(feed.filter(col("_change_type") === "delete").count() === 4)
+    // txn fencing still applies: a replayed epoch is a no-op
+    val before = t.currentVersion
+    val replay = mods.limit(1)
+    t.merge(replay, "transaction_id", "processing_timestamp",
+      txn = Some(("mor-app", 5L)))
+    assert(t.currentVersion === before + 1)
+    t.merge(replay, "transaction_id", "processing_timestamp",
+      txn = Some(("mor-app", 5L)))
+    assert(t.currentVersion === before + 1)
+  }
+
   test("rewrite_position_deletes applies vectors by rewriting only DV'd files") {
     val wh = freshDir("dv_rewrite")
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
