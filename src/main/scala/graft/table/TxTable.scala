@@ -2624,7 +2624,26 @@ class TxTable private (
     }
     removed + vacuumManifests(keepFrom, cutoffMs) +
       vacuumEqualityDeletes(keepFrom, cutoffMs) +
-      vacuumChangeData(keepFrom, cutoffMs)
+      vacuumChangeData(keepFrom, cutoffMs) +
+      vacuumStaging(cutoffMs)
+  }
+
+  /** Reap `_staging/` leftovers from crashed writes: every write path
+    * stages under a fresh UUID and deletes it after the move, so any
+    * staging dir older than the grace window is an abandoned write
+    * (nothing committed references staging paths — snapshots only ever
+    * point into data/). Same contract as the data-file sweep: the
+    * grace window must exceed the longest in-flight write. */
+  private def vacuumStaging(cutoffMs: Long): Int = {
+    val f = fs
+    val staging = new Path(root, "_staging")
+    if (!f.exists(staging)) return 0
+    var removed = 0
+    f.listStatus(staging).foreach { st =>
+      if (st.getModificationTime < cutoffMs && f.delete(st.getPath, true))
+        removed += 1
+    }
+    removed
   }
 
   /** Delete `_change_data/` files referenced by no snapshot ≥ `keepFrom`

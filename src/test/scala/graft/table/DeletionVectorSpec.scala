@@ -244,6 +244,33 @@ class DeletionVectorSpec extends SparkSpec {
     assert(tx.changeFeed(v, v).count() === 0)
   }
 
+  test("concurrent deletePos and append both land (retrying CAS)") {
+    val t = TxTable.create(spark, new Path(freshDir("dv_race")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 40, seed = 97L)
+    t.append(seed)
+    val nHigh = seed.filter(col("risk_score") === "HIGH").count()
+    val extra = SampleData.transactions(spark, 45, seed = 97L)
+      .join(seed.select("transaction_id"), Seq("transaction_id"), "left_anti")
+    val nExtra = extra.count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val fDel = Future(t.deletePos(col("risk_score") === "HIGH"))
+    val fApp = Future(t.append(extra))
+    Await.result(Future.sequence(Seq(fDel, fApp)), 120.seconds)
+    // both effects present whatever the commit order: vector applied to
+    // the seed rows, appended rows intact (appended AFTER the ref scan
+    // cannot be position-deleted — new files have no vector)
+    assert(t.currentVersion === 3)
+    assert(t.toDF.count() === 40 - nHigh + nExtra)
+    assert(t.toDF.filter(col("risk_score") === "HIGH").count() ===
+      extra.filter(col("risk_score") === "HIGH").count())
+    // vacuum with zero grace reaps nothing referenced; reads intact
+    t.vacuum(retainVersions = 10, graceMillis = 0L)
+    assert(t.toDF.count() === 40 - nHigh + nExtra)
+  }
+
   test("deletePos records CDF pre-images and survives vacuum") {
     val t = TxTable.create(spark, new Path(freshDir("dv_cdf")), "t",
       Schemas.transactions, Seq("date"),
