@@ -101,7 +101,7 @@ class GraftChangesTable(tx: TxTable) extends Table with SupportsRead {
   * partition plus the constants its rows are suffixed with. `stored`
   * picks the reader schema (change parquet carries `_change_type`;
   * synthesized data files don't — `changeType` supplies it). */
-private[catalog] case class ChangesInputPartition(
+private[graft] case class ChangesInputPartition(
     inner: InputPartition,
     stored: Boolean,
     changeType: String,

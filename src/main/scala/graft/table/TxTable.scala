@@ -1167,6 +1167,12 @@ class TxTable private (
    * replay. Older-schema change files conform to the schema at
    * `toVersion` (missing columns read null, the schema-evolution read
    * rule).
+   *
+   * Plan shape: one scan per commit, unioned — right for the bounded
+   * ranges refresh workloads read (a poll interval's worth of
+   * commits). A LONG-HAUL replay over thousands of commits should read
+   * `graft.ns.t.changes` instead: the V2 scan plans one partition
+   * group per commit under a single scan node, no plan-level union.
    */
   def changeFeed(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
     import org.apache.spark.sql.types._

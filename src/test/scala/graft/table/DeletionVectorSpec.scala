@@ -244,6 +244,42 @@ class DeletionVectorSpec extends SparkSpec {
     assert(tx.changeFeed(v, v).count() === 0)
   }
 
+  test("plan shape pins: .changes partitions never mix commits; DV files plan positional sub-scans") {
+    val wh = freshDir("dv_planpin")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pp")
+    spark.sql("CREATE TABLE graft.pp.t (id STRING, v INT)")
+    val cat = new TableCatalog(spark, new Path(wh))
+    val tx = cat.getTable("pp", "t")
+    tx.setProperties(Map(TxTable.ChangeFeedProperty -> "true"))
+    (1 to 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.pp.t VALUES ('r$i', $i)"))
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // every .changes input partition carries exactly ONE commit's
+    // constants — a refactor that batches files across commits would
+    // stamp rows with the wrong version
+    val parts = spark.read.table("graft.pp.t.changes")
+      .queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.flatMap(_.inputPartitions)
+    val versions = parts.map {
+      case c: graft.catalog.ChangesInputPartition => c.version
+    }
+    assert(versions.distinct.sorted === Seq(2L, 3L, 4L))
+    // a DV'd file plans as a positional sub-scan (row segments present);
+    // clean files keep plain partitions
+    tx.deletePos(col("v") === 2)
+    val morParts = spark.sql("SELECT * FROM graft.pp.t")
+      .queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.flatMap(_.inputPartitions)
+      .collect { case m: org.apache.spark.sql.graft.MorInputPartition => m }
+    assert(morParts.nonEmpty)
+    assert(morParts.count(_.segs.nonEmpty) >= 1,
+      "the DV'd file must plan with split row offsets")
+    assert(morParts.count(_.segs.isEmpty) >= 1,
+      "clean files must keep plain (pushdown-capable) partitions")
+  }
+
   test("concurrent deletePos and append both land (retrying CAS)") {
     val t = TxTable.create(spark, new Path(freshDir("dv_race")), "t",
       Schemas.transactions, Seq("date"))
