@@ -261,6 +261,8 @@ object TxLog {
       if (!protect.contains(v)) {
         val p = new Path(logDir, snapshotName(v))
         if (f.exists(p) && f.delete(p, false)) removed += 1
+        // expired headers must fail reads — drop the parsed copy too
+        rawCache.remove((logDir.toString, v))
       }
     }
     removed
@@ -293,12 +295,41 @@ object TxLog {
     lo
   }
 
+  /** Parsed raw headers, LRU-bounded and validated by (mtime, length):
+    * a committed header never changes in place, but DROP + CREATE at
+    * the same path legitimately REUSES version file names — the status
+    * check catches that (fresh publish → fresh mtime/length), so a hit
+    * costs one getFileStatus instead of an open + read + JSON parse.
+    * Raw headers are O(changed files) each (manifest-list layout), so
+    * the cache is small; it turns repeat log walks (provenance,
+    * change-feed classification, streaming catch-up, timestamp binary
+    * searches) from a parse per version into a status probe. */
+  private val rawCacheCap = 8192
+  private val rawCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), (Long, Long, Snapshot)](
+          256, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), (Long, Long, Snapshot)]): Boolean =
+          size() > rawCacheCap
+      })
+
   /** Parse a snapshot AS STORED: inline files + unresolved manifest
     * refs. Commit and provenance use this — it is O(changed files). */
   def readRaw(logDir: Path, version: Long, conf: Configuration): Snapshot = {
-    rawHeaderReads.incrementAndGet()
+    val key = (logDir.toString, version)
     val p = new Path(logDir, snapshotName(version))
     val f = fs(logDir, conf)
+    val cached = rawCache.get(key)
+    if (cached != null) {
+      try {
+        val st = f.getFileStatus(p)
+        if (st.getModificationTime == cached._1 && st.getLen == cached._2)
+          return cached._3
+      } catch { case _: java.io.FileNotFoundException => () }
+      rawCache.remove(key)   // recreated or expired — fall through
+    }
+    rawHeaderReads.incrementAndGet()
     // The local-FS commit publishes content with an atomic rename onto a
     // just-reserved empty file, so a racing reader can glimpse the empty
     // reservation for a moment — retry briefly before giving up.
@@ -309,8 +340,15 @@ object TxLog {
         try org.apache.commons.io.IOUtils.toByteArray(in)
         finally in.close()
       if (bytes.nonEmpty) {
-        return JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
+        val snap = JsonMethods
+          .parse(new String(bytes, StandardCharsets.UTF_8))
           .extract[Snapshot]
+        try {
+          val st = f.getFileStatus(p)
+          if (st.getLen == bytes.length)
+            rawCache.put(key, (st.getModificationTime, st.getLen, snap))
+        } catch { case _: java.io.FileNotFoundException => () }
+        return snap
       }
       attempt += 1
       if (attempt >= 50) {
