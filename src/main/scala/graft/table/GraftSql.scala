@@ -101,6 +101,8 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+FILES\s+'([^']+)'\s*;?\s*""".r
   private val DropPartitionRe =
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?PARTITION\s*\(([^)]*)\)\s*;?\s*""".r
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([`\w.]+)\s*;?\s*""".r
   private val CreateViewRe =
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?VIEW\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([`\w.]+)\s+AS\s+(.*?)\s*;?\s*""".r
   private val CreateMvRe =
@@ -543,6 +545,19 @@ object GraftSql {
       // `k='v', k2=v2` list canonicalizes through the column types the
       // same way DML partition pruning does — every entry must convert
       // (a dropped conjunct would silently widen the drop)
+      // metadata-only partition listing (Hive/Athena SHOW PARTITIONS):
+      // straight from snapshot partitionValues, Hive spec rendering,
+      // zero data IO
+      case ShowPartitionsRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val s = t.snapshot
+        require(s.partitionColumns.nonEmpty,
+          s"table $ns.$tbl is not partitioned")
+        s.files.map(f => s.partitionColumns
+            .map(c => s"$c=${f.partitionValues.getOrElse(c, "__HIVE_DEFAULT_PARTITION__")}")
+            .mkString("/"))
+          .distinct.sorted.toDF("partition")
       case DropPartitionRe(rawName, specList) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)

@@ -190,10 +190,15 @@ class CdfSpec extends SparkSpec {
     val firstDate = seed.filter(col("date").isNotNull)
       .select(min(col("date"))).collect()(0).getDate(0)
     val nDropped = seed.filter(col("date") === firstDate).count()
+    val partsBefore = cat.sql("SHOW PARTITIONS analytics.txns_dp")
+      .collect().map(_.getString(0))
+    assert(partsBefore.contains(s"date=$firstDate") && partsBefore.length >= 2)
     val res = cat.sql(
       s"ALTER TABLE analytics.txns_dp DROP PARTITION (date='$firstDate')")
       .collect()(0).getString(0)
     assert(res.startsWith("DROPPED"))
+    assert(!cat.sql("SHOW PARTITIONS analytics.txns_dp")
+      .collect().map(_.getString(0)).contains(s"date=$firstDate"))
     assert(t.toDF.count() === 80 - nDropped)
     assert(t.toDF.filter(col("date") === firstDate).count() === 0)
     // the drop commit wrote no data files (metadata-only)
