@@ -1213,5 +1213,56 @@ object Pipeline4 {
       WHERE status <> 'FAILED' AND risk_score <> 'HIGH'
       GROUP BY risk_score, status
       ORDER BY risk_score, status""")),
+
+    // ------------------------------------------------------------------
+    // Merge-on-read MERGE (round 7): the CDC upsert with ZERO rewrite —
+    // matched keys' old rows go into per-file deletion vectors, winners
+    // append (require() pins that no original file was touched). The
+    // oracle replays the same upsert in SQL from the staged seed+batch,
+    // so the DV-applying read path itself is under the hash check.
+    Q("table_mor_merge", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("morm_seed", "parquet") {
+        SampleData.transactions(s, 160, seed = 74L)
+      }
+      val batchDir = Pipeline.stagedInput("morm_batch", "parquet") {
+        val seed = s.read.parquet(seedDir)
+        val mods = seed.orderBy("transaction_id").limit(40)
+          .withColumn("amount",
+            (col("amount") + 7).cast(DecimalType(12, 2)))
+          .withColumn("processing_timestamp",
+            col("processing_timestamp") + 1L)
+        val inserts = SampleData.transactions(s, 200, seed = 74L)
+          .join(seed.select("transaction_id"), Seq("transaction_id"), "left_anti")
+        mods.unionByName(inserts.select(mods.columns.map(col): _*))
+      }
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("morm")))
+      val t = cat.createTable("analytics", "txns_morm",
+        Schemas.transactions, Seq("date"),
+        properties = Map(
+          graft.table.TxTable.MergeModeProperty -> "merge-on-read"))
+      t.append(s.read.parquet(seedDir))
+      val filesBefore = t.snapshot.files.map(_.path).toSet
+      t.merge(s.read.parquet(batchDir),
+        key = "transaction_id", orderCol = "processing_timestamp")
+      require(t.snapshot.operation == "MERGE_MOR" &&
+        t.snapshot.files.map(_.path).toSet.intersect(filesBefore) == filesBefore,
+        "merge must be merge-on-read: no original file rewritten")
+      require(t.snapshot.deletionVectors.nonEmpty, "vectors must be recorded")
+      t.toDF.groupBy("risk_score")
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"))
+        .orderBy("risk_score")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/morm_seed/*.parquet')),
+      batch AS (SELECT * FROM read_parquet('$root/morm_batch/*.parquet')),
+      merged AS (
+        SELECT * FROM batch
+        UNION ALL
+        SELECT s.* FROM seed s WHERE NOT EXISTS
+          (SELECT 1 FROM batch b WHERE b.transaction_id = s.transaction_id))
+      SELECT risk_score, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM merged GROUP BY risk_score ORDER BY risk_score""")),
   )
 }
