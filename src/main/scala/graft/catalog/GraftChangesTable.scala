@@ -148,7 +148,33 @@ private[catalog] object ChangesScan {
                 partSpec)._1
               .map(p => ChangesInputPartition(p, stored = false, ct, v,
                 ts * 1000L))
-          group(removed, "delete") ++ group(added, "insert")
+          // removed files must be read under the PREVIOUS snapshot's
+          // MOR state (changeFeed's rule): rows already equality- or
+          // position-deleted before this commit are not re-deleted by
+          // it. File-level planning can't apply the anti-joins, so
+          // when the prior delete state touches the removed files the
+          // MOR-filtered pre-images are materialized once and planned
+          // as stored change files; the common no-MOR overwrite keeps
+          // the zero-copy raw path.
+          val removedParts =
+            if (removed.isEmpty) Array.empty[ChangesInputPartition]
+            else {
+              val prev = tx.snapshotAt(v - 1)
+              val removedSet = removed.map(_.path).toSet
+              val morTouches =
+                prev.deletionVectors.exists(d => removedSet.contains(d.dataFile)) ||
+                  prev.equalityDeletes.exists(d => removed.exists(_.seq < d.seq))
+              if (!morTouches) group(removed, "delete")
+              else {
+                val listed = tx.synthOverwriteDeletes(v, removed, prev)
+                  .map { case (r, len) => (r, Map.empty[String, String], len) }
+                org.apache.spark.sql.graft.ScanBridge
+                  .parquetBatch(tx.spark, cdDir, ctSchema, Nil, listed)._1
+                  .map(p => ChangesInputPartition(p, stored = true, null, v,
+                    ts * 1000L))
+              }
+            }
+          removedParts ++ group(added, "insert")
         case CommitChanges.NoChanges => Array.empty[ChangesInputPartition]
       }
     }.toArray

@@ -760,7 +760,8 @@ class TxTable private (
     * one): delete sets are small by design — large deletions should go
     * through the copy-on-write path, and `compact()` applies+clears
     * accumulated deletes. */
-  private def applyEqualityDeletes(base: DataFrame, s: Snapshot): DataFrame = {
+  private def applyEqualityDeletes(base: DataFrame, s: Snapshot,
+      keepFileCol: Boolean = false): DataFrame = {
     if (s.equalityDeletes.isEmpty || s.files.isEmpty) return base
     import spark.implicits._
     val seqByName = s.files.map(f => (new Path(f.path).getName, f.seq))
@@ -782,7 +783,11 @@ class TxTable private (
             col("__graft_fseq") < col("__graft_dseq"),
           "left_anti")
     }
-    filtered.drop("__graft_file", "__graft_fseq")
+    // keepFileCol: ref scans (dfForWithRefs) still need __graft_file
+    // downstream — dropping it here broke MOR position ops on tables
+    // with outstanding equality deletes
+    if (keepFileCol) filtered.drop("__graft_fseq")
+    else filtered.drop("__graft_file", "__graft_fseq")
   }
 
   private def deletesDir: Path = new Path(root, "deletes")
@@ -826,6 +831,11 @@ class TxTable private (
    * and clears them all. Point/small deletes by contract — large
    * predicates should go through the copy-on-write [[delete]].
    */
+  /** Test seam (DeletionVectorSpec): runs ONCE between [[deletePos]]'s
+    * ref scan and its first commit attempt, so a spec can interleave a
+    * concurrent commit into the CAS window deterministically. */
+  private[table] var onBeforeDvCommit: () => Unit = () => ()
+
   def deletePos(predicate: Column): Long = {
     val s = snapshot
     val schema = schemaOf(s)
@@ -842,22 +852,33 @@ class TxTable private (
       else writeChangeData(dfFor(s).filter(predicate)
         .select(schema.map(f => col(f.name)) :+
           lit("delete").as("_change_type"): _*))
-    val relByName = s.files.map(f => new Path(f.path).getName -> f.path).toMap
-    val existing = s.deletionVectors.map(d => d.dataFile -> d).toMap
-    val updated: Map[String, DeletionVector] = refs.groupBy(_._1).map {
-      case (name, rs) =>
-        val rel = relByName.getOrElse(name,
-          throw new IllegalStateException(s"matched row in unknown file $name"))
-        val merged = (existing.get(rel)
-          .map(d => readDvPositions(d.path)).getOrElse(Array.empty[Long]) ++
-          rs.map(_._2)).distinct.sorted
-        rel -> DeletionVector(rel, writeDvFile(merged), merged.length)
-    }
+    val refsByName = refs.groupBy(_._1)
+    locally { val h = onBeforeDvCommit; onBeforeDvCommit = () => (); h() }
     retryingCommit("DELETE_DV") { expected =>
       val cur = snapshotAt(expected)
-      val live = cur.files.map(_.path).toSet
-      val dvs = (cur.deletionVectors.filterNot(d => updated.contains(d.dataFile))
-        ++ updated.values).filter(d => live.contains(d.dataFile))
+      // Re-resolve and re-merge against the CURRENT snapshot on every
+      // attempt: a concurrent DELETE_DV/UPDATE_MOR may have grown a
+      // file's vector since the ref scan (its positions must survive
+      // this merge), and a concurrent COMPACT/rewrite may have retired
+      // a referenced file entirely — then the collected positions no
+      // longer address any live file, so surface a conflict instead of
+      // silently committing a no-op (serializability: the caller must
+      // re-read and re-issue the delete against the new files).
+      val relByName = cur.files.map(f => new Path(f.path).getName -> f.path).toMap
+      val existing = cur.deletionVectors.map(d => d.dataFile -> d).toMap
+      val updated: Map[String, DeletionVector] = refsByName.map {
+        case (name, rs) =>
+          val rel = relByName.getOrElse(name,
+            throw new java.util.ConcurrentModificationException(
+              s"MOR DELETE positions reference data file '$name', which a " +
+                "concurrent commit rewrote or removed; re-run the delete"))
+          val merged = (existing.get(rel)
+            .map(d => readDvPositions(d.path)).getOrElse(Array.empty[Long]) ++
+            rs.map(_._2)).distinct.sorted
+          rel -> DeletionVector(rel, writeDvFile(merged), merged.length)
+      }
+      val dvs = cur.deletionVectors.filterNot(d => updated.contains(d.dataFile)) ++
+        updated.values
       commit(Some(expected), "DELETE_DV", schemaOf(cur),
         cur.partitionColumns, cur.files,
         deletionVectors = dvs, changeFiles = cdfFiles)
@@ -1032,7 +1053,7 @@ class TxTable private (
         base.join(broadcast(pairs), Seq("__graft_file", "__graft_pos"),
           "left_anti")
       }
-    applyEqualityDeletes(dvApplied, s)
+    applyEqualityDeletes(dvApplied, s, keepFileCol = true)
   }
 
   /**
@@ -1137,6 +1158,46 @@ class TxTable private (
       }
     f.delete(staging, true)
     moved
+  }
+
+  /**
+   * Materialize (once) the MOR-filtered delete pre-images of an
+   * overwrite commit's removed files, for the V2 `.changes` scan.
+   * Rows already equality- or position-deleted under the PREVIOUS
+   * snapshot must not resurface as overwrite `delete` events (the
+   * [[changeFeed]] rule); the V2 scan plans raw file partitions and
+   * can't express the MOR anti-joins per partition, so when the prior
+   * snapshot's delete state touches the removed files the filtered
+   * pre-images are written once under `_change_data/synth-ow-v{v}/`
+   * and planned like stored change files. Content is deterministic
+   * (the log is immutable), so the cache is valid forever; it is
+   * referenced by no commit, so vacuum ages it out past `keepFrom`
+   * and a later historical scan simply rebuilds it. Returns
+   * (relative name under `_change_data/`, size).
+   */
+  private[graft] def synthOverwriteDeletes(v: Long, removed: Seq[DataFile],
+      prev: Snapshot): Seq[(String, Long)] = {
+    val rel = s"synth-ow-v$v"
+    val dir = new Path(changeDataDir, rel)
+    val f = fs
+    def list(): Seq[(String, Long)] =
+      f.listStatus(dir).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .map(st => (s"$rel/${st.getPath.getName}", st.getLen))
+    if (f.exists(dir)) return list()
+    val raw = TxLog.readRaw(logDir, v, conf)
+    val df = dfFor(raw.copy(files = removed,
+        equalityDeletes = prev.equalityDeletes,
+        deletionVectors = prev.deletionVectors))
+      .withColumn("_change_type", lit("delete"))
+    val staging = new Path(root, s"_staging/${UUID.randomUUID().toString}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    f.mkdirs(changeDataDir)
+    // atomic dir rename claims the cache slot; if a concurrent scan
+    // won the race, our staging copy is dropped and the winner serves
+    if (f.exists(dir) || !f.rename(staging, dir)) f.delete(staging, true)
+    list()
   }
 
   /**

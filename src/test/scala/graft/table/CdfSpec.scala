@@ -236,4 +236,35 @@ class CdfSpec extends SparkSpec {
     t.vacuum(retainVersions = 10, graceMillis = 0L)
     assert(t.changeFeed(2, 2).count() === nHigh)
   }
+
+  test(".changes scan applies prior MOR deletes to overwrite-removed files") {
+    val wh = freshDir("cdf_ow_mor")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.om")
+    spark.sql("CREATE TABLE graft.om.t (id STRING, v INT)")             // v0
+    spark.sql(
+      "INSERT INTO graft.om.t VALUES ('a',1),('b',2),('c',3),('d',4)")  // v1
+    val cat = new TableCatalog(spark, new Path(wh))
+    val tx = cat.getTable("om", "t")
+    tx.deletePos(col("id") === "b")                                     // v2
+    tx.deleteMor(col("id") === "c", "id")                               // v3
+    spark.sql("INSERT OVERWRITE graft.om.t VALUES ('z', 9)")            // v4
+    val v = tx.currentVersion
+    // V1 feed semantics: only the LIVE rows a,d are overwrite deletes —
+    // b (position-deleted) and c (equality-deleted) fell earlier
+    assert(tx.changeFeed(v, v).filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getString(0)).toSet === Set("a", "d"))
+    // the V2 .changes scan must agree (it planned removed files raw
+    // before: already-MOR-deleted rows resurfaced as delete events and
+    // continuous MV folds double-subtracted)
+    def ch = spark.read.option("startingVersion", v.toString)
+      .table("graft.om.t.changes")
+    assert(ch.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getString(0)).toSet === Set("a", "d"))
+    assert(ch.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getString(0)).toSet === Set("z"))
+    // second read serves from the materialized synth cache, same rows
+    assert(ch.filter(col("_change_type") === "delete").count() === 2)
+  }
 }

@@ -328,4 +328,66 @@ class DeletionVectorSpec extends SparkSpec {
     t.restore(v - 1)
     assert(t.toDF.count() === 40)
   }
+
+  test("deletePos retry preserves a concurrently-committed vector") {
+    val dir = new Path(freshDir("dv_race"))
+    val t = TxTable.create(spark, dir, "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 60, seed = 95L)
+    t.append(seed)
+    val nHigh = seed.filter(col("risk_score") === "HIGH").count()
+    val nLow = seed.filter(col("risk_score") === "LOW").count()
+    val other = TxTable.open(spark, dir, "t")
+    // a second writer lands a DELETE_DV in t's CAS window — the commit
+    // attempt must re-merge against the CURRENT vectors, not replace
+    // them with a merge computed from the stale ref-scan snapshot
+    t.onBeforeDvCommit =
+      () => { other.deletePos(col("risk_score") === "LOW"); () }
+    t.deletePos(col("risk_score") === "HIGH")
+    assert(t.toDF.filter(col("risk_score").isin("HIGH", "LOW")).count() === 0)
+    assert(t.toDF.count() === 60 - nHigh - nLow)
+    assert(t.count() === 60 - nHigh - nLow)
+    // still one vector per file after the merged commit
+    assert(t.snapshot.deletionVectors.groupBy(_.dataFile)
+      .values.forall(_.size == 1))
+  }
+
+  test("deletePos conflicts (not silent no-op) when a rewrite retires its files") {
+    val dir = new Path(freshDir("dv_race_rw"))
+    val t = TxTable.create(spark, dir, "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 60, seed = 97L)
+    t.append(seed)
+    val other = TxTable.open(spark, dir, "t")
+    // a concurrent compaction rewrites every file the collected
+    // positions point at: committing would silently delete nothing, so
+    // the writer must surface a conflict for the caller to re-read
+    t.onBeforeDvCommit = () => { other.compact(); () }
+    intercept[java.util.ConcurrentModificationException] {
+      t.deletePos(col("risk_score") === "HIGH")
+    }
+    assert(t.toDF.count() === 60)                    // nothing half-applied
+    assert(t.snapshot.deletionVectors.isEmpty)
+  }
+
+  test("positional MOR ops compose after outstanding equality deletes") {
+    val t = TxTable.create(spark, new Path(freshDir("dv_eq_first")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 60, seed = 96L)
+    t.append(seed)
+    val nHigh = seed.filter(col("risk_score") === "HIGH").count()
+    val nLow = seed.filter(col("risk_score") === "LOW").count()
+    val nMed = seed.filter(col("risk_score") === "MEDIUM").count()
+    // equality delete FIRST: the subsequent ref scans must keep
+    // __graft_file through the equality-delete anti-join
+    t.deleteMor(col("risk_score") === "HIGH", "transaction_id")
+    t.deletePos(col("risk_score") === "LOW")
+    assert(t.toDF.count() === 60 - nHigh - nLow)
+    t.updateMor(col("risk_score") === "MEDIUM",
+      Map("amount" -> lit(9.99)
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+    assert(t.toDF.count() === 60 - nHigh - nLow)
+    assert(t.toDF.filter(col("amount") === 9.99).count() === nMed)
+    assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
+  }
 }
