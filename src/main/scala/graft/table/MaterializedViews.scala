@@ -199,7 +199,9 @@ object MaterializedViews {
         backing.overwrite(fold(backing.toDF, feed, m), txn)
         "incremental"
       } catch {
-        case _: IllegalStateException =>    // unreplayable gap in the feed
+        case _: UnreplayableChangeFeedException => // gap contract ONLY —
+          // any other failure (fold/overwrite bugs included) propagates
+          // instead of masquerading as a quiet full recompute
           backing.overwrite(recompute(src.asOf(head), m.groupCols, m.aggs,
             m.whereSql), txn)
           "full"

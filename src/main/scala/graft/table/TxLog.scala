@@ -479,9 +479,24 @@ object TxLog {
       Option(f.getUri).map(_.getScheme).getOrElse("file"))
     if (scheme == "file") commitLocalAtomic(f, target, json, next, expected)
     else commitViaFs(f, target, json, next, expected)
+    // a CREATE (version 0) means DROP + re-CREATE may be reusing this
+    // logDir's version paths — stale parsed headers of the previous
+    // table must not survive into the new one (the (mtime, length)
+    // probe alone can miss a same-length rewrite within the
+    // filesystem's mtime granularity); any later version just sheds
+    // its own slot
+    if (next == 0L) purgeRawCache(logDir)
+    else rawCache.remove((logDir.toString, next))
     writeHint(f, logDir, next)
     next
   }
+
+  /** Drop every cached parsed header under `logDir` (table re-created
+    * or dropped: reused version paths must re-read). */
+  private[table] def purgeRawCache(logDir: Path): Unit =
+    rawCache.synchronized {
+      rawCache.keySet.removeIf(_._1 == logDir.toString)
+    }
 
   /**
    * Bootstrap a NEW linear chain (a branch ref) at an arbitrary start
@@ -511,6 +526,8 @@ object TxLog {
       Option(f.getUri).map(_.getScheme).getOrElse("file"))
     if (scheme == "file") commitLocalAtomic(f, target, json, snapshot.version, None)
     else commitViaFs(f, target, json, snapshot.version, None)
+    // chain start: a dropped-and-recreated branch reuses version paths
+    purgeRawCache(logDir)
     writeHint(f, logDir, snapshot.version)
     snapshot.version
   }

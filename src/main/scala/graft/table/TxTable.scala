@@ -1125,7 +1125,7 @@ class TxTable private (
       else CommitChanges.Overwrite(removed, added, raw.timestampMs)
     } else if (CommitChanges.noRowChange.contains(raw.operation))
       CommitChanges.NoChanges
-    else throw new IllegalStateException(
+    else throw new UnreplayableChangeFeedException(
       s"change data not recorded for $name v$v (${raw.operation}): " +
         s"set TBLPROPERTIES ('${TxTable.ChangeFeedProperty}'='true') " +
         "before the commits to replay, and route row-level DML " +
@@ -3014,6 +3014,15 @@ class TxTable private (
     case other => other.toString
   }
 }
+
+/** The change-feed gap contract (see [[TxTable.changeFeed]]): a commit
+  * in the requested range has no recorded or derivable row-level
+  * changes. A DEDICATED type (still an IllegalStateException for
+  * callers matching broadly) so consumers that fall back to a full
+  * recompute — [[MaterializedViews.refresh]] — react to exactly this
+  * contract and never mask unrelated failures as a quiet degrade. */
+class UnreplayableChangeFeedException(msg: String)
+  extends IllegalStateException(msg)
 
 /** One commit's row-level changes as resolved from the transaction log
   * (see [[TxTable.commitChanges]]): stored `_change_data` parquet,

@@ -1982,4 +1982,34 @@ class TxTableSpec extends SparkSpec {
     t.buildBloomIndex("v")
     assert(t.candidateFilesForEquals("v", 15L).isEmpty)
   }
+
+  test("re-CREATE at a reused path invalidates stale parsed headers") {
+    val root = new Path(freshDir("cache_recreate"))
+    val t1 = TxTable.create(spark, root, "t", Schemas.transactions, Seq("date"))
+    t1.append(SampleData.transactions(spark, 5, seed = 11L))          // v1
+    val logDir = new Path(root, "_log")
+    val conf = spark.sessionState.newHadoopConf()
+    val f = logDir.getFileSystem(conf)
+    val warm = TxLog.readRaw(logDir, 1L, conf)                        // warms cache
+    // adversarial DROP + re-CREATE: v1's header rewritten with
+    // different SAME-LENGTH content and the original mtime restored —
+    // the (mtime, length) probe alone cannot tell the file changed
+    val p = new Path(logDir, f"v${1L}%08d.metadata.json")
+    val st = f.getFileStatus(p)
+    val json = new String(
+      org.apache.commons.io.IOUtils.toByteArray(f.open(p)), "UTF-8")
+    val ts = warm.timestampMs
+    val ts2 = ts - (ts % 10) + ((ts % 10 + 1) % 10)
+    val mutated = json.replace(
+      s""""timestampMs":$ts""", s""""timestampMs":$ts2""")
+    assert(mutated != json && mutated.length == json.length)
+    f.delete(p, false)
+    val out = f.create(p, true)
+    out.write(mutated.getBytes("UTF-8")); out.close()
+    f.setTimes(p, st.getModificationTime, -1)
+    f.delete(new Path(logDir, f"v${0L}%08d.metadata.json"), false)    // DROP half
+    TxTable.create(spark, root, "t", Schemas.transactions, Seq("date"))
+    // CREATE purged the logDir's cache: the re-parse sees the rewrite
+    assert(TxLog.readRaw(logDir, 1L, conf).timestampMs === ts2)
+  }
 }
