@@ -270,33 +270,50 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     }
 
   /** Seq-group the scan's files by which equality deletes apply
-    * (`file.seq < delete.seq`), loading each delete's key set once;
-    * deletion vectors attach per file (position sets loaded once,
-    * driver-side — point deletes by contract). */
+    * (`file.seq < delete.seq`). SMALL delete key sets load once,
+    * driver-side, and inline into the scan; a delete file past
+    * `spark.graft.morMaxInlineDeleteKeys` (with an eligible key type)
+    * ships as a PATH instead — readers load it executor-side
+    * ([[graft.table.EqKeyStore]]). Deletion vectors attach per file as
+    * sidecar REFERENCES only ([[org.apache.spark.sql.graft.DvRef]]):
+    * positions never enter the plan, so driver memory and task payload
+    * stay O(1) however much delete state accumulates. */
   private def morGroups(scanFiles: Seq[graft.table.DataFile])
       : Seq[org.apache.spark.sql.graft.MorGroup] = {
     val deletes = snap.equalityDeletes
     val deletesDir = new Path(tx.root, "deletes")
-    val keysByDelete: Map[String, Set[Any]] = deletes.map { d =>
-      d.path -> org.apache.spark.sql.graft.MorScan.loadDeletedKeys(
-        tx.spark, deletesDir, d.path, d.keyColumn,
-        fullSchema(d.keyColumn).dataType)
-    }.toMap
-    val dvByFile: Map[String, Array[Long]] = snap.deletionVectors
-      .map(d => d.dataFile -> tx.readDvPositions(d.path)).toMap
+    val maxInline = tx.spark.conf
+      .getOption("spark.graft.morMaxInlineDeleteKeys")
+      .map(_.toLong).getOrElse(100000L)
+    def deferred(d: graft.table.EqualityDeleteFile): Boolean =
+      d.count > maxInline &&
+        graft.table.EqKeyStore.deferrable(fullSchema(d.keyColumn).dataType)
+    val keysByDelete: Map[String, Set[Any]] =
+      deletes.filterNot(deferred).map { d =>
+        d.path -> org.apache.spark.sql.graft.MorScan.loadDeletedKeys(
+          tx.spark, deletesDir, d.path, d.keyColumn,
+          fullSchema(d.keyColumn).dataType)
+      }.toMap
+    val dvByFile: Map[String, org.apache.spark.sql.graft.DvRef] =
+      snap.deletionVectors.map(d => d.dataFile ->
+        org.apache.spark.sql.graft.DvRef(
+          new Path(deletesDir, d.path).toString, d.count)).toMap
     scanFiles
       .groupBy(f => deletes.filter(_.seq > f.seq).map(_.path))
       .toSeq
       .map { case (sig, fs) =>
         val applicable = deletes.filter(d => sig.contains(d.path))
-        val keys: Map[String, Set[Any]] = applicable.groupBy(_.keyColumn)
+        val (defer, inline) = applicable.partition(deferred)
+        val keys: Map[String, Set[Any]] = inline.groupBy(_.keyColumn)
           .map { case (c, ds) =>
             c -> ds.map(d => keysByDelete(d.path)).reduce(_ ++ _) }
         org.apache.spark.sql.graft.MorGroup(
           fs.map(f => (f.path, f.partitionValues, f.sizeBytes)),
           fs.flatMap(f => f.stats.map(f.path -> _)).toMap,
           keys,
-          dvByFile.filter { case (p, _) => fs.exists(_.path == p) })
+          dvByFile.filter { case (p, _) => fs.exists(_.path == p) },
+          defer.map(d => org.apache.spark.sql.graft.DeferredEqDelete(
+            new Path(deletesDir, d.path).toString, d.keyColumn)))
       }
   }
 

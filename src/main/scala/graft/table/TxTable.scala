@@ -734,22 +734,42 @@ class TxTable private (
   }
 
   /** Merge-on-read positional deletes: anti-join the scan against the
-    * broadcast (file name, position) pairs of the snapshot's deletion
-    * vectors. Vectors are small by contract (point deletes; large
-    * predicates go copy-on-write), so the pair set loads driver-side
-    * and broadcasts — the scan itself never shuffles. */
+    * snapshot's (file name, position) delete pairs. The DRIVER never
+    * materializes positions — it plans one row per deletion vector
+    * (file name, sidecar path) and EXECUTORS expand each sidecar into
+    * its positions ([[DvStore]]), so driver memory and plan payload are
+    * O(#vectors) however much delete state accumulates. Below
+    * `spark.graft.morBroadcastMaxPositions` (metadata cardinality sum,
+    * no read needed) the pair set broadcasts and the scan never
+    * shuffles; above it, Spark shuffles the anti-join — correct either
+    * way, and the threshold keeps hot small-delete reads single-pass. */
   private def applyDeletionVectors(base: DataFrame, s: Snapshot): DataFrame = {
     if (s.deletionVectors.isEmpty || s.files.isEmpty) return base
-    import spark.implicits._
-    val pairs = s.deletionVectors.flatMap { d =>
-      val name = new Path(d.dataFile).getName
-      readDvPositions(d.path).map(p => (name, p))
-    }.toDF("__graft_file", "__graft_pos")
+    val pairs = dvPairs(s)
     base
       .withColumn("__graft_file",
         element_at(split(input_file_name(), "/"), -1))
-      .join(broadcast(pairs), Seq("__graft_file", "__graft_pos"), "left_anti")
+      .join(pairs, Seq("__graft_file", "__graft_pos"), "left_anti")
       .drop("__graft_file", "__graft_pos")
+  }
+
+  /** The snapshot's deletion-vector (file name, position) pairs as a
+    * DISTRIBUTED frame (executor-side sidecar expansion), broadcast
+    * when the metadata cardinality sum stays under the gate. */
+  private def dvPairs(s: Snapshot): DataFrame = {
+    import spark.implicits._
+    val refs = s.deletionVectors.map(d =>
+      (new Path(d.dataFile).getName,
+        new Path(deletesDir, d.path).toString))
+    val sc = new SerializableConf(conf)
+    val pairs = refs.toDS()
+      .flatMap { case (name, sidecar) =>
+        DvStore.positions(sidecar, sc.value).map(p => (name, p)) }
+      .toDF("__graft_file", "__graft_pos")
+    val gate = spark.conf.getOption("spark.graft.morBroadcastMaxPositions")
+      .map(_.toLong).getOrElse(10000000L)
+    if (s.deletionVectors.map(_.count).sum <= gate) broadcast(pairs)
+    else pairs
   }
 
   /** Merge-on-read: subtract outstanding equality deletes from a scan.
@@ -808,16 +828,8 @@ class TxTable private (
     rel
   }
 
-  private[graft] def readDvPositions(rel: String): Array[Long] = {
-    val p = new Path(deletesDir, rel)
-    val len = fs.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(0L, bytes) finally in.close()
-    val buf = java.nio.ByteBuffer.wrap(bytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    Array.fill(len / 8)(buf.getLong)
-  }
+  private[graft] def readDvPositions(rel: String): Array[Long] =
+    DvStore.positions(new Path(deletesDir, rel).toString, conf)
 
   /**
    * Merge-on-read positional DELETE (the Delta deletion-vector /
@@ -836,15 +848,31 @@ class TxTable private (
     * concurrent commit into the CAS window deterministically. */
   private[table] var onBeforeDvCommit: () => Unit = () => ()
 
+  /** Driver-side cap on materialized (file, position) refs for the
+    * merge-on-read point-DML paths; broader predicates auto-degrade to
+    * copy-on-write (which never collects rows). */
+  private def morMaxPositions: Long =
+    spark.conf.getOption("spark.graft.morMaxPositions")
+      .map(_.toLong).getOrElse(1000000L)
+
   def deletePos(predicate: Column): Long = {
     val s = snapshot
     val schema = schemaOf(s)
     // live matched rows with their (file, position) refs: existing DVs
     // and equality deletes are applied by the ref scan, so re-deleting
-    // is naturally idempotent and never double-counts
-    val refs = dfForWithRefs(s).filter(predicate)
+    // is naturally idempotent and never double-counts. The collect is
+    // CAPPED: a broad predicate silently materializing millions of
+    // refs on the driver is exactly what the copy-on-write path is
+    // for, so past `spark.graft.morMaxPositions` this degrades to a
+    // COW delete instead of risking driver memory (LIMIT cap+1 keeps
+    // the probe itself O(cap))
+    val maxPos = morMaxPositions
+    val capped = dfForWithRefs(s).filter(predicate)
       .select(col("__graft_file"), col("__graft_pos"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .limit(math.min(maxPos, Int.MaxValue - 1L).toInt + 1)
+      .collect()
+    if (capped.length > maxPos) return delete(predicate)
+    val refs = capped.map(r => (r.getString(0), r.getLong(1)))
     if (refs.isEmpty) return s.version
     // stored CDF: the deleted rows' pre-images (same pushed scan)
     val cdfFiles =
@@ -904,11 +932,21 @@ class TxTable private (
       s"UPDATE SET column '$k' is not in the table schema"))
     val hit = coalesce(predicate, lit(false))
     // ONE cached ref scan feeds all three consumers: the positions to
-    // mark deleted, the post-images to append, and the CDF record
+    // mark deleted, the post-images to append, and the CDF record.
+    // Same driver-memory guardrail as deletePos: past
+    // `spark.graft.morMaxPositions` matched refs, degrade to the
+    // copy-on-write update instead of materializing them all
+    val maxPos = morMaxPositions
     val matched = dfForWithRefs(s).filter(hit).cache()
     try {
-      val refs = matched.select(col("__graft_file"), col("__graft_pos"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val capped = matched.select(col("__graft_file"), col("__graft_pos"))
+        .limit(math.min(maxPos, Int.MaxValue - 1L).toInt + 1)
+        .collect()
+      if (capped.length > maxPos) {
+        matched.unpersist()
+        return update(predicate, set)
+      }
+      val refs = capped.map(r => (r.getString(0), r.getLong(1)))
       if (refs.isEmpty) return s.version
       val post = matched.select(schema.map { f =>
         set.get(f.name).map(_.cast(f.dataType).as(f.name))
@@ -1044,15 +1082,8 @@ class TxTable private (
         element_at(split(input_file_name(), "/"), -1))
     val dvApplied =
       if (s.deletionVectors.isEmpty) base
-      else {
-        import spark.implicits._
-        val pairs = s.deletionVectors.flatMap { d =>
-          val name = new Path(d.dataFile).getName
-          readDvPositions(d.path).map(p => (name, p))
-        }.toDF("__graft_file", "__graft_pos")
-        base.join(broadcast(pairs), Seq("__graft_file", "__graft_pos"),
-          "left_anti")
-      }
+      else base.join(dvPairs(s), Seq("__graft_file", "__graft_pos"),
+        "left_anti")
     applyEqualityDeletes(dvApplied, s, keepFileCol = true)
   }
 

@@ -10,6 +10,17 @@ import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+/** An outstanding deletion vector as the scan plans it: the sidecar's
+  * ABSOLUTE path plus its cardinality (from commit metadata). The
+  * positions themselves never enter the plan — readers open the
+  * sidecar executor-side ([[_root_.graft.table.DvStore]]), so task
+  * payload is O(1) in accumulated delete state. */
+case class DvRef(sidecar: String, count: Long)
+
+/** An equality-delete file too large to inline as a key set: readers
+  * load the keys executor-side ([[_root_.graft.table.EqKeyStore]]). */
+case class DeferredEqDelete(path: String, column: String)
+
 /**
  * One seq-group of a merge-on-read scan: the files that share the same
  * set of applicable equality deletes, plus the (already-loaded) deleted
@@ -20,12 +31,15 @@ case class MorGroup(
     files: Seq[(String, Map[String, String], Long)],
     statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]],
     deletedKeys: Map[String, Set[Any]],
-    /** outstanding DELETION VECTORS by file path: sorted row positions
-      * deleted from exactly that file. DV'd files plan one-file
-      * sub-scans with only partition filters pushed (no data pushdown
-      * → no row-group skipping → the reader's running count IS the
-      * file row index, reconstructed per split from footer metadata). */
-    dvByPath: Map[String, Array[Long]] = Map.empty)
+    /** outstanding DELETION VECTORS by file path — sidecar REFERENCES,
+      * resolved executor-side. DV'd files plan one-file sub-scans with
+      * only partition filters pushed (no data pushdown → no row-group
+      * skipping → the reader's running count IS the file row index,
+      * reconstructed per split from footer metadata). */
+    dvByPath: Map[String, DvRef] = Map.empty,
+    /** equality deletes whose key sets exceeded the inline threshold
+      * (`spark.graft.morMaxInlineDeleteKeys`) */
+    deferredKeys: Seq[DeferredEqDelete] = Nil)
 
 /**
  * Scan builder for a graft table with OUTSTANDING merge-on-read
@@ -60,7 +74,8 @@ class MorScanBuilder(
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
   private val keyColumns: Seq[String] =
-    groups.flatMap(_.deletedKeys.keys).distinct
+    (groups.flatMap(_.deletedKeys.keys) ++
+      groups.flatMap(_.deferredKeys.map(_.column))).distinct
 
   // default to the TABLE schema (derived hidden-partition fields are
   // scan-internal — never part of a result)
@@ -134,7 +149,7 @@ class MorScanBuilder(
       f.deterministic &&
       f.references.forall(a => partitionColumns.contains(a.name)))
     // one sub-scan per (group, plain-files) + one per DV'd file
-    val subScans: Seq[(Scan, MorGroup, Option[(String, Array[Long])])] =
+    val subScans: Seq[(Scan, MorGroup, Option[(String, DvRef)])] =
       groups.flatMap { g =>
         val (dvFiles, plain) = g.files.partition(f => g.dvByPath.contains(f._1))
         val plainScan =
@@ -143,7 +158,7 @@ class MorScanBuilder(
             val b = newGroupBuilder(g.copy(files = plain))
             b.pushFilters(pushed)
             b.pruneColumns(readSchemaForGroups)
-            Seq((b.build(), g, Option.empty[(String, Array[Long])]))
+            Seq((b.build(), g, Option.empty[(String, DvRef)]))
           }
         val dvScans = dvFiles.map { f =>
           val b = newGroupBuilder(g.copy(files = Seq(f)))
@@ -161,7 +176,8 @@ class MorScanBuilder(
       override def description(): String =
         s"graft-mor-scan(${subScans.size} sub-scans, " +
           s"${groups.map(_.deletedKeys.values.map(_.size).sum).sum} deleted keys, " +
-          s"${groups.map(_.dvByPath.values.map(_.length).sum).sum} deleted positions)"
+          s"${groups.map(_.deferredKeys.size).sum} deferred delete files, " +
+          s"${groups.map(_.dvByPath.values.map(_.count).sum).sum} deleted positions)"
       override def estimateStatistics()
           : org.apache.spark.sql.connector.read.Statistics =
         new org.apache.spark.sql.connector.read.Statistics {
@@ -172,7 +188,7 @@ class MorScanBuilder(
             java.util.OptionalLong.empty()
         }
       override def toBatch: Batch = new Batch {
-        private val planned: Seq[(Batch, MorGroup, Option[(String, Array[Long])])] =
+        private val planned: Seq[(Batch, MorGroup, Option[(String, DvRef)])] =
           subScans.map { case (s, g, dv) => (s.toBatch, g, dv) }
         override def planInputPartitions(): Array[InputPartition] =
           planned.zipWithIndex.flatMap { case ((b, _, dv), si) =>
@@ -221,9 +237,14 @@ class MorScanBuilder(
               g.deletedKeys.toSeq.map { case (c, ks) =>
                 (scanSchema.fieldIndex(c), scanSchema(c).dataType, ks)
               },
-              dv.map(_._2).getOrElse(Array.empty))
+              g.deferredKeys.map(d =>
+                (scanSchema.fieldIndex(d.column),
+                  scanSchema(d.column).dataType, d.path)),
+              dv.map(_._2.sidecar))
           }
-          new MorReaderFactory(specs.toArray)
+          new MorReaderFactory(specs.toArray,
+            new _root_.graft.table.SerializableConf(
+              sparkLocal.sessionState.newHadoopConf()))
         }
       }
     }
@@ -241,16 +262,20 @@ case class MorInputPartition(inner: InputPartition, group: Int,
 
 /** Per-sub-scan reading spec: the inner factory, its scan schema, the
   * projection to the requested order, (ordinal, type, deleted values)
-  * equality checks, and (positional sub-scans) the file's sorted
-  * deleted positions. */
+  * equality checks, oversized delete files loaded executor-side as
+  * (ordinal, type, path), and (positional sub-scans) the file's DV
+  * sidecar path — positions are resolved where the task runs, so the
+  * serialized spec is O(1) in accumulated delete state. */
 case class MorGroupSpec(
     factory: PartitionReaderFactory,
     scanSchema: StructType,
     perm: Array[Int],
     keyChecks: Seq[(Int, DataType, Set[Any])],
-    positions: Array[Long] = Array.empty)
+    deferredChecks: Seq[(Int, DataType, String)] = Nil,
+    dvSidecar: Option[String] = None)
 
-class MorReaderFactory(specs: Array[MorGroupSpec])
+class MorReaderFactory(specs: Array[MorGroupSpec],
+    conf: _root_.graft.table.SerializableConf)
   extends PartitionReaderFactory {
 
   // Spark requires every partition of a scan to agree on columnar
@@ -267,8 +292,15 @@ class MorReaderFactory(specs: Array[MorGroupSpec])
     val r = s.factory.createReader(mp.inner)
     val proj = UnsafeProjection.create(s.perm.toIndexedSeq.map(i =>
       BoundReference(i, s.scanSchema(i).dataType, s.scanSchema(i).nullable)))
-    val checks = s.keyChecks
-    val positions = s.positions
+    // delete state resolves HERE — on the executor, per task, served
+    // from the JVM-local immutable-sidecar caches
+    val checks = s.keyChecks ++ s.deferredChecks.map { case (ord, dt, path) =>
+      (ord, dt, _root_.graft.table.EqKeyStore.keys(path,
+        s.scanSchema(ord).name, dt, conf.value))
+    }
+    val positions = s.dvSidecar
+      .map(p => _root_.graft.table.DvStore.positions(p, conf.value))
+      .getOrElse(Array.empty[Long])
     val segs = mp.segs.toArray
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _

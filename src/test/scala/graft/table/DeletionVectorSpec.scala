@@ -329,6 +329,88 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.toDF.count() === 40)
   }
 
+  test("scan payload is O(1) in delete state; oversized key sets defer to executors") {
+    val wh = freshDir("dv_payload")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.pl")
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def factoryBytes(table: String): Int = {
+      val fac = spark.sql(s"SELECT * FROM graft.pl.$table")
+        .queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.head.readerFactory
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(fac); oos.close()
+      bos.size()
+    }
+    val cat = new TableCatalog(spark, new Path(wh))
+    Seq("small", "big").foreach { t =>
+      spark.sql(s"CREATE TABLE graft.pl.$t (id STRING, v INT)")
+      cat.getTable("pl", t)
+        .append((1 to 20000).map(i => (s"r$i", i)).toDF("id", "v").coalesce(1))
+    }
+    cat.getTable("pl", "small").deletePos(col("v") % 2000 === 0)   //    10 pos
+    cat.getTable("pl", "big").deletePos(col("v") % 2 === 0)        // 10000 pos
+    // positions live in executor-opened sidecars, never in the plan:
+    // 1000x the delete cardinality must not grow the task payload
+    // (inline positions would add ~80 KB here)
+    val (sSmall, sBig) = (factoryBytes("small"), factoryBytes("big"))
+    assert(sBig - sSmall < 4096,
+      s"factory grew with DV cardinality: small=$sSmall big=$sBig")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.pl.big")
+      .collect()(0).getLong(0) === 10000L)
+    // an equality delete past the inline threshold ships as a PATH and
+    // loads executor-side; results stay exact
+    spark.conf.set("spark.graft.morMaxInlineDeleteKeys", "10")
+    try {
+      cat.getTable("pl", "big").deleteMor(col("v") % 3 === 0, "id")
+      val expect = (1 to 20000).count(v => v % 2 != 0 && v % 3 != 0)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.pl.big")
+        .collect()(0).getLong(0) === expect.toLong)
+      val bigAfter = factoryBytes("big")
+      assert(bigAfter - sSmall < 8192,
+        s"factory grew with deferred key set: small=$sSmall big=$bigAfter")
+      // selective data predicate over the deferred-delete scan
+      assert(spark.sql("SELECT v FROM graft.pl.big WHERE v IN (2,3,5,7,9)")
+        .collect().map(_.getInt(0)).toSet === Set(5, 7))
+    } finally spark.conf.unset("spark.graft.morMaxInlineDeleteKeys")
+  }
+
+  test("broad-predicate MOR DML degrades to copy-on-write past the position cap") {
+    val t = TxTable.create(spark, new Path(freshDir("dv_cap")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 60, seed = 99L)
+    t.append(seed)
+    spark.conf.set("spark.graft.morMaxPositions", "5")
+    try {
+      val filesBefore = t.snapshot.files.map(_.path).toSet
+      val nHigh = seed.filter(col("risk_score") === "HIGH").count()
+      assert(nHigh > 5)
+      // exceeds the cap: no vectors, affected files REWRITTEN (COW)
+      t.deletePos(col("risk_score") === "HIGH")
+      assert(t.snapshot.deletionVectors.isEmpty)
+      assert(t.snapshot.files.map(_.path).toSet !== filesBefore)
+      assert(t.toDF.count() === 60 - nHigh)
+      // same for updateMor: COW update, no vectors, values correct
+      val nMed = seed.filter(col("risk_score") === "MEDIUM").count()
+      assert(nMed > 5)
+      t.updateMor(col("risk_score") === "MEDIUM",
+        Map("amount" -> lit(1.23)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+      assert(t.snapshot.deletionVectors.isEmpty)
+      assert(t.toDF.filter(col("amount") === 1.23).count() === nMed)
+      // under the cap, the positional path still engages
+      spark.conf.set("spark.graft.morMaxPositions", "1000000")
+      val one = t.toDF.select("transaction_id").limit(1)
+        .collect()(0).getString(0)
+      t.deletePos(col("transaction_id") === one)
+      assert(t.snapshot.deletionVectors.nonEmpty)
+      assert(t.toDF.count() === 60 - nHigh - 1)
+    } finally spark.conf.unset("spark.graft.morMaxPositions")
+  }
+
   test("deletePos retry preserves a concurrently-committed vector") {
     val dir = new Path(freshDir("dv_race"))
     val t = TxTable.create(spark, dir, "t",
