@@ -46,7 +46,7 @@ private[catalog] object GraftProcedures {
     "rewrite_position_deletes",
     "rollback_to_version", "rollback_to_timestamp", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "add_files",
-    "analyze_table", "build_bloom_index", "shallow_clone")
+    "analyze_table", "build_bloom_index", "shallow_clone", "index_commits")
 
   def load(name: String, cat: () => GraftTableCatalog): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, cat)) else None
@@ -99,6 +99,7 @@ private[catalog] object GraftProcedures {
           pDefault("fpp", DoubleType, "0.001"))
         case "shallow_clone" => Array(TableParam, p("destination", StringType),
           pDefault("version", LongType, "-1"))
+        case "index_commits" => Array(TableParam)
       }
 
       override def call(input: InternalRow): JIterator[Scan] = {
@@ -169,6 +170,11 @@ private[catalog] object GraftProcedures {
             val cloned = t.cloneTo(c.tableRoot(parts(0), parts(1)),
               s"${parts(0)}.${parts(1)}", input.getLong(2))
             result("version" -> cloned.currentVersion)
+          case "index_commits" =>
+            // backfill the persisted commit index (logs that predate
+            // it, or chunks whose best-effort write was lost)
+            result("chunks_written" -> TxLog.backfillIndex(
+              new Path(t.root, "_log"), t.currentVersion, sparkConf))
         }
       }
 

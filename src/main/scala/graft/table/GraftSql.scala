@@ -138,20 +138,6 @@ object GraftSql {
     s"graftsql_${digest.map(b => f"$b%02x").mkString}"
   }
 
-  /** The current-catalog flip is still session-global state; serialize
-    * it (and the analysis/eager-command execution inside) so two
-    * threads routing statements through one SparkSession cannot
-    * cross-target. Lazy queries resolve their plan inside the lock and
-    * execute after release, so only analysis and eager DDL/DML
-    * serialize. */
-  private val currentCatalogLock = new Object
-
-  /**
-   * Run `f` with this [[TableCatalog]]'s warehouse exposed as the
-   * session's CURRENT catalog through the DataSource V2 plugin
-   * ([[graft.catalog.GraftCatalog]]), so `ns.tbl` references inside the
-   * statement resolve natively by Catalyst — no text rewriting.
-   */
   /** Register (idempotently) the V2 catalog plugin for this warehouse
     * and return its session catalog name — lets callers address tables
     * fully qualified (`<name>.ns.tbl[.changes]`) without flipping the
@@ -165,33 +151,38 @@ object GraftSql {
     name
   }
 
-  private def withCurrentCatalog[T](cat: TableCatalog)(f: => T): T = {
-    val spark = cat.spark
+  /** A SESSION CLONE with this [[TableCatalog]]'s warehouse as the
+    * CURRENT catalog, so `ns.tbl` references inside the statement
+    * resolve natively by Catalyst — no text rewriting, and NO session-
+    * global state: the clone copies session state (temp views, conf,
+    * function registry) at statement time and shares the SparkContext
+    * and SharedState, so its current-catalog setting is invisible to
+    * every other thread. Statements targeting different warehouses
+    * analyze and execute fully in parallel — the former global flip
+    * lock serialized every native statement across a session. */
+  private def sessionFor(cat: TableCatalog): org.apache.spark.sql.SparkSession = {
     val name = ensureCatalogRegistered(cat)
-    currentCatalogLock.synchronized {
-      val prev = spark.catalog.currentCatalog()
-      spark.catalog.setCurrentCatalog(name)
-      try f finally spark.catalog.setCurrentCatalog(prev)
-    }
+    val clone = org.apache.spark.sql.graft.ColumnBridge.cloneSession(cat.spark)
+    clone.catalog.setCurrentCatalog(name)
+    clone
   }
 
-  private def nativeSql(cat: TableCatalog, text: String): DataFrame =
-    withCurrentCatalog(cat) {
-      val spark = cat.spark
-      // stored-view substitution: splice each view's PARSED definition
-      // under its reference (plan-level, never text rewriting) — the
-      // Athena/Hive view model, resolved lazily so views always see
-      // current table state. No view references → plain delegation.
-      val bridge = org.apache.spark.sql.graft.ColumnBridge
-      val plan =
-        try bridge.parsePlan(spark, text)
-        catch { case _: Exception => null }   // non-plan statements (SET …)
-      if (plan == null) spark.sql(text)
-      else {
-        val sub = substituteViews(cat, plan, depth = 0)
-        if (sub eq plan) spark.sql(text) else bridge.ofRows(spark, sub)
-      }
+  private def nativeSql(cat: TableCatalog, text: String): DataFrame = {
+    val spark = sessionFor(cat)
+    // stored-view substitution: splice each view's PARSED definition
+    // under its reference (plan-level, never text rewriting) — the
+    // Athena/Hive view model, resolved lazily so views always see
+    // current table state. No view references → plain delegation.
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val plan =
+      try bridge.parsePlan(spark, text)
+      catch { case _: Exception => null }   // non-plan statements (SET …)
+    if (plan == null) spark.sql(text)
+    else {
+      val sub = substituteViews(cat, plan, depth = 0)
+      if (sub eq plan) spark.sql(text) else bridge.ofRows(spark, sub)
     }
+  }
 
   /** Replace references to stored views (`ns.v`, or catalog-qualified
     * with THIS catalog's name) with their parsed definitions,

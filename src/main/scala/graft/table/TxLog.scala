@@ -265,6 +265,21 @@ object TxLog {
         rawCache.remove((logDir.toString, v))
       }
     }
+    // index chunks covering ONLY expired versions age out with their
+    // headers (a partially-expired chunk stays: its live tail is still
+    // the fast path, and serving provenance slightly below the horizon
+    // from an immutable chunk is harmless)
+    try {
+      if (f.exists(logDir)) f.listStatus(logDir).foreach { st =>
+        st.getPath.getName match {
+          case ChunkRe(_, to) if to.toLong < keepFrom =>
+            if (f.delete(st.getPath, false))
+              chunkCache.remove((logDir.toString,
+                to.toLong - IndexChunkSize + 1))
+          case _ => ()
+        }
+      }
+    } catch { case _: Exception => () }
     removed
   }
 
@@ -370,9 +385,130 @@ object TxLog {
       raw.manifests.flatMap(loadManifest(logDir, _, conf)) ++ raw.files)
   }
 
-  /** Paths first introduced by commit `version` — O(changed) per call. */
+  // ------------------------------------------------------ commit index
+
+  /** One indexed commit: header essentials plus the precomputed
+    * first-added file records (exactly [[readChanged]]'s answer). */
+  private[table] final case class CommitIndexEntry(
+      v: Long, ts: Long, op: String, files: Seq[DataFile])
+  private[table] final case class CommitIndexChunk(
+      from: Long, to: Long, entries: Seq[CommitIndexEntry])
+
+  /** The PERSISTED COMMIT INDEX: every `IndexChunkSize`-th commit
+    * best-effort writes one immutable chunk file covering the just-
+    * completed version range, holding each commit's header essentials
+    * and first-added files. Cold streaming catch-up / provenance over
+    * K commits then reads K/chunk INDEX FILES instead of parsing K
+    * raw headers — the difference between seconds and milliseconds on
+    * a 10⁴-commit log, and the reason a fresh driver can resume a
+    * long-stopped stream in O(changed), not O(commits × parse).
+    * Chunks are immutable once written (they cover only completed
+    * ranges of an append-only log); losing a write costs nothing but
+    * the fallback to raw headers. Chunk size balances the amortized
+    * write pause (one ~chunk-header re-read per chunk) against index
+    * file count. */
+  private[table] val IndexChunkSize = 256L
+  private def chunkName(from: Long, to: Long): String =
+    f"ci-$from%08d-$to%08d.index.json"
+  private val ChunkRe = raw"ci-(\d{8})-(\d{8})\.index\.json".r
+
+  /** loaded chunks by (logDir, from); a `None` value records a probe
+    * miss and expires, so a chunk written later (possibly by another
+    * process) is eventually picked up */
+  private val chunkCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long),
+        (Option[Map[Long, CommitIndexEntry]], Long)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            (Option[Map[Long, CommitIndexEntry]], Long)]): Boolean =
+        size() > 64
+    })
+
+  private def chunkFor(logDir: Path, version: Long,
+      conf: Configuration): Option[Map[Long, CommitIndexEntry]] = {
+    if (version < 0) return None
+    val from = (version / IndexChunkSize) * IndexChunkSize
+    val key = (logDir.toString, from)
+    val now = System.currentTimeMillis()
+    val cached = chunkCache.get(key)
+    if (cached != null && (cached._1.isDefined || cached._2 > now))
+      return cached._1
+    val loaded: Option[Map[Long, CommitIndexEntry]] =
+      try {
+        val p = new Path(logDir, chunkName(from, from + IndexChunkSize - 1))
+        val f = fs(logDir, conf)
+        if (!f.exists(p)) None
+        else {
+          val in = f.open(p)
+          val json =
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              StandardCharsets.UTF_8)
+            finally in.close()
+          val chunk = Serialization.read[CommitIndexChunk](json)
+          Some(chunk.entries.map(e => e.v -> e).toMap)
+        }
+      } catch { case _: Exception => None }
+    chunkCache.put(key, (loaded, now + 30000L))
+    loaded
+  }
+
+  private def writeIndexChunk(logDir: Path, from: Long, to: Long,
+      conf: Configuration): Unit = {
+    val f = fs(logDir, conf)
+    val target = new Path(logDir, chunkName(from, to))
+    if (f.exists(target)) return
+    val entries = (from to to).map { v =>
+      val raw = readRaw(logDir, v, conf)
+      CommitIndexEntry(v, raw.timestampMs, raw.operation,
+        resolveChanged(logDir, v, raw, conf))
+    }
+    val json = Serialization.write(CommitIndexChunk(from, to, entries))
+    val tmp = new Path(logDir,
+      s".${chunkName(from, to)}.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!f.rename(tmp, target)) f.delete(tmp, false)
+    chunkCache.remove((logDir.toString, from))
+  }
+
+  /** Write any missing COMPLETE index chunks up to `head` — the
+    * one-time backfill for logs that predate the commit index (chunks
+    * are otherwise written as commits complete each range). Returns
+    * the number of chunks written. */
+  def backfillIndex(logDir: Path, head: Long, conf: Configuration): Int = {
+    val f = fs(logDir, conf)
+    var written = 0
+    var from = 0L
+    while (from + IndexChunkSize - 1 <= head) {
+      val to = from + IndexChunkSize - 1
+      if (!f.exists(new Path(logDir, chunkName(from, to))))
+        try { writeIndexChunk(logDir, from, to, conf); written += 1 }
+        catch { case _: Exception => () }
+      from += IndexChunkSize
+    }
+    written
+  }
+
+  /** Reap stale index chunks when a logDir restarts at version 0
+    * (DROP + re-CREATE reusing the path). */
+  private def dropIndexChunks(logDir: Path, conf: Configuration): Unit =
+    try {
+      val f = fs(logDir, conf)
+      if (f.exists(logDir)) f.listStatus(logDir).foreach { st =>
+        st.getPath.getName match {
+          case ChunkRe(_, _) => f.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    } catch { case _: Exception => () }
+
+  /** Paths first introduced by commit `version` — indexed, else
+    * O(changed) from the raw header. */
   def readAdded(logDir: Path, version: Long, conf: Configuration): Seq[String] =
-    readRaw(logDir, version, conf).added
+    chunkFor(logDir, version, conf).flatMap(_.get(version)) match {
+      case Some(e) => e.files.map(_.path)
+      case None => readRaw(logDir, version, conf).added
+    }
 
   /** Full [[DataFile]] records for the files FIRST ADDED by `version`'s
     * commit, resolved in O(changed files): [[layout]] guarantees an
@@ -384,7 +520,15 @@ object TxLog {
     * rewrites one full-table manifest; that single load is the
     * amortized cost of keeping the ref list O(1).) */
   def readChanged(logDir: Path, version: Long, conf: Configuration): Seq[DataFile] = {
-    val raw = readRaw(logDir, version, conf)
+    chunkFor(logDir, version, conf).flatMap(_.get(version)) match {
+      case Some(e) => e.files
+      case None =>
+        resolveChanged(logDir, version, readRaw(logDir, version, conf), conf)
+    }
+  }
+
+  private def resolveChanged(logDir: Path, version: Long, raw: Snapshot,
+      conf: Configuration): Seq[DataFile] = {
     val added = raw.added.toSet
     if (added.isEmpty) return Nil
     val prevManifests: Set[String] =
@@ -477,26 +621,36 @@ object TxLog {
     val json = Serialization.write(layout(logDir, expected, snapshot, conf))
     val scheme = Option(target.toUri.getScheme).getOrElse(
       Option(f.getUri).map(_.getScheme).getOrElse("file"))
-    if (scheme == "file") commitLocalAtomic(f, target, json, next, expected)
-    else commitViaFs(f, target, json, next, expected)
+    protocolFor(scheme).putIfAbsent(f, target,
+      json.getBytes(StandardCharsets.UTF_8), next, expected)
     // a CREATE (version 0) means DROP + re-CREATE may be reusing this
-    // logDir's version paths — stale parsed headers of the previous
-    // table must not survive into the new one (the (mtime, length)
-    // probe alone can miss a same-length rewrite within the
-    // filesystem's mtime granularity); any later version just sheds
-    // its own slot
-    if (next == 0L) purgeRawCache(logDir)
+    // logDir's version paths — stale parsed headers AND index chunks
+    // of the previous table must not survive into the new one (the
+    // (mtime, length) probe alone can miss a same-length rewrite
+    // within the filesystem's mtime granularity); any later version
+    // just sheds its own slot
+    if (next == 0L) { purgeRawCache(logDir); dropIndexChunks(logDir, conf) }
     else rawCache.remove((logDir.toString, next))
+    // completing an index-chunk range persists the chunk (best-effort:
+    // losing it only costs the raw-header fallback)
+    if ((next + 1) % IndexChunkSize == 0)
+      try writeIndexChunk(logDir, next - IndexChunkSize + 1, next, conf)
+      catch { case _: Exception => () }
     writeHint(f, logDir, next)
     next
   }
 
-  /** Drop every cached parsed header under `logDir` (table re-created
-    * or dropped: reused version paths must re-read). */
-  private[table] def purgeRawCache(logDir: Path): Unit =
+  /** Drop every cached parsed header and index chunk under `logDir`
+    * (table re-created or dropped: reused version paths must
+    * re-read). */
+  private[table] def purgeRawCache(logDir: Path): Unit = {
     rawCache.synchronized {
       rawCache.keySet.removeIf(_._1 == logDir.toString)
     }
+    chunkCache.synchronized {
+      chunkCache.keySet.removeIf(_._1 == logDir.toString)
+    }
+  }
 
   /**
    * Bootstrap a NEW linear chain (a branch ref) at an arbitrary start
@@ -524,8 +678,8 @@ object TxLog {
     val json = Serialization.write(laid)
     val scheme = Option(target.toUri.getScheme).getOrElse(
       Option(f.getUri).map(_.getScheme).getOrElse("file"))
-    if (scheme == "file") commitLocalAtomic(f, target, json, snapshot.version, None)
-    else commitViaFs(f, target, json, snapshot.version, None)
+    protocolFor(scheme).putIfAbsent(f, target,
+      json.getBytes(StandardCharsets.UTF_8), snapshot.version, None)
     // chain start: a dropped-and-recreated branch reuses version paths
     purgeRawCache(logDir)
     writeHint(f, logDir, snapshot.version)
@@ -617,25 +771,55 @@ object TxLog {
     snapshot.copy(files = inline, manifests = refs, added = added)
   }
 
-  /**
-   * file: scheme — Hadoop's RawLocalFileSystem implements
-   * create(overwrite=false) as a NON-atomic exists-check-then-create, so
-   * two racing committers could both "win" and one snapshot would
-   * silently overwrite the other. Use java.nio instead: content is first
-   * written to a hidden temp file, the version slot is reserved with
-   * Files.createFile (O_EXCL — kernel-atomic create-if-absent, losers
-   * get FileAlreadyExistsException), then the full content is published
-   * onto the reserved name with an ATOMIC_MOVE rename so readers never
-   * observe a partially-written snapshot (read() retries the brief
-   * empty-reservation window).
-   */
-  private def commitLocalAtomic(f: FileSystem, target: Path, json: String,
+  /** Test/deployment seam: when set, every commit publishes through
+    * this protocol instead of the scheme-selected default. */
+  @volatile private[graft] var protocolOverride: Option[CommitProtocol] = None
+
+  private[graft] def protocolFor(scheme: String): CommitProtocol =
+    protocolOverride.getOrElse(
+      if (scheme == "file") LocalAtomicRenameProtocol else FsCreateProtocol)
+}
+
+/**
+ * The PUT-IF-ABSENT primitive the whole transaction log rests on: the
+ * version-slot CAS. Everything above this seam (retry loops, conflict
+ * semantics, manifest layout) is storage-agnostic; everything a real
+ * object store needs differently lives below it. The reference's
+ * actual primitive is a service-side versionToken CAS
+ * (`kfs/scripts/update_metadata.py:135-141` — S3 Tables
+ * UpdateTableMetadataLocation with an expected token); a plain local
+ * rename does not exist on S3, so deployments there plug a
+ * conditional-PUT (If-None-Match) or catalog-CAS implementation here
+ * without touching the log. Implementations MUST throw
+ * [[CommitConflictException]] — and nothing else — when the slot is
+ * already taken, and must never leave a partially-readable object at
+ * `target`.
+ */
+trait CommitProtocol {
+  def putIfAbsent(f: FileSystem, target: Path, content: Array[Byte],
+      next: Long, expected: Option[Long]): Unit
+}
+
+/**
+ * file: scheme — Hadoop's RawLocalFileSystem implements
+ * create(overwrite=false) as a NON-atomic exists-check-then-create, so
+ * two racing committers could both "win" and one snapshot would
+ * silently overwrite the other. Use java.nio instead: content is first
+ * written to a hidden temp file, the version slot is reserved with
+ * Files.createFile (O_EXCL — kernel-atomic create-if-absent, losers
+ * get FileAlreadyExistsException), then the full content is published
+ * onto the reserved name with an ATOMIC_MOVE rename so readers never
+ * observe a partially-written snapshot (read() retries the brief
+ * empty-reservation window).
+ */
+object LocalAtomicRenameProtocol extends CommitProtocol {
+  override def putIfAbsent(f: FileSystem, target: Path, content: Array[Byte],
       next: Long, expected: Option[Long]): Unit = {
     import java.nio.file.{Files, Paths => JPaths, StandardCopyOption}
     val targetNio = JPaths.get(target.toUri.getPath)
     val tmp = targetNio.resolveSibling(
       s".${targetNio.getFileName}.${java.util.UUID.randomUUID()}.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, content)
     try {
       try Files.createFile(targetNio)
       catch {
@@ -647,13 +831,15 @@ object TxLog {
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
     } finally Files.deleteIfExists(tmp)
   }
+}
 
-  /** Non-local schemes: HDFS create(overwrite=false) is atomic on the
-    * NameNode; S3-compatible stores map it to a conditional PUT
-    * (If-None-Match). Only an actual already-exists outcome is a CAS
-    * conflict; other IOExceptions (disk full, permissions, transient
-    * store failure) must surface as-is. */
-  private def commitViaFs(f: FileSystem, target: Path, json: String,
+/** Non-local schemes: HDFS create(overwrite=false) is atomic on the
+  * NameNode; S3-compatible stores map it to a conditional PUT
+  * (If-None-Match). Only an actual already-exists outcome is a CAS
+  * conflict; other IOExceptions (disk full, permissions, transient
+  * store failure) must surface as-is. */
+object FsCreateProtocol extends CommitProtocol {
+  override def putIfAbsent(f: FileSystem, target: Path, content: Array[Byte],
       next: Long, expected: Option[Long]): Unit = {
     val out =
       try f.create(target, /*overwrite=*/ false)
@@ -666,7 +852,7 @@ object TxLog {
           throw new CommitConflictException(
             s"version $next already committed (stale expected=$expected): ${e.getMessage}")
       }
-    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    try out.write(content)
     finally out.close()
   }
 }

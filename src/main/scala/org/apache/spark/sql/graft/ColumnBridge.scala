@@ -22,6 +22,15 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Fork the session (`cloneSession` is `private[sql]`): copies
+    * session state — temp views, conf, function registry, current
+    * catalog — while sharing the SparkContext and SharedState. The
+    * lock-free GraftSql routing runs each native statement on a clone
+    * whose current catalog is the statement's warehouse. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+
   /** Parse SQL text to an (unresolved) logical plan. */
   def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sql)

@@ -1132,12 +1132,17 @@ class TxTableSpec extends SparkSpec {
     // round-6 single shared catalog name could cross-target under
     // concurrency (one thread's warehouse repoint visible to the other)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val spans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Long, Long)]())
     try {
       val tasks = Seq(("A", catA), ("B", catB)).map { case (tag, cat) =>
         pool.submit(new java.util.concurrent.Callable[(Long, Seq[String])] {
           override def call(): (Long, Seq[String]) = {
-            (1 to 10).foreach(i =>
-              cat.sql(s"INSERT INTO ns.t VALUES ($i, '$tag')"))
+            (1 to 10).foreach { i =>
+              val t0 = System.nanoTime()
+              cat.sql(s"INSERT INTO ns.t VALUES ($i, '$tag')")
+              spans.add((tag, t0, System.nanoTime()))
+            }
             val tags = cat.sql("SELECT DISTINCT tag FROM ns.t")
               .as[String].collect().toSeq
             val n = cat.sql("SELECT count(*) AS n FROM ns.t")
@@ -1149,6 +1154,17 @@ class TxTableSpec extends SparkSpec {
       val results = tasks.map(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
       assert(results(0) === ((10L, Seq("A"))), s"catalog A saw ${results(0)}")
       assert(results(1) === ((10L, Seq("B"))), s"catalog B saw ${results(1)}")
+      // NO serialization: eager statements from the two warehouses must
+      // overlap in time (the former session-global current-catalog lock
+      // made every pair disjoint)
+      import scala.jdk.CollectionConverters._
+      val all = spans.asScala.toSeq
+      val overlaps = for {
+        (ta, sa, ea) <- all; (tb, sb, eb) <- all
+        if ta == "A" && tb == "B" && sa < eb && sb < ea
+      } yield 1
+      assert(overlaps.nonEmpty,
+        "no cross-warehouse statement pair overlapped — routing is serialized")
     } finally pool.shutdown()
   }
 
@@ -1981,6 +1997,113 @@ class TxTableSpec extends SparkSpec {
     // rebuilt index hashes under the widened type and prunes again
     t.buildBloomIndex("v")
     assert(t.candidateFilesForEquals("v", 15L).isEmpty)
+  }
+
+  test("commit protocol seam: CAS-conflict suite through a conditional-put mock") {
+    // service-side CAS mock (the reference's UpdateTableMetadataLocation
+    // shape — kfs/scripts/update_metadata.py:135-141): an atomic slot
+    // registry decides winners, storage is a plain NON-atomic overwrite
+    // like an object-store PUT. Proves the log's conflict semantics come
+    // entirely from the protocol seam, not from local-rename atomicity.
+    class ConditionalPutMock extends CommitProtocol {
+      val slots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          target: Path, content: Array[Byte],
+          next: Long, expected: Option[Long]): Unit = {
+        if (f.exists(target) || !slots.add(target.toString))
+          throw new CommitConflictException(
+            s"slot $target taken (stale expected=$expected)")
+        val out = f.create(target, true)
+        try out.write(content) finally out.close()
+        puts.incrementAndGet()
+      }
+    }
+    val mock = new ConditionalPutMock
+    TxLog.protocolOverride = Some(mock)
+    try {
+      val root = new Path(freshDir("proto_mock"))
+      val t = TxTable.create(spark, root, "t",
+        Schemas.transactions, Seq("date"))
+      val conf = spark.sessionState.newHadoopConf()
+      val logDir = new Path(root, "_log")
+      val base = TxLog.readRaw(logDir, 0L, conf)
+      // raw race: 16 threads CAS the same slot, exactly one wins
+      val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (0 until 16).map { i =>
+        new Thread(() =>
+          try {
+            TxLog.commit(logDir, Some(0L),
+              base.copy(version = 1L, operation = s"RACE_$i"), conf)
+            winners.incrementAndGet()
+          } catch { case _: CommitConflictException => () })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(winners.get() === 1)
+      assert(TxLog.read(logDir, 1L, conf).operation.startsWith("RACE_"))
+      // retrying writers proceed through the mock: two concurrent
+      // appends from separate handles both land
+      val a = TxTable.open(spark, root, "t")
+      val b = TxTable.open(spark, root, "t")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val fa = pool.submit(new Runnable {
+          override def run(): Unit =
+            a.append(SampleData.transactions(spark, 10, seed = 1L)) }, true)
+        val fb = pool.submit(new Runnable {
+          override def run(): Unit =
+            b.append(SampleData.transactions(spark, 12, seed = 2L)) }, true)
+        fa.get(); fb.get()
+      } finally pool.shutdown()
+      assert(t.toDF.count() === 22)
+      assert(mock.puts.get() >= 4,
+        "the mock protocol did not carry the commits")
+    } finally TxLog.protocolOverride = None
+  }
+
+  test("commit index: catch-up reads chunks, not raw headers; results identical") {
+    val root = new Path(freshDir("commit_index"))
+    val logDir = new Path(root, "_log")
+    val conf = spark.sessionState.newHadoopConf()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    val commits = 600                      // 2 complete chunks + a tail
+    var files = Vector.empty[DataFile]
+    var expected: Option[Long] = None
+    (0 until commits).foreach { i =>
+      files = files :+ DataFile(f"f$i%06d.parquet",
+        Map("date" -> f"2026-02-${i % 28 + 1}%02d"), 100L, 1000L)
+      expected = Some(TxLog.commit(logDir, expected, Snapshot(
+        version = expected.map(_ + 1).getOrElse(0L),
+        timestampMs = 1700000000000L + i * 1000L,
+        operation = if (i == 0) "CREATE" else "APPEND",
+        schemaJson = schema.json,
+        partitionColumns = Seq("date"), files = files), conf))
+    }
+    val f = logDir.getFileSystem(conf)
+    val chunks = f.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.startsWith("ci-")).sorted
+    assert(chunks.toSeq ===
+      Seq("ci-00000000-00000255.index.json",
+        "ci-00000256-00000511.index.json"))
+    def walk(): Seq[String] =
+      (0L until commits.toLong).flatMap(v =>
+        TxLog.readChanged(logDir, v, conf).map(df => s"$v:${df.path}"))
+    TxLog.purgeRawCache(logDir)
+    val before = TxLog.rawHeaderReadCount
+    val indexed = walk()
+    val headerReads = TxLog.rawHeaderReadCount - before
+    assert(indexed.size === commits)
+    // indexed versions (0..511) never parse a header; only the
+    // unindexed tail (512..599) does — ~2 extra for chunk-boundary
+    // prev-manifest resolution
+    assert(headerReads <= commits - TxLog.IndexChunkSize * 2 + 4,
+      s"catch-up parsed $headerReads raw headers with the index present")
+    // the index serves EXACTLY what the raw path would
+    chunks.foreach(c => f.delete(new Path(logDir, c), false))
+    TxLog.purgeRawCache(logDir)
+    assert(walk() === indexed)
   }
 
   test("re-CREATE at a reused path invalidates stale parsed headers") {
