@@ -5,10 +5,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarBatch, ColumnarMap, ColumnVector}
 
 /** An outstanding deletion vector as the scan plans it: the sidecar's
   * ABSOLUTE path plus its cardinality (from commit metadata). The
@@ -32,10 +34,11 @@ case class MorGroup(
     statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]],
     deletedKeys: Map[String, Set[Any]],
     /** outstanding DELETION VECTORS by file path — sidecar REFERENCES,
-      * resolved executor-side. DV'd files plan one-file sub-scans with
-      * only partition filters pushed (no data pushdown → no row-group
-      * skipping → the reader's running count IS the file row index,
-      * reconstructed per split from footer metadata). */
+      * resolved executor-side. DV'd files plan one-file sub-scans whose
+      * read schema adds the parquet row-index column
+      * ([[MorScan.RowIndexColumn]]), so every emitted row carries its
+      * EXACT file position even under row-group/page skipping — data
+      * filter pushdown stays on. */
     dvByPath: Map[String, DvRef] = Map.empty,
     /** equality deletes whose key sets exceeded the inline threshold
       * (`spark.graft.morMaxInlineDeleteKeys`) */
@@ -53,10 +56,19 @@ case class MorGroup(
  * are deleted), and aggregate pushdown is deliberately NOT offered —
  * a footer-level count would count deleted rows.
  *
- * The whole scan reads row-wise (Spark rejects mixed row/columnar
- * partitions) — the merge-on-read tax Iceberg's readers pay too, until
- * compaction applies the deletes
- * ([[_root_.graft.table.TxTable.compact]] clears them).
+ * Files with a deletion vector plan one-file sub-scans that read the
+ * parquet ROW-INDEX metadata column (`_tmp_metadata_row_index`, the
+ * same escape Delta's DV reader uses): the readers see each row's exact
+ * file position from parquet block/page metadata, so row-group and
+ * page skipping stay enabled and data filters push down like any other
+ * scan.
+ *
+ * When every sub-scan supports Spark's vectorized parquet batches, the
+ * whole MOR scan reads COLUMNAR: readers filter each batch by building
+ * a surviving-row index map and re-expose the projected columns through
+ * [[RemappedColumnVector]] wrappers (no value copying — the Iceberg
+ * vectorized-delete-filter design). Otherwise it falls back to row-wise
+ * reads (Spark rejects mixed row/columnar partitions within one scan).
  */
 class MorScanBuilder(
     spark: SparkSession,
@@ -109,7 +121,7 @@ class MorScanBuilder(
       // report data filters as pushed for plan visibility via a probe
       // builder (best-effort)
       val probe = newGroupBuilder(groups.headOption.getOrElse(
-        MorGroup(Nil, Map.empty, Map.empty)))
+        MorGroup(Nil, Map.empty, Map.empty)), withRowIndex = false)
       probe.pushFilters(filters)
       pushedReport = probe.pushedFilters
       rest
@@ -123,13 +135,22 @@ class MorScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     requested = requiredSchema
 
-  private def newGroupBuilder(g: MorGroup): ParquetScanBuilder = {
+  private def newGroupBuilder(g: MorGroup, withRowIndex: Boolean)
+      : ParquetScanBuilder = {
     val index = new SnapshotFileIndex(spark, dataDir, fullSchema,
       partitionColumns, g.files, g.statsByPath, partSpec)
     indexes += index
-    val dataSchema =
+    val base =
       StructType(fullSchema.filterNot(f => partitionColumns.contains(f.name)))
-    ParquetScanBuilder(spark, index, fullSchema, dataSchema,
+    // the row-index column exists in no file: the parquet readers
+    // recognize the reserved name and GENERATE each row's file position
+    // from block/page metadata instead of reading it
+    val dataSchema =
+      if (withRowIndex) StructType(base :+ MorScan.rowIndexField) else base
+    val tableSchema =
+      if (withRowIndex) StructType(fullSchema :+ MorScan.rowIndexField)
+      else fullSchema
+    ParquetScanBuilder(spark, index, tableSchema, dataSchema,
       CaseInsensitiveStringMap.empty())
   }
 
@@ -142,35 +163,29 @@ class MorScanBuilder(
     val readSchemaForGroups = StructType(
       fullSchema.filter(f => readCols.contains(f.name)))
     indexes.clear()
-    // partition-only conjuncts are safe to push into positional
-    // sub-scans: they prune whole files at the index, never row groups,
-    // so the reader still sees every row of an included file in order
-    val partOnlyPushed = pushed.filter(f => f.references.nonEmpty &&
-      f.deterministic &&
-      f.references.forall(a => partitionColumns.contains(a.name)))
-    // one sub-scan per (group, plain-files) + one per DV'd file
-    val subScans: Seq[(Scan, MorGroup, Option[(String, DvRef)])] =
+    // one sub-scan per (group, plain-files) + one per DV'd file: the
+    // per-file grain is what lets the reader bind ONE sidecar per task
+    val subScans: Seq[(Scan, MorGroup, Option[DvRef])] =
       groups.flatMap { g =>
         val (dvFiles, plain) = g.files.partition(f => g.dvByPath.contains(f._1))
         val plainScan =
           if (plain.isEmpty) Nil
           else {
-            val b = newGroupBuilder(g.copy(files = plain))
+            val b = newGroupBuilder(g.copy(files = plain), withRowIndex = false)
             b.pushFilters(pushed)
             b.pruneColumns(readSchemaForGroups)
-            Seq((b.build(), g, Option.empty[(String, DvRef)]))
+            Seq((b.build(), g, Option.empty[DvRef]))
           }
         val dvScans = dvFiles.map { f =>
-          val b = newGroupBuilder(g.copy(files = Seq(f)))
-          b.pushFilters(partOnlyPushed)
-          b.pruneColumns(readSchemaForGroups)
-          (b.build(), g, Some((f._1, g.dvByPath(f._1))))
+          val b = newGroupBuilder(g.copy(files = Seq(f)), withRowIndex = true)
+          b.pushFilters(pushed)
+          b.pruneColumns(StructType(readSchemaForGroups :+ MorScan.rowIndexField))
+          (b.build(), g, Some(g.dvByPath(f._1)))
         }
         plainScan ++ dvScans
       }
     val requestedOut = requested
     val sparkLocal = spark
-    val dataDirLocal = dataDir
     new Scan with SupportsReportStatistics {
       override def readSchema(): StructType = requestedOut
       override def description(): String =
@@ -188,50 +203,25 @@ class MorScanBuilder(
             java.util.OptionalLong.empty()
         }
       override def toBatch: Batch = new Batch {
-        private val planned: Seq[(Batch, MorGroup, Option[(String, DvRef)])] =
+        private lazy val planned: Seq[(Batch, MorGroup, Option[DvRef])] =
           subScans.map { case (s, g, dv) => (s.toBatch, g, dv) }
+        private lazy val partsBySub: Seq[Array[InputPartition]] =
+          planned.map(_._1.planInputPartitions())
         override def planInputPartitions(): Array[InputPartition] =
-          planned.zipWithIndex.flatMap { case ((b, _, dv), si) =>
-            val parts = b.planInputPartitions()
-            dv match {
-              case None => parts.map(p => MorInputPartition(p, si))
-              case Some((path, _)) =>
-                // reconstruct each split's starting row offset from the
-                // file footer (one driver read per DV'd file): a block
-                // belongs to the split containing its midpoint — the
-                // parquet range-filter rule the task-side reader applies
-                val abs = new Path(dataDirLocal, path)
-                val conf = sparkLocal.sessionState.newHadoopConf()
-                val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-                  org.apache.parquet.hadoop.util.HadoopInputFile
-                    .fromPath(abs, conf))
-                val blocks =
-                  try {
-                    import scala.jdk.CollectionConverters._
-                    rd.getFooter.getBlocks.asScala.toSeq.map(blk =>
-                      (blk.getStartingPos + blk.getCompressedSize / 2,
-                        blk.getRowCount))
-                  } finally rd.close()
-                parts.map { p =>
-                  val fp = p.asInstanceOf[
-                    org.apache.spark.sql.execution.datasources.FilePartition]
-                  val segs = fp.files.map { pf =>
-                    val lo = pf.start
-                    val hi = pf.start + pf.length
-                    val startRow = blocks.filter(_._1 < lo).map(_._2).sum
-                    val rows = blocks
-                      .filter(b => b._1 >= lo && b._1 < hi).map(_._2).sum
-                    (startRow, rows)
-                  }
-                  MorInputPartition(p, si, segs)
-                }
-            }
+          partsBySub.zipWithIndex.flatMap { case (ps, si) =>
+            ps.map(p => MorInputPartition(p, si))
           }.toArray
         override def createReaderFactory(): PartitionReaderFactory = {
-          val specs = planned.zipWithIndex.map { case ((b, g, dv), si) =>
+          val factories = planned.map(_._1.createReaderFactory())
+          // the scan is columnar only when EVERY sub-scan partition is
+          // (Spark rejects mixed row/columnar partitions in one scan)
+          val columnar = partsBySub.zip(factories).forall { case (ps, f) =>
+            ps.forall(f.supportColumnarReads)
+          }
+          val specs = planned.zipWithIndex.map { case ((_, g, dv), si) =>
             val scanSchema = subScans(si)._1.readSchema()
             MorGroupSpec(
-              b.createReaderFactory(),
+              factories(si),
               scanSchema,
               requestedOut.fieldNames.map(scanSchema.fieldIndex),
               g.deletedKeys.toSeq.map { case (c, ks) =>
@@ -240,22 +230,21 @@ class MorScanBuilder(
               g.deferredKeys.map(d =>
                 (scanSchema.fieldIndex(d.column),
                   scanSchema(d.column).dataType, d.path)),
-              dv.map(_._2.sidecar))
+              dv.map(_.sidecar),
+              dv.map(_ => scanSchema.fieldIndex(MorScan.RowIndexColumn))
+                .getOrElse(-1))
           }
           new MorReaderFactory(specs.toArray,
             new _root_.graft.table.SerializableConf(
-              sparkLocal.sessionState.newHadoopConf()))
+              sparkLocal.sessionState.newHadoopConf()), columnar)
         }
       }
     }
   }
 }
 
-/** An input partition tagged with its sub-scan ordinal; positional
-  * partitions additionally carry each split's (start row offset, row
-  * count) so the reader can reconstruct exact file row indexes. */
-case class MorInputPartition(inner: InputPartition, group: Int,
-    segs: Seq[(Long, Long)] = Nil)
+/** An input partition tagged with its sub-scan ordinal. */
+case class MorInputPartition(inner: InputPartition, group: Int)
   extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -264,26 +253,39 @@ case class MorInputPartition(inner: InputPartition, group: Int,
   * projection to the requested order, (ordinal, type, deleted values)
   * equality checks, oversized delete files loaded executor-side as
   * (ordinal, type, path), and (positional sub-scans) the file's DV
-  * sidecar path — positions are resolved where the task runs, so the
-  * serialized spec is O(1) in accumulated delete state. */
+  * sidecar path plus the row-index column's ordinal — positions are
+  * resolved where the task runs, so the serialized spec is O(1) in
+  * accumulated delete state. */
 case class MorGroupSpec(
     factory: PartitionReaderFactory,
     scanSchema: StructType,
     perm: Array[Int],
     keyChecks: Seq[(Int, DataType, Set[Any])],
     deferredChecks: Seq[(Int, DataType, String)] = Nil,
-    dvSidecar: Option[String] = None)
+    dvSidecar: Option[String] = None,
+    rowIdxOrd: Int = -1)
 
 class MorReaderFactory(specs: Array[MorGroupSpec],
-    conf: _root_.graft.table.SerializableConf)
+    conf: _root_.graft.table.SerializableConf,
+    columnar: Boolean)
   extends PartitionReaderFactory {
 
-  // Spark requires every partition of a scan to agree on columnar
-  // support ("Cannot mix row-based and columnar input partitions"), so
-  // a MOR scan reads row-wise throughout — the merge-on-read tax until
-  // compact() applies the deletes
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    false
+    columnar
+
+  /** resolve a spec's delete state — on the executor, per task, served
+    * from the JVM-local immutable-sidecar caches */
+  private def resolve(s: MorGroupSpec)
+      : (Seq[(Int, DataType, Set[Any])], Array[Long]) = {
+    val checks = s.keyChecks ++ s.deferredChecks.map { case (ord, dt, path) =>
+      (ord, dt, _root_.graft.table.EqKeyStore.keys(path,
+        s.scanSchema(ord).name, dt, conf.value))
+    }
+    val positions = s.dvSidecar
+      .map(p => _root_.graft.table.DvStore.positions(p, conf.value))
+      .getOrElse(Array.empty[Long])
+    (checks, positions)
+  }
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -292,37 +294,19 @@ class MorReaderFactory(specs: Array[MorGroupSpec],
     val r = s.factory.createReader(mp.inner)
     val proj = UnsafeProjection.create(s.perm.toIndexedSeq.map(i =>
       BoundReference(i, s.scanSchema(i).dataType, s.scanSchema(i).nullable)))
-    // delete state resolves HERE — on the executor, per task, served
-    // from the JVM-local immutable-sidecar caches
-    val checks = s.keyChecks ++ s.deferredChecks.map { case (ord, dt, path) =>
-      (ord, dt, _root_.graft.table.EqKeyStore.keys(path,
-        s.scanSchema(ord).name, dt, conf.value))
-    }
-    val positions = s.dvSidecar
-      .map(p => _root_.graft.table.DvStore.positions(p, conf.value))
-      .getOrElse(Array.empty[Long])
-    val segs = mp.segs.toArray
+    val (checks, positions) = resolve(s)
+    val rowIdxOrd = s.rowIdxOrd
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
-      // positional bookkeeping: the n-th row this reader emits sits at
-      // file row index segs(i)._1 + offset-within-segment — exact
-      // because positional sub-scans push no data filters (no row-group
-      // or page skipping) and splits cover disjoint block ranges
-      private var segIdx = 0
-      private var segConsumed = 0L
-      private def nextRowIndex(): Long = {
-        while (segConsumed >= segs(segIdx)._2) { segIdx += 1; segConsumed = 0L }
-        val idx = segs(segIdx)._1 + segConsumed
-        segConsumed += 1
-        idx
-      }
       override def next(): Boolean = {
         while (r.next()) {
           val row = r.get()
-          val posDeleted = positions.nonEmpty && {
-            val idx = nextRowIndex()
-            java.util.Arrays.binarySearch(positions, idx) >= 0
-          }
+          // the row-index column carries the row's EXACT file position
+          // (parquet generates it from block/page metadata), so skipped
+          // row groups/pages never shift the numbering
+          val posDeleted = positions.nonEmpty &&
+            java.util.Arrays.binarySearch(
+              positions, row.getLong(rowIdxOrd)) >= 0
           val deleted = posDeleted || checks.exists { case (ord, dt, ks) =>
             !row.isNullAt(ord) && ks.contains(row.get(ord, dt))
           }
@@ -334,9 +318,109 @@ class MorReaderFactory(specs: Array[MorGroupSpec],
       override def close(): Unit = r.close()
     }
   }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val mp = partition.asInstanceOf[MorInputPartition]
+    val s = specs(mp.group)
+    val inner = s.factory.createColumnarReader(mp.inner)
+    val (checks, positions) = resolve(s)
+    val rowIdxOrd = s.rowIdxOrd
+    new PartitionReader[ColumnarBatch] {
+      private var out: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val cb = inner.get()
+          val n = cb.numRows()
+          if (positions.isEmpty && checks.isEmpty) {
+            out = new ColumnarBatch(s.perm.map(cb.column), n)
+            return true
+          }
+          // survivors as an index map: values stay in the source
+          // vectors; the wrappers redirect row ids (no copying)
+          val map = new Array[Int](n)
+          var kept = 0
+          var i = 0
+          val idxVec = if (rowIdxOrd >= 0) cb.column(rowIdxOrd) else null
+          while (i < n) {
+            var deleted = positions.nonEmpty &&
+              java.util.Arrays.binarySearch(
+                positions, idxVec.getLong(i)) >= 0
+            if (!deleted && checks.nonEmpty) {
+              val row = cb.getRow(i)
+              deleted = checks.exists { case (ord, dt, ks) =>
+                !row.isNullAt(ord) && ks.contains(row.get(ord, dt))
+              }
+            }
+            if (!deleted) { map(kept) = i; kept += 1 }
+            i += 1
+          }
+          if (kept > 0) {
+            val cols: Array[ColumnVector] = s.perm.map { ord =>
+              if (kept == n) cb.column(ord)
+              else new RemappedColumnVector(cb.column(ord), map)
+            }
+            out = new ColumnarBatch(cols, kept)
+            return true
+          }
+          // fully-deleted batch: keep draining
+        }
+        false
+      }
+      override def get(): ColumnarBatch = out
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** A [[ColumnVector]] view that re-indexes another vector through a
+  * surviving-row map: row `i` of this vector is row `map(i)` of the
+  * source. Zero-copy merge-on-read delete filtering for columnar
+  * batches (the design Iceberg's vectorized reader uses). The source
+  * vectors belong to the source reader's batch — `close()` is a no-op
+  * so the source can recycle them. */
+final class RemappedColumnVector(inner: ColumnVector, map: Array[Int])
+  extends ColumnVector(inner.dataType) {
+
+  override def close(): Unit = ()
+  override def hasNull: Boolean = inner.hasNull
+  override def numNulls: Int = math.min(inner.numNulls, map.length)
+  override def isNullAt(rowId: Int): Boolean = inner.isNullAt(map(rowId))
+  override def getBoolean(rowId: Int): Boolean = inner.getBoolean(map(rowId))
+  override def getByte(rowId: Int): Byte = inner.getByte(map(rowId))
+  override def getShort(rowId: Int): Short = inner.getShort(map(rowId))
+  override def getInt(rowId: Int): Int = inner.getInt(map(rowId))
+  override def getLong(rowId: Int): Long = inner.getLong(map(rowId))
+  override def getFloat(rowId: Int): Float = inner.getFloat(map(rowId))
+  override def getDouble(rowId: Int): Double = inner.getDouble(map(rowId))
+  override def getArray(rowId: Int): ColumnarArray = inner.getArray(map(rowId))
+  override def getMap(rowId: Int): ColumnarMap = inner.getMap(map(rowId))
+  override def getDecimal(rowId: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    inner.getDecimal(map(rowId), precision, scale)
+  override def getUTF8String(rowId: Int)
+      : org.apache.spark.unsafe.types.UTF8String =
+    inner.getUTF8String(map(rowId))
+  override def getBinary(rowId: Int): Array[Byte] = inner.getBinary(map(rowId))
+
+  // struct fields read as getChild(ordinal).getX(rowId) — the child
+  // must remap with the SAME row map
+  private val children =
+    scala.collection.mutable.HashMap.empty[Int, ColumnVector]
+  override def getChild(ordinal: Int): ColumnVector =
+    children.getOrElseUpdate(ordinal,
+      new RemappedColumnVector(inner.getChild(ordinal), map))
 }
 
 object MorScan {
+  /** Parquet's reserved generated-column name: a `LongType` field by
+    * this name in a read schema is filled with each row's file row
+    * index by Spark's parquet readers (vectorized and row-based) —
+    * exact under row-group and page skipping. */
+  val RowIndexColumn: String = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+  private[graft] def rowIndexField: StructField =
+    StructField(RowIndexColumn, LongType, nullable = true)
+
   /** Load a delete file's key values as catalyst-internal values (what
     * the reader's `InternalRow.get` returns), driver-side. Delete sets
     * are small by contract (large deletes take the copy-on-write

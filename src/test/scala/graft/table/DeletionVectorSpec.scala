@@ -89,8 +89,8 @@ class DeletionVectorSpec extends SparkSpec {
     try {
       // tiny row groups at write time + tiny split size at read time:
       // the DV'd file plans as MANY splits over MANY row groups, so the
-      // per-split (start row offset, row count) reconstruction is what
-      // this test actually exercises
+      // parquet-generated row-index column (exact per split, per row
+      // group) is what this test actually exercises
       hconf.set("parquet.block.size", "16384")
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dvs")
       spark.sql("CREATE TABLE graft.dvs.t (id STRING, v INT)")
@@ -109,6 +109,13 @@ class DeletionVectorSpec extends SparkSpec {
         .collect().map(_.getInt(0)).toSet
       assert(survivors === (1 to 50000)
         .filter(i => i % 997 != 0 && i % 991 == 0).toSet)
+      // a PUSHABLE range predicate engages row-group skipping in the
+      // DV'd sub-scan; the generated row indexes must stay exact so
+      // exactly the vectored rows disappear
+      val ranged = spark.sql(
+        "SELECT v FROM graft.dvs.t WHERE v >= 40000 AND v <= 41000")
+        .collect().map(_.getInt(0)).toSet
+      assert(ranged === (40000 to 41000).filterNot(_ % 997 == 0).toSet)
     } finally {
       if (oldBlock == null) hconf.unset("parquet.block.size")
       else hconf.set("parquet.block.size", oldBlock)
@@ -266,18 +273,19 @@ class DeletionVectorSpec extends SparkSpec {
       case c: graft.catalog.ChangesInputPartition => c.version
     }
     assert(versions.distinct.sorted === Seq(2L, 3L, 4L))
-    // a DV'd file plans as a positional sub-scan (row segments present);
-    // clean files keep plain partitions
+    // a DV'd file plans through the parquet row-index column (positions
+    // resolve executor-side against exact file row indexes), and the
+    // WHOLE scan stays columnar — deletion vectors must not knock the
+    // table off the vectorized read path
     tx.deletePos(col("v") === 2)
-    val morParts = spark.sql("SELECT * FROM graft.pp.t")
+    val exec = spark.sql("SELECT * FROM graft.pp.t")
       .queryExecution.executedPlan
-      .collect { case b: BatchScanExec => b }.flatMap(_.inputPartitions)
+    val scans = exec.collect { case b: BatchScanExec => b }
+    val morParts = scans.flatMap(_.inputPartitions)
       .collect { case m: org.apache.spark.sql.graft.MorInputPartition => m }
     assert(morParts.nonEmpty)
-    assert(morParts.count(_.segs.nonEmpty) >= 1,
-      "the DV'd file must plan with split row offsets")
-    assert(morParts.count(_.segs.isEmpty) >= 1,
-      "clean files must keep plain (pushdown-capable) partitions")
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "a DV'd MOR scan must keep vectorized (columnar) reads")
   }
 
   test("concurrent deletePos and append both land (retrying CAS)") {
