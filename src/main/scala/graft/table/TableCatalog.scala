@@ -63,6 +63,10 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
   def dropTable(ns: String, table: String): Unit = {
     val p = tableRoot(ns, table)
     if (fs.exists(p)) fs.delete(p, true)
+    // a later CREATE at this path reuses version file names; cached
+    // parsed headers from the dropped table must not survive the drop
+    // (the mtime+length probe can miss a same-second, same-length reuse)
+    TxLog.purgeRawCache(new Path(p, "_log"))
   }
 
   def listTables(ns: String): Seq[String] = {
