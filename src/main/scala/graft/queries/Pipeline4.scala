@@ -1264,5 +1264,50 @@ object Pipeline4 {
       SELECT risk_score, count(*) AS n,
              CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
       FROM merged GROUP BY risk_score ORDER BY risk_score""")),
+
+    // ------------------------------------------------------------------
+    // Multi-table transaction (round 8): two copy-on-write deletes over
+    // two tables become visible through ONE atomic marker commit — the
+    // all-or-nothing surface the reference's per-table versionToken CAS
+    // (update_metadata.py:135-141) cannot express. require() pins that
+    // both tables committed under the SAME transaction and that the
+    // published versions match the returned map; the oracle recomputes
+    // both tables' post-txn state from the staged seed.
+    Q("multi_table_txn", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("mtxn_seed", "parquet") {
+        SampleData.transactions(s, 300, seed = 81L)
+      }
+      val seed = s.read.parquet(seedDir)
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("mtxn")))
+      val hi = cat.createTable("analytics", "txns_hi",
+        Schemas.transactions, Seq("date"))
+      val lo = cat.createTable("analytics", "txns_lo",
+        Schemas.transactions, Seq("date"))
+      hi.append(seed); lo.append(seed)
+      val versions = cat.beginTransaction()
+        .delete(hi, col("risk_score") =!= "HIGH")
+        .delete(lo, col("risk_score") === "HIGH")
+        .commit()
+      require(versions == Map("analytics.txns_hi" -> 2L,
+        "analytics.txns_lo" -> 2L), s"unexpected txn versions $versions")
+      require(hi.snapshot.operation == "DELETE" &&
+        lo.snapshot.operation == "DELETE", "txn commits must resolve live")
+      def slice(t: graft.table.TxTable, tag: String) =
+        t.toDF.groupBy(lit(tag).as("src"), col("risk_score"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("amount").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("total"))
+      slice(hi, "hi").unionByName(slice(lo, "lo"))
+        .orderBy("src", "risk_score")
+    }, oracle = Some(s"""
+      WITH seed AS (SELECT * FROM read_parquet('$root/mtxn_seed/*.parquet'))
+      SELECT 'hi' AS src, risk_score, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM seed WHERE risk_score = 'HIGH' GROUP BY risk_score
+      UNION ALL
+      SELECT 'lo' AS src, risk_score, count(*) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM seed WHERE risk_score <> 'HIGH' GROUP BY risk_score
+      ORDER BY src, risk_score""")),
   )
 }

@@ -69,6 +69,11 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
     TxLog.purgeRawCache(new Path(p, "_log"))
   }
 
+  /** Begin an atomic multi-table transaction over this warehouse's
+    * tables (markers live under `<warehouse>/_txns`). */
+  def beginTransaction(): GraftTxn =
+    GraftTxn.begin(spark, new Path(warehouse, "_txns"))
+
   def listTables(ns: String): Seq[String] = {
     val p = new Path(warehouse, ns)
     if (!fs.exists(p)) Nil

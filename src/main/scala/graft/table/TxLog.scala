@@ -174,7 +174,17 @@ final case class Snapshot(
     /** hidden-partitioning spec (empty = every partition column is
       * identity, the pre-transform log shape). When non-empty,
       * `partitionColumns == partitionSpec.map(_.name)`. */
-    partitionSpec: Seq[PartField] = Nil)
+    partitionSpec: Seq[PartField] = Nil,
+    /** multi-table transaction membership: `Some(markerPath)` means
+      * this commit's VISIBILITY is decided by the marker file at that
+      * absolute path, not by the commit itself — marker COMMITTED →
+      * content live, marker ABORTED (or force-aborted by a reader
+      * after the resolve wait) → the commit is a no-op and this
+      * version serves its parent's content. One atomic marker create
+      * flips every participating table at once (see [[GraftTxn]]).
+      * [[TxLog.readRaw]] resolves the flag before serving the header,
+      * so nothing above TxLog ever observes an undecided commit. */
+    pendingTxn: Option[String] = None)
 
 class CommitConflictException(msg: String) extends RuntimeException(msg)
 
@@ -310,6 +320,119 @@ object TxLog {
     lo
   }
 
+  // ---- multi-table transaction markers ------------------------------
+
+  val TxnCommitted = "COMMITTED"
+  val TxnAborted = "ABORTED"
+
+  /** Terminal marker states by absolute marker path. A marker file is
+    * created exactly once (put-if-absent) and never rewritten, so a
+    * cached state can never go stale. */
+  private val txnStateCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, String](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, String]): Boolean =
+          size() > 65536
+      })
+
+  /** Read a transaction marker's state: `Some(COMMITTED | ABORTED)`,
+    * or `None` while the marker is absent (transaction still in
+    * flight or already forgotten). Retries the local protocol's brief
+    * empty-reservation window, same as [[readRaw]]. */
+  def txnState(marker: String, conf: Configuration): Option[String] = {
+    val cached = txnStateCache.get(marker)
+    if (cached != null) return Some(cached)
+    val p = new Path(marker)
+    val f = p.getFileSystem(conf)
+    try {
+      var attempt = 0
+      while (attempt < 50) {
+        val in = f.open(p)
+        val bytes =
+          try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        if (bytes.nonEmpty) {
+          val st = new String(bytes, StandardCharsets.UTF_8).trim
+          txnStateCache.put(marker, st)
+          return Some(st)
+        }
+        attempt += 1
+        Thread.sleep(10)
+      }
+      throw new java.io.IOException(
+        s"txn marker $p still empty after $attempt reads")
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Decide a transaction's outcome through the commit protocol's
+    * put-if-absent: exactly one decider wins the marker slot (the
+    * coordinator writing COMMITTED, or a reader/writer force-writing
+    * ABORTED after the resolve wait); everyone else observes the
+    * winning state. Returns the FINAL state, which may differ from
+    * `decision`. */
+  def decideTxn(marker: String, decision: String, conf: Configuration): String = {
+    val p = new Path(marker)
+    val f = p.getFileSystem(conf)
+    f.mkdirs(p.getParent)
+    val scheme = Option(p.toUri.getScheme).getOrElse(
+      Option(f.getUri).map(_.getScheme).getOrElse("file"))
+    try {
+      protocolFor(scheme).putIfAbsent(f, p,
+        decision.getBytes(StandardCharsets.UTF_8), -1L, None)
+      txnStateCache.put(marker, decision)
+      decision
+    } catch {
+      case _: CommitConflictException =>
+        txnState(marker, conf).getOrElse(throw new IllegalStateException(
+          s"txn marker $p exists but could not be read"))
+    }
+  }
+
+  /** How long a reader blocks on an IN-FLIGHT multi-table transaction
+    * before force-aborting it. The coordinator's publish→decide window
+    * is metadata-only (a few header CAS writes), so a marker still
+    * absent after this wait means a crashed coordinator — the table
+    * must not stay wedged behind it. */
+  private def txnResolveWaitMs(conf: Configuration): Long =
+    conf.getLong("graft.txn.resolveWaitMs", 3000L)
+
+  /** Resolve a pending-txn header to its TERMINAL effect. Every header
+    * this module serves passes through here, so no consumer — readers,
+    * writers rebasing on the head, CDF walks, the index-chunk writer,
+    * vacuum — ever builds on an undecided commit:
+    *  - marker COMMITTED → content is live (flag dropped);
+    *  - marker ABORTED   → the commit is a no-op: the PARENT's content
+    *    under this version number, nothing added, no change data;
+    *  - marker absent    → in flight: poll up to the resolve wait,
+    *    then force-abort through the same put-if-absent CAS the
+    *    coordinator's COMMITTED write uses — exactly one side wins, so
+    *    a crashed prepare can never block the table and a reader can
+    *    never observe data whose transaction later fails. */
+  private def resolvePending(logDir: Path, snap: Snapshot,
+      conf: Configuration): Snapshot = snap.pendingTxn match {
+    case None => snap
+    case Some(marker) =>
+      val state = txnState(marker, conf).getOrElse {
+        val deadline = System.currentTimeMillis() + txnResolveWaitMs(conf)
+        var st: Option[String] = None
+        while (st.isEmpty && System.currentTimeMillis() < deadline) {
+          Thread.sleep(25)
+          st = txnState(marker, conf)
+        }
+        st.getOrElse(decideTxn(marker, TxnAborted, conf))
+      }
+      if (state == TxnCommitted) snap.copy(pendingTxn = None)
+      else {
+        require(snap.version > 0,
+          s"pending txn on version 0 of $logDir — transactions require an existing table")
+        readRaw(logDir, snap.version - 1, conf).copy(
+          version = snap.version, timestampMs = snap.timestampMs,
+          operation = "ABORTED_TXN", added = Nil, changeFiles = Nil,
+          pendingTxn = None)
+      }
+  }
+
   /** Parsed raw headers, LRU-bounded and validated by (mtime, length):
     * a committed header never changes in place, but DROP + CREATE at
     * the same path legitimately REUSES version file names — the status
@@ -340,7 +463,7 @@ object TxLog {
       try {
         val st = f.getFileStatus(p)
         if (st.getModificationTime == cached._1 && st.getLen == cached._2)
-          return cached._3
+          return resolvePending(logDir, cached._3, conf)
       } catch { case _: java.io.FileNotFoundException => () }
       rawCache.remove(key)   // recreated or expired — fall through
     }
@@ -363,7 +486,7 @@ object TxLog {
           if (st.getLen == bytes.length)
             rawCache.put(key, (st.getModificationTime, st.getLen, snap))
         } catch { case _: java.io.FileNotFoundException => () }
-        return snap
+        return resolvePending(logDir, snap, conf)
       }
       attempt += 1
       if (attempt >= 50) {

@@ -1537,7 +1537,8 @@ class TxTable private (
       properties: Map[String, String] = null,
       partitionSpec: Seq[PartField] = null,
       changeFiles: Seq[String] = Nil,
-      deletionVectors: Seq[DeletionVector] = null): Long = {
+      deletionVectors: Seq[DeletionVector] = null,
+      pendingTxn: Option[String] = None): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
@@ -1582,7 +1583,8 @@ class TxTable private (
       properties = props,
       partitionSpec = spec,
       changeFiles = changeFiles,
-      deletionVectors = dvs), conf)
+      deletionVectors = dvs,
+      pendingTxn = pendingTxn), conf)
   }
 
   /** Align an incoming frame to the table schema: cast matching
@@ -1774,18 +1776,26 @@ class TxTable private (
   }
 
   /** Append rows (blind insert, no key matching). */
-  def append(df: DataFrame): Long = {
+  def append(df: DataFrame): Long = stageAppend(df)(None)
+
+  /** Two-phase append for [[GraftTxn]]: phase A (this call) writes the
+    * data files — invisible until a header references them; the
+    * returned closure is phase B, a metadata-only CAS commit that
+    * optionally carries a pending-txn marker. `append` is the two
+    * phases run back to back. */
+  private[table] def stageAppend(df: DataFrame): Option[String] => Long = {
     val s = snapshot
     val newFiles = writeFiles(withDerivedParts(align(df, schemaOf(s),
       constraints = s.constraints), s), s.partitionColumns)
-    retryingCommit("APPEND") { expected =>
+    pendingTxn => retryingCommit("APPEND") { expected =>
       // commit against the CURRENT head's schema/partitioning, not the
       // snapshot we aligned to — otherwise an append racing an
       // addColumn would silently revert the evolved schema (readers pad
       // our old-schema files with nulls either way)
       val cur = snapshotAt(expected)
       commit(Some(expected), "APPEND", schemaOf(cur),
-        cur.partitionColumns, cur.files ++ newFiles)
+        cur.partitionColumns, cur.files ++ newFiles,
+        pendingTxn = pendingTxn)
     }
   }
 
@@ -1801,9 +1811,20 @@ class TxTable private (
     txn.foreach { case (appId, v) =>
       if (s.appTxns.get(appId).exists(_ >= v)) return s.version
     }
+    stageOverwriteFrom(s, df, txn)(None)
+  }
+
+  /** Two-phase overwrite for [[GraftTxn]] — same split as
+    * [[stageAppend]] (no idempotent-writer fence; the txn marker is
+    * the atomicity mechanism there). */
+  private[table] def stageOverwrite(df: DataFrame): Option[String] => Long =
+    stageOverwriteFrom(snapshot, df, txn = None)
+
+  private def stageOverwriteFrom(s: Snapshot, df: DataFrame,
+      txn: Option[(String, Long)]): Option[String] => Long = {
     val newFiles = writeFiles(withDerivedParts(align(df, schemaOf(s),
       constraints = s.constraints), s), s.partitionColumns)
-    retryingCommit("OVERWRITE") { expected =>
+    pendingTxn => retryingCommit("OVERWRITE") { expected =>
       val cur = snapshotAt(expected)
       if (txn.exists { case (a, v) => cur.appTxns.get(a).exists(_ >= v) }) {
         deleteDataFiles(newFiles.map(_.path))
@@ -1815,7 +1836,7 @@ class TxTable private (
         // a full replacement: outstanding MOR deletes are moot — clear
         commit(Some(expected), "OVERWRITE", schemaOf(s),
           s.partitionColumns, newFiles, droppedColumns = Nil,
-          equalityDeletes = Nil, appTxns = txns)
+          equalityDeletes = Nil, appTxns = txns, pendingTxn = pendingTxn)
       }
     }
   }
@@ -2079,15 +2100,28 @@ class TxTable private (
       keyStablePartitions: Boolean = true,
       txn: Option[(String, Long)] = None,
       deleteCol: Option[String] = None,
+      mergeSchema: Boolean = false): Long =
+    stageMerge(batch, key, orderCol, keyStablePartitions, txn, deleteCol,
+      mergeSchema)(None)
+
+  /** Two-phase upsert for [[GraftTxn]] — the [[stageAppend]] split with
+    * [[merge]]'s exactly-once semantics: phase B commits against the
+    * snapshot phase A merged from, so a moved head surfaces the
+    * conflict (inside a transaction, aborting the whole txn). */
+  private[table] def stageMerge(batch: DataFrame, key: String, orderCol: String,
+      keyStablePartitions: Boolean = true,
+      txn: Option[(String, Long)] = None,
+      deleteCol: Option[String] = None,
       /** evolve the table schema by the batch's new columns first —
         * the CDC-ingest schema-evolution contract (a producer adds a
         * field; the table follows, old rows read NULL) */
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false): Option[String] => Long = {
     if (mergeSchema) evolveSchemaFor(
       deleteCol.map(batch.drop).getOrElse(batch))
     val s = snapshot
     txn.foreach { case (appId, txnVersion) =>
-      if (s.appTxns.get(appId).exists(_ >= txnVersion)) return s.version
+      if (s.appTxns.get(appId).exists(_ >= txnVersion))
+        return _ => s.version
     }
     val schema = schemaOf(s)
     val parts = s.partitionColumns
@@ -2215,8 +2249,9 @@ class TxTable private (
       val live = files.map(_.path).toSet
       val dvs = (s.deletionVectors.filterNot(d => updated.contains(d.dataFile))
         ++ updated.values).filter(d => live.contains(d.dataFile))
-      return commit(Some(s.version), "MERGE_MOR", schema, parts, files,
-        appTxns = txns, deletionVectors = dvs, changeFiles = cdfFiles)
+      return pendingTxn => commit(Some(s.version), "MERGE_MOR", schema,
+        parts, files, appTxns = txns, deletionVectors = dvs,
+        changeFiles = cdfFiles, pendingTxn = pendingTxn)
     }
     val merged = survivors.select(schema.map(f => col(f.name)): _*)
       .unionByName(upserts.select(schema.map(f => col(f.name)): _*))
@@ -2231,8 +2266,9 @@ class TxTable private (
     // silently drop its rows). Conflicts surface to the caller, who
     // re-reads and re-merges — serializable upsert semantics. The
     // streaming ingest path is single-writer, so this never fires there.
-    commit(Some(s.version), "MERGE", schema, parts, keptFiles ++ newFiles,
-      appTxns = txns, changeFiles = cdfFiles)
+    pendingTxn => commit(Some(s.version), "MERGE", schema, parts,
+      keptFiles ++ newFiles, appTxns = txns, changeFiles = cdfFiles,
+      pendingTxn = pendingTxn)
   }
 
   /**
@@ -2439,7 +2475,17 @@ class TxTable private (
     * projected from source-column predicates). */
   def delete(predicate: org.apache.spark.sql.Column,
       partitionFilter: Map[String, String] = Map.empty,
-      partConstraints: Seq[PartConstraint] = Nil): Long = {
+      partConstraints: Seq[PartConstraint] = Nil): Long =
+    stageDelete(predicate, partitionFilter, partConstraints)(None)
+
+  /** Two-phase copy-on-write delete for [[GraftTxn]] — same split as
+    * [[stageAppend]], except phase B commits EXACTLY ONCE against the
+    * snapshot phase A rewrote from (serializability: a moved head means
+    * the rewrite's inputs are stale, so the conflict surfaces instead
+    * of retrying — inside a transaction that aborts the whole txn). */
+  private[table] def stageDelete(predicate: org.apache.spark.sql.Column,
+      partitionFilter: Map[String, String] = Map.empty,
+      partConstraints: Seq[PartConstraint] = Nil): Option[String] => Long = {
     val s = snapshot
     val schema = schemaOf(s)
     val affected = s.files.filter(f => partitionFilter.forall {
@@ -2467,8 +2513,9 @@ class TxTable private (
         batchRows = 0L, bytesPerRow(s), s.partitionColumns,
         splitCol = defaultSplitCol(schema, s.partitionColumns)),
       s.partitionColumns)
-    commit(Some(s.version), "DELETE", schema, s.partitionColumns,
-      kept ++ newFiles, changeFiles = cdfFiles)
+    pendingTxn => commit(Some(s.version), "DELETE", schema,
+      s.partitionColumns, kept ++ newFiles, changeFiles = cdfFiles,
+      pendingTxn = pendingTxn)
   }
 
   /** UPDATE … SET … WHERE …: copy-on-write rewrite of the files in
@@ -3078,7 +3125,7 @@ object CommitChanges {
     "REWRITE_DV", "ADD_COLUMN", "DROP_COLUMN", "RENAME_COLUMN",
     "WIDEN_COLUMN", "EVOLVE_SCHEMA", "SET_TBLPROPERTIES",
     "UNSET_TBLPROPERTIES", "ADD_CONSTRAINT", "DROP_CONSTRAINT",
-    "SET_DEFAULT")
+    "SET_DEFAULT", "ABORTED_TXN")
 }
 
 object TxTable {

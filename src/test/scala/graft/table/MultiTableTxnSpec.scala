@@ -1,0 +1,161 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.ingest.SampleData
+import graft.model.Schemas
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Multi-table transaction protocol: stage → publish(pending) →
+  * decide(marker CAS). Covers atomic visibility, in-flight
+  * invisibility with reader force-abort, whole-txn abort on a
+  * publish conflict, crashed-coordinator recovery, and the no-op
+  * semantics of aborted versions (time travel + change feed). */
+class MultiTableTxnSpec extends SparkSpec {
+
+  // keep reader force-abort fast for the in-flight tests (default 3 s)
+  spark.sparkContext.hadoopConfiguration.setLong("graft.txn.resolveWaitMs", 300L)
+
+  private def freshCatalog(name: String): TableCatalog =
+    new TableCatalog(spark, new Path(freshDir(name)))
+
+  private def seeded(cat: TableCatalog, table: String, n: Int, seed: Long): TxTable = {
+    val t = cat.createTable("txn", table, Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, n, seed = seed))
+    t
+  }
+
+  test("commit applies append + delete across two tables atomically") {
+    val cat = freshCatalog("txn_commit")
+    val a = seeded(cat, "a", 50, seed = 1L)
+    val b = seeded(cat, "b", 50, seed = 2L)
+    val extra = SampleData.transactions(spark, 20, seed = 3L)
+    val versions = cat.beginTransaction()
+      .append(a, extra)
+      .delete(b, col("risk_score") === "HIGH")
+      .commit()
+    assert(versions === Map("txn.a" -> 2L, "txn.b" -> 2L))
+    assert(a.toDF.count() === 70)
+    val expectedB = b.asOf(1).filter(col("risk_score") =!= "HIGH").count()
+    assert(b.toDF.count() === expectedB)
+    // committed txn versions read as their real operations
+    assert(a.snapshot.operation === "APPEND")
+    assert(b.snapshot.operation === "DELETE")
+  }
+
+  test("published-but-undecided state is invisible; a reader force-aborts it") {
+    val cat = freshCatalog("txn_inflight")
+    val a = seeded(cat, "a", 40, seed = 4L)
+    val b = seeded(cat, "b", 40, seed = 5L)
+    val txn = cat.beginTransaction()
+      .append(a, SampleData.transactions(spark, 10, seed = 6L))
+      .append(b, SampleData.transactions(spark, 10, seed = 7L))
+    txn.publishPending()
+    // marker missing → the reader waits resolveWaitMs, then forces
+    // ABORTED: uncommitted data is never served
+    assert(a.toDF.count() === 40)
+    assert(b.toDF.count() === 40)
+    // the coordinator's late decide loses the marker CAS
+    assert(txn.decide() === TxLog.TxnAborted)
+    // aborted versions are explicit no-ops in history
+    assert(a.currentVersion === 2)
+    assert(a.snapshot.operation === "ABORTED_TXN")
+    assert(a.snapshot.files.map(_.path).toSet ===
+      a.snapshotAt(1).files.map(_.path).toSet)
+  }
+
+  test("decide(COMMITTED) after publish flips both tables live at once") {
+    val cat = freshCatalog("txn_decide")
+    val a = seeded(cat, "a", 30, seed = 8L)
+    val b = seeded(cat, "b", 30, seed = 9L)
+    val txn = cat.beginTransaction()
+      .append(a, SampleData.transactions(spark, 5, seed = 10L))
+      .append(b, SampleData.transactions(spark, 5, seed = 11L))
+    txn.publishPending()
+    assert(txn.decide() === TxLog.TxnCommitted)
+    assert(a.toDF.count() === 35)
+    assert(b.toDF.count() === 35)
+  }
+
+  test("a publish CAS conflict aborts the WHOLE transaction") {
+    val cat = freshCatalog("txn_conflict")
+    val a = seeded(cat, "a", 40, seed = 12L)
+    val b = seeded(cat, "b", 40, seed = 13L)
+    val txn = cat.beginTransaction()
+      .append(a, SampleData.transactions(spark, 10, seed = 14L))
+      // staged against v1 of b; the external append below moves b's
+      // head so this single-shot CAS must fail at publish
+      .delete(b, col("risk_score") === "HIGH")
+    b.append(SampleData.transactions(spark, 10, seed = 15L))
+    val e = intercept[CommitConflictException](txn.commit())
+    assert(e.getMessage.contains("aborted"))
+    // a published before b (path sort order) — its pending version
+    // resolves to a no-op; b kept only the external append
+    assert(a.toDF.count() === 40)
+    assert(a.snapshot.operation === "ABORTED_TXN")
+    assert(b.toDF.count() === 50)
+  }
+
+  test("crashed coordinator: next writer recovers the table by force-abort") {
+    val cat = freshCatalog("txn_crash")
+    val a = seeded(cat, "a", 25, seed = 16L)
+    val txn = cat.beginTransaction()
+      .append(a, SampleData.transactions(spark, 10, seed = 17L))
+    txn.publishPending()
+    // coordinator "crashes" here (no decide). A later writer's head
+    // read resolves the stale txn and the append lands on the no-op.
+    a.append(SampleData.transactions(spark, 5, seed = 18L))
+    assert(a.toDF.count() === 30)
+    assert(a.currentVersion === 3)
+    assert(a.asOf(2).count() === 25)          // aborted no-op version
+    // ...and the late decide reports the loss instead of succeeding
+    assert(txn.decide() === TxLog.TxnAborted)
+  }
+
+  test("aborted versions are no-ops to time travel and the change feed") {
+    val cat = freshCatalog("txn_cdf")
+    val a = seeded(cat, "a", 30, seed = 19L)
+    val txn = cat.beginTransaction()
+      .append(a, SampleData.transactions(spark, 10, seed = 20L))
+    txn.publishPending()
+    assert(txn.abort() === TxLog.TxnAborted)
+    a.append(SampleData.transactions(spark, 7, seed = 21L))
+    assert(a.asOf(2).count() === 30)
+    // v2 (aborted) contributes nothing; v3 contributes its 7 inserts
+    val feed = a.changeFeed(2, 3)
+    assert(feed.count() === 7)
+    assert(feed.filter(col("_commit_version") === 2).count() === 0)
+  }
+
+  test("merge + append commit atomically (CDC upsert with audit log)") {
+    val cat = freshCatalog("txn_merge")
+    val a = seeded(cat, "a", 50, seed = 24L)
+    val audit = cat.createTable("txn", "audit", Schemas.transactions, Nil)
+    val mods = a.toDF.orderBy("transaction_id").limit(15)
+      .withColumn("amount", lit(1234.56).cast(
+        org.apache.spark.sql.types.DecimalType(12, 2)))
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+    cat.beginTransaction()
+      .merge(a, mods, key = "transaction_id", orderCol = "processing_timestamp")
+      .append(audit, mods)
+      .commit()
+    assert(a.toDF.count() === 50)
+    assert(a.toDF.filter(col("amount") === 1234.56).count() === 15)
+    assert(audit.toDF.count() === 15)
+    assert(a.snapshot.operation === "MERGE")
+  }
+
+  test("explicit abort before publish leaves no trace in any table") {
+    val cat = freshCatalog("txn_early_abort")
+    val a = seeded(cat, "a", 20, seed = 22L)
+    val txn = cat.beginTransaction()
+      .append(a, SampleData.transactions(spark, 10, seed = 23L))
+    txn.abort()
+    assert(a.currentVersion === 1)
+    assert(a.toDF.count() === 20)
+    // the staged files are orphans under data/ until vacuum's grace
+    // window passes — and vacuum with a zero grace reaps them
+    assert(a.vacuum(retainVersions = 2, graceMillis = 0L) > 0)
+    assert(a.toDF.count() === 20)
+  }
+}
