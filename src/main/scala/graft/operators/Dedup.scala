@@ -74,6 +74,52 @@ object Dedup {
         Seq("fingerprint"), "left_anti")
   }
 
+  /**
+   * GLOBAL LINE DEDUP (the C4 / RefinedWeb line-level pass): every
+   * line that appears more than once ANYWHERE in the corpus survives
+   * only at its first occurrence — the lexicographically-least
+   * (id, position), deterministic run-to-run — and documents are
+   * reassembled from their surviving lines in order. Documents whose
+   * every line was deduplicated away drop out. Lines shorter than
+   * `minLineLen` characters (blank separators, lone punctuation) are
+   * exempt and always survive: deduplicating them would silently
+   * reflow unrelated documents' formatting.
+   *
+   * 100 TB shape: winners are a hash-aggregate over
+   * `(xxhash64(line), id, pos)` — the ONLY payload shuffled to find
+   * them is 24 bytes/line, map-side partially aggregated, so the
+   * boilerplate mega-groups (nav text, license headers) arrive
+   * pre-combined instead of piling one partition. The keep-set then
+   * semi-joins back on `(id, pos)` — unique per row on BOTH sides, so
+   * the join key is skew-free by construction even when one line has
+   * a billion duplicates. Line text itself travels through the
+   * reassembly shuffle only. Identity is the raw line's 64-bit hash
+   * (same collision contract as [[contentFingerprint]]).
+   */
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLineLen: Int = 1): DataFrame = {
+    val meta = docs.columns.filterNot(c => c == idCol || c == textCol)
+    val lines = docs.select(Seq(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line"))): _*)
+    val dedupable = lines.filter(length(col("line")) >= minLineLen)
+    val keepSet = dedupable
+      .select(xxhash64(col("line")).as("h"), col(idCol), col("pos"))
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.pos").as("pos"))
+    val kept = dedupable.join(keepSet, Seq(idCol, "pos"), "left_semi")
+      .unionByName(lines.filter(length(col("line")) < minLineLen))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+        .as("ls"))
+      .select(col(idCol),
+        concat_ws("\n", transform(col("ls"), x => x("line"))).as(textCol),
+        size(col("ls")).as("n_lines_kept"))
+    if (meta.isEmpty) rebuilt
+    else rebuilt.join(docs.select(col(idCol) +: meta.map(col): _*),
+      Seq(idCol))
+  }
+
   /** Distinct 64-bit shingle hashes per document — the shared input of
     * signature computation and Jaccard verification — via the native
     * [[HashedShingleSet]] expression: one tight per-row loop instead of

@@ -92,6 +92,40 @@ object Pipeline {
         FROM documents) t
       WHERE rn > 1 ORDER BY doc_id""")),
 
+    // C4/RefinedWeb-style global line dedup: a duplicated line survives
+    // only at its first (doc, position) occurrence corpus-wide; docs
+    // reassemble from surviving lines. The oracle replays the exact
+    // winner rule (min (doc_id, pos), encoded as doc_id*1e6+pos) and
+    // reassembly (string_agg ORDER BY pos) in DuckDB.
+    Q("dedup_lines_global", fn = (s, dir) =>
+      Dedup.lineDedup(Td.documents(s, dir))
+        .select(col("doc_id"), col("text"),
+          col("n_lines_kept").cast(LongType).as("n_lines_kept"),
+          col("lang"), col("source"))
+        .orderBy(col("doc_id")),
+      oracle = Some("""
+      WITH parts AS (
+        SELECT doc_id, string_split(text, chr(10)) AS p FROM documents),
+      lines AS (
+        SELECT doc_id, unnest(
+          [{'pos': i - 1, 'line': p[i]} for i in generate_series(1, len(p))],
+          recursive := true)
+        FROM parts),
+      keep AS (
+        SELECT line, min(doc_id * 1000000 + pos) AS k
+        FROM lines WHERE len(line) >= 1 GROUP BY line),
+      kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l LEFT JOIN keep k ON k.line = l.line
+        WHERE len(l.line) < 1 OR k.k = l.doc_id * 1000000 + l.pos),
+      rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_lines_kept
+        FROM kept GROUP BY doc_id)
+      SELECT r.doc_id, r.text, r.n_lines_kept, d.lang, d.source
+      FROM rebuilt r JOIN documents d ON d.doc_id = r.doc_id
+      ORDER BY r.doc_id""")),
+
     // Oracle-checked: the output contract is "pairs with EXACT shingle
     // Jaccard ≥ threshold" — LSH banding only prunes candidates, and at
     // this corpus's similarity profile (all true pairs ≥ 0.8) the
