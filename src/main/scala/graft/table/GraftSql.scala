@@ -760,6 +760,47 @@ object GraftSql {
         assignment.substring(eq + 1).trim
     }.toMap
 
+  /** Execute several DML statements as ONE atomic multi-table
+    * transaction ([[GraftTxn]]): every statement's effect becomes
+    * visible together, or none does. Supported statements: `INSERT
+    * INTO t [(cols)] SELECT|VALUES …` and `DELETE FROM t [WHERE …]`
+    * (copy-on-write — final contents are identical to the table's
+    * routed delete mode), at most one statement per table. Returns one
+    * row per table with its committed version. Anything else —
+    * including a statement on an unknown table — aborts the
+    * transaction and throws. */
+  def transaction(cat: TableCatalog, statements: Seq[String]): DataFrame = {
+    val spark = cat.spark
+    import spark.implicits._
+    val txn = cat.beginTransaction()
+    try {
+      statements.foreach { text =>
+        stripLineComments(text) match {
+          case InsertRe(rawName, colList, query) if knownTable(cat, rawName) =>
+            val (ns, tbl) = splitName(rawName)
+            val t = cat.getTable(ns, tbl)
+            val df = nativeSql(cat, query)
+            val targets =
+              if (colList == null) t.schema.fieldNames.toSeq
+              else colList.split(",").map(cleanIdent).toSeq
+            require(df.columns.length == targets.length,
+              s"INSERT column count ${df.columns.length} != target ${targets.length}")
+            txn.append(t, df.toDF(targets: _*))
+          case DeleteFromRe(rawName, where) if knownTable(cat, rawName) =>
+            val (ns, tbl) = splitName(rawName)
+            txn.delete(cat.getTable(ns, tbl), predicateOf(where))
+          case other => throw new IllegalArgumentException(
+            "unsupported statement in multi-table transaction " +
+              s"(INSERT INTO / DELETE FROM a known table only): " +
+              other.trim.take(80))
+        }
+      }
+    } catch {
+      case e: Throwable => txn.abort(); throw e
+    }
+    txn.commit().toSeq.sorted.toDF("table", "version")
+  }
+
   /** True iff `raw` is a `[ns.]table` this catalog knows — statements on
     * anything else (temp views, session-catalog tables, three-part
     * names) fall through to the native path instead of erroring. */

@@ -145,6 +145,25 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(a.snapshot.operation === "MERGE")
   }
 
+  test("SQL transaction: INSERT + DELETE across tables commit atomically") {
+    val cat = freshCatalog("txn_sql")
+    val a = seeded(cat, "a", 40, seed = 26L)
+    val b = seeded(cat, "b", 40, seed = 27L)
+    val highB = b.toDF.filter(col("risk_score") === "HIGH").count()
+    val res = GraftSql.transaction(cat, Seq(
+      "INSERT INTO txn.a SELECT * FROM txn.b WHERE risk_score = 'HIGH'",
+      "DELETE FROM txn.b WHERE risk_score = 'HIGH'"))
+    assert(res.collect().map(r => (r.getString(0), r.getLong(1))).toMap ===
+      Map("txn.a" -> 2L, "txn.b" -> 2L))
+    assert(a.toDF.count() === 40 + highB)
+    assert(b.toDF.count() === 40 - highB)
+    // an unsupported statement aborts without touching anything
+    intercept[IllegalArgumentException](GraftSql.transaction(cat, Seq(
+      "INSERT INTO txn.a SELECT * FROM txn.b",
+      "OPTIMIZE txn.b")))
+    assert(a.currentVersion === 2 && b.currentVersion === 2)
+  }
+
   test("explicit abort before publish leaves no trace in any table") {
     val cat = freshCatalog("txn_early_abort")
     val a = seeded(cat, "a", 20, seed = 22L)
