@@ -131,7 +131,8 @@ object Bench {
         s""""runs_all":[${streamAll.mkString(",")}],"rows_per_sec":$streamRate}"""
     val metadataJson = metadataShakeout(spark)
     val cdfJson = cdfShakeout(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"metadata":$metadataJson,"cdf":$cdfJson,"sf":"$sfDir"}""")
+    val txnJson = txnShakeout(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"metadata":$metadataJson,"cdf":$cdfJson,"txn":$txnJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -193,6 +194,68 @@ object Bench {
       s""""dv_read_sec":${f"$dvRead%.3f"},""" +
       s""""cow_read_sec":${f"$cowRead%.3f"},""" +
       s""""feed_rows":$feedRows,"feed_read_sec":${f"$feedSec%.3f"}}"""
+  } catch {
+    case e: Throwable =>
+      s"""{"error":"${e.getClass.getSimpleName}"}"""
+  }
+
+  /**
+   * Multi-table transaction shakeout: a 2-table atomic commit (20k-row
+   * upsert + 20k-row audit append) timing the three phases separately.
+   * The honest number is `publish_decide_sec` — the whole UNDECIDED
+   * window other writers/readers can observe (pending headers exist,
+   * marker absent): it must stay milliseconds however big the staged
+   * batch is, because staging (the actual data write) happens before
+   * any header is published. `vs_sequential_sec` is the same work as
+   * two independent single-table commits, the non-atomic baseline.
+   */
+  private def txnShakeout(spark: SparkSession): String = try {
+    import org.apache.spark.sql.functions._
+    import graft.ingest.SampleData
+    import graft.model.Schemas
+    import graft.table.{GraftTxn, TableCatalog}
+    import org.apache.hadoop.fs.Path
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val whF = new java.io.File("target/qwork/bench_txn_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(whF)
+    val cat = new TableCatalog(spark, new Path(whF.getAbsolutePath))
+    val seed = SampleData.transactions(spark, 40000, seed = 13L).cache()
+    seed.count()
+    val batch = seed.orderBy("transaction_id").limit(20000)
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+      .cache()
+    batch.count()
+    def freshPair(suffix: String) = {
+      val m = cat.createTable("bench", s"txn_main_$suffix",
+        Schemas.transactions, Seq("date"))
+      m.append(seed)
+      val a = cat.createTable("bench", s"txn_audit_$suffix",
+        Schemas.transactions, Nil)
+      (m, a)
+    }
+    val (m1, a1) = freshPair("seq")
+    val (_, seqSec) = timed {
+      m1.merge(batch, "transaction_id", "processing_timestamp")
+      a1.append(batch)
+    }
+    val (m2, a2) = freshPair("atomic")
+    val txn = GraftTxn.begin(spark,
+      new Path(whF.getAbsolutePath, "_txns"))
+    val (_, stageSec) = timed {
+      txn.merge(m2, batch, "transaction_id", "processing_timestamp")
+      txn.append(a2, batch)
+    }
+    val (_, publishSec) = timed(txn.publishPending())
+    val (_, decideSec) = timed(txn.decide())
+    require(m2.toDF.count() == 40000L && a2.toDF.count() == 20000L,
+      "atomic txn produced wrong row counts")
+    seed.unpersist(); batch.unpersist()
+    s"""{"tables":2,"rows_per_table":20000,""" +
+      s""""stage_sec":${f"$stageSec%.3f"},""" +
+      s""""publish_decide_sec":${f"${publishSec + decideSec}%.4f"},""" +
+      s""""vs_sequential_sec":${f"$seqSec%.3f"}}"""
   } catch {
     case e: Throwable =>
       s"""{"error":"${e.getClass.getSimpleName}"}"""

@@ -63,6 +63,60 @@ object StreamingIngest {
       .start()
   }
 
+  /** ATOMIC FAN-OUT ingest: every micro-batch upserts the MAIN table
+    * and appends the raw winners to an AUDIT table in ONE multi-table
+    * transaction ([[graft.table.GraftTxn]]) under ONE exactly-once
+    * fence — downstream readers can never observe the upsert without
+    * its audit record (or vice versa), and a crash at ANY point
+    * replays to exactly-once effects on BOTH tables: the fence
+    * watermark rides the pending headers, so it only takes effect if
+    * the marker committed; an aborted attempt leaves both watermarks
+    * unset and the replayed batch re-applies. The pattern the
+    * reference cannot express with one Firehose delivery per table. */
+  def startFanOut(
+      spark: SparkSession,
+      inputDir: String,
+      main: TxTable,
+      audit: TxTable,
+      txnDir: org.apache.hadoop.fs.Path,
+      checkpointDir: String,
+      errorsDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds"),
+      maxFilesPerTrigger: Int = 100,
+      streamAppId: Option[String] = None): StreamingQuery = {
+    val events = spark.readStream
+      .schema(Schemas.cdcEnvelope)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inputDir)
+    CdcPipeline.dynamoStreamsPath(events).writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fanOutBatch(spark, main, audit, txnDir, batch, batchId, errorsDir,
+          appId = streamAppId.getOrElse(checkpointDir))
+      }
+      .start()
+  }
+
+  private[graft] def fanOutBatch(spark: SparkSession, main: TxTable,
+      audit: TxTable, txnDir: org.apache.hadoop.fs.Path, batch: DataFrame,
+      batchId: Long, errorsDir: String, appId: String): Unit = {
+    if (!batch.isEmpty) {
+      val fence = Some((appId, batchId))
+      try graft.table.GraftTxn.begin(spark, txnDir)
+        .merge(main, batch, key = "transaction_id",
+          orderCol = "processing_timestamp", txn = fence)
+        .append(audit, batch, txn = fence)
+        .commit()
+      catch {
+        case e: Throwable =>
+          batch.write.mode("append").json(s"$errorsDir/batch=$batchId")
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .error(s"fan-out batch $batchId failed, wrote to DLQ: ${e.getMessage}")
+      }
+    }
+  }
+
   /** One micro-batch commit with DLQ semantics. With `streamAppId`, the
     * (appId, batchId) pair rides the table's transaction watermark, so
     * a micro-batch replayed after a crash-between-commit-and-checkpoint

@@ -77,9 +77,15 @@ final class GraftTxn private (spark: SparkSession, txnDir: Path) {
   }
 
   /** Stage an append; data files are written NOW, visibility waits for
-    * [[commit]]. */
-  def append(t: TxTable, df: DataFrame): this.type =
-    stage(t, "APPEND")(t.stageAppend(df))
+    * [[commit]]. An optional `(appId, version)` idempotent-writer
+    * fence makes replayed streaming micro-batches no-ops — and it
+    * COMPOSES with atomicity: the watermark rides the pending header,
+    * so it only takes effect if the whole transaction commits (an
+    * aborted attempt leaves the watermark unset and the replay
+    * re-applies). */
+  def append(t: TxTable, df: DataFrame,
+      txn: Option[(String, Long)] = None): this.type =
+    stage(t, "APPEND")(t.stageAppend(df, txn))
 
   /** Stage a whole-table overwrite. */
   def overwrite(t: TxTable, df: DataFrame): this.type =
@@ -95,9 +101,11 @@ final class GraftTxn private (spark: SparkSession, txnDir: Path) {
     * semantics, incl. merge-on-read routing via the table's merge-mode
     * property). Same exactly-once base-snapshot contract as
     * [[delete]]. */
-  def merge(t: TxTable, batch: DataFrame, key: String,
-      orderCol: String): this.type =
-    stage(t, "MERGE")(t.stageMerge(batch, key, orderCol))
+  def merge(t: TxTable, batch: DataFrame, key: String, orderCol: String,
+      txn: Option[(String, Long)] = None,
+      deleteCol: Option[String] = None): this.type =
+    stage(t, "MERGE")(
+      t.stageMerge(batch, key, orderCol, txn = txn, deleteCol = deleteCol))
 
   /** Publish every staged header (pending), then decide COMMITTED —
     * the all-or-nothing commit point. Returns table name → committed

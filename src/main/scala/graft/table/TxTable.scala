@@ -1445,10 +1445,15 @@ class TxTable private (
    * at-least-once stream.
    */
   private[graft] def commitAppendFiles(newFiles: Seq[DataFile],
-      txn: Option[(String, Long)]): Long = {
+      txn: Option[(String, Long)],
+      pendingTxn: Option[String] = None): Long = {
     def fencedAt(s: Snapshot): Boolean =
       txn.exists { case (a, v) => s.appTxns.get(a).exists(_ >= v) }
     retryingCommit("APPEND") { expected =>
+      // commit against the CURRENT head's schema/partitioning, not the
+      // snapshot the files were aligned to — otherwise an append racing
+      // an addColumn would silently revert the evolved schema (readers
+      // pad old-schema files with nulls either way)
       val cur = snapshotAt(expected)
       if (fencedAt(cur)) {
         deleteDataFiles(newFiles.map(_.path))
@@ -1457,7 +1462,8 @@ class TxTable private (
         val txns = txn.map { case (a, v) => cur.appTxns + (a -> v) }
           .getOrElse(cur.appTxns)
         commit(Some(expected), "APPEND", schemaOf(cur),
-          cur.partitionColumns, cur.files ++ newFiles, appTxns = txns)
+          cur.partitionColumns, cur.files ++ newFiles, appTxns = txns,
+          pendingTxn = pendingTxn)
       }
     }
   }
@@ -1780,23 +1786,23 @@ class TxTable private (
 
   /** Two-phase append for [[GraftTxn]]: phase A (this call) writes the
     * data files — invisible until a header references them; the
-    * returned closure is phase B, a metadata-only CAS commit that
-    * optionally carries a pending-txn marker. `append` is the two
-    * phases run back to back. */
-  private[table] def stageAppend(df: DataFrame): Option[String] => Long = {
+    * returned closure is phase B, a metadata-only CAS commit
+    * ([[commitAppendFiles]]: rebases onto the current head's schema,
+    * applies the optional idempotent-writer fence) that optionally
+    * carries a pending-txn marker. `append` is the two phases run back
+    * to back. An exactly-once `txn` watermark composes with
+    * transactions by construction: a watermark published on a pending
+    * header only survives if the transaction COMMITS — aborted
+    * versions resolve to their parent's appTxns, so a replayed batch
+    * re-applies after a crash and fences after a success. */
+  private[table] def stageAppend(df: DataFrame,
+      txn: Option[(String, Long)] = None): Option[String] => Long = {
     val s = snapshot
+    if (txn.exists { case (a, v) => s.appTxns.get(a).exists(_ >= v) })
+      return _ => s.version
     val newFiles = writeFiles(withDerivedParts(align(df, schemaOf(s),
       constraints = s.constraints), s), s.partitionColumns)
-    pendingTxn => retryingCommit("APPEND") { expected =>
-      // commit against the CURRENT head's schema/partitioning, not the
-      // snapshot we aligned to — otherwise an append racing an
-      // addColumn would silently revert the evolved schema (readers pad
-      // our old-schema files with nulls either way)
-      val cur = snapshotAt(expected)
-      commit(Some(expected), "APPEND", schemaOf(cur),
-        cur.partitionColumns, cur.files ++ newFiles,
-        pendingTxn = pendingTxn)
-    }
+    pendingTxn => commitAppendFiles(newFiles, txn, pendingTxn)
   }
 
   /** Replace the whole table contents. Overwrite is idempotent w.r.t.

@@ -164,6 +164,57 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(a.currentVersion === 2 && b.currentVersion === 2)
   }
 
+  test("exactly-once fence composes with atomicity across replays") {
+    val cat = freshCatalog("txn_fence")
+    val main = seeded(cat, "main", 30, seed = 28L)
+    val audit = cat.createTable("txn", "audit", Schemas.transactions, Nil)
+    val batch = main.toDF.orderBy("transaction_id").limit(10)
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+      .cache()
+    val fence0 = Some(("app", 0L))
+    def applyBatch(f: Option[(String, Long)]) = cat.beginTransaction()
+      .merge(main, batch, "transaction_id", "processing_timestamp", txn = f)
+      .append(audit, batch, txn = f)
+      .commit()
+    applyBatch(fence0)
+    assert(main.toDF.count() === 30 && audit.toDF.count() === 10)
+    val (vm, va) = (main.currentVersion, audit.currentVersion)
+    // replay after success: BOTH tables fence to no-ops — no versions
+    applyBatch(fence0)
+    assert(main.currentVersion === vm && audit.currentVersion === va)
+    assert(audit.toDF.count() === 10)
+    // crash before decide: the fence watermark rode the pending
+    // headers, which ABORT — so the replayed batch must re-apply
+    val fence1 = Some(("app", 1L))
+    val crashed = cat.beginTransaction()
+      .merge(main, batch, "transaction_id", "processing_timestamp", txn = fence1)
+      .append(audit, batch, txn = fence1)
+    crashed.publishPending()
+    assert(crashed.abort() === TxLog.TxnAborted)
+    assert(audit.toDF.count() === 10)        // aborted append invisible
+    applyBatch(fence1)
+    assert(audit.toDF.count() === 20)        // replay applied ONCE
+    assert(main.toDF.count() === 30)
+    batch.unpersist()
+  }
+
+  test("streaming fan-out batch: DLQ on failure, atomic on success") {
+    val cat = freshCatalog("txn_fanout")
+    val main = seeded(cat, "main", 20, seed = 29L)
+    val audit = cat.createTable("txn", "audit", Schemas.transactions, Nil)
+    val errors = freshDir("txn_fanout_dlq")
+    val batch = graft.ingest.SampleData.transactions(spark, 8, seed = 30L)
+    graft.ingest.StreamingIngest.fanOutBatch(spark, main, audit,
+      new Path(freshDir("txn_fanout_markers")), batch, batchId = 0L,
+      errorsDir = errors, appId = "fan")
+    assert(main.toDF.count() === 28 && audit.toDF.count() === 8)
+    // replayed micro-batch (same appId/batchId) is a no-op on BOTH
+    graft.ingest.StreamingIngest.fanOutBatch(spark, main, audit,
+      new Path(freshDir("txn_fanout_markers2")), batch, batchId = 0L,
+      errorsDir = errors, appId = "fan")
+    assert(main.toDF.count() === 28 && audit.toDF.count() === 8)
+  }
+
   test("explicit abort before publish leaves no trace in any table") {
     val cat = freshCatalog("txn_early_abort")
     val a = seeded(cat, "a", 20, seed = 22L)
