@@ -1593,6 +1593,59 @@ class TxTable private (
       pendingTxn = pendingTxn), conf)
   }
 
+  /** Commit a copy-on-write rewrite derived from snapshot `base` that
+    * replaces exactly `replaced` with `newFiles` — REBASING across
+    * concurrent commits that did not touch its inputs (Delta's
+    * WriteSerializable isolation): a blind append, or a rewrite of
+    * OTHER files/partitions, no longer aborts a row-level DELETE /
+    * UPDATE; the retry recommits `head.files − replaced + newFiles`
+    * under the head's schema and carried state. A true write-write
+    * conflict — a replaced file gone from the head, its deletion
+    * vectors changed, or new equality deletes that could target rows
+    * inside the replaced files — still surfaces as
+    * [[CommitConflictException]]: the rewrite's inputs are stale and
+    * the caller must re-read. Concurrent writers on disjoint
+    * partitions therefore both succeed, the concurrency shape a
+    * many-pipeline 100 TB deployment actually has. */
+  private def commitRewrite(base: Snapshot, op: String,
+      replaced: Seq[DataFile], newFiles: Seq[DataFile],
+      changeFiles: Seq[String] = Nil,
+      pendingTxn: Option[String] = None): Long = {
+    val replacedPaths = replaced.map(_.path).toSet
+    def dvSig(s: Snapshot) = s.deletionVectors
+      .filter(d => replacedPaths.contains(d.dataFile))
+      .map(d => (d.dataFile, d.path)).sorted
+    val baseDvSig = dvSig(base)
+    val baseEqSig = base.equalityDeletes.map(_.path)
+    var expected = base.version
+    var tries = 0
+    while (true) {
+      val cur = if (expected == base.version) base else snapshotAt(expected)
+      if (expected != base.version) {
+        val curPaths = cur.files.map(_.path).toSet
+        val untouched = replacedPaths.forall(curPaths.contains) &&
+          dvSig(cur) == baseDvSig &&
+          cur.equalityDeletes.map(_.path) == baseEqSig
+        if (!untouched) throw new CommitConflictException(
+          s"$op of $name rebased onto v$expected, but a concurrent " +
+            "commit touched its input files (rewrite, new deletion " +
+            "vectors, or new equality deletes) — re-read and retry")
+      }
+      try {
+        return commit(Some(expected), op, schemaOf(cur),
+          cur.partitionColumns,
+          cur.files.filterNot(f => replacedPaths.contains(f.path)) ++ newFiles,
+          changeFiles = changeFiles, pendingTxn = pendingTxn)
+      } catch {
+        case e: CommitConflictException =>
+          if (tries >= 10) throw e
+          tries += 1
+          expected = currentVersion
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Align an incoming frame to the table schema: cast matching
     * columns, pad columns the frame lacks (post-evolution) with null —
     * and ENFORCE declared NOT NULL constraints (a null in a
@@ -2485,10 +2538,10 @@ class TxTable private (
     stageDelete(predicate, partitionFilter, partConstraints)(None)
 
   /** Two-phase copy-on-write delete for [[GraftTxn]] — same split as
-    * [[stageAppend]], except phase B commits EXACTLY ONCE against the
-    * snapshot phase A rewrote from (serializability: a moved head means
-    * the rewrite's inputs are stale, so the conflict surfaces instead
-    * of retrying — inside a transaction that aborts the whole txn). */
+    * [[stageAppend]]; phase B commits through [[commitRewrite]], so it
+    * rebases across concurrent commits that left its input files
+    * untouched and conflicts only on a true write-write overlap
+    * (inside a transaction, aborting the whole txn). */
   private[table] def stageDelete(predicate: org.apache.spark.sql.Column,
       partitionFilter: Map[String, String] = Map.empty,
       partConstraints: Seq[PartConstraint] = Nil): Option[String] => Long = {
@@ -2519,9 +2572,8 @@ class TxTable private (
         batchRows = 0L, bytesPerRow(s), s.partitionColumns,
         splitCol = defaultSplitCol(schema, s.partitionColumns)),
       s.partitionColumns)
-    pendingTxn => commit(Some(s.version), "DELETE", schema,
-      s.partitionColumns, kept ++ newFiles, changeFiles = cdfFiles,
-      pendingTxn = pendingTxn)
+    pendingTxn => commitRewrite(s, "DELETE", affected, newFiles,
+      changeFiles = cdfFiles, pendingTxn = pendingTxn)
   }
 
   /** UPDATE … SET … WHERE …: copy-on-write rewrite of the files in
@@ -2580,8 +2632,7 @@ class TxTable private (
         batchRows = 0L, bytesPerRow(s), s.partitionColumns,
         splitCol = defaultSplitCol(schema, s.partitionColumns)),
       s.partitionColumns)
-    commit(Some(s.version), "UPDATE", schema, s.partitionColumns,
-      kept ++ newFiles, changeFiles = cdfFiles)
+    commitRewrite(s, "UPDATE", affected, newFiles, changeFiles = cdfFiles)
   }
 
   /**

@@ -83,17 +83,21 @@ class MultiTableTxnSpec extends SparkSpec {
     val b = seeded(cat, "b", 40, seed = 13L)
     val txn = cat.beginTransaction()
       .append(a, SampleData.transactions(spark, 10, seed = 14L))
-      // staged against v1 of b; the external append below moves b's
-      // head so this single-shot CAS must fail at publish
+      // staged against v1 of b; the external DELETE below REWRITES b's
+      // files, so this rewrite's inputs are stale — a true write-write
+      // conflict that must fail the publish (a blind append would
+      // rebase instead, see the WriteSerializable spec in TxTableSpec)
       .delete(b, col("risk_score") === "HIGH")
-    b.append(SampleData.transactions(spark, 10, seed = 15L))
+    val externallyDeleted =
+      b.toDF.filter(col("status") === "FAILED").count()
+    b.delete(col("status") === "FAILED")
     val e = intercept[CommitConflictException](txn.commit())
     assert(e.getMessage.contains("aborted"))
     // a published before b (path sort order) — its pending version
-    // resolves to a no-op; b kept only the external append
+    // resolves to a no-op; b kept only the external delete's effect
     assert(a.toDF.count() === 40)
     assert(a.snapshot.operation === "ABORTED_TXN")
-    assert(b.toDF.count() === 50)
+    assert(b.toDF.count() === 40 - externallyDeleted)
   }
 
   test("crashed coordinator: next writer recovers the table by force-abort") {

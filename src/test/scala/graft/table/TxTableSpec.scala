@@ -2135,4 +2135,62 @@ class TxTableSpec extends SparkSpec {
     // CREATE purged the logDir's cache: the re-parse sees the rewrite
     assert(TxLog.readRaw(logDir, 1L, conf).timestampMs === ts2)
   }
+
+  test("DELETE rebases across a concurrent blind append (WriteSerializable)") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_ws_append")), "t",
+      Schemas.transactions, Seq("date"))
+    val seed = SampleData.transactions(spark, 60, seed = 40L)
+    t.append(seed)
+    val high = seed.filter(col("risk_score") === "HIGH").count()
+    // phase A rewrites from v1; the append below moves the head but
+    // leaves every replaced file in place — the delete must REBASE,
+    // carrying the appended files (their rows survive even when the
+    // predicate matches: snapshot-isolation WriteSerializable, the
+    // Delta default for row-level DML vs blind appends)
+    val commitDelete = t.stageDelete(col("risk_score") === "HIGH")
+    val extra = SampleData.transactions(spark, 20, seed = 41L)
+    t.append(extra)
+    commitDelete(None)
+    assert(t.snapshot.operation === "DELETE")
+    assert(t.toDF.count() === 60 - high + 20)
+    assert(t.currentVersion === 3)
+  }
+
+  test("concurrent partition-scoped deletes on DISJOINT partitions both commit") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_ws_disjoint")), "t",
+      Schemas.transactions, Seq("date"))
+    // two anchor days → two physical partitions
+    t.append(SampleData.transactions(spark, 40, seed = 42L))
+    t.append(SampleData.transactions(spark, 40, seed = 44L,
+      anchorMs = 1754988000000L + 86400000L))
+    val dates = t.snapshot.files.flatMap(_.partitionValues.get("date"))
+      .distinct.sorted
+    assert(dates.size >= 2)
+    val (d1, d2) = (dates.head, dates.last)
+    def cnt(d: String) = t.toDF.filter(col("date") === d).count()
+    val (n1, n2) = (cnt(d1), cnt(d2))
+    // writer 1 stages against the same head writer 2 commits from:
+    // disjoint partitions → writer 1 rebases instead of aborting
+    val commit1 = t.stageDelete(lit(true), Map("date" -> d1))
+    t.delete(lit(true), Map("date" -> d2))
+    commit1(None)
+    assert(cnt(d1) === 0 && cnt(d2) === 0)
+    assert(t.toDF.count() === 80 - n1 - n2)
+  }
+
+  test("DELETE still conflicts when a concurrent commit rewrote its inputs") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_ws_conflict")), "t",
+      Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 50, seed = 43L))
+    val commitStale = t.stageDelete(col("risk_score") === "HIGH")
+    // whole-table UPDATE rewrites every file the staged delete read
+    t.update(lit(true), Map("amount" ->
+      (col("amount") + lit(1)).cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+    intercept[CommitConflictException](commitStale(None))
+    // and a concurrent deletion vector on an input file conflicts too
+    val commitStale2 = t.stageDelete(col("risk_score") === "HIGH")
+    val oneId = t.toDF.select("transaction_id").first().getString(0)
+    t.deletePos(col("transaction_id") === oneId)
+    intercept[CommitConflictException](commitStale2(None))
+  }
 }
