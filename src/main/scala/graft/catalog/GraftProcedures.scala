@@ -82,7 +82,8 @@ private[catalog] object GraftProcedures {
         case "rewrite_data_files" => Array(TableParam,
           pDefault("target_file_size_bytes", LongType, (128L * 1024 * 1024).toString),
           pDefault("zorder_by", StringType, "NULL"),
-          pDefault("where", StringType, "NULL"))
+          pDefault("where", StringType, "NULL"),
+          pDefault("small_files_only", StringType, "false"))
         case "rewrite_position_deletes" => Array(TableParam,
           pDefault("target_file_size_bytes", LongType, (128L * 1024 * 1024).toString))
         case "rollback_to_version"   => Array(TableParam, p("version", LongType))
@@ -128,8 +129,15 @@ private[catalog] object GraftProcedures {
                 val Array(k, v) = kv.split("=", 2).map(_.trim)
                 k -> v.stripPrefix("'").stripSuffix("'")
               }.toMap
+            val smallOnly = !input.isNullAt(4) &&
+              input.getString(4).trim.equalsIgnoreCase("true")
             result("version" ->
-              t.compact(input.getLong(1), clusterBy = zorder, partitionFilter = pf))
+              (if (smallOnly) {
+                require(zorder.isEmpty,
+                  "small_files_only bin-packs; it cannot zorder")
+                t.compactSmallFiles(input.getLong(1), partitionFilter = pf)
+              } else t.compact(input.getLong(1), clusterBy = zorder,
+                partitionFilter = pf)))
           case "rewrite_position_deletes" =>
             val (v, n) = t.rewritePositionDeletes(input.getLong(1))
             result("version" -> v, "rewritten_files" -> n)

@@ -1449,7 +1449,8 @@ class TxTable private (
       pendingTxn: Option[String] = None): Long = {
     def fencedAt(s: Snapshot): Boolean =
       txn.exists { case (a, v) => s.appTxns.get(a).exists(_ >= v) }
-    retryingCommit("APPEND") { expected =>
+    var committed = false
+    val v = retryingCommit("APPEND") { expected =>
       // commit against the CURRENT head's schema/partitioning, not the
       // snapshot the files were aligned to — otherwise an append racing
       // an addColumn would silently revert the evolved schema (readers
@@ -1459,13 +1460,19 @@ class TxTable private (
         deleteDataFiles(newFiles.map(_.path))
         cur.version
       } else {
-        val txns = txn.map { case (a, v) => cur.appTxns + (a -> v) }
-          .getOrElse(cur.appTxns)
-        commit(Some(expected), "APPEND", schemaOf(cur),
-          cur.partitionColumns, cur.files ++ newFiles, appTxns = txns,
+        val r = commit(Some(expected), "APPEND", schemaOf(cur),
+          cur.partitionColumns, cur.files ++ newFiles, appTxns = {
+            txn.map { case (a, vv) => cur.appTxns + (a -> vv) }
+              .getOrElse(cur.appTxns)
+          },
           pendingTxn = pendingTxn)
+        committed = true
+        r
       }
     }
+    if (committed && pendingTxn.isEmpty)
+      maybeAutoCompact(newFiles.map(_.partitionValues).toSet)
+    v
   }
 
   /** Commit a row-level REPLACE planned outside TxTable (the V2
@@ -2308,9 +2315,13 @@ class TxTable private (
       val live = files.map(_.path).toSet
       val dvs = (s.deletionVectors.filterNot(d => updated.contains(d.dataFile))
         ++ updated.values).filter(d => live.contains(d.dataFile))
-      return pendingTxn => commit(Some(s.version), "MERGE_MOR", schema,
-        parts, files, appTxns = txns, deletionVectors = dvs,
-        changeFiles = cdfFiles, pendingTxn = pendingTxn)
+      return pendingTxn => {
+        val v = commit(Some(s.version), "MERGE_MOR", schema,
+          parts, files, appTxns = txns, deletionVectors = dvs,
+          changeFiles = cdfFiles, pendingTxn = pendingTxn)
+        if (pendingTxn.isEmpty) maybeAutoCompact(touched)
+        v
+      }
     }
     val merged = survivors.select(schema.map(f => col(f.name)): _*)
       .unionByName(upserts.select(schema.map(f => col(f.name)): _*))
@@ -2325,9 +2336,13 @@ class TxTable private (
     // silently drop its rows). Conflicts surface to the caller, who
     // re-reads and re-merges — serializable upsert semantics. The
     // streaming ingest path is single-writer, so this never fires there.
-    pendingTxn => commit(Some(s.version), "MERGE", schema, parts,
-      keptFiles ++ newFiles, appTxns = txns, changeFiles = cdfFiles,
-      pendingTxn = pendingTxn)
+    pendingTxn => {
+      val v = commit(Some(s.version), "MERGE", schema, parts,
+        keptFiles ++ newFiles, appTxns = txns, changeFiles = cdfFiles,
+        pendingTxn = pendingTxn)
+      if (pendingTxn.isEmpty) maybeAutoCompact(touched)
+      v
+    }
   }
 
   /**
@@ -2691,6 +2706,63 @@ class TxTable private (
       kept ++ newFiles,
       droppedColumns = if (full) Nil else null,
       equalityDeletes = if (full) Nil else null)
+  }
+
+  /**
+   * Bin-pack ONLY the small files (the Iceberg `rewrite_data_files`
+   * min-input-files shape): files under `smallerThanBytes` in the
+   * matching partitions rewrite into ~`targetFileBytes` outputs; files
+   * already at size are left alone, so the cost is O(small bytes) —
+   * what a streaming-ingest maintenance loop runs, not a full
+   * OPTIMIZE. Commits through [[commitRewrite]], so it rebases across
+   * concurrent appends/disjoint rewrites and conflicts only when a
+   * concurrent commit touched the packed files. MOR deletes fold into
+   * the rewritten files (their new seq is immune) and carry for the
+   * untouched rest.
+   */
+  def compactSmallFiles(targetFileBytes: Long = 128L * 1024 * 1024,
+      smallerThanBytes: Long = 0L,
+      partitionFilter: Map[String, String] = Map.empty,
+      minInputFiles: Int = 2): Long = {
+    val s = snapshot
+    val small = if (smallerThanBytes > 0L) smallerThanBytes
+      else targetFileBytes / 2
+    val affected = s.files.filter(f => f.sizeBytes < small &&
+      partitionFilter.forall { case (k, v) =>
+        f.partitionValues.get(k).contains(v) })
+    if (affected.size < minInputFiles) return s.version
+    val totalBytes = math.max(1L, affected.map(_.sizeBytes).sum)
+    val numFiles =
+      math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = withDerivedParts(dfFor(s.copy(files = affected)), s)
+    val newFiles = writeFiles(df.repartition(numFiles), s.partitionColumns)
+    commitRewrite(s, "COMPACT", affected, newFiles)
+  }
+
+  /** Post-commit AUTO-COMPACTION (opt-in,
+    * `graft.autoCompact.enabled=true`): after an append or merge, any
+    * touched partition holding ≥ `graft.autoCompact.minFiles` (default
+    * 16) sub-64 MB files is bin-packed inline — the small-file control
+    * loop a micro-batch stream needs so read amplification stays
+    * bounded without a scheduled OPTIMIZE. Best-effort: a lost race
+    * just leaves the work for the next batch. Skipped inside
+    * multi-table transactions (maintenance is not transactional
+    * payload). */
+  private def maybeAutoCompact(touched: Set[Map[String, String]]): Unit = {
+    val cur = try snapshot catch { case _: Exception => return }
+    if (!cur.properties.get(TxTable.AutoCompactProperty)
+        .exists(_.trim.equalsIgnoreCase("true"))) return
+    val minFiles = cur.properties.get(TxTable.AutoCompactMinFilesProperty)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(16)
+    val small = 64L * 1024 * 1024
+    touched.foreach { pv =>
+      val n = cur.files.count(f => f.sizeBytes < small &&
+        pv.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
+      if (n >= minFiles) {
+        try compactSmallFiles(partitionFilter = pv, minInputFiles = minFiles)
+        catch { case _: CommitConflictException => () }
+      }
+    }
   }
 
   /**
@@ -3225,6 +3297,11 @@ object TxTable {
   val DeleteModeProperty = "graft.delete.mode"
   val UpdateModeProperty = "graft.update.mode"
   val MergeModeProperty = "graft.merge.mode"
+
+  /** Opt-in post-commit small-file bin-packing on touched partitions
+    * (see [[TxTable.maybeAutoCompact]]). */
+  val AutoCompactProperty = "graft.autoCompact.enabled"
+  val AutoCompactMinFilesProperty = "graft.autoCompact.minFiles"
 
   private[graft] def morMode(s: Snapshot, prop: String): Boolean =
     s.properties.get(prop).exists(_.trim.equalsIgnoreCase("merge-on-read"))

@@ -2136,6 +2136,47 @@ class TxTableSpec extends SparkSpec {
     assert(TxLog.readRaw(logDir, 1L, conf).timestampMs === ts2)
   }
 
+  test("auto-compact bounds small files under a stream of tiny appends") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_autocompact")), "t",
+      Schemas.transactions, Seq("date"),
+      properties = Map(TxTable.AutoCompactProperty -> "true",
+        TxTable.AutoCompactMinFilesProperty -> "4"))
+    (1 to 8).foreach { i =>
+      t.append(SampleData.transactions(spark, 5, seed = 50L + i))
+    }
+    assert(t.toDF.count() === 40)
+    // 8 appends × ≥1 file each would leave ≥8 files; the inline
+    // bin-packs keep the per-partition count under the threshold + one
+    // batch's worth
+    assert(t.snapshot.files.size < 8)
+    assert(t.history().filter(col("operation") === "COMPACT").count() > 0)
+    // rows survive packing with MOR deletes folded in
+    val before = t.toDF.count()
+    val oneId = t.toDF.select("transaction_id").first().getString(0)
+    t.deletePos(col("transaction_id") === oneId)
+    (1 to 4).foreach { i =>
+      t.append(SampleData.transactions(spark, 5, seed = 60L + i))
+    }
+    assert(t.toDF.count() === before - 1 + 20)
+  }
+
+  test("compactSmallFiles leaves at-size files alone and packs the rest") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_smallpack")), "t",
+      Schemas.transactions, Seq("date"))
+    (1 to 5).foreach(i =>
+      t.append(SampleData.transactions(spark, 10, seed = 70L + i)))
+    val filesBefore = t.snapshot.files
+    // a tiny "small" threshold packs nothing (nothing is smaller)
+    t.compactSmallFiles(smallerThanBytes = 1L)
+    assert(t.snapshot.files.map(_.path).sorted ===
+      filesBefore.map(_.path).sorted)
+    // everything is below 64 MB here → all five pack into one commit
+    val v = t.compactSmallFiles(minInputFiles = 2)
+    assert(t.snapshot.operation === "COMPACT" && v === t.currentVersion)
+    assert(t.snapshot.files.size < filesBefore.size)
+    assert(t.toDF.count() === 50)
+  }
+
   test("DELETE rebases across a concurrent blind append (WriteSerializable)") {
     val t = TxTable.create(spark, new Path(freshDir("tx_ws_append")), "t",
       Schemas.transactions, Seq("date"))
