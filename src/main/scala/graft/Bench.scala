@@ -187,11 +187,27 @@ object Bench {
     val (morRows, dvRead) = timed(mor.toDF.count())
     require(morRows == 40000L, s"MOR read saw $morRows rows")
     val (_, cowRead) = timed(off.toDF.count())
+    // same scan through the V2 catalog: columnar batches filtered by
+    // the surviving-row map (the vectorized DV read path) vs the V1
+    // per-file anti-join above
+    spark.conf.set("spark.sql.catalog.graftbench",
+      "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftbench.warehouse",
+      whF.getAbsolutePath)
+    // sum(length(..)) is NOT an eligible pushed aggregate, so the scan
+    // actually reads the column (count(*) alone would be answered from
+    // snapshot metadata by the V2 aggregate pushdown)
+    val (morRowsV2, dvReadV2) = timed(
+      spark.sql("""SELECT count(*) AS n, sum(length(transaction_id)) AS s
+                   FROM graftbench.bench.cdf_mor""")
+        .collect()(0).getLong(0))
+    require(morRowsV2 == 40000L, s"V2 MOR read saw $morRowsV2 rows")
     seed.unpersist(); batch.unpersist()
     s"""{"merge_rows":20000,"merge_off_sec":${f"$mergeOff%.3f"},""" +
       s""""merge_on_sec":${f"$mergeOn%.3f"},""" +
       s""""merge_mor_sec":${f"$mergeMor%.3f"},""" +
       s""""dv_read_sec":${f"$dvRead%.3f"},""" +
+      s""""dv_read_v2_sec":${f"$dvReadV2%.3f"},""" +
       s""""cow_read_sec":${f"$cowRead%.3f"},""" +
       s""""feed_rows":$feedRows,"feed_read_sec":${f"$feedSec%.3f"}}"""
   } catch {

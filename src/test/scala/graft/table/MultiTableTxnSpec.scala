@@ -219,6 +219,35 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(main.toDF.count() === 28 && audit.toDF.count() === 8)
   }
 
+  test("overlapping concurrent transactions serialize: both commit") {
+    val cat = freshCatalog("txn_overlap")
+    val shared = seeded(cat, "shared", 20, seed = 31L)
+    val only1 = seeded(cat, "only1", 20, seed = 32L)
+    val only2 = seeded(cat, "only2", 20, seed = 33L)
+    val txn1 = cat.beginTransaction()
+      .append(shared, SampleData.transactions(spark, 5, seed = 34L))
+      .append(only1, SampleData.transactions(spark, 5, seed = 35L))
+    txn1.publishPending()
+    // txn2 shares `shared`: its publish lands behind txn1's pending
+    // header and BLOCKS in resolution (polling the marker) — txn1's
+    // decide inside the resolve window lets txn2 rebase and commit
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
+      cat.beginTransaction()
+        .append(shared, SampleData.transactions(spark, 7, seed = 36L))
+        .append(only2, SampleData.transactions(spark, 7, seed = 37L))
+        .commit()
+    }
+    Thread.sleep(100)                 // let txn2 reach the poll
+    assert(txn1.decide() === TxLog.TxnCommitted)
+    Await.result(fut, 30.seconds)
+    assert(shared.toDF.count() === 20 + 5 + 7)
+    assert(only1.toDF.count() === 25)
+    assert(only2.toDF.count() === 27)
+  }
+
   test("explicit abort before publish leaves no trace in any table") {
     val cat = freshCatalog("txn_early_abort")
     val a = seeded(cat, "a", 20, seed = 22L)
