@@ -97,10 +97,15 @@ object Dedup {
    * (same collision contract as [[contentFingerprint]]).
    */
   def lineDedup(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", minLineLen: Int = 1): DataFrame = {
+      textCol: String = "text", minLineLen: Int = 1,
+      /** the unit separator: "\n" = lines (C4), "\n\n" = paragraphs
+        * (the coarser RefinedWeb-style pass — fewer, larger units, so
+        * the winner aggregate shuffles proportionally less) */
+      sep: String = "\n"): DataFrame = {
     val meta = docs.columns.filterNot(c => c == idCol || c == textCol)
     val lines = docs.select(Seq(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line"))): _*)
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line"))): _*)
     val dedupable = lines.filter(length(col("line")) >= minLineLen)
     val keepSet = dedupable
       .select(xxhash64(col("line")).as("h"), col(idCol), col("pos"))
@@ -113,12 +118,18 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
         .as("ls"))
       .select(col(idCol),
-        concat_ws("\n", transform(col("ls"), x => x("line"))).as(textCol),
+        concat_ws(sep, transform(col("ls"), x => x("line"))).as(textCol),
         size(col("ls")).as("n_lines_kept"))
     if (meta.isEmpty) rebuilt
     else rebuilt.join(docs.select(col(idCol) +: meta.map(col): _*),
       Seq(idCol))
   }
+
+  /** Paragraph-level global dedup: [[lineDedup]] over blank-line-
+    * separated units. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minLen: Int = 1): DataFrame =
+    lineDedup(docs, idCol, textCol, minLen, sep = "\n\n")
 
   /** Distinct 64-bit shingle hashes per document — the shared input of
     * signature computation and Jaccard verification — via the native

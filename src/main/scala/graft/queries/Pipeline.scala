@@ -126,6 +126,36 @@ object Pipeline {
       FROM rebuilt r JOIN documents d ON d.doc_id = r.doc_id
       ORDER BY r.doc_id""")),
 
+    // Same winner rule at PARAGRAPH granularity (blank-line units):
+    // coarser units, proportionally less shuffle per corpus byte.
+    Q("dedup_paragraphs_global", fn = (s, dir) =>
+      Dedup.paragraphDedup(Td.documents(s, dir))
+        .select(col("doc_id"),
+          col("n_lines_kept").cast(LongType).as("n_paragraphs_kept"),
+          length(col("text")).cast(LongType).as("n_chars_after"))
+        .orderBy(col("doc_id")),
+      oracle = Some("""
+      WITH parts AS (
+        SELECT doc_id, string_split(text, chr(10) || chr(10)) AS p
+        FROM documents),
+      units AS (
+        SELECT doc_id, unnest(
+          [{'pos': i - 1, 'line': p[i]} for i in generate_series(1, len(p))],
+          recursive := true)
+        FROM parts),
+      keep AS (
+        SELECT line, min(doc_id * 1000000 + pos) AS k
+        FROM units WHERE len(line) >= 1 GROUP BY line),
+      kept AS (
+        SELECT u.doc_id, u.pos, u.line
+        FROM units u LEFT JOIN keep k ON k.line = u.line
+        WHERE len(u.line) < 1 OR k.k = u.doc_id * 1000000 + u.pos)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_paragraphs_kept,
+             CAST(len(string_agg(line, chr(10) || chr(10) ORDER BY pos))
+                  AS BIGINT) AS n_chars_after
+      FROM kept GROUP BY doc_id ORDER BY doc_id""")),
+
     // Oracle-checked: the output contract is "pairs with EXACT shingle
     // Jaccard ≥ threshold" — LSH banding only prunes candidates, and at
     // this corpus's similarity profile (all true pairs ≥ 0.8) the

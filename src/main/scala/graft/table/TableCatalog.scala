@@ -74,6 +74,43 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
   def beginTransaction(): GraftTxn =
     GraftTxn.begin(spark, new Path(warehouse, "_txns"))
 
+  /** Reap transaction markers no READABLE header still references.
+    * A marker must outlive every header carrying its path (resolution
+    * reads it on every serve of that header), so the reference walk
+    * covers each table's stored headers from its retention floor to
+    * its head — after `expireSnapshots` drops the last referencing
+    * header, the marker becomes reclaimable. `graceMillis` additionally
+    * protects markers younger than the longest publish→decide window
+    * (a just-created marker whose headers a racing listing missed).
+    * Returns the number of markers deleted. */
+  def vacuumTxnMarkers(graceMillis: Long = 24L * 3600 * 1000): Int = {
+    val txnDir = new Path(warehouse, "_txns")
+    if (!fs.exists(txnDir)) return 0
+    val conf = spark.sessionState.newHadoopConf()
+    val referenced: Set[String] = listNamespaces()
+      .filterNot(_.startsWith("_")).flatMap { ns =>
+      listTables(ns).flatMap { tbl =>
+        val logDir = new Path(tableRoot(ns, tbl), "_log")
+        (for {
+          head <- TxLog.currentVersion(logDir, conf).toSeq
+          floor = TxLog.minVersion(logDir, conf).getOrElse(0L)
+          v <- floor to head
+          marker <- (try TxLog.readStored(logDir, v, conf).pendingTxn
+            catch { case _: java.io.FileNotFoundException => None }).toSeq
+        } yield marker)
+      }
+    }.toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
+    var removed = 0
+    fs.listStatus(txnDir).foreach { st =>
+      val qualified = fs.makeQualified(st.getPath).toString
+      if (st.isFile && st.getModificationTime < cutoff &&
+          !referenced.contains(qualified) && fs.delete(st.getPath, false))
+        removed += 1
+    }
+    removed
+  }
+
   def listTables(ns: String): Seq[String] = {
     val p = new Path(warehouse, ns)
     if (!fs.exists(p)) Nil

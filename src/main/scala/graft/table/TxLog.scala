@@ -453,8 +453,18 @@ object TxLog {
       })
 
   /** Parse a snapshot AS STORED: inline files + unresolved manifest
-    * refs. Commit and provenance use this — it is O(changed files). */
-  def readRaw(logDir: Path, version: Long, conf: Configuration): Snapshot = {
+    * refs, with any pending-txn flag RESOLVED to its terminal effect
+    * (see [[resolvePending]]). Commit and provenance use this — it is
+    * O(changed files). */
+  def readRaw(logDir: Path, version: Long, conf: Configuration): Snapshot =
+    resolvePending(logDir, readStored(logDir, version, conf), conf)
+
+  /** The header EXACTLY as stored — pending-txn flag intact,
+    * unresolved. Only maintenance that must see marker references
+    * (marker GC) reads this; everything else goes through [[readRaw]]
+    * so it never observes an undecided commit. */
+  private[table] def readStored(logDir: Path, version: Long,
+      conf: Configuration): Snapshot = {
     val key = (logDir.toString, version)
     val p = new Path(logDir, snapshotName(version))
     val f = fs(logDir, conf)
@@ -463,7 +473,7 @@ object TxLog {
       try {
         val st = f.getFileStatus(p)
         if (st.getModificationTime == cached._1 && st.getLen == cached._2)
-          return resolvePending(logDir, cached._3, conf)
+          return cached._3
       } catch { case _: java.io.FileNotFoundException => () }
       rawCache.remove(key)   // recreated or expired — fall through
     }
@@ -486,7 +496,7 @@ object TxLog {
           if (st.getLen == bytes.length)
             rawCache.put(key, (st.getModificationTime, st.getLen, snap))
         } catch { case _: java.io.FileNotFoundException => () }
-        return resolvePending(logDir, snap, conf)
+        return snap
       }
       attempt += 1
       if (attempt >= 50) {

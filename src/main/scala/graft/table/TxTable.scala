@@ -666,14 +666,30 @@ class TxTable private (
     // branch's fork point simply don't appear — history covers what
     // the chain can still read
     val floor = TxLog.minVersion(logDir, conf).getOrElse(0L)
-    (currentVersion to floor by -1).flatMap { v =>
-      try {
-        val s = snapshotAt(v)
-        val rows = if (s.files.forall(_.rowCount >= 0)) s.files.map(_.rowCount).sum else -1L
-        Some((s.version, s.operation, new java.sql.Timestamp(s.timestampMs),
-          s.files.size, rows, s.files.map(_.sizeBytes).sum))
-      } catch { case _: java.io.FileNotFoundException => None }
-    }.toDF("version", "operation", "committed_at", "n_files", "n_rows", "total_bytes")
+    val snaps = (floor to currentVersion).flatMap { v =>
+      try Some(snapshotAt(v))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
+    // per-commit operation metrics (the Delta operationMetrics shape),
+    // derived from consecutive snapshots — no log-format change, so
+    // they work retroactively on any existing table
+    snaps.zipWithIndex.map { case (s, i) =>
+      val rows = if (s.files.forall(_.rowCount >= 0))
+        s.files.map(_.rowCount).sum else -1L
+      val prevFiles = if (i == 0) Nil else snaps(i - 1).files
+      val prevPaths = prevFiles.map(_.path).toSet
+      val curPaths = s.files.map(_.path).toSet
+      val addedF = s.files.filterNot(f => prevPaths.contains(f.path))
+      val removedF = prevFiles.filterNot(f => curPaths.contains(f.path))
+      (s.version, s.operation, new java.sql.Timestamp(s.timestampMs),
+        s.files.size, rows, s.files.map(_.sizeBytes).sum,
+        addedF.size, removedF.size,
+        addedF.map(_.rowCount).sum, removedF.map(_.rowCount).sum,
+        addedF.map(_.sizeBytes).sum, removedF.map(_.sizeBytes).sum)
+    }.reverse
+      .toDF("version", "operation", "committed_at", "n_files", "n_rows",
+        "total_bytes", "n_added_files", "n_removed_files", "added_rows",
+        "removed_rows", "added_bytes", "removed_bytes")
   }
 
   /** Exact row count from snapshot metadata — O(files) on the driver,

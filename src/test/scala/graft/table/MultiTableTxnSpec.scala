@@ -248,6 +248,22 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(only2.toDF.count() === 27)
   }
 
+  test("marker GC reaps only markers no readable header references") {
+    val cat = freshCatalog("txn_gc")
+    val a = seeded(cat, "a", 20, seed = 38L)
+    cat.beginTransaction()
+      .append(a, SampleData.transactions(spark, 5, seed = 39L))
+      .commit()
+    // referenced by a's v2 header — must survive even with zero grace
+    assert(cat.vacuumTxnMarkers(graceMillis = 0L) === 0)
+    assert(a.toDF.count() === 25)
+    // advance the head, then expire the referencing header
+    a.append(SampleData.transactions(spark, 5, seed = 48L))
+    assert(a.expireSnapshots(retainVersions = 1) > 0)
+    assert(cat.vacuumTxnMarkers(graceMillis = 0L) === 1)
+    assert(a.toDF.count() === 30)
+  }
+
   test("explicit abort before publish leaves no trace in any table") {
     val cat = freshCatalog("txn_early_abort")
     val a = seeded(cat, "a", 20, seed = 22L)

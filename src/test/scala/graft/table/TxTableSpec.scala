@@ -431,6 +431,17 @@ class TxTableSpec extends SparkSpec {
     assert(h.map(_.getString(1)).toSeq === Seq("DELETE", "APPEND", "CREATE"))
     assert(h.find(_.getLong(0) == 1L).get.getLong(4) === 40L)
     assert(h.find(_.getLong(0) == 2L).get.getLong(4) === t.count())
+    // operation metrics: the append ADDED 40 rows from nothing; the
+    // delete REPLACED the affected files (removed the old 40-row set,
+    // added the survivors)
+    val hist = t.history()
+    val append = hist.filter(col("version") === 1).head()
+    assert(append.getAs[Long]("added_rows") === 40L)
+    assert(append.getAs[Int]("n_removed_files") === 0)
+    val del = hist.filter(col("version") === 2).head()
+    assert(del.getAs[Long]("removed_rows") === 40L)
+    assert(del.getAs[Long]("added_rows") === t.count())
+    assert(del.getAs[Int]("n_removed_files") > 0)
   }
 
   test("metadata-only count answers without scanning, incl. per-partition") {
