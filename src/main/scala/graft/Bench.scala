@@ -202,6 +202,12 @@ object Bench {
                    FROM graftbench.bench.cdf_mor""")
         .collect()(0).getLong(0))
     require(morRowsV2 == 40000L, s"V2 MOR read saw $morRowsV2 rows")
+    // the fair baseline: the SAME V2 machinery over the vector-free
+    // table — the difference to dv_read_v2_sec is the actual MOR tax
+    val (_, cowReadV2) = timed(
+      spark.sql("""SELECT count(*) AS n, sum(length(transaction_id)) AS s
+                   FROM graftbench.bench.cdf_off""")
+        .collect()(0).getLong(0))
     seed.unpersist(); batch.unpersist()
     s"""{"merge_rows":20000,"merge_off_sec":${f"$mergeOff%.3f"},""" +
       s""""merge_on_sec":${f"$mergeOn%.3f"},""" +
@@ -209,6 +215,7 @@ object Bench {
       s""""dv_read_sec":${f"$dvRead%.3f"},""" +
       s""""dv_read_v2_sec":${f"$dvReadV2%.3f"},""" +
       s""""cow_read_sec":${f"$cowRead%.3f"},""" +
+      s""""cow_read_v2_sec":${f"$cowReadV2%.3f"},""" +
       s""""feed_rows":$feedRows,"feed_read_sec":${f"$feedSec%.3f"}}"""
   } catch {
     case e: Throwable =>

@@ -163,9 +163,16 @@ class MorScanBuilder(
     val readSchemaForGroups = StructType(
       fullSchema.filter(f => readCols.contains(f.name)))
     indexes.clear()
-    // one sub-scan per (group, plain-files) + one per DV'd file: the
-    // per-file grain is what lets the reader bind ONE sidecar per task
-    val subScans: Seq[(Scan, MorGroup, Option[DvRef])] =
+    // one sub-scan per (group, plain-files) + ONE per (group, DV'd
+    // files): planning, reader-factory, and broadcast costs are
+    // per-SCAN, not per-file — a heavily-DV'd snapshot plans two scans,
+    // not hundreds. The per-task sidecar still binds uniquely because
+    // planInputPartitions splits the DV'd scan's partitions one
+    // PartitionedFile each (a packed partition could span files).
+    val qDataDir = dataDir
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(dataDir)
+    val subScans: Seq[(Scan, MorGroup, Map[String, String])] =
       groups.flatMap { g =>
         val (dvFiles, plain) = g.files.partition(f => g.dvByPath.contains(f._1))
         val plainScan =
@@ -174,15 +181,23 @@ class MorScanBuilder(
             val b = newGroupBuilder(g.copy(files = plain), withRowIndex = false)
             b.pushFilters(pushed)
             b.pruneColumns(readSchemaForGroups)
-            Seq((b.build(), g, Option.empty[DvRef]))
+            Seq((b.build(), g, Map.empty[String, String]))
           }
-        val dvScans = dvFiles.map { f =>
-          val b = newGroupBuilder(g.copy(files = Seq(f)), withRowIndex = true)
-          b.pushFilters(pushed)
-          b.pruneColumns(StructType(readSchemaForGroups :+ MorScan.rowIndexField))
-          (b.build(), g, Some(g.dvByPath(f._1)))
-        }
-        plainScan ++ dvScans
+        val dvScan =
+          if (dvFiles.isEmpty) Nil
+          else {
+            val b = newGroupBuilder(g.copy(files = dvFiles), withRowIndex = true)
+            b.pushFilters(pushed)
+            b.pruneColumns(StructType(readSchemaForGroups :+ MorScan.rowIndexField))
+            // sidecar by the file's QUALIFIED path — exactly how the
+            // snapshot index lists it, so PartitionedFile.filePath
+            // round-trips as the lookup key
+            val bySidecar = dvFiles.map(f =>
+              new Path(qDataDir, f._1).toString ->
+                g.dvByPath(f._1).sidecar).toMap
+            Seq((b.build(), g, bySidecar))
+          }
+        plainScan ++ dvScan
       }
     val requestedOut = requested
     val sparkLocal = spark
@@ -203,14 +218,35 @@ class MorScanBuilder(
             java.util.OptionalLong.empty()
         }
       override def toBatch: Batch = new Batch {
-        private lazy val planned: Seq[(Batch, MorGroup, Option[DvRef])] =
+        private lazy val planned: Seq[(Batch, MorGroup, Map[String, String])] =
           subScans.map { case (s, g, dv) => (s.toBatch, g, dv) }
         private lazy val partsBySub: Seq[Array[InputPartition]] =
           planned.map(_._1.planInputPartitions())
-        override def planInputPartitions(): Array[InputPartition] =
+        override def planInputPartitions(): Array[InputPartition] = {
+          import org.apache.spark.sql.execution.datasources.FilePartition
+          var nextIdx = 0
           partsBySub.zipWithIndex.flatMap { case (ps, si) =>
-            ps.map(p => MorInputPartition(p, si))
+            val dvMap = planned(si)._3
+            if (dvMap.isEmpty) ps.map(p => MorInputPartition(p, si, None))
+            else ps.toSeq.flatMap {
+              case fp: FilePartition =>
+                // split to one PartitionedFile per partition so each
+                // task binds exactly one sidecar; splits of one big
+                // file stay parallel (each carries the same sidecar)
+                fp.files.toSeq.map { f =>
+                  val key = f.filePath.toPath.toString
+                  val sidecar = dvMap.getOrElse(key,
+                    throw new IllegalStateException(
+                      s"no deletion-vector sidecar mapped for $key"))
+                  nextIdx += 1
+                  MorInputPartition(
+                    FilePartition(nextIdx - 1, Array(f)), si, Some(sidecar))
+                }
+              case p => throw new IllegalStateException(
+                s"DV'd sub-scan planned a non-file partition: $p")
+            }
           }.toArray
+        }
         override def createReaderFactory(): PartitionReaderFactory = {
           val factories = planned.map(_._1.createReaderFactory())
           // the scan is columnar only when EVERY sub-scan partition is
@@ -230,9 +266,8 @@ class MorScanBuilder(
               g.deferredKeys.map(d =>
                 (scanSchema.fieldIndex(d.column),
                   scanSchema(d.column).dataType, d.path)),
-              dv.map(_.sidecar),
-              dv.map(_ => scanSchema.fieldIndex(MorScan.RowIndexColumn))
-                .getOrElse(-1))
+              if (dv.isEmpty) -1
+              else scanSchema.fieldIndex(MorScan.RowIndexColumn))
           }
           new MorReaderFactory(specs.toArray,
             new _root_.graft.table.SerializableConf(
@@ -243,8 +278,11 @@ class MorScanBuilder(
   }
 }
 
-/** An input partition tagged with its sub-scan ordinal. */
-case class MorInputPartition(inner: InputPartition, group: Int)
+/** An input partition tagged with its sub-scan ordinal and, for DV'd
+  * partitions (single-file by construction), the deletion-vector
+  * sidecar its task resolves executor-side. */
+case class MorInputPartition(inner: InputPartition, group: Int,
+    dvSidecar: Option[String] = None)
   extends InputPartition {
   override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
@@ -252,17 +290,16 @@ case class MorInputPartition(inner: InputPartition, group: Int)
 /** Per-sub-scan reading spec: the inner factory, its scan schema, the
   * projection to the requested order, (ordinal, type, deleted values)
   * equality checks, oversized delete files loaded executor-side as
-  * (ordinal, type, path), and (positional sub-scans) the file's DV
-  * sidecar path plus the row-index column's ordinal — positions are
-  * resolved where the task runs, so the serialized spec is O(1) in
-  * accumulated delete state. */
+  * (ordinal, type, path), and (positional sub-scans) the row-index
+  * column's ordinal — the sidecar itself rides the PARTITION, and
+  * positions resolve where the task runs, so the serialized spec is
+  * O(1) in accumulated delete state. */
 case class MorGroupSpec(
     factory: PartitionReaderFactory,
     scanSchema: StructType,
     perm: Array[Int],
     keyChecks: Seq[(Int, DataType, Set[Any])],
     deferredChecks: Seq[(Int, DataType, String)] = Nil,
-    dvSidecar: Option[String] = None,
     rowIdxOrd: Int = -1)
 
 class MorReaderFactory(specs: Array[MorGroupSpec],
@@ -273,15 +310,16 @@ class MorReaderFactory(specs: Array[MorGroupSpec],
   override def supportColumnarReads(partition: InputPartition): Boolean =
     columnar
 
-  /** resolve a spec's delete state — on the executor, per task, served
-    * from the JVM-local immutable-sidecar caches */
-  private def resolve(s: MorGroupSpec)
+  /** resolve a task's delete state — on the executor, served from the
+    * JVM-local immutable-sidecar caches; the DV sidecar comes from the
+    * PARTITION (single-file by construction) */
+  private def resolve(s: MorGroupSpec, mp: MorInputPartition)
       : (Seq[(Int, DataType, Set[Any])], Array[Long]) = {
     val checks = s.keyChecks ++ s.deferredChecks.map { case (ord, dt, path) =>
       (ord, dt, _root_.graft.table.EqKeyStore.keys(path,
         s.scanSchema(ord).name, dt, conf.value))
     }
-    val positions = s.dvSidecar
+    val positions = mp.dvSidecar
       .map(p => _root_.graft.table.DvStore.positions(p, conf.value))
       .getOrElse(Array.empty[Long])
     (checks, positions)
@@ -294,7 +332,7 @@ class MorReaderFactory(specs: Array[MorGroupSpec],
     val r = s.factory.createReader(mp.inner)
     val proj = UnsafeProjection.create(s.perm.toIndexedSeq.map(i =>
       BoundReference(i, s.scanSchema(i).dataType, s.scanSchema(i).nullable)))
-    val (checks, positions) = resolve(s)
+    val (checks, positions) = resolve(s, mp)
     val rowIdxOrd = s.rowIdxOrd
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
@@ -324,7 +362,7 @@ class MorReaderFactory(specs: Array[MorGroupSpec],
     val mp = partition.asInstanceOf[MorInputPartition]
     val s = specs(mp.group)
     val inner = s.factory.createColumnarReader(mp.inner)
-    val (checks, positions) = resolve(s)
+    val (checks, positions) = resolve(s, mp)
     val rowIdxOrd = s.rowIdxOrd
     new PartitionReader[ColumnarBatch] {
       private var out: ColumnarBatch = _
