@@ -176,6 +176,52 @@ object Curation {
       .drop("__wsample_score")   // internal ranking key, not output
 
   /**
+   * DOMAIN-MIXTURE PLANNING: given per-source target weights for the
+   * training mix (summing to 1), compute the largest corpus budget the
+   * data can serve WITHOUT upsampling — `N = min_s(tokens_s / w_s)` —
+   * and each source's keep fraction `w_s·N / tokens_s` (1.0 for the
+   * binding source, < 1 for over-represented ones). One aggregate over
+   * the corpus; the plan itself is #sources rows, so the global min
+   * via an unpartitioned window costs nothing. Fractions round to 6
+   * decimals — the hash-filter's own granularity. Sources without a
+   * target weight are excluded (weight-0 semantics).
+   */
+  def mixturePlan(df: DataFrame, sourceCol: String, tokens: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty &&
+      math.abs(targets.values.sum - 1.0) < 1e-9,
+      "mixture target weights must sum to 1")
+    import org.apache.spark.sql.expressions.Window
+    df.groupBy(col(sourceCol)).agg(sum(tokens).as("tokens_total"))
+      .withColumn("weight",
+        element_at(typedLit(targets), col(sourceCol)))
+      .filter(col("weight").isNotNull)
+      .withColumn("corpus_budget",
+        min(col("tokens_total") / col("weight"))
+          .over(Window.partitionBy()))
+      .withColumn("keep_fraction",
+        round(col("weight") * col("corpus_budget") / col("tokens_total"), 6))
+      .withColumn("sampled_tokens_est",
+        (col("keep_fraction") * col("tokens_total")).cast(LongType))
+      .select(col(sourceCol), col("tokens_total"), col("weight"),
+        col("keep_fraction"), col("sampled_tokens_est"))
+  }
+
+  /** Execute a [[mixturePlan]]: deterministic hash-filter each source
+    * at its planned keep fraction (the [[stratifiedSample]] machinery
+    * with data-derived rates). The plan is #sources rows — broadcast;
+    * the corpus pass stays one narrow filter. */
+  def sampleToMixture(df: DataFrame, sourceCol: String, key: Column,
+      tokens: Column, targets: Map[String, Double],
+      salt: String = "mixture"): DataFrame = {
+    val plan = mixturePlan(df, sourceCol, tokens, targets)
+      .select(col(sourceCol), col("keep_fraction"))
+    df.join(broadcast(plan), Seq(sourceCol))
+      .filter(hashFraction(key, salt) < col("keep_fraction"))
+      .drop("keep_fraction")
+  }
+
+  /**
    * Split documents into fixed-size token chunks with overlap — the
    * standard pre-training / retrieval chunking pass. Chunk i covers
    * tokens [i·stride, i·stride + chunkTokens) with

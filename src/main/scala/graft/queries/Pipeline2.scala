@@ -129,6 +129,67 @@ object Pipeline2 {
                  WHEN lang = 'de' THEN 0.25 ELSE 0.1 END
       GROUP BY lang ORDER BY lang""")),
 
+    // Domain-mixture planning + execution: the largest corpus budget
+    // the data serves WITHOUT upsampling (N = min tokens_s/w_s), each
+    // source's keep fraction, then the deterministic hash-filter
+    // sample at those data-derived rates. The oracle re-derives the
+    // same plan arithmetic and the same md5 fractions, so both the
+    // PLAN and the sampled multiset are value-checked.
+    Q("mixture_plan", fn = (s, dir) =>
+      Curation.mixturePlan(Td.documents(s, dir), "source",
+          TextFunctions.tokenCount(col("text")),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .orderBy(col("source")),
+      oracle = Some("""
+      WITH t AS (
+        SELECT source,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '')) AS BIGINT) AS nt
+        FROM documents),
+      tot AS (SELECT source, SUM(nt) AS tokens_total FROM t GROUP BY source),
+      plan AS (
+        SELECT source, tokens_total,
+               CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                           WHEN 'src2' THEN 0.2 END AS DOUBLE) AS weight
+        FROM tot WHERE source IN ('src0','src1','src2')),
+      budget AS (SELECT min(tokens_total / weight) AS n FROM plan)
+      SELECT p.source, CAST(p.tokens_total AS BIGINT) AS tokens_total,
+             p.weight,
+             round(p.weight * b.n / p.tokens_total, 6) AS keep_fraction,
+             CAST(floor(round(p.weight * b.n / p.tokens_total, 6)
+                  * p.tokens_total) AS BIGINT) AS sampled_tokens_est
+      FROM plan p, budget b ORDER BY p.source""")),
+
+    Q("sample_to_mixture", fn = (s, dir) =>
+      Curation.sampleToMixture(Td.documents(s, dir), "source",
+          col("doc_id"), TextFunctions.tokenCount(col("text")),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("source")),
+      oracle = Some(s"""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                 x -> x <> '')) AS BIGINT) AS nt
+        FROM documents),
+      tot AS (SELECT source, SUM(nt) AS tokens_total FROM t GROUP BY source),
+      plan AS (
+        SELECT source, tokens_total,
+               CAST(CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                           WHEN 'src2' THEN 0.2 END AS DOUBLE) AS weight
+        FROM tot WHERE source IN ('src0','src1','src2')),
+      budget AS (SELECT min(tokens_total / weight) AS n FROM plan),
+      frac AS (
+        SELECT p.source,
+               round(p.weight * b.n / p.tokens_total, 6) AS keep_fraction
+        FROM plan p, budget b)
+      SELECT t.source, count(*) AS n_docs, CAST(sum(t.nt) AS BIGINT) AS n_tokens
+      FROM t JOIN frac f ON f.source = t.source
+      WHERE ${duckHash("doc_id", "mixture")} < f.keep_fraction
+      GROUP BY t.source ORDER BY t.source""")),
+
     // Hash-range train/val/test split: disjoint, exhaustive, stable as
     // the corpus grows (a doc never migrates between splits).
     Q("split_train_test", fn = (s, dir) =>
