@@ -176,6 +176,53 @@ object Curation {
       .drop("__wsample_score")   // internal ranking key, not output
 
   /**
+   * CCNet-shaped LM QUALITY SCORE: a bigram language model with add-k
+   * smoothing, trained on the corpus ITSELF, scores every document by
+   * its average per-token log-probability (self-perplexity). Documents
+   * far below the corpus mean read as boilerplate/garbled text; far
+   * above as degenerate repetition — the standard perplexity-bucket
+   * quality filter, here without an external KenLM artifact.
+   *
+   * 100 TB shape: the model IS two hash aggregates (bigram and
+   * bigram-head counts) and one scalar (vocabulary size); scoring
+   * joins each document bigram against the count tables keyed BY
+   * BIGRAM — uniformly distributed, no broadcast of an unbounded
+   * vocabulary, document text through exactly one explode. Per-bigram
+   * contributions quantize to integer micro-units BEFORE the per-doc
+   * sum ([[graft.operators.Retrieval]]'s BM25 trick), so scores are
+   * partition-order-independent and replayable exactly.
+   */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", alpha: Double = 0.1): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("w"))
+    val vocab = toks.select(explode(col("w")).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    val bigrams = toks.filter(size(col("w")) >= 2)
+      .select(Seq(col(idCol), col("w"),
+        posexplode(col("w")).as(Seq("i", "prev"))): _*)
+      .filter(col("i") < size(col("w")) - 1)
+      .select(col(idCol), col("prev"),
+        element_at(col("w"), col("i") + 2).as("cur"))
+    val cbi = bigrams.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_bi"))
+    val chead = bigrams.groupBy(col("prev"))
+      .agg(count(lit(1)).as("c_head"))
+    bigrams
+      .join(cbi, Seq("prev", "cur"))
+      .join(chead, Seq("prev"))
+      .select(col(idCol),
+        round(log((col("c_bi") + lit(alpha)) /
+          (col("c_head") + lit(alpha * vocab))) * lit(1e6), 0)
+          .cast(LongType).as("ci"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("ci")) / count(lit(1))).cast(LongType)
+          .as("avg_logprob_micro"))
+  }
+
+  /**
    * DOMAIN-MIXTURE PLANNING: given per-source target weights for the
    * training mix (summing to 1), compute the largest corpus budget the
    * data can serve WITHOUT upsampling — `N = min_s(tokens_s / w_s)` —

@@ -190,6 +190,38 @@ object Pipeline2 {
       WHERE ${duckHash("doc_id", "mixture")} < f.keep_fraction
       GROUP BY t.source ORDER BY t.source""")),
 
+    // CCNet-shaped self-perplexity: an add-k bigram LM trained on the
+    // corpus itself scores each doc's average token log-prob. The
+    // oracle retrains the identical model in SQL and replays the
+    // micro-unit quantization, so model AND scores are value-checked.
+    Q("text_lm_score", fn = (s, dir) =>
+      Curation.lmScore(Td.documents(s, dir))
+        .orderBy(col("doc_id")),
+      oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '') AS w
+        FROM documents),
+      v AS (SELECT count(DISTINCT t) AS nv
+            FROM (SELECT unnest(w) AS t FROM toks)),
+      big AS (
+        SELECT doc_id, unnest(
+          [{'prev': w[i], 'cur': w[i+1]} for i in generate_series(1, len(w) - 1)],
+          recursive := true)
+        FROM toks WHERE len(w) >= 2),
+      cbi AS (SELECT prev, cur, count(*) AS c_bi FROM big GROUP BY prev, cur),
+      chead AS (SELECT prev, count(*) AS c_head FROM big GROUP BY prev),
+      scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln((cbi.c_bi + 0.1) / (chead.c_head + 0.1 * v.nv))
+                    * 1e6, 0) AS BIGINT) AS ci
+        FROM big b JOIN cbi USING (prev, cur) JOIN chead USING (prev)
+        CROSS JOIN v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(floor(sum(ci) * 1.0 / count(*)) AS BIGINT) AS avg_logprob_micro
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     // Hash-range train/val/test split: disjoint, exhaustive, stable as
     // the corpus grows (a doc never migrates between splits).
     Q("split_train_test", fn = (s, dir) =>

@@ -188,6 +188,37 @@ class CurationSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("mixturePlan: binding source keeps 1.0; fractions hit the target mix") {
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L),            // a: 200 tokens
+      ("b", 3L, 300L), ("b", 4L, 300L),            // b: 600 tokens
+      ("c", 5L, 999L)).toDF("source", "doc_id", "nt")
+    val plan = Curation.mixturePlan(docs, "source", col("nt"),
+        Map("a" -> 0.5, "b" -> 0.5))
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // budget N = min(200/0.5, 600/0.5) = 400 → a keeps 1.0, b keeps
+    // 0.5*400/600 = 1/3; untargeted c is absent
+    assert(plan.keySet === Set("a", "b"))
+    assert(plan("a")._4 === 1.0)
+    assert(plan("b")._4 === 0.333333)
+    assert(plan("a")._5 === 200L && plan("b")._5 === 199L)
+  }
+
+  test("lmScore: corpus-frequent continuations score above junk bigrams") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the mat"),
+      (4L, "zq xv qqj lkw pzt mnb")).toDF("doc_id", "text")
+    val s = Curation.lmScore(docs).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    // docs 1-3 share almost every bigram; doc 4's are all singletons
+    // over a different head distribution — strictly less probable
+    assert(s(1L) > s(4L) && s(3L) === s(1L))
+    assert(s(2L) < s(1L))          // one rare continuation ("the rug")
+  }
+
   test("tokenCount parity: packContiguous uses the oracle's token definition") {
     val docs = Seq(("s", 1L, "  hello   world  "), ("s", 2L, "")).toDF("source", "doc_id", "text")
     val out = Curation.packContiguous(docs, 512, col("source"), col("doc_id"),
