@@ -83,6 +83,10 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+FAST[\s-]?FORWARD\s+(?:BRANCH\s+)?([`\w-]+)\s*;?\s*""".r
   private val ShowBranchesRe =
     """(?is)\s*SHOW\s+BRANCHES\s+(?:IN\s+|FROM\s+)?([`\w.]+)\s*;?\s*""".r
+  private val TxnBlockRe =
+    """(?is)\s*BEGIN(?:\s+TRANSACTION)?\s*;(.*?);?\s*COMMIT\s*;?\s*""".r
+  private val ShowTxnsRe =
+    """(?is)\s*SHOW\s+TRANSACTIONS\s*;?\s*""".r
   private val AddConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+CONSTRAINT\s+([`\w]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
@@ -609,6 +613,14 @@ object GraftSql {
         val st = t.analyze(cols)
         Seq(s"ANALYZED $ns.$tbl v${st.analyzedVersion}: " +
           s"${st.rowCount} rows, ${st.cols.size} column(s)").toDF("result")
+      // BEGIN; <stmt>; ...; COMMIT — the text form of
+      // [[transaction]]: every statement's effect flips live through
+      // one marker commit, or none does
+      case TxnBlockRe(body) =>
+        transaction(cat, splitTopLevel(body, ';')
+          .map(_.trim).filter(_.nonEmpty))
+      case ShowTxnsRe() =>
+        cat.listTransactions()
       case ShowBranchesRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)

@@ -74,6 +74,25 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
   def beginTransaction(): GraftTxn =
     GraftTxn.begin(spark, new Path(warehouse, "_txns"))
 
+  /** Every decided transaction marker under this warehouse: id,
+    * terminal state, decision time (the SHOW TRANSACTIONS surface;
+    * in-flight transactions have no marker yet, by design). */
+  def listTransactions(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val txnDir = new Path(warehouse, "_txns")
+    val conf = spark.sessionState.newHadoopConf()
+    val rows =
+      if (!fs.exists(txnDir)) Nil
+      else fs.listStatus(txnDir).filter(_.isFile).toSeq.map { st =>
+        val qualified = fs.makeQualified(st.getPath).toString
+        (st.getPath.getName.stripSuffix(".txn"),
+          TxLog.txnState(qualified, conf).getOrElse("UNREADABLE"),
+          new java.sql.Timestamp(st.getModificationTime))
+      }
+    rows.sortBy(_._3.getTime).reverse
+      .toDF("txn_id", "state", "decided_at")
+  }
+
   /** Reap transaction markers no READABLE header still references.
     * A marker must outlive every header carrying its path (resolution
     * reads it on every serve of that header), so the reference walk

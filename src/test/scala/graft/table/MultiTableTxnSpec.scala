@@ -248,6 +248,24 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(only2.toDF.count() === 27)
   }
 
+  test("BEGIN;...;COMMIT text block runs as one transaction; SHOW TRANSACTIONS lists it") {
+    val cat = freshCatalog("txn_block")
+    val a = seeded(cat, "a", 30, seed = 45L)
+    val b = seeded(cat, "b", 30, seed = 46L)
+    val res = GraftSql.sql(cat, """
+      BEGIN;
+      INSERT INTO txn.a SELECT * FROM txn.b WHERE risk_score = 'LOW';
+      DELETE FROM txn.b WHERE risk_score = 'LOW';
+      COMMIT""")
+    assert(res.columns.toSeq === Seq("table", "version"))
+    val lowB = 30 - b.toDF.count()
+    assert(a.toDF.count() === 30 + lowB && lowB > 0)
+    val txns = cat.listTransactions().collect()
+    assert(txns.length === 1 && txns.head.getString(1) === "COMMITTED")
+    // and through SQL
+    assert(GraftSql.sql(cat, "SHOW TRANSACTIONS").count() === 1)
+  }
+
   test("marker GC reaps only markers no readable header references") {
     val cat = freshCatalog("txn_gc")
     val a = seeded(cat, "a", 20, seed = 38L)
