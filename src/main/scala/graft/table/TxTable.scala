@@ -1633,8 +1633,17 @@ class TxTable private (
   private def commitRewrite(base: Snapshot, op: String,
       replaced: Seq[DataFile], newFiles: Seq[DataFile],
       changeFiles: Seq[String] = Nil,
-      pendingTxn: Option[String] = None): Long = {
+      pendingTxn: Option[String] = None,
+      /** MERGE's extra rebase condition: no files ADDED since base in
+        * these partitions — a concurrent append into a touched
+        * partition could carry the batch's keys, and rebasing past it
+        * would duplicate them. None (DELETE/UPDATE) = appends anywhere
+        * are fine. */
+      noNewFilesIn: Option[Set[Map[String, String]]] = None,
+      /** idempotent-writer fence + watermark update (MERGE's txn) */
+      txn: Option[(String, Long)] = None): Long = {
     val replacedPaths = replaced.map(_.path).toSet
+    val basePaths = base.files.map(_.path).toSet
     def dvSig(s: Snapshot) = s.deletionVectors
       .filter(d => replacedPaths.contains(d.dataFile))
       .map(d => (d.dataFile, d.path)).sorted
@@ -1644,21 +1653,33 @@ class TxTable private (
     var tries = 0
     while (true) {
       val cur = if (expected == base.version) base else snapshotAt(expected)
+      if (txn.exists { case (a, v) => cur.appTxns.get(a).exists(_ >= v) }) {
+        deleteDataFiles(newFiles.map(_.path))
+        return cur.version
+      }
       if (expected != base.version) {
         val curPaths = cur.files.map(_.path).toSet
         val untouched = replacedPaths.forall(curPaths.contains) &&
           dvSig(cur) == baseDvSig &&
-          cur.equalityDeletes.map(_.path) == baseEqSig
+          cur.equalityDeletes.map(_.path) == baseEqSig &&
+          noNewFilesIn.forall { touched =>
+            cur.files.forall(f => basePaths.contains(f.path) ||
+              !touched.contains(f.partitionValues))
+          }
         if (!untouched) throw new CommitConflictException(
           s"$op of $name rebased onto v$expected, but a concurrent " +
-            "commit touched its input files (rewrite, new deletion " +
-            "vectors, or new equality deletes) — re-read and retry")
+            "commit touched its input files or partitions (rewrite, new " +
+            "deletion vectors/equality deletes, or new files in a merged " +
+            "partition) — re-read and retry")
       }
+      val txns = txn.map { case (a, v) =>
+        cur.appTxns + (a -> math.max(v, cur.appTxns.getOrElse(a, Long.MinValue)))
+      }.orNull
       try {
         return commit(Some(expected), op, schemaOf(cur),
           cur.partitionColumns,
           cur.files.filterNot(f => replacedPaths.contains(f.path)) ++ newFiles,
-          changeFiles = changeFiles, pendingTxn = pendingTxn)
+          appTxns = txns, changeFiles = changeFiles, pendingTxn = pendingTxn)
       } catch {
         case e: CommitConflictException =>
           if (tries >= 10) throw e
@@ -2352,10 +2373,19 @@ class TxTable private (
     // silently drop its rows). Conflicts surface to the caller, who
     // re-reads and re-merges — serializable upsert semantics. The
     // streaming ingest path is single-writer, so this never fires there.
+    // With key-stable partitions the rewrite REBASES like DELETE/UPDATE
+    // (commitRewrite), with one extra guard: no concurrent files in the
+    // touched partitions (they could carry the batch's keys). Disjoint
+    // concurrent merges — the multi-stream ingest shape — then compose.
     pendingTxn => {
-      val v = commit(Some(s.version), "MERGE", schema, parts,
-        keptFiles ++ newFiles, appTxns = txns, changeFiles = cdfFiles,
-        pendingTxn = pendingTxn)
+      val v =
+        if (keyStablePartitions)
+          commitRewrite(s, "MERGE", affectedFiles, newFiles,
+            changeFiles = cdfFiles, pendingTxn = pendingTxn,
+            noNewFilesIn = Some(touched), txn = txn)
+        else commit(Some(s.version), "MERGE", schema, parts,
+          keptFiles ++ newFiles, appTxns = txns, changeFiles = cdfFiles,
+          pendingTxn = pendingTxn)
       if (pendingTxn.isEmpty) maybeAutoCompact(touched)
       v
     }

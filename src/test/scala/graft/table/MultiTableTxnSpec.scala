@@ -282,6 +282,38 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(a.toDF.count() === 30)
   }
 
+  test("protocol fuzz: random crash/abort/commit interleavings conserve data") {
+    val cat = freshCatalog("txn_fuzz")
+    val a = seeded(cat, "a", 10, seed = 90L)
+    val b = cat.createTable("txn", "b", Schemas.transactions, Nil)
+    var expectedA = 10L
+    var expectedB = 0L
+    val rnd = new scala.util.Random(7)   // deterministic interleavings
+    (1 to 10).foreach { i =>
+      val batch = SampleData.transactions(spark, 3, seed = 200L + i)
+      val txn = cat.beginTransaction().append(a, batch).append(b, batch)
+      rnd.nextInt(5) match {
+        case 0 | 1 =>
+          txn.commit(); expectedA += 3; expectedB += 3
+        case 2 =>                         // clean abort after publish
+          txn.publishPending(); txn.abort()
+        case 3 =>                         // coordinator crash mid-flight
+          txn.publishPending()
+        case 4 =>                         // crash + a racing writer
+          txn.publishPending()
+          a.append(SampleData.transactions(spark, 2, seed = 300L + i))
+          expectedA += 2
+      }
+      // the invariant, after EVERY step: exactly the committed data,
+      // nothing from undecided or aborted attempts
+      assert(a.toDF.count() === expectedA, s"table a after step $i")
+      assert(b.toDF.count() === expectedB, s"table b after step $i")
+    }
+    // the whole chain stays readable (aborted versions resolve cleanly)
+    (0L to a.currentVersion).foreach(v => a.asOf(v).count())
+    (0L to b.currentVersion).foreach(v => b.asOf(v).count())
+  }
+
   test("explicit abort before publish leaves no trace in any table") {
     val cat = freshCatalog("txn_early_abort")
     val a = seeded(cat, "a", 20, seed = 22L)

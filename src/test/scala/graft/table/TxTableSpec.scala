@@ -2230,6 +2230,39 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.count() === 80 - n1 - n2)
   }
 
+  test("concurrent MERGEs on disjoint partitions both commit; same-partition append conflicts") {
+    val anchor = 1754988000000L
+    val t = TxTable.create(spark, new Path(freshDir("tx_ws_merge")), "t",
+      Schemas.transactions, Seq("date"))
+    val day1 = SampleData.transactions(spark, 30, seed = 44L, anchorMs = anchor)
+    val day2 = SampleData.transactions(spark, 30, seed = 45L,
+      anchorMs = anchor + 86400000L)
+    t.append(day1); t.append(day2)
+    // writer 1 stages a day-1 upsert; writer 2 merges day-2 first —
+    // disjoint partitions, writer 1 rebases and BOTH land
+    val mods1 = day1.orderBy("transaction_id").limit(10)
+      .withColumn("amount", lit(111.11).cast(
+        org.apache.spark.sql.types.DecimalType(12, 2)))
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+    val commit1 = t.stageMerge(mods1, "transaction_id", "processing_timestamp")
+    val mods2 = day2.orderBy("transaction_id").limit(10)
+      .withColumn("amount", lit(222.22).cast(
+        org.apache.spark.sql.types.DecimalType(12, 2)))
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+    t.merge(mods2, "transaction_id", "processing_timestamp")
+    commit1(None)
+    assert(t.snapshot.operation === "MERGE")
+    assert(t.toDF.count() === 60)
+    assert(t.toDF.filter(col("amount") === 111.11).count() === 10)
+    assert(t.toDF.filter(col("amount") === 222.22).count() === 10)
+    // a concurrent APPEND into a merged partition could duplicate the
+    // batch's keys — that rebase must refuse
+    val commitStale = t.stageMerge(mods1, "transaction_id", "processing_timestamp")
+    t.append(day1.orderBy("transaction_id").limit(3)
+      .withColumn("transaction_id", concat(col("transaction_id"), lit("_x"))))
+    intercept[CommitConflictException](commitStale(None))
+  }
+
   test("DELETE still conflicts when a concurrent commit rewrote its inputs") {
     val t = TxTable.create(spark, new Path(freshDir("tx_ws_conflict")), "t",
       Schemas.transactions, Seq("date"))
