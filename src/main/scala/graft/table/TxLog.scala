@@ -266,9 +266,31 @@ object TxLog {
   def expire(logDir: Path, keepFrom: Long, protect: Set[Long],
       conf: Configuration): Int = {
     val f = fs(logDir, conf)
+    // A retained header whose txn ABORTED serves its PARENT's content
+    // at read time (resolution walks to the first non-aborted
+    // ancestor) — those ancestors must outlive it even below the
+    // horizon, or the retained version becomes unreadable. Undecided
+    // markers count as abort-shaped here: keeping the parent is safe
+    // either way.
+    val txnParents = scala.collection.mutable.Set.empty[Long]
+    val retained = currentVersion(logDir, conf)
+      .map(head => (keepFrom to head) ++ protect.filter(_ < keepFrom))
+      .getOrElse(protect.toSeq)
+    retained.foreach { v =>
+      try {
+        var pv = v
+        var s = readStored(logDir, pv, conf)
+        while (pv > 0 && s.pendingTxn.exists(m =>
+            txnState(m, conf).forall(_ != TxnCommitted))) {
+          pv -= 1
+          txnParents += pv
+          s = readStored(logDir, pv, conf)
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
+    }
     var removed = 0
     (0L until keepFrom).foreach { v =>
-      if (!protect.contains(v)) {
+      if (!protect.contains(v) && !txnParents.contains(v)) {
         val p = new Path(logDir, snapshotName(v))
         if (f.exists(p) && f.delete(p, false)) removed += 1
         // expired headers must fail reads — drop the parsed copy too

@@ -282,6 +282,21 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(a.toDF.count() === 30)
   }
 
+  test("expire protects the parents aborted-txn headers resolve to") {
+    val cat = freshCatalog("txn_expire")
+    val a = seeded(cat, "a", 20, seed = 47L)             // v1: 20 rows
+    val txn = cat.beginTransaction()
+      .append(a, SampleData.transactions(spark, 5, seed = 49L))
+    txn.publishPending()
+    txn.abort()                                          // v2: ABORTED_TXN
+    a.append(SampleData.transactions(spark, 5, seed = 51L))  // v3
+    // keep v2..head — v2 (aborted) serves v1's CONTENT, so v1's header
+    // must survive the expiration of everything below the horizon
+    assert(a.expireSnapshots(retainVersions = 2) >= 0)
+    assert(a.asOf(2).count() === 20)                     // still readable
+    assert(a.toDF.count() === 25)
+  }
+
   test("protocol fuzz: random crash/abort/commit interleavings conserve data") {
     val cat = freshCatalog("txn_fuzz")
     val a = seeded(cat, "a", 10, seed = 90L)
