@@ -109,7 +109,7 @@ object StreamingIngest {
         .append(audit, batch, txn = fence)
         .commit()
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           batch.write.mode("append").json(s"$errorsDir/batch=$batchId")
           org.slf4j.LoggerFactory.getLogger(getClass)
             .error(s"fan-out batch $batchId failed, wrote to DLQ: ${e.getMessage}")
@@ -132,7 +132,7 @@ object StreamingIngest {
         txn = streamAppId.map(app => (app, batchId)),
         deleteCol = deleteCol)
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           // DLQ: reject path mirrors Firehose's errors/ prefix — keep the
           // batch replayable, then rethrow nothing (stream keeps going).
           batch.write.mode("append").json(s"$errorsDir/batch=$batchId")

@@ -171,7 +171,23 @@ object GraftSql {
     clone
   }
 
+  private val SessionSetRe = """(?is)\s*(?:SET|RESET)\b.*""".r
+  private val CreateTempViewRe =
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+([`\w]+)\b.*""".r
+  private val DropBareViewRe =
+    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([`\w]+)\s*;?\s*""".r
+
   private def nativeSql(cat: TableCatalog, text: String): DataFrame = {
+    // session-MUTATING statements must not run on the routing clone
+    // (their effect would vanish with it): SET/RESET and single-part
+    // DROP VIEW (temp views live in the real session) need no catalog
+    // routing at all; CREATE TEMP VIEW runs on the clone so `ns.tbl`
+    // references resolve, then the registered view copies back.
+    text match {
+      case SessionSetRe() => return cat.spark.sql(text)
+      case DropBareViewRe(_) => return cat.spark.sql(text)
+      case _ => ()
+    }
     val spark = sessionFor(cat)
     // stored-view substitution: splice each view's PARSED definition
     // under its reference (plan-level, never text rewriting) — the
@@ -181,11 +197,18 @@ object GraftSql {
     val plan =
       try bridge.parsePlan(spark, text)
       catch { case _: Exception => null }   // non-plan statements (SET …)
-    if (plan == null) spark.sql(text)
-    else {
-      val sub = substituteViews(cat, plan, depth = 0)
-      if (sub eq plan) spark.sql(text) else bridge.ofRows(spark, sub)
+    val result =
+      if (plan == null) spark.sql(text)
+      else {
+        val sub = substituteViews(cat, plan, depth = 0)
+        if (sub eq plan) spark.sql(text) else bridge.ofRows(spark, sub)
+      }
+    text match {
+      case CreateTempViewRe(name) =>
+        bridge.copyTempView(spark, cat.spark, cleanIdent(name))
+      case _ => ()
     }
+    result
   }
 
   /** Replace references to stored views (`ns.v`, or catalog-qualified
@@ -334,7 +357,13 @@ object GraftSql {
             query, schema, replace = true)
           Seq(s"CREATED VIEW $ns.$v").toDF("result")
         }
-      case DropViewRe(ifExists, rawName) =>
+      case DropViewRe(ifExists, rawName)
+          // a TEMP view shadows a stored view of the same bare name
+          // (Spark's own precedence) — its drop belongs to the real
+          // session, not the stored-view registry
+          if !(rawName != null && !rawName.contains(".") &&
+            spark.sessionState.catalog
+              .getRawTempView(cleanIdent(rawName)).isDefined) =>
         val (ns, v) = splitName(rawName)
         val existed = graft.catalog.GraftViews.drop(spark, cat.warehouse,
           org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), v))

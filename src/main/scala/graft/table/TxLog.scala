@@ -269,16 +269,16 @@ object TxLog {
     // A retained header whose txn ABORTED serves its PARENT's content
     // at read time (resolution walks to the first non-aborted
     // ancestor) — those ancestors must outlive it even below the
-    // horizon, or the retained version becomes unreadable. Undecided
-    // markers count as abort-shaped here: keeping the parent is safe
-    // either way.
+    // horizon, or the retained version becomes unreadable. Only a run
+    // of abort-shaped headers STARTING AT a retention boundary can
+    // have ancestors below it (an aborted header higher up resolves to
+    // a parent that is itself retained), so the walk costs O(run
+    // length) header reads, not O(head). Undecided markers count as
+    // abort-shaped: keeping the parent is safe either way.
     val txnParents = scala.collection.mutable.Set.empty[Long]
-    val retained = currentVersion(logDir, conf)
-      .map(head => (keepFrom to head) ++ protect.filter(_ < keepFrom))
-      .getOrElse(protect.toSeq)
-    retained.foreach { v =>
+    def protectAncestorsOf(start: Long): Unit = {
       try {
-        var pv = v
+        var pv = start
         var s = readStored(logDir, pv, conf)
         while (pv > 0 && s.pendingTxn.exists(m =>
             txnState(m, conf).forall(_ != TxnCommitted))) {
@@ -288,6 +288,8 @@ object TxLog {
         }
       } catch { case _: java.io.FileNotFoundException => () }
     }
+    protectAncestorsOf(keepFrom)
+    protect.filter(_ < keepFrom).foreach(protectAncestorsOf)
     var removed = 0
     (0L until keepFrom).foreach { v =>
       if (!protect.contains(v) && !txnParents.contains(v)) {
@@ -612,6 +614,18 @@ object TxLog {
     val f = fs(logDir, conf)
     val target = new Path(logDir, chunkName(from, to))
     if (f.exists(target)) return
+    // an UNDECIDED pending-txn header in the range must not be
+    // resolved here: readRaw's resolution would wait out the marker
+    // and then FORCE-ABORT it — and when the pending header is the one
+    // the current commit just published (a publish landing exactly on
+    // a chunk boundary), that aborts the committer's own transaction.
+    // Chunks are best-effort; skip and let a later boundary (or
+    // backfill) cover the range once the marker is terminal.
+    (from to to).foreach { v =>
+      val stored = readStored(logDir, v, conf)
+      if (stored.pendingTxn.exists(m => txnState(m, conf).isEmpty))
+        return
+    }
     val entries = (from to to).map { v =>
       val raw = readRaw(logDir, v, conf)
       CommitIndexEntry(v, raw.timestampMs, raw.operation,

@@ -666,26 +666,32 @@ class TxTable private (
     // branch's fork point simply don't appear — history covers what
     // the chain can still read
     val floor = TxLog.minVersion(logDir, conf).getOrElse(0L)
-    val snaps = (floor to currentVersion).flatMap { v =>
-      try Some(snapshotAt(v))
-      catch { case _: java.io.FileNotFoundException => None }
-    }
     // per-commit operation metrics (the Delta operationMetrics shape),
-    // derived from consecutive snapshots — no log-format change, so
-    // they work retroactively on any existing table
-    snaps.zipWithIndex.map { case (s, i) =>
-      val rows = if (s.files.forall(_.rowCount >= 0))
-        s.files.map(_.rowCount).sum else -1L
-      val prevFiles = if (i == 0) Nil else snaps(i - 1).files
-      val prevPaths = prevFiles.map(_.path).toSet
-      val curPaths = s.files.map(_.path).toSet
-      val addedF = s.files.filterNot(f => prevPaths.contains(f.path))
-      val removedF = prevFiles.filterNot(f => curPaths.contains(f.path))
-      (s.version, s.operation, new java.sql.Timestamp(s.timestampMs),
-        s.files.size, rows, s.files.map(_.sizeBytes).sum,
-        addedF.size, removedF.size,
-        addedF.map(_.rowCount).sum, removedF.map(_.rowCount).sum,
-        addedF.map(_.sizeBytes).sum, removedF.map(_.sizeBytes).sum)
+    // derived from CONSECUTIVE snapshots — no log-format change, so
+    // they work retroactively on any existing table. Only one parent's
+    // file list is held alongside the current version (a table with
+    // many retained commits must not materialize every snapshot's
+    // resolved file list at once); unknown row counts (add_files
+    // imports record -1) surface as the same -1 sentinel n_rows uses.
+    var prevFiles: Seq[DataFile] = Nil
+    def rowsOf(fs: Seq[DataFile]): Long =
+      if (fs.forall(_.rowCount >= 0)) fs.map(_.rowCount).sum else -1L
+    (floor to currentVersion).flatMap { v =>
+      try {
+        val s = snapshotAt(v)
+        val prevPaths = prevFiles.map(_.path).toSet
+        val curPaths = s.files.map(_.path).toSet
+        val addedF = s.files.filterNot(f => prevPaths.contains(f.path))
+        val removedF = prevFiles.filterNot(f => curPaths.contains(f.path))
+        val row = (s.version, s.operation,
+          new java.sql.Timestamp(s.timestampMs),
+          s.files.size, rowsOf(s.files), s.files.map(_.sizeBytes).sum,
+          addedF.size, removedF.size,
+          rowsOf(addedF), rowsOf(removedF),
+          addedF.map(_.sizeBytes).sum, removedF.map(_.sizeBytes).sum)
+        prevFiles = s.files
+        Some(row)
+      } catch { case _: java.io.FileNotFoundException => None }
     }.reverse
       .toDF("version", "operation", "committed_at", "n_files", "n_rows",
         "total_bytes", "n_added_files", "n_removed_files", "added_rows",
@@ -2805,8 +2811,12 @@ class TxTable private (
       val n = cur.files.count(f => f.sizeBytes < small &&
         pv.forall { case (k, v) => f.partitionValues.get(k).contains(v) })
       if (n >= minFiles) {
+        // genuinely best-effort: the triggering write ALREADY committed,
+        // so no failure here (lost race, executor loss, analysis error)
+        // may surface as a failure of that write — the small files just
+        // wait for the next batch or a manual OPTIMIZE
         try compactSmallFiles(partitionFilter = pv, minInputFiles = minFiles)
-        catch { case _: CommitConflictException => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
   }

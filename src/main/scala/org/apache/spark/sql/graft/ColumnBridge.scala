@@ -31,6 +31,15 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .cloneSession()
 
+  /** Copy a LOCAL temp view registered in `from` into `to` — the
+    * per-statement-clone routing pattern: a CREATE TEMP VIEW executed
+    * on a routing clone must survive into the caller's real session. */
+  def copyTempView(from: SparkSession, to: SparkSession, name: String): Unit =
+    from.sessionState.catalog.getRawTempView(name).foreach { v =>
+      to.sessionState.catalog.createTempView(name, v,
+        overrideIfExists = true)
+    }
+
   /** Parse SQL text to an (unresolved) logical plan. */
   def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sql)

@@ -282,6 +282,35 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(a.toDF.count() === 30)
   }
 
+  test("a publish landing on an index-chunk boundary must not self-abort") {
+    val logDir = new Path(freshDir("txn_chunk"), "_log")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def snap(v: Long, pending: Option[String] = None) = Snapshot(
+      version = v, timestampMs = 1000L + v,
+      operation = if (v == 0) "CREATE" else "APPEND",
+      schemaJson = Schemas.transactions.json, partitionColumns = Nil,
+      files = Nil, pendingTxn = pending)
+    var expected: Option[Long] = None
+    (0L until TxLog.IndexChunkSize - 1).foreach { v =>
+      TxLog.commit(logDir, expected, snap(v), conf)
+      expected = Some(v)
+    }
+    val marker = new Path(freshDir("txn_chunk_m"), "m.txn")
+    val qual = marker.getFileSystem(conf).makeQualified(marker).toString
+    // version 255: (next+1) % 256 == 0 triggers the chunk write, which
+    // walks every header in range INCLUDING the pending one just
+    // published — it must skip, never wait out and force-abort the
+    // committer's own still-undecided transaction
+    TxLog.commit(logDir, expected,
+      snap(TxLog.IndexChunkSize - 1, Some(qual)), conf)
+    assert(TxLog.txnState(qual, conf).isEmpty,
+      "the chunk writer decided the publisher's own marker")
+    assert(TxLog.decideTxn(qual, TxLog.TxnCommitted, conf) ===
+      TxLog.TxnCommitted)
+    assert(TxLog.read(logDir, TxLog.IndexChunkSize - 1, conf)
+      .pendingTxn.isEmpty)
+  }
+
   test("expire protects the parents aborted-txn headers resolve to") {
     val cat = freshCatalog("txn_expire")
     val a = seeded(cat, "a", 20, seed = 47L)             // v1: 20 rows

@@ -2147,6 +2147,29 @@ class TxTableSpec extends SparkSpec {
     assert(TxLog.readRaw(logDir, 1L, conf).timestampMs === ts2)
   }
 
+  test("session-mutating SQL survives the per-statement routing clone") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_session_sql")))
+    val t = cat.createTable("analytics", "txns", Schemas.transactions, Seq("date"))
+    t.append(SampleData.transactions(spark, 12, seed = 61L))
+    // CREATE TEMP VIEW resolves ns.tbl on the routing clone but must
+    // register in the REAL session for the next statement to see it
+    GraftSql.sql(cat,
+      "CREATE OR REPLACE TEMPORARY VIEW hi_risk AS " +
+        "SELECT * FROM analytics.txns WHERE risk_score = 'HIGH'")
+    val expected = t.toDF.filter(col("risk_score") === "HIGH").count()
+    assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM hi_risk")
+      .head().getLong(0) === expected)
+    // SET applies to the real session, not a discarded clone
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      GraftSql.sql(cat, "SET spark.sql.shuffle.partitions=7")
+      assert(spark.conf.get("spark.sql.shuffle.partitions") === "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    GraftSql.sql(cat, "DROP VIEW hi_risk")
+    intercept[Exception](
+      GraftSql.sql(cat, "SELECT count(*) FROM hi_risk").collect())
+  }
+
   test("auto-compact bounds small files under a stream of tiny appends") {
     val t = TxTable.create(spark, new Path(freshDir("tx_autocompact")), "t",
       Schemas.transactions, Seq("date"),
