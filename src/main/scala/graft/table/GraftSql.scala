@@ -171,11 +171,15 @@ object GraftSql {
     clone
   }
 
-  private val SessionSetRe = """(?is)\s*(?:SET|RESET)\b.*""".r
+  private val SessionSetRe =
+    ("""(?is)\s*(?:SET|RESET|DECLARE""" +
+      """|ADD\s+(?:JARS?|FILES?|ARCHIVES?)""" +
+      """|DROP\s+TEMPORARY\s+(?:VARIABLE|FUNCTION)""" +
+      """|CREATE\s+(?:OR\s+REPLACE\s+)?TEMPORARY\s+FUNCTION)\b.*""").r
   private val CreateTempViewRe =
-    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+([`\w]+)\b.*""".r
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+(`[^`]+`|\w+).*""".r
   private val DropBareViewRe =
-    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([`\w]+)\s*;?\s*""".r
+    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*;?\s*""".r
 
   private def nativeSql(cat: TableCatalog, text: String): DataFrame = {
     // session-MUTATING statements must not run on the routing clone
@@ -677,7 +681,7 @@ object GraftSql {
         t.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString,
             f.nullable, parts.contains(f.name)))
           .toDF("col_name", "data_type", "nullable", "is_partition")
-      case _ => nativeSql(cat, text)
+      case _ => nativeSql(cat, stripped)
     }
   }
 

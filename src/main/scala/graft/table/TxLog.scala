@@ -609,22 +609,24 @@ object TxLog {
     loaded
   }
 
+  /** Returns true iff the chunk file now exists (written here or
+    * already present); false = range skipped for an undecided marker. */
   private def writeIndexChunk(logDir: Path, from: Long, to: Long,
-      conf: Configuration): Unit = {
+      conf: Configuration): Boolean = {
     val f = fs(logDir, conf)
     val target = new Path(logDir, chunkName(from, to))
-    if (f.exists(target)) return
+    if (f.exists(target)) return true
     // an UNDECIDED pending-txn header in the range must not be
     // resolved here: readRaw's resolution would wait out the marker
     // and then FORCE-ABORT it — and when the pending header is the one
     // the current commit just published (a publish landing exactly on
     // a chunk boundary), that aborts the committer's own transaction.
-    // Chunks are best-effort; skip and let a later boundary (or
-    // backfill) cover the range once the marker is terminal.
+    // Chunks are best-effort; skip — the NEXT boundary re-attempts the
+    // preceding range (see commit), and backfill covers older gaps.
     (from to to).foreach { v =>
       val stored = readStored(logDir, v, conf)
       if (stored.pendingTxn.exists(m => txnState(m, conf).isEmpty))
-        return
+        return false
     }
     val entries = (from to to).map { v =>
       val raw = readRaw(logDir, v, conf)
@@ -638,6 +640,7 @@ object TxLog {
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
     if (!f.rename(tmp, target)) f.delete(tmp, false)
     chunkCache.remove((logDir.toString, from))
+    f.exists(target)
   }
 
   /** Write any missing COMPLETE index chunks up to `head` — the
@@ -651,7 +654,7 @@ object TxLog {
     while (from + IndexChunkSize - 1 <= head) {
       val to = from + IndexChunkSize - 1
       if (!f.exists(new Path(logDir, chunkName(from, to))))
-        try { writeIndexChunk(logDir, from, to, conf); written += 1 }
+        try { if (writeIndexChunk(logDir, from, to, conf)) written += 1 }
         catch { case _: Exception => () }
       from += IndexChunkSize
     }
@@ -801,10 +804,18 @@ object TxLog {
     if (next == 0L) { purgeRawCache(logDir); dropIndexChunks(logDir, conf) }
     else rawCache.remove((logDir.toString, next))
     // completing an index-chunk range persists the chunk (best-effort:
-    // losing it only costs the raw-header fallback)
+    // losing it only costs the raw-header fallback). Also re-attempt the
+    // PRECEDING range — a range skipped for an undecided txn marker at
+    // its own boundary heals here once the marker is terminal (cost: one
+    // exists-probe when it was written normally)
     if ((next + 1) % IndexChunkSize == 0)
-      try writeIndexChunk(logDir, next - IndexChunkSize + 1, next, conf)
-      catch { case _: Exception => () }
+      try {
+        writeIndexChunk(logDir, next - IndexChunkSize + 1, next, conf)
+        val prevFrom = next - 2 * IndexChunkSize + 1
+        if (prevFrom >= 0)
+          writeIndexChunk(logDir, prevFrom,
+            prevFrom + IndexChunkSize - 1, conf)
+      } catch { case _: Exception => () }
     writeHint(f, logDir, next)
     next
   }

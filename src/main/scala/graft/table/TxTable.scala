@@ -2814,9 +2814,14 @@ class TxTable private (
         // genuinely best-effort: the triggering write ALREADY committed,
         // so no failure here (lost race, executor loss, analysis error)
         // may surface as a failure of that write — the small files just
-        // wait for the next batch or a manual OPTIMIZE
+        // wait for the next batch or a manual OPTIMIZE. Logged so a
+        // PERSISTENTLY failing maintenance loop is visible.
         try compactSmallFiles(partitionFilter = pv, minInputFiles = minFiles)
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"auto-compact of $name partition $pv skipped: ${e.getMessage}")
+        }
       }
     }
   }

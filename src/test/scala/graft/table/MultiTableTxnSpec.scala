@@ -309,6 +309,15 @@ class MultiTableTxnSpec extends SparkSpec {
       TxLog.TxnCommitted)
     assert(TxLog.read(logDir, TxLog.IndexChunkSize - 1, conf)
       .pendingTxn.isEmpty)
+    // the skipped 0-255 chunk HEALS at the next boundary, once the
+    // marker is terminal
+    val f = logDir.getFileSystem(conf)
+    val skipped = new Path(logDir, f"ci-${0L}%08d-${TxLog.IndexChunkSize - 1}%08d.index.json")
+    assert(!f.exists(skipped))
+    (TxLog.IndexChunkSize until 2 * TxLog.IndexChunkSize).foreach { v =>
+      TxLog.commit(logDir, Some(v - 1), snap(v), conf)
+    }
+    assert(f.exists(skipped), "next boundary did not heal the skipped chunk")
   }
 
   test("expire protects the parents aborted-txn headers resolve to") {
