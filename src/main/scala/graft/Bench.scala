@@ -66,7 +66,7 @@ object Bench {
     // stay comparable to every earlier round's bench)
     val pipelineNames = Seq("dedup_embedding_cosine", "ann_ivfpq",
       "decontaminate_bloom", "chunk_documents", "curation_pipeline",
-      "text_tfidf_topterms")
+      "text_tfidf_topterms", "dedup_lines_global", "text_lm_score")
     val pipeline = pipelineNames.flatMap { name =>
       fns.get(name).map { fn =>
         // same stable-min discipline as the headline set: run 1 absorbs
