@@ -56,7 +56,16 @@ object StreamingIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        mergeBatch(table, batch, batchId, errorsDir,
+        // the stream executes under its own CLONED session; tune that
+        // clone, not the user's session: every job in a micro-batch
+        // merge is a sub-second multi-stage plan where adaptive
+        // re-planning only adds per-stage submission latency (the
+        // batch's shuffles are too small for AQE to improve), so turn
+        // it off for the stream's merges and bind the table to the
+        // clone so its scans/writes plan there too
+        val ss = batch.sparkSession
+        ss.conf.set("spark.sql.adaptive.enabled", "false")
+        mergeBatch(table.withSession(ss), batch, batchId, errorsDir,
           streamAppId = Some(streamAppId.getOrElse(checkpointDir)),
           deleteCol = if (propagateDeletes) Some("_deleted") else None)
       }
@@ -126,19 +135,20 @@ object StreamingIngest {
       batchId: Long, errorsDir: String,
       streamAppId: Option[String] = None,
       deleteCol: Option[String] = None): Unit = {
-    if (!batch.isEmpty) {
-      try table.merge(batch, key = "transaction_id",
-        orderCol = "processing_timestamp",
-        txn = streamAppId.map(app => (app, batchId)),
-        deleteCol = deleteCol)
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          // DLQ: reject path mirrors Firehose's errors/ prefix — keep the
-          // batch replayable, then rethrow nothing (stream keeps going).
-          batch.write.mode("append").json(s"$errorsDir/batch=$batchId")
-          org.slf4j.LoggerFactory.getLogger(getClass)
-            .error(s"batch $batchId failed, wrote to DLQ: ${e.getMessage}")
-      }
+    // no isEmpty pre-check: that costs a limit-1 job through the whole
+    // decode pipeline per micro-batch; merge() itself detects an empty
+    // batch from its (cached) partition-count job and commits nothing
+    try table.merge(batch, key = "transaction_id",
+      orderCol = "processing_timestamp",
+      txn = streamAppId.map(app => (app, batchId)),
+      deleteCol = deleteCol)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        // DLQ: reject path mirrors Firehose's errors/ prefix — keep the
+        // batch replayable, then rethrow nothing (stream keeps going).
+        batch.write.mode("append").json(s"$errorsDir/batch=$batchId")
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .error(s"batch $batchId failed, wrote to DLQ: ${e.getMessage}")
     }
   }
 

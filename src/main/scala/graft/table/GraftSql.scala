@@ -87,6 +87,15 @@ object GraftSql {
     """(?is)\s*BEGIN(?:\s+TRANSACTION)?\s*;(.*?);?\s*COMMIT\s*;?\s*""".r
   private val ShowTxnsRe =
     """(?is)\s*SHOW\s+TRANSACTIONS\s*;?\s*""".r
+  // table-level access control (the LakeFormation-grant analog,
+  // kfs/stack/lakeformation.py:186-243): allow lists stored as table
+  // properties, enforced on this SQL surface per statement
+  private val GrantRe =
+    """(?is)\s*GRANT\s+(SELECT|INSERT|ALL)\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
+  private val RevokeRe =
+    """(?is)\s*REVOKE\s+(SELECT|INSERT|ALL)\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s+FROM\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
+  private val ShowGrantsRe =
+    """(?is)\s*SHOW\s+GRANTS\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*""".r
   private val AddConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+CONSTRAINT\s+([`\w]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
@@ -205,6 +214,7 @@ object GraftSql {
       if (plan == null) spark.sql(text)
       else {
         val sub = substituteViews(cat, plan, depth = 0)
+        enforceReadAcl(cat, sub)
         if (sub eq plan) spark.sql(text) else bridge.ofRows(spark, sub)
       }
     text match {
@@ -394,6 +404,7 @@ object GraftSql {
         Seq(s"REPARTITIONED $ns.$tbl v$v").toDF("result")
       case UpdateRe(rawName, setAndWhere) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
+        aclCheck(cat, ns, tbl, "INSERT")
         val t = cat.getTable(ns, tbl)
         // split SET list from WHERE at the first TOP-LEVEL keyword —
         // a 'WHERE' inside a string literal must not end the SET list
@@ -415,6 +426,7 @@ object GraftSql {
         Seq(s"UPDATED $ns.$tbl v$v").toDF("result")
       case DeleteFromRe(rawName, where) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
+        aclCheck(cat, ns, tbl, "INSERT")
         val t = cat.getTable(ns, tbl)
         val v =
           if (TxTable.morMode(t.snapshot, TxTable.DeleteModeProperty))
@@ -425,6 +437,7 @@ object GraftSql {
         Seq(s"DELETED $ns.$tbl v$v").toDF("result")
       case InsertRe(rawName, colList, query) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
+        aclCheck(cat, ns, tbl, "INSERT")
         val t = cat.getTable(ns, tbl)
         val df = nativeSql(cat, query)
         // SQL INSERT is POSITIONAL: map query columns onto the target's
@@ -441,6 +454,7 @@ object GraftSql {
         val pm = parseMerge(stripped).getOrElse(throw new IllegalArgumentException(
           s"unsupported MERGE statement shape"))
         val (ns, tbl) = splitName(rawName)
+        aclCheck(cat, ns, tbl, "INSERT")
         val t = cat.getTable(ns, tbl)
         val src = nativeSql(cat, pm.sourceQuery)
         val v = t.mergeBranches(src, pm.tgtAlias, pm.srcAlias, pm.on,
@@ -562,6 +576,7 @@ object GraftSql {
       // these shapes)
       case CopyIntoRe(rawName, path, fmt) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
+        aclCheck(cat, ns, tbl, "INSERT")
         val (v, n) = cat.getTable(ns, tbl).copyInto(path,
           Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
         Seq(s"COPIED $n file(s) INTO $ns.$tbl v$v").toDF("result")
@@ -681,7 +696,100 @@ object GraftSql {
         t.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString,
             f.nullable, parts.contains(f.name)))
           .toDF("col_name", "data_type", "nullable", "is_partition")
+      case GrantRe(priv, rawName, qp, bp) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val principal = if (qp != null) qp else cleanIdent(bp)
+        val t = cat.getTable(ns, tbl)
+        val privs =
+          if (priv.equalsIgnoreCase("ALL")) Seq("SELECT", "INSERT")
+          else Seq(priv.toUpperCase)
+        val v = t.setProperties(privs.map(pr => aclProp(pr) ->
+          (aclPrincipals(t, pr) + principal).toSeq.sorted.mkString(",")).toMap)
+        Seq(s"GRANTED ${priv.toUpperCase} ON $ns.$tbl TO $principal v$v")
+          .toDF("result")
+      case RevokeRe(priv, rawName, qp, bp) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val principal = if (qp != null) qp else cleanIdent(bp)
+        val t = cat.getTable(ns, tbl)
+        val privs =
+          if (priv.equalsIgnoreCase("ALL")) Seq("SELECT", "INSERT")
+          else Seq(priv.toUpperCase)
+        val remaining = privs.map(pr => pr -> (aclPrincipals(t, pr) - principal))
+        val (keep, drop) = remaining.partition(_._2.nonEmpty)
+        if (keep.nonEmpty) t.setProperties(keep.map { case (pr, set) =>
+          aclProp(pr) -> set.toSeq.sorted.mkString(",") }.toMap)
+        // an emptied allow list UNSETS the property: the table reopens
+        // instead of locking every principal out
+        if (drop.nonEmpty) t.unsetProperties(drop.map(p => aclProp(p._1)))
+        Seq(s"REVOKED ${priv.toUpperCase} ON $ns.$tbl FROM $principal " +
+          s"v${t.currentVersion}").toDF("result")
+      case ShowGrantsRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        Seq("SELECT", "INSERT")
+          .flatMap(pr => aclPrincipals(t, pr).toSeq.sorted.map(p => (p, pr)))
+          .toDF("principal", "privilege")
       case _ => nativeSql(cat, stripped)
+    }
+  }
+
+  // ---- table-level grants (LakeFormation analog) -----------------------
+
+  /** Property key of one privilege's allow list (comma-separated
+    * principals). An ABSENT/empty list means no ACL is declared and
+    * the table is open — the LakeFormation model, where access only
+    * narrows once grants exist. */
+  private def aclProp(priv: String): String = s"graft.acl.${priv.toLowerCase}"
+
+  private def aclPrincipals(t: TxTable, priv: String): Set[String] =
+    t.properties.get(aclProp(priv))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** The statement's principal: the `graft.sql.principal` session conf
+    * (how a multi-tenant gateway stamps the caller); "anonymous" when
+    * unset. */
+  private def currentPrincipal(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get("graft.sql.principal", "anonymous")
+
+  /** Throw unless the session principal holds `priv` on the table (or
+    * no allow list is declared for it). Enforced at THIS routing
+    * surface — the service-side check the reference's LakeFormation
+    * grants provide; direct TxTable/DataFrame access is the storage-
+    * account path that model does not govern either. */
+  private def aclCheck(cat: TableCatalog, ns: String, tbl: String,
+      priv: String): Unit = {
+    val allowed = aclPrincipals(cat.getTable(ns, tbl), priv)
+    if (allowed.nonEmpty) {
+      val p = currentPrincipal(cat.spark)
+      if (!allowed.contains(p)) throw new SecurityException(
+        s"principal '$p' lacks $priv on $ns.$tbl " +
+          s"(run: GRANT $priv ON $ns.$tbl TO $p)")
+    }
+  }
+
+  /** SELECT-ACL pass over a parsed plan: every reference that resolves
+    * to a known table of this catalog (two-part, three-part with this
+    * catalog's name, or a `.changes` sub-table) must pass
+    * [[aclCheck]]. Runs AFTER view substitution, so views check their
+    * underlying tables. */
+  private def enforceReadAcl(cat: TableCatalog,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val myCatalog = catalogNameFor(cat)
+    plan.foreachWithSubqueries {
+      case r: UnresolvedRelation =>
+        val target: Option[(String, String)] = r.multipartIdentifier match {
+          case Seq(ns, t)                          => Some((ns, t))
+          case Seq(c, ns, t) if c == myCatalog     => Some((ns, t))
+          case Seq(ns, t, "changes")               => Some((ns, t))
+          case Seq(c, ns, t, "changes") if c == myCatalog => Some((ns, t))
+          case _                                   => None
+        }
+        target.foreach { case (ns, t) =>
+          if (cat.tableExists(ns, t)) aclCheck(cat, ns, t, "SELECT")
+        }
+      case _ => ()
     }
   }
 
@@ -833,7 +941,14 @@ object GraftSql {
             txn.append(t, df.toDF(targets: _*))
           case DeleteFromRe(rawName, where) if knownTable(cat, rawName) =>
             val (ns, tbl) = splitName(rawName)
-            txn.delete(cat.getTable(ns, tbl), predicateOf(where))
+            val t = cat.getTable(ns, tbl)
+            // same partition pruning as the single-table SQL DELETE —
+            // without it stageDelete marks every file affected and a
+            // one-partition txn DELETE becomes a full-table rewrite
+            txn.delete(t, predicateOf(where),
+              partitionFilterFrom(where, t.schema,
+                t.snapshot.partitionColumns,
+                spark.sessionState.conf.sessionLocalTimeZone))
           case other => throw new IllegalArgumentException(
             "unsupported statement in multi-table transaction " +
               s"(INSERT INTO / DELETE FROM a known table only): " +

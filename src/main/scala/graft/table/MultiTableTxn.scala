@@ -93,9 +93,12 @@ final class GraftTxn private (spark: SparkSession, txnDir: Path) {
 
   /** Stage a copy-on-write delete. The rewrite is computed against the
     * table's snapshot as of THIS call; if the table moves before
-    * [[commit]], the whole transaction aborts (serializability). */
-  def delete(t: TxTable, predicate: Column): this.type =
-    stage(t, "DELETE")(t.stageDelete(predicate))
+    * [[commit]], the whole transaction aborts (serializability).
+    * `partitionFilter` prunes the rewrite to affected partitions,
+    * exactly as on the single-table [[TxTable.delete]]. */
+  def delete(t: TxTable, predicate: Column,
+      partitionFilter: Map[String, String] = Map.empty): this.type =
+    stage(t, "DELETE")(t.stageDelete(predicate, partitionFilter))
 
   /** Stage a keyed last-writer-wins upsert ([[TxTable.merge]]'s
     * semantics, incl. merge-on-read routing via the table's merge-mode

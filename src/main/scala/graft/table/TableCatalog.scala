@@ -31,6 +31,9 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
   def dropNamespace(ns: String): Unit = {
     val p = new Path(warehouse, ns)
     if (fs.exists(p)) fs.delete(p, true)
+    // same stale-header hazard as dropTable, for every table (and
+    // branch chain) the namespace held
+    TxLog.purgeRawCacheUnder(p)
   }
 
   def listNamespaces(): Seq[String] =
@@ -65,8 +68,10 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
     if (fs.exists(p)) fs.delete(p, true)
     // a later CREATE at this path reuses version file names; cached
     // parsed headers from the dropped table must not survive the drop
-    // (the mtime+length probe can miss a same-second, same-length reuse)
-    TxLog.purgeRawCache(new Path(p, "_log"))
+    // (the mtime+length probe can miss a same-second, same-length
+    // reuse). Prefix purge: branch chains under _log/refs/<name> reuse
+    // paths the same way.
+    TxLog.purgeRawCacheUnder(new Path(p, "_log"))
   }
 
   /** Begin an atomic multi-table transaction over this warehouse's

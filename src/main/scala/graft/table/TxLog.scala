@@ -413,13 +413,20 @@ object TxLog {
     }
   }
 
-  /** How long a reader blocks on an IN-FLIGHT multi-table transaction
+  /** How long a reader lets an IN-FLIGHT multi-table transaction stay
+    * undecided (measured from the pending header's commit timestamp)
     * before force-aborting it. The coordinator's publish→decide window
     * is metadata-only (a few header CAS writes), so a marker still
-    * absent after this wait means a crashed coordinator — the table
-    * must not stay wedged behind it. */
+    * absent this long after publish means a crashed coordinator — the
+    * table must not stay wedged behind it. The default (10 s) covers a
+    * coordinator GC pause or slow object-store CAS; deployments with
+    * slower stores or many participant tables should RAISE it
+    * (`graft.txn.resolveWaitMs`) — the cost of a larger value is only
+    * how long a crashed coordinator can block readers, never added
+    * latency on the healthy path (the marker resolves the poll loop
+    * as soon as it appears). */
   private def txnResolveWaitMs(conf: Configuration): Long =
-    conf.getLong("graft.txn.resolveWaitMs", 3000L)
+    conf.getLong("graft.txn.resolveWaitMs", 10000L)
 
   /** Resolve a pending-txn header to its TERMINAL effect. Every header
     * this module serves passes through here, so no consumer — readers,
@@ -438,7 +445,12 @@ object TxLog {
     case None => snap
     case Some(marker) =>
       val state = txnState(marker, conf).getOrElse {
-        val deadline = System.currentTimeMillis() + txnResolveWaitMs(conf)
+        // the window runs from the header's PUBLISH time, not from this
+        // reader's arrival: a long-pending txn aborts without blocking
+        // the reader at all, while a just-published one always gets the
+        // full window however late in it the reader lands
+        val deadline = math.max(System.currentTimeMillis(),
+          snap.timestampMs + txnResolveWaitMs(conf))
         var st: Option[String] = None
         while (st.isEmpty && System.currentTimeMillis() < deadline) {
           Thread.sleep(25)
@@ -829,6 +841,23 @@ object TxLog {
     }
     chunkCache.synchronized {
       chunkCache.keySet.removeIf(_._1 == logDir.toString)
+    }
+  }
+
+  /** Drop every cached header/chunk under `logDir` AND its
+    * subdirectories — branch chains live at `<logDir>/refs/<name>`, so
+    * a table drop must purge by prefix or a recreate reusing the same
+    * branch names could serve stale cached branch headers past the
+    * mtime+length probe. */
+  private[table] def purgeRawCacheUnder(logDir: Path): Unit = {
+    val prefix = logDir.toString
+    def covers(k: String): Boolean =
+      k == prefix || k.startsWith(prefix + "/")
+    rawCache.synchronized {
+      rawCache.keySet.removeIf(e => covers(e._1))
+    }
+    chunkCache.synchronized {
+      chunkCache.keySet.removeIf(e => covers(e._1))
     }
   }
 

@@ -7,6 +7,8 @@ import org.apache.spark.sql.types.StructType
 
 import java.util.UUID
 
+import scala.collection.parallel.CollectionConverters._
+
 /**
  * A transactional, partitioned, parquet-backed table: the engine-native
  * equivalent of the reference's Iceberg table in S3 Tables.
@@ -44,6 +46,12 @@ class TxTable private (
     /** `Some(branch)` binds this handle to a branch ref: same data
       * directory, its own commit chain under `_log/refs/<branch>`. */
     val branchName: Option[String] = None) {
+
+  /** This table bound to another session — e.g. a streaming query's
+    * cloned session, so per-stream tuning (shuffle sizing, AQE) applies
+    * to the stream's merges without leaking into the main session. */
+  def withSession(s: SparkSession): TxTable =
+    new TxTable(s, root, name, branchName)
 
   private val conf = spark.sessionState.newHadoopConf()
   private val logDir = branchName
@@ -674,6 +682,11 @@ class TxTable private (
     // resolved file list at once); unknown row counts (add_files
     // imports record -1) surface as the same -1 sentinel n_rows uses.
     var prevFiles: Seq[DataFile] = Nil
+    // deltas need a READABLE parent: at a retention floor > 0 (the
+    // parent expired) or just after a FileNotFound gap, diffing against
+    // an empty parent would misreport the whole file set as that
+    // commit's adds — emit the -1 unknown sentinel instead
+    var haveParent = floor == 0L
     def rowsOf(fs: Seq[DataFile]): Long =
       if (fs.forall(_.rowCount >= 0)) fs.map(_.rowCount).sum else -1L
     (floor to currentVersion).flatMap { v =>
@@ -683,15 +696,23 @@ class TxTable private (
         val curPaths = s.files.map(_.path).toSet
         val addedF = s.files.filterNot(f => prevPaths.contains(f.path))
         val removedF = prevFiles.filterNot(f => curPaths.contains(f.path))
-        val row = (s.version, s.operation,
-          new java.sql.Timestamp(s.timestampMs),
-          s.files.size, rowsOf(s.files), s.files.map(_.sizeBytes).sum,
-          addedF.size, removedF.size,
-          rowsOf(addedF), rowsOf(removedF),
-          addedF.map(_.sizeBytes).sum, removedF.map(_.sizeBytes).sum)
+        val row =
+          if (haveParent) (s.version, s.operation,
+            new java.sql.Timestamp(s.timestampMs),
+            s.files.size, rowsOf(s.files), s.files.map(_.sizeBytes).sum,
+            addedF.size, removedF.size,
+            rowsOf(addedF), rowsOf(removedF),
+            addedF.map(_.sizeBytes).sum, removedF.map(_.sizeBytes).sum)
+          else (s.version, s.operation,
+            new java.sql.Timestamp(s.timestampMs),
+            s.files.size, rowsOf(s.files), s.files.map(_.sizeBytes).sum,
+            -1, -1, -1L, -1L, -1L, -1L)
         prevFiles = s.files
+        haveParent = true
         Some(row)
-      } catch { case _: java.io.FileNotFoundException => None }
+      } catch {
+        case _: java.io.FileNotFoundException => haveParent = false; None
+      }
     }.reverse
       .toDF("version", "operation", "committed_at", "n_files", "n_rows",
         "total_bytes", "n_added_files", "n_removed_files", "added_rows",
@@ -1392,7 +1413,10 @@ class TxTable private (
     val clustered =
       if (sortCols.isEmpty) df
       else {
-        val n = math.max(1, df.rdd.getNumPartitions)
+        // plan-level partition count: df.rdd would append a
+        // Row-deserializer stage to the lineage just to read a number;
+        // toRdd asks the physical plan directly (no job, no extra stage)
+        val n = math.max(1, df.queryExecution.toRdd.getNumPartitions)
         val keys = (partitionColumns.filter(df.columns.contains) ++ sortCols)
           .distinct.map(col)
         df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
@@ -2250,23 +2274,46 @@ class TxTable private (
           org.apache.spark.sql.types.BooleanType)),
       constraints = s.constraints)
 
-    // last-writer-wins dedup within the batch
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc)
+    // last-writer-wins dedup within the batch: max_by over a groupBy
+    // instead of a row_number window — same winner (greatest orderCol
+    // per key; ties arbitrary, as before), but with map-side partial
+    // aggregation and no per-partition sort, so a hot-key CDC batch
+    // (many updates to one id) combines before the shuffle instead of
+    // skewing one sort partition
+    val dataCols = aligned.columns.filterNot(_ == key)
+    // ordering wrapped in a struct: a bare null orderCol would make
+    // max_by DROP the row (nulls are ignored aggregate inputs), while
+    // the null-member struct just compares smallest — matching the
+    // window's NULLS LAST
     val deduped = aligned
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .groupBy(col(key))
+      .agg(max_by(struct(dataCols.map(col): _*),
+        struct(col(orderCol))).as("__w"))
+      .select(col(key) +: dataCols.map(c => col(s"__w.`$c`").as(c)): _*)
       .cache()
 
-    // affected partition values (small: one per touched date) —
-    // hidden-partitioning specs derive them from the batch's source
-    // columns first
-    val touched: Set[Map[String, String]] =
-      if (parts.isEmpty) Set(Map.empty[String, String])
-      else withDerivedParts(deduped, s).select(parts.map(col): _*)
-        .distinct().collect()
-        .map(r => parts.zipWithIndex.map { case (c, i) =>
-          c -> partitionValueString(r.get(i)) }.toMap).toSet
+    def dbgCow(label: String, t0: Long): Unit =
+      if (sys.env.contains("GRAFT_MOR_DEBUG"))
+        println(f"    [cow] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val tTouched = System.nanoTime()
+    // affected partition values (small: one per touched date) and the
+    // batch size from ONE job — per-partition counts materialize the
+    // cache and give both, saving a count() job per micro-batch on the
+    // streaming ingest path. Hidden-partitioning specs derive the
+    // partition values from the batch's source columns first.
+    val (touched: Set[Map[String, String]], batchRows: Long) =
+      if (parts.isEmpty) (Set(Map.empty[String, String]), deduped.count())
+      else {
+        val perPart = withDerivedParts(deduped, s)
+          .groupBy(parts.map(col): _*).count().collect()
+        (perPart.map(r => parts.zipWithIndex.map { case (c, i) =>
+          c -> partitionValueString(r.get(i)) }.toMap).toSet,
+          perPart.map(r => r.getLong(parts.size)).sum)
+      }
+    dbgCow("dedup+touched", tTouched)
+    // empty batch: nothing to upsert, nothing to delete — no commit
+    // (lets the streaming path skip its own isEmpty pre-job)
+    if (batchRows == 0L) { deduped.unpersist(); return _ => s.version }
 
     val affectedFiles =
       if (parts.isEmpty || !keyStablePartitions) s.files
@@ -2274,8 +2321,6 @@ class TxTable private (
     val keptFiles = s.files.diff(affectedFiles)
 
     val existingAffected = dfFor(s.copy(files = affectedFiles))
-    // cheap: deduped is already cache-materialized by the `touched` scan
-    val batchRows = deduped.count()
     // ALL batch keys (upserts and deletes) evict their existing rows;
     // only the non-delete winners are re-inserted
     val survivors = TxTable.antiJoinSurvivors(existingAffected,
@@ -2328,51 +2373,77 @@ class TxTable private (
     // fast path for huge hot partitions; the batch-sized contract of
     // the other MOR writes applies (positions collect on the driver).
     if (TxTable.morMode(s, TxTable.MergeModeProperty)) {
+      def dbg(label: String, t0: Long): Unit =
+        if (sys.env.contains("GRAFT_MOR_DEBUG"))
+          println(f"    [mor] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       val keySide =
         if (batchRows <= TxTable.MergeBroadcastMaxKeys)
           broadcast(deduped.select(col(key)))
         else deduped.select(col(key))
-      val refs = dfForWithRefs(s.copy(files = affectedFiles))
+      // same driver-memory guardrail as deletePos/updateMor: the
+      // matched refs collect on the driver (≤1 live row per batch key,
+      // so batch-bounded), but a huge CDC batch in merge-on-read mode
+      // must not materialize millions of (file, pos) pairs — past
+      // `spark.graft.morMaxPositions` the LIMIT cap+1 probe trips and
+      // the merge degrades to the copy-on-write rewrite below, which
+      // never collects rows
+      val maxPos = morMaxPositions
+      val tRefs = System.nanoTime()
+      val capped = dfForWithRefs(s.copy(files = affectedFiles))
         .join(keySide, Seq(key), "left_semi")
         .select(col("__graft_file"), col("__graft_pos"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val newFiles = writeFiles(
-        sizedForWrite(withDerivedParts(
-            upserts.select(schema.map(f => col(f.name)): _*), s),
-          rewriteBytes = 0L, batchRows, bytesPerRow(s), parts,
-          splitCol = Some(key)),
-        parts)
-      deduped.unpersist()
-      val relByName = s.files.map(f => new Path(f.path).getName -> f.path).toMap
-      val existing = s.deletionVectors.map(d => d.dataFile -> d).toMap
-      val updated: Map[String, DeletionVector] = refs.groupBy(_._1).map {
-        case (name, rs) =>
-          val rel = relByName.getOrElse(name,
-            throw new IllegalStateException(s"matched row in unknown file $name"))
-          val mergedPos = (existing.get(rel)
-            .map(d => readDvPositions(d.path)).getOrElse(Array.empty[Long]) ++
-            rs.map(_._2)).distinct.sorted
-          rel -> DeletionVector(rel, writeDvFile(mergedPos), mergedPos.length)
+        .limit(math.min(maxPos, Int.MaxValue - 1L).toInt + 1)
+        .collect()
+      dbg("refs scan+collect", tRefs)
+      if (capped.length <= maxPos) {
+        val refs = capped.map(r => (r.getString(0), r.getLong(1)))
+        val tWrite = System.nanoTime()
+        val newFiles = writeFiles(
+          sizedForWrite(withDerivedParts(
+              upserts.select(schema.map(f => col(f.name)): _*), s),
+            rewriteBytes = 0L, batchRows, bytesPerRow(s), parts,
+            splitCol = Some(key)),
+          parts)
+        dbg("writeFiles", tWrite)
+        deduped.unpersist()
+        val tDv = System.nanoTime()
+        val relByName = s.files.map(f => new Path(f.path).getName -> f.path).toMap
+        val existing = s.deletionVectors.map(d => d.dataFile -> d).toMap
+        // sidecars are independent per file — write them concurrently
+        // (driver-local I/O; the per-file work is a sort + one small write)
+        val updated: Map[String, DeletionVector] = refs.groupBy(_._1).toSeq
+          .par.map { case (name, rs) =>
+            val rel = relByName.getOrElse(name,
+              throw new IllegalStateException(s"matched row in unknown file $name"))
+            val mergedPos = (existing.get(rel)
+              .map(d => readDvPositions(d.path)).getOrElse(Array.empty[Long]) ++
+              rs.map(_._2)).distinct.sorted
+            rel -> DeletionVector(rel, writeDvFile(mergedPos), mergedPos.length)
+          }.seq.toMap
+        dbg("dv writes", tDv)
+        val files = s.files ++ newFiles
+        val live = files.map(_.path).toSet
+        val dvs = (s.deletionVectors.filterNot(d => updated.contains(d.dataFile))
+          ++ updated.values).filter(d => live.contains(d.dataFile))
+        return pendingTxn => {
+          val v = commit(Some(s.version), "MERGE_MOR", schema,
+            parts, files, appTxns = txns, deletionVectors = dvs,
+            changeFiles = cdfFiles, pendingTxn = pendingTxn)
+          if (pendingTxn.isEmpty) maybeAutoCompact(touched)
+          v
+        }
       }
-      val files = s.files ++ newFiles
-      val live = files.map(_.path).toSet
-      val dvs = (s.deletionVectors.filterNot(d => updated.contains(d.dataFile))
-        ++ updated.values).filter(d => live.contains(d.dataFile))
-      return pendingTxn => {
-        val v = commit(Some(s.version), "MERGE_MOR", schema,
-          parts, files, appTxns = txns, deletionVectors = dvs,
-          changeFiles = cdfFiles, pendingTxn = pendingTxn)
-        if (pendingTxn.isEmpty) maybeAutoCompact(touched)
-        v
-      }
+      // over the cap: fall through to the copy-on-write merge below
     }
     val merged = survivors.select(schema.map(f => col(f.name)): _*)
       .unionByName(upserts.select(schema.map(f => col(f.name)): _*))
+    val tWrite = System.nanoTime()
     val newFiles = writeFiles(
       sizedForWrite(withDerivedParts(merged, s),
         affectedFiles.map(_.sizeBytes).sum, batchRows,
         bytesPerRow(s), parts, splitCol = Some(key)),
       parts)
+    dbgCow("survivors+write", tWrite)
     deduped.unpersist()
     // No blind retry: the rewritten files were derived from THIS
     // snapshot; a concurrent commit invalidates them (retrying would
@@ -2384,6 +2455,7 @@ class TxTable private (
     // touched partitions (they could carry the batch's keys). Disjoint
     // concurrent merges — the multi-stream ingest shape — then compose.
     pendingTxn => {
+      val tCommit = System.nanoTime()
       val v =
         if (keyStablePartitions)
           commitRewrite(s, "MERGE", affectedFiles, newFiles,
@@ -2392,6 +2464,7 @@ class TxTable private (
         else commit(Some(s.version), "MERGE", schema, parts,
           keptFiles ++ newFiles, appTxns = txns, changeFiles = cdfFiles,
           pendingTxn = pendingTxn)
+      dbgCow("commit", tCommit)
       if (pendingTxn.isEmpty) maybeAutoCompact(touched)
       v
     }

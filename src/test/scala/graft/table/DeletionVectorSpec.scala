@@ -419,6 +419,39 @@ class DeletionVectorSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.morMaxPositions")
   }
 
+  test("merge-on-read MERGE degrades to the COW merge past the position cap") {
+    val t = TxTable.create(spark, new Path(freshDir("dv_merge_cap")), "t",
+      Schemas.transactions, Seq("date"),
+      properties = Map(TxTable.MergeModeProperty -> "merge-on-read"))
+    val seed = SampleData.transactions(spark, 60, seed = 101L)
+    t.append(seed)
+    val batch = seed.limit(20)
+      .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+    spark.conf.set("spark.graft.morMaxPositions", "5")
+    try {
+      val filesBefore = t.snapshot.files.map(_.path).toSet
+      // 20 matched keys exceed the cap: the merge must NOT collect
+      // them — it rewrites the touched partitions instead (COW), so no
+      // vectors appear and the affected files change
+      t.merge(batch, "transaction_id", "processing_timestamp")
+      assert(t.snapshot.deletionVectors.isEmpty)
+      assert(t.snapshot.operation === "MERGE")
+      assert(t.snapshot.files.map(_.path).toSet !== filesBefore)
+      assert(t.toDF.count() === 60)
+      assert(t.toDF.filter(col("processing_timestamp")
+        .isin(batch.select("processing_timestamp").collect()
+          .map(_.getLong(0)).toSeq: _*)).count() === 20)
+      // under the cap the positional path re-engages
+      spark.conf.set("spark.graft.morMaxPositions", "1000000")
+      val one = batch.limit(1)
+        .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+      t.merge(one, "transaction_id", "processing_timestamp")
+      assert(t.snapshot.operation === "MERGE_MOR")
+      assert(t.snapshot.deletionVectors.nonEmpty)
+      assert(t.toDF.count() === 60)
+    } finally spark.conf.unset("spark.graft.morMaxPositions")
+  }
+
   test("deletePos retry preserves a concurrently-committed vector") {
     val dir = new Path(freshDir("dv_race"))
     val t = TxTable.create(spark, dir, "t",

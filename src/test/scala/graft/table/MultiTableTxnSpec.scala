@@ -380,4 +380,80 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(a.vacuum(retainVersions = 2, graceMillis = 0L) > 0)
     assert(a.toDF.count() === 20)
   }
+
+  /** Fault-injected commit protocol: marker (.txn) CAS writes carrying
+    * `slowContent` sleep `delayMs` before publishing — a slow object
+    * store / delayed-visibility stand-in. Everything else passes
+    * straight through to the real local protocol. */
+  private class SlowMarkerProtocol(delayMs: Long, slowContent: String)
+      extends CommitProtocol {
+    override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+        target: Path, content: Array[Byte], next: Long,
+        expected: Option[Long]): Unit = {
+      if (target.getName.endsWith(".txn") &&
+          new String(content, java.nio.charset.StandardCharsets.UTF_8)
+            == slowContent)
+        Thread.sleep(delayMs)
+      LocalAtomicRenameProtocol.putIfAbsent(f, target, content, next, expected)
+    }
+  }
+
+  test("a marker CAS slower than the publish but inside the resolve window still commits") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the window conf is snapshotted into each table's Hadoop conf at
+    // open/create time — widen it BEFORE creating the tables
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setLong("graft.txn.resolveWaitMs", 2000L)
+    val cat = freshCatalog("txn_slow_cas_ok")
+    val a = seeded(cat, "a", 30, seed = 30L)
+    val b = seeded(cat, "b", 30, seed = 31L)
+    TxLog.protocolOverride =
+      Some(new SlowMarkerProtocol(400L, TxLog.TxnCommitted))
+    try {
+      val txn = cat.beginTransaction()
+        .append(a, SampleData.transactions(spark, 5, seed = 32L))
+        .append(b, SampleData.transactions(spark, 5, seed = 33L))
+      txn.publishPending()
+      // coordinator decides concurrently; its COMMITTED CAS lands
+      // ~400 ms late — well inside the readers' 2 s resolve window
+      val decide = Future(txn.decide())
+      // readers poll the in-flight marker instead of force-aborting
+      assert(a.toDF.count() === 35)
+      assert(b.toDF.count() === 35)
+      assert(Await.result(decide, 30.seconds) === TxLog.TxnCommitted)
+    } finally {
+      TxLog.protocolOverride = None
+      hconf.setLong("graft.txn.resolveWaitMs", 300L)
+    }
+  }
+
+  test("a marker CAS slower than the resolve window loses to a reader's force-abort") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cat = freshCatalog("txn_slow_cas_lost")
+    val a = seeded(cat, "a", 30, seed = 34L)
+    val b = seeded(cat, "b", 30, seed = 35L)
+    // suite default: 300 ms resolve window; the COMMITTED CAS takes
+    // 1.5 s (abort CAS stays fast — it is the reader's own write)
+    TxLog.protocolOverride =
+      Some(new SlowMarkerProtocol(1500L, TxLog.TxnCommitted))
+    try {
+      val txn = cat.beginTransaction()
+        .append(a, SampleData.transactions(spark, 5, seed = 36L))
+        .append(b, SampleData.transactions(spark, 5, seed = 37L))
+      txn.publishPending()
+      val decide = Future(txn.decide())
+      // the reader's window (from header publish time) expires first:
+      // it force-aborts, and the coordinator's late CAS must LOSE —
+      // uncommitted data is never served, exactly one side wins
+      assert(a.toDF.count() === 30)
+      assert(b.toDF.count() === 30)
+      assert(Await.result(decide, 30.seconds) === TxLog.TxnAborted)
+      assert(a.snapshot.operation === "ABORTED_TXN")
+      assert(b.toDF.count() === 30)
+    } finally TxLog.protocolOverride = None
+  }
 }

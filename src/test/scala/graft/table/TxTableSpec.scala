@@ -2301,4 +2301,55 @@ class TxTableSpec extends SparkSpec {
     t.deletePos(col("transaction_id") === oneId)
     intercept[CommitConflictException](commitStale2(None))
   }
+
+  test("table grants: GRANT/REVOKE allow lists enforced on the SQL surface") {
+    val cat = new TableCatalog(spark, new Path(freshDir("sql_grants")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, v STRING)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1, 'a'), (2, 'b')")
+    // no ACL declared → open to every principal
+    assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
+      .collect()(0).getLong(0) === 2)
+    GraftSql.sql(cat, "GRANT SELECT ON sec.t TO alice")
+    GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
+    val grants = GraftSql.sql(cat, "SHOW GRANTS ON sec.t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(grants === Set(("alice", "SELECT"), ("admin", "SELECT"),
+      ("admin", "INSERT")))
+    try {
+      // the default principal (anonymous) is now outside the list
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM sec.t"))
+      spark.conf.set("graft.sql.principal", "alice")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
+        .collect()(0).getLong(0) === 2)
+      // SELECT does not imply INSERT
+      intercept[SecurityException](
+        GraftSql.sql(cat, "INSERT INTO sec.t VALUES (3, 'c')"))
+      spark.conf.set("graft.sql.principal", "admin")
+      GraftSql.sql(cat, "INSERT INTO sec.t VALUES (3, 'c')")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
+        .collect()(0).getLong(0) === 3)
+      // a view read checks the UNDERLYING table's ACL
+      GraftSql.sql(cat, "CREATE VIEW sec.vv AS SELECT id FROM sec.t")
+      spark.conf.set("graft.sql.principal", "bob")
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM sec.vv"))
+      // revoke closes alice out
+      spark.conf.set("graft.sql.principal", "admin")
+      GraftSql.sql(cat, "REVOKE SELECT ON sec.t FROM alice")
+      spark.conf.set("graft.sql.principal", "alice")
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM sec.t"))
+      // revoking the LAST principal of a privilege unsets its list:
+      // the table reopens for that privilege instead of locking out
+      // everyone (reads here stay admin-only)
+      spark.conf.set("graft.sql.principal", "admin")
+      GraftSql.sql(cat, "REVOKE INSERT ON sec.t FROM admin")
+      spark.conf.set("graft.sql.principal", "bob")
+      GraftSql.sql(cat, "INSERT INTO sec.t VALUES (4, 'd')")
+      spark.conf.set("graft.sql.principal", "admin")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
+        .collect()(0).getLong(0) === 4)
+    } finally spark.conf.unset("graft.sql.principal")
+  }
 }
