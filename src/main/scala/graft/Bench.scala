@@ -69,6 +69,15 @@ object Bench {
       "text_tfidf_topterms", "dedup_lines_global", "text_lm_score")
     val pipeline = pipelineNames.flatMap { name =>
       fns.get(name).map { fn =>
+        // GC barrier between keys: the heavies before this key (e.g.
+        // dedup_embedding_cosine, ann_ivfpq) leave tens of GB of young-
+        // gen garbage; without a collection here the NEXT key pays
+        // their GC debt inside its own timed window (the r8 artifact
+        // recorded decontaminate_bloom at 4.01 s — 2.8× its quiet-
+        // window 1.11 s — with both stable-min runs slowed the same
+        // way). Unreferenced cached blocks drop with the same sweep.
+        System.gc()
+        Thread.sleep(200)
         // same stable-min discipline as the headline set: run 1 absorbs
         // staged-input (re)generation and JIT; retries continue until
         // two runs agree within 1.5× (bounded at 4). A failed query is
@@ -94,8 +103,8 @@ object Bench {
         graft.ingest.SampleData.transactions(spark, streamRows, seed = 11L))
       .toJSON.repartition(32).write.text(envDir)
     // stability contract: the RECORDED `runs` are the best three, and
-    // extra runs (bounded at 6 total) are taken until those three agree
-    // within 1.5× — a single contended-window outlier then widens
+    // extra runs (bounded at 8 total) are taken until those three agree
+    // within 1.25× — a single contended-window outlier then widens
     // `runs_all` but cannot poison the recorded spread. The sandbox's
     // documented ±2× noise band made fixed best-of-3 artifacts fail
     // their own spread bar in r7 with unchanged code.
@@ -120,7 +129,7 @@ object Bench {
     def best3(s: Seq[Double]): Seq[Double] = s.filter(_ > 0).sorted.take(3)
     while ({
       val b = best3(streamAll)
-      (b.size < 3 || b.last / b.head > 1.5) && streamAll.size < 6
+      (b.size < 3 || b.last / b.head > 1.25) && streamAll.size < 8
     }) streamAll :+= streamRun(streamAll.size + 1)
     val streamRecorded = best3(streamAll)
     val streamRate =
@@ -132,8 +141,63 @@ object Bench {
     val metadataJson = metadataShakeout(spark)
     val cdfJson = cdfShakeout(spark)
     val txnJson = txnShakeout(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"metadata":$metadataJson,"cdf":$cdfJson,"txn":$txnJson,"sf":"$sfDir"}""")
+    val sf1Json = pipelineSf1(spark, sfDir, fns)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"metadata":$metadataJson,"cdf":$cdfJson,"txn":$txnJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /**
+   * Scale-up evidence for the dedup/decontamination flagships: the same
+   * three queries on a 10×-documents corpus (sf0.1 documents replicated
+   * with distinct ids and vowel-rotated text, so replicas are neither
+   * exact nor near duplicates of their source — the workload's dup/
+   * distinct structure is preserved, just 10× wider). An
+   * O(candidates)-shaped operator should scale ≈linearly here; anything
+   * quadratic in corpus size shows up as >>10× the sf0.1 time.
+   */
+  private def pipelineSf1(spark: SparkSession, sfDir: String,
+      fns: Map[String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame]): String = try {
+    import org.apache.spark.sql.functions._
+    val replicas = 10
+    val bigDir = new java.io.File("target/qwork/bench_docs10x").getAbsolutePath
+    val marker = new java.io.File(bigDir, "documents.parquet/_SUCCESS")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bigDir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+      // per-replica letter rotation (10 DISTINCT mappings): changes
+      // most words, so a replica shares almost no shingles/minhashes
+      // with its source or any other replica — the corpus grows 10×
+      // without manufacturing 10× near-dup clusters
+      val alpha = "aeiounsrhl"
+      val big = (0 until replicas).map { i =>
+        val rot = alpha.drop(i) + alpha.take(i)
+        docs.select(
+          (col("doc_id") + lit(i.toLong * n)).as("doc_id"),
+          (if (i == 0) col("text")
+           else translate(col("text"), alpha, rot)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+      big.repartition(32).write.parquet(s"$bigDir/documents.parquet")
+    }
+    val nDocs = spark.read.parquet(s"$bigDir/documents.parquet").count()
+    val keys = Seq("dedup_lines_global", "dedup_minhash_lsh",
+      "decontaminate_bloom")
+    val timedKeys = keys.flatMap { k =>
+      fns.get(k).map { fn =>
+        System.gc()
+        fn(spark, bigDir).count()            // warm: staging + JIT
+        val t0 = System.nanoTime()
+        val rows = fn(spark, bigDir).count()
+        k -> ((System.nanoTime() - t0) / 1e9, rows)
+      }
+    }
+    val body = timedKeys.map { case (k, (s, rows)) =>
+      s""""$k":{"sec":${f"$s%.3f"},"rows":$rows}""" }.mkString(",")
+    s"""{"docs":$nDocs,$body}"""
+  } catch {
+    case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
 
   /**
@@ -162,31 +226,62 @@ object Bench {
       .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
       .cache()
     batch.count()
-    def seeded(name: String, props: Map[String, String]): TxTable = {
-      val t = cat.createTable("bench", name, Schemas.transactions,
+    var tableN = 0
+    def seeded(props: Map[String, String]): TxTable = {
+      tableN += 1
+      val t = cat.createTable("bench", s"cdf_t$tableN", Schemas.transactions,
         Seq("date"), properties = props)
       t.append(seed)
       t
     }
-    val off = seeded("cdf_off", Map.empty)
-    val (_, mergeOff) = timed(
-      off.merge(batch, "transaction_id", "processing_timestamp"))
-    val on = seeded("cdf_on", Map(TxTable.ChangeFeedProperty -> "true"))
-    val (_, mergeOn) = timed(
-      on.merge(batch, "transaction_id", "processing_timestamp"))
+    // stable-min over FRESH tables: a merge mutates its target, so each
+    // timed run merges into a fresh seeded copy (seeding is untimed) and
+    // the recorded number is the min of runs agreeing within 1.5× —
+    // the same discipline the headline queries adopted in r8 after a
+    // single contended-window run poisoned an artifact (merge_mor_sec
+    // recorded 4.52 s in r8 for code that steadily runs ≤1.6 s).
+    // Returns the LAST merged table so the read benches below see the
+    // exact post-merge state.
+    def stableMerge(props: Map[String, String]): (TxTable, Double) = {
+      var last: TxTable = null
+      def run(): Double = {
+        val t = seeded(props)
+        val (_, sec) = timed(
+          t.merge(batch, "transaction_id", "processing_timestamp"))
+        last = t
+        sec
+      }
+      var runs = Vector(run(), run())
+      while ({
+        val s = runs.sorted
+        s(1) / s(0) > 1.5 && runs.size < 4
+      }) runs :+= run()
+      (last, runs.min)
+    }
+    // reads are side-effect-free: plain stable-min on the same table
+    def stableRead(body: => Unit): Double = {
+      def run(): Double = { val (_, s) = timed(body); s }
+      var runs = Vector(run(), run())
+      while ({
+        val s = runs.sorted
+        s(1) / s(0) > 1.5 && runs.size < 4
+      }) runs :+= run()
+      runs.min
+    }
+    val (off, mergeOff) = stableMerge(Map.empty)
+    val (on, mergeOn) = stableMerge(Map(TxTable.ChangeFeedProperty -> "true"))
     val v = on.currentVersion
     val (feedRows, feedSec) = timed(on.changeFeed(v, v).count())
     // the no-rewrite path: same merge through deletion vectors
-    val mor = seeded("cdf_mor", Map(TxTable.MergeModeProperty -> "merge-on-read"))
-    val (_, mergeMor) = timed(
-      mor.merge(batch, "transaction_id", "processing_timestamp"))
+    val (mor, mergeMor) =
+      stableMerge(Map(TxTable.MergeModeProperty -> "merge-on-read"))
     // READ-side MOR tax: a full scan of the table the merge just left
     // with ~50% of its original positions deleted (vectors applied by
     // the readers), vs the same scan of the rewritten (COW) table —
     // the pair that makes any future DV read-path regression visible
-    val (morRows, dvRead) = timed(mor.toDF.count())
-    require(morRows == 40000L, s"MOR read saw $morRows rows")
-    val (_, cowRead) = timed(off.toDF.count())
+    require(mor.toDF.count() == 40000L, "MOR read row count")
+    val dvRead = stableRead(mor.toDF.count())
+    val cowRead = stableRead(off.toDF.count())
     // same scan through the V2 catalog: columnar batches filtered by
     // the surviving-row map (the vectorized DV read path) vs the V1
     // per-file anti-join above
@@ -197,17 +292,33 @@ object Bench {
     // sum(length(..)) is NOT an eligible pushed aggregate, so the scan
     // actually reads the column (count(*) alone would be answered from
     // snapshot metadata by the V2 aggregate pushdown)
-    val (morRowsV2, dvReadV2) = timed(
-      spark.sql("""SELECT count(*) AS n, sum(length(transaction_id)) AS s
-                   FROM graftbench.bench.cdf_mor""")
-        .collect()(0).getLong(0))
-    require(morRowsV2 == 40000L, s"V2 MOR read saw $morRowsV2 rows")
+    def v2Read(table: String): Long =
+      spark.sql(s"""SELECT count(*) AS n, sum(length(transaction_id)) AS s
+                   FROM graftbench.bench.$table""")
+        .collect()(0).getLong(0)
+    require(v2Read(mor.name.split("\\.").last) == 40000L, "V2 MOR read row count")
+    val dvReadV2 = stableRead(v2Read(mor.name.split("\\.").last))
     // the fair baseline: the SAME V2 machinery over the vector-free
     // table — the difference to dv_read_v2_sec is the actual MOR tax
-    val (_, cowReadV2) = timed(
-      spark.sql("""SELECT count(*) AS n, sum(length(transaction_id)) AS s
-                   FROM graftbench.bench.cdf_off""")
-        .collect()(0).getLong(0))
+    val cowReadV2 = stableRead(v2Read(off.name.split("\\.").last))
+    // COMPACTED-shape pair: the tiny-file tables above carry ~64 files
+    // for 60k rows, so their DV read tax is dominated by fixed per-task
+    // and per-file-planning cost that real 128 MB files amortize away.
+    // Bin-pack the seed BEFORE the MOR merge (vectors then land on the
+    // few large files), compact the COW table AFTER its merge (clean
+    // vector-free baseline at the same file count) — the ratio of this
+    // pair is the actual per-ROW cost of reading through vectors.
+    val morC = seeded(Map(TxTable.MergeModeProperty -> "merge-on-read"))
+    morC.compactSmallFiles()
+    morC.merge(batch, "transaction_id", "processing_timestamp")
+    val cowC = seeded(Map.empty)
+    cowC.merge(batch, "transaction_id", "processing_timestamp")
+    cowC.compactSmallFiles()
+    require(v2Read(morC.name.split("\\.").last) == 40000L, "compacted MOR read row count")
+    val dvReadC = stableRead(v2Read(morC.name.split("\\.").last))
+    val cowReadC = stableRead(v2Read(cowC.name.split("\\.").last))
+    val morCFiles = morC.snapshot.files.size
+    val cowCFiles = cowC.snapshot.files.size
     seed.unpersist(); batch.unpersist()
     s"""{"merge_rows":20000,"merge_off_sec":${f"$mergeOff%.3f"},""" +
       s""""merge_on_sec":${f"$mergeOn%.3f"},""" +
@@ -216,6 +327,9 @@ object Bench {
       s""""dv_read_v2_sec":${f"$dvReadV2%.3f"},""" +
       s""""cow_read_sec":${f"$cowRead%.3f"},""" +
       s""""cow_read_v2_sec":${f"$cowReadV2%.3f"},""" +
+      s""""dv_read_compact_v2_sec":${f"$dvReadC%.3f"},""" +
+      s""""cow_read_compact_v2_sec":${f"$cowReadC%.3f"},""" +
+      s""""compact_files_dv":$morCFiles,"compact_files_cow":$cowCFiles,""" +
       s""""feed_rows":$feedRows,"feed_read_sec":${f"$feedSec%.3f"}}"""
   } catch {
     case e: Throwable =>
