@@ -381,6 +381,34 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(a.toDF.count() === 20)
   }
 
+  test("transactional SQL DELETE prunes to affected partitions") {
+    val cat = freshCatalog("txn_delete_prune")
+    val a = cat.createTable("txn", "a", Schemas.transactions, Seq("date"))
+    // the generator's timestamps land on one date — spread rows over
+    // three so partition pruning has something to prune
+    a.append(SampleData.transactions(spark, 60, seed = 40L)
+      .withColumn("date", date_add(col("date"),
+        pmod(abs(hash(col("transaction_id"))), lit(3)).cast("int"))))
+    val dates = a.snapshot.files.flatMap(_.partitionValues.get("date"))
+      .distinct.sorted
+    assert(dates.size >= 2, "need at least two date partitions")
+    val target = dates.head
+    val untouchedBefore = a.snapshot.files
+      .filter(_.partitionValues.get("date").exists(_ != target))
+      .map(_.path).toSet
+    val before = a.toDF.count()
+    val inTarget = a.toDF.filter(col("date") === target).count()
+    GraftSql.transaction(cat,
+      Seq(s"DELETE FROM txn.a WHERE date = '$target'"))
+    assert(a.toDF.count() === before - inTarget)
+    // only the target partition's files were rewritten: every other
+    // partition's files survive by identity (no full-table COW)
+    val untouchedAfter = a.snapshot.files
+      .filter(_.partitionValues.get("date").exists(_ != target))
+      .map(_.path).toSet
+    assert(untouchedAfter === untouchedBefore)
+  }
+
   /** Fault-injected commit protocol: marker (.txn) CAS writes carrying
     * `slowContent` sleep `delayMs` before publishing — a slow object
     * store / delayed-visibility stand-in. Everything else passes

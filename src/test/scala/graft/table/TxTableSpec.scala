@@ -2302,6 +2302,42 @@ class TxTableSpec extends SparkSpec {
     intercept[CommitConflictException](commitStale2(None))
   }
 
+  test("history at the retention floor reports unknown deltas, not the whole file set") {
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("tx_hist_floor")), "t",
+      Seq((1L, 1.0)).toDF("id", "v").schema, Nil)
+    (1 to 5).foreach(i => t.append(Seq((i.toLong, i * 1.0)).toDF("id", "v")))
+    t.expireSnapshots(retainVersions = 2)     // keep 4, 5
+    val rows = t.history().collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(5L, 4L))
+    // the floor version's PARENT expired: added/removed are unknowable,
+    // so they surface as the -1 sentinel instead of claiming the whole
+    // surviving file set as that commit's delta
+    val floor = rows.last
+    assert(floor.getInt(6) === -1 && floor.getLong(8) === -1L)
+    // the next version has a readable parent: exact one-file delta
+    val head = rows.head
+    assert(head.getInt(6) === 1 && head.getLong(8) === 1L)
+  }
+
+  test("drop + recreate with the same branch name serves the NEW branch state") {
+    import spark.implicits._
+    val cat = new TableCatalog(spark, new Path(freshDir("tx_branch_drop")))
+    val schema = Seq((1L, 1.0)).toDF("id", "v").schema
+    val t1 = cat.createTable("ns", "t", schema, Nil)
+    t1.append((1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    t1.createBranch("b")
+    // cache the branch chain's headers
+    assert(t1.branch("b").toDF.count() === 10)
+    cat.dropTable("ns", "t")
+    // same path, same branch name — version file names recur; the
+    // prefix purge must cover the branch chain under _log/refs/b too
+    val t2 = cat.createTable("ns", "t", schema, Nil)
+    t2.append((1 to 3).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    t2.createBranch("b")
+    assert(t2.branch("b").toDF.count() === 3)
+  }
+
   test("table grants: GRANT/REVOKE allow lists enforced on the SQL surface") {
     val cat = new TableCatalog(spark, new Path(freshDir("sql_grants")))
     GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, v STRING)")
