@@ -160,7 +160,11 @@ object Bench {
         org.apache.spark.sql.DataFrame]): String = try {
     import org.apache.spark.sql.functions._
     val replicas = 10
-    val bigDir = new java.io.File("target/qwork/bench_docs10x").getAbsolutePath
+    // staged corpus is KEYED on the source sf dir — a bench run at a
+    // different scale must regenerate, not silently reuse a stale 10x
+    val bigDir = new java.io.File(
+      s"target/qwork/bench_docs10x_${new java.io.File(sfDir).getName}")
+      .getAbsolutePath
     val marker = new java.io.File(bigDir, "documents.parquet/_SUCCESS")
     if (!marker.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bigDir))
@@ -234,33 +238,13 @@ object Bench {
       t.append(seed)
       t
     }
-    // stable-min over FRESH tables: a merge mutates its target, so each
-    // timed run merges into a fresh seeded copy (seeding is untimed) and
-    // the recorded number is the min of runs agreeing within 1.5× —
-    // the same discipline the headline queries adopted in r8 after a
-    // single contended-window run poisoned an artifact (merge_mor_sec
-    // recorded 4.52 s in r8 for code that steadily runs ≤1.6 s).
-    // Returns the LAST merged table so the read benches below see the
-    // exact post-merge state.
-    def stableMerge(props: Map[String, String]): (TxTable, Double) = {
-      var last: TxTable = null
-      def run(): Double = {
-        val t = seeded(props)
-        val (_, sec) = timed(
-          t.merge(batch, "transaction_id", "processing_timestamp"))
-        last = t
-        sec
-      }
-      var runs = Vector(run(), run())
-      while ({
-        val s = runs.sorted
-        s(1) / s(0) > 1.5 && runs.size < 4
-      }) runs :+= run()
-      (last, runs.min)
-    }
-    // reads are side-effect-free: plain stable-min on the same table
-    def stableRead(body: => Unit): Double = {
-      def run(): Double = { val (_, s) = timed(body); s }
+    // ONE stable-min loop for everything this shakeout times: run
+    // twice, keep sampling (bounded at 4) while the two best disagree
+    // by >1.5×, report the min — the discipline the headline queries
+    // adopted in r8 after a single contended-window run poisoned an
+    // artifact (merge_mor_sec recorded 4.52 s for code that steadily
+    // runs ≤1.6 s).
+    def stableMin(run: () => Double): Double = {
       var runs = Vector(run(), run())
       while ({
         val s = runs.sorted
@@ -268,6 +252,23 @@ object Bench {
       }) runs :+= run()
       runs.min
     }
+    // a merge mutates its target, so each timed run merges into a
+    // fresh seeded copy (seeding untimed); returns the LAST merged
+    // table so the read benches below see the exact post-merge state
+    def stableMerge(props: Map[String, String]): (TxTable, Double) = {
+      var last: TxTable = null
+      val best = stableMin { () =>
+        val t = seeded(props)
+        val (_, sec) = timed(
+          t.merge(batch, "transaction_id", "processing_timestamp"))
+        last = t
+        sec
+      }
+      (last, best)
+    }
+    // reads are side-effect-free: stable-min in place
+    def stableRead(body: => Unit): Double =
+      stableMin(() => { val (_, s) = timed(body); s })
     val (off, mergeOff) = stableMerge(Map.empty)
     val (on, mergeOn) = stableMerge(Map(TxTable.ChangeFeedProperty -> "true"))
     val v = on.currentVersion

@@ -404,8 +404,8 @@ object GraftSql {
         Seq(s"REPARTITIONED $ns.$tbl v$v").toDF("result")
       case UpdateRe(rawName, setAndWhere) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        aclCheck(cat, ns, tbl, "INSERT")
         val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")
         // split SET list from WHERE at the first TOP-LEVEL keyword —
         // a 'WHERE' inside a string literal must not end the SET list
         val (setList, where) = splitAtKeyword(setAndWhere, "WHERE")
@@ -426,8 +426,8 @@ object GraftSql {
         Seq(s"UPDATED $ns.$tbl v$v").toDF("result")
       case DeleteFromRe(rawName, where) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        aclCheck(cat, ns, tbl, "INSERT")
         val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")
         val v =
           if (TxTable.morMode(t.snapshot, TxTable.DeleteModeProperty))
             t.deletePos(predicateOf(where))
@@ -437,8 +437,8 @@ object GraftSql {
         Seq(s"DELETED $ns.$tbl v$v").toDF("result")
       case InsertRe(rawName, colList, query) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        aclCheck(cat, ns, tbl, "INSERT")
         val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")
         val df = nativeSql(cat, query)
         // SQL INSERT is POSITIONAL: map query columns onto the target's
         // (or the explicit column list's) names in order; columns the
@@ -454,8 +454,8 @@ object GraftSql {
         val pm = parseMerge(stripped).getOrElse(throw new IllegalArgumentException(
           s"unsupported MERGE statement shape"))
         val (ns, tbl) = splitName(rawName)
-        aclCheck(cat, ns, tbl, "INSERT")
         val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")
         val src = nativeSql(cat, pm.sourceQuery)
         val v = t.mergeBranches(src, pm.tgtAlias, pm.srcAlias, pm.on,
           pm.matched, pm.notMatched, pm.bySource)
@@ -468,12 +468,16 @@ object GraftSql {
         cat.getTable(ns, tbl).history()
       case TableChangesRe(rawName, from, to) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        cat.getTable(ns, tbl).changeFeed(from.toLong,
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "SELECT")          // the feed returns row data
+        t.changeFeed(from.toLong,
           Option(to).map(_.toLong).getOrElse(-1L))
       case TableChangesTsRe(rawName, from, to) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         def ms(s: String) = java.sql.Timestamp.valueOf(s.trim).getTime
-        cat.getTable(ns, tbl).changeFeedByTime(ms(from),
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "SELECT")
+        t.changeFeedByTime(ms(from),
           Option(to).map(ms).getOrElse(Long.MaxValue))
       case ShowMvRe(nsRaw) =>
         val pairs = Option(nsRaw).map(cleanIdent) match {
@@ -576,8 +580,9 @@ object GraftSql {
       // these shapes)
       case CopyIntoRe(rawName, path, fmt) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        aclCheck(cat, ns, tbl, "INSERT")
-        val (v, n) = cat.getTable(ns, tbl).copyInto(path,
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")
+        val (v, n) = t.copyInto(path,
           Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
         Seq(s"COPIED $n file(s) INTO $ns.$tbl v$v").toDF("result")
       case AddFilesRe(rawName, path) if knownTable(cat, rawName) =>
@@ -631,14 +636,20 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val props = parseProps(list)
         require(props.nonEmpty, s"no 'k'='v' pairs in TBLPROPERTIES ($list)")
-        val v = cat.getTable(ns, tbl).setProperties(props)
+        val t = cat.getTable(ns, tbl)
+        // editing graft.acl.* through the property door is grant
+        // administration — owners only, same as GRANT/REVOKE
+        if (props.keys.exists(_.startsWith("graft.acl."))) aclOwnerCheck(t)
+        val v = t.setProperties(props)
         Seq(s"SET ${props.size} TBLPROPERTIES ON $ns.$tbl v$v").toDF("result")
       case UnsetPropsRe(rawName, list) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val keys = """'([^']*)'""".r.findAllMatchIn(list)
           .map(_.group(1)).toSeq
         require(keys.nonEmpty, s"no 'key' entries in TBLPROPERTIES ($list)")
-        val v = cat.getTable(ns, tbl).unsetProperties(keys)
+        val t = cat.getTable(ns, tbl)
+        if (keys.exists(_.startsWith("graft.acl."))) aclOwnerCheck(t)
+        val v = t.unsetProperties(keys)
         Seq(s"UNSET ${keys.size} TBLPROPERTIES ON $ns.$tbl v$v").toDF("result")
       case ShowPropsRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
@@ -700,10 +711,16 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val principal = if (qp != null) qp else cleanIdent(bp)
         val t = cat.getTable(ns, tbl)
+        aclOwnerCheck(t)
         val privs =
           if (priv.equalsIgnoreCase("ALL")) Seq("SELECT", "INSERT")
           else Seq(priv.toUpperCase)
-        val v = t.setProperties(privs.map(pr => aclProp(pr) ->
+        // the FIRST grant records the granting principal as owner, so
+        // grant administration is closed from that moment on
+        val ownerSeed =
+          if (aclPrincipals(t, "OWNER").nonEmpty) Map.empty[String, String]
+          else Map(aclProp("OWNER") -> currentPrincipal(t.spark))
+        val v = t.setProperties(ownerSeed ++ privs.map(pr => aclProp(pr) ->
           (aclPrincipals(t, pr) + principal).toSeq.sorted.mkString(",")).toMap)
         Seq(s"GRANTED ${priv.toUpperCase} ON $ns.$tbl TO $principal v$v")
           .toDF("result")
@@ -711,22 +728,28 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val principal = if (qp != null) qp else cleanIdent(bp)
         val t = cat.getTable(ns, tbl)
+        aclOwnerCheck(t)
         val privs =
           if (priv.equalsIgnoreCase("ALL")) Seq("SELECT", "INSERT")
           else Seq(priv.toUpperCase)
-        val remaining = privs.map(pr => pr -> (aclPrincipals(t, pr) - principal))
-        val (keep, drop) = remaining.partition(_._2.nonEmpty)
+        // only lists the principal is actually ON change; an emptied
+        // list UNSETS its property (the table reopens for that
+        // privilege instead of locking everyone out). One commit per
+        // kind, none for a no-op REVOKE.
+        val changed = privs
+          .map(pr => pr -> aclPrincipals(t, pr))
+          .filter(_._2.contains(principal))
+          .map { case (pr, set) => pr -> (set - principal) }
+        val (keep, drop) = changed.partition(_._2.nonEmpty)
         if (keep.nonEmpty) t.setProperties(keep.map { case (pr, set) =>
           aclProp(pr) -> set.toSeq.sorted.mkString(",") }.toMap)
-        // an emptied allow list UNSETS the property: the table reopens
-        // instead of locking every principal out
         if (drop.nonEmpty) t.unsetProperties(drop.map(p => aclProp(p._1)))
         Seq(s"REVOKED ${priv.toUpperCase} ON $ns.$tbl FROM $principal " +
           s"v${t.currentVersion}").toDF("result")
       case ShowGrantsRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
-        Seq("SELECT", "INSERT")
+        Seq("OWNER", "SELECT", "INSERT")
           .flatMap(pr => aclPrincipals(t, pr).toSeq.sorted.map(p => (p, pr)))
           .toDF("principal", "privilege")
       case _ => nativeSql(cat, stripped)
@@ -757,27 +780,66 @@ object GraftSql {
     * surface — the service-side check the reference's LakeFormation
     * grants provide; direct TxTable/DataFrame access is the storage-
     * account path that model does not govern either. */
-  private def aclCheck(cat: TableCatalog, ns: String, tbl: String,
-      priv: String): Unit = {
-    val allowed = aclPrincipals(cat.getTable(ns, tbl), priv)
+  private def aclCheck(t: TxTable, priv: String): Unit = {
+    val allowed = aclPrincipals(t, priv)
     if (allowed.nonEmpty) {
-      val p = currentPrincipal(cat.spark)
+      val p = currentPrincipal(t.spark)
       if (!allowed.contains(p)) throw new SecurityException(
-        s"principal '$p' lacks $priv on $ns.$tbl " +
-          s"(run: GRANT $priv ON $ns.$tbl TO $p)")
+        s"principal '$p' lacks $priv on ${t.name} " +
+          s"(run: GRANT $priv ON ${t.name} TO $p)")
     }
   }
 
-  /** SELECT-ACL pass over a parsed plan: every reference that resolves
-    * to a known table of this catalog (two-part, three-part with this
-    * catalog's name, or a `.changes` sub-table) must pass
-    * [[aclCheck]]. Runs AFTER view substitution, so views check their
-    * underlying tables. */
+  private def aclCheck(cat: TableCatalog, ns: String, tbl: String,
+      priv: String): Unit = aclCheck(cat.getTable(ns, tbl), priv)
+
+  /** Grant ADMINISTRATION is itself governed: the first GRANT on a
+    * table records the granting principal as its owner
+    * (`graft.acl.owner`); from then on GRANT/REVOKE — and property
+    * statements touching `graft.acl.*` keys — require an owner
+    * principal. Without this, any locked-out principal could simply
+    * grant itself access and the ACL would be advisory. */
+  private def aclOwnerCheck(t: TxTable): Unit = {
+    val owners = aclPrincipals(t, "OWNER")
+    if (owners.nonEmpty) {
+      val p = currentPrincipal(t.spark)
+      if (!owners.contains(p)) throw new SecurityException(
+        s"principal '$p' is not an owner of ${t.name} " +
+          "(only owners may manage grants)")
+    }
+  }
+
+  /** ACL pass over a parsed plan: every reference that resolves to a
+    * known table of this catalog (two-part, three-part with this
+    * catalog's name, or a `.changes` sub-table) must pass the SELECT
+    * check — and when the TOP-LEVEL statement is write-shaped (INSERT
+    * [OVERWRITE] / DELETE / UPDATE / MERGE reaching the V2 path), its
+    * TARGET table must pass INSERT as well, closing the fall-through
+    * routes the regex arms don't cover. Runs AFTER view substitution,
+    * so views check their underlying tables. */
   private def enforceReadAcl(cat: TableCatalog,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical._
     val myCatalog = catalogNameFor(cat)
-    plan.foreachWithSubqueries {
+    def targetOf(p: LogicalPlan): Option[(String, String)] = {
+      var found: Option[(String, String)] = None
+      p.foreach {
+        case r: UnresolvedRelation if found.isEmpty =>
+          found = r.multipartIdentifier match {
+            case Seq(ns, t)                      => Some((ns, t))
+            case Seq(c, ns, t) if c == myCatalog => Some((ns, t))
+            case _                               => None
+          }
+        case _ => ()
+      }
+      found
+    }
+    def writeCheck(table: LogicalPlan): Unit =
+      targetOf(table).foreach { case (ns, t) =>
+        if (cat.tableExists(ns, t)) aclCheck(cat, ns, t, "INSERT")
+      }
+    def readWalk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
       case r: UnresolvedRelation =>
         val target: Option[(String, String)] = r.multipartIdentifier match {
           case Seq(ns, t)                          => Some((ns, t))
@@ -790,6 +852,18 @@ object GraftSql {
           if (cat.tableExists(ns, t)) aclCheck(cat, ns, t, "SELECT")
         }
       case _ => ()
+    }
+    plan match {
+      // pure inserts never read their target: SELECT applies only to
+      // the source query, so a write-only principal can still insert
+      case i: InsertIntoStatement        => writeCheck(i.table); readWalk(i.query)
+      case o: OverwriteByExpression      => writeCheck(o.table); readWalk(o.query)
+      case o: OverwritePartitionsDynamic => writeCheck(o.table); readWalk(o.query)
+      // predicate/merge DML reads target rows: both checks apply
+      case d: DeleteFromTable            => writeCheck(d.table); readWalk(plan)
+      case u: UpdateTable                => writeCheck(u.table); readWalk(plan)
+      case m: MergeIntoTable             => writeCheck(m.targetTable); readWalk(plan)
+      case _                             => readWalk(plan)
     }
   }
 
@@ -932,6 +1006,7 @@ object GraftSql {
           case InsertRe(rawName, colList, query) if knownTable(cat, rawName) =>
             val (ns, tbl) = splitName(rawName)
             val t = cat.getTable(ns, tbl)
+            aclCheck(t, "INSERT")
             val df = nativeSql(cat, query)
             val targets =
               if (colList == null) t.schema.fieldNames.toSeq
@@ -942,6 +1017,7 @@ object GraftSql {
           case DeleteFromRe(rawName, where) if knownTable(cat, rawName) =>
             val (ns, tbl) = splitName(rawName)
             val t = cat.getTable(ns, tbl)
+            aclCheck(t, "INSERT")
             // same partition pruning as the single-table SQL DELETE —
             // without it stageDelete marks every file affected and a
             // one-partition txn DELETE becomes a full-table rewrite

@@ -445,12 +445,18 @@ object TxLog {
     case None => snap
     case Some(marker) =>
       val state = txnState(marker, conf).getOrElse {
-        // the window runs from the header's PUBLISH time, not from this
-        // reader's arrival: a long-pending txn aborts without blocking
-        // the reader at all, while a just-published one always gets the
-        // full window however late in it the reader lands
-        val deadline = math.max(System.currentTimeMillis(),
-          snap.timestampMs + txnResolveWaitMs(conf))
+        // the window runs from the header's PUBLISH time, so a
+        // long-pending txn aborts with minimal reader blocking and a
+        // just-published one gets the full window however late in it
+        // the reader lands — BUT the publish timestamp comes from the
+        // COORDINATOR's clock, so every reader also polls a floor from
+        // its OWN clock (min(3 s, window)): a coordinator whose clock
+        // runs behind (or whose multi-table publish is slow) cannot be
+        // instantly force-aborted by a clock-skewed reader
+        val wait = txnResolveWaitMs(conf)
+        val deadline = math.max(
+          System.currentTimeMillis() + math.min(3000L, wait),
+          snap.timestampMs + wait)
         var st: Option[String] = None
         while (st.isEmpty && System.currentTimeMillis() < deadline) {
           Thread.sleep(25)

@@ -2280,21 +2280,29 @@ class TxTable private (
     // aggregation and no per-partition sort, so a hot-key CDC batch
     // (many updates to one id) combines before the shuffle instead of
     // skewing one sort partition
-    val dataCols = aligned.columns.filterNot(_ == key)
+    // resolve the key to the ALIGNED frame's casing first — Catalyst
+    // resolves column references case-insensitively, but the
+    // column-list subtraction below is string equality and a
+    // differently-cased `key` argument would leave the key column
+    // duplicated in the output
+    val keyName = aligned.columns.find(_.equalsIgnoreCase(key)).getOrElse(key)
+    val dataCols = aligned.columns.filterNot(_ == keyName)
     // ordering wrapped in a struct: a bare null orderCol would make
     // max_by DROP the row (nulls are ignored aggregate inputs), while
     // the null-member struct just compares smallest — matching the
     // window's NULLS LAST
     val deduped = aligned
-      .groupBy(col(key))
+      .groupBy(col(keyName))
       .agg(max_by(struct(dataCols.map(col): _*),
         struct(col(orderCol))).as("__w"))
-      .select(col(key) +: dataCols.map(c => col(s"__w.`$c`").as(c)): _*)
+      .select(col(keyName) +: dataCols.map(c => col(s"__w.`$c`").as(c)): _*)
       .cache()
 
-    def dbgCow(label: String, t0: Long): Unit =
+    // phase timing for both merge modes, visible only under
+    // GRAFT_MOR_DEBUG (the bisect tool that located the r8 bench noise)
+    def dbgPhase(label: String, t0: Long): Unit =
       if (sys.env.contains("GRAFT_MOR_DEBUG"))
-        println(f"    [cow] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        println(f"    [merge] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     val tTouched = System.nanoTime()
     // affected partition values (small: one per touched date) and the
     // batch size from ONE job — per-partition counts materialize the
@@ -2310,7 +2318,7 @@ class TxTable private (
           c -> partitionValueString(r.get(i)) }.toMap).toSet,
           perPart.map(r => r.getLong(parts.size)).sum)
       }
-    dbgCow("dedup+touched", tTouched)
+    dbgPhase("dedup+touched", tTouched)
     // empty batch: nothing to upsert, nothing to delete — no commit
     // (lets the streaming path skip its own isEmpty pre-job)
     if (batchRows == 0L) { deduped.unpersist(); return _ => s.version }
@@ -2373,9 +2381,6 @@ class TxTable private (
     // fast path for huge hot partitions; the batch-sized contract of
     // the other MOR writes applies (positions collect on the driver).
     if (TxTable.morMode(s, TxTable.MergeModeProperty)) {
-      def dbg(label: String, t0: Long): Unit =
-        if (sys.env.contains("GRAFT_MOR_DEBUG"))
-          println(f"    [mor] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       val keySide =
         if (batchRows <= TxTable.MergeBroadcastMaxKeys)
           broadcast(deduped.select(col(key)))
@@ -2394,7 +2399,7 @@ class TxTable private (
         .select(col("__graft_file"), col("__graft_pos"))
         .limit(math.min(maxPos, Int.MaxValue - 1L).toInt + 1)
         .collect()
-      dbg("refs scan+collect", tRefs)
+      dbgPhase("refs scan+collect", tRefs)
       if (capped.length <= maxPos) {
         val refs = capped.map(r => (r.getString(0), r.getLong(1)))
         val tWrite = System.nanoTime()
@@ -2404,7 +2409,7 @@ class TxTable private (
             rewriteBytes = 0L, batchRows, bytesPerRow(s), parts,
             splitCol = Some(key)),
           parts)
-        dbg("writeFiles", tWrite)
+        dbgPhase("writeFiles", tWrite)
         deduped.unpersist()
         val tDv = System.nanoTime()
         val relByName = s.files.map(f => new Path(f.path).getName -> f.path).toMap
@@ -2420,7 +2425,7 @@ class TxTable private (
               rs.map(_._2)).distinct.sorted
             rel -> DeletionVector(rel, writeDvFile(mergedPos), mergedPos.length)
           }.seq.toMap
-        dbg("dv writes", tDv)
+        dbgPhase("dv writes", tDv)
         val files = s.files ++ newFiles
         val live = files.map(_.path).toSet
         val dvs = (s.deletionVectors.filterNot(d => updated.contains(d.dataFile))
@@ -2443,7 +2448,7 @@ class TxTable private (
         affectedFiles.map(_.sizeBytes).sum, batchRows,
         bytesPerRow(s), parts, splitCol = Some(key)),
       parts)
-    dbgCow("survivors+write", tWrite)
+    dbgPhase("survivors+write", tWrite)
     deduped.unpersist()
     // No blind retry: the rewritten files were derived from THIS
     // snapshot; a concurrent commit invalidates them (retrying would
@@ -2464,7 +2469,7 @@ class TxTable private (
         else commit(Some(s.version), "MERGE", schema, parts,
           keptFiles ++ newFiles, appTxns = txns, changeFiles = cdfFiles,
           pendingTxn = pendingTxn)
-      dbgCow("commit", tCommit)
+      dbgPhase("commit", tCommit)
       if (pendingTxn.isEmpty) maybeAutoCompact(touched)
       v
     }

@@ -2345,16 +2345,29 @@ class TxTableSpec extends SparkSpec {
     // no ACL declared → open to every principal
     assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
       .collect()(0).getLong(0) === 2)
-    GraftSql.sql(cat, "GRANT SELECT ON sec.t TO alice")
-    GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
-    val grants = GraftSql.sql(cat, "SHOW GRANTS ON sec.t").collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(grants === Set(("alice", "SELECT"), ("admin", "SELECT"),
-      ("admin", "INSERT")))
     try {
+      // the FIRST grant records its principal as the table's owner
+      spark.conf.set("graft.sql.principal", "admin")
+      GraftSql.sql(cat, "GRANT SELECT ON sec.t TO alice")
+      GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
+      val grants = GraftSql.sql(cat, "SHOW GRANTS ON sec.t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(grants === Set(("admin", "OWNER"), ("alice", "SELECT"),
+        ("admin", "SELECT"), ("admin", "INSERT")))
       // the default principal (anonymous) is now outside the list
+      spark.conf.unset("graft.sql.principal")
       intercept[SecurityException](
         GraftSql.sql(cat, "SELECT * FROM sec.t"))
+      // ...and cannot self-grant or edit the ACL properties directly
+      intercept[SecurityException](
+        GraftSql.sql(cat, "GRANT SELECT ON sec.t TO anonymous"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE sec.t SET TBLPROPERTIES ('graft.acl.select'='anonymous')"))
+      // ...nor write through the transaction block or INSERT OVERWRITE
+      intercept[SecurityException](GraftSql.sql(cat,
+        "BEGIN; DELETE FROM sec.t WHERE id = 1; COMMIT"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        "INSERT OVERWRITE sec.t VALUES (9, 'z')"))
       spark.conf.set("graft.sql.principal", "alice")
       assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
         .collect()(0).getLong(0) === 2)
@@ -2370,7 +2383,10 @@ class TxTableSpec extends SparkSpec {
       spark.conf.set("graft.sql.principal", "bob")
       intercept[SecurityException](
         GraftSql.sql(cat, "SELECT * FROM sec.vv"))
-      // revoke closes alice out
+      // the change feed is row data: same SELECT gate
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM table_changes('sec.t', 1)"))
+      // revoke closes alice out (owner-only administration)
       spark.conf.set("graft.sql.principal", "admin")
       GraftSql.sql(cat, "REVOKE SELECT ON sec.t FROM alice")
       spark.conf.set("graft.sql.principal", "alice")
