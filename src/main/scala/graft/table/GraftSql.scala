@@ -185,6 +185,8 @@ object GraftSql {
       """|ADD\s+(?:JARS?|FILES?|ARCHIVES?)""" +
       """|DROP\s+TEMPORARY\s+(?:VARIABLE|FUNCTION)""" +
       """|CREATE\s+(?:OR\s+REPLACE\s+)?TEMPORARY\s+FUNCTION)\b.*""").r
+  private val PrincipalSetRe =
+    """(?is)\s*SET\s+(?:`)?graft\.sql\.principal\b.*""".r
   private val CreateTempViewRe =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+(`[^`]+`|\w+).*""".r
   private val DropBareViewRe =
@@ -197,7 +199,13 @@ object GraftSql {
     // routing at all; CREATE TEMP VIEW runs on the clone so `ns.tbl`
     // references resolve, then the registered view copies back.
     text match {
-      case SessionSetRe() => return cat.spark.sql(text)
+      case SessionSetRe() =>
+        // the caller's principal is set by the EMBEDDING GATEWAY via
+        // spark.conf, never by SQL text — otherwise any denied
+        // principal could SET itself into an allow list
+        if (PrincipalSetRe.matches(text)) throw new SecurityException(
+          "graft.sql.principal cannot be set through the SQL surface")
+        return cat.spark.sql(text)
       case DropBareViewRe(_) => return cat.spark.sql(text)
       case _ => ()
     }
@@ -280,6 +288,8 @@ object GraftSql {
         } else {
           cat.createNamespace(dns)
           val src = cat.getTable(sns, stbl)
+          // a clone IS a read of every source row
+          aclCheck(src, "SELECT")
           val t = src.cloneTo(cat.tableRoot(dns, dtbl), s"$dns.$dtbl",
             Option(ver).map(_.toLong).getOrElse(-1L))
           Seq(s"CLONED $sns.$stbl -> $dns.$dtbl at v${t.currentVersion}")
@@ -329,6 +339,8 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         if (!cat.tableExists(ns, tbl) && ifExists == null)
           throw new IllegalArgumentException(s"table $ns.$tbl does not exist")
+        // dropping destroys the data AND its ACL — owners only
+        if (cat.tableExists(ns, tbl)) aclOwnerCheck(cat.getTable(ns, tbl))
         cat.dropTable(ns, tbl)
         Seq(s"DROPPED $ns.$tbl").toDF("result")
       // persistent views (the Athena CREATE VIEW surface): stored SQL
@@ -532,6 +544,7 @@ object GraftSql {
       case OptimizeRe(rawName, where, zorderCols) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")          // rewrites the table's files
         val cluster = Option(zorderCols)
           .map(_.split(",").map(cleanIdent).toSeq.filter(_.nonEmpty))
           .getOrElse(Nil)
@@ -554,7 +567,9 @@ object GraftSql {
         Seq(s"OPTIMIZED $ns.$tbl$how v$v").toDF("result")
       case RestoreRe(rawName, version) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        val v = cat.getTable(ns, tbl).restore(version.toLong)
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")          // rewinds committed data
+        val v = t.restore(version.toLong)
         Seq(s"RESTORED $ns.$tbl to v$version as v$v").toDF("result")
       // write sort order (the Iceberg WRITE ORDERED BY surface):
       // declared layout metadata — writes cluster by it (see
@@ -587,7 +602,9 @@ object GraftSql {
         Seq(s"COPIED $n file(s) INTO $ns.$tbl v$v").toDF("result")
       case AddFilesRe(rawName, path) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        val (v, n) = cat.getTable(ns, tbl).addFiles(path)
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")          // injects rows past the DML arms
+        val (v, n) = t.addFiles(path)
         Seq(s"ADDED $n file(s) TO $ns.$tbl v$v").toDF("result")
       // metadata-only partition drop (Hive/Athena syntax): the spec's
       // `k='v', k2=v2` list canonicalizes through the column types the
@@ -609,6 +626,7 @@ object GraftSql {
       case DropPartitionRe(rawName, specList) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")          // deletes the partition's rows
         val asWhere = splitTopLevel(specList, ',').mkString(" AND ")
         val pf = partitionFilterFrom(asWhere, t.schema,
           t.snapshot.partitionColumns,
@@ -653,7 +671,15 @@ object GraftSql {
         Seq(s"UNSET ${keys.size} TBLPROPERTIES ON $ns.$tbl v$v").toDF("result")
       case ShowPropsRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        cat.getTable(ns, tbl).properties.toSeq.sortBy(_._1)
+        val t = cat.getTable(ns, tbl)
+        // allow lists are grant metadata: visible to owners, redacted
+        // (key kept, value hidden) for everyone else
+        val isOwner = aclPrincipals(t, "OWNER").isEmpty ||
+          aclPrincipals(t, "OWNER").contains(currentPrincipal(t.spark))
+        t.properties.toSeq.sortBy(_._1)
+          .map { case (k, v) =>
+            if (!isOwner && k.startsWith("graft.acl.")) (k, "<redacted>")
+            else (k, v) }
           .toDF("key", "value")
       case AddConstraintRe(rawName, cname, cond) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
@@ -689,6 +715,7 @@ object GraftSql {
       case VacuumRe(rawName, retain) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")          // reclaims history irreversibly
         val n = t.vacuum(retainVersions =
           Option(retain).map(_.toInt).getOrElse(2))
         Seq(s"VACUUMED $ns.$tbl removed $n files").toDF("result")
@@ -749,9 +776,15 @@ object GraftSql {
       case ShowGrantsRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
-        Seq("OWNER", "SELECT", "INSERT")
+        // grant INSPECTION follows the LakeFormation model too: once an
+        // ACL exists, only owners and grantees may enumerate it
+        val all = Seq("OWNER", "SELECT", "INSERT")
           .flatMap(pr => aclPrincipals(t, pr).toSeq.sorted.map(p => (p, pr)))
-          .toDF("principal", "privilege")
+        val me = currentPrincipal(t.spark)
+        if (all.nonEmpty && !all.exists(_._1 == me))
+          throw new SecurityException(
+            s"principal '$me' holds no grant on ${t.name} and may not list its grants")
+        all.toDF("principal", "privilege")
       case _ => nativeSql(cat, stripped)
     }
   }
@@ -822,6 +855,12 @@ object GraftSql {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical._
     val myCatalog = catalogNameFor(cat)
+    // one table open per (ns, tbl) per STATEMENT — a self-join or a
+    // DML target visited by both checks must not re-probe the log head
+    val opened = scala.collection.mutable.Map.empty[(String, String), Option[TxTable]]
+    def tableFor(ns: String, tbl: String): Option[TxTable] =
+      opened.getOrElseUpdate((ns, tbl),
+        if (cat.tableExists(ns, tbl)) Some(cat.getTable(ns, tbl)) else None)
     def targetOf(p: LogicalPlan): Option[(String, String)] = {
       var found: Option[(String, String)] = None
       p.foreach {
@@ -837,7 +876,7 @@ object GraftSql {
     }
     def writeCheck(table: LogicalPlan): Unit =
       targetOf(table).foreach { case (ns, t) =>
-        if (cat.tableExists(ns, t)) aclCheck(cat, ns, t, "INSERT")
+        tableFor(ns, t).foreach(aclCheck(_, "INSERT"))
       }
     def readWalk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
       case r: UnresolvedRelation =>
@@ -849,7 +888,7 @@ object GraftSql {
           case _                                   => None
         }
         target.foreach { case (ns, t) =>
-          if (cat.tableExists(ns, t)) aclCheck(cat, ns, t, "SELECT")
+          tableFor(ns, t).foreach(aclCheck(_, "SELECT"))
         }
       case _ => ()
     }
@@ -863,6 +902,17 @@ object GraftSql {
       case d: DeleteFromTable            => writeCheck(d.table); readWalk(plan)
       case u: UpdateTable                => writeCheck(u.table); readWalk(plan)
       case m: MergeIntoTable             => writeCheck(m.targetTable); readWalk(plan)
+      // property edits through the V2 catalog (3-part ALTER TABLE):
+      // touching graft.acl.* is grant administration — owners only,
+      // exactly like the regex-arm TBLPROPERTIES door
+      case st: SetTableProperties if st.properties.keys
+          .exists(_.startsWith("graft.acl.")) =>
+        targetOf(st.table).foreach { case (ns, t) =>
+          tableFor(ns, t).foreach(aclOwnerCheck) }
+      case ut: UnsetTableProperties if ut.propertyKeys
+          .exists(_.startsWith("graft.acl.")) =>
+        targetOf(ut.table).foreach { case (ns, t) =>
+          tableFor(ns, t).foreach(aclOwnerCheck) }
       case _                             => readWalk(plan)
     }
   }

@@ -449,14 +449,18 @@ object TxLog {
         // long-pending txn aborts with minimal reader blocking and a
         // just-published one gets the full window however late in it
         // the reader lands — BUT the publish timestamp comes from the
-        // COORDINATOR's clock, so every reader also polls a floor from
-        // its OWN clock (min(3 s, window)): a coordinator whose clock
-        // runs behind (or whose multi-table publish is slow) cannot be
-        // instantly force-aborted by a clock-skewed reader
+        // COORDINATOR's clock, so the reader's own clock bounds it on
+        // BOTH sides: a floor of min(3 s, window) (a coordinator whose
+        // clock runs behind, or whose multi-table publish is slow,
+        // cannot be instantly force-aborted by a skewed reader) and a
+        // ceiling of one full window (a coordinator whose clock runs
+        // AHEAD cannot wedge readers for the skew — the exact hang
+        // this mechanism exists to prevent)
         val wait = txnResolveWaitMs(conf)
-        val deadline = math.max(
-          System.currentTimeMillis() + math.min(3000L, wait),
-          snap.timestampMs + wait)
+        val now = System.currentTimeMillis()
+        val deadline = math.min(now + wait, math.max(
+          now + math.min(3000L, wait),
+          snap.timestampMs + wait))
         var st: Option[String] = None
         while (st.isEmpty && System.currentTimeMillis() < deadline) {
           Thread.sleep(25)

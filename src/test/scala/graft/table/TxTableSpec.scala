@@ -2363,11 +2363,22 @@ class TxTableSpec extends SparkSpec {
         GraftSql.sql(cat, "GRANT SELECT ON sec.t TO anonymous"))
       intercept[SecurityException](GraftSql.sql(cat,
         "ALTER TABLE sec.t SET TBLPROPERTIES ('graft.acl.select'='anonymous')"))
+      // ...nor impersonate a principal through the SQL door
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SET graft.sql.principal = admin"))
       // ...nor write through the transaction block or INSERT OVERWRITE
       intercept[SecurityException](GraftSql.sql(cat,
         "BEGIN; DELETE FROM sec.t WHERE id = 1; COMMIT"))
       intercept[SecurityException](GraftSql.sql(cat,
         "INSERT OVERWRITE sec.t VALUES (9, 'z')"))
+      // ...nor read the protected rows out through a clone, rewind the
+      // table, enumerate its grants, or drop it
+      intercept[SecurityException](GraftSql.sql(cat,
+        "CREATE TABLE sec.leak SHALLOW CLONE sec.t"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        "RESTORE TABLE sec.t TO VERSION AS OF 1"))
+      intercept[SecurityException](GraftSql.sql(cat, "SHOW GRANTS ON sec.t"))
+      intercept[SecurityException](GraftSql.sql(cat, "DROP TABLE sec.t"))
       spark.conf.set("graft.sql.principal", "alice")
       assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
         .collect()(0).getLong(0) === 2)
