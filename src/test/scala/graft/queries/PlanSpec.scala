@@ -62,6 +62,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("LWW batch dedup aggregates with map-side combine, not a window sort") {
+    import spark.implicits._
+    // the merge's dedup shape (TxTable.stageMerge): groupBy + max_by
+    // over a struct ordering. The plan must show PARTIAL aggregation
+    // before the exchange (hot CDC keys combine map-side) and no
+    // WindowExec (the old row_number path sorted every partition)
+    val batch = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "v")
+    val deduped = batch.groupBy(col("k"))
+      .agg(max_by(struct(col("ts"), col("v")), struct(col("ts"))).as("__w"))
+      .select(col("k"), col("__w.ts"), col("__w.v"))
+    val plan = planOf(deduped)
+    assert(!plan.contains("Window"), plan)
+    assert("partial_max_by|partial max_by|Partial".r.findFirstIn(plan).isDefined, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan)
+  }
+
   test("as-of join plans exactly one shuffle (union-sort, not a quadratic join)") {
     import spark.implicits._
     val left = Seq((1L, 100L)).toDF("k", "t")

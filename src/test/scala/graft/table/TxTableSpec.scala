@@ -2302,6 +2302,21 @@ class TxTableSpec extends SparkSpec {
     intercept[CommitConflictException](commitStale2(None))
   }
 
+  test("hot-key merge batch: thousands of updates to ONE key keep exactly the last writer") {
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("tx_hotkey")), "t",
+      Seq(("k", 0L, "v")).toDF("id", "ts", "v").schema, Nil)
+    t.append(Seq(("hot", 0L, "seed"), ("cold", 0L, "keep")).toDF("id", "ts", "v"))
+    // the CDC worst case: a batch that is ENTIRELY updates to one key
+    // (the shape that skewed the old per-key window sort into one task)
+    val batch = (1 to 5000).map(i => ("hot", i.toLong, s"v$i"))
+      .toDF("id", "ts", "v").repartition(16)
+    t.merge(batch, "id", "ts")
+    val rows = t.toDF.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq === Seq(("cold", 0L, "keep"), ("hot", 5000L, "v5000")))
+  }
+
   test("history at the retention floor reports unknown deltas, not the whole file set") {
     import spark.implicits._
     val t = TxTable.create(spark, new Path(freshDir("tx_hist_floor")), "t",
