@@ -2411,31 +2411,81 @@ class TxTable private (
           parts)
         dbgPhase("writeFiles", tWrite)
         deduped.unpersist()
-        val tDv = System.nanoTime()
-        val relByName = s.files.map(f => new Path(f.path).getName -> f.path).toMap
-        val existing = s.deletionVectors.map(d => d.dataFile -> d).toMap
-        // sidecars are independent per file — write them concurrently
-        // (driver-local I/O; the per-file work is a sort + one small write)
-        val updated: Map[String, DeletionVector] = refs.groupBy(_._1).toSeq
-          .par.map { case (name, rs) =>
-            val rel = relByName.getOrElse(name,
-              throw new IllegalStateException(s"matched row in unknown file $name"))
-            val mergedPos = (existing.get(rel)
-              .map(d => readDvPositions(d.path)).getOrElse(Array.empty[Long]) ++
-              rs.map(_._2)).distinct.sorted
-            rel -> DeletionVector(rel, writeDvFile(mergedPos), mergedPos.length)
-          }.seq.toMap
-        dbgPhase("dv writes", tDv)
-        val files = s.files ++ newFiles
-        val live = files.map(_.path).toSet
-        val dvs = (s.deletionVectors.filterNot(d => updated.contains(d.dataFile))
-          ++ updated.values).filter(d => live.contains(d.dataFile))
-        return pendingTxn => {
-          val v = commit(Some(s.version), "MERGE_MOR", schema,
-            parts, files, appTxns = txns, deletionVectors = dvs,
-            changeFiles = cdfFiles, pendingTxn = pendingTxn)
-          if (pendingTxn.isEmpty) maybeAutoCompact(touched)
-          v
+        val refsByName = refs.groupBy(_._1)
+        val sPaths = s.files.map(_.path).toSet
+        // Per-BASE DV merge: sidecars are independent per file, so they
+        // write concurrently (driver-local I/O; the per-file work is a
+        // sort + one small write). Re-run against the CURRENT snapshot
+        // on a rebase attempt, so a concurrently-grown vector's
+        // positions survive the union (delete∘delete commutes — the
+        // same argument as deletePos's retry) and a concurrently
+        // REWRITTEN file surfaces as a conflict instead of silently
+        // resurrecting its matched rows.
+        def morOutput(base: Snapshot): (Seq[DataFile], Seq[DeletionVector]) = {
+          val relByName = base.files.map(f => new Path(f.path).getName -> f.path).toMap
+          val existing = base.deletionVectors.map(d => d.dataFile -> d).toMap
+          val tDv = System.nanoTime()
+          val updated: Map[String, DeletionVector] = refsByName.toSeq
+            .par.map { case (name, rs) =>
+              val rel = relByName.getOrElse(name,
+                throw new java.util.ConcurrentModificationException(
+                  s"merge-on-read MERGE positions reference data file " +
+                    s"'$name', which a concurrent commit rewrote or " +
+                    "removed; re-run the merge"))
+              val mergedPos = (existing.get(rel)
+                .map(d => readDvPositions(d.path)).getOrElse(Array.empty[Long]) ++
+                rs.map(_._2)).distinct.sorted
+              rel -> DeletionVector(rel, writeDvFile(mergedPos), mergedPos.length)
+            }.seq.toMap
+          dbgPhase("dv writes", tDv)
+          val files = base.files ++ newFiles
+          val live = files.map(_.path).toSet
+          (files, (base.deletionVectors.filterNot(d => updated.contains(d.dataFile))
+            ++ updated.values).filter(d => live.contains(d.dataFile)))
+        }
+        return {
+          case pt @ Some(_) =>
+            // inside a multi-table txn: CAS against the staged
+            // snapshot only — any concurrent commit aborts the txn
+            val (files, dvs) = morOutput(s)
+            commit(Some(s.version), "MERGE_MOR", schema,
+              parts, files, appTxns = txns, deletionVectors = dvs,
+              changeFiles = cdfFiles, pendingTxn = pt)
+          case None =>
+            // standalone: REBASE across concurrent commits that left
+            // the merge's inputs untouched, like the COW MERGE —
+            // disjoint-partition MOR merges (multi-stream CDC ingest)
+            // compose. Guards per attempt: the idempotent fence
+            // re-checks, and no files may have been ADDED in the
+            // touched partitions since the ref scan (they could carry
+            // the batch's keys — rebasing past them would duplicate).
+            val v = retryingCommit("MERGE_MOR") { expected =>
+              val cur = if (expected == s.version) s else snapshotAt(expected)
+              if (txn.exists { case (a, tv) =>
+                  cur.appTxns.get(a).exists(_ >= tv) }) {
+                deleteDataFiles(newFiles.map(_.path))
+                cur.version
+              } else {
+                if (expected != s.version &&
+                    cur.files.exists(f => !sPaths.contains(f.path) &&
+                      touched.contains(f.partitionValues)))
+                  throw new java.util.ConcurrentModificationException(
+                    s"merge-on-read MERGE of $name rebased onto " +
+                      s"v$expected, but a concurrent commit added files " +
+                      "in a merged partition (they could carry the " +
+                      "batch's keys); re-run the merge")
+                val (files, dvs) = morOutput(cur)
+                val curTxns = txn.map { case (a, tv) =>
+                  cur.appTxns + (a -> math.max(tv,
+                    cur.appTxns.getOrElse(a, Long.MinValue)))
+                }.getOrElse(cur.appTxns)
+                commit(Some(expected), "MERGE_MOR", schemaOf(cur),
+                  cur.partitionColumns, files, appTxns = curTxns,
+                  deletionVectors = dvs, changeFiles = cdfFiles)
+              }
+            }
+            maybeAutoCompact(touched)
+            v
         }
       }
       // over the cap: fall through to the copy-on-write merge below

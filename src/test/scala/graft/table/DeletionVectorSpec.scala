@@ -452,6 +452,43 @@ class DeletionVectorSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.morMaxPositions")
   }
 
+  test("concurrent merge-on-read MERGEs on disjoint partitions both commit") {
+    val anchor = 1754988000000L
+    val t = TxTable.create(spark, new Path(freshDir("dv_merge_rebase")), "t",
+      Schemas.transactions, Seq("date"),
+      properties = Map(TxTable.MergeModeProperty -> "merge-on-read"))
+    val day1 = SampleData.transactions(spark, 30, seed = 61L, anchorMs = anchor)
+    val day2 = SampleData.transactions(spark, 30, seed = 62L,
+      anchorMs = anchor + 86400000L)
+    t.append(day1); t.append(day2)
+    def mods(src: org.apache.spark.sql.DataFrame, amt: Double) =
+      src.orderBy("transaction_id").limit(10)
+        .withColumn("amount", lit(amt).cast(
+          org.apache.spark.sql.types.DecimalType(12, 2)))
+        .withColumn("processing_timestamp", col("processing_timestamp") + 1L)
+    // writer 1 stages a day-1 MOR upsert; writer 2 lands a day-2 MOR
+    // merge first — disjoint partitions, writer 1 REBASES and both
+    // commit, each through its own deletion vectors (multi-stream CDC
+    // ingest in merge-on-read mode)
+    val commit1 = t.stageMerge(mods(day1, 111.11),
+      "transaction_id", "processing_timestamp")
+    t.merge(mods(day2, 222.22), "transaction_id", "processing_timestamp")
+    commit1(None)
+    assert(t.snapshot.operation === "MERGE_MOR")
+    assert(t.snapshot.deletionVectors.nonEmpty)
+    assert(t.toDF.count() === 60)
+    assert(t.toDF.filter(col("amount") === 111.11).count() === 10)
+    assert(t.toDF.filter(col("amount") === 222.22).count() === 10)
+    assert(t.count() === 60)      // metadata count stays vector-exact
+    // a concurrent APPEND into a merged partition could carry the
+    // batch's keys — that rebase must refuse
+    val commitStale = t.stageMerge(mods(day1, 333.33),
+      "transaction_id", "processing_timestamp")
+    t.append(day1.orderBy("transaction_id").limit(3)
+      .withColumn("transaction_id", concat(col("transaction_id"), lit("_x"))))
+    intercept[java.util.ConcurrentModificationException](commitStale(None))
+  }
+
   test("deletePos retry preserves a concurrently-committed vector") {
     val dir = new Path(freshDir("dv_race"))
     val t = TxTable.create(spark, dir, "t",
