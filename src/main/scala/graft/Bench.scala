@@ -293,15 +293,15 @@ object Bench {
     // sum(length(..)) is NOT an eligible pushed aggregate, so the scan
     // actually reads the column (count(*) alone would be answered from
     // snapshot metadata by the V2 aggregate pushdown)
-    def v2Read(table: String): Long =
+    def v2Read(t: TxTable): Long =
       spark.sql(s"""SELECT count(*) AS n, sum(length(transaction_id)) AS s
-                   FROM graftbench.bench.$table""")
+                   FROM graftbench.${t.name}""")
         .collect()(0).getLong(0)
-    require(v2Read(mor.name.split("\\.").last) == 40000L, "V2 MOR read row count")
-    val dvReadV2 = stableRead(v2Read(mor.name.split("\\.").last))
+    require(v2Read(mor) == 40000L, "V2 MOR read row count")
+    val dvReadV2 = stableRead(v2Read(mor))
     // the fair baseline: the SAME V2 machinery over the vector-free
     // table — the difference to dv_read_v2_sec is the actual MOR tax
-    val cowReadV2 = stableRead(v2Read(off.name.split("\\.").last))
+    val cowReadV2 = stableRead(v2Read(off))
     // COMPACTED-shape pair: the tiny-file tables above carry ~64 files
     // for 60k rows, so their DV read tax is dominated by fixed per-task
     // and per-file-planning cost that real 128 MB files amortize away.
@@ -315,9 +315,9 @@ object Bench {
     val cowC = seeded(Map.empty)
     cowC.merge(batch, "transaction_id", "processing_timestamp")
     cowC.compactSmallFiles()
-    require(v2Read(morC.name.split("\\.").last) == 40000L, "compacted MOR read row count")
-    val dvReadC = stableRead(v2Read(morC.name.split("\\.").last))
-    val cowReadC = stableRead(v2Read(cowC.name.split("\\.").last))
+    require(v2Read(morC) == 40000L, "compacted MOR read row count")
+    val dvReadC = stableRead(v2Read(morC))
+    val cowReadC = stableRead(v2Read(cowC))
     val morCFiles = morC.snapshot.files.size
     val cowCFiles = cowC.snapshot.files.size
     seed.unpersist(); batch.unpersist()

@@ -674,8 +674,9 @@ object GraftSql {
         val t = cat.getTable(ns, tbl)
         // allow lists are grant metadata: visible to owners, redacted
         // (key kept, value hidden) for everyone else
-        val isOwner = aclPrincipals(t, "OWNER").isEmpty ||
-          aclPrincipals(t, "OWNER").contains(currentPrincipal(t.spark))
+        val owners = aclPrincipals(t, "OWNER")
+        val isOwner = owners.isEmpty ||
+          owners.contains(currentPrincipal(t.spark))
         t.properties.toSeq.sortBy(_._1)
           .map { case (k, v) =>
             if (!isOwner && k.startsWith("graft.acl.")) (k, "<redacted>")
@@ -822,9 +823,6 @@ object GraftSql {
           s"(run: GRANT $priv ON ${t.name} TO $p)")
     }
   }
-
-  private def aclCheck(cat: TableCatalog, ns: String, tbl: String,
-      priv: String): Unit = aclCheck(cat.getTable(ns, tbl), priv)
 
   /** Grant ADMINISTRATION is itself governed: the first GRANT on a
     * table records the granting principal as its owner

@@ -1702,9 +1702,7 @@ class TxTable private (
             "deletion vectors/equality deletes, or new files in a merged " +
             "partition) — re-read and retry")
       }
-      val txns = txn.map { case (a, v) =>
-        cur.appTxns + (a -> math.max(v, cur.appTxns.getOrElse(a, Long.MinValue)))
-      }.orNull
+      val txns = txn.map(_ => mergedTxns(cur, txn)).orNull
       try {
         return commit(Some(expected), op, schemaOf(cur),
           cur.partitionColumns,
@@ -2371,9 +2369,7 @@ class TxTable private (
             lit("insert").as("_change_type"): _*)
         writeChangeData(matchedChanges.unionByName(insertChanges))
       }
-    val txns = txn.map { case (appId, v) =>
-      s.appTxns + (appId -> math.max(v, s.appTxns.getOrElse(appId, Long.MinValue)))
-    }.getOrElse(s.appTxns)
+    val txns = mergedTxns(s, txn)
     // graft.merge.mode=merge-on-read: instead of rewriting the touched
     // partitions, mark every matched key's OLD row deleted in per-file
     // vectors and append only the winners — commit cost O(batch +
@@ -2475,12 +2471,8 @@ class TxTable private (
                       "in a merged partition (they could carry the " +
                       "batch's keys); re-run the merge")
                 val (files, dvs) = morOutput(cur)
-                val curTxns = txn.map { case (a, tv) =>
-                  cur.appTxns + (a -> math.max(tv,
-                    cur.appTxns.getOrElse(a, Long.MinValue)))
-                }.getOrElse(cur.appTxns)
                 commit(Some(expected), "MERGE_MOR", schemaOf(cur),
-                  cur.partitionColumns, files, appTxns = curTxns,
+                  cur.partitionColumns, files, appTxns = mergedTxns(cur, txn),
                   deletionVectors = dvs, changeFiles = cdfFiles)
               }
             }
@@ -3394,6 +3386,14 @@ class TxTable private (
     * replaces everything). MERGE/DELETE/COMPACT commit exactly once —
     * their rewrites are derived from a specific snapshot, so a conflict
     * must surface to the caller for a full re-read (serializability). */
+  /** The idempotent-writer watermark update for `txn` applied to
+    * `base`'s app-transaction map (no-op map when `txn` is absent). */
+  private def mergedTxns(base: Snapshot,
+      txn: Option[(String, Long)]): Map[String, Long] =
+    txn.map { case (a, v) =>
+      base.appTxns + (a -> math.max(v, base.appTxns.getOrElse(a, Long.MinValue)))
+    }.getOrElse(base.appTxns)
+
   private def retryingCommit(op: String)(attempt: Long => Long): Long = {
     var tries = 0
     while (true) {
