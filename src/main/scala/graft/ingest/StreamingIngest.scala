@@ -101,7 +101,12 @@ object StreamingIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        fanOutBatch(spark, main, audit, txnDir, batch, batchId, errorsDir,
+        // same per-stream tuning as start(): the fan-out's merge +
+        // append run on the stream's cloned session with AQE off
+        val ss = batch.sparkSession
+        ss.conf.set("spark.sql.adaptive.enabled", "false")
+        fanOutBatch(ss, main.withSession(ss), audit.withSession(ss),
+          txnDir, batch, batchId, errorsDir,
           appId = streamAppId.getOrElse(checkpointDir))
       }
       .start()
