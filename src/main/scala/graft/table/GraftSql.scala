@@ -637,17 +637,25 @@ object GraftSql {
         Seq(s"DROPPED $n file(s) FROM $ns.$tbl v$v").toDF("result")
       // branch DDL (the Iceberg WAP surface) — must precede the native
       // fallthrough: Spark's parser rejects these ALTER shapes
+      // branch DDL is a write surface: a branch forks the table's data
+      // (reads through it see every row) and fast-forward REPLACES main
       case CreateBranchRe(rawName, branch) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        val v = cat.getTable(ns, tbl).createBranch(cleanIdent(branch))
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")
+        val v = t.createBranch(cleanIdent(branch))
         Seq(s"CREATED BRANCH ${cleanIdent(branch)} ON $ns.$tbl at v$v").toDF("result")
       case DropBranchRe(rawName, branch) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        cat.getTable(ns, tbl).dropBranch(cleanIdent(branch))
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")
+        t.dropBranch(cleanIdent(branch))
         Seq(s"DROPPED BRANCH ${cleanIdent(branch)} ON $ns.$tbl").toDF("result")
       case FastForwardRe(rawName, branch) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        val v = cat.getTable(ns, tbl).fastForward(cleanIdent(branch))
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")
+        val v = t.fastForward(cleanIdent(branch))
         Seq(s"FAST-FORWARDED $ns.$tbl to branch ${cleanIdent(branch)} as v$v")
           .toDF("result")
       case SetPropsRe(rawName, list) if knownTable(cat, rawName) =>

@@ -58,6 +58,34 @@ class ObjectStoreSpec extends SparkSpec {
       "expected data-file staging moves to route through the mock")
   }
 
+  test("multi-table transaction commits atomically over s3mock") {
+    // the marker put-if-absent — the reference's service-side token
+    // CAS — must carry the whole protocol on object-store semantics
+    val wh = new Path(s"s3mock://${freshDir("s3mock_txn")}")
+    val cat = new TableCatalog(spark, wh)
+    def seeded(name: String): TxTable = {
+      val t = cat.createTable("txn", name, Schemas.transactions, Seq("date"))
+      t.append(SampleData.transactions(spark, 30, seed = 70L))
+      t
+    }
+    val a = seeded("a")
+    val b = seeded("b")
+    val extra = SampleData.transactions(spark, 10, seed = 71L)
+    val versions = cat.beginTransaction()
+      .append(a, extra)
+      .append(b, extra)
+      .commit()
+    assert(versions.values.toSet === Set(2L))
+    assert(a.toDF.count() === 40)
+    assert(b.toDF.count() === 40)
+    // an aborted txn stays invisible on the same store
+    val txn = cat.beginTransaction()
+      .append(a, SampleData.transactions(spark, 5, seed = 72L))
+    txn.publishPending()
+    assert(txn.abort() === TxLog.TxnAborted)
+    assert(a.toDF.count() === 40)
+  }
+
   test("V2 catalog SQL works against an s3mock warehouse") {
     val wh = s"s3mock://${freshDir("s3mock_sql")}"
     spark.conf.set("spark.sql.catalog.s3m", "graft.catalog.GraftCatalog")
