@@ -107,4 +107,43 @@ class PropertySpec extends SparkSpec {
       assert(once === twice, s"seed=$seed")
     }
   }
+
+  test("merge LWW matches a reference fold for random dup-heavy batches") {
+    // the aggregate-based dedup must implement EXACTLY the last-writer-
+    // wins contract a driver-side fold defines: per key, the greatest
+    // NON-NULL orderCol wins (a null loses to any value), then
+    // delete-flagged winners evict. Order values are UNIQUE per batch
+    // (no ties — a tie's winner is explicitly arbitrary), plus two
+    // all-null-order keys: one upsert-only (a row must survive, the
+    // window's NULLS-LAST behavior) and one delete-only (must evict).
+    seeds.foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 80).map { i =>
+        (s"k${rnd.nextInt(12)}", java.lang.Long.valueOf(i.toLong),
+          s"v$i", rnd.nextInt(100) < 20)
+      } ++ Seq(
+        ("kn_keep", null.asInstanceOf[java.lang.Long], "nk1", false),
+        ("kn_keep", null.asInstanceOf[java.lang.Long], "nk2", false),
+        ("kn_del", null.asInstanceOf[java.lang.Long], "nd1", true),
+        ("kn_del", null.asInstanceOf[java.lang.Long], "nd2", true))
+      val batch = rows.toDF("id", "ts", "v", "del")
+      val expectLive = rows.groupBy(_._1).map { case (k, rs) =>
+        k -> rs.maxBy(r => Option(r._2).map(_.longValue).getOrElse(Long.MinValue))
+      }.collect { case (k, r) if !r._4 => k -> ((r._2, r._3)) }
+      val root = new org.apache.hadoop.fs.Path(freshDir(s"prop_lww_$seed"))
+      val t = graft.table.TxTable.create(spark, root, "t",
+        batch.drop("del").schema, Nil)
+      t.merge(batch, "id", "ts", deleteCol = Some("del"))
+      val got = t.toDF.collect()
+        .map(r => r.getString(0) ->
+          ((if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)),
+            r.getString(2)))).toMap
+      assert(got.keySet === expectLive.keySet, s"seed=$seed")
+      expectLive.foreach { case (k, (ts, v)) =>
+        assert(got(k)._1 === ts, s"seed=$seed key=$k winning ts")
+        // v is determined wherever ts is non-null (unique ordering)
+        if (ts != null) assert(got(k)._2 === v, s"seed=$seed key=$k value")
+      }
+    }
+  }
 }
