@@ -322,6 +322,41 @@ object Dedup {
    * candidate set is distinct, so each vector crosses the wire once per
    * surviving candidate side, not once per (table × bucket collision).
    */
+  /**
+   * SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+   * deduplication at corpus scale — a coarse clustering bounds the
+   * pair search to WITHIN-cluster, then any document with a
+   * smaller-id cluster-mate at cosine ≥ `threshold` is dropped (keep-
+   * first, the paper's keep-one-per-near-dup-group rule). Returns the
+   * DROP decisions: (id, cell, dup_of = the smallest kept near-dup).
+   *
+   * Scale shape: the cluster step is [[Similarity.coarseCells]] (zero
+   * shuffle); the pair join shuffles each vector ONCE on its cell and
+   * generates pairs only within cells — O(Σ|cluster|²) scored pairs,
+   * never all-pairs, with `nClusters` sized so clusters bound the
+   * quadratic term (the paper's cost model). Recall is bounded by the
+   * clustering (a near-dup pair split across cells survives), which is
+   * SemDeDup's documented trade; the oracle replays the identical
+   * clustering, so the output is checked exactly.
+   */
+  def semDedup(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", nClusters: Int = 16,
+      threshold: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val assigned = Similarity.coarseCells(
+      embeddings.select(col(idCol), col(vecCol)), idCol, vecCol, nClusters)
+    val left = assigned.select(col("cell"), col(idCol).as("__id_a"),
+      col(vecCol).as("__va"))
+    val right = assigned.select(col("cell"), col(idCol).as("__id_b"),
+      col(vecCol).as("__vb"))
+    left.join(right, Seq("cell"))
+      .filter(col("__id_a") < col("__id_b"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .groupBy(col("cell"), col("__id_b"))
+      .agg(min(col("__id_a")).as("dup_of"))
+      .select(col("__id_b").as(idCol), col("cell"), col("dup_of"))
+  }
+
   def embeddingNearDup(embeddings: DataFrame, dim: Int,
       threshold: Double = 0.95, nBits: Int = 8, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

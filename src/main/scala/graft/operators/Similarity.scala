@@ -303,6 +303,33 @@ object Similarity {
     topKByScore(scored, k, queryId, corpusId)
   }
 
+  /** Deterministic coarse partitioner (the `iters = 0` quantizer shape
+    * [[ivfTopK]] also uses): centroids are the md5-hash-ordered first
+    * `nCells` corpus vectors — engine-portable, so a SQL oracle derives
+    * the IDENTICAL sample — and every row gets its argmax-cosine `cell`
+    * from one inlined, codegen'd greatest() over (sim, -cell) structs:
+    * a narrow map stage, ZERO shuffle, ties to the lowest cell. Shared
+    * by SemDeDup ([[Dedup.semDedup]]) as its cluster step. */
+  def coarseCells(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val seedHash = conv(substring(md5(col(idCol).cast(StringType)), 1, 15),
+      16, 10).cast(LongType)
+    val centroids = df.select(col(idCol), col(vecCol))
+      .withColumn("__h", seedHash)
+      .orderBy(col("__h"), col(idCol)).limit(nCells)
+      .collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
+      }
+    val scored = centroids.map { case (cellId, cvec) =>
+      struct(cosine(col(vecCol), typedlit(cvec.toSeq)).as("sim"),
+        lit(-cellId).as("neg_cell"))
+    }
+    val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
+    df.withColumn("cell", (-best.getField("neg_cell")).cast(IntegerType))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       nCells: Int = 16, nprobe: Int = 4, iters: Int = 3,
       corpusId: String = "vec_id", corpusVec: String = "embedding",

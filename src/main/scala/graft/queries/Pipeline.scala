@@ -261,6 +261,41 @@ object Pipeline {
             len(list_distinct(list_concat(sa.s, sb.s))) >= 0.4
       ORDER BY id_a, id_b""")),
 
+    // SemDeDup (Abbas et al. 2023): coarse clusters bound the pair
+    // search; a doc with a smaller-id cluster-mate at cosine ≥ 0.4 is
+    // dropped. The deterministic md5-seeded clustering (the IVF
+    // iters=0 quantizer shape) is REPLAYED in full by the oracle, so
+    // the drop set — including the clustering's documented recall
+    // bound (cross-cell pairs survive) — is checked exactly.
+    Q("dedup_semantic", fn = (s, dir) =>
+      Dedup.semDedup(Td.embeddings(s, dir), nClusters = 16, threshold = 0.4)
+        .orderBy(col("vec_id")),
+      oracle = Some("""
+      WITH cents AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, cvec
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h,
+                     vec_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                     DESC, c.cell ASC) AS rn
+          FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+      pairs AS (
+        SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                eb.embedding::DOUBLE[]) >= 0.4)
+      SELECT id_b AS vec_id, CAST(cell AS INTEGER) AS cell,
+             min(id_a) AS dup_of
+      FROM pairs GROUP BY id_b, cell ORDER BY vec_id""")),
+
     // threshold 0.4 sits in the data's actual near-dup band (the
     // synthetic embeddings top out near cosine 0.5). 8 tables × 8 bits
     // keeps buckets at 1/256 of the corpus (scale-safe); the md5-derived

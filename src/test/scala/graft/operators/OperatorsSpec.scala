@@ -69,6 +69,31 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("semDedup drops exactly the later near-dups within a cluster") {
+    // 0/1/2 mutually near (cosine ≈ 1): keep 0, drop 1 and 2 (both
+    // dup_of 0). 3 is orthogonal-ish: kept. With nClusters = 1 the
+    // cluster step cannot split pairs, so the drop rule is isolated.
+    val vecs = Seq(
+      (0L, Array.tabulate(8)(i => (i + 1).toFloat)),
+      (1L, Array.tabulate(8)(i => (i + 1).toFloat + 0.01f)),
+      (2L, Array.tabulate(8)(i => (i + 1).toFloat * 2f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f)))
+      .toDF("vec_id", "embedding")
+    val drops = Dedup.semDedup(vecs, nClusters = 1, threshold = 0.99)
+      .select("vec_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(drops === Set((1L, 0L), (2L, 0L)))
+    // in a mutual near-dup clique the keeper is the one surviving
+    // member (transitive chains may name a dropped doc as dup_of —
+    // the paper's rule drops on ANY smaller-id neighbor)
+    val dropped = drops.map(_._1)
+    assert(drops.map(_._2).intersect(dropped).isEmpty)
+    // a higher cluster count can only LOWER recall (cross-cell pairs
+    // survive), never invent drops
+    val drops16 = Dedup.semDedup(vecs, nClusters = 4, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(drops16.subsetOf(dropped))
+  }
+
   test("cosine and dot products compute correctly") {
     val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 0.0f, 1.0f)),
       (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)))
