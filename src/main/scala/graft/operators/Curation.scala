@@ -353,4 +353,54 @@ object Curation {
       .join(freq, Seq(idCol), "left")
       .withColumn("top_token_share", coalesce(col("top_token_share"), lit(0.0)))
   }
+
+  /**
+   * DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+   * arXiv:2302.03169): score every raw document by how much its hashed
+   * unigram distribution looks like a TARGET corpus, as the summed
+   * per-token log importance ratio `Σ log(p_target[b]/p_raw[b])` over
+   * Laplace-smoothed bucket probabilities. High scores = most
+   * target-like; selection is a top-k (or weighted sample) over them.
+   *
+   * Scale shape: features are portable md5 hash buckets (the oracle
+   * derives identical buckets in SQL), so the model is TWO fixed-size
+   * (`nBuckets`-row) count aggregates — the per-bucket log-ratio table
+   * broadcasts and scoring is one narrow map + one per-doc sum, no
+   * shuffle carries text. Per-token ratios quantize to integer
+   * micro-units BEFORE the sum (exact integer addition), so scores are
+   * partition-order-independent — the [[lmScore]] discipline.
+   */
+  def dsirScore(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      nBuckets: Int = 1024, alpha: Double = 1.0): DataFrame = {
+    def bucket(t: Column): Column =
+      pmod(conv(substring(md5(t), 1, 15), 16, 10).cast(LongType),
+        lit(nBuckets.toLong))
+    def bucketed(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(TextFunctions.tokens(col(textCol))).as("__t"))
+        .select(col(idCol), bucket(col("__t")).as("b"))
+    // DSIR is inherently two passes over the raw corpus (fit the
+    // bucket model, then score) — both are narrow token→bucket maps
+    // feeding fixed-size aggregates, so re-scanning beats pinning the
+    // exploded token frame in memory
+    val rawB = bucketed(raw)
+    val tgtCounts = bucketed(target).groupBy(col("b"))
+      .agg(count(lit(1)).as("c_t"))
+    val rawCounts = rawB.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    // two scalar totals (token counts) — driver-safe at any scale
+    val tTot = tgtCounts.agg(coalesce(sum(col("c_t")), lit(0L)))
+      .collect()(0).getLong(0)
+    val rTot = rawB.count()
+    val b = nBuckets.toDouble
+    val ratios = rawCounts.join(tgtCounts, Seq("b"), "left")
+      .select(col("b"),
+        round(log(((coalesce(col("c_t"), lit(0L)) + alpha) / (tTot + alpha * b)) /
+          ((col("c_r") + alpha) / (rTot + alpha * b))) * lit(1e6), 0)
+          .cast(LongType).as("lr_micro"))
+    rawB.join(broadcast(ratios), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lr_micro")).as("dsir_score_micro"))
+  }
 }

@@ -763,6 +763,47 @@ object Pipeline3 {
                    1.0 / greatest(length(text), 1)) AS score
         FROM documents)
       SELECT doc_id, n_chars FROM sc
-      ORDER BY score DESC, doc_id LIMIT 25"""))
+      ORDER BY score DESC, doc_id LIMIT 25""")),
+
+    // ------------------------------------------------------------------
+    // DSIR importance scoring (Xie et al. 2023): hashed-unigram bucket
+    // model of a TARGET slice (lang='en') vs the whole raw corpus;
+    // each doc scores Σ log(p_target[b]/p_raw[b]) over its tokens,
+    // micro-quantized per token before the sum (order-independent).
+    // The 40 most target-like docs are the selection — the oracle
+    // replays buckets, smoothing, quantization, and the top-k exactly.
+    Q("curation_dsir", fn = (s, dir) => {
+      val docs = Td.documents(s, dir)
+      Curation.dsirScore(docs, docs.filter(col("lang") === "en"),
+          nBuckets = 1024)
+        .orderBy(col("dsir_score_micro").desc, col("doc_id"))
+        .limit(40)
+    }, oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(
+                 regexp_split_to_array(lower(trim(text)), '\s+'),
+                 x -> x <> '')) AS t
+        FROM documents),
+      bt AS (
+        SELECT doc_id, lang,
+               CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024 AS b
+        FROM toks),
+      tgt AS (SELECT b, count(*) AS c_t FROM bt WHERE lang = 'en' GROUP BY b),
+      raw AS (SELECT b, count(*) AS c_r FROM bt GROUP BY b),
+      tot AS (SELECT (SELECT count(*) FROM bt WHERE lang = 'en') AS tt,
+                     (SELECT count(*) FROM bt) AS rt),
+      lr AS (
+        SELECT r.b,
+               CAST(round(ln(((COALESCE(t.c_t, 0) + 1.0) / (tot.tt + 1024.0)) /
+                 ((r.c_r + 1.0) / (tot.rt + 1024.0))) * 1000000, 0) AS BIGINT)
+                 AS lr_micro
+        FROM raw r LEFT JOIN tgt t USING (b), tot),
+      scored AS (
+        SELECT bt.doc_id, count(*) AS n_tokens,
+               CAST(sum(lr.lr_micro) AS BIGINT) AS dsir_score_micro
+        FROM bt JOIN lr USING (b) GROUP BY bt.doc_id)
+      SELECT doc_id, n_tokens, dsir_score_micro FROM scored
+      ORDER BY dsir_score_micro DESC, doc_id LIMIT 40"""))
   )
 }

@@ -219,6 +219,31 @@ class CurationSpec extends SparkSpec {
     assert(s(2L) < s(1L))          // one rare continuation ("the rug")
   }
 
+  test("dsirScore ranks target-like documents above off-target ones") {
+    // raw corpus: "english-ish" docs sharing the target's vocabulary
+    // vs "code-ish" docs that don't; target = the english slice. DSIR
+    // must put every english doc above every code doc.
+    val en = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "a quiet morning with the brown dog and the fox", "en"),
+      (3L, "the dog jumps and the fox runs over the field", "en"))
+    val code = Seq(
+      (10L, "def foo(bar): return bar * 42 # xyzzy", "code"),
+      (11L, "SELECT plugh FROM corge WHERE grault = 7", "code"))
+    val raw = (en ++ code).toDF("doc_id", "text", "lang")
+    val scored = Curation.dsirScore(raw, raw.filter(col("lang") === "en"))
+      .select("doc_id", "dsir_score_micro").as[(Long, Long)].collect().toMap
+    assert(scored.keySet === Set(1L, 2L, 3L, 10L, 11L))
+    val minEn = Seq(1L, 2L, 3L).map(scored).min
+    val maxCode = Seq(10L, 11L).map(scored).max
+    assert(minEn > maxCode,
+      s"english floor $minEn must beat code ceiling $maxCode")
+    // deterministic: the same inputs score identically run-to-run
+    val again = Curation.dsirScore(raw, raw.filter(col("lang") === "en"))
+      .select("doc_id", "dsir_score_micro").as[(Long, Long)].collect().toMap
+    assert(again === scored)
+  }
+
   test("tokenCount parity: packContiguous uses the oracle's token definition") {
     val docs = Seq(("s", 1L, "  hello   world  "), ("s", 2L, "")).toDF("source", "doc_id", "text")
     val out = Curation.packContiguous(docs, 512, col("source"), col("doc_id"),
