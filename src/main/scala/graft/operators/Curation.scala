@@ -380,18 +380,20 @@ object Curation {
       df.select(col(idCol),
           explode(TextFunctions.tokens(col(textCol))).as("__t"))
         .select(col(idCol), bucket(col("__t")).as("b"))
-    // DSIR is inherently two passes over the raw corpus (fit the
-    // bucket model, then score) — both are narrow token→bucket maps
-    // feeding fixed-size aggregates, so re-scanning beats pinning the
-    // exploded token frame in memory
+    // DSIR is two passes over the raw corpus (fit the bucket model,
+    // then score) — both narrow token→bucket maps feeding fixed-size
+    // aggregates, so re-scanning beats pinning the exploded token
+    // frame in memory
     val rawB = bucketed(raw)
     val tgtCounts = bucketed(target).groupBy(col("b"))
       .agg(count(lit(1)).as("c_t"))
     val rawCounts = rawB.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
-    // two scalar totals (token counts) — driver-safe at any scale
+    // two scalar totals (token counts) from the FIXED-SIZE bucket
+    // aggregates — no extra pass over either corpus
     val tTot = tgtCounts.agg(coalesce(sum(col("c_t")), lit(0L)))
       .collect()(0).getLong(0)
-    val rTot = rawB.count()
+    val rTot = rawCounts.agg(coalesce(sum(col("c_r")), lit(0L)))
+      .collect()(0).getLong(0)
     val b = nBuckets.toDouble
     val ratios = rawCounts.join(tgtCounts, Seq("b"), "left")
       .select(col("b"),

@@ -328,7 +328,10 @@ object Dedup {
    * pair search to WITHIN-cluster, then any document with a
    * smaller-id cluster-mate at cosine ≥ `threshold` is dropped (keep-
    * first, the paper's keep-one-per-near-dup-group rule). Returns the
-   * DROP decisions: (id, cell, dup_of = the smallest kept near-dup).
+   * DROP decisions: (id, cell, dup_of = the smallest-id near-dup
+   * neighbor — in a transitive chain that neighbor may itself be
+   * dropped; resolve through the chain if a surviving canonical id
+   * is needed).
    *
    * Scale shape: the cluster step is [[Similarity.coarseCells]] (zero
    * shuffle); the pair join shuffles each vector ONCE on its cell and

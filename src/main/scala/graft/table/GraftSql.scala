@@ -418,6 +418,7 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         aclCheck(t, "INSERT")
+        aclCheck(t, "SELECT")   // predicates probe row data
         // split SET list from WHERE at the first TOP-LEVEL keyword —
         // a 'WHERE' inside a string literal must not end the SET list
         val (setList, where) = splitAtKeyword(setAndWhere, "WHERE")
@@ -440,6 +441,7 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         aclCheck(t, "INSERT")
+        aclCheck(t, "SELECT")   // predicates probe row data
         val v =
           if (TxTable.morMode(t.snapshot, TxTable.DeleteModeProperty))
             t.deletePos(predicateOf(where))
@@ -468,6 +470,7 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         aclCheck(t, "INSERT")
+        aclCheck(t, "SELECT")   // MERGE reads matched target rows
         val src = nativeSql(cat, pm.sourceQuery)
         val v = t.mergeBranches(src, pm.tgtAlias, pm.srcAlias, pm.on,
           pm.matched, pm.notMatched, pm.bySource)
@@ -627,6 +630,7 @@ object GraftSql {
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         aclCheck(t, "INSERT")          // deletes the partition's rows
+        aclCheck(t, "SELECT")
         val asWhere = splitTopLevel(specList, ',').mkString(" AND ")
         val pf = partitionFilterFrom(asWhere, t.schema,
           t.snapshot.partitionColumns,
@@ -664,9 +668,17 @@ object GraftSql {
         require(props.nonEmpty, s"no 'k'='v' pairs in TBLPROPERTIES ($list)")
         val t = cat.getTable(ns, tbl)
         // editing graft.acl.* through the property door is grant
-        // administration — owners only, same as GRANT/REVOKE
-        if (props.keys.exists(_.startsWith("graft.acl."))) aclOwnerCheck(t)
-        val v = t.setProperties(props)
+        // administration — owners only, same as GRANT/REVOKE; and like
+        // GRANT, the FIRST ACL edit records the editor as owner so
+        // administration closes whichever door opened it
+        val touchesAcl = props.keys.exists(_.startsWith("graft.acl."))
+        if (touchesAcl) aclOwnerCheck(t)
+        val ownerSeed =
+          if (touchesAcl && aclPrincipals(t, "OWNER").isEmpty &&
+              !props.contains(aclProp("OWNER")))
+            Map(aclProp("OWNER") -> currentPrincipal(t.spark))
+          else Map.empty[String, String]
+        val v = t.setProperties(ownerSeed ++ props)
         Seq(s"SET ${props.size} TBLPROPERTIES ON $ns.$tbl v$v").toDF("result")
       case UnsetPropsRe(rawName, list) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
@@ -839,7 +851,14 @@ object GraftSql {
     * principal. Without this, any locked-out principal could simply
     * grant itself access and the ACL would be advisory. */
   private def aclOwnerCheck(t: TxTable): Unit = {
-    val owners = aclPrincipals(t, "OWNER")
+    val explicit = aclPrincipals(t, "OWNER")
+    // an ACL'd table with NO recorded owner (grants written before the
+    // owner model, or via raw properties): its GRANTEES administer —
+    // otherwise a locked-out principal could simply claim ownership
+    // and the allow lists would be advisory
+    val owners =
+      if (explicit.nonEmpty) explicit
+      else aclPrincipals(t, "SELECT") ++ aclPrincipals(t, "INSERT")
     if (owners.nonEmpty) {
       val p = currentPrincipal(t.spark)
       if (!owners.contains(p)) throw new SecurityException(
@@ -851,14 +870,20 @@ object GraftSql {
   /** ACL pass over a parsed plan: every reference that resolves to a
     * known table of this catalog (two-part, three-part with this
     * catalog's name, or a `.changes` sub-table) must pass the SELECT
-    * check — and when the TOP-LEVEL statement is write-shaped (INSERT
-    * [OVERWRITE] / DELETE / UPDATE / MERGE reaching the V2 path), its
-    * TARGET table must pass INSERT as well, closing the fall-through
-    * routes the regex arms don't cover. Runs AFTER view substitution,
-    * so views check their underlying tables. */
+    * check; write-shaped nodes ANYWHERE in the tree (INSERT [OVERWRITE]
+    * / DELETE / UPDATE / MERGE / TRUNCATE reaching the V2 path — a CTE
+    * prefix or multi-insert wraps them below the root) INSERT-check
+    * their target; property edits touching `graft.acl.*` and metadata
+    * shapes that expose the allow lists (SHOW TBLPROPERTIES / DESCRIBE)
+    * are owner/grantee-gated. Runs AFTER view substitution, so views
+    * check their underlying tables. Pure-insert targets are exempt from
+    * the SELECT walk (a write-only principal can still insert); the
+    * exemption keys on the relation's identifier, so `INSERT INTO t
+    * SELECT FROM t` reads t unchecked — acceptable: the copy lands
+    * back inside the same ACL'd table. */
   private def enforceReadAcl(cat: TableCatalog,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
     import org.apache.spark.sql.catalyst.plans.logical._
     val myCatalog = catalogNameFor(cat)
     // one table open per (ns, tbl) per STATEMENT — a self-join or a
@@ -867,25 +892,83 @@ object GraftSql {
     def tableFor(ns: String, tbl: String): Option[TxTable] =
       opened.getOrElseUpdate((ns, tbl),
         if (cat.tableExists(ns, tbl)) Some(cat.getTable(ns, tbl)) else None)
-    def targetOf(p: LogicalPlan): Option[(String, String)] = {
+    def fromParts(parts: Seq[String]): Option[(String, String)] = parts match {
+      case Seq(ns, t)                      => Some((ns, t))
+      case Seq(c, ns, t) if c == myCatalog => Some((ns, t))
+      case _                               => None
+    }
+    def identOf(p: LogicalPlan): Option[(String, String)] = {
       var found: Option[(String, String)] = None
       p.foreach {
         case r: UnresolvedRelation if found.isEmpty =>
-          found = r.multipartIdentifier match {
-            case Seq(ns, t)                      => Some((ns, t))
-            case Seq(c, ns, t) if c == myCatalog => Some((ns, t))
-            case _                               => None
-          }
+          found = fromParts(r.multipartIdentifier)
+        case r: UnresolvedTable if found.isEmpty =>
+          found = fromParts(r.multipartIdentifier)
+        case r: UnresolvedTableOrView if found.isEmpty =>
+          found = fromParts(r.multipartIdentifier)
         case _ => ()
       }
       found
     }
     def writeCheck(table: LogicalPlan): Unit =
-      targetOf(table).foreach { case (ns, t) =>
+      identOf(table).foreach { case (ns, t) =>
         tableFor(ns, t).foreach(aclCheck(_, "INSERT"))
       }
-    def readWalk(p: LogicalPlan): Unit = p.foreachWithSubqueries {
-      case r: UnresolvedRelation =>
+    def ownerGate(table: LogicalPlan): Unit =
+      identOf(table).foreach { case (ns, t) =>
+        tableFor(ns, t).foreach(aclOwnerCheck)
+      }
+    // table metadata through the native path (SHOW TBLPROPERTIES /
+    // DESCRIBE) returns the raw allow lists — once an ACL exists, only
+    // owners and grantees may read it (the SHOW GRANTS rule)
+    def metaGate(table: LogicalPlan): Unit =
+      identOf(table).foreach { case (ns, t) =>
+        tableFor(ns, t).foreach { tt =>
+          val all = Seq("OWNER", "SELECT", "INSERT")
+            .flatMap(pr => aclPrincipals(tt, pr))
+          if (all.nonEmpty && !all.contains(currentPrincipal(tt.spark)))
+            throw new SecurityException(
+              s"principal '${currentPrincipal(tt.spark)}' holds no grant " +
+                s"on ${tt.name} and may not read its table metadata")
+        }
+      }
+    // pure inserts never read their target: SELECT applies only to the
+    // source side, so a write-only principal can still insert
+    val insertTargets = scala.collection.mutable.Set.empty[Seq[String]]
+    def exemptFromRead(table: LogicalPlan): Unit = table.foreach {
+      case r: UnresolvedRelation => insertTargets += r.multipartIdentifier
+      case _ => ()
+    }
+    plan.foreachWithSubqueries {
+      case i: InsertIntoStatement =>
+        writeCheck(i.table); exemptFromRead(i.table)
+      case o: OverwriteByExpression =>
+        writeCheck(o.table); exemptFromRead(o.table)
+      case o: OverwritePartitionsDynamic =>
+        writeCheck(o.table); exemptFromRead(o.table)
+      case tr: TruncateTable =>
+        writeCheck(tr.table)
+      case tp: TruncatePartition =>
+        writeCheck(tp.table)
+      // predicate/merge DML reads target rows: SELECT stays required
+      // via the read walk below
+      case d: DeleteFromTable            => writeCheck(d.table)
+      case u: UpdateTable                => writeCheck(u.table)
+      case m: MergeIntoTable             => writeCheck(m.targetTable)
+      // property edits through the V2 catalog (3-part ALTER TABLE):
+      // touching graft.acl.* is grant administration — owners only,
+      // exactly like the regex-arm TBLPROPERTIES door
+      case st: SetTableProperties if st.properties.keys
+          .exists(_.startsWith("graft.acl.")) => ownerGate(st.table)
+      case ut: UnsetTableProperties if ut.propertyKeys
+          .exists(_.startsWith("graft.acl.")) => ownerGate(ut.table)
+      case sp: ShowTableProperties       => metaGate(sp.table)
+      case dr: DescribeRelation          => metaGate(dr.relation)
+      case _                             => ()
+    }
+    plan.foreachWithSubqueries {
+      case r: UnresolvedRelation
+          if !insertTargets.contains(r.multipartIdentifier) =>
         val target: Option[(String, String)] = r.multipartIdentifier match {
           case Seq(ns, t)                          => Some((ns, t))
           case Seq(c, ns, t) if c == myCatalog     => Some((ns, t))
@@ -897,29 +980,6 @@ object GraftSql {
           tableFor(ns, t).foreach(aclCheck(_, "SELECT"))
         }
       case _ => ()
-    }
-    plan match {
-      // pure inserts never read their target: SELECT applies only to
-      // the source query, so a write-only principal can still insert
-      case i: InsertIntoStatement        => writeCheck(i.table); readWalk(i.query)
-      case o: OverwriteByExpression      => writeCheck(o.table); readWalk(o.query)
-      case o: OverwritePartitionsDynamic => writeCheck(o.table); readWalk(o.query)
-      // predicate/merge DML reads target rows: both checks apply
-      case d: DeleteFromTable            => writeCheck(d.table); readWalk(plan)
-      case u: UpdateTable                => writeCheck(u.table); readWalk(plan)
-      case m: MergeIntoTable             => writeCheck(m.targetTable); readWalk(plan)
-      // property edits through the V2 catalog (3-part ALTER TABLE):
-      // touching graft.acl.* is grant administration — owners only,
-      // exactly like the regex-arm TBLPROPERTIES door
-      case st: SetTableProperties if st.properties.keys
-          .exists(_.startsWith("graft.acl.")) =>
-        targetOf(st.table).foreach { case (ns, t) =>
-          tableFor(ns, t).foreach(aclOwnerCheck) }
-      case ut: UnsetTableProperties if ut.propertyKeys
-          .exists(_.startsWith("graft.acl.")) =>
-        targetOf(ut.table).foreach { case (ns, t) =>
-          tableFor(ns, t).foreach(aclOwnerCheck) }
-      case _                             => readWalk(plan)
     }
   }
 
@@ -1074,6 +1134,7 @@ object GraftSql {
             val (ns, tbl) = splitName(rawName)
             val t = cat.getTable(ns, tbl)
             aclCheck(t, "INSERT")
+            aclCheck(t, "SELECT")
             // same partition pruning as the single-table SQL DELETE —
             // without it stageDelete marks every file affected and a
             // one-partition txn DELETE becomes a full-table rewrite

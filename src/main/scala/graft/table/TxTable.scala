@@ -2447,6 +2447,18 @@ class TxTable private (
             commit(Some(s.version), "MERGE_MOR", schema,
               parts, files, appTxns = txns, deletionVectors = dvs,
               changeFiles = cdfFiles, pendingTxn = pt)
+          case None if !keyStablePartitions =>
+            // without key-stable partitions the ref scan spanned ALL
+            // partitions, so the touched-set rebase guard below cannot
+            // certify a concurrent commit didn't add this batch's keys
+            // elsewhere — CAS against the scanned snapshot only, like
+            // the COW branch in the same mode
+            val (files0, dvs0) = morOutput(s)
+            val v = commit(Some(s.version), "MERGE_MOR", schema,
+              parts, files0, appTxns = txns,
+              deletionVectors = dvs0, changeFiles = cdfFiles)
+            maybeAutoCompact(touched)
+            v
           case None =>
             // standalone: REBASE across concurrent commits that left
             // the merge's inputs untouched, like the COW MERGE —

@@ -487,6 +487,15 @@ class DeletionVectorSpec extends SparkSpec {
     t.append(day1.orderBy("transaction_id").limit(3)
       .withColumn("transaction_id", concat(col("transaction_id"), lit("_x"))))
     intercept[java.util.ConcurrentModificationException](commitStale(None))
+    // WITHOUT key-stable partitions the ref scan spanned every
+    // partition, so no touched-set guard can certify a rebase: any
+    // concurrent commit conflicts (like the COW branch in that mode)
+    val commitWide = t.stageMerge(mods(day1, 444.44),
+      "transaction_id", "processing_timestamp",
+      keyStablePartitions = false)
+    t.append(day2.orderBy("transaction_id").limit(1)
+      .withColumn("transaction_id", concat(col("transaction_id"), lit("_y"))))
+    intercept[CommitConflictException](commitWide(None))
   }
 
   test("deletePos retry preserves a concurrently-committed vector") {

@@ -2302,6 +2302,57 @@ class TxTableSpec extends SparkSpec {
     intercept[CommitConflictException](commitStale2(None))
   }
 
+  test("table grants: CTE/TRUNCATE/metadata routes and owner-less tables stay closed") {
+    val cat = new TableCatalog(spark, new Path(freshDir("sql_grants2")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, v STRING)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1, 'a')")
+    try {
+      spark.conf.set("graft.sql.principal", "admin")
+      GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
+      spark.conf.unset("graft.sql.principal")        // → anonymous
+      // a CTE prefix must not route DML around the write gate
+      intercept[SecurityException](GraftSql.sql(cat,
+        "WITH x AS (SELECT 9 AS id, 'z' AS v) INSERT INTO sec.t SELECT * FROM x"))
+      // TRUNCATE parses to a plan with no UnresolvedRelation — still gated
+      intercept[SecurityException](GraftSql.sql(cat, "TRUNCATE TABLE sec.t"))
+      // 3-part metadata statements fall to the native path, which would
+      // return the RAW allow lists — gated for non-grantees
+      val catName = GraftSql.ensureCatalogRegistered(cat)
+      intercept[SecurityException](GraftSql.sql(cat,
+        s"SHOW TBLPROPERTIES $catName.sec.t"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        s"DESCRIBE TABLE $catName.sec.t"))
+      // ...and pass for a grantee
+      spark.conf.set("graft.sql.principal", "admin")
+      assert(GraftSql.sql(cat, s"SHOW TBLPROPERTIES $catName.sec.t")
+        .count() > 0)
+      // an ACL'd table with NO recorded owner (legacy raw properties):
+      // its grantees administer; outsiders cannot claim ownership
+      GraftSql.sql(cat, "CREATE TABLE sec.u (id INT)")
+      cat.getTable("sec", "u")
+        .setProperties(Map("graft.acl.select" -> "carol"))
+      spark.conf.set("graft.sql.principal", "bob")
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE sec.u SET TBLPROPERTIES ('graft.acl.owner'='bob')"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, "GRANT SELECT ON sec.u TO bob"))
+      spark.conf.set("graft.sql.principal", "carol")
+      GraftSql.sql(cat, "GRANT SELECT ON sec.u TO dave")
+      // carol's first grant recorded her as owner
+      assert(GraftSql.sql(cat, "SHOW GRANTS ON sec.u").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+        .contains(("carol", "OWNER")))
+      // the property door seeds ownership on first ACL edit too
+      spark.conf.set("graft.sql.principal", "erin")
+      GraftSql.sql(cat, "CREATE TABLE sec.w (id INT)")
+      GraftSql.sql(cat,
+        "ALTER TABLE sec.w SET TBLPROPERTIES ('graft.acl.select'='erin')")
+      spark.conf.set("graft.sql.principal", "bob")
+      intercept[SecurityException](
+        GraftSql.sql(cat, "GRANT SELECT ON sec.w TO bob"))
+    } finally spark.conf.unset("graft.sql.principal")
+  }
+
   test("hot-key merge batch: thousands of updates to ONE key keep exactly the last writer") {
     import spark.implicits._
     val t = TxTable.create(spark, new Path(freshDir("tx_hotkey")), "t",
