@@ -522,10 +522,19 @@ object GraftSql {
             }
             s"\nPARTITIONED BY (${rendered.mkString(", ")})"
           }
+        // allow-list values are grant metadata — redacted unless the
+        // caller owns the table (the SHOW TBLPROPERTIES rule)
+        val owners = aclPrincipals(t, "OWNER")
+        val canSeeAcl = owners.isEmpty ||
+          owners.contains(currentPrincipal(t.spark))
         val propClause =
           if (s.properties.isEmpty) ""
           else "\nTBLPROPERTIES (" + s.properties.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+            .map { case (k, v) =>
+              val shown =
+                if (!canSeeAcl && k.startsWith("graft.acl.")) "<redacted>"
+                else v
+              s"'$k'='$shown'" }.mkString(", ") + ")"
         val ckClauses = s.constraints.toSeq.sortBy(_._1).map {
           case (nm, cond) => s"\nALTER TABLE $ns.$tbl ADD CONSTRAINT $nm CHECK ($cond);"
         }.mkString
@@ -964,6 +973,7 @@ object GraftSql {
           .exists(_.startsWith("graft.acl.")) => ownerGate(ut.table)
       case sp: ShowTableProperties       => metaGate(sp.table)
       case dr: DescribeRelation          => metaGate(dr.relation)
+      case sc: ShowCreateTable           => metaGate(sc.child)
       case _                             => ()
     }
     plan.foreachWithSubqueries {

@@ -2322,6 +2322,11 @@ class TxTableSpec extends SparkSpec {
         s"SHOW TBLPROPERTIES $catName.sec.t"))
       intercept[SecurityException](GraftSql.sql(cat,
         s"DESCRIBE TABLE $catName.sec.t"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        s"SHOW CREATE TABLE $catName.sec.t"))
+      // the 2-part SHOW CREATE arm redacts the allow-list values
+      assert(!GraftSql.sql(cat, "SHOW CREATE TABLE sec.t")
+        .collect()(0).getString(0).contains("'admin'"))
       // ...and pass for a grantee
       spark.conf.set("graft.sql.principal", "admin")
       assert(GraftSql.sql(cat, s"SHOW TBLPROPERTIES $catName.sec.t")
