@@ -62,6 +62,32 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1)"), plan)
   }
 
+  test("semDedup pairs only within cells — equi-join, never a cross product") {
+    import spark.implicits._
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = planOf(graft.operators.Dedup.semDedup(vecs, nClusters = 4,
+      threshold = 0.9))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the pair join keys on the cell column
+    assert(plan.contains("cell"), plan)
+  }
+
+  test("dsirScore broadcasts the fixed-size bucket model, text never joins") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"tok$i word${i % 5} common"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.operators.Curation.dsirScore(
+      docs, docs.filter(col("doc_id") % 2 === 0)))
+    // the per-bucket log-ratio table arrives by broadcast — scoring is
+    // a narrow map + per-doc aggregate, no shuffle carries text
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("LWW batch dedup aggregates with map-side combine, not a window sort") {
     import spark.implicits._
     // the merge's dedup shape (TxTable.stageMerge): groupBy + max_by
