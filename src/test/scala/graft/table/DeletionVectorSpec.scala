@@ -498,6 +498,51 @@ class DeletionVectorSpec extends SparkSpec {
     intercept[CommitConflictException](commitWide(None))
   }
 
+  test("MOR-merge fuzz: random concurrent interleavings never duplicate a key") {
+    val anchor = 1754988000000L
+    Seq(11L, 22L, 33L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val t = TxTable.create(spark, new Path(freshDir(s"dv_fuzz_$seed")), "t",
+        Schemas.transactions, Seq("date"),
+        properties = Map(TxTable.MergeModeProperty -> "merge-on-read"))
+      val days = (0 until 3).map(d =>
+        SampleData.transactions(spark, 20, seed = 100L + seed * 10 + d,
+          anchorMs = anchor + d * 86400000L))
+      days.foreach(t.append)
+      val nKeys = t.toDF.select("transaction_id").distinct().count()
+      var ts = 0L
+      (1 to 4).foreach { round =>
+        ts += 10L
+        def batchFor(day: Int): org.apache.spark.sql.DataFrame =
+          days(day).orderBy("transaction_id").limit(5 + rnd.nextInt(10))
+            .withColumn("processing_timestamp",
+              col("processing_timestamp") + ts)
+        // two writers over random (possibly overlapping) partitions:
+        // writer 1 stages against the pre-round snapshot, writer 2
+        // commits first, then writer 1 lands — rebasing when the
+        // partitions are disjoint, conflicting when they overlap or a
+        // guard cannot certify. Either OUTCOME is legal; duplicated
+        // keys never are.
+        val d1 = rnd.nextInt(3); val d2 = rnd.nextInt(3)
+        val staged = t.stageMerge(batchFor(d1),
+          "transaction_id", "processing_timestamp")
+        t.merge(batchFor(d2), "transaction_id", "processing_timestamp")
+        try staged(None)
+        catch {
+          case _: CommitConflictException => ()
+          case _: java.util.ConcurrentModificationException => ()
+        }
+        // invariants after every round, whatever committed:
+        val dupKeys = t.toDF.groupBy(col("transaction_id"))
+          .count().filter(col("count") > 1).count()
+        assert(dupKeys === 0, s"seed=$seed round=$round ($d1,$d2)")
+        assert(t.toDF.count() === nKeys, s"seed=$seed round=$round")
+        // metadata count stays vector-exact
+        assert(t.count() === nKeys, s"seed=$seed round=$round")
+      }
+    }
+  }
+
   test("deletePos retry preserves a concurrently-committed vector") {
     val dir = new Path(freshDir("dv_race"))
     val t = TxTable.create(spark, dir, "t",
