@@ -182,8 +182,11 @@ object Bench {
     val bigDir = new java.io.File(
       s"target/qwork/bench_docs10x_${new java.io.File(sfDir).getName}")
       .getAbsolutePath
+    // regenerate unless BOTH staged tables are complete (the marker
+    // set grew when the embeddings corpus was added)
     val marker = new java.io.File(bigDir, "documents.parquet/_SUCCESS")
-    if (!marker.exists()) {
+    val markerE = new java.io.File(bigDir, "embeddings.parquet/_SUCCESS")
+    if (!marker.exists() || !markerE.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bigDir))
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val n = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
@@ -201,10 +204,35 @@ object Bench {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
       big.repartition(32).write.parquet(s"$bigDir/documents.parquet")
+      // 10x embeddings for the vector flagships: each replica applies
+      // its own per-dimension SIGN pattern — an isometry, so every
+      // replica's INTERNAL near-dup structure survives intact, while
+      // cross-replica cosines decorrelate (independent sign patterns
+      // cancel in expectation). A plain rotation failed here: it is a
+      // SHARED isometry, so cross-replica pairs stayed similar and the
+      // 10x corpus manufactured ~1500x the dup pairs.
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val m = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+      val bigE = (0 until replicas).map { i =>
+        val flipped =
+          if (i == 0) col("embedding")
+          else {
+            val signs = (0 until 64).map { d =>
+              // a FINALIZED hash, not a seeded Random's first draw
+              // (sequential seeds correlate and the patterns collapse)
+              val h = scala.util.hashing.MurmurHash3.productHash((i, d))
+              if ((h & 1) == 0) 1.0f else -1.0f
+            }
+            zip_with(col("embedding"), typedlit(signs), (v, sg) => v * sg)
+          }
+        emb.select((col("vec_id") + lit(i.toLong * m)).as("vec_id"),
+          flipped.as("embedding"), col("label"))
+      }.reduce(_ unionByName _)
+      bigE.repartition(16).write.parquet(s"$bigDir/embeddings.parquet")
     }
     val nDocs = spark.read.parquet(s"$bigDir/documents.parquet").count()
     val keys = Seq("dedup_lines_global", "dedup_minhash_lsh",
-      "decontaminate_bloom")
+      "decontaminate_bloom", "dedup_embedding_cosine", "ann_ivfpq")
     val timedKeys = keys.flatMap { k =>
       fns.get(k).map { fn =>
         System.gc()
