@@ -2347,6 +2347,14 @@ class TxTableSpec extends SparkSpec {
       assert(GraftSql.sql(cat, "SHOW GRANTS ON sec.u").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
         .contains(("carol", "OWNER")))
+      // a clone carries its source's ACL (snapshot properties travel):
+      // cloning cannot LAUNDER protected data into an open table even
+      // for a principal who holds SELECT
+      spark.conf.set("graft.sql.principal", "admin")
+      GraftSql.sql(cat, "CREATE TABLE sec.tclone SHALLOW CLONE sec.t")
+      spark.conf.set("graft.sql.principal", "bob")
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM sec.tclone"))
       // the property door seeds ownership on first ACL edit too
       spark.conf.set("graft.sql.principal", "erin")
       GraftSql.sql(cat, "CREATE TABLE sec.w (id INT)")
