@@ -164,13 +164,17 @@ object Bench {
   }
 
   /**
-   * Scale-up evidence for the dedup/decontamination flagships: the same
-   * three queries on a 10×-documents corpus (sf0.1 documents replicated
-   * with distinct ids and vowel-rotated text, so replicas are neither
-   * exact nor near duplicates of their source — the workload's dup/
-   * distinct structure is preserved, just 10× wider). An
-   * O(candidates)-shaped operator should scale ≈linearly here; anything
-   * quadratic in corpus size shows up as >>10× the sf0.1 time.
+   * Scale-up evidence for the text AND vector flagships: five queries
+   * (line dedup, MinHash-LSH, Bloom decontamination, embedding-cosine
+   * near-dup, IVF-PQ ANN) on a 10× staged corpus — documents replicated
+   * with distinct per-replica letter rotations, embeddings with
+   * independent per-dimension sign patterns — so replicas are neither
+   * exact nor near duplicates of their source and the workload grows
+   * 10× wide without manufactured dup clusters. An O(candidates)-shaped
+   * operator should scale ≈linearly here; anything quadratic in corpus
+   * size shows up as >>10× the sf0.1 time. (Pair OUTPUT may still grow
+   * super-linearly when the similarity threshold sits in the data's
+   * bulk band — that is organic workload, reported via `rows`.)
    */
   private def pipelineSf1(spark: SparkSession, sfDir: String,
       fns: Map[String, (SparkSession, String) =>
@@ -213,11 +217,14 @@ object Bench {
       // 10x corpus manufactured ~1500x the dup pairs.
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val m = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+      // size the sign patterns from the DATA's dimensionality — a
+      // short literal array would zip_with-pad replicas with nulls
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
       val bigE = (0 until replicas).map { i =>
         val flipped =
           if (i == 0) col("embedding")
           else {
-            val signs = (0 until 64).map { d =>
+            val signs = (0 until dim).map { d =>
               // a FINALIZED hash, not a seeded Random's first draw
               // (sequential seeds correlate and the patterns collapse)
               val h = scala.util.hashing.MurmurHash3.productHash((i, d))

@@ -71,8 +71,10 @@ class PlanSpec extends SparkSpec {
       threshold = 0.9))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the pair join keys on the cell column
-    assert(plan.contains("cell"), plan)
+    // the pair join KEYS on the cell column: scope the check to the
+    // join operator's own line, not any projection of `cell`
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(_.contains("cell")), plan)
   }
 
   test("dsirScore broadcasts the fixed-size bucket model, text never joins") {

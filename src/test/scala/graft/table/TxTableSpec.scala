@@ -2347,14 +2347,28 @@ class TxTableSpec extends SparkSpec {
       assert(GraftSql.sql(cat, "SHOW GRANTS ON sec.u").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
         .contains(("carol", "OWNER")))
-      // a clone carries its source's ACL (snapshot properties travel):
-      // cloning cannot LAUNDER protected data into an open table even
-      // for a principal who holds SELECT
+      // a clone carries its source's ACL (snapshot properties travel,
+      // OWNER included): an owner-made clone is closed to strangers,
+      // and a SELECT-only grantee who clones gets a table they can
+      // read but neither open up nor administer — no laundering route
       spark.conf.set("graft.sql.principal", "admin")
       GraftSql.sql(cat, "CREATE TABLE sec.tclone SHALLOW CLONE sec.t")
       spark.conf.set("graft.sql.principal", "bob")
       intercept[SecurityException](
         GraftSql.sql(cat, "SELECT * FROM sec.tclone"))
+      spark.conf.set("graft.sql.principal", "admin")
+      GraftSql.sql(cat, "GRANT SELECT ON sec.t TO carl")
+      spark.conf.set("graft.sql.principal", "carl")
+      GraftSql.sql(cat, "CREATE TABLE sec.carlclone SHALLOW CLONE sec.t")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.carlclone")
+        .collect()(0).getLong(0) > 0)
+      // carl is NOT the clone's owner (admin carried over): he cannot
+      // widen its ACL, and strangers still cannot read it
+      intercept[SecurityException](
+        GraftSql.sql(cat, "GRANT SELECT ON sec.carlclone TO bob"))
+      spark.conf.set("graft.sql.principal", "bob")
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM sec.carlclone"))
       // the property door seeds ownership on first ACL edit too
       spark.conf.set("graft.sql.principal", "erin")
       GraftSql.sql(cat, "CREATE TABLE sec.w (id INT)")
