@@ -96,6 +96,17 @@ object GraftSql {
     """(?is)\s*REVOKE\s+(SELECT|INSERT|ALL)\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s+FROM\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
   private val ShowGrantsRe =
     """(?is)\s*SHOW\s+GRANTS\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*""".r
+  // namespace-scope grants — the DATABASE-level LakeFormation grant the
+  // reference issues (lakeformation.py:201-215 grants DESCRIBE on the
+  // database): SELECT/INSERT flow to every contained table (a
+  // table-level list for the same privilege overrides); DESCRIBE
+  // unlocks table metadata only
+  private val GrantNsRe =
+    """(?is)\s*GRANT\s+(SELECT|INSERT|DESCRIBE|ALL)\s+ON\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+([`\w]+)\s+TO\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
+  private val RevokeNsRe =
+    """(?is)\s*REVOKE\s+(SELECT|INSERT|DESCRIBE|ALL)\s+ON\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+([`\w]+)\s+FROM\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
+  private val ShowGrantsNsRe =
+    """(?is)\s*SHOW\s+GRANTS\s+ON\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+([`\w]+)\s*;?\s*""".r
   private val AddConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+CONSTRAINT\s+([`\w]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
@@ -151,6 +162,22 @@ object GraftSql {
     s"graftsql_${digest.map(b => f"$b%02x").mkString}"
   }
 
+  /** True iff catalog name `c` is governed by this warehouse's ACLs:
+    * the canonical per-warehouse name, or ANY session-conf catalog
+    * whose plugin class is GraftCatalog and whose warehouse resolves to
+    * this one. Identifiers qualified through such an alias must pass
+    * the same grant checks — an alias registered host-side (or minted
+    * before the SET gate existed) must not shed them (ADVICE r9). */
+  private def governedCatalog(cat: TableCatalog, c: String): Boolean =
+    c == catalogNameFor(cat) || {
+      val conf = cat.spark.conf
+      conf.getOption(s"spark.sql.catalog.$c")
+        .contains(classOf[graft.catalog.GraftCatalog].getName) &&
+      conf.getOption(s"spark.sql.catalog.$c.warehouse").exists(w =>
+        new org.apache.hadoop.fs.Path(w).toUri.getPath ==
+          cat.warehouse.toUri.getPath)
+    }
+
   /** Register (idempotently) the V2 catalog plugin for this warehouse
     * and return its session catalog name — lets callers address tables
     * fully qualified (`<name>.ns.tbl[.changes]`) without flipping the
@@ -186,7 +213,14 @@ object GraftSql {
       """|DROP\s+TEMPORARY\s+(?:VARIABLE|FUNCTION)""" +
       """|CREATE\s+(?:OR\s+REPLACE\s+)?TEMPORARY\s+FUNCTION)\b.*""").r
   private val PrincipalSetRe =
-    """(?is)\s*SET\s+(?:`)?graft\.sql\.principal\b.*""".r
+    """(?is)\s*(?:SET|RESET)\s+(?:`)?graft\.sql\.principal\b.*""".r
+  // catalog plugin conf is an ACL boundary: SET spark.sql.catalog.alias
+  // = GraftCatalog + .warehouse=<this one> would mint an alias name the
+  // canonical-name identifier checks don't recognize (ADVICE r9 high);
+  // bare RESET would wipe every gateway-stamped conf at once
+  private val CatalogConfSetRe =
+    """(?is)\s*(?:SET|RESET)\s+(?:`)?spark\.sql\.catalog\..*""".r
+  private val BareResetRe = """(?is)\s*RESET\s*;?\s*""".r
   private val CreateTempViewRe =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+(`[^`]+`|\w+).*""".r
   private val DropBareViewRe =
@@ -205,6 +239,13 @@ object GraftSql {
         // principal could SET itself into an allow list
         if (PrincipalSetRe.matches(text)) throw new SecurityException(
           "graft.sql.principal cannot be set through the SQL surface")
+        // enforceReadAcl also treats GraftCatalog aliases over this
+        // warehouse as governed (defense in depth), but the conf door
+        // stays closed as the primary control
+        if (CatalogConfSetRe.matches(text) || BareResetRe.matches(text))
+          throw new SecurityException(
+            "spark.sql.catalog.* conf (and bare RESET) cannot be changed " +
+              "through the SQL surface")
         return cat.spark.sql(text)
       case DropBareViewRe(_) => return cat.spark.sql(text)
       case _ => ()
@@ -523,10 +564,8 @@ object GraftSql {
             s"\nPARTITIONED BY (${rendered.mkString(", ")})"
           }
         // allow-list values are grant metadata — redacted unless the
-        // caller owns the table (the SHOW TBLPROPERTIES rule)
-        val owners = aclPrincipals(t, "OWNER")
-        val canSeeAcl = owners.isEmpty ||
-          owners.contains(currentPrincipal(t.spark))
+        // caller administers the table (the SHOW TBLPROPERTIES rule)
+        val canSeeAcl = isAclAdmin(t)
         val propClause =
           if (s.properties.isEmpty) ""
           else "\nTBLPROPERTIES (" + s.properties.toSeq.sortBy(_._1)
@@ -701,11 +740,9 @@ object GraftSql {
       case ShowPropsRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
-        // allow lists are grant metadata: visible to owners, redacted
-        // (key kept, value hidden) for everyone else
-        val owners = aclPrincipals(t, "OWNER")
-        val isOwner = owners.isEmpty ||
-          owners.contains(currentPrincipal(t.spark))
+        // allow lists are grant metadata: visible to administrators,
+        // redacted (key kept, value hidden) for everyone else
+        val isOwner = isAclAdmin(t)
         t.properties.toSeq.sortBy(_._1)
           .map { case (k, v) =>
             if (!isOwner && k.startsWith("graft.acl.")) (k, "<redacted>")
@@ -764,9 +801,62 @@ object GraftSql {
         t.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString,
             f.nullable, parts.contains(f.name)))
           .toDF("col_name", "data_type", "nullable", "is_partition")
+      // namespace-scope grants must match before the table arms (the
+      // table regex would never match the NAMESPACE keyword, but order
+      // keeps the intent obvious)
+      case GrantNsRe(priv, nsRaw, qp, bp) =>
+        val ns = cleanIdent(nsRaw)
+        require(cat.listNamespaces().contains(ns),
+          s"namespace $ns does not exist")
+        val principal = checkPrincipal(if (qp != null) qp else cleanIdent(bp))
+        val props = NamespaceAcl.load(spark, cat.warehouse, ns)
+        nsAclAdminCheck(spark, ns, props)
+        val privs =
+          if (priv.equalsIgnoreCase("ALL")) Seq("SELECT", "INSERT", "DESCRIBE")
+          else Seq(priv.toUpperCase)
+        // the FIRST namespace grant records the granting principal as
+        // the namespace's owner, same as the table-level rule
+        val ownerSeed =
+          if (listOf(props, "OWNER").nonEmpty) Map.empty[String, String]
+          else Map(aclProp("OWNER") -> currentPrincipal(spark))
+        NamespaceAcl.store(spark, cat.warehouse, ns,
+          props ++ ownerSeed ++ privs.map(pr => aclProp(pr) ->
+            (listOf(props, pr) + principal).toSeq.sorted.mkString(",")))
+        Seq(s"GRANTED ${priv.toUpperCase} ON NAMESPACE $ns TO $principal")
+          .toDF("result")
+      case RevokeNsRe(priv, nsRaw, qp, bp) =>
+        val ns = cleanIdent(nsRaw)
+        require(cat.listNamespaces().contains(ns),
+          s"namespace $ns does not exist")
+        val principal = checkPrincipal(if (qp != null) qp else cleanIdent(bp))
+        val props = NamespaceAcl.load(spark, cat.warehouse, ns)
+        nsAclAdminCheck(spark, ns, props)
+        val privs =
+          if (priv.equalsIgnoreCase("ALL")) Seq("SELECT", "INSERT", "DESCRIBE")
+          else Seq(priv.toUpperCase)
+        val updated = privs.foldLeft(props) { (acc, pr) =>
+          val remaining = listOf(acc, pr) - principal
+          if (remaining.isEmpty) acc - aclProp(pr)
+          else acc + (aclProp(pr) -> remaining.toSeq.sorted.mkString(","))
+        }
+        NamespaceAcl.store(spark, cat.warehouse, ns, updated)
+        Seq(s"REVOKED ${priv.toUpperCase} ON NAMESPACE $ns FROM $principal")
+          .toDF("result")
+      case ShowGrantsNsRe(nsRaw) =>
+        val ns = cleanIdent(nsRaw)
+        require(cat.listNamespaces().contains(ns),
+          s"namespace $ns does not exist")
+        val props = NamespaceAcl.load(spark, cat.warehouse, ns)
+        val all = Seq("OWNER", "SELECT", "INSERT", "DESCRIBE")
+          .flatMap(pr => listOf(props, pr).toSeq.sorted.map(p => (p, pr)))
+        val me = currentPrincipal(spark)
+        if (all.nonEmpty && !all.exists(_._1 == me))
+          throw new SecurityException(s"principal '$me' holds no grant on " +
+            s"namespace $ns and may not list its grants")
+        all.toDF("principal", "privilege")
       case GrantRe(priv, rawName, qp, bp) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        val principal = if (qp != null) qp else cleanIdent(bp)
+        val principal = checkPrincipal(if (qp != null) qp else cleanIdent(bp))
         val t = cat.getTable(ns, tbl)
         aclOwnerCheck(t)
         val privs =
@@ -783,7 +873,7 @@ object GraftSql {
           .toDF("result")
       case RevokeRe(priv, rawName, qp, bp) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        val principal = if (qp != null) qp else cleanIdent(bp)
+        val principal = checkPrincipal(if (qp != null) qp else cleanIdent(bp))
         val t = cat.getTable(ns, tbl)
         aclOwnerCheck(t)
         val privs =
@@ -827,10 +917,49 @@ object GraftSql {
     * narrows once grants exist. */
   private def aclProp(priv: String): String = s"graft.acl.${priv.toLowerCase}"
 
-  private def aclPrincipals(t: TxTable, priv: String): Set[String] =
-    t.properties.get(aclProp(priv))
+  /** The allow lists are comma-joined: a quoted principal carrying a
+    * comma would silently split into two principals on read, and one
+    * with whitespace could never be revoked through the bare-word form
+    * (ADVICE r9) — reject both at grant time. */
+  private def checkPrincipal(p: String): String = {
+    require(p.nonEmpty && !p.exists(c => c == ',' || c.isWhitespace),
+      s"principal '$p' must not be empty or contain commas/whitespace " +
+        "(allow lists are comma-joined)")
+    p
+  }
+
+  /** Namespace-grant administration: the first grant is open (and seeds
+    * the granting principal as namespace owner); after that, namespace
+    * owners only — with the same ownerless fallback discipline as
+    * tables (INSERT grantees administer, never SELECT-only ones). */
+  private def nsAclAdminCheck(spark: org.apache.spark.sql.SparkSession,
+      ns: String, props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    val explicit = listOf(props, "OWNER")
+    val admins = if (explicit.nonEmpty) explicit else listOf(props, "INSERT")
+    val p = currentPrincipal(spark)
+    if (!admins.contains(p)) throw new SecurityException(
+      s"principal '$p' is not an owner of namespace $ns " +
+        "(only owners may manage namespace grants)")
+  }
+
+  private def listOf(props: Map[String, String], priv: String): Set[String] =
+    props.get(aclProp(priv))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+
+  private def aclPrincipals(t: TxTable, priv: String): Set[String] =
+    listOf(t.properties, priv)
+
+  /** The table's NAMESPACE-scope allow list for `priv` — the
+    * database-level LakeFormation grant (lakeformation.py:201-215
+    * grants DESCRIBE at database scope). Read from
+    * `<warehouse>/<ns>/_acl.json` via the table's root (root =
+    * warehouse/ns/tbl). */
+  private def nsPrincipals(t: TxTable, priv: String): Set[String] = {
+    val nsDir = t.root.getParent
+    listOf(NamespaceAcl.load(t.spark, nsDir.getParent, nsDir.getName), priv)
+  }
 
   /** The statement's principal: the `graft.sql.principal` session conf
     * (how a multi-tenant gateway stamps the caller); "anonymous" when
@@ -844,7 +973,11 @@ object GraftSql {
     * grants provide; direct TxTable/DataFrame access is the storage-
     * account path that model does not govern either. */
   private def aclCheck(t: TxTable, priv: String): Unit = {
-    val allowed = aclPrincipals(t, priv)
+    // most-specific wins (the LakeFormation resolution order): a
+    // table-level list for this privilege decides alone; otherwise a
+    // namespace-level list decides; neither declared → open
+    val table = aclPrincipals(t, priv)
+    val allowed = if (table.nonEmpty) table else nsPrincipals(t, priv)
     if (allowed.nonEmpty) {
       val p = currentPrincipal(t.spark)
       if (!allowed.contains(p)) throw new SecurityException(
@@ -861,20 +994,37 @@ object GraftSql {
     * grant itself access and the ACL would be advisory. */
   private def aclOwnerCheck(t: TxTable): Unit = {
     val explicit = aclPrincipals(t, "OWNER")
-    // an ACL'd table with NO recorded owner (grants written before the
-    // owner model, or via raw properties): its GRANTEES administer —
-    // otherwise a locked-out principal could simply claim ownership
-    // and the allow lists would be advisory
-    val owners =
+    val anyTableAcl = explicit.nonEmpty ||
+      aclPrincipals(t, "SELECT").nonEmpty ||
+      aclPrincipals(t, "INSERT").nonEmpty
+    val nsOwners = nsPrincipals(t, "OWNER")
+    val admins =
       if (explicit.nonEmpty) explicit
-      else aclPrincipals(t, "SELECT") ++ aclPrincipals(t, "INSERT")
-    if (owners.nonEmpty) {
+      // an ACL'd table with NO recorded owner (grants written via raw
+      // properties, outside both seeding doors): only its WRITE
+      // grantees administer — a SELECT-only grantee must not be able to
+      // grant itself INSERT (ADVICE r9); a SELECT-only ownerless ACL
+      // stays frozen until fixed at the storage layer
+      else if (anyTableAcl) aclPrincipals(t, "INSERT")
+      // no table ACL but the NAMESPACE is governed: only namespace
+      // owners may issue the first table-level grant — otherwise any
+      // principal could seize ownership of a fresh table inside a
+      // governed database
+      else nsOwners
+    if (anyTableAcl || nsOwners.nonEmpty) {
       val p = currentPrincipal(t.spark)
-      if (!owners.contains(p)) throw new SecurityException(
+      if (!admins.contains(p)) throw new SecurityException(
         s"principal '$p' is not an owner of ${t.name} " +
           "(only owners may manage grants)")
     }
   }
+
+  /** True iff the current principal may administer the table's grants —
+    * the exact [[aclOwnerCheck]] rule, as a predicate (used for ACL
+    * value redaction in the SHOW CREATE / SHOW TBLPROPERTIES arms, so
+    * "may see raw allow lists" and "may edit them" stay one rule). */
+  private def isAclAdmin(t: TxTable): Boolean =
+    try { aclOwnerCheck(t); true } catch { case _: SecurityException => false }
 
   /** ACL pass over a parsed plan: every reference that resolves to a
     * known table of this catalog (two-part, three-part with this
@@ -894,7 +1044,6 @@ object GraftSql {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
     import org.apache.spark.sql.catalyst.plans.logical._
-    val myCatalog = catalogNameFor(cat)
     // one table open per (ns, tbl) per STATEMENT — a self-join or a
     // DML target visited by both checks must not re-probe the log head
     val opened = scala.collection.mutable.Map.empty[(String, String), Option[TxTable]]
@@ -902,9 +1051,15 @@ object GraftSql {
       opened.getOrElseUpdate((ns, tbl),
         if (cat.tableExists(ns, tbl)) Some(cat.getTable(ns, tbl)) else None)
     def fromParts(parts: Seq[String]): Option[(String, String)] = parts match {
-      case Seq(ns, t)                      => Some((ns, t))
-      case Seq(c, ns, t) if c == myCatalog => Some((ns, t))
-      case _                               => None
+      case Seq(ns, t)                                  => Some((ns, t))
+      case Seq(c, ns, t) if governedCatalog(cat, c)    => Some((ns, t))
+      // branch addressing (`ns.t.branch_<b>`) forks the same table's
+      // data: reads and DML through it are governed by the base ACL
+      case Seq(ns, t, sub) if sub.startsWith("branch_") => Some((ns, t))
+      case Seq(c, ns, t, sub)
+          if governedCatalog(cat, c) && sub.startsWith("branch_") =>
+        Some((ns, t))
+      case _                                           => None
     }
     def identOf(p: LogicalPlan): Option[(String, String)] = {
       var found: Option[(String, String)] = None
@@ -927,18 +1082,35 @@ object GraftSql {
       identOf(table).foreach { case (ns, t) =>
         tableFor(ns, t).foreach(aclOwnerCheck)
       }
-    // table metadata through the native path (SHOW TBLPROPERTIES /
-    // DESCRIBE) returns the raw allow lists — once an ACL exists, only
-    // owners and grantees may read it (the SHOW GRANTS rule)
+    // table metadata through the native path (DESCRIBE, the metadata
+    // sub-tables): once an ACL exists, only owners and grantees —
+    // table-level, or namespace-level incl. the DESCRIBE privilege
+    // (the database-scope LakeFormation grant) — may read it
+    def metaCheck(tt: TxTable): Unit = {
+      val all = Seq("OWNER", "SELECT", "INSERT")
+        .flatMap(pr => aclPrincipals(tt, pr)) ++
+        Seq("OWNER", "SELECT", "INSERT", "DESCRIBE")
+          .flatMap(pr => nsPrincipals(tt, pr))
+      if (all.nonEmpty && !all.contains(currentPrincipal(tt.spark)))
+        throw new SecurityException(
+          s"principal '${currentPrincipal(tt.spark)}' holds no grant " +
+            s"on ${tt.name} and may not read its table metadata")
+    }
     def metaGate(table: LogicalPlan): Unit =
       identOf(table).foreach { case (ns, t) =>
+        tableFor(ns, t).foreach(metaCheck)
+      }
+    // shapes whose NATIVE output would include the raw graft.acl.*
+    // values (the regex arms redact them for non-owners; the V2 path
+    // cannot post-filter, so it is owner-gated once an ACL exists —
+    // ADVICE r9: a SELECT-only grantee could otherwise enumerate the
+    // full allow lists through this door)
+    def aclValueGate(table: LogicalPlan): Unit =
+      identOf(table).foreach { case (ns, t) =>
         tableFor(ns, t).foreach { tt =>
-          val all = Seq("OWNER", "SELECT", "INSERT")
-            .flatMap(pr => aclPrincipals(tt, pr))
-          if (all.nonEmpty && !all.contains(currentPrincipal(tt.spark)))
-            throw new SecurityException(
-              s"principal '${currentPrincipal(tt.spark)}' holds no grant " +
-                s"on ${tt.name} and may not read its table metadata")
+          metaCheck(tt)
+          if (tt.properties.keys.exists(_.startsWith("graft.acl.")))
+            aclOwnerCheck(tt)
         }
       }
     // pure inserts never read their target: SELECT applies only to the
@@ -968,30 +1140,65 @@ object GraftSql {
       // touching graft.acl.* is grant administration — owners only,
       // exactly like the regex-arm TBLPROPERTIES door
       case st: SetTableProperties if st.properties.keys
-          .exists(_.startsWith("graft.acl.")) => ownerGate(st.table)
+          .exists(_.startsWith("graft.acl.")) =>
+        identOf(st.table).foreach { case (ns, t) =>
+          tableFor(ns, t).foreach { tt =>
+            aclOwnerCheck(tt)
+            // the V2 property door seeds ownership on a FIRST ACL write
+            // exactly like the regex TBLPROPERTIES arm — without this,
+            // this door would mint the ownerless state the fallback in
+            // aclOwnerCheck exists to contain (ADVICE r9)
+            if (aclPrincipals(tt, "OWNER").isEmpty &&
+                !st.properties.contains(aclProp("OWNER")))
+              tt.setProperties(
+                Map(aclProp("OWNER") -> currentPrincipal(tt.spark)))
+          }
+        }
       case ut: UnsetTableProperties if ut.propertyKeys
           .exists(_.startsWith("graft.acl.")) => ownerGate(ut.table)
-      case sp: ShowTableProperties       => metaGate(sp.table)
-      case dr: DescribeRelation          => metaGate(dr.relation)
-      case sc: ShowCreateTable           => metaGate(sc.child)
+      case sp: ShowTableProperties       => aclValueGate(sp.table)
+      case dr: DescribeRelation          =>
+        // EXTENDED describes include the property map (raw ACL values);
+        // the plain column listing stays at the grantee bar
+        if (dr.isExtended) aclValueGate(dr.relation) else metaGate(dr.relation)
+      case sc: ShowCreateTable           => aclValueGate(sc.child)
       case _                             => ()
     }
     plan.foreachWithSubqueries {
       case r: UnresolvedRelation
           if !insertTargets.contains(r.multipartIdentifier) =>
-        val target: Option[(String, String)] = r.multipartIdentifier match {
-          case Seq(ns, t)                          => Some((ns, t))
-          case Seq(c, ns, t) if c == myCatalog     => Some((ns, t))
-          case Seq(ns, t, "changes")               => Some((ns, t))
-          case Seq(c, ns, t, "changes") if c == myCatalog => Some((ns, t))
-          case _                                   => None
-        }
+        // data-volume reads (the table, its branches, the change feed)
+        // require SELECT on the base table
+        val target: Option[(String, String)] =
+          fromParts(r.multipartIdentifier).orElse(r.multipartIdentifier match {
+            case Seq(ns, t, "changes")               => Some((ns, t))
+            case Seq(c, ns, t, "changes")
+                if governedCatalog(cat, c)           => Some((ns, t))
+            case _                                   => None
+          })
         target.foreach { case (ns, t) =>
           tableFor(ns, t).foreach(aclCheck(_, "SELECT"))
         }
+        // metadata sub-tables (.files/.partitions/.history/...) expose
+        // file paths, partition values, and row counts — grant-holders
+        // only, the DESCRIBE bar (ADVICE r9: these resolved through
+        // GraftCatalog with no check at all)
+        val meta: Option[(String, String)] = r.multipartIdentifier match {
+          case Seq(ns, t, sub) if MetadataSubTables(sub) => Some((ns, t))
+          case Seq(c, ns, t, sub)
+              if governedCatalog(cat, c) && MetadataSubTables(sub) =>
+            Some((ns, t))
+          case _ => None
+        }
+        meta.foreach { case (ns, t) => tableFor(ns, t).foreach(metaCheck) }
       case _ => ()
     }
   }
+
+  /** The metadata-table suffixes [[graft.catalog.GraftCatalog]] resolves
+    * (GraftCatalog.MetadataKinds, kept in sync by AclSpec). */
+  private val MetadataSubTables =
+    Set("files", "partitions", "history", "tags", "branches", "constraints")
 
   private final case class ParsedMerge(
       rawName: String, tgtAlias: String, sourceQuery: String,

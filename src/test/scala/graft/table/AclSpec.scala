@@ -1,0 +1,225 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/**
+ * Round-10 access-control hardening (the ADVICE r9 findings): catalog-
+ * alias laundering, metadata sub-table reads, ownerless administration,
+ * principal syntax, native ACL-value disclosure — plus namespace-scope
+ * grants (the database-level LakeFormation grant,
+ * kinesis-firehose-stream/stack/lakeformation.py:201-215).
+ */
+class AclSpec extends SparkSpec {
+
+  private def as[T](principal: String)(body: => T): T = {
+    spark.conf.set("graft.sql.principal", principal)
+    try body finally spark.conf.unset("graft.sql.principal")
+  }
+
+  test("catalog aliasing cannot launder ACLs: SET is blocked and aliases stay governed") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_alias")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1)")
+    as("admin") { GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin") }
+    // the SQL door to catalog conf is closed outright
+    intercept[SecurityException](GraftSql.sql(cat,
+      "SET spark.sql.catalog.alias=graft.catalog.GraftCatalog"))
+    intercept[SecurityException](GraftSql.sql(cat,
+      s"SET spark.sql.catalog.alias.warehouse=${cat.warehouse}"))
+    intercept[SecurityException](GraftSql.sql(cat, "RESET"))
+    intercept[SecurityException](GraftSql.sql(cat,
+      "RESET graft.sql.principal"))
+    // defense in depth: an alias registered HOST-side (outside the SQL
+    // surface) is still governed — same plugin class + same warehouse
+    // means the same grants apply
+    spark.conf.set("spark.sql.catalog.aliaswh",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.aliaswh.warehouse",
+      cat.warehouse.toString)
+    try {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM aliaswh.sec.t"))
+      as("admin") {
+        assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM aliaswh.sec.t")
+          .collect()(0).getLong(0) === 1L)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.aliaswh")
+      spark.conf.unset("spark.sql.catalog.aliaswh.warehouse")
+    }
+  }
+
+  test("metadata sub-tables and branch reads are gated like the base table") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_meta")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1), (2)")
+    cat.getTable("sec", "t").createBranch("b")
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
+      GraftSql.sql(cat, "GRANT SELECT ON sec.t TO alice")
+    }
+    val c = GraftSql.ensureCatalogRegistered(cat)
+    // .files/.partitions/.history expose file paths, partition values,
+    // and row counts — non-grantees are denied (ADVICE r9 medium)
+    for (sub <- Seq("files", "partitions", "history", "branches"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, s"SELECT * FROM $c.sec.t.$sub"))
+    // a branch read is a read of the table's (forked) row data
+    intercept[SecurityException](
+      GraftSql.sql(cat, s"SELECT * FROM $c.sec.t.branch_b"))
+    // grantees pass: metadata at the DESCRIBE bar, branches need SELECT
+    as("alice") {
+      assert(GraftSql.sql(cat, s"SELECT * FROM $c.sec.t.files").count() >= 1)
+      assert(GraftSql.sql(cat,
+        s"SELECT count(*) AS n FROM $c.sec.t.branch_b")
+        .collect()(0).getLong(0) === 2L)
+    }
+    // ...but a branch WRITE still needs INSERT
+    as("alice") {
+      intercept[SecurityException](GraftSql.sql(cat,
+        s"INSERT INTO $c.sec.t.branch_b VALUES (9)"))
+    }
+    as("admin") {
+      GraftSql.sql(cat, s"INSERT INTO $c.sec.t.branch_b VALUES (9)")
+    }
+  }
+
+  test("V2 property door seeds ownership; native ACL values stay owner-only") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_v2seed")))
+    GraftSql.sql(cat, "CREATE TABLE sec.w (id INT)")
+    val c = GraftSql.ensureCatalogRegistered(cat)
+    // erin's FIRST ACL write through the V2 (3-part) property door
+    // records her as owner — the ownerless state is unmintable
+    as("erin") {
+      GraftSql.sql(cat,
+        s"ALTER TABLE $c.sec.w SET TBLPROPERTIES ('graft.acl.select'='erin')")
+    }
+    assert(cat.getTable("sec", "w").properties
+      .get("graft.acl.owner").contains("erin"))
+    as("bob") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "GRANT SELECT ON sec.w TO bob"))
+    }
+    // native SHOW TBLPROPERTIES / SHOW CREATE / DESCRIBE EXTENDED would
+    // return RAW allow lists: grantee-but-not-owner is denied there
+    // (the redacting 2-part arms remain available to grantees)
+    as("erin") { GraftSql.sql(cat, "GRANT SELECT ON sec.w TO alice") }
+    as("alice") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, s"SHOW TBLPROPERTIES $c.sec.w"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, s"SHOW CREATE TABLE $c.sec.w"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, s"DESCRIBE EXTENDED $c.sec.w"))
+      // the plain column listing stays at the grantee bar
+      assert(GraftSql.sql(cat, s"DESCRIBE $c.sec.w").count() >= 1)
+      // and the 2-part arm serves alice a REDACTED property list
+      val props = GraftSql.sql(cat, "SHOW TBLPROPERTIES sec.w").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(props("graft.acl.select") === "<redacted>")
+    }
+    as("erin") {
+      assert(GraftSql.sql(cat, s"SHOW TBLPROPERTIES $c.sec.w").count() >= 1)
+    }
+    // ownerless legacy ACL: raw values are redacted for EVERYONE who
+    // cannot administer (previously `owners.isEmpty` showed them to all)
+    GraftSql.sql(cat, "CREATE TABLE sec.leg (id INT)")
+    cat.getTable("sec", "leg")
+      .setProperties(Map("graft.acl.select" -> "zoe"))
+    as("zoe") {
+      val props = GraftSql.sql(cat, "SHOW TBLPROPERTIES sec.leg").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(props("graft.acl.select") === "<redacted>")
+    }
+  }
+
+  test("principals with commas or whitespace are rejected at grant time") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_comma")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT)")
+    as("admin") {
+      intercept[IllegalArgumentException](
+        GraftSql.sql(cat, "GRANT SELECT ON sec.t TO 'a,b'"))
+      intercept[IllegalArgumentException](
+        GraftSql.sql(cat, "GRANT SELECT ON sec.t TO 'a b'"))
+      intercept[IllegalArgumentException](
+        GraftSql.sql(cat, "REVOKE SELECT ON sec.t FROM 'a,b'"))
+      GraftSql.sql(cat, "GRANT SELECT ON sec.t TO 'a.b@example.com'")
+    }
+  }
+
+  test("namespace grants flow to contained tables; table grants override") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_ns")))
+    GraftSql.sql(cat, "CREATE TABLE nsx.t1 (id INT)")
+    GraftSql.sql(cat, "INSERT INTO nsx.t1 VALUES (1)")
+    GraftSql.sql(cat, "CREATE TABLE nsx.t2 (id INT)")
+    GraftSql.sql(cat, "INSERT INTO nsx.t2 VALUES (1), (2)")
+    // first namespace grant seeds its issuer as namespace owner
+    as("dba") {
+      GraftSql.sql(cat, "GRANT SELECT ON NAMESPACE nsx TO alice")
+      GraftSql.sql(cat, "GRANT ALL ON NAMESPACE nsx TO dba")
+    }
+    // the namespace list now governs every contained table
+    as("alice") {
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM nsx.t1")
+        .collect()(0).getLong(0) === 1L)
+      intercept[SecurityException](
+        GraftSql.sql(cat, "INSERT INTO nsx.t1 VALUES (9)"))
+    }
+    as("bob") {
+      intercept[SecurityException](GraftSql.sql(cat, "SELECT * FROM nsx.t1"))
+    }
+    // non-owners cannot administer the namespace ACL
+    as("alice") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "GRANT SELECT ON NAMESPACE nsx TO alice2"))
+    }
+    // in a governed namespace, only namespace owners may issue a
+    // table's FIRST grant (no ownership seizure of fresh tables)
+    as("mallory") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "GRANT SELECT ON nsx.t2 TO mallory"))
+    }
+    // a table-level list OVERRIDES the namespace list for that table
+    as("dba") {
+      GraftSql.sql(cat, "GRANT SELECT ON nsx.t2 TO carol")
+    }
+    as("alice") {   // ns SELECT grantee, but t2 now has its own list
+      intercept[SecurityException](GraftSql.sql(cat, "SELECT * FROM nsx.t2"))
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM nsx.t1")
+        .collect()(0).getLong(0) === 1L)   // t1 still via the ns list
+    }
+    as("carol") {
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM nsx.t2")
+        .collect()(0).getLong(0) === 2L)
+    }
+    // DESCRIBE at namespace scope (the reference's database-level
+    // grant) unlocks table METADATA but not row data
+    val c = GraftSql.ensureCatalogRegistered(cat)
+    as("dba") { GraftSql.sql(cat, "GRANT DESCRIBE ON NAMESPACE nsx TO dave") }
+    as("dave") {
+      assert(GraftSql.sql(cat, s"DESCRIBE $c.nsx.t1").count() >= 1)
+      assert(GraftSql.sql(cat, s"SELECT * FROM $c.nsx.t1.files").count() >= 1)
+      intercept[SecurityException](GraftSql.sql(cat, "SELECT * FROM nsx.t1"))
+    }
+    // SHOW GRANTS ON NAMESPACE: owners and grantees only
+    as("dba") {
+      val rows = GraftSql.sql(cat, "SHOW GRANTS ON NAMESPACE nsx").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows.contains(("dba", "OWNER")) &&
+        rows.contains(("alice", "SELECT")) &&
+        rows.contains(("dave", "DESCRIBE")))
+    }
+    as("stranger") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SHOW GRANTS ON NAMESPACE nsx"))
+    }
+    // REVOKE prunes; revoking the last grantee of a privilege drops it
+    as("dba") {
+      GraftSql.sql(cat, "REVOKE SELECT ON NAMESPACE nsx FROM alice")
+    }
+    as("alice") {
+      intercept[SecurityException](GraftSql.sql(cat, "SELECT * FROM nsx.t1"))
+    }
+  }
+}

@@ -2332,21 +2332,26 @@ class TxTableSpec extends SparkSpec {
       assert(GraftSql.sql(cat, s"SHOW TBLPROPERTIES $catName.sec.t")
         .count() > 0)
       // an ACL'd table with NO recorded owner (legacy raw properties):
-      // its grantees administer; outsiders cannot claim ownership
+      // only its WRITE grantees administer — a SELECT-only grantee must
+      // not grant itself INSERT, and outsiders cannot claim ownership
       GraftSql.sql(cat, "CREATE TABLE sec.u (id INT)")
       cat.getTable("sec", "u")
-        .setProperties(Map("graft.acl.select" -> "carol"))
+        .setProperties(Map("graft.acl.select" -> "carol",
+          "graft.acl.insert" -> "carolw"))
       spark.conf.set("graft.sql.principal", "bob")
       intercept[SecurityException](GraftSql.sql(cat,
         "ALTER TABLE sec.u SET TBLPROPERTIES ('graft.acl.owner'='bob')"))
       intercept[SecurityException](
         GraftSql.sql(cat, "GRANT SELECT ON sec.u TO bob"))
-      spark.conf.set("graft.sql.principal", "carol")
+      spark.conf.set("graft.sql.principal", "carol")   // SELECT-only
+      intercept[SecurityException](
+        GraftSql.sql(cat, "GRANT INSERT ON sec.u TO carol"))
+      spark.conf.set("graft.sql.principal", "carolw")  // INSERT grantee
       GraftSql.sql(cat, "GRANT SELECT ON sec.u TO dave")
-      // carol's first grant recorded her as owner
+      // carolw's first grant recorded her as owner
       assert(GraftSql.sql(cat, "SHOW GRANTS ON sec.u").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
-        .contains(("carol", "OWNER")))
+        .contains(("carolw", "OWNER")))
       // a clone carries its source's ACL (snapshot properties travel,
       // OWNER included): an owner-made clone is closed to strangers,
       // and a SELECT-only grantee who clones gets a table they can
