@@ -64,9 +64,10 @@ object Bench {
     // supplementary: training-pipeline heavies, timed once each AFTER
     // the headline set (extra keys — the headline `queries`/`value`
     // stay comparable to every earlier round's bench)
-    val pipelineNames = Seq("dedup_embedding_cosine", "ann_ivfpq",
-      "decontaminate_bloom", "chunk_documents", "curation_pipeline",
-      "text_tfidf_topterms", "dedup_lines_global", "text_lm_score")
+    val pipelineNames = Seq("dedup_embedding_cosine", "dedup_semantic",
+      "ann_ivfpq", "decontaminate_bloom", "chunk_documents",
+      "curation_pipeline", "text_tfidf_topterms", "dedup_lines_global",
+      "text_lm_score")
     val pipeline = pipelineNames.flatMap { name =>
       fns.get(name).map { fn =>
         // GC barrier between keys: the heavies before this key (e.g.
@@ -102,13 +103,12 @@ object Bench {
     graft.ingest.SampleData.toCdcEnvelopes(
         graft.ingest.SampleData.transactions(spark, streamRows, seed = 11L))
       .toJSON.repartition(32).write.text(envDir)
-    // stability contract: the RECORDED `runs` are the best three, and
-    // extra runs (bounded at 8 total) are taken until those three agree
-    // within 1.25× — a single contended-window outlier then widens
-    // `runs_all` but cannot poison the recorded spread. The sandbox's
-    // documented ±2× noise band made fixed best-of-3 artifacts fail
-    // their own spread bar in r7 with unchanged code.
-    def streamRunWith(tag: String, r: Int,
+    // stability contract (r9 VERDICT item 3): the spread bar holds on
+    // ALL runs, not a best-of subset — keep sampling (bounded at 8)
+    // until every recorded run agrees within 1.5×, and report BOTH the
+    // best rate (round-over-round comparability with r2-r9) and the
+    // MEDIAN over all runs, which a single lucky window cannot inflate.
+    def streamRunWith(tag: String, r: Int, src: String, rows: Long,
         props: Map[String, String]): Double = {
       val work = new java.io.File(s"target/qwork/bench_stream_$tag$r").getAbsolutePath
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
@@ -117,26 +117,31 @@ object Bench {
         graft.model.Schemas.transactions, Seq("date"), properties = props)
       val t0 = System.nanoTime()
       try {
-        val q = graft.ingest.StreamingIngest.start(spark, envDir, t,
+        val q = graft.ingest.StreamingIngest.start(spark, src, t,
           checkpointDir = s"$work/ckpt", errorsDir = s"$work/errors",
           trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
           maxFilesPerTrigger = 8)
-        q.awaitTermination(300000)
+        q.awaitTermination(600000)
         val secs = (System.nanoTime() - t0) / 1e9
-        if (t.toDF.count() == streamRows) secs else -1.0
+        if (t.toDF.count() == rows) secs else -1.0
       } catch { case _: Throwable => -1.0 }
     }
-    def streamRun(r: Int): Double = streamRunWith("run", r, Map.empty)
+    def streamRun(r: Int): Double =
+      streamRunWith("run", r, envDir, streamRows, Map.empty)
     var streamAll = (1 to 3).map(streamRun).toVector
-    def best3(s: Seq[Double]): Seq[Double] = s.filter(_ > 0).sorted.take(3)
-    while ({
-      val b = best3(streamAll)
-      (b.size < 3 || b.last / b.head > 1.25) && streamAll.size < 8
-    }) streamAll :+= streamRun(streamAll.size + 1)
-    val streamRecorded = best3(streamAll)
+    def spreadOk(s: Seq[Double]): Boolean = {
+      val p = s.filter(_ > 0)
+      p.size >= 3 && p.max / p.min <= 1.5
+    }
+    while (!spreadOk(streamAll) && streamAll.size < 8)
+      streamAll :+= streamRun(streamAll.size + 1)
+    val positives = streamAll.filter(_ > 0).sorted
     val streamRate =
-      if (streamRecorded.isEmpty) -1.0
-      else math.round(streamRows / streamRecorded.head).toDouble
+      if (positives.isEmpty) -1.0
+      else math.round(streamRows / positives.head).toDouble
+    val streamMedianRate =
+      if (positives.isEmpty) -1.0
+      else math.round(streamRows / positives(positives.size / 2)).toDouble
     // SUPPLEMENTARY variant, same shape: merge-on-read ingest — the
     // CDC fast path the reference's Firehose upsert maps to at scale
     // (no touched-partition rewrite; matched keys vector, winners
@@ -146,15 +151,35 @@ object Bench {
     val morProps = Map(
       graft.table.TxTable.MergeModeProperty -> "merge-on-read",
       "graft.autoCompact.enabled" -> "true")
-    val morBest = (1 to 2).map(r => streamRunWith("mor", r, morProps))
+    val morBest = (1 to 2)
+      .map(r => streamRunWith("mor", r, envDir, streamRows, morProps))
       .filter(_ > 0)
     val morRate =
       if (morBest.isEmpty) -1.0
       else math.round(streamRows / morBest.min).toDouble
+    // 10× scale point (r9 VERDICT item 7): the same MOR ingest over
+    // 400k rows in one pass — per-batch merge cost must stay flat as
+    // the table grows (the commit-index / O(batch + matched) claim
+    // applied to ingest), so the 10× rate should hold within ~1.5× of
+    // the 40k rate. Staged once, run once (it is 10× the work).
+    val stream10xRows = streamRows * 10
+    val env10xDir = new java.io.File("target/qwork/bench_stream_env10x")
+      .getAbsolutePath
+    if (!new java.io.File(env10xDir, "_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(env10xDir))
+      graft.ingest.SampleData.toCdcEnvelopes(
+          graft.ingest.SampleData.transactions(spark, stream10xRows, seed = 17L))
+        .toJSON.repartition(32).write.text(env10xDir)
+    }
+    val sec10x = streamRunWith("mor10x", 0, env10xDir, stream10xRows, morProps)
+    val rate10x =
+      if (sec10x <= 0) -1.0 else math.round(stream10xRows / sec10x).toDouble
     val streamingJson =
-      s"""{"rows":$streamRows,"runs":[${streamRecorded.mkString(",")}],""" +
+      s"""{"rows":$streamRows,"runs":[${positives.mkString(",")}],""" +
         s""""runs_all":[${streamAll.mkString(",")}],"rows_per_sec":$streamRate,""" +
-        s""""mor_rows_per_sec":$morRate}"""
+        s""""rows_per_sec_median":$streamMedianRate,""" +
+        s""""mor_rows_per_sec":$morRate,""" +
+        s""""rows_10x":$stream10xRows,"rows_10x_per_sec":$rate10x}"""
     val metadataJson = metadataShakeout(spark)
     val cdfJson = cdfShakeout(spark)
     val txnJson = txnShakeout(spark)
@@ -239,7 +264,8 @@ object Bench {
     }
     val nDocs = spark.read.parquet(s"$bigDir/documents.parquet").count()
     val keys = Seq("dedup_lines_global", "dedup_minhash_lsh",
-      "decontaminate_bloom", "dedup_embedding_cosine", "ann_ivfpq")
+      "decontaminate_bloom", "dedup_embedding_cosine", "dedup_semantic",
+      "ann_ivfpq")
     val timedKeys = keys.flatMap { k =>
       fns.get(k).map { fn =>
         System.gc()
@@ -536,7 +562,37 @@ object Bench {
         new java.io.File(s"$wh/meta/clone"))
       val (_, cloneSec) = timed(
         tx.cloneTo(new Path(s"$wh/meta/clone"), "meta.clone"))
+      // Bloom index build at the 10⁴-FILE shape (r9 VERDICT item 5):
+      // the chunked builder (1000 files per pass → 10 passes) bounds
+      // driver memory to one group's filters; the cost below is what a
+      // full-index rebuild on a 10⁴-file table actually pays. The table
+      // (10⁴ real parquet files, 10 rows each — per-file planning cost
+      // is the point) is built once and reused across bench runs.
+      val bloomRoot = new Path(s"$wh/meta/bloomt")
+      val bloomT =
+        if (graft.table.TxTable.exists(spark, bloomRoot))
+          graft.table.TxTable.open(spark, bloomRoot, "meta.bloomt")
+        else {
+          import spark.implicits._
+          val t = graft.table.TxTable.create(spark, bloomRoot, "meta.bloomt",
+            Seq((1L, "x")).toDF("id", "k").schema, Nil)
+          t.append((0L until 100000L).map(i => (i, f"k$i%07d")).toDF("id", "k")
+            .repartition(10000))
+          t
+        }
+      val nBloomFiles = bloomT.snapshot.files.size
+      spark.conf.set("spark.graft.bloomIndexFilesPerPass", "1000")
+      val (bloomEntries, bloomBuild) =
+        try timed(bloomT.buildBloomIndex("k"))
+        finally spark.conf.unset("spark.graft.bloomIndexFilesPerPass")
+      val (bloomCands, bloomProbe) = timed(
+        bloomT.candidateFilesForEquals("k", "k0042123").size)
+      require(bloomEntries == nBloomFiles && bloomCands <= 3,
+        s"bloom 10k-file shakeout: $bloomEntries entries, $bloomCands candidates")
       s"""{"commits":$commits,"files":$commits,"build_sec":${f"$buildSecs%.3f"},""" +
+        s""""bloom_files":$nBloomFiles,""" +
+        s""""bloom_build_10k_files_sec":${f"$bloomBuild%.3f"},""" +
+        s""""bloom_probe_sec":${f"$bloomProbe%.4f"},""" +
         s""""index_backfill_sec":${f"$indexBackfill%.3f"},""" +
         s""""snapshot_read_sec":${f"$snapshotRead%.3f"},""" +
         s""""provenance_walk_sec":${f"$provenanceWalk%.3f"},""" +

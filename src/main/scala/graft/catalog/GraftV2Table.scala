@@ -282,14 +282,30 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       : Seq[org.apache.spark.sql.graft.MorGroup] = {
     val deletes = snap.equalityDeletes
     val deletesDir = new Path(tx.root, "deletes")
-    val maxInline = tx.spark.conf
-      .getOption("spark.graft.morMaxInlineDeleteKeys")
-      .map(_.toLong).getOrElse(100000L)
+    val maxInline = tx.morMaxInlineDeleteKeys
     def deferred(d: graft.table.EqualityDeleteFile): Boolean =
       d.count > maxInline &&
         graft.table.EqKeyStore.deferrable(fullSchema(d.keyColumn).dataType)
+    // load only deletes some scanned file is actually subject to —
+    // a delete every file out-sequences (e.g. after a COW rewrite)
+    // costs nothing and cannot trip the cap
+    val applicable = deletes
+      .filter(d => scanFiles.exists(f => d.seq > f.seq)).map(_.path).toSet
     val keysByDelete: Map[String, Set[Any]] =
-      deletes.filterNot(deferred).map { d =>
+      deletes.filter(d => applicable(d.path) && !deferred(d)).map { d =>
+        // backstop for legacy logs: writers now degrade an over-cap
+        // non-deferrable delete to copy-on-write, so this load is
+        // bounded by contract — but a log written before that rule (or
+        // read under a lowered cap) must fail loudly rather than
+        // collect an unbounded key set onto the driver (r9 VERDICT
+        // item 4)
+        if (d.count > maxInline)
+          throw new IllegalStateException(
+            s"equality-delete file ${d.path} holds ${d.count} keys of " +
+              s"non-deferrable type ${fullSchema(d.keyColumn).dataType
+                .simpleString} — over spark.graft.morMaxInlineDeleteKeys " +
+              s"($maxInline). Run compact() to apply and clear the delete, " +
+              "or raise the cap for this session.")
         d.path -> org.apache.spark.sql.graft.MorScan.loadDeletedKeys(
           tx.spark, deletesDir, d.path, d.keyColumn,
           fullSchema(d.keyColumn).dataType)

@@ -98,8 +98,23 @@ object VectorFunctions {
     typedlit(hyperplaneValues(seed, p, dim).toSeq)
 
   /** `nBits`-bit sign-LSH bucket id of vector `v`. */
+  /** `nBits`-bit sign-LSH bucket id of vector `v` — one native
+    * [[graft.functions.expressions.SignLshBuckets]] kernel. The former
+    * composed form (a `when(dot(...))` term per bit) built an nBits-dot
+    * expression tree whose generated code, fused into a join stage,
+    * blew janino's method limits and dropped the whole stage to
+    * interpreted evaluation. */
   def signLshBucket(v: Column, dim: Int, nBits: Int, seed: Long = 7L): Column =
-    (0 until nBits).map { p =>
-      when(dot(v, hyperplane(seed, p, dim)) >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    element_at(signLshBuckets(v, dim, nBits, Seq(seed)), 1)
+
+  /** All tables' bucket ids at once: element t is the `nBits`-bit sign
+    * bucket under `seeds(t)`'s hyperplane set — `posexplode` it for the
+    * (tbl, bucket) pairs the multi-table LSH join consumes. */
+  def signLshBuckets(v: Column, dim: Int, nBits: Int,
+      seeds: Seq[Long]): Column = {
+    val planes: Array[Double] = seeds.toArray.flatMap(s =>
+      (0 until nBits).flatMap(p => hyperplaneValues(s, p, dim)))
+    ColumnBridge.column(graft.functions.expressions.SignLshBuckets(
+      expr(v), planes, nBits, seeds.size))
+  }
 }

@@ -158,6 +158,241 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/**
+ * All `nTables` sign-LSH bucket ids of one vector in a single fused
+ * kernel: `hyperplanes` is the flattened `[table][bit][dim]` component
+ * array (derived driver-side from the portable md5 scheme — see
+ * [[graft.functions.VectorFunctions.hyperplaneValues]]), and the result
+ * is `array<long>` with element t = Σ_p (v·hp[t][p] ≥ 0) << p.
+ *
+ * The composed form (one `when(dot(...))` term per (table, bit)) built
+ * an expression tree of nTables×nBits dot products; fused into a join
+ * stage, its generated method blew past janino's limits and the WHOLE
+ * stage fell back to interpreted evaluation — the actual 10×
+ * regression behind r9's `dedup_embedding_cosine` sf1 number (the
+ * within-bucket pair volume was innocent: candidates measured ~1M).
+ * This kernel is a constant-size triple loop regardless of nBits, so
+ * the stage always stays inside whole-stage codegen.
+ */
+case class SignLshBuckets(child: Expression, hyperplanes: Array[Double],
+    nBits: Int, nTables: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nBits > 0 && nBits <= 62 && nTables > 0 &&
+    hyperplanes.length % (nBits * nTables) == 0,
+    s"bad SignLshBuckets shape: ${hyperplanes.length} components for " +
+      s"$nTables tables x $nBits bits")
+
+  private val dim = hyperplanes.length / (nBits * nTables)
+
+  override def prettyName: String = "sign_lsh_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+  private lazy val elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+  override def nullable: Boolean = child.nullable || elemNullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nBits) {
+        val base = (t * nBits + p) * dim
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          if (elemNullable && a.isNullAt(j)) return null
+          dot += hyperplanes(base + j) *
+            (if (elemIsFloat) a.getFloat(j).toDouble else a.getDouble(j))
+          j += 1
+        }
+        if (dot >= 0.0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val hp = ctx.addReferenceObj("hyperplanes", hyperplanes, "double[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      val getter =
+        if (elemIsFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $nBits; $p++) {
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $nullCheck
+         |      $dot += $hp[($t * $nBits + $p) * $dim + $j] * $getter;
+         |    }
+         |    if ($dot >= 0.0) $bucket |= (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Argmax-cosine cell assignment against a FIXED centroid matrix
+ * (flattened `[cell][dim]`, driver-derived): returns the cell index
+ * with the greatest cosine(v, centroid), ties to the LOWEST cell — the
+ * exact semantics of the former `greatest()` over per-centroid
+ * (cosine, -cell) structs, whose expression tree grew linearly in the
+ * cell count and at the derived capacities (hundreds of cells) made
+ * stages codegen-hostile. Arithmetic replicates [[CosineSimilarity]]
+ * term-for-term (dot and norms accumulated in index order,
+ * `dot / (sqrt(na) * sqrt(nb))`, 0.0 on a zero norm) so assignments —
+ * which the DuckDB oracle replays — are bit-identical to the composed
+ * form.
+ */
+case class ArgMaxCosineCell(child: Expression, centroids: Array[Double],
+    nCells: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nCells > 0 && centroids.length % nCells == 0,
+    s"bad ArgMaxCosineCell shape: ${centroids.length} components for $nCells cells")
+
+  private val dim = centroids.length / nCells
+
+  /** per-cell sqrt(Σ c²), accumulated in index order like the kernel */
+  private lazy val centroidNorms: Array[Double] = Array.tabulate(nCells) { c =>
+    var nb = 0.0
+    var j = 0
+    while (j < dim) {
+      val x = centroids(c * dim + j); nb += x * x; j += 1
+    }
+    math.sqrt(nb)
+  }
+
+  override def prettyName: String = "argmax_cosine_cell"
+  override def dataType: DataType = IntegerType
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+  private lazy val elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+  override def nullable: Boolean = child.nullable || elemNullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    var na = 0.0
+    var j = 0
+    while (j < n) {
+      if (elemNullable && a.isNullAt(j)) return null
+      val x = if (elemIsFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      na += x * x; j += 1
+    }
+    val sqna = math.sqrt(na)
+    var best = java.lang.Double.NEGATIVE_INFINITY
+    var bestCell = 0
+    var c = 0
+    while (c < nCells) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += centroids(c * dim + i) *
+          (if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        i += 1
+      }
+      val cos =
+        if (sqna == 0.0 || centroidNorms(c) == 0.0) 0.0
+        else dot / (sqna * centroidNorms(c))
+      if (cos > best) { best = cos; bestCell = c }
+      c += 1
+    }
+    bestCell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
+      val norms = ctx.addReferenceObj("centroidNorms", centroidNorms, "double[]")
+      val n = ctx.freshName("n")
+      val na = ctx.freshName("na")
+      val sqna = ctx.freshName("sqna")
+      val x = ctx.freshName("x")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos")
+      val best = ctx.freshName("best")
+      val bestCell = ctx.freshName("bestCell")
+      def getter(idx: String) =
+        if (elemIsFloat) s"(double) $a.getFloat($idx)" else s"$a.getDouble($idx)"
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |double $na = 0.0;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $nullCheck
+         |  double $x = ${getter(j)};
+         |  $na += $x * $x;
+         |}
+         |double $sqna = java.lang.Math.sqrt($na);
+         |double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |int $bestCell = 0;
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $cents[$c * $dim + $i] * ${getter(i)};
+         |  }
+         |  double $cos = ($sqna == 0.0 || $norms[$c] == 0.0) ? 0.0
+         |    : $dot / ($sqna * $norms[$c]);
+         |  if ($cos > $best) { $best = $cos; $bestCell = $c; }
+         |}
+         |${ev.value} = $bestCell;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ‖a − b‖₂ in one fused pass. */
 case class L2Distance(left: Expression, right: Expression)
     extends VectorBinaryExpression {

@@ -187,12 +187,13 @@ object Dedup {
     // Tokenize/shingle/hash each document EXACTLY once, then persist the
     // compact (id, array<long>) base — it feeds the signature pass and
     // both sides of the verification join. At lake scale this would be a
-    // materialized staging table; here persist() plays that role.
-    // Known tradeoff: the cache outlives the returned (lazy) DataFrame —
-    // callers running many dedup passes in one session should
-    // spark.catalog.clearCache() between them or stage via parquet.
+    // materialized staging table; here persist() plays that role, and a
+    // self-removing listener drops the blocks as soon as the first
+    // action over the returned frame completes — the cache lives
+    // exactly as long as the query that needs it.
     val base = hashedShingles(docs, idCol, textCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistAfterFirstUse(base)
 
     val numBands = numHashes / rowsPerBand
     // (id, band, bandKey): bandKey = hash of the band's signature slice
@@ -342,12 +343,28 @@ object Dedup {
    * SemDeDup's documented trade; the oracle replays the identical
    * clustering, so the output is checked exactly.
    */
+  /** Data-derived SemDeDup cluster count: `clamp(4, 65536, ceil(n/32))`
+    * keeps the expected cluster population (and so the within-cluster
+    * quadratic term) at a CONSTANT ~32 vectors regardless of corpus
+    * size — the paper's cost model, where total scored pairs grow as
+    * n × avgCluster, i.e. linearly in n. A fixed default that is right
+    * at bench scale is the quadratic term at 100× (r9 VERDICT). */
+  def autoClusters(n: Long): Int =
+    math.max(4, math.min(65536, math.ceil(n / 32.0).toInt))
+
   def semDedup(embeddings: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", nClusters: Int = 16,
+      vecCol: String = "embedding", nClusters: Int = -1,
       threshold: Double = 0.4): DataFrame = {
     import graft.functions.VectorFunctions._
+    // nClusters <= 0 → size from a cheap corpus count ([[autoClusters]])
+    val k = if (nClusters > 0) nClusters else autoClusters(embeddings.count())
+    // both sides of the within-cell pair join read the assignment —
+    // persist it (id, vec, cell; vectors pay the argmax once, not
+    // twice), dropped by the listener when the first action completes
     val assigned = Similarity.coarseCells(
-      embeddings.select(col(idCol), col(vecCol)), idCol, vecCol, nClusters)
+        embeddings.select(col(idCol), col(vecCol)), idCol, vecCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    org.apache.spark.sql.graft.ColumnBridge.unpersistAfterFirstUse(assigned)
     val left = assigned.select(col("cell"), col(idCol).as("__id_a"),
       col(vecCol).as("__va"))
     val right = assigned.select(col("cell"), col(idCol).as("__id_b"),
@@ -360,16 +377,35 @@ object Dedup {
       .select(col("__id_b").as(idCol), col("cell"), col("dup_of"))
   }
 
+  /** Data-derived sign-LSH bucket width:
+    * `clamp(4, 20, ceil(log2(n/16)))` bits keeps the expected bucket
+    * population (n / 2^nBits) at a CONSTANT ~16 vectors, so the
+    * within-bucket candidate join stays O(n × bucketSize) — linear in
+    * n — instead of quadratic at a fixed bucket count (r9 VERDICT: the
+    * fixed 256 buckets made sf1 dedup_embedding_cosine the dominant
+    * pipeline cost). More bits lower per-table recall ((1−θ/π)^nBits);
+    * recall-critical callers at large n should raise `nTables`
+    * (L-table amplification) alongside — cost scales linearly in L,
+    * never quadratically in n. */
+  def autoSignBits(n: Long): Int =
+    math.max(4, math.min(20,
+      math.ceil(math.log(math.max(1L, n) / 16.0) / math.log(2.0)).toInt))
+
   def embeddingNearDup(embeddings: DataFrame, dim: Int,
-      threshold: Double = 0.95, nBits: Int = 8, nTables: Int = 8,
+      threshold: Double = 0.95, nBits: Int = -1, nTables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import graft.functions.VectorFunctions._
+    // nBits <= 0 → size from a cheap corpus count ([[autoSignBits]])
+    val bits = if (nBits > 0) nBits else autoSignBits(embeddings.count())
+    // ONE native kernel emits every table's bucket (constant codegen
+    // footprint however many tables × bits); posexplode yields the
+    // (tbl, bucket) pairs — the former per-(table, bit) dot-expression
+    // tree pushed the fused join stage past janino's limits and the
+    // whole stage ran interpreted
+    val seeds = (0 until nTables).map(t => 7L + 1000L * t)
     val bucketed = embeddings.select(col(idCol),
-      explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("tbl"),
-          signLshBucket(col(vecCol), dim, nBits, seed = 7L + 1000L * t).as("bucket"))
-      }: _*)).as("tb"))
-      .select(col(idCol), col("tb.tbl"), col("tb.bucket"))
+        posexplode(signLshBuckets(col(vecCol), dim, bits, seeds))
+          .as(Seq("tbl", "bucket")))
     val a = bucketed.select(col(idCol).as("id_a"), col("tbl"), col("bucket"))
     val b = bucketed.select(col(idCol).as("id_b"), col("tbl"), col("bucket"))
     val candidates = a.join(b, Seq("tbl", "bucket"))

@@ -72,6 +72,17 @@ object Similarity {
     * broadcast-join assignment path. */
   val AssignInlineMaxComponents = 65536
 
+  /** Data-derived IVF cell count — the classic `√n` rule (Jégou et al.
+    * 2011 §V sizes the coarse quantizer so cell population and probe
+    * cost balance): `clamp(16, 4096, ceil(√n))`. Every capacity in the
+    * vector family derives from a cheap corpus count when the caller
+    * does not size it explicitly — a fixed default that is right at
+    * bench scale is the quadratic term at 100× (r9 VERDICT: fixed 256
+    * buckets made the within-bucket pair join the dominant cost at
+    * sf1). */
+  def autoCells(n: Long): Int =
+    math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
+
   // ---- shared PQ/IVF building blocks -----------------------------------
 
   /** The `n` rows with the smallest portable md5 hash of their id — the
@@ -256,14 +267,16 @@ object Similarity {
    * the SQL oracle.
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nCells: Int = 16, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
+      nCells: Int = -1, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val dSub = dim / m
-    val sample = hashMinSample(corpus, math.max(nCells, kCodes),
+    // nCells <= 0 → the √n rule ([[autoCells]]) from a cheap count
+    val cellCount = if (nCells > 0) nCells else autoCells(corpus.count())
+    val sample = hashMinSample(corpus, math.max(cellCount, kCodes),
       corpusId, corpusVec)
-    val cellCents = sample.take(nCells)
+    val cellCents = sample.take(cellCount)
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
       sample.take(kCodes).toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq))
 
@@ -311,33 +324,63 @@ object Similarity {
     * a narrow map stage, ZERO shuffle, ties to the lowest cell. Shared
     * by SemDeDup ([[Dedup.semDedup]]) as its cluster step. */
   def coarseCells(df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): DataFrame = {
+      nCells: Int = -1): DataFrame = {
     import org.apache.spark.sql.types._
+    // nCells <= 0 → size from the data ([[autoCells]]): one cheap
+    // count (metadata-only on a parquet scan) buys bounded cell
+    // population at any corpus size
+    val k = if (nCells > 0) nCells else autoCells(df.count())
     val seedHash = conv(substring(md5(col(idCol).cast(StringType)), 1, 15),
       16, 10).cast(LongType)
     val centroids = df.select(col(idCol), col(vecCol))
       .withColumn("__h", seedHash)
-      .orderBy(col("__h"), col(idCol)).limit(nCells)
+      .orderBy(col("__h"), col(idCol)).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) =>
         (i, r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
       }
-    val scored = centroids.map { case (cellId, cvec) =>
-      struct(cosine(col(vecCol), typedlit(cvec.toSeq)).as("sim"),
-        lit(-cellId).as("neg_cell"))
+    val dim = if (centroids.isEmpty) 0 else centroids.head._2.length
+    if (centroids.length.toLong * dim <= AssignInlineMaxComponents) {
+      // ONE native argmax kernel over the centroid matrix (bit-equal to
+      // the former greatest()-of-structs, whose expression tree grew
+      // linearly in the cell count and re-derived the vector norm per
+      // centroid)
+      val flat = centroids.flatMap(_._2)
+      df.withColumn("cell", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.functions.expressions.ArgMaxCosineCell(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol)),
+          flat, centroids.length)))
+    } else {
+      // derived cell counts grow with the corpus — past the codegen
+      // limit, assign via the same broadcast-join + max_by path as
+      // [[ivfTopK]]: vector-free (id, cell, sim) rows, vectors cross
+      // one exchange on the assignment join-back
+      val schema = StructType(Seq(StructField("cell", IntegerType),
+        StructField("__cvec", ArrayType(DoubleType))))
+      val centDf = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(centroids.map(c =>
+          org.apache.spark.sql.Row(c._1, c._2.toSeq)): _*), schema)
+      val best = df.select(col(idCol), col(vecCol))
+        .join(broadcast(centDf))
+        .select(col(idCol), col("cell"),
+          cosine(col(vecCol), col("__cvec")).as("__sim"))
+        .groupBy(col(idCol))
+        .agg(max_by(col("cell"), struct(col("__sim"), -col("cell")))
+          .cast(IntegerType).as("cell"))
+      df.join(best, idCol)
     }
-    val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
-    df.withColumn("cell", (-best.getField("neg_cell")).cast(IntegerType))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nCells: Int = 16, nprobe: Int = 4, iters: Int = 3,
+      nCells: Int = -1, nprobe: Int = 4, iters: Int = 3,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec",
       assignInlineMax: Int = AssignInlineMaxComponents): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    // nCells <= 0 → the √n rule ([[autoCells]]) from a cheap count
+    val cellCount = if (nCells > 0) nCells else autoCells(corpus.count())
 
     // --- train the coarse quantizer ---------------------------------
     // portable 60-bit hash (md5 hex prefix): the DuckDB oracle derives
@@ -347,7 +390,7 @@ object Similarity {
     var centroids: Array[(Int, Array[Double])] = corpus
       .select(col(corpusId), col(corpusVec))
       .withColumn("__h", seedHash)
-      .orderBy(col("__h"), col(corpusId)).limit(nCells)
+      .orderBy(col("__h"), col(corpusId)).limit(cellCount)
       .collect().zipWithIndex
       .map { case (r, i) =>
         // element type may be float or double — go through Number
@@ -374,12 +417,13 @@ object Similarity {
     // cross one exchange (the join-back), never the n×k scored rows.
     def assign(df: DataFrame, vecCol: String): DataFrame = {
       if (centroids.length.toLong * dim <= assignInlineMax) {
-        val scored = centroids.map { case (cellId, cvec) =>
-          struct(cosine(col(vecCol), typedlit(cvec.toSeq)).as("sim"),
-            lit(-cellId).as("neg_cell"))
-        }
-        val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
-        df.withColumn("cell", (-best.getField("neg_cell")).cast(IntegerType))
+        // native argmax kernel (see coarseCells) — constant codegen
+        // footprint however many cells inline
+        val flat = centroids.flatMap(_._2)
+        df.withColumn("cell", org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.ArgMaxCosineCell(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol)),
+            flat, centroids.length)))
       } else {
         val idCols = df.columns.filterNot(_ == vecCol).map(col).toSeq
         val best = df.join(broadcast(centroidDf(centroids)))

@@ -162,24 +162,56 @@ class TxTable private (
       graft.functions.expressions.BloomFilterAgg(
         ColumnBridge.expression(col(column)), perFileRows, fpp)
         .toAggregateExpression())
-    val collected = dfFor(s)
-      .withColumn("__file", input_file_name())
-      .groupBy(col("__file")).agg(agg.as("bloom"))
-      .collect()
-    // match scan URIs back to snapshot paths by the unique file name
-    val byName = collected.map(r =>
-      new Path(r.getString(0)).getName -> r.getAs[Array[Byte]](1)).toMap
-    val enc = java.util.Base64.getEncoder
-    val entries = s.files.flatMap(f =>
-      byName.get(new Path(f.path).getName)
-        .map(b => f.path -> enc.encodeToString(b))).toMap
+    // one pass per FILE GROUP, sidecar part written (and driver memory
+    // released) as each pass completes: a whole-table collect of ~KB
+    // per file is fine at bench scale but ~GBs of driver heap in one
+    // job-result at the 10⁶-file shape the metadata design targets
+    // (r9 VERDICT item 5). Driver peak is one group's filters.
+    val groupSize = spark.conf
+      .getOption("spark.graft.bloomIndexFilesPerPass")
+      .map(_.toInt).getOrElse(10000)
+    def groupEntries(files: Seq[DataFile]): Map[String, String] = {
+      val collected = dfFor(s.copy(files = files))
+        .withColumn("__file", input_file_name())
+        .groupBy(col("__file")).agg(agg.as("bloom"))
+        .collect()
+      // match scan URIs back to snapshot paths by the unique file name
+      val byName = collected.map(r =>
+        new Path(r.getString(0)).getName -> r.getAs[Array[Byte]](1)).toMap
+      val enc = java.util.Base64.getEncoder
+      files.flatMap(f =>
+        byName.get(new Path(f.path).getName)
+          .map(b => f.path -> enc.encodeToString(b))).toMap
+    }
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val json = org.json4s.jackson.Serialization.write(
-      BloomIndex(column, fpp, s.version, entries))
-    val out = fs.create(bloomIndexPath(column), true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    entries.size
+    def writeTo(p: Path, entries: Map[String, String]): Unit = {
+      val json = org.json4s.jackson.Serialization.write(
+        BloomIndex(column, fpp, s.version, entries))
+      val out = fs.create(p, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    val groups = s.files.grouped(math.max(1, groupSize)).toSeq
+    if (groups.size <= 1) {
+      // single pass: the original one-FILE sidecar shape
+      fs.delete(bloomIndexPath(column), true)
+      val entries = groups.headOption.map(groupEntries).getOrElse(Map.empty)
+      writeTo(bloomIndexPath(column), entries)
+      entries.size
+    } else {
+      // multi-group: the sidecar PATH becomes a directory of part
+      // files (same name, so listing/caching/invalidation are
+      // unchanged); each part carries one group's entries and is
+      // written before the next group's job runs
+      fs.delete(bloomIndexPath(column), true)
+      var total = 0
+      groups.zipWithIndex.foreach { case (g, i) =>
+        val entries = groupEntries(g)
+        writeTo(new Path(bloomIndexPath(column), f"part-$i%05d.json"), entries)
+        total += entries.size
+      }
+      total
+    }
   }
 
   private def bloomIndexPath(column: String): Path =
@@ -209,21 +241,36 @@ class TxTable private (
       val p = bloomIndexPath(column)
       if (!fs.exists(p)) Map.empty
       else {
-        val mtime = fs.getFileStatus(p).getModificationTime
+        val status = fs.getFileStatus(p)
+        // part files under a directory sidecar (the chunked build):
+        // cache stamp folds every part's (mtime, length) so a rebuild
+        // with different parts can never serve stale filters
+        val parts: Seq[Path] =
+          if (status.isDirectory)
+            fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+              .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+          else Seq(p)
+        val stamp =
+          if (status.isDirectory)
+            fs.listStatus(p).map(st =>
+              st.getModificationTime ^ (st.getLen * 1000003L)).sum
+          else status.getModificationTime
         bloomCache.get(column) match {
-          case Some((t, cached)) if t == mtime => cached
+          case Some((t, cached)) if t == stamp => cached
           case _ =>
             implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-            val in = fs.open(p)
-            val json = try {
-              val bos = new java.io.ByteArrayOutputStream()
-              org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
-              bos.toString("UTF-8")
-            } finally in.close()
-            val idx = org.json4s.jackson.JsonMethods.parse(json).extract[BloomIndex]
             val dec = java.util.Base64.getDecoder
-            val decoded = idx.entries.map { case (k, v) => k -> dec.decode(v) }
-            bloomCache += column -> (mtime, decoded)
+            val decoded = parts.flatMap { part =>
+              val in = fs.open(part)
+              val json = try {
+                val bos = new java.io.ByteArrayOutputStream()
+                org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+                bos.toString("UTF-8")
+              } finally in.close()
+              org.json4s.jackson.JsonMethods.parse(json).extract[BloomIndex]
+                .entries.map { case (k, v) => k -> dec.decode(v) }
+            }.toMap
+            bloomCache += column -> (stamp, decoded)
             decoded
         }
       }
@@ -898,6 +945,13 @@ class TxTable private (
     spark.conf.getOption("spark.graft.morMaxPositions")
       .map(_.toLong).getOrElse(1000000L)
 
+  /** Driver-side cap on an equality-delete key set that cannot defer
+    * to executor-side loading (same key as the V2 scan's inline/defer
+    * split in `GraftV2Table.morGroups`). */
+  private[graft] def morMaxInlineDeleteKeys: Long =
+    spark.conf.getOption("spark.graft.morMaxInlineDeleteKeys")
+      .map(_.toLong).getOrElse(100000L)
+
   def deletePos(predicate: Column): Long = {
     val s = snapshot
     val schema = schemaOf(s)
@@ -1154,6 +1208,17 @@ class TxTable private (
     if (count == 0) {
       fs.delete(target, true)
       return s.version                       // nothing matched: no commit
+    }
+    // a key type EqKeyStore cannot load executor-side has exactly one
+    // read path: a driver-side collect of the whole key set at every
+    // scan. Past the inline cap that collect is unbounded (r9 VERDICT
+    // item 4), so degrade to the copy-on-write delete — same rows
+    // removed, no equality-delete state left behind — the same degrade
+    // discipline every other MOR path applies at its cap.
+    val keyType = schemaOf(s)(keyColumn).dataType
+    if (count > morMaxInlineDeleteKeys && !EqKeyStore.deferrable(keyType)) {
+      fs.delete(target, true)
+      return delete(predicate)
     }
     // stored CDF: the deleted rows' pre-images, from one extra
     // pushed-predicate scan (MOR deletes already applied by dfFor, so
@@ -1874,7 +1939,8 @@ class TxTable private (
     * conservatively, and the index can be rebuilt any time. */
   private def invalidateBloomIndex(column: String): Unit = synchronized {
     val p = bloomIndexPath(column)
-    if (fs.exists(p)) fs.delete(p, false)
+    // recursive: the chunked build writes a DIRECTORY of part files
+    if (fs.exists(p)) fs.delete(p, true)
     bloomCache -= column
   }
 
@@ -3365,8 +3431,15 @@ class TxTable private (
       s"cannot drop $name: a hidden partition field derives from it " +
         "(repartitionTable first)")
     val evolved = StructType(schema.fields.filterNot(_.name == name))
-    commit(Some(s.version), "DROP_COLUMN", evolved, s.partitionColumns, s.files,
+    val v = commit(Some(s.version), "DROP_COLUMN", evolved,
+      s.partitionColumns, s.files,
       droppedColumns = (s.droppedColumns :+ name).distinct)
+    // a later ADD COLUMN may reuse the name: filters describing the
+    // OLD column's values would then wrongly skip files for the new
+    // column's lookups (Bloom has no false negatives only against the
+    // values it was BUILT from)
+    invalidateBloomIndex(name)
+    v
   }
 
   /** Column RENAME via copy-on-write rewrite: without field IDs a
@@ -3388,8 +3461,12 @@ class TxTable private (
     val newFiles = writeFiles(
       toDF.withColumnRenamed(from, to)
         .select(evolved.map(f => col(f.name)): _*), parts)
-    commit(Some(s.version), "RENAME_COLUMN", evolved, parts, newFiles,
+    val v = commit(Some(s.version), "RENAME_COLUMN", evolved, parts, newFiles,
       droppedColumns = Nil)
+    // same re-added-name hazard as dropColumn; the rewritten files also
+    // obsolete the old entries' keys outright
+    invalidateBloomIndex(from)
+    v
   }
 
   /** Re-run `attempt` on commit conflicts (bounded optimistic retry).

@@ -43,4 +43,53 @@ object ColumnBridge {
   /** Parse SQL text to an (unresolved) logical plan. */
   def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sql)
+
+  /** Drop `df`'s persisted blocks as soon as the FIRST query that
+    * actually scanned them completes — the staged-intermediate pattern
+    * for operators that persist a shared sub-result (e.g. the hashed-
+    * shingle base both sides of the MinHash verification join read):
+    * the cache lives exactly as long as the one action that needs it,
+    * instead of leaking MEMORY_AND_DISK blocks until clearCache()
+    * (r9 VERDICT item 8).
+    *
+    * Matching is by identity on the cache entry's `CachedRDDBuilder`
+    * (CacheManager holds ONE per cache entry and reuses it in every
+    * plan it rewrites), walked through AQE wrappers whose `children`
+    * is Nil. The listener unregisters itself after firing; if the
+    * caller never runs an action the cache (and listener) live until
+    * session cleanup, same as before. Listener delivery is async —
+    * blocks drop shortly after the action returns, not within it. */
+  def unpersistAfterFirstUse(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val builder = spark.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .map(_.cachedRepresentation.cacheBuilder)
+      .getOrElse(return)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def uses(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => uses(a.executedPlan)
+      case q: QueryStageExec        => uses(q.plan)
+      case s: InMemoryTableScanExec if s.relation.cacheBuilder eq builder => true
+      case other => other.children.exists(uses)
+    }
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener: org.apache.spark.sql.util.QueryExecutionListener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (uses(qe.executedPlan) && fired.compareAndSet(false, true)) {
+            df.unpersist(blocking = false)
+            spark.listenerManager.unregister(this)
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = maybe(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = maybe(qe)
+      }
+    spark.listenerManager.register(listener)
+  }
 }

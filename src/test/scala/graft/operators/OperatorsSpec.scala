@@ -383,4 +383,83 @@ class OperatorsSpec extends SparkSpec {
       TextFunctions.qualityScore(col("text"))).collect()(0)
     assert(empty.getLong(0) === 0)
   }
+
+  test("auto capacities derive from corpus size and keep population bounded") {
+    // sign-LSH bits: expected bucket population n / 2^bits stays ≤ ~16
+    // (up to the ceil), with the [4, 20] clamp at both ends
+    assert(Dedup.autoSignBits(1) === 4)
+    assert(Dedup.autoSignBits(500) === 5)         // the sf0.01 corpus
+    assert(Dedup.autoSignBits(2000) === 7)        // sf0.1
+    assert(Dedup.autoSignBits(20000) === 11)      // the 10x bench corpus
+    assert(Dedup.autoSignBits(100000000L) === 20) // clamped
+    for (n <- Seq(100L, 1000L, 50000L, 5000000L)) {
+      val pop = n.toDouble / (1L << Dedup.autoSignBits(n))
+      assert(pop <= 16.0 + 1e-9, s"n=$n pop=$pop")
+    }
+    // SemDeDup clusters: expected cluster population ~32
+    assert(Dedup.autoClusters(500) === 16)        // matches the r9 oracle
+    assert(Dedup.autoClusters(20000) === 625)
+    assert(Dedup.autoClusters(10L * 1000 * 1000 * 1000) === 65536)
+    // IVF cells: the √n rule with [16, 4096] clamps
+    assert(Similarity.autoCells(500) === 23)
+    assert(Similarity.autoCells(100) === 16)
+    assert(Similarity.autoCells(100000000L) === 4096)
+  }
+
+  test("coarseCells: derived default and broadcast-join fallback are exact") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    // nCells omitted → autoCells(500) = 23, identical to passing it
+    val auto = Similarity.coarseCells(emb, "vec_id", "embedding")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val explicit23 = Similarity.coarseCells(emb, "vec_id", "embedding", 23)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(auto === explicit23 && auto.values.toSet.size > 1)
+    // 1100 cells × 64 dims = 70400 components > the inline limit → the
+    // broadcast-join path engages. Replicate the exact assignment
+    // driver-side (same md5 centroid order, argmax cosine, ties to the
+    // lowest cell) and demand equality — the fallback must be
+    // indistinguishable from the spec, not merely plausible.
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def md5h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val centroids = rows.sortBy { case (id, _) => (md5h(id), id) }
+      .map(_._2)   // k=1100 > n=500 → the sample is the whole corpus
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val expected = rows.map { case (id, v) =>
+      val best = centroids.zipWithIndex
+        .map { case (c, i) => (cos(v, c), -i) }.max
+      id -> (-best._2)
+    }.toMap
+    val big = Similarity.coarseCells(emb, "vec_id", "embedding", 1100)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(big === expected)
+  }
+
+  test("minhash-lsh cache is dropped after the first action completes") {
+    val sc = spark.sparkContext
+    def shingleCacheBlocks: Int =
+      sc.getRDDStorageInfo.count(i => i.numCachedPartitions > 0)
+    val before = shingleCacheBlocks
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5)
+    pairs.count()                       // first action: uses the cache
+    // listener delivery is async — poll briefly
+    val deadline = System.currentTimeMillis() + 10000
+    var now = shingleCacheBlocks
+    while (now > before && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100); now = shingleCacheBlocks
+    }
+    assert(now <= before,
+      s"persisted shingle base leaked: $now cached RDDs (baseline $before)")
+  }
 }

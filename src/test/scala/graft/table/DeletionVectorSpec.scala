@@ -604,4 +604,60 @@ class DeletionVectorSpec extends SparkSpec {
     assert(t.toDF.filter(col("amount") === 9.99).count() === nMed)
     assert(t.toDF.filter(col("risk_score") === "HIGH").count() === 0)
   }
+
+  test("non-deferrable delete keys: capped inline at the bound, COW degrade over it") {
+    import spark.implicits._
+    val wh = freshDir("dv_nondef")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val cat = new TableCatalog(spark, new Path(wh))
+    // DECIMAL key: not in EqKeyStore.deferrable — its only MOR read
+    // path is a driver-side collect, so the write side must respect
+    // the inline cap
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amt",
+        org.apache.spark.sql.types.DecimalType(12, 2))))
+    val t = cat.createTable("dv", "dec", schema, Nil)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize((1 to 100).map(i =>
+        org.apache.spark.sql.Row(i.toLong, new java.math.BigDecimal(s"$i.00")))),
+      schema))
+    spark.conf.set("spark.graft.morMaxInlineDeleteKeys", "4")
+    try {
+      // AT the bound (3 distinct keys ≤ 4): stays merge-on-read — an
+      // equality delete lands, no data file is rewritten
+      val filesBefore = t.snapshot.files.map(_.path).toSet
+      t.deleteMor(col("amt") <= new java.math.BigDecimal("3.00"), "amt")
+      assert(t.snapshot.equalityDeletes.size === 1)
+      assert(t.snapshot.files.map(_.path).toSet === filesBefore)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.dv.dec")
+        .collect()(0).getLong(0) === 97)
+      // reader backstop for legacy logs: under a LOWERED cap, the V2
+      // scan refuses the unbounded driver collect with a clear error
+      spark.conf.set("spark.graft.morMaxInlineDeleteKeys", "1")
+      val e = intercept[Exception](
+        spark.sql("SELECT count(*) AS n FROM graft.dv.dec").collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("morMaxInlineDeleteKeys")), e.toString)
+      spark.conf.set("spark.graft.morMaxInlineDeleteKeys", "4")
+      // OVER the bound (10 distinct keys > 4): degrades to the
+      // copy-on-write delete — rows gone, NO new equality delete
+      t.deleteMor(col("amt") <= new java.math.BigDecimal("13.00"), "amt")
+      assert(t.snapshot.equalityDeletes.size === 1,
+        "over-cap non-deferrable delete must not add MOR state")
+      assert(t.snapshot.operation === "DELETE")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.dv.dec")
+        .collect()(0).getLong(0) === 87)
+      // the COW rewrite out-sequences the legacy delete: it no longer
+      // applies to any scanned file, so even a tiny cap cannot trip
+      spark.conf.set("spark.graft.morMaxInlineDeleteKeys", "1")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.dv.dec")
+        .collect()(0).getLong(0) === 87)
+    } finally spark.conf.unset("spark.graft.morMaxInlineDeleteKeys")
+  }
 }

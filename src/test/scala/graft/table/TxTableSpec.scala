@@ -688,6 +688,44 @@ class TxTableSpec extends SparkSpec {
     assert(t.readWhereEquals("transaction_id", newProbe).count() >= 1)
   }
 
+  test("bloom index: chunked multi-group build is byte-identical to one pass") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_bloom_chunked")), "t",
+      Schemas.transactions, Nil)
+    (0 until 6).foreach(i =>
+      t.append(SampleData.transactions(spark, 150, seed = 80L + i)))
+    val nFiles = t.snapshot.files.size
+    assert(nFiles >= 6)
+    // single-pass reference build first
+    assert(t.buildBloomIndex("transaction_id") === nFiles)
+    val single = t.bloomEntries("transaction_id")
+      .map { case (k, v) => k -> v.toSeq }
+    // rebuild with 2 files per pass → ceil(nFiles/2) sidecar parts,
+    // one scan job each, driver peak = one group's filters
+    spark.conf.set("spark.graft.bloomIndexFilesPerPass", "2")
+    try {
+      assert(t.buildBloomIndex("transaction_id") === nFiles)
+      val idxPath = new Path(t.root, "_index/bloom_transaction_id.json")
+      val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(fs.getFileStatus(idxPath).isDirectory)
+      assert(fs.listStatus(idxPath).count(_.getPath.getName.endsWith(".json"))
+        === (nFiles + 1) / 2)
+      val chunked = t.bloomEntries("transaction_id")
+        .map { case (k, v) => k -> v.toSeq }
+      // byte-identical skipping behavior: same files, same filters
+      assert(chunked === single)
+      // and probes behave exactly as with the one-file sidecar
+      val probe = t.toDF.select("transaction_id").orderBy("transaction_id")
+        .limit(500).collect()(499).getString(0)
+      val cands = t.candidateFilesForEquals("transaction_id", probe)
+      assert(cands.size < nFiles)
+      assert(t.readWhereEquals("transaction_id", probe).collect().toSet ===
+        t.toDF.filter(col("transaction_id") === probe).collect().toSet)
+      // schema edits invalidate the DIRECTORY sidecar too
+      t.renameColumn("transaction_id", "txid")
+      assert(!fs.exists(idxPath))
+    } finally spark.conf.unset("spark.graft.bloomIndexFilesPerPass")
+  }
+
   test("catalog: SQL-text UPDATE and DELETE FROM route to the table") {
     val cat = new TableCatalog(spark, new Path(freshDir("sqldml")))
     val t = cat.createTable("analytics", "txns_dml",
