@@ -92,6 +92,11 @@ object GraftSql {
   // properties, enforced on this SQL surface per statement
   private val GrantRe =
     """(?is)\s*GRANT\s+(SELECT|INSERT|ALL)\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
+  // column-scoped SELECT (the LakeFormation column-level grant,
+  // "Granting ... with column-level filtering"): the principal joins
+  // the SELECT list AND gets a per-principal allowed-column scope
+  private val GrantColsRe =
+    """(?is)\s*GRANT\s+SELECT\s*\(([^)]+)\)\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
   private val RevokeRe =
     """(?is)\s*REVOKE\s+(SELECT|INSERT|ALL)\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s+FROM\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
   private val ShowGrantsRe =
@@ -264,7 +269,8 @@ object GraftSql {
       else {
         val sub = substituteViews(cat, plan, depth = 0)
         enforceReadAcl(cat, sub)
-        if (sub eq plan) spark.sql(text) else bridge.ofRows(spark, sub)
+        val scoped = applyColumnScopes(cat, sub)
+        if (scoped eq plan) spark.sql(text) else bridge.ofRows(spark, scoped)
       }
     text match {
       case CreateTempViewRe(name) =>
@@ -329,8 +335,8 @@ object GraftSql {
         } else {
           cat.createNamespace(dns)
           val src = cat.getTable(sns, stbl)
-          // a clone IS a read of every source row
-          aclCheck(src, "SELECT")
+          // a clone IS a read of every source row, unscoped
+          fullSelectCheck(src)
           val t = src.cloneTo(cat.tableRoot(dns, dtbl), s"$dns.$dtbl",
             Option(ver).map(_.toLong).getOrElse(-1L))
           Seq(s"CLONED $sns.$stbl -> $dns.$dtbl at v${t.currentVersion}")
@@ -521,18 +527,20 @@ object GraftSql {
       // REWRITE DATA). HISTORY must match before the plain DESCRIBE.
       case DescribeHistoryRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        cat.getTable(ns, tbl).history()
+        val t = cat.getTable(ns, tbl)
+        metaCheckTable(t)              // per-commit file/row counts
+        t.history()
       case TableChangesRe(rawName, from, to) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
-        aclCheck(t, "SELECT")          // the feed returns row data
+        fullSelectCheck(t)             // the feed returns unscoped rows
         t.changeFeed(from.toLong,
           Option(to).map(_.toLong).getOrElse(-1L))
       case TableChangesTsRe(rawName, from, to) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         def ms(s: String) = java.sql.Timestamp.valueOf(s.trim).getTime
         val t = cat.getTable(ns, tbl)
-        aclCheck(t, "SELECT")
+        fullSelectCheck(t)             // unscoped rows
         t.changeFeedByTime(ms(from),
           Option(to).map(ms).getOrElse(Long.MaxValue))
       case ShowMvRe(nsRaw) =>
@@ -583,6 +591,7 @@ object GraftSql {
       case DescribeDetailRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        metaCheckTable(t)              // location, file counts, branches
         val s = t.snapshot
         Seq(("graft", s"$ns.$tbl", t.root.toString, s.version, s.operation,
             new java.sql.Timestamp(s.timestampMs),
@@ -667,6 +676,7 @@ object GraftSql {
       case ShowPartitionsRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        metaCheckTable(t)              // partition VALUES are data-derived
         val s = t.snapshot
         require(s.partitionColumns.nonEmpty,
           s"table $ns.$tbl is not partitioned")
@@ -776,6 +786,7 @@ object GraftSql {
       case ShowBranchesRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        metaCheckTable(t)
         t.branches.map(b => (b, t.branch(b).currentVersion,
             t.branchForkVersion(b)))
           .toDF("branch", "head_version", "fork_version")
@@ -797,6 +808,7 @@ object GraftSql {
           if !rawName.equalsIgnoreCase("TABLE") && knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        metaCheckTable(t)              // the native DESCRIBE bar, mirrored
         val parts = t.snapshot.partitionColumns.toSet
         t.schema.fields.toSeq.map(f => (f.name, f.dataType.simpleString,
             f.nullable, parts.contains(f.name)))
@@ -854,6 +866,27 @@ object GraftSql {
           throw new SecurityException(s"principal '$me' holds no grant on " +
             s"namespace $ns and may not list its grants")
         all.toDF("principal", "privilege")
+      // column-scoped grant must match before the plain form (the
+      // plain regex would not match the parenthesized column list, but
+      // order keeps the intent obvious)
+      case GrantColsRe(colList, rawName, qp, bp) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val principal = checkPrincipal(if (qp != null) qp else cleanIdent(bp))
+        val t = cat.getTable(ns, tbl)
+        aclOwnerCheck(t)
+        val cols = colList.split(",").map(cleanIdent).filter(_.nonEmpty).toSeq
+        val unknown = cols.filterNot(t.schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"GRANT SELECT(...) names unknown column(s): ${unknown.mkString(", ")}")
+        val ownerSeed =
+          if (aclPrincipals(t, "OWNER").nonEmpty) Map.empty[String, String]
+          else Map(aclProp("OWNER") -> currentPrincipal(t.spark))
+        val v = t.setProperties(ownerSeed ++ Map(
+          aclProp("SELECT") ->
+            (aclPrincipals(t, "SELECT") + principal).toSeq.sorted.mkString(","),
+          selectScopeProp(principal) -> cols.mkString(",")))
+        Seq(s"GRANTED SELECT (${cols.mkString(", ")}) ON $ns.$tbl " +
+          s"TO $principal v$v").toDF("result")
       case GrantRe(priv, rawName, qp, bp) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val principal = checkPrincipal(if (qp != null) qp else cleanIdent(bp))
@@ -869,6 +902,10 @@ object GraftSql {
           else Map(aclProp("OWNER") -> currentPrincipal(t.spark))
         val v = t.setProperties(ownerSeed ++ privs.map(pr => aclProp(pr) ->
           (aclPrincipals(t, pr) + principal).toSeq.sorted.mkString(",")).toMap)
+        // a FULL SELECT grant supersedes any column scope on record
+        if (privs.contains("SELECT") &&
+            t.properties.contains(selectScopeProp(principal)))
+          t.unsetProperties(Seq(selectScopeProp(principal)))
         Seq(s"GRANTED ${priv.toUpperCase} ON $ns.$tbl TO $principal v$v")
           .toDF("result")
       case RevokeRe(priv, rawName, qp, bp) if knownTable(cat, rawName) =>
@@ -890,7 +927,14 @@ object GraftSql {
         val (keep, drop) = changed.partition(_._2.nonEmpty)
         if (keep.nonEmpty) t.setProperties(keep.map { case (pr, set) =>
           aclProp(pr) -> set.toSeq.sorted.mkString(",") }.toMap)
-        if (drop.nonEmpty) t.unsetProperties(drop.map(p => aclProp(p._1)))
+        // revoking SELECT also clears the principal's column scope
+        val scopeDrop =
+          if (privs.contains("SELECT") &&
+              t.properties.contains(selectScopeProp(principal)))
+            Seq(selectScopeProp(principal))
+          else Nil
+        val allDrop = drop.map(p => aclProp(p._1)) ++ scopeDrop
+        if (allDrop.nonEmpty) t.unsetProperties(allDrop)
         Seq(s"REVOKED ${priv.toUpperCase} ON $ns.$tbl FROM $principal " +
           s"v${t.currentVersion}").toDF("result")
       case ShowGrantsRe(rawName) if knownTable(cat, rawName) =>
@@ -899,7 +943,14 @@ object GraftSql {
         // grant INSPECTION follows the LakeFormation model too: once an
         // ACL exists, only owners and grantees may enumerate it
         val all = Seq("OWNER", "SELECT", "INSERT")
-          .flatMap(pr => aclPrincipals(t, pr).toSeq.sorted.map(p => (p, pr)))
+          .flatMap(pr => aclPrincipals(t, pr).toSeq.sorted.map { p =>
+            // column-scoped SELECT renders its allowed columns
+            val shown =
+              if (pr == "SELECT") selectScope(t, p)
+                .map(cs => s"SELECT (${cs.mkString(", ")})").getOrElse(pr)
+              else pr
+            (p, shown)
+          })
         val me = currentPrincipal(t.spark)
         if (all.nonEmpty && !all.exists(_._1 == me))
           throw new SecurityException(
@@ -972,18 +1023,34 @@ object GraftSql {
     * surface — the service-side check the reference's LakeFormation
     * grants provide; direct TxTable/DataFrame access is the storage-
     * account path that model does not govern either. */
+  /** Property holding one principal's column-scoped SELECT list
+    * (comma-joined columns; under `graft.acl.` so the property door,
+    * redaction, and administration rules all apply unchanged). */
+  private def selectScopeProp(principal: String): String =
+    s"graft.acl.selectcols.$principal"
+
+  private def selectScope(t: TxTable, principal: String): Option[Seq[String]] =
+    t.properties.get(selectScopeProp(principal))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
   private def aclCheck(t: TxTable, priv: String): Unit = {
     // most-specific wins (the LakeFormation resolution order): a
     // table-level list for this privilege decides alone; otherwise a
     // namespace-level list decides; neither declared → open
     val table = aclPrincipals(t, priv)
     val allowed = if (table.nonEmpty) table else nsPrincipals(t, priv)
-    if (allowed.nonEmpty) {
-      val p = currentPrincipal(t.spark)
-      if (!allowed.contains(p)) throw new SecurityException(
+    val p = currentPrincipal(t.spark)
+    if (allowed.nonEmpty && !allowed.contains(p))
+      throw new SecurityException(
         s"principal '$p' lacks $priv on ${t.name} " +
           s"(run: GRANT $priv ON ${t.name} TO $p)")
-    }
+    // a column-scoped principal cannot run DML: predicates, merges,
+    // and rewrites read (and writes fabricate) columns outside the
+    // scope — writes require unscoped visibility
+    if (priv == "INSERT" && selectScope(t, p).isDefined)
+      throw new SecurityException(
+        s"principal '$p' holds a column-scoped SELECT on ${t.name} " +
+          "and may not write to it")
   }
 
   /** Grant ADMINISTRATION is itself governed: the first GRANT on a
@@ -1025,6 +1092,67 @@ object GraftSql {
     * "may see raw allow lists" and "may edit them" stay one rule). */
   private def isAclAdmin(t: TxTable): Boolean =
     try { aclOwnerCheck(t); true } catch { case _: SecurityException => false }
+
+  /** Table metadata (DESCRIBE bar): once an ACL exists, only owners and
+    * grantees — table-level, or namespace-level incl. DESCRIBE — may
+    * read it. Shared by the plan-walk gates AND the regex metadata arms
+    * (SHOW PARTITIONS / DESCRIBE HISTORY / DESCRIBE DETAIL / SHOW
+    * BRANCHES expose partition values and file/row counts, the same
+    * class as the `.partitions`/`.files` sub-tables). */
+  private def metaCheckTable(tt: TxTable): Unit = {
+    val all = Seq("OWNER", "SELECT", "INSERT")
+      .flatMap(pr => aclPrincipals(tt, pr)) ++
+      Seq("OWNER", "SELECT", "INSERT", "DESCRIBE")
+        .flatMap(pr => nsPrincipals(tt, pr))
+    if (all.nonEmpty && !all.contains(currentPrincipal(tt.spark)))
+      throw new SecurityException(
+        s"principal '${currentPrincipal(tt.spark)}' holds no grant " +
+          s"on ${tt.name} and may not read its table metadata")
+  }
+
+  /** Full (unscoped) SELECT: the bar for reads that bypass the
+    * column-scope projection — shallow clones, the change feed, branch
+    * and stats-bearing metadata sub-tables all serve whole rows or
+    * per-column values, so a column-scoped principal is denied. */
+  private def fullSelectCheck(tt: TxTable): Unit = {
+    aclCheck(tt, "SELECT")
+    if (selectScope(tt, currentPrincipal(tt.spark)).isDefined)
+      throw new SecurityException(
+        s"principal '${currentPrincipal(tt.spark)}' holds a " +
+          s"column-scoped SELECT on ${tt.name}: this read surface " +
+          "serves unscoped rows/columns and is closed to scoped grants")
+  }
+
+  /** Plan-level column-scope enforcement: every governed relation the
+    * CURRENT principal may only partially see is replaced by
+    * `SubqueryAlias(t, Project(allowed, rel))` — exactly the
+    * authorized-view mechanism. A forbidden column then fails analysis
+    * as unresolvable and `SELECT *` serves the allowed subset. Runs
+    * AFTER view substitution (a view over a scoped table scopes its
+    * underlying reads) and after [[enforceReadAcl]] (which denies
+    * scoped principals every surface this rewrite cannot protect). */
+  private def applyColumnScopes(cat: TableCatalog,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
+    val me = currentPrincipal(cat.spark)
+    plan.transformUpWithSubqueries {
+      case r: UnresolvedRelation =>
+        val target = r.multipartIdentifier match {
+          case Seq(ns, t)                               => Some((ns, t))
+          case Seq(c, ns, t) if governedCatalog(cat, c) => Some((ns, t))
+          case _                                        => None
+        }
+        target.flatMap { case (ns, tb) =>
+          if (!cat.tableExists(ns, tb)) None
+          else selectScope(cat.getTable(ns, tb), me).map { cols =>
+            SubqueryAlias(tb,
+              Project(cols.map(c => UnresolvedAttribute.quoted(c)), r))
+          }
+        }.getOrElse(r)
+    }
+  }
 
   /** ACL pass over a parsed plan: every reference that resolves to a
     * known table of this catalog (two-part, three-part with this
@@ -1086,16 +1214,7 @@ object GraftSql {
     // sub-tables): once an ACL exists, only owners and grantees —
     // table-level, or namespace-level incl. the DESCRIBE privilege
     // (the database-scope LakeFormation grant) — may read it
-    def metaCheck(tt: TxTable): Unit = {
-      val all = Seq("OWNER", "SELECT", "INSERT")
-        .flatMap(pr => aclPrincipals(tt, pr)) ++
-        Seq("OWNER", "SELECT", "INSERT", "DESCRIBE")
-          .flatMap(pr => nsPrincipals(tt, pr))
-      if (all.nonEmpty && !all.contains(currentPrincipal(tt.spark)))
-        throw new SecurityException(
-          s"principal '${currentPrincipal(tt.spark)}' holds no grant " +
-            s"on ${tt.name} and may not read its table metadata")
-    }
+    def metaCheck(tt: TxTable): Unit = metaCheckTable(tt)
     def metaGate(table: LogicalPlan): Unit =
       identOf(table).foreach { case (ns, t) =>
         tableFor(ns, t).foreach(metaCheck)
@@ -1167,22 +1286,30 @@ object GraftSql {
     plan.foreachWithSubqueries {
       case r: UnresolvedRelation
           if !insertTargets.contains(r.multipartIdentifier) =>
-        // data-volume reads (the table, its branches, the change feed)
-        // require SELECT on the base table
-        val target: Option[(String, String)] =
-          fromParts(r.multipartIdentifier).orElse(r.multipartIdentifier match {
-            case Seq(ns, t, "changes")               => Some((ns, t))
-            case Seq(c, ns, t, "changes")
-                if governedCatalog(cat, c)           => Some((ns, t))
-            case _                                   => None
-          })
-        target.foreach { case (ns, t) =>
-          tableFor(ns, t).foreach(aclCheck(_, "SELECT"))
+        // data-volume reads: the plain table needs SELECT (a column
+        // scope is then applied by the plan rewrite); the change feed
+        // and branch sub-tables serve UNSCOPED rows, so they take the
+        // full-select bar (scoped principals denied)
+        def dataSub(sub: String): Boolean =
+          sub == "changes" || sub.startsWith("branch_")
+        r.multipartIdentifier match {
+          case Seq(ns, t) =>
+            tableFor(ns, t).foreach(aclCheck(_, "SELECT"))
+          case Seq(c, ns, t) if governedCatalog(cat, c) =>
+            tableFor(ns, t).foreach(aclCheck(_, "SELECT"))
+          case Seq(ns, t, sub) if dataSub(sub) =>
+            tableFor(ns, t).foreach(fullSelectCheck)
+          case Seq(c, ns, t, sub)
+              if governedCatalog(cat, c) && dataSub(sub) =>
+            tableFor(ns, t).foreach(fullSelectCheck)
+          case _ => ()
         }
         // metadata sub-tables (.files/.partitions/.history/...) expose
-        // file paths, partition values, and row counts — grant-holders
-        // only, the DESCRIBE bar (ADVICE r9: these resolved through
-        // GraftCatalog with no check at all)
+        // file paths, partition values, and per-column min/max stats —
+        // grant-holders only, the DESCRIBE bar (ADVICE r9: these
+        // resolved through GraftCatalog with no check at all), and
+        // closed to column-scoped principals (stats leak hidden
+        // columns' values)
         val meta: Option[(String, String)] = r.multipartIdentifier match {
           case Seq(ns, t, sub) if MetadataSubTables(sub) => Some((ns, t))
           case Seq(c, ns, t, sub)
@@ -1190,7 +1317,14 @@ object GraftSql {
             Some((ns, t))
           case _ => None
         }
-        meta.foreach { case (ns, t) => tableFor(ns, t).foreach(metaCheck) }
+        meta.foreach { case (ns, t) => tableFor(ns, t).foreach { tt =>
+          metaCheck(tt)
+          if (selectScope(tt, currentPrincipal(tt.spark)).isDefined)
+            throw new SecurityException(
+              s"principal '${currentPrincipal(tt.spark)}' holds a " +
+                s"column-scoped SELECT on ${tt.name} and may not read " +
+                "its stats-bearing metadata tables")
+        } }
       case _ => ()
     }
   }

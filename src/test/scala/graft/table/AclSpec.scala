@@ -222,4 +222,75 @@ class AclSpec extends SparkSpec {
       intercept[SecurityException](GraftSql.sql(cat, "SELECT * FROM nsx.t1"))
     }
   }
+
+  test("column-scoped SELECT: authorized-view projection, DML and side doors closed") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_cols")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, v STRING, secret STRING)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1, 'a', 's1'), (2, 'b', 's2')")
+    cat.getTable("sec", "t").createBranch("b")
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
+      GraftSql.sql(cat, "GRANT SELECT (id, v) ON sec.t TO alice")
+    }
+    as("alice") {
+      // allowed columns read; SELECT * serves only the scope
+      assert(GraftSql.sql(cat, "SELECT id, v FROM sec.t ORDER BY id")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq ===
+        Seq((1, "a"), (2, "b")))
+      assert(GraftSql.sql(cat, "SELECT * FROM sec.t").columns.toSeq ===
+        Seq("id", "v"))
+      // the hidden column fails analysis — as unresolvable, like a view
+      intercept[Exception](
+        GraftSql.sql(cat, "SELECT secret FROM sec.t").collect())
+      // scoped principals cannot write (predicates/rewrites see all
+      // columns) nor reach the unscoped side doors
+      intercept[SecurityException](
+        GraftSql.sql(cat, "INSERT INTO sec.t VALUES (3, 'c', 's3')"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, "DELETE FROM sec.t WHERE id = 1"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, "CREATE TABLE sec.leak SHALLOW CLONE sec.t"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM table_changes('sec.t', 1)"))
+      val c = GraftSql.ensureCatalogRegistered(cat)
+      intercept[SecurityException](
+        GraftSql.sql(cat, s"SELECT * FROM $c.sec.t.branch_b"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, s"SELECT * FROM $c.sec.t.files"))
+      // metadata at the schema level stays open to the grantee
+      assert(GraftSql.sql(cat, "DESCRIBE sec.t").count() === 3)
+    }
+    // a view over the scoped table scopes its underlying read
+    as("admin") {
+      GraftSql.sql(cat, "CREATE VIEW sec.vw AS SELECT id, secret FROM sec.t")
+    }
+    as("alice") {
+      intercept[Exception](
+        GraftSql.sql(cat, "SELECT * FROM sec.vw").collect())
+    }
+    // SHOW GRANTS renders the scope; outsiders stay denied entirely
+    as("admin") {
+      val rows = GraftSql.sql(cat, "SHOW GRANTS ON sec.t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows.contains(("alice", "SELECT (id, v)")))
+    }
+    as("bob") {
+      intercept[SecurityException](GraftSql.sql(cat, "SELECT id FROM sec.t"))
+    }
+    // widening to a FULL SELECT clears the scope; revoking SELECT
+    // clears both the grant and the scope
+    as("admin") { GraftSql.sql(cat, "GRANT SELECT ON sec.t TO alice") }
+    as("alice") {
+      assert(GraftSql.sql(cat, "SELECT secret FROM sec.t").count() === 2)
+    }
+    as("admin") {
+      GraftSql.sql(cat, "GRANT SELECT (id) ON sec.t TO alice")
+      GraftSql.sql(cat, "REVOKE SELECT ON sec.t FROM alice")
+      assert(!cat.getTable("sec", "t").properties
+        .contains("graft.acl.selectcols.alice"))
+    }
+    as("alice") {
+      intercept[SecurityException](GraftSql.sql(cat, "SELECT id FROM sec.t"))
+    }
+  }
 }
