@@ -97,6 +97,13 @@ object GraftSql {
   // the SELECT list AND gets a per-principal allowed-column scope
   private val GrantColsRe =
     """(?is)\s*GRANT\s+SELECT\s*\(([^)]+)\)\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
+  // row-filtered SELECT (the LakeFormation DATA-CELLS filter's row
+  // dimension, "data filters" with a row filter expression): the
+  // principal joins the SELECT list AND every read it issues is
+  // wrapped in the stored predicate; composes with a column list
+  // (the full data-cells filter = rows × columns)
+  private val GrantRowsRe =
+    """(?is)\s*GRANT\s+SELECT\s*(?:\(([^)]+)\))?\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s+TO\s+(?:'([^']+)'|([`\w@.\-]+))\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val RevokeRe =
     """(?is)\s*REVOKE\s+(SELECT|INSERT|ALL)\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s+FROM\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
   private val ShowGrantsRe =
@@ -866,6 +873,38 @@ object GraftSql {
           throw new SecurityException(s"principal '$me' holds no grant on " +
             s"namespace $ns and may not list its grants")
         all.toDF("principal", "privilege")
+      // row-filtered grant must match first (its trailing WHERE clause
+      // would fail both other grant regexes, but order keeps the
+      // intent obvious); an optional column list composes the full
+      // LakeFormation data-cells filter (rows × columns)
+      case GrantRowsRe(colList, rawName, qp, bp, pred)
+          if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val principal = checkPrincipal(if (qp != null) qp else cleanIdent(bp))
+        val t = cat.getTable(ns, tbl)
+        aclOwnerCheck(t)
+        validateRowFilter(t, pred.trim)
+        val cols = Option(colList).toSeq
+          .flatMap(_.split(",").map(cleanIdent).filter(_.nonEmpty))
+        val unknown = cols.filterNot(t.schema.fieldNames.contains)
+        require(unknown.isEmpty,
+          s"GRANT SELECT(...) names unknown column(s): ${unknown.mkString(", ")}")
+        val ownerSeed =
+          if (aclPrincipals(t, "OWNER").nonEmpty) Map.empty[String, String]
+          else Map(aclProp("OWNER") -> currentPrincipal(t.spark))
+        val scopeSet =
+          if (cols.nonEmpty) Map(selectScopeProp(principal) -> cols.mkString(","))
+          else Map.empty[String, String]
+        val v = t.setProperties(ownerSeed ++ scopeSet ++ Map(
+          aclProp("SELECT") ->
+            (aclPrincipals(t, "SELECT") + principal).toSeq.sorted.mkString(","),
+          rowFilterProp(principal) -> pred.trim))
+        // a rows-only grant supersedes a column scope on record
+        if (cols.isEmpty && t.properties.contains(selectScopeProp(principal)))
+          t.unsetProperties(Seq(selectScopeProp(principal)))
+        val colsShown = if (cols.isEmpty) "" else s" (${cols.mkString(", ")})"
+        Seq(s"GRANTED SELECT$colsShown ON $ns.$tbl TO $principal " +
+          s"WHERE ${pred.trim} v$v").toDF("result")
       // column-scoped grant must match before the plain form (the
       // plain regex would not match the parenthesized column list, but
       // order keeps the intent obvious)
@@ -885,6 +924,9 @@ object GraftSql {
           aclProp("SELECT") ->
             (aclPrincipals(t, "SELECT") + principal).toSeq.sorted.mkString(","),
           selectScopeProp(principal) -> cols.mkString(",")))
+        // a columns-only grant supersedes a row filter on record
+        if (t.properties.contains(rowFilterProp(principal)))
+          t.unsetProperties(Seq(rowFilterProp(principal)))
         Seq(s"GRANTED SELECT (${cols.mkString(", ")}) ON $ns.$tbl " +
           s"TO $principal v$v").toDF("result")
       case GrantRe(priv, rawName, qp, bp) if knownTable(cat, rawName) =>
@@ -902,10 +944,12 @@ object GraftSql {
           else Map(aclProp("OWNER") -> currentPrincipal(t.spark))
         val v = t.setProperties(ownerSeed ++ privs.map(pr => aclProp(pr) ->
           (aclPrincipals(t, pr) + principal).toSeq.sorted.mkString(",")).toMap)
-        // a FULL SELECT grant supersedes any column scope on record
-        if (privs.contains("SELECT") &&
-            t.properties.contains(selectScopeProp(principal)))
-          t.unsetProperties(Seq(selectScopeProp(principal)))
+        // a FULL SELECT grant supersedes any column scope / row filter
+        if (privs.contains("SELECT")) {
+          val stale = Seq(selectScopeProp(principal), rowFilterProp(principal))
+            .filter(t.properties.contains)
+          if (stale.nonEmpty) t.unsetProperties(stale)
+        }
         Seq(s"GRANTED ${priv.toUpperCase} ON $ns.$tbl TO $principal v$v")
           .toDF("result")
       case RevokeRe(priv, rawName, qp, bp) if knownTable(cat, rawName) =>
@@ -928,10 +972,11 @@ object GraftSql {
         if (keep.nonEmpty) t.setProperties(keep.map { case (pr, set) =>
           aclProp(pr) -> set.toSeq.sorted.mkString(",") }.toMap)
         // revoking SELECT also clears the principal's column scope
+        // and row filter
         val scopeDrop =
-          if (privs.contains("SELECT") &&
-              t.properties.contains(selectScopeProp(principal)))
-            Seq(selectScopeProp(principal))
+          if (privs.contains("SELECT"))
+            Seq(selectScopeProp(principal), rowFilterProp(principal))
+              .filter(t.properties.contains)
           else Nil
         val allDrop = drop.map(p => aclProp(p._1)) ++ scopeDrop
         if (allDrop.nonEmpty) t.unsetProperties(allDrop)
@@ -944,11 +989,13 @@ object GraftSql {
         // ACL exists, only owners and grantees may enumerate it
         val all = Seq("OWNER", "SELECT", "INSERT")
           .flatMap(pr => aclPrincipals(t, pr).toSeq.sorted.map { p =>
-            // column-scoped SELECT renders its allowed columns
+            // scoped SELECT renders its allowed columns / row filter
             val shown =
-              if (pr == "SELECT") selectScope(t, p)
-                .map(cs => s"SELECT (${cs.mkString(", ")})").getOrElse(pr)
-              else pr
+              if (pr == "SELECT") {
+                val base = selectScope(t, p)
+                  .map(cs => s"SELECT (${cs.mkString(", ")})").getOrElse(pr)
+                rowFilter(t, p).map(f => s"$base WHERE $f").getOrElse(base)
+              } else pr
             (p, shown)
           })
         val me = currentPrincipal(t.spark)
@@ -1033,6 +1080,39 @@ object GraftSql {
     t.properties.get(selectScopeProp(principal))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Property holding one principal's row-filter SELECT predicate
+    * (SQL text over the table's own columns; under `graft.acl.` so the
+    * property door, redaction, and administration rules all apply). */
+  private def rowFilterProp(principal: String): String =
+    s"graft.acl.rowfilter.$principal"
+
+  private def rowFilter(t: TxTable, principal: String): Option[String] =
+    t.properties.get(rowFilterProp(principal)).filter(_.trim.nonEmpty)
+
+  /** Validate a row-filter predicate at GRANT time: it must parse, must
+    * not smuggle a subquery (a subquery's relations would dodge the ACL
+    * walk — LakeFormation row filters are simple predicates too), and
+    * every column it names must exist in the table's schema. A filter
+    * that later stops resolving (column dropped) fails analysis at read
+    * time — denial, the safe default. */
+  private def validateRowFilter(t: TxTable, pred: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    val e =
+      try org.apache.spark.sql.graft.ColumnBridge.parseExpression(t.spark, pred)
+      catch { case ex: Exception => throw new IllegalArgumentException(
+        s"row filter does not parse: $pred (${ex.getMessage})") }
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      "row filter may not contain a subquery")
+    val fields = t.schema.fieldNames.map(_.toLowerCase).toSet
+    val unknown = e.collect {
+      case a: UnresolvedAttribute if !fields(a.nameParts.last.toLowerCase) =>
+        a.name
+    }
+    require(unknown.isEmpty,
+      s"row filter names unknown column(s): ${unknown.distinct.mkString(", ")}")
+  }
+
   private def aclCheck(t: TxTable, priv: String): Unit = {
     // most-specific wins (the LakeFormation resolution order): a
     // table-level list for this privilege decides alone; otherwise a
@@ -1044,12 +1124,16 @@ object GraftSql {
       throw new SecurityException(
         s"principal '$p' lacks $priv on ${t.name} " +
           s"(run: GRANT $priv ON ${t.name} TO $p)")
-    // a column-scoped principal cannot run DML: predicates, merges,
-    // and rewrites read (and writes fabricate) columns outside the
-    // scope — writes require unscoped visibility
+    // a column-scoped or row-filtered principal cannot run DML:
+    // predicates, merges, and rewrites read (and writes fabricate)
+    // cells outside the scope — writes require unscoped visibility
     if (priv == "INSERT" && selectScope(t, p).isDefined)
       throw new SecurityException(
         s"principal '$p' holds a column-scoped SELECT on ${t.name} " +
+          "and may not write to it")
+    if (priv == "INSERT" && rowFilter(t, p).isDefined)
+      throw new SecurityException(
+        s"principal '$p' holds a row-filtered SELECT on ${t.name} " +
           "and may not write to it")
   }
 
@@ -1116,11 +1200,12 @@ object GraftSql {
     * per-column values, so a column-scoped principal is denied. */
   private def fullSelectCheck(tt: TxTable): Unit = {
     aclCheck(tt, "SELECT")
-    if (selectScope(tt, currentPrincipal(tt.spark)).isDefined)
+    val p = currentPrincipal(tt.spark)
+    if (selectScope(tt, p).isDefined || rowFilter(tt, p).isDefined)
       throw new SecurityException(
-        s"principal '${currentPrincipal(tt.spark)}' holds a " +
-          s"column-scoped SELECT on ${tt.name}: this read surface " +
-          "serves unscoped rows/columns and is closed to scoped grants")
+        s"principal '$p' holds a scoped SELECT on ${tt.name}: this " +
+          "read surface serves unscoped rows/columns and is closed " +
+          "to column-scoped and row-filtered grants")
   }
 
   /** Plan-level column-scope enforcement: every governed relation the
@@ -1135,7 +1220,7 @@ object GraftSql {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
     val me = currentPrincipal(cat.spark)
     plan.transformUpWithSubqueries {
       case r: UnresolvedRelation =>
@@ -1146,9 +1231,25 @@ object GraftSql {
         }
         target.flatMap { case (ns, tb) =>
           if (!cat.tableExists(ns, tb)) None
-          else selectScope(cat.getTable(ns, tb), me).map { cols =>
-            SubqueryAlias(tb,
-              Project(cols.map(c => UnresolvedAttribute.quoted(c)), r))
+          else {
+            val t = cat.getTable(ns, tb)
+            val scope = selectScope(t, me)
+            val filt = rowFilter(t, me)
+            if (scope.isEmpty && filt.isEmpty) None
+            else {
+              // data-cells composition: the row predicate evaluates
+              // over ALL columns (LakeFormation row filters may
+              // reference columns outside the granted list), the
+              // projection then narrows what the read serves
+              val filtered = filt.map(p => Filter(
+                org.apache.spark.sql.graft.ColumnBridge
+                  .parseExpression(cat.spark, p), r)).getOrElse(r)
+              val projected = scope.map(cols => Project(
+                cols.map(c => UnresolvedAttribute.quoted(c)),
+                filtered: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan))
+                .getOrElse(filtered)
+              Some(SubqueryAlias(tb, projected))
+            }
           }
         }.getOrElse(r)
     }
@@ -1319,11 +1420,11 @@ object GraftSql {
         }
         meta.foreach { case (ns, t) => tableFor(ns, t).foreach { tt =>
           metaCheck(tt)
-          if (selectScope(tt, currentPrincipal(tt.spark)).isDefined)
+          val me = currentPrincipal(tt.spark)
+          if (selectScope(tt, me).isDefined || rowFilter(tt, me).isDefined)
             throw new SecurityException(
-              s"principal '${currentPrincipal(tt.spark)}' holds a " +
-                s"column-scoped SELECT on ${tt.name} and may not read " +
-                "its stats-bearing metadata tables")
+              s"principal '$me' holds a scoped SELECT on ${tt.name} " +
+                "and may not read its stats-bearing metadata tables")
         } }
       case _ => ()
     }

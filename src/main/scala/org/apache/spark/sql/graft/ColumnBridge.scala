@@ -44,6 +44,11 @@ object ColumnBridge {
   def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
     spark.sessionState.sqlParser.parsePlan(sql)
 
+  /** Parse SQL text to an (unresolved) expression — row-filter grant
+    * predicates are stored as text and spliced into read plans. */
+  def parseExpression(spark: SparkSession, sql: String): Expression =
+    spark.sessionState.sqlParser.parseExpression(sql)
+
   /** Drop `df`'s persisted blocks as soon as the FIRST query that
     * actually scanned them completes — the staged-intermediate pattern
     * for operators that persist a shared sub-result (e.g. the hashed-

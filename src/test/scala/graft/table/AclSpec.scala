@@ -293,4 +293,90 @@ class AclSpec extends SparkSpec {
       intercept[SecurityException](GraftSql.sql(cat, "SELECT id FROM sec.t"))
     }
   }
+
+  test("row-filtered SELECT: data-cells filter, composition, side doors closed") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_rows")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, region STRING, secret STRING)")
+    GraftSql.sql(cat,
+      "INSERT INTO sec.t VALUES (1, 'EU', 's1'), (2, 'US', 's2'), (3, 'EU', 's3')")
+    cat.getTable("sec", "t").createBranch("b")
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
+      GraftSql.sql(cat, "GRANT SELECT ON sec.t TO alice WHERE region = 'EU'")
+    }
+    as("alice") {
+      // only the granted rows are served — on direct reads, SELECT *,
+      // and aggregates alike
+      assert(GraftSql.sql(cat, "SELECT id FROM sec.t ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
+        .collect()(0).getLong(0) === 2L)
+      // row-filtered principals cannot write (a rewrite reads rows
+      // outside the filter) nor reach unscoped side doors
+      intercept[SecurityException](
+        GraftSql.sql(cat, "INSERT INTO sec.t VALUES (4, 'EU', 's4')"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, "DELETE FROM sec.t WHERE id = 1"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, "CREATE TABLE sec.leak SHALLOW CLONE sec.t"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM table_changes('sec.t', 1)"))
+      val c = GraftSql.ensureCatalogRegistered(cat)
+      intercept[SecurityException](
+        GraftSql.sql(cat, s"SELECT * FROM $c.sec.t.branch_b"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, s"SELECT * FROM $c.sec.t.files"))
+    }
+    // a view over the filtered table filters its underlying read
+    as("admin") {
+      GraftSql.sql(cat, "CREATE VIEW sec.vw AS SELECT id, secret FROM sec.t")
+    }
+    as("alice") {
+      assert(GraftSql.sql(cat, "SELECT id FROM sec.vw ORDER BY id")
+        .collect().map(_.getInt(0)).toSeq === Seq(1, 3))
+    }
+    // rows × columns composition: the predicate may reference a column
+    // OUTSIDE the granted list (the LakeFormation data-cells shape)
+    as("admin") {
+      GraftSql.sql(cat,
+        "GRANT SELECT (id) ON sec.t TO bob WHERE region = 'US'")
+    }
+    as("bob") {
+      val r = GraftSql.sql(cat, "SELECT * FROM sec.t")
+      assert(r.columns.toSeq === Seq("id"))
+      assert(r.collect().map(_.getInt(0)).toSeq === Seq(2))
+      intercept[Exception](
+        GraftSql.sql(cat, "SELECT secret FROM sec.t").collect())
+    }
+    // SHOW GRANTS renders the filter; invalid predicates are rejected
+    // at grant time (parse, unknown column, subquery smuggling)
+    as("admin") {
+      val rows = GraftSql.sql(cat, "SHOW GRANTS ON sec.t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows.contains(("alice", "SELECT WHERE region = 'EU'")))
+      assert(rows.contains(("bob", "SELECT (id) WHERE region = 'US'")))
+      intercept[IllegalArgumentException](GraftSql.sql(cat,
+        "GRANT SELECT ON sec.t TO eve WHERE region = "))
+      intercept[IllegalArgumentException](GraftSql.sql(cat,
+        "GRANT SELECT ON sec.t TO eve WHERE no_such_col = 1"))
+      intercept[IllegalArgumentException](GraftSql.sql(cat,
+        "GRANT SELECT ON sec.t TO eve WHERE id IN (SELECT id FROM sec.t)"))
+    }
+    // widening to a FULL SELECT clears the filter; revoking SELECT
+    // clears grant, filter, and scope
+    as("admin") { GraftSql.sql(cat, "GRANT SELECT ON sec.t TO alice") }
+    as("alice") {
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
+        .collect()(0).getLong(0) === 3L)
+    }
+    as("admin") {
+      GraftSql.sql(cat, "REVOKE SELECT ON sec.t FROM bob")
+      val p = cat.getTable("sec", "t").properties
+      assert(!p.contains("graft.acl.rowfilter.bob") &&
+        !p.contains("graft.acl.selectcols.bob"))
+    }
+    as("bob") {
+      intercept[SecurityException](GraftSql.sql(cat, "SELECT id FROM sec.t"))
+    }
+  }
 }
