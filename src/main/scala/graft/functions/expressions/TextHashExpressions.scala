@@ -77,6 +77,10 @@ object TextHashBuilders {
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
+  def positionedShingles(toks: Column, shingleLen: Int): Column =
+    ColumnBridge.column(
+      PositionedShingleHashes(ColumnBridge.expression(toks), shingleLen))
+
   /** table-generating: one output row per word n-gram — alias the two
     * generated columns with `.as(Seq("pos", "ngram"))` */
   def ngramGenerate(text: Column, n: Int): Column =
@@ -120,6 +124,57 @@ case class HashedShingleSet(child: Expression, shingleLen: Int)
       i += 1
     }
     new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Per-POSITION 64-bit hashes of the `shingleLen`-token windows of a
+ * pre-split token array — element p is the hash of tokens
+ * [p, p+shingleLen) — the exact-substring-dedup input
+ * ([[graft.operators.Dedup.substringDedup]]). Unlike
+ * [[HashedShingleSet]] it neither tokenizes (the CALLER's split
+ * defines positions, so removal can reconstruct the original text
+ * byte-for-byte — no lowercasing) nor dedupes (every occurrence keeps
+ * its position). Per-token hashes are computed once and windows
+ * combine them order-sensitively: O(n·shingleLen) long mixes per
+ * document, no window strings materialized. Fewer than `shingleLen`
+ * tokens → empty array.
+ */
+case class PositionedShingleHashes(child: Expression, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def prettyName: String = "positioned_shingles"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nTok = arr.numElements()
+    val n = nTok - shingleLen + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) {
+      // null token (shouldn't occur from split, but arrays admit it)
+      // hashes as the empty string
+      val t = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else arr.getUTF8String(i)
+      val b = t.getBytes
+      th(i) = TextHash.fnv1a(b, 0, b.length)
+      i += 1
+    }
+    val out = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      var h = 0x27D4EB2F165667C5L
+      var j = 0
+      while (j < shingleLen) { h = TextHash.mix64(h ^ th(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

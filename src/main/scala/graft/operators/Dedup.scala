@@ -131,6 +131,78 @@ object Dedup {
       textCol: String = "text", minLen: Int = 1): DataFrame =
     lineDedup(docs, idCol, textCol, minLen, sep = "\n\n")
 
+  /**
+   * Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+   * Data Makes Language Models Better", the ExactSubstr pass): any
+   * `minMatchTokens`-token window whose exact content occurs more than
+   * once corpus-wide is removed at every occurrence EXCEPT the globally
+   * first (min `(doc, pos)`) — the [[lineDedup]] keep-first winner rule
+   * applied to OVERLAPPING token windows, which is the shuffle-friendly
+   * re-expression of the paper's single-machine suffix-array scan. A
+   * position is removed iff some window covering it is a non-winner
+   * occurrence of its content; documents reassemble from surviving
+   * tokens (space-joined — positions come from a plain `split(' ')`,
+   * NOT the lowercasing tokenizer, so the survivors reconstruct the
+   * original bytes).
+   *
+   * Plan shape, per stage:
+   *  1. window hashes via the native [[graft.functions.expressions
+   *     .PositionedShingleHashes]] kernel — O(n·k) long mixes per doc,
+   *     no window strings materialized or shuffled;
+   *  2. winner aggregate shuffles 20-byte (hash, doc, pos) triples,
+   *     map-side combined, so mega-duplicated windows (the boilerplate
+   *     that motivates the pass) arrive pre-reduced;
+   *  3. the loser set anti-joins back on `(doc, pos)` — unique per row
+   *     on both sides, skew-free by construction (identical to the
+   *     [[lineDedup]] keep-join; the hash never drives a join);
+   *  4. covered positions explode k rows per loser, dedupe on
+   *     `(doc, pos)`, and token text crosses exactly one shuffle for
+   *     reassembly.
+   * Identity is the window content's 64-bit hash (the
+   * [[contentFingerprint]] collision contract).
+   */
+  def substringDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      /** the paper's threshold is 50 BPE tokens; callers on short-doc
+        * corpora pass a smaller window */
+      minMatchTokens: Int = 50): DataFrame = {
+    val k = minMatchTokens
+    require(k >= 2, "minMatchTokens must be >= 2")
+    val meta = docs.columns.filterNot(c => c == idCol || c == textCol)
+    val toks = docs.select(col(idCol), split(col(textCol), " ").as("ts"))
+    val occ = toks.select(col(idCol),
+      posexplode(graft.functions.expressions.TextHashBuilders
+        .positionedShingles(col("ts"), k)).as(Seq("p", "h")))
+    val winners = occ.groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("p"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.p").as("p"))
+    // every occurrence that is not its content's winner loses — a
+    // content occurring once IS its own winner, so uniques never lose
+    val losers = occ.select(col(idCol), col("p"))
+      .join(winners, Seq(idCol, "p"), "left_anti")
+    val covered = losers
+      .select(col(idCol), explode(sequence(col("p"), col("p") + (k - 1))).as("pos"))
+      .distinct()
+    val tokpos = toks.select(col(idCol),
+      posexplode(col("ts")).as(Seq("pos", "tok")))
+    val rebuilt = tokpos.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("ks"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("ks"), x => x("tok"))).as(textCol),
+        size(col("ks")).cast(LongType).as("n_tokens_kept"))
+    // docs whose every token was covered drop out of the reassembly
+    // aggregate — restore them empty via the doc spine
+    docs.select(Seq(col(idCol)) ++ meta.map(col) :+
+        size(split(col(textCol), " ")).cast(LongType).as("n_tokens"): _*)
+      .join(rebuilt, Seq(idCol), "left")
+      .select(Seq(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        col("n_tokens"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept")) ++
+        meta.map(col): _*)
+  }
+
   /** Distinct 64-bit shingle hashes per document — the shared input of
     * signature computation and Jaccard verification — via the native
     * [[HashedShingleSet]] expression: one tight per-row loop instead of

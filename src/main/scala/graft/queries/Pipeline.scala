@@ -156,6 +156,53 @@ object Pipeline {
                   AS BIGINT) AS n_chars_after
       FROM kept GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Exact-substring dedup (Lee et al. 2022 ExactSubstr): every
+    // 8-token window occurring >1 times corpus-wide is removed at all
+    // but its first (doc, pos) occurrence; docs reassemble from
+    // surviving tokens. The oracle replays the winner rule on the raw
+    // window STRINGS (the operator keys the same windows by 64-bit
+    // hash; split(' ') tokens are space-free, so the joined string is
+    // a bijective window identity) and the same reassembly.
+    Q("dedup_substring", fn = (s, dir) =>
+      Dedup.substringDedup(Td.documents(s, dir), minMatchTokens = 8)
+        .select(col("doc_id"), col("text"), col("n_tokens"),
+          col("n_tokens_kept"))
+        .orderBy(col("doc_id")),
+      oracle = Some("""
+      WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      occ AS (
+        SELECT doc_id, p,
+               array_to_string(list_slice(ts, p + 1, p + 8), ' ') AS win
+        FROM toks, LATERAL (SELECT unnest(generate_series(0, len(ts) - 8)) AS p)
+        WHERE len(ts) >= 8),
+      w AS (
+        SELECT win, min(doc_id * 1000000 + p) AS k FROM occ GROUP BY win),
+      losers AS (
+        SELECT o.doc_id, o.p FROM occ o JOIN w ON w.win = o.win
+        WHERE w.k <> o.doc_id * 1000000 + o.p),
+      cov AS (
+        SELECT DISTINCT doc_id, pos
+        FROM losers, LATERAL (SELECT unnest(generate_series(p, p + 7)) AS pos)),
+      tokpos AS (
+        SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+        FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i)),
+      kept AS (
+        SELECT tp.doc_id, tp.pos, tp.tok
+        FROM tokpos tp LEFT JOIN cov c
+          ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        WHERE c.doc_id IS NULL),
+      rebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_tokens_kept
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+             coalesce(r.text, '') AS text,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             coalesce(r.n_tokens_kept, 0) AS n_tokens_kept
+      FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
     // Oracle-checked: the output contract is "pairs with EXACT shingle
     // Jaccard ≥ threshold" — LSH banding only prunes candidates, and at
     // this corpus's similarity profile (all true pairs ≥ 0.8) the

@@ -462,4 +462,53 @@ class OperatorsSpec extends SparkSpec {
     assert(now <= before,
       s"persisted shingle base leaked: $now cached RDDs (baseline $before)")
   }
+
+  test("substring dedup: first occurrence survives, every later copy is cut") {
+    val d = Seq(
+      // doc 0 owns the shared 4-token run "alpha beta gamma delta"
+      (0L, "alpha beta gamma delta tail0 x y z"),
+      // doc 1 repeats it mid-document: exactly those 4 tokens go
+      (1L, "pre1 alpha beta gamma delta post1 q r"),
+      // doc 2 IS the run and nothing else: reduces to empty
+      (2L, "alpha beta gamma delta"),
+      // doc 3 shares no 4-window; stays byte-identical
+      (3L, "one two three four five six"),
+      // doc 4 is shorter than the window; untouched
+      (4L, "tiny doc"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, minMatchTokens = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) === ((0L, "alpha beta gamma delta tail0 x y z", 8L, 8L)))
+    assert(out(1) === ((1L, "pre1 post1 q r", 8L, 4L)))
+    assert(out(2) === ((2L, "", 4L, 0L)))
+    assert(out(3) === ((3L, "one two three four five six", 6L, 6L)))
+    assert(out(4) === ((4L, "tiny doc", 2L, 2L)))
+    assert(out(5) === ((5L, "", 1L, 1L)))
+  }
+
+  test("substring dedup: overlapping duplicated windows cut the union of spans") {
+    // docs 0 and 1 share a 6-token run; with k=4 the three overlapping
+    // duplicated windows in doc 1 must remove the whole 6-token span,
+    // not just one window's worth
+    val d = Seq(
+      (0L, "s1 s2 s3 s4 s5 s6 endA"),
+      (1L, "lead s1 s2 s3 s4 s5 s6 endB")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, minMatchTokens = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out(0) === ((0L, "s1 s2 s3 s4 s5 s6 endA")))
+    assert(out(1) === ((1L, "lead endB")))
+  }
+
+  test("substring dedup: within-document repetition loses to its own first copy") {
+    val d = Seq(
+      (0L, "r1 r2 r3 r4 mid r1 r2 r3 r4")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, minMatchTokens = 4).collect()
+    assert(out(0).getString(1) === "r1 r2 r3 r4 mid")
+  }
 }
