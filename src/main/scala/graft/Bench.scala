@@ -67,7 +67,7 @@ object Bench {
     val pipelineNames = Seq("dedup_embedding_cosine", "dedup_semantic",
       "ann_ivfpq", "decontaminate_bloom", "chunk_documents",
       "curation_pipeline", "text_tfidf_topterms", "dedup_lines_global",
-      "text_lm_score")
+      "text_lm_score", "dedup_substring")
     val pipeline = pipelineNames.flatMap { name =>
       fns.get(name).map { fn =>
         // GC barrier between keys: the heavies before this key (e.g.
@@ -265,7 +265,7 @@ object Bench {
     val nDocs = spark.read.parquet(s"$bigDir/documents.parquet").count()
     val keys = Seq("dedup_lines_global", "dedup_minhash_lsh",
       "decontaminate_bloom", "dedup_embedding_cosine", "dedup_semantic",
-      "ann_ivfpq")
+      "ann_ivfpq", "dedup_substring")
     val timedKeys = keys.flatMap { k =>
       fns.get(k).map { fn =>
         System.gc()

@@ -234,9 +234,9 @@ object GraftSql {
     """(?is)\s*(?:SET|RESET)\s+(?:`)?spark\.sql\.catalog\..*""".r
   private val BareResetRe = """(?is)\s*RESET\s*;?\s*""".r
   private val CreateTempViewRe =
-    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+VIEW\s+(`[^`]+`|\w+).*""".r
+    """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(GLOBAL\s+)?TEMP(?:ORARY)?\s+VIEW\s+(`[^`]+`|\w+).*""".r
   private val DropBareViewRe =
-    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*;?\s*""".r
+    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?:(global_temp)\s*\.\s*)?(`[^`]+`|\w+)\s*;?\s*""".r
 
   private def nativeSql(cat: TableCatalog, text: String): DataFrame = {
     // session-MUTATING statements must not run on the routing clone
@@ -259,7 +259,11 @@ object GraftSql {
             "spark.sql.catalog.* conf (and bare RESET) cannot be changed " +
               "through the SQL surface")
         return cat.spark.sql(text)
-      case DropBareViewRe(_) => return cat.spark.sql(text)
+      case DropBareViewRe(global, name) =>
+        val key = (if (global != null) "global_temp." else "") +
+          cleanIdent(name).toLowerCase
+        tempViewOwners(cat.spark).remove(key)
+        return cat.spark.sql(text)
       case _ => ()
     }
     val spark = sessionFor(cat)
@@ -277,14 +281,71 @@ object GraftSql {
         val sub = substituteViews(cat, plan, depth = 0)
         enforceReadAcl(cat, sub)
         val scoped = applyColumnScopes(cat, sub)
-        if (scoped eq plan) spark.sql(text) else bridge.ofRows(spark, scoped)
+        scoped match {
+          // a temp view stores its original TEXT and re-analyzes it on
+          // every read — which would silently re-parse the definition
+          // WITHOUT the view substitution / row-column scope splices
+          // (a row-filtered principal's own temp view would serve the
+          // unfiltered table). When governance changed the plan, store
+          // the GOVERNED analyzed plan instead of the text.
+          case cvc: org.apache.spark.sql.execution.command.CreateViewCommand
+              if !(scoped eq plan) =>
+            bridge.ofRows(spark, cvc.copy(originalText = None))
+          // CACHE TABLE x AS SELECT registers a temp view from its
+          // original text too, but offers no analyzed-plan storage
+          // path — refuse it when governance rewrote the query (use
+          // CREATE TEMP VIEW, which stores the governed plan)
+          case c: org.apache.spark.sql.catalyst.plans.logical.CacheTableAsSelect
+              if !(scoped eq plan) =>
+            throw new SecurityException(
+              s"CACHE TABLE ${c.tempViewName} AS SELECT would re-analyze " +
+                "its text outside this surface's governance; " +
+                "use CREATE TEMP VIEW instead")
+          case _ =>
+            if (scoped eq plan) spark.sql(text)
+            else bridge.ofRows(spark, scoped)
+        }
       }
     text match {
-      case CreateTempViewRe(name) =>
-        bridge.copyTempView(spark, cat.spark, cleanIdent(name))
+      case CreateTempViewRe(global, name) =>
+        // global temp views live in shared state (visible to the real
+        // session already); local ones copy over from the clone
+        if (global == null) bridge.copyTempView(spark, cat.spark, cleanIdent(name))
+        // the stored definition was read-checked and row/column-scoped
+        // for the CREATING principal — record it so other principals
+        // cannot read through it (see [[tempViewOwners]])
+        val key = (if (global != null) "global_temp." else "") +
+          cleanIdent(name).toLowerCase
+        tempViewOwners(cat.spark).put(key, currentPrincipal(cat.spark))
       case _ => ()
     }
     result
+  }
+
+  /** Creating principal of each temp view registered THROUGH this
+    * surface, per session: a temp view's stored plan was ACL-checked
+    * (and row/column-scoped) for its creator at CREATE time, so
+    * serving it to a different principal would launder the creator's
+    * visibility — reads of a recorded temp view by anyone else are
+    * denied. Temp views registered host-side (outside GraftSql) are
+    * the storage-account path and stay ungoverned, like every other
+    * direct-session read. Weak keys: entries die with the session. */
+  private val tempViewOwnersBySession =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
+
+  private def tempViewOwners(spark: org.apache.spark.sql.SparkSession)
+      : java.util.concurrent.ConcurrentHashMap[String, String] = {
+    val m = tempViewOwnersBySession
+    m.synchronized {
+      var cur = m.get(spark)
+      if (cur == null) {
+        cur = new java.util.concurrent.ConcurrentHashMap[String, String]()
+        m.put(spark, cur)
+      }
+      cur
+    }
   }
 
   /** Replace references to stored views (`ns.v`, or catalog-qualified
@@ -1385,6 +1446,19 @@ object GraftSql {
       case _                             => ()
     }
     plan.foreachWithSubqueries {
+      // a temp view created through this surface is private to its
+      // creating principal: its stored plan was checked and scoped for
+      // the CREATOR, so another principal reading it would inherit the
+      // creator's visibility (see [[tempViewOwners]])
+      case r: UnresolvedRelation if r.multipartIdentifier.size == 1 ||
+          (r.multipartIdentifier.size == 2 &&
+            r.multipartIdentifier.head.equalsIgnoreCase("global_temp")) =>
+        val key = r.multipartIdentifier.map(_.toLowerCase).mkString(".")
+        val owner = tempViewOwners(cat.spark).get(key)
+        if (owner != null && owner != currentPrincipal(cat.spark))
+          throw new SecurityException(
+            s"temp view $key was created by principal '$owner' " +
+              "and is private to it")
       case r: UnresolvedRelation
           if !insertTargets.contains(r.multipartIdentifier) =>
         // data-volume reads: the plain table needs SELECT (a column

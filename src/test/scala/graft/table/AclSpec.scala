@@ -294,6 +294,65 @@ class AclSpec extends SparkSpec {
     }
   }
 
+  test("row filters push down to the scan and prune partitions") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_rows_push")))
+    GraftSql.sql(cat,
+      "CREATE TABLE sec.p (id STRING, date DATE, v INT) PARTITIONED BY (date)")
+    GraftSql.sql(cat, """INSERT INTO sec.p VALUES
+      ('a', DATE'2026-01-01', 1), ('b', DATE'2026-01-02', 2),
+      ('c', DATE'2026-01-03', 3)""")
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON sec.p TO admin")
+      GraftSql.sql(cat,
+        "GRANT SELECT ON sec.p TO alice WHERE date = DATE'2026-01-02'")
+    }
+    // the ACL predicate is a plan-level Filter over the relation, so
+    // Catalyst pushes it into the V2 scan like any user WHERE — row
+    // security that still PRUNES (only the granted partition is read)
+    as("alice") {
+      val q = GraftSql.sql(cat, "SELECT id FROM sec.p")
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.length === 1, "expected exactly one V2 BatchScan")
+      assert(scans.head.inputRDD.getNumPartitions <= 1,
+        "ACL row filter did not prune partitions")
+      assert(q.collect().map(_.getString(0)) === Array("b"))
+    }
+  }
+
+  test("temp views created through the surface are private to their creator") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_tmpview")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, secret STRING)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1, 's1'), (2, 's2')")
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
+      GraftSql.sql(cat, "GRANT SELECT ON sec.t TO alice WHERE id = 1")
+      // admin's temp view snapshots admin's UNSCOPED visibility
+      GraftSql.sql(cat,
+        "CREATE TEMP VIEW adm_v AS SELECT * FROM sec.t")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM adm_v")
+        .collect()(0).getLong(0) === 2L)
+    }
+    // another principal cannot read through it (the stored plan was
+    // checked and scoped for the creator, not for the reader)
+    as("alice") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM adm_v").collect())
+      // alice's own temp view is scoped to HER filter, and stays hers
+      GraftSql.sql(cat, "CREATE TEMP VIEW ali_v AS SELECT * FROM sec.t")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM ali_v")
+        .collect()(0).getLong(0) === 1L)
+    }
+    as("bob") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM ali_v").collect())
+    }
+    // DROP clears the record; re-creation re-keys ownership
+    as("admin") { GraftSql.sql(cat, "DROP VIEW adm_v") }
+    try spark.catalog.dropTempView("ali_v") catch { case _: Exception => () }
+  }
+
   test("row-filtered SELECT: data-cells filter, composition, side doors closed") {
     val cat = new TableCatalog(spark, new Path(freshDir("acl_rows")))
     GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, region STRING, secret STRING)")
