@@ -288,9 +288,15 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
         graft.table.EqKeyStore.deferrable(fullSchema(d.keyColumn).dataType)
     // load only deletes some scanned file is actually subject to —
     // a delete every file out-sequences (e.g. after a COW rewrite)
-    // costs nothing and cannot trip the cap
+    // costs nothing and cannot trip the cap. "Some file is subject" ⇔
+    // d.seq > min(file seq), so one O(files) min replaces the former
+    // O(deletes × files) exists-scan — this runs in scan PLANNING at
+    // the 10⁶-file shape the planner targets (ADVICE r10)
+    val minFileSeq =
+      if (scanFiles.isEmpty) Long.MaxValue
+      else scanFiles.iterator.map(_.seq).min
     val applicable = deletes
-      .filter(d => scanFiles.exists(f => d.seq > f.seq)).map(_.path).toSet
+      .filter(d => d.seq > minFileSeq).map(_.path).toSet
     val keysByDelete: Map[String, Set[Any]] =
       deletes.filter(d => applicable(d.path) && !deferred(d)).map { d =>
         // backstop for legacy logs: writers now degrade an over-cap

@@ -237,15 +237,23 @@ case class SignLshBuckets(child: Expression, hyperplanes: Array[Double],
       val j = ctx.freshName("j")
       val dot = ctx.freshName("dot")
       val bucket = ctx.freshName("bucket")
+      val loop = ctx.freshName("lshTables")
       val getter =
         if (elemIsFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
+      // a null element bails out of ALL loops at once (labeled break —
+      // a bare break only exited the innermost dot loop, leaving the
+      // remaining tables/bits computing dead values after isNull was
+      // already set) and skips the result allocation entirely
       val nullCheck =
         if (elemNullable)
-          s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }"
+          s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break $loop; }"
         else ""
+      val resultAssign =
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"
       s"""
          |int $n = java.lang.Math.min($dim, $a.numElements());
          |long[] $out = new long[$nTables];
+         |$loop:
          |for (int $t = 0; $t < $nTables; $t++) {
          |  long $bucket = 0L;
          |  for (int $p = 0; $p < $nBits; $p++) {
@@ -258,7 +266,8 @@ case class SignLshBuckets(child: Expression, hyperplanes: Array[Double],
          |  }
          |  $out[$t] = $bucket;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |${if (elemNullable) s"if (!${ev.isNull}) { $resultAssign }"
+            else resultAssign}
        """.stripMargin
     })
 
@@ -365,6 +374,25 @@ case class ArgMaxCosineCell(child: Expression, centroids: Array[Double],
         if (elemNullable)
           s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }"
         else ""
+      // the argmax sweep is dead work once a null element set isNull in
+      // the norm loop — skip it entirely (the norm loop is the only
+      // place a null can surface, so one guard covers the rest)
+      val sweep =
+        s"""
+           |double $sqna = java.lang.Math.sqrt($na);
+           |double $best = java.lang.Double.NEGATIVE_INFINITY;
+           |int $bestCell = 0;
+           |for (int $c = 0; $c < $nCells; $c++) {
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $dot += $cents[$c * $dim + $i] * ${getter(i)};
+           |  }
+           |  double $cos = ($sqna == 0.0 || $norms[$c] == 0.0) ? 0.0
+           |    : $dot / ($sqna * $norms[$c]);
+           |  if ($cos > $best) { $best = $cos; $bestCell = $c; }
+           |}
+           |${ev.value} = $bestCell;
+         """.stripMargin
       s"""
          |int $n = java.lang.Math.min($dim, $a.numElements());
          |double $na = 0.0;
@@ -373,24 +401,187 @@ case class ArgMaxCosineCell(child: Expression, centroids: Array[Double],
          |  double $x = ${getter(j)};
          |  $na += $x * $x;
          |}
-         |double $sqna = java.lang.Math.sqrt($na);
-         |double $best = java.lang.Double.NEGATIVE_INFINITY;
-         |int $bestCell = 0;
-         |for (int $c = 0; $c < $nCells; $c++) {
-         |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $cents[$c * $dim + $i] * ${getter(i)};
-         |  }
-         |  double $cos = ($sqna == 0.0 || $norms[$c] == 0.0) ? 0.0
-         |    : $dot / ($sqna * $norms[$c]);
-         |  if ($cos > $best) { $best = $cos; $bestCell = $c; }
-         |}
-         |${ev.value} = $bestCell;
+         |${if (elemNullable) s"if (!${ev.isNull}) { $sweep }" else sweep}
        """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/**
+ * All `m` PQ codes of one vector in a single fused kernel: `codebooks`
+ * is the flattened `[subspace][code][dim]` codeword array and the
+ * result is `array<int>` where element mi = argmin over j of
+ * ‖sub_mi(v) − codeword[mi][j]‖₂ (ties to the LOWEST code).
+ *
+ * Replaces the composed per-subspace encoding (`greatest()` over
+ * (−l2Distance(slice(v), lit(codeword)), −code) structs): that form
+ * built m×kCodes kernel calls PLUS m×kCodes slice allocations per row,
+ * and as part of a fused stage pushed generated methods toward janino's
+ * limits — the identical silent-interpreted-fallback cliff r10 fixed
+ * for [[SignLshBuckets]]. Arithmetic replicates the composed form
+ * term-for-term: per-subspace L2 accumulates (v_i − c_i)² in index
+ * order over the present elements and compares the SQRT values (strict
+ * less, ascending code order → same winner and tie-break as
+ * max(−d, −code)), so codes — which the DuckDB oracle replays — are
+ * bit-identical.
+ */
+case class PqCodes(child: Expression, codebooks: Array[Double],
+    m: Int, kCodes: Int, dSub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(m > 0 && kCodes > 0 && dSub > 0 &&
+    codebooks.length == m * kCodes * dSub,
+    s"bad PqCodes shape: ${codebooks.length} components for " +
+      s"$m x $kCodes x $dSub")
+
+  override def prettyName: String = "pq_codes"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+  private lazy val elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+  override def nullable: Boolean = child.nullable || elemNullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var bestD = java.lang.Double.POSITIVE_INFINITY
+      var bestCode = 0
+      var j = 0
+      while (j < kCodes) {
+        var sum = 0.0
+        var i = 0
+        while (i < dSub && mi * dSub + i < len) {
+          val pos = mi * dSub + i
+          if (elemNullable && a.isNullAt(pos)) return null
+          val x = if (elemIsFloat) a.getFloat(pos).toDouble else a.getDouble(pos)
+          val d = x - codebooks((mi * kCodes + j) * dSub + i)
+          sum += d * d
+          i += 1
+        }
+        val dist = math.sqrt(sum)
+        if (dist < bestD) { bestD = dist; bestCode = j }
+        j += 1
+      }
+      out(mi) = bestCode
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+      val len = ctx.freshName("len")
+      val out = ctx.freshName("out")
+      val mi = ctx.freshName("mi")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val pos = ctx.freshName("pos")
+      val sum = ctx.freshName("sum")
+      val d = ctx.freshName("d")
+      val dist = ctx.freshName("dist")
+      val bestD = ctx.freshName("bestD")
+      val bestCode = ctx.freshName("bestCode")
+      val loop = ctx.freshName("pqSubspaces")
+      val getter =
+        if (elemIsFloat) s"(double) $a.getFloat($pos)" else s"$a.getDouble($pos)"
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($pos)) { ${ev.isNull} = true; break $loop; }"
+        else ""
+      val resultAssign =
+        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"
+      s"""
+         |int $len = $a.numElements();
+         |int[] $out = new int[$m];
+         |$loop:
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double $bestD = java.lang.Double.POSITIVE_INFINITY;
+         |  int $bestCode = 0;
+         |  for (int $j = 0; $j < $kCodes; $j++) {
+         |    double $sum = 0.0;
+         |    for (int $i = 0; $i < $dSub && $mi * $dSub + $i < $len; $i++) {
+         |      int $pos = $mi * $dSub + $i;
+         |      $nullCheck
+         |      double $d = $getter - $cb[($mi * $kCodes + $j) * $dSub + $i];
+         |      $sum += $d * $d;
+         |    }
+         |    double $dist = java.lang.Math.sqrt($sum);
+         |    if ($dist < $bestD) { $bestD = $dist; $bestCode = $j; }
+         |  }
+         |  $out[$mi] = $bestCode;
+         |}
+         |${if (elemNullable) s"if (!${ev.isNull}) { $resultAssign }"
+            else resultAssign}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Asymmetric-distance score (Jégou et al., PAMI'11 §IV-A) of one PQ-
+ * coded corpus row against one query's lookup table: left is the
+ * `array<int>` code vector, right the `array<array<double>>` LUT, and
+ * the result is Σ_mi lut[mi][codes[mi]] accumulated in subspace order —
+ * exactly the left fold the composed
+ * `aggregate(zip_with(codes, sequence, ...), 0.0, +)` form computed,
+ * so scores are bit-identical. The composed form is CodegenFallback
+ * (higher-order functions evaluate their lambda interpreted, row by
+ * row) — ON THE SCORED-PAIR PATH, the hottest loop in ANN search; this
+ * kernel is m array reads inside whole-stage codegen.
+ */
+case class AdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "adc_score"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val lut = lutAny.asInstanceOf[ArrayData]
+    val m = math.min(codes.numElements(), lut.numElements())
+    var sum = 0.0
+    var mi = 0
+    while (mi < m) {
+      sum += lut.getArray(mi).getDouble(codes.getInt(mi))
+      mi += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val mi = ctx.freshName("mi")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $m = java.lang.Math.min($codes.numElements(), $lut.numElements());
+         |double $sum = 0.0;
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  $sum += $lut.getArray($mi).getDouble($codes.getInt($mi));
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 /** ‖a − b‖₂ in one fused pass. */

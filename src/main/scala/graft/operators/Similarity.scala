@@ -100,18 +100,26 @@ object Similarity {
       .map(r => r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue()).toArray)
   }
 
-  /** Per-subspace PQ code columns: argmin L2 to the INLINED codewords
-    * (ties break to the lowest code), a narrow codegen'd map. */
-  private def pqCodeCols(codebooks: Seq[Seq[Seq[Double]]], vecCol: String,
-      dSub: Int): Seq[org.apache.spark.sql.Column] =
-    codebooks.zipWithIndex.map { case (cb, mi) =>
-      val sub = slice(col(vecCol), mi * dSub + 1, dSub)
-      val scored = cb.zipWithIndex.map { case (cw, j) =>
-        struct((-l2Distance(sub, typedlit(cw))).as("negd"), lit(-j).as("negcode"))
-      }
-      val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-      (-best.getField("negcode")).cast(org.apache.spark.sql.types.IntegerType)
-    }
+  /** The full `array<int>` code vector in ONE native kernel
+    * ([[graft.functions.expressions.PqCodes]]): argmin L2 per subspace
+    * against the flattened codeword matrix, ties to the lowest code —
+    * bit-identical to the former composed per-subspace encoding
+    * (greatest() over (−l2, −code) structs), whose m×kCodes kernel
+    * calls and slice allocations per row grew the generated method
+    * toward janino's limits inside fused stages (the r10
+    * [[graft.functions.expressions.SignLshBuckets]] cliff, on the PQ
+    * path). Constant codegen footprint at any m×kCodes. */
+  private def pqCodesKernel(codebooks: Seq[Seq[Seq[Double]]],
+      vecCol: String): org.apache.spark.sql.Column = {
+    val m = codebooks.size
+    val kCodes = codebooks.head.size
+    val dSub = codebooks.head.head.size
+    val flat = codebooks.flatten.flatten.toArray
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.PqCodes(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol)),
+        flat, m, kCodes, dSub))
+  }
 
   /** Reconstruction of a `codes` array via the broadcast codebook
     * literal — a per-row lookup, no join. Used by
@@ -139,13 +147,16 @@ object Similarity {
   /** ADC score of a corpus row: Σ_mi lut[mi][codes[mi]], accumulated in
     * subspace order (deterministic association; equals
     * dot(query, reconstruction) up to float re-association, which the
-    * 6-decimal output rounding absorbs). */
+    * 6-decimal output rounding absorbs). Native
+    * [[graft.functions.expressions.AdcScore]] kernel — the former
+    * `aggregate(zip_with(...))` form was CodegenFallback (interpreted
+    * lambdas) on the scored-PAIR path, the hottest loop in the search. */
   private def adcScore(lut: org.apache.spark.sql.Column,
       m: Int): org.apache.spark.sql.Column =
-    aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-        (code, mi) => element_at(element_at(lut, mi + 1), code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.AdcScore(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(lut)))
 
   /** Per-query top-k of scored (queryId, corpusId, score) rows. */
   private def topKByScore(scored: DataFrame, k: Int,
@@ -172,7 +183,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val updated = corpus
         .select(col(vecCol).as("__v"),
-          posexplode(array(pqCodeCols(codebooks, vecCol, dSub): _*))
+          posexplode(pqCodesKernel(codebooks, vecCol))
             .as(Seq("mi", "code")))
         .select(col("mi"), col("code"),
           posexplode(slice(col("__v"), col("mi") * dSub + 1, lit(dSub)))
@@ -227,7 +238,7 @@ object Similarity {
         sample.toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq)),
       dSub, iters)
     val encoded = corpus.select(col(corpusId),
-      array(pqCodeCols(codebooks, corpusVec, dSub): _*).as("codes"))
+      pqCodesKernel(codebooks, corpusVec).as("codes"))
     val withLut = queries.select(col(queryId),
       adcLut(codebooks, queryVec, dSub).as("__lut"))
     val scored = encoded.join(broadcast(withLut))
@@ -249,7 +260,7 @@ object Similarity {
         sample.toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq)),
       dSub, iters)
     corpus.select(col(corpusVec).as("__v"),
-        array(pqCodeCols(codebooks, corpusVec, dSub): _*).as("codes"))
+        pqCodesKernel(codebooks, corpusVec).as("codes"))
       .withColumn("__recon", pqRecon(codebooks))
       .select(l2Distance(col("__v"), col("__recon")).as("e"))
       .agg(avg(col("e"))).head().getDouble(0)
@@ -280,29 +291,58 @@ object Similarity {
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
       sample.take(kCodes).toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq))
 
-    // coarse cell: argmax cosine over the inlined cell centroids
-    def cellOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val scored = cellCents.zipWithIndex.map { case (cv, c) =>
-        struct(cosine(vec, typedlit(cv.toSeq)).as("sim"), lit(-c).as("negcell"))
+    // coarse cell: the native argmax-cosine kernel over the flattened
+    // centroid matrix (bit-equal to the former greatest()-of-structs
+    // composed form — see [[coarseCells]]; constant codegen footprint
+    // however many cells). Past the inline cap, broadcast-join the
+    // centroid table instead — vector-free (id, cell, sim) rows.
+    def cellAssigned(df: DataFrame, vecCol: String): DataFrame =
+      if (cellCents.length.toLong * dim <= AssignInlineMaxComponents) {
+        val flat = cellCents.flatMap(c => c)
+        df.withColumn("cell", org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.expressions.ArgMaxCosineCell(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col(vecCol)),
+            flat, cellCents.length)))
+      } else {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("cell", IntegerType),
+          StructField("__cvec", ArrayType(DoubleType))))
+        val centDf = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(cellCents.zipWithIndex.map { case (cv, c) =>
+            org.apache.spark.sql.Row(c, cv.toSeq) }: _*), schema)
+        val best = df.select(col(corpusId), col(vecCol))
+          .join(broadcast(centDf))
+          .select(col(corpusId), col("cell"),
+            cosine(col(vecCol), col("__cvec")).as("__sim"))
+          .groupBy(col(corpusId))
+          .agg(max_by(col("cell"), struct(col("__sim"), -col("cell")))
+            .cast(IntegerType).as("cell"))
+        df.join(best, corpusId)
       }
-      val best = if (scored.length == 1) scored.head else greatest(scored.toSeq: _*)
-      (-best.getField("negcell")).cast(org.apache.spark.sql.types.IntegerType)
-    }
     // the single corpus pass: (id, cell, codes) — vectors never persist
-    val indexed = corpus.select(col(corpusId), cellOf(col(corpusVec)).as("cell"),
-      array(pqCodeCols(codebooks, corpusVec, dSub): _*).as("codes"))
+    val indexed = cellAssigned(corpus, corpusVec)
+      .select(col(corpusId), col("cell"),
+        pqCodesKernel(codebooks, corpusVec).as("codes"))
 
-    // per-query probe list: nprobe nearest cells (queries are few)
-    val probes = queries.select(col(queryId), col(queryVec),
-        posexplode(array(cellCents.zipWithIndex.map { case (cv, c) =>
-          struct(lit(c).as("cell"),
-            cosine(col(queryVec), typedlit(cv.toSeq)).as("sim"))
-        }.toSeq: _*)).as(Seq("__pos", "__e")))
-      .select(col(queryId), col(queryVec),
-        col("__e.cell").as("cell"), col("__e.sim").as("sim"))
+    // per-query probe list: nprobe nearest cells via a broadcast join
+    // against the tiny centroid table (the former posexplode over an
+    // inlined per-cell struct array grew the QUERY-side expression tree
+    // linearly in the cell count; same arithmetic, same ordering)
+    val centSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__cvec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val centDf = corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cellCents.zipWithIndex.map { case (cv, c) =>
+        org.apache.spark.sql.Row(c, cv.toSeq) }: _*), centSchema)
     val pw = Window.partitionBy(col(queryId))
       .orderBy(col("sim").desc, col("cell").asc)
-    val probed = probes.withColumn("__pr", row_number().over(pw))
+    val probed = queries.join(broadcast(centDf))
+      .select(col(queryId), col(queryVec), col("cell"),
+        cosine(col(queryVec), col("__cvec")).as("sim"))
+      .withColumn("__pr", row_number().over(pw))
       .filter(col("__pr") <= nprobe)
       .select(col(queryId), col(queryVec), col("cell"))
 

@@ -262,7 +262,7 @@ object GraftSql {
       case DropBareViewRe(global, name) =>
         val key = (if (global != null) "global_temp." else "") +
           cleanIdent(name).toLowerCase
-        tempViewOwners(cat.spark).remove(key)
+        tempViewRecords(cat.spark, key).remove(key)
         return cat.spark.sql(text)
       case _ => ()
     }
@@ -312,40 +312,122 @@ object GraftSql {
         // session already); local ones copy over from the clone
         if (global == null) bridge.copyTempView(spark, cat.spark, cleanIdent(name))
         // the stored definition was read-checked and row/column-scoped
-        // for the CREATING principal — record it so other principals
-        // cannot read through it (see [[tempViewOwners]])
+        // for the CREATING principal — record it (with the underlying
+        // tables' ACL snapshot) so other principals cannot read
+        // through it, and so a later grant change invalidates it
+        // (see [[TempViewRecord]])
         val key = (if (global != null) "global_temp." else "") +
           cleanIdent(name).toLowerCase
-        tempViewOwners(cat.spark).put(key, currentPrincipal(cat.spark))
+        val snap =
+          if (plan == null) Map.empty[(String, String), Map[String, String]]
+          else aclSnapshotIn(cat, substituteViews(cat, plan, depth = 0))
+        tempViewRecords(cat.spark, key).put(key,
+          TempViewRecord(currentPrincipal(cat.spark), snap))
       case _ => ()
     }
     result
   }
 
-  /** Creating principal of each temp view registered THROUGH this
-    * surface, per session: a temp view's stored plan was ACL-checked
+  /** What a recorded temp view was checked against at CREATE time: the
+    * creating principal, plus the `graft.acl.*` table properties AND
+    * namespace-ACL state of every governed table its (substituted)
+    * definition touches. The snapshot makes the governance LIVE rather
+    * than point-in-time (ADVICE r10): a REVOKE, a new column/row scope,
+    * or any other grant change on an underlying table invalidates the
+    * view — without it, the creator would retain their old, wider
+    * visibility through a pre-existing temp view for the rest of the
+    * session, unlike stored views (which re-substitute and re-check
+    * per statement). */
+  private case class TempViewRecord(owner: String,
+      aclSnapshot: Map[(String, String), Map[String, String]])
+
+  /** Creating principal + ACL snapshot of each temp view registered
+    * THROUGH this surface: a temp view's stored plan was ACL-checked
     * (and row/column-scoped) for its creator at CREATE time, so
     * serving it to a different principal would launder the creator's
     * visibility — reads of a recorded temp view by anyone else are
     * denied. Temp views registered host-side (outside GraftSql) are
     * the storage-account path and stay ungoverned, like every other
-    * direct-session read. Weak keys: entries die with the session. */
+    * direct-session read. LOCAL views key per session; GLOBAL temp
+    * views live in SharedState and are visible to every session on the
+    * SparkContext, so their records key per CONTEXT (ADVICE r10: a
+    * session-keyed record let a second gateway session over the same
+    * context resolve a governed global view with no ownership record).
+    * Weak keys: entries die with the session/context. */
   private val tempViewOwnersBySession =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, String]]())
+        java.util.concurrent.ConcurrentHashMap[String, TempViewRecord]]())
 
-  private def tempViewOwners(spark: org.apache.spark.sql.SparkSession)
-      : java.util.concurrent.ConcurrentHashMap[String, String] = {
-    val m = tempViewOwnersBySession
-    m.synchronized {
-      var cur = m.get(spark)
-      if (cur == null) {
-        cur = new java.util.concurrent.ConcurrentHashMap[String, String]()
-        m.put(spark, cur)
+  private val globalTempViewOwnersByContext =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext,
+        java.util.concurrent.ConcurrentHashMap[String, TempViewRecord]]())
+
+  private def tempViewRecords(spark: org.apache.spark.sql.SparkSession,
+      key: String)
+      : java.util.concurrent.ConcurrentHashMap[String, TempViewRecord] =
+    if (key.startsWith("global_temp.")) {
+      val m = globalTempViewOwnersByContext
+      m.synchronized {
+        var cur = m.get(spark.sparkContext)
+        if (cur == null) {
+          cur = new java.util.concurrent.ConcurrentHashMap[String, TempViewRecord]()
+          m.put(spark.sparkContext, cur)
+        }
+        cur
       }
-      cur
+    } else {
+      val m = tempViewOwnersBySession
+      m.synchronized {
+        var cur = m.get(spark)
+        if (cur == null) {
+          cur = new java.util.concurrent.ConcurrentHashMap[String, TempViewRecord]()
+          m.put(spark, cur)
+        }
+        cur
+      }
     }
+
+  /** Current ACL-relevant state of one governed table: its
+    * `graft.acl.*` properties (grants, owners, column scopes, row
+    * filters) plus the enclosing namespace's ACL entries — everything
+    * a grant change can touch, so snapshot equality ⇔ "no grant on
+    * this table changed". */
+  private def aclStateOf(cat: TableCatalog, ns: String,
+      tbl: String): Map[String, String] =
+    if (!cat.tableExists(ns, tbl)) Map.empty
+    else cat.getTable(ns, tbl).properties
+      .filter(_._1.startsWith("graft.acl.")) ++
+      NamespaceAcl.load(cat.spark, cat.warehouse, ns)
+        .map { case (k, v) => ("ns::" + k) -> v }
+
+  /** Governed tables referenced anywhere in a (substituted) plan, with
+    * their current ACL state — the snapshot a temp-view record pins. */
+  private def aclSnapshotIn(cat: TableCatalog,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Map[(String, String), Map[String, String]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val out = scala.collection.mutable.Map
+      .empty[(String, String), Map[String, String]]
+    plan.foreachWithSubqueries {
+      case r: UnresolvedRelation =>
+        val target = r.multipartIdentifier match {
+          case Seq(ns, t)                                    => Some((ns, t))
+          case Seq(c, ns, t) if governedCatalog(cat, c)      => Some((ns, t))
+          // sub-tables (`ns.t.changes`, branches, metadata) are
+          // governed by the base table's ACL
+          case Seq(ns, t, _)                                 => Some((ns, t))
+          case Seq(c, ns, t, _) if governedCatalog(cat, c)   => Some((ns, t))
+          case _                                             => None
+        }
+        target.foreach { case (ns, t) =>
+          if (!out.contains((ns, t)) && cat.tableExists(ns, t))
+            out((ns, t)) = aclStateOf(cat, ns, t)
+        }
+      case _ => ()
+    }
+    out.toMap
   }
 
   /** Replace references to stored views (`ns.v`, or catalog-qualified
@@ -621,6 +703,7 @@ object GraftSql {
       case ShowCreateRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        metaCheckTable(t)              // schema/partitioning/constraints
         val s = t.snapshot
         val cols = t.schema.fields.map(f =>
           s"  ${f.name} ${f.dataType.sql}${if (f.nullable) "" else " NOT NULL"}")
@@ -818,6 +901,8 @@ object GraftSql {
       case ShowPropsRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        metaCheckTable(t)              // non-ACL property values are
+                                       // table metadata (DESCRIBE bar)
         // allow lists are grant metadata: visible to administrators,
         // redacted (key kept, value hidden) for everyone else
         val isOwner = isAclAdmin(t)
@@ -1454,11 +1539,25 @@ object GraftSql {
           (r.multipartIdentifier.size == 2 &&
             r.multipartIdentifier.head.equalsIgnoreCase("global_temp")) =>
         val key = r.multipartIdentifier.map(_.toLowerCase).mkString(".")
-        val owner = tempViewOwners(cat.spark).get(key)
-        if (owner != null && owner != currentPrincipal(cat.spark))
-          throw new SecurityException(
-            s"temp view $key was created by principal '$owner' " +
-              "and is private to it")
+        val rec = tempViewRecords(cat.spark, key).get(key)
+        if (rec != null) {
+          if (rec.owner != currentPrincipal(cat.spark))
+            throw new SecurityException(
+              s"temp view $key was created by principal '${rec.owner}' " +
+                "and is private to it")
+          // LIVE governance (ADVICE r10): the stored plan was checked
+          // and scoped at CREATE time — if any underlying table's
+          // grant state moved since (REVOKE, a narrowing to a column
+          // or row scope, ...), the old plan's visibility is stale and
+          // must not be served; the creator recreates the view under
+          // the current grants
+          rec.aclSnapshot.foreach { case ((ns, t), old) =>
+            if (aclStateOf(cat, ns, t) != old)
+              throw new SecurityException(
+                s"grants on $ns.$t changed since temp view $key was " +
+                  "created; drop and recreate the view")
+          }
+        }
       case r: UnresolvedRelation
           if !insertTargets.contains(r.multipartIdentifier) =>
         // data-volume reads: the plain table needs SELECT (a column

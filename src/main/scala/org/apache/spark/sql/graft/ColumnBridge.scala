@@ -60,10 +60,16 @@ object ColumnBridge {
     * Matching is by identity on the cache entry's `CachedRDDBuilder`
     * (CacheManager holds ONE per cache entry and reuses it in every
     * plan it rewrites), walked through AQE wrappers whose `children`
-    * is Nil. The listener unregisters itself after firing; if the
-    * caller never runs an action the cache (and listener) live until
-    * session cleanup, same as before. Listener delivery is async —
-    * blocks drop shortly after the action returns, not within it. */
+    * is Nil. The listener unregisters itself after firing — or after
+    * 64 query completions that never touched the cache (ADVICE r10: a
+    * caller that builds the frame but never runs an action would
+    * otherwise leak a listener that walks EVERY later query's executed
+    * plan for the session's lifetime; the stranded cache entry itself
+    * is also dropped at that point, since nothing fired in 64 queries
+    * means the builder was abandoned). Listener delivery is async —
+    * blocks drop shortly after the action returns, not within it.
+    * Consumers that run MULTIPLE actions over the returned frame
+    * recompute after the first (stage via parquet for that shape). */
   def unpersistAfterFirstUse(df: DataFrame): Unit = {
     val spark = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -81,10 +87,20 @@ object ColumnBridge {
       case other => other.children.exists(uses)
     }
     val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val missBound = 64
     val listener: org.apache.spark.sql.util.QueryExecutionListener =
       new org.apache.spark.sql.util.QueryExecutionListener {
         private def maybe(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-          if (uses(qe.executedPlan) && fired.compareAndSet(false, true)) {
+          if (uses(qe.executedPlan)) {
+            if (fired.compareAndSet(false, true)) {
+              df.unpersist(blocking = false)
+              spark.listenerManager.unregister(this)
+            }
+          } else if (misses.incrementAndGet() >= missBound &&
+              fired.compareAndSet(false, true)) {
+            // bound the walk tax: the consumer clearly moved on without
+            // ever scanning the cache — drop the abandoned entry too
             df.unpersist(blocking = false)
             spark.listenerManager.unregister(this)
           }

@@ -438,4 +438,88 @@ class AclSpec extends SparkSpec {
       intercept[SecurityException](GraftSql.sql(cat, "SELECT id FROM sec.t"))
     }
   }
+
+  test("temp views go stale when underlying grants change (live governance)") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_tmpstale")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, secret STRING)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1, 's1'), (2, 's2')")
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
+      GraftSql.sql(cat, "GRANT SELECT ON sec.t TO alice")
+      GraftSql.sql(cat, "GRANT SELECT ON sec.t TO bob")
+    }
+    as("alice") {
+      GraftSql.sql(cat, "CREATE TEMP VIEW stale_v AS SELECT * FROM sec.t")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM stale_v")
+        .collect()(0).getLong(0) === 2L)
+    }
+    // REVOKE: the pre-existing temp view must not retain alice's old
+    // visibility (stored views re-check per statement; temp views
+    // re-check their recorded ACL snapshot)
+    as("admin") { GraftSql.sql(cat, "REVOKE SELECT ON sec.t FROM alice") }
+    as("alice") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM stale_v").collect())
+    }
+    // a NARROWING (column scope) invalidates too — the stored plan was
+    // checked unscoped
+    as("bob") {
+      GraftSql.sql(cat, "CREATE TEMP VIEW bob_v AS SELECT * FROM sec.t")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM bob_v")
+        .collect()(0).getLong(0) === 2L)
+    }
+    as("admin") { GraftSql.sql(cat, "GRANT SELECT (id) ON sec.t TO bob") }
+    as("bob") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM bob_v").collect())
+      // recreating under the CURRENT grants serves the scoped plan
+      GraftSql.sql(cat, "DROP VIEW bob_v")
+      GraftSql.sql(cat, "CREATE TEMP VIEW bob_v2 AS SELECT * FROM sec.t")
+      assert(GraftSql.sql(cat, "SELECT * FROM bob_v2").columns.toSeq ===
+        Seq("id"))
+    }
+    // an UNRELATED grant on the table also re-keys the snapshot — the
+    // conservative invalidation rule: any ACL movement means recreate
+    as("admin") { GraftSql.sql(cat, "GRANT SELECT ON sec.t TO carol") }
+    as("bob") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT id FROM bob_v2").collect())
+    }
+    Seq("stale_v", "bob_v2").foreach { v =>
+      try spark.catalog.dropTempView(v) catch { case _: Exception => () }
+    }
+  }
+
+  test("global temp view ownership holds across sessions on the same context") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_gtmp")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, secret STRING)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1, 's1'), (2, 's2')")
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin")
+      GraftSql.sql(cat,
+        "CREATE GLOBAL TEMP VIEW gpriv_v AS SELECT * FROM sec.t")
+      assert(GraftSql.sql(cat,
+          "SELECT count(*) AS n FROM global_temp.gpriv_v")
+        .collect()(0).getLong(0) === 2L)
+    }
+    // global temp views live in SharedState: a SECOND gateway session
+    // over the same SparkContext resolves them — the ownership record
+    // must hold there too (it keys per context, not per session)
+    val spark2 = spark.newSession()
+    val cat2 = new TableCatalog(spark2, cat.warehouse)
+    spark2.conf.set("graft.sql.principal", "mallory")
+    try {
+      intercept[SecurityException](
+        GraftSql.sql(cat2, "SELECT * FROM global_temp.gpriv_v").collect())
+      // the creator still reads it from the second session
+      spark2.conf.set("graft.sql.principal", "admin")
+      assert(GraftSql.sql(cat2,
+          "SELECT count(*) AS n FROM global_temp.gpriv_v")
+        .collect()(0).getLong(0) === 2L)
+    } finally {
+      spark2.conf.unset("graft.sql.principal")
+      try spark.catalog.dropGlobalTempView("gpriv_v")
+      catch { case _: Exception => () }
+    }
+  }
 }

@@ -2362,10 +2362,20 @@ class TxTableSpec extends SparkSpec {
         s"DESCRIBE TABLE $catName.sec.t"))
       intercept[SecurityException](GraftSql.sql(cat,
         s"SHOW CREATE TABLE $catName.sec.t"))
-      // the 2-part SHOW CREATE arm redacts the allow-list values
+      // the 2-part SHOW CREATE / SHOW TBLPROPERTIES arms take the
+      // DESCRIBE (grantee) bar too — schema, partitioning, constraints
+      // and non-ACL property values are table metadata (ADVICE r10)
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SHOW CREATE TABLE sec.t"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SHOW TBLPROPERTIES sec.t"))
+      // a grantee-but-not-admin sees the DDL with allow lists redacted
+      spark.conf.set("graft.sql.principal", "admin")
+      GraftSql.sql(cat, "GRANT SELECT ON sec.t TO viewer")
+      spark.conf.set("graft.sql.principal", "viewer")
       assert(!GraftSql.sql(cat, "SHOW CREATE TABLE sec.t")
         .collect()(0).getString(0).contains("'admin'"))
-      // ...and pass for a grantee
+      // ...and raw passes for the administrator
       spark.conf.set("graft.sql.principal", "admin")
       assert(GraftSql.sql(cat, s"SHOW TBLPROPERTIES $catName.sec.t")
         .count() > 0)
