@@ -281,6 +281,64 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert(plan.contains("Exchange"), plan)
   }
+
+  test("vector kernels never drop out of whole-stage codegen (janino-cliff guard)") {
+    // r10's headline fix: a composed LSH expression tree silently blew
+    // janino's method limits and the WHOLE fused join stage fell back
+    // to interpreted eval — a 14× slowdown with zero errors. This pin
+    // makes the failure mode LOUD: every executed stage that evaluates
+    // one of the native vector kernels must sit inside a
+    // WholeStageCodegenExec span. If a future change regrows a
+    // composed tree (or a kernel's doGenCode breaks and Spark falls
+    // back), this test fails instead of the sf1 bench quietly 10×-ing.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import graft.functions.expressions._
+    val fns = graft.SparkEntry.queries
+    Seq("dedup_embedding_cosine", "dedup_semantic", "ann_ivfpq").foreach { name =>
+      val df = fns(name)(spark, sf0001)
+      // collect() executes THIS dataset's queryExecution (count() would
+      // build a different one and leave this AQE plan un-finalized,
+      // with no codegen wrapping to inspect)
+      df.collect()
+      def hasKernel(p: SparkPlan): Boolean = p.expressions.exists(_.exists {
+        case _: SignLshBuckets | _: ArgMaxCosineCell | _: PqCodes |
+            _: AdcScore => true
+        case _ => false
+      })
+      var kernelStages = 0
+      def walk(p: SparkPlan, inCodegen: Boolean): Unit = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, false)
+        case q: QueryStageExec        => walk(q.plan, false)
+        case w: WholeStageCodegenExec => w.children.foreach(walk(_, true))
+        case i: InputAdapter          => i.children.foreach(walk(_, false))
+        case s: InMemoryTableScanExec =>
+          // kernels inside a cached intermediate (semDedup's assigned
+          // frame) evaluate when the cache builds — pin that plan too
+          walk(s.relation.cachedPlan, false)
+        case s: FileSourceScanExec if hasKernel(s) =>
+          // a join-inferred isnotnull(kernel(...)) lands in the scan's
+          // dataFilters LISTING but is not pushable to parquet (and so
+          // not evaluated by the scan) — the real evaluation is the
+          // FilterExec above, which the walk pins; just make sure the
+          // scan didn't somehow claim it as a PUSHED filter
+          assert(s.metadata.get("PushedFilters").forall(!_.contains("argmax")),
+            s"$name: kernel filter pushed into the parquet reader:\n$s")
+        case other =>
+          if (hasKernel(other)) {
+            kernelStages += 1
+            assert(inCodegen,
+              s"$name: kernel stage ${other.nodeName} is OUTSIDE " +
+                s"whole-stage codegen:\n$other")
+          }
+          other.children.foreach(walk(_, inCodegen))
+      }
+      walk(df.queryExecution.executedPlan, inCodegen = false)
+      assert(kernelStages > 0,
+        s"$name: no kernel-bearing stage found — the pin went stale")
+    }
+  }
 }
 
 /** test-only access to query internals */
