@@ -16,10 +16,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen once on the smallest SF so measured numbers
-    // are steady-state, not first-query JIT noise
     val names = SparkEntry.benchNames
     val fns = SparkEntry.queries
+    // STREAMING FIRST (r10 VERDICT item 2): the ingest-throughput bars
+    // (median ≥ 8k rows/s, spread ≤ 1.5) kept missing in driver
+    // artifacts recorded AFTER the query workload — tens of GB of
+    // young-gen garbage and a hot JIT queue from the pipeline heavies
+    // leak into the streaming windows. Run it before anything else;
+    // one small untimed run absorbs first-touch JIT.
+    val streamingJson = streamingBench(spark)
+    // warm the JVM/codegen once on the smallest SF so measured numbers
+    // are steady-state, not first-query JIT noise
     names.foreach { n =>
       try fns(n)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
@@ -82,32 +89,74 @@ object Bench {
         // same stable-min discipline as the headline set: run 1 absorbs
         // staged-input (re)generation and JIT; retries continue until
         // two runs agree within 1.5× (bounded at 4). A failed query is
-        // VISIBLE as -1, never a fast-looking time-to-failure.
-        val (runs, best) = stableMin(4)(fn(spark, sfDir).count())
+        // VISIBLE as -1, never a fast-looking time-to-failure. Text-
+        // rebuilding dedup keys run under the checksum action so their
+        // reassembly stage is inside the timed plan (see
+        // [[checksumTextKeys]]).
+        val (runs, best) = stableMin(4)(timedAction(name, fn(spark, sfDir)))
         name -> (if (runs.exists(_ <= 0)) -1.0 else best)
       }
     }
     val pipelineMap = pipeline.map { case (n, s) => "\"" + n + "\":" + s }
       .mkString("{", ",", "}")
-    // streaming ingest throughput — the reference's operative metric
-    // (its 60 s Firehose buffer is a latency floor, not a rate; the
-    // rate is how fast the delivery loop merges micro-batches). Staged
-    // envelope files drain through StreamingIngest.start with
-    // AvailableNow in 4 micro-batches of ~10k rows (multiple real
-    // foreachBatch MERGE commits, like the buffered delivery loop).
-    // Fresh table + checkpoint per run so txn fencing can't skip work;
-    // two runs, best rate reported, both visible for stability checks.
+    val metadataJson = metadataShakeout(spark)
+    val meta100kJson = metadata100k(spark)
+    val cdfJson = cdfShakeout(spark)
+    val txnJson = txnShakeout(spark)
+    val sustainJson = sustainShakeout(spark)
+    val sf1Json = pipelineSf1(spark, sfDir, fns)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  /** Keys whose output is a rebuilt TEXT column: time them with a
+    * checksum aggregate over that column instead of `count()` —
+    * ColumnPruning would otherwise elide the reassembly aggregate
+    * (`collect_list` + `array_sort` + `concat_ws` over every surviving
+    * token/line) from the timed plan entirely, under-stating the
+    * operator's dominant stage (r10 VERDICT item 3: dedup_substring
+    * recorded 0.14 s with its rebuild stage pruned away). The checksum
+    * (sum of xxhash64(text)) forces the rebuilt text while staying
+    * collect-free; rows ride along in the same action. */
+  private val checksumTextKeys: Map[String, String] = Map(
+    "dedup_substring" -> "text",
+    "dedup_substring_boiler" -> "text",
+    "dedup_lines_global" -> "text",
+    "dedup_paragraphs_global" -> "text")
+
+  private def timedAction(name: String,
+      df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    checksumTextKeys.get(name).filter(df.columns.contains) match {
+      case Some(c) =>
+        val r = df.agg(count(lit(1)).as("n"),
+          sum(xxhash64(col(c))).as("checksum")).collect()(0)
+        r.getLong(0)
+      case None => df.count()
+    }
+  }
+
+  /**
+   * Streaming ingest throughput — the reference's operative metric
+   * (its 60 s Firehose buffer is a latency floor, not a rate; the
+   * rate is how fast the delivery loop merges micro-batches). Staged
+   * envelope files drain through StreamingIngest.start with
+   * AvailableNow in 4 micro-batches of ~10k rows (multiple real
+   * foreachBatch MERGE commits, like the buffered delivery loop).
+   * Fresh table + checkpoint per run so txn fencing can't skip work.
+   * Runs FIRST in the bench (before any query workload) with one
+   * small untimed warm-up run for JIT; the spread bar (all recorded
+   * runs within 1.5×) keeps sampling bounded at 8, and the artifact
+   * carries an explicit `converged` flag so a contended window that
+   * exhausts the bound is machine-distinguishable (r10 VERDICT item 2).
+   */
+  private def streamingBench(spark: SparkSession): String = try {
     val streamRows = 40000L
     val envDir = new java.io.File("target/qwork/bench_stream_env").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(envDir))
     graft.ingest.SampleData.toCdcEnvelopes(
         graft.ingest.SampleData.transactions(spark, streamRows, seed = 11L))
       .toJSON.repartition(32).write.text(envDir)
-    // stability contract (r9 VERDICT item 3): the spread bar holds on
-    // ALL runs, not a best-of subset — keep sampling (bounded at 8)
-    // until every recorded run agrees within 1.5×, and report BOTH the
-    // best rate (round-over-round comparability with r2-r9) and the
-    // MEDIAN over all runs, which a single lucky window cannot inflate.
     def streamRunWith(tag: String, r: Int, src: String, rows: Long,
         props: Map[String, String]): Double = {
       val work = new java.io.File(s"target/qwork/bench_stream_$tag$r").getAbsolutePath
@@ -126,6 +175,21 @@ object Bench {
         if (t.toDF.count() == rows) secs else -1.0
       } catch { case _: Throwable => -1.0 }
     }
+    // untimed warm-up: a quarter-size pass through the full path
+    // (decode → unmarshal → LWW → MERGE commit) so run 1 of the
+    // RECORDED set is not paying first-touch JIT for the whole engine
+    val warmDir = new java.io.File("target/qwork/bench_stream_warm_env")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
+    graft.ingest.SampleData.toCdcEnvelopes(
+        graft.ingest.SampleData.transactions(spark, 10000L, seed = 5L))
+      .toJSON.repartition(8).write.text(warmDir)
+    streamRunWith("warm", 0, warmDir, 10000L, Map.empty)
+    // stability contract (r9 VERDICT item 3): the spread bar holds on
+    // ALL runs, not a best-of subset — keep sampling (bounded at 8)
+    // until every recorded run agrees within 1.5×, and report BOTH the
+    // best rate (round-over-round comparability with r2-r9) and the
+    // MEDIAN over all runs, which a single lucky window cannot inflate.
     def streamRun(r: Int): Double =
       streamRunWith("run", r, envDir, streamRows, Map.empty)
     var streamAll = (1 to 3).map(streamRun).toVector
@@ -135,6 +199,7 @@ object Bench {
     }
     while (!spreadOk(streamAll) && streamAll.size < 8)
       streamAll :+= streamRun(streamAll.size + 1)
+    val converged = spreadOk(streamAll)
     val positives = streamAll.filter(_ > 0).sorted
     val streamRate =
       if (positives.isEmpty) -1.0
@@ -174,18 +239,14 @@ object Bench {
     val sec10x = streamRunWith("mor10x", 0, env10xDir, stream10xRows, morProps)
     val rate10x =
       if (sec10x <= 0) -1.0 else math.round(stream10xRows / sec10x).toDouble
-    val streamingJson =
-      s"""{"rows":$streamRows,"runs":[${positives.mkString(",")}],""" +
-        s""""runs_all":[${streamAll.mkString(",")}],"rows_per_sec":$streamRate,""" +
-        s""""rows_per_sec_median":$streamMedianRate,""" +
-        s""""mor_rows_per_sec":$morRate,""" +
-        s""""rows_10x":$stream10xRows,"rows_10x_per_sec":$rate10x}"""
-    val metadataJson = metadataShakeout(spark)
-    val cdfJson = cdfShakeout(spark)
-    val txnJson = txnShakeout(spark)
-    val sf1Json = pipelineSf1(spark, sfDir, fns)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,"metadata":$metadataJson,"cdf":$cdfJson,"txn":$txnJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}""")
-    spark.stop()
+    s"""{"rows":$streamRows,"runs":[${positives.mkString(",")}],""" +
+      s""""runs_all":[${streamAll.mkString(",")}],"rows_per_sec":$streamRate,""" +
+      s""""rows_per_sec_median":$streamMedianRate,""" +
+      s""""converged":$converged,""" +
+      s""""mor_rows_per_sec":$morRate,""" +
+      s""""rows_10x":$stream10xRows,"rows_10x_per_sec":$rate10x}"""
+  } catch {
+    case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
 
   /**
@@ -263,18 +324,45 @@ object Bench {
       bigE.repartition(16).write.parquet(s"$bigDir/embeddings.parquet")
     }
     val nDocs = spark.read.parquet(s"$bigDir/documents.parquet").count()
+    // boilerplate-injected variant for the substring-dedup stress point
+    // (r10 VERDICT item 4): the sf1 corpus has near-zero duplicated
+    // ≥8-token windows, so the loser/covered path — the part that
+    // exists for mega-duplicated boilerplate — was barely exercised at
+    // scale. ~30% of docs get a shared 40-token boilerplate prefix:
+    // every window inside it duplicates ~15k× corpus-wide, driving the
+    // winner aggregate's mega-groups and the covered-position explode
+    // at realistic web-scrape shape.
+    val boilerMarker = new java.io.File(bigDir,
+      "documents_boiler.parquet/_SUCCESS")
+    if (!boilerMarker.exists()) {
+      val boiler = (1 to 40).map(i => s"tok$i").mkString(" ")
+      spark.read.parquet(s"$bigDir/documents.parquet")
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) < 3,
+            concat(lit(boiler + " "), col("text")))
+            .otherwise(col("text")))
+        .repartition(32)
+        .write.parquet(s"$bigDir/documents_boiler.parquet")
+    }
     val keys = Seq("dedup_lines_global", "dedup_minhash_lsh",
       "decontaminate_bloom", "dedup_embedding_cosine", "dedup_semantic",
       "ann_ivfpq", "dedup_substring")
-    val timedKeys = keys.flatMap { k =>
-      fns.get(k).map { fn =>
-        System.gc()
-        fn(spark, bigDir).count()            // warm: staging + JIT
-        val t0 = System.nanoTime()
-        val rows = fn(spark, bigDir).count()
-        k -> ((System.nanoTime() - t0) / 1e9, rows)
-      }
+    def timeKey(k: String, mk: () => org.apache.spark.sql.DataFrame)
+        : (String, (Double, Long)) = {
+      System.gc()
+      timedAction(k, mk())                   // warm: staging + JIT
+      val t0 = System.nanoTime()
+      val rows = timedAction(k, mk())
+      k -> ((System.nanoTime() - t0) / 1e9, rows)
     }
+    val timedKeys = keys.flatMap { k =>
+      fns.get(k).map(fn => timeKey(k, () => fn(spark, bigDir)))
+    } :+ timeKey("dedup_substring_boiler", () =>
+      // same operator and window width as the oracle-checked
+      // dedup_substring key, over the boilerplate-injected corpus
+      graft.operators.Dedup.substringDedup(
+        spark.read.parquet(s"$bigDir/documents_boiler.parquet"),
+        minMatchTokens = 8))
     val body = timedKeys.map { case (k, (s, rows)) =>
       s""""$k":{"sec":${f"$s%.3f"},"rows":$rows}""" }.mkString(",")
     s"""{"docs":$nDocs,$body}"""
@@ -477,6 +565,160 @@ object Bench {
       s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
 
+  /** Build the synthetic N-commit / N-file header-only log (one file
+    * appended per commit) the metadata shakeouts time against. Returns
+    * true if it built, false if the head version already existed
+    * (immutable once built — reused across bench runs). */
+  private[graft] def buildSyntheticLog(spark: SparkSession,
+      logDir: org.apache.hadoop.fs.Path, commits: Int,
+      verbose: Boolean = false): Boolean = {
+    import graft.table.{DataFile, Snapshot, TxLog}
+    val conf = spark.sessionState.newHadoopConf()
+    val head = commits - 1L
+    if (TxLog.currentVersion(logDir, conf).contains(head)) return false
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    var files = Vector.empty[DataFile]
+    var expected: Option[Long] = None
+    var t0 = System.nanoTime()
+    (0 until commits).foreach { i =>
+      files = files :+ DataFile(f"f$i%06d.parquet",
+        Map("date" -> f"2026-01-${i % 28 + 1}%02d"), 1000L, 1000000L)
+      expected = Some(TxLog.commit(logDir, expected, Snapshot(
+        version = expected.map(_ + 1).getOrElse(0L),
+        timestampMs = 1700000000000L + i * 1000L,
+        operation = if (i == 0) "CREATE" else "APPEND",
+        schemaJson = schema.json,
+        partitionColumns = Seq("date"), files = files), conf))
+      if (verbose && (i + 1) % 10000 == 0) {
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"  commits ${i + 1 - 10000}-${i + 1}: $dt%.1f s " +
+          f"(${10000 / dt}%.0f commits/s)")
+        t0 = System.nanoTime()
+      }
+    }
+    true
+  }
+
+  /**
+   * The NEXT-decade metadata point (r10 VERDICT item 6): the same
+   * header-only shape at 10⁵ commits / 10⁵ files, timing the four
+   * operations whose complexity the checkpointed log design claims —
+   * resolved snapshot read (O(files)), provenance added-walk and
+   * streaming catch-up planning (both O(commits × changed) via the
+   * commit index chunks), and `TIMESTAMP AS OF` (O(log commits)).
+   * The log builds once and is reused across rounds; `build_sec` is
+   * recorded honestly when this run had to build it. The bar: catchup
+   * within ~10× the 10⁴ number (linear in commits, not quadratic).
+   * The Bloom-index build is NOT repeated here: its 10⁴-file point
+   * (real parquet, chunked passes) already proves the O(chunks) driver
+   * bound, and its cost is real per-file IO that scales linearly by
+   * construction.
+   */
+  private def metadata100k(spark: SparkSession): String = try {
+    import graft.table.TxLog
+    import org.apache.hadoop.fs.Path
+    val commits = 100000
+    val wh = new java.io.File("target/qwork/bench_metadata100k_wh")
+      .getAbsolutePath
+    val logDir = new Path(s"$wh/meta/big/_log")
+    val conf = spark.sessionState.newHadoopConf()
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val head = commits - 1L
+    val (built, buildSecs) = timed(buildSyntheticLog(spark, logDir, commits))
+    val (_, indexBackfill) = timed(TxLog.backfillIndex(logDir, head, conf))
+    val (snap, snapshotRead) = timed(TxLog.read(logDir, head, conf))
+    require(snap.files.size == commits, s"bad synthetic log: ${snap.files.size}")
+    val (_, provenanceWalk) = timed(
+      (0L to head).foreach(v => TxLog.readAdded(logDir, v, conf)))
+    val (changedTotal, catchupPlan) = timed(
+      (0L to head).map(v => TxLog.readChanged(logDir, v, conf).size).sum)
+    require(changedTotal == commits, s"catch-up saw $changedTotal adds")
+    spark.conf.set("spark.sql.catalog.graftbench100k",
+      "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftbench100k.warehouse", wh)
+    val cat = spark.sessionState.catalogManager.catalog("graftbench100k")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("meta"), "big")
+    val (_, tAsOf) = timed {
+      (1 to 10).foreach { k =>
+        val cutoffMicros = (1700000000000L + k * (commits / 10) * 1000L - 500L) * 1000L
+        cat.loadTable(ident, cutoffMicros)
+      }
+    }
+    s"""{"commits":$commits,"files":$commits,""" +
+      s""""build_sec":${f"${if (built) buildSecs else 0.0}%.3f"},""" +
+      s""""index_backfill_sec":${f"$indexBackfill%.3f"},""" +
+      s""""snapshot_read_sec":${f"$snapshotRead%.3f"},""" +
+      s""""provenance_walk_sec":${f"$provenanceWalk%.3f"},""" +
+      s""""catchup_plan_sec":${f"$catchupPlan%.3f"},""" +
+      s""""timestamp_as_of_10x_sec":${f"$tAsOf%.3f"}}"""
+  } catch {
+    case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+  }
+
+  /**
+   * Sustained-ingest compaction evidence (r10 VERDICT item 7): the
+   * SAME 50k rows stream-merged into a MOR table with
+   * `graft.autoCompact` on, once as 10 micro-batches and once as 100 —
+   * the 100-batch run commits 10× as often, so without a working
+   * small-file control loop its table would accumulate ~10× the files
+   * and its read latency would grow with batch count. The pair
+   * (read_10b_sec vs read_100b_sec, files_10b vs files_100b) shows the
+   * loop closing at realistic duration: read cost stays flat because
+   * auto-compaction retires the accumulation as the stream runs.
+   */
+  private def sustainShakeout(spark: SparkSession): String = try {
+    import org.apache.hadoop.fs.Path
+    val rows = 50000L
+    val morProps = Map(
+      graft.table.TxTable.MergeModeProperty -> "merge-on-read",
+      "graft.autoCompact.enabled" -> "true")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(tag: String, nFiles: Int): (Double, Double, Int) = {
+      val envDir = new java.io.File(s"target/qwork/bench_sustain_env$nFiles")
+        .getAbsolutePath
+      if (!new java.io.File(envDir, "_SUCCESS").exists()) {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(envDir))
+        graft.ingest.SampleData.toCdcEnvelopes(
+            graft.ingest.SampleData.transactions(spark, rows, seed = 23L))
+          .toJSON.repartition(nFiles).write.text(envDir)
+      }
+      val work = new java.io.File(s"target/qwork/bench_sustain_$tag")
+        .getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
+      val t = graft.table.TxTable.create(spark,
+        new Path(s"$work/table"), "txns",
+        graft.model.Schemas.transactions, Seq("date"), properties = morProps)
+      val (_, ingestSec) = timed {
+        val q = graft.ingest.StreamingIngest.start(spark, envDir, t,
+          checkpointDir = s"$work/ckpt", errorsDir = s"$work/errors",
+          trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+          maxFilesPerTrigger = 1)           // one staged file per batch
+        q.awaitTermination(600000)
+      }
+      require(t.toDF.count() == rows, s"sustain $tag row count")
+      val (_, readSec) = timed(t.toDF.count())
+      (ingestSec, readSec, t.snapshot.files.size)
+    }
+    val (ingest10, read10, files10) = run("b10", 10)
+    val (ingest100, read100, files100) = run("b100", 100)
+    s"""{"rows":$rows,"batches_a":10,"batches_b":100,""" +
+      s""""ingest_10b_sec":${f"$ingest10%.3f"},""" +
+      s""""ingest_100b_sec":${f"$ingest100%.3f"},""" +
+      s""""read_10b_sec":${f"$read10%.3f"},""" +
+      s""""read_100b_sec":${f"$read100%.3f"},""" +
+      s""""files_10b":$files10,"files_100b":$files100}"""
+  } catch {
+    case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+  }
+
   /**
    * Metadata-scale shakeout: a synthetic 10⁴-commit / 10⁴-file log
    * (header-only — planning cost is pure metadata, no parquet needed)
@@ -510,18 +752,7 @@ object Bench {
           org.apache.commons.io.FileUtils.deleteQuietly(
             new java.io.File(s"$wh/meta/big"))
           val t0 = System.nanoTime()
-          var files = Vector.empty[DataFile]
-          var expected: Option[Long] = None
-          (0 until commits).foreach { i =>
-            files = files :+ DataFile(f"f$i%06d.parquet",
-              Map("date" -> f"2026-01-${i % 28 + 1}%02d"), 1000L, 1000000L)
-            expected = Some(TxLog.commit(logDir, expected, Snapshot(
-              version = expected.map(_ + 1).getOrElse(0L),
-              timestampMs = 1700000000000L + i * 1000L,
-              operation = if (i == 0) "CREATE" else "APPEND",
-              schemaJson = schema.json,
-              partitionColumns = Seq("date"), files = files), conf))
-          }
+          buildSyntheticLog(spark, logDir, commits)
           (System.nanoTime() - t0) / 1e9
         }
       // logs built before the commit index existed (cached warehouse)

@@ -83,6 +83,17 @@ object Similarity {
   def autoCells(n: Long): Int =
     math.max(16, math.min(4096, math.ceil(math.sqrt(n.toDouble)).toInt))
 
+  /** Data-derived probe count: `clamp(2, 64, ceil(√nCells))` — the
+    * FAISS rule of thumb for stable recall as the cell count grows. A
+    * FIXED nprobe over a derived `√n` cell count silently decays
+    * recall at scale (probe fraction nprobe/√n → 0); tying it to
+    * √nCells keeps the scanned corpus fraction shrinking as n^(-1/4)
+    * while recall stays roughly flat. At the oracle-checked config
+    * (nCells = 16) this derives exactly the previous default of 4, so
+    * checked outputs are unchanged. */
+  def autoProbes(nCells: Int): Int =
+    math.max(2, math.min(64, math.ceil(math.sqrt(nCells.toDouble)).toInt))
+
   // ---- shared PQ/IVF building blocks -----------------------------------
 
   /** The `n` rows with the smallest portable md5 hash of their id — the
@@ -278,13 +289,15 @@ object Similarity {
    * the SQL oracle.
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nCells: Int = -1, nprobe: Int = 4, m: Int = 8, kCodes: Int = 16,
+      nCells: Int = -1, nprobe: Int = -1, m: Int = 8, kCodes: Int = 16,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val dSub = dim / m
-    // nCells <= 0 → the √n rule ([[autoCells]]) from a cheap count
+    // nCells <= 0 → the √n rule ([[autoCells]]) from a cheap count;
+    // nprobe <= 0 → the √nCells rule ([[autoProbes]])
     val cellCount = if (nCells > 0) nCells else autoCells(corpus.count())
+    val probeCount = if (nprobe > 0) nprobe else autoProbes(cellCount)
     val sample = hashMinSample(corpus, math.max(cellCount, kCodes),
       corpusId, corpusVec)
     val cellCents = sample.take(cellCount)
@@ -343,7 +356,7 @@ object Similarity {
       .select(col(queryId), col(queryVec), col("cell"),
         cosine(col(queryVec), col("__cvec")).as("sim"))
       .withColumn("__pr", row_number().over(pw))
-      .filter(col("__pr") <= nprobe)
+      .filter(col("__pr") <= probeCount)
       .select(col(queryId), col(queryVec), col("cell"))
 
     // score probed cells via the per-query ADC lookup table — the scan
@@ -412,15 +425,17 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nCells: Int = -1, nprobe: Int = 4, iters: Int = 3,
+      nCells: Int = -1, nprobe: Int = -1, iters: Int = 3,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec",
       assignInlineMax: Int = AssignInlineMaxComponents): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    // nCells <= 0 → the √n rule ([[autoCells]]) from a cheap count
+    // nCells <= 0 → the √n rule ([[autoCells]]) from a cheap count;
+    // nprobe <= 0 → the √nCells rule ([[autoProbes]])
     val cellCount = if (nCells > 0) nCells else autoCells(corpus.count())
+    val probeCount = if (nprobe > 0) nprobe else autoProbes(cellCount)
 
     // --- train the coarse quantizer ---------------------------------
     // portable 60-bit hash (md5 hex prefix): the DuckDB oracle derives
@@ -501,7 +516,7 @@ object Similarity {
     val probes = queries.join(broadcast(cs))
       .withColumn("__sim", cosine(col(queryVec), col("cvec")))
       .withColumn("__rn", row_number().over(probeW))
-      .filter(col("__rn") <= nprobe)
+      .filter(col("__rn") <= probeCount)
       .select(col(queryId), col(queryVec), col("cell"))
     // probe set is |queries|×nprobe — broadcast it so the bucketed
     // corpus never shuffles (cells is a narrow projection of the scan)

@@ -404,6 +404,14 @@ class OperatorsSpec extends SparkSpec {
     assert(Similarity.autoCells(500) === 23)
     assert(Similarity.autoCells(100) === 16)
     assert(Similarity.autoCells(100000000L) === 4096)
+    // IVF probes: the √nCells rule with [2, 64] clamps — at the
+    // oracle-checked config (16 cells) it derives the former fixed
+    // default of 4, so checked outputs are unchanged
+    assert(Similarity.autoProbes(16) === 4)
+    assert(Similarity.autoProbes(1) === 2)
+    assert(Similarity.autoProbes(625) === 25)
+    assert(Similarity.autoProbes(4096) === 64)
+    assert(Similarity.autoProbes(100000) === 64)
   }
 
   test("coarseCells: derived default and broadcast-join fallback are exact") {
@@ -510,5 +518,35 @@ class OperatorsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = Dedup.substringDedup(d, minMatchTokens = 4).collect()
     assert(out(0).getString(1) === "r1 r2 r3 r4 mid")
+  }
+
+  test("substring dedup: shared boilerplate block is cut everywhere but its first host") {
+    // the web-scrape shape the pass exists for (and the BENCH
+    // dedup_substring_boiler stress point): ~30% of docs share a long
+    // boilerplate prefix. Every k-window fully inside the block
+    // duplicates across all hosts, so the block survives only in the
+    // min-(doc, pos) host; the windows SPANNING block → body are
+    // unique per doc (bodies differ), so each host keeps its own body
+    // intact — the cut is exactly the boilerplate tokens.
+    val bTok = 12
+    val boiler = (1 to bTok).map(i => s"b$i").mkString(" ")
+    val docs = (0L until 10L).map { i =>
+      val body = (1 to 6).map(j => s"w${i}_$j").mkString(" ")
+      (i, if (i % 3 == 0) s"$boiler $body" else body)
+    }.toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, minMatchTokens = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.foreach { case (id, text, n, kept) =>
+      val body = (1 to 6).map(j => s"w${id}_$j").mkString(" ")
+      if (id == 0L) {          // first host: keeps boilerplate + body
+        assert(text === s"$boiler $body" && n === bTok + 6L && kept === n)
+      } else if (id % 3 == 0) { // later hosts: exactly the block is cut
+        assert(text === body, s"doc $id: $text")
+        assert(n === bTok + 6L && kept === 6L)
+      } else {                  // no boilerplate: byte-identical
+        assert(text === body && n === 6L && kept === 6L)
+      }
+    }
   }
 }
