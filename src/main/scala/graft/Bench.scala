@@ -348,12 +348,27 @@ object Bench {
       "decontaminate_bloom", "dedup_embedding_cosine", "dedup_semantic",
       "ann_ivfpq", "dedup_substring")
     def timeKey(k: String, mk: () => org.apache.spark.sql.DataFrame)
-        : (String, (Double, Long)) = {
-      System.gc()
-      timedAction(k, mk())                   // warm: staging + JIT
-      val t0 = System.nanoTime()
-      val rows = timedAction(k, mk())
-      k -> ((System.nanoTime() - t0) / 1e9, rows)
+        : (String, (Seq[Double], Long)) = {
+      // GC barrier BETWEEN the warm run and every timed run, not just
+      // before the key: the warm pass leaves tens of GB of young-gen
+      // garbage whose collection otherwise lands inside the first
+      // timed window (measured on decontaminate_bloom sf1: 6.9 s with
+      // the debt vs 3.6 s behind a barrier — the whole r10 "drift" was
+      // this plus contention). Then the stable-min discipline of the
+      // sf0.1 pipeline section: two timed runs, retries (bounded at 4)
+      // while they disagree >1.5×, min reported, ALL runs visible.
+      System.gc(); Thread.sleep(200)
+      var rows = timedAction(k, mk())        // warm: staging + JIT
+      def one(): Double = {
+        System.gc(); Thread.sleep(200)
+        val t0 = System.nanoTime()
+        rows = timedAction(k, mk())
+        (System.nanoTime() - t0) / 1e9
+      }
+      var runs = Vector(one(), one())
+      while ({ val s = runs.sorted; s(1) / s(0) > 1.5 && runs.size < 4 })
+        runs :+= one()
+      k -> ((runs, rows))
     }
     val timedKeys = keys.flatMap { k =>
       fns.get(k).map(fn => timeKey(k, () => fn(spark, bigDir)))
@@ -363,8 +378,10 @@ object Bench {
       graft.operators.Dedup.substringDedup(
         spark.read.parquet(s"$bigDir/documents_boiler.parquet"),
         minMatchTokens = 8))
-    val body = timedKeys.map { case (k, (s, rows)) =>
-      s""""$k":{"sec":${f"$s%.3f"},"rows":$rows}""" }.mkString(",")
+    val body = timedKeys.map { case (k, (runs, rows)) =>
+      s""""$k":{"sec":${f"${runs.min}%.3f"},""" +
+        s""""runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"rows":$rows}"""
+    }.mkString(",")
     s"""{"docs":$nDocs,$body}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""

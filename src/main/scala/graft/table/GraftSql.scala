@@ -119,6 +119,26 @@ object GraftSql {
     """(?is)\s*REVOKE\s+(SELECT|INSERT|DESCRIBE|ALL)\s+ON\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+([`\w]+)\s+FROM\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
   private val ShowGrantsNsRe =
     """(?is)\s*SHOW\s+GRANTS\s+ON\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+([`\w]+)\s*;?\s*""".r
+  // tag-based access control (LF-TBAC, the remaining LakeFormation
+  // grant modality): tags assign per table/namespace, privileges grant
+  // on tag EXPRESSIONS at the warehouse level, and any table whose
+  // effective tags satisfy an expression serves its grants
+  private val SetTableTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+SET\s+TAGS?\s*\(([^)]*)\)\s*;?\s*""".r
+  private val UnsetTableTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+UNSET\s+TAGS?\s*\(([^)]*)\)\s*;?\s*""".r
+  private val SetNsTagRe =
+    """(?is)\s*ALTER\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+([`\w]+)\s+SET\s+TAGS?\s*\(([^)]*)\)\s*;?\s*""".r
+  private val UnsetNsTagRe =
+    """(?is)\s*ALTER\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+([`\w]+)\s+UNSET\s+TAGS?\s*\(([^)]*)\)\s*;?\s*""".r
+  private val GrantTagRe =
+    """(?is)\s*GRANT\s+(SELECT|INSERT|DESCRIBE|ALL)\s+ON\s+TAGS?\s*\(([^)]*)\)\s+TO\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
+  private val RevokeTagRe =
+    """(?is)\s*REVOKE\s+(SELECT|INSERT|DESCRIBE|ALL)\s+ON\s+TAGS?\s*\(([^)]*)\)\s+FROM\s+(?:'([^']+)'|([`\w@.\-]+))\s*;?\s*""".r
+  private val ShowTagGrantsRe =
+    """(?is)\s*SHOW\s+TAG\s+GRANTS\s*;?\s*""".r
+  private val ShowTagsRe =
+    """(?is)\s*SHOW\s+TAGS\s+ON\s+(?:TABLE\s+)?([`\w.]+)\s*;?\s*""".r
   private val AddConstraintRe =
     """(?is)\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+CONSTRAINT\s+([`\w]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
@@ -400,7 +420,11 @@ object GraftSql {
     else cat.getTable(ns, tbl).properties
       .filter(_._1.startsWith("graft.acl.")) ++
       NamespaceAcl.load(cat.spark, cat.warehouse, ns)
-        .map { case (k, v) => ("ns::" + k) -> v }
+        .map { case (k, v) => ("ns::" + k) -> v } ++
+      // warehouse tag grants can widen/narrow this table's effective
+      // access without touching its properties — pin them too
+      TagAcl.load(cat.spark, cat.warehouse)
+        .map { case (k, v) => ("tag::" + k) -> v }
 
   /** Governed tables referenced anywhere in a (substituted) plan, with
     * their current ACL state — the snapshot a temp-view record pins. */
@@ -882,6 +906,10 @@ object GraftSql {
         // administration closes whichever door opened it
         val touchesAcl = props.keys.exists(_.startsWith("graft.acl."))
         if (touchesAcl) aclOwnerCheck(t)
+        // tag keys through the raw door take the SAME bar as SET TAG
+        // (tag-store administrators when the table is ungoverned)
+        if (props.keys.exists(_.startsWith(TagAcl.TagPropPrefix)))
+          tagAssignCheck(cat, t)
         val ownerSeed =
           if (touchesAcl && aclPrincipals(t, "OWNER").isEmpty &&
               !props.contains(aclProp("OWNER")))
@@ -896,6 +924,8 @@ object GraftSql {
         require(keys.nonEmpty, s"no 'key' entries in TBLPROPERTIES ($list)")
         val t = cat.getTable(ns, tbl)
         if (keys.exists(_.startsWith("graft.acl."))) aclOwnerCheck(t)
+        if (keys.exists(_.startsWith(TagAcl.TagPropPrefix)))
+          tagAssignCheck(cat, t)
         val v = t.unsetProperties(keys)
         Seq(s"UNSET ${keys.size} TBLPROPERTIES ON $ns.$tbl v$v").toDF("result")
       case ShowPropsRe(rawName) if knownTable(cat, rawName) =>
@@ -1019,6 +1049,113 @@ object GraftSql {
           throw new SecurityException(s"principal '$me' holds no grant on " +
             s"namespace $ns and may not list its grants")
         all.toDF("principal", "privilege")
+      // --- tag-based access control (LF-TBAC) ------------------------
+      case SetTableTagRe(rawName, pairsRaw) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val pairs = parseTagPairs(pairsRaw)
+        require(pairs.nonEmpty, "SET TAG needs at least one 'key' = 'value'")
+        // tagging ACTIVATES existing tag grants on this table, so it is
+        // grant administration: table/namespace owners for governed
+        // tables; for an UNgoverned table with a live tag-grant store,
+        // tag-store owners only (any principal could otherwise lock
+        // others out of an open table by tagging it into governance)
+        tagAssignCheck(cat, t)
+        val v = t.setProperties(pairs.map { case (k, vv) =>
+          (TagAcl.TagPropPrefix + k) -> vv }.toMap)
+        Seq(s"SET ${pairs.size} TAG(S) ON $ns.$tbl v$v").toDF("result")
+      case UnsetTableTagRe(rawName, keysRaw) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        val keys = parseTagKeys(keysRaw)
+        require(keys.nonEmpty, "UNSET TAG needs at least one 'key'")
+        tagAssignCheck(cat, t)
+        val v = t.unsetProperties(keys.map(TagAcl.TagPropPrefix + _))
+        Seq(s"UNSET ${keys.size} TAG(S) ON $ns.$tbl v$v").toDF("result")
+      case SetNsTagRe(nsRaw, pairsRaw) =>
+        val ns = cleanIdent(nsRaw)
+        require(cat.listNamespaces().contains(ns),
+          s"namespace $ns does not exist")
+        val pairs = parseTagPairs(pairsRaw)
+        require(pairs.nonEmpty, "SET TAG needs at least one 'key' = 'value'")
+        val props = NamespaceAcl.load(spark, cat.warehouse, ns)
+        nsAclAdminCheck(spark, ns, props)
+        tagStoreOwnerCheckIfUngoverned(cat, props.nonEmpty)
+        NamespaceAcl.store(spark, cat.warehouse, ns,
+          props ++ pairs.map { case (k, v) => (TagAcl.TagPropPrefix + k) -> v })
+        Seq(s"SET ${pairs.size} TAG(S) ON NAMESPACE $ns").toDF("result")
+      case UnsetNsTagRe(nsRaw, keysRaw) =>
+        val ns = cleanIdent(nsRaw)
+        require(cat.listNamespaces().contains(ns),
+          s"namespace $ns does not exist")
+        val keys = parseTagKeys(keysRaw)
+        require(keys.nonEmpty, "UNSET TAG needs at least one 'key'")
+        val props = NamespaceAcl.load(spark, cat.warehouse, ns)
+        nsAclAdminCheck(spark, ns, props)
+        tagStoreOwnerCheckIfUngoverned(cat, props.nonEmpty)
+        NamespaceAcl.store(spark, cat.warehouse, ns,
+          props -- keys.map(TagAcl.TagPropPrefix + _))
+        Seq(s"UNSET ${keys.size} TAG(S) ON NAMESPACE $ns").toDF("result")
+      case GrantTagRe(priv, pairsRaw, qp, bp) =>
+        val pairs = parseTagPairs(pairsRaw)
+        require(pairs.nonEmpty, "GRANT ON TAG needs at least one 'key' = 'value'")
+        val principal = checkPrincipal(if (qp != null) qp else cleanIdent(bp))
+        val grants = TagAcl.load(spark, cat.warehouse)
+        tagAclAdminCheck(spark, grants)
+        val privs =
+          if (priv.equalsIgnoreCase("ALL")) Seq("SELECT", "INSERT", "DESCRIBE")
+          else Seq(priv.toUpperCase)
+        // the FIRST tag grant seeds its issuer as the tag administrator
+        val ownerSeed =
+          if (listOf(grants, "OWNER").nonEmpty) Map.empty[String, String]
+          else Map(aclProp("OWNER") -> currentPrincipal(spark))
+        TagAcl.store(spark, cat.warehouse,
+          grants ++ ownerSeed ++ privs.map { pr =>
+            val key = TagAcl.grantKey(pr, pairs)
+            key -> (grants.get(key).map(_.split(",").toSet)
+              .getOrElse(Set.empty) + principal).toSeq.sorted.mkString(",")
+          })
+        Seq(s"GRANTED ${priv.toUpperCase} ON TAG " +
+          s"(${TagAcl.exprKey(pairs)}) TO $principal").toDF("result")
+      case RevokeTagRe(priv, pairsRaw, qp, bp) =>
+        val pairs = parseTagPairs(pairsRaw)
+        require(pairs.nonEmpty, "REVOKE ON TAG needs at least one 'key' = 'value'")
+        val principal = checkPrincipal(if (qp != null) qp else cleanIdent(bp))
+        val grants = TagAcl.load(spark, cat.warehouse)
+        tagAclAdminCheck(spark, grants)
+        val privs =
+          if (priv.equalsIgnoreCase("ALL")) Seq("SELECT", "INSERT", "DESCRIBE")
+          else Seq(priv.toUpperCase)
+        val updated = privs.foldLeft(grants) { (acc, pr) =>
+          val key = TagAcl.grantKey(pr, pairs)
+          val remaining = acc.get(key).map(_.split(",").toSet)
+            .getOrElse(Set.empty) - principal
+          if (remaining.isEmpty) acc - key
+          else acc + (key -> remaining.toSeq.sorted.mkString(","))
+        }
+        TagAcl.store(spark, cat.warehouse, updated)
+        Seq(s"REVOKED ${priv.toUpperCase} ON TAG " +
+          s"(${TagAcl.exprKey(pairs)}) FROM $principal").toDF("result")
+      case ShowTagGrantsRe() =>
+        val grants = TagAcl.load(spark, cat.warehouse)
+        val rows = grants.toSeq.flatMap { case (key, ps) =>
+          TagAcl.parseGrantKey(key).toSeq.flatMap { case (priv, pairs) =>
+            ps.split(",").toSeq.sorted
+              .map(p => (p, priv, TagAcl.exprKey(pairs)))
+          }
+        }.sorted
+        val me = currentPrincipal(spark)
+        val admins = listOf(grants, "OWNER")
+        if (grants.nonEmpty && !admins.contains(me) &&
+            !rows.exists(_._1 == me))
+          throw new SecurityException(s"principal '$me' holds no tag grant " +
+            "and may not list the tag grants")
+        rows.toDF("principal", "privilege", "tag_expression")
+      case ShowTagsRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        metaCheckTable(t)
+        effectiveTags(t).toSeq.sorted.toDF("tag", "value")
       // row-filtered grant must match first (its trailing WHERE clause
       // would fail both other grant regexes, but order keeps the
       // intent obvious); an optional column list composes the full
@@ -1205,6 +1342,98 @@ object GraftSql {
     listOf(NamespaceAcl.load(t.spark, nsDir.getParent, nsDir.getName), priv)
   }
 
+  // --- tag-based access control (LF-TBAC) helpers --------------------
+
+  /** Parse `'k' = 'v', 'k2' = 'v2'` tag-pair lists (quoted form only —
+    * tag tokens embed in property keys and canonical grant keys). */
+  private def parseTagPairs(raw: String): Seq[(String, String)] = {
+    val PairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+    val pairs = PairRe.findAllMatchIn(raw)
+      .map(m => (TagAcl.checkTagToken(m.group(1), "tag key"),
+        TagAcl.checkTagToken(m.group(2), "tag value"))).toSeq
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      s"duplicate tag key in ($raw)")
+    pairs
+  }
+
+  private def parseTagKeys(raw: String): Seq[String] =
+    """'([^']+)'""".r.findAllMatchIn(raw)
+      .map(m => TagAcl.checkTagToken(m.group(1), "tag key")).toSeq
+
+  /** Effective tags of a table: namespace-level assignments inherited,
+    * table-level values win per key (the LakeFormation inheritance
+    * rule for database-assigned LF-Tags). */
+  private def effectiveTags(t: TxTable): Map[String, String] = {
+    val nsDir = t.root.getParent
+    def tagsOf(props: Map[String, String]): Map[String, String] =
+      props.collect { case (k, v) if k.startsWith(TagAcl.TagPropPrefix) =>
+        k.drop(TagAcl.TagPropPrefix.length) -> v }
+    tagsOf(NamespaceAcl.load(t.spark, nsDir.getParent, nsDir.getName)) ++
+      tagsOf(t.properties)
+  }
+
+  /** Principals holding `priv` on the table THROUGH tag grants: every
+    * grant whose expression's pairs are ALL satisfied by the table's
+    * effective tags contributes its principals. Additive with the
+    * named-resource grants (LakeFormation: a principal may hold access
+    * through either modality). */
+  private def tagPrincipals(t: TxTable, priv: String): Set[String] = {
+    val warehouse = t.root.getParent.getParent
+    val grants = TagAcl.load(t.spark, warehouse)
+    if (grants.isEmpty) return Set.empty
+    lazy val tags = effectiveTags(t)
+    grants.iterator.flatMap { case (key, ps) =>
+      TagAcl.parseGrantKey(key) match {
+        case Some((pr, pairs)) if pr == priv.toUpperCase &&
+            pairs.forall { case (k, v) => tags.get(k).contains(v) } =>
+          ps.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+        case _ => Iterator.empty
+      }
+    }.toSet
+  }
+
+  /** Tag-grant administration: the first grant is open (and seeds the
+    * issuer as the warehouse's tag administrator); after that, tag
+    * administrators only. */
+  private def tagAclAdminCheck(spark: org.apache.spark.sql.SparkSession,
+      grants: Map[String, String]): Unit = {
+    if (grants.isEmpty) return
+    val admins = listOf(grants, "OWNER")
+    val p = currentPrincipal(spark)
+    if (admins.nonEmpty && !admins.contains(p)) throw new SecurityException(
+      s"principal '$p' is not a tag administrator " +
+        "(only tag administrators may manage tag grants)")
+  }
+
+  /** Assigning a tag to an UNGOVERNED resource while tag grants exist
+    * would let any principal flip that open resource into tag-governed
+    * state (locking everyone else out) — so when the resource itself
+    * has no owner to gate on, tag assignment falls to the tag-store
+    * administrators. With no tag grants at all, tags are inert
+    * metadata and assignment stays open like any other property. */
+  private def tagStoreOwnerCheckIfUngoverned(cat: TableCatalog,
+      governed: Boolean): Unit = {
+    if (governed) return
+    val grants = TagAcl.load(cat.spark, cat.warehouse)
+    if (grants.isEmpty) return
+    val admins = listOf(grants, "OWNER")
+    val p = currentPrincipal(cat.spark)
+    if (admins.nonEmpty && !admins.contains(p)) throw new SecurityException(
+      s"principal '$p' may not tag an ungoverned resource while tag " +
+        "grants exist (tag administrators only)")
+  }
+
+  /** Table-tag assignment gate: owner rules for governed tables, tag-
+    * store administrators for ungoverned ones (see above). */
+  private def tagAssignCheck(cat: TableCatalog, t: TxTable): Unit = {
+    aclOwnerCheck(t)
+    val governed = aclPrincipals(t, "OWNER").nonEmpty ||
+      aclPrincipals(t, "SELECT").nonEmpty ||
+      aclPrincipals(t, "INSERT").nonEmpty ||
+      nsPrincipals(t, "OWNER").nonEmpty
+    tagStoreOwnerCheckIfUngoverned(cat, governed)
+  }
+
   /** The statement's principal: the `graft.sql.principal` session conf
     * (how a multi-tenant gateway stamps the caller); "anonymous" when
     * unset. */
@@ -1262,9 +1491,13 @@ object GraftSql {
   private def aclCheck(t: TxTable, priv: String): Unit = {
     // most-specific wins (the LakeFormation resolution order): a
     // table-level list for this privilege decides alone; otherwise a
-    // namespace-level list decides; neither declared → open
+    // namespace-level list decides; neither declared → open. TAG
+    // grants are ADDITIVE to the named-resource resolution (a
+    // principal may hold access through either modality), and a tag
+    // grant matching an otherwise-open table makes it governed.
     val table = aclPrincipals(t, priv)
-    val allowed = if (table.nonEmpty) table else nsPrincipals(t, priv)
+    val named = if (table.nonEmpty) table else nsPrincipals(t, priv)
+    val allowed = named ++ tagPrincipals(t, priv)
     val p = currentPrincipal(t.spark)
     if (allowed.nonEmpty && !allowed.contains(p))
       throw new SecurityException(
@@ -1333,7 +1566,9 @@ object GraftSql {
     val all = Seq("OWNER", "SELECT", "INSERT")
       .flatMap(pr => aclPrincipals(tt, pr)) ++
       Seq("OWNER", "SELECT", "INSERT", "DESCRIBE")
-        .flatMap(pr => nsPrincipals(tt, pr))
+        .flatMap(pr => nsPrincipals(tt, pr)) ++
+      Seq("SELECT", "INSERT", "DESCRIBE")
+        .flatMap(pr => tagPrincipals(tt, pr))
     if (all.nonEmpty && !all.contains(currentPrincipal(tt.spark)))
       throw new SecurityException(
         s"principal '${currentPrincipal(tt.spark)}' holds no grant " +
@@ -1510,6 +1745,9 @@ object GraftSql {
         identOf(st.table).foreach { case (ns, t) =>
           tableFor(ns, t).foreach { tt =>
             aclOwnerCheck(tt)
+            // tag keys take the SET TAG bar through this door too
+            if (st.properties.keys.exists(_.startsWith(TagAcl.TagPropPrefix)))
+              tagAssignCheck(cat, tt)
             // the V2 property door seeds ownership on a FIRST ACL write
             // exactly like the regex TBLPROPERTIES arm — without this,
             // this door would mint the ownerless state the fallback in
