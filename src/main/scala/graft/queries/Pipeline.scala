@@ -477,24 +477,37 @@ object Pipeline {
     // iters = 0 pins the quantizer to the deterministic hash-min seed
     // sample (Lloyd refinement averages floats, whose partial-merge
     // order no SQL engine can replay bit-exactly), so the oracle
-    // re-derives the same 16 centroids, the same cell assignment, the
-    // same nprobe probing, and the same within-cell exact ranking.
+    // re-derives the same centroids, the same cell assignment, the
+    // same probing, and the same within-cell exact ranking. BOTH
+    // capacities are data-derived and the oracle re-derives the same
+    // formulas in SQL (the r10 dedup-key pattern): nCells =
+    // clamp(16, 4096, ⌈√n⌉), nprobe = clamp(2, 64, ⌈√nCells⌉) — the
+    // capacity rule itself sits under the hash check.
     Q("ann_ivf", fn = (s, dir) => {
       val emb = Td.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.ivfTopK(emb, queries, k = 10, dim = 64,
-          nCells = 16, nprobe = 4, iters = 0)
+          nCells = -1, nprobe = -1, iters = 0)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }, oracle = Some("""
-      WITH cents AS (
+      WITH cap AS (
+        SELECT GREATEST(16, LEAST(4096,
+                 CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS cells
+        FROM embeddings),
+      capp AS (
+        SELECT cells, GREATEST(2, LEAST(64,
+                 CAST(CEIL(SQRT(cells)) AS BIGINT))) AS probes
+        FROM cap),
+      cents AS (
         SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell, cvec
         FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
                        AS BIGINT) AS h,
                      vec_id, embedding::DOUBLE[] AS cvec
-              FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+              FROM embeddings ORDER BY h, vec_id
+              LIMIT (SELECT cells FROM cap))),
       assigned AS (
         SELECT vec_id, cell FROM (
           SELECT e.vec_id, c.cell,
@@ -509,7 +522,7 @@ object Pipeline {
                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec)
                      DESC, c.cell ASC) AS rn
           FROM embeddings q CROSS JOIN cents c
-          WHERE q.vec_id < 8) WHERE rn <= 4),
+          WHERE q.vec_id < 8) WHERE rn <= (SELECT probes FROM capp)),
       scored AS (
         SELECT p.query_id, a.vec_id,
                list_cosine_similarity(ce.embedding::DOUBLE[],

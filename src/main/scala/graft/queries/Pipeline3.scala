@@ -610,17 +610,28 @@ object Pipeline3 {
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       graft.operators.Similarity.ivfPqTopK(emb, queries, k = 10, dim = 64,
-          nCells = 16, nprobe = 4, m = 8, kCodes = 16)
+          nCells = -1, nprobe = -1, m = 8, kCodes = 16)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
     }, oracle = Some("""
-      WITH cents AS (
+      WITH cap AS (
+        SELECT GREATEST(16, LEAST(4096,
+                 CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS cells
+        FROM embeddings),
+      capp AS (
+        SELECT cells, GREATEST(2, LEAST(64,
+                 CAST(CEIL(SQRT(cells)) AS BIGINT))) AS probes
+        FROM cap),
+      cents AS (
         SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, cvec
         FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
                        AS BIGINT) AS h,
                      vec_id, embedding::DOUBLE[] AS cvec
-              FROM embeddings ORDER BY h, vec_id LIMIT 16)),
+              FROM embeddings ORDER BY h, vec_id
+              LIMIT (SELECT cells FROM cap))),
+      cbook AS (
+        SELECT j, cvec FROM cents WHERE j < 16),
       assigned AS (
         SELECT vec_id, j AS cell FROM (
           SELECT e.vec_id, c.j,
@@ -635,10 +646,10 @@ object Pipeline3 {
                    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec)
                      DESC, c.j ASC) AS rn
           FROM embeddings q CROSS JOIN cents c
-          WHERE q.vec_id < 8) WHERE rn <= 4),
+          WHERE q.vec_id < 8) WHERE rn <= (SELECT probes FROM capp)),
       subs AS (
         SELECT j, mi, cvec[mi*8+1 : mi*8+8] AS cw
-        FROM cents, generate_series(0, 7) g(mi)),
+        FROM cbook, generate_series(0, 7) g(mi)),
       codes AS (
         SELECT vec_id, mi, j AS code FROM (
           SELECT e.vec_id, s.mi, s.j,
