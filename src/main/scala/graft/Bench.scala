@@ -116,8 +116,9 @@ object Bench {
     * token/line) from the timed plan entirely, under-stating the
     * operator's dominant stage (r10 VERDICT item 3: dedup_substring
     * recorded 0.14 s with its rebuild stage pruned away). The checksum
-    * (sum of xxhash64(text)) forces the rebuilt text while staying
-    * collect-free; rows ride along in the same action. */
+    * (bit_xor of xxhash64(text) — a SUM would overflow long under ANSI
+    * mode) forces the rebuilt text while staying collect-free; rows
+    * ride along in the same action. */
   private val checksumTextKeys: Map[String, String] = Map(
     "dedup_substring" -> "text",
     "dedup_substring_boiler" -> "text",
@@ -130,7 +131,7 @@ object Bench {
     checksumTextKeys.get(name).filter(df.columns.contains) match {
       case Some(c) =>
         val r = df.agg(count(lit(1)).as("n"),
-          sum(xxhash64(col(c))).as("checksum")).collect()(0)
+          bit_xor(xxhash64(col(c))).as("checksum")).collect()(0)
         r.getLong(0)
       case None => df.count()
     }
