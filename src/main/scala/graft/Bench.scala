@@ -176,9 +176,13 @@ object Bench {
         if (t.toDF.count() == rows) secs else -1.0
       } catch { case _: Throwable => -1.0 }
     }
-    // untimed warm-up: a quarter-size pass through the full path
-    // (decode → unmarshal → LWW → MERGE commit) so run 1 of the
-    // RECORDED set is not paying first-touch JIT for the whole engine
+    // untimed warm-up: a quarter-size pass plus TWO full-size passes
+    // through the whole path (decode → unmarshal → LWW → MERGE
+    // commit). Streaming now runs before the query workload, so the
+    // recorded runs no longer inherit 15 minutes of C2-compiled
+    // engine from earlier sections — without the full-size passes the
+    // steady state only arrived around run 3 and every recorded run
+    // sat ~25% over it (measured 7.4k rows/s vs 9.5k warm).
     val warmDir = new java.io.File("target/qwork/bench_stream_warm_env")
       .getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
@@ -186,6 +190,8 @@ object Bench {
         graft.ingest.SampleData.transactions(spark, 10000L, seed = 5L))
       .toJSON.repartition(8).write.text(warmDir)
     streamRunWith("warm", 0, warmDir, 10000L, Map.empty)
+    streamRunWith("warm", 1, envDir, streamRows, Map.empty)
+    streamRunWith("warm", 2, envDir, streamRows, Map.empty)
     // stability contract (r9 VERDICT item 3): the spread bar holds on
     // ALL runs, not a best-of subset — keep sampling (bounded at 8)
     // until every recorded run agrees within 1.5×, and report BOTH the

@@ -594,13 +594,20 @@ object TxLog {
   /** loaded chunks by (logDir, from); a `None` value records a probe
     * miss and expires, so a chunk written later (possibly by another
     * process) is eventually picked up */
+  // LRU cap sized for the 10⁵-commit shape: a full provenance or
+  // catch-up sweep touches every chunk of the log IN ORDER, so a cap
+  // below commits/IndexChunkSize makes consecutive sweeps 100% misses
+  // (the 64-entry cap covered 16k commits; the 10⁵-commit shakeout
+  // re-read all 391 chunks every sweep — ~9 µs/version instead of
+  // ~2 µs). 1024 entries × ~25 KB/chunk ≈ 25 MB covers 262k commits;
+  // logs beyond that degrade gracefully to amortized chunk re-reads.
   private val chunkCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Long),
         (Option[Map[Long, CommitIndexEntry]], Long)](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long),
             (Option[Map[Long, CommitIndexEntry]], Long)]): Boolean =
-        size() > 64
+        size() > 1024
     })
 
   private def chunkFor(logDir: Path, version: Long,
