@@ -140,4 +140,29 @@ class TagAclSpec extends SparkSpec {
         "GRANT SELECT ON TAG ('k' = 'v&w') TO alice"))
     }
   }
+
+  test("a tag-grant change invalidates pre-existing temp views (live governance)") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tag_tmpview")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1), (2)")
+    as("admin") { GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin") }
+    as("dba") { GraftSql.sql(cat, "GRANT SELECT ON TAG ('env' = 'prod') TO alice") }
+    as("admin") { GraftSql.sql(cat, "ALTER TABLE sec.t SET TAG ('env' = 'prod')") }
+    as("alice") {
+      GraftSql.sql(cat, "CREATE TEMP VIEW tagv AS SELECT * FROM sec.t")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM tagv")
+        .collect()(0).getLong(0) === 2L)
+    }
+    // revoking THROUGH THE TAG STORE (the table's own properties never
+    // change) must still invalidate alice's stored temp-view plan —
+    // the ACL snapshot pins the warehouse tag-grant state too
+    as("dba") {
+      GraftSql.sql(cat, "REVOKE SELECT ON TAG ('env' = 'prod') FROM alice")
+    }
+    as("alice") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM tagv").collect())
+    }
+    try spark.catalog.dropTempView("tagv") catch { case _: Exception => () }
+  }
 }
