@@ -50,7 +50,7 @@ class LayoutFuzzSpec extends SparkSpec {
         rowCount = 100L + nextId, sizeBytes = 1000L * (nextId % 7 + 1),
         seq = seq)
     }
-    (0 until 120).foreach { i =>
+    (0 until 320).foreach { i =>
       val version = expected.map(_ + 1).getOrElse(0L)
       rnd.nextInt(10) match {
         case 0 | 1 | 2 | 3 | 4 | 5 =>
@@ -118,6 +118,20 @@ class LayoutFuzzSpec extends SparkSpec {
       assert(java.util.Arrays.equals(bytes, b(name)),
         s"$name differs between fast-path and full-path logs")
     }
+    // the all-refs compaction branch (kept manifests at the cap,
+    // everything rewritten into ONE manifest) must have fired at least
+    // once on this sequence — a header whose manifest list is exactly
+    // one entry while the table is well past the inline size
+    val sawCompaction = (0L to expected.get).exists { v =>
+      val s = TxLog.read(dirA, v, conf)
+      s.files.size > 40 && {
+        val raw = new String(a(f"v$v%08d.metadata.json"),
+          java.nio.charset.StandardCharsets.UTF_8)
+        ("\"m-" + "\\d{8}").r.findAllIn(raw).size == 1
+      }
+    }
+    assert(sawCompaction,
+      "fuzz sequence never exercised the all-refs compaction branch")
     // and the resolved head state agrees with the logical state
     val headA = TxLog.read(dirA, expected.get, conf)
     assert(headA.files.map(_.path).sorted ===
