@@ -1759,7 +1759,16 @@ object GraftSql {
           }
         }
       case ut: UnsetTableProperties if ut.propertyKeys
-          .exists(_.startsWith("graft.acl.")) => ownerGate(ut.table)
+          .exists(_.startsWith("graft.acl.")) =>
+        ownerGate(ut.table)
+        // UNSETTING a tag is tag administration like setting one: on a
+        // table whose ONLY governance is tag-based, the owner gate
+        // no-ops (no named ACL to own), and stripping the tag would
+        // open the table to the stripper — the SET TAG bar applies
+        if (ut.propertyKeys.exists(_.startsWith(TagAcl.TagPropPrefix)))
+          identOf(ut.table).foreach { case (ns, t) =>
+            tableFor(ns, t).foreach(tagAssignCheck(cat, _))
+          }
       case sp: ShowTableProperties       => aclValueGate(sp.table)
       case dr: DescribeRelation          =>
         // EXTENDED describes include the property map (raw ACL values);

@@ -132,6 +132,20 @@ class TagAclSpec extends SparkSpec {
       assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM open.t")
         .collect()(0).getLong(0) === 1L)
     }
+    // ...and the symmetric widening: stripping the tag from a table
+    // whose ONLY governance is tag-based would open it to the
+    // stripper — denied at the same bar through every property door
+    val c = GraftSql.ensureCatalogRegistered(cat)
+    as("mallory") {
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE open.t UNSET TAG ('env')"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE open.t UNSET TBLPROPERTIES ('graft.acl.tag.env')"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        s"ALTER TABLE $c.open.t UNSET TBLPROPERTIES ('graft.acl.tag.env')"))
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM open.t").collect())
+    }
     // tag tokens that would corrupt keys/expressions are rejected
     as("dba") {
       intercept[IllegalArgumentException](GraftSql.sql(cat,
