@@ -979,8 +979,7 @@ object TxLog {
   private case class LayoutState(version: Long,
       byPath: Map[String, DataFile],
       manifestPaths: Set[String],
-      manifests: Seq[ManifestRef],
-      inline: Vector[DataFile])
+      manifests: Seq[ManifestRef])
 
   private val layoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, LayoutState]()
@@ -1051,7 +1050,7 @@ object TxLog {
       added = addedFiles.map(_.path))
     val state = LayoutState(snapshot.version,
       prev.byPath ++ addedFiles.iterator.map(e => e.path -> e),
-      manifestPaths, refs, inline)
+      manifestPaths, refs)
     Some((laid, state))
   }
 
@@ -1118,7 +1117,7 @@ object TxLog {
     val state = LayoutState(snapshot.version,
       stamped.iterator.map(f => f.path -> f).toMap,
       stamped.iterator.map(_.path).filterNot(inlinePathSet).toSet,
-      refs, inline.toVector)
+      refs)
     (snapshot.copy(files = inline, manifests = refs, added = added), state)
   }
 
