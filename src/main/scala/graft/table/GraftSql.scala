@@ -1281,11 +1281,31 @@ object GraftSql {
               } else pr
             (p, shown)
           })
+        // tag-derived access is part of the table's EFFECTIVE grants —
+        // a debugging admin needs to see why a principal can read (the
+        // LakeFormation console shows LF-Tag grants on the resource
+        // page for the same reason); rendered with its source
+        // expression so the modality is unambiguous
+        val viaTags = {
+          val warehouse = t.root.getParent.getParent
+          val grants = TagAcl.load(t.spark, warehouse)
+          lazy val tags = effectiveTags(t)
+          grants.toSeq.flatMap { case (key, ps) =>
+            TagAcl.parseGrantKey(key) match {
+              case Some((pr, pairs))
+                  if pairs.forall { case (k, v) => tags.get(k).contains(v) } =>
+                ps.split(",").toSeq.sorted.map(p =>
+                  (p, s"$pr (via tag ${TagAcl.exprKey(pairs)})"))
+              case _ => Nil
+            }
+          }.sorted
+        }
+        val effective = all ++ viaTags
         val me = currentPrincipal(t.spark)
-        if (all.nonEmpty && !all.exists(_._1 == me))
+        if (effective.nonEmpty && !effective.exists(_._1 == me))
           throw new SecurityException(
             s"principal '$me' holds no grant on ${t.name} and may not list its grants")
-        all.toDF("principal", "privilege")
+        effective.toDF("principal", "privilege")
       case _ => nativeSql(cat, stripped)
     }
   }

@@ -137,4 +137,50 @@ class LayoutFuzzSpec extends SparkSpec {
     assert(headA.files.map(_.path).sorted ===
       files.map(_.path).sorted.distinct)
   }
+
+  test("concurrent appends stay coherent through the layout cache") {
+    // 4 threads race CAS appends on ONE log; a loser re-reads the head
+    // and retries. The head-state cache updates only after a CAS win,
+    // so a racing thread sees either the PREVIOUS state (version
+    // mismatch → full re-resolving path) or the WINNER's (fast path) —
+    // either way the final log must hold every thread's files, and the
+    // resolved head must match a cache-purged (cold) re-read exactly.
+    val base = new java.io.File(freshDir("layout_race"), "_log")
+    val dir = new Path(base.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    TxLog.commit(dir, None, Snapshot(0L, 1700000000000L, "CREATE",
+      schema.json, Seq("date"), Vector.empty), conf)
+    val perThread = 25
+    val threads = (0 until 4).map { tid =>
+      new Thread(() => {
+        (0 until perThread).foreach { i =>
+          val mine = DataFile(f"t$tid%02d-f$i%04d.parquet",
+            Map("date" -> "2026-02-01"), 1L, 10L)
+          var done = false
+          while (!done) {
+            val cur = TxLog.currentVersion(dir, conf).get
+            val snap = TxLog.read(dir, cur, conf)
+            try {
+              TxLog.commit(dir, Some(cur), Snapshot(cur + 1,
+                1700000000000L + cur * 10 + 5, "APPEND", schema.json,
+                Seq("date"), snap.files :+ mine), conf)
+              done = true
+            } catch { case _: CommitConflictException => () }
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val head = TxLog.currentVersion(dir, conf).get
+    assert(head === 4L * perThread)
+    val warm = TxLog.read(dir, head, conf)
+    assert(warm.files.size === 4 * perThread)
+    assert(warm.files.map(_.path).distinct.size === 4 * perThread)
+    // cold re-read (cache purged) resolves the identical state
+    TxLog.purgeRawCache(dir)
+    val cold = TxLog.read(dir, head, conf)
+    assert(cold.files.sortBy(_.path) === warm.files.sortBy(_.path))
+  }
 }

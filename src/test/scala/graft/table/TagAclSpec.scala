@@ -108,6 +108,13 @@ class TagAclSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1), r.getString(2)))
       assert(grants.contains(("carol", "SELECT", "env=prod&team=ml")))
     }
+    // SHOW GRANTS on the table includes tag-derived access with its
+    // source expression (and the grantee may inspect it)
+    as("carol") {
+      val eff = GraftSql.sql(cat, "SHOW GRANTS ON nsx.t1").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(eff.contains(("carol", "SELECT (via tag env=prod&team=ml)")))
+    }
   }
 
   test("tagging an ungoverned table while tag grants exist is admin-only") {
