@@ -203,6 +203,17 @@ case class SignLshBuckets(child: Expression, hyperplanes: Array[Double],
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = math.min(dim, a.numElements())
+    // buffer the vector ONCE: every element is otherwise re-read
+    // through the ArrayData accessor nBits x nTables times (up to
+    // 160x at the derived capacities) — same values in the same
+    // arithmetic order, so results stay bit-identical
+    val buf = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      if (elemNullable && a.isNullAt(j)) return null
+      buf(j) = if (elemIsFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      j += 1
+    }
     val out = new Array[Long](nTables)
     var t = 0
     while (t < nTables) {
@@ -211,12 +222,10 @@ case class SignLshBuckets(child: Expression, hyperplanes: Array[Double],
       while (p < nBits) {
         val base = (t * nBits + p) * dim
         var dot = 0.0
-        var j = 0
-        while (j < n) {
-          if (elemNullable && a.isNullAt(j)) return null
-          dot += hyperplanes(base + j) *
-            (if (elemIsFloat) a.getFloat(j).toDouble else a.getDouble(j))
-          j += 1
+        var i = 0
+        while (i < n) {
+          dot += hyperplanes(base + i) * buf(i)
+          i += 1
         }
         if (dot >= 0.0) bucket |= (1L << p)
         p += 1
@@ -230,44 +239,53 @@ case class SignLshBuckets(child: Expression, hyperplanes: Array[Double],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val hp = ctx.addReferenceObj("hyperplanes", hyperplanes, "double[]")
+      // per-operator mutable scratch (no per-row allocation): the
+      // vector copies out of ArrayData once; every (table, bit) dot
+      // then runs over a plain double[] instead of re-reading each
+      // element through the accessor nBits x nTables times
+      val buf = ctx.addMutableState("double[]", "lshBuf",
+        v => s"$v = new double[$dim];")
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       val t = ctx.freshName("t")
       val p = ctx.freshName("p")
       val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val bucket = ctx.freshName("bucket")
-      val loop = ctx.freshName("lshTables")
+      val copyLoop = ctx.freshName("lshCopy")
       val getter =
         if (elemIsFloat) s"(double) $a.getFloat($j)" else s"$a.getDouble($j)"
-      // a null element bails out of ALL loops at once (labeled break —
-      // a bare break only exited the innermost dot loop, leaving the
-      // remaining tables/bits computing dead values after isNull was
-      // already set) and skips the result allocation entirely
+      // a null element bails during the copy pass and skips the whole
+      // computation and result allocation
       val nullCheck =
         if (elemNullable)
-          s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break $loop; }"
+          s"if ($a.isNullAt($j)) { ${ev.isNull} = true; break $copyLoop; }"
         else ""
-      val resultAssign =
-        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"
+      val compute =
+        s"""
+           |long[] $out = new long[$nTables];
+           |for (int $t = 0; $t < $nTables; $t++) {
+           |  long $bucket = 0L;
+           |  for (int $p = 0; $p < $nBits; $p++) {
+           |    double $dot = 0.0;
+           |    for (int $i = 0; $i < $n; $i++) {
+           |      $dot += $hp[($t * $nBits + $p) * $dim + $i] * $buf[$i];
+           |    }
+           |    if ($dot >= 0.0) $bucket |= (1L << $p);
+           |  }
+           |  $out[$t] = $bucket;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
       s"""
          |int $n = java.lang.Math.min($dim, $a.numElements());
-         |long[] $out = new long[$nTables];
-         |$loop:
-         |for (int $t = 0; $t < $nTables; $t++) {
-         |  long $bucket = 0L;
-         |  for (int $p = 0; $p < $nBits; $p++) {
-         |    double $dot = 0.0;
-         |    for (int $j = 0; $j < $n; $j++) {
-         |      $nullCheck
-         |      $dot += $hp[($t * $nBits + $p) * $dim + $j] * $getter;
-         |    }
-         |    if ($dot >= 0.0) $bucket |= (1L << $p);
-         |  }
-         |  $out[$t] = $bucket;
+         |$copyLoop:
+         |for (int $j = 0; $j < $n; $j++) {
+         |  $nullCheck
+         |  $buf[$j] = $getter;
          |}
-         |${if (elemNullable) s"if (!${ev.isNull}) { $resultAssign }"
-            else resultAssign}
+         |${if (elemNullable) s"if (!${ev.isNull}) { $compute }" else compute}
        """.stripMargin
     })
 
@@ -325,11 +343,16 @@ case class ArgMaxCosineCell(child: Expression, centroids: Array[Double],
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = math.min(dim, a.numElements())
+    // buffer the vector once (each element is otherwise re-read
+    // through the accessor nCells times; same values, same order —
+    // bit-identical results); the norm accumulates during the copy
+    val buf = new Array[Double](n)
     var na = 0.0
     var j = 0
     while (j < n) {
       if (elemNullable && a.isNullAt(j)) return null
       val x = if (elemIsFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      buf(j) = x
       na += x * x; j += 1
     }
     val sqna = math.sqrt(na)
@@ -340,8 +363,7 @@ case class ArgMaxCosineCell(child: Expression, centroids: Array[Double],
       var dot = 0.0
       var i = 0
       while (i < n) {
-        dot += centroids(c * dim + i) *
-          (if (elemIsFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        dot += centroids(c * dim + i) * buf(i)
         i += 1
       }
       val cos =
@@ -357,6 +379,10 @@ case class ArgMaxCosineCell(child: Expression, centroids: Array[Double],
     nullSafeCodeGen(ctx, ev, a => {
       val cents = ctx.addReferenceObj("centroids", centroids, "double[]")
       val norms = ctx.addReferenceObj("centroidNorms", centroidNorms, "double[]")
+      // per-operator mutable scratch (no per-row allocation) — see
+      // SignLshBuckets: the per-cell dot loops read a plain double[]
+      val buf = ctx.addMutableState("double[]", "argmaxBuf",
+        v => s"$v = new double[$dim];")
       val n = ctx.freshName("n")
       val na = ctx.freshName("na")
       val sqna = ctx.freshName("sqna")
@@ -385,7 +411,7 @@ case class ArgMaxCosineCell(child: Expression, centroids: Array[Double],
            |for (int $c = 0; $c < $nCells; $c++) {
            |  double $dot = 0.0;
            |  for (int $i = 0; $i < $n; $i++) {
-           |    $dot += $cents[$c * $dim + $i] * ${getter(i)};
+           |    $dot += $cents[$c * $dim + $i] * $buf[$i];
            |  }
            |  double $cos = ($sqna == 0.0 || $norms[$c] == 0.0) ? 0.0
            |    : $dot / ($sqna * $norms[$c]);
@@ -399,6 +425,7 @@ case class ArgMaxCosineCell(child: Expression, centroids: Array[Double],
          |for (int $j = 0; $j < $n; $j++) {
          |  $nullCheck
          |  double $x = ${getter(j)};
+         |  $buf[$j] = $x;
          |  $na += $x * $x;
          |}
          |${if (elemNullable) s"if (!${ev.isNull}) { $sweep }" else sweep}
@@ -453,7 +480,16 @@ case class PqCodes(child: Expression, codebooks: Array[Double],
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    val len = a.numElements()
+    val len = math.min(m * dSub, a.numElements())
+    // buffer the vector once (each subspace element is otherwise
+    // re-read kCodes times; same values, same order — bit-identical)
+    val buf = new Array[Double](len)
+    var q = 0
+    while (q < len) {
+      if (elemNullable && a.isNullAt(q)) return null
+      buf(q) = if (elemIsFloat) a.getFloat(q).toDouble else a.getDouble(q)
+      q += 1
+    }
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -464,10 +500,7 @@ case class PqCodes(child: Expression, codebooks: Array[Double],
         var sum = 0.0
         var i = 0
         while (i < dSub && mi * dSub + i < len) {
-          val pos = mi * dSub + i
-          if (elemNullable && a.isNullAt(pos)) return null
-          val x = if (elemIsFloat) a.getFloat(pos).toDouble else a.getDouble(pos)
-          val d = x - codebooks((mi * kCodes + j) * dSub + i)
+          val d = buf(mi * dSub + i) - codebooks((mi * kCodes + j) * dSub + i)
           sum += d * d
           i += 1
         }
@@ -484,48 +517,56 @@ case class PqCodes(child: Expression, codebooks: Array[Double],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val cb = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+      // per-operator mutable scratch (no per-row allocation) — see
+      // SignLshBuckets: the per-codeword L2 loops read a plain double[]
+      val buf = ctx.addMutableState("double[]", "pqBuf",
+        v => s"$v = new double[${m * dSub}];")
       val len = ctx.freshName("len")
       val out = ctx.freshName("out")
       val mi = ctx.freshName("mi")
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
-      val pos = ctx.freshName("pos")
+      val q = ctx.freshName("q")
       val sum = ctx.freshName("sum")
       val d = ctx.freshName("d")
       val dist = ctx.freshName("dist")
       val bestD = ctx.freshName("bestD")
       val bestCode = ctx.freshName("bestCode")
-      val loop = ctx.freshName("pqSubspaces")
+      val copyLoop = ctx.freshName("pqCopy")
       val getter =
-        if (elemIsFloat) s"(double) $a.getFloat($pos)" else s"$a.getDouble($pos)"
+        if (elemIsFloat) s"(double) $a.getFloat($q)" else s"$a.getDouble($q)"
       val nullCheck =
         if (elemNullable)
-          s"if ($a.isNullAt($pos)) { ${ev.isNull} = true; break $loop; }"
+          s"if ($a.isNullAt($q)) { ${ev.isNull} = true; break $copyLoop; }"
         else ""
-      val resultAssign =
-        s"${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"
+      val compute =
+        s"""
+           |int[] $out = new int[$m];
+           |for (int $mi = 0; $mi < $m; $mi++) {
+           |  double $bestD = java.lang.Double.POSITIVE_INFINITY;
+           |  int $bestCode = 0;
+           |  for (int $j = 0; $j < $kCodes; $j++) {
+           |    double $sum = 0.0;
+           |    for (int $i = 0; $i < $dSub && $mi * $dSub + $i < $len; $i++) {
+           |      double $d = $buf[$mi * $dSub + $i]
+           |        - $cb[($mi * $kCodes + $j) * $dSub + $i];
+           |      $sum += $d * $d;
+           |    }
+           |    double $dist = java.lang.Math.sqrt($sum);
+           |    if ($dist < $bestD) { $bestD = $dist; $bestCode = $j; }
+           |  }
+           |  $out[$mi] = $bestCode;
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         """.stripMargin
       s"""
-         |int $len = $a.numElements();
-         |int[] $out = new int[$m];
-         |$loop:
-         |for (int $mi = 0; $mi < $m; $mi++) {
-         |  double $bestD = java.lang.Double.POSITIVE_INFINITY;
-         |  int $bestCode = 0;
-         |  for (int $j = 0; $j < $kCodes; $j++) {
-         |    double $sum = 0.0;
-         |    for (int $i = 0; $i < $dSub && $mi * $dSub + $i < $len; $i++) {
-         |      int $pos = $mi * $dSub + $i;
-         |      $nullCheck
-         |      double $d = $getter - $cb[($mi * $kCodes + $j) * $dSub + $i];
-         |      $sum += $d * $d;
-         |    }
-         |    double $dist = java.lang.Math.sqrt($sum);
-         |    if ($dist < $bestD) { $bestD = $dist; $bestCode = $j; }
-         |  }
-         |  $out[$mi] = $bestCode;
+         |int $len = java.lang.Math.min(${m * dSub}, $a.numElements());
+         |$copyLoop:
+         |for (int $q = 0; $q < $len; $q++) {
+         |  $nullCheck
+         |  $buf[$q] = $getter;
          |}
-         |${if (elemNullable) s"if (!${ev.isNull}) { $resultAssign }"
-            else resultAssign}
+         |${if (elemNullable) s"if (!${ev.isNull}) { $compute }" else compute}
        """.stripMargin
     })
 
