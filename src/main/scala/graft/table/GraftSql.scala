@@ -1397,14 +1397,21 @@ object GraftSql {
     * effective tags contributes its principals. Additive with the
     * named-resource grants (LakeFormation: a principal may hold access
     * through either modality). */
-  private def tagPrincipals(t: TxTable, priv: String): Set[String] = {
+  private def tagPrincipals(t: TxTable, priv: String): Set[String] =
+    tagPrincipalsFor(t, Seq(priv))
+
+  /** Same, for SEVERAL privileges in one pass — one tag-store load and
+    * one effective-tags resolution instead of one per privilege (the
+    * metadata bar checks three). */
+  private def tagPrincipalsFor(t: TxTable, privs: Seq[String]): Set[String] = {
     val warehouse = t.root.getParent.getParent
     val grants = TagAcl.load(t.spark, warehouse)
     if (grants.isEmpty) return Set.empty
+    val privSet = privs.map(_.toUpperCase).toSet
     lazy val tags = effectiveTags(t)
     grants.iterator.flatMap { case (key, ps) =>
       TagAcl.parseGrantKey(key) match {
-        case Some((pr, pairs)) if pr == priv.toUpperCase &&
+        case Some((pr, pairs)) if privSet.contains(pr) &&
             pairs.forall { case (k, v) => tags.get(k).contains(v) } =>
           ps.split(",").iterator.map(_.trim).filter(_.nonEmpty)
         case _ => Iterator.empty
@@ -1587,8 +1594,7 @@ object GraftSql {
       .flatMap(pr => aclPrincipals(tt, pr)) ++
       Seq("OWNER", "SELECT", "INSERT", "DESCRIBE")
         .flatMap(pr => nsPrincipals(tt, pr)) ++
-      Seq("SELECT", "INSERT", "DESCRIBE")
-        .flatMap(pr => tagPrincipals(tt, pr))
+      tagPrincipalsFor(tt, Seq("SELECT", "INSERT", "DESCRIBE"))
     if (all.nonEmpty && !all.contains(currentPrincipal(tt.spark)))
       throw new SecurityException(
         s"principal '${currentPrincipal(tt.spark)}' holds no grant " +
