@@ -1362,6 +1362,14 @@ object GraftSql {
     listOf(NamespaceAcl.load(t.spark, nsDir.getParent, nsDir.getName), priv)
   }
 
+  /** Same, for SEVERAL privileges in one pass — one namespace-ACL load
+    * instead of one per privilege (the metadata bar checks four). */
+  private def nsPrincipalsFor(t: TxTable, privs: Seq[String]): Set[String] = {
+    val nsDir = t.root.getParent
+    val props = NamespaceAcl.load(t.spark, nsDir.getParent, nsDir.getName)
+    privs.iterator.flatMap(listOf(props, _)).toSet
+  }
+
   // --- tag-based access control (LF-TBAC) helpers --------------------
 
   /** Parse `'k' = 'v', 'k2' = 'v2'` tag-pair lists (quoted form only —
@@ -1592,8 +1600,7 @@ object GraftSql {
   private def metaCheckTable(tt: TxTable): Unit = {
     val all = Seq("OWNER", "SELECT", "INSERT")
       .flatMap(pr => aclPrincipals(tt, pr)) ++
-      Seq("OWNER", "SELECT", "INSERT", "DESCRIBE")
-        .flatMap(pr => nsPrincipals(tt, pr)) ++
+      nsPrincipalsFor(tt, Seq("OWNER", "SELECT", "INSERT", "DESCRIBE")) ++
       tagPrincipalsFor(tt, Seq("SELECT", "INSERT", "DESCRIBE"))
     if (all.nonEmpty && !all.contains(currentPrincipal(tt.spark)))
       throw new SecurityException(
