@@ -145,8 +145,12 @@ object Dedup {
         concat_ws(sep, transform(col("ls"), x => x("line"))).as(textCol),
         size(col("ls")).as("n_lines_kept"))
     // untouched docs keep their original bytes; docs whose EVERY line
-    // deduplicated away have no rebuilt row and drop out, as before
+    // deduplicated away have no rebuilt row and drop out, as before —
+    // and so do null-text docs (they explode to zero lines, so the
+    // pre-fast-path reassembly aggregate never emitted them; the
+    // untouched branch must not resurrect them)
     val untouched = docs.join(affected, Seq(idCol), "left_anti")
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol),
         size(split(col(textCol),
           java.util.regex.Pattern.quote(sep))).as("n_lines_kept"))
@@ -250,10 +254,13 @@ object Dedup {
       .join(affected.withColumn("__aff", lit(true)), Seq(idCol), "left")
       .join(rebuilt, Seq(idCol), "left")
       .select(Seq(col(idCol),
-        when(col("__aff").isNull, col("__orig"))
+        // null-text docs coalesce to "" / 0 on BOTH branches — the
+        // pre-fast-path spine's contract (they never reach rebuilt,
+        // so the untouched branch must apply the same coalesce)
+        when(col("__aff").isNull, coalesce(col("__orig"), lit("")))
           .otherwise(coalesce(col(textCol), lit(""))).as(textCol),
         col("n_tokens"),
-        when(col("__aff").isNull, col("n_tokens"))
+        when(col("__aff").isNull, coalesce(col("n_tokens"), lit(0L)))
           .otherwise(coalesce(col("n_tokens_kept"), lit(0L)))
           .as("n_tokens_kept")) ++
         meta.map(col): _*)

@@ -1080,7 +1080,10 @@ object GraftSql {
         require(pairs.nonEmpty, "SET TAG needs at least one 'key' = 'value'")
         val props = NamespaceAcl.load(spark, cat.warehouse, ns)
         nsAclAdminCheck(spark, ns, props)
-        tagStoreOwnerCheckIfUngoverned(cat, props.nonEmpty)
+        // "governed" means real grants exist — tags alone don't govern
+        // (they'd otherwise make the tag-then-grant flow deadlock)
+        tagStoreOwnerCheckIfUngoverned(cat,
+          props.exists(e => !e._1.startsWith(TagAcl.TagPropPrefix)))
         NamespaceAcl.store(spark, cat.warehouse, ns,
           props ++ pairs.map { case (k, v) => (TagAcl.TagPropPrefix + k) -> v })
         Seq(s"SET ${pairs.size} TAG(S) ON NAMESPACE $ns").toDF("result")
@@ -1092,7 +1095,8 @@ object GraftSql {
         require(keys.nonEmpty, "UNSET TAG needs at least one 'key'")
         val props = NamespaceAcl.load(spark, cat.warehouse, ns)
         nsAclAdminCheck(spark, ns, props)
-        tagStoreOwnerCheckIfUngoverned(cat, props.nonEmpty)
+        tagStoreOwnerCheckIfUngoverned(cat,
+          props.exists(e => !e._1.startsWith(TagAcl.TagPropPrefix)))
         NamespaceAcl.store(spark, cat.warehouse, ns,
           props -- keys.map(TagAcl.TagPropPrefix + _))
         Seq(s"UNSET ${keys.size} TAG(S) ON NAMESPACE $ns").toDF("result")
@@ -1332,9 +1336,15 @@ object GraftSql {
   /** Namespace-grant administration: the first grant is open (and seeds
     * the granting principal as namespace owner); after that, namespace
     * owners only — with the same ownerless fallback discipline as
-    * tables (INSERT grantees administer, never SELECT-only ones). */
+    * tables (INSERT grantees administer, never SELECT-only ones).
+    * Tag assignments (`graft.acl.tag.*`) share the namespace store but
+    * are NOT grants: a namespace that carries only tags is still
+    * un-administered, so the first real grant stays open (ADVICE r11 —
+    * without the filter, SET TAG on an ungoverned namespace made every
+    * later GRANT throw for everyone, with no recovery). */
   private def nsAclAdminCheck(spark: org.apache.spark.sql.SparkSession,
-      ns: String, props: Map[String, String]): Unit = {
+      ns: String, allProps: Map[String, String]): Unit = {
+    val props = allProps.filterNot(_._1.startsWith(TagAcl.TagPropPrefix))
     if (props.isEmpty) return
     val explicit = listOf(props, "OWNER")
     val admins = if (explicit.nonEmpty) explicit else listOf(props, "INSERT")
@@ -1373,20 +1383,34 @@ object GraftSql {
   // --- tag-based access control (LF-TBAC) helpers --------------------
 
   /** Parse `'k' = 'v', 'k2' = 'v2'` tag-pair lists (quoted form only —
-    * tag tokens embed in property keys and canonical grant keys). */
+    * tag tokens embed in property keys and canonical grant keys).
+    * STRICT: every comma-separated segment must be a quoted pair. A
+    * malformed conjunct silently dropped would yield a grant on FEWER
+    * tag pairs than written — a strictly BROADER grant than intended
+    * (ADVICE r11) — so residue is a parse error, never ignored. */
   private def parseTagPairs(raw: String): Seq[(String, String)] = {
-    val PairRe = """'([^']+)'\s*=\s*'([^']*)'""".r
-    val pairs = PairRe.findAllMatchIn(raw)
-      .map(m => (TagAcl.checkTagToken(m.group(1), "tag key"),
-        TagAcl.checkTagToken(m.group(2), "tag value"))).toSeq
+    val PairRe = """\A\s*'([^']+)'\s*=\s*'([^']*)'\s*\z""".r
+    val pairs = raw.split(",", -1).toSeq.map {
+      case PairRe(k, v) => (TagAcl.checkTagToken(k, "tag key"),
+        TagAcl.checkTagToken(v, "tag value"))
+      case seg => throw new IllegalArgumentException(
+        s"malformed tag pair segment '${seg.trim}' in ($raw) — " +
+          "every conjunct must be 'key' = 'value' with both sides quoted")
+    }
     require(pairs.map(_._1).distinct.size == pairs.size,
       s"duplicate tag key in ($raw)")
     pairs
   }
 
-  private def parseTagKeys(raw: String): Seq[String] =
-    """'([^']+)'""".r.findAllMatchIn(raw)
-      .map(m => TagAcl.checkTagToken(m.group(1), "tag key")).toSeq
+  private def parseTagKeys(raw: String): Seq[String] = {
+    val KeyRe = """\A\s*'([^']+)'\s*\z""".r
+    raw.split(",", -1).toSeq.map {
+      case KeyRe(k) => TagAcl.checkTagToken(k, "tag key")
+      case seg => throw new IllegalArgumentException(
+        s"malformed tag key segment '${seg.trim}' in ($raw) — " +
+          "every item must be a quoted 'key'")
+    }
+  }
 
   /** Effective tags of a table: namespace-level assignments inherited,
     * table-level values win per key (the LakeFormation inheritance

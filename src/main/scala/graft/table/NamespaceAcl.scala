@@ -29,23 +29,29 @@ object NamespaceAcl {
   private def aclPath(warehouse: Path, ns: String): Path =
     new Path(new Path(warehouse, ns), "_acl.json")
 
+  /** Drop any cached state for this namespace's ACL store — for
+    * callers that remove the file out-of-band (namespace drop). */
+  def invalidate(warehouse: Path, ns: String): Unit =
+    AclFileCache.invalidate(aclPath(warehouse, ns))
+
   /** The namespace's ACL properties (`graft.acl.<priv>` → comma-joined
     * principals); empty when no namespace ACL is declared. */
   def load(spark: SparkSession, warehouse: Path, ns: String): Map[String, String] = {
     val p = aclPath(warehouse, ns)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    try {
-      val in = fs.open(p)
-      val bytes = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-        out.toByteArray
-      } finally in.close()
-      JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-        .extract[Map[String, String]]
-    } catch {
-      case _: java.io.FileNotFoundException => Map.empty
-    }
+    AclFileCache.load(fs, p, () =>
+      try {
+        val in = fs.open(p)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          out.toByteArray
+        } finally in.close()
+        JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          .extract[Map[String, String]]
+      } catch {
+        case _: java.io.FileNotFoundException => Map.empty
+      })
   }
 
   def store(spark: SparkSession, warehouse: Path, ns: String,
@@ -53,10 +59,11 @@ object NamespaceAcl {
     val p = aclPath(warehouse, ns)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(p.getParent)
-    if (props.isEmpty) { fs.delete(p, false); return }
+    if (props.isEmpty) { fs.delete(p, false); AclFileCache.invalidate(p); return }
     val out = fs.create(p, true)
     try out.write(Serialization.write(props)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    AclFileCache.invalidate(p)
   }
 }

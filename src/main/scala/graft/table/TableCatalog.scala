@@ -32,8 +32,11 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
     val p = new Path(warehouse, ns)
     if (fs.exists(p)) fs.delete(p, true)
     // same stale-header hazard as dropTable, for every table (and
-    // branch chain) the namespace held
+    // branch chain) the namespace held — and the namespace ACL store
+    // the delete just removed must not be served from cache to a
+    // recreated namespace of the same name
     TxLog.purgeRawCacheUnder(p)
+    NamespaceAcl.invalidate(warehouse, ns)
   }
 
   def listNamespaces(): Seq[String] =

@@ -41,18 +41,19 @@ object TagAcl {
   def load(spark: SparkSession, warehouse: Path): Map[String, String] = {
     val p = aclPath(warehouse)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    try {
-      val in = fs.open(p)
-      val bytes = try {
-        val out = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
-        out.toByteArray
-      } finally in.close()
-      JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-        .extract[Map[String, String]]
-    } catch {
-      case _: java.io.FileNotFoundException => Map.empty
-    }
+    AclFileCache.load(fs, p, () =>
+      try {
+        val in = fs.open(p)
+        val bytes = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+          out.toByteArray
+        } finally in.close()
+        JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          .extract[Map[String, String]]
+      } catch {
+        case _: java.io.FileNotFoundException => Map.empty
+      })
   }
 
   def store(spark: SparkSession, warehouse: Path,
@@ -64,6 +65,7 @@ object TagAcl {
     try out.write(Serialization.write(props)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    AclFileCache.invalidate(p)
   }
 
   /** Canonical expression key: pairs sorted by tag key, `k=v` joined

@@ -847,7 +847,7 @@ object TxLog {
     else rawCache.remove((logDir.toString, next))
     // the head layout state updates only AFTER the CAS published this
     // version — a lost race throws above and can never poison it
-    layoutCache.put(logDir.toString, layoutState)
+    layoutCachePut(logDir.toString, layoutState)
     // completing an index-chunk range persists the chunk (best-effort:
     // losing it only costs the raw-header fallback). Also re-attempt the
     // PRECEDING range — a range skipped for an undecided txn marker at
@@ -893,7 +893,9 @@ object TxLog {
     chunkCache.synchronized {
       chunkCache.keySet.removeIf(e => covers(e._1))
     }
-    layoutCache.keySet.removeIf(covers)
+    layoutCache.synchronized {
+      layoutCache.keySet.removeIf(covers)
+    }
   }
 
   /**
@@ -981,8 +983,31 @@ object TxLog {
       manifestPaths: Set[String],
       manifests: Seq[ManifestRef])
 
-  private val layoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, LayoutState]()
+  // Size-weighted LRU (ADVICE r11): each LayoutState holds an O(table
+  // files) path→entry map, so an unbounded per-logDir cache in a
+  // long-lived process committing to many tables accumulates head
+  // states indefinitely. Evict least-recently-used states once the
+  // TOTAL cached file entries exceed the budget (1M entries ≈ the
+  // 10⁵-file target shape × 10 tables); a miss only costs one full-
+  // layout fallback on that table's next commit. Always keep the last
+  // state touched, however large — evicting the table being committed
+  // to would defeat the cache entirely.
+  private val LayoutCacheMaxEntries = 1000000L
+  private val layoutCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, LayoutState](16, 0.75f, true))
+  private def layoutCachePut(logDir: String, state: LayoutState): Unit =
+    layoutCache.synchronized {
+      layoutCache.put(logDir, state)
+      var total = 0L
+      val it0 = layoutCache.values.iterator()
+      while (it0.hasNext) total += it0.next().byPath.size
+      val it = layoutCache.entrySet().iterator()
+      while (total > LayoutCacheMaxEntries && layoutCache.size() > 1 &&
+          it.hasNext) {
+        val e = it.next()
+        if (e.getKey != logDir) { total -= e.getValue.byPath.size; it.remove() }
+      }
+    }
 
   /** O(delta) layout for a commit that only ADDS files on top of the
     * cached head state: one verification pass over the caller's list

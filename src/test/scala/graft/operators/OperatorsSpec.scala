@@ -497,6 +497,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(5) === ((5L, "", 1L, 1L)))
   }
 
+  test("null-text docs: lineDedup drops them; substringDedup coalesces to \"\"/0") {
+    // the pre-fast-path contract (ADVICE r11): a null text explodes to
+    // zero lines/tokens, so lineDedup's reassembly aggregate never
+    // emitted the doc, and substringDedup's spine coalesced it to ""/0
+    // — the untouched-doc fast path must preserve both behaviors
+    val d = Seq((0L, Some("a\nb")), (1L, None), (2L, Some("a\nc")))
+      .toDF("doc_id", "text")
+    val ln = Dedup.lineDedup(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(ln.toSeq === Seq((0L, "a\nb"), (2L, "c")))
+    val ds = Seq((0L, Some("a b")), (1L, None), (2L, Some("a c")))
+      .toDF("doc_id", "text")
+    val sub = Dedup.substringDedup(ds, minMatchTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(sub.map(x => (x._1, x._2)).toSeq ===
+      Seq((0L, "a b"), (1L, ""), (2L, "a c")))
+    assert(sub(1)._3 === 0L)
+  }
+
   test("substring dedup: overlapping duplicated windows cut the union of spans") {
     // docs 0 and 1 share a 6-token run; with k=4 the three overlapping
     // duplicated windows in doc 1 must remove the whole 6-token span,

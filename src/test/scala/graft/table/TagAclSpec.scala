@@ -162,6 +162,59 @@ class TagAclSpec extends SparkSpec {
     }
   }
 
+  test("tagging an ungoverned namespace never bricks later grant administration") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tag_ns_open")))
+    GraftSql.sql(cat, "CREATE TABLE nso.t (id INT)")
+    GraftSql.sql(cat, "INSERT INTO nso.t VALUES (1)")
+    // with no grants anywhere, tags are inert metadata and tagging an
+    // open namespace stays open — but the tag props it writes into the
+    // namespace ACL store must NOT count as governance (ADVICE r11:
+    // they made every later GRANT throw for everyone, unrecoverably)
+    as("eve") { GraftSql.sql(cat, "ALTER NAMESPACE nso SET TAG ('env' = 'prod')") }
+    // the natural tag-then-grant flow: the first REAL grant is still
+    // open and seeds its issuer as namespace owner
+    as("admin") { GraftSql.sql(cat, "GRANT SELECT ON NAMESPACE nso TO alice") }
+    // after the seed, owners administer — and the tag assignment
+    // survives alongside the grants
+    as("eve") {
+      intercept[SecurityException](GraftSql.sql(cat,
+        "GRANT SELECT ON NAMESPACE nso TO eve"))
+      // the namespace is now governed: re-tagging falls to its owner
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER NAMESPACE nso SET TAG ('env' = 'dev')"))
+    }
+    as("admin") {
+      GraftSql.sql(cat, "GRANT INSERT ON NAMESPACE nso TO alice")
+      GraftSql.sql(cat, "ALTER NAMESPACE nso UNSET TAG ('env')")
+    }
+    as("admin") {
+      val grants = GraftSql.sql(cat, "SHOW GRANTS ON NAMESPACE nso").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(grants.contains(("alice", "SELECT")) &&
+        grants.contains(("alice", "INSERT")) &&
+        grants.contains(("admin", "OWNER")))
+    }
+  }
+
+  test("malformed tag-pair conjuncts are rejected, never silently dropped") {
+    val cat = new TableCatalog(spark, new Path(freshDir("tag_strict")))
+    GraftSql.sql(cat, "CREATE TABLE st.t (id INT)")
+    as("dba") {
+      // an unquoted conjunct silently dropped would create a grant on
+      // FEWER pairs — strictly broader than written (ADVICE r11)
+      intercept[IllegalArgumentException](GraftSql.sql(cat,
+        "GRANT SELECT ON TAG ('env' = 'prod', 'team' = ml) TO alice"))
+      intercept[IllegalArgumentException](GraftSql.sql(cat,
+        "GRANT SELECT ON TAG ('env' = 'prod',) TO alice"))
+      intercept[IllegalArgumentException](GraftSql.sql(cat,
+        "ALTER TABLE st.t SET TAG ('env' = 'prod', junk)"))
+      intercept[IllegalArgumentException](GraftSql.sql(cat,
+        "ALTER TABLE st.t UNSET TAG ('env', junk)"))
+      // no grant leaked through the failed statements
+      assert(GraftSql.sql(cat, "SHOW TAG GRANTS").collect().isEmpty)
+    }
+  }
+
   test("a tag-grant change invalidates pre-existing temp views (live governance)") {
     val cat = new TableCatalog(spark, new Path(freshDir("tag_tmpview")))
     GraftSql.sql(cat, "CREATE TABLE sec.t (id INT)")
