@@ -65,6 +65,13 @@ object StreamingIngest {
         // clone so its scans/writes plan there too
         val ss = batch.sparkSession
         ss.conf.set("spark.sql.adaptive.enabled", "false")
+        // the merge-on-read matched-refs probe is a LIMIT-capped
+        // collect; Spark's executeTake scans 1 partition, then 4×
+        // more, … — 3-4 separate jobs per micro-batch when the cap is
+        // never reached (the overwhelmingly common case: live matches
+        // are batch-bounded). Scanning everything in the FIRST take
+        // job collapses that to one job per probe.
+        ss.conf.set("spark.sql.limit.initialScanPartitionNum", "4096")
         mergeBatch(table.withSession(ss), batch, batchId, errorsDir,
           streamAppId = Some(streamAppId.getOrElse(checkpointDir)),
           deleteCol = if (propagateDeletes) Some("_deleted") else None)
@@ -105,6 +112,7 @@ object StreamingIngest {
         // append run on the stream's cloned session with AQE off
         val ss = batch.sparkSession
         ss.conf.set("spark.sql.adaptive.enabled", "false")
+        ss.conf.set("spark.sql.limit.initialScanPartitionNum", "4096")
         fanOutBatch(ss, main.withSession(ss), audit.withSession(ss),
           txnDir, batch, batchId, errorsDir,
           appId = streamAppId.getOrElse(checkpointDir))

@@ -788,8 +788,55 @@ class TxTable private (
     } else dfFor(s.copy(files = files)).count()
   }
 
+  /** Snapshot scan through a metadata-pinned V1 parquet relation
+    * ([[org.apache.spark.sql.graft.ScanBridge.parquetFrame]]): file
+    * statuses, sizes, and partition values come from the snapshot, so
+    * building the frame costs ZERO filesystem calls — where the
+    * `spark.read.parquet(paths*)` fallback pays an `InMemoryFileIndex`
+    * listing (one status round-trip per file on an object store) plus
+    * partition-directory inference EVERY time a merge/delete/update
+    * builds its scan. Catalyst still partition-prunes and min/max-skips
+    * through [[org.apache.spark.sql.graft.SnapshotFileIndex.listFiles]].
+    * None when the snapshot references ABSOLUTE paths (shallow clones
+    * spanning a foreign data root) — the grouped-read fallback handles
+    * those. */
+  private def snapshotScan(s: Snapshot): Option[DataFrame] = {
+    val schema = schemaOf(s)
+    if (s.files.isEmpty) return None
+    if (s.files.exists(f => new Path(f.path).isAbsolute)) return None
+    val spec = PartitionTransform.resolve(s)
+    // hidden-partitioning: derived fields live only in directory names /
+    // snapshot metadata — the index needs them in its schema (as
+    // strings) to type the partition spec, the projection below never
+    // selects them (same shape as GraftV2Table.scanFullSchema)
+    val fullSchema = StructType(schema.fields ++ spec
+      .filterNot(f => f.isIdentity || schema.fieldNames.contains(f.name))
+      .map(f => org.apache.spark.sql.types.StructField(f.name,
+        org.apache.spark.sql.types.StringType)))
+    val partitionSchema = StructType(
+      s.partitionColumns.map(c => fullSchema(fullSchema.fieldIndex(c))))
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
+    val index = org.apache.spark.sql.graft.ScanBridge.snapshotIndex(
+      spark, dataDir, fullSchema, s.partitionColumns,
+      s.files.map(f => (f.path, f.partitionValues, f.sizeBytes)),
+      s.files.flatMap(f => f.stats.map(f.path -> _)).toMap, spec)
+    Some(org.apache.spark.sql.graft.ScanBridge.parquetFrame(
+      spark, index, partitionSchema, dataSchema))
+  }
+
   private def dfFor(s: Snapshot): DataFrame = {
     val schema = schemaOf(s)
+    val withPosNeeded = s.deletionVectors.nonEmpty
+    snapshotScan(s) match {
+      case Some(df) =>
+        val base = df.select(schema.map(f => col(f.name)) ++
+          (if (withPosNeeded)
+            Seq(col("_metadata.row_index").as("__graft_pos"))
+          else Nil): _*)
+        return applyEqualityDeletes(applyDeletionVectors(base, s), s)
+      case None => ()
+    }
     val base = if (s.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
@@ -1162,6 +1209,19 @@ class TxTable private (
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("__graft_pos",
             org.apache.spark.sql.types.LongType))))
+    snapshotScan(s) match {
+      case Some(df) =>
+        val base = df.select(schema.map(f => col(f.name)) :+
+            col("_metadata.row_index").as("__graft_pos"): _*)
+          .withColumn("__graft_file",
+            element_at(split(input_file_name(), "/"), -1))
+        val dvApplied =
+          if (s.deletionVectors.isEmpty) base
+          else base.join(dvPairs(s), Seq("__graft_file", "__graft_pos"),
+            "left_anti")
+        return applyEqualityDeletes(dvApplied, s, keepFileCol = true)
+      case None => ()
+    }
     val nSegs = s.partitionColumns.size + 1
     val groups = s.files.groupBy { f =>
       if (!new Path(f.path).isAbsolute) dataDir

@@ -491,6 +491,33 @@ object ScanBridge {
     new SnapshotFileIndex(spark, dataDir, fullSchema, partitionColumns, files,
       statsByPath, partSpec, bloomByColumn)
 
+  /** DataFrame over a snapshot-pinned index through Spark's V1 parquet
+    * relation (`HadoopFsRelation` + `LogicalRelation`, both
+    * `private[sql]`-adjacent — hence this bridge): file statuses come
+    * from the SNAPSHOT, so building the frame costs ZERO filesystem
+    * calls — no `InMemoryFileIndex` listing, no partition-directory
+    * inference. This is the plan-construction fast path for the
+    * per-micro-batch merge scans (a CDC stream builds several frames
+    * per second; at object-store latencies each `spark.read.parquet`
+    * listing is one round-trip per file) and the metadata-scale answer
+    * `spark.read.parquet(paths*)` cannot give. Pushed partition AND
+    * data filters still reach [[SnapshotFileIndex.listFiles]], so
+    * partition pruning + min/max skipping work exactly as on the V2
+    * path; `_metadata.row_index` and `input_file_name()` resolve like
+    * any V1 file source. */
+  def parquetFrame(
+      spark: SparkSession,
+      index: SnapshotFileIndex,
+      partitionSchema: StructType,
+      dataSchema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val rel = HadoopFsRelation(index, partitionSchema, dataSchema,
+      bucketSpec = None, new ParquetFileFormat,
+      options = Map.empty[String, String])(spark)
+    ColumnBridge.ofRows(spark, LogicalRelation(rel, isStreaming = false))
+  }
+
   /**
    * Plan one micro-batch of a streaming table read: a fresh parquet
    * batch scan over exactly `files`, returning its input partitions and
