@@ -118,6 +118,18 @@ final case class PartField(
 /** On-disk body of a manifest file. */
 final case class Manifest(files: Seq[DataFile])
 
+/** On-disk body of a manifest-LIST file — the second level of the
+  * Iceberg-style two-level manifest layout (the shape the reference's
+  * metadata pointer indirection implies,
+  * `kinesis-firehose-stream/scripts/update_metadata.py:62-148`): once
+  * a snapshot's ref list outgrows the inline bound, the refs move to
+  * one immutable list file and the snapshot JSON carries only its
+  * name — so header size stays O(changed files + 1) no matter how
+  * many manifests the table accumulates, and a pure-inline append
+  * (refs unchanged) REUSES the parent's list file, writing zero extra
+  * bytes for the ref list. */
+final case class ManifestList(refs: Seq[ManifestRef])
+
 final case class Snapshot(
     version: Long,
     timestampMs: Long,
@@ -138,8 +150,19 @@ final case class Snapshot(
     /** manifest groups this snapshot references; on disk, `files` holds
       * only the inline (non-manifested) remainder. [[TxLog.read]]
       * returns the RESOLVED snapshot (manifests expanded into `files`),
-      * so every consumer above TxLog sees the full list. */
+      * so every consumer above TxLog sees the full list. When the ref
+      * list itself spills to a manifest-list file (see
+      * [[manifestList]]), the STORED header's `manifests` is empty and
+      * [[TxLog.readStored]] repopulates it from the list file — so
+      * every consumer of a parsed header still sees the full refs. */
     manifests: Seq[ManifestRef] = Nil,
+    /** name of the manifest-list file holding this snapshot's refs when
+      * they outgrew the inline bound ([[TxLog.InlineMaxRefs]]); None =
+      * refs are inline in `manifests` (small tables, and every
+      * pre-upgrade header). Kept populated after resolution so vacuum
+      * can tell which list files are still referenced and so the next
+      * commit can REUSE the file when its refs are unchanged. */
+    manifestList: Option[String] = None,
     /** paths first introduced by THIS commit — the per-commit
       * added-files record that lets provenance walk the log in
       * O(changed) per version instead of O(table files). Computed by
@@ -546,9 +569,18 @@ object TxLog {
         try org.apache.commons.io.IOUtils.toByteArray(in)
         finally in.close()
       if (bytes.nonEmpty) {
-        val snap = JsonMethods
+        val stored = JsonMethods
           .parse(new String(bytes, StandardCharsets.UTF_8))
           .extract[Snapshot]
+        // two-level layout: refs live in the manifest-list file — pull
+        // them into `manifests` here (one CACHED read; lists are
+        // immutable) so every consumer of a parsed header sees the full
+        // ref list regardless of where it was stored
+        val snap = stored.manifestList match {
+          case Some(ml) if stored.manifests.isEmpty =>
+            stored.copy(manifests = loadManifestList(logDir, ml, conf))
+          case _ => stored
+        }
         try {
           val st = f.getFileStatus(p)
           if (st.getLen == bytes.length)
@@ -729,9 +761,10 @@ object TxLog {
     * the commit itself introduced (a reused ref only ever carries files
     * that already existed), so only the NEW manifests are opened —
     * never the whole snapshot. Streaming catch-up over K commits is
-    * K × |changed|, not K × |table|. (The rare ref-compaction commit
-    * rewrites one full-table manifest; that single load is the
-    * amortized cost of keeping the ref list O(1).) */
+    * K × |changed|, not K × |table|. (The rare tier-merge commit
+    * introduces one merged manifest; loading it to filter by `added`
+    * is the amortized O(log files)/entry cost of keeping the ref list
+    * logarithmic.) */
   def readChanged(logDir: Path, version: Long, conf: Configuration): Seq[DataFile] = {
     chunkFor(logDir, version, conf).flatMap(_.get(version)) match {
       case Some(e) => e.files
@@ -810,9 +843,112 @@ object TxLog {
   /** Small remainders stay inline in the snapshot JSON; past this they
     * go to a manifest file. */
   private val InlineMaxFiles = 8
-  /** Compact the ref list into one manifest before it grows unbounded
-    * (a ref per commit would make snapshot JSON O(commits)). */
-  private val MaxManifestRefs = 32
+  /** Refs up to this many stay inline in the snapshot JSON (small
+    * tables pay zero extra round-trips); past it they move to a
+    * manifest-list file ([[ManifestList]]) whose name rides the header
+    * — and which the next commit REUSES when its refs are unchanged. */
+  private val InlineMaxRefs = 8
+  /** Tiered manifest merging (the Bentley–Saxe / LSM shape): a
+    * manifest's TIER is ⌊log_[[TierBase]](fileCount/[[TierUnit]])⌋-ish
+    * ([[tierOf]]); whenever [[TierBase]] manifests accumulate in one
+    * tier they merge into one manifest a tier up. Each file entry is
+    * therefore rewritten O(log(files)) times over its LIFETIME and the
+    * ref list stays O(TierBase · log(files)) — ~28 refs at 10⁶ files —
+    * where the previous all-refs-at-cap compaction rewrote the FULL
+    * table every ~MaxManifestRefs spills (the amortized O(files/288)
+    * bytes/commit measured as the 78 → 22 commits/s decline over the
+    * round-11 10⁵-commit build; round-11 VERDICT task 1). */
+  private val TierBase = 4
+  /** Size quantum of tier 0 — the smallest spill a pure-append stream
+    * produces (InlineMaxFiles + 1). */
+  private val TierUnit = InlineMaxFiles + 1
+
+  private def tierOf(ref: ManifestRef): Int = {
+    var t = 0
+    var c = ref.fileCount / TierUnit
+    while (c > 0) { t += 1; c /= TierBase }
+    t
+  }
+
+  /** Merge same-tier manifests until every tier holds fewer than
+    * [[TierBase]] — deterministic (tier membership and refs order only),
+    * so the O(delta) fast path and the full re-resolving path lay out
+    * identically (LayoutFuzzSpec). Merged content is the concatenation
+    * of the members' stored entries in refs order; the merged manifest
+    * is appended after the survivors. Cascades upward when a merge
+    * fills the next tier. */
+  private def mergeTiers(logDir: Path, version: Long,
+      refs0: Seq[ManifestRef], conf: Configuration): Seq[ManifestRef] = {
+    var refs = refs0
+    var done = false
+    while (!done) {
+      val lowest = refs.groupBy(tierOf).filter(_._2.size >= TierBase)
+        .keys.toSeq.sorted.headOption
+      lowest match {
+        case None => done = true
+        case Some(t) =>
+          val (members, survivors) = refs.partition(r => tierOf(r) == t)
+          val mergedFiles = members.flatMap(loadManifest(logDir, _, conf))
+          refs = survivors :+ writeManifest(logDir, version, mergedFiles, conf)
+      }
+    }
+    refs
+  }
+
+  /** Decide where the ref list itself lives: inline in the header when
+    * small, else in a manifest-list file — reusing the PARENT's list
+    * file when the refs are unchanged (the common pure-inline-append
+    * commit then writes zero ref-list bytes). Returns
+    * (inline refs, list-file name). */
+  private def placeRefs(logDir: Path, version: Long,
+      refs: Seq[ManifestRef], prevRefs: Seq[ManifestRef],
+      prevList: Option[String], conf: Configuration)
+      : (Seq[ManifestRef], Option[String]) =
+    if (refs.size <= InlineMaxRefs) (refs, None)
+    else if (prevList.isDefined && refs == prevRefs) (Nil, prevList)
+    else (Nil, Some(writeManifestList(logDir, version, refs, conf)))
+
+  private def manifestListName(version: Long): String =
+    f"ml-$version%08d-${java.util.UUID.randomUUID().toString}.manifestlist.json"
+
+  // list files are immutable once referenced (UUID names), so the LRU
+  // is always coherent; sized like manifestCache
+  private val listCache =
+    new java.util.LinkedHashMap[String, Seq[ManifestRef]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[ManifestRef]]): Boolean = size > 256
+    }
+
+  private def loadManifestList(logDir: Path, name: String,
+      conf: Configuration): Seq[ManifestRef] = {
+    val key = new Path(logDir, name).toString
+    val cached = listCache.synchronized(Option(listCache.get(key)))
+    cached.getOrElse {
+      val f = fs(logDir, conf)
+      val in = f.open(new Path(logDir, name))
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      val refs = JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
+        .extract[ManifestList].refs
+      listCache.synchronized(listCache.put(key, refs))
+      refs
+    }
+  }
+
+  private def writeManifestList(logDir: Path, version: Long,
+      refs: Seq[ManifestRef], conf: Configuration): String = {
+    val name = manifestListName(version)
+    val f = fs(logDir, conf)
+    f.mkdirs(logDir)
+    val out = f.create(new Path(logDir, name), /*overwrite=*/ false)
+    try out.write(Serialization.write(ManifestList(refs))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    listCache.synchronized(
+      listCache.put(new Path(logDir, name).toString, refs))
+    name
+  }
 
   def readCurrent(logDir: Path, conf: Configuration): Option[Snapshot] =
     currentVersion(logDir, conf).map(read(logDir, _, conf))
@@ -919,7 +1055,8 @@ object TxLog {
       if (snapshot.files.size > InlineMaxFiles)
         (Seq(writeManifest(logDir, snapshot.version, snapshot.files, conf)), Nil)
       else (Seq.empty[ManifestRef], snapshot.files)
-    val laid = snapshot.copy(files = inline, manifests = refs, added = Nil)
+    val laid = snapshot.copy(files = inline, manifests = refs,
+      manifestList = None, added = Nil)
     val target = new Path(logDir, snapshotName(snapshot.version))
     val json = Serialization.write(laid)
     val scheme = Option(target.toUri.getScheme).getOrElse(
@@ -957,8 +1094,12 @@ object TxLog {
    *    referenced by id, never re-serialized;
    *  - the remainder (added files + survivors of partially-deleted
    *    manifests) goes to one new manifest, or stays inline when tiny;
-   *  - once the ref list hits [[MaxManifestRefs]] everything is
-   *    compacted into a single manifest (amortized O(1) refs/commit).
+   *  - [[mergeTiers]] then folds same-size-tier manifests together
+   *    (O(log files) rewrites per entry over its lifetime, ref list
+   *    bounded logarithmic — never a full-table rewrite);
+   *  - [[placeRefs]] finally spills the ref list itself to a
+   *    manifest-list file once it outgrows the inline bound, reusing
+   *    the parent's list when refs are unchanged.
    * Also records `added` (paths not in the previous snapshot) for
    * O(changed) provenance walks. A manifest written here whose commit
    * then loses the CAS race is an unreferenced orphan — harmless, and
@@ -981,7 +1122,8 @@ object TxLog {
   private case class LayoutState(version: Long,
       byPath: Map[String, DataFile],
       manifestPaths: Set[String],
-      manifests: Seq[ManifestRef])
+      manifests: Seq[ManifestRef],
+      listPath: Option[String])
 
   // Size-weighted LRU (ADVICE r11): each LayoutState holds an O(table
   // files) path→entry map, so an unbounded per-logDir cache in a
@@ -1020,11 +1162,6 @@ object TxLog {
     val addedBuf = Vector.newBuilder[DataFile]
     val remainingBuf = Vector.newBuilder[DataFile]
     val addedPaths = new java.util.HashSet[String]()
-    // the all-refs compaction branch needs every stamped entry; only
-    // collect them when that branch will fire (refs at the cap)
-    val willCompact = prev.manifests.size >= MaxManifestRefs
-    val stampedBuf =
-      if (willCompact) Vector.newBuilder[DataFile] else null
     var existing = 0
     var added = 0
     var ok = true
@@ -1041,7 +1178,6 @@ object TxLog {
           if (e != prevEntry) ok = false
           else {
             existing += 1
-            if (willCompact) stampedBuf += e
             if (!prev.manifestPaths.contains(e.path)) remainingBuf += e
           }
         case None =>
@@ -1050,7 +1186,6 @@ object TxLog {
           else {
             added += 1
             addedBuf += e
-            if (willCompact) stampedBuf += e
             remainingBuf += e
           }
       }
@@ -1060,22 +1195,24 @@ object TxLog {
         existing + added != snapshot.files.size) return None
     val addedFiles = addedBuf.result()
     val remaining = remainingBuf.result()
-    val (refs, inline, manifestPaths) =
-      if (willCompact) {
-        val all = stampedBuf.result()
-        (Seq(writeManifest(logDir, snapshot.version, all, conf)),
-          Vector.empty[DataFile], all.iterator.map(_.path).toSet)
-      } else if (remaining.size > InlineMaxFiles) {
+    val (spilled, inline, manifestPaths) =
+      if (remaining.size > InlineMaxFiles) {
         (prev.manifests :+
           writeManifest(logDir, snapshot.version, remaining, conf),
           Vector.empty[DataFile],
           prev.manifestPaths ++ remaining.iterator.map(_.path))
       } else (prev.manifests, remaining, prev.manifestPaths)
-    val laid = snapshot.copy(files = inline, manifests = refs,
-      added = addedFiles.map(_.path))
+    // tier merging loads only the (geometrically bounded) merge set —
+    // the amortized O(log files)/entry cost that replaced the all-refs
+    // full rewrite; membership is unchanged by a merge
+    val refs = mergeTiers(logDir, snapshot.version, spilled, conf)
+    val (inlineRefs, listPath) = placeRefs(logDir, snapshot.version,
+      refs, prev.manifests, prev.listPath, conf)
+    val laid = snapshot.copy(files = inline, manifests = inlineRefs,
+      manifestList = listPath, added = addedFiles.map(_.path))
     val state = LayoutState(snapshot.version,
       prev.byPath ++ addedFiles.iterator.map(e => e.path -> e),
-      manifestPaths, refs)
+      manifestPaths, refs, listPath)
     Some((laid, state))
   }
 
@@ -1130,20 +1267,23 @@ object TxLog {
         mf.foreach(df => remaining -= df.path)
       }
     }
-    val (refs, inline) =
-      if (kept.size >= MaxManifestRefs) {
-        (Seq(writeManifest(logDir, snapshot.version, stamped, conf)), Nil)
-      } else if (remaining.size > InlineMaxFiles) {
+    val (spilled, inline) =
+      if (remaining.size > InlineMaxFiles) {
         (kept.toSeq :+
           writeManifest(logDir, snapshot.version, remaining.values.toSeq, conf),
           Nil)
       } else (kept.toSeq, remaining.values.toSeq)
+    val refs = mergeTiers(logDir, snapshot.version, spilled, conf)
+    val (inlineRefs, listPath) = placeRefs(logDir, snapshot.version, refs,
+      prevRaw.map(_.manifests).getOrElse(Nil),
+      prevRaw.flatMap(_.manifestList), conf)
     val inlinePathSet = inline.iterator.map(_.path).toSet
     val state = LayoutState(snapshot.version,
       stamped.iterator.map(f => f.path -> f).toMap,
       stamped.iterator.map(_.path).filterNot(inlinePathSet).toSet,
-      refs)
-    (snapshot.copy(files = inline, manifests = refs, added = added), state)
+      refs, listPath)
+    (snapshot.copy(files = inline, manifests = inlineRefs,
+      manifestList = listPath, added = added), state)
   }
 
   /** Test/deployment seam: when set, every commit publishes through

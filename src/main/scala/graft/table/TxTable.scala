@@ -3396,23 +3396,26 @@ class TxTable private (
     * vacuumed-out versions fail, same as for their data files. */
   private def vacuumManifests(keepFrom: Long, cutoffMs: Long): Int = {
     val f = fs
-    def taggedManifests = taggedRetained(keepFrom)(v =>
-      TxLog.readRaw(logDir, v, conf).manifests.map(_.path))
-    val referenced: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => TxLog.readRaw(logDir, v, conf).manifests.map(_.path)).toSet ++
-      taggedManifests
+    // a retained header references its manifests AND (two-level layout)
+    // the manifest-list file naming them — both must survive
+    def refsOf(v: Long): Seq[String] = {
+      val raw = TxLog.readRaw(logDir, v, conf)
+      raw.manifests.map(_.path) ++ raw.manifestList
+    }
+    def taggedManifests = taggedRetained(keepFrom)(refsOf)
+    val referenced: Set[String] =
+      (keepFrom to currentVersion).flatMap(refsOf).toSet ++ taggedManifests
     val candidates =
       if (!f.exists(logDir)) Seq.empty
       else f.listStatus(logDir).toSeq.filter { st =>
         val nm = st.getPath.getName
-        nm.endsWith(".manifest.json") && !referenced.contains(nm) &&
-          st.getModificationTime < cutoffMs
+        (nm.endsWith(".manifest.json") || nm.endsWith(".manifestlist.json")) &&
+          !referenced.contains(nm) && st.getModificationTime < cutoffMs
       }
     // one re-check against the head AT DELETE TIME (a commit may have
     // landed during the listing), mirroring the data-file walk
-    val refNow: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => TxLog.readRaw(logDir, v, conf).manifests.map(_.path)).toSet ++
-      taggedManifests
+    val refNow: Set[String] =
+      (keepFrom to currentVersion).flatMap(refsOf).toSet ++ taggedManifests
     var removed = 0
     candidates.foreach { st =>
       if (!refNow.contains(st.getPath.getName) && f.delete(st.getPath, false))

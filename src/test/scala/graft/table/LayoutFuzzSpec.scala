@@ -11,9 +11,11 @@ import org.apache.hadoop.fs.Path
  * normally (warm head-state cache → fast path fires on pure appends),
  * one with the cache purged before EVERY commit (cold → the full
  * re-resolving path, the pre-round-11 behavior). The contract is
- * byte-identity of every file either log writes: headers AND
- * manifests. Any placement, stamping, or `added`-provenance divergence
- * between the paths shows up as a raw byte mismatch.
+ * byte-identity of every file either log writes: headers, manifests,
+ * AND (round 12) the two-level layout's manifest-list files. Any
+ * placement, stamping, tier-merge, ref-list-spill, or
+ * `added`-provenance divergence between the paths shows up as a raw
+ * byte mismatch.
  */
 class LayoutFuzzSpec extends SparkSpec {
 
@@ -60,8 +62,8 @@ class LayoutFuzzSpec extends SparkSpec {
             newFile(if (rnd.nextBoolean()) 0L else version))
         case 6 =>
           // append burst — pushes `remaining` past InlineMaxFiles so
-          // manifest spills (and eventually the all-refs compaction)
-          // exercise on both paths
+          // manifest spills (and eventually tier merges + ref-list
+          // spills) exercise on both paths
           files = files ++ (0 until 12 + rnd.nextInt(20)).map(_ => newFile(0L))
         case 7 if files.nonEmpty =>
           // removal (a rewrite dropping files) — must force the full
@@ -91,23 +93,41 @@ class LayoutFuzzSpec extends SparkSpec {
       TxLog.commit(dirB, expected, snap, conf)
       expected = Some(version)
     }
-    // manifest file names embed a random UUID (orphan-safe naming), so
-    // "byte-identical" is asserted modulo that: each side's manifest
-    // names canonicalize to m-<version> (at most one new manifest per
-    // commit) and header bytes compare after substituting the actual
-    // names with the canonical ones
+    // manifest and manifest-list file names embed a random UUID
+    // (orphan-safe naming), so "byte-identical" is asserted modulo
+    // that: manifests canonicalize to m-<version>-<contentHash> (a
+    // tier-merge commit can write SEVERAL manifests at one version:
+    // the spill plus cascading merges — content-hash naming matches
+    // them across logs iff their contents match), the renames are then
+    // substituted into every file's text (headers AND list files embed
+    // manifest names), and finally list files canonicalize by the hash
+    // of their substituted content.
     val ManifestRe = """m-(\d{8})-[0-9a-f-]+\.manifest\.json""".r
+    val ListRe = """ml-(\d{8})-[0-9a-f-]+\.manifestlist\.json""".r
+    def sha(bytes: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+        .take(8).map("%02x".format(_)).mkString
     def canonicalize(files: Map[String, Array[Byte]])
         : Map[String, Array[Byte]] = {
-      val rename: Map[String, String] = files.keys.collect {
-        case n @ ManifestRe(v) => n -> s"m-$v.manifest.json"
-      }.toMap
-      files.map { case (name, bytes) =>
-        val canonName = rename.getOrElse(name, name)
+      val manifestRename: Map[String, String] = files.collect {
+        case (n @ ManifestRe(v), bytes) =>
+          n -> s"m-$v-${sha(bytes)}.manifest.json"
+      }
+      def substitute(bytes: Array[Byte], renames: Map[String, String]) = {
         val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-        val canonText = rename.foldLeft(text) { case (t, (from, to)) =>
-          t.replace(from, to) }
-        canonName -> canonText.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        renames.foldLeft(text) { case (t, (from, to)) => t.replace(from, to) }
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      }
+      val pass1 = files.map { case (name, bytes) =>
+        manifestRename.getOrElse(name, name) ->
+          substitute(bytes, manifestRename)
+      }
+      val listRename: Map[String, String] = pass1.collect {
+        case (n @ ListRe(v), bytes) =>
+          n -> s"ml-$v-${sha(bytes)}.manifestlist.json"
+      }
+      pass1.map { case (name, bytes) =>
+        listRename.getOrElse(name, name) -> substitute(bytes, listRename)
       }
     }
     val a = canonicalize(listFiles(baseA))
@@ -118,24 +138,148 @@ class LayoutFuzzSpec extends SparkSpec {
       assert(java.util.Arrays.equals(bytes, b(name)),
         s"$name differs between fast-path and full-path logs")
     }
-    // the all-refs compaction branch (kept manifests at the cap,
-    // everything rewritten into ONE manifest) must have fired at least
-    // once on this sequence — a header whose manifest list is exactly
-    // one entry while the table is well past the inline size
-    val sawCompaction = (0L to expected.get).exists { v =>
-      val s = TxLog.read(dirA, v, conf)
-      s.files.size > 40 && {
-        val raw = new String(a(f"v$v%08d.metadata.json"),
-          java.nio.charset.StandardCharsets.UTF_8)
-        ("\"m-" + "\\d{8}").r.findAllIn(raw).size == 1
-      }
-    }
-    assert(sawCompaction,
-      "fuzz sequence never exercised the all-refs compaction branch")
+    // the tiered-merge branch must have fired on this sequence: some
+    // version references a manifest holding ≥ TierBase×TierUnit (36)
+    // files — only a merge produces one that large from 9-file spills
+    val rawHeads = (0L to expected.get).map(v =>
+      TxLog.readRaw(dirA, v, conf))
+    assert(rawHeads.exists(_.manifests.exists(_.fileCount >= 36)),
+      "fuzz sequence never exercised the tier-merge branch")
+    // ...and it BOUNDS the ref list: logarithmic in table size, never
+    // O(spills) — 320 commits of 1-30 files stay well under 16 refs
+    assert(rawHeads.forall(_.manifests.size <= 16),
+      s"ref list unbounded: ${rawHeads.map(_.manifests.size).max} refs")
+    // (ref-list spill to a manifest-list file needs 4 populated tiers
+    // ≈ 2,300+ files — covered by the dedicated deterministic test
+    // below, not this sequence)
     // and the resolved head state agrees with the logical state
     val headA = TxLog.read(dirA, expected.get, conf)
     assert(headA.files.map(_.path).sorted ===
       files.map(_.path).sorted.distinct)
+  }
+
+  test("ref list spills to a manifest-list file, is reused, and cascades") {
+    // Deterministic walk of the two-level layout's whole life cycle:
+    // tier-sized bursts (9, 40, 150 files — tiers 1, 2, 3) stack three
+    // manifests per tier WITHOUT triggering a merge, pushing the ref
+    // list past the inline bound (9 > 8) → refs move to a manifest-list
+    // file and the header stores "manifests":[]; pure-inline appends
+    // then REUSE the parent's list file byte-for-byte (zero ref-list
+    // writes on the hot append path); a fourth tier-1 burst finally
+    // fires the full merge CASCADE (4 at tier 1 → merged lands in tier
+    // 2 → 4 there → tier 3 → 4 there → one tier-4 manifest), collapsing
+    // the refs back inline.
+    val base = new java.io.File(freshDir("layout_mlist"), "_log")
+    val dir = new Path(base.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    var files = Vector.empty[DataFile]
+    var expected: Option[Long] = None
+    var nextId = 0
+    def commitBurst(n: Int): Unit = {
+      files = files ++ (0 until n).map { _ =>
+        nextId += 1
+        DataFile(f"b$nextId%06d.parquet", Map("date" -> "2026-03-01"),
+          10L, 100L)
+      }
+      val v = expected.map(_ + 1).getOrElse(0L)
+      TxLog.commit(dir, expected, Snapshot(version = v,
+        timestampMs = 1700000000000L + v * 1000L,
+        operation = if (v == 0L) "CREATE" else "APPEND",
+        schemaJson = schema.json, partitionColumns = Seq("date"),
+        files = files), conf)
+      expected = Some(v)
+    }
+    commitBurst(0)                                   // CREATE, empty
+    Seq(9, 9, 9, 40, 40, 40, 150, 150, 150).foreach(commitBurst)
+    val atSpill = TxLog.readRaw(dir, expected.get, conf)
+    assert(atSpill.manifests.size === 9)
+    assert(atSpill.manifestList.isDefined,
+      "9 refs should have spilled to a manifest-list file")
+    // the STORED header really is two-level: empty inline refs
+    val storedText = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(base, f"v${expected.get}%08d.metadata.json").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(storedText.contains(""""manifests":[]"""))
+    assert(storedText.contains(atSpill.manifestList.get))
+    // pure-inline appends reuse the parent's list file (no new writes)
+    commitBurst(2); commitBurst(3)
+    val reused = TxLog.readRaw(dir, expected.get, conf)
+    assert(reused.manifestList === atSpill.manifestList,
+      "inline append should reuse the parent's manifest-list file")
+    assert(reused.manifests === atSpill.manifests)
+    // fourth tier-1 burst → full cascade to ONE manifest, refs inline
+    // again (the 5 inline files ride along into the spill first)
+    commitBurst(9)
+    val cascaded = TxLog.readRaw(dir, expected.get, conf)
+    assert(cascaded.manifests.size === 1,
+      s"cascade should collapse to one manifest, got ${cascaded.manifests}")
+    assert(cascaded.manifestList.isEmpty)
+    assert(cascaded.manifests.head.fileCount === files.size)
+    // resolution stayed exact through spill, reuse, and cascade
+    val head = TxLog.read(dir, expected.get, conf)
+    assert(head.files.map(_.path).sorted === files.map(_.path).sorted)
+  }
+
+  test("pre-upgrade logs (inline refs, no list files) read and extend") {
+    // a log written BEFORE the two-level layout: headers carry their
+    // manifest refs inline (the old shape allowed up to 32) and no
+    // manifestList field at all — hand-written JSON, not round-tripped
+    // through current code, so this pins true cross-version readability
+    val base = new java.io.File(freshDir("layout_upgrade"), "_log")
+    base.mkdirs()
+    val dir = new Path(base.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.write(new java.io.File(base, name).toPath,
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def manifestJson(paths: Seq[String]): String =
+      s"""{"files":[${paths.map(p =>
+        s"""{"path":"$p","partitionValues":{"date":"2026-02-01"},""" +
+          s""""rowCount":10,"sizeBytes":100}""").mkString(",")}]}"""
+    // 10 manifests of 9 files each — MORE than the new inline-refs
+    // bound, proving the reader takes stored inline refs as-is
+    val manifestNames = (0 until 10).map(i =>
+      f"m-00000000-0000-0000-0000-00000000000$i.manifest.json")
+    val allPaths = (0 until 10).flatMap(i =>
+      (0 until 9).map(j => f"old-$i%02d-$j%02d.parquet"))
+    manifestNames.zipWithIndex.foreach { case (nm, i) =>
+      write(nm, manifestJson(allPaths.slice(i * 9, i * 9 + 9)))
+    }
+    val refsJson = manifestNames.map(nm =>
+      s"""{"path":"$nm","fileCount":9}""").mkString(",")
+    write("v00000000.metadata.json",
+      s"""{"version":0,"timestampMs":1700000000000,"operation":"CREATE",""" +
+        s""""schemaJson":${org.json4s.jackson.JsonMethods.compact(
+          org.json4s.JString(schema.json))},""" +
+        s""""partitionColumns":["date"],"files":[],""" +
+        s""""manifests":[$refsJson]}""")
+    val head0 = TxLog.read(dir, 0L, conf)
+    assert(head0.files.map(_.path).sorted === allPaths.sorted)
+    // extend it: the new layout takes over (tier-merges the ten 9-file
+    // manifests, spilling refs to a list only if still past the bound)
+    // and the resolved state stays exact
+    val more = (0 until 3).map(i => DataFile(f"new-$i%02d.parquet",
+      Map("date" -> "2026-02-02"), 10L, 100L))
+    TxLog.commit(dir, Some(0L), Snapshot(version = 1L,
+      timestampMs = 1700000001000L, operation = "APPEND",
+      schemaJson = schema.json, partitionColumns = Seq("date"),
+      files = head0.files ++ more), conf)
+    val head1 = TxLog.read(dir, 1L, conf)
+    assert(head1.files.map(_.path).sorted ===
+      (allPaths ++ more.map(_.path)).sorted)
+    // v0 stays byte-untouched and still readable (time travel below
+    // the upgrade boundary)
+    TxLog.purgeRawCache(dir)
+    assert(TxLog.read(dir, 0L, conf).files.size === 90)
+    // the ten same-tier manifests merged: the new head's ref list is
+    // bounded, not inherited at length 10+
+    val raw1 = TxLog.readRaw(dir, 1L, conf)
+    assert(raw1.manifests.size <= 4,
+      s"upgrade commit kept ${raw1.manifests.size} refs")
   }
 
   test("concurrent appends stay coherent through the layout cache") {
