@@ -122,10 +122,12 @@ object Bench {
     val cdfJson = cdfShakeout(spark)
     val txnJson = txnShakeout(spark)
     val sustainJson = sustainShakeout(spark)
+    val morSidecarsJson = morSidecars(spark)
+    val commitLagJson = commitLag(spark)
     val sf1Json = pipelineSf1(spark, sfDir, fns)
     val rerunKey = streamingRerun
       .map(j => s""""streaming_other_attempt":$j,""").getOrElse("")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"mor_sidecars":$morSidecarsJson,"commit_lag":$commitLagJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}"""
     println(fullJson)
     // the driver's stdout capture keeps only a 2,000-char tail (the r11
     // artifact lost the warm/cold totals and sf0.1 pipeline keys to
@@ -419,7 +421,40 @@ object Bench {
       s""""$k":{"sec":${f"${runs.min}%.3f"},""" +
         s""""runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"rows":$rows}"""
     }.mkString(",")
-    s"""{"docs":$nDocs,$body}"""
+    // recall AT SCALE (r11 VERDICT task 5): the ≥0.9 floors are pinned
+    // by spec at sf0.01; capacities and probe counts DERIVE from n, so
+    // until now recall at the 10× corpus was asserted by formula, not
+    // measured. 64 queries spread across all replicas, ground truth
+    // from the exact brute-force scorer, recall@10 for each
+    // approximate index at its derived capacity.
+    val annRecall = try {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$bigDir/embeddings.parquet")
+      val queries = emb.filter(pmod(col("vec_id"), lit(311)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .cache()
+      val nQ = queries.count()
+      val ground = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select(col("query_id"), col("vec_id")).cache()
+      val nGround = ground.count()
+      def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+        ground.join(approx.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_semi").count().toDouble / nGround
+      val rIvfPq = recallOf(Similarity.ivfPqTopK(emb, queries, k = 10,
+        dim = 64, nCells = -1, nprobe = -1, m = 8, kCodes = 16))
+      val rIvf = recallOf(Similarity.ivfTopK(emb, queries, k = 10,
+        dim = 64, nCells = -1, nprobe = -1))
+      val rLsh = recallOf(Similarity.lshTopK(emb, queries, k = 10,
+        dim = 64, nBits = 8, probeDepth = 1))
+      queries.unpersist(); ground.unpersist()
+      s""""ann_recall":{"queries":$nQ,"k":10,""" +
+        s""""ivfpq":${f"$rIvfPq%.4f"},"ivf":${f"$rIvf%.4f"},""" +
+        s""""lsh_multiprobe":${f"$rLsh%.4f"}}"""
+    } catch {
+      case e: Throwable =>
+        s""""ann_recall":{"error":"${e.getClass.getSimpleName}"}"""
+    }
+    s"""{"docs":$nDocs,$body,$annRecall}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
@@ -735,6 +770,139 @@ object Bench {
    * loop closing at realistic duration: read cost stays flat because
    * auto-compaction retires the accumulation as the stream runs.
    */
+  /**
+   * Merge-on-read at MANY delete sidecars (r11 VERDICT task 6): a
+   * 100-partition / 1,000-file table accumulates a deletion vector on
+   * EVERY file (one predicate MOR delete touching all partitions —
+   * the worst accumulated-delete shape short of compaction), then:
+   *  - `read_full_sec`: full scan under 1,000 sidecars;
+   *  - `read_pruned_sec`: a one-partition read (10 files) under the
+   *    SAME 1,000 sidecars — with the lazy per-file DV filter this
+   *    pays for the ~10 sidecars its files own, NOT the delete state
+   *    of the whole table;
+   *  - `read_pruned_10dv_sec`: the control — the same one-partition
+   *    read on an identical table carrying only 10 sidecars. Pruned
+   *    latency under 1,000 total sidecars ≈ under 10 proves read cost
+   *    scales with TOUCHED files, not total delete state.
+   */
+  private def morSidecars(spark: SparkSession): String = try {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    import graft.table.TxTable
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val whF = new java.io.File("target/qwork/bench_morsc_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(whF)
+    val wh = whF.getAbsolutePath
+    val morProps = Map(TxTable.MergeModeProperty -> "merge-on-read")
+    val rows = 200000
+    def seed(nParts: Int, filesPerPart: Int, name: String): TxTable = {
+      import org.apache.spark.sql.types._
+      val df = spark.range(rows).select(
+        col("id"),
+        format_string("p%03d", pmod(col("id"), lit(nParts))).as("part"),
+        pmod(col("id"), lit(nParts.toLong * filesPerPart)).as("fk"),
+        rand(7).as("v"))
+      val t = TxTable.create(spark, new Path(s"$wh/$name"), name,
+        StructType(Seq(StructField("id", LongType),
+          StructField("part", StringType), StructField("v", DoubleType))),
+        Seq("part"), properties = morProps)
+      // filesPerPart files per partition via the fk repartition column
+      t.append(df.repartition(nParts * filesPerPart, col("fk")).drop("fk"))
+      t
+    }
+    val big = seed(100, 10, "dv1000")       // 1,000 files
+    // one MOR position-delete touching every file → one DV per file
+    big.deletePos(pmod(col("id"), lit(3)) === 0)
+    val nDv = big.snapshot.deletionVectors.size
+    val small = seed(10, 1, "dv10")         // 10 files
+    small.deletePos(pmod(col("id"), lit(3)) === 0)
+    val nDvSmall = small.snapshot.deletionVectors.size
+    def fullRead(t: TxTable): Long = t.toDF.count()
+    def prunedRead(t: TxTable): Long =
+      t.toDF.filter(col("part") === "p003").count()
+    fullRead(big); prunedRead(big); fullRead(small); prunedRead(small) // warm
+    val (_, tFull) = timed(fullRead(big))
+    val (_, tPruned) = timed(prunedRead(big))
+    val (_, tPrunedSmall) = timed(prunedRead(small))
+    s"""{"files":1000,"sidecars":$nDv,"sidecars_control":$nDvSmall,""" +
+      s""""read_full_sec":${f"$tFull%.3f"},""" +
+      s""""read_pruned_sec":${f"$tPruned%.3f"},""" +
+      s""""read_pruned_10dv_sec":${f"$tPrunedSmall%.3f"}}"""
+  } catch {
+    case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+  }
+
+  /**
+   * Latency-injected commit-protocol budget (r11 VERDICT task 4): the
+   * real-object-store gap is unexercisable offline, but its COST MODEL
+   * is per-request latency — so run the single-writer commit loop
+   * (head probe + cached header read + CAS + hint, the exact
+   * per-micro-batch metadata path) over [[graft.table.LagFs]], which
+   * counts every filesystem round-trip by category and injects a
+   * configurable sleep per request. Reported: round-trips per
+   * steady-state commit (by category), commit throughput under 25
+   * ms/request, and the ratio of measured commit latency to the
+   * round-trips × lag floor — ~1.0 proves the protocol serializes no
+   * avoidable requests beyond the counted ones. Reference baseline:
+   * two round-trips per metadata commit
+   * (`update_metadata.py:64-70,135-141`).
+   */
+  private def commitLag(spark: SparkSession): String = try {
+    import graft.table.{DataFile, LagFs, Snapshot, TxLog}
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("fs.lagfs.impl", classOf[graft.table.LagFs].getName)
+    val baseDir = new java.io.File("target/qwork/bench_lag_wh/t/_log")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/qwork/bench_lag_wh"))
+    val logDir = new Path("lagfs:" + baseDir.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    // one writer-loop iteration, exactly the streaming micro-batch
+    // metadata path: discover head, read its (cached) header, commit
+    def writerStep(): Unit = {
+      val cur = TxLog.currentVersion(logDir, conf)
+      val snap = cur.map(TxLog.read(logDir, _, conf))
+      val v = cur.map(_ + 1).getOrElse(0L)
+      val added = DataFile(f"f$v%06d.parquet",
+        Map("date" -> "2026-01-01"), 1000L, 1000000L)
+      TxLog.commit(logDir, cur, Snapshot(version = v,
+        timestampMs = 1700000000000L + v * 1000L,
+        operation = if (v == 0L) "CREATE" else "APPEND",
+        schemaJson = schema.json, partitionColumns = Seq("date"),
+        files = snap.map(_.files).getOrElse(Vector.empty) :+ added), conf)
+    }
+    LagFs.lagMs = 0
+    (0 until 120).foreach(_ => writerStep())   // past spills and merges
+    LagFs.reset()
+    val nCount = 50
+    (0 until nCount).foreach(_ => writerStep())
+    val byCat = LagFs.snapshot
+    val opsPerCommit = LagFs.total.toDouble / nCount
+    val lag = 25L
+    LagFs.lagMs = lag
+    val nLag = 20
+    val t0 = System.nanoTime()
+    (0 until nLag).foreach(_ => writerStep())
+    val lagSec = (System.nanoTime() - t0) / 1e9
+    LagFs.lagMs = 0
+    val commitSec = lagSec / nLag
+    val floorSec = opsPerCommit * lag / 1000.0
+    val catJson = byCat.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + f"${v.toDouble / nCount}%.2f" }.mkString("{", ",", "}")
+    s"""{"lag_ms":$lag,"roundtrips_per_commit":${f"$opsPerCommit%.2f"},""" +
+      s""""by_category":$catJson,""" +
+      s""""commit_sec_at_lag":${f"$commitSec%.3f"},""" +
+      s""""commits_per_sec_at_lag":${f"${1.0 / commitSec}%.2f"},""" +
+      s""""floor_sec":${f"$floorSec%.3f"},""" +
+      s""""serialization_overhead_ratio":${f"${commitSec / floorSec}%.3f"}}"""
+  } catch {
+    case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+  }
+
   private def sustainShakeout(spark: SparkSession): String = try {
     import org.apache.hadoop.fs.Path
     val rows = 50000L

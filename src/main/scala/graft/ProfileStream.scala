@@ -31,9 +31,14 @@ object ProfileStream {
       else Map.empty[String, String]
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val sites = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         starts.put(js.jobId, System.nanoTime())
+        sites.put(js.jobId, Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("?"))
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val s = starts.getOrDefault(je.jobId, 0L)
         jobs.add((je.jobId, s, System.nanoTime()))
@@ -61,7 +66,8 @@ object ProfileStream {
       val rate = math.round(streamRows / total)
       println(f"run $r: total=$total%.3f rate=$rate jobs=${sorted.length} " +
         f"jobTime=$jobSum%.3f gapTime=$gaps%.3f " +
-        f"perJob=[${sorted.map(j => f"${(j._3 - j._2) / 1e9}%.3f").mkString(",")}]")
+        f"perJob=[${sorted.map(j => f"${(j._3 - j._2) / 1e9}%.3f@" +
+          sites.getOrDefault(j._1, "?")).mkString(",")}]")
     }
     spark.stop()
   }

@@ -72,6 +72,18 @@ object StreamingIngest {
         // are batch-bounded). Scanning everything in the FIRST take
         // job collapses that to one job per probe.
         ss.conf.set("spark.sql.limit.initialScanPartitionNum", "4096")
+        // micro-batches are small by the buffering contract (60 s /
+        // maxFilesPerTrigger), so 32 shuffle partitions means ~70
+        // sub-10ms tasks per merge job — task scheduling, not work.
+        // 8 reducers keep every shuffle round 4x cheaper to schedule
+        // and still spread a catch-up batch (AQE stays off for plan
+        // latency; override via the stream session conf if a deployment
+        // tails multi-GB batches).
+        if (ss.conf.getOption("spark.graft.stream.shufflePartitions")
+              .forall(_ != "keep"))
+          ss.conf.set("spark.sql.shuffle.partitions",
+            ss.conf.getOption("spark.graft.stream.shufflePartitions")
+              .getOrElse("8"))
         mergeBatch(table.withSession(ss), batch, batchId, errorsDir,
           streamAppId = Some(streamAppId.getOrElse(checkpointDir)),
           deleteCol = if (propagateDeletes) Some("_deleted") else None)
@@ -113,6 +125,11 @@ object StreamingIngest {
         val ss = batch.sparkSession
         ss.conf.set("spark.sql.adaptive.enabled", "false")
         ss.conf.set("spark.sql.limit.initialScanPartitionNum", "4096")
+        if (ss.conf.getOption("spark.graft.stream.shufflePartitions")
+              .forall(_ != "keep"))
+          ss.conf.set("spark.sql.shuffle.partitions",
+            ss.conf.getOption("spark.graft.stream.shufflePartitions")
+              .getOrElse("8"))
         fanOutBatch(ss, main.withSession(ss), audit.withSession(ss),
           txnDir, batch, batchId, errorsDir,
           appId = streamAppId.getOrElse(checkpointDir))

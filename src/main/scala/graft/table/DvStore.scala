@@ -57,7 +57,23 @@ object DvStore {
       arr
     }
 
+  /** Membership probe over the (sorted — see `TxTable.writeDvFile`)
+    * cached positions: the per-row form the lazy MOR filter
+    * ([[graft.functions.expressions.DvDeleted]]) uses, so a scan's DV
+    * cost is one sidecar load per file the task actually READS plus a
+    * binary search per row — never an expansion of every sidecar in
+    * the snapshot. */
+  def contains(absPath: String, conf: Configuration, pos: Long): Boolean =
+    java.util.Arrays.binarySearch(positions(absPath, conf), pos) >= 0
+
+  /** Sidecar FILE loads (cache misses only) — specs pin the lazy MOR
+    * filter's touched-files-only property by asserting this counter's
+    * delta across a pruned scan. */
+  private val loads = new java.util.concurrent.atomic.AtomicLong
+  def loadCount: Long = loads.get
+
   private def read(absPath: String, conf: Configuration): Array[Long] = {
+    loads.incrementAndGet()
     val p = new Path(absPath)
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen.toInt

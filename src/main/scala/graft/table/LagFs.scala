@@ -1,0 +1,82 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FSDataInputStream, FSDataOutputStream, FileStatus, Path}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/**
+ * Deployment-shaped diagnostic FileSystem: every metadata round-trip
+ * (status probe, open, create, list, delete, rename, mkdirs) counts
+ * into a per-category ledger and optionally sleeps a configured
+ * latency before the local operation — approximating an object
+ * store's per-request cost so the commit protocol's round-trip budget
+ * is MEASURABLE offline (round-11 VERDICT task 4). The reference's
+ * real store pays two round-trips per metadata commit — GetTable for
+ * the version token, then the conditional
+ * UpdateTableMetadataLocation (`kinesis-firehose-stream/scripts/
+ * update_metadata.py:64-70,135-141`); `Bench.commitLag` records how
+ * many this log pays and that commit throughput is bounded by
+ * round-trips × latency, i.e. the protocol serializes no avoidable
+ * filesystem operations.
+ *
+ * Register with `fs.lagfs.impl = graft.table.LagFs` and use
+ * `lagfs:/abs/path` paths; set [[LagFs.lagMs]] for the injected
+ * latency (0 = count only).
+ */
+class LagFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "lagfs"
+  override def getUri: java.net.URI = java.net.URI.create("lagfs:///")
+
+  override def getFileStatus(f: Path): FileStatus = {
+    LagFs.hit("status"); super.getFileStatus(f)
+  }
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    LagFs.hit("open"); super.open(f, bufferSize)
+  }
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    LagFs.hit("create")
+    super.create(f, permission, overwrite, bufferSize, replication,
+      blockSize, progress)
+  }
+  override def listStatus(f: Path): Array[FileStatus] = {
+    LagFs.hit("list"); super.listStatus(f)
+  }
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    LagFs.hit("delete"); super.delete(f, recursive)
+  }
+  override def rename(src: Path, dst: Path): Boolean = {
+    LagFs.hit("rename"); super.rename(src, dst)
+  }
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    LagFs.hit("mkdirs"); super.mkdirs(f, permission)
+  }
+}
+
+object LagFs {
+  /** Injected per-operation latency; 0 = count only. */
+  @volatile var lagMs: Long = 0L
+
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+
+  private[table] def hit(cat: String): Unit = {
+    counts.computeIfAbsent(cat,
+      _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+    val lag = lagMs
+    if (lag > 0) Thread.sleep(lag)
+  }
+
+  def reset(): Unit = counts.clear()
+
+  def snapshot: Map[String, Long] = {
+    val it = counts.entrySet().iterator()
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.get }
+    b.result()
+  }
+
+  def total: Long = snapshot.values.sum
+}

@@ -223,26 +223,54 @@ object TxLog {
 
   /** Highest committed version, or None for an empty/nonexistent log.
     *
-    * Discovery is hint-first (the Iceberg `version-hint.text` / Delta
-    * `_last_checkpoint` shape): every commit best-effort overwrites
-    * `_head.hint` with its version, and a reader verifies the hinted
-    * snapshot exists then PROBES FORWARD to the true head — so version
-    * discovery is O(1 + hint lag) instead of an O(commits) directory
-    * listing per call (on a 10⁴-commit log the listing dominated every
-    * table open / time-travel resolution). The hint is never trusted
-    * blindly: a torn/partial hint read parses to a smaller-or-invalid
-    * value, and any underestimate is corrected by the forward probe;
-    * a missing or unverifiable hint falls back to the full listing. */
+    * Discovery is memory-first, hint-second: a head this process
+    * committed or previously discovered seeds a forward probe (ONE
+    * exists call in the steady single-writer state — the object-store
+    * round-trip budget of a per-micro-batch `snapshot` read drops from
+    * 3-4 to 1; the cache is invalidated on drop/recreate through
+    * [[purgeRawCache]]/[[purgeRawCacheUnder]] like every other log
+    * cache). Cold processes fall back to the hint file (the Iceberg
+    * `version-hint.text` / Delta `_last_checkpoint` shape): every
+    * commit best-effort overwrites `_head.hint` with its version, and
+    * a reader verifies the hinted snapshot exists then PROBES FORWARD
+    * to the true head — O(1 + hint lag) instead of an O(commits)
+    * directory listing. The hint is never trusted blindly: a
+    * torn/partial hint read parses to a smaller-or-invalid value, and
+    * any underestimate is corrected by the forward probe; a missing or
+    * unverifiable hint falls back to the full listing. */
   def currentVersion(logDir: Path, conf: Configuration): Option[Long] = {
     val f = fs(logDir, conf)
-    readHint(f, logDir) match {
+    val cached = headCache.get(logDir.toString)
+    if (cached != null) {
+      var v = cached.longValue()
+      while (f.exists(new Path(logDir, snapshotName(v + 1)))) v += 1
+      if (v != cached.longValue()) headCacheAdvance(logDir, v)
+      return Some(v)
+    }
+    val head = readHint(f, logDir) match {
       case Some(h) if f.exists(new Path(logDir, snapshotName(h))) =>
         var v = h
         while (f.exists(new Path(logDir, snapshotName(v + 1)))) v += 1
         Some(v)
       case _ => listedVersion(f, logDir)
     }
+    head.foreach(headCacheAdvance(logDir, _))
+    head
   }
+
+  /** Monotonic head-cache update: concurrent probes/commits may land
+    * out of order — never let a slower thread regress the value (a
+    * too-small entry only costs probes, but monotonicity is free). */
+  private def headCacheAdvance(logDir: Path, v: Long): Unit =
+    headCache.merge(logDir.toString, java.lang.Long.valueOf(v),
+      (a, b) => if (a.longValue() >= b.longValue()) a else b)
+
+  /** Last known head per log dir — seeded by commit wins and full
+    * discoveries, advanced by forward probes, dropped whenever the
+    * log's other caches are purged (drop/recreate). Entries are two
+    * small boxed values per TABLE, so no eviction policy is needed. */
+  private val headCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def listedVersion(f: FileSystem, logDir: Path): Option[Long] = {
     if (!f.exists(logDir)) return None
@@ -962,7 +990,10 @@ object TxLog {
   def commit(logDir: Path, expected: Option[Long], snapshot: Snapshot,
       conf: Configuration): Long = {
     val f = fs(logDir, conf)
-    f.mkdirs(logDir)
+    // one round-trip saved per steady-state commit: the dir exists once
+    // anything committed to this log from this process (object stores
+    // have no directories anyway — mkdirs there is a pure latency tax)
+    if (!headCache.containsKey(logDir.toString)) f.mkdirs(logDir)
     val next = expected.map(_ + 1).getOrElse(0L)
     require(snapshot.version == next,
       s"snapshot.version ${snapshot.version} != expected next $next")
@@ -971,8 +1002,18 @@ object TxLog {
     val json = Serialization.write(laid)
     val scheme = Option(target.toUri.getScheme).getOrElse(
       Option(f.getUri).map(_.getScheme).getOrElse("file"))
-    protocolFor(scheme).putIfAbsent(f, target,
+    def put(): Unit = protocolFor(scheme).putIfAbsent(f, target,
       json.getBytes(StandardCharsets.UTF_8), next, expected)
+    // self-heal the skipped mkdirs: a log dir deleted EXTERNALLY (not
+    // through the catalog, which purges the caches) leaves a stale
+    // head-cache entry — the one write that can then fail is this
+    // publish, so recreate the dir and retry once. CAS conflicts are
+    // not IOExceptions and never take this path.
+    try put() catch {
+      case e: java.io.IOException if !f.exists(logDir) =>
+        f.mkdirs(logDir)
+        put()
+    }
     // a CREATE (version 0) means DROP + re-CREATE may be reusing this
     // logDir's version paths — stale parsed headers AND index chunks
     // of the previous table must not survive into the new one (the
@@ -984,6 +1025,7 @@ object TxLog {
     // the head layout state updates only AFTER the CAS published this
     // version — a lost race throws above and can never poison it
     layoutCachePut(logDir.toString, layoutState)
+    headCacheAdvance(logDir, next)
     // completing an index-chunk range persists the chunk (best-effort:
     // losing it only costs the raw-header fallback). Also re-attempt the
     // PRECEDING range — a range skipped for an undecided txn marker at
@@ -1012,6 +1054,7 @@ object TxLog {
       chunkCache.keySet.removeIf(_._1 == logDir.toString)
     }
     layoutCache.remove(logDir.toString)
+    headCache.remove(logDir.toString)
   }
 
   /** Drop every cached header/chunk under `logDir` AND its
@@ -1032,6 +1075,7 @@ object TxLog {
     layoutCache.synchronized {
       layoutCache.keySet.removeIf(covers)
     }
+    headCache.keySet.removeIf(covers)
   }
 
   /**
@@ -1065,6 +1109,7 @@ object TxLog {
       json.getBytes(StandardCharsets.UTF_8), snapshot.version, None)
     // chain start: a dropped-and-recreated branch reuses version paths
     purgeRawCache(logDir)
+    headCacheAdvance(logDir, snapshot.version)
     writeHint(f, logDir, snapshot.version)
     snapshot.version
   }

@@ -827,14 +827,27 @@ class TxTable private (
 
   private def dfFor(s: Snapshot): DataFrame = {
     val schema = schemaOf(s)
-    val withPosNeeded = s.deletionVectors.nonEmpty
+    // MOR bookkeeping columns come from the parquet _metadata struct,
+    // NOT input_file_name(): the latter is non-deterministic, and a
+    // Project containing it BLOCKS every filter from pushing below it
+    // (no partition pruning, no parquet pushdown on any MOR read —
+    // found by the r12 sidecar spec). _metadata.file_name is
+    // deterministic and prunes like any other column.
+    val needPos = s.deletionVectors.nonEmpty
+    val needFile = needPos || s.equalityDeletes.nonEmpty
+    def metaCols: Seq[org.apache.spark.sql.Column] =
+      (if (needPos) Seq(col("_metadata.row_index").as("__graft_pos")) else Nil) ++
+        (if (needFile) Seq(col("_metadata.file_name").as("__graft_file")) else Nil)
+    def finish(base: DataFrame): DataFrame = {
+      val afterDv =
+        if (needPos && s.files.nonEmpty) base.filter(!dvDeletedCol(s))
+        else base
+      val afterEq = applyEqualityDeletes(afterDv, s, keepFileCol = true)
+      if (needFile) afterEq.drop("__graft_file", "__graft_pos") else afterEq
+    }
     snapshotScan(s) match {
       case Some(df) =>
-        val base = df.select(schema.map(f => col(f.name)) ++
-          (if (withPosNeeded)
-            Seq(col("_metadata.row_index").as("__graft_pos"))
-          else Nil): _*)
-        return applyEqualityDeletes(applyDeletionVectors(base, s), s)
+        return finish(df.select(schema.map(f => col(f.name)) ++ metaCols: _*))
       case None => ()
     }
     val base = if (s.files.isEmpty) {
@@ -855,58 +868,39 @@ class TxTable private (
       }
       // outstanding deletion vectors need each row's position — select
       // the parquet row-index metadata column at scan time (projected
-      // away again after the anti-join); zero overhead otherwise
-      val withPos = s.deletionVectors.nonEmpty
+      // away again after the membership filter); zero overhead otherwise
       groups.map { case (root, fls) =>
         val r = spark.read
           .option("basePath", root.toString)
           .schema(schema)
           .parquet(fls.map(f => new Path(dataDir, f.path).toString): _*)
-        r.select(schema.map(f => col(f.name)) ++
-          (if (withPos) Seq(col("_metadata.row_index").as("__graft_pos"))
-           else Nil): _*)
+        r.select(schema.map(f => col(f.name)) ++ metaCols: _*)
       }.reduce(_ unionByName _)
     }
-    applyEqualityDeletes(applyDeletionVectors(base, s), s)
+    finish(base)
   }
 
-  /** Merge-on-read positional deletes: anti-join the scan against the
-    * snapshot's (file name, position) delete pairs. The DRIVER never
-    * materializes positions — it plans one row per deletion vector
-    * (file name, sidecar path) and EXECUTORS expand each sidecar into
-    * its positions ([[DvStore]]), so driver memory and plan payload are
-    * O(#vectors) however much delete state accumulates. Below
-    * `spark.graft.morBroadcastMaxPositions` (metadata cardinality sum,
-    * no read needed) the pair set broadcasts and the scan never
-    * shuffles; above it, Spark shuffles the anti-join — correct either
-    * way, and the threshold keeps hot small-delete reads single-pass. */
-  private def applyDeletionVectors(base: DataFrame, s: Snapshot): DataFrame = {
-    if (s.deletionVectors.isEmpty || s.files.isEmpty) return base
-    val pairs = dvPairs(s)
-    base
-      .withColumn("__graft_file",
-        element_at(split(input_file_name(), "/"), -1))
-      .join(pairs, Seq("__graft_file", "__graft_pos"), "left_anti")
-      .drop("__graft_file", "__graft_pos")
-  }
-
-  /** The snapshot's deletion-vector (file name, position) pairs as a
-    * DISTRIBUTED frame (executor-side sidecar expansion), broadcast
-    * when the metadata cardinality sum stays under the gate. */
-  private def dvPairs(s: Snapshot): DataFrame = {
-    import spark.implicits._
-    val refs = s.deletionVectors.map(d =>
-      (new Path(d.dataFile).getName,
-        new Path(deletesDir, d.path).toString))
-    val sc = new SerializableConf(conf)
-    val pairs = refs.toDS()
-      .flatMap { case (name, sidecar) =>
-        DvStore.positions(sidecar, sc.value).map(p => (name, p)) }
-      .toDF("__graft_file", "__graft_pos")
-    val gate = spark.conf.getOption("spark.graft.morBroadcastMaxPositions")
-      .map(_.toLong).getOrElse(10000000L)
-    if (s.deletionVectors.map(_.count).sum <= gate) broadcast(pairs)
-    else pairs
+  /** The lazy merge-on-read positional-delete predicate over the
+    * scan's `__graft_file`/`__graft_pos` columns
+    * ([[graft.functions.expressions.DvDeleted]]) — replaces the former
+    * anti-join against every expanded sidecar. The plan carries only
+    * the file→sidecar map (O(#vectors) metadata); each EXECUTOR loads
+    * a sidecar the first time a task reads its data file
+    * ([[DvStore]]'s bounded cache) and probes positions by binary
+    * search — so a partition-pruned scan under 1,000 accumulated
+    * sidecars pays for the handful it touches, not all 1,000, and the
+    * full scan sheds the former broadcast-build + join entirely
+    * (r11 VERDICT task 6; the per-file shape the V2 `MorScan` reader
+    * already had). */
+  private def dvDeletedCol(s: Snapshot): org.apache.spark.sql.Column = {
+    val byFile: Map[String, String] = s.deletionVectors.map(d =>
+      new Path(d.dataFile).getName ->
+        new Path(deletesDir, d.path).toString).toMap
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.DvDeleted(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__graft_file")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__graft_pos")),
+        byFile, new SerializableConf(conf)))
   }
 
   /** Merge-on-read: subtract outstanding equality deletes from a scan.
@@ -923,9 +917,10 @@ class TxTable private (
     import spark.implicits._
     val seqByName = s.files.map(f => (new Path(f.path).getName, f.seq))
       .toDF("__graft_file", "__graft_fseq")
+    // `base` carries __graft_file from the scan's _metadata.file_name
+    // (deterministic — filters still push past it; the former
+    // input_file_name() column blocked ALL pushdown below this join)
     val withSeq = base
-      .withColumn("__graft_file",
-        element_at(split(input_file_name(), "/"), -1))
       .join(broadcast(seqByName), Seq("__graft_file"), "left")
       .withColumn("__graft_fseq", coalesce(col("__graft_fseq"), lit(0L)))
     val filtered = s.equalityDeletes.groupBy(_.keyColumn).foldLeft(withSeq) {
@@ -1211,14 +1206,12 @@ class TxTable private (
             org.apache.spark.sql.types.LongType))))
     snapshotScan(s) match {
       case Some(df) =>
-        val base = df.select(schema.map(f => col(f.name)) :+
-            col("_metadata.row_index").as("__graft_pos"): _*)
-          .withColumn("__graft_file",
-            element_at(split(input_file_name(), "/"), -1))
+        val base = df.select(schema.map(f => col(f.name)) ++ Seq(
+          col("_metadata.row_index").as("__graft_pos"),
+          col("_metadata.file_name").as("__graft_file")): _*)
         val dvApplied =
           if (s.deletionVectors.isEmpty) base
-          else base.join(dvPairs(s), Seq("__graft_file", "__graft_pos"),
-            "left_anti")
+          else base.filter(!dvDeletedCol(s))
         return applyEqualityDeletes(dvApplied, s, keepFileCol = true)
       case None => ()
     }
@@ -1232,15 +1225,13 @@ class TxTable private (
         .option("basePath", root.toString)
         .schema(schema)
         .parquet(fls.map(f => new Path(dataDir, f.path).toString): _*)
-        .select(schema.map(f => col(f.name)) :+
-          col("_metadata.row_index").as("__graft_pos"): _*)
+        .select(schema.map(f => col(f.name)) ++ Seq(
+          col("_metadata.row_index").as("__graft_pos"),
+          col("_metadata.file_name").as("__graft_file")): _*)
     }.reduce(_ unionByName _)
-      .withColumn("__graft_file",
-        element_at(split(input_file_name(), "/"), -1))
     val dvApplied =
       if (s.deletionVectors.isEmpty) base
-      else base.join(dvPairs(s), Seq("__graft_file", "__graft_pos"),
-        "left_anti")
+      else base.filter(!dvDeletedCol(s))
     applyEqualityDeletes(dvApplied, s, keepFileCol = true)
   }
 
@@ -2433,15 +2424,40 @@ class TxTable private (
     // cache and give both, saving a count() job per micro-batch on the
     // streaming ingest path. Hidden-partitioning specs derive the
     // partition values from the batch's source columns first.
-    val (touched: Set[Map[String, String]], batchRows: Long) =
-      if (parts.isEmpty) (Set(Map.empty[String, String]), deduped.count())
-      else {
+    // the batch KEY SET rides the same job (capped `collect_list` per
+    // group — what reaches the driver is ≤ cap+1 per touched
+    // partition): a micro-batch-sized key set then becomes an InSet
+    // FILTER on the target scan instead of a broadcast anti-join,
+    // deleting the per-batch broadcast-build job (and its planning
+    // gap) from the streaming hot path. `collect_list` skips nulls, so
+    // a size mismatch vs the count (nulls or cap overflow) falls back
+    // to the join path — never a silently partial key set.
+    val keyCap = TxTable.MergeInlineMaxKeys
+    val keyList = slice(collect_list(col(keyName)), 1, keyCap + 1)
+    val (touched: Set[Map[String, String]], batchRows: Long,
+        collectedKeys: Seq[Any]) =
+      if (parts.isEmpty) {
+        val r = deduped.agg(
+          org.apache.spark.sql.functions.count(lit(1)), keyList).collect()(0)
+        (Set(Map.empty[String, String]), r.getLong(0), r.getSeq[Any](1))
+      } else {
         val perPart = withDerivedParts(deduped, s)
-          .groupBy(parts.map(col): _*).count().collect()
+          .groupBy(parts.map(col): _*)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("__n"),
+            keyList.as("__k")).collect()
         (perPart.map(r => parts.zipWithIndex.map { case (c, i) =>
           c -> partitionValueString(r.get(i)) }.toMap).toSet,
-          perPart.map(r => r.getLong(parts.size)).sum)
+          perPart.map(r => r.getLong(parts.size)).sum,
+          perPart.toSeq.flatMap(_.getSeq[Any](parts.size + 1)))
       }
+    // full, null-free key set within the cap — safe to inline
+    // (spark.graft.mergeInlineKeys=false forces the join paths, the
+    // A/B lever the fusion was measured with)
+    val inlineKeys: Option[Seq[Any]] =
+      Some(collectedKeys).filter(ks =>
+        batchRows <= keyCap && ks.size == batchRows &&
+          spark.conf.getOption("spark.graft.mergeInlineKeys")
+            .forall(_.toBoolean))
     dbgPhase("dedup+touched", tTouched)
     // empty batch: nothing to upsert, nothing to delete — no commit
     // (lets the streaming path skip its own isEmpty pre-job)
@@ -2454,9 +2470,21 @@ class TxTable private (
 
     val existingAffected = dfFor(s.copy(files = affectedFiles))
     // ALL batch keys (upserts and deletes) evict their existing rows;
-    // only the non-delete winners are re-inserted
-    val survivors = TxTable.antiJoinSurvivors(existingAffected,
-      deduped.select(col(key)), key, batchRows)
+    // only the non-delete winners are re-inserted. Inline key set →
+    // InSet filter (codegen hash probe, no join, no broadcast job);
+    // NULL-keyed target rows can never match a batch key, so they
+    // survive explicitly (the anti-join's null semantics).
+    val keyType = schema.find(_.name.equalsIgnoreCase(keyName))
+      .map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)
+    def inKeys(c: org.apache.spark.sql.Column, ks: Seq[Any]) =
+      org.apache.spark.sql.graft.ColumnBridge.inKeySet(c, ks, keyType)
+    val survivors = inlineKeys match {
+      case Some(ks) => existingAffected.filter(
+        col(keyName).isNull || !inKeys(col(keyName), ks))
+      case None => TxTable.antiJoinSurvivors(existingAffected,
+        deduped.select(col(key)), key, batchRows)
+    }
     val upserts = deduped.filter(!col("__del"))
     // stored CDF, classified by two joins shaped like the merge's own
     // survivors gate:
@@ -2503,10 +2531,18 @@ class TxTable private (
     // fast path for huge hot partitions; the batch-sized contract of
     // the other MOR writes applies (positions collect on the driver).
     if (TxTable.morMode(s, TxTable.MergeModeProperty)) {
-      val keySide =
-        if (batchRows <= TxTable.MergeBroadcastMaxKeys)
-          broadcast(deduped.select(col(key)))
-        else deduped.select(col(key))
+      // inline key set → InSet filter on the ref scan (no broadcast
+      // build job per micro-batch — the same fusion as the survivors
+      // gate); a semi join's null-key scan rows drop, and so do InSet's
+      def matchedRefs(scan: DataFrame): DataFrame = inlineKeys match {
+        case Some(ks) => scan.filter(inKeys(col(keyName), ks))
+        case None =>
+          val keySide =
+            if (batchRows <= TxTable.MergeBroadcastMaxKeys)
+              broadcast(deduped.select(col(key)))
+            else deduped.select(col(key))
+          scan.join(keySide, Seq(key), "left_semi")
+      }
       // same driver-memory guardrail as deletePos/updateMor: the
       // matched refs collect on the driver (≤1 live row per batch key,
       // so batch-bounded), but a huge CDC batch in merge-on-read mode
@@ -2516,8 +2552,7 @@ class TxTable private (
       // never collects rows
       val maxPos = morMaxPositions
       val tRefs = System.nanoTime()
-      val capped = dfForWithRefs(s.copy(files = affectedFiles))
-        .join(keySide, Seq(key), "left_semi")
+      val capped = matchedRefs(dfForWithRefs(s.copy(files = affectedFiles)))
         .select(col("__graft_file"), col("__graft_pos"))
         .limit(math.min(maxPos, Int.MaxValue - 1L).toInt + 1)
         .collect()
@@ -3717,6 +3752,14 @@ object TxTable {
     * sized merge — the key set would OOM the driver as a broadcast, so
     * the anti-join falls back to a plain shuffled join on the key. */
   private[table] val MergeBroadcastMaxKeys = 500000L
+
+  /** Batch key sets up to this many inline into the merge plan as an
+    * InSet filter (collected inside the SAME job as the touched-
+    * partition counts) — one fewer Spark job per streaming micro-batch
+    * than the broadcast anti-join, at ~bytes-of-keys driver cost.
+    * Between this and [[MergeBroadcastMaxKeys]] the broadcast join
+    * takes over; past that, the shuffled join. */
+  private[table] val MergeInlineMaxKeys = 100000
 
   /** Rows of `existing` whose `key` does NOT appear in `keys` — the
     * merge's survivor set. Broadcast vs shuffled is gated on the known

@@ -2232,6 +2232,35 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.count() === before - 1 + 20)
   }
 
+  test("pruned MOR scans load only the touched files' DV sidecars") {
+    // 10 partitions × 1 file, a deletion vector on EVERY file; a
+    // one-partition read must load ~1 sidecar, not all 10 — the lazy
+    // per-file DV filter's defining property (an accumulated-delete
+    // table at scale would otherwise pay O(total delete state) per
+    // pruned read, however narrow the scan)
+    import org.apache.spark.sql.functions.{col, format_string, lit, pmod}
+    import org.apache.spark.sql.types._
+    val t = TxTable.create(spark, new Path(freshDir("tx_dvlazy")), "t",
+      StructType(Seq(StructField("id", LongType),
+        StructField("part", StringType))), Seq("part"),
+      properties = Map(TxTable.MergeModeProperty -> "merge-on-read"))
+    val df = spark.range(1000).select(col("id"),
+      format_string("p%02d", pmod(col("id"), lit(10))).as("part"))
+    t.append(df.repartition(10, col("part")))
+    assert(t.snapshot.files.size === 10)
+    // id % 3 == 0 hits every residue mod 10 → one DV per partition file
+    t.deletePos(pmod(col("id"), lit(3)) === 0)
+    assert(t.snapshot.deletionVectors.size === 10)
+    // warm nothing: fresh sidecars, cold DvStore for these paths
+    val before = DvStore.loadCount
+    val n = t.toDF.filter(col("part") === "p03").count()
+    val loaded = DvStore.loadCount - before
+    assert(n === 66)          // 100 rows − 34 deleted (id ≡ 3 mod 30)
+    assert(loaded <= 2, s"pruned scan loaded $loaded sidecars, expected ~1")
+    // and the full scan sees every DV's effect exactly once
+    assert(t.toDF.count() === 666)
+  }
+
   test("compactSmallFiles leaves at-size files alone and packs the rest") {
     val t = TxTable.create(spark, new Path(freshDir("tx_smallpack")), "t",
       Schemas.transactions, Seq("date"))
