@@ -421,15 +421,20 @@ object Bench {
       s""""$k":{"sec":${f"${runs.min}%.3f"},""" +
         s""""runs":[${runs.map(r => f"$r%.3f").mkString(",")}],"rows":$rows}"""
     }.mkString(",")
-    // recall AT SCALE (r11 VERDICT task 5): the ≥0.9 floors are pinned
-    // by spec at sf0.01; capacities and probe counts DERIVE from n, so
+    // recall AT SCALE (r11 VERDICT task 5): the floors were pinned by
+    // spec at sf0.01; capacities and probe counts DERIVE from n, so
     // until now recall at the 10× corpus was asserted by formula, not
-    // measured. 64 queries spread across all replicas, ground truth
-    // from the exact brute-force scorer, recall@10 for each
-    // approximate index at its derived capacity.
+    // measured. 65 queries spread across all replicas, ground truth
+    // from the exact brute-force scorer, recall@10 for the TRAINED +
+    // exactly-re-ranked ivfpq across a probe sweep (the recall/cost
+    // curve), plus the derived-point ivf and lsh. This corpus is
+    // adversarial for IVF — 10 sign-flip replicas make cluster
+    // structure 10× weaker than one real embedding corpus — so the
+    // artifact records the OPERATING POINT that clears 0.9 and what it
+    // scans, not just the derived point's number.
     val annRecall = try {
       import graft.operators.Similarity
-      val emb = spark.read.parquet(s"$bigDir/embeddings.parquet")
+      val emb = spark.read.parquet(s"$bigDir/embeddings.parquet").cache()
       val queries = emb.filter(pmod(col("vec_id"), lit(311)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         .cache()
@@ -440,16 +445,35 @@ object Bench {
       def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
         ground.join(approx.select(col("query_id"), col("vec_id")),
           Seq("query_id", "vec_id"), "left_semi").count().toDouble / nGround
-      val rIvfPq = recallOf(Similarity.ivfPqTopK(emb, queries, k = 10,
-        dim = 64, nCells = -1, nprobe = -1, m = 8, kCodes = 16))
-      val rIvf = recallOf(Similarity.ivfTopK(emb, queries, k = 10,
+      def timedRecall(mk: => org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val r = recallOf(mk)
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (bruteR, bruteSec) = timedRecall(
+        Similarity.bruteForceTopK(emb, queries, k = 10))
+      val cells = 142   // autoCells(20k); recorded for the sweep's math
+      // library defaults (m=8, kCodes=256 one-byte PQ, 3 Lloyd rounds)
+      // + a 300-candidate exact re-rank; the probe sweep is the
+      // recall/cost curve — timings INCLUDE index training, which a
+      // deployment pays once, not per query
+      val sweep = Seq(-1, 36, 72, 108).map { np =>
+        val (r, sec) = timedRecall(Similarity.ivfPqTopK(emb, queries,
+          k = 10, dim = 64, nCells = -1, nprobe = np,
+          iters = 3, rerankTo = 300))
+        val label = if (np <= 0) "derived" else np.toString
+        s""""nprobe_$label":{"recall":${f"$r%.4f"},"sec":${f"$sec%.3f"}}"""
+      }
+      val (rIvf, _) = timedRecall(Similarity.ivfTopK(emb, queries, k = 10,
         dim = 64, nCells = -1, nprobe = -1))
-      val rLsh = recallOf(Similarity.lshTopK(emb, queries, k = 10,
-        dim = 64, nBits = 8, probeDepth = 1))
-      queries.unpersist(); ground.unpersist()
-      s""""ann_recall":{"queries":$nQ,"k":10,""" +
-        s""""ivfpq":${f"$rIvfPq%.4f"},"ivf":${f"$rIvf%.4f"},""" +
-        s""""lsh_multiprobe":${f"$rLsh%.4f"}}"""
+      val (rLsh, _) = timedRecall(Similarity.lshTopK(emb, queries, k = 10,
+        dim = 64, nBits = 8, probeDepth = 2))
+      queries.unpersist(); ground.unpersist(); emb.unpersist()
+      s""""ann_recall":{"queries":$nQ,"k":10,"cells":$cells,""" +
+        s""""brute_sec":${f"$bruteSec%.3f"},""" +
+        s""""ivfpq_trained_rerank":{${sweep.mkString(",")}},""" +
+        s""""ivf_derived":${f"$rIvf%.4f"},""" +
+        s""""lsh_depth2":${f"$rLsh%.4f"}}"""
     } catch {
       case e: Throwable =>
         s""""ann_recall":{"error":"${e.getClass.getSimpleName}"}"""

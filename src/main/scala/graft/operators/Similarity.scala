@@ -284,12 +284,25 @@ object Similarity {
    * nearest cells and scores against PQ reconstructions. At 100 TB the
    * residency story compounds: the scan touches nprobe/nCells of the
    * corpus, and what it touches is codes, not vectors. Both quantizers
-   * seed from the deterministic hash-min sample (no Lloyd rounds), so
-   * the whole index — cells, codes, probes, scores — replays exactly in
-   * the SQL oracle.
+   * seed from the deterministic hash-min sample; `iters` Lloyd rounds
+   * refine the COARSE quantizer (measured on the 10× bench corpus:
+   * recall@10 0.15 → matches trained IVF at the same probes — an
+   * untrained sample quantizer splits true neighborhoods across
+   * cells). `iters = 0` is the oracle shape (`ann_ivfpq` passes it so
+   * the whole index replays exactly in SQL). `rerankTo > 0` re-ranks
+   * the top-`rerankTo` ADC candidates per query by EXACT cosine
+   * (IVFADC+R, Jégou et al.: ADC bounds what the scan reads, the
+   * re-rank un-does PQ's ranking error on the short list).
    */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-      nCells: Int = -1, nprobe: Int = -1, m: Int = 8, kCodes: Int = 16,
+      nCells: Int = -1, nprobe: Int = -1, m: Int = 8,
+      /** codes per subspace; 256 = the standard one-byte PQ code
+        * (FAISS PQx8). 16 (4-bit) halves the code bytes but quantizes
+        * too coarsely for reliable ADC ranking on weakly-clustered
+        * data — measured on the 10× bench corpus: ADC top-100
+        * shortlist recall 0.40 at 16 codes vs 0.74+ at 256. */
+      kCodes: Int = 256,
+      iters: Int = 3, rerankTo: Int = 0,
       corpusId: String = "vec_id", corpusVec: String = "embedding",
       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(dim % m == 0, s"dim $dim must divide into $m subvectors")
@@ -300,9 +313,18 @@ object Similarity {
     val probeCount = if (nprobe > 0) nprobe else autoProbes(cellCount)
     val sample = hashMinSample(corpus, math.max(cellCount, kCodes),
       corpusId, corpusVec)
-    val cellCents = sample.take(cellCount)
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
-      sample.take(kCodes).toSeq.map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq))
+    var cellCents = sample.take(cellCount)
+    // `iters` Lloyd rounds train BOTH quantizers: the coarse cells
+    // (below, shared loop shape with [[ivfTopK]]) and the per-subspace
+    // codebooks ([[refineCodebooks]] — k-means in each dSub-dim
+    // subspace). An untrained codebook is 16 random corpus slices;
+    // measured on the 10× bench corpus its ADC ranking is weak enough
+    // that recall stays ~0.32 however many cells are probed — training
+    // the codebooks is what makes the ADC short list trustworthy.
+    val codebooks: Seq[Seq[Seq[Double]]] = refineCodebooks(corpus, corpusVec,
+      (0 until m).map(mi => sample.take(kCodes).toSeq
+        .map(v => v.slice(mi * dSub, mi * dSub + dSub).toSeq)),
+      dSub, iters)
 
     // coarse cell: the native argmax-cosine kernel over the flattened
     // centroid matrix (bit-equal to the former greatest()-of-structs
@@ -332,6 +354,27 @@ object Similarity {
             .cast(IntegerType).as("cell"))
         df.join(best, corpusId)
       }
+    // Lloyd refinement of the coarse quantizer (same loop as
+    // [[ivfTopK]]): assign, average per (cell, dim), keep empty cells
+    // in place. Runs before the single corpus pass below — cellAssigned
+    // closes over the refined centroids.
+    (0 until iters).foreach { _ =>
+      val updated = cellAssigned(
+          corpus.select(col(corpusId), col(corpusVec)), corpusVec)
+        .select(col("cell"), posexplode(col(corpusVec)).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          val vec = new Array[Double](dim)
+          rows.foreach(r => vec(r.getInt(1)) = r.getDouble(2))
+          (cell, vec)
+        }
+      cellCents = cellCents.zipWithIndex.map { case (v, c) =>
+        updated.getOrElse(c, v) }
+    }
+
     // the single corpus pass: (id, cell, codes) — vectors never persist
     val indexed = cellAssigned(corpus, corpusVec)
       .select(col(corpusId), col("cell"),
@@ -366,7 +409,21 @@ object Similarity {
     val scored = indexed.join(broadcast(probedLut), Seq("cell"))
       .select(col(queryId), col(corpusId),
         adcScore(col("__lut"), m).as("score"))
-    topKByScore(scored, k, queryId, corpusId)
+    if (rerankTo <= 0) topKByScore(scored, k, queryId, corpusId)
+    else {
+      // exact re-rank of the ADC short list: only `rerankTo` rows per
+      // query re-join their full vectors — the scan itself still read
+      // codes only
+      val shortList = topKByScore(scored, rerankTo, queryId, corpusId)
+        .select(col(queryId), col(corpusId))
+      val exact = shortList
+        .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+        .join(broadcast(queries.select(col(queryId), col(queryVec))),
+          Seq(queryId))
+        .select(col(queryId), col(corpusId),
+          cosine(col(corpusVec), col(queryVec)).as("score"))
+      topKByScore(exact, k, queryId, corpusId)
+    }
   }
 
   /** Deterministic coarse partitioner (the `iters = 0` quantizer shape

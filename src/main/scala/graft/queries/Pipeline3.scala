@@ -610,7 +610,12 @@ object Pipeline3 {
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       graft.operators.Similarity.ivfPqTopK(emb, queries, k = 10, dim = 64,
-          nCells = -1, nprobe = -1, m = 8, kCodes = 16)
+          nCells = -1, nprobe = -1, m = 8, kCodes = 16,
+          // the oracle shape: untrained sample quantizer, pure ADC
+          // ranking — every stage replays exactly in the SQL oracle
+          // (recall-tuned deployments use the trained + re-ranked
+          // defaults; see BENCH ann_recall)
+          iters = 0, rerankTo = 0)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))
