@@ -688,7 +688,11 @@ object Bench {
     import graft.table.{DataFile, Snapshot, TxLog}
     val conf = spark.sessionState.newHadoopConf()
     val head = commits - 1L
-    if (TxLog.currentVersion(logDir, conf).contains(head)) return false
+    // reuse when the log reaches AT LEAST the wanted head — dev probes
+    // (BuildMetaLogExtend) may have appended commits above it; every
+    // shakeout read below pins explicit versions ≤ head, so an
+    // extended log serves identically
+    if (TxLog.currentVersion(logDir, conf).exists(_ >= head)) return false
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType)))

@@ -33,12 +33,14 @@ class LagFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     LagFs.hit("open"); super.open(f, bufferSize)
   }
-  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
-      bufferSize: Int, replication: Short, blockSize: Long,
+  // RawLocalFileSystem funnels its create paths through THIS overload
+  // (the FsPermission variant delegates here then chmods) — counting
+  // only it avoids double-counting a single logical PUT
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     LagFs.hit("create")
-    super.create(f, permission, overwrite, bufferSize, replication,
-      blockSize, progress)
+    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
   }
   override def listStatus(f: Path): Array[FileStatus] = {
     LagFs.hit("list"); super.listStatus(f)

@@ -3757,9 +3757,14 @@ object TxTable {
     * InSet filter (collected inside the SAME job as the touched-
     * partition counts) — one fewer Spark job per streaming micro-batch
     * than the broadcast anti-join, at ~bytes-of-keys driver cost.
-    * Between this and [[MergeBroadcastMaxKeys]] the broadcast join
-    * takes over; past that, the shuffled join. */
-  private[table] val MergeInlineMaxKeys = 100000
+    * Sized for MICRO-batches (the fixed-cost-dominated shape the
+    * fusion wins on, measured +10% batch rate at 10k keys); large
+    * batch ingests lose more to per-row InSet probes and key
+    * collection than they save in job count (measured +27% on a
+    * 60k-key batch merge), so between this and
+    * [[MergeBroadcastMaxKeys]] the broadcast join takes over; past
+    * that, the shuffled join. */
+  private[table] val MergeInlineMaxKeys = 20000
 
   /** Rows of `existing` whose `key` does NOT appear in `keys` — the
     * merge's survivor set. Broadcast vs shuffled is gated on the known
