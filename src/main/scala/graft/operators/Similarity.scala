@@ -426,6 +426,55 @@ object Similarity {
     }
   }
 
+  /**
+   * Measurement-driven probe selection: the smallest `nprobe` whose
+   * measured recall@k on a held-out query sample meets `recallTarget`.
+   * The √nCells default probe count is a SPEED heuristic — how much
+   * recall it buys depends entirely on how clustered the corpus is
+   * (measured on the 10× bench corpus, whose sign-flip replicas
+   * decorrelate structure by construction: 0.48 at √nCells vs 0.91 at
+   * ¾·nCells). Deployments with a recall SLO calibrate instead of
+   * guessing: `sampleQueries` corpus rows (deterministic hash-min
+   * pick) get exact brute-force ground truth, then probe counts double
+   * from the heuristic until the target holds — O(log nCells) index
+   * evaluations on the sample, each a full train+search (pay it once
+   * per corpus, not per query). Returns nCells when even full probing
+   * misses the target (PQ error bound — raise `rerankTo` or `kCodes`).
+   */
+  def calibrateProbes(corpus: DataFrame, dim: Int, k: Int = 10,
+      recallTarget: Double = 0.9, sampleQueries: Int = 32,
+      nCells: Int = -1, m: Int = 8, kCodes: Int = 256,
+      iters: Int = 3, rerankTo: Int = 300,
+      corpusId: String = "vec_id", corpusVec: String = "embedding"): Int = {
+    val cellCount = if (nCells > 0) nCells else autoCells(corpus.count())
+    val seedHash = conv(substring(md5(col(corpusId).cast(
+      org.apache.spark.sql.types.StringType)), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+    val queries = corpus.select(col(corpusId), col(corpusVec))
+      .withColumn("__h", seedHash)
+      // reverse hash order: disjoint from the hash-MIN centroid seeds,
+      // so the sample never measures recall on the quantizer's own
+      // training anchors
+      .orderBy(col("__h").desc, col(corpusId).desc).limit(sampleQueries)
+      .select(col(corpusId).as("query_id"), col(corpusVec).as("query_vec"))
+      .cache()
+    val ground = bruteForceTopK(corpus, queries, k, corpusId, corpusVec)
+      .select(col("query_id"), col(corpusId)).cache()
+    val nGround = ground.count().toDouble
+    def recallAt(np: Int): Double = ground
+      .join(ivfPqTopK(corpus, queries, k, dim, cellCount, np, m, kCodes,
+          iters, rerankTo, corpusId, corpusVec)
+        .select(col("query_id"), col(corpusId)),
+        Seq("query_id", corpusId), "left_semi")
+      .count() / nGround
+    try {
+      var np = autoProbes(cellCount)
+      while (np < cellCount && recallAt(np) < recallTarget)
+        np = math.min(cellCount, np * 2)
+      np
+    } finally { queries.unpersist(); ground.unpersist() }
+  }
+
   /** Deterministic coarse partitioner (the `iters = 0` quantizer shape
     * [[ivfTopK]] also uses): centroids are the md5-hash-ordered first
     * `nCells` corpus vectors — engine-portable, so a SQL oracle derives

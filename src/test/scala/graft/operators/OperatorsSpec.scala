@@ -176,6 +176,31 @@ class OperatorsSpec extends SparkSpec {
     assert(ivfFull > ivf && lshDeep > lsh)
   }
 
+  test("calibrateProbes finds a probe count meeting the recall target") {
+    // measurement-driven probe selection: a recall SLO instead of the
+    // √nCells speed heuristic — the calibrated count must actually
+    // DELIVER the target on a fresh (disjoint) query set
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val np = Similarity.calibrateProbes(emb, dim = 64, k = 10,
+      recallTarget = 0.9, sampleQueries = 16, nCells = 16)
+    assert(np >= 2 && np <= 16, s"calibrated nprobe $np out of range")
+    val queries = emb.filter(col("vec_id") % 7 === 3).limit(8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // evaluate at the SAME index configuration calibration measured
+    // (trained, re-ranked) — the returned count is only meaningful for it
+    val approx = Similarity.ivfPqTopK(emb, queries, k = 10, dim = 64,
+        nCells = 16, nprobe = np, rerankTo = 300)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"calibrated nprobe=$np recall@10=$recall")
+    // held-out queries differ from the calibration sample — allow the
+    // sampling gap, but the calibrated point must sit FAR above the
+    // derived point's measured ~0.33 on this data
+    assert(recall >= 0.8, s"calibrated recall@10 = $recall at nprobe=$np")
+  }
+
   test("bm25: full matches outrank partial, rare terms outweigh common") {
     val corpus = Seq(
       (0L, "spark window agg spark window agg"),   // all 3 terms, twice

@@ -1458,6 +1458,51 @@ class TxTableSpec extends SparkSpec {
     assert(t.toDF.count() === 10)
   }
 
+  test("vacuum reaps orphaned manifest-list files, keeps referenced ones") {
+    // drive the ref list past the inline bound so headers carry
+    // manifest-LIST files (see TxLog's two-level layout): tier-sized
+    // appends stack 9 same-size manifests without merging — every
+    // ref-changing commit above 8 refs writes a new list and orphans
+    // its parent's
+    val root = new Path(freshDir("tx_vac_mlist"))
+    val t = TxTable.create(spark, root, "t", Schemas.transactions, Nil)
+    // no partition columns → file count per append = shuffle
+    // partitions of the written frame. Three manifests in each of
+    // tiers 1/2/3 stack to 9 refs (list file #1) without a merge;
+    // two tier-4 appends then change the refs twice more (lists #2,
+    // #3), orphaning their parents.
+    // row counts are ≥3× the partition counts so written-file counts
+    // land mid-tier even when a few partitions come up empty
+    // (tiers: 9-35 / 36-143 / 144-575 / 576+ files)
+    val shapes = Seq.fill(3)((40, 9)) ++ Seq.fill(3)((120, 40)) ++
+      Seq.fill(3)((600, 200)) ++ Seq.fill(2)((2100, 700))
+    shapes.zipWithIndex.foreach { case ((rows, files), i) =>
+      t.append(SampleData.transactions(spark, rows, seed = 300L + i)
+        .repartition(files))
+    }
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listFiles(): Set[String] =
+      fs.listStatus(new Path(root, "_log")).map(_.getPath.getName)
+        .filter(_.endsWith(".manifestlist.json")).toSet
+    val logDir = new Path(root, "_log")
+    val headRaw = TxLog.readRaw(logDir, t.currentVersion,
+      spark.sparkContext.hadoopConfiguration)
+    assert(headRaw.manifestList.isDefined,
+      s"head should be past the inline-refs bound, has ${headRaw.manifests.size} refs")
+    val before = listFiles()
+    assert(before.size > 1)          // superseded lists accumulated
+    val removed = t.vacuum(retainVersions = 1, graceMillis = 0)
+    assert(removed > 0)
+    val after = listFiles()
+    // the head's list survives; every unreferenced one is gone
+    assert(after.contains(headRaw.manifestList.get))
+    assert(after.subsetOf(before))
+    assert(after.size < before.size)
+    // and reads still resolve through the surviving list
+    TxLog.purgeRawCache(logDir)
+    assert(t.toDF.count() === shapes.map(_._1.toLong).sum)
+  }
+
   test("provenance stays exact across checkpointed commits") {
     val t = TxTable.create(spark, new Path(freshDir("tx_prov_ckpt")), "t",
       Schemas.transactions, Nil)
