@@ -102,4 +102,70 @@ class ObjectStoreSpec extends SparkSpec {
     assert(spark.sql("SELECT sum(id) AS s FROM s3m.ns.t")
       .collect()(0).getLong(0) === 4)
   }
+
+  test("steady-state commit round-trip budget over LagFs") {
+    // the commit_lag bench's claim, pinned as a spec: a single-writer
+    // metadata commit (head probe -> cached header read -> layout ->
+    // CAS -> hint) costs a BOUNDED number of filesystem round-trips,
+    // independent of table size — the term that bounds a real
+    // object-store deployment. Budget per steady commit: 2 status
+    // (head probe + header validate), 1 open (re-read of the fresh
+    // header), 2 create (CAS + hint) + amortized spill/merge/list
+    // writes. mkdirs is paid once, on the first commit only.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.lagfs.impl", classOf[LagFs].getName)
+    val base = new java.io.File(freshDir("lagfs_budget"), "_log")
+    val logDir = new Path("lagfs:" + base.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def step(): Unit = {
+      val cur = TxLog.currentVersion(logDir, conf)
+      val snap = cur.map(TxLog.read(logDir, _, conf))
+      val v = cur.map(_ + 1).getOrElse(0L)
+      TxLog.commit(logDir, cur, Snapshot(version = v,
+        timestampMs = 1700000000000L + v, operation =
+          if (v == 0L) "CREATE" else "APPEND",
+        schemaJson = schema.json, partitionColumns = Seq("date"),
+        files = snap.map(_.files).getOrElse(Vector.empty) :+
+          DataFile(f"f$v%06d.parquet", Map("date" -> "2026-01-01"),
+            1L, 10L)), conf)
+    }
+    (0 until 40).foreach(_ => step())   // past spills and a tier merge
+    LagFs.reset()
+    val n = 30
+    (0 until n).foreach(_ => step())
+    val byCat = LagFs.snapshot
+    val per = LagFs.total.toDouble / n
+    info(s"round-trips/commit: $per (${byCat.mkString(", ")})")
+    assert(byCat.getOrElse("mkdirs", 0L) === 0L,
+      "steady-state commits must not re-probe the log directory")
+    assert(byCat("status").toDouble / n <= 2.05)
+    assert(byCat("open").toDouble / n <= 1.5)     // header + rare manifest
+    assert(per <= 6.0, s"round-trips per commit grew to $per")
+  }
+
+  test("commit self-heals a log directory deleted behind the caches") {
+    // freshDir-style external deletion (not through the catalog, which
+    // purges TxLog's caches) leaves a stale head-cache entry; the next
+    // CREATE's publish must recreate the directory and succeed
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new java.io.File(freshDir("heal_extdel"), "_log")
+    val logDir = new Path(base.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def create(v: Long): Unit =
+      TxLog.commit(logDir, if (v == 0) None else Some(v - 1),
+        Snapshot(version = v, timestampMs = 1700000000000L + v,
+          operation = if (v == 0) "CREATE" else "APPEND",
+          schemaJson = schema.json, partitionColumns = Nil,
+          files = Vector.tabulate((v + 1).toInt)(i =>
+            DataFile(f"f$i%04d.parquet", Map.empty, 1L, 10L))), conf)
+    create(0); create(1)
+    // delete the dir OUTSIDE TxLog — head cache still says head=1
+    org.apache.commons.io.FileUtils.deleteQuietly(base.getParentFile)
+    create(0)                               // must heal, not throw
+    assert(TxLog.read(logDir, 0L, conf).files.size === 1)
+  }
 }
