@@ -926,14 +926,19 @@ object TxLog {
   /** Decide where the ref list itself lives: inline in the header when
     * small, else in a manifest-list file — reusing the PARENT's list
     * file when the refs are unchanged (the common pure-inline-append
-    * commit then writes zero ref-list bytes). Returns
-    * (inline refs, list-file name). */
+    * commit then writes zero ref-list bytes). An UNCHANGED over-bound
+    * ref list whose parent stored it inline (a pre-upgrade header, or
+    * the tier shape right at the boundary) stays inline too — writing
+    * a fresh list file per no-change commit would be a pure waste.
+    * Returns (inline refs, list-file name). */
   private def placeRefs(logDir: Path, version: Long,
       refs: Seq[ManifestRef], prevRefs: Seq[ManifestRef],
       prevList: Option[String], conf: Configuration)
       : (Seq[ManifestRef], Option[String]) =
     if (refs.size <= InlineMaxRefs) (refs, None)
-    else if (prevList.isDefined && refs == prevRefs) (Nil, prevList)
+    else if (refs == prevRefs) {
+      if (prevList.isDefined) (Nil, prevList) else (refs, None)
+    }
     else (Nil, Some(writeManifestList(logDir, version, refs, conf)))
 
   private def manifestListName(version: Long): String =

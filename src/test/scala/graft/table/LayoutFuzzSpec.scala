@@ -282,6 +282,60 @@ class LayoutFuzzSpec extends SparkSpec {
       s"upgrade commit kept ${raw1.manifests.size} refs")
   }
 
+  test("pre-upgrade over-bound inline refs stay inline on no-change commits") {
+    // a pre-upgrade header carrying 10 INLINE refs spread across tiers
+    // (no merge fires): a pure-inline append keeps the refs unchanged —
+    // the layout must NOT start writing a fresh manifest-list file per
+    // commit just because the count is past the new inline bound
+    val base = new java.io.File(freshDir("layout_grandfather"), "_log")
+    base.mkdirs()
+    val dir = new Path(base.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    def write(name: String, text: String): Unit =
+      java.nio.file.Files.write(new java.io.File(base, name).toPath,
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def manifestJson(paths: Seq[String]): String =
+      s"""{"files":[${paths.map(p =>
+        s"""{"path":"$p","partitionValues":{"date":"2026-02-01"},""" +
+          s""""rowCount":10,"sizeBytes":100}""").mkString(",")}]}"""
+    // tier spread 3/3/3/1 (sizes 9, 40, 150, 600) — below every merge
+    // threshold, 10 refs total
+    val sizes = Seq(9, 9, 9, 40, 40, 40, 150, 150, 150, 600)
+    var next = 0
+    val refs = sizes.zipWithIndex.map { case (n, i) =>
+      val nm = f"m-00000000-0000-0000-0000-0000000000$i%02d.manifest.json"
+      val paths = (0 until n).map { _ => next += 1; f"g$next%06d.parquet" }
+      write(nm, manifestJson(paths))
+      (nm, n)
+    }
+    write("v00000000.metadata.json",
+      s"""{"version":0,"timestampMs":1700000000000,"operation":"CREATE",""" +
+        s""""schemaJson":${org.json4s.jackson.JsonMethods.compact(
+          org.json4s.JString(schema.json))},""" +
+        s""""partitionColumns":["date"],"files":[],""" +
+        s""""manifests":[${refs.map { case (nm, n) =>
+          s"""{"path":"$nm","fileCount":$n}""" }.mkString(",")}]}""")
+    val head0 = TxLog.read(dir, 0L, conf)
+    assert(head0.files.size === sizes.sum)
+    // two pure-inline appends: refs unchanged, so the headers must keep
+    // them INLINE (no manifest-list file appears in the log dir)
+    (1L to 2L).foreach { v =>
+      TxLog.commit(dir, Some(v - 1), Snapshot(version = v,
+        timestampMs = 1700000000000L + v, operation = "APPEND",
+        schemaJson = schema.json, partitionColumns = Seq("date"),
+        files = TxLog.read(dir, v - 1, conf).files :+
+          DataFile(f"new-$v%02d.parquet", Map("date" -> "2026-02-02"),
+            10L, 100L)), conf)
+      val raw = TxLog.readRaw(dir, v, conf)
+      assert(raw.manifestList.isEmpty, s"v$v spilled refs to a list file")
+      assert(raw.manifests.map(_.path) === refs.map(_._1))
+    }
+    assert(!base.listFiles().exists(_.getName.endsWith(".manifestlist.json")))
+    assert(TxLog.read(dir, 2L, conf).files.size === sizes.sum + 2)
+  }
+
   test("concurrent appends stay coherent through the layout cache") {
     // 4 threads race CAS appends on ONE log; a loser re-reads the head
     // and retries. The head-state cache updates only after a CAS win,
