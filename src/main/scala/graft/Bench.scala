@@ -890,10 +890,16 @@ object Bench {
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType)))
     // one writer-loop iteration, exactly the streaming micro-batch
-    // metadata path: discover head, read its (cached) header, commit
+    // metadata path (r12 task 4): the writer serves its own last
+    // committed head from memory (zero round-trips — the CAS plus the
+    // pre-CAS parent check arbitrate staleness), lays out the delta,
+    // and commits. NOTE r13: LagFs now also counts exists() probes
+    // (RawLocalFileSystem bypasses getFileStatus there), which earlier
+    // rounds' ledgers MISSED — the r12 "5.14" was really ~6.1 on a
+    // store that charges for HEAD requests.
     def writerStep(): Unit = {
-      val cur = TxLog.currentVersion(logDir, conf)
-      val snap = cur.map(TxLog.read(logDir, _, conf))
+      val snap = TxLog.readCurrentTrusted(logDir, conf)
+      val cur = snap.map(_.version)
       val v = cur.map(_ + 1).getOrElse(0L)
       val added = DataFile(f"f$v%06d.parquet",
         Map("date" -> "2026-01-01"), 1000L, 1000000L)
@@ -901,7 +907,8 @@ object Bench {
         timestampMs = 1700000000000L + v * 1000L,
         operation = if (v == 0L) "CREATE" else "APPEND",
         schemaJson = schema.json, partitionColumns = Seq("date"),
-        files = snap.map(_.files).getOrElse(Vector.empty) :+ added), conf)
+        files = snap.map(_.files).getOrElse(Vector.empty) :+ added), conf,
+        appendOf = snap.map(s => (s, Seq(added))))
     }
     LagFs.lagMs = 0
     (0 until 120).foreach(_ => writerStep())   // past spills and merges

@@ -6,8 +6,8 @@ import org.apache.hadoop.util.Progressable
 
 /**
  * Deployment-shaped diagnostic FileSystem: every metadata round-trip
- * (status probe, open, create, list, delete, rename, mkdirs) counts
- * into a per-category ledger and optionally sleeps a configured
+ * (status/exists probe, open, create, list, delete, rename, mkdirs)
+ * counts into a per-category ledger and optionally sleeps a configured
  * latency before the local operation — approximating an object
  * store's per-request cost so the commit protocol's round-trip budget
  * is MEASURABLE offline (round-11 VERDICT task 4). The reference's
@@ -19,6 +19,15 @@ import org.apache.hadoop.util.Progressable
  * round-trips × latency, i.e. the protocol serializes no avoidable
  * filesystem operations.
  *
+ * Ledger fidelity (r13): ONE logical FileSystem call = ONE request.
+ * RawLocalFileSystem implements some calls in terms of others (e.g.
+ * create(overwrite=false) probes exists() internally; a real store's
+ * conditional PUT is a single request) — nested calls inside a counted
+ * operation are therefore suppressed. Conversely exists() itself is
+ * now counted: RawLocalFileSystem answers it straight from
+ * File.exists, bypassing getFileStatus, so earlier rounds' ledgers
+ * MISSED every forward probe (a HEAD request on a real store).
+ *
  * Register with `fs.lagfs.impl = graft.table.LagFs` and use
  * `lagfs:/abs/path` paths; set [[LagFs.lagMs]] for the injected
  * latency (0 = count only).
@@ -28,10 +37,13 @@ class LagFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getUri: java.net.URI = java.net.URI.create("lagfs:///")
 
   override def getFileStatus(f: Path): FileStatus = {
-    LagFs.hit("status"); super.getFileStatus(f)
+    LagFs.hit("status"); LagFs.nested(super.getFileStatus(f))
+  }
+  override def exists(f: Path): Boolean = {
+    LagFs.hit("status"); LagFs.nested(super.exists(f))
   }
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    LagFs.hit("open"); super.open(f, bufferSize)
+    LagFs.hit("open"); LagFs.nested(super.open(f, bufferSize))
   }
   // RawLocalFileSystem funnels its create paths through THIS overload
   // (the FsPermission variant delegates here then chmods) — counting
@@ -40,19 +52,20 @@ class LagFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     LagFs.hit("create")
-    super.create(f, overwrite, bufferSize, replication, blockSize, progress)
+    LagFs.nested(
+      super.create(f, overwrite, bufferSize, replication, blockSize, progress))
   }
   override def listStatus(f: Path): Array[FileStatus] = {
-    LagFs.hit("list"); super.listStatus(f)
+    LagFs.hit("list"); LagFs.nested(super.listStatus(f))
   }
   override def delete(f: Path, recursive: Boolean): Boolean = {
-    LagFs.hit("delete"); super.delete(f, recursive)
+    LagFs.hit("delete"); LagFs.nested(super.delete(f, recursive))
   }
   override def rename(src: Path, dst: Path): Boolean = {
-    LagFs.hit("rename"); super.rename(src, dst)
+    LagFs.hit("rename"); LagFs.nested(super.rename(src, dst))
   }
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
-    LagFs.hit("mkdirs"); super.mkdirs(f, permission)
+    LagFs.hit("mkdirs"); LagFs.nested(super.mkdirs(f, permission))
   }
 }
 
@@ -64,7 +77,21 @@ object LagFs {
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.atomic.AtomicLong]()
 
+  /** True while inside a counted operation on this thread — nested
+    * FileSystem calls RawLocalFileSystem makes internally are
+    * implementation detail, not extra store requests. */
+  private val inOp = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private[table] def nested[T](body: => T): T = {
+    val prev = inOp.get
+    inOp.set(java.lang.Boolean.TRUE)
+    try body finally inOp.set(prev)
+  }
+
   private[table] def hit(cat: String): Unit = {
+    if (inOp.get.booleanValue()) return
     counts.computeIfAbsent(cat,
       _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
     val lag = lagMs

@@ -198,6 +198,17 @@ final case class Snapshot(
       * identity, the pre-transform log shape). When non-empty,
       * `partitionColumns == partitionSpec.map(_.name)`. */
     partitionSpec: Seq[PartField] = Nil,
+    /** minimum READER format version this header requires (the
+      * Iceberg format-version / Delta minReaderVersion gate): 1 = the
+      * original inline layout every reader understands; 2 = the refs
+      * live in a manifest-list file ([[manifestList]]) — a pre-upgrade
+      * reader that ignored the unknown field would silently see only
+      * the inline remainder as the whole table, so headers that spill
+      * their ref list declare 2 and readers REJECT any version above
+      * [[TxLog.SupportedReaderVersion]] (hard error beats silent
+      * partial reads on rolling upgrades — ADVICE r12). Absent on
+      * pre-upgrade headers → default 1. */
+    minReader: Int = 1,
     /** multi-table transaction membership: `Some(markerPath)` means
       * this commit's VISIBILITY is decided by the marker file at that
       * absolute path, not by the commit itself — marker COMMITTED →
@@ -214,6 +225,13 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
 object TxLog {
   implicit private val fmts: Formats = DefaultFormats
 
+  /** Highest header format this build can read: 1 = inline layout,
+    * 2 = two-level manifest-list layout. Writers stamp the SMALLEST
+    * version a header actually needs (a pure-inline header stays 1, so
+    * small tables remain readable by any build); readers reject
+    * anything above this. */
+  val SupportedReaderVersion = 2
+
   private def snapshotName(v: Long): String = f"v$v%08d.metadata.json"
   private val SnapshotRe = raw"v(\d{8})\.metadata\.json".r
 
@@ -224,28 +242,50 @@ object TxLog {
   /** Highest committed version, or None for an empty/nonexistent log.
     *
     * Discovery is memory-first, hint-second: a head this process
-    * committed or previously discovered seeds a forward probe (ONE
-    * exists call in the steady single-writer state — the object-store
-    * round-trip budget of a per-micro-batch `snapshot` read drops from
-    * 3-4 to 1; the cache is invalidated on drop/recreate through
-    * [[purgeRawCache]]/[[purgeRawCacheUnder]] like every other log
-    * cache). Cold processes fall back to the hint file (the Iceberg
-    * `version-hint.text` / Delta `_last_checkpoint` shape): every
-    * commit best-effort overwrites `_head.hint` with its version, and
-    * a reader verifies the hinted snapshot exists then PROBES FORWARD
-    * to the true head — O(1 + hint lag) instead of an O(commits)
-    * directory listing. The hint is never trusted blindly: a
-    * torn/partial hint read parses to a smaller-or-invalid value, and
-    * any underestimate is corrected by the forward probe; a missing or
-    * unverifiable hint falls back to the full listing. */
+    * committed or previously discovered seeds a forward probe (the
+    * steady single-writer state costs TWO status calls — one probe for
+    * the successor, and when none exists one VERIFICATION that the
+    * cached head's snapshot file is still there: an EXTERNAL
+    * drop+recreate of the table (another process's purge is JVM-local)
+    * would otherwise leave this process serving — and worse, COMMITTING
+    * past — a stale head (ADVICE r12); a verification miss purges the
+    * log's caches and falls back to hint/listing. The verification's
+    * FileStatus is handed to the immediately following header read so
+    * its cache validation costs no extra round-trip). Cold processes
+    * fall back to the hint file (the Iceberg `version-hint.text` /
+    * Delta `_last_checkpoint` shape): commits best-effort overwrite
+    * `_head.hint` every [[HintEvery]] versions (per-commit hint writes
+    * were a full round-trip each for a purely cold-start optimization),
+    * and a reader verifies the hinted snapshot exists then PROBES
+    * FORWARD to the true head — O(1 + hint lag ≤ HintEvery) instead of
+    * an O(commits) directory listing. The hint is never trusted
+    * blindly: a torn/partial hint read parses to a smaller-or-invalid
+    * value, and any underestimate is corrected by the forward probe; a
+    * missing or unverifiable hint falls back to the full listing. */
   def currentVersion(logDir: Path, conf: Configuration): Option[Long] = {
     val f = fs(logDir, conf)
     val cached = headCache.get(logDir.toString)
     if (cached != null) {
       var v = cached.longValue()
       while (f.exists(new Path(logDir, snapshotName(v + 1)))) v += 1
-      if (v != cached.longValue()) headCacheAdvance(logDir, v)
-      return Some(v)
+      if (v != cached.longValue()) {
+        // the successful successor probes verified the new head exists
+        headCacheAdvance(logDir, v)
+        return Some(v)
+      }
+      // no successor: verify the cached head itself still exists —
+      // and hand its status to the header read that near-always
+      // follows, so the read's (mtime, length) validation is free
+      try {
+        val st = f.getFileStatus(new Path(logDir, snapshotName(v)))
+        headStatusHandoff.put(logDir.toString, (v, st))
+        return Some(v)
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // stale cache (external drop/recreate) — drop every cache
+          // for this log and rediscover below
+          purgeRawCache(logDir)
+      }
     }
     val head = readHint(f, logDir) match {
       case Some(h) if f.exists(new Path(logDir, snapshotName(h))) =>
@@ -256,6 +296,42 @@ object TxLog {
     }
     head.foreach(headCacheAdvance(logDir, _))
     head
+  }
+
+  /** One-shot (version, FileStatus) handoff from [[currentVersion]]'s
+    * head verification to [[readStored]]'s cache validation: the two
+    * calls are microseconds apart on the read path, so the same status
+    * can serve both — without this every governed statement paid the
+    * verification AND a second status for the header it then read. */
+  private val headStatusHandoff =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, org.apache.hadoop.fs.FileStatus)]()
+
+  /** The head snapshot this process itself committed last, per log dir:
+    * the commit CAS that published it is the proof it existed, its
+    * content is known byte-exact, and headers are immutable — so the
+    * writer's own next read of it costs ZERO round-trips (the
+    * "stateless re-read" the round-12 commit-budget audit flagged).
+    * Staleness is arbitrated where it is always caught: the next
+    * commit's parent pre-check + version-slot CAS (a stale trusted head
+    * loses the CAS or fails the parent check, both of which drop the
+    * entry and rediscover). Dropped by the purge paths like every
+    * other log cache. `served` is the exact resolved Snapshot instance
+    * [[read]] returns for it — reference identity doubles as the
+    * integrity token for the O(delta) append path (see
+    * [[layoutAppendDelta]]). */
+  private final case class TrustedHead(version: Long, stored: Snapshot,
+      served: Snapshot)
+  private val headTrusted =
+    new java.util.concurrent.ConcurrentHashMap[String, TrustedHead]()
+
+  /** Writer-path head discovery: the process's own last-committed
+    * version when available (zero round-trips — the CAS arbitrates
+    * staleness), else the probing discovery. Internal write paths use
+    * this; plain reads keep [[currentVersion]]'s freshness probe. */
+  def currentVersionTrusted(logDir: Path, conf: Configuration): Option[Long] = {
+    val th = headTrusted.get(logDir.toString)
+    if (th != null) Some(th.version) else currentVersion(logDir, conf)
   }
 
   /** Monotonic head-cache update: concurrent probes/commits may land
@@ -575,15 +651,25 @@ object TxLog {
   private[table] def readStored(logDir: Path, version: Long,
       conf: Configuration): Snapshot = {
     val key = (logDir.toString, version)
+    // the writer's own last commit: content known byte-exact, file
+    // existence proven by the CAS — zero round-trips (see TrustedHead)
+    val trusted = headTrusted.get(logDir.toString)
+    if (trusted != null && trusted.version == version) return trusted.stored
     val p = new Path(logDir, snapshotName(version))
     val f = fs(logDir, conf)
     val cached = rawCache.get(key)
     if (cached != null) {
-      try {
-        val st = f.getFileStatus(p)
-        if (st.getModificationTime == cached._1 && st.getLen == cached._2)
-          return cached._3
-      } catch { case _: java.io.FileNotFoundException => () }
+      // a status captured microseconds ago by currentVersion's head
+      // verification validates the cache without a second round-trip
+      val handoff = headStatusHandoff.remove(logDir.toString)
+      val st0 =
+        if (handoff != null && handoff._1 == version) handoff._2
+        else
+          try f.getFileStatus(p)
+          catch { case _: java.io.FileNotFoundException => null }
+      if (st0 != null && st0.getModificationTime == cached._1 &&
+          st0.getLen == cached._2)
+        return cached._3
       rawCache.remove(key)   // recreated or expired — fall through
     }
     rawHeaderReads.incrementAndGet()
@@ -600,6 +686,15 @@ object TxLog {
         val stored = JsonMethods
           .parse(new String(bytes, StandardCharsets.UTF_8))
           .extract[Snapshot]
+        // format gate: a header written by a future format must FAIL
+        // loudly, never parse to a silent partial view (the exact
+        // failure mode the manifest-list spill would have had on a
+        // pre-upgrade reader)
+        if (stored.minReader > SupportedReaderVersion)
+          throw new java.io.IOException(
+            s"snapshot $p requires reader format version " +
+              s"${stored.minReader}; this build supports <= " +
+              s"$SupportedReaderVersion — upgrade before reading")
         // two-level layout: refs live in the manifest-list file — pull
         // them into `manifests` here (one CACHED read; lists are
         // immutable) so every consumer of a parsed header sees the full
@@ -630,10 +725,21 @@ object TxLog {
     * (manifest order, then inline remainder). Everything above TxLog
     * consumes this full view. */
   def read(logDir: Path, version: Long, conf: Configuration): Snapshot = {
+    // serve the writer's own head as ONE stable instance: zero I/O, and
+    // the instance identity is the O(delta) append path's proof that a
+    // caller-supplied base is the unmutated snapshot it served
+    val trusted = headTrusted.get(logDir.toString)
+    if (trusted != null && trusted.version == version) return trusted.served
     val raw = readRaw(logDir, version, conf)
     if (raw.manifests.isEmpty) raw
     else raw.copy(files =
       raw.manifests.flatMap(loadManifest(logDir, _, conf)) ++ raw.files)
+  }
+
+  def readCurrentTrusted(logDir: Path, conf: Configuration): Option[Snapshot] = {
+    val th = headTrusted.get(logDir.toString)
+    if (th != null) Some(th.served)
+    else currentVersion(logDir, conf).map(read(logDir, _, conf))
   }
 
   // ------------------------------------------------------ commit index
@@ -986,14 +1092,32 @@ object TxLog {
   def readCurrent(logDir: Path, conf: Configuration): Option[Snapshot] =
     currentVersion(logDir, conf).map(read(logDir, _, conf))
 
+  /** Hint-write cadence: `_head.hint` refreshes every this-many
+    * versions (plus v0). The hint only accelerates COLD-process head
+    * discovery — a per-commit overwrite was one full round-trip per
+    * commit for a bounded cold-start saving; at this cadence a cold
+    * reader pays ≤ HintEvery forward probes instead. */
+  private[table] val HintEvery = 8L
+
   /**
    * Atomic CAS commit: writes `snapshot` as version `expected + 1`.
    * Fails with [[CommitConflictException]] if that version already exists
    * (another writer won the race) — the optimistic-concurrency semantics
    * of `update_table_metadata_location(versionToken, ...)`.
+   *
+   * `appendOf = Some((base, added))` is the trusted-writer O(delta)
+   * path: the caller asserts `snapshot.files == base.files ++ added`
+   * where `base` is the EXACT Snapshot instance a read of version
+   * `expected` returned. When `base` is reference-identical to the
+   * served head (this process's own last commit), layout skips the
+   * per-carried-entry verification walk entirely — commit CPU is
+   * O(added + log files), not O(table files). Any deviation (different
+   * instance, size mismatch, duplicate path, cold cache) falls back to
+   * the full verifying path, whose output is byte-identical.
    */
   def commit(logDir: Path, expected: Option[Long], snapshot: Snapshot,
-      conf: Configuration): Long = {
+      conf: Configuration,
+      appendOf: Option[(Snapshot, Seq[DataFile])] = None): Long = {
     val f = fs(logDir, conf)
     // one round-trip saved per steady-state commit: the dir exists once
     // anything committed to this log from this process (object stores
@@ -1002,8 +1126,23 @@ object TxLog {
     val next = expected.map(_ + 1).getOrElse(0L)
     require(snapshot.version == next,
       s"snapshot.version ${snapshot.version} != expected next $next")
+    // parent pre-check: the version-slot CAS alone cannot catch an
+    // EXTERNAL drop+recreate of the table (the recreated log's head is
+    // far below the stale cached one, so the slot is free and a blind
+    // put would publish a gap-corrupted log — ADVICE r12). One status
+    // call immediately before the CAS narrows that window to
+    // microseconds; a miss purges this log's caches and surfaces as a
+    // retryable conflict so the writer rediscovers the true head.
+    expected.foreach { e =>
+      if (!f.exists(new Path(logDir, snapshotName(e)))) {
+        purgeRawCache(logDir)
+        throw new CommitConflictException(
+          s"parent version $e of $logDir is missing — table dropped or " +
+            "recreated concurrently; re-read the head and retry")
+      }
+    }
     val target = new Path(logDir, snapshotName(next))
-    val (laid, layoutState) = layout(logDir, expected, snapshot, conf)
+    val (laid, layoutState) = layout(logDir, expected, snapshot, conf, appendOf)
     val json = Serialization.write(laid)
     val scheme = Option(target.toUri.getScheme).getOrElse(
       Option(f.getUri).map(_.getScheme).getOrElse("file"))
@@ -1013,8 +1152,12 @@ object TxLog {
     // through the catalog, which purges the caches) leaves a stale
     // head-cache entry — the one write that can then fail is this
     // publish, so recreate the dir and retry once. CAS conflicts are
-    // not IOExceptions and never take this path.
+    // not IOExceptions and never take this path; they DO drop the
+    // trusted head (it just proved stale) so the retry rediscovers.
     try put() catch {
+      case e: CommitConflictException =>
+        headTrusted.remove(logDir.toString)
+        throw e
       case e: java.io.IOException if !f.exists(logDir) =>
         f.mkdirs(logDir)
         put()
@@ -1031,6 +1174,19 @@ object TxLog {
     // version — a lost race throws above and can never poison it
     layoutCachePut(logDir.toString, layoutState)
     headCacheAdvance(logDir, next)
+    // the just-published head is served from memory until superseded:
+    // its existence is CAS-proven, its bytes are known, headers are
+    // immutable (see TrustedHead). Pending-txn commits are NOT trusted —
+    // their effect is undecided until the marker resolves.
+    if (laid.pendingTxn.isEmpty) {
+      val storedView =
+        if (laid.manifestList.isDefined && laid.manifests.isEmpty)
+          laid.copy(manifests = layoutState.manifests)
+        else laid
+      headTrusted.put(logDir.toString,
+        TrustedHead(next, storedView,
+          storedView.copy(files = layoutState.resolvedFiles)))
+    } else headTrusted.remove(logDir.toString)
     // completing an index-chunk range persists the chunk (best-effort:
     // losing it only costs the raw-header fallback). Also re-attempt the
     // PRECEDING range — a range skipped for an undecided txn marker at
@@ -1044,7 +1200,7 @@ object TxLog {
           writeIndexChunk(logDir, prevFrom,
             prevFrom + IndexChunkSize - 1, conf)
       } catch { case _: Exception => () }
-    writeHint(f, logDir, next)
+    if (next == 0L || next % HintEvery == 0L) writeHint(f, logDir, next)
     next
   }
 
@@ -1060,6 +1216,8 @@ object TxLog {
     }
     layoutCache.remove(logDir.toString)
     headCache.remove(logDir.toString)
+    headTrusted.remove(logDir.toString)
+    headStatusHandoff.remove(logDir.toString)
   }
 
   /** Drop every cached header/chunk under `logDir` AND its
@@ -1081,6 +1239,8 @@ object TxLog {
       layoutCache.keySet.removeIf(covers)
     }
     headCache.keySet.removeIf(covers)
+    headTrusted.keySet.removeIf(covers)
+    headStatusHandoff.keySet.removeIf(covers)
   }
 
   /**
@@ -1105,7 +1265,7 @@ object TxLog {
         (Seq(writeManifest(logDir, snapshot.version, snapshot.files, conf)), Nil)
       else (Seq.empty[ManifestRef], snapshot.files)
     val laid = snapshot.copy(files = inline, manifests = refs,
-      manifestList = None, added = Nil)
+      manifestList = None, added = Nil, minReader = 1)
     val target = new Path(logDir, snapshotName(snapshot.version))
     val json = Serialization.write(laid)
     val scheme = Option(target.toUri.getScheme).getOrElse(
@@ -1173,7 +1333,16 @@ object TxLog {
       byPath: Map[String, DataFile],
       manifestPaths: Set[String],
       manifests: Seq[ManifestRef],
-      listPath: Option[String])
+      listPath: Option[String],
+      /** the laid header's inline remainder, in header order */
+      inline: Vector[DataFile],
+      /** the full RESOLVED file list in served order (manifest
+        * expansion ++ inline) — the exact Vector [[read]] serves for
+        * the trusted head, maintained incrementally (O(delta) per
+        * append; rebuilt from the manifest cache on the amortized
+        * tier-merge commits) so neither commit nor the writer's next
+        * read ever walks O(table files). */
+      resolvedFiles: Vector[DataFile])
 
   // Size-weighted LRU (ADVICE r11): each LayoutState holds an O(table
   // files) path→entry map, so an unbounded per-logDir cache in a
@@ -1220,15 +1389,25 @@ object TxLog {
       val f = it.next()
       prev.byPath.get(f.path) match {
         case Some(prevEntry) =>
-          // carried file: a dropped seq re-adopts the stored one (the
-          // stamping rule); anything else byte-different is a mutation
-          val e =
-            if (f.seq == 0L && prevEntry.seq != 0L) f.copy(seq = prevEntry.seq)
-            else f
-          if (e != prevEntry) ok = false
-          else {
+          // reference identity first: a caller that built its list from
+          // the snapshot this log served carries the SAME objects, so
+          // the byte-identity verification is a pointer compare, not a
+          // field-by-field walk (the O(files) carried-entry verify cost
+          // the round-12 audit flagged at the 10⁶-file shape)
+          if (f eq prevEntry) {
             existing += 1
-            if (!prev.manifestPaths.contains(e.path)) remainingBuf += e
+            if (!prev.manifestPaths.contains(f.path)) remainingBuf += f
+          } else {
+            // carried file: a dropped seq re-adopts the stored one (the
+            // stamping rule); anything else byte-different is a mutation
+            val e =
+              if (f.seq == 0L && prevEntry.seq != 0L) f.copy(seq = prevEntry.seq)
+              else f
+            if (e != prevEntry) ok = false
+            else {
+              existing += 1
+              if (!prev.manifestPaths.contains(e.path)) remainingBuf += e
+            }
           }
         case None =>
           val e = if (f.seq == 0L) f.copy(seq = snapshot.version) else f
@@ -1245,6 +1424,18 @@ object TxLog {
         existing + added != snapshot.files.size) return None
     val addedFiles = addedBuf.result()
     val remaining = remainingBuf.result()
+    Some(placeAppend(logDir, snapshot, prev, addedFiles, remaining, conf))
+  }
+
+  /** Shared tail of the append fast paths: place `remaining`
+    * (carried-inline ++ added, already stamped) on top of `prev`'s
+    * manifests, run tier merging + ref placement, and maintain the
+    * resolved-files vector incrementally (O(delta) unless a tier merge
+    * reordered the refs, which rebuilds from the manifest cache). */
+  private def placeAppend(logDir: Path, snapshot: Snapshot,
+      prev: LayoutState, addedFiles: Vector[DataFile],
+      remaining: Vector[DataFile], conf: Configuration)
+      : (Snapshot, LayoutState) = {
     val (spilled, inline, manifestPaths) =
       if (remaining.size > InlineMaxFiles) {
         (prev.manifests :+
@@ -1259,18 +1450,66 @@ object TxLog {
     val (inlineRefs, listPath) = placeRefs(logDir, snapshot.version,
       refs, prev.manifests, prev.listPath, conf)
     val laid = snapshot.copy(files = inline, manifests = inlineRefs,
-      manifestList = listPath, added = addedFiles.map(_.path))
+      manifestList = listPath, added = addedFiles.map(_.path),
+      minReader = if (listPath.isDefined) 2 else 1)
+    // an append leaves served order = prev served order ++ added in
+    // BOTH placement cases (spill moves prev-inline ++ added into the
+    // appended manifest, preserving their relative order); only a tier
+    // merge reorders refs and forces a rebuild (members were just
+    // loaded, the merged manifest just written — all cache hits)
+    val resolved =
+      if (refs == spilled) prev.resolvedFiles ++ addedFiles
+      else refs.iterator.flatMap(loadManifest(logDir, _, conf)).toVector ++
+        inline
     val state = LayoutState(snapshot.version,
       prev.byPath ++ addedFiles.iterator.map(e => e.path -> e),
-      manifestPaths, refs, listPath)
-    Some((laid, state))
+      manifestPaths, refs, listPath, inline, resolved)
+    (laid, state)
+  }
+
+  /** The trusted-writer O(delta) append layout (see [[commit]]'s
+    * `appendOf`): the caller proved the carried prefix is the served
+    * head by reference identity, so only the ADDED files are examined —
+    * duplicate-checked against the head's path map and seq-stamped.
+    * Returns None when an added path already exists (caller error →
+    * the full verifying path reports it the established way). */
+  private def layoutAppendDelta(logDir: Path, snapshot: Snapshot,
+      added: Seq[DataFile], prev: LayoutState, conf: Configuration)
+      : Option[(Snapshot, LayoutState)] = {
+    val addedBuf = Vector.newBuilder[DataFile]
+    val seen = new java.util.HashSet[String]()
+    val it = added.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      if (prev.byPath.contains(f.path) || !seen.add(f.path)) return None
+      addedBuf += (if (f.seq == 0L) f.copy(seq = snapshot.version) else f)
+    }
+    val addedFiles = addedBuf.result()
+    Some(placeAppend(logDir, snapshot, prev, addedFiles,
+      prev.inline ++ addedFiles, conf))
   }
 
   private def layout(logDir: Path, expected: Option[Long],
-      snapshot: Snapshot, conf: Configuration): (Snapshot, LayoutState) = {
+      snapshot: Snapshot, conf: Configuration,
+      appendOf: Option[(Snapshot, Seq[DataFile])] = None)
+      : (Snapshot, LayoutState) = {
     expected.foreach { exp =>
       val cached = layoutCache.get(logDir.toString)
       if (cached != null && cached.version == exp) {
+        // trusted-writer delta: the base is reference-identical to the
+        // snapshot this log SERVED for `exp` (immutable, byte-known) —
+        // skip the carried-entry walk entirely; examine only the added
+        // files. Any mismatch falls through to the walking fast path.
+        appendOf.foreach { case (base, added) =>
+          val th = headTrusted.get(logDir.toString)
+          if (th != null && th.version == exp && (base eq th.served) &&
+              snapshot.files.size == base.files.size + added.size) {
+            layoutAppendDelta(logDir, snapshot, added, cached, conf) match {
+              case Some(res) => return res
+              case None      => ()
+            }
+          }
+        }
         layoutAppendFast(logDir, snapshot, cached, conf) match {
           case Some(res) => return res
           case None      => ()         // mutation/removal → full path
@@ -1328,12 +1567,18 @@ object TxLog {
       prevRaw.map(_.manifests).getOrElse(Nil),
       prevRaw.flatMap(_.manifestList), conf)
     val inlinePathSet = inline.iterator.map(_.path).toSet
+    // the full path already loaded/wrote every referenced manifest, so
+    // the served-order resolution below is pure cache hits
+    val resolved =
+      refs.iterator.flatMap(loadManifest(logDir, _, conf)).toVector ++
+        inline
     val state = LayoutState(snapshot.version,
       stamped.iterator.map(f => f.path -> f).toMap,
       stamped.iterator.map(_.path).filterNot(inlinePathSet).toSet,
-      refs, listPath)
+      refs, listPath, inline.toVector, resolved)
     (snapshot.copy(files = inline, manifests = inlineRefs,
-      manifestList = listPath, added = added), state)
+      manifestList = listPath, added = added,
+      minReader = if (listPath.isDefined) 2 else 1), state)
   }
 
   /** Test/deployment seam: when set, every commit publishes through

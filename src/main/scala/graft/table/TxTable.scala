@@ -1627,7 +1627,10 @@ class TxTable private (
             txn.map { case (a, vv) => cur.appTxns + (a -> vv) }
               .getOrElse(cur.appTxns)
           },
-          pendingTxn = pendingTxn)
+          pendingTxn = pendingTxn,
+          // trusted-writer delta: `cur` is the instance the log served,
+          // so the layout can skip the carried-entry walk (O(added))
+          appendOf = Some((cur, newFiles)))
         committed = true
         r
       }
@@ -1713,7 +1716,8 @@ class TxTable private (
       partitionSpec: Seq[PartField] = null,
       changeFiles: Seq[String] = Nil,
       deletionVectors: Seq[DeletionVector] = null,
-      pendingTxn: Option[String] = None): Long = {
+      pendingTxn: Option[String] = None,
+      appendOf: Option[(Snapshot, Seq[DataFile])] = None): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
@@ -1759,7 +1763,7 @@ class TxTable private (
       partitionSpec = spec,
       changeFiles = changeFiles,
       deletionVectors = dvs,
-      pendingTxn = pendingTxn), conf)
+      pendingTxn = pendingTxn), conf, appendOf = appendOf)
   }
 
   /** Commit a copy-on-write rewrite derived from snapshot `base` that
@@ -3432,10 +3436,18 @@ class TxTable private (
   private def vacuumManifests(keepFrom: Long, cutoffMs: Long): Int = {
     val f = fs
     // a retained header references its manifests AND (two-level layout)
-    // the manifest-list file naming them — both must survive
+    // the manifest-list file naming them — both must survive. Collect
+    // from the STORED header too, not just the resolved view: an
+    // ABORTED-txn version resolves to its PARENT's refs, but parsing the
+    // stored header still has to open the aborted version's OWN
+    // manifest-list file (readStored loads it before resolvePending
+    // runs) — deleting it would make every later cold read/log walk
+    // across the retained aborted version throw FileNotFoundException.
     def refsOf(v: Long): Seq[String] = {
       val raw = TxLog.readRaw(logDir, v, conf)
-      raw.manifests.map(_.path) ++ raw.manifestList
+      val stored = TxLog.readStored(logDir, v, conf)
+      (raw.manifests.map(_.path) ++ raw.manifestList ++
+        stored.manifests.map(_.path) ++ stored.manifestList).distinct
     }
     def taggedManifests = taggedRetained(keepFrom)(refsOf)
     val referenced: Set[String] =
@@ -3584,7 +3596,12 @@ class TxTable private (
   private def retryingCommit(op: String)(attempt: Long => Long): Long = {
     var tries = 0
     while (true) {
-      val expected = currentVersion
+      // writer-path head discovery: the process's own last-committed
+      // version costs zero round-trips; staleness is arbitrated by the
+      // CAS + parent pre-check, which drop the trusted entry so the
+      // retry below rediscovers the true head
+      val expected = TxLog.currentVersionTrusted(logDir, conf).getOrElse(
+        throw new IllegalStateException(s"table $name has no committed version"))
       try return attempt(expected)
       catch { case _: CommitConflictException if tries < 10 => tries += 1 }
     }

@@ -335,6 +335,65 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(a.toDF.count() === 25)
   }
 
+  test("vacuum keeps an aborted version's own manifest-list and manifest") {
+    // ADVICE r12: an ABORTED-txn version RESOLVES to its parent's
+    // content, but PARSING its stored header still loads the aborted
+    // version's own manifest-list file (and, through it, the manifest
+    // its staged files went to) — vacuum's referenced set must include
+    // the STORED refs, or a retained aborted version becomes unreadable
+    // to any cold process after the sweep.
+    val root = new Path(freshDir("vac_aborted"), "t")
+    val logDir = new Path(root, "_log")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def df(i: Int) = DataFile(f"d$i%05d.parquet", Map.empty, 10L, 100L)
+    var files = Vector.empty[DataFile]
+    var next = 0
+    var expected: Option[Long] = None
+    def burst(n: Int, pending: Option[String] = None): Long = {
+      files = files ++ (0 until n).map { _ => next += 1; df(next) }
+      val v = expected.map(_ + 1).getOrElse(0L)
+      TxLog.commit(logDir, expected, Snapshot(version = v,
+        timestampMs = 1700000000000L + v, operation =
+          if (v == 0) "CREATE" else "APPEND",
+        schemaJson = Schemas.transactions.json, partitionColumns = Nil,
+        files = files, pendingTxn = pending), conf)
+      expected = Some(v)
+      v
+    }
+    // tier-spread bursts (the LayoutFuzzSpec life-cycle shape) push the
+    // ref list past the inline bound → manifest-list files appear
+    burst(0)
+    Seq(9, 9, 9, 40, 40, 40, 150, 150, 150).foreach(burst(_))
+    assert(TxLog.readRaw(logDir, expected.get, conf).manifestList.isDefined)
+    // an ABORTED txn commit that spilled a fresh manifest + list file
+    // (600 files → a tier-4 manifest: no tier fills to the merge
+    // threshold, so refs stay 10 > inline bound and a NEW list spills)
+    val marker = new Path(freshDir("vac_aborted_m"), "m.txn")
+    val qual = marker.getFileSystem(conf).makeQualified(marker).toString
+    val abortedV = burst(600, pending = Some(qual))
+    assert(TxLog.decideTxn(qual, TxLog.TxnAborted, conf) === TxLog.TxnAborted)
+    val storedAborted = TxLog.readStored(logDir, abortedV, conf)
+    val abortedList = storedAborted.manifestList.get
+    val abortedManifests = storedAborted.manifests.map(_.path)
+    // the aborted files must not survive into the next commit's state
+    files = TxLog.read(logDir, abortedV, conf).files.toVector
+    burst(1)
+    // vacuum with every version retained: nothing a retained header
+    // NEEDS — resolved or stored — may be deleted
+    val t = TxTable.open(spark, root, "vac.t")
+    t.vacuum(retainVersions = 100, graceMillis = 0)
+    val base = new java.io.File(logDir.toUri.getPath)
+    assert(new java.io.File(base, abortedList).exists(),
+      "vacuum deleted the aborted version's manifest-list file")
+    abortedManifests.foreach { m =>
+      assert(new java.io.File(base, m).exists(),
+        s"vacuum deleted manifest $m referenced by the aborted header")
+    }
+    // a cold process (caches purged) can still walk the whole log
+    TxLog.purgeRawCacheUnder(logDir)
+    (0L to expected.get).foreach(v => TxLog.read(logDir, v, conf))
+  }
+
   test("protocol fuzz: random crash/abort/commit interleavings conserve data") {
     val cat = freshCatalog("txn_fuzz")
     val a = seeded(cat, "a", 10, seed = 90L)

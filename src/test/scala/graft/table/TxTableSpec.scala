@@ -1374,25 +1374,36 @@ class TxTableSpec extends SparkSpec {
       val out = f.create(hint, true)
       try out.write(s.getBytes("UTF-8")) finally out.close()
     }
-    // commit wrote the head hint
-    assert(f.exists(hint) && hintContent() === "4")
+    // the hint refreshes on the HintEvery cadence (r13: a per-commit
+    // hint write was a full round-trip per commit for a cold-start-only
+    // saving) — after commits 0..4 only v0 qualified
+    assert(f.exists(hint) && hintContent() === "0")
+    assert(TxLog.currentVersion(logDir, conf) === Some(4L))
+    // cold process (caches purged): the lagging hint seeds a forward
+    // probe that still finds the true head — lag ≤ HintEvery by design
+    TxLog.purgeRawCache(logDir)
     assert(TxLog.currentVersion(logDir, conf) === Some(4L))
     // a stale hint is corrected by the forward probe, never trusted
+    TxLog.purgeRawCache(logDir)
     writeHint("1")
     assert(TxLog.currentVersion(logDir, conf) === Some(4L))
     // a torn/corrupt hint falls back to the listing
+    TxLog.purgeRawCache(logDir)
     writeHint("not-a-number")
     assert(TxLog.currentVersion(logDir, conf) === Some(4L))
     // a missing hint falls back to the listing
+    TxLog.purgeRawCache(logDir)
     f.delete(hint, false)
     assert(TxLog.currentVersion(logDir, conf) === Some(4L))
-    // and the next commit restores it
-    TxLog.commit(logDir, Some(4L), Snapshot(
-      version = 5L, timestampMs = 0L, operation = "APPEND",
-      schemaJson = schema.json, partitionColumns = Nil,
-      files = Seq(DataFile("h005.parquet", Map.empty, 1L, 10L))), conf)
-    assert(hintContent() === "5")
-    assert(TxLog.currentVersion(logDir, conf) === Some(5L))
+    // the next cadence-boundary commit restores it
+    (5L to TxLog.HintEvery).foreach { v =>
+      TxLog.commit(logDir, Some(v - 1), Snapshot(
+        version = v, timestampMs = 0L, operation = "APPEND",
+        schemaJson = schema.json, partitionColumns = Nil,
+        files = Seq(DataFile(f"h$v%03d.parquet", Map.empty, 1L, 10L))), conf)
+    }
+    assert(hintContent() === TxLog.HintEvery.toString)
+    assert(TxLog.currentVersion(logDir, conf) === Some(TxLog.HintEvery))
   }
 
   test("readChanged resolves a K-commit catch-up in O(changed), not O(K x table)") {
