@@ -78,14 +78,20 @@ object Bench {
     }
     val results = names.map { name =>
       val (runs, best) = stableMin(4)(fns(name)(spark, sfDir).count())
-      (name, runs.head, best)
+      (name, runs, best)
     }
-    def jmap(f: ((String, Double, Double)) => Double): String =
+    def jmap(f: ((String, Seq[Double], Double)) => Double): String =
       results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val warmMap = jmap(_._3)
-    val coldMap = jmap(_._2)
+    val coldMap = jmap(_._2.head)
+    // every recorded run per headline key (r12 VERDICT task 8: any key
+    // with a bar carries its runs, so a contended-window outlier shows
+    // its immediate rerun in the artifact itself)
+    val runsMap = results.map { case (n, runs, _) =>
+      "\"" + n + "\":[" + runs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._3).sum
-    val coldTotal = results.map(_._2).sum
+    val coldTotal = results.map(_._2.head).sum
     // supplementary: training-pipeline heavies, timed once each AFTER
     // the headline set (extra keys — the headline `queries`/`value`
     // stay comparable to every earlier round's bench)
@@ -124,10 +130,11 @@ object Bench {
     val sustainJson = sustainShakeout(spark)
     val morSidecarsJson = morSidecars(spark)
     val commitLagJson = commitLag(spark)
+    val queryLagJson = queryLag(spark)
     val sf1Json = pipelineSf1(spark, sfDir, fns)
     val rerunKey = streamingRerun
       .map(j => s""""streaming_other_attempt":$j,""").getOrElse("")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"mor_sidecars":$morSidecarsJson,"commit_lag":$commitLagJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"runs":$runsMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"mor_sidecars":$morSidecarsJson,"commit_lag":$commitLagJson,"query_lag":$queryLagJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}"""
     println(fullJson)
     // the driver's stdout capture keeps only a 2,000-char tail (the r11
     // artifact lost the warm/cold totals and sf0.1 pipeline keys to
@@ -255,9 +262,9 @@ object Bench {
     val morProps = Map(
       graft.table.TxTable.MergeModeProperty -> "merge-on-read",
       "graft.autoCompact.enabled" -> "true")
-    val morBest = (1 to 2)
+    val morRuns = (1 to 2)
       .map(r => streamRunWith("mor", r, envDir, streamRows, morProps))
-      .filter(_ > 0)
+    val morBest = morRuns.filter(_ > 0)
     val morRate =
       if (morBest.isEmpty) -1.0
       else math.round(streamRows / morBest.min).toDouble
@@ -265,7 +272,10 @@ object Bench {
     // 400k rows in one pass — per-batch merge cost must stay flat as
     // the table grows (the commit-index / O(batch + matched) claim
     // applied to ingest), so the 10× rate should hold within ~1.5× of
-    // the 40k rate. Staged once, run once (it is 10× the work).
+    // the 40k rate. Staged once. r12 VERDICT task 2: the r12 artifact
+    // recorded a single unrepeated 8,806 vs 51,734 quiet on this key —
+    // record ≥2 runs (retrying while they disagree >1.5×, bounded) so a
+    // contended window is machine-distinguishable from a regression.
     val stream10xRows = streamRows * 10
     val env10xDir = new java.io.File("target/qwork/bench_stream_env10x")
       .getAbsolutePath
@@ -275,15 +285,27 @@ object Bench {
           graft.ingest.SampleData.transactions(spark, stream10xRows, seed = 17L))
         .toJSON.repartition(32).write.text(env10xDir)
     }
-    val sec10x = streamRunWith("mor10x", 0, env10xDir, stream10xRows, morProps)
+    def run10x(r: Int): Double =
+      streamRunWith("mor10x", r, env10xDir, stream10xRows, morProps)
+    var runs10x = Vector(run10x(0), run10x(1))
+    while ({
+      val p = runs10x.filter(_ > 0).sorted
+      (p.size < 2 || p(1) / p(0) > 1.5) && runs10x.size < 4
+    }) runs10x :+= run10x(runs10x.size)
+    val best10x = runs10x.filter(_ > 0)
     val rate10x =
-      if (sec10x <= 0) -1.0 else math.round(stream10xRows / sec10x).toDouble
+      if (best10x.isEmpty) -1.0
+      else math.round(stream10xRows / best10x.min).toDouble
+    val rates10x = runs10x.map(s =>
+      if (s <= 0) -1.0 else math.round(stream10xRows / s).toDouble)
     s"""{"rows":$streamRows,"runs":[${positives.mkString(",")}],""" +
       s""""runs_all":[${streamAll.mkString(",")}],"rows_per_sec":$streamRate,""" +
       s""""rows_per_sec_median":$streamMedianRate,""" +
       s""""converged":$converged,""" +
       s""""mor_rows_per_sec":$morRate,""" +
-      s""""rows_10x":$stream10xRows,"rows_10x_per_sec":$rate10x}"""
+      s""""mor_runs_sec":[${morRuns.mkString(",")}],""" +
+      s""""rows_10x":$stream10xRows,"rows_10x_per_sec":$rate10x,""" +
+      s""""rows_10x_runs":[${rates10x.mkString(",")}]}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
@@ -934,6 +956,62 @@ object Bench {
       s""""commits_per_sec_at_lag":${f"${1.0 / commitSec}%.2f"},""" +
       s""""floor_sec":${f"$floorSec%.3f"},""" +
       s""""serialization_overhead_ratio":${f"${commitSec / floorSec}%.3f"}}"""
+  } catch {
+    case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+  }
+
+  /**
+   * Governed-read round-trip budget (r12 VERDICT task 6): the commit
+   * path's LagFs ledger discipline applied to the READ path. A
+   * governed SELECT loop (GraftSql: principal resolution + ACL check +
+   * snapshot-pinned scan) over a cached table on LagFs, recording
+   * metadata round-trips per statement at two points:
+   *  - `plan_roundtrips_per_stmt`: statement → resolved DataFrame.
+   *    Steady state pays the head freshness probe + the head
+   *    verification (whose status doubles as the header read's cache
+   *    validation) = 2; ACL stores are TTL-cached (AclFileCache), scan
+   *    planning is zero-listing (SnapshotFileIndex pins the snapshot's
+   *    file list — `list` must read 0).
+   *  - `exec_roundtrips_per_stmt`: plan + collect — adds the data-file
+   *    opens, which scale with files READ (real I/O), not metadata.
+   */
+  private[graft] def queryLag(spark: SparkSession): String = try {
+    import graft.table.{GraftSql, LagFs, TableCatalog}
+    import org.apache.hadoop.fs.Path
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.lagfs.impl", classOf[graft.table.LagFs].getName)
+    val baseDir = new java.io.File("target/qwork/bench_qlag_wh")
+    org.apache.commons.io.FileUtils.deleteQuietly(baseDir)
+    val cat = new TableCatalog(spark,
+      new Path("lagfs:" + baseDir.getAbsolutePath))
+    val t = cat.createTable("gov", "txns",
+      graft.model.Schemas.transactions, Seq("date"))
+    t.append(graft.ingest.SampleData.transactions(spark, 20000, seed = 31L))
+    spark.conf.set("graft.sql.principal", "admin")
+    try {
+      GraftSql.sql(cat, "GRANT SELECT ON gov.txns TO admin")
+      GraftSql.sql(cat, "GRANT INSERT ON gov.txns TO admin")
+      val stmt = "SELECT region, count(*) AS n FROM gov.txns GROUP BY region"
+      (0 until 3).foreach(_ => GraftSql.sql(cat, stmt).collect())   // warm
+      val n = 20
+      LagFs.reset()
+      (0 until n).foreach(_ => GraftSql.sql(cat, stmt))
+      val planCats = LagFs.snapshot
+      val planPer = LagFs.total.toDouble / n
+      LagFs.reset()
+      (0 until n).foreach(_ => GraftSql.sql(cat, stmt).collect())
+      val exeCats = LagFs.snapshot
+      val exePer = LagFs.total.toDouble / n
+      val nFiles = t.snapshot.files.size
+      def catJson(m: Map[String, Long]): String = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"${v.toDouble / n}%.2f" }
+        .mkString("{", ",", "}")
+      s"""{"statements":$n,"files":$nFiles,""" +
+        s""""plan_roundtrips_per_stmt":${f"$planPer%.2f"},""" +
+        s""""plan_by_category":${catJson(planCats)},""" +
+        s""""exec_roundtrips_per_stmt":${f"$exePer%.2f"},""" +
+        s""""exec_by_category":${catJson(exeCats)}}"""
+    } finally spark.conf.unset("graft.sql.principal")
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }

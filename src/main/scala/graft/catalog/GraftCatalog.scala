@@ -111,8 +111,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (t.branches.contains(b)) return new GraftV2Table(t.branch(b))
     }
     val (ns, tbl) = (ns1(ident.namespace()), ident.name())
-    if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
-    new GraftV2Table(cat.getTable(ns, tbl))
+    // ONE head resolution per load: the returned table pins the
+    // snapshot it resolved (the V2 contract — a loaded table serves a
+    // consistent version; each statement loads afresh), and a missing
+    // table surfaces from that same resolution instead of a separate
+    // exists probe + open fail-fast (3 metadata round-trips → 1).
+    try new GraftV2Table(cat.getTablePinned(ns, tbl))
+    catch {
+      case _: IllegalStateException | _: java.io.FileNotFoundException =>
+        throw new NoSuchTableException(ident)
+    }
   }
 
   /** `SELECT … FROM graft.ns.t VERSION AS OF <v|tag|branch>` — native

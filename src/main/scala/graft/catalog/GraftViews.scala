@@ -42,10 +42,26 @@ private[graft] object GraftViews {
     new Path(viewsDir(wh, ident.namespace()(0)), s"${ident.name()}.json")
   }
 
+  /** Existence probes, TTL-cached: every governed SELECT asks "is this
+    * relation a stored view?" per referenced table — an uncached probe
+    * is one storage round-trip per statement even when NO views exist
+    * (the common case). Same freshness contract as AclFileCache: a
+    * view created/dropped by ANOTHER process becomes visible within
+    * one TTL; same-process create/drop invalidate exactly. */
+  private val ExistsTtlMs = 2000L
+  private val existsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]()
+
   def exists(spark: SparkSession, wh: Path, ident: Identifier): Boolean = {
     if (ident.namespace().length != 1) return false
     val p = viewPath(wh, ident)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    val key = p.toString
+    val now = System.currentTimeMillis()
+    val cached = existsCache.get(key)
+    if (cached != null && now - cached._2 < ExistsTtlMs) return cached._1
+    val e = p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    existsCache.put(key, (e, now))
+    e
   }
 
   def list(spark: SparkSession, wh: Path, ns: String): Seq[Identifier] = {
@@ -68,6 +84,7 @@ private[graft] object GraftViews {
         .ViewAlreadyExistsException(ident)
     write(fs, p, Stored(ident.name(), sql, "", Nil, schema.json,
       schema.fieldNames.toSeq, Nil, Nil, Map.empty))
+    existsCache.remove(p.toString)
   }
 
   def create(spark: SparkSession, wh: Path, info: ViewInfo,
@@ -83,6 +100,7 @@ private[graft] object GraftViews {
       info.queryColumnNames.toSeq, info.columnAliases.toSeq,
       info.columnComments.toSeq, info.properties.asScala.toMap)
     write(fs, p, stored)
+    existsCache.remove(p.toString)
     asView(stored)
   }
 
@@ -98,6 +116,7 @@ private[graft] object GraftViews {
     if (ident.namespace().length != 1) return false
     val p = viewPath(wh, ident)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    existsCache.remove(p.toString)
     fs.exists(p) && fs.delete(p, false)
   }
 
@@ -115,6 +134,8 @@ private[graft] object GraftViews {
     val moved = read(fs, src).copy(name = to.name())
     write(fs, dst, moved)
     fs.delete(src, false)
+    existsCache.remove(src.toString)
+    existsCache.remove(dst.toString)
   }
 
   def setProperties(spark: SparkSession, wh: Path, ident: Identifier,

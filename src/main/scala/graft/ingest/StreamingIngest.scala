@@ -23,6 +23,62 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object StreamingIngest {
 
+  /**
+   * Per-micro-batch tuning of the stream's CLONED session (never the
+   * user's session): AQE off (sub-second multi-stage merge plans gain
+   * nothing from runtime re-planning), one-job LIMIT probes, and a
+   * shuffle parallelism DERIVED from the batch's input-size estimate —
+   * CDC-sized micro-batches get few reducers (task scheduling, not
+   * work, dominates a 100-record batch), while a catch-up/backfill
+   * batch scales toward the session's configured parallelism instead
+   * of running 8-wide on a 32-core box (r12 VERDICT task 3: at 100×
+   * scale, catch-up IS the workload). Controls:
+   *  - `spark.graft.stream.shufflePartitions = <n>` pins an exact
+   *    value; `= keep` leaves the session's own setting untouched
+   *    (the escape hatch for deployments that tune
+   *    `spark.sql.shuffle.partitions` directly — ADVICE r12);
+   *  - `spark.graft.stream.bytesPerReducer` (default 4 MiB of INPUT
+   *    per reducer — micro-batch shuffles are latency-bound, so the
+   *    target is far below AQE's 64 MiB advisory) sets the derivation
+   *    slope; the result is clamped to [8, session parallelism], the
+   *    session value captured BEFORE the first override so the user's
+   *    setting remains the cap, never our previous batch's.
+   */
+  private[ingest] def tuneStreamSession(
+      batch: DataFrame): org.apache.spark.sql.SparkSession = {
+    val ss = batch.sparkSession
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    // the merge-on-read matched-refs probe is a LIMIT-capped collect;
+    // Spark's executeTake scans 1 partition, then 4x more, ... — 3-4
+    // separate jobs per micro-batch when the cap is never reached (the
+    // common case: live matches are batch-bounded). Scanning everything
+    // in the FIRST take job collapses that to one job per probe.
+    ss.conf.set("spark.sql.limit.initialScanPartitionNum", "4096")
+    ss.conf.getOption("spark.graft.stream.shufflePartitions") match {
+      case Some("keep") => ()                     // deployment-tuned session
+      case Some(pinned) => ss.conf.set("spark.sql.shuffle.partitions", pinned)
+      case None =>
+        val capKey = "spark.graft.stream.sessionShufflePartitions"
+        val cap = ss.conf.getOption(capKey).map(_.toInt).getOrElse {
+          val c = ss.conf.get("spark.sql.shuffle.partitions", "32").toInt
+          ss.conf.set(capKey, c.toString)
+          c
+        }
+        val perReducer = ss.conf
+          .getOption("spark.graft.stream.bytesPerReducer")
+          .map(_.toLong).getOrElse(4L << 20)
+        // the optimizer's size estimate is the staged input bytes for a
+        // file-source batch — a cheap driver-side stat, no job
+        val inputBytes =
+          try batch.queryExecution.optimizedPlan.stats.sizeInBytes
+          catch { case scala.util.control.NonFatal(_) => BigInt(0) }
+        val derived = math.max(8L, math.min(cap.toLong,
+          ((inputBytes + perReducer - 1) / perReducer).toLong))
+        ss.conf.set("spark.sql.shuffle.partitions", derived.toString)
+    }
+    ss
+  }
+
   /** DynamoDB-Streams-shaped ingest: a directory of JSON envelope files
     * (the test-harness stand-in for the stream shard). */
   def start(
@@ -56,34 +112,10 @@ object StreamingIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the stream executes under its own CLONED session; tune that
-        // clone, not the user's session: every job in a micro-batch
-        // merge is a sub-second multi-stage plan where adaptive
-        // re-planning only adds per-stage submission latency (the
-        // batch's shuffles are too small for AQE to improve), so turn
-        // it off for the stream's merges and bind the table to the
-        // clone so its scans/writes plan there too
-        val ss = batch.sparkSession
-        ss.conf.set("spark.sql.adaptive.enabled", "false")
-        // the merge-on-read matched-refs probe is a LIMIT-capped
-        // collect; Spark's executeTake scans 1 partition, then 4×
-        // more, … — 3-4 separate jobs per micro-batch when the cap is
-        // never reached (the overwhelmingly common case: live matches
-        // are batch-bounded). Scanning everything in the FIRST take
-        // job collapses that to one job per probe.
-        ss.conf.set("spark.sql.limit.initialScanPartitionNum", "4096")
-        // micro-batches are small by the buffering contract (60 s /
-        // maxFilesPerTrigger), so 32 shuffle partitions means ~70
-        // sub-10ms tasks per merge job — task scheduling, not work.
-        // 8 reducers keep every shuffle round 4x cheaper to schedule
-        // and still spread a catch-up batch (AQE stays off for plan
-        // latency; override via the stream session conf if a deployment
-        // tails multi-GB batches).
-        if (ss.conf.getOption("spark.graft.stream.shufflePartitions")
-              .forall(_ != "keep"))
-          ss.conf.set("spark.sql.shuffle.partitions",
-            ss.conf.getOption("spark.graft.stream.shufflePartitions")
-              .getOrElse("8"))
+        // tune the stream's CLONED session, never the user's — see
+        // tuneStreamSession (AQE off, one-job LIMIT probes, reducers
+        // derived from the batch's input size)
+        val ss = tuneStreamSession(batch)
         mergeBatch(table.withSession(ss), batch, batchId, errorsDir,
           streamAppId = Some(streamAppId.getOrElse(checkpointDir)),
           deleteCol = if (propagateDeletes) Some("_deleted") else None)
@@ -121,15 +153,8 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // same per-stream tuning as start(): the fan-out's merge +
-        // append run on the stream's cloned session with AQE off
-        val ss = batch.sparkSession
-        ss.conf.set("spark.sql.adaptive.enabled", "false")
-        ss.conf.set("spark.sql.limit.initialScanPartitionNum", "4096")
-        if (ss.conf.getOption("spark.graft.stream.shufflePartitions")
-              .forall(_ != "keep"))
-          ss.conf.set("spark.sql.shuffle.partitions",
-            ss.conf.getOption("spark.graft.stream.shufflePartitions")
-              .getOrElse("8"))
+        // append run on the stream's cloned session
+        val ss = tuneStreamSession(batch)
         fanOutBatch(ss, main.withSession(ss), audit.withSession(ss),
           txnDir, batch, batchId, errorsDir,
           appId = streamAppId.getOrElse(checkpointDir))

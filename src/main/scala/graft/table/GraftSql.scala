@@ -258,6 +258,41 @@ object GraftSql {
   private val DropBareViewRe =
     """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?:(global_temp)\s*\.\s*)?(`[^`]+`|\w+)\s*;?\s*""".r
 
+  // --- statement-scoped table resolution --------------------------------
+
+  /** One snapshot-PINNED TxTable handle per (ns, table) per STATEMENT:
+    * a governed statement consults a table's metadata many times (view
+    * substitution, ACL checks, column/row scopes, temp-view snapshot
+    * validation) — resolving the head once per consultation cost ~20
+    * metadata round-trips per cached-table SELECT on an object store
+    * (r12 VERDICT task 6). The scope makes it ONE head resolution per
+    * table per statement, and gives every governance decision
+    * statement-level snapshot consistency (no mid-statement commit can
+    * split what the checks saw from what the scopes applied).
+    * Installed by [[nativeSql]]; helpers called outside a statement
+    * fall back to direct resolution. */
+  private val stmtTables = new ThreadLocal[
+    scala.collection.mutable.Map[(String, String), Option[TxTable]]]()
+
+  private def withStmtScope[T](body: => T): T =
+    if (stmtTables.get() != null) body       // nested statement shares
+    else {
+      stmtTables.set(scala.collection.mutable.Map.empty)
+      try body finally stmtTables.remove()
+    }
+
+  private def resolveTable(cat: TableCatalog, ns: String,
+      tbl: String): Option[TxTable] = {
+    def open(): Option[TxTable] =
+      try Some(cat.getTablePinned(ns, tbl))
+      catch {
+        case _: IllegalStateException | _: java.io.FileNotFoundException =>
+          None
+      }
+    val m = stmtTables.get()
+    if (m == null) open() else m.getOrElseUpdate((ns, tbl), open())
+  }
+
   private def nativeSql(cat: TableCatalog, text: String): DataFrame = {
     // session-MUTATING statements must not run on the routing clone
     // (their effect would vanish with it): SET/RESET and single-part
@@ -287,6 +322,7 @@ object GraftSql {
       case _ => ()
     }
     val spark = sessionFor(cat)
+    withStmtScope {
     // stored-view substitution: splice each view's PARSED definition
     // under its reference (plan-level, never text rewriting) — the
     // Athena/Hive view model, resolved lazily so views always see
@@ -346,6 +382,7 @@ object GraftSql {
       case _ => ()
     }
     result
+    }
   }
 
   /** What a recorded temp view was checked against at CREATE time: the
@@ -416,15 +453,17 @@ object GraftSql {
     * this table changed". */
   private def aclStateOf(cat: TableCatalog, ns: String,
       tbl: String): Map[String, String] =
-    if (!cat.tableExists(ns, tbl)) Map.empty
-    else cat.getTable(ns, tbl).properties
-      .filter(_._1.startsWith("graft.acl.")) ++
-      NamespaceAcl.load(cat.spark, cat.warehouse, ns)
-        .map { case (k, v) => ("ns::" + k) -> v } ++
-      // warehouse tag grants can widen/narrow this table's effective
-      // access without touching its properties — pin them too
-      TagAcl.load(cat.spark, cat.warehouse)
-        .map { case (k, v) => ("tag::" + k) -> v }
+    resolveTable(cat, ns, tbl) match {
+      case None => Map.empty
+      case Some(t) =>
+        t.properties.filter(_._1.startsWith("graft.acl.")) ++
+          NamespaceAcl.load(cat.spark, cat.warehouse, ns)
+            .map { case (k, v) => ("ns::" + k) -> v } ++
+          // warehouse tag grants can widen/narrow this table's effective
+          // access without touching its properties — pin them too
+          TagAcl.load(cat.spark, cat.warehouse)
+            .map { case (k, v) => ("tag::" + k) -> v }
+    }
 
   /** Governed tables referenced anywhere in a (substituted) plan, with
     * their current ACL state — the snapshot a temp-view record pins. */
@@ -446,7 +485,7 @@ object GraftSql {
           case _                                             => None
         }
         target.foreach { case (ns, t) =>
-          if (!out.contains((ns, t)) && cat.tableExists(ns, t))
+          if (!out.contains((ns, t)) && resolveTable(cat, ns, t).isDefined)
             out((ns, t)) = aclStateOf(cat, ns, t)
         }
       case _ => ()
@@ -1668,9 +1707,7 @@ object GraftSql {
           case _                                        => None
         }
         target.flatMap { case (ns, tb) =>
-          if (!cat.tableExists(ns, tb)) None
-          else {
-            val t = cat.getTable(ns, tb)
+          resolveTable(cat, ns, tb).flatMap { t =>
             val scope = selectScope(t, me)
             val filt = rowFilter(t, me)
             if (scope.isEmpty && filt.isEmpty) None
@@ -1711,12 +1748,11 @@ object GraftSql {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
     import org.apache.spark.sql.catalyst.plans.logical._
-    // one table open per (ns, tbl) per STATEMENT — a self-join or a
-    // DML target visited by both checks must not re-probe the log head
-    val opened = scala.collection.mutable.Map.empty[(String, String), Option[TxTable]]
+    // one snapshot-pinned table open per (ns, tbl) per STATEMENT — a
+    // self-join or a DML target visited by both checks must not
+    // re-probe the log head (see [[stmtTables]])
     def tableFor(ns: String, tbl: String): Option[TxTable] =
-      opened.getOrElseUpdate((ns, tbl),
-        if (cat.tableExists(ns, tbl)) Some(cat.getTable(ns, tbl)) else None)
+      resolveTable(cat, ns, tbl)
     def fromParts(parts: Seq[String]): Option[(String, String)] = parts match {
       case Seq(ns, t)                                  => Some((ns, t))
       case Seq(c, ns, t) if governedCatalog(cat, c)    => Some((ns, t))

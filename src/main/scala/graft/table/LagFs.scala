@@ -94,6 +94,8 @@ object LagFs {
     if (inOp.get.booleanValue()) return
     counts.computeIfAbsent(cat,
       _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+    if (sys.props.contains("graft.lagfs.trace"))
+      new Exception(s"lagfs-$cat").printStackTrace()
     val lag = lagMs
     if (lag > 0) Thread.sleep(lag)
   }

@@ -62,6 +62,11 @@ class TableCatalog(val spark: SparkSession, val warehouse: Path) {
   def getTable(ns: String, table: String): TxTable =
     TxTable.open(spark, tableRoot(ns, table), s"$ns.$table")
 
+  /** Snapshot-pinned handle for statement-scoped reads: one head
+    * resolution serves every metadata consultation through it. */
+  private[graft] def getTablePinned(ns: String, table: String): TxTable =
+    TxTable.openPinned(spark, tableRoot(ns, table), s"$ns.$table")
+
   def tableExists(ns: String, table: String): Boolean =
     TxTable.exists(spark, tableRoot(ns, table))
 

@@ -273,9 +273,16 @@ object TxLog {
         headCacheAdvance(logDir, v)
         return Some(v)
       }
-      // no successor: verify the cached head itself still exists —
-      // and hand its status to the header read that near-always
-      // follows, so the read's (mtime, length) validation is free
+      // no successor: verify the cached head itself still exists. The
+      // writer's OWN trusted head needs no disk verification — the CAS
+      // that published it proved existence, reads serve the in-memory
+      // copy either way, and the next commit's parent pre-check catches
+      // external deletion where it matters; pure readers (no trusted
+      // entry) keep the verification (ADVICE r12).
+      val th = headTrusted.get(logDir.toString)
+      if (th != null && th.version == v) return Some(v)
+      // …and hand the verification status to the header read that
+      // near-always follows, so its cache validation is free
       try {
         val st = f.getFileStatus(new Path(logDir, snapshotName(v)))
         headStatusHandoff.put(logDir.toString, (v, st))

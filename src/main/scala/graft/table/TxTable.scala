@@ -66,7 +66,29 @@ class TxTable private (
     TxLog.currentVersion(logDir, conf).getOrElse(
       throw new IllegalStateException(s"table $name has no committed version"))
 
-  def snapshot: Snapshot = TxLog.read(logDir, currentVersion, conf)
+  /** Statement-scoped snapshot pin (see [[pinSnapshot]]): when set,
+    * [[snapshot]]/[[schema]]/[[properties]] serve this resolved copy
+    * with zero further head probes. Only short-lived handles pin
+    * (GraftSql opens a fresh handle per statement); write paths are
+    * unaffected — retryingCommit rediscovers the head itself. */
+  @transient @volatile private var pinnedSnapshot: Snapshot = null
+
+  /** Pin this handle to the table's CURRENT snapshot: one head
+    * resolution serves every subsequent metadata read through the
+    * handle — both the round-trip economy (a governed statement
+    * consults properties/schema/ACL scopes many times) and statement-
+    * level SNAPSHOT CONSISTENCY (all governance decisions and the scan
+    * see one version, never a mid-statement commit). */
+  private[graft] def pinSnapshot(): TxTable = {
+    pinnedSnapshot = TxLog.readCurrent(logDir, conf).getOrElse(
+      throw new IllegalStateException(s"table $name has no committed version"))
+    this
+  }
+
+  def snapshot: Snapshot = {
+    val p = pinnedSnapshot
+    if (p != null) p else TxLog.read(logDir, currentVersion, conf)
+  }
   def snapshotAt(version: Long): Snapshot = TxLog.read(logDir, version, conf)
 
   private def schemaOf(s: Snapshot): StructType =
@@ -3825,6 +3847,13 @@ object TxTable {
     t.currentVersion // fails fast if no log
     t
   }
+
+  /** Open + pin in ONE head resolution (the statement-scoped read
+    * handle GraftSql uses — see [[TxTable.pinSnapshot]]); throws
+    * IllegalStateException when no version exists, like [[open]]. */
+  private[graft] def openPinned(spark: SparkSession, root: Path,
+      name: String): TxTable =
+    new TxTable(spark, root, name).pinSnapshot()
 
   def exists(spark: SparkSession, root: Path): Boolean =
     TxLog.currentVersion(new Path(root, "_log"),

@@ -227,6 +227,12 @@ class ObjectStoreSpec extends SparkSpec {
             DataFile(f"f$i%04d.parquet", Map.empty, 1L, 10L))), conf)
     }
     assert(TxLog.currentVersion(logDir, conf) === Some(4L))
+    // manufacture a PURE-READER cache state: head discovered by
+    // probing (headCache set) with no trusted entry — the writer's own
+    // trusted head is exempt from the verification (its CAS proved
+    // existence; the commit parent pre-check owns that defense)
+    TxLog.purgeRawCache(logDir)
+    assert(TxLog.currentVersion(logDir, conf) === Some(4L))
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     base.mkdirs()
     (0L to 1L).foreach { v =>
