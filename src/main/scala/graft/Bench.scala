@@ -131,10 +131,11 @@ object Bench {
     val morSidecarsJson = morSidecars(spark)
     val commitLagJson = commitLag(spark)
     val queryLagJson = queryLag(spark)
+    val annClusteredJson = annClustered(spark)
     val sf1Json = pipelineSf1(spark, sfDir, fns)
     val rerunKey = streamingRerun
       .map(j => s""""streaming_other_attempt":$j,""").getOrElse("")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"runs":$runsMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"mor_sidecars":$morSidecarsJson,"commit_lag":$commitLagJson,"query_lag":$queryLagJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"runs":$runsMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"mor_sidecars":$morSidecarsJson,"commit_lag":$commitLagJson,"query_lag":$queryLagJson,"ann_recall_clustered":$annClusteredJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}"""
     println(fullJson)
     // the driver's stdout capture keeps only a 2,000-char tail (the r11
     // artifact lost the warm/cold totals and sf0.1 pipeline keys to
@@ -476,16 +477,36 @@ object Bench {
         Similarity.bruteForceTopK(emb, queries, k = 10))
       val cells = 142   // autoCells(20k); recorded for the sweep's math
       // library defaults (m=8, kCodes=256 one-byte PQ, 3 Lloyd rounds)
-      // + a 300-candidate exact re-rank; the probe sweep is the
-      // recall/cost curve — timings INCLUDE index training, which a
-      // deployment pays once, not per query
+      // + a 300-candidate exact re-rank. nprobe = -1 is the SHIPPED
+      // DEFAULT — since r13 the measured operating point (train,
+      // encode once, calibrate to 0.9 held-out recall), not the
+      // √nCells heuristic (which recorded 0.475 here in r12); the
+      // explicit points keep the recall/cost curve comparable.
+      // In-call timings INCLUDE training + calibration — the
+      // once-per-corpus cost; the persisted-index block below records
+      // what a deployment's QUERIES actually pay after it.
       val sweep = Seq(-1, 36, 72, 108).map { np =>
         val (r, sec) = timedRecall(Similarity.ivfPqTopK(emb, queries,
           k = 10, dim = 64, nCells = -1, nprobe = np,
           iters = 3, rerankTo = 300))
-        val label = if (np <= 0) "derived" else np.toString
+        val label = if (np <= 0) "default_calibrated" else np.toString
         s""""nprobe_$label":{"recall":${f"$r%.4f"},"sec":${f"$sec%.3f"}}"""
       }
+      // the persisted-index regime (r12 VERDICT task 1): train +
+      // encode + calibrate ONCE (build_sec), then time SEARCH ONLY
+      // against the cached encoding — the per-query-batch cost a
+      // deployment pays, which must beat the brute-force pass
+      val tB0 = System.nanoTime()
+      val model = Similarity.buildIndexModel(emb, dim = 64, k = 10,
+        recallTarget = 0.9, sampleQueries = 32)
+      val indexed = Similarity.encodeIvfPq(emb, model).cache()
+      indexed.count()
+      val idxBuildSec = (System.nanoTime() - tB0) / 1e9
+      val (rIdx, idxQuerySec) = timedRecall(
+        Similarity.searchIndexed(indexed, emb, queries, model, k = 10))
+      val (rIdx2, idxQuerySec2) = timedRecall(
+        Similarity.searchIndexed(indexed, emb, queries, model, k = 10))
+      indexed.unpersist()
       val (rIvf, _) = timedRecall(Similarity.ivfTopK(emb, queries, k = 10,
         dim = 64, nCells = -1, nprobe = -1))
       val (rLsh, _) = timedRecall(Similarity.lshTopK(emb, queries, k = 10,
@@ -494,13 +515,100 @@ object Bench {
       s""""ann_recall":{"queries":$nQ,"k":10,"cells":$cells,""" +
         s""""brute_sec":${f"$bruteSec%.3f"},""" +
         s""""ivfpq_trained_rerank":{${sweep.mkString(",")}},""" +
-        s""""ivf_derived":${f"$rIvf%.4f"},""" +
+        s""""index_build_sec":${f"$idxBuildSec%.3f"},""" +
+        s""""index_nprobe":${model.nprobe},""" +
+        s""""index_recall":${f"$rIdx%.4f"},""" +
+        s""""index_query_sec":[${f"$idxQuerySec%.3f"},${f"$idxQuerySec2%.3f"}],""" +
+        s""""ivf_default_calibrated":${f"$rIvf%.4f"},""" +
         s""""lsh_depth2":${f"$rLsh%.4f"}}"""
     } catch {
       case e: Throwable =>
         s""""ann_recall":{"error":"${e.getClass.getSimpleName}"}"""
     }
     s"""{"docs":$nDocs,$body,$annRecall}"""
+  } catch {
+    case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+  }
+
+  /**
+   * ANN recall on a CLUSTERABLE corpus (r12 VERDICT task 7): the 10×
+   * bench corpus is deliberately IVF-adversarial (sign-flip replicas
+   * decorrelate cluster structure), so its recall curve cannot
+   * distinguish "index works, corpus is adversarial" from "index
+   * under-probes everywhere". 200k synthetic vectors in 20,000 planted
+   * clusters of 10 (hash-derived centers ±1.0, per-point noise ±0.25 —
+   * deterministic, no RNG state; a query's true top-10 ≈ its
+   * cluster-mates, separated from every other cluster by a large
+   * margin — the shape of a near-dup-rich embedding corpus) give the
+   * fair target: the DERIVED √nCells heuristic vs the CALIBRATED
+   * default, recall@10 each, plus the calibrated probe count — on
+   * clustered data the heuristic should already be close and
+   * calibration should agree cheaply. (A first cut used 200 clusters
+   * of 1,000: within-cluster ranking margins sit below PQ resolution
+   * there — recall 0.33 even at FULL probing — which measures
+   * quantization error, not probing. Measured here: heuristic 22
+   * probes → 0.998; calibration lands at the same 22.)
+   */
+  private[graft] def annClustered(spark: SparkSession): String = try {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val nVec = 200000L
+    val nClust = 20000
+    val dim = 64
+    val dir = new java.io.File("target/qwork/bench_ann_clustered")
+      .getAbsolutePath
+    if (!new java.io.File(s"$dir/emb.parquet/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      // deterministic hash noise in [-0.5, 0.5): md5 of (salt, a, b)
+      def h(salt: Int, a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (conv(substring(md5(concat_ws("_", lit(salt), a, b)), 1, 15), 16, 10)
+          .cast("long") % 1000000L) / 1000000.0 - 0.5
+      spark.range(nVec).select(col("id").as("vec_id"),
+          pmod(col("id"), lit(nClust)).as("c"))
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(dim - 1)),
+            d => h(1, col("c"), d) * 2.0 + h(2, col("vec_id"), d) * 0.5)
+            .as("embedding"))
+        .repartition(32).write.parquet(s"$dir/emb.parquet")
+    }
+    val emb = spark.read.parquet(s"$dir/emb.parquet").cache()
+    emb.count()
+    val queries = emb.filter(pmod(col("vec_id"), lit(4001)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .cache()
+    val nQ = queries.count()
+    val ground = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select(col("query_id"), col("vec_id")).cache()
+    val nGround = ground.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      ground.join(df.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi").count() / nGround
+    val cells = Similarity.autoCells(nVec)      // 448
+    val heurProbes = Similarity.autoProbes(cells)
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (rHeur, tHeur) = timed(recallOf(Similarity.ivfPqTopK(emb, queries,
+      k = 10, dim = dim, nCells = cells, nprobe = heurProbes,
+      iters = 3, rerankTo = 300)))
+    // the calibrated default: train + encode once, measure, search
+    val (model, buildSec) = timed(Similarity.buildIndexModel(emb, dim,
+      k = 10, recallTarget = 0.9, sampleQueries = 32, nCells = cells))
+    val indexed = Similarity.encodeIvfPq(emb, model).cache()
+    indexed.count()
+    val (rCal, tCal) = timed(recallOf(
+      Similarity.searchIndexed(indexed, emb, queries, model, k = 10)))
+    indexed.unpersist(); ground.unpersist(); queries.unpersist()
+    emb.unpersist()
+    s"""{"vectors":$nVec,"clusters":$nClust,"queries":$nQ,""" +
+      s""""cells":$cells,"heuristic_nprobe":$heurProbes,""" +
+      s""""heuristic_recall":${f"$rHeur%.4f"},""" +
+      s""""heuristic_sec":${f"$tHeur%.3f"},""" +
+      s""""calibrated_nprobe":${model.nprobe},""" +
+      s""""calibrated_recall":${f"$rCal%.4f"},""" +
+      s""""build_sec":${f"$buildSec%.3f"},""" +
+      s""""query_sec":${f"$tCal%.3f"}}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
@@ -797,7 +905,34 @@ object Bench {
     val (_, tAsOf) = timed {
       (1 to 10).foreach(k => cat.loadTable(ident, cutoffMs(k) * 1000L))
     }
+    // marginal-commit probe at the 10⁵-ENTRY head (r12 VERDICT task 5):
+    // 1-file appends through the trusted DELTA path (the internal
+    // streaming/append shape — commit CPU O(added + log files)) vs the
+    // WALKING verify path (external callers: an O(files) reference-
+    // equality walk). Appends land ABOVE the pinned head, so the
+    // shakeout reads (all ≤ head) and the next round's reuse check
+    // (currentVersion >= head) are unaffected.
+    def marginal(tag: String, n: Int, delta: Boolean): Double = {
+      val s0 = System.nanoTime()
+      (0 until n).foreach { _ =>
+        val base = TxLog.readCurrentTrusted(logDir, conf).get
+        val v = base.version + 1
+        val added = graft.table.DataFile(f"$tag-$v%08d.parquet",
+          Map("date" -> "2026-01-01"), 10L, 100L)
+        TxLog.commit(logDir, Some(base.version), base.copy(version = v,
+          timestampMs = base.timestampMs + 1, operation = "APPEND",
+          files = base.files :+ added, added = Nil,
+          manifests = Nil, manifestList = None), conf,
+          appendOf = if (delta) Some((base, Seq(added))) else None)
+      }
+      (System.nanoTime() - s0) / 1e9 / n
+    }
+    marginal("mwarm", 5, delta = true)
+    val marginalDelta = marginal("md", 50, delta = true)
+    val marginalWalk = marginal("mw", 50, delta = false)
     s"""{"commits":$commits,"files":$commits,""" +
+      s""""marginal_commit_delta_ms":${f"${marginalDelta * 1000}%.3f"},""" +
+      s""""marginal_commit_walk_ms":${f"${marginalWalk * 1000}%.3f"},""" +
       s""""build_sec":${f"${if (built) buildSecs else 0.0}%.3f"},""" +
       s""""index_backfill_sec":${f"$indexBackfill%.3f"},""" +
       s""""snapshot_read_sec":${f"$snapshotRead%.3f"},""" +

@@ -487,8 +487,13 @@ object Pipeline {
       val emb = Td.embeddings(s, dir)
       val queries = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      // the oracle pins the DERIVED capacity formulas, so pass them
+      // explicitly (nprobe <= 0 now means the CALIBRATED operating
+      // point, which a SQL oracle cannot replay — see BENCH ann_recall
+      // for the measured default)
+      val cells = Similarity.autoCells(emb.count())
       Similarity.ivfTopK(emb, queries, k = 10, dim = 64,
-          nCells = -1, nprobe = -1, iters = 0)
+          nCells = cells, nprobe = Similarity.autoProbes(cells), iters = 0)
         .select(col("query_id"), col("rank"), col("vec_id"),
           round(col("score"), 6).as("score"))
         .orderBy(col("query_id"), col("rank"))

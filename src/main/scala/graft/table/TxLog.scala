@@ -92,6 +92,27 @@ final case class BloomIndex(
     builtAtVersion: Long,
     entries: Map[String, String])        // path -> base64 filter bytes
 
+/** Sidecar metadata of a persisted ANN (IVF-PQ) index (see
+  * `TxTable.buildVectorIndex`): the TRAINED quantizers plus the
+  * CALIBRATED probe count — the "train once, commit the index as
+  * table-side metadata, query many" artifact (r12 VERDICT task 1; the
+  * reference's analog is the table-attached metadata committed via
+  * kinesis-firehose-stream/scripts/update_metadata.py:135-141). The
+  * encoded corpus lives next to it as parquet
+  * (`_index/vector_<col>/codes`); `builtAtVersion` bounds which files
+  * the codes cover — rows in files with a later commit seq are scored
+  * exactly at query time, so a stale index can never DROP rows. */
+final case class VectorIndexMeta(
+    column: String,
+    idColumn: String,
+    dim: Int,
+    centroids: Seq[Seq[Double]],
+    codebooks: Seq[Seq[Seq[Double]]],
+    nprobe: Int,
+    rerankTo: Int,
+    recallTarget: Double,
+    builtAtVersion: Long)
+
 /** Pointer to an immutable manifest file under the log dir holding a
   * `Seq[DataFile]` group — the Iceberg manifest-list indirection that
   * keeps per-commit snapshot JSON O(changed files) instead of O(table

@@ -327,6 +327,147 @@ class TxTable private (
     }
   }
 
+  // ---- persisted vector (ANN) index --------------------------------------
+
+  /**
+   * Build (or rebuild) a persisted IVF-PQ index over `vecCol` — the
+   * "train once, query many" artifact the ANN family needs at 100 TB
+   * (re-training per query is not a deployable plan; r12 VERDICT task
+   * 1). One build pays: quantizer training (`iters` Lloyd rounds for
+   * cells AND codebooks), ONE encoding pass (the corpus compresses to
+   * `m` code bytes + a cell id per row — what queries scan), and a
+   * recall CALIBRATION (`calibrateIndexed`: the smallest probe count
+   * whose held-out recall@k meets `recallTarget` — the measured
+   * operating point ships as the stored default, never the √nCells
+   * speed heuristic). Artifacts, the Bloom-sidecar pattern:
+   *  - `_index/vector_<col>/meta.json` — [[VectorIndexMeta]]
+   *    (quantizers + calibrated nprobe + covered version);
+   *  - `_index/vector_<col>/codes/` — parquet (id, cell, codes),
+   *    repartitioned+sorted by cell so a probe scan's `cell IN (…)`
+   *    prunes row groups.
+   * Returns the calibrated probe count.
+   */
+  def buildVectorIndex(idCol: String, vecCol: String, dim: Int,
+      k: Int = 10, recallTarget: Double = 0.9, sampleQueries: Int = 32,
+      nCells: Int = -1, m: Int = 8, kCodes: Int = 256, iters: Int = 3,
+      rerankTo: Int = 300): Int = {
+    import graft.operators.Similarity
+    val s = snapshot
+    val schema = schemaOf(s)
+    require(schema.fieldNames.contains(idCol) &&
+      schema.fieldNames.contains(vecCol),
+      s"vector index columns ($idCol, $vecCol) must be in the table schema")
+    val df = dfFor(s)
+    val model = Similarity.buildIndexModel(df, dim, k, recallTarget,
+      sampleQueries, nCells, m, kCodes, iters, rerankTo, idCol, vecCol)
+    val dir = vectorIndexPath(vecCol)
+    fs.delete(dir, true)
+    Similarity.encodeIvfPq(df, model, idCol, vecCol)
+      .repartition(col("cell")).sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(new Path(dir, "codes").toString)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val json = org.json4s.jackson.Serialization.write(VectorIndexMeta(
+      vecCol, idCol, dim, model.centroids, model.codebooks,
+      model.nprobe, model.rerankTo, recallTarget, s.version))
+    val out = fs.create(new Path(dir, "meta.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    vectorIndexCache = vectorIndexCache - vecCol
+    model.nprobe
+  }
+
+  private def vectorIndexPath(column: String): Path =
+    new Path(root, s"_index/vector_$column")
+
+  @transient private var vectorIndexCache: Map[String, (Long, VectorIndexMeta)] =
+    Map.empty
+
+  /** The persisted index's metadata, cached against the sidecar mtime. */
+  def vectorIndexMeta(column: String): Option[VectorIndexMeta] = synchronized {
+    val p = new Path(vectorIndexPath(column), "meta.json")
+    if (!fs.exists(p)) None
+    else {
+      val mtime = fs.getFileStatus(p).getModificationTime
+      vectorIndexCache.get(column) match {
+        case Some((t, m)) if t == mtime => Some(m)
+        case _ =>
+          implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+          val in = fs.open(p)
+          val json = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+            bos.toString("UTF-8")
+          } finally in.close()
+          val m = org.json4s.jackson.JsonMethods.parse(json)
+            .extract[VectorIndexMeta]
+          vectorIndexCache += column -> (mtime, m)
+          Some(m)
+      }
+    }
+  }
+
+  /**
+   * ANN top-k against the PERSISTED index: probes the stored
+   * calibrated number of cells, scans ONLY the codes parquet for those
+   * cells (`cell IN probes` prunes the cell-sorted row groups — the
+   * 100 TB plan reads code bytes for nprobe/nCells of the corpus,
+   * never vectors), exact-re-ranks the ADC short list against the
+   * TABLE's current rows, and exact-scores any rows the index does not
+   * cover. Freshness contract:
+   *  - rows APPENDED after the build (files with commit seq >
+   *    builtAtVersion) are exact-scored and merged in — a stale index
+   *    never drops them;
+   *  - rows DELETED/UPDATED since the build drop out at the re-rank
+   *    join (inner join by id against the current snapshot serves
+   *    current vectors) — which is why this path REQUIRES a positive
+   *    re-rank depth;
+   *  - periodic rebuilds keep the exact-scored delta small, like any
+   *    secondary index.
+   */
+  def vectorSearch(queries: DataFrame, k: Int,
+      vecCol: String = "embedding", nprobe: Int = -1, rerankTo: Int = -1,
+      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    import graft.operators.Similarity
+    val meta = vectorIndexMeta(vecCol).getOrElse(throw new IllegalStateException(
+      s"no vector index on $name.$vecCol — run buildVectorIndex first"))
+    val model = Similarity.VectorIndexModel(meta.dim, meta.centroids,
+      meta.codebooks, meta.nprobe, meta.rerankTo)
+    val rerank = if (rerankTo > 0) rerankTo else meta.rerankTo
+    require(rerank > 0,
+      "table-side vector search requires rerankTo > 0: the exact re-rank " +
+        "against the current snapshot is what retires deleted/updated rows")
+    val idCol = meta.idColumn
+    val s = snapshot
+    val current = dfFor(s)
+    val codes = spark.read.parquet(
+      new Path(vectorIndexPath(vecCol), "codes").toString)
+    val indexedTop = Similarity.searchIndexed(codes, current, queries,
+        model, k, nprobe, rerank, idCol, vecCol, queryId, queryVec)
+      .select(col(queryId), col(idCol), col("score"))
+    // files committed AFTER the build: exact cosine over just the
+    // delta (O(new rows)), unioned before the final top-k — scores are
+    // exact on both sides, so ranking is coherent and a row updated
+    // since the build (present in stale codes AND in a delta file)
+    // dedups to one exact score
+    val deltaFiles = s.files.filter(_.seq > meta.builtAtVersion)
+    val scored =
+      if (deltaFiles.isEmpty) indexedTop
+      else {
+        val delta = dfFor(s.copy(files = deltaFiles))
+        val deltaTop = Similarity.bruteForceTopK(delta, queries, k,
+            idCol, vecCol, queryId, queryVec)
+          .select(col(queryId), col(idCol), col("score"))
+        indexedTop.unionByName(deltaTop)
+          .groupBy(col(queryId), col(idCol))
+          .agg(max(col("score")).as("score"))
+      }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(queryId))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.select(col(queryId), col(idCol), col("score"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   // ---- metadata tables & tags ------------------------------------------
 
   /** Iceberg-style `files` metadata table: one row per data file of the

@@ -176,6 +176,31 @@ class OperatorsSpec extends SparkSpec {
     assert(ivfFull > ivf && lshDeep > lsh)
   }
 
+  test("ivf-pq DEFAULT path delivers the recall contract (>= 0.9)") {
+    // r12 VERDICT task 1: `nprobe <= 0` now means the MEASURED
+    // operating point — the index trains, encodes once, calibrates to
+    // recall@k >= 0.9 on a held-out sample, and searches there. The
+    // √nCells heuristic it replaced measured ~0.33 on this i.i.d.
+    // corpus; a user calling the defaults must get the contract.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 5 === 2).limit(8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(emb, queries, k = 10, dim = 64,
+        rerankTo = 300)           // everything else: shipped defaults
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"default-path recall@10 = $recall")
+    assert(recall >= 0.9, s"shipped-default recall@10 = $recall")
+    // plain IVF defaults calibrate too
+    val ivf = Similarity.ivfTopK(emb, queries, k = 10, dim = 64)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(s"ivf default-path recall@10 = $ivfRecall")
+    assert(ivfRecall >= 0.9, s"ivf shipped-default recall@10 = $ivfRecall")
+  }
+
   test("calibrateProbes finds a probe count meeting the recall target") {
     // measurement-driven probe selection: a recall SLO instead of the
     // √nCells speed heuristic — the calibrated count must actually
