@@ -599,6 +599,23 @@ object Bench {
     indexed.count()
     val (rCal, tCal) = timed(recallOf(
       Similarity.searchIndexed(indexed, emb, queries, model, k = 10)))
+    // index vs brute at an AMORTIZED query batch (~500): per-query the
+    // index scans nprobe/nCells of the corpus reading 8 code bytes per
+    // row vs a full pass of 64-dim cosines — the regime a deployment's
+    // query traffic actually runs in (50 queries mostly measure fixed
+    // per-job cost). The adversarial 10× corpus cannot show this:
+    // calibration demands ~85% probing there, and an index that scans
+    // 85% SHOULD lose to a clean scan — which the ann_recall section's
+    // numbers record honestly.
+    val batch = emb.filter(pmod(col("vec_id"), lit(397)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .cache()
+    val nBatch = batch.count()
+    val (_, bruteBatchSec) = timed(
+      Similarity.bruteForceTopK(emb, batch, k = 10).count())
+    val (_, idxBatchSec) = timed(
+      Similarity.searchIndexed(indexed, emb, batch, model, k = 10).count())
+    batch.unpersist()
     indexed.unpersist(); ground.unpersist(); queries.unpersist()
     emb.unpersist()
     s"""{"vectors":$nVec,"clusters":$nClust,"queries":$nQ,""" +
@@ -608,7 +625,10 @@ object Bench {
       s""""calibrated_nprobe":${model.nprobe},""" +
       s""""calibrated_recall":${f"$rCal%.4f"},""" +
       s""""build_sec":${f"$buildSec%.3f"},""" +
-      s""""query_sec":${f"$tCal%.3f"}}"""
+      s""""query_sec":${f"$tCal%.3f"},""" +
+      s""""batch_queries":$nBatch,""" +
+      s""""brute_batch_sec":${f"$bruteBatchSec%.3f"},""" +
+      s""""index_batch_sec":${f"$idxBatchSec%.3f"}}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }

@@ -46,7 +46,8 @@ private[catalog] object GraftProcedures {
     "rewrite_position_deletes",
     "rollback_to_version", "rollback_to_timestamp", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "add_files",
-    "analyze_table", "build_bloom_index", "shallow_clone", "index_commits")
+    "analyze_table", "build_bloom_index", "build_vector_index",
+    "refresh_vector_index", "shallow_clone", "index_commits")
 
   def load(name: String, cat: () => GraftTableCatalog): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, cat)) else None
@@ -98,6 +99,14 @@ private[catalog] object GraftProcedures {
           pDefault("columns", StringType, "NULL"))
         case "build_bloom_index" => Array(TableParam, p("column", StringType),
           pDefault("fpp", DoubleType, "0.001"))
+        case "build_vector_index" => Array(TableParam,
+          p("id_column", StringType), p("vector_column", StringType),
+          p("dim", IntegerType),
+          pDefault("recall_target", DoubleType, "0.9"),
+          pDefault("n_cells", IntegerType, "-1"),
+          pDefault("rerank_to", IntegerType, "300"))
+        case "refresh_vector_index" => Array(TableParam,
+          p("vector_column", StringType))
         case "shallow_clone" => Array(TableParam, p("destination", StringType),
           pDefault("version", LongType, "-1"))
         case "index_commits" => Array(TableParam)
@@ -170,6 +179,16 @@ private[catalog] object GraftProcedures {
           case "build_bloom_index" =>
             result("indexed_files" ->
               t.buildBloomIndex(input.getString(1), input.getDouble(2)))
+          case "build_vector_index" =>
+            // train + encode + CALIBRATE once; the sidecar ships the
+            // measured operating point (see TxTable.buildVectorIndex)
+            result("calibrated_nprobe" -> t.buildVectorIndex(
+              input.getString(1), input.getString(2), input.getInt(3),
+              recallTarget = input.getDouble(4), nCells = input.getInt(5),
+              rerankTo = input.getInt(6)))
+          case "refresh_vector_index" =>
+            result("encoded_rows" ->
+              t.refreshVectorIndex(input.getString(1)))
           case "shallow_clone" =>
             val parts = input.getString(1).split("\\.")
             require(parts.length == 2,

@@ -586,6 +586,125 @@ case class PqCodes(child: Expression, codebooks: Array[Double],
  * row) — ON THE SCORED-PAIR PATH, the hottest loop in ANN search; this
  * kernel is m array reads inside whole-stage codegen.
  */
+/**
+ * The whole per-query ADC lookup table in ONE kernel:
+ * lut[mi][j] = dot(query subvector mi, codeword j of subspace mi).
+ * The composed form — `array(array(dot(slice(query, …), lit(cw))))` —
+ * carried m·kCodes dot nodes plus as many literal arrays: 2,048
+ * expression nodes at the PQ-256 default, costing SECONDS of
+ * optimizer + janino work per plan (measured in the r13 bench: the
+ * index query path spent 27-37 s on a 20k-row corpus whose data work
+ * is milliseconds). Arithmetic is bit-identical to the composed form
+ * (index-order multiply-add per codeword), so the oracle-checked ADC
+ * scores are unchanged.
+ */
+case class AdcLut(child: Expression, codebooks: Array[Double],
+    m: Int, kCodes: Int, dSub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(m > 0 && kCodes > 0 && dSub > 0 &&
+    codebooks.length == m * kCodes * dSub,
+    s"bad AdcLut shape: ${codebooks.length} components for " +
+      s"$m x $kCodes x $dSub")
+
+  override def prettyName: String = "adc_lut"
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false),
+      containsNull = false)
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"$prettyName expects array<float|double>, got $t")
+  }
+  private lazy val elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+  override def nullable: Boolean = child.nullable || elemNullable
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val len = math.min(m * dSub, a.numElements())
+    val buf = new Array[Double](len)
+    var q = 0
+    while (q < len) {
+      if (elemNullable && a.isNullAt(q)) return null
+      buf(q) = if (elemIsFloat) a.getFloat(q).toDouble else a.getDouble(q)
+      q += 1
+    }
+    val rows = new Array[Any](m)
+    var mi = 0
+    while (mi < m) {
+      val row = new Array[Double](kCodes)
+      var j = 0
+      while (j < kCodes) {
+        var sum = 0.0
+        var i = 0
+        while (i < dSub && mi * dSub + i < len) {
+          sum += buf(mi * dSub + i) * codebooks((mi * kCodes + j) * dSub + i)
+          i += 1
+        }
+        row(j) = sum
+        j += 1
+      }
+      rows(mi) = new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cb = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+      val buf = ctx.addMutableState("double[]", "adcLutBuf",
+        v => s"$v = new double[${m * dSub}];")
+      val len = ctx.freshName("len")
+      val rows = ctx.freshName("rows")
+      val row = ctx.freshName("row")
+      val mi = ctx.freshName("mi")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val q = ctx.freshName("q")
+      val sum = ctx.freshName("sum")
+      val getter =
+        if (elemIsFloat) s"(double) $a.getFloat($q)" else s"$a.getDouble($q)"
+      val nullGuard =
+        if (elemNullable)
+          s"if ($a.isNullAt($q)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $len = java.lang.Math.min(${m * dSub}, $a.numElements());
+         |for (int $q = 0; $q < $len; $q++) {
+         |  $nullGuard
+         |  $buf[$q] = $getter;
+         |}
+         |if (!${ev.isNull}) {
+         |  Object[] $rows = new Object[$m];
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    double[] $row = new double[$kCodes];
+         |    for (int $j = 0; $j < $kCodes; $j++) {
+         |      double $sum = 0.0;
+         |      for (int $i = 0; $i < $dSub && $mi * $dSub + $i < $len; $i++) {
+         |        $sum += $buf[$mi * $dSub + $i] *
+         |          $cb[($mi * $kCodes + $j) * $dSub + $i];
+         |      }
+         |      $row[$j] = $sum;
+         |    }
+         |    $rows[$mi] =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($row);
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class AdcScore(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -147,13 +147,23 @@ object Similarity {
     * subspace mi) — m×kCodes doubles computed ONCE per query row (a
     * narrow map over the tiny query side), after which scoring a
     * corpus row is m table lookups instead of dim multiplies: the 8×
-    * compute win per (query, corpus) pair at corpus scale. */
+    * compute win per (query, corpus) pair at corpus scale. ONE native
+    * kernel ([[graft.functions.expressions.AdcLut]], bit-identical
+    * index-order arithmetic): the former composed
+    * `array(array(dot(slice…, lit(cw))))` tree carried m·kCodes dot
+    * nodes + literal arrays — 2,048 nodes at the PQ-256 default,
+    * SECONDS of optimizer/janino work per plan (the r13 bench's
+    * 27-37 s "query" cost on a 20k corpus was plan compilation). */
   private def adcLut(codebooks: Seq[Seq[Seq[Double]]], queryVec: String,
-      dSub: Int): org.apache.spark.sql.Column =
-    array(codebooks.zipWithIndex.map { case (cb, mi) =>
-      val sub = slice(col(queryVec), mi * dSub + 1, dSub)
-      array(cb.map(cw => dot(sub, typedlit(cw))): _*)
-    }: _*)
+      dSub: Int): org.apache.spark.sql.Column = {
+    val m = codebooks.size
+    val kCodes = codebooks.head.size
+    val flat = codebooks.flatten.flatten.toArray
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.expressions.AdcLut(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(queryVec)),
+        flat, m, kCodes, dSub))
+  }
 
   /** ADC score of a corpus row: Σ_mi lut[mi][codes[mi]], accumulated in
     * subspace order (deterministic association; equals
@@ -464,8 +474,13 @@ object Similarity {
           cosine(col(corpusVec), col(queryVec)).as("score"))
       topKByScore(scored, k, queryId, corpusId)
     } else {
-      val probedLut = probed.select(col(queryId), col("cell"),
+      // the LUT computes ONCE per query row (|q| kernel evaluations),
+      // then joins onto the |q|×nprobe probe rows — evaluating it per
+      // probe row multiplied the m×kCodes work nprobe× for nothing
+      val luts = queries.select(col(queryId),
         adcLut(model.codebooks, queryVec, model.dSub).as("__lut"))
+      val probedLut = probed.select(col(queryId), col("cell"))
+        .join(broadcast(luts), Seq(queryId))
       val scored = indexed.join(broadcast(probedLut), Seq("cell"))
         .select(col(queryId), col(corpusId),
           adcScore(col("__lut"), model.m).as("score"))
@@ -511,6 +526,15 @@ object Similarity {
    * re-trained the full index per point). Returns nCells when even
    * full probing misses the target (PQ error bound — raise `rerankTo`
    * or `kCodes`).
+   *
+   * The returned count carries a 1.25× SAFETY FACTOR (capped at
+   * nCells): the sample estimate is binomially noisy (σ ≈ 1.7% at
+   * 32 queries × k = 10 around p = 0.9), so "met the target on the
+   * sample" alone leaves ~half the mass below it on the population —
+   * measured on the adversarial 10× bench corpus, the unfactored
+   * point evaluated at 0.894 against a 0.9 target. The factor buys
+   * the margin for ≤25% extra probed fraction; recall only rises
+   * with probes, so it can never hurt correctness.
    */
   def calibrateIndexed(indexed: DataFrame, corpus: DataFrame,
       model: VectorIndexModel, k: Int = 10, recallTarget: Double = 0.9,
@@ -531,7 +555,7 @@ object Similarity {
       var np = autoProbes(model.nCells)
       while (np < model.nCells && recallAt(np) < recallTarget)
         np = math.min(model.nCells, np * 2)
-      np
+      math.min(model.nCells, math.ceil(np * 1.25).toInt)
     } finally { queries.unpersist(); ground.unpersist() }
   }
 

@@ -372,8 +372,49 @@ class TxTable private (
     val out = fs.create(new Path(dir, "meta.json"), true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    vectorIndexCache = vectorIndexCache - vecCol
+    synchronized { vectorIndexCache = vectorIndexCache - vecCol }
     model.nprobe
+  }
+
+  /**
+   * Incrementally extend the persisted index: encode ONLY the files
+   * committed after `builtAtVersion` with the STORED quantizers,
+   * append their codes to the sidecar, and advance the covered
+   * version — O(new rows), the maintenance op that makes the index
+   * shippable at 100 TB (re-encoding a whole corpus per append batch
+   * is not a plan; this is the secondary-index analog of small-file
+   * compaction). Quantizers and the calibrated probe count are
+   * UNCHANGED — the standard IVF maintenance trade: cell balance
+   * drifts as the corpus grows, so rebuild (`buildVectorIndex`) when
+   * the exact-scored delta or recall drift matters. Rows deleted or
+   * updated since any build keep their stale code rows; the re-rank
+   * join retires them and [[vectorSearch]] dedups by id, so
+   * correctness never depends on refresh timing. Returns the number
+   * of rows encoded.
+   */
+  def refreshVectorIndex(vecCol: String = "embedding"): Long = {
+    import graft.operators.Similarity
+    val meta = vectorIndexMeta(vecCol).getOrElse(throw new IllegalStateException(
+      s"no vector index on $name.$vecCol — run buildVectorIndex first"))
+    val s = snapshot
+    val deltaFiles = s.files.filter(_.seq > meta.builtAtVersion)
+    if (deltaFiles.isEmpty) return 0L
+    val delta = dfFor(s.copy(files = deltaFiles))
+    val model = Similarity.VectorIndexModel(meta.dim, meta.centroids,
+      meta.codebooks, meta.nprobe, meta.rerankTo)
+    val n = delta.count()
+    Similarity.encodeIvfPq(delta, model, meta.idColumn, vecCol)
+      .repartition(col("cell")).sortWithinPartitions("cell")
+      .write.mode("append")
+      .parquet(new Path(vectorIndexPath(vecCol), "codes").toString)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val json = org.json4s.jackson.Serialization.write(
+      meta.copy(builtAtVersion = s.version))
+    val out = fs.create(new Path(vectorIndexPath(vecCol), "meta.json"), true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    synchronized { vectorIndexCache = vectorIndexCache - vecCol }
+    n
   }
 
   private def vectorIndexPath(column: String): Path =
@@ -446,9 +487,7 @@ class TxTable private (
       .select(col(queryId), col(idCol), col("score"))
     // files committed AFTER the build: exact cosine over just the
     // delta (O(new rows)), unioned before the final top-k — scores are
-    // exact on both sides, so ranking is coherent and a row updated
-    // since the build (present in stale codes AND in a delta file)
-    // dedups to one exact score
+    // exact on both sides, so ranking is coherent
     val deltaFiles = s.files.filter(_.seq > meta.builtAtVersion)
     val scored =
       if (deltaFiles.isEmpty) indexedTop
@@ -458,12 +497,16 @@ class TxTable private (
             idCol, vecCol, queryId, queryVec)
           .select(col(queryId), col(idCol), col("score"))
         indexedTop.unionByName(deltaTop)
-          .groupBy(col(queryId), col(idCol))
-          .agg(max(col("score")).as("score"))
       }
+    // dedup by id UNCONDITIONALLY: a row updated since a build keeps
+    // its stale code row (refreshVectorIndex appends, never rewrites),
+    // so the same id can reach the shortlist twice — both re-ranked to
+    // the same exact score against the current snapshot
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(queryId))
       .orderBy(col("score").desc, col(idCol).asc)
-    scored.select(col(queryId), col(idCol), col("score"),
+    scored.groupBy(col(queryId), col(idCol))
+      .agg(max(col("score")).as("score"))
+      .select(col(queryId), col(idCol), col("score"),
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
   }

@@ -98,6 +98,65 @@ class VectorIndexSpec extends SparkSpec {
       s"deleted row $victim still served from the stale index")
   }
 
+  test("refreshVectorIndex encodes only the delta and folds it into the index") {
+    val t = embTable("vecidx_refresh")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val v0 = t.vectorIndexMeta("embedding").get.builtAtVersion
+    // nothing new → no-op
+    assert(t.refreshVectorIndex("embedding") === 0L)
+    // append an exact duplicate of vector 3 under a new id
+    val probe = t.toDF.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Any](0)
+    val fresh = Seq((200001L, probe.map(_.asInstanceOf[Number].floatValue())))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast(
+        t.toDF.schema("embedding").dataType))
+    t.append(fresh.select(t.toDF.columns.map(c =>
+      if (fresh.columns.contains(c)) col(c) else lit(null).cast(
+        t.toDF.schema(c).dataType).as(c)): _*))
+    assert(t.refreshVectorIndex("embedding") === 1L)
+    val meta = t.vectorIndexMeta("embedding").get
+    assert(meta.builtAtVersion > v0)
+    // the refreshed row now serves through the INDEX path (no delta
+    // files remain above builtAtVersion), at rank ≤ 2 for its source
+    val queries = t.toDF.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = t.vectorSearch(queries, k = 3).orderBy(col("rank"))
+      .select("vec_id").as[Long].collect()
+    assert(top.take(2).toSet === Set(3L, 200001L), s"got ${top.toSeq}")
+    // no id is ever served twice, whatever mix of stale/fresh code
+    // rows the append-only sidecar accumulates
+    val all = t.vectorSearch(queriesFrom(t, 6), k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(all.distinct.length === all.length)
+  }
+
+  test("build/refresh_vector_index are callable as V2 procedures") {
+    val cat = new TableCatalog(spark,
+      new Path(freshDir("vecidx_proc_wh")))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val t = cat.createTable("vec", "t", emb.schema, Nil)
+    t.append(emb)
+    spark.conf.set("spark.sql.catalog.vecproc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.vecproc.warehouse",
+      cat.warehouse.toString)
+    try {
+      val built = spark.sql("""CALL vecproc.system.build_vector_index(
+        table => 'vec.t', id_column => 'vec_id',
+        vector_column => 'embedding', dim => 64)""").collect()(0)
+      val np = built.getInt(0)
+      assert(np === t.vectorIndexMeta("embedding").get.nprobe)
+      val refreshed = spark.sql("""CALL vecproc.system.refresh_vector_index(
+        'vec.t', 'embedding')""").collect()(0)
+      assert(refreshed.getLong(0) === 0L)   // nothing new yet
+      val queries = queriesFrom(t, 4)
+      assert(t.vectorSearch(queries, k = 5).count() === 20L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.vecproc")
+      spark.conf.unset("spark.sql.catalog.vecproc.warehouse")
+    }
+  }
+
   test("searchIndexed over a reloaded codes parquet matches the in-memory path") {
     // the persisted artifact IS the index: a fresh read of the codes
     // parquet + stored model must produce the same top-k as encoding
