@@ -467,7 +467,16 @@ class TxTable private (
    */
   def vectorSearch(queries: DataFrame, k: Int,
       vecCol: String = "embedding", nprobe: Int = -1, rerankTo: Int = -1,
-      queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+      queryId: String = "query_id", queryVec: String = "query_vec",
+      /** FILTERED search (the FAISS IDSelector shape a curation
+        * pipeline needs — "top-k among lang = 'en'"): the predicate
+        * evaluates on the TABLE's rows and restricts candidates via a
+        * semi-join of the codes on the surviving ids BEFORE the probe
+        * scan — exact w.r.t. the index (never "top-k then filter",
+        * which under-fills k for selective predicates), O(selectivity
+        * × corpus) extra work, and the delta path filters the same
+        * way. */
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.operators.Similarity
     val meta = vectorIndexMeta(vecCol).getOrElse(throw new IllegalStateException(
       s"no vector index on $name.$vecCol — run buildVectorIndex first"))
@@ -479,9 +488,17 @@ class TxTable private (
         "against the current snapshot is what retires deleted/updated rows")
     val idCol = meta.idColumn
     val s = snapshot
-    val current = dfFor(s)
-    val codes = spark.read.parquet(
+    val current0 = dfFor(s)
+    val current = where.map(current0.filter).getOrElse(current0)
+    val codes0 = spark.read.parquet(
       new Path(vectorIndexPath(vecCol), "codes").toString)
+    val codes = where match {
+      case None => codes0
+      // the filtered-id semi-join ALSO retires deleted rows' stale
+      // codes for free (they have no current row to survive the join)
+      case Some(_) =>
+        codes0.join(current.select(col(idCol)), Seq(idCol), "left_semi")
+    }
     val indexedTop = Similarity.searchIndexed(codes, current, queries,
         model, k, nprobe, rerank, idCol, vecCol, queryId, queryVec)
       .select(col(queryId), col(idCol), col("score"))
@@ -492,7 +509,8 @@ class TxTable private (
     val scored =
       if (deltaFiles.isEmpty) indexedTop
       else {
-        val delta = dfFor(s.copy(files = deltaFiles))
+        val delta0 = dfFor(s.copy(files = deltaFiles))
+        val delta = where.map(delta0.filter).getOrElse(delta0)
         val deltaTop = Similarity.bruteForceTopK(delta, queries, k,
             idCol, vecCol, queryId, queryVec)
           .select(col(queryId), col(idCol), col("score"))

@@ -131,6 +131,32 @@ class VectorIndexSpec extends SparkSpec {
     assert(all.distinct.length === all.length)
   }
 
+  test("filtered search: predicate restricts candidates, k stays filled") {
+    // the FAISS IDSelector shape: top-k AMONG rows matching a metadata
+    // predicate — candidates semi-join on the filtered ids before the
+    // probe scan, so a selective predicate still fills k (never
+    // "top-k then filter")
+    val t = embTable("vecidx_filter")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val queries = queriesFrom(t, 6)
+    val pred = col("label") <= 4
+    val got = t.vectorSearch(queries, k = 10, where = Some(pred))
+    // every hit satisfies the predicate...
+    val hitIds = got.select("vec_id").as[Long].collect().toSet
+    val allowed = t.toDF.filter(pred).select("vec_id").as[Long].collect().toSet
+    assert(hitIds.subsetOf(allowed), s"filtered search leaked ${hitIds -- allowed}")
+    // ...k stays filled (enough candidates exist under this filter)...
+    val counts = got.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 10L))
+    // ...and recall vs brute-force ON THE FILTERED corpus holds
+    val exact = Similarity.bruteForceTopK(t.toDF.filter(pred), queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = got.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"filtered recall@10 = $recall")
+    assert(recall >= 0.85, s"filtered recall@10 = $recall")
+  }
+
   test("build/refresh_vector_index are callable as V2 procedures") {
     val cat = new TableCatalog(spark,
       new Path(freshDir("vecidx_proc_wh")))
