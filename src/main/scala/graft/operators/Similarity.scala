@@ -445,6 +445,19 @@ object Similarity {
       .select(col(queryId), col(queryVec), col("cell"))
   }
 
+  /** The DISTINCT cells a query batch will probe — driver-side, for
+    * pushing a LITERAL `cell IN (…)` filter into a persisted codes
+    * scan: the probe assignment itself is a broadcast join, and a
+    * join's dynamic keys never reach parquet row-group pruning; the
+    * collected set is bounded by min(|queries| × nprobe, nCells). */
+  def probedCellIds(queries: DataFrame, model: VectorIndexModel,
+      nprobe: Int = -1, queryId: String = "query_id",
+      queryVec: String = "query_vec"): Array[Int] = {
+    val np = if (nprobe > 0) nprobe else model.nprobe
+    probeCells(queries, model, np, queryId, queryVec)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted
+  }
+
   /**
    * Search an ENCODED corpus (from [[encodeIvfPq]], possibly read back
    * from a persisted sidecar): probe `nprobe` cells per query, score

@@ -490,8 +490,21 @@ class TxTable private (
     val s = snapshot
     val current0 = dfFor(s)
     val current = where.map(current0.filter).getOrElse(current0)
-    val codes0 = spark.read.parquet(
+    val codesAll = spark.read.parquet(
       new Path(vectorIndexPath(vecCol), "codes").toString)
+    // push the probed cells as a LITERAL IN filter: the per-query probe
+    // assignment is a broadcast join, whose dynamic keys never reach
+    // parquet row-group pruning — collecting the distinct probed cells
+    // (bounded by min(|queries| × nprobe, nCells); one tiny
+    // queries × centroids job) is what makes "scan only probed cells'
+    // codes" literally true on the cell-sorted sidecar. Skipped when
+    // the batch probes most cells anyway (the filter would prune
+    // nothing and a huge IN list costs planning time).
+    val probedCells = graft.operators.Similarity.probedCellIds(
+      queries, model, nprobe, queryId, queryVec)
+    val codes0 =
+      if (probedCells.length * 2 >= meta.centroids.size) codesAll
+      else codesAll.filter(col("cell").isin(probedCells.map(Int.box): _*))
     val codes = where match {
       case None => codes0
       // the filtered-id semi-join ALSO retires deleted rows' stale

@@ -157,6 +157,22 @@ class VectorIndexSpec extends SparkSpec {
     assert(recall >= 0.85, s"filtered recall@10 = $recall")
   }
 
+  test("probed cells push into the codes scan as a literal IN filter") {
+    // the 100 TB claim "scan only probed cells' codes" must be in the
+    // PLAN, not the prose: the probe assignment is a broadcast join
+    // (dynamic keys never reach parquet row-group pruning), so
+    // vectorSearch collects the distinct probed cells and pushes a
+    // literal IN — on the cell-sorted sidecar that prunes row groups
+    val t = embTable("vecidx_pushdown")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val queries = queriesFrom(t, 2)
+    val df = t.vectorSearch(queries, k = 5, nprobe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(cell"),
+      s"no pushed IN(cell) filter on the codes scan:\n${plan.take(2000)}")
+    assert(df.count() === 10L)
+  }
+
   test("build/refresh_vector_index are callable as V2 procedures") {
     val cat = new TableCatalog(spark,
       new Path(freshDir("vecidx_proc_wh")))
