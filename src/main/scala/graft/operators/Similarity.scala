@@ -636,20 +636,20 @@ object Similarity {
         corpusId, corpusVec, queryId, queryVec)
     else {
       val cached = indexed.cache()
-      try {
-        val np = calibrateIndexed(cached, corpus, model, k, recallTarget,
-          sampleQueries = 32, corpusId, corpusVec)
-        searchIndexed(cached, corpus, queries, model, k, np,
-          // calibration measured recall at the caller's own rerank
-          // setting (model.rerankTo == rerankTo), so the calibrated
-          // probe count is valid for exactly the output configuration
-          rerankTo, corpusId, corpusVec, queryId, queryVec)
-      } finally {
-        // the returned plan still references the cached encoding; drop
-        // it lazily after the next action via a listener-free approach:
-        // blocking unpersist would recompute — leave to Spark's LRU
-        cached.unpersist(blocking = false)
-      }
+      val np = calibrateIndexed(cached, corpus, model, k, recallTarget,
+        sampleQueries = 32, corpusId, corpusVec)
+      val result = searchIndexed(cached, corpus, queries, model, k, np,
+        // calibration measured recall at the caller's own rerank
+        // setting (model.rerankTo == rerankTo), so the calibrated
+        // probe count is valid for exactly the output configuration
+        rerankTo, corpusId, corpusVec, queryId, queryVec)
+      // the RETURNED plan still reads the cached encoding (it is lazy —
+      // an unpersist here would drop the cache before the caller's
+      // action and force a full re-encode); the listener drops it after
+      // the caller's first action over it, or after 64 unrelated
+      // queries if the result is abandoned
+      org.apache.spark.sql.graft.ColumnBridge.unpersistAfterFirstUse(cached)
+      result
     }
   }
 
@@ -819,14 +819,18 @@ object Similarity {
       if (nprobe > 0) nprobe
       else {
         // calibrate on the assigned cells (cached for the sweep AND
-        // the search below): smallest probe count whose held-out
-        // recall@k clears 0.9 — the shipped default delivers the
-        // contract; callers wanting the raw heuristic pass
-        // autoProbes(nCells) explicitly
+        // the search below — the returned lazy plan reads it, so the
+        // listener drops the cache after the caller's first action):
+        // smallest probe count whose held-out recall@k clears 0.9 —
+        // the shipped default delivers the contract; callers wanting
+        // the raw heuristic pass autoProbes(nCells) explicitly
         val model = VectorIndexModel(dim,
           centroids.map(_._2.toSeq).toSeq, Nil, autoProbes(cellCount), 0)
-        calibrateIndexed(cells.cache(), corpus, model, k = k,
+        val cached = cells.cache()
+        val np = calibrateIndexed(cached, corpus, model, k = k,
           recallTarget = 0.9, sampleQueries = 32, corpusId, corpusVec)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistAfterFirstUse(cached)
+        np
       }
     val cs = centroidDf(centroids)
     val probeW = Window.partitionBy(col(queryId))

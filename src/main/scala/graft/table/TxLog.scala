@@ -350,8 +350,31 @@ object TxLog {
     * [[layoutAppendDelta]]). */
   private final case class TrustedHead(version: Long, stored: Snapshot,
       served: Snapshot)
-  private val headTrusted =
-    new java.util.concurrent.ConcurrentHashMap[String, TrustedHead]()
+  // Size-weighted LRU, the layoutCache discipline: each TrustedHead
+  // holds two O(table-files) snapshots, so an unbounded per-logDir map
+  // in a long-lived process committing to many tables would accumulate
+  // every table's resolved file vector forever. Evict least-recently-
+  // used entries past the total-file-entry budget, always keeping the
+  // entry just written; a miss only costs the probing discovery path.
+  private val HeadTrustedMaxEntries = 1000000L
+  private val headTrusted = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, TrustedHead](16, 0.75f, true))
+  private def headTrustedPut(logDir: String, th: TrustedHead): Unit =
+    headTrusted.synchronized {
+      headTrusted.put(logDir, th)
+      var total = 0L
+      val it0 = headTrusted.values.iterator()
+      while (it0.hasNext) total += it0.next().served.files.size
+      val it = headTrusted.entrySet().iterator()
+      while (total > HeadTrustedMaxEntries && headTrusted.size() > 1 &&
+          it.hasNext) {
+        val e = it.next()
+        if (e.getKey != logDir) {
+          total -= e.getValue.served.files.size
+          it.remove()
+        }
+      }
+    }
 
   /** Writer-path head discovery: the process's own last-committed
     * version when available (zero round-trips — the CAS arbitrates
@@ -1211,7 +1234,7 @@ object TxLog {
         if (laid.manifestList.isDefined && laid.manifests.isEmpty)
           laid.copy(manifests = layoutState.manifests)
         else laid
-      headTrusted.put(logDir.toString,
+      headTrustedPut(logDir.toString,
         TrustedHead(next, storedView,
           storedView.copy(files = layoutState.resolvedFiles)))
     } else headTrusted.remove(logDir.toString)
@@ -1267,7 +1290,7 @@ object TxLog {
       layoutCache.keySet.removeIf(covers)
     }
     headCache.keySet.removeIf(covers)
-    headTrusted.keySet.removeIf(covers)
+    headTrusted.synchronized { headTrusted.keySet.removeIf(covers) }
     headStatusHandoff.keySet.removeIf(covers)
   }
 
