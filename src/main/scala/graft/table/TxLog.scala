@@ -350,31 +350,16 @@ object TxLog {
     * [[layoutAppendDelta]]). */
   private final case class TrustedHead(version: Long, stored: Snapshot,
       served: Snapshot)
-  // Size-weighted LRU, the layoutCache discipline: each TrustedHead
+  // Size-weighted bounded cache with LOCK-FREE reads: each TrustedHead
   // holds two O(table-files) snapshots, so an unbounded per-logDir map
   // in a long-lived process committing to many tables would accumulate
-  // every table's resolved file vector forever. Evict least-recently-
-  // used entries past the total-file-entry budget, always keeping the
-  // entry just written; a miss only costs the probing discovery path.
-  private val HeadTrustedMaxEntries = 1000000L
-  private val headTrusted = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, TrustedHead](16, 0.75f, true))
-  private def headTrustedPut(logDir: String, th: TrustedHead): Unit =
-    headTrusted.synchronized {
-      headTrusted.put(logDir, th)
-      var total = 0L
-      val it0 = headTrusted.values.iterator()
-      while (it0.hasNext) total += it0.next().served.files.size
-      val it = headTrusted.entrySet().iterator()
-      while (total > HeadTrustedMaxEntries && headTrusted.size() > 1 &&
-          it.hasNext) {
-        val e = it.next()
-        if (e.getKey != logDir) {
-          total -= e.getValue.served.files.size
-          it.remove()
-        }
-      }
-    }
+  // every table's resolved file vector forever — but the head read is
+  // the hottest path in the log, so the bound must not put a global
+  // mutex on it (see [[BoundedWeightCache]]: ConcurrentHashMap gets, a
+  // running weight total, eviction only when the budget trips). A miss
+  // only costs the probing discovery path.
+  private val headTrusted = new BoundedWeightCache[TrustedHead](
+    1000000L, th => th.served.files.size.toLong)
 
   /** Writer-path head discovery: the process's own last-committed
     * version when available (zero round-trips — the CAS arbitrates
@@ -1223,7 +1208,7 @@ object TxLog {
     else rawCache.remove((logDir.toString, next))
     // the head layout state updates only AFTER the CAS published this
     // version — a lost race throws above and can never poison it
-    layoutCachePut(logDir.toString, layoutState)
+    layoutCache.put(logDir.toString, layoutState)
     headCacheAdvance(logDir, next)
     // the just-published head is served from memory until superseded:
     // its existence is CAS-proven, its bytes are known, headers are
@@ -1234,7 +1219,7 @@ object TxLog {
         if (laid.manifestList.isDefined && laid.manifests.isEmpty)
           laid.copy(manifests = layoutState.manifests)
         else laid
-      headTrustedPut(logDir.toString,
+      headTrusted.put(logDir.toString,
         TrustedHead(next, storedView,
           storedView.copy(files = layoutState.resolvedFiles)))
     } else headTrusted.remove(logDir.toString)
@@ -1286,11 +1271,9 @@ object TxLog {
     chunkCache.synchronized {
       chunkCache.keySet.removeIf(e => covers(e._1))
     }
-    layoutCache.synchronized {
-      layoutCache.keySet.removeIf(covers)
-    }
+    layoutCache.removeIf(covers)
     headCache.keySet.removeIf(covers)
-    headTrusted.synchronized { headTrusted.keySet.removeIf(covers) }
+    headTrusted.removeIf(covers)
     headStatusHandoff.keySet.removeIf(covers)
   }
 
@@ -1395,31 +1378,16 @@ object TxLog {
         * read ever walks O(table files). */
       resolvedFiles: Vector[DataFile])
 
-  // Size-weighted LRU (ADVICE r11): each LayoutState holds an O(table
-  // files) path→entry map, so an unbounded per-logDir cache in a
-  // long-lived process committing to many tables accumulates head
-  // states indefinitely. Evict least-recently-used states once the
-  // TOTAL cached file entries exceed the budget (1M entries ≈ the
-  // 10⁵-file target shape × 10 tables); a miss only costs one full-
-  // layout fallback on that table's next commit. Always keep the last
-  // state touched, however large — evicting the table being committed
-  // to would defeat the cache entirely.
-  private val LayoutCacheMaxEntries = 1000000L
-  private val layoutCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, LayoutState](16, 0.75f, true))
-  private def layoutCachePut(logDir: String, state: LayoutState): Unit =
-    layoutCache.synchronized {
-      layoutCache.put(logDir, state)
-      var total = 0L
-      val it0 = layoutCache.values.iterator()
-      while (it0.hasNext) total += it0.next().byPath.size
-      val it = layoutCache.entrySet().iterator()
-      while (total > LayoutCacheMaxEntries && layoutCache.size() > 1 &&
-          it.hasNext) {
-        val e = it.next()
-        if (e.getKey != logDir) { total -= e.getValue.byPath.size; it.remove() }
-      }
-    }
+  // Size-weighted bound (ADVICE r11): each LayoutState holds an
+  // O(table-files) path→entry map, so an unbounded per-logDir cache in
+  // a long-lived process committing to many tables accumulates head
+  // states indefinitely. Shared machinery with the trusted-head cache
+  // ([[BoundedWeightCache]]: lock-free gets, running total, eviction
+  // only past the 1M-file-entry budget, never the entry just written);
+  // a miss only costs one full-layout fallback on that table's next
+  // commit.
+  private val layoutCache = new BoundedWeightCache[LayoutState](
+    1000000L, st => st.byPath.size.toLong)
 
   /** O(delta) layout for a commit that only ADDS files on top of the
     * cached head state: one verification pass over the caller's list
@@ -1656,6 +1624,77 @@ object TxLog {
  * already taken, and must never leave a partially-readable object at
  * `target`.
  */
+/**
+ * Size-weighted bounded cache with LOCK-FREE reads — the shape both
+ * per-logDir head caches need ([[TxLog]]'s trusted heads and layout
+ * states): values can be O(table-files) large, so the TOTAL weight is
+ * bounded, but the get path is the engine's hottest metadata read and
+ * must never serialize unrelated tables behind one mutex (the
+ * LinkedHashMap-LRU shape did exactly that, and re-summed every
+ * entry's weight under the lock on every put).
+ *
+ *  - `get` is a plain ConcurrentHashMap read plus one volatile stamp
+ *    write (approximate LRU via a logical clock — no wall time);
+ *  - `put` maintains a RUNNING total (O(1) when under budget; entries
+ *    weigh max(1, weigh(v)) so zero-weight values still count and the
+ *    entry COUNT stays bounded too);
+ *  - eviction runs only when the budget trips, single-threaded,
+ *    dropping least-recently-STAMPED entries but never the one just
+ *    written. Eviction is an optimization-cache miss for the owner,
+ *    never a correctness event.
+ */
+private[table] final class BoundedWeightCache[V <: AnyRef](
+    maxWeight: Long, weigh: V => Long) {
+
+  private final class Entry(val v: V, val w: Long) {
+    @volatile var used: Long = 0L
+  }
+  private val tick = new java.util.concurrent.atomic.AtomicLong()
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private val total = new java.util.concurrent.atomic.AtomicLong()
+
+  def get(k: String): V = {
+    val e = m.get(k)
+    if (e == null) null.asInstanceOf[V]
+    else { e.used = tick.incrementAndGet(); e.v }
+  }
+
+  def put(k: String, v: V): Unit = {
+    val e = new Entry(v, math.max(1L, weigh(v)))
+    e.used = tick.incrementAndGet()
+    val old = m.put(k, e)
+    total.addAndGet(e.w - (if (old == null) 0L else old.w))
+    if (total.get() > maxWeight) evict(keep = k)
+  }
+
+  def remove(k: String): Unit = {
+    val old = m.remove(k)
+    if (old != null) total.addAndGet(-old.w)
+  }
+
+  def removeIf(p: String => Boolean): Unit = {
+    val it = m.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); if (p(k)) remove(k) }
+  }
+
+  private def evict(keep: String): Unit = synchronized {
+    while (total.get() > maxWeight && m.size() > 1) {
+      var oldestK: String = null
+      var oldestUsed = Long.MaxValue
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey != keep && e.getValue.used < oldestUsed) {
+          oldestUsed = e.getValue.used
+          oldestK = e.getKey
+        }
+      }
+      if (oldestK == null) return
+      remove(oldestK)
+    }
+  }
+}
+
 trait CommitProtocol {
   def putIfAbsent(f: FileSystem, target: Path, content: Array[Byte],
       next: Long, expected: Option[Long]): Unit
