@@ -49,6 +49,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def name(): String = catalogName
 
+  /** Bare (one-part) references resolve under `default` — the same
+    * namespace the text surface's CREATE TABLE defaults to; without
+    * this the clone's current namespace is empty and a bare name died
+    * in ns1's require instead of resolving (or cleanly not-found). */
+  override def defaultNamespace(): Array[String] = Array("default")
+
   /** DEFAULT-valued columns are accepted in CREATE/ALTER (stored as
     * Spark's standard schema-metadata keys — see
     * [[graft.table.TxTable.CurrentDefaultKey]]). */
@@ -110,6 +116,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val b = ident.name().stripPrefix("branch_")
       if (t.branches.contains(b)) return new GraftV2Table(t.branch(b))
     }
+    // an unknown sub-table suffix (graft.ns.t.snapshots) or a missing
+    // branch falls through to here with a 2-level namespace — Spark's
+    // resolution contract wants NoSuchTableException ("not found"),
+    // not ns1's IllegalArgumentException (which aborts analysis with a
+    // misleading namespace error)
+    if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val (ns, tbl) = (ns1(ident.namespace()), ident.name())
     // ONE head resolution per load: the returned table pins the
     // snapshot it resolved (the V2 contract — a loaded table serves a
@@ -129,6 +141,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * branch/tag addressing shape). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val cat = inner
+    if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val (ns, tbl) = (ns1(ident.namespace()), ident.name())
     if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
     val t = cat.getTable(ns, tbl)
@@ -147,6 +160,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * version committed at or before that instant. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val cat = inner
+    if (ident.namespace().length != 1) throw new NoSuchTableException(ident)
     val (ns, tbl) = (ns1(ident.namespace()), ident.name())
     if (!cat.tableExists(ns, tbl)) throw new NoSuchTableException(ident)
     val t = cat.getTable(ns, tbl)

@@ -206,9 +206,26 @@ object GraftSql {
       conf.getOption(s"spark.sql.catalog.$c")
         .contains(classOf[graft.catalog.GraftCatalog].getName) &&
       conf.getOption(s"spark.sql.catalog.$c.warehouse").exists(w =>
-        new org.apache.hadoop.fs.Path(w).toUri.getPath ==
-          cat.warehouse.toUri.getPath)
+        sameWarehouse(new org.apache.hadoop.fs.Path(w), cat.warehouse))
     }
+
+  /** Warehouse identity for alias governance: scheme + authority +
+    * NORMALIZED path. Path-only comparison (the previous form) both
+    * over- and under-matched: a DIFFERENT store with the same path
+    * (s3a://staging/wh vs s3a://prod/wh) was governed by this
+    * warehouse's grants, while a same-directory spelling with ../
+    * segments shed them. A missing scheme means the default (local)
+    * filesystem, equivalent to an explicit file: URI. */
+  private def sameWarehouse(a: org.apache.hadoop.fs.Path,
+      b: org.apache.hadoop.fs.Path): Boolean = {
+    val (ua, ub) = (a.toUri, b.toUri)
+    def scheme(u: java.net.URI) = Option(u.getScheme).getOrElse("file")
+    def auth(u: java.net.URI) = Option(u.getAuthority).getOrElse("")
+    def norm(u: java.net.URI) =
+      try java.nio.file.Paths.get(u.getPath).normalize().toString
+      catch { case _: Exception => u.getPath }
+    scheme(ua) == scheme(ub) && auth(ua) == auth(ub) && norm(ua) == norm(ub)
+  }
 
   /** Register (idempotently) the V2 catalog plugin for this warehouse
     * and return its session catalog name — lets callers address tables
@@ -293,6 +310,9 @@ object GraftSql {
     if (m == null) open() else m.getOrElseUpdate((ns, tbl), open())
   }
 
+  private val ExecImmediateRe =
+    """(?is)\s*EXECUTE\s+IMMEDIATE\b.*""".r
+
   private def nativeSql(cat: TableCatalog, text: String): DataFrame = {
     // session-MUTATING statements must not run on the routing clone
     // (their effect would vanish with it): SET/RESET and single-part
@@ -300,6 +320,14 @@ object GraftSql {
     // routing at all; CREATE TEMP VIEW runs on the clone so `ns.tbl`
     // references resolve, then the registered view copies back.
     text match {
+      case ExecImmediateRe() =>
+        // the embedded statement is a STRING inside the plan — the
+        // governed walks below cannot see its relations, so it would
+        // run with zero ACL checks; belt-and-braces with the
+        // plan-level gate in enforceReadAcl (leading comments)
+        throw new SecurityException(
+          "EXECUTE IMMEDIATE is closed through this surface: its embedded " +
+            "statement would run outside the governed plan walk")
       case SessionSetRe() =>
         // the caller's principal is set by the EMBEDDING GATEWAY via
         // spark.conf, never by SQL text — otherwise any denied
@@ -646,10 +674,15 @@ object GraftSql {
       case DropViewRe(ifExists, rawName)
           // a TEMP view shadows a stored view of the same bare name
           // (Spark's own precedence) — its drop belongs to the real
-          // session, not the stored-view registry
-          if !(rawName != null && !rawName.contains(".") &&
+          // session, not the stored-view registry; global_temp.<v> is
+          // ALWAYS the session registry's business (routing it here
+          // probed <warehouse>/global_temp/_views and left the live
+          // view and its ownership record behind)
+          if !(rawName != null && ((!rawName.contains(".") &&
             spark.sessionState.catalog
-              .getRawTempView(cleanIdent(rawName)).isDefined) =>
+              .getRawTempView(cleanIdent(rawName)).isDefined) ||
+            rawName.toLowerCase(java.util.Locale.ROOT)
+              .startsWith("global_temp."))) =>
         val (ns, v) = splitName(rawName)
         val existed = graft.catalog.GraftViews.drop(spark, cat.warehouse,
           org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), v))
@@ -669,6 +702,7 @@ object GraftSql {
       case SetPartSpecRe(rawName, list) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")          // rewrites/evolves physical layout
         val spec = parsePartSpec(list)
         val v =
           if (spec.forall(_.isIdentity)) t.repartitionTable(spec.map(_.name))
@@ -685,6 +719,7 @@ object GraftSql {
         val set = splitTopLevel(setList, ',').map { assignment =>
           val eq = topLevelIndexOf(assignment, '=')
           require(eq > 0, s"malformed SET assignment: '$assignment'")
+          requireNoSubquery(assignment.substring(eq + 1), "SET assignments")
           cleanIdent(assignment.substring(0, eq)) ->
             org.apache.spark.sql.functions.expr(assignment.substring(eq + 1))
         }.toMap
@@ -731,6 +766,18 @@ object GraftSql {
         val t = cat.getTable(ns, tbl)
         aclCheck(t, "INSERT")
         aclCheck(t, "SELECT")   // MERGE reads matched target rows
+        // the source query IS governed (nativeSql below); the ON /
+        // branch-condition / assignment strings are NOT (they parse
+        // raw inside the merge) — block subqueries in each
+        requireNoSubquery(pm.on, "MERGE ON conditions")
+        (pm.matched ++ pm.bySource).foreach { b =>
+          b.cond.foreach(requireNoSubquery(_, "MERGE branch conditions"))
+          b.assignments.foreach(_.values.foreach(
+            requireNoSubquery(_, "MERGE assignments")))
+        }
+        pm.notMatched.foreach { b =>
+          b.cond.foreach(requireNoSubquery(_, "MERGE branch conditions"))
+        }
         val src = nativeSql(cat, pm.sourceQuery)
         val v = t.mergeBranches(src, pm.tgtAlias, pm.srcAlias, pm.on,
           pm.matched, pm.notMatched, pm.bySource)
@@ -851,6 +898,7 @@ object GraftSql {
       case WriteOrderedRe(rawName, colList) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")          // declares the write layout
         val cols = colList.split(",").map(cleanIdent).toSeq.filter(_.nonEmpty)
         val unknown = cols.filterNot(t.schema.fieldNames.contains)
         require(unknown.isEmpty,
@@ -860,8 +908,9 @@ object GraftSql {
         Seq(s"WRITE ORDER $ns.$tbl (${cols.mkString(", ")}) v$v").toDF("result")
       case WriteUnorderedRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        val v = cat.getTable(ns, tbl)
-          .unsetProperties(Seq(graft.table.TxTable.SortOrderProperty))
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")
+        val v = t.unsetProperties(Seq(graft.table.TxTable.SortOrderProperty))
         Seq(s"WRITE UNORDERED $ns.$tbl v$v").toDF("result")
       // bulk file ingest: idempotent COPY INTO (Delta surface) and
       // metadata-only ADD FILES (the Iceberg add_files procedure) —
@@ -982,15 +1031,20 @@ object GraftSql {
           .toDF("key", "value")
       case AddConstraintRe(rawName, cname, cond) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        val v = cat.getTable(ns, tbl).addConstraint(cleanIdent(cname), cond.trim)
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")    // a CHECK(false) would block every write
+        val v = t.addConstraint(cleanIdent(cname), cond.trim)
         Seq(s"ADDED CONSTRAINT ${cleanIdent(cname)} ON $ns.$tbl v$v").toDF("result")
       case DropConstraintRe(rawName, cname) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
-        val v = cat.getTable(ns, tbl).dropConstraint(cleanIdent(cname))
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "INSERT")    // removes write-time enforcement
+        val v = t.dropConstraint(cleanIdent(cname))
         Seq(s"DROPPED CONSTRAINT ${cleanIdent(cname)} ON $ns.$tbl v$v").toDF("result")
       case AnalyzeRe(rawName, allCols, colList) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
+        fullSelectCheck(t)   // scans every row; stats reveal hidden cells
         val cols =
           if (colList != null) colList.split(",").map(cleanIdent).toSeq
           else Nil                       // ALL COLUMNS and bare form alike
@@ -1773,6 +1827,11 @@ object GraftSql {
           found = fromParts(r.multipartIdentifier)
         case r: UnresolvedTableOrView if found.isEmpty =>
           found = fromParts(r.multipartIdentifier)
+        // REPLACE TABLE [AS SELECT] wraps its target in an
+        // UnresolvedIdentifier, not an UnresolvedTable
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+            if found.isEmpty =>
+          found = fromParts(r.nameParts)
         case _ => ()
       }
       found
@@ -1830,6 +1889,37 @@ object GraftSql {
       case d: DeleteFromTable            => writeCheck(d.table)
       case u: UpdateTable                => writeCheck(u.table)
       case m: MergeIntoTable             => writeCheck(m.targetTable)
+      // time travel hides its relation inside an UnresolvedLeafNode
+      // (RelationTimeTravel's relation is a FIELD, not a child), so
+      // the read walk below never sees it — and historic versions
+      // serve UNSCOPED rows no column/row-scope rewrite can reach, so
+      // the full-select bar applies (like .changes and branch reads)
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        tt.relation.foreach {
+          case r: UnresolvedRelation =>
+            fromParts(r.multipartIdentifier).foreach { case (ns, t) =>
+              tableFor(ns, t).foreach(fullSelectCheck)
+            }
+          case _ => ()
+        }
+      // destructive DDL through the V2 path: REPLACE/RENAME destroys a
+      // governed table's data and its ACL with it — owners only, the
+      // DROP TABLE bar; column surgery mutates the schema — the write
+      // bar (a zero-grant principal could otherwise drop a governed
+      // table's columns or replace it outright)
+      case _: org.apache.spark.sql.catalyst.analysis.UnresolvedExecuteImmediate =>
+        throw new SecurityException(
+          "EXECUTE IMMEDIATE is closed through this surface: its embedded " +
+            "statement would run outside the governed plan walk")
+      case rt: ReplaceTable              => ownerGate(rt.name)
+      case rt: ReplaceTableAsSelect      => ownerGate(rt.name)
+      case rn: RenameTable               => ownerGate(rn.child)
+      case sl: SetTableLocation          => ownerGate(sl.table)
+      case ac: AddColumns                => writeCheck(ac.table)
+      case rc: ReplaceColumns            => writeCheck(rc.table)
+      case dc: DropColumns               => writeCheck(dc.table)
+      case rn: RenameColumn              => writeCheck(rn.table)
+      case al: AlterColumns              => writeCheck(al.table)
       // property edits through the V2 catalog (3-part ALTER TABLE):
       // touching graft.acl.* is grant administration — owners only,
       // exactly like the regex-arm TBLPROPERTIES door
@@ -2193,9 +2283,38 @@ object GraftSql {
     }
 
   /** WHERE-less DML touches every row (standard SQL). */
-  private def predicateOf(where: String): org.apache.spark.sql.Column =
+  /** Reject subqueries inside a DML expression string (UPDATE SET /
+    * WHERE, DELETE WHERE, MERGE ON / branch conditions / assignment
+    * values): these expressions evaluate OUTSIDE the governed plan
+    * walk — straight `expr()` on the target's rows — so a scalar /
+    * EXISTS / IN subquery inside one would read ANY table through the
+    * registered catalog with no ACL check (the exact reasoning
+    * validateRowFilter documents for row filters). Read-your-own-data
+    * DML stays; cross-table logic belongs in a governed SELECT. */
+  private def requireNoSubquery(text: String, where: String): Unit = {
+    if (text == null) return
+    // functions.expr is LAZY in Spark 4 (it wraps the raw text in a
+    // SqlExpression node parsed only at analysis) — parse with the
+    // real parser to see the catalyst tree
+    val parsed =
+      try org.apache.spark.sql.graft.ColumnBridge.parseExpression(
+        org.apache.spark.sql.SparkSession.active, text)
+      catch { case _: Exception => return }   // malformed → fails later
+    val hasSubquery = parsed.exists {
+      case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+      case _ => false
+    }
+    if (hasSubquery) throw new SecurityException(
+      s"subqueries are not allowed in $where through this surface: they " +
+        "would read tables outside the governed plan walk (run a governed " +
+        "SELECT and pass its result instead)")
+  }
+
+  private def predicateOf(where: String): org.apache.spark.sql.Column = {
+    requireNoSubquery(where, "DML predicates")
     if (where == null) org.apache.spark.sql.functions.lit(true)
     else org.apache.spark.sql.functions.expr(where)
+  }
 
   /** Split `s` at the first TOP-LEVEL (outside quotes/parens) occurrence
     * of the keyword; returns (before, after-or-null). Case-insensitive,

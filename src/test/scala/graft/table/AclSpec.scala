@@ -522,4 +522,123 @@ class AclSpec extends SparkSpec {
       catch { case _: Exception => () }
     }
   }
+
+  test("time travel, EXECUTE IMMEDIATE, replace/alter DDL, and DML subqueries are governed") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_doors13")))
+    GraftSql.sql(cat, "CREATE TABLE sec.t (id INT, v STRING)")
+    GraftSql.sql(cat, "INSERT INTO sec.t VALUES (1, 'a'), (2, 'b')")
+    GraftSql.sql(cat, "CREATE TABLE pub.mine (c INT)")
+    GraftSql.sql(cat, "INSERT INTO pub.mine VALUES (7)")
+    as("admin") { GraftSql.sql(cat, "GRANT ALL ON sec.t TO admin") }
+    as("mallory") {
+      GraftSql.sql(cat, "GRANT ALL ON pub.mine TO mallory")
+
+      // time travel: RelationTimeTravel hides its relation from the
+      // plan walk — both forms must hit the full-select bar
+      intercept[SecurityException](GraftSql.sql(cat,
+        "SELECT * FROM sec.t VERSION AS OF 1").collect())
+      intercept[SecurityException](GraftSql.sql(cat,
+        "SELECT * FROM sec.t TIMESTAMP AS OF '2099-01-01 00:00:00'").collect())
+
+      // EXECUTE IMMEDIATE: the embedded statement is a string the
+      // governance walks cannot see
+      intercept[SecurityException](GraftSql.sql(cat,
+        "EXECUTE IMMEDIATE 'SELECT * FROM sec.t'").collect())
+
+      // destructive DDL through the V2 path: replace destroys data AND
+      // the ACL; column surgery mutates a governed schema
+      intercept[SecurityException](GraftSql.sql(cat,
+        "CREATE OR REPLACE TABLE sec.t AS SELECT 1 AS x").collect())
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE sec.t DROP COLUMN v").collect())
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE sec.t RENAME COLUMN v TO w").collect())
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE sec.t RENAME TO sec.stolen").collect())
+
+      // DML expression subqueries would read OTHER tables outside the
+      // governed walk — blocked in UPDATE SET/WHERE, DELETE, MERGE
+      intercept[SecurityException](GraftSql.sql(cat,
+        "UPDATE pub.mine SET c = (SELECT max(id) FROM sec.t)"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        "DELETE FROM pub.mine WHERE c IN (SELECT id FROM sec.t)"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        """MERGE INTO pub.mine t USING (SELECT 7 AS c) s
+           ON t.c = s.c AND t.c = (SELECT max(id) FROM sec.t)
+           WHEN MATCHED THEN UPDATE SET c = s.c"""))
+
+      // maintenance arms now take the write/full-select bar
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE sec.t ADD CONSTRAINT block CHECK (false)"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE sec.t SET PARTITION SPEC (bucket(8, id))"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER TABLE sec.t WRITE ORDERED BY (id)"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ANALYZE TABLE sec.t COMPUTE STATISTICS"))
+    }
+    // the granted principal keeps every door
+    as("admin") {
+      assert(GraftSql.sql(cat, "SELECT * FROM sec.t VERSION AS OF 0")
+        .count() === 0L)                       // v0 = empty CREATE state
+      GraftSql.sql(cat, "ANALYZE TABLE sec.t COMPUTE STATISTICS")
+      GraftSql.sql(cat, "ALTER TABLE sec.t WRITE ORDERED BY (id)")
+      GraftSql.sql(cat, "ALTER TABLE sec.t ADD CONSTRAINT ok CHECK (id > 0)")
+      GraftSql.sql(cat, "ALTER TABLE sec.t DROP CONSTRAINT ok")
+    }
+    // data unharmed by the denied attempts
+    as("admin") {
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sec.t")
+        .collect()(0).getLong(0) === 2L)
+    }
+  }
+
+  test("DROP VIEW global_temp.<v> routes to the session registry") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_gtv_drop")))
+    GraftSql.sql(cat, "CREATE TABLE gt.t (id INT)")
+    GraftSql.sql(cat, "INSERT INTO gt.t VALUES (1)")
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON gt.t TO admin")
+      GraftSql.sql(cat, "CREATE GLOBAL TEMP VIEW gdrop_v AS SELECT * FROM gt.t")
+      assert(spark.catalog.tableExists("global_temp.gdrop_v"))
+      GraftSql.sql(cat, "DROP VIEW global_temp.gdrop_v")
+      assert(!spark.catalog.tableExists("global_temp.gdrop_v"),
+        "global temp view survived its drop (mis-routed to the stored registry)")
+    }
+  }
+
+  test("a GraftCatalog alias over a DIFFERENT warehouse is not governed by this one") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_wh_a")))
+    GraftSql.sql(cat, "CREATE TABLE ns.t (id INT)")
+    GraftSql.sql(cat, "INSERT INTO ns.t VALUES (1)")
+    as("admin") { GraftSql.sql(cat, "GRANT ALL ON ns.t TO admin") }
+    // another warehouse whose PATH differs only in normalization is
+    // the SAME warehouse and stays governed
+    val samePath = cat.warehouse.toString + "/sub/.."
+    spark.conf.set("spark.sql.catalog.whsame", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.whsame.warehouse", samePath)
+    // a different warehouse with the same table name must NOT be
+    // cross-governed (neither falsely denied nor falsely scoped)
+    val other = new TableCatalog(spark, new Path(freshDir("acl_wh_b")))
+    GraftSql.sql(other, "CREATE TABLE ns.t (id INT)")
+    GraftSql.sql(other, "INSERT INTO ns.t VALUES (41), (42)")
+    spark.conf.set("spark.sql.catalog.whother", classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.whother.warehouse", other.warehouse.toString)
+    try {
+      as("mallory") {
+        // the .. spelling of THIS warehouse still takes the grant check
+        intercept[SecurityException](
+          GraftSql.sql(cat, "SELECT * FROM whsame.ns.t").collect())
+        // the other warehouse's ns.t is not governed by cat's ACLs —
+        // mallory reads it through cat's surface without sec grants
+        assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM whother.ns.t")
+          .collect()(0).getLong(0) === 2L)
+      }
+    } finally {
+      Seq("whsame", "whother").foreach { c =>
+        spark.conf.unset(s"spark.sql.catalog.$c")
+        spark.conf.unset(s"spark.sql.catalog.$c.warehouse")
+      }
+    }
+  }
 }
