@@ -29,7 +29,7 @@ import java.util.{Collections, Iterator => JIterator}
  * distributed) — a [[LocalScan]] result is the honest shape, exactly as
  * for [[GraftMetadataTable]].
  */
-private[catalog] object GraftProcedures {
+private[graft] object GraftProcedures {
 
   /** table argument, shared by every procedure */
   private val TableParam =

@@ -1958,6 +1958,13 @@ object GraftSql {
         // the plain column listing stays at the grantee bar
         if (dr.isExtended) aclValueGate(dr.relation) else metaGate(dr.relation)
       case sc: ShowCreateTable           => aclValueGate(sc.child)
+      // CALL graft.system.<proc>: the target table is a STRING argument
+      // (GraftProcedures.TableParam) — invisible to every relation case
+      // above, the same string-outside-the-plan-walk class as EXECUTE
+      // IMMEDIATE. Resolve it here and apply the per-procedure bar
+      // (r13 VERDICT finding 1: rollback_to_version / expire_snapshots /
+      // add_files were reachable by a zero-grant principal).
+      case c: Call                       => gateProcedureCall(cat, c)
       case _                             => ()
     }
     plan.foreachWithSubqueries {
@@ -2037,6 +2044,93 @@ object GraftSql {
     * (GraftCatalog.MetadataKinds, kept in sync by AclSpec). */
   private val MetadataSubTables =
     Set("files", "partitions", "history", "tags", "branches", "constraints")
+
+  /** Per-procedure governance bars for `CALL graft.system.<proc>`:
+    * destructive history/ref surgery takes the owner bar (same as DROP
+    * — rollback rewrites the table's visible state, expiration destroys
+    * time travel below the horizon), data/layout mutation the write
+    * bar, metadata computation the DESCRIBE bar, and shallow_clone the
+    * full-select bar (a clone serves every row/column of the source at
+    * an UNGOVERNED destination — closed to scoped principals like
+    * `.changes`). EVERY name in [[graft.catalog.GraftProcedures.names]]
+    * must have an entry: [[gateProcedureCall]] fails closed on a
+    * missing one, and AclSpec sweeps the two sets so a new procedure
+    * cannot ship ungated. */
+  private[graft] val ProcedureBars: Map[String, String] = Map(
+    "rollback_to_version"      -> "OWNER",
+    "rollback_to_timestamp"    -> "OWNER",
+    "expire_snapshots"         -> "OWNER",
+    "remove_orphan_files"      -> "OWNER",
+    "create_branch"            -> "OWNER",
+    "drop_branch"              -> "OWNER",
+    "fast_forward"             -> "OWNER",
+    "create_tag"               -> "OWNER",
+    "add_files"                -> "INSERT",
+    "rewrite_data_files"       -> "INSERT",
+    "rewrite_position_deletes" -> "INSERT",
+    "build_bloom_index"        -> "INSERT",
+    "build_vector_index"       -> "INSERT",
+    "refresh_vector_index"     -> "INSERT",
+    "rewrite_vector_index"     -> "INSERT",
+    "analyze_table"            -> "DESCRIBE",
+    "index_commits"            -> "DESCRIBE",
+    "shallow_clone"            -> "FULL_SELECT")
+
+  /** Gate a parsed procedure call ([[enforceReadAcl]]'s Call arm). The
+    * table reference is a string LITERAL per the procedure signatures;
+    * anything else (an expression, a missing argument) fails closed —
+    * a computed table name through this surface is indistinguishable
+    * from laundering. Foreign-catalog calls (a three-part name whose
+    * prefix is not a governed alias) are not ours to gate. */
+  private def gateProcedureCall(cat: TableCatalog,
+      c: org.apache.spark.sql.catalyst.plans.logical.Call): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, NamedArgumentExpression}
+    val nameParts = c.procedure match {
+      case up: UnresolvedProcedure => up.nameParts
+      case other => throw new SecurityException(
+        s"CALL with unrecognized procedure plan ${other.nodeName} is " +
+          "closed through this surface")
+    }
+    val proc = nameParts.last.toLowerCase
+    val ours = nameParts.map(_.toLowerCase) match {
+      case Seq(_)            => true
+      case Seq("system", _)  => true
+      case Seq(cn, "system", _) => governedCatalog(cat, cn)
+      case _                 => false
+    }
+    if (!ours || !graft.catalog.GraftProcedures.names.contains(proc)) return
+    val bar = ProcedureBars.getOrElse(proc, throw new SecurityException(
+      s"procedure $proc has no assigned governance bar and is closed " +
+        "through this surface"))
+    def asString(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case _ => None
+    }
+    val namedArg = c.args.collectFirst {
+      case n: NamedArgumentExpression if n.key.equalsIgnoreCase("table") =>
+        n.value
+    }
+    val positional = c.args.headOption
+      .filterNot(_.isInstanceOf[NamedArgumentExpression])
+    val tableRef = namedArg.orElse(positional).flatMap(asString).getOrElse(
+      throw new SecurityException(
+        s"CALL $proc requires a literal 'table' argument through the " +
+          "governed surface"))
+    val parts = tableRef.split("\\.")
+    // a malformed reference is refused by GraftProcedures.resolve before
+    // anything runs; nothing to govern here
+    if (parts.length != 2) return
+    resolveTable(cat, parts(0), parts(1)).foreach { t =>
+      bar match {
+        case "OWNER"       => aclOwnerCheck(t)
+        case "INSERT"      => aclCheck(t, "INSERT")
+        case "DESCRIBE"    => metaCheckTable(t)
+        case "FULL_SELECT" => fullSelectCheck(t)
+      }
+    }
+  }
 
   private final case class ParsedMerge(
       rawName: String, tgtAlias: String, sourceQuery: String,
