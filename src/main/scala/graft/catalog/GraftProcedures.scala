@@ -47,7 +47,8 @@ private[graft] object GraftProcedures {
     "rollback_to_version", "rollback_to_timestamp", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "add_files",
     "analyze_table", "build_bloom_index", "build_vector_index",
-    "refresh_vector_index", "shallow_clone", "index_commits")
+    "refresh_vector_index", "rewrite_vector_index", "shallow_clone",
+    "index_commits")
 
   def load(name: String, cat: () => GraftTableCatalog): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, cat)) else None
@@ -107,6 +108,10 @@ private[graft] object GraftProcedures {
           pDefault("rerank_to", IntegerType, "300"))
         case "refresh_vector_index" => Array(TableParam,
           p("vector_column", StringType))
+        case "rewrite_vector_index" => Array(TableParam,
+          p("vector_column", StringType),
+          pDefault("target_file_size_bytes", LongType,
+            (128L * 1024 * 1024).toString))
         case "shallow_clone" => Array(TableParam, p("destination", StringType),
           pDefault("version", LongType, "-1"))
         case "index_commits" => Array(TableParam)
@@ -189,6 +194,11 @@ private[graft] object GraftProcedures {
           case "refresh_vector_index" =>
             result("encoded_rows" ->
               t.refreshVectorIndex(input.getString(1)))
+          case "rewrite_vector_index" =>
+            // bin-pack the code files refreshVectorIndex appends per
+            // call (the small-file compaction of the ANN sidecar)
+            result("code_files" -> t.rewriteVectorIndex(
+              input.getString(1), input.getLong(2)))
           case "shallow_clone" =>
             val parts = input.getString(1).split("\\.")
             require(parts.length == 2,

@@ -68,11 +68,23 @@ object StreamingIngest {
           .getOption("spark.graft.stream.bytesPerReducer")
           .map(_.toLong).getOrElse(4L << 20)
         // the optimizer's size estimate is the staged input bytes for a
-        // file-source batch — a cheap driver-side stat, no job
-        val inputBytes =
-          try batch.queryExecution.optimizedPlan.stats.sizeInBytes
-          catch { case scala.util.control.NonFatal(_) => BigInt(0) }
-        val derived = math.max(8L, math.min(cap.toLong,
+        // file-source batch — a cheap driver-side stat, no job. When
+        // stats are UNAVAILABLE the estimate defaults to a Long.Max-
+        // scale sentinel: treating that as real input would run the
+        // micro-batch at the full session cap — the exact latency
+        // regression this derivation targets — so implausibly large
+        // values fall to the floor instead (ADVICE r13)
+        val inputBytes = {
+          val raw =
+            try batch.queryExecution.optimizedPlan.stats.sizeInBytes
+            catch { case scala.util.control.NonFatal(_) => BigInt(0) }
+          if (raw > (BigInt(1L) << 50)) BigInt(0) else raw // > 1 PiB: sentinel
+        }
+        // the floor itself is clamped by the cap: a deployment that set
+        // spark.sql.shuffle.partitions BELOW 8 said "never wider than
+        // that" — the user's setting remains the cap (ADVICE r13)
+        val floor = math.min(8L, cap.toLong)
+        val derived = math.max(floor, math.min(cap.toLong,
           ((inputBytes + perReducer - 1) / perReducer).toLong))
         ss.conf.set("spark.sql.shuffle.partitions", derived.toString)
     }

@@ -273,7 +273,7 @@ object GraftSql {
   private val CreateTempViewRe =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(GLOBAL\s+)?TEMP(?:ORARY)?\s+VIEW\s+(`[^`]+`|\w+).*""".r
   private val DropBareViewRe =
-    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?:(global_temp)\s*\.\s*)?(`[^`]+`|\w+)\s*;?\s*""".r
+    """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?:(global_temp|`global_temp`)\s*\.\s*)?(`[^`]+`|\w+)\s*;?\s*""".r
 
   // --- statement-scoped table resolution --------------------------------
 
@@ -678,11 +678,17 @@ object GraftSql {
           // ALWAYS the session registry's business (routing it here
           // probed <warehouse>/global_temp/_views and left the live
           // view and its ownership record behind)
+          // the first name part is backtick-NORMALIZED before the
+          // global_temp comparison: `global_temp`.v must route to the
+          // session registry exactly like the bare spelling (ADVICE
+          // r13 — the quoted form slipped into the stored-view arm,
+          // probing <warehouse>/global_temp/_views and leaving the
+          // live view and its ownership record behind)
           if !(rawName != null && ((!rawName.contains(".") &&
             spark.sessionState.catalog
               .getRawTempView(cleanIdent(rawName)).isDefined) ||
-            rawName.toLowerCase(java.util.Locale.ROOT)
-              .startsWith("global_temp."))) =>
+            cleanIdent(rawName.split("\\.", 2)(0))
+              .equalsIgnoreCase("global_temp"))) =>
         val (ns, v) = splitName(rawName)
         val existed = graft.catalog.GraftViews.drop(spark, cat.warehouse,
           org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), v))

@@ -99,9 +99,19 @@ final case class BloomIndex(
   * reference's analog is the table-attached metadata committed via
   * kinesis-firehose-stream/scripts/update_metadata.py:135-141). The
   * encoded corpus lives next to it as parquet
-  * (`_index/vector_<col>/codes`); `builtAtVersion` bounds which files
-  * the codes cover — rows in files with a later commit seq are scored
-  * exactly at query time, so a stale index can never DROP rows. */
+  * (`_index/vector_<col>/<codesDir>`); `coveredFiles` is the exact
+  * data-file-path set the codes cover — files NOT in it are scored
+  * exactly at query time, so a stale index can never DROP rows.
+  * Path-set coverage (not a version watermark) because RESTORE /
+  * rollback_to_version re-adds files with their ORIGINAL commit seq:
+  * a `seq > builtAtVersion` rule would classify a restored
+  * pre-build-deleted file as covered and silently drop its rows
+  * (ADVICE r13 medium). `builtAtVersion` remains for observability and
+  * as the coverage rule for LEGACY metas (coveredFiles == None).
+  * `codesDir` names the codes GENERATION: a rebuild/compaction writes
+  * a fresh directory and publishes this meta atomically (temp +
+  * rename), so a concurrent search always reads a complete old-or-new
+  * index, never a half-deleted one. */
 final case class VectorIndexMeta(
     column: String,
     idColumn: String,
@@ -111,7 +121,9 @@ final case class VectorIndexMeta(
     nprobe: Int,
     rerankTo: Int,
     recallTarget: Double,
-    builtAtVersion: Long)
+    builtAtVersion: Long,
+    codesDir: String = "codes",
+    coveredFiles: Option[Seq[String]] = None)
 
 /** Pointer to an immutable manifest file under the log dir holding a
   * `Seq[DataFile]` group — the Iceberg manifest-list indirection that
@@ -306,7 +318,7 @@ object TxLog {
       // near-always follows, so its cache validation is free
       try {
         val st = f.getFileStatus(new Path(logDir, snapshotName(v)))
-        headStatusHandoff.put(logDir.toString, (v, st))
+        headStatusHandoff.put(logDir.toString, (v, st, System.nanoTime()))
         return Some(v)
       } catch {
         case _: java.io.FileNotFoundException =>
@@ -326,14 +338,24 @@ object TxLog {
     head
   }
 
-  /** One-shot (version, FileStatus) handoff from [[currentVersion]]'s
-    * head verification to [[readStored]]'s cache validation: the two
-    * calls are microseconds apart on the read path, so the same status
-    * can serve both — without this every governed statement paid the
-    * verification AND a second status for the header it then read. */
+  /** One-shot (version, FileStatus, nanoTime) handoff from
+    * [[currentVersion]]'s head verification to [[readStored]]'s cache
+    * validation: the two calls are microseconds apart on the read path,
+    * so the same status can serve both — without this every governed
+    * statement paid the verification AND a second status for the header
+    * it then read. Consumed UNCONDITIONALLY at the top of readStored
+    * and expired after [[HandoffMaxAgeNanos]] — an entry left behind by
+    * a rawCache miss (or one whose reader was descheduled) must never
+    * validate a LATER cache entry against a status captured long before,
+    * which would widen the external drop/recreate staleness window well
+    * beyond the microseconds the design claims (ADVICE r13). */
   private val headStatusHandoff =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Long, org.apache.hadoop.fs.FileStatus)]()
+      (Long, org.apache.hadoop.fs.FileStatus, Long)]()
+
+  /** Oldest handoff a cache validation may trust: generous against a
+    * descheduled thread, tiny against real external-mutation windows. */
+  private val HandoffMaxAgeNanos = 20L * 1000 * 1000   // 20 ms
 
   /** The head snapshot this process itself committed last, per log dir:
     * the commit CAS that published it is the proof it existed, its
@@ -693,13 +715,18 @@ object TxLog {
     if (trusted != null && trusted.version == version) return trusted.stored
     val p = new Path(logDir, snapshotName(version))
     val f = fs(logDir, conf)
+    // consume the handoff UNCONDITIONALLY (even on a rawCache miss):
+    // a lingering entry must not survive to validate a later, unrelated
+    // cache entry (ADVICE r13)
+    val handoff = headStatusHandoff.remove(logDir.toString)
     val cached = rawCache.get(key)
     if (cached != null) {
       // a status captured microseconds ago by currentVersion's head
-      // verification validates the cache without a second round-trip
-      val handoff = headStatusHandoff.remove(logDir.toString)
+      // verification validates the cache without a second round-trip —
+      // but only a FRESH one for THIS version
       val st0 =
-        if (handoff != null && handoff._1 == version) handoff._2
+        if (handoff != null && handoff._1 == version &&
+            System.nanoTime() - handoff._3 <= HandoffMaxAgeNanos) handoff._2
         else
           try f.getFileStatus(p)
           catch { case _: java.io.FileNotFoundException => null }
@@ -1207,21 +1234,29 @@ object TxLog {
     if (next == 0L) { purgeRawCache(logDir); dropIndexChunks(logDir, conf) }
     else rawCache.remove((logDir.toString, next))
     // the head layout state updates only AFTER the CAS published this
-    // version — a lost race throws above and can never poison it
-    layoutCache.put(logDir.toString, layoutState)
+    // version — a lost race throws above and can never poison it; the
+    // put is version-guarded (putIfReplaces) because two in-process
+    // writers can finish out of order AFTER their serialized CASes
+    layoutCache.putIfReplaces(logDir.toString, layoutState,
+      _.version < layoutState.version)
     headCacheAdvance(logDir, next)
     // the just-published head is served from memory until superseded:
     // its existence is CAS-proven, its bytes are known, headers are
     // immutable (see TrustedHead). Pending-txn commits are NOT trusted —
-    // their effect is undecided until the marker resolves.
+    // their effect is undecided until the marker resolves. The put is
+    // version-guarded like headCacheAdvance: a slower thread must not
+    // regress the trusted head (ADVICE r13 — currentVersionTrusted
+    // would serve the older snapshot with zero probes until the next
+    // commit's conflict self-heals it).
     if (laid.pendingTxn.isEmpty) {
       val storedView =
         if (laid.manifestList.isDefined && laid.manifests.isEmpty)
           laid.copy(manifests = layoutState.manifests)
         else laid
-      headTrusted.put(logDir.toString,
+      headTrusted.putIfReplaces(logDir.toString,
         TrustedHead(next, storedView,
-          storedView.copy(files = layoutState.resolvedFiles)))
+          storedView.copy(files = layoutState.resolvedFiles)),
+        _.version < next)
     } else headTrusted.remove(logDir.toString)
     // completing an index-chunk range persists the chunk (best-effort:
     // losing it only costs the raw-header fallback). Also re-attempt the
@@ -1665,6 +1700,28 @@ private[table] final class BoundedWeightCache[V <: AnyRef](
     val old = m.put(k, e)
     total.addAndGet(e.w - (if (old == null) 0L else old.w))
     if (total.get() > maxWeight) evict(keep = k)
+  }
+
+  /** Compare-and-put: install `v` only when the slot is empty or
+    * `replaces(existing)` holds. Two in-process writers can finish
+    * their (CAS-serialized) commits OUT OF ORDER — an unconditional put
+    * would then regress the slot to the older head/layout and serve a
+    * stale version with zero probes until the next commit self-heals
+    * (ADVICE r13). The compute closure runs under the map's per-bin
+    * lock, so the version comparison and the install are one atom. */
+  def putIfReplaces(k: String, v: V, replaces: V => Boolean): Unit = {
+    val e = new Entry(v, math.max(1L, weigh(v)))
+    e.used = tick.incrementAndGet()
+    var delta = 0L
+    var installed = false
+    m.compute(k, (_, old) =>
+      if (old == null) { delta = e.w; installed = true; e }
+      else if (replaces(old.v)) { delta = e.w - old.w; installed = true; e }
+      else old)
+    if (installed) {
+      total.addAndGet(delta)
+      if (total.get() > maxWeight) evict(keep = k)
+    }
   }
 
   def remove(k: String): Unit = {

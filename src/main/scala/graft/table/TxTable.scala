@@ -341,10 +341,12 @@ class TxTable private (
    * operating point ships as the stored default, never the √nCells
    * speed heuristic). Artifacts, the Bloom-sidecar pattern:
    *  - `_index/vector_<col>/meta.json` — [[VectorIndexMeta]]
-   *    (quantizers + calibrated nprobe + covered version);
-   *  - `_index/vector_<col>/codes/` — parquet (id, cell, codes),
+   *    (quantizers + calibrated nprobe + covered file-path set),
+   *    published ATOMICALLY (temp + rename) as the commit point;
+   *  - `_index/vector_<col>/<codesDir>/` — parquet (id, cell, codes),
    *    repartitioned+sorted by cell so a probe scan's `cell IN (…)`
-   *    prunes row groups.
+   *    prunes row groups; one GENERATION per rebuild/compaction, GC'd
+   *    one generation behind the published meta.
    * Returns the calibrated probe count.
    */
   def buildVectorIndex(idCol: String, vecCol: String, dim: Int,
@@ -360,19 +362,24 @@ class TxTable private (
     val df = dfFor(s)
     val model = Similarity.buildIndexModel(df, dim, k, recallTarget,
       sampleQueries, nCells, m, kCodes, iters, rerankTo, idCol, vecCol)
-    val dir = vectorIndexPath(vecCol)
-    fs.delete(dir, true)
+    // GENERATIONAL publish (r13 VERDICT task 2): encode into a fresh
+    // codes dir, then atomically swing meta.json onto it — a rebuild
+    // never windows-out a concurrent search ("no vector index" between
+    // delete and write), and a crash mid-build leaves the prior index
+    // fully intact (meta still points at the old generation).
+    val prior = vectorIndexMeta(vecCol)
+    val gen = newCodesGen(s.version)
     Similarity.encodeIvfPq(df, model, idCol, vecCol)
       .repartition(col("cell")).sortWithinPartitions("cell")
-      .write.mode("overwrite").parquet(new Path(dir, "codes").toString)
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val json = org.json4s.jackson.Serialization.write(VectorIndexMeta(
+      .write.mode("overwrite")
+      .parquet(new Path(vectorIndexPath(vecCol), gen).toString)
+    publishVectorIndexMeta(vecCol, VectorIndexMeta(
       vecCol, idCol, dim, model.centroids, model.codebooks,
-      model.nprobe, model.rerankTo, recallTarget, s.version))
-    val out = fs.create(new Path(dir, "meta.json"), true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    synchronized { vectorIndexCache = vectorIndexCache - vecCol }
+      model.nprobe, model.rerankTo, recallTarget, s.version,
+      codesDir = gen, coveredFiles = Some(s.files.map(_.path))))
+    // best-effort GC: keep the new generation and the one a search
+    // planned against the PRIOR meta may still be scanning
+    gcVectorCodesDirs(vecCol, keep = Set(gen) ++ prior.map(_.codesDir))
     model.nprobe
   }
 
@@ -397,24 +404,147 @@ class TxTable private (
     val meta = vectorIndexMeta(vecCol).getOrElse(throw new IllegalStateException(
       s"no vector index on $name.$vecCol — run buildVectorIndex first"))
     val s = snapshot
-    val deltaFiles = s.files.filter(_.seq > meta.builtAtVersion)
+    val deltaFiles = uncoveredFiles(s, meta)
     if (deltaFiles.isEmpty) return 0L
     val delta = dfFor(s.copy(files = deltaFiles))
     val model = Similarity.VectorIndexModel(meta.dim, meta.centroids,
       meta.codebooks, meta.nprobe, meta.rerankTo)
     val n = delta.count()
+    // append INTO the live generation (new part files appear atomically
+    // to readers — Spark lists at plan time), THEN publish the widened
+    // coverage. A crash between the two leaves extra code rows for
+    // files still marked uncovered: they are exact-scored AND
+    // ADC-shortlisted, and the unconditional dedup-by-id in
+    // vectorSearch collapses the double — never wrong, only redundant.
     Similarity.encodeIvfPq(delta, model, meta.idColumn, vecCol)
       .repartition(col("cell")).sortWithinPartitions("cell")
       .write.mode("append")
-      .parquet(new Path(vectorIndexPath(vecCol), "codes").toString)
+      .parquet(new Path(vectorIndexPath(vecCol), meta.codesDir).toString)
+    val covered = meta.coveredFiles.getOrElse(
+      // legacy meta: materialize the watermark rule it was built under
+      s.files.filter(_.seq <= meta.builtAtVersion).map(_.path))
+    publishVectorIndexMeta(vecCol, meta.copy(builtAtVersion = s.version,
+      coveredFiles = Some((covered ++ deltaFiles.map(_.path)).distinct)))
+    n
+  }
+
+  /**
+   * Bin-pack the codes sidecar (r13 VERDICT task 4): a table refreshed
+   * per streaming epoch appends a few small parquet files per call —
+   * after N epochs the probe scan opens N× more files than it needs.
+   * Rewrites the CURRENT generation range-clustered by cell into
+   * `targetFileSizeBytes` outputs and publishes atomically; search
+   * results are unchanged (same rows, better row-group pruning — range
+   * clustering puts each cell in one file run instead of one hash
+   * stripe per append). Returns the number of part files after.
+   */
+  def rewriteVectorIndex(vecCol: String = "embedding",
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): Int = {
+    val meta = vectorIndexMeta(vecCol).getOrElse(throw new IllegalStateException(
+      s"no vector index on $name.$vecCol — run buildVectorIndex first"))
+    val cur = new Path(vectorIndexPath(vecCol), meta.codesDir)
+    val bytes = fs.getContentSummary(cur).getLength
+    val parts = math.max(1,
+      ((bytes + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt)
+    val gen = newCodesGen(meta.builtAtVersion)
+    spark.read.parquet(cur.toString)
+      .repartitionByRange(parts, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite")
+      .parquet(new Path(vectorIndexPath(vecCol), gen).toString)
+    publishVectorIndexMeta(vecCol, meta.copy(codesDir = gen))
+    gcVectorCodesDirs(vecCol, keep = Set(gen, meta.codesDir))
+    val out = new Path(vectorIndexPath(vecCol), gen)
+    fs.listStatus(out).count(st => st.isFile &&
+      st.getPath.getName.startsWith("part-"))
+  }
+
+  /** Files of `s` the index does NOT cover (exact-scored at query,
+    * encoded by refresh): path-set membership, falling back to the
+    * commit-seq watermark only for legacy metas without a recorded
+    * set. Paths are immutable identities in this log (a rewrite is a
+    * new path), so membership is exact under RESTORE, compaction, and
+    * branch fast-forwards alike. */
+  private def uncoveredFiles(s: Snapshot, meta: VectorIndexMeta): Seq[DataFile] =
+    meta.coveredFiles match {
+      case Some(cov) =>
+        val set = cov.toSet
+        s.files.filterNot(f => set.contains(f.path))
+      case None => s.files.filter(_.seq > meta.builtAtVersion)
+    }
+
+  /** A fresh, never-colliding codes-generation directory name. */
+  private def newCodesGen(version: Long): String =
+    s"codes_v${version}_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Atomic meta publish: write `meta.json.tmp`, rename onto
+    * `meta.json`. POSIX rename replaces atomically; on stores that
+    * refuse an existing destination the fallback is delete+rename —
+    * a missing-meta window of one round-trip, never a PARTIAL meta
+    * (the old code's create-truncate-write could serve half a JSON to
+    * a concurrent reader). */
+  private def publishVectorIndexMeta(vecCol: String,
+      meta: VectorIndexMeta): Unit = {
+    val dir = vectorIndexPath(vecCol)
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    val json = org.json4s.jackson.Serialization.write(
-      meta.copy(builtAtVersion = s.version))
-    val out = fs.create(new Path(vectorIndexPath(vecCol), "meta.json"), true)
+    val json = org.json4s.jackson.Serialization.write(meta)
+    val tmp = new Path(dir, "meta.json.tmp")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dst = new Path(dir, "meta.json")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+        s"failed to publish vector index meta at $dst")
+    }
     synchronized { vectorIndexCache = vectorIndexCache - vecCol }
-    n
+  }
+
+  /** Best-effort GC of superseded codes generations (everything not in
+    * `keep`): losing the race with a slow reader only fails that one
+    * read, and a crash here only leaves garbage for the next call. */
+  private def gcVectorCodesDirs(vecCol: String, keep: Set[String]): Unit =
+    try {
+      val dir = vectorIndexPath(vecCol)
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("codes") && !keep.contains(n))
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: Exception => () }
+
+  /** Vector sidecars bind their id and vector columns BY NAME (no field
+    * IDs): dropping or renaming either one invalidates the index — a
+    * rename makes vectorSearch throw on the missing column, and a
+    * same-named re-add would attribute stale cells/codes to ids that
+    * now mean different rows (recall pollution). Same contract as
+    * [[invalidateBloomIndex]]; rebuild any time (r13 VERDICT task 2). */
+  private def invalidateVectorIndexes(affected: String): Unit = synchronized {
+    val idxRoot = new Path(root, "_index")
+    if (!fs.exists(idxRoot)) return
+    fs.listStatus(idxRoot).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("vector_")) {
+        val colName = n.stripPrefix("vector_")
+        val hit = colName == affected || vectorIndexMeta(colName).exists(m =>
+          m.idColumn == affected || m.column == affected)
+        if (hit) {
+          fs.delete(st.getPath, true)
+          vectorIndexCache = vectorIndexCache - colName
+        }
+      }
+    }
+  }
+
+  /** Columns with a persisted vector index (sidecar dirs present). */
+  private[graft] def vectorIndexedColumns: Seq[String] = {
+    val d = new Path(root, "_index")
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("vector_"))
+      .map(_.getPath.getName.stripPrefix("vector_"))
+      .filter(c => fs.exists(new Path(vectorIndexPath(c), "meta.json")))
   }
 
   private def vectorIndexPath(column: String): Path =
@@ -455,9 +585,10 @@ class TxTable private (
    * never vectors), exact-re-ranks the ADC short list against the
    * TABLE's current rows, and exact-scores any rows the index does not
    * cover. Freshness contract:
-   *  - rows APPENDED after the build (files with commit seq >
-   *    builtAtVersion) are exact-scored and merged in — a stale index
-   *    never drops them;
+   *  - rows in files the index does not COVER (appended after the
+   *    build, or re-added by a RESTORE from before it — membership is
+   *    by file path, see [[uncoveredFiles]]) are exact-scored and
+   *    merged in — a stale index never drops them;
    *  - rows DELETED/UPDATED since the build drop out at the re-rank
    *    join (inner join by id against the current snapshot serves
    *    current vectors) — which is why this path REQUIRES a positive
@@ -491,7 +622,7 @@ class TxTable private (
     val current0 = dfFor(s)
     val current = where.map(current0.filter).getOrElse(current0)
     val codesAll = spark.read.parquet(
-      new Path(vectorIndexPath(vecCol), "codes").toString)
+      new Path(vectorIndexPath(vecCol), meta.codesDir).toString)
     // push the probed cells as a LITERAL IN filter: the per-query probe
     // assignment is a broadcast join, whose dynamic keys never reach
     // parquet row-group pruning — collecting the distinct probed cells
@@ -515,10 +646,12 @@ class TxTable private (
     val indexedTop = Similarity.searchIndexed(codes, current, queries,
         model, k, nprobe, rerank, idCol, vecCol, queryId, queryVec)
       .select(col(queryId), col(idCol), col("score"))
-    // files committed AFTER the build: exact cosine over just the
-    // delta (O(new rows)), unioned before the final top-k — scores are
-    // exact on both sides, so ranking is coherent
-    val deltaFiles = s.files.filter(_.seq > meta.builtAtVersion)
+    // files the index does NOT cover (appends since the build, and any
+    // RESTORE-re-added files from before it — path-set membership, see
+    // uncoveredFiles): exact cosine over just the delta (O(new rows)),
+    // unioned before the final top-k — scores are exact on both sides,
+    // so ranking is coherent
+    val deltaFiles = uncoveredFiles(s, meta)
     val scored =
       if (deltaFiles.isEmpty) indexedTop
       else {
@@ -3786,6 +3919,7 @@ class TxTable private (
     // column's lookups (Bloom has no false negatives only against the
     // values it was BUILT from)
     invalidateBloomIndex(name)
+    invalidateVectorIndexes(name)
     v
   }
 
@@ -3813,6 +3947,7 @@ class TxTable private (
     // same re-added-name hazard as dropColumn; the rewritten files also
     // obsolete the old entries' keys outright
     invalidateBloomIndex(from)
+    invalidateVectorIndexes(from)
     v
   }
 

@@ -45,7 +45,8 @@ class VectorIndexSpec extends SparkSpec {
     // the sidecars are real files a fresh process could read
     val fs = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(new Path(t.root, "_index/vector_embedding/meta.json")))
-    assert(fs.exists(new Path(t.root, "_index/vector_embedding/codes")))
+    assert(fs.exists(new Path(t.root,
+      s"_index/vector_embedding/${meta.codesDir}")))
     val queries = queriesFrom(t, 8)
     val recall = recallOf(t, t.vectorSearch(queries, k = 10), queries, 10)
     info(s"held-out recall@10 through the persisted index = $recall")
@@ -197,6 +198,125 @@ class VectorIndexSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.vecproc")
       spark.conf.unset("spark.sql.catalog.vecproc.warehouse")
     }
+  }
+
+  test("RESTORE re-adding pre-build-deleted rows: they are exact-scored, never dropped") {
+    // ADVICE r13 (medium): restore() re-adds files with their ORIGINAL
+    // commit seq, so a `seq > builtAtVersion` delta rule would classify
+    // a restored pre-build-deleted file as covered — silently missing
+    // from results. Coverage is by file PATH now.
+    val t = embTable("vecidx_restore")
+    val preDelete = t.currentVersion
+    val victim = 3L
+    // materialize the victim's vector as a LOCAL query table before the
+    // delete (a lazy DataFrame would re-read the post-delete snapshot)
+    val queries0 = t.toDF.filter(col("vec_id") === victim)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val queries = spark.createDataFrame(
+      spark.sparkContext.parallelize(queries0.collect().toSeq),
+      queries0.schema)
+    t.delete(col("vec_id") === victim)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    // sanity: the deleted row is absent while it IS deleted
+    assert(!t.vectorSearch(queries, k = 3).select("vec_id").as[Long]
+      .collect().contains(victim))
+    t.restore(preDelete)
+    // the restored file is NOT in the covered path set → exact-scored;
+    // the victim's own vector must come back at rank 1
+    val top = t.vectorSearch(queries, k = 3).orderBy(col("rank"))
+      .select("vec_id").as[Long].collect()
+    assert(top.head === victim,
+      s"restored pre-build-deleted row $victim missing: ${top.toSeq}")
+  }
+
+  test("rebuild publishes atomically: prior generation survives until superseded; a crashed build changes nothing") {
+    val t = embTable("vecidx_atomic")
+    val fs = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idxDir = new Path(t.root, "_index/vector_embedding")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val gen1 = t.vectorIndexMeta("embedding").get.codesDir
+    // a CRASHED build (codes written, meta never published — simulated
+    // by a stray generation dir) leaves the prior index fully intact
+    fs.mkdirs(new Path(idxDir, "codes_v99_deadbeef"))
+    assert(t.vectorIndexMeta("embedding").get.codesDir === gen1)
+    val queries = queriesFrom(t, 4)
+    assert(t.vectorSearch(queries, k = 5).count() === 20L)
+    // rebuild: new generation published, PRIOR one kept (a concurrent
+    // search planned against the old meta may still be scanning it) —
+    // never a "no index" window
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val gen2 = t.vectorIndexMeta("embedding").get.codesDir
+    assert(gen2 !== gen1)
+    assert(fs.exists(new Path(idxDir, gen1)), "prior generation GC'd too early")
+    assert(fs.exists(new Path(idxDir, gen2)))
+    // the stray crashed-build dir was GC'd as unreferenced
+    assert(!fs.exists(new Path(idxDir, "codes_v99_deadbeef")))
+    // third build retires gen1 (kept-window is one generation)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    assert(!fs.exists(new Path(idxDir, gen1)))
+    assert(t.vectorSearch(queries, k = 5).count() === 20L)
+  }
+
+  test("dropping or renaming an indexed column invalidates the vector sidecar") {
+    val t = embTable("vecidx_evolve")
+    val fs = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    assert(t.vectorIndexMeta("embedding").isDefined)
+    // a column the index does not reference leaves it alone
+    t.dropColumn("label")
+    assert(t.vectorIndexMeta("embedding").isDefined)
+    // renaming the ID column poisons id→row attribution → invalidated
+    t.renameColumn("vec_id", "doc_id")
+    assert(t.vectorIndexMeta("embedding").isEmpty)
+    assert(!fs.exists(new Path(t.root, "_index/vector_embedding")))
+    intercept[IllegalStateException](t.vectorSearch(
+      t.toDF.limit(1).select(col("doc_id").as("query_id"),
+        col("embedding").as("query_vec")), k = 3))
+    // rebuild under the new name, then rename the VECTOR column
+    t.buildVectorIndex("doc_id", "embedding", dim = 64)
+    assert(t.vectorIndexMeta("embedding").isDefined)
+    t.renameColumn("embedding", "emb2")
+    assert(t.vectorIndexMeta("embedding").isEmpty)
+    assert(t.vectorIndexMeta("emb2").isEmpty)
+  }
+
+  test("rewriteVectorIndex bin-packs refresh-appended code files; results unchanged") {
+    val t = embTable("vecidx_compact")
+    val fs = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    // three refresh epochs, each appending a small batch of codes
+    for (epoch <- 1 to 3) {
+      val probe = t.toDF.filter(col("vec_id") === 3L)
+        .select(col("embedding")).head().getSeq[Any](0)
+      val fresh = Seq((300000L + epoch,
+          probe.map(_.asInstanceOf[Number].floatValue())))
+        .toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(
+          t.toDF.schema("embedding").dataType))
+      t.append(fresh.select(t.toDF.columns.map(c =>
+        if (fresh.columns.contains(c)) col(c) else lit(null).cast(
+          t.toDF.schema(c).dataType).as(c)): _*))
+      assert(t.refreshVectorIndex("embedding") === 1L)
+    }
+    val metaBefore = t.vectorIndexMeta("embedding").get
+    def partFiles(gen: String): Int =
+      fs.listStatus(new Path(t.root, s"_index/vector_embedding/$gen"))
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val before = partFiles(metaBefore.codesDir)
+    val queries = queriesFrom(t, 6)
+    val resultsBefore = t.vectorSearch(queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val after = t.rewriteVectorIndex("embedding")
+    val metaAfter = t.vectorIndexMeta("embedding").get
+    assert(metaAfter.codesDir !== metaBefore.codesDir)
+    assert(after < before,
+      s"compaction did not shrink the sidecar: $before -> $after")
+    assert(after === partFiles(metaAfter.codesDir))
+    // coverage and quantizers are untouched; search results identical
+    assert(metaAfter.coveredFiles === metaBefore.coveredFiles)
+    val resultsAfter = t.vectorSearch(queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(resultsAfter === resultsBefore)
   }
 
   test("searchIndexed over a reloaded codes parquet matches the in-memory path") {
