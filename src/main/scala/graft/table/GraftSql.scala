@@ -181,6 +181,22 @@ object GraftSql {
     """(?is)\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*'([`\w.]+)'\s*,\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)\s*;?\s*""".r
   private val ShowMvRe =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS(?:\s+(?:IN|FROM)\s+([`\w]+))?\s*;?\s*""".r
+  /** `SELECT * FROM vector_search('ns.tbl', 'query_source', k
+    * [, 'vector_col' [, nprobe]])` — ANN top-k over the PERSISTED index
+    * as a TVF (r13 VERDICT task 4: the index was JVM-API-only, so a
+    * SQL principal could not query it and scoped grants could not
+    * compose with it). `query_source` is any readable relation with
+    * (query_id, query_vec) columns — resolved through THIS surface, so
+    * its own grants apply. */
+  private val VectorSearchRe =
+    ("""(?is)\s*SELECT\s+\*\s+FROM\s+vector_search\s*\(\s*'([`\w.]+)'\s*,""" +
+      """\s*'([`\w.]+)'\s*,\s*(\d+)\s*(?:,\s*'([`\w.]+)'\s*)?""" +
+      """(?:,\s*(\d+)\s*)?\)\s*;?\s*""").r
+  /** `SHOW INDEXES ON ns.tbl` — sidecar-index observability
+    * (TxTable.showIndexes): built-at version + row-weighted coverage
+    * per Bloom/vector index. */
+  private val ShowIndexesRe =
+    """(?is)\s*SHOW\s+INDEXES\s+ON\s+([`\w.]+)\s*;?\s*""".r
 
   /** ONE catalog name per warehouse (`graftsql_<md5(path)>`): the
     * plugin's conf entries for a given name are written once with fixed
@@ -809,6 +825,52 @@ object GraftSql {
         fullSelectCheck(t)             // unscoped rows
         t.changeFeedByTime(ms(from),
           Option(to).map(ms).getOrElse(Long.MaxValue))
+      case VectorSearchRe(rawName, qname, k, vecColRaw, nprobeRaw)
+          if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        aclCheck(t, "SELECT")
+        val colName = Option(vecColRaw).map(cleanIdent).getOrElse {
+          t.vectorIndexedColumns match {
+            case Seq(one) => one
+            case Nil => throw new IllegalStateException(
+              s"no vector index on $ns.$tbl — CALL build_vector_index first")
+            case many => throw new IllegalArgumentException(
+              s"multiple vector indexes on $ns.$tbl " +
+                s"(${many.mkString(", ")}); name the column")
+          }
+        }
+        val meta = t.vectorIndexMeta(colName).getOrElse(
+          throw new IllegalStateException(
+            s"no vector index on $ns.$tbl.$colName"))
+        val me = currentPrincipal(cat.spark)
+        // column-scope composition: the search reads the vector column
+        // (scores derive from it) and serves the id column — a scope
+        // must COVER both; the output then exposes nothing outside it
+        selectScope(t, me).foreach { cols =>
+          if (!cols.contains(meta.idColumn) || !cols.contains(colName))
+            throw new SecurityException(
+              s"principal '$me' holds a column-scoped SELECT on " +
+                s"$ns.$tbl that does not cover (${meta.idColumn}, " +
+                s"$colName) and may not vector-search it")
+        }
+        // row-filter composition: the scoped principal searches only
+        // their visible rows — the filtered-search (IDSelector) path,
+        // exact w.r.t. the index (never "top-k then filter")
+        val bridge = org.apache.spark.sql.graft.ColumnBridge
+        val filt = rowFilter(t, me).map(p =>
+          bridge.column(bridge.parseExpression(cat.spark, p)))
+        // the query source resolves through THIS surface: its own
+        // grants (and temp-view privacy) apply to the caller
+        val queriesDf = sql(cat, s"SELECT * FROM ${cleanIdent(qname)}")
+        t.vectorSearch(queriesDf, k.toInt, colName,
+          nprobe = Option(nprobeRaw).map(_.toInt).getOrElse(-1),
+          where = filt)
+      case ShowIndexesRe(rawName) if knownTable(cat, rawName) =>
+        val (ns, tbl) = splitName(rawName)
+        val t = cat.getTable(ns, tbl)
+        metaCheckTable(t)              // the DESCRIBE bar
+        t.showIndexes
       case ShowMvRe(nsRaw) =>
         val pairs = Option(nsRaw).map(cleanIdent) match {
           case Some(n) => MaterializedViews.list(cat, n).map((n, _))

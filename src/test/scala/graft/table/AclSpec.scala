@@ -741,4 +741,62 @@ class AclSpec extends SparkSpec {
         assert(GraftSql.ProcedureBars.contains(n))
       }
   }
+
+  test("vector_search TVF composes with grants: row filters scope candidates, column scopes gate") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_vecsearch")))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val t = cat.createTable("vec", "t", emb.schema, Nil)
+    t.append(emb)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val queries = t.toDF.filter(
+      org.apache.spark.sql.functions.col("vec_id") % 7 === 3).limit(4)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("query_vec"))
+    val q = cat.createTable("vec", "q", queries.schema, Nil)
+    q.append(queries)
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON vec.t TO admin")
+      GraftSql.sql(cat, "GRANT SELECT ON vec.t TO carol")
+      GraftSql.sql(cat, "GRANT SELECT ON vec.t TO alice WHERE label <= 4")
+      GraftSql.sql(cat, "GRANT SELECT (vec_id, label) ON vec.t TO bob")
+      GraftSql.sql(cat,
+        "GRANT SELECT (vec_id, label, embedding) ON vec.t TO dana")
+    }
+    val tvf = "SELECT * FROM vector_search('vec.t', 'vec.q', 10)"
+    // zero-grant: refused at the SELECT bar
+    as("mallory") {
+      intercept[SecurityException](GraftSql.sql(cat, tvf).collect())
+      // ...and SHOW INDEXES takes the DESCRIBE bar
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SHOW INDEXES ON vec.t").collect())
+    }
+    // full-select grantee: unrestricted search
+    val full = as("carol") {
+      GraftSql.sql(cat, tvf).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    }
+    assert(full.nonEmpty)
+    // row-filtered grantee: the filter becomes the IDSelector — every
+    // hit satisfies it, and k still fills from the visible corpus
+    as("alice") {
+      val got = GraftSql.sql(cat, tvf)
+      val hits = got.select("vec_id").collect().map(_.getLong(0)).toSet
+      val visible = t.toDF.filter(org.apache.spark.sql.functions
+          .col("label") <= 4).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(hits.subsetOf(visible),
+        s"row-filtered search leaked ${hits -- visible}")
+      assert(got.count() === 40L)   // 4 queries x k=10, k stays filled
+    }
+    // column scope NOT covering the vector column: refused (the score
+    // derives from cells outside the scope)
+    as("bob") {
+      intercept[SecurityException](GraftSql.sql(cat, tvf).collect())
+    }
+    // column scope covering (id, vector): allowed — the output exposes
+    // nothing outside the scope
+    as("dana") {
+      assert(GraftSql.sql(cat, tvf).count() === 40L)
+    }
+  }
 }

@@ -319,6 +319,52 @@ class VectorIndexSpec extends SparkSpec {
     assert(resultsAfter === resultsBefore)
   }
 
+  test("vector_search TVF and SHOW INDEXES serve the persisted index through SQL") {
+    val cat = new TableCatalog(spark, new Path(freshDir("vecidx_tvf_wh")))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val t = cat.createTable("vec", "t", emb.schema, Nil)
+    t.append(emb)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    // query source = another table of the same catalog (a governed
+    // relation, resolved through the surface like any other)
+    val queries = queriesFrom(t, 5)
+    val q = cat.createTable("vec", "q", queries.schema, Nil)
+    q.append(queries)
+    val got = GraftSql.sql(cat,
+      "SELECT * FROM vector_search('vec.t', 'vec.q', 10)")
+    assert(got.columns.toSeq === Seq("query_id", "vec_id", "score", "rank"))
+    val tvf = got.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val api = t.vectorSearch(queries, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(tvf === api, "TVF and JVM API disagree")
+    // explicit column + nprobe arguments
+    assert(GraftSql.sql(cat,
+      "SELECT * FROM vector_search('vec.t', 'vec.q', 5, 'embedding', 2)")
+      .count() === 25L)
+    // SHOW INDEXES: full coverage right after the build...
+    val idx1 = GraftSql.sql(cat, "SHOW INDEXES ON vec.t").collect()
+    assert(idx1.length === 1)
+    assert(idx1(0).getString(0) === "vector" &&
+      idx1(0).getString(1) === "embedding" &&
+      idx1(0).getString(2) === "vec_id")
+    assert(idx1(0).getDouble(7) === 1.0)
+    // ...an unrefreshed append drops coverage below 1 (the exact-scored
+    // delta an operator watches), refresh restores it
+    t.append(t.toDF.limit(50))
+    val cov2 = GraftSql.sql(cat, "SHOW INDEXES ON vec.t")
+      .select("coverage").as[Double].collect()(0)
+    assert(cov2 < 1.0, s"coverage $cov2 ignores the unindexed append")
+    t.refreshVectorIndex("embedding")
+    val cov3 = GraftSql.sql(cat, "SHOW INDEXES ON vec.t")
+      .select("coverage").as[Double].collect()(0)
+    assert(cov3 === 1.0)
+    // a Bloom sidecar lists alongside
+    t.buildBloomIndex("vec_id")
+    val kinds = GraftSql.sql(cat, "SHOW INDEXES ON vec.t")
+      .select("index_type").as[String].collect().sorted.toSeq
+    assert(kinds === Seq("bloom", "vector"))
+  }
+
   test("searchIndexed over a reloaded codes parquet matches the in-memory path") {
     // the persisted artifact IS the index: a fresh read of the codes
     // parquet + stored model must produce the same top-k as encoding
