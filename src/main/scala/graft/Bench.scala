@@ -123,19 +123,35 @@ object Bench {
     }
     val pipelineMap = pipeline.map { case (n, s) => "\"" + n + "\":" + s }
       .mkString("{", ",", "}")
-    val metadataJson = metadataShakeout(spark)
-    val meta100kJson = metadata100k(spark)
-    val cdfJson = cdfShakeout(spark)
-    val txnJson = txnShakeout(spark)
-    val sustainJson = sustainShakeout(spark)
-    val morSidecarsJson = morSidecars(spark)
-    val commitLagJson = commitLag(spark)
-    val queryLagJson = queryLag(spark)
-    val annClusteredJson = annClustered(spark)
-    val sf1Json = pipelineSf1(spark, sfDir, fns)
+    // fixed-cost contention sentinel between sections (r13 VERDICT
+    // task 3): the table-layer sections carried an unflagged 4-11×
+    // contention band with no in-artifact way to self-exonerate — a
+    // pure-JVM single-core loop of CONSTANT work timed between sections
+    // makes an external-contention window attributable from the JSON
+    // alone (sections bracketed by inflated sentinels were contended;
+    // a slow section between quiet sentinels is the code's own time)
+    val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def sectioned(name: String)(body: => String): String = {
+      System.gc(); Thread.sleep(100)
+      sentinels(s"before_$name") = sentinelMs()
+      body
+    }
+    val metadataJson = sectioned("metadata")(metadataShakeout(spark))
+    val meta100kJson = sectioned("metadata_100k")(metadata100k(spark))
+    val cdfJson = sectioned("cdf")(cdfShakeout(spark))
+    val txnJson = sectioned("txn")(txnShakeout(spark))
+    val sustainJson = sectioned("sustain")(sustainShakeout(spark))
+    val morSidecarsJson = sectioned("mor_sidecars")(morSidecars(spark))
+    val commitLagJson = sectioned("commit_lag")(commitLag(spark))
+    val queryLagJson = sectioned("query_lag")(queryLag(spark))
+    val annClusteredJson = sectioned("ann_clustered")(annClustered(spark))
+    val sf1Json = sectioned("pipeline_sf1")(pipelineSf1(spark, sfDir, fns))
+    sentinels("end") = sentinelMs()
+    val sentinelJson = sentinels.map { case (k, v) =>
+      "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val rerunKey = streamingRerun
       .map(j => s""""streaming_other_attempt":$j,""").getOrElse("")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"runs":$runsMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"mor_sidecars":$morSidecarsJson,"commit_lag":$commitLagJson,"query_lag":$queryLagJson,"ann_recall_clustered":$annClusteredJson,"pipeline_sf1":$sf1Json,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"runs":$runsMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"mor_sidecars":$morSidecarsJson,"commit_lag":$commitLagJson,"query_lag":$queryLagJson,"ann_recall_clustered":$annClusteredJson,"pipeline_sf1":$sf1Json,"sentinel_ms":$sentinelJson,"sf":"$sfDir"}"""
     println(fullJson)
     // the driver's stdout capture keeps only a 2,000-char tail (the r11
     // artifact lost the warm/cold totals and sf0.1 pipeline keys to
@@ -148,6 +164,47 @@ object Bench {
     catch { case _: Exception => () }
     spark.stop()
   }
+
+  /** The contention sentinel: a CONSTANT amount of single-threaded
+    * pure-JVM work (LCG + xor-shift over a register — no Spark, no
+    * I/O, no allocation, unaffected by heap or page-cache state). Its
+    * quiet-window time is a machine constant (~0.2 s here), so an
+    * inflated reading directly measures external CPU contention during
+    * that instant — the self-exoneration the r13 artifact's 4-11×
+    * table-layer band lacked. */
+  private def sentinelMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 100000000) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= (x >>> 33)
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) Console.err.println("sentinel")   // defeat DCE
+    ms
+  }
+
+  /** Section-key run recording (r13 VERDICT task 3: the runs-array rule
+    * extended from barred keys to the table-layer sections): execute at
+    * least `n` runs, keep sampling (bounded) while the two best
+    * disagree >1.5×, and return EVERY run plus the min — the artifact
+    * shows a contended outlier next to its quiet rerun instead of
+    * presenting one poisoned sample as the measurement. */
+  private def runsOf(n: Int = 2, maxRuns: Int = 4)(
+      run: () => Double): (Seq[Double], Double) = {
+    var runs = Vector.fill(n)(run())
+    while ({
+      val s = runs.filter(_ > 0).sorted
+      (s.size < 2 || s(1) / s(0) > 1.5) && runs.size < maxRuns
+    }) runs :+= run()
+    val pos = runs.filter(_ > 0)
+    (runs, if (pos.isEmpty) -1.0 else pos.min)
+  }
+
+  private def runsJson(runs: Seq[Double]): String =
+    "[" + runs.map(r => f"$r%.3f").mkString(",") + "]"
 
   /** Keys whose output is a rebuilt TEXT column: time them with a
     * checksum aggregate over that column instead of `count()` —
@@ -672,21 +729,20 @@ object Bench {
     // by >1.5×, report the min — the discipline the headline queries
     // adopted in r8 after a single contended-window run poisoned an
     // artifact (merge_mor_sec recorded 4.52 s for code that steadily
-    // runs ≤1.6 s).
-    def stableMin(run: () => Double): Double = {
-      var runs = Vector(run(), run())
-      while ({
-        val s = runs.sorted
-        s(1) / s(0) > 1.5 && runs.size < 4
-      }) runs :+= run()
-      runs.min
+    // runs ≤1.6 s). EVERY run is recorded in the section's own "runs"
+    // map (r13 task 3), so the artifact self-exonerates.
+    val recorded = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def stableMin(key: String)(run: () => Double): Double = {
+      val (runs, best) = runsOf()(run)
+      recorded(key) = runs
+      best
     }
     // a merge mutates its target, so each timed run merges into a
     // fresh seeded copy (seeding untimed); returns the LAST merged
     // table so the read benches below see the exact post-merge state
-    def stableMerge(props: Map[String, String]): (TxTable, Double) = {
+    def stableMerge(key: String, props: Map[String, String]): (TxTable, Double) = {
       var last: TxTable = null
-      val best = stableMin { () =>
+      val best = stableMin(key) { () =>
         val t = seeded(props)
         val (_, sec) = timed(
           t.merge(batch, "transaction_id", "processing_timestamp"))
@@ -696,22 +752,24 @@ object Bench {
       (last, best)
     }
     // reads are side-effect-free: stable-min in place
-    def stableRead(body: => Unit): Double =
-      stableMin(() => { val (_, s) = timed(body); s })
-    val (off, mergeOff) = stableMerge(Map.empty)
-    val (on, mergeOn) = stableMerge(Map(TxTable.ChangeFeedProperty -> "true"))
+    def stableRead(key: String)(body: => Unit): Double =
+      stableMin(key)(() => { val (_, s) = timed(body); s })
+    val (off, mergeOff) = stableMerge("merge_off", Map.empty)
+    val (on, mergeOn) =
+      stableMerge("merge_on", Map(TxTable.ChangeFeedProperty -> "true"))
     val v = on.currentVersion
-    val (feedRows, feedSec) = timed(on.changeFeed(v, v).count())
+    val feedRows = on.changeFeed(v, v).count()
+    val feedSec = stableRead("feed_read")(on.changeFeed(v, v).count())
     // the no-rewrite path: same merge through deletion vectors
     val (mor, mergeMor) =
-      stableMerge(Map(TxTable.MergeModeProperty -> "merge-on-read"))
+      stableMerge("merge_mor", Map(TxTable.MergeModeProperty -> "merge-on-read"))
     // READ-side MOR tax: a full scan of the table the merge just left
     // with ~50% of its original positions deleted (vectors applied by
     // the readers), vs the same scan of the rewritten (COW) table —
     // the pair that makes any future DV read-path regression visible
     require(mor.toDF.count() == 40000L, "MOR read row count")
-    val dvRead = stableRead(mor.toDF.count())
-    val cowRead = stableRead(off.toDF.count())
+    val dvRead = stableRead("dv_read")(mor.toDF.count())
+    val cowRead = stableRead("cow_read")(off.toDF.count())
     // same scan through the V2 catalog: columnar batches filtered by
     // the surviving-row map (the vectorized DV read path) vs the V1
     // per-file anti-join above
@@ -727,10 +785,10 @@ object Bench {
                    FROM graftbench.${t.name}""")
         .collect()(0).getLong(0)
     require(v2Read(mor) == 40000L, "V2 MOR read row count")
-    val dvReadV2 = stableRead(v2Read(mor))
+    val dvReadV2 = stableRead("dv_read_v2")(v2Read(mor))
     // the fair baseline: the SAME V2 machinery over the vector-free
     // table — the difference to dv_read_v2_sec is the actual MOR tax
-    val cowReadV2 = stableRead(v2Read(off))
+    val cowReadV2 = stableRead("cow_read_v2")(v2Read(off))
     // COMPACTED-shape pair: the tiny-file tables above carry ~64 files
     // for 60k rows, so their DV read tax is dominated by fixed per-task
     // and per-file-planning cost that real 128 MB files amortize away.
@@ -745,11 +803,13 @@ object Bench {
     cowC.merge(batch, "transaction_id", "processing_timestamp")
     cowC.compactSmallFiles()
     require(v2Read(morC) == 40000L, "compacted MOR read row count")
-    val dvReadC = stableRead(v2Read(morC))
-    val cowReadC = stableRead(v2Read(cowC))
+    val dvReadC = stableRead("dv_read_compact_v2")(v2Read(morC))
+    val cowReadC = stableRead("cow_read_compact_v2")(v2Read(cowC))
     val morCFiles = morC.snapshot.files.size
     val cowCFiles = cowC.snapshot.files.size
     seed.unpersist(); batch.unpersist()
+    val runsBody = recorded.map { case (k, rs) =>
+      "\"" + k + "\":" + runsJson(rs) }.mkString("{", ",", "}")
     s"""{"merge_rows":20000,"merge_off_sec":${f"$mergeOff%.3f"},""" +
       s""""merge_on_sec":${f"$mergeOn%.3f"},""" +
       s""""merge_mor_sec":${f"$mergeMor%.3f"},""" +
@@ -760,7 +820,8 @@ object Bench {
       s""""dv_read_compact_v2_sec":${f"$dvReadC%.3f"},""" +
       s""""cow_read_compact_v2_sec":${f"$cowReadC%.3f"},""" +
       s""""compact_files_dv":$morCFiles,"compact_files_cow":$cowCFiles,""" +
-      s""""feed_rows":$feedRows,"feed_read_sec":${f"$feedSec%.3f"}}"""
+      s""""feed_rows":$feedRows,"feed_read_sec":${f"$feedSec%.3f"},""" +
+      s""""runs":$runsBody}"""
   } catch {
     case e: Throwable =>
       s"""{"error":"${e.getClass.getSimpleName}"}"""
@@ -802,27 +863,48 @@ object Bench {
         Schemas.transactions, Nil)
       (m, a)
     }
-    val (m1, a1) = freshPair("seq")
-    val (_, seqSec) = timed {
-      m1.merge(batch, "transaction_id", "processing_timestamp")
-      a1.append(batch)
+    // ≥2 full rounds with every run recorded (r13 task 3: this
+    // section's stage_sec recorded an 11× contended outlier with no
+    // in-artifact rerun to expose it); each round stages into FRESH
+    // tables, so runs are identical work
+    var round = 0
+    def oneRound(): (Double, Double, Double) = {
+      round += 1
+      val (m1, a1) = freshPair(s"seq$round")
+      val (_, seqSec) = timed {
+        m1.merge(batch, "transaction_id", "processing_timestamp")
+        a1.append(batch)
+      }
+      val (m2, a2) = freshPair(s"atomic$round")
+      val txn = GraftTxn.begin(spark,
+        new Path(whF.getAbsolutePath, "_txns"))
+      val (_, stageSec) = timed {
+        txn.merge(m2, batch, "transaction_id", "processing_timestamp")
+        txn.append(a2, batch)
+      }
+      val (_, publishSec) = timed(txn.publishPending())
+      val (_, decideSec) = timed(txn.decide())
+      require(m2.toDF.count() == 40000L && a2.toDF.count() == 20000L,
+        "atomic txn produced wrong row counts")
+      (stageSec, publishSec + decideSec, seqSec)
     }
-    val (m2, a2) = freshPair("atomic")
-    val txn = GraftTxn.begin(spark,
-      new Path(whF.getAbsolutePath, "_txns"))
-    val (_, stageSec) = timed {
-      txn.merge(m2, batch, "transaction_id", "processing_timestamp")
-      txn.append(a2, batch)
-    }
-    val (_, publishSec) = timed(txn.publishPending())
-    val (_, decideSec) = timed(txn.decide())
-    require(m2.toDF.count() == 40000L && a2.toDF.count() == 20000L,
-      "atomic txn produced wrong row counts")
+    var rounds = Vector(oneRound(), oneRound())
+    while ({
+      val s = rounds.map(_._1).sorted
+      s(1) / s(0) > 1.5 && rounds.size < 4
+    }) rounds :+= oneRound()
     seed.unpersist(); batch.unpersist()
+    def minOf(f: ((Double, Double, Double)) => Double): Double =
+      rounds.map(f).min
+    def runs(f: ((Double, Double, Double)) => Double): String =
+      runsJson(rounds.map(f))
     s"""{"tables":2,"rows_per_table":20000,""" +
-      s""""stage_sec":${f"$stageSec%.3f"},""" +
-      s""""publish_decide_sec":${f"${publishSec + decideSec}%.4f"},""" +
-      s""""vs_sequential_sec":${f"$seqSec%.3f"}}"""
+      s""""stage_sec":${f"${minOf(_._1)}%.3f"},""" +
+      s""""publish_decide_sec":${f"${minOf(_._2)}%.4f"},""" +
+      s""""vs_sequential_sec":${f"${minOf(_._3)}%.3f"},""" +
+      s""""runs":{"stage":${runs(_._1)},""" +
+      s""""publish_decide":${runs(_._2)},""" +
+      s""""vs_sequential":${runs(_._3)}}}"""
   } catch {
     case e: Throwable =>
       s"""{"error":"${e.getClass.getSimpleName}"}"""
@@ -918,13 +1000,16 @@ object Bench {
     // snapshot, which is O(files at that version) by design — the same
     // cost any read of that snapshot pays)
     def cutoffMs(k: Int): Long = 1700000000000L + k * (commits / 10) * 1000L - 500L
-    val (_, tResolve) = timed {
+    // ≥2 recorded runs (r13 task 3: this key recorded a 4× contended
+    // outlier — 2.05 s vs the quiet 0.49 — with nothing in the
+    // artifact to attribute it)
+    val (resolveRuns, tResolve) = runsOf()(() => timed {
       (1 to 10).foreach(k =>
         TxLog.versionAtOrBefore(logDir, head, cutoffMs(k), conf))
-    }
-    val (_, tAsOf) = timed {
+    }._2)
+    val (asOfRuns, tAsOf) = runsOf()(() => timed {
       (1 to 10).foreach(k => cat.loadTable(ident, cutoffMs(k) * 1000L))
-    }
+    }._2)
     // marginal-commit probe at the 10⁵-ENTRY head (r12 VERDICT task 5):
     // 1-file appends through the trusted DELTA path (the internal
     // streaming/append shape — commit CPU O(added + log files)) vs the
@@ -959,7 +1044,9 @@ object Bench {
       s""""provenance_walk_sec":${f"$provenanceWalk%.3f"},""" +
       s""""catchup_plan_sec":${f"$catchupPlan%.3f"},""" +
       s""""timestamp_resolve_10x_sec":${f"$tResolve%.4f"},""" +
-      s""""timestamp_as_of_10x_sec":${f"$tAsOf%.3f"}}"""
+      s""""timestamp_as_of_10x_sec":${f"$tAsOf%.3f"},""" +
+      s""""runs":{"timestamp_resolve_10x":${runsJson(resolveRuns)},""" +
+      s""""timestamp_as_of_10x":${runsJson(asOfRuns)}}}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
@@ -1028,13 +1115,19 @@ object Bench {
     def prunedRead(t: TxTable): Long =
       t.toDF.filter(col("part") === "p003").count()
     fullRead(big); prunedRead(big); fullRead(small); prunedRead(small) // warm
-    val (_, tFull) = timed(fullRead(big))
-    val (_, tPruned) = timed(prunedRead(big))
-    val (_, tPrunedSmall) = timed(prunedRead(small))
+    // ≥2 recorded runs per key (r13 task 3: read_full recorded an 8.5×
+    // contended outlier here with no rerun in the artifact)
+    val (fullRuns, tFull) = runsOf()(() => timed(fullRead(big))._2)
+    val (prunedRuns, tPruned) = runsOf()(() => timed(prunedRead(big))._2)
+    val (smallRuns, tPrunedSmall) =
+      runsOf()(() => timed(prunedRead(small))._2)
     s"""{"files":1000,"sidecars":$nDv,"sidecars_control":$nDvSmall,""" +
       s""""read_full_sec":${f"$tFull%.3f"},""" +
       s""""read_pruned_sec":${f"$tPruned%.3f"},""" +
-      s""""read_pruned_10dv_sec":${f"$tPrunedSmall%.3f"}}"""
+      s""""read_pruned_10dv_sec":${f"$tPrunedSmall%.3f"},""" +
+      s""""runs":{"read_full":${runsJson(fullRuns)},""" +
+      s""""read_pruned":${runsJson(prunedRuns)},""" +
+      s""""read_pruned_10dv":${runsJson(smallRuns)}}}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
@@ -1054,7 +1147,7 @@ object Bench {
    * two round-trips per metadata commit
    * (`update_metadata.py:64-70,135-141`).
    */
-  private def commitLag(spark: SparkSession): String = try {
+  private[graft] def commitLag(spark: SparkSession): String = try {
     import graft.table.{DataFile, LagFs, Snapshot, TxLog}
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
@@ -1206,14 +1299,25 @@ object Bench {
       val (_, readSec) = timed(t.toDF.count())
       (ingestSec, readSec, t.snapshot.files.size)
     }
-    val (ingest10, read10, files10) = run("b10", 10)
-    val (ingest100, read100, files100) = run("b100", 100)
+    // exactly 2 recorded runs per shape (r13 task 3): the ingest runs
+    // are minutes each, so the retry-while-disagreeing loop is not
+    // affordable here — two full runs still expose a contended window
+    // (one quiet sample beats one poisoned sample presented alone)
+    val a1 = run("b10", 10); val a2 = run("b10_r2", 10)
+    val b1 = run("b100", 100); val b2 = run("b100_r2", 100)
+    val (ingest10, read10) = (math.min(a1._1, a2._1), math.min(a1._2, a2._2))
+    val (ingest100, read100) = (math.min(b1._1, b2._1), math.min(b1._2, b2._2))
+    val (files10, files100) = (a1._3, b1._3)
     s"""{"rows":$rows,"batches_a":10,"batches_b":100,""" +
       s""""ingest_10b_sec":${f"$ingest10%.3f"},""" +
       s""""ingest_100b_sec":${f"$ingest100%.3f"},""" +
       s""""read_10b_sec":${f"$read10%.3f"},""" +
       s""""read_100b_sec":${f"$read100%.3f"},""" +
-      s""""files_10b":$files10,"files_100b":$files100}"""
+      s""""files_10b":$files10,"files_100b":$files100,""" +
+      s""""runs":{"ingest_10b":${runsJson(Seq(a1._1, a2._1))},""" +
+      s""""ingest_100b":${runsJson(Seq(b1._1, b2._1))},""" +
+      s""""read_10b":${runsJson(Seq(a1._2, a2._2))},""" +
+      s""""read_100b":${runsJson(Seq(b1._2, b2._2))}}}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }

@@ -299,8 +299,7 @@ object TxLog {
     val f = fs(logDir, conf)
     val cached = headCache.get(logDir.toString)
     if (cached != null) {
-      var v = cached.longValue()
-      while (f.exists(new Path(logDir, snapshotName(v + 1)))) v += 1
+      val v = probeForward(f, logDir, cached.longValue())
       if (v != cached.longValue()) {
         // the successful successor probes verified the new head exists
         headCacheAdvance(logDir, v)
@@ -329,9 +328,7 @@ object TxLog {
     }
     val head = readHint(f, logDir) match {
       case Some(h) if f.exists(new Path(logDir, snapshotName(h))) =>
-        var v = h
-        while (f.exists(new Path(logDir, snapshotName(v + 1)))) v += 1
-        Some(v)
+        Some(probeForward(f, logDir, h))
       case _ => listedVersion(f, logDir)
     }
     head.foreach(headCacheAdvance(logDir, _))
@@ -390,6 +387,31 @@ object TxLog {
   def currentVersionTrusted(logDir: Path, conf: Configuration): Option[Long] = {
     val th = headTrusted.get(logDir.toString)
     if (th != null) Some(th.version) else currentVersion(logDir, conf)
+  }
+
+  /** Forward head search from a VERIFIED version: gallop (+1, +2, +4,
+    * …) to bracket the first missing slot, then binary-search the
+    * bracket — O(log lag) exists-probes instead of the O(lag) linear
+    * walk, which is what lets the hint cadence drop to 1/64 commits
+    * (r13 VERDICT task 6) without unbounding cold-discovery cost.
+    * Version slots are DENSE above any existing version (commits are
+    * sequential), so the exists predicate is monotone in the bracket;
+    * a commit racing the search can only make the result one commit
+    * stale, which every discovery caller already tolerates. */
+  private def probeForward(f: FileSystem, logDir: Path, from: Long): Long = {
+    if (!f.exists(new Path(logDir, snapshotName(from + 1)))) return from
+    var lo = from + 1                        // verified to exist
+    var step = 1L
+    while (f.exists(new Path(logDir, snapshotName(lo + step)))) {
+      lo += step
+      step *= 2
+    }
+    var hi = lo + step                       // verified missing
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      if (f.exists(new Path(logDir, snapshotName(mid)))) lo = mid else hi = mid
+    }
+    lo
   }
 
   /** Monotonic head-cache update: concurrent probes/commits may land
@@ -752,12 +774,18 @@ object TxLog {
         // format gate: a header written by a future format must FAIL
         // loudly, never parse to a silent partial view (the exact
         // failure mode the manifest-list spill would have had on a
-        // pre-upgrade reader)
-        if (stored.minReader > SupportedReaderVersion)
+        // pre-upgrade reader). Tests may LOWER the supported version
+        // via `graft.test.supportedReaderVersion` to exercise the gate
+        // against REAL v2 headers (a simulated pre-upgrade reader);
+        // production never sets the key, so the compiled constant
+        // decides there.
+        val supported = conf.getInt("graft.test.supportedReaderVersion",
+          SupportedReaderVersion)
+        if (stored.minReader > supported)
           throw new java.io.IOException(
             s"snapshot $p requires reader format version " +
               s"${stored.minReader}; this build supports <= " +
-              s"$SupportedReaderVersion — upgrade before reading")
+              s"$supported — upgrade before reading")
         // two-level layout: refs live in the manifest-list file — pull
         // them into `manifests` here (one CACHED read; lists are
         // immutable) so every consumer of a parsed header sees the full
@@ -1038,8 +1066,18 @@ object TxLog {
   }
 
   /** Small remainders stay inline in the snapshot JSON; past this they
-    * go to a manifest file. */
-  private val InlineMaxFiles = 8
+    * go to a manifest file. 32 (was 8 through r13) by the commit
+    * round-trip ledger: a 1-file-append stream spills one manifest per
+    * InlineMaxFiles+1 commits, so the bound is the dominant term of
+    * the steady-state create count after the hint amortization —
+    * 1/9 ≈ 0.111 at 8 vs 1/33 ≈ 0.030 at 32 (r13 VERDICT task 6: the
+    * reference's floor is 2 round-trips; this puts the protocol at
+    * ~2.05). The BYTE cost is ≤32 inline entries (~5 KB) re-carried
+    * per header — far under what Delta (all actions) or Iceberg (all
+    * snapshots) carry in their per-commit metadata. Tier geometry
+    * scales with it ([[TierUnit]]), preserving the O(log files)
+    * rewrite amplification. */
+  private val InlineMaxFiles = 32
   /** Refs up to this many stay inline in the snapshot JSON (small
     * tables pay zero extra round-trips); past it they move to a
     * manifest-list file ([[ManifestList]]) whose name rides the header
@@ -1159,8 +1197,13 @@ object TxLog {
     * versions (plus v0). The hint only accelerates COLD-process head
     * discovery — a per-commit overwrite was one full round-trip per
     * commit for a bounded cold-start saving; at this cadence a cold
-    * reader pays ≤ HintEvery forward probes instead. */
-  private[table] val HintEvery = 8L
+    * reader pays O(log HintEvery) forward probes instead (gallop +
+    * bisect, see [[probeForward]]). 64 puts the steady-state hint cost
+    * at 1/64 create per commit with a ≤13-probe cold catch-up —
+    * measured against the reference's 2-round-trip floor (r13 VERDICT
+    * task 6: at the old cadence of 8 the hint alone was 0.125 of the
+    * 2.28 RT/commit). */
+  private[table] val HintEvery = 64L
 
   /**
    * Atomic CAS commit: writes `snapshot` as version `expected + 1`.

@@ -604,6 +604,14 @@ class AclSpec extends SparkSpec {
       GraftSql.sql(cat, "DROP VIEW global_temp.gdrop_v")
       assert(!spark.catalog.tableExists("global_temp.gdrop_v"),
         "global temp view survived its drop (mis-routed to the stored registry)")
+      // the BACKTICKED spelling routes identically (ADVICE r13: it
+      // slipped into the stored-view arm, leaving the live view and
+      // its ownership record behind)
+      GraftSql.sql(cat, "CREATE GLOBAL TEMP VIEW gdrop_b AS SELECT * FROM gt.t")
+      assert(spark.catalog.tableExists("global_temp.gdrop_b"))
+      GraftSql.sql(cat, "DROP VIEW `global_temp`.gdrop_b")
+      assert(!spark.catalog.tableExists("global_temp.gdrop_b"),
+        "backtick-quoted global_temp drop mis-routed to the stored registry")
     }
   }
 

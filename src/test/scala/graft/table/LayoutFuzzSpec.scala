@@ -61,10 +61,10 @@ class LayoutFuzzSpec extends SparkSpec {
           files = files ++ (0 until 1 + rnd.nextInt(3)).map(_ =>
             newFile(if (rnd.nextBoolean()) 0L else version))
         case 6 =>
-          // append burst — pushes `remaining` past InlineMaxFiles so
-          // manifest spills (and eventually tier merges + ref-list
+          // append burst — pushes `remaining` past InlineMaxFiles (32)
+          // so manifest spills (and eventually tier merges + ref-list
           // spills) exercise on both paths
-          files = files ++ (0 until 12 + rnd.nextInt(20)).map(_ => newFile(0L))
+          files = files ++ (0 until 34 + rnd.nextInt(60)).map(_ => newFile(0L))
         case 7 if files.nonEmpty =>
           // removal (a rewrite dropping files) — must force the full
           // path and still lay out identically
@@ -160,15 +160,16 @@ class LayoutFuzzSpec extends SparkSpec {
 
   test("ref list spills to a manifest-list file, is reused, and cascades") {
     // Deterministic walk of the two-level layout's whole life cycle:
-    // tier-sized bursts (9, 40, 150 files — tiers 1, 2, 3) stack three
-    // manifests per tier WITHOUT triggering a merge, pushing the ref
-    // list past the inline bound (9 > 8) → refs move to a manifest-list
-    // file and the header stores "manifests":[]; pure-inline appends
-    // then REUSE the parent's list file byte-for-byte (zero ref-list
-    // writes on the hot append path); a fourth tier-1 burst finally
-    // fires the full merge CASCADE (4 at tier 1 → merged lands in tier
-    // 2 → 4 there → tier 3 → 4 there → one tier-4 manifest), collapsing
-    // the refs back inline.
+    // tier-sized bursts (33, 150, 550 files — tiers 1, 2, 3 at
+    // TierUnit 33) stack three manifests per tier WITHOUT triggering a
+    // merge, pushing the ref list past the inline bound (9 > 8) → refs
+    // move to a manifest-list file and the header stores
+    // "manifests":[]; pure-inline appends then REUSE the parent's list
+    // file byte-for-byte (zero ref-list writes on the hot append
+    // path); a fourth tier-1 burst finally fires the full merge
+    // CASCADE (4 at tier 1 → merged lands in tier 2 → 4 there → tier 3
+    // → 4 there → one tier-4 manifest), collapsing the refs back
+    // inline.
     val base = new java.io.File(freshDir("layout_mlist"), "_log")
     val dir = new Path(base.getAbsolutePath)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -192,7 +193,7 @@ class LayoutFuzzSpec extends SparkSpec {
       expected = Some(v)
     }
     commitBurst(0)                                   // CREATE, empty
-    Seq(9, 9, 9, 40, 40, 40, 150, 150, 150).foreach(commitBurst)
+    Seq(33, 33, 33, 150, 150, 150, 550, 550, 550).foreach(commitBurst)
     val atSpill = TxLog.readRaw(dir, expected.get, conf)
     assert(atSpill.manifests.size === 9)
     assert(atSpill.manifestList.isDefined,
@@ -210,8 +211,9 @@ class LayoutFuzzSpec extends SparkSpec {
       "inline append should reuse the parent's manifest-list file")
     assert(reused.manifests === atSpill.manifests)
     // fourth tier-1 burst → full cascade to ONE manifest, refs inline
-    // again (the 5 inline files ride along into the spill first)
-    commitBurst(9)
+    // again (the 5 inline files ride along into the spill first:
+    // 5 + 33 = 38 files, still tier 1)
+    commitBurst(33)
     val cascaded = TxLog.readRaw(dir, expected.get, conf)
     assert(cascaded.manifests.size === 1,
       s"cascade should collapse to one manifest, got ${cascaded.manifests}")

@@ -360,17 +360,18 @@ class MultiTableTxnSpec extends SparkSpec {
       expected = Some(v)
       v
     }
-    // tier-spread bursts (the LayoutFuzzSpec life-cycle shape) push the
-    // ref list past the inline bound → manifest-list files appear
+    // tier-spread bursts (the LayoutFuzzSpec life-cycle shape, TierUnit
+    // 33) push the ref list past the inline bound → manifest-list
+    // files appear
     burst(0)
-    Seq(9, 9, 9, 40, 40, 40, 150, 150, 150).foreach(burst(_))
+    Seq(33, 33, 33, 150, 150, 150, 550, 550, 550).foreach(burst(_))
     assert(TxLog.readRaw(logDir, expected.get, conf).manifestList.isDefined)
     // an ABORTED txn commit that spilled a fresh manifest + list file
-    // (600 files → a tier-4 manifest: no tier fills to the merge
+    // (2200 files → a tier-4 manifest: no tier fills to the merge
     // threshold, so refs stay 10 > inline bound and a NEW list spills)
     val marker = new Path(freshDir("vac_aborted_m"), "m.txn")
     val qual = marker.getFileSystem(conf).makeQualified(marker).toString
-    val abortedV = burst(600, pending = Some(qual))
+    val abortedV = burst(2200, pending = Some(qual))
     assert(TxLog.decideTxn(qual, TxLog.TxnAborted, conf) === TxLog.TxnAborted)
     val storedAborted = TxLog.readStored(logDir, abortedV, conf)
     val abortedList = storedAborted.manifestList.get

@@ -274,6 +274,63 @@ class ObjectStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("reader format version"))
   }
 
+  test("format gate forward: a v2 head refuses a simulated v1 reader; the v1 prefix still time-travels") {
+    // r13 VERDICT task 7: exercise the gate against REAL v2 headers
+    // (the minReader = 99 spec above proves the error path on a
+    // hand-written future header; this proves the CURRENT writer's own
+    // manifest-list headers carry the gate and a mixed log degrades
+    // exactly at the v1/v2 boundary, never with a partial read)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new Path(new java.io.File(
+      freshDir("format_fwd"), "_log").getAbsolutePath)
+    var files = Vector.empty[DataFile]
+    var next = 0
+    var expected: Option[Long] = None
+    def burst(n: Int): Long = {
+      files = files ++ (0 until n).map { _ =>
+        next += 1; DataFile(f"d$next%05d.parquet", Map.empty, 10L, 100L)
+      }
+      val v = expected.map(_ + 1).getOrElse(0L)
+      TxLog.commit(logDir, expected, Snapshot(version = v,
+        timestampMs = 1700000000000L + v,
+        operation = if (v == 0) "CREATE" else "APPEND",
+        schemaJson = Schemas.transactions.json, partitionColumns = Nil,
+        files = files), conf)
+      expected = Some(v)
+      v
+    }
+    // tier-spread bursts outgrow the inline ref bound → the head spills
+    // a manifest list and stamps minReader = 2; early commits stay v1
+    burst(0)
+    Seq(33, 33, 33, 150, 150, 150, 550, 550, 550).foreach(burst(_))
+    val head = expected.get
+    val headStored = TxLog.readStored(logDir, head, conf)
+    assert(headStored.manifestList.isDefined && headStored.minReader === 2,
+      "head did not spill a manifest list — burst pattern regressed")
+    val v1Versions = (0L to head).filter(v =>
+      TxLog.readStored(logDir, v, conf).minReader == 1)
+    assert(v1Versions.nonEmpty, "no v1 prefix in the mixed log")
+    // a COLD pre-upgrade reader (support lowered via the test knob,
+    // caches purged): the v2 head fails with the NAMED error...
+    val v1conf = new org.apache.hadoop.conf.Configuration(conf)
+    v1conf.setInt("graft.test.supportedReaderVersion", 1)
+    TxLog.purgeRawCache(logDir)
+    val e = intercept[java.io.IOException](TxLog.read(logDir, head, v1conf))
+    assert(e.getMessage.contains("reader format version"),
+      s"wrong failure mode: ${e.getMessage}")
+    // ...never a partial view: nothing readable AT the head
+    TxLog.purgeRawCache(logDir)
+    intercept[java.io.IOException](TxLog.read(logDir, head, v1conf))
+    // the v1 PREFIX reads completely under time travel for that reader
+    TxLog.purgeRawCache(logDir)
+    val prefixHead = v1Versions.max
+    val pre = TxLog.read(logDir, prefixHead, v1conf)
+    assert(pre.files.nonEmpty && pre.version === prefixHead)
+    // and the full reader still reads everything after the purges
+    TxLog.purgeRawCache(logDir)
+    assert(TxLog.read(logDir, head, conf).files.size === files.size)
+  }
+
   test("commit self-heals a log directory deleted behind the caches") {
     // freshDir-style external deletion (not through the catalog, which
     // purges TxLog's caches) leaves a stale head-cache entry; the next

@@ -1484,9 +1484,9 @@ class TxTableSpec extends SparkSpec {
     // #3), orphaning their parents.
     // row counts are ≥3× the partition counts so written-file counts
     // land mid-tier even when a few partitions come up empty
-    // (tiers: 9-35 / 36-143 / 144-575 / 576+ files)
-    val shapes = Seq.fill(3)((40, 9)) ++ Seq.fill(3)((120, 40)) ++
-      Seq.fill(3)((600, 200)) ++ Seq.fill(2)((2100, 700))
+    // (tiers at TierUnit 33: 33-131 / 132-527 / 528-2111 / 2112+ files)
+    val shapes = Seq.fill(3)((150, 50)) ++ Seq.fill(3)((600, 200)) ++
+      Seq.fill(3)((1800, 600)) ++ Seq.fill(2)((11000, 2200))
     shapes.zipWithIndex.foreach { case ((rows, files), i) =>
       t.append(SampleData.transactions(spark, rows, seed = 300L + i)
         .repartition(files))
@@ -1517,15 +1517,16 @@ class TxTableSpec extends SparkSpec {
   test("provenance stays exact across checkpointed commits") {
     val t = TxTable.create(spark, new Path(freshDir("tx_prov_ckpt")), "t",
       Schemas.transactions, Nil)
-    // enough commits that manifests kick in (InlineMaxFiles=8) and at
-    // least one reuse+remainder split happens
+    // enough commits that manifests kick in (inline accumulation past
+    // InlineMaxFiles=32) and at least one reuse+remainder split happens
     (1 to 12).foreach { i =>
-      t.append(SampleData.transactions(spark, 5, seed = 700L + i))
+      t.append(SampleData.transactions(spark, 25, seed = 700L + i)
+        .repartition(5))
     }
     val prov = t.readWithProvenance()
     val byVersion = prov.groupBy("_commit_version").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(byVersion === (1 to 12).map(v => v.toLong -> 5L).toMap)
+    assert(byVersion === (1 to 12).map(v => v.toLong -> 25L).toMap)
     // and the plan carries no UDF: the file→version decoration is a
     // broadcast join, which stays inside codegen
     val plan = prov.queryExecution.executedPlan.toString
