@@ -132,6 +132,14 @@ object Bench {
     // a slow section between quiet sentinels is the code's own time)
     val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
     def sectioned(name: String)(body: => String): String = {
+      // sections must not inherit the PREVIOUS sections' state: cached
+      // blocks left by earlier workloads (each section manages its own
+      // caches internally) plus accumulated garbage otherwise land in
+      // this section's timed windows — measured on the r14 local run:
+      // ann_recall_clustered's 504-query batch read 93 s inside the
+      // full bench vs 17-21 s isolated OR behind this barrier, with
+      // QUIET sentinels both times (in-process debt, not contention)
+      spark.catalog.clearCache()
       System.gc(); Thread.sleep(100)
       sentinels(s"before_$name") = sentinelMs()
       body
@@ -1077,7 +1085,7 @@ object Bench {
    *    latency under 1,000 total sidecars ≈ under 10 proves read cost
    *    scales with TOUCHED files, not total delete state.
    */
-  private def morSidecars(spark: SparkSession): String = try {
+  private[graft] def morSidecars(spark: SparkSession): String = try {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions._
     import graft.table.TxTable
@@ -1264,7 +1272,7 @@ object Bench {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
 
-  private def sustainShakeout(spark: SparkSession): String = try {
+  private[graft] def sustainShakeout(spark: SparkSession): String = try {
     import org.apache.hadoop.fs.Path
     val rows = 50000L
     val morProps = Map(

@@ -47,8 +47,8 @@ private[graft] object GraftProcedures {
     "rollback_to_version", "rollback_to_timestamp", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "add_files",
     "analyze_table", "build_bloom_index", "build_vector_index",
-    "refresh_vector_index", "rewrite_vector_index", "shallow_clone",
-    "index_commits")
+    "refresh_vector_index", "rewrite_vector_index",
+    "maintain_vector_index", "shallow_clone", "index_commits")
 
   def load(name: String, cat: () => GraftTableCatalog): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, cat)) else None
@@ -112,6 +112,11 @@ private[graft] object GraftProcedures {
           p("vector_column", StringType),
           pDefault("target_file_size_bytes", LongType,
             (128L * 1024 * 1024).toString))
+        case "maintain_vector_index" => Array(TableParam,
+          p("vector_column", StringType),
+          pDefault("coverage_floor", DoubleType, "0.9"),
+          pDefault("rebuild_below", DoubleType, "0.5"),
+          pDefault("max_code_files", IntegerType, "64"))
         case "shallow_clone" => Array(TableParam, p("destination", StringType),
           pDefault("version", LongType, "-1"))
         case "index_commits" => Array(TableParam)
@@ -199,6 +204,14 @@ private[graft] object GraftProcedures {
             // call (the small-file compaction of the ANN sidecar)
             result("code_files" -> t.rewriteVectorIndex(
               input.getString(1), input.getLong(2)))
+          case "maintain_vector_index" =>
+            // threshold-driven lifecycle: rebuild / refresh / compact /
+            // noop from the coverage + code-file signals SHOW INDEXES
+            // reports (see TxTable.maintainVectorIndex)
+            val (action, detail) = t.maintainVectorIndex(
+              input.getString(1), input.getDouble(2), input.getDouble(3),
+              input.getInt(4))
+            result("action" -> action, "detail" -> detail)
           case "shallow_clone" =>
             val parts = input.getString(1).split("\\.")
             require(parts.length == 2,

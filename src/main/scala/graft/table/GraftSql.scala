@@ -2140,6 +2140,7 @@ object GraftSql {
     "build_vector_index"       -> "INSERT",
     "refresh_vector_index"     -> "INSERT",
     "rewrite_vector_index"     -> "INSERT",
+    "maintain_vector_index"    -> "INSERT",
     "analyze_table"            -> "DESCRIBE",
     "index_commits"            -> "DESCRIBE",
     "shallow_clone"            -> "FULL_SELECT")

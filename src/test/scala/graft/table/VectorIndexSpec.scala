@@ -365,6 +365,39 @@ class VectorIndexSpec extends SparkSpec {
     assert(kinds === Seq("bloom", "vector"))
   }
 
+  test("maintainVectorIndex takes the cheapest sufficient action from the staleness signals") {
+    val t = embTable("vecidx_maintain")
+    val fs = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val total = t.toDF.count()
+    // fresh index → noop
+    assert(t.maintainVectorIndex("embedding")._1 === "noop")
+    // small unindexed append (coverage just below the floor) → refresh
+    t.append(t.toDF.limit((total / 5).toInt))
+    val (a1, n1) = t.maintainVectorIndex("embedding", coverageFloor = 0.9)
+    assert(a1 === "refreshed" && n1 === total / 5)
+    assert(t.maintainVectorIndex("embedding")._1 === "noop")
+    // pathological small-file accumulation → compact (coverage is fine)
+    val meta = t.vectorIndexMeta("embedding").get
+    def codeFiles(): Int =
+      fs.listStatus(new Path(t.root,
+          s"_index/vector_embedding/${t.vectorIndexMeta("embedding").get.codesDir}"))
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val before = codeFiles()
+    val (a2, n2) = t.maintainVectorIndex("embedding",
+      maxCodeFiles = math.max(1, before - 1))
+    assert(a2 === "compacted" && n2 < before)
+    // heavy churn (most of the corpus postdates the build) → rebuild
+    t.append(t.toDF)   // coverage drops to ~0.5
+    t.append(t.toDF.limit((total / 2).toInt))
+    val (a3, _) = t.maintainVectorIndex("embedding", rebuildBelow = 0.6)
+    assert(a3 === "rebuilt")
+    val after = t.vectorIndexMeta("embedding").get
+    assert(after.builtAtVersion > meta.builtAtVersion)
+    // a rebuilt index covers the whole current snapshot again
+    assert(t.maintainVectorIndex("embedding")._1 === "noop")
+  }
+
   test("searchIndexed over a reloaded codes parquet matches the in-memory path") {
     // the persisted artifact IS the index: a fresh read of the codes
     // parquet + stored model must produce the same top-k as encoding
