@@ -2162,11 +2162,16 @@ object GraftSql {
           "closed through this surface")
     }
     val proc = nameParts.last.toLowerCase
-    val ours = nameParts.map(_.toLowerCase) match {
-      case Seq(_)            => true
-      case Seq("system", _)  => true
-      case Seq(cn, "system", _) => governedCatalog(cat, cn)
-      case _                 => false
+    // the catalog part keeps its ORIGINAL case: conf-registered alias
+    // names are case-sensitive, so lowercasing before governedCatalog
+    // would let `CALL \`AliasWh\`.system.proc` shed the gate (found by
+    // the r14 self-review — the identOf relation cases never lowercase)
+    val ours = nameParts match {
+      case Seq(_) => true
+      case Seq(ns, _) if ns.equalsIgnoreCase("system") => true
+      case Seq(cn, ns, _) if ns.equalsIgnoreCase("system") =>
+        governedCatalog(cat, cn)
+      case _ => false
     }
     if (!ours || !graft.catalog.GraftProcedures.names.contains(proc)) return
     val bar = ProcedureBars.getOrElse(proc, throw new SecurityException(

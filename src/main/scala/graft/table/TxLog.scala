@@ -106,8 +106,14 @@ final case class BloomIndex(
   * rollback_to_version re-adds files with their ORIGINAL commit seq:
   * a `seq > builtAtVersion` rule would classify a restored
   * pre-build-deleted file as covered and silently drop its rows
-  * (ADVICE r13 medium). `builtAtVersion` remains for observability and
-  * as the coverage rule for LEGACY metas (coveredFiles == None).
+  * (ADVICE r13 medium). The set itself lives in a SEPARATE sidecar
+  * (`coveredFilesFile`, one path per line, temp+rename published): it
+  * grows with the TABLE (O(files) — ~50 MB at 10⁶ files), unlike the
+  * model-sized quantizers, so inlining it would make every cold meta
+  * read and every refresh rewrite pay table-scale JSON. `coveredFiles`
+  * inline remains readable for r14-interim metas; `builtAtVersion`
+  * remains for observability and as the coverage rule for LEGACY metas
+  * (both fields absent).
   * `codesDir` names the codes GENERATION: a rebuild/compaction writes
   * a fresh directory and publishes this meta atomically (temp +
   * rename), so a concurrent search always reads a complete old-or-new
@@ -123,7 +129,8 @@ final case class VectorIndexMeta(
     recallTarget: Double,
     builtAtVersion: Long,
     codesDir: String = "codes",
-    coveredFiles: Option[Seq[String]] = None)
+    coveredFiles: Option[Seq[String]] = None,
+    coveredFilesFile: Option[String] = None)
 
 /** Pointer to an immutable manifest file under the log dir holding a
   * `Seq[DataFile]` group — the Iceberg manifest-list indirection that

@@ -373,13 +373,16 @@ class TxTable private (
       .repartition(col("cell")).sortWithinPartitions("cell")
       .write.mode("overwrite")
       .parquet(new Path(vectorIndexPath(vecCol), gen).toString)
+    val covered = writeCoveredFile(vecCol, s.files.map(_.path))
     publishVectorIndexMeta(vecCol, VectorIndexMeta(
       vecCol, idCol, dim, model.centroids, model.codebooks,
       model.nprobe, model.rerankTo, recallTarget, s.version,
-      codesDir = gen, coveredFiles = Some(s.files.map(_.path))))
+      codesDir = gen, coveredFilesFile = Some(covered)))
     // best-effort GC: keep the new generation and the one a search
     // planned against the PRIOR meta may still be scanning
-    gcVectorCodesDirs(vecCol, keep = Set(gen) ++ prior.map(_.codesDir))
+    gcVectorIndexArtifacts(vecCol,
+      keepDirs = Set(gen) ++ prior.map(_.codesDir),
+      keepFiles = Set(covered) ++ prior.flatMap(_.coveredFilesFile))
     model.nprobe
   }
 
@@ -420,11 +423,18 @@ class TxTable private (
       .repartition(col("cell")).sortWithinPartitions("cell")
       .write.mode("append")
       .parquet(new Path(vectorIndexPath(vecCol), meta.codesDir).toString)
-    val covered = meta.coveredFiles.getOrElse(
+    val covered = coveredSetOf(vecCol, meta).getOrElse(
       // legacy meta: materialize the watermark rule it was built under
-      s.files.filter(_.seq <= meta.builtAtVersion).map(_.path))
+      s.files.filter(_.seq <= meta.builtAtVersion).map(_.path).toSet)
+    val coveredFile = writeCoveredFile(vecCol,
+      (covered ++ deltaFiles.map(_.path)).toSeq)
     publishVectorIndexMeta(vecCol, meta.copy(builtAtVersion = s.version,
-      coveredFiles = Some((covered ++ deltaFiles.map(_.path)).distinct)))
+      coveredFiles = None, coveredFilesFile = Some(coveredFile)))
+    // only covered files are reaped here: codes generations may still
+    // be one-cycle-retained by a recent rebuild, which owns their GC
+    gcVectorIndexArtifacts(vecCol, keepDirs = Set.empty,
+      keepFiles = Set(coveredFile) ++ meta.coveredFilesFile,
+      reapDirs = false)
     n
   }
 
@@ -453,7 +463,8 @@ class TxTable private (
       .write.mode("overwrite")
       .parquet(new Path(vectorIndexPath(vecCol), gen).toString)
     publishVectorIndexMeta(vecCol, meta.copy(codesDir = gen))
-    gcVectorCodesDirs(vecCol, keep = Set(gen, meta.codesDir))
+    gcVectorIndexArtifacts(vecCol, keepDirs = Set(gen, meta.codesDir),
+      keepFiles = meta.coveredFilesFile.toSet)
     val out = new Path(vectorIndexPath(vecCol), gen)
     fs.listStatus(out).count(st => st.isFile &&
       st.getPath.getName.startsWith("part-"))
@@ -466,12 +477,55 @@ class TxTable private (
     * new path), so membership is exact under RESTORE, compaction, and
     * branch fast-forwards alike. */
   private def uncoveredFiles(s: Snapshot, meta: VectorIndexMeta): Seq[DataFile] =
-    meta.coveredFiles match {
-      case Some(cov) =>
-        val set = cov.toSet
-        s.files.filterNot(f => set.contains(f.path))
-      case None => s.files.filter(_.seq > meta.builtAtVersion)
+    coveredSetOf(meta.column, meta) match {
+      case Some(set) => s.files.filterNot(f => set.contains(f.path))
+      case None      => s.files.filter(_.seq > meta.builtAtVersion)
     }
+
+  /** The covered path set: from the external sidecar (`covered-*.txt`,
+    * cached — files are immutable under nonce names, so the name IS
+    * the cache key), else the r14-interim inline seq, else None
+    * (legacy watermark metas). O(files) memory, same order as the
+    * snapshot's own file vector the driver already holds. */
+  @transient private var coveredCache: Map[String, (String, Set[String])] =
+    Map.empty
+
+  private def coveredSetOf(vecCol: String,
+      meta: VectorIndexMeta): Option[Set[String]] =
+    meta.coveredFilesFile match {
+      case Some(name) => synchronized {
+        coveredCache.get(vecCol) match {
+          case Some((n, set)) if n == name => Some(set)
+          case _ =>
+            val p = new Path(vectorIndexPath(vecCol), name)
+            val in = fs.open(p)
+            val text = try {
+              val bos = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+              bos.toString("UTF-8")
+            } finally in.close()
+            val set = text.split('\n').iterator
+              .filter(_.nonEmpty).toSet
+            coveredCache += vecCol -> (name, set)
+            Some(set)
+        }
+      }
+      case None => meta.coveredFiles.map(_.toSet)
+    }
+
+  /** Write the covered path set as its own immutable sidecar (one path
+    * per line, nonce name — O(files) bytes live OUTSIDE meta.json, so
+    * cold meta reads stay model-sized and a refresh rewrites only this
+    * file, never the quantizers). Returns the file name. */
+  private def writeCoveredFile(vecCol: String, paths: Seq[String]): String = {
+    val name =
+      s"covered-${java.util.UUID.randomUUID().toString.take(8)}.txt"
+    val out = fs.create(new Path(vectorIndexPath(vecCol), name), true)
+    try out.write(paths.distinct.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    name
+  }
 
   /** A fresh, never-colliding codes-generation directory name. */
   private def newCodesGen(version: Long): String =
@@ -501,16 +555,23 @@ class TxTable private (
     synchronized { vectorIndexCache = vectorIndexCache - vecCol }
   }
 
-  /** Best-effort GC of superseded codes generations (everything not in
-    * `keep`): losing the race with a slow reader only fails that one
-    * read, and a crash here only leaves garbage for the next call. */
-  private def gcVectorCodesDirs(vecCol: String, keep: Set[String]): Unit =
+  /** Best-effort GC of superseded index artifacts — codes generations
+    * (when `reapDirs`) and covered-set sidecars — keeping the current
+    * and one-prior publications: losing the race with a slow reader
+    * only fails that one read, and a crash here only leaves garbage
+    * for the next call. */
+  private def gcVectorIndexArtifacts(vecCol: String, keepDirs: Set[String],
+      keepFiles: Set[String], reapDirs: Boolean = true): Unit =
     try {
       val dir = vectorIndexPath(vecCol)
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("codes") && !keep.contains(n))
+        if (reapDirs && st.isDirectory && n.startsWith("codes") &&
+            !keepDirs.contains(n))
           fs.delete(st.getPath, true)
+        else if (st.isFile && n.startsWith("covered-") &&
+            !keepFiles.contains(n))
+          fs.delete(st.getPath, false)
       }
     } catch { case _: Exception => () }
 
@@ -532,6 +593,7 @@ class TxTable private (
         if (hit) {
           fs.delete(st.getPath, true)
           vectorIndexCache = vectorIndexCache - colName
+          coveredCache = coveredCache - colName
         }
       }
     }
@@ -580,9 +642,8 @@ class TxTable private (
       s"no vector index on $name.$vecCol — run buildVectorIndex first"))
     val s = snapshot
     val totalRows = s.files.map(f => math.max(0L, f.rowCount)).sum
-    val coveredRows = meta.coveredFiles match {
-      case Some(cov) =>
-        val set = cov.toSet
+    val coveredRows = coveredSetOf(vecCol, meta) match {
+      case Some(set) =>
         s.files.filter(f => set.contains(f.path))
           .map(f => math.max(0L, f.rowCount)).sum
       case None => s.files.filter(_.seq <= meta.builtAtVersion)
@@ -591,8 +652,14 @@ class TxTable private (
     val coverage =
       if (totalRows == 0L) 1.0 else coveredRows.toDouble / totalRows
     if (coverage < rebuildBelow)
+      // PQ geometry carries over from the built index (m = number of
+      // codebooks, kCodes = codewords per book) — a maintenance rebuild
+      // must not silently reshape the quantizers to the API defaults
       ("rebuilt", buildVectorIndex(meta.idColumn, vecCol, meta.dim,
-        recallTarget = meta.recallTarget, rerankTo = meta.rerankTo).toLong)
+        recallTarget = meta.recallTarget, rerankTo = meta.rerankTo,
+        m = meta.codebooks.size,
+        kCodes = meta.codebooks.headOption.map(_.size).getOrElse(256))
+        .toLong)
     else if (coverage < coverageFloor)
       ("refreshed", refreshVectorIndex(vecCol))
     else {
@@ -627,8 +694,8 @@ class TxTable private (
       if (totalRows == 0L) 1.0 else covered.toDouble / totalRows
     val vec = vectorIndexedColumns.flatMap { c =>
       vectorIndexMeta(c).map { m =>
-        val covered = m.coveredFiles match {
-          case Some(cov) => rowsIn(cov.toSet)
+        val covered = coveredSetOf(c, m) match {
+          case Some(set) => rowsIn(set)
           case None => s.files.filter(_.seq <= m.builtAtVersion)
             .map(f => math.max(0L, f.rowCount)).sum
         }

@@ -688,6 +688,22 @@ class AclSpec extends SparkSpec {
       intercept[SecurityException](GraftSql.sql(cat,
         "CALL system.rollback_to_version(table => concat('sec', '.t'), version => 1)"))
     }
+    // a MIXED-CASE registered alias over this warehouse cannot shed the
+    // gate (conf-registered catalog names are case-sensitive; the gate
+    // must compare the original spelling, never a lowercased one)
+    spark.conf.set("spark.sql.catalog.AliasWh",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.AliasWh.warehouse",
+      cat.warehouse.toString)
+    try {
+      as("mallory") {
+        intercept[SecurityException](GraftSql.sql(cat,
+          "CALL `AliasWh`.system.rollback_to_version('sec.t', 1)").collect())
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.AliasWh")
+      spark.conf.unset("spark.sql.catalog.AliasWh.warehouse")
+    }
     // a SELECT grantee clears only the DESCRIBE/full-select bars
     as("bob") {
       assert(GraftSql.sql(cat, "CALL system.analyze_table('sec.t')")

@@ -313,7 +313,7 @@ class VectorIndexSpec extends SparkSpec {
       s"compaction did not shrink the sidecar: $before -> $after")
     assert(after === partFiles(metaAfter.codesDir))
     // coverage and quantizers are untouched; search results identical
-    assert(metaAfter.coveredFiles === metaBefore.coveredFiles)
+    assert(metaAfter.coveredFilesFile === metaBefore.coveredFilesFile)
     val resultsAfter = t.vectorSearch(queries, k = 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(resultsAfter === resultsBefore)
