@@ -74,17 +74,34 @@ private[graft] object GraftViews {
   }
 
   /** Direct create for the GraftSql text surface (CREATE VIEW ns.v AS
-    * …): stores the query text + the schema it analyzed to. */
+    * …): stores the query text + the schema it analyzed to. `owner`
+    * (the creating principal) rides the properties so replace/drop can
+    * take the creator-or-namespace-owner bar. */
   def createStored(spark: SparkSession, wh: Path, ident: Identifier,
-      sql: String, schema: StructType, replace: Boolean): Unit = {
+      sql: String, schema: StructType, replace: Boolean,
+      owner: String = ""): Unit = {
     val p = viewPath(wh, ident)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!replace && fs.exists(p))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(ident)
+    val props = if (owner.isEmpty) Map.empty[String, String]
+      else Map(OwnerProperty -> owner)
     write(fs, p, Stored(ident.name(), sql, "", Nil, schema.json,
-      schema.fieldNames.toSeq, Nil, Nil, Map.empty))
+      schema.fieldNames.toSeq, Nil, Nil, props))
     existsCache.remove(p.toString)
+  }
+
+  val OwnerProperty = "graft.view.owner"
+
+  /** The recorded creating principal of a stored view, if any (views
+    * created before r14, or through the V2 catalog, have none). */
+  def storedOwner(spark: SparkSession, wh: Path,
+      ident: Identifier): Option[String] = {
+    val p = viewPath(wh, ident)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else read(fs, p).properties.get(OwnerProperty)
   }
 
   def create(spark: SparkSession, wh: Path, info: ViewInfo,

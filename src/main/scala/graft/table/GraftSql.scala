@@ -288,8 +288,15 @@ object GraftSql {
   private val BareResetRe = """(?is)\s*RESET\s*;?\s*""".r
   private val CreateTempViewRe =
     """(?is)\s*CREATE\s+(?:OR\s+REPLACE\s+)?(GLOBAL\s+)?TEMP(?:ORARY)?\s+VIEW\s+(`[^`]+`|\w+).*""".r
+  private val AlterTempViewRe =
+    """(?is)\s*ALTER\s+VIEW\s+(?:(global_temp|`global_temp`)\s*\.\s*)?(`[^`]+`|\w+)\s+AS\b.*""".r
   private val DropBareViewRe =
     """(?is)\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?(?:(global_temp|`global_temp`)\s*\.\s*)?(`[^`]+`|\w+)\s*;?\s*""".r
+  // code-loading statements (a subset of SessionSetRe's shapes): closed
+  // outright — see the SecurityException site for the rationale
+  private val CodeLoadRe =
+    ("""(?is)\s*(?:ADD\s+(?:JARS?|FILES?|ARCHIVES?)""" +
+      """|CREATE\s+(?:OR\s+REPLACE\s+)?TEMPORARY\s+FUNCTION)\b.*""").r
 
   // --- statement-scoped table resolution --------------------------------
 
@@ -330,6 +337,17 @@ object GraftSql {
     """(?is)\s*EXECUTE\s+IMMEDIATE\b.*""".r
 
   private def nativeSql(cat: TableCatalog, text: String): DataFrame = {
+    // replacing a RECORDED temp view is administration of another
+    // principal's private object — refused BEFORE execution (the
+    // record-keeping at the bottom would otherwise flip ownership to
+    // the replacer and lock the creator out of their own view)
+    text match {
+      case CreateTempViewRe(global, name) =>
+        refuseForeignTempView(cat.spark,
+          (if (global != null) "global_temp." else "") +
+            cleanIdent(name).toLowerCase)
+      case _ => ()
+    }
     // session-MUTATING statements must not run on the routing clone
     // (their effect would vanish with it): SET/RESET and single-part
     // DROP VIEW (temp views live in the real session) need no catalog
@@ -357,10 +375,23 @@ object GraftSql {
           throw new SecurityException(
             "spark.sql.catalog.* conf (and bare RESET) cannot be changed " +
               "through the SQL surface")
+        // code loading is a governance ESCAPE, not a session setting:
+        // ADD JAR puts arbitrary classes on the JVM classpath and
+        // CREATE TEMPORARY FUNCTION instantiates an arbitrary class —
+        // either bypasses every ACL (r14 self-review; the reference's
+        // Athena surface has no such statement). DROP/DECLARE/SET
+        // remain open.
+        if (CodeLoadRe.matches(text)) throw new SecurityException(
+          "ADD JAR/FILE/ARCHIVE and CREATE TEMPORARY FUNCTION are closed " +
+            "through this surface: loaded code runs outside the governed " +
+            "plan walk")
         return cat.spark.sql(text)
       case DropBareViewRe(global, name) =>
         val key = (if (global != null) "global_temp." else "") +
           cleanIdent(name).toLowerCase
+        // dropping another principal's recorded view is administration
+        // of their private object (r14 self-review)
+        refuseForeignTempView(cat.spark, key)
         tempViewRecords(cat.spark, key).remove(key)
         return cat.spark.sql(text)
       case _ => ()
@@ -401,6 +432,16 @@ object GraftSql {
               s"CACHE TABLE ${c.tempViewName} AS SELECT would re-analyze " +
                 "its text outside this surface's governance; " +
                 "use CREATE TEMP VIEW instead")
+          // ALTER VIEW ... AS stores its original TEXT like CREATE
+          // TEMP VIEW, but offers no analyzed-plan storage path — when
+          // governance rewrote the new definition, storing the text
+          // would re-analyze it outside the scopes later
+          case av: org.apache.spark.sql.catalyst.plans.logical.AlterViewAs
+              if !(scoped eq plan) =>
+            throw new SecurityException(
+              "ALTER VIEW ... AS on a governed definition would " +
+                "re-analyze its text outside this surface's governance; " +
+                "drop and recreate the view")
           case _ =>
             if (scoped eq plan) spark.sql(text)
             else bridge.ofRows(spark, scoped)
@@ -423,6 +464,21 @@ object GraftSql {
           else aclSnapshotIn(cat, substituteViews(cat, plan, depth = 0))
         tempViewRecords(cat.spark, key).put(key,
           TempViewRecord(currentPrincipal(cat.spark), snap))
+      case AlterTempViewRe(global, name) =>
+        // the OWNER redefined their recorded view (foreign redefinition
+        // was refused pre-execution): copy the altered LOCAL view back
+        // from the clone like CREATE does, and refresh the record's
+        // ACL snapshot to the NEW definition's tables
+        if (global == null) bridge.copyTempView(spark, cat.spark, cleanIdent(name))
+        val key = (if (global != null) "global_temp." else "") +
+          cleanIdent(name).toLowerCase
+        val recs = tempViewRecords(cat.spark, key)
+        if (recs.containsKey(key)) {
+          val snap =
+            if (plan == null) Map.empty[(String, String), Map[String, String]]
+            else aclSnapshotIn(cat, substituteViews(cat, plan, depth = 0))
+          recs.put(key, TempViewRecord(currentPrincipal(cat.spark), snap))
+        }
       case _ => ()
     }
     result
@@ -441,6 +497,50 @@ object GraftSql {
     * per statement). */
   private case class TempViewRecord(owner: String,
       aclSnapshot: Map[(String, String), Map[String, String]])
+
+  /** Stored views are SHARED objects whose READS are governed
+    * per-reader (every statement re-substitutes and re-checks the
+    * definition under the caller's own grants) — but REPLACING or
+    * DROPPING one is administration: the recorded creator or a
+    * namespace owner only (r14 self-review: any principal could drop
+    * or redefine another's stored view — an integrity/denial hole, not
+    * a confidentiality one). Views without a recorded creator (pre-r14,
+    * or V2-catalog-created) fall back to the namespace bar alone; a
+    * fully ungoverned namespace stays open, like every other resource
+    * before its first grant. */
+  private def storedViewAdminCheck(cat: TableCatalog, ns: String,
+      v: String): Unit = {
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array(ns), v)
+    val owner = graft.catalog.GraftViews
+      .storedOwner(cat.spark, cat.warehouse, ident)
+    val nsOwners = listOf(
+      NamespaceAcl.load(cat.spark, cat.warehouse, ns), "OWNER")
+    val admins = owner.toSet ++ nsOwners
+    if (admins.nonEmpty) {
+      val me = currentPrincipal(cat.spark)
+      if (!admins.contains(me)) throw new SecurityException(
+        s"principal '$me' may not administer view $ns.$v " +
+          s"(its creator${owner.fold("")(o => s" '$o'")} or a namespace " +
+          "owner only)")
+    }
+  }
+
+  /** A RECORDED temp view is private to its creator in every respect:
+    * reading it is gated in [[enforceReadAcl]]; replacing (CREATE OR
+    * REPLACE), redefining (ALTER VIEW … AS), or dropping it are
+    * administration of the same private object and take the same bar
+    * (r14 self-review: OR REPLACE re-recorded the REPLACER as owner —
+    * any principal could hijack another's view name, plant a
+    * definition scoped to themselves, and lock the creator out). */
+  private def refuseForeignTempView(
+      spark: org.apache.spark.sql.SparkSession, key: String): Unit = {
+    val rec = tempViewRecords(spark, key).get(key)
+    if (rec != null && rec.owner != currentPrincipal(spark))
+      throw new SecurityException(
+        s"temp view $key was created by principal '${rec.owner}' " +
+          "and is private to it")
+  }
 
   /** Creating principal + ACL snapshot of each temp view registered
     * THROUGH this surface: a temp view's stored plan was ACL-checked
@@ -679,12 +779,19 @@ object GraftSql {
           if (ifNotExists != null) Seq(s"EXISTS $ns.$v").toDF("result")
           else throw new IllegalArgumentException(s"view $ns.$v already exists")
         } else {
+          // REPLACING an existing stored view is administration of a
+          // shared object — creator/namespace-owner bar (reads stay
+          // per-reader governed, so this is integrity, not secrecy)
+          if (orReplace != null &&
+              graft.catalog.GraftViews.exists(spark, cat.warehouse, ident))
+            storedViewAdminCheck(cat, ns, v)
           // analyzing the query now (a) validates it and (b) captures
           // the definition-time schema; nested views substitute inside
           val schema = nativeSql(cat, query).schema
           cat.createNamespace(ns)
           graft.catalog.GraftViews.createStored(spark, cat.warehouse, ident,
-            query, schema, replace = true)
+            query, schema, replace = true,
+            owner = currentPrincipal(cat.spark))
           Seq(s"CREATED VIEW $ns.$v").toDF("result")
         }
       case DropViewRe(ifExists, rawName)
@@ -706,6 +813,7 @@ object GraftSql {
             cleanIdent(rawName.split("\\.", 2)(0))
               .equalsIgnoreCase("global_temp"))) =>
         val (ns, v) = splitName(rawName)
+        storedViewAdminCheck(cat, ns, v)   // creator/ns-owner bar
         val existed = graft.catalog.GraftViews.drop(spark, cat.warehouse,
           org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), v))
         if (!existed && ifExists == null)
@@ -2033,6 +2141,41 @@ object GraftSql {
       // (r13 VERDICT finding 1: rollback_to_version / expire_snapshots /
       // add_files were reachable by a zero-grant principal).
       case c: Call                       => gateProcedureCall(cat, c)
+      // SELECT TRANSFORM(...) USING '<cmd>' forks an ARBITRARY SHELL
+      // COMMAND on the executors — total governance escape, closed
+      // like EXECUTE IMMEDIATE (r14 self-review; Athena has no analog)
+      case _: ScriptTransformation =>
+        throw new SecurityException(
+          "TRANSFORM ... USING is closed through this surface: the " +
+            "script runs outside the governed plan walk")
+      // CREATE FUNCTION AS '<class>' instantiates arbitrary JVM code;
+      // a SQL-body UDF's RETURN expression is a STRING analyzed at
+      // CALL time — after this walk — so a body like
+      // (SELECT secret FROM sec.t) would read ungoverned. Both closed
+      // (the TEMPORARY spellings are closed at the text gate).
+      case _: CreateFunction =>
+        throw new SecurityException(
+          "CREATE FUNCTION is closed through this surface: function " +
+            "bodies run outside the governed plan walk")
+      case _: CreateUserDefinedFunction =>
+        throw new SecurityException(
+          "CREATE FUNCTION is closed through this surface: function " +
+            "bodies run outside the governed plan walk")
+      // redefining a RECORDED temp view is administration of another
+      // principal's private object (see refuseForeignTempView)
+      case av: AlterViewAs =>
+        av.child.foreach {
+          case v: org.apache.spark.sql.catalyst.analysis.UnresolvedView =>
+            v.multipartIdentifier match {
+              case Seq(n) =>
+                refuseForeignTempView(cat.spark, n.toLowerCase)
+              case Seq(g, n) if g.equalsIgnoreCase("global_temp") =>
+                refuseForeignTempView(cat.spark,
+                  "global_temp." + n.toLowerCase)
+              case _ => ()
+            }
+          case _ => ()
+        }
       case _                             => ()
     }
     plan.foreachWithSubqueries {

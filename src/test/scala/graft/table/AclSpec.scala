@@ -766,6 +766,85 @@ class AclSpec extends SparkSpec {
       }
   }
 
+  test("temp views are private objects end to end; code-loading statements are closed") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_tv_priv")))
+    GraftSql.sql(cat, "CREATE TABLE tv.t (id INT)")
+    GraftSql.sql(cat, "INSERT INTO tv.t VALUES (1), (2)")
+    as("alice") {
+      GraftSql.sql(cat, "CREATE TEMP VIEW priv_v AS SELECT * FROM tv.t")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM priv_v")
+        .collect()(0).getLong(0) === 2L)
+    }
+    // another principal can neither replace, redefine, nor drop it —
+    // any of those would hijack or destroy alice's private object
+    // (r14 self-review: OR REPLACE used to re-record the replacer as
+    // owner and lock alice out)
+    as("bob") {
+      intercept[SecurityException](GraftSql.sql(cat,
+        "CREATE OR REPLACE TEMP VIEW priv_v AS SELECT 1 AS x"))
+      intercept[SecurityException](GraftSql.sql(cat,
+        "ALTER VIEW priv_v AS SELECT 1 AS x"))
+      intercept[SecurityException](GraftSql.sql(cat, "DROP VIEW priv_v"))
+    }
+    // the owner can do all three; ALTER refreshes the recorded state
+    as("alice") {
+      GraftSql.sql(cat, "ALTER VIEW priv_v AS SELECT id FROM tv.t WHERE id = 1")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM priv_v")
+        .collect()(0).getLong(0) === 1L)
+      GraftSql.sql(cat, "DROP VIEW priv_v")
+    }
+    // code-loading statements are a governance escape (arbitrary
+    // classes / shell commands run outside every plan walk) — closed
+    for (stmt <- Seq(
+        "ADD JAR '/tmp/evil.jar'",
+        "ADD FILES '/tmp/evil.sh'",
+        "CREATE TEMPORARY FUNCTION f AS 'java.lang.String'",
+        "CREATE FUNCTION tv.f AS 'java.lang.String'",
+        "CREATE FUNCTION tv.g(x INT) RETURNS INT RETURN x + 1",
+        "SELECT TRANSFORM(id) USING 'cat' FROM tv.t"))
+      withClue(stmt) {
+        intercept[SecurityException](GraftSql.sql(cat, stmt).collect())
+      }
+    // the benign session statements stay open (value restored — this
+    // SET lands on the SHARED test session)
+    val ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    GraftSql.sql(cat, "SET spark.sql.ansi.enabled=false")
+    GraftSql.sql(cat, s"SET spark.sql.ansi.enabled=$ansi0")
+    assert(spark.conf.get("spark.sql.ansi.enabled") === ansi0)
+  }
+
+  test("stored views: replace/drop take the creator-or-namespace-owner bar; reads stay per-reader") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_sview")))
+    GraftSql.sql(cat, "CREATE TABLE sv.t (id INT)")
+    GraftSql.sql(cat, "INSERT INTO sv.t VALUES (1), (2)")
+    as("alice") {
+      GraftSql.sql(cat, "CREATE VIEW sv.v AS SELECT * FROM sv.t")
+    }
+    as("bob") {
+      // a stored view is SHARED: reads re-check per reader (sv.t is
+      // ungoverned, so bob reads fine)...
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sv.v")
+        .collect()(0).getLong(0) === 2L)
+      // ...but replacing or dropping it is administration (r14
+      // self-review: any principal could redefine or destroy another's
+      // stored view)
+      intercept[SecurityException](GraftSql.sql(cat,
+        "CREATE OR REPLACE VIEW sv.v AS SELECT 1 AS x"))
+      intercept[SecurityException](GraftSql.sql(cat, "DROP VIEW sv.v"))
+    }
+    // the creator administers their view
+    as("alice") {
+      GraftSql.sql(cat, "CREATE OR REPLACE VIEW sv.v AS SELECT id FROM sv.t WHERE id = 1")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM sv.v")
+        .collect()(0).getLong(0) === 1L)
+    }
+    // ...and so does a namespace owner
+    as("dba") { GraftSql.sql(cat, "GRANT ALL ON NAMESPACE sv TO dba") }
+    as("dba") {
+      GraftSql.sql(cat, "DROP VIEW sv.v")
+    }
+  }
+
   test("vector_search TVF composes with grants: row filters scope candidates, column scopes gate") {
     val cat = new TableCatalog(spark, new Path(freshDir("acl_vecsearch")))
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
