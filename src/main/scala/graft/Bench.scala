@@ -142,6 +142,7 @@ object Bench {
       spark.catalog.clearCache()
       System.gc(); Thread.sleep(100)
       sentinels(s"before_$name") = sentinelMs()
+      sentinels(s"before_${name}_par") = sentinelParMs()
       body
     }
     val metadataJson = sectioned("metadata")(metadataShakeout(spark))
@@ -155,6 +156,7 @@ object Bench {
     val annClusteredJson = sectioned("ann_clustered")(annClustered(spark))
     val sf1Json = sectioned("pipeline_sf1")(pipelineSf1(spark, sfDir, fns))
     sentinels("end") = sentinelMs()
+    sentinels("end_par") = sentinelParMs()
     val sentinelJson = sentinels.map { case (k, v) =>
       "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val rerunKey = streamingRerun
@@ -192,6 +194,34 @@ object Bench {
     val ms = (System.nanoTime() - t0) / 1e6
     if (x == 42L) Console.err.println("sentinel")   // defeat DCE
     ms
+  }
+
+  /** The ALL-CORES sentinel: the same constant work on every available
+    * processor at once. A cgroup CPU quota or a many-core co-tenant
+    * throttles 32-thread Spark stages several-fold while leaving the
+    * single-core probe untouched (observed r14: clustered batch keys
+    * 4× slower between two quiet-single-sentinel windows) — the PAIR
+    * separates three causes: both quiet = the code; single quiet +
+    * parallel slow = multi-core contention/quota; both slow = machine
+    * contention. Reported per section next to the single-core value. */
+  private def sentinelParMs(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { t =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0
+        while (i < 100000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          x ^= (x >>> 33)
+          i += 1
+        }
+        if (x == 42L) Console.err.println("sentinel")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
   }
 
   /** Section-key run recording (r13 VERDICT task 3: the runs-array rule
@@ -676,10 +706,13 @@ object Bench {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       .cache()
     val nBatch = batch.count()
-    val (_, bruteBatchSec) = timed(
-      Similarity.bruteForceTopK(emb, batch, k = 10).count())
-    val (_, idxBatchSec) = timed(
-      Similarity.searchIndexed(indexed, emb, batch, model, k = 10).count())
+    // ≥2 recorded runs: these two keys moved 4× between quiet windows
+    // (multi-core throttling the parallel sentinel now exposes)
+    val (bruteRuns, bruteBatchSec) = runsOf()(() => timed(
+      Similarity.bruteForceTopK(emb, batch, k = 10).count())._2)
+    val (idxRuns, idxBatchSec) = runsOf()(() => timed(
+      Similarity.searchIndexed(indexed, emb, batch, model, k = 10)
+        .count())._2)
     batch.unpersist()
     indexed.unpersist(); ground.unpersist(); queries.unpersist()
     emb.unpersist()
@@ -693,7 +726,9 @@ object Bench {
       s""""query_sec":${f"$tCal%.3f"},""" +
       s""""batch_queries":$nBatch,""" +
       s""""brute_batch_sec":${f"$bruteBatchSec%.3f"},""" +
-      s""""index_batch_sec":${f"$idxBatchSec%.3f"}}"""
+      s""""index_batch_sec":${f"$idxBatchSec%.3f"},""" +
+      s""""runs":{"brute_batch":${runsJson(bruteRuns)},""" +
+      s""""index_batch":${runsJson(idxRuns)}}}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
