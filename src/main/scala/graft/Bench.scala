@@ -18,6 +18,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.benchNames
     val fns = SparkEntry.queries
+    // fixed-cost contention sentinels (r13 VERDICT task 3, r14 task 5):
+    // a pure-JVM loop of CONSTANT work timed between sections makes an
+    // external-contention window attributable from the JSON alone.
+    // Declared FIRST so the streaming and headline-query sections —
+    // which run before the table-layer sections — are bracketed too
+    // (r14's 1.03-1.34× headline drift was adjudicated noise only by
+    // precedent because the query loop ran before the first sentinel).
+    val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
+    sentinels("start") = sentinelMs()
+    sentinels("start_par") = sentinelParMs()
     // STREAMING FIRST (r10 VERDICT item 2): the ingest-throughput bars
     // (median ≥ 8k rows/s, spread ≤ 1.5) kept missing in driver
     // artifacts recorded AFTER the query workload — tens of GB of
@@ -76,6 +86,8 @@ object Bench {
       while (!ok(runs) && runs.size < maxRuns) runs :+= timedRun(body)
       (runs, if (runs.forall(_ <= 0)) -1.0 else runs.filter(_ > 0).min)
     }
+    sentinels("before_queries") = sentinelMs()
+    sentinels("before_queries_par") = sentinelParMs()
     val results = names.map { name =>
       val (runs, best) = stableMin(4)(fns(name)(spark, sfDir).count())
       (name, runs, best)
@@ -99,6 +111,8 @@ object Bench {
       "ann_ivfpq", "decontaminate_bloom", "chunk_documents",
       "curation_pipeline", "text_tfidf_topterms", "dedup_lines_global",
       "text_lm_score", "dedup_substring")
+    sentinels("before_pipeline") = sentinelMs()
+    sentinels("before_pipeline_par") = sentinelParMs()
     val pipeline = pipelineNames.flatMap { name =>
       fns.get(name).map { fn =>
         // GC barrier between keys: the heavies before this key (e.g.
@@ -123,14 +137,8 @@ object Bench {
     }
     val pipelineMap = pipeline.map { case (n, s) => "\"" + n + "\":" + s }
       .mkString("{", ",", "}")
-    // fixed-cost contention sentinel between sections (r13 VERDICT
-    // task 3): the table-layer sections carried an unflagged 4-11×
-    // contention band with no in-artifact way to self-exonerate — a
-    // pure-JVM single-core loop of CONSTANT work timed between sections
-    // makes an external-contention window attributable from the JSON
-    // alone (sections bracketed by inflated sentinels were contended;
-    // a slow section between quiet sentinels is the code's own time)
-    val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // sections bracketed by inflated sentinels were contended; a slow
+    // section between quiet sentinels is the code's own time
     def sectioned(name: String)(body: => String): String = {
       // sections must not inherit the PREVIOUS sections' state: cached
       // blocks left by earlier workloads (each section manages its own

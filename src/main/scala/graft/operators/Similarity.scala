@@ -518,7 +518,7 @@ object Similarity {
   /** Deterministic held-out query sample for calibration: reverse hash
     * order — disjoint from the hash-MIN centroid seeds, so recall is
     * never measured on the quantizer's own training anchors. */
-  private def calibrationQueries(corpus: DataFrame, sampleQueries: Int,
+  private[graft] def calibrationQueries(corpus: DataFrame, sampleQueries: Int,
       corpusId: String, corpusVec: String): DataFrame = {
     val seedHash = conv(substring(md5(col(corpusId).cast(
       org.apache.spark.sql.types.StringType)), 1, 15), 16, 10)

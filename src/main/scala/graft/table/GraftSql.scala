@@ -969,8 +969,14 @@ object GraftSql {
         val filt = rowFilter(t, me).map(p =>
           bridge.column(bridge.parseExpression(cat.spark, p)))
         // the query source resolves through THIS surface: its own
-        // grants (and temp-view privacy) apply to the caller
-        val queriesDf = sql(cat, s"SELECT * FROM ${cleanIdent(qname)}")
+        // grants (and temp-view privacy) apply to the caller. Backticks
+        // normalize PER dot-separated part (ADVICE r14: a single outer
+        // strip turned `ns`.`q` into malformed ns`.`q) and each part is
+        // re-quoted so the inner statement is well-formed regardless of
+        // how the caller quoted the source.
+        val qsource = qname.split('.').map(p => s"`${cleanIdent(p)}`")
+          .mkString(".")
+        val queriesDf = sql(cat, s"SELECT * FROM $qsource")
         t.vectorSearch(queriesDf, k.toInt, colName,
           nprobe = Option(nprobeRaw).map(_.toInt).getOrElse(-1),
           where = filt)

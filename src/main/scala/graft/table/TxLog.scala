@@ -130,7 +130,36 @@ final case class VectorIndexMeta(
     builtAtVersion: Long,
     codesDir: String = "codes",
     coveredFiles: Option[Seq[String]] = None,
-    coveredFilesFile: Option[String] = None)
+    coveredFilesFile: Option[String] = None,
+    /** Incremental coverage sidecars (base + delta, the commit-index
+      * chunk pattern): each refresh appends ONE delta file holding only
+      * the newly covered paths — O(new files) bytes per refresh instead
+      * of rewriting the whole set — and `rewrite_vector_index` compacts
+      * base + deltas back into a single base. The covered set is the
+      * union of `coveredFilesFile` and every delta, in order. */
+    coveredDeltaFiles: Seq[String] = Nil,
+    /** Publish generation for optimistic concurrency: every publish
+      * stamps a fresh nonce, and a maintenance op must present the
+      * nonce of the meta it READ — a racing refresh/rewrite/build from
+      * another process fails the compare instead of silently
+      * last-writer-winning the other's codes or coverage. `None` only
+      * on legacy (pre-r15) metas. */
+    nonce: Option[String] = None,
+    /** Original build parameters not recoverable from the model itself
+      * (nCells/m/kCodes ARE: centroids.size / codebooks.size /
+      * codebooks.head.size) — replayed by maintenance rebuilds so an
+      * index built with `iters = 0` (the deterministic, oracle-
+      * replayable shape) or a specific calibration budget is never
+      * silently reshaped to the API defaults. Legacy metas: None →
+      * rebuild preserves the OBSERVED cell count and uses API defaults
+      * for the rest. */
+    buildIters: Option[Int] = None,
+    buildSampleQueries: Option[Int] = None,
+    buildK: Option[Int] = None,
+    /** The nCells ARGUMENT as passed (-1 = auto): an auto-sized index
+      * re-derives its cell count for the grown corpus on rebuild, while
+      * an explicitly sized one keeps its requested size. */
+    buildNCells: Option[Int] = None)
 
 /** Pointer to an immutable manifest file under the log dir holding a
   * `Seq[DataFile]` group — the Iceberg manifest-list indirection that
@@ -783,10 +812,16 @@ object TxLog {
         // failure mode the manifest-list spill would have had on a
         // pre-upgrade reader). Tests may LOWER the supported version
         // via `graft.test.supportedReaderVersion` to exercise the gate
-        // against REAL v2 headers (a simulated pre-upgrade reader);
-        // production never sets the key, so the compiled constant
-        // decides there.
-        val supported = conf.getInt("graft.test.supportedReaderVersion",
+        // against REAL v2 headers (a simulated pre-upgrade reader).
+        // LOWERING is the only honored direction: Spark copies session
+        // SQL confs into the Hadoop conf, and the governed surface
+        // leaves SET open, so an attacker-settable value must never be
+        // able to RAISE the gate above what this build can actually
+        // parse — that would turn a future-format header into a silent
+        // partial view, the exact failure the gate exists to prevent.
+        val supported = math.min(
+          conf.getInt("graft.test.supportedReaderVersion",
+            SupportedReaderVersion),
           SupportedReaderVersion)
         if (stored.minReader > supported)
           throw new java.io.IOException(

@@ -329,6 +329,26 @@ class ObjectStoreSpec extends SparkSpec {
     // and the full reader still reads everything after the purges
     TxLog.purgeRawCache(logDir)
     assert(TxLog.read(logDir, head, conf).files.size === files.size)
+    // the knob only LOWERS the gate (ADVICE r14): Spark copies session
+    // SQL confs into the Hadoop conf and the governed surface leaves
+    // SET open, so an attacker-settable value must never raise support
+    // above what this build can parse — a doctored head declaring
+    // minReader = 99 still fails loudly even with the knob at 99
+    val raised = new org.apache.hadoop.conf.Configuration(conf)
+    raised.setInt("graft.test.supportedReaderVersion", 99)
+    val doctored = headStored.copy(minReader = 99)
+    val headPath = new Path(logDir, f"v$head%08d.metadata.json")
+    val fsys = headPath.getFileSystem(conf)
+    val out = fsys.create(headPath, true)
+    try out.write(org.json4s.jackson.Serialization.write(doctored)(
+      org.json4s.DefaultFormats)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    TxLog.purgeRawCache(logDir)
+    val e2 = intercept[java.io.IOException](
+      TxLog.read(logDir, head, raised))
+    assert(e2.getMessage.contains("reader format version"),
+      s"raising the knob opened the gate: ${e2.getMessage}")
   }
 
   test("commit self-heals a log directory deleted behind the caches") {

@@ -299,6 +299,15 @@ class VectorIndexSpec extends SparkSpec {
       assert(t.refreshVectorIndex("embedding") === 1L)
     }
     val metaBefore = t.vectorIndexMeta("embedding").get
+    // write-size probe (r14 VERDICT task 3): each refresh wrote ONE
+    // coverage delta holding exactly the newly covered paths — one
+    // line here — never a rewrite of the whole covered set
+    metaBefore.coveredDeltaFiles.foreach { d =>
+      val in = fs.open(new Path(t.root, s"_index/vector_embedding/$d"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().count(_.nonEmpty) finally in.close()
+      assert(lines === 1, s"delta $d covers $lines paths; expected 1")
+    }
     def partFiles(gen: String): Int =
       fs.listStatus(new Path(t.root, s"_index/vector_embedding/$gen"))
         .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
@@ -312,8 +321,15 @@ class VectorIndexSpec extends SparkSpec {
     assert(after < before,
       s"compaction did not shrink the sidecar: $before -> $after")
     assert(after === partFiles(metaAfter.codesDir))
-    // coverage and quantizers are untouched; search results identical
-    assert(metaAfter.coveredFilesFile === metaBefore.coveredFilesFile)
+    // the three refresh epochs each appended ONE coverage delta
+    // (O(new files) bytes — never a rewrite of the whole set), and the
+    // compaction folded base + deltas back into a single base
+    assert(metaBefore.coveredDeltaFiles.size === 3)
+    assert(metaAfter.coveredDeltaFiles.isEmpty)
+    // coverage SET and quantizers are untouched; search results identical
+    assert(t.showIndexes.filter(col("column") === "embedding")
+      .select("coverage").as[Double].head() === 1.0)
+    assert(metaAfter.centroids === metaBefore.centroids)
     val resultsAfter = t.vectorSearch(queries, k = 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert(resultsAfter === resultsBefore)
@@ -341,6 +357,11 @@ class VectorIndexSpec extends SparkSpec {
     assert(GraftSql.sql(cat,
       "SELECT * FROM vector_search('vec.t', 'vec.q', 5, 'embedding', 2)")
       .count() === 25L)
+    // a per-part-quoted query source normalizes cleanly (ADVICE r14:
+    // the single outer strip used to emit malformed ns`.`q)
+    assert(GraftSql.sql(cat,
+      "SELECT * FROM vector_search('vec.t', '`vec`.`q`', 10)")
+      .count() === 50L)
     // SHOW INDEXES: full coverage right after the build...
     val idx1 = GraftSql.sql(cat, "SHOW INDEXES ON vec.t").collect()
     assert(idx1.length === 1)
@@ -396,6 +417,195 @@ class VectorIndexSpec extends SparkSpec {
     assert(after.builtAtVersion > meta.builtAtVersion)
     // a rebuilt index covers the whole current snapshot again
     assert(t.maintainVectorIndex("embedding")._1 === "noop")
+  }
+
+  test("meta publish is CAS-guarded: a stale planner refuses instead of last-writer-winning") {
+    val t = embTable("vecidx_cas")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    // writer A plans against this meta...
+    val planned = t.vectorIndexMeta("embedding").get
+    assert(planned.nonce.isDefined)
+    // ...while writer B (a separate handle — separate process in
+    // production, so the in-JVM maintenance lock does not serialize
+    // them) publishes a compaction first
+    val t2 = TxTable.open(spark, t.root, t.name)
+    t2.rewriteVectorIndex("embedding")
+    val won = t2.vectorIndexMeta("embedding").get
+    assert(won.nonce !== planned.nonce)
+    // A's publish presents the stale nonce: the compare REFUSES — B's
+    // codes generation is not silently reverted
+    intercept[java.util.ConcurrentModificationException] {
+      t.publishVectorIndexMeta("embedding",
+        planned.copy(builtAtVersion = 999L), planned.nonce)
+    }
+    val live = t.vectorIndexMeta("embedding").get
+    assert(live.codesDir === won.codesDir &&
+      live.builtAtVersion === won.builtAtVersion)
+  }
+
+  test("racing refresh and rewrite serialize: no lost codes, no coverage reversion") {
+    val t1 = embTable("vecidx_race")
+    t1.buildVectorIndex("vec_id", "embedding", dim = 64)
+    // give the refresh real work: an exact duplicate of vector 3
+    val probe = t1.toDF.filter(col("vec_id") === 3L)
+      .select(col("embedding")).head().getSeq[Any](0)
+    val fresh = Seq((400001L, probe.map(_.asInstanceOf[Number].floatValue())))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast(
+        t1.toDF.schema("embedding").dataType))
+    t1.append(fresh.select(t1.toDF.columns.map(c =>
+      if (fresh.columns.contains(c)) col(c) else lit(null).cast(
+        t1.toDF.schema(c).dataType).as(c)): _*))
+    val t2 = TxTable.open(spark, t1.root, t1.name)
+    // two handles race; the CAS admits any serialization and REFUSES
+    // the rest — both orders are legal, lost updates are not
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def run(label: String)(op: => Unit): Thread = {
+      val th = new Thread(() =>
+        try { op; outcomes.add(s"$label:ok") }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            outcomes.add(s"$label:refused")
+        })
+      th.start(); th
+    }
+    val a = run("refresh")(t1.refreshVectorIndex("embedding"))
+    val b = run("rewrite")(t2.rewriteVectorIndex("embedding"))
+    a.join(120000); b.join(120000)
+    info(s"race outcomes: ${outcomes.toArray.mkString(", ")}")
+    assert(outcomes.size === 2)
+    // whatever interleaving happened, the published index is coherent:
+    // a retried refresh (the loser re-reads and re-runs) must land the
+    // appended row; if the refresh lost, the row is exact-scored via
+    // the uncovered delta — either way it is FOUND at rank 1
+    if (!outcomes.contains("refresh:ok")) t1.refreshVectorIndex("embedding")
+    val queries = t1.toDF.filter(col("vec_id") === 3L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = t1.vectorSearch(queries, k = 3).orderBy(col("rank"))
+      .select("vec_id").as[Long].collect()
+    assert(top.take(2).toSet === Set(3L, 400001L),
+      s"row lost in the race: ${top.toSeq}")
+    // and the coverage chain the live meta references actually exists
+    val live = t1.vectorIndexMeta("embedding").get
+    val fsys = t1.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (live.coveredFilesFile.toSeq ++ live.coveredDeltaFiles).foreach { f =>
+      assert(fsys.exists(new Path(t1.root, s"_index/vector_embedding/$f")),
+        s"live meta references GC'd sidecar $f")
+    }
+  }
+
+  test("legacy watermark metas upgrade in place to an exact covered path set") {
+    val t = embTable("vecidx_legacy")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    // hand-craft a PRE-r15 meta: no covered set, no nonce, no build
+    // params — only the builtAtVersion watermark
+    val modern = t.vectorIndexMeta("embedding").get
+    val legacy = modern.copy(coveredFiles = None, coveredFilesFile = None,
+      coveredDeltaFiles = Nil, nonce = None, buildIters = None,
+      buildSampleQueries = None, buildK = None, buildNCells = None)
+    val fsys = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new Path(t.root, "_index/vector_embedding/meta.json")
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val out = fsys.create(metaPath, true)
+    try out.write(org.json4s.jackson.Serialization.write(legacy)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // first touch through a FRESH handle (no caches) materializes the
+    // watermark into a path set and publishes it
+    val t2 = TxTable.open(spark, t.root, t.name)
+    assert(t2.vectorIndexMeta("embedding").get.coveredFilesFile.isEmpty)
+    val cov = t2.showIndexes.filter(col("index_type") === "vector")
+      .select("coverage").as[Double].head()
+    assert(cov === 1.0)
+    val upgraded = t2.vectorIndexMeta("embedding").get
+    assert(upgraded.coveredFilesFile.isDefined,
+      "legacy meta not materialized to a path set")
+    assert(upgraded.nonce.isDefined)
+    assert(fsys.exists(new Path(t.root,
+      s"_index/vector_embedding/${upgraded.coveredFilesFile.get}")))
+    // the upgraded set drives refresh like any modern meta
+    assert(t2.refreshVectorIndex("embedding") === 0L)
+  }
+
+  test("maintenance rebuilds replay the original build parameters") {
+    val t = embTable("vecidx_replay")
+    // the deterministic, oracle-replayable shape: explicit cells,
+    // iters = 0 (hash-min seeded quantizers, no Lloyd refinement)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64,
+      nCells = 12, iters = 0, sampleQueries = 16, k = 5)
+    val built = t.vectorIndexMeta("embedding").get
+    assert(built.buildNCells === Some(12) && built.buildIters === Some(0))
+    assert(built.centroids.size === 12)
+    // churn enough that maintenance chooses REBUILD
+    val total = t.toDF.count()
+    t.append(t.toDF)
+    t.append(t.toDF.limit((total / 2).toInt))
+    val (action, _) = t.maintainVectorIndex("embedding", rebuildBelow = 0.6)
+    assert(action === "rebuilt")
+    val rebuilt = t.vectorIndexMeta("embedding").get
+    // the rebuild replayed the ORIGINAL shape — not the API defaults
+    // (which would be auto cells and iters = 3)
+    assert(rebuilt.centroids.size === 12,
+      s"rebuild reshaped nCells: 12 -> ${rebuilt.centroids.size}")
+    assert(rebuilt.buildIters === Some(0) &&
+      rebuilt.buildNCells === Some(12) &&
+      rebuilt.buildSampleQueries === Some(16) &&
+      rebuilt.buildK === Some(5))
+  }
+
+  test("checkRecall: in-place churn at full coverage flips maintenance to rebuild") {
+    // 16 well-separated planted clusters, dim 16
+    def clustered(ids: Range, seed: Int, axis: Int => Int): Seq[(Long, Seq[Float])] = {
+      val r = new java.util.Random(seed)
+      ids.map { i =>
+        val c = i % 16
+        val v = Array.fill(16)((r.nextGaussian() * 0.05).toFloat)
+        v(axis(c) % 16) += 1.0f
+        v((axis(c) * 3 + 1) % 16) += 0.5f
+        (i.toLong, v.toSeq)
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val t = TxTable.create(spark, new Path(freshDir("vecidx_drift"), "t"),
+      "vec.vecidx_drift", schema, Nil)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        clustered(0 until 2000, seed = 7, axis = identity).map(x =>
+          org.apache.spark.sql.Row(x._1, x._2)), 4), schema))
+    // coarse PQ (m=2, 16 codewords) so ADC ranking leans hard on the
+    // trained codebooks — the drift signal under test
+    t.buildVectorIndex("vec_id", "embedding", dim = 16,
+      nCells = 16, m = 2, kCodes = 16, rerankTo = 40, recallTarget = 0.9)
+    // churn IN PLACE: 90% of rows are replaced by vectors from a
+    // DIFFERENT cluster geometry; refresh restores coverage to 1.0 by
+    // encoding them with the STALE quantizers
+    t.delete(col("vec_id") < 1800L)
+    t.append(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        clustered(10000 until 11800, seed = 11,
+          axis = c => c * 5 + 7).map(x =>
+          org.apache.spark.sql.Row(x._1, x._2)), 4), schema))
+    t.refreshVectorIndex("embedding")
+    assert(t.showIndexes.select("coverage").as[Double].head() === 1.0)
+    // the append-shaped signals see a healthy index...
+    assert(t.maintainVectorIndex("embedding")._1 === "noop")
+    // ...but measured recall at the stored operating point has drifted
+    val drifted = t.measureVectorIndexRecall("embedding")
+    info(s"recall after churn, stale quantizers: $drifted")
+    assert(drifted < 0.9, s"churn did not degrade recall ($drifted) — " +
+      "the drift scenario under test did not materialize")
+    val (action, _) =
+      t.maintainVectorIndex("embedding", checkRecall = true)
+    assert(action === "rebuilt")
+    val recovered = t.measureVectorIndexRecall("embedding")
+    info(s"recall after drift-triggered rebuild: $recovered")
+    assert(recovered > drifted,
+      s"rebuild did not improve measured recall: $drifted -> $recovered")
   }
 
   test("searchIndexed over a reloaded codes parquet matches the in-memory path") {
