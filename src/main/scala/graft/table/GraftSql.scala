@@ -171,27 +171,8 @@ object GraftSql {
     """(?is)\s*DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?([`\w.]+)\s*;?\s*""".r
   private val ShowViewsRe =
     """(?is)\s*SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([`\w]+))?\s*;?\s*""".r
-  /** `SELECT * FROM table_changes('ns.tbl', from [, to])` — the Delta
-    * CDF TVF read over the STORED change feed (TxTable.changeFeed).
-    * Bounds are versions (bare numbers) or commit timestamps (quoted
-    * `yyyy-MM-dd HH:mm:ss[.f]`, resolved by binary search). */
-  private val TableChangesRe =
-    """(?is)\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*'([`\w.]+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)\s*;?\s*""".r
-  private val TableChangesTsRe =
-    """(?is)\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*'([`\w.]+)'\s*,\s*'([^']+)'\s*(?:,\s*'([^']+)'\s*)?\)\s*;?\s*""".r
   private val ShowMvRe =
     """(?is)\s*SHOW\s+MATERIALIZED\s+VIEWS(?:\s+(?:IN|FROM)\s+([`\w]+))?\s*;?\s*""".r
-  /** `SELECT * FROM vector_search('ns.tbl', 'query_source', k
-    * [, 'vector_col' [, nprobe]])` — ANN top-k over the PERSISTED index
-    * as a TVF (r13 VERDICT task 4: the index was JVM-API-only, so a
-    * SQL principal could not query it and scoped grants could not
-    * compose with it). `query_source` is any readable relation with
-    * (query_id, query_vec) columns — resolved through THIS surface, so
-    * its own grants apply. */
-  private val VectorSearchRe =
-    ("""(?is)\s*SELECT\s+\*\s+FROM\s+vector_search\s*\(\s*'([`\w.]+)'\s*,""" +
-      """\s*'([`\w.]+)'\s*,\s*(\d+)\s*(?:,\s*'([`\w.]+)'\s*)?""" +
-      """(?:,\s*(\d+)\s*)?\)\s*;?\s*""").r
   /** `SHOW INDEXES ON ns.tbl` — sidecar-index observability
     * (TxTable.showIndexes): built-at version + row-weighted coverage
     * per Bloom/vector index. */
@@ -409,7 +390,7 @@ object GraftSql {
     val result =
       if (plan == null) spark.sql(text)
       else {
-        val sub = substituteViews(cat, plan, depth = 0)
+        val sub = substituteTvfs(cat, substituteViews(cat, plan, depth = 0))
         enforceReadAcl(cat, sub)
         val scoped = applyColumnScopes(cat, sub)
         scoped match {
@@ -461,7 +442,10 @@ object GraftSql {
           cleanIdent(name).toLowerCase
         val snap =
           if (plan == null) Map.empty[(String, String), Map[String, String]]
-          else aclSnapshotIn(cat, substituteViews(cat, plan, depth = 0))
+          else {
+            val subbed = substituteViews(cat, plan, depth = 0)
+            aclSnapshotIn(cat, subbed) ++ tvfAclSnapshot(cat, subbed)
+          }
         tempViewRecords(cat.spark, key).put(key,
           TempViewRecord(currentPrincipal(cat.spark), snap))
       case AlterTempViewRe(global, name) =>
@@ -476,7 +460,10 @@ object GraftSql {
         if (recs.containsKey(key)) {
           val snap =
             if (plan == null) Map.empty[(String, String), Map[String, String]]
-            else aclSnapshotIn(cat, substituteViews(cat, plan, depth = 0))
+            else {
+              val subbed = substituteViews(cat, plan, depth = 0)
+              aclSnapshotIn(cat, subbed) ++ tvfAclSnapshot(cat, subbed)
+            }
           recs.put(key, TempViewRecord(currentPrincipal(cat.spark), snap))
         }
       case _ => ()
@@ -668,6 +655,176 @@ object GraftSql {
           }
         }.getOrElse(r)
     }
+  }
+
+  /** The governed table-valued functions [[substituteTvfs]] resolves. */
+  private val GovernedTvfs = Set("vector_search", "table_changes")
+
+  /**
+   * Analyzer-level TVF resolution (r14 VERDICT task 1): `vector_search`
+   * and `table_changes` used to be whole-statement regex dispatches, so
+   * `SELECT * FROM vector_search(...) WHERE score > 0.9`, a join
+   * against the result, or a CTE over it fell through to stock Spark
+   * and errored. Here the PARSED plan's UnresolvedTableValuedFunction
+   * nodes are resolved IN PLACE — any query position composes — with
+   * the same bars applied at resolution as the old direct forms
+   * (SELECT/full-select, column-scope coverage, row-filter →
+   * IDSelector), and the result spliced as an ANALYZED subtree: no
+   * unresolved relation survives for the read walk to re-check,
+   * because the checks were just applied on this exact resolution.
+   * Arguments must be LITERALS, fail-closed — like CALL's table
+   * argument, a non-literal would resolve outside the governed walk.
+   */
+  private def substituteTvfs(cat: TableCatalog,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    def isOurs(u: UnresolvedTableValuedFunction): Boolean =
+      u.name.length == 1 && GovernedTvfs.contains(u.name.head.toLowerCase)
+    def litStr(e: Expression, fn: String): String = e match {
+      case Literal(v, _) if v != null => String.valueOf(v)
+      case other => throw new SecurityException(
+        s"$fn arguments must be literals through this surface " +
+          s"(got ${other.sql}): a non-literal argument would resolve " +
+          "outside the governed plan walk")
+    }
+    plan.transformUpWithSubqueries {
+      // CTE definitions are INNER children of UnresolvedWith — the
+      // generic transform never descends into them, so `WITH hits AS
+      // (SELECT * FROM vector_search(...))` would sail through
+      // unsubstituted and hit Spark's no-TVF-catalog error
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, s, m) =>
+          (n, substituteTvfs(cat, s)
+            .asInstanceOf[SubqueryAlias], m)
+        })
+      case u: UnresolvedTableValuedFunction
+          if isOurs(u) && u.name.head.equalsIgnoreCase("vector_search") =>
+        val fn = "vector_search"
+        val args = u.functionArgs
+        require(args.size >= 3 && args.size <= 5,
+          "usage: vector_search('ns.tbl', 'query_source', k" +
+            "[, 'vector_col'[, nprobe]])")
+        val df = vectorSearchRelation(cat, litStr(args(0), fn),
+          litStr(args(1), fn), litStr(args(2), fn).toInt,
+          if (args.size >= 4) Some(cleanIdent(litStr(args(3), fn))) else None,
+          if (args.size >= 5) Some(litStr(args(4), fn).toInt) else None)
+        SubqueryAlias(fn, df.queryExecution.analyzed)
+      case u: UnresolvedTableValuedFunction
+          if isOurs(u) && u.name.head.equalsIgnoreCase("table_changes") =>
+        val fn = "table_changes"
+        val args = u.functionArgs
+        require(args.size == 2 || args.size == 3,
+          "usage: table_changes('ns.tbl', from[, to])")
+        val df = tableChangesRelation(cat, litStr(args(0), fn),
+          litStr(args(1), fn),
+          if (args.size == 3) Some(litStr(args(2), fn)) else None)
+        SubqueryAlias(fn, df.queryExecution.analyzed)
+    }
+  }
+
+  /** `table_changes('ns.tbl', from[, to])` — the Delta CDF TVF read
+    * over the STORED change feed (TxTable.changeFeed). Bounds are
+    * versions (numbers) or commit timestamps (`yyyy-MM-dd
+    * HH:mm:ss[.f]` strings, resolved by binary search). The feed
+    * returns UNSCOPED rows, so the full-select bar applies. */
+  private def tableChangesRelation(cat: TableCatalog, rawName: String,
+      from: String, to: Option[String]): DataFrame = {
+    val (ns, tbl) = splitName(rawName)
+    val t = cat.getTable(ns, tbl)
+    fullSelectCheck(t)
+    if (from.trim.matches("""\d+"""))
+      t.changeFeed(from.trim.toLong,
+        to.map(_.trim.toLong).getOrElse(-1L))
+    else {
+      def ms(s: String) = java.sql.Timestamp.valueOf(s.trim).getTime
+      t.changeFeedByTime(ms(from), to.map(ms).getOrElse(Long.MaxValue))
+    }
+  }
+
+  /** `vector_search('ns.tbl', 'query_source', k[, 'vector_col'
+    * [, nprobe]])` — ANN top-k over the PERSISTED index (r13 VERDICT
+    * task 4). `query_source` is any readable relation with (query_id,
+    * query_vec) columns — resolved through THIS surface, so its own
+    * grants (and temp-view privacy) apply to the caller. */
+  private def vectorSearchRelation(cat: TableCatalog, rawName: String,
+      qname: String, k: Int, vecColOpt: Option[String],
+      nprobeOpt: Option[Int]): DataFrame = {
+    val (ns, tbl) = splitName(rawName)
+    val t = cat.getTable(ns, tbl)
+    aclCheck(t, "SELECT")
+    val colName = vecColOpt.getOrElse {
+      t.vectorIndexedColumns match {
+        case Seq(one) => one
+        case Nil => throw new IllegalStateException(
+          s"no vector index on $ns.$tbl — CALL build_vector_index first")
+        case many => throw new IllegalArgumentException(
+          s"multiple vector indexes on $ns.$tbl " +
+            s"(${many.mkString(", ")}); name the column")
+      }
+    }
+    val meta = t.vectorIndexMeta(colName).getOrElse(
+      throw new IllegalStateException(
+        s"no vector index on $ns.$tbl.$colName"))
+    val me = currentPrincipal(cat.spark)
+    // column-scope composition: the search reads the vector column
+    // (scores derive from it) and serves the id column — a scope
+    // must COVER both; the output then exposes nothing outside it
+    selectScope(t, me).foreach { cols =>
+      if (!cols.contains(meta.idColumn) || !cols.contains(colName))
+        throw new SecurityException(
+          s"principal '$me' holds a column-scoped SELECT on " +
+            s"$ns.$tbl that does not cover (${meta.idColumn}, " +
+            s"$colName) and may not vector-search it")
+    }
+    // row-filter composition: the scoped principal searches only
+    // their visible rows — the filtered-search (IDSelector) path,
+    // exact w.r.t. the index (never "top-k then filter")
+    val bridge = org.apache.spark.sql.graft.ColumnBridge
+    val filt = rowFilter(t, me).map(p =>
+      bridge.column(bridge.parseExpression(cat.spark, p)))
+    // the query source resolves through THIS surface: its own grants
+    // apply to the caller. Backticks normalize PER dot-separated part
+    // (ADVICE r14: a single outer strip turned `ns`.`q` into malformed
+    // ns`.`q) and each part is re-quoted so the inner statement is
+    // well-formed regardless of how the caller quoted the source.
+    val qsource = qname.split('.').map(p => s"`${cleanIdent(p)}`")
+      .mkString(".")
+    val queriesDf = sql(cat, s"SELECT * FROM $qsource")
+    t.vectorSearch(queriesDf, k, colName,
+      nprobe = nprobeOpt.getOrElse(-1), where = filt)
+  }
+
+  /** ACL-snapshot contribution of governed TVF references: their
+    * target table is a literal ARGUMENT, invisible to
+    * [[aclSnapshotIn]]'s relation walk — without this, a temp view
+    * over `vector_search('sec.t', …)` would not invalidate when
+    * grants on sec.t change. */
+  private def tvfAclSnapshot(cat: TableCatalog,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Map[(String, String), Map[String, String]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val out = scala.collection.mutable.Map
+      .empty[(String, String), Map[String, String]]
+    plan.foreachWithSubqueries {
+      case u: UnresolvedTableValuedFunction
+          if u.name.length == 1 &&
+            GovernedTvfs.contains(u.name.head.toLowerCase) =>
+        u.functionArgs.headOption.foreach {
+          case Literal(v, _) if v != null =>
+            try {
+              val (ns, t) = splitName(String.valueOf(v))
+              if (resolveTable(cat, ns, t).isDefined)
+                out((ns, t)) = aclStateOf(cat, ns, t)
+            } catch { case _: IllegalArgumentException => () }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.toMap
   }
 
   /** Route one SQL statement: DDL against the catalog, everything else
@@ -920,70 +1077,26 @@ object GraftSql {
         val t = cat.getTable(ns, tbl)
         metaCheckTable(t)              // per-commit file/row counts
         t.history()
-      case TableChangesRe(rawName, from, to) if knownTable(cat, rawName) =>
-        val (ns, tbl) = splitName(rawName)
-        val t = cat.getTable(ns, tbl)
-        fullSelectCheck(t)             // the feed returns unscoped rows
-        t.changeFeed(from.toLong,
-          Option(to).map(_.toLong).getOrElse(-1L))
-      case TableChangesTsRe(rawName, from, to) if knownTable(cat, rawName) =>
-        val (ns, tbl) = splitName(rawName)
-        def ms(s: String) = java.sql.Timestamp.valueOf(s.trim).getTime
-        val t = cat.getTable(ns, tbl)
-        fullSelectCheck(t)             // unscoped rows
-        t.changeFeedByTime(ms(from),
-          Option(to).map(ms).getOrElse(Long.MaxValue))
-      case VectorSearchRe(rawName, qname, k, vecColRaw, nprobeRaw)
-          if knownTable(cat, rawName) =>
-        val (ns, tbl) = splitName(rawName)
-        val t = cat.getTable(ns, tbl)
-        aclCheck(t, "SELECT")
-        val colName = Option(vecColRaw).map(cleanIdent).getOrElse {
-          t.vectorIndexedColumns match {
-            case Seq(one) => one
-            case Nil => throw new IllegalStateException(
-              s"no vector index on $ns.$tbl — CALL build_vector_index first")
-            case many => throw new IllegalArgumentException(
-              s"multiple vector indexes on $ns.$tbl " +
-                s"(${many.mkString(", ")}); name the column")
-          }
-        }
-        val meta = t.vectorIndexMeta(colName).getOrElse(
-          throw new IllegalStateException(
-            s"no vector index on $ns.$tbl.$colName"))
-        val me = currentPrincipal(cat.spark)
-        // column-scope composition: the search reads the vector column
-        // (scores derive from it) and serves the id column — a scope
-        // must COVER both; the output then exposes nothing outside it
-        selectScope(t, me).foreach { cols =>
-          if (!cols.contains(meta.idColumn) || !cols.contains(colName))
-            throw new SecurityException(
-              s"principal '$me' holds a column-scoped SELECT on " +
-                s"$ns.$tbl that does not cover (${meta.idColumn}, " +
-                s"$colName) and may not vector-search it")
-        }
-        // row-filter composition: the scoped principal searches only
-        // their visible rows — the filtered-search (IDSelector) path,
-        // exact w.r.t. the index (never "top-k then filter")
-        val bridge = org.apache.spark.sql.graft.ColumnBridge
-        val filt = rowFilter(t, me).map(p =>
-          bridge.column(bridge.parseExpression(cat.spark, p)))
-        // the query source resolves through THIS surface: its own
-        // grants (and temp-view privacy) apply to the caller. Backticks
-        // normalize PER dot-separated part (ADVICE r14: a single outer
-        // strip turned `ns`.`q` into malformed ns`.`q) and each part is
-        // re-quoted so the inner statement is well-formed regardless of
-        // how the caller quoted the source.
-        val qsource = qname.split('.').map(p => s"`${cleanIdent(p)}`")
-          .mkString(".")
-        val queriesDf = sql(cat, s"SELECT * FROM $qsource")
-        t.vectorSearch(queriesDf, k.toInt, colName,
-          nprobe = Option(nprobeRaw).map(_.toInt).getOrElse(-1),
-          where = filt)
+      // vector_search(...) and table_changes(...) are NOT regex arms
+      // anymore (r14 VERDICT task 1): the parser turns any
+      // `FROM <fn>(args)` into an UnresolvedTableValuedFunction, and
+      // [[substituteTvfs]] resolves ours at ANALYSIS level inside the
+      // general path below — so they compose in any query position
+      // (WHERE over the scores, joins back to the corpus, CTEs,
+      // subqueries) with the same bars applied at resolution.
       case ShowIndexesRe(rawName) if knownTable(cat, rawName) =>
         val (ns, tbl) = splitName(rawName)
         val t = cat.getTable(ns, tbl)
         metaCheckTable(t)              // the DESCRIBE bar
+        // parity with the stats-bearing metadata sub-tables (r14 task
+        // 8): coverage is row COUNTS over the whole table — a column/
+        // row-scoped principal is refused `.files`/`.partitions` for
+        // exactly this class of leak, so the same bar applies here
+        val me = currentPrincipal(cat.spark)
+        if (selectScope(t, me).isDefined || rowFilter(t, me).isDefined)
+          throw new SecurityException(
+            s"principal '$me' holds a scoped SELECT on ${t.name} " +
+              "and may not read its stats-bearing index metadata")
         t.showIndexes
       case ShowMvRe(nsRaw) =>
         val pairs = Option(nsRaw).map(cleanIdent) match {

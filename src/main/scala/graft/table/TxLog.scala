@@ -275,9 +275,28 @@ final case class Snapshot(
       * the inline remainder as the whole table, so headers that spill
       * their ref list declare 2 and readers REJECT any version above
       * [[TxLog.SupportedReaderVersion]] (hard error beats silent
-      * partial reads on rolling upgrades — ADVICE r12). Absent on
-      * pre-upgrade headers → default 1. */
+      * partial reads on rolling upgrades — ADVICE r12); 3 = some
+      * manifest ref points INTO a header (`hdr:v<N>` — see [[carried]]),
+      * which a v2 reader would try to open as a file and fail
+      * confusingly rather than loudly. Absent on pre-upgrade headers →
+      * default 1. */
     minReader: Int = 1,
+    /** HEADER-CARRIED manifest (r14 VERDICT task 7): the tier-0 spill
+      * of a steady micro-batch append stream used to be a separate
+      * manifest file — the dominant amortized term (1/33 create/commit)
+      * above the reference's 2-round-trip floor. When the spill is
+      * small enough ([[TxLog.CarryMaxFiles]] ≤ TierUnit entries, so the
+      * carrier header stays within the same ~5 KB byte bound as a
+      * full-inline header), its content rides HERE, inside the header
+      * whose refs name it as `hdr:v<thisVersion>` — zero extra
+      * round-trips, and strictly better crash atomicity (the old
+      * orphan-manifest-before-header window disappears; header and
+      * manifest are one atomic PUT). Carried manifests merge into
+      * ordinary manifest FILES at the first tier merge, so at most
+      * TierBase-1 headers per log ever serve as carriers; [[TxLog
+      * .expire]] keeps a carrier alive while any surviving header
+      * references it. */
+    carried: Option[Seq[DataFile]] = None,
     /** multi-table transaction membership: `Some(markerPath)` means
       * this commit's VISIBILITY is decided by the marker file at that
       * absolute path, not by the commit itself — marker COMMITTED →
@@ -295,11 +314,12 @@ object TxLog {
   implicit private val fmts: Formats = DefaultFormats
 
   /** Highest header format this build can read: 1 = inline layout,
-    * 2 = two-level manifest-list layout. Writers stamp the SMALLEST
-    * version a header actually needs (a pure-inline header stays 1, so
-    * small tables remain readable by any build); readers reject
-    * anything above this. */
-  val SupportedReaderVersion = 2
+    * 2 = two-level manifest-list layout, 3 = header-carried manifests
+    * (`hdr:v<N>` refs — see [[Snapshot.carried]]). Writers stamp the
+    * SMALLEST version a header actually needs (a pure-inline header
+    * stays 1, so small tables remain readable by any build); readers
+    * reject anything above this. */
+  val SupportedReaderVersion = 3
 
   private def snapshotName(v: Long): String = f"v$v%08d.metadata.json"
   private val SnapshotRe = raw"v(\d{8})\.metadata\.json".r
@@ -533,9 +553,36 @@ object TxLog {
     }
     protectAncestorsOf(keepFrom)
     protect.filter(_ < keepFrom).foreach(protectAncestorsOf)
+    // carrier protection (format v3): a SURVIVING header's refs may
+    // point INTO an older header (`hdr:vN` — Snapshot.carried);
+    // deleting that carrier would drop the retained snapshot's file
+    // entries. Collect hdr refs from every header that will outlive
+    // this expiry — the retained range, the protected tags, and the
+    // txn parents kept above — and keep those versions too. Carriers
+    // merge into manifest FILES within O(TierBase) spills, so the kept
+    // set is at most a few versions and ages out on a later expire.
+    // A kept carrier stays time-travel-readable slightly below the
+    // horizon — harmless, and the alternative (rewriting the head's
+    // refs) would turn retention into a commit.
+    val carriers = scala.collection.mutable.Set.empty[Long]
+    def collectCarriers(v: Long): Unit =
+      try readStored(logDir, v, conf).manifests.foreach { r =>
+        r.path match {
+          case HdrRefRe(cv) if cv.toLong < keepFrom => carriers += cv.toLong
+          case _ => ()
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
+    var sv = keepFrom
+    var scanning = true
+    while (scanning) {
+      try { readStored(logDir, sv, conf); collectCarriers(sv); sv += 1 }
+      catch { case _: java.io.FileNotFoundException => scanning = false }
+    }
+    (protect ++ txnParents).filter(_ < keepFrom).foreach(collectCarriers)
     var removed = 0
     (0L until keepFrom).foreach { v =>
-      if (!protect.contains(v) && !txnParents.contains(v)) {
+      if (!protect.contains(v) && !txnParents.contains(v) &&
+          !carriers.contains(v)) {
         val p = new Path(logDir, snapshotName(v))
         if (f.exists(p) && f.delete(p, false)) removed += 1
         // expired headers must fail reads — drop the parsed copy too
@@ -1075,23 +1122,76 @@ object TxLog {
   private val manifestResolutions = new java.util.concurrent.atomic.AtomicLong
   def manifestResolutionCount: Long = manifestResolutions.get
 
+  /** Header-carried manifest ref: `hdr:v<version>` names the manifest
+    * stored INSIDE header `version`'s [[Snapshot.carried]] field. */
+  private val HdrRefRe = raw"hdr:v(\d+)".r
+
+  /** Manifest content a commit IN FLIGHT on this thread is about to
+    * carry in its own header: the header does not exist yet, but the
+    * same layout call's tier merging and resolved-order computation
+    * must already read it. Thread-local — two in-process committers to
+    * the same log can never serve each other's pending content — and
+    * cleared unconditionally when [[commit]] returns. */
+  private val pendingCarried =
+    new ThreadLocal[Map[(String, Long), Seq[DataFile]]] {
+      override def initialValue(): Map[(String, Long), Seq[DataFile]] =
+        Map.empty
+    }
+
   private def loadManifest(logDir: Path, ref: ManifestRef,
       conf: Configuration): Seq[DataFile] = {
     manifestResolutions.incrementAndGet()
-    val key = new Path(logDir, ref.path).toString
-    val cached = manifestCache.synchronized(Option(manifestCache.get(key)))
-    cached.getOrElse {
-      val f = fs(logDir, conf)
-      val in = f.open(new Path(logDir, ref.path))
-      val bytes =
-        try org.apache.commons.io.IOUtils.toByteArray(in)
-        finally in.close()
-      val files = JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
-        .extract[Manifest].files
-      manifestCache.synchronized(manifestCache.put(key, files))
-      files
+    ref.path match {
+      case HdrRefRe(v) =>
+        // carried manifests resolve through the HEADER cache (mtime+
+        // length validated — a drop/recreate reusing version numbers
+        // must never serve the old table's carried entries, which is
+        // why these bypass the UUID-keyed manifestCache), or through
+        // this thread's in-flight commit before its header exists
+        pendingCarried.get.get((logDir.toString, v.toLong)).getOrElse(
+          readStored(logDir, v.toLong, conf).carried.getOrElse(
+            throw new java.io.IOException(
+              s"header v$v of $logDir is referenced as a manifest " +
+                "carrier but carries nothing — expired prematurely?")))
+      case _ =>
+        val key = new Path(logDir, ref.path).toString
+        val cached = manifestCache.synchronized(Option(manifestCache.get(key)))
+        cached.getOrElse {
+          val f = fs(logDir, conf)
+          val in = f.open(new Path(logDir, ref.path))
+          val bytes =
+            try org.apache.commons.io.IOUtils.toByteArray(in)
+            finally in.close()
+          val files = JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
+            .extract[Manifest].files
+          manifestCache.synchronized(manifestCache.put(key, files))
+          files
+        }
     }
   }
+
+  /** Largest spill that rides inside its own header instead of a
+    * manifest file: TierUnit entries — exactly the tier-0 manifest a
+    * steady 1-file-per-commit stream produces — so the carrier header's
+    * bytes stay within the same ~5 KB bound as a full-inline header.
+    * Bigger spills (bulk appends, merge outputs) keep paying the
+    * manifest-file create they always paid. */
+  private val CarryMaxFiles = 33
+
+  /** Place one spilled manifest: small spills are CARRIED in the
+    * header being committed (`hdr:v<version>` ref, content returned
+    * for [[Snapshot.carried]] and seeded thread-locally for the same
+    * layout's tier merge / resolution reads); larger ones are written
+    * as ordinary manifest files. Deterministic for a given (version,
+    * content) — the O(delta) fast path and the full re-resolving path
+    * lay out identically (LayoutFuzzSpec). */
+  private def placeManifest(logDir: Path, version: Long,
+      files: Seq[DataFile], conf: Configuration): ManifestRef =
+    if (files.size <= CarryMaxFiles) {
+      pendingCarried.set(pendingCarried.get +
+        ((logDir.toString, version) -> files))
+      ManifestRef(s"hdr:v$version", files.size)
+    } else writeManifest(logDir, version, files, conf)
 
   private def writeManifest(logDir: Path, version: Long,
       files: Seq[DataFile], conf: Configuration): ManifestRef = {
@@ -1240,12 +1340,14 @@ object TxLog {
     * discovery — a per-commit overwrite was one full round-trip per
     * commit for a bounded cold-start saving; at this cadence a cold
     * reader pays O(log HintEvery) forward probes instead (gallop +
-    * bisect, see [[probeForward]]). 64 puts the steady-state hint cost
-    * at 1/64 create per commit with a ≤13-probe cold catch-up —
-    * measured against the reference's 2-round-trip floor (r13 VERDICT
-    * task 6: at the old cadence of 8 the hint alone was 0.125 of the
-    * 2.28 RT/commit). */
-  private[table] val HintEvery = 64L
+    * bisect, see [[probeForward]]). 128 puts the steady-state hint
+    * cost at 1/128 create per commit with a ≤15-probe cold catch-up —
+    * with the tier-0 spill now riding the header ([[Snapshot.carried]])
+    * the hint and the amortized tier merges are the ONLY creates left
+    * above the reference's 2-round-trip floor: 2 + 1/128 + ~1/100 ≈
+    * 2.018/commit (r14 VERDICT task 7; r13 task 6 took the cadence
+    * 8 → 64). */
+  private[table] val HintEvery = 128L
 
   /**
    * Atomic CAS commit: writes `snapshot` as version `expected + 1`.
@@ -1290,7 +1392,12 @@ object TxLog {
       }
     }
     val target = new Path(logDir, snapshotName(next))
-    val (laid, layoutState) = layout(logDir, expected, snapshot, conf, appendOf)
+    // the thread-local carried-manifest seed only serves THIS layout
+    // call (tier merge + resolution read the spill before its header
+    // exists); the laid snapshot owns the content afterwards
+    val (laid, layoutState) =
+      try layout(logDir, expected, snapshot, conf, appendOf)
+      finally pendingCarried.remove()
     val json = Serialization.write(laid)
     val scheme = Option(target.toUri.getScheme).getOrElse(
       Option(f.getUri).map(_.getScheme).getOrElse("file"))
@@ -1578,7 +1685,7 @@ object TxLog {
     val (spilled, inline, manifestPaths) =
       if (remaining.size > InlineMaxFiles) {
         (prev.manifests :+
-          writeManifest(logDir, snapshot.version, remaining, conf),
+          placeManifest(logDir, snapshot.version, remaining, conf),
           Vector.empty[DataFile],
           prev.manifestPaths ++ remaining.iterator.map(_.path))
       } else (prev.manifests, remaining, prev.manifestPaths)
@@ -1590,7 +1697,8 @@ object TxLog {
       refs, prev.manifests, prev.listPath, conf)
     val laid = snapshot.copy(files = inline, manifests = inlineRefs,
       manifestList = listPath, added = addedFiles.map(_.path),
-      minReader = if (listPath.isDefined) 2 else 1)
+      carried = carriedFor(logDir, snapshot.version, refs),
+      minReader = minReaderFor(refs, listPath))
     // an append leaves served order = prev served order ++ added in
     // BOTH placement cases (spill moves prev-inline ++ added into the
     // appended manifest, preserving their relative order); only a tier
@@ -1698,7 +1806,7 @@ object TxLog {
     val (spilled, inline) =
       if (remaining.size > InlineMaxFiles) {
         (kept.toSeq :+
-          writeManifest(logDir, snapshot.version, remaining.values.toSeq, conf),
+          placeManifest(logDir, snapshot.version, remaining.values.toSeq, conf),
           Nil)
       } else (kept.toSeq, remaining.values.toSeq)
     val refs = mergeTiers(logDir, snapshot.version, spilled, conf)
@@ -1717,8 +1825,29 @@ object TxLog {
       refs, listPath, inline.toVector, resolved)
     (snapshot.copy(files = inline, manifests = inlineRefs,
       manifestList = listPath, added = added,
-      minReader = if (listPath.isDefined) 2 else 1), state)
+      carried = carriedFor(logDir, snapshot.version, refs),
+      minReader = minReaderFor(refs, listPath)), state)
   }
+
+  /** The content this header must carry: the just-placed `hdr:v<self>`
+    * spill — UNLESS the tier merge that ran in the same layout already
+    * folded it into a manifest file (then nothing references it and
+    * carrying it would be pure header bytes). */
+  private def carriedFor(logDir: Path, version: Long,
+      refs: Seq[ManifestRef]): Option[Seq[DataFile]] =
+    if (refs.exists(_.path == s"hdr:v$version"))
+      pendingCarried.get.get((logDir.toString, version))
+    else None
+
+  /** Smallest reader format a header with these refs needs: any
+    * header-carried manifest ref anywhere in the list forces 3 (a v2
+    * reader would open `hdr:v<N>` as a file path); a spilled ref list
+    * forces 2; else 1. */
+  private def minReaderFor(refs: Seq[ManifestRef],
+      listPath: Option[String]): Int =
+    if (refs.exists(_.path.startsWith("hdr:"))) 3
+    else if (listPath.isDefined) 2
+    else 1
 
   /** Test/deployment seam: when set, every commit publishes through
     * this protocol instead of the scheme-selected default. */

@@ -673,8 +673,6 @@ class TxTable private (
         s"failed to publish vector index meta at $dst")
     }
     synchronized { vectorIndexCache = vectorIndexCache - vecCol }
-    if (sys.env.contains("GRAFT_VIDX_DEBUG"))
-      println(s"[vidx] publish $vecCol: ${expectedNonce} -> ${stamped.nonce} codes=${stamped.codesDir} base=${stamped.coveredFilesFile} deltas=${stamped.coveredDeltaFiles}")
     stamped
   }
 
@@ -720,11 +718,8 @@ class TxTable private (
             !keepD.contains(n))
           fs.delete(st.getPath, true)
         else if (st.isFile && n.startsWith("covered-") &&
-            !keepF.contains(n)) {
-          if (sys.env.contains("GRAFT_VIDX_DEBUG"))
-            println(s"[vidx] GC delete $n (keepF=$keepF)")
+            !keepF.contains(n))
           fs.delete(st.getPath, false)
-        }
       }
     } catch { case _: Exception => () }
 

@@ -901,5 +901,52 @@ class AclSpec extends SparkSpec {
     as("dana") {
       assert(GraftSql.sql(cat, tvf).count() === 40L)
     }
+    // NESTED positions take the same bars at resolution (r15): the TVF
+    // inside a CTE + WHERE resolves through the same governed
+    // substitution, so a refusal in the direct form is a refusal in
+    // every composed form — no wrapper laundering
+    val nested = "WITH hits AS (SELECT * FROM " +
+      "vector_search('vec.t', 'vec.q', 10)) " +
+      "SELECT * FROM hits WHERE rank <= 3"
+    as("mallory") {
+      intercept[SecurityException](GraftSql.sql(cat, nested).collect())
+    }
+    as("bob") {
+      intercept[SecurityException](GraftSql.sql(cat, nested).collect())
+    }
+    as("alice") {
+      val hits = GraftSql.sql(cat, nested).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val visible = t.toDF.filter(org.apache.spark.sql.functions
+          .col("label") <= 4).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(hits.subsetOf(visible),
+        s"nested row-filtered search leaked ${hits -- visible}")
+    }
+    // and the same for table_changes: the feed serves unscoped rows,
+    // so the full-select bar refuses scoped principals in ANY position
+    as("admin") {
+      GraftSql.sql(cat, "ALTER TABLE vec.t SET TBLPROPERTIES " +
+        s"('${TxTable.ChangeFeedProperty}' = 'true')")
+    }
+    as("alice") {
+      intercept[SecurityException](GraftSql.sql(cat,
+        "WITH f AS (SELECT * FROM table_changes('vec.t', 0)) " +
+          "SELECT count(*) FROM f").collect())
+    }
+    // SHOW INDEXES parity (r15): coverage is row counts over the whole
+    // table — scoped principals are refused like the stats-bearing
+    // metadata sub-tables; a plain grantee still reads it
+    as("alice") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SHOW INDEXES ON vec.t").collect())
+    }
+    as("bob") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SHOW INDEXES ON vec.t").collect())
+    }
+    as("carol") {
+      assert(GraftSql.sql(cat, "SHOW INDEXES ON vec.t").count() >= 1L)
+    }
   }
 }

@@ -147,6 +147,17 @@ class CdfSpec extends SparkSpec {
     // open-ended form: from version 0 through the head
     assert(cat.sql("SELECT * FROM table_changes('analytics.txns_cdf_sql', 0)")
       .count() === 25 + nLow)
+    // COMPOSED positions (r15): the TVF resolves at analysis level, so
+    // a WHERE over the feed and an aggregate in a CTE work — the
+    // whole-statement regex dispatch could serve neither
+    assert(cat.sql("SELECT * FROM table_changes('analytics.txns_cdf_sql'," +
+        " 0) WHERE _change_type = 'delete'").count() === nLow)
+    val byType = cat.sql(
+      "WITH feed AS (SELECT * FROM " +
+        "table_changes('analytics.txns_cdf_sql', 0)) " +
+        "SELECT _change_type, count(*) AS n FROM feed GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("insert" -> 25L, "delete" -> nLow))
   }
 
   test("changeFeedByTime and the timestamp TVF resolve commit-time ranges") {

@@ -387,8 +387,16 @@ class MultiTableTxnSpec extends SparkSpec {
     assert(new java.io.File(base, abortedList).exists(),
       "vacuum deleted the aborted version's manifest-list file")
     abortedManifests.foreach { m =>
-      assert(new java.io.File(base, m).exists(),
-        s"vacuum deleted manifest $m referenced by the aborted header")
+      // header-CARRIED manifests (`hdr:vN`) live inside header N —
+      // vacuum never touches headers, but the carrier must still be
+      // there for the aborted header to parse
+      if (m.startsWith("hdr:v")) {
+        val cv = m.stripPrefix("hdr:v").toLong
+        assert(new java.io.File(base, f"v$cv%08d.metadata.json").exists(),
+          s"carrier header for $m missing")
+      } else
+        assert(new java.io.File(base, m).exists(),
+          s"vacuum deleted manifest $m referenced by the aborted header")
     }
     // a cold process (caches purged) can still walk the whole log
     TxLog.purgeRawCacheUnder(logDir)

@@ -110,13 +110,15 @@ class ObjectStoreSpec extends SparkSpec {
     // round-trips, independent of table size — the term that bounds a
     // real object-store deployment. Budget per steady commit: 1 status
     // (the pre-CAS parent existence check, the drop/recreate gap
-    // defense), 1 create (the CAS) + amortized spill/merge creates +
+    // defense), 1 create (the CAS — which since r15 also CARRIES the
+    // tier-0 spill inside the header, so the old amortized 1/33 spill
+    // create is GONE) + amortized tier-merge creates (~1/100) +
     // 1/HintEvery hint creates. Head discovery and the header re-read
     // are ZERO round-trips (the writer serves its own last commit from
     // memory; the CAS arbitrates staleness); mkdirs is paid once, on
     // the first commit only. Reference floor: 2 round-trips
     // (update_metadata.py:64-70,135-141 — GetTable + conditional
-    // update); this protocol's steady state is ~2.3 with durable
+    // update); this protocol's steady state is ~2.02 with durable
     // manifests included.
     val conf = spark.sparkContext.hadoopConfiguration
     conf.set("fs.lagfs.impl", classOf[LagFs].getName)
@@ -155,7 +157,61 @@ class ObjectStoreSpec extends SparkSpec {
       "steady-state commits should not re-open headers or manifests")
     assert(byCat.getOrElse("list", 0L) === 0L,
       "steady-state commits must never list the log directory")
-    assert(per <= 3.2, s"round-trips per commit grew to $per")
+    // 2.0 + slack for a hint/merge landing inside the window — the
+    // r14 bound was 3.2 (spill manifests still paid a create each)
+    assert(per <= 2.15, s"round-trips per commit grew to $per")
+  }
+
+  test("tier-0 spills ride the header: zero manifest files until a merge; expire keeps live carriers") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new java.io.File(freshDir("carried"), "_log")
+    val logDir = new Path(base.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    var files = Vector.empty[DataFile]
+    def step(v: Long): Unit = {
+      files = files :+ DataFile(f"f$v%06d.parquet", Map.empty, 1L, 10L)
+      TxLog.commit(logDir, if (v == 0) None else Some(v - 1),
+        Snapshot(version = v, timestampMs = 1700000000000L + v,
+          operation = if (v == 0) "CREATE" else "APPEND",
+          schemaJson = schema.json, partitionColumns = Nil,
+          files = files), conf)
+    }
+    (0L to 40L).foreach(step)
+    // the spill (33rd file, version 32) was CARRIED, not written as a
+    // file
+    val carrier = TxLog.readStored(logDir, 32L, conf)
+    assert(carrier.carried.exists(_.size == 33),
+      s"v32 did not carry its spill: ${carrier.carried.map(_.size)}")
+    assert(carrier.manifests.exists(_.path == "hdr:v32"))
+    assert(carrier.minReader === 3)
+    assert(!base.listFiles().exists(_.getName.endsWith(".manifest.json")),
+      "a tier-0 spill still wrote a manifest file")
+    // full resolution serves every file through the carried ref
+    assert(TxLog.read(logDir, 40L, conf).files.size === 41)
+    // expire below the carrier: v33 survives because the retained
+    // heads reference hdr:v33; everything else below the horizon goes
+    TxLog.expire(logDir, keepFrom = 35L, protect = Set.empty, conf)
+    assert(new java.io.File(base, "v00000032.metadata.json").exists(),
+      "expire deleted a live manifest carrier")
+    assert(!new java.io.File(base, "v00000010.metadata.json").exists())
+    TxLog.purgeRawCache(logDir)
+    assert(TxLog.read(logDir, 40L, conf).files.size === 41)
+    // push through three more spills: the 4th tier-0 manifest triggers
+    // the merge into a REAL manifest file; carriers become
+    // unreferenced and the next expire reaps them
+    (41L to 135L).foreach(step)
+    assert(base.listFiles().exists(_.getName.endsWith(".manifest.json")),
+      "tier merge did not materialize a manifest file")
+    val headRefs = TxLog.readStored(logDir, 135L, conf).manifests.map(_.path)
+    assert(!headRefs.exists(_.startsWith("hdr:")),
+      s"post-merge head still references carriers: $headRefs")
+    TxLog.expire(logDir, keepFrom = 134L, protect = Set.empty, conf)
+    assert(!new java.io.File(base, "v00000032.metadata.json").exists(),
+      "expire kept an unreferenced carrier")
+    TxLog.purgeRawCache(logDir)
+    assert(TxLog.read(logDir, 135L, conf).files.size === 136)
   }
 
   test("stale cached head cannot publish past an externally recreated log") {
@@ -300,24 +356,35 @@ class ObjectStoreSpec extends SparkSpec {
       v
     }
     // tier-spread bursts outgrow the inline ref bound → the head spills
-    // a manifest list and stamps minReader = 2; early commits stay v1
+    // a manifest list AND carries a tier-0 manifest in a header
+    // (`hdr:v3`), so it stamps minReader = 3; early commits stay v1
+    // (inline, or a real-manifest spill with few refs)
     burst(0)
-    Seq(33, 33, 33, 150, 150, 150, 550, 550, 550).foreach(burst(_))
+    burst(10)
+    Seq(33, 33, 150, 150, 150, 550, 550, 550, 2200, 2200, 2200)
+      .foreach(burst(_))
     val head = expected.get
     val headStored = TxLog.readStored(logDir, head, conf)
-    assert(headStored.manifestList.isDefined && headStored.minReader === 2,
-      "head did not spill a manifest list — burst pattern regressed")
+    assert(headStored.manifestList.isDefined && headStored.minReader === 3,
+      "head did not spill a list + carry a manifest — burst pattern regressed")
     val v1Versions = (0L to head).filter(v =>
       TxLog.readStored(logDir, v, conf).minReader == 1)
     assert(v1Versions.nonEmpty, "no v1 prefix in the mixed log")
     // a COLD pre-upgrade reader (support lowered via the test knob,
-    // caches purged): the v2 head fails with the NAMED error...
+    // caches purged): the v3 head fails with the NAMED error — for a
+    // v1 reader AND for a v2 reader that predates carried manifests...
     val v1conf = new org.apache.hadoop.conf.Configuration(conf)
     v1conf.setInt("graft.test.supportedReaderVersion", 1)
     TxLog.purgeRawCache(logDir)
     val e = intercept[java.io.IOException](TxLog.read(logDir, head, v1conf))
     assert(e.getMessage.contains("reader format version"),
       s"wrong failure mode: ${e.getMessage}")
+    val v2conf = new org.apache.hadoop.conf.Configuration(conf)
+    v2conf.setInt("graft.test.supportedReaderVersion", 2)
+    TxLog.purgeRawCache(logDir)
+    val e2v = intercept[java.io.IOException](TxLog.read(logDir, head, v2conf))
+    assert(e2v.getMessage.contains("reader format version"),
+      s"v2 reader did not refuse the carried-manifest head: ${e2v.getMessage}")
     // ...never a partial view: nothing readable AT the head
     TxLog.purgeRawCache(logDir)
     intercept[java.io.IOException](TxLog.read(logDir, head, v1conf))

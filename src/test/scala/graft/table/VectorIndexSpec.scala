@@ -362,6 +362,26 @@ class VectorIndexSpec extends SparkSpec {
     assert(GraftSql.sql(cat,
       "SELECT * FROM vector_search('vec.t', '`vec`.`q`', 10)")
       .count() === 50L)
+    // COMPOSED positions (r15): the TVF resolves at analysis level, so
+    // a WHERE over its output, a JOIN back to the corpus, and a CTE all
+    // work — the whole-statement regex dispatch served none of them
+    assert(GraftSql.sql(cat,
+      "SELECT * FROM vector_search('vec.t', 'vec.q', 10) WHERE rank <= 3")
+      .count() === 15L)
+    val joined = GraftSql.sql(cat,
+      "SELECT h.query_id, h.rank, c.label " +
+        "FROM vector_search('vec.t', 'vec.q', 5) h " +
+        "JOIN vec.t c ON c.vec_id = h.vec_id WHERE h.rank = 1")
+    assert(joined.count() === 5L)
+    val cte = GraftSql.sql(cat,
+      "WITH hits AS (SELECT * FROM vector_search('vec.t', 'vec.q', 5)) " +
+        "SELECT query_id, count(*) AS n FROM hits GROUP BY query_id")
+    assert(cte.count() === 5L &&
+      cte.select("n").as[Long].collect().forall(_ == 5L))
+    // non-literal TVF arguments fail closed — they would resolve
+    // outside the governed walk
+    intercept[SecurityException](GraftSql.sql(cat,
+      "SELECT * FROM vector_search(concat('vec', '.t'), 'vec.q', 10)"))
     // SHOW INDEXES: full coverage right after the build...
     val idx1 = GraftSql.sql(cat, "SHOW INDEXES ON vec.t").collect()
     assert(idx1.length === 1)
