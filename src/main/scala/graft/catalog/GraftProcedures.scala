@@ -116,7 +116,11 @@ private[graft] object GraftProcedures {
           p("vector_column", StringType),
           pDefault("coverage_floor", DoubleType, "0.9"),
           pDefault("rebuild_below", DoubleType, "0.5"),
-          pDefault("max_code_files", IntegerType, "64"))
+          pDefault("max_code_files", IntegerType, "64"),
+          // opt-in MEASURED drift check: rebuild when held-out recall
+          // at the stored operating point fell below the build's own
+          // target — the in-place-churn case coverage cannot see
+          pDefault("check_recall", BooleanType, "false"))
         case "shallow_clone" => Array(TableParam, p("destination", StringType),
           pDefault("version", LongType, "-1"))
         case "index_commits" => Array(TableParam)
@@ -210,7 +214,7 @@ private[graft] object GraftProcedures {
             // reports (see TxTable.maintainVectorIndex)
             val (action, detail) = t.maintainVectorIndex(
               input.getString(1), input.getDouble(2), input.getDouble(3),
-              input.getInt(4))
+              input.getInt(4), checkRecall = input.getBoolean(5))
             result("action" -> action, "detail" -> detail)
           case "shallow_clone" =>
             val parts = input.getString(1).split("\\.")

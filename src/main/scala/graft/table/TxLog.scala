@@ -572,12 +572,12 @@ object TxLog {
           case _ => ()
         }
       } catch { case _: java.io.FileNotFoundException => () }
-    var sv = keepFrom
-    var scanning = true
-    while (scanning) {
-      try { readStored(logDir, sv, conf); collectCarriers(sv); sv += 1 }
-      catch { case _: java.io.FileNotFoundException => scanning = false }
-    }
+    // walk keepFrom..head, tolerating gaps — an EARLIER expiry with a
+    // larger keepFrom may have removed versions just above this call's
+    // horizon, and stopping at the first missing header would hide the
+    // live head's carrier refs from the protection set
+    val headV = currentVersion(logDir, conf).getOrElse(-1L)
+    (keepFrom to headV).foreach(collectCarriers)
     (protect ++ txnParents).filter(_ < keepFrom).foreach(collectCarriers)
     var removed = 0
     (0L until keepFrom).foreach { v =>
@@ -1122,16 +1122,23 @@ object TxLog {
   private val manifestResolutions = new java.util.concurrent.atomic.AtomicLong
   def manifestResolutionCount: Long = manifestResolutions.get
 
-  /** Header-carried manifest ref: `hdr:v<version>` names the manifest
-    * stored INSIDE header `version`'s [[Snapshot.carried]] field. */
-  private val HdrRefRe = raw"hdr:v(\d+)".r
+  /** Header-carried manifest ref: `hdr:v<version>-<nonce>` names the
+    * manifest stored INSIDE header `version`'s [[Snapshot.carried]]
+    * field. The nonce makes the name unique per PUBLISH — exactly the
+    * orphan-safe property UUID manifest names have — so carried
+    * content is cacheable by name with no revalidation: a drop +
+    * recreate reusing the same logDir and version numbers mints new
+    * nonces, and a stale cache entry is simply unreachable (no live
+    * header references the old name). The nonce is optional on parse
+    * for the brief nonce-less interim format. */
+  private val HdrRefRe = raw"hdr:v(\d+)(?:-[0-9a-f]+)?".r
 
   /** Manifest content a commit IN FLIGHT on this thread is about to
-    * carry in its own header: the header does not exist yet, but the
-    * same layout call's tier merging and resolved-order computation
-    * must already read it. Thread-local — two in-process committers to
-    * the same log can never serve each other's pending content — and
-    * cleared unconditionally when [[commit]] returns. */
+    * carry in its own header: the same layout call's tier merging and
+    * resolved-order computation must read it before the header exists.
+    * Primary service is the (unreachable-until-published) name-keyed
+    * manifestCache seed; this thread-local is the eviction-proof
+    * backstop, cleared unconditionally when [[commit]] returns. */
   private val pendingCarried =
     new ThreadLocal[Map[(String, Long), Seq[DataFile]]] {
       override def initialValue(): Map[(String, Long), Seq[DataFile]] =
@@ -1141,22 +1148,28 @@ object TxLog {
   private def loadManifest(logDir: Path, ref: ManifestRef,
       conf: Configuration): Seq[DataFile] = {
     manifestResolutions.incrementAndGet()
-    ref.path match {
-      case HdrRefRe(v) =>
-        // carried manifests resolve through the HEADER cache (mtime+
-        // length validated — a drop/recreate reusing version numbers
-        // must never serve the old table's carried entries, which is
-        // why these bypass the UUID-keyed manifestCache), or through
-        // this thread's in-flight commit before its header exists
-        pendingCarried.get.get((logDir.toString, v.toLong)).getOrElse(
-          readStored(logDir, v.toLong, conf).carried.getOrElse(
-            throw new java.io.IOException(
-              s"header v$v of $logDir is referenced as a manifest " +
-                "carrier but carries nothing — expired prematurely?")))
-      case _ =>
-        val key = new Path(logDir, ref.path).toString
-        val cached = manifestCache.synchronized(Option(manifestCache.get(key)))
-        cached.getOrElse {
+    // hdr refs are NOT paths (Hadoop Path rejects the pseudo-scheme) —
+    // their cache key is a plain string under the log dir
+    val key =
+      if (ref.path.startsWith("hdr:")) s"$logDir#${ref.path}"
+      else new Path(logDir, ref.path).toString
+    val cached = manifestCache.synchronized(Option(manifestCache.get(key)))
+    cached.getOrElse {
+      ref.path match {
+        case HdrRefRe(v) =>
+          // cold resolve: through the HEADER cache (mtime+length
+          // validated), or this thread's in-flight commit before its
+          // header exists; the nonce-unique name then caches like any
+          // UUID-named manifest — the committing process's own tier
+          // merges and re-reads cost ZERO round-trips
+          val files = pendingCarried.get.get((logDir.toString, v.toLong))
+            .getOrElse(readStored(logDir, v.toLong, conf).carried.getOrElse(
+              throw new java.io.IOException(
+                s"header v$v of $logDir is referenced as a manifest " +
+                  "carrier but carries nothing — expired prematurely?")))
+          manifestCache.synchronized(manifestCache.put(key, files))
+          files
+        case _ =>
           val f = fs(logDir, conf)
           val in = f.open(new Path(logDir, ref.path))
           val bytes =
@@ -1166,7 +1179,7 @@ object TxLog {
             .extract[Manifest].files
           manifestCache.synchronized(manifestCache.put(key, files))
           files
-        }
+      }
     }
   }
 
@@ -1179,18 +1192,24 @@ object TxLog {
   private val CarryMaxFiles = 33
 
   /** Place one spilled manifest: small spills are CARRIED in the
-    * header being committed (`hdr:v<version>` ref, content returned
-    * for [[Snapshot.carried]] and seeded thread-locally for the same
-    * layout's tier merge / resolution reads); larger ones are written
-    * as ordinary manifest files. Deterministic for a given (version,
-    * content) — the O(delta) fast path and the full re-resolving path
-    * lay out identically (LayoutFuzzSpec). */
+    * header being committed (`hdr:v<version>-<nonce>` ref, content
+    * returned for [[Snapshot.carried]] via [[carriedFor]] and seeded
+    * into the name-keyed manifestCache + the thread-local backstop so
+    * the same layout's tier merge / resolution reads are free);
+    * larger ones are written as ordinary manifest files. Content is
+    * deterministic for a given version — the O(delta) fast path and
+    * the full re-resolving path lay out identically modulo the nonce
+    * (LayoutFuzzSpec canonicalizes it like the UUID manifest names). */
   private def placeManifest(logDir: Path, version: Long,
       files: Seq[DataFile], conf: Configuration): ManifestRef =
     if (files.size <= CarryMaxFiles) {
+      val name = s"hdr:v$version-${
+        java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
       pendingCarried.set(pendingCarried.get +
         ((logDir.toString, version) -> files))
-      ManifestRef(s"hdr:v$version", files.size)
+      manifestCache.synchronized(
+        manifestCache.put(s"$logDir#$name", files))
+      ManifestRef(name, files.size)
     } else writeManifest(logDir, version, files, conf)
 
   private def writeManifest(logDir: Path, version: Long,
@@ -1835,7 +1854,7 @@ object TxLog {
     * carrying it would be pure header bytes). */
   private def carriedFor(logDir: Path, version: Long,
       refs: Seq[ManifestRef]): Option[Seq[DataFile]] =
-    if (refs.exists(_.path == s"hdr:v$version"))
+    if (refs.exists(_.path.startsWith(s"hdr:v$version-")))
       pendingCarried.get.get((logDir.toString, version))
     else None
 

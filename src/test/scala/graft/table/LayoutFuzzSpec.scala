@@ -103,6 +103,11 @@ class LayoutFuzzSpec extends SparkSpec {
     // manifest names), and finally list files canonicalize by the hash
     // of their substituted content.
     val ManifestRe = """m-(\d{8})-[0-9a-f-]+\.manifest\.json""".r
+    // header-CARRIED manifest refs embed a publish nonce in the NAME
+    // (orphan-safe like the UUID file names) — collapse it before the
+    // byte comparison; the carried CONTENT is compared as part of the
+    // header bytes themselves
+    val HdrNonceRe = """hdr:v(\d+)-[0-9a-f]+"""
     val ListRe = """ml-(\d{8})-[0-9a-f-]+\.manifestlist\.json""".r
     def sha(bytes: Array[Byte]): String =
       java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
@@ -119,8 +124,11 @@ class LayoutFuzzSpec extends SparkSpec {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       }
       val pass1 = files.map { case (name, bytes) =>
+        val text = new String(substitute(bytes, manifestRename),
+          java.nio.charset.StandardCharsets.UTF_8)
         manifestRename.getOrElse(name, name) ->
-          substitute(bytes, manifestRename)
+          text.replaceAll(HdrNonceRe, "hdr:v$1")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       }
       val listRename: Map[String, String] = pass1.collect {
         case (n @ ListRe(v), bytes) =>

@@ -391,7 +391,7 @@ class MultiTableTxnSpec extends SparkSpec {
       // vacuum never touches headers, but the carrier must still be
       // there for the aborted header to parse
       if (m.startsWith("hdr:v")) {
-        val cv = m.stripPrefix("hdr:v").toLong
+        val cv = m.stripPrefix("hdr:v").takeWhile(_.isDigit).toLong
         assert(new java.io.File(base, f"v$cv%08d.metadata.json").exists(),
           s"carrier header for $m missing")
       } else

@@ -184,7 +184,7 @@ class ObjectStoreSpec extends SparkSpec {
     val carrier = TxLog.readStored(logDir, 32L, conf)
     assert(carrier.carried.exists(_.size == 33),
       s"v32 did not carry its spill: ${carrier.carried.map(_.size)}")
-    assert(carrier.manifests.exists(_.path == "hdr:v32"))
+    assert(carrier.manifests.exists(_.path.startsWith("hdr:v32-")))
     assert(carrier.minReader === 3)
     assert(!base.listFiles().exists(_.getName.endsWith(".manifest.json")),
       "a tier-0 spill still wrote a manifest file")

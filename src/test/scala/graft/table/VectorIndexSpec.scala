@@ -192,6 +192,13 @@ class VectorIndexSpec extends SparkSpec {
       val refreshed = spark.sql("""CALL vecproc.system.refresh_vector_index(
         'vec.t', 'embedding')""").collect()(0)
       assert(refreshed.getLong(0) === 0L)   // nothing new yet
+      // the maintenance policy is callable too, including the opt-in
+      // measured drift check (healthy index → still noop: the freshly
+      // calibrated operating point meets its own target)
+      val maintained = spark.sql("""CALL vecproc.system.maintain_vector_index(
+        table => 'vec.t', vector_column => 'embedding',
+        check_recall => true)""").collect()(0)
+      assert(maintained.getString(0) === "noop")
       val queries = queriesFrom(t, 4)
       assert(t.vectorSearch(queries, k = 5).count() === 20L)
     } finally {
