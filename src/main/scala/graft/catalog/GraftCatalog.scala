@@ -86,7 +86,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val MetadataKinds =
-    Set("files", "partitions", "history", "tags", "branches", "constraints")
+    Set("files", "partitions", "history", "tags", "branches", "constraints",
+      "indexes")
 
   override def loadTable(ident: Identifier): Table = {
     val cat = inner

@@ -44,9 +44,14 @@ class GraftMetadataTable(tx: TxTable, kind: String) extends Table
       val spark = tx.spark
       import spark.implicits._
       tx.constraints.toSeq.sortBy(_._1).toDF("name", "condition")
+    // the SHOW INDEXES rows as a RELATION, so index observability
+    // composes (WHERE over coverage, joins against .history, CTEs) —
+    // same stats-parity bar as .files/.partitions (coverage is
+    // row counts over the whole table)
+    case "indexes"    => tx.showIndexes
     case other => throw new IllegalArgumentException(
       s"unknown metadata table '$other' " +
-        "(files|partitions|history|tags|branches|constraints)")
+        "(files|partitions|history|tags|branches|constraints|indexes)")
   }
 
   override def name(): String = s"${tx.name}.$kind"

@@ -798,10 +798,13 @@ object GraftSql {
   }
 
   /** ACL-snapshot contribution of governed TVF references: their
-    * target table is a literal ARGUMENT, invisible to
+    * target tables are literal ARGUMENTS, invisible to
     * [[aclSnapshotIn]]'s relation walk — without this, a temp view
     * over `vector_search('sec.t', …)` would not invalidate when
-    * grants on sec.t change. */
+    * grants on sec.t change. Every table-shaped argument counts:
+    * vector_search's QUERY SOURCE (arg 1) is a relation the stored
+    * plan embeds resolved, so a grant change on it must invalidate
+    * the view exactly like one on the corpus (arg 0). */
   private def tvfAclSnapshot(cat: TableCatalog,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Map[(String, String), Map[String, String]] = {
@@ -813,7 +816,11 @@ object GraftSql {
       case u: UnresolvedTableValuedFunction
           if u.name.length == 1 &&
             GovernedTvfs.contains(u.name.head.toLowerCase) =>
-        u.functionArgs.headOption.foreach {
+        val tableArgs =
+          if (u.name.head.equalsIgnoreCase("vector_search"))
+            u.functionArgs.take(2)
+          else u.functionArgs.take(1)
+        tableArgs.foreach {
           case Literal(v, _) if v != null =>
             try {
               val (ns, t) = splitName(String.valueOf(v))
@@ -2373,7 +2380,8 @@ object GraftSql {
   /** The metadata-table suffixes [[graft.catalog.GraftCatalog]] resolves
     * (GraftCatalog.MetadataKinds, kept in sync by AclSpec). */
   private val MetadataSubTables =
-    Set("files", "partitions", "history", "tags", "branches", "constraints")
+    Set("files", "partitions", "history", "tags", "branches", "constraints",
+      "indexes")
 
   /** Per-procedure governance bars for `CALL graft.system.<proc>`:
     * destructive history/ref surgery takes the owner bar (same as DROP

@@ -940,13 +940,64 @@ class AclSpec extends SparkSpec {
     as("alice") {
       intercept[SecurityException](
         GraftSql.sql(cat, "SHOW INDEXES ON vec.t").collect())
+      // the relational form takes the identical bar
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM vec.t.indexes").collect())
     }
     as("bob") {
       intercept[SecurityException](
         GraftSql.sql(cat, "SHOW INDEXES ON vec.t").collect())
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM vec.t.indexes").collect())
     }
     as("carol") {
       assert(GraftSql.sql(cat, "SHOW INDEXES ON vec.t").count() >= 1L)
+      assert(GraftSql.sql(cat, "SELECT * FROM vec.t.indexes").count() >= 1L)
+    }
+    as("mallory") {
+      intercept[SecurityException](
+        GraftSql.sql(cat, "SELECT * FROM vec.t.indexes").collect())
+    }
+  }
+
+  test("temp view over vector_search invalidates when the QUERY SOURCE's grants change") {
+    // the TVF's tables are literal ARGUMENTS — invisible to the
+    // relation-walk snapshot. Arg 0 (the corpus) was captured since
+    // r14; this pins arg 1 (the query source), whose resolved read the
+    // stored view plan embeds just the same: a grant change on it must
+    // invalidate the view, not keep serving the pre-REVOKE visibility.
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_vstv")))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val t = cat.createTable("vtv", "t", emb.schema, Nil)
+    t.append(emb)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val queries = t.toDF.limit(3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("query_vec"))
+    val q = cat.createTable("vtv", "q", queries.schema, Nil)
+    q.append(queries)
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON vtv.t TO admin")
+      GraftSql.sql(cat, "GRANT ALL ON vtv.q TO admin")
+      GraftSql.sql(cat, "GRANT SELECT ON vtv.t TO alice")
+      GraftSql.sql(cat, "GRANT SELECT ON vtv.q TO alice")
+    }
+    as("alice") {
+      GraftSql.sql(cat, "CREATE TEMPORARY VIEW vtv_hits AS " +
+        "SELECT * FROM vector_search('vtv.t', 'vtv.q', 5)")
+      assert(GraftSql.sql(cat, "SELECT count(*) AS n FROM vtv_hits")
+        .collect()(0).getLong(0) === 15L)
+    }
+    try {
+      as("admin") { GraftSql.sql(cat, "REVOKE SELECT ON vtv.q FROM alice") }
+      as("alice") {
+        val e = intercept[SecurityException](
+          GraftSql.sql(cat, "SELECT * FROM vtv_hits").collect())
+        assert(e.getMessage.contains("vtv.q"),
+          s"expected the QUERY SOURCE to invalidate the view, got: $e")
+      }
+    } finally as("alice") {
+      GraftSql.sql(cat, "DROP VIEW IF EXISTS vtv_hits")
     }
   }
 }

@@ -411,6 +411,16 @@ class VectorIndexSpec extends SparkSpec {
     val kinds = GraftSql.sql(cat, "SHOW INDEXES ON vec.t")
       .select("index_type").as[String].collect().sorted.toSeq
     assert(kinds === Seq("bloom", "vector"))
+    // ...and the same rows serve as the `.indexes` metadata RELATION,
+    // so observability composes (WHERE over coverage, joins, CTEs) —
+    // SHOW INDEXES is the statement form, vec.t.indexes the relational
+    val rel = GraftSql.sql(cat,
+      "SELECT column FROM vec.t.indexes " +
+        "WHERE index_type = 'vector' AND coverage >= 1.0")
+    assert(rel.as[String].collect().toSeq === Seq("embedding"))
+    assert(GraftSql.sql(cat,
+      "WITH idx AS (SELECT * FROM vec.t.indexes) " +
+        "SELECT count(*) AS n FROM idx").as[Long].collect()(0) === 2L)
   }
 
   test("maintainVectorIndex takes the cheapest sufficient action from the staleness signals") {
