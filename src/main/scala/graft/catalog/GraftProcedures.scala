@@ -48,7 +48,8 @@ private[graft] object GraftProcedures {
     "create_branch", "drop_branch", "create_tag", "add_files",
     "analyze_table", "build_bloom_index", "build_vector_index",
     "refresh_vector_index", "rewrite_vector_index",
-    "maintain_vector_index", "shallow_clone", "index_commits")
+    "maintain_vector_index", "maintain_table", "shallow_clone",
+    "index_commits")
 
   def load(name: String, cat: () => GraftTableCatalog): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, cat)) else None
@@ -120,6 +121,22 @@ private[graft] object GraftProcedures {
           // opt-in MEASURED drift check: rebuild when held-out recall
           // at the stored operating point fell below the build's own
           // target — the in-place-churn case coverage cannot see
+          pDefault("check_recall", BooleanType, "false"))
+        case "maintain_table" => Array(TableParam,
+          // the one-call policy over every maintenance dimension (the
+          // reference's managed S3 Tables behavior): small-file
+          // compaction, per-index upkeep, snapshot retention, orphan
+          // sweep — each behind its own threshold
+          pDefault("target_file_size_bytes", LongType,
+            (128L * 1024 * 1024).toString),
+          pDefault("small_file_bytes", LongType,
+            (64L * 1024 * 1024).toString),
+          pDefault("min_small_files", IntegerType, "16"),
+          pDefault("retain_snapshots", IntegerType, "10"),
+          pDefault("max_snapshot_age_ms", LongType, "-1"),
+          pDefault("remove_orphans", BooleanType, "true"),
+          pDefault("orphan_grace_ms", LongType, (10L * 60 * 1000).toString),
+          pDefault("maintain_indexes", BooleanType, "true"),
           pDefault("check_recall", BooleanType, "false"))
         case "shallow_clone" => Array(TableParam, p("destination", StringType),
           pDefault("version", LongType, "-1"))
@@ -216,6 +233,19 @@ private[graft] object GraftProcedures {
               input.getString(1), input.getDouble(2), input.getDouble(3),
               input.getInt(4), checkRecall = input.getBoolean(5))
             result("action" -> action, "detail" -> detail)
+          case "maintain_table" =>
+            val actions = t.maintainTable(
+              targetFileBytes = input.getLong(1),
+              smallFileBytes = input.getLong(2),
+              minSmallFiles = input.getInt(3),
+              retainSnapshots = input.getInt(4),
+              maxSnapshotAgeMs = input.getLong(5),
+              removeOrphans = input.getBoolean(6),
+              orphanGraceMs = input.getLong(7),
+              maintainIndexes = input.getBoolean(8),
+              checkRecall = input.getBoolean(9))
+            resultRows(Seq("action", "detail"),
+              actions.map { case (a, d) => Seq(a, d) })
           case "shallow_clone" =>
             val parts = input.getString(1).split("\\.")
             require(parts.length == 2,
@@ -239,6 +269,22 @@ private[graft] object GraftProcedures {
 
   /** One-row LocalScan result set: (name → value) pairs with types
     * inferred from the Scala values. */
+  /** Multi-row string result set (one row per maintenance action). */
+  private def resultRows(cols: Seq[String],
+      rows: Seq[Seq[String]]): JIterator[Scan] = {
+    val schema = StructType(cols.map(StructField(_, StringType,
+      nullable = false)))
+    val data: Array[InternalRow] = rows.map(r =>
+      new GenericInternalRow(
+        r.map(v => UTF8String.fromString(v): Any).toArray): InternalRow)
+      .toArray
+    Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = data
+      override def description(): String = "GraftProcedureResult"
+    }).iterator()
+  }
+
   private def result(fields: (String, Any)*): JIterator[Scan] = {
     val schema = StructType(fields.map { case (n, v) =>
       StructField(n, v match {

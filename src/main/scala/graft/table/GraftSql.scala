@@ -2411,6 +2411,10 @@ object GraftSql {
     "refresh_vector_index"     -> "INSERT",
     "rewrite_vector_index"     -> "INSERT",
     "maintain_vector_index"    -> "INSERT",
+    // maintain_table composes expiry + orphan removal (both OWNER) with
+    // compaction and index upkeep (INSERT) — the strictest member's bar
+    // governs the composite
+    "maintain_table"           -> "OWNER",
     "analyze_table"            -> "DESCRIBE",
     "index_commits"            -> "DESCRIBE",
     "shallow_clone"            -> "FULL_SELECT")

@@ -3981,7 +3981,7 @@ class TxTable private (
     val head = currentVersion
     val keepFrom = math.max(0L, head - (retainVersions - 1))
     val retained: Set[String] = (keepFrom to head)
-      .flatMap(v => snapshotAt(v).files.map(_.path)).toSet ++
+      .flatMap(retainedBy(_)(v => snapshotAt(v).files.map(_.path))).toSet ++
       branchRetainedFiles() ++
       taggedRetained(keepFrom)(v => snapshotAt(v).files.map(_.path))
     val cutoffMs = System.currentTimeMillis() - graceMillis
@@ -4006,7 +4006,7 @@ class TxTable private (
     // retained snapshot references is deletable, whatever the first
     // retained-set said (branches created mid-walk likewise)
     val retainedNow: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => snapshotAt(v).files.map(_.path)).toSet ++
+      .flatMap(retainedBy(_)(v => snapshotAt(v).files.map(_.path))).toSet ++
       branchRetainedFiles() ++
       taggedRetained(keepFrom)(v => snapshotAt(v).files.map(_.path))
     var removed = 0
@@ -4044,7 +4044,8 @@ class TxTable private (
     val f = fs
     if (!f.exists(changeDataDir)) return 0
     def referenced: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => TxLog.readRaw(logDir, v, conf).changeFiles).toSet ++
+      .flatMap(retainedBy(_)(v =>
+        TxLog.readRaw(logDir, v, conf).changeFiles)).toSet ++
       branchRetainedChangeData() ++
       taggedRetained(keepFrom)(v => TxLog.readRaw(logDir, v, conf).changeFiles)
     val candidates = f.listStatus(changeDataDir).toSeq.filter { st =>
@@ -4125,6 +4126,77 @@ class TxTable private (
     TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
   }
 
+  /**
+   * One-call table maintenance policy — the reference's headline
+   * managed behavior, evaluated natively: S3 Tables continuously
+   * compacts small files, manages snapshots, and removes unreferenced
+   * files behind the scenes (kinesis-firehose-stream/README.md:13
+   * frames the table service as the "core and centre piece"; the
+   * managed-maintenance config is the part the sample delegates to the
+   * service). This is the call a scheduler loops: each dimension is
+   * checked against its threshold and runs only when the signal
+   * justifies it, cheapest-sufficient first, ordered so later steps
+   * reclaim what earlier ones superseded (compact → index upkeep →
+   * expire → orphan sweep).
+   *
+   * Per-dimension cost at scale: the small-file scan is O(files)
+   * driver metadata the snapshot already holds; compaction reads only
+   * the small bytes; index maintenance is the [[maintainVectorIndex]]
+   * policy per indexed column (O(new rows) refresh unless drifted);
+   * expiry is O(log) header deletes; the orphan sweep is the one
+   * O(listing) pass, behind its own flag for schedulers that run it at
+   * a slower cadence. Returns (action, detail) rows — empty dimensions
+   * are omitted, an all-quiet call returns a single noop row.
+   */
+  def maintainTable(
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      smallFileBytes: Long = 64L * 1024 * 1024,
+      minSmallFiles: Int = 16,
+      retainSnapshots: Int = 10,
+      maxSnapshotAgeMs: Long = -1L,
+      removeOrphans: Boolean = true,
+      orphanGraceMs: Long = 10L * 60 * 1000,
+      maintainIndexes: Boolean = true,
+      checkRecall: Boolean = false): Seq[(String, String)] = {
+    val out = scala.collection.mutable.Buffer.empty[(String, String)]
+    // 1. small-file compaction: bin-pack when the debris has
+    // accumulated past the same floor the inline auto-compactor uses —
+    // a maintenance sweep must also catch tables ingested WITHOUT
+    // autoCompact (bulk add_files, external writers)
+    val before = snapshot
+    val smallCount = before.files.count(_.sizeBytes < smallFileBytes)
+    if (smallCount >= minSmallFiles) {
+      val v = compactSmallFiles(targetFileBytes, smallFileBytes,
+        minInputFiles = minSmallFiles)
+      if (v != before.version)
+        out += "compacted" ->
+          s"$smallCount small files -> ${snapshotAt(v).files.size} total"
+    }
+    // 2. index upkeep BEFORE expiry: a refresh may still need to read
+    // a superseded generation the next GC cycle reaps
+    if (maintainIndexes) vectorIndexedColumns.foreach { c =>
+      val (action, detail) = maintainVectorIndex(c, checkRecall = checkRecall)
+      if (action != "noop") out += s"index:$c" -> s"$action ($detail)"
+    }
+    // 3. snapshot expiry: count-based retention, tightened by an
+    // optional age bound (the Iceberg maxSnapshotAgeMs shape)
+    val expired = expireSnapshots(retainSnapshots) +
+      (if (maxSnapshotAgeMs > 0)
+        expireSnapshotsOlderThan(System.currentTimeMillis() - maxSnapshotAgeMs)
+      else 0)
+    if (expired > 0) out += "expired" -> s"$expired snapshots"
+    // 4. unreferenced-file removal LAST, at the SAME horizon as the
+    // expiry above, so one sweep reclaims the files the expiry just
+    // retired (subject to the in-flight-writer grace vacuum always
+    // applies; vacuum tolerates the header gaps expiry leaves)
+    if (removeOrphans) {
+      val removed = vacuum(math.max(1, retainSnapshots), orphanGraceMs)
+      if (removed > 0) out += "vacuumed" -> s"$removed files"
+    }
+    if (out.isEmpty) Seq("noop" -> "all signals within thresholds")
+    else out.toSeq
+  }
+
   /** What tagged versions BELOW the retention horizon still reference —
     * tag time travel must survive vacuum exactly as tagged headers
     * survive [[expireSnapshots]] (Iceberg's contract: expiration and
@@ -4132,6 +4204,19 @@ class TxTable private (
     * the retained range are already covered by the main walk; a tag
     * whose header was expired by pre-protection code resolves to
     * nothing and is skipped. */
+  /** Extract retention references from one version header, tolerating
+    * an already-EXPIRED header inside the sweep's window: an
+    * expire_snapshots whose horizon sits ABOVE this sweep's `keepFrom`
+    * (an age-based policy, or a tighter count) legitimately leaves
+    * gaps, and remove_orphan_files after such an expire used to throw
+    * FileNotFoundException walking them. Contributing NOTHING for a
+    * missing header is safe: its exclusive artifacts are unreadable
+    * either way, and anything shared with a live snapshot is protected
+    * by that snapshot's own extraction. */
+  private def retainedBy[A](v: Long)(extract: Long => Seq[A]): Seq[A] =
+    try extract(v)
+    catch { case _: java.io.FileNotFoundException => Nil }
+
   private def taggedRetained[A](keepFrom: Long)(extract: Long => Seq[A]): Set[A] =
     tags.values.toSet.filter(_ < keepFrom).flatMap { v =>
       try extract(v) catch { case _: Exception => Seq.empty[A] }
@@ -4174,7 +4259,7 @@ class TxTable private (
     def morPaths(s: Snapshot): Seq[String] =
       s.equalityDeletes.map(_.path) ++ s.deletionVectors.map(_.path)
     val referenced: Set[String] = (keepFrom to currentVersion)
-      .flatMap(v => morPaths(snapshotAt(v))).toSet ++
+      .flatMap(retainedBy(_)(v => morPaths(snapshotAt(v)))).toSet ++
       branchRetained(morPaths) ++
       taggedRetained(keepFrom)(v => morPaths(snapshotAt(v)))
     var removed = 0
@@ -4210,7 +4295,8 @@ class TxTable private (
     }
     def taggedManifests = taggedRetained(keepFrom)(refsOf)
     val referenced: Set[String] =
-      (keepFrom to currentVersion).flatMap(refsOf).toSet ++ taggedManifests
+      (keepFrom to currentVersion).flatMap(retainedBy(_)(refsOf)).toSet ++
+        taggedManifests
     val candidates =
       if (!f.exists(logDir)) Seq.empty
       else f.listStatus(logDir).toSeq.filter { st =>
@@ -4221,7 +4307,8 @@ class TxTable private (
     // one re-check against the head AT DELETE TIME (a commit may have
     // landed during the listing), mirroring the data-file walk
     val refNow: Set[String] =
-      (keepFrom to currentVersion).flatMap(refsOf).toSet ++ taggedManifests
+      (keepFrom to currentVersion).flatMap(retainedBy(_)(refsOf)).toSet ++
+        taggedManifests
     var removed = 0
     candidates.foreach { st =>
       if (!refNow.contains(st.getPath.getName) && f.delete(st.getPath, false))

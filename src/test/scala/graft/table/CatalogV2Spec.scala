@@ -928,4 +928,44 @@ class CatalogV2Spec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM graft.q.t").head().getLong(0) === 1L)
     }
   }
+
+  test("CALL maintain_table: the one-call policy compacts, expires, vacuums, and goes quiet") {
+    withCatalog("proc3") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.m")
+      spark.sql("CREATE TABLE graft.m.t (id STRING, v INT)")
+      // 20 single-row commits: small-file debris + snapshot debt, the
+      // steady state of a micro-batch stream with maintenance off
+      (1 to 20).foreach(i =>
+        spark.sql(s"INSERT INTO graft.m.t VALUES ('k$i', $i)"))
+      def maintain() = spark.sql(
+        "CALL graft.system.maintain_table(table => 'm.t', " +
+          "min_small_files => 10, retain_snapshots => 5, " +
+          "orphan_grace_ms => 0)")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // sweep 1: bin-packs the 20 small files and expires history past
+      // the retention count. NOTHING is vacuumed yet — the retained
+      // pre-compaction snapshots still time-travel to the small files,
+      // and reclaiming them would break that contract
+      val first = maintain()
+      assert(first.contains("compacted"), s"actions: $first")
+      assert(first.contains("expired"), s"actions: $first")
+      assert(!first.contains("vacuumed"), s"actions: $first")
+      assert(spark.sql("SELECT count(*) FROM graft.m.t")
+        .head().getLong(0) === 20L)
+      assert(spark.sql("SELECT count(*) FROM graft.m.t.files")
+        .head().getLong(0) <= 2L)
+      // 5 more commits slide the retention window past the last
+      // pre-compaction snapshot: sweep 2 reclaims the small files the
+      // compaction retired (plus their aged-out metadata)
+      (21 to 25).foreach(i =>
+        spark.sql(s"INSERT INTO graft.m.t VALUES ('k$i', $i)"))
+      val second = maintain()
+      assert(second.contains("vacuumed"), s"actions: $second")
+      assert(second("vacuumed").split(" ")(0).toInt >= 20, s"actions: $second")
+      assert(spark.sql("SELECT count(*) FROM graft.m.t")
+        .head().getLong(0) === 25L)
+      // sweep 3: every signal within thresholds
+      assert(maintain() === Map("noop" -> "all signals within thresholds"))
+    }
+  }
 }
