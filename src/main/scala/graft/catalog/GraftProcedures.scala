@@ -48,8 +48,8 @@ private[graft] object GraftProcedures {
     "create_branch", "drop_branch", "create_tag", "add_files",
     "analyze_table", "build_bloom_index", "build_vector_index",
     "refresh_vector_index", "rewrite_vector_index",
-    "maintain_vector_index", "maintain_table", "shallow_clone",
-    "index_commits")
+    "maintain_vector_index", "maintain_table",
+    "measure_vector_index_recall", "shallow_clone", "index_commits")
 
   def load(name: String, cat: () => GraftTableCatalog): Option[UnboundProcedure] =
     if (names.contains(name)) Some(new GraftProcedure(name, cat)) else None
@@ -122,6 +122,16 @@ private[graft] object GraftProcedures {
           // at the stored operating point fell below the build's own
           // target — the in-place-churn case coverage cannot see
           pDefault("check_recall", BooleanType, "false"))
+        case "measure_vector_index_recall" => Array(TableParam,
+          // the read-only drift probe maintain_vector_index(check_recall)
+          // acts on, callable standalone so a scheduler can WATCH recall
+          // without holding the write bar: held-out sample, brute-force
+          // ground truth, the real search path (TxTable
+          // .measureVectorIndexRecall). One brute pass over
+          // sample x corpus — the monitoring cost, priced explicitly.
+          p("vector_column", StringType),
+          pDefault("k", IntegerType, "-1"),
+          pDefault("sample_queries", IntegerType, "32"))
         case "maintain_table" => Array(TableParam,
           // the one-call policy over every maintenance dimension (the
           // reference's managed S3 Tables behavior): small-file
@@ -233,6 +243,10 @@ private[graft] object GraftProcedures {
               input.getString(1), input.getDouble(2), input.getDouble(3),
               input.getInt(4), checkRecall = input.getBoolean(5))
             result("action" -> action, "detail" -> detail)
+          case "measure_vector_index_recall" =>
+            val r = t.measureVectorIndexRecall(input.getString(1),
+              k = input.getInt(2), sampleQueries = input.getInt(3))
+            result("recall" -> r)
           case "maintain_table" =>
             val actions = t.maintainTable(
               targetFileBytes = input.getLong(1),

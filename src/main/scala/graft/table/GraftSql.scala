@@ -2415,6 +2415,10 @@ object GraftSql {
     // compaction and index upkeep (INSERT) — the strictest member's bar
     // governs the composite
     "maintain_table"           -> "OWNER",
+    // read-only, but the recall probe brute-force-reads EVERY row and
+    // its result is a whole-corpus-derived statistic — the same reason
+    // .changes and shallow_clone refuse scoped principals
+    "measure_vector_index_recall" -> "FULL_SELECT",
     "analyze_table"            -> "DESCRIBE",
     "index_commits"            -> "DESCRIBE",
     "shallow_clone"            -> "FULL_SELECT")

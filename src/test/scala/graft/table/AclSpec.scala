@@ -678,6 +678,7 @@ class AclSpec extends SparkSpec {
           "CALL system.rewrite_data_files('sec.t')",
           "CALL system.rewrite_position_deletes('sec.t')",
           "CALL system.maintain_table('sec.t')",
+          "CALL system.measure_vector_index_recall('sec.t', 'id')",
           "CALL system.build_bloom_index('sec.t', 'id')",
           "CALL system.analyze_table('sec.t')",
           "CALL system.index_commits('sec.t')",

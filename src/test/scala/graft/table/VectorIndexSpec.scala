@@ -421,6 +421,13 @@ class VectorIndexSpec extends SparkSpec {
     assert(GraftSql.sql(cat,
       "WITH idx AS (SELECT * FROM vec.t.indexes) " +
         "SELECT count(*) AS n FROM idx").as[Long].collect()(0) === 2L)
+    // the drift probe is callable standalone through SQL (read-only,
+    // full-select bar) — a freshly refreshed index measures at or
+    // near its calibration target
+    val recall = GraftSql.sql(cat,
+      "CALL system.measure_vector_index_recall('vec.t', 'embedding')")
+      .collect()(0).getDouble(0)
+    assert(recall >= 0.7 && recall <= 1.0, s"measured recall $recall")
   }
 
   test("maintainVectorIndex takes the cheapest sufficient action from the staleness signals") {
