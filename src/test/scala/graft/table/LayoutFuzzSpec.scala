@@ -391,4 +391,101 @@ class LayoutFuzzSpec extends SparkSpec {
     val cold = TxLog.read(dir, head, conf)
     assert(cold.files.sortBy(_.path) === warm.files.sortBy(_.path))
   }
+
+  test("lifecycle fuzz: random append/delete/overwrite/tag/expire/vacuum/restore keeps head and tags exact") {
+    // Seeded random interplay across the WHOLE retention machinery —
+    // appends accumulating through carried tier-0 spills and tier
+    // merges, COW/MOR deletes, compaction rewrites, tags, expiry at
+    // random horizons (leaving header gaps above a later vacuum's
+    // window — the r15 retainedBy fix), vacuum at grace 0, and
+    // restores of tagged versions. The durable contract checked on a
+    // COLD handle every few steps: the head reads exactly the model's
+    // rows, and every TAG still time-travels to exactly the rows it
+    // pinned (Iceberg's refs-survive-maintenance rule), whatever
+    // maintenance ran in between.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val root = new Path(freshDir("lifecycle_fuzz"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType)))
+    var t = TxTable.create(spark, root, "fz", schema, Nil)
+    val rnd = new scala.util.Random(20260816L)
+    var nextId = 0L
+    def batch(n: Int): (org.apache.spark.sql.DataFrame, Set[Long]) = {
+      val ids = (nextId until nextId + n).toSet; nextId += n
+      import spark.implicits._
+      (ids.toSeq.sorted.toDF("id")
+        .withColumn("payload", concat(lit("p"), col("id")))
+        .repartition(1), ids)
+    }
+    var headIds = Set.empty[Long]
+    var tagged = Map.empty[String, Set[Long]]
+    var tagN = 0
+    (1 to 110).foreach { step =>
+      rnd.nextInt(12) match {
+        case 0 | 1 | 2 | 3 | 4 | 5 =>              // single-file append
+          val (df, ids) = batch(1 + rnd.nextInt(3))
+          t.append(df); headIds ++= ids
+        case 6 =>                                  // COW/MOR delete
+          if (headIds.nonEmpty) {
+            val k = 2 + rnd.nextInt(5)
+            t.delete(col("id") % k === 0)
+            headIds = headIds.filterNot(_ % k == 0)
+          }
+        case 7 =>                                  // overwrite
+          val (df, ids) = batch(2)
+          t.overwrite(df); headIds = ids
+        case 8 =>                                  // tag the head
+          tagN += 1; val name = s"tag$tagN"
+          t.tag(name); tagged += name -> headIds
+        case 9 =>                                  // expire, TIGHT horizon
+          t.expireSnapshots(1 + rnd.nextInt(3))
+        case 10 =>                                 // orphan sweep, grace 0,
+          // WIDER window than the expires — overlapping an expiry gap
+          // (the r15 retainedBy fix) is a sequence this fuzz must hit
+          t.vacuum(3 + rnd.nextInt(5), graceMillis = 0L)
+        case 11 =>                                 // restore a random tag
+          if (tagged.nonEmpty) {
+            val (name, ids) =
+              tagged.toSeq(rnd.nextInt(tagged.size))
+            t.restore(t.tags(name)); headIds = ids
+          }
+      }
+      if (step % 10 == 0) {
+        // COLD verification: purge every in-process log cache and
+        // re-open the table, so reads resolve through stored headers,
+        // carried manifests, and sidecars alone
+        TxLog.purgeRawCacheUnder(new Path(root, "_log"))
+        t = TxTable.open(spark, root, "fz")
+        val got = t.toDF.select("id").collect().map(_.getLong(0)).toSet
+        assert(got === headIds,
+          s"step $step head mismatch: missing ${headIds -- got}, " +
+            s"extra ${got -- headIds}")
+        tagged.foreach { case (name, ids) =>
+          val at = t.asOfTag(name).select("id").collect()
+            .map(_.getLong(0)).toSet
+          assert(at === ids,
+            s"step $step tag $name mismatch: missing ${ids -- at}, " +
+              s"extra ${at -- ids}")
+        }
+      }
+    }
+    assert(tagged.nonEmpty && nextId > 50,
+      s"fuzz degenerate: ${tagged.size} tags, $nextId ids")
+    // deterministic coda: the exact adjacency the random walk may
+    // visit rarely — a TIGHT expire immediately under a WIDE vacuum
+    // window, so the sweep is GUARANTEED to walk headers the expiry
+    // just removed (throws FileNotFoundException without retainedBy)
+    t.expireSnapshots(1)
+    t.vacuum(8, graceMillis = 0L)
+    TxLog.purgeRawCacheUnder(new Path(root, "_log"))
+    t = TxTable.open(spark, root, "fz")
+    assert(t.toDF.select("id").collect().map(_.getLong(0)).toSet === headIds)
+    tagged.foreach { case (name, ids) =>
+      assert(t.asOfTag(name).select("id").collect()
+        .map(_.getLong(0)).toSet === ids, s"coda tag $name")
+    }
+  }
 }
