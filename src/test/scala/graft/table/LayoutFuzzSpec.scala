@@ -423,8 +423,11 @@ class LayoutFuzzSpec extends SparkSpec {
     var headIds = Set.empty[Long]
     var tagged = Map.empty[String, Set[Long]]
     var tagN = 0
-    (1 to 110).foreach { step =>
-      rnd.nextInt(12) match {
+    // branch model: name -> (expected ids on the branch, fork version)
+    var branched = Map.empty[String, (Set[Long], Long)]
+    var brN = 0
+    (1 to 130).foreach { step =>
+      rnd.nextInt(15) match {
         case 0 | 1 | 2 | 3 | 4 | 5 =>              // single-file append
           val (df, ids) = batch(1 + rnd.nextInt(3))
           t.append(df); headIds ++= ids
@@ -452,6 +455,30 @@ class LayoutFuzzSpec extends SparkSpec {
               tagged.toSeq(rnd.nextInt(tagged.size))
             t.restore(t.tags(name)); headIds = ids
           }
+        case 12 =>                                 // fork a branch
+          if (branched.size < 2) {
+            brN += 1; val name = s"br$brN"
+            val fork = t.createBranch(name)
+            branched += name -> (headIds, fork)
+          }
+        case 13 =>                                 // append on a branch
+          if (branched.nonEmpty) {
+            val (name, (ids, fork)) =
+              branched.toSeq(rnd.nextInt(branched.size))
+            val (df, fresh) = batch(1 + rnd.nextInt(2))
+            t.branch(name).append(df)
+            branched += name -> (ids ++ fresh, fork)
+          }
+        case 14 =>                                 // publish when eligible
+          // fast-forward requires main unmoved since the fork — which
+          // also means the fork header is the LIVE head, so no expiry
+          // in between can have removed it (the reason forks need no
+          // explicit expire protection)
+          branched.find(_._2._2 == t.currentVersion).foreach {
+            case (name, (ids, _)) =>
+              t.fastForward(name); headIds = ids
+              t.dropBranch(name); branched -= name
+          }
       }
       if (step % 10 == 0) {
         // COLD verification: purge every in-process log cache and
@@ -470,10 +497,20 @@ class LayoutFuzzSpec extends SparkSpec {
             s"step $step tag $name mismatch: missing ${ids -- at}, " +
               s"extra ${at -- ids}")
         }
+        // branch chains read their own expected rows — main's expiry
+        // and zero-grace vacuums must never reclaim what a live branch
+        // references (branchRetainedFiles)
+        branched.foreach { case (name, (ids, _)) =>
+          val at = t.branch(name).toDF.select("id").collect()
+            .map(_.getLong(0)).toSet
+          assert(at === ids,
+            s"step $step branch $name mismatch: missing ${ids -- at}, " +
+              s"extra ${at -- ids}")
+        }
       }
     }
-    assert(tagged.nonEmpty && nextId > 50,
-      s"fuzz degenerate: ${tagged.size} tags, $nextId ids")
+    assert(tagged.nonEmpty && nextId > 50 && brN >= 1,
+      s"fuzz degenerate: ${tagged.size} tags, $nextId ids, $brN branches")
     // deterministic coda: the exact adjacency the random walk may
     // visit rarely — a TIGHT expire immediately under a WIDE vacuum
     // window, so the sweep is GUARANTEED to walk headers the expiry
