@@ -46,7 +46,8 @@ private[graft] object GraftProcedures {
     "rewrite_position_deletes",
     "rollback_to_version", "rollback_to_timestamp", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "add_files",
-    "analyze_table", "build_bloom_index", "build_vector_index",
+    "analyze_table", "build_bloom_index", "refresh_bloom_index",
+    "build_vector_index",
     "refresh_vector_index", "rewrite_vector_index",
     "maintain_vector_index", "maintain_table",
     "measure_vector_index_recall", "shallow_clone", "index_commits")
@@ -101,6 +102,7 @@ private[graft] object GraftProcedures {
           pDefault("columns", StringType, "NULL"))
         case "build_bloom_index" => Array(TableParam, p("column", StringType),
           pDefault("fpp", DoubleType, "0.001"))
+        case "refresh_bloom_index" => Array(TableParam, p("column", StringType))
         case "build_vector_index" => Array(TableParam,
           p("id_column", StringType), p("vector_column", StringType),
           p("dim", IntegerType),
@@ -220,6 +222,10 @@ private[graft] object GraftProcedures {
           case "build_bloom_index" =>
             result("indexed_files" ->
               t.buildBloomIndex(input.getString(1), input.getDouble(2)))
+          case "refresh_bloom_index" =>
+            // O(new files): encode only uncovered files, append one part
+            result("indexed_files" ->
+              t.refreshBloomIndex(input.getString(1)))
           case "build_vector_index" =>
             // train + encode + CALIBRATE once; the sidecar ships the
             // measured operating point (see TxTable.buildVectorIndex)

@@ -2407,6 +2407,7 @@ object GraftSql {
     "rewrite_data_files"       -> "INSERT",
     "rewrite_position_deletes" -> "INSERT",
     "build_bloom_index"        -> "INSERT",
+    "refresh_bloom_index"      -> "INSERT",
     "build_vector_index"       -> "INSERT",
     "refresh_vector_index"     -> "INSERT",
     "rewrite_vector_index"     -> "INSERT",

@@ -177,13 +177,8 @@ class TxTable private (
     val schema = schemaOf(s)
     require(schema.fieldNames.contains(column),
       s"bloom index column '$column' is not in the table schema")
-    import org.apache.spark.sql.graft.ColumnBridge
     val perFileRows = math.max(1L, if (s.files.isEmpty) 1L
       else s.files.map(f => math.max(f.rowCount, 0L)).max)
-    val agg = ColumnBridge.column(
-      graft.functions.expressions.BloomFilterAgg(
-        ColumnBridge.expression(col(column)), perFileRows, fpp)
-        .toAggregateExpression())
     // one pass per FILE GROUP, sidecar part written (and driver memory
     // released) as each pass completes: a whole-table collect of ~KB
     // per file is fine at bench scale but ~GBs of driver heap in one
@@ -192,33 +187,14 @@ class TxTable private (
     val groupSize = spark.conf
       .getOption("spark.graft.bloomIndexFilesPerPass")
       .map(_.toInt).getOrElse(10000)
-    def groupEntries(files: Seq[DataFile]): Map[String, String] = {
-      val collected = dfFor(s.copy(files = files))
-        .withColumn("__file", input_file_name())
-        .groupBy(col("__file")).agg(agg.as("bloom"))
-        .collect()
-      // match scan URIs back to snapshot paths by the unique file name
-      val byName = collected.map(r =>
-        new Path(r.getString(0)).getName -> r.getAs[Array[Byte]](1)).toMap
-      val enc = java.util.Base64.getEncoder
-      files.flatMap(f =>
-        byName.get(new Path(f.path).getName)
-          .map(b => f.path -> enc.encodeToString(b))).toMap
-    }
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-    def writeTo(p: Path, entries: Map[String, String]): Unit = {
-      val json = org.json4s.jackson.Serialization.write(
-        BloomIndex(column, fpp, s.version, entries))
-      val out = fs.create(p, true)
-      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
     val groups = s.files.grouped(math.max(1, groupSize)).toSeq
     if (groups.size <= 1) {
       // single pass: the original one-FILE sidecar shape
       fs.delete(bloomIndexPath(column), true)
-      val entries = groups.headOption.map(groupEntries).getOrElse(Map.empty)
-      writeTo(bloomIndexPath(column), entries)
+      val entries = groups.headOption
+        .map(g => encodeBloomEntries(s, g, column, fpp, perFileRows))
+        .getOrElse(Map.empty[String, String])
+      writeBloomPart(bloomIndexPath(column), column, fpp, s.version, entries)
       entries.size
     } else {
       // multi-group: the sidecar PATH becomes a directory of part
@@ -228,12 +204,127 @@ class TxTable private (
       fs.delete(bloomIndexPath(column), true)
       var total = 0
       groups.zipWithIndex.foreach { case (g, i) =>
-        val entries = groupEntries(g)
-        writeTo(new Path(bloomIndexPath(column), f"part-$i%05d.json"), entries)
+        val entries = encodeBloomEntries(s, g, column, fpp, perFileRows)
+        writeBloomPart(new Path(bloomIndexPath(column), f"part-$i%05d.json"),
+          column, fpp, s.version, entries)
         total += entries.size
       }
       total
     }
+  }
+
+  /** Encode one group of files into (path -> base64 filter) entries —
+    * shared by the full build and the incremental refresh. `perFileRows`
+    * (the filter-capacity sizing) is the CALLER's choice so a chunked
+    * build stays byte-identical to a single pass (global max), while a
+    * refresh sizes by its delta. */
+  private def encodeBloomEntries(s: Snapshot, files: Seq[DataFile],
+      column: String, fpp: Double, perFileRows: Long): Map[String, String] = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.expressions.BloomFilterAgg(
+        ColumnBridge.expression(col(column)), perFileRows, fpp)
+        .toAggregateExpression())
+    val collected = dfFor(s.copy(files = files))
+      .withColumn("__file", input_file_name())
+      .groupBy(col("__file")).agg(agg.as("bloom"))
+      .collect()
+    // match scan URIs back to snapshot paths by the unique file name
+    val byName = collected.map(r =>
+      new Path(r.getString(0)).getName -> r.getAs[Array[Byte]](1)).toMap
+    val enc = java.util.Base64.getEncoder
+    files.flatMap(f =>
+      byName.get(new Path(f.path).getName)
+        .map(b => f.path -> enc.encodeToString(b))).toMap
+  }
+
+  private def writeBloomPart(p: Path, column: String, fpp: Double,
+      version: Long, entries: Map[String, String]): Unit = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val json = org.json4s.jackson.Serialization.write(
+      BloomIndex(column, fpp, version, entries))
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The fpp the sidecar was built with (from its first part), for
+    * rebuilds that must not silently reshape the filters. */
+  private def bloomIndexFpp(column: String): Option[Double] = {
+    val p = bloomIndexPath(column)
+    if (!fs.exists(p)) None
+    else {
+      val status = fs.getFileStatus(p)
+      val head =
+        if (status.isDirectory)
+          fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+            .filter(_.getName.endsWith(".json")).sortBy(_.getName).headOption
+        else Some(p)
+      head.map(readBloomPart(_).fpp)
+    }
+  }
+
+  private def readBloomPart(part: Path): BloomIndex = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val in = fs.open(part)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(json).extract[BloomIndex]
+  }
+
+  /**
+   * Incremental Bloom refresh (the [[refreshVectorIndex]] contract for
+   * the equality-skipping sidecar): encode ONLY the files the sidecar
+   * does not cover and append them as one new part — O(new files) work
+   * where [[buildBloomIndex]] rescans the whole table, which a
+   * streaming table cannot afford per epoch. Correctness never depends
+   * on refresh timing: the scan KEEPS files without entries
+   * (SnapshotFileIndex.mayMatchBloom's `forall`), so coverage is purely
+   * how much skipping the next point lookup gets. Entries for files a
+   * compaction retired stay in the sidecar as dead weight (harmless —
+   * no listed file has that path) until the next full build retires
+   * them; [[maintainTable]] rebuilds when the dead fraction dominates.
+   * A single-FILE sidecar (the small-table build shape) converts to
+   * the directory shape first; the conversion window can make a
+   * concurrent reader momentarily see no sidecar — bloom is an
+   * optimization, that read just prunes less. Returns the number of
+   * files newly covered.
+   */
+  def refreshBloomIndex(column: String): Int = {
+    val p = bloomIndexPath(column)
+    require(fs.exists(p),
+      s"no bloom index on $name.$column — run buildBloomIndex first")
+    val covered = loadBloomIndex(column).keySet
+    val s = snapshot
+    val delta = s.files.filterNot(f => covered.contains(f.path))
+    if (delta.isEmpty) return 0
+    val status = fs.getFileStatus(p)
+    val parts: Seq[Path] =
+      if (status.isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+          .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      else Seq(p)
+    // fpp travels with every part; inherit the build's
+    val fpp = readBloomPart(parts.head).fpp
+    val perFileRows = math.max(1L,
+      delta.map(f => math.max(f.rowCount, 0L)).max)
+    val entries = encodeBloomEntries(s, delta, column, fpp, perFileRows)
+    if (status.isFile) {
+      // convert file -> directory of parts (the chunked-build shape the
+      // loader already serves), carrying the old entries as part-00000
+      val old = readBloomPart(p)
+      fs.delete(p, false)
+      writeBloomPart(new Path(p, "part-00000.json"), column, old.fpp,
+        old.builtAtVersion, old.entries)
+    }
+    val idx = if (status.isFile) 1 else parts.size
+    writeBloomPart(new Path(p, f"part-$idx%05d.json"), column, fpp,
+      s.version, entries)
+    synchronized { bloomCache -= column }
+    entries.size
   }
 
   private def bloomIndexPath(column: String): Path =
@@ -4172,11 +4263,37 @@ class TxTable private (
         out += "compacted" ->
           s"$smallCount small files -> ${snapshotAt(v).files.size} total"
     }
-    // 2. index upkeep BEFORE expiry: a refresh may still need to read
-    // a superseded generation the next GC cycle reaps
-    if (maintainIndexes) vectorIndexedColumns.foreach { c =>
-      val (action, detail) = maintainVectorIndex(c, checkRecall = checkRecall)
-      if (action != "noop") out += s"index:$c" -> s"$action ($detail)"
+    // 2. index upkeep AFTER compaction (its rewrites are exactly the
+    // uncovered files a refresh then picks up) and BEFORE expiry (a
+    // refresh may still need a superseded generation the next GC cycle
+    // reaps)
+    if (maintainIndexes) {
+      vectorIndexedColumns.foreach { c =>
+        val (action, detail) = maintainVectorIndex(c, checkRecall = checkRecall)
+        if (action != "noop") out += s"index:$c" -> s"$action ($detail)"
+      }
+      // bloom sidecars: same floor as the vector default. Entries for
+      // files rewrites retired are dead weight the refresh never
+      // removes — when they dominate the sidecar, a full rebuild (at
+      // the inherited fpp) retires them; otherwise O(new files) refresh
+      val s2 = snapshot
+      val total2 = s2.files.map(f => math.max(0L, f.rowCount)).sum
+      val live = s2.files.map(_.path).toSet
+      bloomIndexedColumns.foreach { c =>
+        bloomIndexInfo(c).foreach { case (_, covered) =>
+          val cov = if (total2 == 0L) 1.0
+            else s2.files.filter(f => covered.contains(f.path))
+              .map(f => math.max(0L, f.rowCount)).sum.toDouble / total2
+          val dead = covered.count(pp => !live.contains(pp))
+          if (dead > covered.size / 2 && covered.nonEmpty) {
+            val fpp = bloomIndexFpp(c).getOrElse(0.001)
+            out += s"bloom:$c" -> s"rebuilt (${buildBloomIndex(c, fpp)} files)"
+          } else if (cov < 0.9) {
+            val n = refreshBloomIndex(c)
+            if (n > 0) out += s"bloom:$c" -> s"refreshed ($n files)"
+          }
+        }
+      }
     }
     // 3. snapshot expiry: count-based retention, tightened by an
     // optional age bound (the Iceberg maxSnapshotAgeMs shape)

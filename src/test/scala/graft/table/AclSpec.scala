@@ -680,6 +680,7 @@ class AclSpec extends SparkSpec {
           "CALL system.maintain_table('sec.t')",
           "CALL system.measure_vector_index_recall('sec.t', 'id')",
           "CALL system.build_bloom_index('sec.t', 'id')",
+          "CALL system.refresh_bloom_index('sec.t', 'id')",
           "CALL system.analyze_table('sec.t')",
           "CALL system.index_commits('sec.t')",
           "CALL system.shallow_clone('sec.t', 'sec.leak')"))

@@ -937,6 +937,8 @@ class CatalogV2Spec extends SparkSpec {
       // steady state of a micro-batch stream with maintenance off
       (1 to 20).foreach(i =>
         spark.sql(s"INSERT INTO graft.m.t VALUES ('k$i', $i)"))
+      // a bloom sidecar participates in the policy too
+      spark.sql("CALL graft.system.build_bloom_index('m.t', 'id')")
       def maintain() = spark.sql(
         "CALL graft.system.maintain_table(table => 'm.t', " +
           "min_small_files => 10, retain_snapshots => 5, " +
@@ -950,6 +952,10 @@ class CatalogV2Spec extends SparkSpec {
       assert(first.contains("compacted"), s"actions: $first")
       assert(first.contains("expired"), s"actions: $first")
       assert(!first.contains("vacuumed"), s"actions: $first")
+      // the compaction rewrote every covered file — the sidecar is all
+      // dead entries, so the policy REBUILDS it (at the inherited fpp)
+      assert(first.get("bloom:id").exists(_.startsWith("rebuilt")),
+        s"actions: $first")
       assert(spark.sql("SELECT count(*) FROM graft.m.t")
         .head().getLong(0) === 20L)
       assert(spark.sql("SELECT count(*) FROM graft.m.t.files")
@@ -962,6 +968,10 @@ class CatalogV2Spec extends SparkSpec {
       val second = maintain()
       assert(second.contains("vacuumed"), s"actions: $second")
       assert(second("vacuumed").split(" ")(0).toInt >= 20, s"actions: $second")
+      // ...and the 5 fresh files dropped bloom coverage to 0.8 — the
+      // policy refreshes O(new files), not a rebuild
+      assert(second.get("bloom:id").exists(_.startsWith("refreshed (5")),
+        s"actions: $second")
       assert(spark.sql("SELECT count(*) FROM graft.m.t")
         .head().getLong(0) === 25L)
       // sweep 3: every signal within thresholds

@@ -686,6 +686,20 @@ class TxTableSpec extends SparkSpec {
       .select("transaction_id").orderBy("transaction_id").limit(1)
       .collect()(0).getString(0)
     assert(t.readWhereEquals("transaction_id", newProbe).count() >= 1)
+    // incremental refresh encodes ONLY the appended file (O(new files) —
+    // the full build rescans the table), converting the single-file
+    // sidecar to the directory-of-parts shape the loader already serves
+    val newFiles = t.snapshot.files.size - nFiles
+    assert(t.refreshBloomIndex("transaction_id") === newFiles)
+    assert(t.readWhereEquals("transaction_id", newProbe).count() >= 1)
+    val candsNew = t.candidateFilesForEquals("transaction_id", newProbe)
+    assert(candsNew.size < t.snapshot.files.size,
+      s"refreshed bloom prunes nothing (${candsNew.size})")
+    // the ORIGINAL files' filters survive the conversion untouched
+    val candsOld = t.candidateFilesForEquals("transaction_id", probe)
+    assert(candsOld.size <= 3, s"conversion lost filters (${candsOld.size})")
+    // idempotent: full coverage → no work
+    assert(t.refreshBloomIndex("transaction_id") === 0)
   }
 
   test("bloom index: chunked multi-group build is byte-identical to one pass") {
