@@ -172,7 +172,8 @@ class TxTable private (
    * written after the build simply have no entry and are read
    * conservatively, so a stale index can never drop rows.
    */
-  def buildBloomIndex(column: String, fpp: Double = 0.001): Int = {
+  def buildBloomIndex(column: String, fpp: Double = 0.001): Int =
+      bloomMaintLock(column).synchronized {
     val s = snapshot
     val schema = schemaOf(s)
     require(schema.fieldNames.contains(column),
@@ -248,6 +249,16 @@ class TxTable private (
     finally out.close()
   }
 
+  /** Per-sidecar serialization of Bloom build/refresh, JVM-wide for
+    * the same reason as [[vectorMaintLock]]: two handles of one table
+    * racing the single-file → directory conversion (or the next part
+    * index) must queue like two calls on one handle. Shares the lock
+    * map — keys are full sidecar paths, so the namespaces cannot
+    * collide. */
+  private def bloomMaintLock(column: String): Object =
+    TxTable.vectorMaintLocks.computeIfAbsent(
+      bloomIndexPath(column).toString, _ => new Object)
+
   /** The fpp the sidecar was built with (from its first part), for
     * rebuilds that must not silently reshape the filters. */
   private def bloomIndexFpp(column: String): Option[Double] = {
@@ -293,38 +304,42 @@ class TxTable private (
    * optimization, that read just prunes less. Returns the number of
    * files newly covered.
    */
-  def refreshBloomIndex(column: String): Int = {
+  def refreshBloomIndex(column: String): Int =
+      bloomMaintLock(column).synchronized {
     val p = bloomIndexPath(column)
     require(fs.exists(p),
       s"no bloom index on $name.$column — run buildBloomIndex first")
     val covered = loadBloomIndex(column).keySet
     val s = snapshot
     val delta = s.files.filterNot(f => covered.contains(f.path))
-    if (delta.isEmpty) return 0
-    val status = fs.getFileStatus(p)
-    val parts: Seq[Path] =
-      if (status.isDirectory)
-        fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
-          .filter(_.getName.endsWith(".json")).sortBy(_.getName)
-      else Seq(p)
-    // fpp travels with every part; inherit the build's
-    val fpp = readBloomPart(parts.head).fpp
-    val perFileRows = math.max(1L,
-      delta.map(f => math.max(f.rowCount, 0L)).max)
-    val entries = encodeBloomEntries(s, delta, column, fpp, perFileRows)
-    if (status.isFile) {
-      // convert file -> directory of parts (the chunked-build shape the
-      // loader already serves), carrying the old entries as part-00000
-      val old = readBloomPart(p)
-      fs.delete(p, false)
-      writeBloomPart(new Path(p, "part-00000.json"), column, old.fpp,
-        old.builtAtVersion, old.entries)
+    if (delta.isEmpty) 0
+    else {
+      val status = fs.getFileStatus(p)
+      val parts: Seq[Path] =
+        if (status.isDirectory)
+          fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath)
+            .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        else Seq(p)
+      // fpp travels with every part; inherit the build's
+      val fpp = readBloomPart(parts.head).fpp
+      val perFileRows = math.max(1L,
+        delta.map(f => math.max(f.rowCount, 0L)).max)
+      val entries = encodeBloomEntries(s, delta, column, fpp, perFileRows)
+      if (status.isFile) {
+        // convert file -> directory of parts (the chunked-build shape
+        // the loader already serves), carrying the old entries as
+        // part-00000
+        val old = readBloomPart(p)
+        fs.delete(p, false)
+        writeBloomPart(new Path(p, "part-00000.json"), column, old.fpp,
+          old.builtAtVersion, old.entries)
+      }
+      val idx = if (status.isFile) 1 else parts.size
+      writeBloomPart(new Path(p, f"part-$idx%05d.json"), column, fpp,
+        s.version, entries)
+      synchronized { bloomCache -= column }
+      entries.size
     }
-    val idx = if (status.isFile) 1 else parts.size
-    writeBloomPart(new Path(p, f"part-$idx%05d.json"), column, fpp,
-      s.version, entries)
-    synchronized { bloomCache -= column }
-    entries.size
   }
 
   private def bloomIndexPath(column: String): Path =
