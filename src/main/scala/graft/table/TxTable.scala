@@ -998,24 +998,31 @@ class TxTable private (
         .map(f => math.max(0L, f.rowCount)).sum
     def frac(covered: Long): Double =
       if (totalRows == 0L) 1.0 else covered.toDouble / totalRows
+    // dead entries: sidecar paths no live file has (files a compaction
+    // or overwrite retired) — harmless to reads, but the signal
+    // maintain_table's bloom REBUILD threshold acts on, so it must be
+    // observable here like the coverage the refresh threshold acts on
+    val live = s.files.map(_.path).toSet
+    def deadIn(paths: Set[String]): Long =
+      paths.count(pp => !live.contains(pp)).toLong
     val vec = vectorIndexedColumns.flatMap { c =>
       vectorIndexMeta(c).map { m0 =>
         val (m, set) = coverageOf(c, m0, s)
         val covered = rowsIn(set)
         ("vector", c, m.idColumn, m.builtAtVersion, s.version,
-          covered, totalRows, frac(covered))
+          covered, totalRows, frac(covered), deadIn(set))
       }
     }
     val bloom = bloomIndexedColumns.flatMap { c =>
       bloomIndexInfo(c).map { case (builtAt, paths) =>
         val covered = rowsIn(paths)
         ("bloom", c, null.asInstanceOf[String], builtAt, s.version,
-          covered, totalRows, frac(covered))
+          covered, totalRows, frac(covered), deadIn(paths))
       }
     }
     (vec ++ bloom).toDF("index_type", "column", "id_column",
       "built_at_version", "current_version", "covered_rows", "total_rows",
-      "coverage")
+      "coverage", "dead_entries")
   }
 
   /** (builtAtVersion, covered file paths) of a Bloom sidecar — the

@@ -700,6 +700,16 @@ class TxTableSpec extends SparkSpec {
     assert(candsOld.size <= 3, s"conversion lost filters (${candsOld.size})")
     // idempotent: full coverage → no work
     assert(t.refreshBloomIndex("transaction_id") === 0)
+    // dead-entry observability (SHOW INDEXES parity with the policy):
+    // full fresh coverage has none; a compaction retires every covered
+    // path, and the signal maintain_table's rebuild threshold acts on
+    // must be readable from the same surface as the coverage fraction
+    def deadEntries: Long = t.showIndexes
+      .filter(col("index_type") === "bloom")
+      .select("dead_entries").collect()(0).getLong(0)
+    assert(deadEntries === 0L)
+    t.compactSmallFiles()
+    assert(deadEntries >= nFiles.toLong, s"dead=$deadEntries")
   }
 
   test("bloom index: chunked multi-group build is byte-identical to one pass") {
