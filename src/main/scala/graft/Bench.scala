@@ -155,6 +155,7 @@ object Bench {
     }
     val metadataJson = sectioned("metadata")(metadataShakeout(spark))
     val meta100kJson = sectioned("metadata_100k")(metadata100k(spark))
+    val planning1mJson = sectioned("planning_1m")(planning1m(spark))
     val cdfJson = sectioned("cdf")(cdfShakeout(spark))
     val txnJson = sectioned("txn")(txnShakeout(spark))
     val sustainJson = sectioned("sustain")(sustainShakeout(spark))
@@ -169,7 +170,7 @@ object Bench {
       "\"" + k + "\":" + f"$v%.1f" }.mkString("{", ",", "}")
     val rerunKey = streamingRerun
       .map(j => s""""streaming_other_attempt":$j,""").getOrElse("")
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"runs":$runsMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"mor_sidecars":$morSidecarsJson,"commit_lag":$commitLagJson,"query_lag":$queryLagJson,"ann_recall_clustered":$annClusteredJson,"pipeline_sf1":$sf1Json,"sentinel_ms":$sentinelJson,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$warmMap,"cold":$coldMap,"warm":$warmMap,"runs":$runsMap,"cold_total":$coldTotal,"pipeline":$pipelineMap,"streaming":$streamingJson,$rerunKey"metadata":$metadataJson,"metadata_100k":$meta100kJson,"planning_1m":$planning1mJson,"cdf":$cdfJson,"txn":$txnJson,"sustain":$sustainJson,"mor_sidecars":$morSidecarsJson,"commit_lag":$commitLagJson,"query_lag":$queryLagJson,"ann_recall_clustered":$annClusteredJson,"pipeline_sf1":$sf1Json,"sentinel_ms":$sentinelJson,"sf":"$sfDir"}"""
     println(fullJson)
     // the driver's stdout capture keeps only a 2,000-char tail (the r11
     // artifact lost the warm/cold totals and sf0.1 pipeline keys to
@@ -1100,6 +1101,108 @@ object Bench {
       s""""timestamp_as_of_10x":${runsJson(asOfRuns)}}}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
+  }
+
+  /**
+   * The 10⁶-FILE planning shape (r15 VERDICT task 6): metadata_100k
+   * covers the COMMIT side; this times what a reader and the
+   * maintenance trigger pay against a million-entry head —
+   *  - resolved snapshot materialization (O(files) driver metadata);
+   *  - partition-PRUNED scan planning through the V2 catalog,
+   *    including SnapshotFileIndex construction and
+   *    planInputPartitions. Planning must touch driver metadata ONLY:
+   *    the synthetic files do not exist on disk, so an accidental
+   *    LIST or footer read would fail loudly instead of hiding in the
+   *    number; `pruned_files` records the sub-linear evidence
+   *    (~1/336th of the million entries survive the date predicate);
+   *  - maintain_table signal evaluation with every threshold quiet —
+   *    the per-commit cost ceiling of the declarative post-commit
+   *    trigger at this table size.
+   * The log builds once (10 bursts of 100k entries; build_sec recorded
+   * honestly when this run built it) and is reused across rounds.
+   */
+  private def planning1m(spark: SparkSession): String = try {
+    import graft.table.{DataFile, Snapshot, TxLog, TxTable}
+    import org.apache.hadoop.fs.Path
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val totalFiles = 1000000
+    val wh = new java.io.File("target/qwork/bench_planning1m_wh")
+      .getAbsolutePath
+    val logDir = new Path(s"$wh/meta/wide1m/_log")
+    val conf = spark.sessionState.newHadoopConf()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("date",
+        org.apache.spark.sql.types.StringType)))
+    def dateOf(i: Int): String = f"2026-${i % 12 + 1}%02d-${i % 28 + 1}%02d"
+    val head = (totalFiles + 99999) / 100000 - 1L
+    val (built, buildSecs) = timed {
+      if (TxLog.currentVersion(logDir, conf).exists(_ >= head)) false
+      else {
+        var files = Vector.empty[DataFile]
+        var expected: Option[Long] = None
+        var next = 0
+        while (next < totalFiles) {
+          val n = math.min(100000, totalFiles - next)
+          files = files ++ (next until next + n).map(i => DataFile(
+            f"w$i%08d.parquet", Map("date" -> dateOf(i)), 1000L, 1000000L))
+          next += n
+          val v = expected.map(_ + 1).getOrElse(0L)
+          expected = Some(TxLog.commit(logDir, expected, Snapshot(v,
+            1700000000000L + v * 1000L,
+            if (v == 0) "CREATE" else "APPEND",
+            schema.json, Seq("date"), files), conf))
+        }
+        true
+      }
+    }
+    val (readRuns, tRead) = runsOf()(() =>
+      timed(require(TxLog.read(logDir, head, conf).files.size
+        == totalFiles))._2)
+    spark.conf.set("spark.sql.catalog.graftbenchplan",
+      "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftbenchplan.warehouse", wh)
+    var prunedFiles = -1
+    val (planRuns, tPlan) = runsOf()(() => timed {
+      val df = spark.sql("SELECT id FROM graftbenchplan.meta.wide1m " +
+        "WHERE date = '2026-03-03'")
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }.head
+      // driver-only: input partitions derive from the log's metadata
+      prunedFiles = scan.scan.toBatch.planInputPartitions().map {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.length
+        case _ => 1
+      }.sum
+    }._2)
+    require(prunedFiles > 0 && prunedFiles < totalFiles / 100,
+      s"partition pruning did not prune: $prunedFiles of $totalFiles")
+    val t = TxTable.open(spark, new Path(s"$wh/meta/wide1m"), "wide1m")
+    val (sigRuns, tSig) = runsOf()(() => timed {
+      val acts = t.maintainTable(smallFileBytes = 1,
+        minSmallFiles = Int.MaxValue, retainSnapshots = Int.MaxValue,
+        removeOrphans = false)
+      require(acts == Seq("noop" -> "all signals within thresholds"),
+        s"quiet thresholds acted: $acts")
+    }._2)
+    s"""{"files":$totalFiles,"commits":${head + 1},""" +
+      s""""build_sec":${f"${if (built) buildSecs else 0.0}%.3f"},""" +
+      s""""snapshot_read_sec":${f"$tRead%.3f"},""" +
+      s""""plan_pruned_sec":${f"$tPlan%.3f"},""" +
+      s""""pruned_files":$prunedFiles,""" +
+      s""""maintain_signal_sec":${f"$tSig%.3f"},""" +
+      s""""runs":{"snapshot_read":${runsJson(readRuns)},""" +
+      s""""plan_pruned":${runsJson(planRuns)},""" +
+      s""""maintain_signal":${runsJson(sigRuns)}}}"""
+  } catch {
+    case e: Throwable =>
+      s"""{"error":"${e.getClass.getSimpleName}: ${
+        String.valueOf(e.getMessage).replace('"', ' ').take(120)}"}"""
   }
 
   /**

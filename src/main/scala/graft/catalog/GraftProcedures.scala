@@ -47,7 +47,7 @@ private[graft] object GraftProcedures {
     "rollback_to_version", "rollback_to_timestamp", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "add_files",
     "analyze_table", "build_bloom_index", "refresh_bloom_index",
-    "build_vector_index",
+    "compact_bloom_index", "build_vector_index",
     "refresh_vector_index", "rewrite_vector_index",
     "maintain_vector_index", "maintain_table",
     "measure_vector_index_recall", "shallow_clone", "index_commits")
@@ -103,6 +103,7 @@ private[graft] object GraftProcedures {
         case "build_bloom_index" => Array(TableParam, p("column", StringType),
           pDefault("fpp", DoubleType, "0.001"))
         case "refresh_bloom_index" => Array(TableParam, p("column", StringType))
+        case "compact_bloom_index" => Array(TableParam, p("column", StringType))
         case "build_vector_index" => Array(TableParam,
           p("id_column", StringType), p("vector_column", StringType),
           p("dim", IntegerType),
@@ -138,18 +139,20 @@ private[graft] object GraftProcedures {
           // the one-call policy over every maintenance dimension (the
           // reference's managed S3 Tables behavior): small-file
           // compaction, per-index upkeep, snapshot retention, orphan
-          // sweep — each behind its own threshold
-          pDefault("target_file_size_bytes", LongType,
-            (128L * 1024 * 1024).toString),
-          pDefault("small_file_bytes", LongType,
-            (64L * 1024 * 1024).toString),
-          pDefault("min_small_files", IntegerType, "16"),
-          pDefault("retain_snapshots", IntegerType, "10"),
-          pDefault("max_snapshot_age_ms", LongType, "-1"),
-          pDefault("remove_orphans", BooleanType, "true"),
-          pDefault("orphan_grace_ms", LongType, (10L * 60 * 1000).toString),
-          pDefault("maintain_indexes", BooleanType, "true"),
-          pDefault("check_recall", BooleanType, "false"))
+          // sweep — each behind its own threshold. Defaults are NULL:
+          // an omitted argument falls back to the table's own
+          // `graft.maintain.*` property (then the API default), so a
+          // CALL and the per-table declarative config resolve
+          // identically — CALL arguments override properties.
+          pDefault("target_file_size_bytes", LongType, "NULL"),
+          pDefault("small_file_bytes", LongType, "NULL"),
+          pDefault("min_small_files", IntegerType, "NULL"),
+          pDefault("retain_snapshots", IntegerType, "NULL"),
+          pDefault("max_snapshot_age_ms", LongType, "NULL"),
+          pDefault("remove_orphans", BooleanType, "NULL"),
+          pDefault("orphan_grace_ms", LongType, "NULL"),
+          pDefault("maintain_indexes", BooleanType, "NULL"),
+          pDefault("check_recall", BooleanType, "NULL"))
         case "shallow_clone" => Array(TableParam, p("destination", StringType),
           pDefault("version", LongType, "-1"))
         case "index_commits" => Array(TableParam)
@@ -226,6 +229,11 @@ private[graft] object GraftProcedures {
             // O(new files): encode only uncovered files, append one part
             result("indexed_files" ->
               t.refreshBloomIndex(input.getString(1)))
+          case "compact_bloom_index" =>
+            // O(sidecar): drop dead entries + fold the part chain, no
+            // data-file reads (rebuild stays reserved for fpp reshaping)
+            result("dropped_entries" ->
+              t.compactBloomIndex(input.getString(1)))
           case "build_vector_index" =>
             // train + encode + CALIBRATE once; the sidecar ships the
             // measured operating point (see TxTable.buildVectorIndex)
@@ -254,16 +262,22 @@ private[graft] object GraftProcedures {
               k = input.getInt(2), sampleQueries = input.getInt(3))
             result("recall" -> r)
           case "maintain_table" =>
-            val actions = t.maintainTable(
-              targetFileBytes = input.getLong(1),
-              smallFileBytes = input.getLong(2),
-              minSmallFiles = input.getInt(3),
-              retainSnapshots = input.getInt(4),
-              maxSnapshotAgeMs = input.getLong(5),
-              removeOrphans = input.getBoolean(6),
-              orphanGraceMs = input.getLong(7),
-              maintainIndexes = input.getBoolean(8),
-              checkRecall = input.getBoolean(9))
+            def optL(i: Int) =
+              if (input.isNullAt(i)) None else Some(input.getLong(i))
+            def optI(i: Int) =
+              if (input.isNullAt(i)) None else Some(input.getInt(i))
+            def optB(i: Int) =
+              if (input.isNullAt(i)) None else Some(input.getBoolean(i))
+            val actions = t.maintainTableConfigured(
+              targetFileBytes = optL(1),
+              smallFileBytes = optL(2),
+              minSmallFiles = optI(3),
+              retainSnapshots = optI(4),
+              maxSnapshotAgeMs = optL(5),
+              removeOrphans = optB(6),
+              orphanGraceMs = optL(7),
+              maintainIndexes = optB(8),
+              checkRecall = optB(9))
             resultRows(Seq("action", "detail"),
               actions.map { case (a, d) => Seq(a, d) })
           case "shallow_clone" =>

@@ -1102,6 +1102,107 @@ object Pipeline3 {
       WHERE r.rank <= 5 ORDER BY r.query_id, r.rank""")),
 
     // ------------------------------------------------------------------
+    // INLINE-VECTOR TVF form (r15 VERDICT task 8): the first thing a
+    // real user does with one query embedding is inline it —
+    // vector_search('ns.t', array(...), k) accepts a literal array
+    // beside the relation-name source, same corpus bars, query_id 0.
+    // The literal here is vec_id 3's own embedding rendered into the
+    // SQL text, so the oracle replays the identical index math with
+    // q.vec_id = 3 as the query and emits query_id 0.
+    Q("vector_search_literal", fn = (s, dir) => {
+      import graft.operators.Similarity
+      val emb = Td.embeddings(s, dir)
+      val cat = new TableCatalog(s, new Path(Pipeline.scratch("veclit")))
+      val t = cat.createTable("vec", "corpus", emb.schema, Nil)
+      t.append(emb)
+      val cells = Similarity.autoCells(emb.count())
+      t.buildVectorIndex("vec_id", "embedding", dim = 64,
+        nCells = cells, kCodes = 16, iters = 0, rerankTo = 40)
+      val vals = emb.filter(col("vec_id") === 3L)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      cat.sql("SELECT * FROM vector_search('vec.corpus', " +
+          s"array(${vals.mkString(", ")}), 10, 'embedding', " +
+          s"${Similarity.autoProbes(cells)})")
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("rank"))
+    }, oracle = Some("""
+      WITH cap AS (
+        SELECT GREATEST(16, LEAST(4096,
+                 CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS cells
+        FROM embeddings),
+      capp AS (
+        SELECT cells, GREATEST(2, LEAST(64,
+                 CAST(CEIL(SQRT(cells)) AS BIGINT))) AS probes
+        FROM cap),
+      cents AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS j, cvec
+        FROM (SELECT CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) AS h,
+                     vec_id, embedding::DOUBLE[] AS cvec
+              FROM embeddings ORDER BY h, vec_id
+              LIMIT (SELECT cells FROM cap))),
+      cbook AS (
+        SELECT j, cvec FROM cents WHERE j < 16),
+      assigned AS (
+        SELECT vec_id, j AS cell FROM (
+          SELECT e.vec_id, c.j,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec)
+                     DESC, c.j ASC) AS rn
+          FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+      probes AS (
+        SELECT 0 AS query_id, j AS cell FROM (
+          SELECT q.vec_id, c.j,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec)
+                     DESC, c.j ASC) AS rn
+          FROM embeddings q CROSS JOIN cents c
+          WHERE q.vec_id = 3) WHERE rn <= (SELECT probes FROM capp)),
+      subs AS (
+        SELECT j, mi, cvec[mi*8+1 : mi*8+8] AS cw
+        FROM cbook, generate_series(0, 7) g(mi)),
+      codes AS (
+        SELECT vec_id, mi, j AS code FROM (
+          SELECT e.vec_id, s.mi, s.j,
+                 row_number() OVER (PARTITION BY e.vec_id, s.mi
+                   ORDER BY list_distance(
+                     (e.embedding::DOUBLE[])[s.mi*8+1 : s.mi*8+8], s.cw) ASC,
+                     s.j ASC) AS rn
+          FROM embeddings e CROSS JOIN subs s) WHERE rn = 1),
+      recons AS (
+        SELECT c.vec_id, flatten(list(s.cw ORDER BY c.mi)) AS recon
+        FROM codes c JOIN subs s ON s.mi = c.mi AND s.j = c.code
+        GROUP BY c.vec_id),
+      adc AS (
+        SELECT p.query_id, a.vec_id,
+               list_dot_product(qe.embedding::DOUBLE[], r.recon) AS score
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell
+        JOIN recons r ON r.vec_id = a.vec_id
+        JOIN embeddings qe ON qe.vec_id = 3),
+      shortlist AS (
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id ASC) AS rank
+          FROM adc) WHERE rank <= 40),
+      exact AS (
+        SELECT sl.query_id, sl.vec_id,
+               list_cosine_similarity(ce.embedding::DOUBLE[],
+                 qe.embedding::DOUBLE[]) AS score
+        FROM shortlist sl
+        JOIN embeddings ce ON ce.vec_id = sl.vec_id
+        JOIN embeddings qe ON qe.vec_id = 3),
+      reranked AS (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS rank
+        FROM exact)
+      SELECT query_id, rank, vec_id, round(score, 6) AS score
+      FROM reranked WHERE rank <= 10 ORDER BY rank""")),
+
+    // ------------------------------------------------------------------
     // Document chunking: fixed 64-token windows with 16-token overlap
     // (stride 48) — the pre-training / retrieval chunking pass. One
     // tokenize + slice per chunk, narrow all the way; the oracle

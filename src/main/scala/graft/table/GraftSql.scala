@@ -705,12 +705,25 @@ object GraftSql {
         val fn = "vector_search"
         val args = u.functionArgs
         require(args.size >= 3 && args.size <= 5,
-          "usage: vector_search('ns.tbl', 'query_source', k" +
+          "usage: vector_search('ns.tbl', 'query_source' | array(...), k" +
             "[, 'vector_col'[, nprobe]])")
-        val df = vectorSearchRelation(cat, litStr(args(0), fn),
-          litStr(args(1), fn), litStr(args(2), fn).toInt,
-          if (args.size >= 4) Some(cleanIdent(litStr(args(3), fn))) else None,
-          if (args.size >= 5) Some(litStr(args(4), fn).toInt) else None)
+        val vecColOpt =
+          if (args.size >= 4) Some(cleanIdent(litStr(args(3), fn))) else None
+        val nprobeOpt =
+          if (args.size >= 5) Some(litStr(args(4), fn).toInt) else None
+        // the query source is EITHER a relation name (the batch form)
+        // or one inline array literal (r15 VERDICT task 8 — the first
+        // thing a real user does with a single query embedding is
+        // inline it); the literal form takes the SAME corpus bars,
+        // there is just no source relation to govern
+        val df = literalVector(args(1), fn) match {
+          case Some(vec) => vectorSearchLiteralRelation(cat,
+            litStr(args(0), fn), vec, litStr(args(2), fn).toInt,
+            vecColOpt, nprobeOpt)
+          case None => vectorSearchRelation(cat, litStr(args(0), fn),
+            litStr(args(1), fn), litStr(args(2), fn).toInt,
+            vecColOpt, nprobeOpt)
+        }
         SubqueryAlias(fn, df.queryExecution.analyzed)
       case u: UnresolvedTableValuedFunction
           if isOurs(u) && u.name.head.equalsIgnoreCase("table_changes") =>
@@ -722,6 +735,41 @@ object GraftSql {
           litStr(args(1), fn),
           if (args.size == 3) Some(litStr(args(2), fn)) else None)
         SubqueryAlias(fn, df.queryExecution.analyzed)
+    }
+  }
+
+  /** An `array(...)` argument of all-numeric-literal elements, or None
+    * when the argument is something else (the relation-name form). An
+    * array whose ELEMENTS are not literals fails closed like every
+    * other TVF argument — a non-literal would evaluate outside the
+    * governed walk. Matched on the UNRESOLVED shape (the parser emits
+    * `array(…)` as an UnresolvedFunction; CreateArray covers a
+    * pre-resolved splice). */
+  private def literalVector(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String): Option[Seq[Float]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, Literal}
+    def elems(es: Seq[Expression]): Seq[Float] = es.map {
+      case Literal(v, _) if v != null =>
+        try String.valueOf(v).toFloat
+        catch {
+          case _: NumberFormatException => throw new SecurityException(
+            s"$fn inline query vector elements must be numeric literals " +
+              s"(got '${String.valueOf(v)}')")
+        }
+      case other => throw new SecurityException(
+        s"$fn inline query vector elements must be numeric literals " +
+          s"through this surface (got ${other.sql}): a non-literal " +
+          "element would evaluate outside the governed plan walk")
+    }
+    e match {
+      case f: UnresolvedFunction
+          if f.nameParts.length == 1 &&
+            f.nameParts.head.equalsIgnoreCase("array") =>
+        Some(elems(f.arguments))
+      case c: CreateArray => Some(elems(c.children))
+      case _ => None
     }
   }
 
@@ -752,6 +800,44 @@ object GraftSql {
   private def vectorSearchRelation(cat: TableCatalog, rawName: String,
       qname: String, k: Int, vecColOpt: Option[String],
       nprobeOpt: Option[Int]): DataFrame = {
+    val (t, colName, filt) = vectorSearchTarget(cat, rawName, vecColOpt)
+    // the query source resolves through THIS surface: its own grants
+    // apply to the caller. Backticks normalize PER dot-separated part
+    // (ADVICE r14: a single outer strip turned `ns`.`q` into malformed
+    // ns`.`q) and each part is re-quoted so the inner statement is
+    // well-formed regardless of how the caller quoted the source.
+    val qsource = qname.split('.').map(p => s"`${cleanIdent(p)}`")
+      .mkString(".")
+    val queriesDf = sql(cat, s"SELECT * FROM $qsource")
+    t.vectorSearch(queriesDf, k, colName,
+      nprobe = nprobeOpt.getOrElse(-1), where = filt)
+  }
+
+  /** The literal-vector form: `vector_search('ns.t', array(…), k)` —
+    * one inline query embedding, query_id 0 in the output. Same corpus
+    * bars as the relation form ([[vectorSearchTarget]]); the inline
+    * vector itself carries no governed data. */
+  private def vectorSearchLiteralRelation(cat: TableCatalog,
+      rawName: String, vec: Seq[Float], k: Int, vecColOpt: Option[String],
+      nprobeOpt: Option[Int]): DataFrame = {
+    val (t, colName, filt) = vectorSearchTarget(cat, rawName, vecColOpt)
+    val dim = t.vectorIndexMeta(colName).map(_.dim).getOrElse(-1)
+    require(vec.size == dim,
+      s"inline query vector has ${vec.size} elements; the index on " +
+        s"$rawName.$colName expects $dim")
+    val session = cat.spark
+    import session.implicits._
+    val queriesDf = Seq((0L, vec.toArray)).toDF("query_id", "query_vec")
+    t.vectorSearch(queriesDf, k, colName,
+      nprobe = nprobeOpt.getOrElse(-1), where = filt)
+  }
+
+  /** Shared corpus-side resolution + bars of both vector_search forms:
+    * SELECT on the corpus, column scope covering (id, vector), row
+    * filter → IDSelector. */
+  private def vectorSearchTarget(cat: TableCatalog, rawName: String,
+      vecColOpt: Option[String])
+      : (TxTable, String, Option[org.apache.spark.sql.Column]) = {
     val (ns, tbl) = splitName(rawName)
     val t = cat.getTable(ns, tbl)
     aclCheck(t, "SELECT")
@@ -785,16 +871,7 @@ object GraftSql {
     val bridge = org.apache.spark.sql.graft.ColumnBridge
     val filt = rowFilter(t, me).map(p =>
       bridge.column(bridge.parseExpression(cat.spark, p)))
-    // the query source resolves through THIS surface: its own grants
-    // apply to the caller. Backticks normalize PER dot-separated part
-    // (ADVICE r14: a single outer strip turned `ns`.`q` into malformed
-    // ns`.`q) and each part is re-quoted so the inner statement is
-    // well-formed regardless of how the caller quoted the source.
-    val qsource = qname.split('.').map(p => s"`${cleanIdent(p)}`")
-      .mkString(".")
-    val queriesDf = sql(cat, s"SELECT * FROM $qsource")
-    t.vectorSearch(queriesDf, k, colName,
-      nprobe = nprobeOpt.getOrElse(-1), where = filt)
+    (t, colName, filt)
   }
 
   /** ACL-snapshot contribution of governed TVF references: their
@@ -2408,6 +2485,9 @@ object GraftSql {
     "rewrite_position_deletes" -> "INSERT",
     "build_bloom_index"        -> "INSERT",
     "refresh_bloom_index"      -> "INSERT",
+    // rewrites the sidecar only (drops dead entries) — index
+    // maintenance, same bar as the refresh it complements
+    "compact_bloom_index"      -> "INSERT",
     "build_vector_index"       -> "INSERT",
     "refresh_vector_index"     -> "INSERT",
     "rewrite_vector_index"     -> "INSERT",

@@ -159,7 +159,28 @@ final case class VectorIndexMeta(
     /** The nCells ARGUMENT as passed (-1 = auto): an auto-sized index
       * re-derives its cell count for the grown corpus on rebuild, while
       * an explicitly sized one keeps its requested size. */
-    buildNCells: Option[Int] = None)
+    buildNCells: Option[Int] = None,
+    /** Total rows in the codes sidecar (stamped by build/rewrite,
+      * advanced by refresh): with the covered live files' row counts —
+      * metadata the driver already holds — this yields the DEAD code
+      * rows (codes of rows whose source file a compaction/overwrite
+      * retired) without scanning the sidecar. The churn signal
+      * `rewrite_vector_index`'s reap acts on (r15 VERDICT task 2).
+      * None on legacy metas — the signal reports unknown rather than
+      * paying a sidecar scan in a metadata call. */
+    codeRows: Option[Long] = None,
+    /** Last MEASURED held-out recall at the stored operating point,
+      * with the snapshot version and k it was measured at (r15 VERDICT
+      * task 5): a monitor reads the trend from `.indexes` without
+      * paying the O(sample × corpus) brute-force pass per probe, and
+      * `maintain_vector_index(check_recall)` skips re-measuring an
+      * unchanged snapshot. A REBUILD mints a fresh meta without these
+      * fields — stale measurements never survive the model they
+      * measured. */
+    measuredRecall: Option[Double] = None,
+    measuredAtVersion: Option[Long] = None,
+    measuredK: Option[Int] = None,
+    measuredAtMs: Option[Long] = None)
 
 /** Pointer to an immutable manifest file under the log dir holding a
   * `Seq[DataFile]` group — the Iceberg manifest-list indirection that
@@ -323,6 +344,16 @@ object TxLog {
 
   private def snapshotName(v: Long): String = f"v$v%08d.metadata.json"
   private val SnapshotRe = raw"v(\d{8})\.metadata\.json".r
+
+  /** Does version `v`'s HEADER file exist? One status call, no parse —
+    * the discriminator vacuum's retention walk needs between "this
+    * snapshot was expired" (contribute nothing, safe) and "this
+    * snapshot exists but resolving its manifests failed" (abort: its
+    * references are unknown, so deleting anything could orphan live
+    * data — ADVICE r15 medium). */
+  def headerExists(logDir: Path, v: Long, conf: Configuration): Boolean =
+    try fs(logDir, conf).exists(new Path(logDir, snapshotName(v)))
+    catch { case _: java.io.FileNotFoundException => false }
 
   def fs(logDir: Path, conf: Configuration): FileSystem = logDir.getFileSystem(conf)
 
@@ -572,12 +603,25 @@ object TxLog {
           case _ => ()
         }
       } catch { case _: java.io.FileNotFoundException => () }
-    // walk keepFrom..head, tolerating gaps — an EARLIER expiry with a
-    // larger keepFrom may have removed versions just above this call's
-    // horizon, and stopping at the first missing header would hide the
-    // live head's carrier refs from the protection set
+    // BOUNDED walk (r15 VERDICT task 7 — this used to read every
+    // retained header): hdr-ref lifetimes are CONTIGUOUS in version
+    // space. A header's refs derive from its parent's (spills append
+    // new `hdr:v<self>` refs; tier merges REMOVE hdr refs permanently —
+    // nothing ever re-adds a removed carrier ref, and branch logs are
+    // separate dirs whose bootstraps materialize content), so if header
+    // M ≥ keepFrom references carrier hdr:vN with N < keepFrom, EVERY
+    // header in [N, M] references it too — including the FIRST header
+    // surviving at/above keepFrom. Reading that one header (walking
+    // gaps an earlier deeper expiry left) therefore collects the full
+    // sub-horizon carrier set; the head is read too as a second,
+    // usually-cached witness (by contiguity it adds nothing — pure
+    // belt-and-braces against a future layout change breaking the
+    // invariant silently).
     val headV = currentVersion(logDir, conf).getOrElse(-1L)
-    (keepFrom to headV).foreach(collectCarriers)
+    var probe = keepFrom
+    while (probe <= headV && !headerExists(logDir, probe, conf)) probe += 1
+    if (probe <= headV) collectCarriers(probe)
+    if (headV >= keepFrom) collectCarriers(headV)
     (protect ++ txnParents).filter(_ < keepFrom).foreach(collectCarriers)
     var removed = 0
     (0L until keepFrom).foreach { v =>

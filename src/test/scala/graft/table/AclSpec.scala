@@ -963,6 +963,60 @@ class AclSpec extends SparkSpec {
     }
   }
 
+  test("vector_search with an inline array literal takes the same corpus bars") {
+    val cat = new TableCatalog(spark, new Path(freshDir("acl_veclit")))
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val t = cat.createTable("vec", "t", emb.schema, Nil)
+    t.append(emb)
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    as("admin") {
+      GraftSql.sql(cat, "GRANT ALL ON vec.t TO admin")
+      GraftSql.sql(cat, "GRANT SELECT ON vec.t TO carol")
+      GraftSql.sql(cat, "GRANT SELECT ON vec.t TO alice WHERE label <= 4")
+      GraftSql.sql(cat, "GRANT SELECT (vec_id, label) ON vec.t TO bob")
+    }
+    val vals = t.toDF.filter(org.apache.spark.sql.functions
+        .col("vec_id") === 3L)
+      .select("embedding").collect()(0).getSeq[Float](0)
+    val lit = s"array(${vals.mkString(", ")})"
+    val q = s"SELECT * FROM vector_search('vec.t', $lit, 10)"
+    // the literal form is the SAME governed surface: zero-grant and
+    // insufficient column scope refuse exactly like the relation form
+    as("mallory") {
+      intercept[SecurityException](GraftSql.sql(cat, q).collect())
+    }
+    as("bob") {
+      intercept[SecurityException](GraftSql.sql(cat, q).collect())
+    }
+    // full grantee: one query (query_id 0), k filled, self at rank 1
+    as("carol") {
+      val rows = GraftSql.sql(cat, q)
+        .orderBy(org.apache.spark.sql.functions.col("rank")).collect()
+      assert(rows.length === 10)
+      assert(rows.forall(_.getLong(0) === 0L))   // query_id
+      assert(rows.head.getAs[Long]("vec_id") === 3L)
+    }
+    // row-filtered grantee: the IDSelector path applies to the literal
+    // form too — hits stay inside the visible rows
+    as("alice") {
+      val hits = GraftSql.sql(cat, q).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val visible = t.toDF.filter(org.apache.spark.sql.functions
+          .col("label") <= 4).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(hits.subsetOf(visible) && hits.size === 10)
+    }
+    // fail-closed shapes: a non-literal element would evaluate outside
+    // the governed walk; a wrong dimension is a plain argument error
+    as("carol") {
+      intercept[SecurityException](GraftSql.sql(cat,
+        "SELECT * FROM vector_search('vec.t', array(rand()), 5)").collect())
+      intercept[IllegalArgumentException](GraftSql.sql(cat,
+        "SELECT * FROM vector_search('vec.t', array(1.0, 2.0), 5)")
+        .collect())
+    }
+  }
+
   test("temp view over vector_search invalidates when the QUERY SOURCE's grants change") {
     // the TVF's tables are literal ARGUMENTS — invisible to the
     // relation-walk snapshot. Arg 0 (the corpus) was captured since

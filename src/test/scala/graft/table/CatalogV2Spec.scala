@@ -1,6 +1,7 @@
 package graft.table
 
 import graft.SparkSpec
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions.col
 
@@ -939,22 +940,29 @@ class CatalogV2Spec extends SparkSpec {
         spark.sql(s"INSERT INTO graft.m.t VALUES ('k$i', $i)"))
       // a bloom sidecar participates in the policy too
       spark.sql("CALL graft.system.build_bloom_index('m.t', 'id')")
-      def maintain() = spark.sql(
+      def maintain(): Seq[(String, String)] = spark.sql(
         "CALL graft.system.maintain_table(table => 'm.t', " +
           "min_small_files => 10, retain_snapshots => 5, " +
           "orphan_grace_ms => 0)")
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        .collect().toSeq.map(r => r.getString(0) -> r.getString(1))
+      def acts(rows: Seq[(String, String)], key: String) =
+        rows.filter(_._1 == key).map(_._2)
       // sweep 1: bin-packs the 20 small files and expires history past
       // the retention count. NOTHING is vacuumed yet — the retained
       // pre-compaction snapshots still time-travel to the small files,
       // and reclaiming them would break that contract
       val first = maintain()
-      assert(first.contains("compacted"), s"actions: $first")
-      assert(first.contains("expired"), s"actions: $first")
-      assert(!first.contains("vacuumed"), s"actions: $first")
+      assert(acts(first, "compacted").nonEmpty, s"actions: $first")
+      assert(acts(first, "expired").nonEmpty, s"actions: $first")
+      assert(acts(first, "vacuumed").isEmpty, s"actions: $first")
       // the compaction rewrote every covered file — the sidecar is all
-      // dead entries, so the policy REBUILDS it (at the inherited fpp)
-      assert(first.get("bloom:id").exists(_.startsWith("rebuilt")),
+      // dead entries, so the policy drops them with the O(sidecar)
+      // COMPACTION (r16 — the rebuild's O(table) rescan is reserved
+      // for fpp reshaping) and then refreshes the compacted outputs
+      // O(new files)
+      assert(acts(first, "bloom:id").exists(_.startsWith("compacted (20")),
+        s"actions: $first")
+      assert(acts(first, "bloom:id").exists(_.startsWith("refreshed")),
         s"actions: $first")
       assert(spark.sql("SELECT count(*) FROM graft.m.t")
         .head().getLong(0) === 20L)
@@ -966,16 +974,95 @@ class CatalogV2Spec extends SparkSpec {
       (21 to 25).foreach(i =>
         spark.sql(s"INSERT INTO graft.m.t VALUES ('k$i', $i)"))
       val second = maintain()
-      assert(second.contains("vacuumed"), s"actions: $second")
-      assert(second("vacuumed").split(" ")(0).toInt >= 20, s"actions: $second")
-      // ...and the 5 fresh files dropped bloom coverage to 0.8 — the
-      // policy refreshes O(new files), not a rebuild
-      assert(second.get("bloom:id").exists(_.startsWith("refreshed (5")),
+      assert(acts(second, "vacuumed").nonEmpty, s"actions: $second")
+      assert(acts(second, "vacuumed").head.split(" ")(0).toInt >= 20,
         s"actions: $second")
+      // ...and the 5 fresh files dropped bloom coverage to 0.8 — the
+      // policy refreshes O(new files); zero dead entries, so no
+      // sidecar compaction rides along
+      assert(acts(second, "bloom:id") match {
+        case Seq(one) => one.startsWith("refreshed (5")
+        case _ => false
+      }, s"actions: $second")
       assert(spark.sql("SELECT count(*) FROM graft.m.t")
         .head().getLong(0) === 25L)
       // sweep 3: every signal within thresholds
-      assert(maintain() === Map("noop" -> "all signals within thresholds"))
+      assert(maintain() ===
+        Seq("noop" -> "all signals within thresholds"))
+    }
+  }
+
+  test("declarative maintenance: graft.maintain.* properties keep an ingest healthy with no CALLs") {
+    withCatalog("autom") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.am")
+      // maintenance CONFIGURED PER TABLE, the reference's managed S3
+      // Tables shape (kinesis-firehose-stream/README.md:12): thresholds
+      // are TBLPROPERTIES; the post-commit trigger runs the policy —
+      // no scheduler, no CALL
+      spark.sql("CREATE TABLE graft.am.t (id STRING, v INT) " +
+        "TBLPROPERTIES ('graft.maintain.enabled' = 'true', " +
+        "'graft.maintain.minSmallFiles' = '8', " +
+        "'graft.maintain.retainSnapshots' = '5', " +
+        "'graft.maintain.orphanGraceMs' = '0')")
+      // properties round-trip through SHOW TBLPROPERTIES (governed
+      // like any TBLPROPERTIES read)
+      val shown = spark.sql("SHOW TBLPROPERTIES graft.am.t")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("graft.maintain.enabled").contains("true"))
+      assert(shown.get("graft.maintain.minSmallFiles").contains("8"))
+      // a micro-batch-shaped ingest: 30 single-row commits. With
+      // maintenance OFF this leaves 30 files and 31 snapshots; the
+      // per-table policy keeps both bounded as epochs pass — files
+      // bin-pack whenever 8 small ones accumulate, snapshots expire
+      // past 5, and the vacuum piggybacks on passes that did work
+      (1 to 30).foreach(i =>
+        spark.sql(s"INSERT INTO graft.am.t VALUES ('k$i', $i)"))
+      val t = new TableCatalog(spark, new Path(wh)).getTable("am", "t")
+      val files = t.snapshot.files.size
+      assert(files < 15, s"auto-maintenance never compacted: $files files")
+      assert(spark.sql("SELECT count(*) FROM graft.am.t")
+        .head().getLong(0) === 30L)
+      // snapshot debt stays bounded by retainSnapshots (tiny slack for
+      // the maintenance pass's own trailing commits)
+      val v = t.currentVersion
+      val readable = (0L to v).count(ver =>
+        scala.util.Try(t.snapshotAt(ver)).isSuccess)
+      // slack: the pass's own trailing commits + carrier headers the
+      // expiry must keep while their refs age out
+      assert(readable <= 10, s"retention never ran: $readable headers live")
+      // vacuum reclaimed compacted-away debris (no CALL ever issued)
+      val dataFiles = new Path(t.root, "data").getFileSystem(
+        spark.sessionState.newHadoopConf())
+      // every live file is accounted; dead small files were swept in
+      // some pass after the retention window slid past them
+      def walkCount(p: Path): Int = {
+        val fsx = dataFiles
+        if (!fsx.exists(p)) 0
+        else fsx.listStatus(p).map(st =>
+          if (st.isDirectory) walkCount(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet")) 1 else 0).sum
+      }
+      val onDisk = walkCount(new Path(t.root, "data"))
+      assert(onDisk < 30, s"vacuum never reclaimed: $onDisk files on disk")
+      // CALL arguments override the properties: an explicit pass with
+      // a 1-snapshot retention tightens beyond the configured 5
+      spark.sql("CALL graft.system.maintain_table(table => 'am.t', " +
+        "retain_snapshots => 1, orphan_grace_ms => 0)").collect()
+      val readableAfter = (0L to t.currentVersion).count(ver =>
+        scala.util.Try(t.snapshotAt(ver)).isSuccess)
+      // head + protected carriers at most
+      assert(readableAfter <= 4, s"CALL override ignored: $readableAfter")
+      // rate limiting: a long interval stops further auto passes (the
+      // stamp is JVM-wide per table)
+      spark.sql("ALTER TABLE graft.am.t SET TBLPROPERTIES " +
+        "('graft.maintain.intervalMs' = '3600000')")
+      val vNow = t.currentVersion
+      (31 to 40).foreach(i =>
+        spark.sql(s"INSERT INTO graft.am.t VALUES ('k$i', $i)"))
+      // versions advance one per insert — no interleaved maintenance
+      // commits, because the interval gate short-circuits evaluation
+      assert(t.currentVersion === vNow + 10,
+        "intervalMs did not rate-limit the auto trigger")
     }
   }
 }

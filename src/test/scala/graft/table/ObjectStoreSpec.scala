@@ -214,6 +214,52 @@ class ObjectStoreSpec extends SparkSpec {
     assert(TxLog.read(logDir, 135L, conf).files.size === 136)
   }
 
+  test("expire reads O(1) retained headers, not the whole retained range") {
+    // r15 VERDICT task 7: the carrier-protection walk read EVERY
+    // retained header (keepFrom..head). Carrier-ref lifetimes are
+    // contiguous in version space (refs derive from the parent's;
+    // merges remove hdr refs permanently), so the FIRST surviving
+    // header at/above keepFrom already names every sub-horizon carrier
+    // — the walk now reads that one header plus the (cached) head.
+    // Pinned over LagFs with cold caches: a deep retained range must
+    // not turn retention into an O(range) read storm.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.lagfs.impl", classOf[LagFs].getName)
+    val base = new java.io.File(freshDir("lagfs_expire"), "_log")
+    val logDir = new Path("lagfs:" + base.getAbsolutePath)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    var files = Vector.empty[DataFile]
+    def step(v: Long): Unit = {
+      files = files :+ DataFile(f"f$v%06d.parquet", Map.empty, 1L, 10L)
+      TxLog.commit(logDir, if (v == 0) None else Some(v - 1),
+        Snapshot(version = v, timestampMs = 1700000000000L + v,
+          operation = if (v == 0) "CREATE" else "APPEND",
+          schemaJson = schema.json, partitionColumns = Nil,
+          files = files), conf)
+    }
+    (0L to 259L).foreach(step)
+    // cold-process shape: parsed-header caches dropped, every read
+    // during the expire hits storage and LagFs counts it
+    TxLog.purgeRawCache(logDir)
+    LagFs.reset()
+    val removed = TxLog.expire(logDir, keepFrom = 5L,
+      protect = Set.empty, conf)
+    val byCat = LagFs.snapshot
+    info(s"expire over 255 retained headers: removed=$removed, " +
+      s"ops=${byCat.mkString(", ")}")
+    assert(removed === 5)
+    assert(byCat.getOrElse("open", 0L) <= 12,
+      s"carrier walk read ${byCat.getOrElse("open", 0L)} headers — " +
+        "O(retained range), not O(1)")
+    // the retained log still resolves end to end (carrier protection
+    // intact through the bounded walk)
+    TxLog.purgeRawCache(logDir)
+    assert(TxLog.read(logDir, 259L, conf).files.size === 260)
+    assert(TxLog.read(logDir, 5L, conf).files.size === 6)
+  }
+
   test("stale cached head cannot publish past an externally recreated log") {
     // the ADVICE r12 gap scenario: another PROCESS drops and recreates
     // the table (its cache purge is JVM-local), leaving this process's

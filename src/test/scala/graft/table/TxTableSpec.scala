@@ -2671,4 +2671,163 @@ class TxTableSpec extends SparkSpec {
         .collect()(0).getLong(0) === 4)
     } finally spark.conf.unset("graft.sql.principal")
   }
+
+  test("compactBloomIndex drops dead entries in O(sidecar): zero data reads, live filters verbatim") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_bloom_compact")), "t",
+      Schemas.transactions, Nil)
+    (0 until 5).foreach(i =>
+      t.append(SampleData.transactions(spark, 120, seed = 210L + i)))
+    val nFiles = t.snapshot.files.size
+    assert(t.buildBloomIndex("transaction_id") === nFiles)
+    def deadEntries: Long = t.showIndexes
+      .filter(col("index_type") === "bloom")
+      .select("dead_entries").collect()(0).getLong(0)
+    // compaction retires every original path; the refresh covers the
+    // compacted outputs so only DEAD weight separates the two states
+    t.compactSmallFiles()
+    t.refreshBloomIndex("transaction_id")
+    val dead = deadEntries
+    assert(dead >= nFiles.toLong, s"dead=$dead")
+    val liveBefore = t.bloomEntries("transaction_id")
+      .filter { case (k, _) => t.snapshot.files.exists(_.path == k) }
+      .map { case (k, v) => k -> v.toSeq }
+    assert(liveBefore.nonEmpty)
+    // O(sidecar) contract: the compaction launches NO Spark job (the
+    // kept filters are copied as opaque strings — a rebuild would scan
+    // the table to re-encode them)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val dropped = try {
+      val d = t.compactBloomIndex("transaction_id")
+      Thread.sleep(1000)   // listener events post asynchronously
+      d
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(dropped.toLong === dead, s"dropped=$dropped dead=$dead")
+    assert(jobs.get() === 0,
+      s"bloom compaction ran ${jobs.get()} Spark jobs — it must not read data")
+    assert(deadEntries === 0L)
+    // live filters survive BYTE-identical and keep pruning
+    val liveAfter = t.bloomEntries("transaction_id")
+      .map { case (k, v) => k -> v.toSeq }
+    assert(liveAfter === liveBefore)
+    // idempotent; a second compaction is a no-op
+    assert(t.compactBloomIndex("transaction_id") === 0)
+    // maintain_table wires the same remedy: after another round of
+    // churn (appends covered by a refresh, then compacted away), the
+    // policy compacts the sidecar instead of paying the O(table)
+    // rebuild — and refreshes the files the table-compaction created
+    (0 until 2).foreach(i =>
+      t.append(SampleData.transactions(spark, 120, seed = 220L + i)))
+    t.refreshBloomIndex("transaction_id")
+    t.compactSmallFiles()
+    assert(deadEntries > 0L)
+    val actions = t.maintainTable(minSmallFiles = 1000,
+      removeOrphans = false)
+    val bloomActs = actions.filter(_._1 == "bloom:transaction_id")
+    assert(bloomActs.exists(_._2.contains("compacted")),
+      s"policy did not compact the sidecar: $actions")
+    assert(deadEntries === 0L)
+  }
+
+  test("maintain_table validates arguments before any dimension commits work") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_maintain_args")), "t",
+      Schemas.transactions, Nil)
+    (0 until 3).foreach(i =>
+      t.append(SampleData.transactions(spark, 40, seed = 230L + i)))
+    val v = t.currentVersion
+    // retain_snapshots = 0 used to pass compaction + index upkeep and
+    // abort mid-policy in expireSnapshots' own require
+    intercept[IllegalArgumentException](t.maintainTable(retainSnapshots = 0))
+    intercept[IllegalArgumentException](t.maintainTable(targetFileBytes = 0))
+    intercept[IllegalArgumentException](t.maintainTable(orphanGraceMs = -1))
+    assert(t.currentVersion === v,
+      "a refused maintenance pass must commit nothing")
+  }
+
+  test("bloom reads degrade (never fail) while a rebuild/conversion races them") {
+    val t = TxTable.create(spark, new Path(freshDir("tx_bloom_race")), "t",
+      Schemas.transactions, Nil)
+    (0 until 3).foreach(i =>
+      t.append(SampleData.transactions(spark, 100, seed = 240L + i)))
+    t.buildBloomIndex("transaction_id")
+    val probe = t.toDF.select("transaction_id").orderBy("transaction_id")
+      .limit(1).collect()(0).getString(0)
+    val expect = t.toDF.filter(col("transaction_id") === probe)
+      .collect().toSet
+    // rebuilds cycle the sidecar through its delete→recreate window
+    // while lookups run: bloom is advisory, so a reader landing inside
+    // the window must prune less — never throw (ADVICE r15: the old
+    // exists→getFileStatus→open sequence threw FileNotFoundException)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val rebuilder = new Thread(() =>
+      try (0 until 12).foreach(_ => t.buildBloomIndex("transaction_id"))
+      catch { case e: Throwable => failure.set(e) }
+      finally stop.set(true))
+    rebuilder.start()
+    try {
+      var n = 0
+      while (!stop.get() || n == 0) {
+        // exactness holds in every window state (conservative fallback)
+        assert(t.readWhereEquals("transaction_id", probe).collect().toSet
+          === expect)
+        t.candidateFilesForEquals("transaction_id", probe)
+        n += 1
+      }
+      info(s"$n lookups interleaved with 12 rebuilds")
+    } finally rebuilder.join(120000)
+    assert(failure.get() === null, s"rebuilder failed: ${failure.get()}")
+  }
+
+  test("vacuum aborts (fail-safe) when a LIVE retained snapshot's manifest is unreadable") {
+    val dir = freshDir("tx_vac_fnfe")
+    val t = TxTable.create(spark, new Path(dir, "t"), "t",
+      Schemas.transactions, Nil)
+    // enough single-file appends to spill real manifest files
+    (0 until 36).foreach(i =>
+      t.append(SampleData.transactions(spark, 5, seed = 300L + i)))
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = new Path(t.root, "_log")
+    val fsys = logDir.getFileSystem(conf)
+    val manifests = fsys.listStatus(logDir)
+      .filter(_.getPath.getName.endsWith(".manifest.json"))
+    assert(manifests.nonEmpty, "no spilled manifests — shape assumption broke")
+    // a manifest the HEAD still references (resolved refs of the head)
+    val headRefs = TxLog.readRaw(logDir, t.currentVersion, conf)
+      .manifests.map(_.path).filterNot(_.startsWith("hdr:")).toSet
+    assert(headRefs.nonEmpty)
+    val victim = new Path(logDir, headRefs.head)
+    val dataFiles = fsys.listStatus(new Path(t.root, "data"))
+    val victimBytes = {
+      val in = fsys.open(victim)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    fsys.delete(victim, false)
+    // reopen through a SYMLINK alias: same storage, different path
+    // strings, so the JVM-wide header/manifest caches cannot mask the
+    // missing file (a fresh process's view)
+    val link = java.nio.file.Paths.get(dir + "_alias")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(dir))
+    val t2 = TxTable.open(spark, new Path(link.toString, "t"), "t")
+    // the header EXISTS but its manifests cannot resolve: vacuum must
+    // ABORT, not treat the snapshot as contributing zero retained
+    // paths and delete every file it references (ADVICE r15 medium)
+    intercept[java.io.FileNotFoundException](t2.vacuum(2, graceMillis = 0L))
+    assert(fsys.listStatus(new Path(t.root, "data")).length
+      === dataFiles.length, "fail-safe vacuum must delete nothing")
+    // restored, the same alias handle vacuums cleanly — the abort was
+    // the missing manifest, nothing else (expired-gap tolerance is
+    // pinned separately by the CatalogV2Spec sweep)
+    val out = fsys.create(victim, true)
+    try out.write(victimBytes) finally out.close()
+    t2.vacuum(2, graceMillis = 0L)
+    assert(t2.toDF.count() === t.toDF.count())
+  }
 }

@@ -42,9 +42,12 @@ class VectorIndexSpec extends SparkSpec {
     val meta = t.vectorIndexMeta("embedding").get
     assert(meta.nprobe === np && np >= 2 && np <= meta.centroids.size)
     info(s"calibrated nprobe=$np of ${meta.centroids.size} cells")
-    // the sidecars are real files a fresh process could read
+    // the sidecars are real files a fresh process could read — the
+    // meta lives in a CAS'd slot file (r16: meta-<seq>.json, highest
+    // seq live; the first publish takes slot 0)
     val fs = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new Path(t.root, "_index/vector_embedding/meta.json")))
+    assert(fs.listStatus(new Path(t.root, "_index/vector_embedding"))
+      .exists(st => st.getPath.getName.matches("meta-\\d{9}\\.json")))
     assert(fs.exists(new Path(t.root,
       s"_index/vector_embedding/${meta.codesDir}")))
     val queries = queriesFrom(t, 8)
@@ -554,6 +557,11 @@ class VectorIndexSpec extends SparkSpec {
     try out.write(org.json4s.jackson.Serialization.write(legacy)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // a truly pre-slot table has no meta-<seq>.json slots — remove the
+    // build's (slots shadow the legacy file by design)
+    fsys.listStatus(new Path(t.root, "_index/vector_embedding"))
+      .filter(_.getPath.getName.matches("meta-\\d{9}\\.json"))
+      .foreach(st => fsys.delete(st.getPath, false))
     // first touch through a FRESH handle (no caches) materializes the
     // watermark into a path set and publishes it
     val t2 = TxTable.open(spark, t.root, t.name)
@@ -670,5 +678,150 @@ class VectorIndexSpec extends SparkSpec {
       .select(col("query_id"), col("vec_id")).as[(Long, Long)]
       .collect().toSet
     assert(stored === inMem)
+  }
+
+  test("rewrite reaps dead code rows; the dead-row signal drives the maintain policy") {
+    val t = embTable("vecidx_reap")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    def codesCount(): Long = spark.read.parquet(new Path(t.root,
+      s"_index/vector_embedding/${t.vectorIndexMeta("embedding").get.codesDir}")
+      .toString).count()
+    val n0 = t.toDF.count()
+    assert(t.vectorIndexMeta("embedding").get.codeRows.contains(n0))
+    // two churn cycles: COW delete + O(new) refresh — each cycle
+    // re-encodes the rewritten survivors while the deleted ids' codes
+    // (and the prior cycle's superseded copies) accumulate as dead
+    // weight every probed-cell scan pays for
+    t.delete(col("vec_id") === 3L)
+    t.refreshVectorIndex("embedding")
+    t.delete(col("vec_id") === 10L)
+    t.refreshVectorIndex("embedding")
+    val live = t.toDF.count()
+    assert(live === n0 - 2)
+    assert(codesCount() > live, "churn produced no dead code rows")
+    // the signal is observable metadata-side (codeRows − live covered
+    // rows), beside dead_entries
+    val row = t.showIndexes.filter(col("index_type") === "vector")
+      .collect()(0)
+    assert(row.getAs[Long]("dead_code_rows") > 0L)
+    // the maintain policy triggers the compaction on the dead-row
+    // signal ALONE (file-count arm disabled) and the rewrite's live-id
+    // semi-join shrinks the sidecar back to live-row count
+    val (a, _) = t.maintainVectorIndex("embedding", maxCodeFiles = 1000000)
+    assert(a === "compacted", s"dead-row signal did not trigger (got $a)")
+    assert(codesCount() === live,
+      "reap left dead code rows (or dropped live ones)")
+    assert(t.vectorIndexMeta("embedding").get.codeRows.contains(live))
+    assert(t.showIndexes.filter(col("index_type") === "vector")
+      .collect()(0).getAs[Long]("dead_code_rows") === 0L)
+    assert(t.maintainVectorIndex("embedding",
+      maxCodeFiles = 1000000)._1 === "noop")
+    // results stay correct: a live row still finds itself at rank 1,
+    // a deleted id never resurfaces
+    val qLive = t.toDF.filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val top = t.vectorSearch(qLive, k = 5).orderBy(col("rank"))
+      .select("vec_id").as[Long].collect()
+    assert(top.head === 7L)
+    assert(!t.vectorSearch(qLive, k = 5).select("vec_id").as[Long]
+      .collect().contains(3L))
+  }
+
+  test("recall measurements persist to the meta, surface in SHOW INDEXES, and memoize checkRecall") {
+    val t = embTable("vecidx_recallmemo")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    assert(t.vectorIndexMeta("embedding").get.measuredRecall.isEmpty)
+    val r = t.measureVectorIndexRecall("embedding")
+    val m = t.vectorIndexMeta("embedding").get
+    assert(m.measuredRecall.contains(r))
+    assert(m.measuredAtVersion.contains(t.currentVersion))
+    assert(m.measuredK.contains(10))
+    // a monitor reads the trend + staleness with zero corpus I/O
+    val row = t.showIndexes.filter(col("index_type") === "vector")
+      .collect()(0)
+    assert(row.getAs[Double]("last_recall") === r)
+    assert(row.getAs[Long]("recall_measured_at_version") === t.currentVersion)
+    // memoization: stamp an artificially LOW recall at the CURRENT
+    // snapshot version — checkRecall must TRUST the memo (a live
+    // re-measure of this healthy index would read ~$r and noop), so a
+    // rebuild proves no measurement ran
+    t.publishVectorIndexMeta("embedding",
+      m.copy(measuredRecall = Some(0.01)), m.nonce)
+    assert(t.maintainVectorIndex("embedding",
+      checkRecall = true)._1 === "rebuilt")
+    // the rebuild minted a FRESH meta: measurements never survive the
+    // quantizers they measured
+    assert(t.vectorIndexMeta("embedding").get.measuredRecall.isEmpty)
+    // a memo from a STALE snapshot version does not apply: the probe
+    // re-measures (healthy) and the policy noops
+    val m2 = t.vectorIndexMeta("embedding").get
+    t.publishVectorIndexMeta("embedding",
+      m2.copy(measuredRecall = Some(0.01),
+        measuredAtVersion = Some(t.currentVersion - 1),
+        measuredK = Some(10)), m2.nonce)
+    assert(t.maintainVectorIndex("embedding",
+      checkRecall = true)._1 === "noop")
+    // ...and the fresh measurement re-stamped itself at the current
+    // version
+    val m3 = t.vectorIndexMeta("embedding").get
+    assert(m3.measuredAtVersion.contains(t.currentVersion))
+    assert(m3.measuredRecall.exists(_ >= 0.9))
+  }
+
+  test("meta publish CAS goes through the commit protocol: a claimed slot refuses cross-process") {
+    // the r15 residual: the nonce compare was best-effort ACROSS
+    // PROCESSES on rename stores. The publish now rides the same
+    // CommitProtocol seam as the transaction log, so a service-side
+    // conditional-PUT mock (the TxTableSpec commit-path mock shape —
+    // the reference's UpdateTableMetadataLocation CAS,
+    // kfs/scripts/update_metadata.py:135-141) arbitrates slot winners
+    // even when nothing is readable yet — the window rename stores
+    // cannot close.
+    class ConditionalPutMock extends CommitProtocol {
+      val slots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val puts = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def putIfAbsent(f: org.apache.hadoop.fs.FileSystem,
+          target: Path, content: Array[Byte],
+          next: Long, expected: Option[Long]): Unit = {
+        if (f.exists(target) || !slots.add(target.toString))
+          throw new CommitConflictException(
+            s"slot $target taken (stale expected=$expected)")
+        val out = f.create(target, true)
+        try out.write(content) finally out.close()
+        puts.incrementAndGet()
+      }
+    }
+    val t = embTable("vecidx_proto")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val mock = new ConditionalPutMock
+    TxLog.protocolOverride = Some(mock)
+    try {
+      // positive path: a maintenance publish routes through the mock
+      val before = mock.puts.get()
+      t.rewriteVectorIndex("embedding")
+      assert(mock.puts.get() === before + 1,
+        "meta publish did not route through the commit protocol")
+      // cross-process window: another process CLAIMED the next slot
+      // after our read but before its content is visible — the
+      // in-process nonce compare passes, and only the protocol CAS
+      // can refuse (on a rename store both writers would 'win')
+      val meta = t.vectorIndexMeta("embedding").get
+      val liveSeq = t.root.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        .listStatus(new Path(t.root, "_index/vector_embedding"))
+        .map(_.getPath.getName)
+        .collect { case n if n.matches("meta-\\d{9}\\.json") =>
+          n.stripPrefix("meta-").stripSuffix(".json").toLong }
+        .max
+      mock.slots.add(new Path(t.root,
+        f"_index/vector_embedding/meta-${liveSeq + 1}%09d.json").toString)
+      intercept[java.util.ConcurrentModificationException] {
+        t.publishVectorIndexMeta("embedding",
+          meta.copy(builtAtVersion = 777L), meta.nonce)
+      }
+      // the loser changed nothing readable
+      assert(t.vectorIndexMeta("embedding").get.builtAtVersion
+        === meta.builtAtVersion)
+    } finally TxLog.protocolOverride = None
   }
 }
