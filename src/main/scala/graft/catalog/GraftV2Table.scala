@@ -353,11 +353,27 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       fullSchema.fields.find(_.name == c)
         .map(f => c -> (f.dataType, tx.bloomEntries(c)))
     }.toMap
+    // share the O(files) planning geometry across queries of this
+    // snapshot VERSION (the Delta/Iceberg snapshot-cache behavior):
+    // only the full-snapshot scan keys the cache — incremental
+    // (startingVersion) subsets build fresh. Branch handles get their
+    // own key space (same data dir, independent version numbering),
+    // and the session time zone participates because the typed
+    // partition rows are cast under it.
+    // timestampMs disambiguates a DROPPED-and-RECREATED table reusing
+    // the same root and version numbers — the one way a (root, version)
+    // pair could otherwise alias two different file lists
+    val layoutKey =
+      if (scanFiles eq snap.files)
+        Some(s"${tx.root}|${tx.branchName.getOrElse("")}|v${snap.version}" +
+          s"|t${snap.timestampMs}" +
+          s"|${tx.spark.sessionState.conf.sessionLocalTimeZone}")
+      else None
     val index = ScanBridge.snapshotIndex(tx.spark, new Path(tx.root, "data"),
       scanFullSchema, snap.partitionColumns,
       scanFiles.map(f => (f.path, f.partitionValues, f.sizeBytes)),
       scanFiles.flatMap(f => f.stats.map(f.path -> _)).toMap, partSpec,
-      blooms)
+      blooms, layoutKey)
     (ScanBridge.parquetScanBuilder(tx.spark, index, scanFullSchema, dataSchema,
       options), index)
   }

@@ -1155,6 +1155,13 @@ object TxLog {
           e: java.util.Map.Entry[String, Seq[DataFile]]): Boolean = size > 256
     }
 
+  /** Bench/test hook: drop cached manifest content so a timed read
+    * resolves cold like a fresh process (the header caches have
+    * [[purgeRawCache]]; without this the manifest side stays warm and
+    * a "cold" snapshot-read measurement reads as ~0). */
+  private[graft] def purgeManifestCache(): Unit =
+    manifestCache.synchronized(manifestCache.clear())
+
   /** Raw snapshot-header reads — specs pin time-travel resolution cost
     * (binary search must be O(log commits), not a linear walk). */
   private val rawHeaderReads = new java.util.concurrent.atomic.AtomicLong
@@ -1533,7 +1540,7 @@ object TxLog {
   /** Drop every cached parsed header and index chunk under `logDir`
     * (table re-created or dropped: reused version paths must
     * re-read). */
-  private[table] def purgeRawCache(logDir: Path): Unit = {
+  private[graft] def purgeRawCache(logDir: Path): Unit = {
     rawCache.synchronized {
       rawCache.keySet.removeIf(_._1 == logDir.toString)
     }

@@ -32,6 +32,128 @@ import scala.collection.mutable.LinkedHashMap
  * Lives in `org.apache.spark.sql` because the file-index machinery is
  * `private[sql]` (same pattern as [[ColumnBridge]]).
  */
+object SnapshotFileIndex {
+
+  /** The immutable, shareable planning geometry of one snapshot:
+    * per-file Paths/statuses, the directory grouping, and the typed
+    * partition rows. Building it is O(files) with a Hadoop-Path parse
+    * per file — ~seconds at the 10⁶-file shape — so scans of the SAME
+    * snapshot version must not each rebuild it (the planning_1m bench
+    * measured 48 s/query planning before this: partitionSpec and the
+    * parent-dir grouping were recomputed per planning CALL, with a
+    * Cast eval and two Path.getParent parses per file). Everything
+    * here is deeply immutable; per-scan mutable state (captured files,
+    * runtime DPP filters, file-prune filters) stays on the index
+    * instance, never in the layout. */
+  final class Layout(
+      val statuses: Seq[(String, Path, FileStatus, Map[String, String])],
+      val relByPath: Map[Path, String],
+      val partValsByPath: Map[Path, Map[String, String]],
+      val leafFilesMap: LinkedHashMap[Path, FileStatus],
+      val leafDirs: Map[Path, Array[FileStatus]],
+      val roots: Seq[Path],
+      val spec: PartitionSpec) {
+    def entryCount: Long = statuses.size.toLong
+  }
+
+  /** Cross-query layout cache, weight-bounded by total FILE ENTRIES
+    * (the dominant memory term — one Path + FileStatus + value map per
+    * file): planning against an unchanged snapshot version pays the
+    * O(files) build once, the Delta/Iceberg snapshot-cache behavior.
+    * Keyed by (data dir, branch, version, zone) — the caller only
+    * passes a key when the file list IS the version's full list, so a
+    * key can never alias two different layouts. */
+  private val MaxCachedEntries = 2000000L
+  private val layoutCache =
+    new java.util.LinkedHashMap[String, Layout](16, 0.75f, true)
+  private var cachedEntries = 0L
+
+  private def layoutCached(key: Option[String])(
+      build: => Layout): Layout = key match {
+    case None => build
+    case Some(k) =>
+      val hit = layoutCache.synchronized(layoutCache.get(k))
+      if (hit != null) hit
+      else {
+        // build OUTSIDE the lock: a million-entry build takes seconds
+        // and must not serialize unrelated tables' planning behind it
+        // (two racers building the same key just waste one build)
+        val l = build
+        layoutCache.synchronized {
+          val won = layoutCache.get(k)
+          if (won != null) won
+          else {
+            layoutCache.put(k, l)
+            cachedEntries += l.entryCount
+            val it = layoutCache.entrySet().iterator()
+            while (cachedEntries > MaxCachedEntries &&
+                layoutCache.size() > 1 && it.hasNext) {
+              val e = it.next()
+              if (e.getKey != k) {
+                cachedEntries -= e.getValue.entryCount
+                it.remove()
+              }
+            }
+            l
+          }
+        }
+      }
+  }
+
+  private def buildLayout(
+      dataDir: Path,
+      partitionColumns: Seq[String],
+      partSchema: StructType,
+      files: Seq[(String, Map[String, String], Long)],
+      castValue: (String, DataType) => Any): Layout = {
+    // ONE Hadoop-Path parse per file, grouped by the rel string's
+    // directory PREFIX (a substring, not a Path.getParent parse);
+    // parent Paths, partition rows, and root paths derive once per
+    // DIRECTORY — the write layout guarantees every file in a
+    // directory shares its partition values
+    val byDir = new java.util.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(String, Path, FileStatus, Map[String, String])]]()
+    files.foreach { case (rel, parts, size) =>
+      val p = new Path(dataDir, rel)
+      val slash = rel.lastIndexOf('/')
+      val dirKey = if (slash < 0) "" else rel.substring(0, slash)
+      var buf = byDir.get(dirKey)
+      if (buf == null) {
+        buf = scala.collection.mutable.ArrayBuffer.empty
+        byDir.put(dirKey, buf)
+      }
+      buf += ((rel, p,
+        new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L, p), parts))
+    }
+    import scala.jdk.CollectionConverters._
+    val dirGroups: Seq[(Path, scala.collection.mutable.ArrayBuffer[(String, Path, FileStatus, Map[String, String])])] =
+      byDir.asScala.toSeq.map { case (_, fs) => (fs.head._2.getParent, fs) }
+    val statuses = dirGroups.flatMap(_._2)
+    val leafDirs = dirGroups.map { case (d, fs) =>
+      d -> fs.map(_._3).toArray }.toMap
+    val nUp = partitionColumns.size
+    val roots0 = dirGroups.map { case (d, _) =>
+      (1 to nUp).foldLeft(d)((q, _) => q.getParent)
+    }.distinct
+    val spec =
+      if (partitionColumns.isEmpty) PartitionSpec(StructType(Nil), Nil)
+      else PartitionSpec(partSchema, dirGroups.map { case (d, fs) =>
+        val vals = fs.head._4
+        PartitionPath(InternalRow.fromSeq(partitionColumns.map(c =>
+          castValue(vals.getOrElse(c, null),
+            partSchema(partSchema.fieldIndex(c)).dataType))), d)
+      })
+    new Layout(
+      statuses,
+      statuses.map { case (rel, p, _, _) => p -> rel }.toMap,
+      statuses.map { case (_, p, _, vals) => p -> vals }.toMap,
+      LinkedHashMap(statuses.map(t => t._2 -> t._3): _*),
+      leafDirs,
+      if (roots0.isEmpty) Seq(dataDir) else roots0,
+      spec)
+  }
+}
+
 class SnapshotFileIndex(
     spark: SparkSession,
     rawDataDir: Path,
@@ -50,7 +172,15 @@ class SnapshotFileIndex(
       * min/max ranges cannot (point lookups on high-cardinality keys).
       * No false negatives, so pruning is always exact; files without an
       * entry (post-index commits) are kept conservatively. */
-    bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty)
+    bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty,
+    /** When set, the O(files) planning geometry (Paths, statuses,
+      * partition rows) is served from / stored in the cross-query
+      * [[SnapshotFileIndex.Layout]] cache under this key. Callers pass
+      * it ONLY when `files` is the version's FULL file list and the key
+      * encodes (data dir, branch, version, zone) — see
+      * [[graft.catalog.GraftV2Table]]. Subset scans (incremental
+      * reads, streaming batches) leave it None and build fresh. */
+    layoutKey: Option[String] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, Some(fullSchema), NoopCache) {
 
   // Fully qualify against the filesystem: `allFiles()` looks leaf dirs up
@@ -72,14 +202,17 @@ class SnapshotFileIndex(
     Cast(Literal(UTF8String.fromString(v), StringType), dt, Option(zoneId))
       .eval(InternalRow.empty)
 
-  private val statuses: Seq[(Path, FileStatus, Map[String, String])] =
-    files.map { case (rel, parts, size) =>
-      val p = new Path(dataDir, rel)
-      (p, new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L, p), parts)
-    }
+  /** The O(files) planning geometry — built once per snapshot version
+    * and shared across scans via the companion's layout cache (see
+    * [[SnapshotFileIndex.Layout]]); only per-scan MUTABLE state lives
+    * on this instance. */
+  private val layout: SnapshotFileIndex.Layout =
+    SnapshotFileIndex.layoutCached(layoutKey)(
+      SnapshotFileIndex.buildLayout(dataDir, partitionColumns, partSchema,
+        files, castValue))
 
-  private val relByPath: Map[Path, String] =
-    files.map { case (rel, _, _) => new Path(dataDir, rel) -> rel }.toMap
+  private def statuses = layout.statuses
+  private def relByPath = layout.relByPath
 
   // ---- scan-file capture (group-based row-level operations) ----------
   // A copy-on-write REPLACE must rewrite exactly the file groups its
@@ -129,8 +262,8 @@ class SnapshotFileIndex(
     if (partSpec.nonEmpty) partSpec
     else partitionColumns.map(c => _root_.graft.table.PartField(c, "identity", c))
 
-  private val partValsByPath: Map[Path, Map[String, String]] =
-    statuses.map { case (p, _, vals) => p -> vals }.toMap
+  private def partValsByPath: Map[Path, Map[String, String]] =
+    layout.partValsByPath
 
   /** Stored partition-value strings per file path (storage-partitioned
     * join grouping key) plus the TYPED key row (what
@@ -147,7 +280,7 @@ class SnapshotFileIndex(
 
   /** Distinct partition-value tuples in the snapshot. */
   def distinctPartitionKeys: Int =
-    statuses.map(s => partitionColumns.map(c => s._3.getOrElse(c, null)))
+    statuses.map(s => partitionColumns.map(c => s._4.getOrElse(c, null)))
       .distinct.size
 
   def session: SparkSession = spark
@@ -298,30 +431,17 @@ class SnapshotFileIndex(
     * paths live under — `allFiles()` resolves unpartitioned tables by
     * looking leaf dirs up under these keys, so a root missing here
     * silently drops its files from every scan. */
-  override def rootPaths: Seq[Path] = {
-    val nSegs = partitionColumns.size + 1
-    val roots = statuses.map { case (p, _, _) =>
-      (1 to nSegs).foldLeft(p)((q, _) => q.getParent)
-    }.distinct
-    if (roots.isEmpty) Seq(dataDir) else roots
-  }
-
+  // All O(files) geometry answers come from the shared layout — see
+  // [[SnapshotFileIndex.Layout]] for why these must be neither
+  // recomputed per planning call (Spark calls partitionSpec /
+  // leafDirToChildrenFiles several times per scan build) nor rebuilt
+  // per query of an unchanged snapshot.
+  override def rootPaths: Seq[Path] = layout.roots
   override def leafFiles: LinkedHashMap[Path, FileStatus] =
-    LinkedHashMap(statuses.map(t => t._1 -> t._2): _*)
-
+    layout.leafFilesMap
   override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
-    statuses.groupBy(_._1.getParent).map { case (d, fs) => d -> fs.map(_._2).toArray }
-
-  override def partitionSpec(): PartitionSpec =
-    if (partitionColumns.isEmpty) PartitionSpec(StructType(Nil), Nil)
-    else {
-      val paths = statuses.map { case (p, _, vals) =>
-        val row = InternalRow.fromSeq(partitionColumns.map(c =>
-          castValue(vals.getOrElse(c, null), partSchema(partSchema.fieldIndex(c)).dataType)))
-        (p.getParent, row)
-      }.distinctBy(_._1).map { case (dir, row) => PartitionPath(row, dir) }
-      PartitionSpec(partSchema, paths)
-    }
+    layout.leafDirs
+  override def partitionSpec(): PartitionSpec = layout.spec
 
   override def refresh(): Unit = ()
 
@@ -486,10 +606,11 @@ object ScanBridge {
       files: Seq[(String, Map[String, String], Long)],
       statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty,
       partSpec: Seq[_root_.graft.table.PartField] = Nil,
-      bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty)
+      bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty,
+      layoutKey: Option[String] = None)
       : SnapshotFileIndex =
     new SnapshotFileIndex(spark, dataDir, fullSchema, partitionColumns, files,
-      statsByPath, partSpec, bloomByColumn)
+      statsByPath, partSpec, bloomByColumn, layoutKey)
 
   /** DataFrame over a snapshot-pinned index through Spark's V1 parquet
     * relation (`HadoopFsRelation` + `LogicalRelation`, both

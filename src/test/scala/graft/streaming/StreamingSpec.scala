@@ -444,4 +444,56 @@ class StreamingSpec extends SparkSpec {
       assert(starts === Set(ts(0), ts(5)))
     } finally q.stop()
   }
+
+  test("declarative maintenance rides streaming epochs: no CALL, table stays healthy") {
+    // the reference's managed behavior end to end (r15 VERDICT task 1
+    // done-criterion): a Firehose-style micro-batch ingest into a
+    // table whose maintenance is CONFIGURED AS TBLPROPERTIES — the
+    // post-commit trigger keeps files compacted, snapshots expired,
+    // and debris vacuumed across epochs with zero external
+    // orchestration (no scheduler, no CALL ever issued)
+    import graft.table.TxTable
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType)))
+    val t = TxTable.create(spark,
+      new Path(freshDir("stream_maint"), "t"), "sm", schema, Nil,
+      properties = Map(
+        TxTable.MaintainEnabledProperty -> "true",
+        TxTable.MaintainPrefix + "minSmallFiles" -> "6",
+        TxTable.MaintainPrefix + "retainSnapshots" -> "4",
+        TxTable.MaintainPrefix + "orphanGraceMs" -> "0"))
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        t.append(b); ()
+      }.start()
+    try {
+      (1 to 12).foreach { e =>
+        in.addData((1L to 5L).map(i => (e * 10L + i, e.toDouble)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(t.toDF.count() === 60L)
+    // 12 epochs of single-file appends would leave 12 files and 13
+    // headers; the per-table policy bin-packed and expired as it went
+    val files = t.snapshot.files.size
+    assert(files <= 8, s"auto-maintenance never compacted: $files files")
+    val readable = (0L to t.currentVersion).count(v =>
+      scala.util.Try(t.snapshotAt(v)).isSuccess)
+    assert(readable <= 8, s"retention never ran: $readable headers")
+    // vacuum (piggybacking on passes that did work) reclaimed some of
+    // the compacted-away epoch files once the window slid past them
+    val fsys = t.root.getFileSystem(spark.sessionState.newHadoopConf())
+    def walkCount(p: Path): Int =
+      if (!fsys.exists(p)) 0
+      else fsys.listStatus(p).map(st =>
+        if (st.isDirectory) walkCount(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1 else 0).sum
+    val onDisk = walkCount(new Path(t.root, "data"))
+    assert(onDisk < 12, s"vacuum never reclaimed: $onDisk files on disk")
+  }
 }

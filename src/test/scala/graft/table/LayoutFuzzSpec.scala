@@ -427,7 +427,7 @@ class LayoutFuzzSpec extends SparkSpec {
     var branched = Map.empty[String, (Set[Long], Long)]
     var brN = 0
     (1 to 130).foreach { step =>
-      rnd.nextInt(15) match {
+      rnd.nextInt(16) match {
         case 0 | 1 | 2 | 3 | 4 | 5 =>              // single-file append
           val (df, ids) = batch(1 + rnd.nextInt(3))
           t.append(df); headIds ++= ids
@@ -479,6 +479,16 @@ class LayoutFuzzSpec extends SparkSpec {
               t.fastForward(name); headIds = ids
               t.dropBranch(name); branched -= name
           }
+        case 15 =>                                 // full maintenance policy
+          // the r16 one-call/declarative path mid-lifecycle: random
+          // thresholds, zero grace — compaction + expiry + vacuum
+          // composed in the policy's own order must preserve the
+          // model's rows, tags, and branches like the individual arms
+          t.maintainTable(
+            minSmallFiles = 2 + rnd.nextInt(6),
+            retainSnapshots = 1 + rnd.nextInt(5),
+            removeOrphans = rnd.nextBoolean(),
+            orphanGraceMs = 0L)
       }
       if (step % 10 == 0) {
         // COLD verification: purge every in-process log cache and
