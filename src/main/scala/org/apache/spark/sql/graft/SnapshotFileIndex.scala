@@ -207,7 +207,11 @@ class SnapshotFileIndex(
     * [[SnapshotFileIndex.Layout]]); only per-scan MUTABLE state lives
     * on this instance. */
   private val layout: SnapshotFileIndex.Layout =
-    SnapshotFileIndex.layoutCached(layoutKey)(
+    // the key is prefixed with the fs-QUALIFIED data dir: the caller's
+    // key carries the raw root string, and two sessions whose default
+    // filesystems qualify the same raw path differently must not share
+    // a layout whose Paths carry the other's scheme
+    SnapshotFileIndex.layoutCached(layoutKey.map(k => s"$dataDir#$k"))(
       SnapshotFileIndex.buildLayout(dataDir, partitionColumns, partSchema,
         files, castValue))
 
