@@ -1201,15 +1201,44 @@ object Bench {
       require(acts == Seq("noop" -> "all signals within thresholds"),
         s"quiet thresholds acted: $acts")
     }._2)
+    // O(delta) planning on a MOVED head: commit ONE file, then plan the
+    // new version first-touch — the layout derives from the prior
+    // version's by rel-identity reuse, so the cost must track the
+    // DELTA (one Path parse + regrouping), not a million-parse rebuild.
+    // Each run commits its own append: every sample is a genuine
+    // fresh-version first plan.
+    def planHead(): Int = {
+      val df = spark.sql("SELECT id FROM graftbenchplan.meta.wide1m " +
+        "WHERE date = '2026-03-03'")
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }.head
+      scan.scan.toBatch.planInputPartitions().length
+    }
+    val planAfterRuns = (1 to 3).map { _ =>
+      val base = TxLog.readCurrentTrusted(logDir, conf).get
+      val v = base.version + 1
+      val added = DataFile(f"date=2026-03-03/inc-$v%08d.parquet",
+        Map("date" -> "2026-03-03"), 1000L, 1000000L)
+      TxLog.commit(logDir, Some(base.version), base.copy(version = v,
+        timestampMs = base.timestampMs + 1, operation = "APPEND",
+        files = base.files :+ added, added = Nil,
+        manifests = Nil, manifestList = None), conf,
+        appendOf = Some((base, Seq(added))))
+      timed(require(planHead() > 0))._2
+    }
     s"""{"files":$totalFiles,"commits":${head + 1},""" +
       s""""build_sec":${f"${if (built) buildSecs else 0.0}%.3f"},""" +
       s""""snapshot_read_sec":${f"$tRead%.3f"},""" +
       s""""plan_pruned_sec":${f"$tPlan%.3f"},""" +
       s""""pruned_files":$prunedFiles,""" +
       s""""maintain_signal_sec":${f"$tSig%.3f"},""" +
+      s""""plan_after_commit_sec":${f"${planAfterRuns.min}%.3f"},""" +
       s""""runs":{"snapshot_read":${runsJson(readRuns)},""" +
       s""""plan_pruned":${runsJson(planRuns)},""" +
-      s""""maintain_signal":${runsJson(sigRuns)}}}"""
+      s""""maintain_signal":${runsJson(sigRuns)},""" +
+      s""""plan_after_commit":${runsJson(planAfterRuns)}}}"""
   } catch {
     case e: Throwable =>
       s"""{"error":"${e.getClass.getSimpleName}: ${

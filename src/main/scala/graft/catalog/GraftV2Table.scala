@@ -362,13 +362,16 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     // partition rows are cast under it.
     // timestampMs disambiguates a DROPPED-and-RECREATED table reusing
     // the same root and version numbers — the one way a (root, version)
-    // pair could otherwise alias two different file lists
+    // pair could otherwise alias two different file lists. The
+    // version-free TABLE key addresses the latest-layout slot the next
+    // version's O(delta) build derives its prior from.
     val layoutKey =
-      if (scanFiles eq snap.files)
-        Some(s"${tx.root}|${tx.branchName.getOrElse("")}|v${snap.version}" +
-          s"|t${snap.timestampMs}" +
-          s"|${tx.spark.sessionState.conf.sessionLocalTimeZone}")
-      else None
+      if (scanFiles eq snap.files) {
+        val tableKey = s"${tx.root}|${tx.branchName.getOrElse("")}" +
+          s"|${tx.spark.sessionState.conf.sessionLocalTimeZone}"
+        Some((tableKey,
+          s"$tableKey|v${snap.version}|t${snap.timestampMs}"))
+      } else None
     val index = ScanBridge.snapshotIndex(tx.spark, new Path(tx.root, "data"),
       scanFullSchema, snap.partitionColumns,
       scanFiles.map(f => (f.path, f.partitionValues, f.sizeBytes)),

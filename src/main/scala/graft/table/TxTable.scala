@@ -1118,10 +1118,18 @@ class TxTable private (
       // rows) trigger the same compaction as file-count debris — a
       // heavily churned sidecar pays every probe scan for rows that
       // can never surface, and the rewrite's live-id semi-join reaps
-      // them (r15 VERDICT task 2). Unknown codeRows (legacy meta)
+      // them (r15 VERDICT task 2). Live covered rows are DV-aware:
+      // position-deleted rows of covered files are dead codes too (the
+      // codes predate the delete), which is exactly the in-place MOR
+      // churn the file-granularity signal used to be blind to. A row
+      // DV'd before its file was ever covered counts dead without a
+      // code row — the signal may overstate there, which at worst buys
+      // one early (correct) compaction. Unknown codeRows (legacy meta)
       // skips the signal rather than scanning the sidecar here.
       val liveCoveredRows = s.files.filter(f => covered.contains(f.path))
-        .map(f => math.max(0L, f.rowCount)).sum
+        .map(f => math.max(0L, f.rowCount)).sum -
+        s.deletionVectors.filter(dv => covered.contains(dv.dataFile))
+          .map(_.count).sum
       val deadCodeRows =
         meta.codeRows.map(cr => math.max(0L, cr - liveCoveredRows))
       val deadDominates = (meta.codeRows, deadCodeRows) match {
@@ -1240,10 +1248,14 @@ class TxTable private (
         val (m, set) = coverageOf(c, m0, s)
         val covered = rowsIn(set)
         // dead CODE ROWS (rows the codes sidecar carries for files no
-        // longer live — the reap signal) and the last MEASURED recall
-        // with its staleness, both served from meta the driver already
-        // holds: zero data or sidecar I/O, like every other column here
-        val deadCode = m.codeRows.map(cr => math.max(0L, cr - covered))
+        // longer live OR rows a deletion vector retired in place — the
+        // reap signal) and the last MEASURED recall with its
+        // staleness, both served from meta the driver already holds:
+        // zero data or sidecar I/O, like every other column here
+        val dvDead = s.deletionVectors
+          .filter(dv => set.contains(dv.dataFile)).map(_.count).sum
+        val deadCode = m.codeRows.map(cr =>
+          math.max(0L, cr - (covered - dvDead)))
         ("vector", c, m.idColumn, m.builtAtVersion, s.version,
           covered, totalRows, frac(covered), deadIn(set),
           m.codeRows, deadCode, m.measuredRecall, m.measuredAtVersion)

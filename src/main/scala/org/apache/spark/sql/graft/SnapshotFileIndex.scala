@@ -54,6 +54,20 @@ object SnapshotFileIndex {
       val roots: Seq[Path],
       val spec: PartitionSpec) {
     def entryCount: Long = statuses.size.toLong
+
+    /** rel → entry, built once per layout ON FIRST USE AS A PRIOR: the
+      * next version's build reuses this layout's Path/FileStatus
+      * objects for every unchanged rel (paths are immutable identities
+      * in the log, so rel equality is content identity) — the
+      * per-commit planning tax at 10⁶ files drops from a full
+      * O(files)-of-Path-parses rebuild to O(delta) parses plus cheap
+      * regrouping. */
+    lazy val byRel: java.util.HashMap[String, (String, Path, FileStatus, Map[String, String])] = {
+      val m = new java.util.HashMap[String, (String, Path, FileStatus, Map[String, String])](
+        statuses.size * 2)
+      statuses.foreach(t => m.put(t._1, t))
+      m
+    }
   }
 
   /** Cross-query layout cache, weight-bounded by total FILE ENTRIES
@@ -68,17 +82,30 @@ object SnapshotFileIndex {
     new java.util.LinkedHashMap[String, Layout](16, 0.75f, true)
   private var cachedEntries = 0L
 
-  private def layoutCached(key: Option[String])(
-      build: => Layout): Layout = key match {
-    case None => build
-    case Some(k) =>
+  /** The latest layout per TABLE (dataDir|branch|zone, the version-free
+    * key prefix) — the PRIOR a successor version's build derives from.
+    * A plain last-writer slot: even if an older version re-plans later
+    * and installs itself here, the next build only loses reuse, never
+    * correctness (entries are reused by exact (rel, size, values)
+    * match). WEAK references: the slot must not pin a layout the
+    * weight-bounded cache already evicted — a cleared ref only costs
+    * the next build its reuse. */
+  private val latestByTable = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[Layout]]()
+
+  private def layoutCached(key: Option[(String, String)])(
+      build: Option[Layout] => Layout): Layout = key match {
+    case None => build(None)
+    case Some((tableKey, k)) =>
       val hit = layoutCache.synchronized(layoutCache.get(k))
       if (hit != null) hit
       else {
         // build OUTSIDE the lock: a million-entry build takes seconds
         // and must not serialize unrelated tables' planning behind it
         // (two racers building the same key just waste one build)
-        val l = build
+        val l = build(Option(latestByTable.get(tableKey))
+          .flatMap(r => Option(r.get())))
+        latestByTable.put(tableKey, new java.lang.ref.WeakReference(l))
         layoutCache.synchronized {
           val won = layoutCache.get(k)
           if (won != null) won
@@ -105,16 +132,36 @@ object SnapshotFileIndex {
       partitionColumns: Seq[String],
       partSchema: StructType,
       files: Seq[(String, Map[String, String], Long)],
-      castValue: (String, DataType) => Any): Layout = {
-    // ONE Hadoop-Path parse per file, grouped by the rel string's
-    // directory PREFIX (a substring, not a Path.getParent parse);
-    // parent Paths, partition rows, and root paths derive once per
-    // DIRECTORY — the write layout guarantees every file in a
-    // directory shares its partition values
+      castValue: (String, DataType) => Any,
+      prior: Option[Layout] = None): Layout = {
+    // ONE Hadoop-Path parse per NEW file: entries for rels the prior
+    // version's layout already holds are REUSED verbatim (guarded by
+    // exact (size, partition values) match — paths are immutable
+    // identities in the log, and the guard closes the
+    // recreated-table-reusing-a-rel corner), so the per-commit build
+    // at 10⁶ files is O(delta) parses plus cheap string regrouping.
+    // Grouping is by the rel string's directory PREFIX (a substring,
+    // not a Path.getParent parse); parent Paths, partition rows, and
+    // root paths derive once per DIRECTORY — the write layout
+    // guarantees every file in a directory shares its partition
+    // values.
+    val priorByRel = prior.map(_.byRel).orNull
     val byDir = new java.util.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[(String, Path, FileStatus, Map[String, String])]]()
     files.foreach { case (rel, parts, size) =>
-      val p = new Path(dataDir, rel)
+      val reused =
+        if (priorByRel == null) null
+        else {
+          val t = priorByRel.get(rel)
+          if (t != null && t._3.getLen == size && t._4 == parts) t else null
+        }
+      val entry =
+        if (reused != null) reused
+        else {
+          val p = new Path(dataDir, rel)
+          (rel, p,
+            new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L, p), parts)
+        }
       val slash = rel.lastIndexOf('/')
       val dirKey = if (slash < 0) "" else rel.substring(0, slash)
       var buf = byDir.get(dirKey)
@@ -122,8 +169,7 @@ object SnapshotFileIndex {
         buf = scala.collection.mutable.ArrayBuffer.empty
         byDir.put(dirKey, buf)
       }
-      buf += ((rel, p,
-        new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L, p), parts))
+      buf += entry
     }
     import scala.jdk.CollectionConverters._
     val dirGroups: Seq[(Path, scala.collection.mutable.ArrayBuffer[(String, Path, FileStatus, Map[String, String])])] =
@@ -175,12 +221,14 @@ class SnapshotFileIndex(
     bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty,
     /** When set, the O(files) planning geometry (Paths, statuses,
       * partition rows) is served from / stored in the cross-query
-      * [[SnapshotFileIndex.Layout]] cache under this key. Callers pass
-      * it ONLY when `files` is the version's FULL file list and the key
-      * encodes (data dir, branch, version, zone) — see
-      * [[graft.catalog.GraftV2Table]]. Subset scans (incremental
-      * reads, streaming batches) leave it None and build fresh. */
-    layoutKey: Option[String] = None)
+      * [[SnapshotFileIndex.Layout]] cache: `_1` is the version-free
+      * TABLE key (root|branch|zone — the slot successor builds derive
+      * their prior from), `_2` the full VERSION key (+ version +
+      * created-ts). Callers pass it ONLY when `files` is the version's
+      * FULL file list — see [[graft.catalog.GraftV2Table]]. Subset
+      * scans (incremental reads, streaming batches) leave it None and
+      * build fresh. */
+    layoutKey: Option[(String, String)] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, Some(fullSchema), NoopCache) {
 
   // Fully qualify against the filesystem: `allFiles()` looks leaf dirs up
@@ -207,13 +255,14 @@ class SnapshotFileIndex(
     * [[SnapshotFileIndex.Layout]]); only per-scan MUTABLE state lives
     * on this instance. */
   private val layout: SnapshotFileIndex.Layout =
-    // the key is prefixed with the fs-QUALIFIED data dir: the caller's
-    // key carries the raw root string, and two sessions whose default
-    // filesystems qualify the same raw path differently must not share
-    // a layout whose Paths carry the other's scheme
-    SnapshotFileIndex.layoutCached(layoutKey.map(k => s"$dataDir#$k"))(
+    // both keys are prefixed with the fs-QUALIFIED data dir: the
+    // caller's keys carry the raw root string, and two sessions whose
+    // default filesystems qualify the same raw path differently must
+    // not share a layout whose Paths carry the other's scheme
+    SnapshotFileIndex.layoutCached(layoutKey.map { case (tk, vk) =>
+      (s"$dataDir#$tk", s"$dataDir#$vk") })(prior =>
       SnapshotFileIndex.buildLayout(dataDir, partitionColumns, partSchema,
-        files, castValue))
+        files, castValue, prior))
 
   private def statuses = layout.statuses
   private def relByPath = layout.relByPath
@@ -611,7 +660,7 @@ object ScanBridge {
       statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty,
       partSpec: Seq[_root_.graft.table.PartField] = Nil,
       bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty,
-      layoutKey: Option[String] = None)
+      layoutKey: Option[(String, String)] = None)
       : SnapshotFileIndex =
     new SnapshotFileIndex(spark, dataDir, fullSchema, partitionColumns, files,
       statsByPath, partSpec, bloomByColumn, layoutKey)

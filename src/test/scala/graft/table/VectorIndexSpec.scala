@@ -727,6 +727,39 @@ class VectorIndexSpec extends SparkSpec {
       .collect().contains(3L))
   }
 
+  test("MOR position deletes surface as dead code rows and trigger the reap") {
+    // in-place churn the file-granularity signal was blind to: DV
+    // deletes leave every covered PATH live (coverage stays 1.0) while
+    // most codes can never surface — the DV-aware dead-code count sees
+    // them and the policy compacts
+    val t = embTable("vecidx_dvdead")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val n0 = t.toDF.count()
+    t.deletePos(col("vec_id") % 3 < 2)   // ~2/3 of the corpus
+    val live = t.toDF.count()
+    assert(live < n0 / 2)
+    val row = t.showIndexes.filter(col("index_type") === "vector")
+      .collect()(0)
+    assert(row.getAs[Double]("coverage") === 1.0)
+    assert(row.getAs[Long]("dead_code_rows") === n0 - live)
+    val (a, _) = t.maintainVectorIndex("embedding", maxCodeFiles = 1000000)
+    assert(a === "compacted", s"DV dead-code signal did not trigger ($a)")
+    val codes = spark.read.parquet(new Path(t.root,
+      s"_index/vector_embedding/${t.vectorIndexMeta("embedding").get.codesDir}")
+      .toString).count()
+    assert(codes === live)
+    assert(t.showIndexes.filter(col("index_type") === "vector")
+      .collect()(0).getAs[Long]("dead_code_rows") === 0L)
+    assert(t.maintainVectorIndex("embedding",
+      maxCodeFiles = 1000000)._1 === "noop")
+    // a surviving row still finds itself; a DV-deleted one never
+    // resurfaces from its reaped codes
+    val qLive = t.toDF.filter(col("vec_id") === 2L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    assert(t.vectorSearch(qLive, k = 3).orderBy(col("rank"))
+      .select("vec_id").as[Long].collect().head === 2L)
+  }
+
   test("recall measurements persist to the meta, surface in SHOW INDEXES, and memoize checkRecall") {
     val t = embTable("vecidx_recallmemo")
     t.buildVectorIndex("vec_id", "embedding", dim = 64)
