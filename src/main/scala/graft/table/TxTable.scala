@@ -1943,6 +1943,13 @@ class TxTable private (
       s.partitionColumns.map(c => fullSchema(fullSchema.fieldIndex(c))))
     val dataSchema = StructType(
       schema.fields.filterNot(f => s.partitionColumns.contains(f.name)))
+    // NO layout-cache key here, deliberately: unlike the V2 scan path
+    // (which keys only the version's verified-full file list), dfFor
+    // is routinely called with DOCTORED snapshot copies — same version
+    // and timestamp, subset file lists (delta scans, point lookups,
+    // rewrite inputs) — and any version-derived key would alias them
+    // against the full list. Table-scale repeated planning goes
+    // through the V2 catalog, which shares layouts safely.
     val index = org.apache.spark.sql.graft.ScanBridge.snapshotIndex(
       spark, dataDir, fullSchema, s.partitionColumns,
       s.files.map(f => (f.path, f.partitionValues, f.sizeBytes)),
