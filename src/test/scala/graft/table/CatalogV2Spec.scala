@@ -992,6 +992,33 @@ class CatalogV2Spec extends SparkSpec {
     }
   }
 
+  test("planning-layout cache never aliases a dropped-and-recreated table") {
+    withCatalog("layoutalias") { wh =>
+      // the r16 cross-query layout cache serves the O(files) planning
+      // geometry by (root, branch, version, created-ts, zone): a table
+      // DROPPED and RECREATED at the same root restarts version
+      // numbering, so created-ts is the only thing standing between
+      // the new v1 and the old v1's cached file list — pin it
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.la")
+      spark.sql("CREATE TABLE graft.la.t (id STRING, v INT)")
+      spark.sql("INSERT INTO graft.la.t VALUES ('old', 1)")
+      // plan + execute: the old v1 layout is now cached
+      assert(spark.sql("SELECT id FROM graft.la.t").collect()
+        .map(_.getString(0)).toSeq === Seq("old"))
+      spark.sql("DROP TABLE graft.la.t")
+      spark.sql("CREATE TABLE graft.la.t (id STRING, v INT)")
+      spark.sql("INSERT INTO graft.la.t VALUES ('new', 2)")
+      // same root, same version number, different creation: the read
+      // must see ONLY the new table's file
+      assert(spark.sql("SELECT id FROM graft.la.t").collect()
+        .map(_.getString(0)).toSeq === Seq("new"))
+      // and re-planning the same version twice stays consistent (the
+      // cached layout serves the second plan)
+      assert(spark.sql("SELECT id, v FROM graft.la.t WHERE v = 2")
+        .collect().map(_.getString(0)).toSeq === Seq("new"))
+    }
+  }
+
   test("declarative maintenance: graft.maintain.* properties keep an ingest healthy with no CALLs") {
     withCatalog("autom") { wh =>
       spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.am")
