@@ -1162,6 +1162,119 @@ object TxLog {
   private[graft] def purgeManifestCache(): Unit =
     manifestCache.synchronized(manifestCache.clear())
 
+  /** Manifest parse on the cold-read HOT PATH: a million-entry head
+    * resolves through manifests holding ~10⁶ DataFile entries, and
+    * json4s's reflective `extract` costs ~7 µs/entry there (jstack on
+    * the planning_1m cold read lands squarely in
+    * org.json4s.Extraction / ScalaType memo lookups / per-field
+    * JValue scans) — the dominant term of the 7 s cold
+    * materialization. The token-streaming walk below parses the same
+    * shape in ~1 µs/entry. STRICT about what it understands and
+    * fail-open about everything else: any structural surprise
+    * (unknown nesting it cannot skip, a type it does not expect)
+    * aborts to the json4s path, so evolution of the manifest schema
+    * degrades to the old speed, never to a wrong parse. Unknown
+    * FIELDS are skipped like json4s does; absent optional fields take
+    * the case-class defaults. */
+  private[table] def parseManifest(json: String): Manifest =
+    try parseManifestStreaming(json)
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        JsonMethods.parse(json).extract[Manifest]
+    }
+
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  private[table] def parseManifestStreaming(json: String): Manifest = {
+    import com.fasterxml.jackson.core.JsonToken._
+    val p = jsonFactory.createParser(json)
+    def expect(t: com.fasterxml.jackson.core.JsonToken): Unit =
+      if (p.currentToken() != t)
+        throw new IllegalStateException(s"expected $t, got ${p.currentToken()}")
+    def stringMap(): Map[String, String] = {
+      expect(START_OBJECT)
+      val b = Map.newBuilder[String, String]
+      while (p.nextToken() == FIELD_NAME) {
+        val k = p.currentName()
+        val v = p.nextToken() match {
+          case VALUE_STRING => p.getText
+          case VALUE_NULL => null
+          case other => throw new IllegalStateException(s"bad map value $other")
+        }
+        b += k -> v
+      }
+      expect(END_OBJECT)
+      b.result()
+    }
+    def colStats(): ColStats = {
+      expect(START_OBJECT)
+      var tag: String = null; var min: String = null; var max: String = null
+      var nullCount = 0L
+      while (p.nextToken() == FIELD_NAME) {
+        val k = p.currentName(); p.nextToken()
+        k match {
+          case "tag" => tag = if (p.currentToken() == VALUE_NULL) null else p.getText
+          case "min" => min = if (p.currentToken() == VALUE_NULL) null else p.getText
+          case "max" => max = if (p.currentToken() == VALUE_NULL) null else p.getText
+          case "nullCount" => nullCount = p.getLongValue
+          case _ => p.skipChildren()
+        }
+      }
+      expect(END_OBJECT)
+      ColStats(tag, min, max, nullCount)
+    }
+    def dataFile(): DataFile = {
+      expect(START_OBJECT)
+      var path: String = null
+      var parts: Map[String, String] = Map.empty
+      var rowCount = 0L; var sizeBytes = 0L; var seq = 0L
+      var stats: Option[Map[String, ColStats]] = None
+      while (p.nextToken() == FIELD_NAME) {
+        val k = p.currentName(); p.nextToken()
+        k match {
+          case "path" => path = p.getText
+          case "partitionValues" => parts = stringMap()
+          case "rowCount" => rowCount = p.getLongValue
+          case "sizeBytes" => sizeBytes = p.getLongValue
+          case "seq" => seq = p.getLongValue
+          case "stats" =>
+            if (p.currentToken() == VALUE_NULL) stats = None
+            else {
+              expect(START_OBJECT)
+              val b = Map.newBuilder[String, ColStats]
+              while (p.nextToken() == FIELD_NAME) {
+                val col = p.currentName(); p.nextToken()
+                b += col -> colStats()
+              }
+              expect(END_OBJECT)
+              stats = Some(b.result())
+            }
+          case _ => p.skipChildren()
+        }
+      }
+      expect(END_OBJECT)
+      if (path == null) throw new IllegalStateException("manifest entry lacks path")
+      DataFile(path, parts, rowCount, sizeBytes, stats, seq)
+    }
+    try {
+      p.nextToken(); expect(START_OBJECT)
+      var files: Vector[DataFile] = Vector.empty
+      val b = Vector.newBuilder[DataFile]
+      while (p.nextToken() == FIELD_NAME) {
+        p.currentName() match {
+          case "files" =>
+            p.nextToken(); expect(START_ARRAY)
+            while (p.nextToken() == START_OBJECT) b += dataFile()
+            expect(END_ARRAY)
+          case _ => p.nextToken(); p.skipChildren()
+        }
+      }
+      expect(END_OBJECT)
+      files = b.result()
+      Manifest(files)
+    } finally p.close()
+  }
+
   /** Raw snapshot-header reads — specs pin time-travel resolution cost
     * (binary search must be O(log commits), not a linear walk). */
   private val rawHeaderReads = new java.util.concurrent.atomic.AtomicLong
@@ -1226,8 +1339,8 @@ object TxLog {
           val bytes =
             try org.apache.commons.io.IOUtils.toByteArray(in)
             finally in.close()
-          val files = JsonMethods.parse(new String(bytes, StandardCharsets.UTF_8))
-            .extract[Manifest].files
+          val files =
+            parseManifest(new String(bytes, StandardCharsets.UTF_8)).files
           manifestCache.synchronized(manifestCache.put(key, files))
           files
       }

@@ -2784,6 +2784,56 @@ class TxTableSpec extends SparkSpec {
     assert(failure.get() === null, s"rebuilder failed: ${failure.get()}")
   }
 
+  test("streaming manifest parse is byte-equivalent to the reflective one") {
+    // the hot-path token-streaming manifest parser (cold reads at 10⁶
+    // entries were json4s-extract-bound) must agree with json4s on
+    // EVERYTHING json4s can write: differential test over adversarial
+    // and randomized entries — unicode, quotes, newlines, null map
+    // values, absent/present stats, huge longs, unknown-field
+    // tolerance
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    def roundTrip(m: graft.table.Manifest): Unit = {
+      val json = org.json4s.jackson.Serialization.write(m)
+      assert(TxLog.parseManifestStreaming(json) === m, s"mismatch on $json")
+      assert(TxLog.parseManifest(json) === m)
+    }
+    val nasty = graft.table.Manifest(Seq(
+      DataFile("a b/c%20d/\"q\"\n.parquet",
+        Map("k" -> null, "región" -> "日本/☃", "eq" -> "a=b+c"),
+        Long.MaxValue, Long.MinValue,
+        Some(Map("c1" -> graft.table.ColStats("string", null, "z\"\\", -1L),
+          "c 2" -> graft.table.ColStats(null, "", " x", Long.MaxValue))),
+        seq = 42L),
+      DataFile("plain.parquet", Map.empty, 0L, 0L, None)))
+    roundTrip(nasty)
+    val rnd = new scala.util.Random(20260816L)
+    def rs(): String = rnd.alphanumeric.take(rnd.nextInt(12)).mkString +
+      (if (rnd.nextBoolean()) "\"\\/é\n" else "")
+    (1 to 200).foreach { _ =>
+      roundTrip(graft.table.Manifest((0 until rnd.nextInt(5)).map { _ =>
+        DataFile(rs(), (0 until rnd.nextInt(3)).map(_ =>
+            rs() -> (if (rnd.nextInt(5) == 0) null else rs())).toMap,
+          rnd.nextLong(), rnd.nextLong(),
+          if (rnd.nextBoolean()) None
+          else Some((0 until rnd.nextInt(3)).map(_ => rs() ->
+            graft.table.ColStats(rs(), rs(), rs(), rnd.nextLong())).toMap),
+          rnd.nextLong())
+      }))
+    }
+    // unknown fields skip like json4s (schema-evolution tolerance) —
+    // nested objects/arrays included
+    val evolved = """{"files":[{"path":"p.parquet","partitionValues":{},
+      "rowCount":1,"sizeBytes":2,"seq":3,
+      "futureField":{"nested":[1,2,{"x":"y"}]},"another":null}],
+      "manifestLevelFuture":[{"a":1}]}"""
+    val parsed = TxLog.parseManifestStreaming(evolved)
+    assert(parsed.files === Seq(DataFile("p.parquet", Map.empty, 1L, 2L,
+      None, 3L)))
+    // a structurally alien document falls back rather than mis-parsing
+    intercept[Exception](
+      TxLog.parseManifestStreaming("""{"files":"not-an-array"}"""))
+  }
+
   test("vacuum aborts (fail-safe) when a LIVE retained snapshot's manifest is unreadable") {
     val dir = freshDir("tx_vac_fnfe")
     val t = TxTable.create(spark, new Path(dir, "t"), "t",
