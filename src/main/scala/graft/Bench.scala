@@ -1085,8 +1085,17 @@ object Bench {
       (System.nanoTime() - s0) / 1e9 / n
     }
     marginal("mwarm", 5, delta = true)
-    val marginalDelta = marginal("md", 50, delta = true)
-    val marginalWalk = marginal("mw", 50, delta = false)
+    // stable-min windows (the discipline every other key follows): the
+    // log GROWS across rounds' probe commits, so a fixed 50-commit
+    // window drifts across tier-merge cascades — a big merge landing
+    // inside reads as a 10× "marginal" regression (measured 13 ms vs
+    // the quiet 0.7-1.0 across five same-session runs) when the
+    // amortized merge cost is already commit_lag's ledger, not this
+    // key's. Runs recorded; min reported.
+    val (marginalDeltaRuns, marginalDelta) =
+      runsOf()(() => marginal("md", 50, delta = true))
+    val (marginalWalkRuns, marginalWalk) =
+      runsOf()(() => marginal("mw", 50, delta = false))
     s"""{"commits":$commits,"files":$commits,""" +
       s""""marginal_commit_delta_ms":${f"${marginalDelta * 1000}%.3f"},""" +
       s""""marginal_commit_walk_ms":${f"${marginalWalk * 1000}%.3f"},""" +
@@ -1098,7 +1107,11 @@ object Bench {
       s""""timestamp_resolve_10x_sec":${f"$tResolve%.4f"},""" +
       s""""timestamp_as_of_10x_sec":${f"$tAsOf%.3f"},""" +
       s""""runs":{"timestamp_resolve_10x":${runsJson(resolveRuns)},""" +
-      s""""timestamp_as_of_10x":${runsJson(asOfRuns)}}}"""
+      s""""timestamp_as_of_10x":${runsJson(asOfRuns)},""" +
+      s""""marginal_commit_delta_ms":${
+        runsJson(marginalDeltaRuns.map(_ * 1000))},""" +
+      s""""marginal_commit_walk_ms":${
+        runsJson(marginalWalkRuns.map(_ * 1000))}}}"""
   } catch {
     case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}"""
   }
