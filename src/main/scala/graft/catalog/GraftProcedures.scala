@@ -258,8 +258,12 @@ private[graft] object GraftProcedures {
               input.getInt(4), checkRecall = input.getBoolean(5))
             result("action" -> action, "detail" -> detail)
           case "measure_vector_index_recall" =>
+            // persist=false: the procedure is FULL_SELECT-gated, so a
+            // read-only principal's probe must not publish a meta slot
+            // (the memo is a write; see TxTable.measureVectorIndexRecall)
             val r = t.measureVectorIndexRecall(input.getString(1),
-              k = input.getInt(2), sampleQueries = input.getInt(3))
+              k = input.getInt(2), sampleQueries = input.getInt(3),
+              persist = false)
             result("recall" -> r)
           case "maintain_table" =>
             def optL(i: Int) =

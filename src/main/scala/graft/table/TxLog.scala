@@ -318,6 +318,13 @@ final case class Snapshot(
       * .expire]] keeps a carrier alive while any surviving header
       * references it. */
     carried: Option[Seq[DataFile]] = None,
+    /** free-form commit provenance (the Delta commitInfo shape, r16
+      * VERDICT task 7): who/what produced this commit beyond the
+      * `operation` verb — the auto-maintenance trigger stamps
+      * `trigger=auto` plus the sweep's (action, detail) pairs here so
+      * DESCRIBE HISTORY can audit continuous maintenance from SQL.
+      * Additive: absent on every pre-upgrade header. */
+    info: Map[String, String] = Map.empty,
     /** multi-table transaction membership: `Some(markerPath)` means
       * this commit's VISIBILITY is decided by the marker file at that
       * absolute path, not by the commit itself — marker COMMITTED →

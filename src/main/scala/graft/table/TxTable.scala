@@ -1171,7 +1171,15 @@ class TxTable private (
    * codes mis-route probes. One brute-force sample × corpus pass.
    */
   def measureVectorIndexRecall(vecCol: String = "embedding", k: Int = -1,
-      sampleQueries: Int = 32): Double = {
+      sampleQueries: Int = 32,
+      /** whether to stamp the measurement into the index meta. The SQL
+        * procedure surface passes false: `measure_vector_index_recall`
+        * is gated at FULL_SELECT, and a SELECT-only principal must not
+        * mutate `_index` state through it (ADVICE r16 low — the
+        * read/write bar the INSERT-gated maintenance procedures
+        * observe). The maintain/drift paths keep the memo: they already
+        * hold write access. */
+      persist: Boolean = true): Double = {
     import graft.operators.Similarity
     val meta = vectorIndexMeta(vecCol).getOrElse(throw new IllegalStateException(
       s"no vector index on $name.$vecCol — run buildVectorIndex first"))
@@ -1199,7 +1207,7 @@ class TxTable private (
     // CAS to a concurrent maintenance op (or a read-only store) keeps
     // the measurement usable by THIS caller — the stamp is a memo, not
     // a commit.
-    try {
+    if (persist) try {
       vectorMaintLock(vecCol).synchronized {
         val live = vectorIndexMeta(vecCol)
         // only stamp the meta the measurement actually probed — a
@@ -1875,11 +1883,12 @@ class TxTable private (
             s.files.size, rowsOf(s.files), s.files.map(_.sizeBytes).sum,
             addedF.size, removedF.size,
             rowsOf(addedF), rowsOf(removedF),
-            addedF.map(_.sizeBytes).sum, removedF.map(_.sizeBytes).sum)
+            addedF.map(_.sizeBytes).sum, removedF.map(_.sizeBytes).sum,
+            s.info)
           else (s.version, s.operation,
             new java.sql.Timestamp(s.timestampMs),
             s.files.size, rowsOf(s.files), s.files.map(_.sizeBytes).sum,
-            -1, -1, -1L, -1L, -1L, -1L)
+            -1, -1, -1L, -1L, -1L, -1L, s.info)
         prevFiles = s.files
         haveParent = true
         Some(row)
@@ -1889,7 +1898,12 @@ class TxTable private (
     }.reverse
       .toDF("version", "operation", "committed_at", "n_files", "n_rows",
         "total_bytes", "n_added_files", "n_removed_files", "added_rows",
-        "removed_rows", "added_bytes", "removed_bytes")
+        "removed_rows", "added_bytes", "removed_bytes",
+        // commit provenance ([[Snapshot.info]]): auto-maintenance
+        // sweeps surface here as MAINTAIN rows with trigger=auto plus
+        // their action details — continuous maintenance is auditable
+        // from SQL under the same DESCRIBE bar as the rest of history
+        "operation_info")
   }
 
   /** Exact row count from snapshot metadata — O(files) on the driver,
@@ -2852,7 +2866,8 @@ class TxTable private (
       changeFiles: Seq[String] = Nil,
       deletionVectors: Seq[DeletionVector] = null,
       pendingTxn: Option[String] = None,
-      appendOf: Option[(Snapshot, Seq[DataFile])] = None): Long = {
+      appendOf: Option[(Snapshot, Seq[DataFile])] = None,
+      info: Map[String, String] = Map.empty): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     val prior = expected.map(v => snapshotAt(v))
     val txns = Option(appTxns).getOrElse(
@@ -2898,6 +2913,7 @@ class TxTable private (
       partitionSpec = spec,
       changeFiles = changeFiles,
       deletionVectors = dvs,
+      info = info,
       pendingTxn = pendingTxn), conf, appendOf = appendOf)
   }
 
@@ -4526,6 +4542,87 @@ class TxTable private (
    * a slower cadence. Returns (action, detail) rows — empty dimensions
    * are omitted, an all-quiet call returns a single noop row.
    */
+  // ---- cross-process maintenance lease (r16 VERDICT task 6) ---------
+  // Two processes with graft.maintain.enabled (or two schedulers
+  // looping maintain_table) are CAS-safe but duplicate O(table) work.
+  // An ADVISORY TTL lease dedups it: a sweep takes the lease before
+  // acting and skips politely when another holder is live. Same
+  // sequence-slot CAS pattern as the index meta (immutable
+  // `lease-<seq>.json` names through the CommitProtocol seam): acquire
+  // NEVER deletes a live slot — the classic both-see-expired /
+  // delete-each-other's-fresh-lease race cannot exist because takeover
+  // is putIfAbsent on the NEXT slot name, and lower-seq slots are
+  // inert. A crashed holder never wedges maintenance: its slot expires
+  // by wall clock and the next acquirer CASes the successor slot.
+
+  private val LeaseSlotRe = raw"lease-(\d{9})\.json".r
+  private def leaseSlotName(seq: Long): String = f"lease-$seq%09d.json"
+
+  /** (seq, path) of every lease slot under the log dir, unsorted. */
+  private def leaseSlots(): Seq[(Long, Path)] =
+    if (!fs.exists(logDir)) Nil
+    else fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
+      case LeaseSlotRe(seq) if st.isFile => Some(seq.toLong -> st.getPath)
+      case _ => None
+    })
+
+  /** Try to take the maintenance lease for `ttlMs`. Some(holderToken)
+    * on success; None when a live (unexpired, unreleased) holder
+    * exists or a racer wins the successor slot. An UNREADABLE highest
+    * slot (half-written racer) counts as held — skipping one cycle is
+    * the advisory-lease failure mode, never duplicate work by default. */
+  private def tryAcquireMaintenanceLease(ttlMs: Long): Option[String] = {
+    val holder = java.util.UUID.randomUUID().toString
+    val slots = leaseSlots()
+    val next = slots.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+    val live = slots.maxByOption(_._1).flatMap { case (_, p) =>
+      try {
+        val in = fs.open(p)
+        val json = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        Some(org.json4s.jackson.JsonMethods.parse(json)
+          .extract[TxTable.MaintenanceLease])
+      } catch {
+        case _: java.io.FileNotFoundException => None // released
+        case scala.util.control.NonFatal(_) =>
+          Some(TxTable.MaintenanceLease("unreadable", Long.MaxValue))
+      }
+    }
+    if (live.exists(_.expiresAtMs > System.currentTimeMillis())) return None
+    val content = {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      org.json4s.jackson.Serialization.write(TxTable.MaintenanceLease(
+        holder, System.currentTimeMillis() + ttlMs))
+    }
+    val scheme = Option(root.toUri.getScheme).getOrElse(
+      Option(fs.getUri).map(_.getScheme).getOrElse("file"))
+    try {
+      TxLog.protocolFor(scheme).putIfAbsent(fs,
+        new Path(logDir, leaseSlotName(next)),
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        next, None)
+      // winner housekeeping: drop inert lower-seq slots (best-effort)
+      try slots.foreach { case (seq, p) => if (seq < next) fs.delete(p, false) }
+      catch { case _: Exception => () }
+      Some(holder)
+    } catch { case _: CommitConflictException => None }
+  }
+
+  /** Release the lease `holder` took: delete the slot iff it is still
+    * ours (a TTL takeover may have superseded us mid-sweep — deleting
+    * the successor's slot would double-grant). Best-effort. */
+  private def releaseMaintenanceLease(holder: String): Unit = try {
+    leaseSlots().maxByOption(_._1).foreach { case (_, p) =>
+      val in = fs.open(p)
+      val json = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      if (json.contains(holder)) fs.delete(p, false)
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   def maintainTable(
       targetFileBytes: Long = 128L * 1024 * 1024,
       smallFileBytes: Long = 64L * 1024 * 1024,
@@ -4543,7 +4640,17 @@ class TxTable private (
         * the listing itself, and a healthy streaming table must not pay
         * one per epoch. A scheduler-called pass keeps the
         * unconditional sweep. */
-      orphansOnlyAfterWork: Boolean = false): Seq[(String, String)] = {
+      orphansOnlyAfterWork: Boolean = false,
+      /** who initiated the sweep — "call" (a scheduler/user CALL) or
+        * "auto" (the post-commit trigger). An AUTO sweep that did work
+        * additionally writes one metadata-only MAINTAIN commit carrying
+        * its (action, detail) rows in [[Snapshot.info]], so continuous
+        * background maintenance is auditable from DESCRIBE HISTORY
+        * (r16 VERDICT task 7 — the managed service's visible
+        * maintenance activity). CALL sweeps stay commit-free beyond
+        * the work itself: the caller already receives the action rows,
+        * and specs/schedulers pin version numbers around them. */
+      trigger: String = "call"): Seq[(String, String)] = {
     // validate EVERYTHING before any dimension runs: compaction and
     // index upkeep COMMIT work, so a bad retention argument surfacing
     // only in step 3's require would leave a half-applied maintenance
@@ -4560,6 +4667,22 @@ class TxTable private (
         "compacting fewer than two inputs is a no-op rewrite")
     require(orphanGraceMs >= 0,
       s"orphan_grace_ms must be >= 0 (got $orphanGraceMs)")
+    // advisory cross-process lease: dedup concurrent sweeps of one
+    // table (graft.maintain.leaseMs; <= 0 disables). Skipping is
+    // POLITE — the holder is doing the same work, and a crashed
+    // holder's slot expires by TTL.
+    val leaseTtl = snapshot.properties
+      .get(TxTable.MaintainPrefix + "leaseMs")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(TxTable.DefaultMaintainLeaseMs)
+    val lease =
+      if (leaseTtl <= 0) None
+      else tryAcquireMaintenanceLease(leaseTtl) match {
+        case None =>
+          return Seq("skipped" -> "maintenance lease held by another process")
+        case some => some
+      }
+    try {
     val out = scala.collection.mutable.Buffer.empty[(String, String)]
     // 1. small-file compaction: bin-pack when the debris has
     // accumulated past the same floor the inline auto-compactor uses —
@@ -4626,7 +4749,22 @@ class TxTable private (
       if (removed > 0) out += "vacuumed" -> s"$removed files"
     }
     if (out.isEmpty) Seq("noop" -> "all signals within thresholds")
-    else out.toSeq
+    else {
+      // audit trail for background sweeps: one metadata-only commit
+      // whose info carries the actions — best-effort (the work above
+      // already committed; losing the audit row must not fail it)
+      if (trigger == "auto") try {
+        retryingCommit("MAINTAIN") { expected =>
+          val cur = snapshotAt(expected)
+          commit(Some(expected), "MAINTAIN", schemaOf(cur),
+            cur.partitionColumns, cur.files,
+            info = Map("trigger" -> "auto") ++
+              out.map { case (a, d) => s"action:$a" -> d })
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      out.toSeq
+    }
+    } finally lease.foreach(releaseMaintenanceLease)
   }
 
   /**
@@ -4653,33 +4791,55 @@ class TxTable private (
       orphanGraceMs: Option[Long] = None,
       maintainIndexes: Option[Boolean] = None,
       checkRecall: Option[Boolean] = None,
-      orphansOnlyAfterWork: Boolean = false): Seq[(String, String)] = {
+      orphansOnlyAfterWork: Boolean = false,
+      trigger: String = "call"): Seq[(String, String)] = {
     val props = snapshot.properties
-    def pL(key: String, d: Long): Long =
+    // property VALUES are validated against the same bounds
+    // maintainTable's requires enforce (ADVICE r16 medium): a parseable
+    // but out-of-range property (minSmallFiles=1) used to flow through
+    // and fail EVERY pass — under the auto trigger that silently
+    // suppressed all maintenance for the table. Out-of-range falls back
+    // to the default exactly like unparseable, with a warn naming the
+    // key; explicit CALL arguments still surface as hard errors (a
+    // direct caller's mistake must not be silently rewritten).
+    def fallBack[A](key: String, v: A, d: A, valid: A => Boolean): A =
+      if (valid(v)) v
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"table property ${TxTable.MaintainPrefix}$key=$v of $name is " +
+            s"out of range — using default $d")
+        d
+      }
+    def pL(key: String, d: Long, valid: Long => Boolean = _ => true): Long =
       props.get(TxTable.MaintainPrefix + key)
-        .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(d)
-    def pI(key: String, d: Int): Int =
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .map(v => fallBack(key, v, d, valid)).getOrElse(d)
+    def pI(key: String, d: Int, valid: Int => Boolean = _ => true): Int =
       props.get(TxTable.MaintainPrefix + key)
-        .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(d)
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .map(v => fallBack(key, v, d, valid)).getOrElse(d)
     def pB(key: String, d: Boolean): Boolean =
       props.get(TxTable.MaintainPrefix + key)
         .map(_.trim.equalsIgnoreCase("true")).getOrElse(d)
     maintainTable(
       targetFileBytes = targetFileBytes.getOrElse(
-        pL("targetFileBytes", 128L * 1024 * 1024)),
+        pL("targetFileBytes", 128L * 1024 * 1024, _ > 0)),
       smallFileBytes = smallFileBytes.getOrElse(
-        pL("smallFileBytes", 64L * 1024 * 1024)),
-      minSmallFiles = minSmallFiles.getOrElse(pI("minSmallFiles", 16)),
-      retainSnapshots = retainSnapshots.getOrElse(pI("retainSnapshots", 10)),
+        pL("smallFileBytes", 64L * 1024 * 1024, _ > 0)),
+      minSmallFiles = minSmallFiles.getOrElse(
+        pI("minSmallFiles", 16, _ >= 2)),
+      retainSnapshots = retainSnapshots.getOrElse(
+        pI("retainSnapshots", 10, _ >= 1)),
       maxSnapshotAgeMs = maxSnapshotAgeMs.getOrElse(
         pL("maxSnapshotAgeMs", -1L)),
       removeOrphans = removeOrphans.getOrElse(pB("removeOrphans", true)),
       orphanGraceMs = orphanGraceMs.getOrElse(
-        pL("orphanGraceMs", 10L * 60 * 1000)),
+        pL("orphanGraceMs", 10L * 60 * 1000, _ >= 0)),
       maintainIndexes = maintainIndexes.getOrElse(
         pB("maintainIndexes", true)),
       checkRecall = checkRecall.getOrElse(pB("checkRecall", false)),
-      orphansOnlyAfterWork = orphansOnlyAfterWork)
+      orphansOnlyAfterWork = orphansOnlyAfterWork,
+      trigger = trigger)
   }
 
   /** Post-commit CONTINUOUS maintenance (opt-in,
@@ -4697,17 +4857,31 @@ class TxTable private (
     *  - `graft.maintain.intervalMs` rate-limits evaluation per table
     *    (JVM-wide stamp keyed by log dir — two handles of one table
     *    share the cadence); 0 = evaluate every commit, the signals
-    *    themselves gate the work;
+    *    themselves gate the work. The stamp is written only after a
+    *    sweep SUCCEEDS (ADVICE r16 medium): a transiently-failing pass
+    *    must not silence maintenance for a full interval — the next
+    *    commit re-evaluates;
     *  - the orphan sweep (the one O(listing) dimension) runs only in
     *    a pass that did other work;
     *  - reentrancy-guarded: maintenance's own commits never re-enter;
-    *  - branch handles skip (retention/vacuum are main-chain ops). */
+    *  - branch handles skip (retention/vacuum are main-chain ops);
+    *  - ASYNCHRONOUS (r16 VERDICT task 4): the sweep runs on the
+    *    shared single-thread background lane
+    *    ([[TxTable.maintenanceExecutor]]), so a threshold-crossing
+    *    pass never stalls the committing thread — a streaming ingest's
+    *    micro-batch cadence stays flat while compaction + expiry run
+    *    behind it, the reference's background-service shape
+    *    (kinesis-firehose-stream/README.md:12). One in-flight sweep
+    *    per table ([[TxTable.autoMaintainInFlight]]): concurrent
+    *    commits while a sweep is queued or running schedule nothing —
+    *    the running sweep reads the snapshot current when it STARTS,
+    *    and the next commit after it finishes re-evaluates. */
   private def maybeAutoMaintain(): Unit = {
     if (branchName.isDefined) return
+    if (TxTable.autoMaintainActive.get()) return
     val cur = TxLog.readCurrent(logDir, conf).getOrElse(return)
     if (!cur.properties.get(TxTable.MaintainEnabledProperty)
         .exists(_.trim.equalsIgnoreCase("true"))) return
-    if (TxTable.autoMaintainActive.get()) return
     val interval = cur.properties
       .get(TxTable.MaintainPrefix + "intervalMs")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
@@ -4717,14 +4891,38 @@ class TxTable private (
       val last = TxTable.lastAutoMaintainMs.get(key)
       if (last != null && now - last < interval) return
     }
-    TxTable.lastAutoMaintainMs.put(key, now)
-    TxTable.autoMaintainActive.set(true)
-    try maintainTableConfigured(orphansOnlyAfterWork = true)
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"auto-maintenance of $name skipped: ${e.getMessage}")
-    } finally TxTable.autoMaintainActive.set(false)
+    if (!TxTable.autoMaintainInFlight.add(key)) return
+    try TxTable.maintenanceExecutor.execute(() => {
+      TxTable.autoMaintainActive.set(true)
+      try {
+        TxTable.autoMaintainTestHook()
+        // a FRESH handle, never `this`: the committing handle may be
+        // statement-pinned (GraftSql / the streaming sink open
+        // per-statement pinned handles), and a sweep evaluating a
+        // pinned PRE-COMMIT snapshot reads stale signals — at worst
+        // acting on files a previous sweep already rewrote
+        TxTable.open(spark, root, name)
+          .maintainTableConfigured(orphansOnlyAfterWork = true,
+            trigger = "auto")
+        // stamp ONLY on success: a failed pass leaves the stamp alone
+        // so the next commit retries instead of waiting out the
+        // interval (the in-flight latch already prevents hot-looping
+        // a broken policy within one sweep's lifetime)
+        TxTable.lastAutoMaintainMs.put(key, System.currentTimeMillis())
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          TxTable.lastAutoMaintainFailure = Some(e)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"auto-maintenance of $name skipped: ${e.getMessage}")
+      } finally {
+        TxTable.autoMaintainActive.set(false)
+        TxTable.autoMaintainInFlight.remove(key)
+      }
+    }) catch {
+      // rejected/failed handoff: release the latch — nothing will run
+      case scala.util.control.NonFatal(_) =>
+        TxTable.autoMaintainInFlight.remove(key)
+    }
   }
 
   /** What tagged versions BELOW the retention horizon still reference —
@@ -5103,6 +5301,16 @@ object TxTable {
   val MaintainPrefix = "graft.maintain."
   val MaintainEnabledProperty = MaintainPrefix + "enabled"
 
+  /** Advisory cross-process maintenance-lease TTL default
+    * (`graft.maintain.leaseMs`; <= 0 disables the lease). 10 minutes
+    * comfortably covers a large sweep; a crashed holder delays the
+    * next sweep by at most this. */
+  val DefaultMaintainLeaseMs: Long = 10L * 60 * 1000
+
+  /** On-disk body of one `lease-<seq>.json` slot. */
+  private[table] final case class MaintenanceLease(
+      holder: String, expiresAtMs: Long)
+
   /** Reentrancy guard for the post-commit maintenance trigger: the
     * policy's own compaction commits on the same thread and must not
     * recurse into another evaluation. */
@@ -5110,10 +5318,59 @@ object TxTable {
     override def initialValue(): Boolean = false
   }
 
-  /** Last auto-maintenance evaluation per log dir (JVM-wide, ms) —
-    * backs `graft.maintain.intervalMs`. */
+  /** Last SUCCESSFUL auto-maintenance sweep per log dir (JVM-wide,
+    * ms) — backs `graft.maintain.intervalMs`. Written only when a
+    * sweep completes (ADVICE r16 medium): failures leave it alone so
+    * the next commit re-evaluates. */
   private[table] val lastAutoMaintainMs =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Tables (by log dir) with an auto-maintenance sweep queued or
+    * running — at most ONE in flight per table, however many commits
+    * land while it runs. */
+  private[table] val autoMaintainInFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Test seam: runs at the head of every background sweep (inject a
+    * delay to pin epoch latency, or a throw to pin retry stamping). */
+  @volatile private[graft] var autoMaintainTestHook: () => Unit = () => ()
+
+  /** Last background-sweep failure (diagnostics; sweeps are
+    * best-effort and only warn-log). */
+  @volatile private[graft] var lastAutoMaintainFailure: Option[Throwable] = None
+
+  /** The single background maintenance lane (r16 VERDICT task 4 — the
+    * reference's maintenance is a managed background service, not work
+    * on the ingest path). One DAEMON worker with corePoolSize 0 and a
+    * short keep-alive: the thread exists only while sweeps are queued
+    * and dies a few seconds after the last one — nothing outlives the
+    * work, so a stopped Spark session leaks no thread. One lane JVM-
+    * wide is deliberate: maintenance is background throughput work;
+    * serializing sweeps across tables bounds its resource draw the way
+    * a managed service's scheduler would. */
+  private[table] lazy val maintenanceExecutor
+      : java.util.concurrent.ThreadPoolExecutor = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-auto-maintain")
+        t.setDaemon(true)
+        t
+      }
+    }
+    new java.util.concurrent.ThreadPoolExecutor(0, 1, 5L,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
+  }
+
+  /** Test helper: block until every auto-maintenance sweep scheduled
+    * BEFORE this call has finished (FIFO single lane — a no-op fence
+    * task drains behind them). */
+  private[graft] def awaitAutoMaintenance(timeoutMs: Long = 120000L): Unit = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    maintenanceExecutor.execute(() => latch.countDown())
+    require(latch.await(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS),
+      s"auto-maintenance lane did not drain within ${timeoutMs}ms")
+  }
 
   private[graft] def morMode(s: Snapshot, prop: String): Boolean =
     s.properties.get(prop).exists(_.trim.equalsIgnoreCase("merge-on-read"))

@@ -89,9 +89,20 @@ object SnapshotFileIndex {
     * correctness (entries are reused by exact (rel, size, values)
     * match). WEAK references: the slot must not pin a layout the
     * weight-bounded cache already evicted — a cleared ref only costs
-    * the next build its reuse. */
-  private val latestByTable = new java.util.concurrent.ConcurrentHashMap[
-    String, java.lang.ref.WeakReference[Layout]]()
+    * the next build its reuse. LRU-bounded (ADVICE r16 low): the
+    * values are weak but the KEYS and reference shells were
+    * accumulating one entry per table forever — a long-lived driver
+    * creating/dropping many tables leaked map entries. 512 live
+    * table slots is far above any realistic concurrently-planned
+    * table count; evicting one only costs that table's next build
+    * its prior reuse. */
+  private val latestByTable =
+    new java.util.LinkedHashMap[String, java.lang.ref.WeakReference[Layout]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.ref.WeakReference[Layout]])
+          : Boolean = size > 512
+    }
 
   private def layoutCached(key: Option[(String, String)])(
       build: Option[Layout] => Layout): Layout = key match {
@@ -103,9 +114,11 @@ object SnapshotFileIndex {
         // build OUTSIDE the lock: a million-entry build takes seconds
         // and must not serialize unrelated tables' planning behind it
         // (two racers building the same key just waste one build)
-        val l = build(Option(latestByTable.get(tableKey))
-          .flatMap(r => Option(r.get())))
-        latestByTable.put(tableKey, new java.lang.ref.WeakReference(l))
+        val prior = latestByTable.synchronized(
+          Option(latestByTable.get(tableKey))).flatMap(r => Option(r.get()))
+        val l = build(prior)
+        latestByTable.synchronized(
+          latestByTable.put(tableKey, new java.lang.ref.WeakReference(l)))
         layoutCache.synchronized {
           val won = layoutCache.get(k)
           if (won != null) won

@@ -289,6 +289,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sink epochs stay flat while an auto-maintenance sweep runs") {
+    // r16 VERDICT task 4: maybeAutoMaintain used to run INLINE on the
+    // committing thread — on a streaming ingest, the micro-batch
+    // thread paid the full sweep. With the background lane, a sweep
+    // parked for seconds must not move epoch latency: the ingest
+    // below commits through a 3-second-blocked sweep and every epoch
+    // stays an order of magnitude under the block.
+    val wh = freshDir("v2cat_epochflat")
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.ef")
+    spark.sql("CREATE TABLE graft.ef.t (id LONG, v INT) TBLPROPERTIES (" +
+      "'graft.maintain.enabled' = 'true', " +
+      "'graft.maintain.minSmallFiles' = '4', " +
+      "'graft.maintain.orphanGraceMs' = '0')")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val swept = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.table.TxTable.autoMaintainTestHook = () => {
+      swept.incrementAndGet()
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Int)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", s"${freshDir("v2cat_epochflat_ck")}/ckpt")
+      .toTable("graft.ef.t")
+    try {
+      val epochSecs = (1 to 6).map { i =>
+        in.addData((i.toLong, i))
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // the first epoch's post-commit trigger parked a sweep on the
+      // gate; every epoch (including later ones that would have queued
+      // behind an inline sweep) must clear far under the 30 s park
+      assert(swept.get() >= 1, "no sweep was scheduled by the stream")
+      assert(epochSecs.forall(_ < 10.0),
+        s"an epoch stalled behind the parked sweep: $epochSecs")
+      gate.countDown()
+      graft.table.TxTable.awaitAutoMaintenance()
+      graft.table.TxTable.awaitAutoMaintenance()
+      // the sweep then did its work off-thread: files compacted
+      val cat = new graft.table.TableCatalog(spark,
+        new org.apache.hadoop.fs.Path(wh))
+      val tx = cat.getTable("ef", "t")
+      assert(tx.snapshot.files.size < 6,
+        s"background sweep never compacted: ${tx.snapshot.files.size}")
+      assert(spark.table("graft.ef.t").count() === 6)
+    } finally {
+      graft.table.TxTable.autoMaintainTestHook = () => ()
+      gate.countDown()
+      q.stop()
+    }
+  }
+
   test("streaming table source: maxFilesPerTrigger drains a backlog in bounded batches") {
     val wh = freshDir("v2cat_admit")
     spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")

@@ -1044,6 +1044,11 @@ class CatalogV2Spec extends SparkSpec {
       // past 5, and the vacuum piggybacks on passes that did work
       (1 to 30).foreach(i =>
         spark.sql(s"INSERT INTO graft.am.t VALUES ('k$i', $i)"))
+      // sweeps run on the background lane since r17 — drain it (a
+      // sweep's own trailing commit may schedule nothing further, but
+      // a commit landing mid-sweep schedules one more; loop to quiet)
+      TxTable.awaitAutoMaintenance()
+      TxTable.awaitAutoMaintenance()
       val t = new TableCatalog(spark, new Path(wh)).getTable("am", "t")
       val files = t.snapshot.files.size
       assert(files < 15, s"auto-maintenance never compacted: $files files")
@@ -1083,6 +1088,12 @@ class CatalogV2Spec extends SparkSpec {
       // stamp is JVM-wide per table)
       spark.sql("ALTER TABLE graft.am.t SET TBLPROPERTIES " +
         "('graft.maintain.intervalMs' = '3600000')")
+      // the interval gate reads the last SUCCESSFUL sweep stamp; the
+      // sweeps above stamped it moments ago, so the hour-long interval
+      // silences the trigger for the commits below. Drain first so no
+      // already-queued sweep interleaves its commits into the count.
+      TxTable.awaitAutoMaintenance()
+      TxTable.awaitAutoMaintenance()
       val vNow = t.currentVersion
       (31 to 40).foreach(i =>
         spark.sql(s"INSERT INTO graft.am.t VALUES ('k$i', $i)"))

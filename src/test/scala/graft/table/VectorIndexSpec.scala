@@ -799,6 +799,24 @@ class VectorIndexSpec extends SparkSpec {
     val m3 = t.vectorIndexMeta("embedding").get
     assert(m3.measuredAtVersion.contains(t.currentVersion))
     assert(m3.measuredRecall.exists(_ >= 0.9))
+    // READ-BAR surface (ADVICE r16 low): persist=false — what the
+    // FULL_SELECT-gated measure_vector_index_recall procedure passes —
+    // returns a usable value but publishes NO meta slot: a SELECT-only
+    // principal's probe must not mutate _index state
+    val slotsBefore = t.root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(t.root, "_index/vector_embedding"))
+      .count(_.getPath.getName.matches("meta-\\d{9}\\.json"))
+    val memoBefore = t.vectorIndexMeta("embedding").get.measuredAtMs
+    val probed = t.measureVectorIndexRecall("embedding", persist = false)
+    assert(probed >= 0.0 && probed <= 1.0)
+    val slotsAfter = t.root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      .listStatus(new Path(t.root, "_index/vector_embedding"))
+      .count(_.getPath.getName.matches("meta-\\d{9}\\.json"))
+    assert(slotsAfter === slotsBefore,
+      "a persist=false recall probe published a meta slot")
+    assert(t.vectorIndexMeta("embedding").get.measuredAtMs === memoBefore)
   }
 
   test("meta publish CAS goes through the commit protocol: a claimed slot refuses cross-process") {
