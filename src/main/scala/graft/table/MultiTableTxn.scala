@@ -72,7 +72,14 @@ final class GraftTxn private (spark: SparkSession, txnDir: Path) {
     require(!ops.exists(o => o.table.root.toString == t.root.toString),
       s"transaction $id already has an operation on ${t.name} — " +
         "one operation per table per transaction")
-    ops += StagedOp(t, op, f)
+    // stage under this txn's in-flight scope: the files written here
+    // are protected from same-process vacuums until publish — and an
+    // explicit ABORT releases them in one sweep, keeping the
+    // "aborted staged files are immediately reapable orphans" contract
+    val prev = TxLog.inFlightScope.get()
+    TxLog.inFlightScope.set(id)
+    val fn = try f finally TxLog.inFlightScope.set(prev)
+    ops += StagedOp(t, op, fn)
     this
   }
 
@@ -119,13 +126,19 @@ final class GraftTxn private (spark: SparkSession, txnDir: Path) {
   def commit(): Map[String, Long] = synchronized {
     require(!done, s"transaction $id is already finished")
     done = true
-    val versions = publishPending()
-    decide() match {
-      case TxLog.TxnCommitted => versions
-      case other => throw new CommitConflictException(
-        s"transaction $id was $other by a concurrent resolver " +
-          "(publish window exceeded graft.txn.resolveWaitMs?)")
-    }
+    try {
+      val versions = publishPending()
+      decide() match {
+        case TxLog.TxnCommitted => versions
+        case other => throw new CommitConflictException(
+          s"transaction $id was $other by a concurrent resolver " +
+            "(publish window exceeded graft.txn.resolveWaitMs?)")
+      }
+    } finally
+      // published files were already released per-commit; this drops
+      // the scope bookkeeping (and, on an aborted publish, restores
+      // immediate reapability of the never-published remainder)
+      TxLog.releaseInFlightScope(id)
   }
 
   /** Abort: staged data files become vacuum-reapable orphans; any
@@ -134,6 +147,7 @@ final class GraftTxn private (spark: SparkSession, txnDir: Path) {
     * state. */
   def abort(): String = synchronized {
     done = true
+    TxLog.releaseInFlightScope(id)
     TxLog.decideTxn(marker, TxLog.TxnAborted, conf)
   }
 

@@ -180,7 +180,16 @@ final case class VectorIndexMeta(
     measuredRecall: Option[Double] = None,
     measuredAtVersion: Option[Long] = None,
     measuredK: Option[Int] = None,
-    measuredAtMs: Option[Long] = None)
+    measuredAtMs: Option[Long] = None,
+    /** [[Snapshot.counters]] `cumAdded`/`cumRemoved` at the last
+      * build/refresh/rewrite (r16 VERDICT task 3): the per-commit
+      * auto-maintain gate bounds uncovered files by
+      * `cumAdded - cumAddedAt` and dead entries by
+      * `cumRemoved - cumRemovedAt` — O(1) from two maps the driver
+      * already holds, no file-set walk. None on legacy metas (the gate
+      * then treats the index dimension as due). */
+    cumAddedAt: Option[Long] = None,
+    cumRemovedAt: Option[Long] = None)
 
 /** Pointer to an immutable manifest file under the log dir holding a
   * `Seq[DataFile]` group — the Iceberg manifest-list indirection that
@@ -325,6 +334,27 @@ final case class Snapshot(
       * DESCRIBE HISTORY can audit continuous maintenance from SQL.
       * Additive: absent on every pre-upgrade header. */
     info: Map[String, String] = Map.empty,
+    /** Commit-time MAINTENANCE COUNTERS (r16 VERDICT task 3), stamped
+      * by [[TxLog.layout]] on every commit, maintained INCREMENTALLY on
+      * the O(delta) append paths so the marginal-commit cost stays flat
+      * at the 10⁶-file shape:
+      *  - `totalFiles` / `totalBytes` — live file count / byte sum;
+      *  - `totalRows` — live footer-row sum, PRESENT only when every
+      *    file's rowCount is known (add_files imports record -1);
+      *  - `smallCount` + `smallThreshold` — files under the table's
+      *    CONFIGURED `graft.maintain.smallFileBytes` (default 64 MB) at
+      *    commit time, with the threshold they were counted against (a
+      *    sweep invoked with a different threshold falls back to the
+      *    O(files) walk);
+      *  - `cumAdded` / `cumRemoved` — MONOTONE cumulative file
+      *    add/remove counts since the log upgrade: index metas stamp
+      *    the values they were built at, so `cumAdded - cumAddedAt` is
+      *    an O(1) upper bound on files an index does not cover and
+      *    `cumRemoved - cumRemovedAt` on its dead entries — the
+      *    per-commit auto-maintain gate reads ONLY these, and the
+      *    O(files) signal evaluation runs only inside passes that act.
+      * Empty on pre-upgrade headers (the gate then evaluates fully). */
+    counters: Map[String, Long] = Map.empty,
     /** multi-table transaction membership: `Some(markerPath)` means
       * this commit's VISIBILITY is decided by the marker file at that
       * absolute path, not by the commit itself — marker COMMITTED →
@@ -340,6 +370,57 @@ class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 object TxLog {
   implicit private val fmts: Formats = DefaultFormats
+
+  // ---- in-flight write protection (r17) ------------------------------
+  // File/dir NAMES (UUID-unique) of THIS process's writes between
+  // staging and commit: the async maintenance lane overlaps live
+  // writers BY DESIGN, so a same-process vacuum must never reclaim
+  // them however short the orphan grace — without this, a background
+  // sweep with orphanGraceMs=0 deletes a racing append's staging dir
+  // mid-write. [[commit]] releases a name the moment its path is
+  // referenced by a published header; entries also age out (a write
+  // longer than the window, or one that crashed before committing,
+  // falls back to the documented grace-must-exceed-longest-write
+  // contract — which also remains the ONLY protection cross-process).
+  private[table] val inFlightNames =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[table] val InFlightProtectMs: Long = 30L * 60 * 1000
+
+  /** Scope for multi-table transactions: while a GraftTxn stages its
+    * writes, their names register under the txn id — an explicit
+    * ABORT before publish then releases them all at once, restoring
+    * the documented contract that aborted-txn staged files are
+    * immediately vacuum-reapable orphans. */
+  private[table] val inFlightScope = new ThreadLocal[String]
+  private val inFlightScopes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.Set[String]]()
+
+  private[table] def registerInFlight(name: String): Unit = {
+    val now = System.currentTimeMillis()
+    if (inFlightNames.size > 4096)
+      inFlightNames.entrySet().removeIf(e =>
+        now - e.getValue > InFlightProtectMs)
+    inFlightNames.put(name, now)
+    val sc = inFlightScope.get()
+    if (sc != null)
+      inFlightScopes.computeIfAbsent(sc,
+        _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        .add(name)
+  }
+
+  private[table] def releaseInFlightScope(scope: String): Unit =
+    Option(inFlightScopes.remove(scope))
+      .foreach(_.forEach(n => inFlightNames.remove(n)))
+
+  private[table] def inFlightProtected(name: String): Boolean = {
+    val t = inFlightNames.get(name)
+    t != null && System.currentTimeMillis() - t < InFlightProtectMs
+  }
+
+  private def releaseInFlight(rel: String): Unit = {
+    val i = rel.lastIndexOf('/')
+    inFlightNames.remove(if (i < 0) rel else rel.substring(i + 1))
+  }
 
   /** Highest header format this build can read: 1 = inline layout,
     * 2 = two-level manifest-list layout, 3 = header-carried manifests
@@ -1607,6 +1688,11 @@ object TxLog {
         f.mkdirs(logDir)
         put()
     }
+    // published: the commit's files and change files are now
+    // header-referenced — vacuum protects them the ordinary way, so
+    // their in-flight registrations can be released (O(changed))
+    laid.added.foreach(releaseInFlight)
+    laid.changeFiles.foreach(releaseInFlight)
     // a CREATE (version 0) means DROP + re-CREATE may be reusing this
     // logDir's version paths — stale parsed headers AND index chunks
     // of the previous table must not survive into the new one (the
@@ -1793,7 +1879,77 @@ object TxLog {
         * append; rebuilt from the manifest cache on the amortized
         * tier-merge commits) so neither commit nor the writer's next
         * read ever walks O(table files). */
-      resolvedFiles: Vector[DataFile])
+      resolvedFiles: Vector[DataFile],
+      /** the laid header's maintenance counters ([[Snapshot.counters]])
+        * — the prior the next append's O(delta) stamping derives from */
+      counters: Map[String, Long] = Map.empty)
+
+  // ---- maintenance counters (r16 VERDICT task 3) ---------------------
+
+  /** The configured small-file threshold counters are stamped against
+    * (mirrors TxTable.maintainTableConfigured's fallback rules). */
+  private def smallThresholdOf(props: Map[String, String]): Long =
+    props.get("graft.maintain.smallFileBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(64L * 1024 * 1024)
+
+  /** Deterministic key order: the O(delta) and full layout paths build
+    * the map differently, and the fuzz spec holds them byte-identical. */
+  private def canonCounters(m: Map[String, Long]): Map[String, Long] =
+    scala.collection.immutable.SortedMap[String, Long]() ++ m
+
+  /** Full recount over a RESOLVED file list (CREATE, rewrites, removed
+    * files, threshold changes — paths that already walk O(files)).
+    * cum* derive from the parent's counters plus this commit's delta;
+    * a pre-upgrade parent contributes 0 (counters are since-upgrade). */
+  private def countersFull(files: Seq[DataFile], props: Map[String, String],
+      prev: Map[String, Long], addedCount: Long, removedCount: Long)
+      : Map[String, Long] = {
+    val thr = smallThresholdOf(props)
+    var totalBytes = 0L; var totalRows = 0L
+    var rowsKnown = true; var small = 0L
+    files.foreach { f =>
+      totalBytes += f.sizeBytes
+      if (f.rowCount < 0) rowsKnown = false else totalRows += f.rowCount
+      if (f.sizeBytes < thr) small += 1
+    }
+    val base = Map(
+      "totalFiles" -> files.size.toLong,
+      "totalBytes" -> totalBytes,
+      "smallCount" -> small,
+      "smallThreshold" -> thr,
+      "cumAdded" -> (prev.getOrElse("cumAdded", 0L) + addedCount),
+      "cumRemoved" -> (prev.getOrElse("cumRemoved", 0L) + removedCount))
+    canonCounters(
+      if (rowsKnown) base + ("totalRows" -> totalRows) else base)
+  }
+
+  /** O(added) incremental stamping for the append fast paths. None
+    * when the prior has no counters (pre-upgrade parent) or the
+    * configured threshold changed — callers then recount from the
+    * resolved list they already hold. */
+  private def countersAppend(prev: Map[String, Long], added: Seq[DataFile],
+      props: Map[String, String]): Option[Map[String, Long]] = {
+    if (prev.isEmpty) return None
+    val thr = smallThresholdOf(props)
+    if (!prev.get("smallThreshold").contains(thr)) return None
+    var b = 0L; var r = 0L; var small = 0L
+    var known = prev.contains("totalRows")
+    added.foreach { f =>
+      b += f.sizeBytes
+      if (f.rowCount < 0) known = false else r += f.rowCount
+      if (f.sizeBytes < thr) small += 1
+    }
+    val base = (prev - "totalRows") ++ Map(
+      "totalFiles" -> (prev.getOrElse("totalFiles", 0L) + added.size),
+      "totalBytes" -> (prev.getOrElse("totalBytes", 0L) + b),
+      "smallCount" -> (prev.getOrElse("smallCount", 0L) + small),
+      "smallThreshold" -> thr,
+      "cumAdded" -> (prev.getOrElse("cumAdded", 0L) + added.size))
+    Some(canonCounters(
+      if (known) base + ("totalRows" -> (prev.getOrElse("totalRows", 0L) + r))
+      else base))
+  }
 
   // Size-weighted bound (ADVICE r11): each LayoutState holds an
   // O(table-files) path→entry map, so an unbounded per-logDir cache in
@@ -1885,10 +2041,6 @@ object TxLog {
     val refs = mergeTiers(logDir, snapshot.version, spilled, conf)
     val (inlineRefs, listPath) = placeRefs(logDir, snapshot.version,
       refs, prev.manifests, prev.listPath, conf)
-    val laid = snapshot.copy(files = inline, manifests = inlineRefs,
-      manifestList = listPath, added = addedFiles.map(_.path),
-      carried = carriedFor(logDir, snapshot.version, refs),
-      minReader = minReaderFor(refs, listPath))
     // an append leaves served order = prev served order ++ added in
     // BOTH placement cases (spill moves prev-inline ++ added into the
     // appended manifest, preserving their relative order); only a tier
@@ -1898,9 +2050,18 @@ object TxLog {
       if (refs == spilled) prev.resolvedFiles ++ addedFiles
       else refs.iterator.flatMap(loadManifest(logDir, _, conf)).toVector ++
         inline
+    val counters = countersAppend(prev.counters, addedFiles,
+      snapshot.properties).getOrElse(
+      countersFull(resolved, snapshot.properties, prev.counters,
+        addedFiles.size, 0L))
+    val laid = snapshot.copy(files = inline, manifests = inlineRefs,
+      manifestList = listPath, added = addedFiles.map(_.path),
+      carried = carriedFor(logDir, snapshot.version, refs),
+      minReader = minReaderFor(refs, listPath),
+      counters = counters)
     val state = LayoutState(snapshot.version,
       prev.byPath ++ addedFiles.iterator.map(e => e.path -> e),
-      manifestPaths, refs, listPath, inline, resolved)
+      manifestPaths, refs, listPath, inline, resolved, counters)
     (laid, state)
   }
 
@@ -2009,14 +2170,20 @@ object TxLog {
     val resolved =
       refs.iterator.flatMap(loadManifest(logDir, _, conf)).toVector ++
         inline
+    val prevCounters = prevRaw.map(_.counters).getOrElse(Map.empty)
+    val removedCount =
+      math.max(0L, prevPaths.size.toLong - (stamped.size - added.size))
+    val counters = countersFull(stamped, snapshot.properties,
+      prevCounters, added.size, removedCount)
     val state = LayoutState(snapshot.version,
       stamped.iterator.map(f => f.path -> f).toMap,
       stamped.iterator.map(_.path).filterNot(inlinePathSet).toSet,
-      refs, listPath, inline.toVector, resolved)
+      refs, listPath, inline.toVector, resolved, counters)
     (snapshot.copy(files = inline, manifests = inlineRefs,
       manifestList = listPath, added = added,
       carried = carriedFor(logDir, snapshot.version, refs),
-      minReader = minReaderFor(refs, listPath)), state)
+      minReader = minReaderFor(refs, listPath),
+      counters = counters), state)
   }
 
   /** The content this header must carry: the just-placed `hdr:v<self>`

@@ -552,7 +552,9 @@ class TxTable private (
       codesDir = gen, coveredFilesFile = Some(covered),
       buildIters = Some(iters), buildSampleQueries = Some(sampleQueries),
       buildK = Some(k), buildNCells = Some(nCells),
-      codeRows = Some(builtRows)),
+      codeRows = Some(builtRows),
+      cumAddedAt = s.counters.get("cumAdded"),
+      cumRemovedAt = s.counters.get("cumRemoved")),
       expectedNonce = prior.flatMap(_.nonce))
     // best-effort GC: keep the new generation and the one a search
     // planned against the PRIOR meta may still be scanning
@@ -615,7 +617,11 @@ class TxTable private (
       // (legacy) stays unknown — a refresh must not pay a sidecar
       // count to backfill a signal the next rewrite will stamp anyway
       val grownRows = meta.codeRows.map(_ + n)
-      val widened =
+      // the refresh brings coverage to exactly this snapshot's file
+      // set, so the O(1) churn stamps advance to ITS counters — the
+      // in-sweep short-circuit then skips this column until files (or
+      // deletion vectors) change again
+      val widened0 =
         if (meta.coveredDeltaFiles.size + 1 > MaxCoverageDeltas)
           meta.copy(builtAtVersion = s.version, coveredFiles = None,
             coveredFilesFile = Some(writeCoveredFile(vecCol,
@@ -626,6 +632,9 @@ class TxTable private (
             coveredDeltaFiles =
               meta.coveredDeltaFiles :+ writeCoveredFile(vecCol, newPaths),
             codeRows = grownRows)
+      val widened = widened0.copy(
+        cumAddedAt = s.counters.get("cumAdded"),
+        cumRemovedAt = s.counters.get("cumRemoved"))
       publishVectorIndexMeta(vecCol, widened, expectedNonce = meta.nonce)
       // only covered files are reaped here: codes generations may still
       // be one-cycle-retained by a recent rebuild, which owns their GC
@@ -722,7 +731,11 @@ class TxTable private (
       else Some(writeCoveredFile(vecCol, prunedCovered.toSeq))
     publishVectorIndexMeta(vecCol, meta.copy(codesDir = gen,
       coveredFilesFile = newBase, coveredDeltaFiles = Nil,
-      codeRows = Some(newCodeRows)),
+      codeRows = Some(newCodeRows),
+      // the reap retires every dead entry/code row known as of THIS
+      // snapshot — the dead-churn stamp advances; coverage gained
+      // nothing, so cumAddedAt stays where the last build/refresh put it
+      cumRemovedAt = s.counters.get("cumRemoved").orElse(meta.cumRemovedAt)),
       expectedNonce = meta.nonce)
     // prior base+deltas stay one cycle (a search planned against the
     // prior meta may still be loading them); next op's GC reaps them
@@ -2483,6 +2496,7 @@ class TxTable private (
     * partition directory. */
   private def writeChangeData(df: DataFrame): Seq[String] = {
     val staging = new Path(root, s"_staging/${UUID.randomUUID().toString}")
+    TxLog.registerInFlight(staging.getName)
     df.write.mode("overwrite").parquet(staging.toString)
     val f = fs
     f.mkdirs(changeDataDir)
@@ -2490,6 +2504,7 @@ class TxTable private (
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map { st =>
         val rel = s"${UUID.randomUUID().toString}.parquet"
+        TxLog.registerInFlight(rel)
         f.rename(st.getPath, new Path(changeDataDir, rel))
         rel
       }
@@ -2529,6 +2544,7 @@ class TxTable private (
         deletionVectors = prev.deletionVectors))
       .withColumn("_change_type", lit("delete"))
     val staging = new Path(root, s"_staging/${UUID.randomUUID().toString}")
+    TxLog.registerInFlight(staging.getName)
     df.write.mode("overwrite").parquet(staging.toString)
     f.mkdirs(changeDataDir)
     // atomic dir rename claims the cache slot; if a concurrent scan
@@ -2685,6 +2701,7 @@ class TxTable private (
         df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
       }
     val staging = new Path(root, s"_staging/${UUID.randomUUID().toString}")
+    TxLog.registerInFlight(staging.getName)
     val writer = clustered.write.mode("overwrite")
     (if (partitionColumns.nonEmpty) writer.partitionBy(partitionColumns: _*) else writer)
       .parquet(staging.toString)
@@ -2698,8 +2715,12 @@ class TxTable private (
           val Array(k, v) = nm.split("=", 2)
           collect(st.getPath, parts + (k -> unescapePath(v)))
         } else if (nm.endsWith(".parquet")) {
+          val dataName = s"${UUID.randomUUID().toString}.parquet"
           val rel = (partitionColumns.flatMap(c => parts.get(c).map(v => s"$c=${escapePath(v)}"))
-            :+ s"${UUID.randomUUID().toString}.parquet").mkString("/")
+            :+ dataName).mkString("/")
+          // moved-but-uncommitted window: a same-process vacuum racing
+          // this write must not see the file as an orphan
+          TxLog.registerInFlight(dataName)
           val target = new Path(dataDir, rel)
           f.mkdirs(target.getParent)
           f.rename(st.getPath, target)
@@ -2734,6 +2755,7 @@ class TxTable private (
     * pairs. */
   private[graft] def describeDataFile(rel: String,
       partitionValues: Map[String, String]): DataFile = {
+    TxLog.registerInFlight(new Path(rel).getName)
     val target = new Path(dataDir, rel)
     val len = fs.getFileStatus(target).getLen
     val (rowCount, stats) =
@@ -4390,7 +4412,8 @@ class TxTable private (
           if (rel.isEmpty) st.getPath.getName else s"$rel/${st.getPath.getName}"
         if (st.isDirectory) walk(st.getPath, childRel)
         else if (childRel.endsWith(".parquet") && !retained.contains(childRel) &&
-            st.getModificationTime < cutoffMs) {
+            st.getModificationTime < cutoffMs &&
+            !TxLog.inFlightProtected(st.getPath.getName)) {
           candidates += ((st.getPath, childRel))
         }
       }
@@ -4425,7 +4448,9 @@ class TxTable private (
     if (!f.exists(staging)) return 0
     var removed = 0
     f.listStatus(staging).foreach { st =>
-      if (st.getModificationTime < cutoffMs && f.delete(st.getPath, true))
+      if (st.getModificationTime < cutoffMs &&
+          !TxLog.inFlightProtected(st.getPath.getName) &&
+          f.delete(st.getPath, true))
         removed += 1
     }
     removed
@@ -4444,7 +4469,8 @@ class TxTable private (
       taggedRetained(keepFrom)(v => TxLog.readRaw(logDir, v, conf).changeFiles)
     val candidates = f.listStatus(changeDataDir).toSeq.filter { st =>
       !referenced.contains(st.getPath.getName) &&
-        st.getModificationTime < cutoffMs
+        st.getModificationTime < cutoffMs &&
+        !TxLog.inFlightProtected(st.getPath.getName)
     }
     val refNow = referenced // re-check: a commit may have landed mid-list
     var removed = 0
@@ -4503,7 +4529,12 @@ class TxTable private (
     require(retainVersions >= 1, "must retain at least the head version")
     val head = currentVersion
     val keepFrom = math.max(0L, head - (retainVersions - 1))
-    TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
+    val n = TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
+    // everything below keepFrom is now gone or tag/carrier-protected
+    // (unexpirable either way) — advance the O(1) retention gate bound
+    TxTable.minVersionBound.merge(logDir.toString, Long.box(keepFrom),
+      (a, b) => if (a >= b) a else b)
+    n
   }
 
   /** Expire snapshots committed AT OR BEFORE `cutoffMs` (the Iceberg
@@ -4517,7 +4548,10 @@ class TxTable private (
     val below = try TxLog.versionAtOrBefore(logDir, head, cutoffMs, conf)
       catch { case _: IllegalArgumentException => return 0 }
     val keepFrom = math.min(head, below + 1)
-    TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
+    val n = TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
+    TxTable.minVersionBound.merge(logDir.toString, Long.box(keepFrom),
+      (a, b) => if (a >= b) a else b)
+    n
   }
 
   /**
@@ -4623,6 +4657,70 @@ class TxTable private (
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 
+  /**
+   * O(1) per-commit maintenance gate (r16 VERDICT task 3): decide from
+   * [[Snapshot.counters]] — metadata the committing thread already
+   * holds — whether ANY maintenance dimension could act, so the
+   * post-commit trigger stops walking O(files) per commit (1.4 s at
+   * the 10⁶-file shape). The O(files) signal evaluation now runs only
+   * inside sweeps this gate admits. Conservative by construction: any
+   * uncertainty (no counters on a pre-upgrade header, a threshold the
+   * counters were not stamped against, changed policy properties, no
+   * evaluation memo yet) answers "due" and the full sweep decides.
+   *
+   *  - compaction: `smallCount` is EXACT for the property-configured
+   *    threshold;
+   *  - retention: live headers bounded via a monotone lower bound on
+   *    the lowest expirable version (seeded by one [[TxLog.minVersion]]
+   *    probe, advanced by every expiry) with slack max(4, retain/2) —
+   *    sweeps batch a few headers instead of expiring one per commit;
+   *  - index upkeep: `cumAdded`/`cumRemoved` deltas since the last
+   *    full evaluation ([[TxTable.lastSignalEval]]) bound uncovered
+   *    files and dead entries from above; within the slack
+   *    (max(8, files/256) — a file-count approximation of the
+   *    row-weighted thresholds the sweep evaluates exactly) the index
+   *    dimension cannot have drifted materially. MOR state (deletion
+   *    vectors / equality deletes) moves index signals without
+   *    touching the file list, so its signature participates;
+   *  - age-based expiry configured → always evaluate (wall-clock
+   *    signals are not counter-observable).
+   */
+  private[graft] def maintenanceQuiet(cur: Snapshot): Boolean = {
+    val c = cur.counters
+    if (c.isEmpty) return false
+    val props = cur.properties
+    def pL(k: String, d: Long, valid: Long => Boolean): Long =
+      props.get(TxTable.MaintainPrefix + k)
+        .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+        .filter(valid).getOrElse(d)
+    def pI(k: String, d: Int, valid: Int => Boolean): Int =
+      props.get(TxTable.MaintainPrefix + k)
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(valid).getOrElse(d)
+    val thr = pL("smallFileBytes", 64L * 1024 * 1024, _ > 0)
+    if (!c.get("smallThreshold").contains(thr)) return false
+    if (c.getOrElse("smallCount", 0L) >= pI("minSmallFiles", 16, _ >= 2))
+      return false
+    if (pL("maxSnapshotAgeMs", -1L, _ => true) > 0) return false
+    val retain = pI("retainSnapshots", 10, _ >= 1)
+    val key = logDir.toString
+    val bound = TxTable.minVersionBound.computeIfAbsent(key,
+      _ => Long.box(TxLog.minVersion(logDir, conf).getOrElse(0L)))
+    if (cur.version - bound + 1 > retain + math.max(4L, retain / 2L))
+      return false
+    val memo = TxTable.lastSignalEval.get(key)
+    if (memo == null) return false
+    if (memo.propsFp != TxTable.maintainPropsFp(props)) return false
+    if (memo.indexesPresent) {
+      val slack = math.max(8L, c.getOrElse("totalFiles", 0L) / 256)
+      if (c.getOrElse("cumAdded", 0L) - memo.cumAdded > slack) return false
+      if (c.getOrElse("cumRemoved", 0L) - memo.cumRemoved > slack)
+        return false
+      if (memo.morSig != TxTable.morSig(cur)) return false
+    }
+    true
+  }
+
   def maintainTable(
       targetFileBytes: Long = 128L * 1024 * 1024,
       smallFileBytes: Long = 64L * 1024 * 1024,
@@ -4701,10 +4799,27 @@ class TxTable private (
     // uncovered files a refresh then picks up) and BEFORE expiry (a
     // refresh may still need a superseded generation the next GC cycle
     // reaps)
+    var indexesPresent = false
     if (maintainIndexes) {
+      val sIdx = snapshot
       vectorIndexedColumns.foreach { c =>
-        val (action, detail) = maintainVectorIndex(c, checkRecall = checkRecall)
-        if (action != "noop") out += s"index:$c" -> s"$action ($detail)"
+        indexesPresent = true
+        // O(1) short-circuit: the meta's churn stamps equal the
+        // snapshot's cumulative counters and no MOR state is
+        // outstanding → the file set the index was refreshed against
+        // IS this file set; coverage, dead entries, dead code rows,
+        // and held-out recall cannot have moved — skip the O(files)
+        // signal walk entirely
+        val unchanged = sIdx.counters.nonEmpty &&
+          sIdx.deletionVectors.isEmpty && sIdx.equalityDeletes.isEmpty &&
+          vectorIndexMeta(c).exists(m =>
+            m.cumAddedAt == sIdx.counters.get("cumAdded") &&
+              m.cumRemovedAt == sIdx.counters.get("cumRemoved"))
+        if (!unchanged) {
+          val (action, detail) =
+            maintainVectorIndex(c, checkRecall = checkRecall)
+          if (action != "noop") out += s"index:$c" -> s"$action ($detail)"
+        }
       }
       // bloom sidecars: same floor as the vector default. Entries for
       // files rewrites retired are dead weight the refresh never
@@ -4717,6 +4832,7 @@ class TxTable private (
       val total2 = s2.files.map(f => math.max(0L, f.rowCount)).sum
       val live = s2.files.map(_.path).toSet
       bloomIndexedColumns.foreach { c =>
+        indexesPresent = true
         bloomIndexInfo(c).foreach { case (_, covered) =>
           val cov = if (total2 == 0L) 1.0
             else s2.files.filter(f => covered.contains(f.path))
@@ -4747,6 +4863,20 @@ class TxTable private (
     if (removeOrphans && (!orphansOnlyAfterWork || out.nonEmpty)) {
       val removed = vacuum(math.max(1, retainSnapshots), orphanGraceMs)
       if (removed > 0) out += "vacuumed" -> s"$removed files"
+    }
+    // memo for the O(1) per-commit gate: every signal was just
+    // evaluated against this end state, so commits are quiet until the
+    // counters move materially. AUTO sweeps only — a CALL may have run
+    // with explicit-argument thresholds and must not vouch for the
+    // property-configured policy the gate protects.
+    if (trigger == "auto") {
+      val end = snapshot
+      if (end.counters.nonEmpty)
+        TxTable.lastSignalEval.put(logDir.toString, TxTable.SignalEvalMemo(
+          end.counters.getOrElse("cumAdded", 0L),
+          end.counters.getOrElse("cumRemoved", 0L),
+          indexesPresent, TxTable.maintainPropsFp(end.properties),
+          TxTable.morSig(end)))
     }
     if (out.isEmpty) Seq("noop" -> "all signals within thresholds")
     else {
@@ -4891,6 +5021,11 @@ class TxTable private (
       val last = TxTable.lastAutoMaintainMs.get(key)
       if (last != null && now - last < interval) return
     }
+    // O(1) counters gate (r16 VERDICT task 3): at the 10⁶-file shape
+    // the signal walk cost 1.4 s per commit — the gate answers from
+    // the header's counters and two JVM-wide memos with zero file-set
+    // work, and only admits sweeps that may act
+    if (maintenanceQuiet(cur)) return
     if (!TxTable.autoMaintainInFlight.add(key)) return
     try TxTable.maintenanceExecutor.execute(() => {
       TxTable.autoMaintainActive.set(true)
@@ -5338,6 +5473,33 @@ object TxTable {
   /** Last background-sweep failure (diagnostics; sweeps are
     * best-effort and only warn-log). */
   @volatile private[graft] var lastAutoMaintainFailure: Option[Throwable] = None
+
+  /** Monotone LOWER bound on the lowest EXPIRABLE header version per
+    * log dir: seeded by one [[TxLog.minVersion]] probe, advanced to
+    * the expiry horizon by every [[TxTable.expireSnapshots]] — backs
+    * the O(1) retention gate in [[TxTable.maintenanceQuiet]]. Stale-low
+    * only costs a sweep that finds little; it can never be stale-high
+    * (only real expiry horizons advance it). */
+  private[table] val minVersionBound =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Counters + policy state at the last FULL signal evaluation (an
+    * AUTO sweep — CALL sweeps may run with explicit-argument
+    * thresholds and must not vouch for the property policy). */
+  private[table] final case class SignalEvalMemo(cumAdded: Long,
+      cumRemoved: Long, indexesPresent: Boolean, propsFp: Int, morSig: Int)
+  private[table] val lastSignalEval =
+    new java.util.concurrent.ConcurrentHashMap[String, SignalEvalMemo]()
+
+  private[table] def maintainPropsFp(props: Map[String, String]): Int =
+    props.view.filterKeys(_.startsWith(MaintainPrefix)).toMap.hashCode()
+
+  /** Signature of merge-on-read state that moves index signals without
+    * touching the file list (DV-aware dead code rows, eq-delete
+    * re-rank shadows). */
+  private[table] def morSig(s: Snapshot): Int =
+    (s.deletionVectors.map(d => (d.dataFile, d.path)),
+      s.equalityDeletes.map(_.path)).hashCode()
 
   /** The single background maintenance lane (r16 VERDICT task 4 — the
     * reference's maintenance is a managed background service, not work

@@ -1,0 +1,106 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/**
+ * Commit-time maintenance counters (r16 VERDICT task 3): every commit
+ * stamps [[Snapshot.counters]] — incrementally on the O(delta) append
+ * paths — and the per-commit auto-maintain gate reads ONLY them. The
+ * pinned contract: counter == recount over the resolved file list, for
+ * every commit shape (append, compact, delete, restore, overwrite).
+ */
+class CounterSpec extends SparkSpec {
+
+  private def recount(s: Snapshot): Map[String, Long] = {
+    val thr = s.properties.get(TxTable.MaintainPrefix + "smallFileBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ > 0).getOrElse(64L * 1024 * 1024)
+    val base = Map(
+      "totalFiles" -> s.files.size.toLong,
+      "totalBytes" -> s.files.map(_.sizeBytes).sum,
+      "smallCount" -> s.files.count(_.sizeBytes < thr).toLong,
+      "smallThreshold" -> thr)
+    if (s.files.forall(_.rowCount >= 0))
+      base + ("totalRows" -> s.files.map(_.rowCount).sum)
+    else base
+  }
+
+  private def checkCounters(t: TxTable, where: String): Unit = {
+    val s = t.snapshot
+    recount(s).foreach { case (k, v) =>
+      assert(s.counters.get(k).contains(v),
+        s"$where: counter $k=${s.counters.get(k)} != recount $v " +
+          s"(counters: ${s.counters})")
+    }
+    // cum* are monotone and conserve: total = cumAdded - cumRemoved
+    // (counters started at CREATE, so the identity is exact here)
+    assert(s.counters("cumAdded") - s.counters("cumRemoved") ===
+      s.files.size.toLong, s"$where: cum identity broken: ${s.counters}")
+  }
+
+  test("counters == recount across append / compact / delete / restore / overwrite") {
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("counters")), "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))), Nil)
+    checkCounters(t, "create")
+    (1 to 12).foreach { i =>
+      t.append(Seq((i.toLong, s"v$i")).toDF("id", "v"))
+      checkCounters(t, s"append $i")
+    }
+    val restorePoint = t.currentVersion
+    t.compactSmallFiles()
+    checkCounters(t, "compact")
+    t.delete(org.apache.spark.sql.functions.expr("id <= 3"))
+    checkCounters(t, "delete")
+    t.restore(restorePoint)
+    checkCounters(t, "restore")
+    t.overwrite((13L to 20L).map(i => (i, s"w$i")).toDF("id", "v"))
+    checkCounters(t, "overwrite")
+    // threshold reconfiguration: the next commit recounts against the
+    // new configured threshold and stamps it
+    t.setProperties(Map(TxTable.MaintainPrefix + "smallFileBytes" -> "1"))
+    t.append(Seq((21L, "z")).toDF("id", "v"))
+    val s = t.snapshot
+    assert(s.counters("smallThreshold") === 1L)
+    assert(s.counters("smallCount") === 0L,
+      s"no file is under 1 byte: ${s.counters}")
+    checkCounters(t, "rethreshold")
+  }
+
+  test("the O(1) gate: quiet counters skip, a crossed signal admits") {
+    import spark.implicits._
+    val t = TxTable.create(spark, new Path(freshDir("countergate")), "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Nil)
+    t.setProperties(Map(
+      TxTable.MaintainPrefix + "minSmallFiles" -> "6",
+      TxTable.MaintainPrefix + "retainSnapshots" -> "100"))
+    (1L to 3L).foreach(i => t.append(Seq(i).toDF("id")))
+    // no evaluation memo yet → due (conservative)
+    assert(!t.maintenanceQuiet(t.snapshot))
+    // one auto-shaped sweep evaluates and memoizes
+    t.maintainTableConfigured(orphanGraceMs = Some(0L), trigger = "auto")
+    assert(t.maintenanceQuiet(t.snapshot),
+      s"gate not quiet after a full evaluation: ${t.snapshot.counters}")
+    // small-file signal crosses → due, exactly at the configured floor
+    (4L to 6L).foreach(i => t.append(Seq(i).toDF("id")))
+    assert(!t.maintenanceQuiet(t.snapshot),
+      s"gate quiet with ${t.snapshot.counters("smallCount")} small files")
+    // a policy-property change invalidates the memo
+    t.maintainTableConfigured(orphanGraceMs = Some(0L), trigger = "auto")
+    val afterSweep = t.snapshot
+    if (t.maintenanceQuiet(afterSweep)) {
+      t.setProperties(Map(TxTable.MaintainPrefix + "minSmallFiles" -> "2"))
+      assert(!t.maintenanceQuiet(t.snapshot),
+        "gate quiet across a policy change")
+    }
+    // pre-upgrade headers (no counters) are always due
+    assert(!t.maintenanceQuiet(afterSweep.copy(counters = Map.empty)))
+  }
+}
