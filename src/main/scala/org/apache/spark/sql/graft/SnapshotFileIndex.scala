@@ -34,40 +34,84 @@ import scala.collection.mutable.LinkedHashMap
  */
 object SnapshotFileIndex {
 
+  private[graft] type Entry = (String, Path, FileStatus, Map[String, String])
+
+  /** One leaf directory's share of the layout: the parsed dir Path,
+    * its entries, and the SAME entries' FileStatuses as the array
+    * shape Spark's `leafDirToChildrenFiles` consumers want. Arrays are
+    * internal and never handed out raw (see [[CloningArrayMap]]);
+    * copy-on-append keeps successor layouts structurally shared with
+    * their priors everywhere a commit did not touch. */
+  private[graft] final class DirGroup(
+      val dir: Path,
+      val entries: Array[Entry],
+      val stats: Array[FileStatus])
+
   /** The immutable, shareable planning geometry of one snapshot:
-    * per-file Paths/statuses, the directory grouping, and the typed
-    * partition rows. Building it is O(files) with a Hadoop-Path parse
-    * per file — ~seconds at the 10⁶-file shape — so scans of the SAME
-    * snapshot version must not each rebuild it (the planning_1m bench
-    * measured 48 s/query planning before this: partitionSpec and the
-    * parent-dir grouping were recomputed per planning CALL, with a
-    * Cast eval and two Path.getParent parses per file). Everything
-    * here is deeply immutable; per-scan mutable state (captured files,
+    * per-file Paths/statuses grouped by directory, plus the typed
+    * partition rows. Building it cold is O(files) with a Hadoop-Path
+    * parse per file — ~seconds at the 10⁶-file shape — so scans of
+    * the SAME snapshot version must not each rebuild it (the
+    * planning_1m bench measured 48 s/query planning before r15's
+    * cache). Since r17 the structures are PERSISTENT (structurally
+    * shared): a successor version's build reuses the prior's
+    * dir-groups, maps, and partition rows for every untouched
+    * directory, so the first plan after a k-file commit costs one
+    * O(files) pointer-compare pass plus O(k + touched dirs) fresh
+    * allocation — not a million-entry rebuild of four maps (the r16
+    * `plan_after_commit` 2.9 s residual). Everything here is
+    * immutable to consumers; per-scan mutable state (captured files,
     * runtime DPP filters, file-prune filters) stays on the index
     * instance, never in the layout. */
   final class Layout(
-      val statuses: Seq[(String, Path, FileStatus, Map[String, String])],
+      private[graft] val dirGroups: Map[String, DirGroup],
+      private[graft] val rowByDir: Map[String, PartitionPath],
+      private[graft] val byRelMap: Map[String, Entry],
       val relByPath: Map[Path, String],
       val partValsByPath: Map[Path, Map[String, String]],
-      val leafFilesMap: LinkedHashMap[Path, FileStatus],
-      val leafDirs: Map[Path, Array[FileStatus]],
       val roots: Seq[Path],
-      val spec: PartitionSpec) {
-    def entryCount: Long = statuses.size.toLong
+      val spec: PartitionSpec,
+      val entryCount: Long) {
 
-    /** rel → entry, built once per layout ON FIRST USE AS A PRIOR: the
-      * next version's build reuses this layout's Path/FileStatus
-      * objects for every unchanged rel (paths are immutable identities
-      * in the log, so rel equality is content identity) — the
-      * per-commit planning tax at 10⁶ files drops from a full
-      * O(files)-of-Path-parses rebuild to O(delta) parses plus cheap
-      * regrouping. */
-    lazy val byRel: java.util.HashMap[String, (String, Path, FileStatus, Map[String, String])] = {
-      val m = new java.util.HashMap[String, (String, Path, FileStatus, Map[String, String])](
-        statuses.size * 2)
-      statuses.foreach(t => m.put(t._1, t))
-      m
-    }
+    /** Flat entry view — forced only by consumers that genuinely need
+      * every file (SPJ key listing, distinct-key counts), never by the
+      * pruned planning path. */
+    lazy val statuses: Seq[Entry] =
+      dirGroups.valuesIterator.flatMap(_.entries).toVector
+
+    /** Spark's leaf-file map shape, built on demand (the partitioned
+      * listing path never touches it — `listFiles` goes through
+      * partition pruning and the per-dir arrays). */
+    lazy val leafFilesMap: LinkedHashMap[Path, FileStatus] =
+      LinkedHashMap(statuses.map(t => t._2 -> t._3): _*)
+
+    /** dir → children FileStatuses; O(dirs) map shells over the shared
+      * per-group arrays. Exposed to Spark ONLY through
+      * [[CloningArrayMap]] so no caller can corrupt the cached
+      * geometry by sorting an array in place (ADVICE r16 low). */
+    lazy val leafDirs: Map[Path, Array[FileStatus]] =
+      dirGroups.map { case (_, g) => g.dir -> g.stats }
+  }
+
+  /** Immutable view over an array-valued map that CLONES each array on
+    * access: shallow per-element pointer copies, proportional to the
+    * files actually listed — the price of handing Spark a mutable
+    * array type out of a shared cache without ever sharing the
+    * mutable object itself. */
+  private[graft] final class CloningArrayMap(
+      under: Map[Path, Array[FileStatus]])
+      extends scala.collection.immutable.Map[Path, Array[FileStatus]] {
+    override def get(k: Path): Option[Array[FileStatus]] =
+      under.get(k).map(_.clone())
+    override def iterator: Iterator[(Path, Array[FileStatus])] =
+      under.iterator.map { case (k, v) => (k, v.clone()) }
+    override def removed(k: Path): Map[Path, Array[FileStatus]] =
+      new CloningArrayMap(under - k)
+    override def updated[V1 >: Array[FileStatus]](k: Path, v: V1)
+        : scala.collection.immutable.Map[Path, V1] =
+      under.toMap.updated(k, v)
+    override def size: Int = under.size
+    override def contains(k: Path): Boolean = under.contains(k)
   }
 
   /** Cross-query layout cache, weight-bounded by total FILE ENTRIES
@@ -140,6 +184,33 @@ object SnapshotFileIndex {
       }
   }
 
+  private def dirKeyOf(rel: String): String = {
+    val slash = rel.lastIndexOf('/')
+    if (slash < 0) "" else rel.substring(0, slash)
+  }
+
+  /** Derive the root paths and partition spec from dir-level state —
+    * O(dirs), the only per-version cost that is not O(delta). */
+  private def finishLayout(
+      dataDir: Path,
+      partitionColumns: Seq[String],
+      dirGroups: Map[String, DirGroup],
+      rowByDir: Map[String, PartitionPath],
+      byRel: Map[String, Entry],
+      relByPath: Map[Path, String],
+      partValsByPath: Map[Path, Map[String, String]],
+      entryCount: Long,
+      partSchema: StructType): Layout = {
+    val nUp = partitionColumns.size
+    val roots0 = dirGroups.valuesIterator.map(g =>
+      (1 to nUp).foldLeft(g.dir)((q, _) => q.getParent)).toSeq.distinct
+    val spec =
+      if (partitionColumns.isEmpty) PartitionSpec(StructType(Nil), Nil)
+      else PartitionSpec(partSchema, rowByDir.values.toSeq)
+    new Layout(dirGroups, rowByDir, byRel, relByPath, partValsByPath,
+      if (roots0.isEmpty) Seq(dataDir) else roots0, spec, entryCount)
+  }
+
   private def buildLayout(
       dataDir: Path,
       partitionColumns: Seq[String],
@@ -147,69 +218,136 @@ object SnapshotFileIndex {
       files: Seq[(String, Map[String, String], Long)],
       castValue: (String, DataType) => Any,
       prior: Option[Layout] = None): Layout = {
-    // ONE Hadoop-Path parse per NEW file: entries for rels the prior
-    // version's layout already holds are REUSED verbatim (guarded by
-    // exact (size, partition values) match — paths are immutable
-    // identities in the log, and the guard closes the
-    // recreated-table-reusing-a-rel corner), so the per-commit build
-    // at 10⁶ files is O(delta) parses plus cheap string regrouping.
-    // Grouping is by the rel string's directory PREFIX (a substring,
-    // not a Path.getParent parse); parent Paths, partition rows, and
-    // root paths derive once per DIRECTORY — the write layout
-    // guarantees every file in a directory shares its partition
-    // values.
-    val priorByRel = prior.map(_.byRel).orNull
-    val byDir = new java.util.LinkedHashMap[String,
-      scala.collection.mutable.ArrayBuffer[(String, Path, FileStatus, Map[String, String])]]()
+    // ONE Hadoop-Path parse per NEW file, O(delta) ALLOCATION on top
+    // of a prior version's layout: entries for rels the prior already
+    // holds are REUSED verbatim (guarded by exact (rel, size,
+    // partition values) match — paths are immutable identities in the
+    // log, and the guard closes the recreated-table-reusing-a-rel
+    // corner), and since r17 the dir-group arrays, the three per-file
+    // maps, and the per-dir partition rows are PERSISTENT structures
+    // updated only where the commit touched — the one unavoidable
+    // O(files) term is a pointer-compare pass over the new file list
+    // (the log hands a flat list, not a diff). Grouping is by the rel
+    // string's directory PREFIX (a substring, not a Path.getParent
+    // parse); parent Paths and partition rows derive once per
+    // DIRECTORY — the write layout guarantees every file in a
+    // directory shares its partition values.
+    def mkEntry(rel: String, parts: Map[String, String], size: Long): Entry = {
+      val p = new Path(dataDir, rel)
+      (rel, p,
+        new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L, p), parts)
+    }
+    def rowFor(dir: Path, vals: Map[String, String]): PartitionPath =
+      PartitionPath(InternalRow.fromSeq(partitionColumns.map(c =>
+        castValue(vals.getOrElse(c, null),
+          partSchema(partSchema.fieldIndex(c)).dataType))), dir)
+
+    val p = prior.orNull
+    // pass 1: classify against the prior (single hash probe per file).
+    // `fresh` collects entries the prior cannot serve, in first-
+    // encounter dir order; `stale` the prior entries a matching rel
+    // REPLACED (content changed — must leave their dir groups).
+    val fresh = new java.util.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Entry]]()
+    val stale = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var matched = 0
+    var freshCount = 0
     files.foreach { case (rel, parts, size) =>
-      val reused =
-        if (priorByRel == null) null
-        else {
-          val t = priorByRel.get(rel)
-          if (t != null && t._3.getLen == size && t._4 == parts) t else null
-        }
-      val entry =
-        if (reused != null) reused
-        else {
-          val p = new Path(dataDir, rel)
-          (rel, p,
-            new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L, p), parts)
-        }
-      val slash = rel.lastIndexOf('/')
-      val dirKey = if (slash < 0) "" else rel.substring(0, slash)
-      var buf = byDir.get(dirKey)
-      if (buf == null) {
-        buf = scala.collection.mutable.ArrayBuffer.empty
-        byDir.put(dirKey, buf)
+      val t = if (p == null) null else p.byRelMap.getOrElse(rel, null)
+      if (t != null && t._3.getLen == size && t._4 == parts) matched += 1
+      else {
+        if (t != null) stale += t
+        freshCount += 1
+        fresh.computeIfAbsent(dirKeyOf(rel),
+          _ => scala.collection.mutable.ArrayBuffer.empty) +=
+          mkEntry(rel, parts, size)
       }
-      buf += entry
     }
     import scala.jdk.CollectionConverters._
-    val dirGroups: Seq[(Path, scala.collection.mutable.ArrayBuffer[(String, Path, FileStatus, Map[String, String])])] =
-      byDir.asScala.toSeq.map { case (_, fs) => (fs.head._2.getParent, fs) }
-    val statuses = dirGroups.flatMap(_._2)
-    val leafDirs = dirGroups.map { case (d, fs) =>
-      d -> fs.map(_._3).toArray }.toMap
-    val nUp = partitionColumns.size
-    val roots0 = dirGroups.map { case (d, _) =>
-      (1 to nUp).foldLeft(d)((q, _) => q.getParent)
-    }.distinct
-    val spec =
-      if (partitionColumns.isEmpty) PartitionSpec(StructType(Nil), Nil)
-      else PartitionSpec(partSchema, dirGroups.map { case (d, fs) =>
-        val vals = fs.head._4
-        PartitionPath(InternalRow.fromSeq(partitionColumns.map(c =>
-          castValue(vals.getOrElse(c, null),
-            partSchema(partSchema.fieldIndex(c)).dataType))), d)
-      })
-    new Layout(
-      statuses,
-      statuses.map { case (rel, p, _, _) => p -> rel }.toMap,
-      statuses.map { case (_, p, _, vals) => p -> vals }.toMap,
-      LinkedHashMap(statuses.map(t => t._2 -> t._3): _*),
-      leafDirs,
-      if (roots0.isEmpty) Seq(dataDir) else roots0,
-      spec)
+
+    if (p == null) {
+      // cold build: one pass into fresh persistent structures
+      var dirGroups = Map.empty[String, DirGroup]
+      var rowByDir = Map.empty[String, PartitionPath]
+      val byRelB = Map.newBuilder[String, Entry]
+      val relB = Map.newBuilder[Path, String]
+      val pvB = Map.newBuilder[Path, Map[String, String]]
+      fresh.asScala.foreach { case (dirKey, buf) =>
+        val dir = buf.head._2.getParent
+        dirGroups = dirGroups.updated(dirKey,
+          new DirGroup(dir, buf.toArray, buf.map(_._3).toArray))
+        if (partitionColumns.nonEmpty)
+          rowByDir = rowByDir.updated(dirKey, rowFor(dir, buf.head._4))
+        buf.foreach { e =>
+          byRelB += e._1 -> e; relB += e._2 -> e._1; pvB += e._2 -> e._4
+        }
+      }
+      return finishLayout(dataDir, partitionColumns, dirGroups, rowByDir,
+        byRelB.result(), relB.result(), pvB.result(), freshCount.toLong,
+        partSchema)
+    }
+
+    // removed = prior rels absent from the new list (detected by
+    // count; the rel-set walk runs only when something was removed)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    if (matched + stale.size != p.entryCount) {
+      val newRels = new java.util.HashSet[String](files.size * 2)
+      files.foreach { case (rel, _, _) => newRels.add(rel) }
+      p.byRelMap.foreach { case (rel, e) =>
+        if (!newRels.contains(rel)) removed += e
+      }
+    }
+
+    var dirGroups = p.dirGroups
+    var rowByDir = p.rowByDir
+    var byRel = p.byRelMap
+    var relByPath = p.relByPath
+    var partValsByPath = p.partValsByPath
+
+    // drop removed/replaced prior entries, per touched dir
+    val gone = stale ++ removed
+    if (gone.nonEmpty) {
+      gone.groupBy(e => dirKeyOf(e._1)).foreach { case (dirKey, es) =>
+        val rels = es.iterator.map(_._1).toSet
+        dirGroups.get(dirKey).foreach { g =>
+          val keptE = g.entries.filterNot(e => rels.contains(e._1))
+          if (keptE.isEmpty) {
+            dirGroups = dirGroups - dirKey
+            rowByDir = rowByDir - dirKey
+          } else dirGroups = dirGroups.updated(dirKey,
+            new DirGroup(g.dir, keptE, keptE.map(_._3)))
+        }
+      }
+      byRel = byRel -- gone.iterator.map(_._1)
+      // a replaced rel keeps its Path key and is re-added below; a
+      // removed one leaves the path maps entirely
+      relByPath = relByPath -- removed.iterator.map(_._2)
+      partValsByPath = partValsByPath -- removed.iterator.map(_._2)
+    }
+
+    // add fresh entries, per touched dir (copy-on-append)
+    fresh.asScala.foreach { case (dirKey, buf) =>
+      dirGroups.get(dirKey) match {
+        case Some(g) =>
+          dirGroups = dirGroups.updated(dirKey, new DirGroup(g.dir,
+            g.entries ++ buf, g.stats ++ buf.iterator.map(_._3)))
+        case None =>
+          val dir = buf.head._2.getParent
+          dirGroups = dirGroups.updated(dirKey,
+            new DirGroup(dir, buf.toArray, buf.map(_._3).toArray))
+          if (partitionColumns.nonEmpty)
+            rowByDir = rowByDir.updated(dirKey, rowFor(dir, buf.head._4))
+      }
+      buf.foreach { e =>
+        byRel = byRel.updated(e._1, e)
+        relByPath = relByPath.updated(e._2, e._1)
+        partValsByPath = partValsByPath.updated(e._2, e._4)
+      }
+    }
+
+    finishLayout(dataDir, partitionColumns, dirGroups, rowByDir, byRel,
+      relByPath, partValsByPath,
+      p.entryCount - gone.size + freshCount, partSchema)
   }
 }
 
@@ -505,8 +643,12 @@ class SnapshotFileIndex(
   override def rootPaths: Seq[Path] = layout.roots
   override def leafFiles: LinkedHashMap[Path, FileStatus] =
     layout.leafFilesMap
+  // cloning view, not the raw map: the per-dir arrays are shared by
+  // every query of this snapshot version AND by successor layouts
+  // (structural sharing) — an in-place sort by any consumer would
+  // corrupt planning for all of them (ADVICE r16 low)
   override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
-    layout.leafDirs
+    new SnapshotFileIndex.CloningArrayMap(layout.leafDirs)
   override def partitionSpec(): PartitionSpec = layout.spec
 
   override def refresh(): Unit = ()
