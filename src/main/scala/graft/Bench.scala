@@ -1134,6 +1134,9 @@ object Bench {
    * The log builds once (10 bursts of 100k entries; build_sec recorded
    * honestly when this run built it) and is reused across rounds.
    */
+  private[graft] def planning1mSection(spark: SparkSession): String =
+    planning1m(spark)
+
   private def planning1m(spark: SparkSession): String = try {
     import graft.table.{DataFile, Snapshot, TxLog, TxTable}
     import org.apache.hadoop.fs.Path
@@ -1141,7 +1144,15 @@ object Bench {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     val totalFiles = 1000000
-    val wh = new java.io.File("target/qwork/bench_planning1m_wh")
+    // v2 layout (r17): dates are MONOTONE in file order — the real
+    // ingest shape, where tier manifests cover contiguous date ranges
+    // and the manifest-list summaries can skip (the v1 log cycled
+    // dates every 84 files, putting every date in every manifest —
+    // nothing to skip, and it predates counters + summaries). The v1
+    // dir is deleted on sight to keep target/qwork bounded.
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/qwork/bench_planning1m_wh"))
+    val wh = new java.io.File("target/qwork/bench_planning1m_wh_v2")
       .getAbsolutePath
     val logDir = new Path(s"$wh/meta/wide1m/_log")
     val conf = spark.sessionState.newHadoopConf()
@@ -1150,7 +1161,18 @@ object Bench {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("date",
         org.apache.spark.sql.types.StringType)))
-    def dateOf(i: Int): String = f"2026-${i % 12 + 1}%02d-${i % 28 + 1}%02d"
+    val filesPerDay = totalFiles / 336        // 12 months × 28 days
+    def dateOf(i: Int): String = {
+      val d = math.min(335, i / filesPerDay)
+      f"2026-${d / 28 + 1}%02d-${d % 28 + 1}%02d"
+    }
+    // quiet declarative-maintenance policy from the START, so every
+    // commit stamps counters against it and the O(1) gate below has a
+    // threshold to trust (synthetic 1 MB files are never "small" at a
+    // 1-byte threshold; retention never fires at 10^6)
+    val maintProps = Map(
+      "graft.maintain.smallFileBytes" -> "1",
+      "graft.maintain.retainSnapshots" -> "1000000")
     val head = (totalFiles + 99999) / 100000 - 1L
     val (built, buildSecs) = timed {
       if (TxLog.currentVersion(logDir, conf).exists(_ >= head)) false
@@ -1170,7 +1192,8 @@ object Bench {
           expected = Some(TxLog.commit(logDir, expected, Snapshot(v,
             1700000000000L + v * 1000L,
             if (v == 0) "CREATE" else "APPEND",
-            schema.json, Seq("date"), files), conf))
+            schema.json, Seq("date"), files,
+            properties = maintProps), conf))
         }
         true
       }
@@ -1186,8 +1209,7 @@ object Bench {
     spark.conf.set("spark.sql.catalog.graftbenchplan",
       "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graftbenchplan.warehouse", wh)
-    var prunedFiles = -1
-    val (planRuns, tPlan) = runsOf()(() => timed {
+    def planPruned(): Int = {
       val df = spark.sql("SELECT id FROM graftbenchplan.meta.wide1m " +
         "WHERE date = '2026-03-03'")
       val scan = df.queryExecution.executedPlan.collect {
@@ -1195,24 +1217,60 @@ object Bench {
           .BatchScanExec => b
       }.head
       // driver-only: input partitions derive from the log's metadata
-      prunedFiles = scan.scan.toBatch.planInputPartitions().map {
+      scan.scan.toBatch.planInputPartitions().map {
         case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
           fp.files.length
         case _ => 1
       }.sum
+    }
+    // COLD PRUNED planning (r16 VERDICT task 1 — the headline of the
+    // manifest-skipping work): from a fresh-driver state (headers,
+    // manifest content, AND layouts purged), a date-pruned plan must
+    // parse only the manifests whose summary range can match — not
+    // materialize the million-entry snapshot the way the v≤16 cold
+    // path did (1.18 s in r16's snapshot_read before any pruning).
+    var coldManifests = -1L
+    var totalRefs = -1L
+    val (coldPrunedRuns, tColdPruned) = runsOf()(() => timed {
+      TxLog.purgeRawCache(logDir)
+      TxLog.purgeManifestCache()
+      org.apache.spark.sql.graft.SnapshotFileIndex.purgeLayoutCache()
+      val before = TxLog.manifestResolutionCount
+      require(planPruned() > 0)
+      coldManifests = TxLog.manifestResolutionCount - before
+      totalRefs = TxLog.readRaw(logDir,
+        TxLog.currentVersion(logDir, conf).get, conf).manifests.size.toLong
     }._2)
-    // dates cycle every lcm(12, 28) = 84 files → ~11.9k of the million
-    // survive the predicate; anything near the full count means the
-    // pruning never reached the file index
+    require(coldManifests >= 0 && coldManifests * 2 < totalRefs,
+      s"manifest skipping did not skip: $coldManifests of $totalRefs " +
+        "manifests resolved on a cold pruned plan")
+    var prunedFiles = -1
+    val (planRuns, tPlan) = runsOf()(() => timed {
+      prunedFiles = planPruned()
+    }._2)
+    // ~files-per-day of the million survive the date predicate;
+    // anything near the full count means the pruning never reached
+    // the file index
     require(prunedFiles > 0 && prunedFiles < totalFiles / 50,
       s"partition pruning did not prune: $prunedFiles of $totalFiles")
     val t = TxTable.open(spark, new Path(s"$wh/meta/wide1m"), "wide1m")
-    val (sigRuns, tSig) = runsOf()(() => timed {
-      val acts = t.maintainTable(smallFileBytes = 1,
-        minSmallFiles = Int.MaxValue, retainSnapshots = Int.MaxValue,
-        removeOrphans = false)
+    // ONE full signal evaluation (what an ADMITTED sweep pays —
+    // recorded honestly as its own key) primes the gate's memo; the
+    // per-commit cost is then the O(1) counters gate (r16 VERDICT
+    // task 3), measured as maintain_signal_sec
+    val (_, tFullEval) = timed {
+      val acts = t.maintainTableConfigured(
+        removeOrphans = Some(false), trigger = "auto")
       require(acts == Seq("noop" -> "all signals within thresholds"),
         s"quiet thresholds acted: $acts")
+    }
+    // the gate's input is the snapshot the committing thread already
+    // holds (post-commit it IS the trusted head) — resolve once
+    // outside the timing, exactly as maybeAutoMaintain sees it
+    val curHead = TxLog.readCurrentTrusted(logDir, conf).get
+    val (sigRuns, tSig) = runsOf()(() => timed {
+      require(t.maintenanceQuiet(curHead),
+        s"gate not quiet under the quiet policy: ${curHead.counters}")
     }._2)
     // O(delta) planning on a MOVED head: commit ONE file, then plan the
     // new version first-touch — the layout derives from the prior
@@ -1229,7 +1287,20 @@ object Bench {
       }.head
       scan.scan.toBatch.planInputPartitions().length
     }
-    val planAfterRuns = (1 to 3).map { _ =>
+    // the UNFILTERED plan forces the FULL layout — the structure task
+    // 2's persistent regroup makes O(delta) per version. Split
+    // generation over 10⁶ files rides inside the number (honest: it
+    // is what a real unpruned first plan pays).
+    def planFull(): Int = {
+      val df = spark.sql("SELECT id FROM graftbenchplan.meta.wide1m")
+      val scan = df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }.head
+      scan.scan.toBatch.planInputPartitions().length
+    }
+    require(planFull() > 0)   // warm the full layout for run 1's prior
+    def commitOne(): Unit = {
       val base = TxLog.readCurrentTrusted(logDir, conf).get
       val v = base.version + 1
       val added = DataFile(f"date=2026-03-03/inc-$v%08d.parquet",
@@ -1239,19 +1310,43 @@ object Bench {
         files = base.files :+ added, added = Nil,
         manifests = Nil, manifestList = None), conf,
         appendOf = Some((base, Seq(added))))
+    }
+    val planAfterRuns = (1 to 3).map { _ =>
+      commitOne()
       timed(require(planHead() > 0))._2
     }
+    // (first, second) full plans per fresh version: the first pays the
+    // O(delta) layout derivation PLUS the inherent 10⁶-file listing/
+    // split packing; the second pays listing/packing alone (layout
+    // cache hit) — their difference isolates the per-version layout
+    // cost task 2 made O(delta)
+    val planAfterFullPairs = (1 to 3).map { _ =>
+      commitOne()
+      (timed(require(planFull() > 0))._2,
+        timed(require(planFull() > 0))._2)
+    }
+    val planAfterFullRuns = planAfterFullPairs.map(_._1)
+    val planFullWarmRuns = planAfterFullPairs.map(_._2)
     s"""{"files":$totalFiles,"commits":${head + 1},""" +
       s""""build_sec":${f"${if (built) buildSecs else 0.0}%.3f"},""" +
       s""""snapshot_read_sec":${f"$tRead%.3f"},""" +
+      s""""cold_pruned_sec":${f"$tColdPruned%.3f"},""" +
+      s""""cold_pruned_manifests":$coldManifests,""" +
+      s""""manifest_refs":$totalRefs,""" +
       s""""plan_pruned_sec":${f"$tPlan%.3f"},""" +
       s""""pruned_files":$prunedFiles,""" +
-      s""""maintain_signal_sec":${f"$tSig%.3f"},""" +
+      s""""maintain_full_eval_sec":${f"$tFullEval%.3f"},""" +
+      s""""maintain_signal_sec":${f"$tSig%.5f"},""" +
       s""""plan_after_commit_sec":${f"${planAfterRuns.min}%.3f"},""" +
+      s""""plan_after_commit_full_sec":${f"${planAfterFullRuns.min}%.3f"},""" +
+      s""""plan_full_warm_sec":${f"${planFullWarmRuns.min}%.3f"},""" +
       s""""runs":{"snapshot_read":${runsJson(readRuns)},""" +
+      s""""cold_pruned":${runsJson(coldPrunedRuns)},""" +
       s""""plan_pruned":${runsJson(planRuns)},""" +
       s""""maintain_signal":${runsJson(sigRuns)},""" +
-      s""""plan_after_commit":${runsJson(planAfterRuns)}}}"""
+      s""""plan_after_commit":${runsJson(planAfterRuns)},""" +
+      s""""plan_after_commit_full":${runsJson(planAfterFullRuns)},""" +
+      s""""plan_full_warm":${runsJson(planFullWarmRuns)}}}"""
   } catch {
     case e: Throwable =>
       s"""{"error":"${e.getClass.getSimpleName}: ${
@@ -1648,5 +1743,22 @@ object Bench {
       case e: Throwable =>
         s"""{"error":"${e.getClass.getSimpleName}"}"""
     }
+  }
+}
+
+/** Dev runner: just the planning_1m section (the full bench is ~20
+  * min; iterating on the 10⁶-file planning shape needs a 1-2 min
+  * loop). Same session shape as [[Bench.main]]. */
+object ProfilePlanning1m {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println("PLANNING1M " + Bench.planning1mSection(spark))
+    spark.stop()
   }
 }

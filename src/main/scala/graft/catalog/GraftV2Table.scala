@@ -64,17 +64,36 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations {
 
-  private val snap = asOfVersion.map(tx.snapshotAt).getOrElse(tx.snapshot)
+  /** The header AS STORED (r16 VERDICT task 1): schema, properties,
+    * MOR state, and manifest REFS without expanding a single manifest
+    * — loading a million-file table costs O(changed files), and the
+    * batch scan below defers file materialization until pushed
+    * partition filters have selected which manifests to read. `.files`
+    * here is the INLINE REMAINDER ONLY; anything file-level goes
+    * through [[snap]]. */
+  private val hdr: graft.table.Snapshot =
+    asOfVersion.map(tx.snapshotHeaderAt).getOrElse(tx.snapshotHeader)
+
+  /** The fully RESOLVED snapshot — forced only by surfaces that
+    * genuinely need the file list (MOR grouping, incremental reads,
+    * row-level operations, legacy logs without summaries). */
+  private lazy val snap: graft.table.Snapshot =
+    asOfVersion.map(tx.snapshotAt).getOrElse {
+      // serve the SAME version the header pinned, not a later head —
+      // a commit racing table resolution must not split the two views
+      if (hdr.manifests.isEmpty && hdr.manifestList.isEmpty) hdr
+      else tx.snapshotAt(hdr.version)
+    }
 
   private def requireWritable(action: String): Unit =
     asOfVersion.foreach(v => throw new UnsupportedOperationException(
       s"cannot $action a time-travel snapshot (v$v) of ${tx.name}"))
   private val fullSchema: StructType =
-    org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    org.apache.spark.sql.types.DataType.fromJson(hdr.schemaJson).asInstanceOf[StructType]
 
   /** partition spec (identity fields synthesized for plain tables) */
   private val partSpec: Seq[graft.table.PartField] =
-    graft.table.PartitionTransform.resolve(snap)
+    graft.table.PartitionTransform.resolve(hdr)
 
   private def zoneId: String =
     tx.spark.sessionState.conf.sessionLocalTimeZone
@@ -97,8 +116,8 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     partSpec.map(graft.table.PartitionTransform.toV2).toArray
 
   override def properties(): util.Map[String, String] =
-    (snap.properties ++
-      Map("provider" -> "graft", "version" -> snap.version.toString)).asJava
+    (hdr.properties ++
+      Map("provider" -> "graft", "version" -> hdr.version.toString)).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -169,7 +188,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             org.apache.spark.sql.graft.MorScanBuilder]()
 
         override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-          if (snap.equalityDeletes.nonEmpty || snap.deletionVectors.nonEmpty) {
+          if (hdr.equalityDeletes.nonEmpty || hdr.deletionVectors.nonEmpty) {
             // outstanding MOR deletes: the rewrite scan must NOT copy
             // deleted rows into new files (they'd resurrect with a seq
             // above every delete's) — the MOR scan filters them and
@@ -181,7 +200,10 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             morBuilders.add(mb)
             mb
           } else {
-            val (builder, index) = scanBuilderCapturing(options)
+            // row-level ops capture the exact file set they rewrite —
+            // always materialized, never manifest-deferred
+            val (builder, index) = scanBuilderCapturing(options,
+              allowDeferred = false)
             indexes.add(index)
             // group-scan contract: partition filters prune file groups,
             // but no pushed filter may drop ROWS of a matched group (the
@@ -189,7 +211,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             // additionally prunes whole FILES by stats and hidden-
             // partition transforms (an unlisted file is kept, never
             // rewritten)
-            ScanBridge.groupScanBuilder(builder, snap.partitionColumns.toSet,
+            ScanBridge.groupScanBuilder(builder, hdr.partitionColumns.toSet,
               Some(index))
           }
         }
@@ -220,25 +242,32 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    if (snap.equalityDeletes.nonEmpty || snap.deletionVectors.nonEmpty) {
+    if (hdr.equalityDeletes.nonEmpty || hdr.deletionVectors.nonEmpty) {
       // merge-on-read: group files by applicable deletes and filter in
       // the reader. Streaming a table with outstanding deletes is
       // rejected (the MOR scan has no toMicroBatchStream) — compact()
       // applies and clears them first.
       new org.apache.spark.sql.graft.MorScanBuilder(
         tx.spark, new Path(tx.root, "data"), scanFullSchema,
-        snap.partitionColumns, morGroups(scanFilesFor(options)),
+        hdr.partitionColumns, morGroups(scanFilesFor(options)),
         partitionFiltersOnly = false, partSpec)
     } else {
       // batch plans delegate straight through (pushdown forwarded);
       // toMicroBatchStream tails the commit log from this snapshot on
       val (builder, index) = scanBuilderCapturing(options)
+      // exact row count from HEADER metadata alone when every ref
+      // carries its row sum (post-upgrade logs) — forcing the file
+      // list for a statistic would defeat manifest skipping
       val exactRows =
-        if (snap.equalityDeletes.isEmpty && snap.files.forall(_.rowCount >= 0))
-          Some(snap.files.map(_.rowCount).sum)   // DVs never reach here
+        if (hdr.manifests.forall(_.rowCount >= 0) &&
+            hdr.files.forall(_.rowCount >= 0))
+          Some(hdr.manifests.map(_.rowCount).sum +
+            hdr.files.map(_.rowCount).sum)       // DVs never reach here
+        else if (snap.files.forall(_.rowCount >= 0))
+          Some(snap.files.map(_.rowCount).sum)
         else None
       ScanBridge.streamCapable(builder, index,
-        _ => new GraftMicroBatchStream(tx, fullSchema, snap.partitionColumns,
+        _ => new GraftMicroBatchStream(tx, fullSchema, hdr.partitionColumns,
           options, partSpec),
         exactRowCount = exactRows, tableStats = tx.tableStats)
     }
@@ -339,20 +368,47 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       }
   }
 
-  private def scanBuilderCapturing(options: CaseInsensitiveStringMap)
+  private def scanBuilderCapturing(options: CaseInsensitiveStringMap,
+      allowDeferred: Boolean = true)
       : (ScanBuilder, org.apache.spark.sql.graft.SnapshotFileIndex) = {
     // identity partition columns come back from directory metadata;
     // a derived field's SOURCE column is ordinary file data
     val dataSchema =
-      StructType(fullSchema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val scanFiles = scanFilesFor(options)
-    // per-file Bloom sidecars (buildBloomIndex) extend min/max skipping
-    // to point lookups on high-cardinality keys; loaded once per scan
-    // build (TxTable caches the decoded index against the sidecar mtime)
-    val blooms = tx.bloomIndexedColumns.flatMap { c =>
+      StructType(fullSchema.filterNot(f => hdr.partitionColumns.contains(f.name)))
+    val blooms0 = tx.bloomIndexedColumns.flatMap { c =>
       fullSchema.fields.find(_.name == c)
         .map(f => c -> (f.dataType, tx.bloomEntries(c)))
     }.toMap
+    // MANIFEST SKIPPING (r16 VERDICT task 1): a full-snapshot batch
+    // scan of a post-upgrade log (every ref sized, at least one
+    // summarized) defers file materialization — the index resolves
+    // only the manifests the pushed partition filters admit, so a
+    // cold date-pruned plan at 10⁶ files parses O(matching manifests)
+    // instead of the whole snapshot. Incremental reads, legacy logs,
+    // and row-level operations keep the eager path.
+    val tableKey = s"${tx.root}|${tx.branchName.getOrElse("")}" +
+      s"|${tx.spark.sessionState.conf.sessionLocalTimeZone}"
+    val fullKey = Some((tableKey,
+      s"$tableKey|v${hdr.version}|t${hdr.timestampMs}"))
+    if (allowDeferred && options.get("startingVersion") == null &&
+        hdr.manifests.nonEmpty &&
+        hdr.manifests.forall(r => r.sizeBytes >= 0L) &&
+        hdr.manifests.exists(_.summaries.isDefined)) {
+      val logDir = new Path(tx.root, "_log")
+      val conf = tx.spark.sessionState.newHadoopConf()
+      val deferred = ScanBridge.DeferredFiles(
+        refs = hdr.manifests,
+        inline = hdr.files,
+        resolve = refs => graft.table.TxLog.resolveRefs(logDir, refs, conf),
+        totalBytes = hdr.manifests.map(_.sizeBytes).sum +
+          hdr.files.map(_.sizeBytes).sum)
+      val index = ScanBridge.snapshotIndex(tx.spark,
+        new Path(tx.root, "data"), scanFullSchema, hdr.partitionColumns,
+        Nil, Map.empty, partSpec, blooms0, fullKey, Some(deferred))
+      return (ScanBridge.parquetScanBuilder(tx.spark, index,
+        scanFullSchema, dataSchema, options), index)
+    }
+    val scanFiles = scanFilesFor(options)
     // share the O(files) planning geometry across queries of this
     // snapshot VERSION (the Delta/Iceberg snapshot-cache behavior):
     // only the full-snapshot scan keys the cache — incremental
@@ -365,18 +421,12 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     // pair could otherwise alias two different file lists. The
     // version-free TABLE key addresses the latest-layout slot the next
     // version's O(delta) build derives its prior from.
-    val layoutKey =
-      if (scanFiles eq snap.files) {
-        val tableKey = s"${tx.root}|${tx.branchName.getOrElse("")}" +
-          s"|${tx.spark.sessionState.conf.sessionLocalTimeZone}"
-        Some((tableKey,
-          s"$tableKey|v${snap.version}|t${snap.timestampMs}"))
-      } else None
+    val layoutKey = if (scanFiles eq snap.files) fullKey else None
     val index = ScanBridge.snapshotIndex(tx.spark, new Path(tx.root, "data"),
       scanFullSchema, snap.partitionColumns,
       scanFiles.map(f => (f.path, f.partitionValues, f.sizeBytes)),
       scanFiles.flatMap(f => f.stats.map(f.path -> _)).toMap, partSpec,
-      blooms, layoutKey)
+      blooms0, layoutKey)
     (ScanBridge.parquetScanBuilder(tx.spark, index, scanFullSchema, dataSchema,
       options), index)
   }
@@ -394,7 +444,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
         * (column, stored-partition-value string); None for anything the
         * composite delete+append commit can't scope safely. */
       private def partitionEquality(p: Predicate): Option[(String, String)] = {
-        val partCols = snap.partitionColumns.toSet
+        val partCols = hdr.partitionColumns.toSet
         def of(f: org.apache.spark.sql.connector.expressions.Expression,
             l: org.apache.spark.sql.connector.expressions.Expression) =
           (f, l) match {

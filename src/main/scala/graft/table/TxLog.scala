@@ -195,8 +195,28 @@ final case class VectorIndexMeta(
   * `Seq[DataFile]` group — the Iceberg manifest-list indirection that
   * keeps per-commit snapshot JSON O(changed files) instead of O(table
   * files). `fileCount` is carried so planning can size the file list
-  * without opening every manifest. */
-final case class ManifestRef(path: String, fileCount: Long)
+  * without opening every manifest.
+  *
+  * r17 (VERDICT task 1) adds MANIFEST SKIPPING metadata, the Iceberg
+  * manifest-list partition-summary shape for the reference's
+  * date-partitioned workload (kfs/scripts/update_metadata.py:114;
+  * every README query filters on `date`, kfs/README.md:181,202):
+  *  - `sizeBytes` / `rowCount` — byte/row sums of the group (−1 =
+  *    unknown, pre-upgrade refs), so a cold pruned plan can report
+  *    scan statistics without resolving anything;
+  *  - `summaries` — per partition-column min/max/nullCount over the
+  *    group's `partitionValues`, as [[ColStats]] (the same tagged,
+  *    JSON-portable shape file skipping already compares against
+  *    pushed predicates): a cold PRUNED plan opens only manifests
+  *    whose range can match, instead of materializing all 10⁶
+  *    entries. Summaries are stamped only for columns whose stored
+  *    ordering provably matches the column type's (integral → numeric,
+  *    DATE → validated ISO, STRING → lexicographic); anything else is
+  *    omitted and the manifest is always read — conservative, never
+  *    wrong. Absent on pre-upgrade refs (additive; no format gate). */
+final case class ManifestRef(path: String, fileCount: Long,
+    sizeBytes: Long = -1L, rowCount: Long = -1L,
+    summaries: Option[Map[String, ColStats]] = None)
 
 /** One field of a hidden-partitioning spec (see
   * [[graft.table.PartitionTransform]]): the PHYSICAL partition column
@@ -1048,6 +1068,15 @@ object TxLog {
       raw.manifests.flatMap(loadManifest(logDir, _, conf)) ++ raw.files)
   }
 
+  /** Resolve exactly `refs` (file manifests or header-carried groups)
+    * into their entries — the SELECTIVE half of [[read]] that manifest
+    * skipping plans through (r16 VERDICT task 1): a cold pruned scan
+    * hands only the refs whose partition summaries can match its
+    * predicate, and pays parsing for those alone. */
+  private[graft] def resolveRefs(logDir: Path, refs: Seq[ManifestRef],
+      conf: Configuration): Seq[DataFile] =
+    refs.flatMap(loadManifest(logDir, _, conf))
+
   def readCurrentTrusted(logDir: Path, conf: Configuration): Option[Snapshot] = {
     val th = headTrusted.get(logDir.toString)
     if (th != null) Some(th.served)
@@ -1453,7 +1482,8 @@ object TxLog {
     * the full re-resolving path lay out identically modulo the nonce
     * (LayoutFuzzSpec canonicalizes it like the UUID manifest names). */
   private def placeManifest(logDir: Path, version: Long,
-      files: Seq[DataFile], conf: Configuration): ManifestRef =
+      files: Seq[DataFile], conf: Configuration,
+      kinds: Map[String, PartKind]): ManifestRef =
     if (files.size <= CarryMaxFiles) {
       val name = s"hdr:v$version-${
         java.util.UUID.randomUUID().toString.replace("-", "").take(8)}"
@@ -1461,11 +1491,13 @@ object TxLog {
         ((logDir.toString, version) -> files))
       manifestCache.synchronized(
         manifestCache.put(s"$logDir#$name", files))
-      ManifestRef(name, files.size)
-    } else writeManifest(logDir, version, files, conf)
+      val (sums, bytes, rows) = summarizeFiles(files, kinds)
+      ManifestRef(name, files.size, bytes, rows, sums)
+    } else writeManifest(logDir, version, files, conf, kinds)
 
   private def writeManifest(logDir: Path, version: Long,
-      files: Seq[DataFile], conf: Configuration): ManifestRef = {
+      files: Seq[DataFile], conf: Configuration,
+      kinds: Map[String, PartKind]): ManifestRef = {
     val name = manifestName(version)
     val f = fs(logDir, conf)
     f.mkdirs(logDir)
@@ -1475,7 +1507,8 @@ object TxLog {
     finally out.close()
     manifestCache.synchronized(
       manifestCache.put(new Path(logDir, name).toString, files))
-    ManifestRef(name, files.size)
+    val (sums, bytes, rows) = summarizeFiles(files, kinds)
+    ManifestRef(name, files.size, bytes, rows, sums)
   }
 
   /** Small remainders stay inline in the snapshot JSON; past this they
@@ -1511,12 +1544,27 @@ object TxLog {
     * produces (InlineMaxFiles + 1). */
   private val TierUnit = InlineMaxFiles + 1
 
-  private def tierOf(ref: ManifestRef): Int = {
-    var t = 0
-    var c = ref.fileCount / TierUnit
-    while (c > 0) { t += 1; c /= TierBase }
-    t
-  }
+  /** Hard cap on one manifest's entry count (r17): tier merging used
+    * to concatenate without bound, so a 10⁶-file table's top tier was
+    * one ~half-million-entry manifest — a single matching date range
+    * forced a cold pruned plan to parse and lay out half the table.
+    * Merged output now splits into ≤[[ManifestSplitMaxFiles]]-entry
+    * chunks in file (≈ ingest, ≈ partition) order, each with its own
+    * tight partition summary; full-sized chunks are SEALED (treated
+    * as a top tier that never re-merges — re-merging would split
+    * again, churning bytes forever). The ref list stays
+    * O(files/cap + TierBase·log(cap)) — ~20 entries at 10⁶ files,
+    * well inside the manifest-list indirection. */
+  private[table] val ManifestSplitMaxFiles = 65536
+
+  private def tierOf(ref: ManifestRef): Int =
+    if (ref.fileCount >= ManifestSplitMaxFiles) Int.MaxValue   // sealed
+    else {
+      var t = 0
+      var c = ref.fileCount / TierUnit
+      while (c > 0) { t += 1; c /= TierBase }
+      t
+    }
 
   /** Merge same-tier manifests until every tier holds fewer than
     * [[TierBase]] — deterministic (tier membership and refs order only),
@@ -1526,18 +1574,24 @@ object TxLog {
     * is appended after the survivors. Cascades upward when a merge
     * fills the next tier. */
   private def mergeTiers(logDir: Path, version: Long,
-      refs0: Seq[ManifestRef], conf: Configuration): Seq[ManifestRef] = {
+      refs0: Seq[ManifestRef], conf: Configuration,
+      kinds: Map[String, PartKind]): Seq[ManifestRef] = {
     var refs = refs0
     var done = false
     while (!done) {
-      val lowest = refs.groupBy(tierOf).filter(_._2.size >= TierBase)
+      val lowest = refs.groupBy(tierOf)
+        .filter { case (t, g) => t != Int.MaxValue && g.size >= TierBase }
         .keys.toSeq.sorted.headOption
       lowest match {
         case None => done = true
         case Some(t) =>
           val (members, survivors) = refs.partition(r => tierOf(r) == t)
           val mergedFiles = members.flatMap(loadManifest(logDir, _, conf))
-          refs = survivors :+ writeManifest(logDir, version, mergedFiles, conf)
+          // split oversized merges into sealed, summary-tight chunks
+          // (file order = ingest order, so chunks stay contiguous in
+          // the partition ranges manifest skipping prunes on)
+          refs = survivors ++ mergedFiles.grouped(ManifestSplitMaxFiles)
+            .map(chunk => writeManifest(logDir, version, chunk, conf, kinds))
       }
     }
     refs
@@ -1799,7 +1853,8 @@ object TxLog {
     f.mkdirs(logDir)
     val (refs, inline) =
       if (snapshot.files.size > InlineMaxFiles)
-        (Seq(writeManifest(logDir, snapshot.version, snapshot.files, conf)), Nil)
+        (Seq(writeManifest(logDir, snapshot.version, snapshot.files, conf,
+          partKindsOf(snapshot))), Nil)
       else (Seq.empty[ManifestRef], snapshot.files)
     val laid = snapshot.copy(files = inline, manifests = refs,
       manifestList = None, added = Nil, minReader = 1)
@@ -1883,6 +1938,132 @@ object TxLog {
       /** the laid header's maintenance counters ([[Snapshot.counters]])
         * — the prior the next append's O(delta) stamping derives from */
       counters: Map[String, Long] = Map.empty)
+
+  // ---- manifest partition summaries (r16 VERDICT task 1) -------------
+
+  /** How a partition column's stored value strings may be summarized:
+    * the stored min/max are only usable for pruning when the order
+    * they were computed under provably equals the order the pushed
+    * predicate compares under ([[FileStats.compare]] by tag). */
+  private sealed trait PartKind
+  private case object LongKind extends PartKind    // integral: numeric order
+  private case object DateKind extends PartKind    // validated ISO → epoch day
+  private case object StringKind extends PartKind  // lexicographic
+
+  private val DateValueRe = raw"\d{4}-\d{2}-\d{2}".r
+
+  private val kindCache =
+    new java.util.LinkedHashMap[(String, Seq[PartField], Seq[String]),
+        Map[String, PartKind]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[PartField], Seq[String]),
+            Map[String, PartKind]]): Boolean = size > 64
+    }
+
+  /** Summary kind per partition column of `snapshot`, from its schema
+    * and hidden-partitioning spec; columns of non-summarizable types
+    * are absent. Cached by (schemaJson, spec, columns) — one schema
+    * parse per table shape, not per manifest write. */
+  private def partKindsOf(snapshot: Snapshot): Map[String, PartKind] = {
+    if (snapshot.partitionColumns.isEmpty) return Map.empty
+    val key = (snapshot.schemaJson, snapshot.partitionSpec,
+      snapshot.partitionColumns)
+    val cached = kindCache.synchronized(Option(kindCache.get(key)))
+    cached.getOrElse {
+      import org.apache.spark.sql.types._
+      val computed: Map[String, PartKind] =
+        try {
+          val schema = DataType.fromJson(snapshot.schemaJson)
+            .asInstanceOf[StructType]
+          def ofType(dt: DataType): Option[PartKind] = dt match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some(LongKind)
+            case DateType => Some(DateKind)
+            case StringType => Some(StringKind)
+            case _ => None
+          }
+          def ofField(name: String): Option[PartKind] = {
+            val spec = snapshot.partitionSpec.find(_.name == name)
+            spec match {
+              case Some(f) if !f.isIdentity => f.transform match {
+                case "year" | "month" | "day" | "hour" | "bucket" =>
+                  Some(LongKind)
+                case "truncate" =>
+                  schema.fields.find(_.name == f.source)
+                    .flatMap(x => ofType(x.dataType))
+                case _ => None
+              }
+              case _ =>
+                schema.fields.find(_.name == name)
+                  .flatMap(x => ofType(x.dataType))
+            }
+          }
+          snapshot.partitionColumns
+            .flatMap(c => ofField(c).map(c -> _)).toMap
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      kindCache.synchronized(kindCache.put(key, computed))
+      computed
+    }
+  }
+
+  /** (summaries, byte sum, row sum) of one manifest group. A column
+    * whose values defy its kind (unparseable number, malformed date)
+    * is dropped from the summary for THIS manifest — the manifest is
+    * then always read on that column; never a wrong skip. Summaries
+    * use a sorted map so the O(delta) and full layout paths serialize
+    * byte-identically. */
+  private def summarizeFiles(files: Seq[DataFile],
+      kinds: Map[String, PartKind])
+      : (Option[Map[String, ColStats]], Long, Long) = {
+    var bytes = 0L; var rows = 0L; var rowsKnown = true
+    files.foreach { f =>
+      bytes += f.sizeBytes
+      if (f.rowCount < 0) rowsKnown = false else rows += f.rowCount
+    }
+    val rowSum = if (rowsKnown) rows else -1L
+    if (kinds.isEmpty) return (None, bytes, rowSum)
+    val out = scala.collection.immutable.SortedMap.newBuilder[String, ColStats]
+    kinds.foreach { case (colName, kind) =>
+      var nulls = 0L; var any = false; var bad = false
+      var minL = Long.MaxValue; var maxL = Long.MinValue
+      var minS: String = null; var maxS: String = null
+      val it = files.iterator
+      while (!bad && it.hasNext) {
+        it.next().partitionValues.get(colName) match {
+          case None => nulls += 1
+          case Some(v) if v == null || v == "__HIVE_DEFAULT_PARTITION__" =>
+            nulls += 1
+          case Some(v) =>
+            any = true
+            kind match {
+              case LongKind =>
+                try {
+                  val l = v.trim.toLong
+                  if (l < minL) minL = l
+                  if (l > maxL) maxL = l
+                } catch { case _: NumberFormatException => bad = true }
+              case DateKind =>
+                if (!DateValueRe.matches(v)) bad = true
+                else try {
+                  val d = java.time.LocalDate.parse(v).toEpochDay
+                  if (d < minL) minL = d
+                  if (d > maxL) maxL = d
+                } catch { case scala.util.control.NonFatal(_) => bad = true }
+              case StringKind =>
+                if (minS == null || v.compareTo(minS) < 0) minS = v
+                if (maxS == null || v.compareTo(maxS) > 0) maxS = v
+            }
+        }
+      }
+      if (!bad && any) out += colName -> (kind match {
+        case LongKind => ColStats("long", minL.toString, maxL.toString, nulls)
+        case DateKind => ColStats("date", minL.toString, maxL.toString, nulls)
+        case StringKind => ColStats("string", minS, maxS, nulls)
+      })
+    }
+    val m = out.result()
+    (if (m.isEmpty) None else Some(m), bytes, rowSum)
+  }
 
   // ---- maintenance counters (r16 VERDICT task 3) ---------------------
 
@@ -2028,17 +2209,18 @@ object TxLog {
       prev: LayoutState, addedFiles: Vector[DataFile],
       remaining: Vector[DataFile], conf: Configuration)
       : (Snapshot, LayoutState) = {
+    val kinds = partKindsOf(snapshot)
     val (spilled, inline, manifestPaths) =
       if (remaining.size > InlineMaxFiles) {
         (prev.manifests :+
-          placeManifest(logDir, snapshot.version, remaining, conf),
+          placeManifest(logDir, snapshot.version, remaining, conf, kinds),
           Vector.empty[DataFile],
           prev.manifestPaths ++ remaining.iterator.map(_.path))
       } else (prev.manifests, remaining, prev.manifestPaths)
     // tier merging loads only the (geometrically bounded) merge set —
     // the amortized O(log files)/entry cost that replaced the all-refs
     // full rewrite; membership is unchanged by a merge
-    val refs = mergeTiers(logDir, snapshot.version, spilled, conf)
+    val refs = mergeTiers(logDir, snapshot.version, spilled, conf, kinds)
     val (inlineRefs, listPath) = placeRefs(logDir, snapshot.version,
       refs, prev.manifests, prev.listPath, conf)
     // an append leaves served order = prev served order ++ added in
@@ -2154,13 +2336,15 @@ object TxLog {
         mf.foreach(df => remaining -= df.path)
       }
     }
+    val kinds = partKindsOf(snapshot)
     val (spilled, inline) =
       if (remaining.size > InlineMaxFiles) {
         (kept.toSeq :+
-          placeManifest(logDir, snapshot.version, remaining.values.toSeq, conf),
+          placeManifest(logDir, snapshot.version, remaining.values.toSeq,
+            conf, kinds),
           Nil)
       } else (kept.toSeq, remaining.values.toSeq)
-    val refs = mergeTiers(logDir, snapshot.version, spilled, conf)
+    val refs = mergeTiers(logDir, snapshot.version, spilled, conf, kinds)
     val (inlineRefs, listPath) = placeRefs(logDir, snapshot.version, refs,
       prevRaw.map(_.manifests).getOrElse(Nil),
       prevRaw.flatMap(_.manifestList), conf)

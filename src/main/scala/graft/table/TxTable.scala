@@ -71,30 +71,63 @@ class TxTable private (
     * with zero further head probes. Only short-lived handles pin
     * (GraftSql opens a fresh handle per statement); write paths are
     * unaffected — retryingCommit rediscovers the head itself. */
-  @transient @volatile private var pinnedSnapshot: Snapshot = null
+  @transient @volatile private var pinnedHeader: Snapshot = null
+  @transient @volatile private var pinnedResolved: Snapshot = null
 
   /** Pin this handle to the table's CURRENT snapshot: one head
     * resolution serves every subsequent metadata read through the
     * handle — both the round-trip economy (a governed statement
     * consults properties/schema/ACL scopes many times) and statement-
     * level SNAPSHOT CONSISTENCY (all governance decisions and the scan
-    * see one version, never a mid-statement commit). */
+    * see one version, never a mid-statement commit). The pin holds
+    * the HEADER (r17): manifest expansion happens lazily on the first
+    * `.snapshot` use, so a statement whose scan defers files to
+    * manifest skipping never materializes the million-entry list at
+    * pin time (the cold-plan cost task 1 removes). */
   private[graft] def pinSnapshot(): TxTable = {
-    pinnedSnapshot = TxLog.readCurrent(logDir, conf).getOrElse(
+    val v = TxLog.currentVersion(logDir, conf).getOrElse(
       throw new IllegalStateException(s"table $name has no committed version"))
+    pinnedResolved = null
+    pinnedHeader = TxLog.readRaw(logDir, v, conf)
     this
   }
 
   def snapshot: Snapshot = {
-    val p = pinnedSnapshot
-    if (p != null) p else TxLog.read(logDir, currentVersion, conf)
+    val h = pinnedHeader
+    if (h == null) return TxLog.read(logDir, currentVersion, conf)
+    val r = pinnedResolved
+    if (r != null) r
+    else {
+      val resolved =
+        if (h.manifests.isEmpty) h
+        else h.copy(files =
+          TxLog.resolveRefs(logDir, h.manifests, conf) ++ h.files)
+      pinnedResolved = resolved
+      resolved
+    }
   }
   def snapshotAt(version: Long): Snapshot = TxLog.read(logDir, version, conf)
+
+  /** The current header AS STORED — manifest refs populated (with
+    * their partition summaries), `files` holding only the inline
+    * remainder: the O(changed-files) entry point cold PRUNED planning
+    * starts from (r16 VERDICT task 1). A pinned handle serves its
+    * pinned version's header for statement consistency. NEVER treat
+    * `.files` of this view as the table's file list — resolve refs
+    * through [[TxLog.resolveRefs]]. */
+  private[graft] def snapshotHeader: Snapshot = {
+    val h = pinnedHeader
+    if (h != null) h else TxLog.readRaw(logDir, currentVersion, conf)
+  }
+  private[graft] def snapshotHeaderAt(version: Long): Snapshot =
+    TxLog.readRaw(logDir, version, conf)
 
   private def schemaOf(s: Snapshot): StructType =
     org.apache.spark.sql.types.DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
 
-  def schema: StructType = schemaOf(snapshot)
+  // header-sufficient: never forces manifest expansion on a pinned
+  // handle (metadata fields ride the stored header)
+  def schema: StructType = schemaOf(snapshotHeader)
 
   // ---- read ------------------------------------------------------------
 
@@ -602,10 +635,31 @@ class TxTable private (
       // files still marked uncovered: they are exact-scored AND
       // ADC-shortlisted, and the unconditional dedup-by-id in
       // vectorSearch collapses the double — never wrong, only redundant.
+      // Parts land under EPOCH-STAMPED names (`g<version>-…`, staged
+      // then moved — a move only ADDS names, so a concurrent search
+      // that already planned its file list is undisturbed): the reap's
+      // newest-copy-per-id ordering reads the epoch from the name
+      // instead of part mtimes, which tie within coarse (1 s)
+      // filesystem granularity and could keep a stale copy (ADVICE
+      // r16 low).
+      val stagingDir = new Path(root,
+        s"_staging/${java.util.UUID.randomUUID().toString}")
+      TxLog.registerInFlight(stagingDir.getName)
       Similarity.encodeIvfPq(delta, model, meta.idColumn, vecCol)
         .repartition(col("cell")).sortWithinPartitions("cell")
-        .write.mode("append")
-        .parquet(new Path(vectorIndexPath(vecCol), meta.codesDir).toString)
+        .write.mode("overwrite").parquet(stagingDir.toString)
+      val codesDst = new Path(vectorIndexPath(vecCol), meta.codesDir)
+      fs.mkdirs(codesDst)
+      fs.listStatus(stagingDir)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          if (!fs.rename(st.getPath,
+              new Path(codesDst, s"g${s.version}-${st.getPath.getName}")))
+            throw new java.io.IOException(
+              s"failed to move refresh codes part ${st.getPath} into " +
+                s"$codesDst")
+        }
+      fs.delete(stagingDir, true)
       // coverage grows by a DELTA sidecar holding only the new paths —
       // O(new files) bytes per refresh, never a rewrite of the whole
       // set (at 10⁶ files and per-epoch streaming refresh the full
@@ -684,26 +738,41 @@ class TxTable private (
     val liveIds = dfFor(s).select(col(meta.idColumn))
     // one code row per live id: refresh epochs re-encode the rewritten
     // survivors of every COW pass, so a churned id accumulates
-    // historical copies — keep the copy from the NEWEST part file (the
-    // most recent value this sidecar ever encoded; ties break on cell
-    // for determinism). The freshness metadata is the part files' own
-    // mtimes — no vector reads, no re-encode; __mt must be stamped
-    // DIRECTLY over the scan (input_file_name is only meaningful
-    // there).
-    val partMtimes = fs.listStatus(cur)
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(st => st.getPath.getName -> st.getModificationTime).toSeq
-    val mtMap = map(partMtimes.flatMap { case (n, m) =>
+    // historical copies — keep the copy from the NEWEST REFRESH EPOCH
+    // (the snapshot version stamped into the part name, `g<v>-…`;
+    // build/rewrite parts carry no stamp and rank below every
+    // refresh). Part mtimes remain the SECONDARY order for legacy
+    // sidecars whose refresh parts predate epoch names — exact when
+    // epochs differ, best-effort within coarse mtime granularity
+    // (ADVICE r16 low: two epochs in one 1 s tick used to tie and the
+    // cell tie-break could keep the stale copy). No vector reads, no
+    // re-encode; __ep/__mt must be stamped DIRECTLY over the scan
+    // (input_file_name is only meaningful there).
+    val partMeta = fs.listStatus(cur)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val n = st.getPath.getName
+        val epoch = n match {
+          case TxTable.CodesEpochRe(v) => v.toLong
+          case _ => -1L
+        }
+        (n, epoch, st.getModificationTime)
+      }.toSeq
+    val epMap = map(partMeta.flatMap { case (n, e, _) =>
+      Seq(lit(n), lit(e)) }: _*)
+    val mtMap = map(partMeta.flatMap { case (n, _, m) =>
       Seq(lit(n), lit(m)) }: _*)
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(meta.idColumn))
-      .orderBy(col("__mt").desc, col("cell").asc)
+      .orderBy(col("__ep").desc, col("__mt").desc, col("cell").asc)
     spark.read.parquet(cur.toString)
-      .withColumn("__mt", element_at(mtMap,
-        element_at(split(input_file_name(), "/"), -1)))
+      .withColumn("__name", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("__ep", element_at(epMap, col("__name")))
+      .withColumn("__mt", element_at(mtMap, col("__name")))
+      .drop("__name")
       .join(liveIds, Seq(meta.idColumn), "left_semi")
       .withColumn("__rn", row_number().over(win))
-      .where(col("__rn") === 1).drop("__mt", "__rn")
+      .where(col("__rn") === 1).drop("__ep", "__mt", "__rn")
       .repartitionByRange(parts, col("cell"))
       .sortWithinPartitions("cell")
       .write.mode("overwrite")
@@ -1125,7 +1194,8 @@ class TxTable private (
     else {
       val codeFiles =
         try fs.listStatus(new Path(vectorIndexPath(vecCol), meta.codesDir))
-          .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+          .count(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))   // incl. g<v>- parts
         catch { case _: Exception => 0 }
       // dead code rows (metadata-only: stamped codeRows − live covered
       // rows) trigger the same compaction as file-count debris — a
@@ -1693,7 +1763,7 @@ class TxTable private (
 
   // ---- table properties (TBLPROPERTIES) --------------------------------
 
-  def properties: Map[String, String] = snapshot.properties
+  def properties: Map[String, String] = snapshotHeader.properties
 
   /** `ALTER TABLE ... SET TBLPROPERTIES (...)` — metadata-only commit. */
   def setProperties(props: Map[String, String]): Long =
@@ -5441,6 +5511,10 @@ object TxTable {
     * comfortably covers a large sweep; a crashed holder delays the
     * next sweep by at most this. */
   val DefaultMaintainLeaseMs: Long = 10L * 60 * 1000
+
+  /** Epoch-stamped refresh codes part: `g<snapshotVersion>-part-…`
+    * (see [[TxTable.refreshVectorIndex]] / the reap's ordering). */
+  private[table] val CodesEpochRe = raw"g(\d+)-.*".r
 
   /** On-disk body of one `lease-<seq>.json` slot. */
   private[table] final case class MaintenanceLease(

@@ -148,7 +148,20 @@ object SnapshotFileIndex {
           : Boolean = size > 512
     }
 
-  private def layoutCached(key: Option[(String, String)])(
+  /** Bench/test seam: drop every cached layout and prior slot — the
+    * cold-driver simulation the planning bench measures against. */
+  def purgeLayoutCache(): Unit = {
+    layoutCache.synchronized { layoutCache.clear(); cachedEntries = 0L }
+    latestByTable.synchronized(latestByTable.clear())
+  }
+
+  private def layoutCached(key: Option[(String, String)],
+      /** false for PARTIAL (manifest-pruned) layouts: they cache and
+        * evict like any layout but neither derive from nor install
+        * into the latest-per-table prior slot — deriving a partial
+        * from a full prior (or vice versa) would walk the prior's
+        * whole entry set as "removals", slower than a fresh build. */
+      asPrior: Boolean = true)(
       build: Option[Layout] => Layout): Layout = key match {
     case None => build(None)
     case Some((tableKey, k)) =>
@@ -158,10 +171,12 @@ object SnapshotFileIndex {
         // build OUTSIDE the lock: a million-entry build takes seconds
         // and must not serialize unrelated tables' planning behind it
         // (two racers building the same key just waste one build)
-        val prior = latestByTable.synchronized(
-          Option(latestByTable.get(tableKey))).flatMap(r => Option(r.get()))
+        val prior =
+          if (!asPrior) None
+          else latestByTable.synchronized(
+            Option(latestByTable.get(tableKey))).flatMap(r => Option(r.get()))
         val l = build(prior)
-        latestByTable.synchronized(
+        if (asPrior) latestByTable.synchronized(
           latestByTable.put(tableKey, new java.lang.ref.WeakReference(l)))
         layoutCache.synchronized {
           val won = layoutCache.get(k)
@@ -379,7 +394,18 @@ class SnapshotFileIndex(
       * FULL file list — see [[graft.catalog.GraftV2Table]]. Subset
       * scans (incremental reads, streaming batches) leave it None and
       * build fresh. */
-    layoutKey: Option[(String, String)] = None)
+    layoutKey: Option[(String, String)] = None,
+    /** MANIFEST SKIPPING source (r16 VERDICT task 1): when set, the
+      * file list is NOT materialized at construction — `files` and
+      * `statsByPath` must be empty, and the first `listFiles` call
+      * selects only the manifest refs whose partition summaries can
+      * match its pushed partition filters, resolving and laying out
+      * just those (a cold date-pruned plan at 10⁶ files parses the
+      * matching manifests, not the million-entry snapshot). Any
+      * layout-dependent call OUTSIDE a listing (SPJ key grouping,
+      * unfiltered listings) falls back to resolving everything —
+      * conservative, never wrong. */
+    deferred: Option[ScanBridge.DeferredFiles] = None)
   extends PartitioningAwareFileIndex(spark, Map.empty, Some(fullSchema), NoopCache) {
 
   // Fully qualify against the filesystem: `allFiles()` looks leaf dirs up
@@ -396,27 +422,97 @@ class SnapshotFileIndex(
 
   /** Partition directory values are stored as strings (Hive-style path
     * rendering); cast them back through the declared column type so the
-    * scan exposes typed partition columns (DATE stays DateType, etc.). */
+    * scan exposes typed partition columns (DATE stays DateType, etc.).
+    * The Hive null sentinel reads back as NULL — the convention every
+    * engine's partition inference applies (r17: `region IS NULL` now
+    * matches rows written with a null partition value). */
   private def castValue(v: String, dt: DataType): Any =
-    Cast(Literal(UTF8String.fromString(v), StringType), dt, Option(zoneId))
+    if (v == null || v == "__HIVE_DEFAULT_PARTITION__") null
+    else Cast(Literal(UTF8String.fromString(v), StringType), dt, Option(zoneId))
       .eval(InternalRow.empty)
+
+  private def buildFor(
+      tuples: Seq[(String, Map[String, String], Long)],
+      key: Option[(String, String)],
+      asPrior: Boolean = true): SnapshotFileIndex.Layout =
+    // both keys are prefixed with the fs-QUALIFIED data dir: the
+    // caller's keys carry the raw root string, and two sessions whose
+    // default filesystems qualify the same raw path differently must
+    // not share a layout whose Paths carry the other's scheme
+    SnapshotFileIndex.layoutCached(key.map { case (tk, vk) =>
+      (s"$dataDir#$tk", s"$dataDir#$vk") }, asPrior)(prior =>
+      SnapshotFileIndex.buildLayout(dataDir, partitionColumns, partSchema,
+        tuples, castValue, prior))
 
   /** The O(files) planning geometry — built once per snapshot version
     * and shared across scans via the companion's layout cache (see
     * [[SnapshotFileIndex.Layout]]); only per-scan MUTABLE state lives
     * on this instance. */
-  private val layout: SnapshotFileIndex.Layout =
-    // both keys are prefixed with the fs-QUALIFIED data dir: the
-    // caller's keys carry the raw root string, and two sessions whose
-    // default filesystems qualify the same raw path differently must
-    // not share a layout whose Paths carry the other's scheme
-    SnapshotFileIndex.layoutCached(layoutKey.map { case (tk, vk) =>
-      (s"$dataDir#$tk", s"$dataDir#$vk") })(prior =>
-      SnapshotFileIndex.buildLayout(dataDir, partitionColumns, partSchema,
-        files, castValue, prior))
+  private lazy val eagerLayout: SnapshotFileIndex.Layout =
+    buildFor(files, layoutKey)
+
+  // ---- deferred (manifest-skipping) state -----------------------------
+  // Which refs the active partial layout covers, the layout itself,
+  // and its per-file stats. Selection is serialized: one instance
+  // belongs to one scan build, but DPP re-listing and speculative
+  // planner calls may interleave.
+  private val deferredLock = new Object
+  @volatile private var activeLayout: SnapshotFileIndex.Layout = null
+  @volatile private var activeStats
+      : Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty
+  @volatile private var activeRefSet: Set[String] = null
+
+  /** Resolve the refs `partitionFilters` cannot rule out and lay out
+    * exactly those (plus the header-inline remainder). Empty filters —
+    * or anything a summary cannot decide — select everything. */
+  private def selectLayout(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : SnapshotFileIndex.Layout = deferredLock.synchronized {
+    val d = deferred.get
+    val wanted =
+      if (partitionFilters.isEmpty) d.refs
+      else d.refs.filter(r => r.summaries match {
+        case Some(s) => partitionFilters.forall(f => mayMatch(s, f))
+        case None => true
+      })
+    val wantedSet = wanted.iterator.map(_.path).toSet
+    if (activeLayout != null && activeRefSet == wantedSet) activeLayout
+    else {
+      // PARTIAL selections cache under the version key plus the exact
+      // sorted ref set (collision-free by construction — ref paths are
+      // nonce-unique), so repeated pruned queries of one snapshot
+      // share a layout exactly as full scans do; only the FULL
+      // selection feeds the prior slot successor versions derive from
+      val full = wanted.size == d.refs.size
+      val key =
+        if (full) layoutKey
+        else layoutKey.map { case (tk, vk) =>
+          (tk, vk + wantedSet.toSeq.sorted.mkString("|refs:", ",", "")) }
+      val resolved = d.resolve(wanted) ++ d.inline
+      val l = buildFor(
+        resolved.map(f => (f.path, f.partitionValues, f.sizeBytes)),
+        key, asPrior = full)
+      activeStats = resolved.flatMap(f => f.stats.map(f.path -> _)).toMap
+      activeRefSet = wantedSet
+      activeLayout = l
+      l
+    }
+  }
+
+  private def layout: SnapshotFileIndex.Layout =
+    if (deferred.isEmpty) eagerLayout
+    else {
+      val l = activeLayout
+      if (l != null) l else selectLayout(Nil)
+    }
 
   private def statuses = layout.statuses
   private def relByPath = layout.relByPath
+
+  /** Per-file min/max stats for data skipping: construction-time map
+    * in eager mode, the resolved subset's in deferred mode. */
+  private def statsOf: Map[String, Map[String, _root_.graft.table.ColStats]] =
+    if (deferred.isEmpty) statsByPath else activeStats
 
   // ---- scan-file capture (group-based row-level operations) ----------
   // A copy-on-write REPLACE must rewrite exactly the file groups its
@@ -493,6 +589,10 @@ class SnapshotFileIndex(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
+    // manifest skipping: materialize only the refs these partition
+    // filters cannot rule out BEFORE the partition-level pruning walk
+    // below refines to directories and files
+    if (deferred.isDefined) selectLayout(partitionFilters)
     val partitioned = super.listFiles(partitionFilters, dataFilters)
     // File-level min/max data skipping: a file whose [min, max] interval
     // provably excludes every row a pushed data predicate could accept is
@@ -511,14 +611,14 @@ class SnapshotFileIndex(
       else _root_.graft.table.PartitionTransform.constraintsFor(
         partSpec, effFilters, zoneId)
     val dirs =
-      if ((effFilters.isEmpty || (statsByPath.isEmpty && bloomByColumn.isEmpty)) &&
+      if ((effFilters.isEmpty || (statsOf.isEmpty && bloomByColumn.isEmpty)) &&
           keepRt.isEmpty && specConstraints.isEmpty)
         partitioned
       else partitioned.flatMap { dir =>
         val kept = dir.files.filter { f =>
           val path = f.fileStatus.getPath
           val statsOk =
-            relByPath.get(path).flatMap(statsByPath.get) match {
+            relByPath.get(path).flatMap(statsOf.get) match {
               case Some(stats) if effFilters.nonEmpty =>
                 effFilters.forall(mayMatch(stats, _))
               case _ => true
@@ -653,7 +753,18 @@ class SnapshotFileIndex(
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = files.map(_._3).sum
+  // deferred mode must answer size WITHOUT materializing the file
+  // list (stats requests precede listing): ref byte sums ride the
+  // manifest-list entries
+  override def sizeInBytes: Long = deferred match {
+    case None => files.map(_._3).sum
+    case Some(d) => d.totalBytes
+  }
+
+  // the partition SCHEMA is knowable without any file — the default
+  // derives it from partitionSpec(), which would force a full layout
+  // before pushdown in deferred mode
+  override def partitionSchema: StructType = partSchema
 }
 
 /** Reorders each row from `scanSchema` order to the permutation given
@@ -796,6 +907,17 @@ private[graft] object RuntimePartitionFilter {
   * `graft.catalog` connector classes. */
 object ScanBridge {
 
+  /** Deferred file source for MANIFEST SKIPPING (r16 VERDICT task 1):
+    * the snapshot's manifest refs (with their partition summaries),
+    * the header-inline remainder, a resolver for whichever subset a
+    * scan's partition filters admit, and the snapshot's total bytes
+    * (for statistics served before any listing). */
+  final case class DeferredFiles(
+      refs: Seq[_root_.graft.table.ManifestRef],
+      inline: Seq[_root_.graft.table.DataFile],
+      resolve: Seq[_root_.graft.table.ManifestRef] => Seq[_root_.graft.table.DataFile],
+      totalBytes: Long)
+
   /** Spark's own parquet V2 ScanBuilder (vectorized read, filter/aggregate
     * pushdown, nested-schema pruning) over a snapshot-pinned file index. */
   def parquetScanBuilder(
@@ -815,10 +937,11 @@ object ScanBridge {
       statsByPath: Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty,
       partSpec: Seq[_root_.graft.table.PartField] = Nil,
       bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty,
-      layoutKey: Option[(String, String)] = None)
+      layoutKey: Option[(String, String)] = None,
+      deferred: Option[DeferredFiles] = None)
       : SnapshotFileIndex =
     new SnapshotFileIndex(spark, dataDir, fullSchema, partitionColumns, files,
-      statsByPath, partSpec, bloomByColumn, layoutKey)
+      statsByPath, partSpec, bloomByColumn, layoutKey, deferred)
 
   /** DataFrame over a snapshot-pinned index through Spark's V1 parquet
     * relation (`HadoopFsRelation` + `LogicalRelation`, both

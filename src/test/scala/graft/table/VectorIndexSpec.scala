@@ -320,7 +320,7 @@ class VectorIndexSpec extends SparkSpec {
     }
     def partFiles(gen: String): Int =
       fs.listStatus(new Path(t.root, s"_index/vector_embedding/$gen"))
-        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val before = partFiles(metaBefore.codesDir)
     val queries = queriesFrom(t, 6)
     val resultsBefore = t.vectorSearch(queries, k = 10)
@@ -450,7 +450,7 @@ class VectorIndexSpec extends SparkSpec {
     def codeFiles(): Int =
       fs.listStatus(new Path(t.root,
           s"_index/vector_embedding/${t.vectorIndexMeta("embedding").get.codesDir}"))
-        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     val before = codeFiles()
     val (a2, n2) = t.maintainVectorIndex("embedding",
       maxCodeFiles = math.max(1, before - 1))
@@ -725,6 +725,62 @@ class VectorIndexSpec extends SparkSpec {
     assert(top.head === 7L)
     assert(!t.vectorSearch(qLive, k = 5).select("vec_id").as[Long]
       .collect().contains(3L))
+  }
+
+  test("reap keeps the newest refresh EPOCH even when part mtimes tie") {
+    // ADVICE r16 low: the reap picked the newest copy per churned id
+    // by part-file MTIME — on stores with coarse (1 s) granularity two
+    // refresh epochs tie and the cell tie-break could keep the STALE
+    // copy. Refresh parts now carry the snapshot version in their
+    // name (`g<v>-…`) and the reap orders by that; this spec forces
+    // the exact tie (identical mtimes on every part) and pins that
+    // the surviving code row is the CURRENT vector's encoding.
+    import graft.operators.Similarity
+    val t = embTable("vecidx_epoch")
+    t.buildVectorIndex("vec_id", "embedding", dim = 64)
+    val fsx = t.root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def churn(scale: Double): Unit = {
+      // replace id 5's vector: COW delete + append of a scaled copy
+      val row = t.toDF.filter(col("vec_id") === 5L)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * scale)
+            .cast(t.toDF.schema("embedding").dataType).as("embedding"))
+        .collect()(0)
+      t.delete(col("vec_id") === 5L)
+      import spark.implicits._
+      t.append(Seq((row.getLong(0),
+        row.getSeq[Float](1))).toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast(
+          t.toDF.schema("embedding").dataType)))
+      assert(t.refreshVectorIndex("embedding") > 0)
+    }
+    churn(0.5)    // epoch A encodes the 0.5× copy
+    churn(2.0)    // epoch B encodes the CURRENT (0.5×2.0 = 1.0×) copy
+    val meta = t.vectorIndexMeta("embedding").get
+    val codesDir = new Path(t.root,
+      s"_index/vector_embedding/${meta.codesDir}")
+    // force the tie the mtime ordering could not break
+    val now = (System.currentTimeMillis() / 1000) * 1000
+    fsx.listStatus(codesDir).filter(_.isFile)
+      .foreach(st => fsx.setTimes(st.getPath, now, now))
+    assert(t.rewriteVectorIndex("embedding") >= 1)
+    val meta2 = t.vectorIndexMeta("embedding").get
+    val kept = spark.read.parquet(new Path(t.root,
+      s"_index/vector_embedding/${meta2.codesDir}").toString)
+      .filter(col("vec_id") === 5L).collect()
+    assert(kept.length === 1, s"expected one surviving copy, ${kept.length}")
+    // the survivor must be the CURRENT vector's encoding
+    val model = Similarity.VectorIndexModel(meta2.dim, meta2.centroids,
+      meta2.codebooks, meta2.nprobe, meta2.rerankTo)
+    val expect = Similarity.encodeIvfPq(
+      t.toDF.filter(col("vec_id") === 5L), model, "vec_id", "embedding")
+      .collect()(0)
+    val keptRow = kept(0)
+    assert(keptRow.getAs[Int]("cell") === expect.getAs[Int]("cell"),
+      "stale epoch's cell survived the tie")
+    assert(keptRow.getAs[scala.collection.Seq[Byte]]("codes").toSeq ===
+      expect.getAs[scala.collection.Seq[Byte]]("codes").toSeq,
+      "stale epoch's codes survived the tie")
   }
 
   test("MOR position deletes surface as dead code rows and trigger the reap") {
