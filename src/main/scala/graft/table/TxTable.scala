@@ -4776,11 +4776,24 @@ class TxTable private (
     val key = logDir.toString
     val bound = TxTable.minVersionBound.computeIfAbsent(key,
       _ => Long.box(TxLog.minVersion(logDir, conf).getOrElse(0L)))
+    // a bound ABOVE the head means the log dir was dropped and
+    // recreated (version numbering restarted) — the stale entry must
+    // not silence the new table's retention; drop it and evaluate
+    if (bound > cur.version) {
+      TxTable.minVersionBound.remove(key, bound)
+      return false
+    }
     if (cur.version - bound + 1 > retain + math.max(4L, retain / 2L))
       return false
     val memo = TxTable.lastSignalEval.get(key)
     if (memo == null) return false
     if (memo.propsFp != TxTable.maintainPropsFp(props)) return false
+    // counters running BACKWARDS relative to the memo = recreated
+    // table reusing the log dir — the memo vouches for the old one
+    if (memo.cumAdded > c.getOrElse("cumAdded", 0L)) {
+      TxTable.lastSignalEval.remove(key, memo)
+      return false
+    }
     if (memo.indexesPresent) {
       val slack = math.max(8L, c.getOrElse("totalFiles", 0L) / 256)
       if (c.getOrElse("cumAdded", 0L) - memo.cumAdded > slack) return false

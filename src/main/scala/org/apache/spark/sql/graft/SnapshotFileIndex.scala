@@ -591,8 +591,23 @@ class SnapshotFileIndex(
       : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     // manifest skipping: materialize only the refs these partition
     // filters cannot rule out BEFORE the partition-level pruning walk
-    // below refines to directories and files
-    if (deferred.isDefined) selectLayout(partitionFilters)
+    // below refines to directories and files. The WHOLE listing holds
+    // the selection lock in deferred mode: a concurrent listing with
+    // different filters (AQE re-planning a self-join's two scans of
+    // one cached Scan, speculative planner calls) must not swap
+    // activeLayout mid-walk under this thread's feet — planning is
+    // driver-side, so the serialization costs nothing real.
+    if (deferred.isDefined) deferredLock.synchronized {
+      selectLayout(partitionFilters)
+      return listFilesInner(partitionFilters, dataFilters)
+    }
+    listFilesInner(partitionFilters, dataFilters)
+  }
+
+  private def listFilesInner(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] = {
     val partitioned = super.listFiles(partitionFilters, dataFilters)
     // File-level min/max data skipping: a file whose [min, max] interval
     // provably excludes every row a pushed data predicate could accept is
