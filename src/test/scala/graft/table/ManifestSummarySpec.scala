@@ -106,6 +106,37 @@ class ManifestSummarySpec extends SparkSpec {
       .head().getLong(0) === 480L)
   }
 
+  test("deferred == eager under a randomized predicate fuzz") {
+    // the manifest-skipping plan path must be RESULT-invisible: for a
+    // deterministic battery of predicate shapes (equality, ranges,
+    // IN, disjunctions, non-partition filters, no filter), the
+    // deferred V2 scan answers exactly what the resolved snapshot
+    // answers — whatever mix of skipped and read manifests each shape
+    // admits
+    val t = buildTable(freshDir("ms_fuzz"))
+    val full = t.toDF   // eager path: resolved snapshot, V1 relation
+    val preds = Seq(
+      "date = DATE'2026-01-01'",
+      "date = DATE'2026-01-12'",
+      "date = DATE'2025-12-31'",                        // matches nothing
+      "date BETWEEN DATE'2026-01-02' AND DATE'2026-01-04'",
+      "date >= DATE'2026-01-10'",
+      "date < DATE'2026-01-03'",
+      "date IN (DATE'2026-01-01', DATE'2026-01-09')",
+      "date = DATE'2026-01-02' OR date = DATE'2026-01-11'",
+      "v > 30.0",                                       // non-partition
+      "date = DATE'2026-01-05' AND v <= 12.0",
+      "1 = 1")
+    preds.foreach { p =>
+      val viaCatalog = spark.sql(
+        s"SELECT id FROM graftms.ms.t WHERE $p ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      val viaEager = full.where(p).select("id").orderBy("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(viaCatalog === viaEager, s"deferred diverged under: $p")
+    }
+  }
+
   test("summaries never skip wrongly: nulls and strings prune conservatively") {
     val root = new Path(freshDir("ms_cons"))
     import spark.implicits._
