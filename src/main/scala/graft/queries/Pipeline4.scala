@@ -55,6 +55,62 @@ object Pipeline4 {
       ORDER BY region, status""")),
 
     // ------------------------------------------------------------------
+    // Manifest skipping end-to-end through the V2 catalog (r17): six
+    // DATE-CLUSTERED multi-file commits spill tier manifests whose
+    // refs carry partition summaries; the date-pruned aggregate below
+    // then plans through the DEFERRED index, which resolves only the
+    // manifests whose summary range can match — pinned here by the
+    // resolution counter (fewer manifests parsed than the header
+    // references), with the oracle recomputing the aggregate from the
+    // staged seed. The Iceberg manifest-list behavior for the
+    // reference's date-partitioned Athena queries
+    // (kfs/scripts/update_metadata.py:114, kfs/README.md:181).
+    Q("catalog_v2_manifest_skip", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("mskip_seed", "parquet") {
+        SampleData.transactions(s, 360, seed = 47L)
+          .withColumn("date",
+            date_add(lit(java.sql.Date.valueOf("2026-03-01")),
+              pmod(abs(hash(col("transaction_id"))), lit(6)).cast("int")))
+      }
+      val wh = Pipeline.scratch("mskip")
+      s.conf.set("spark.sql.catalog.graftmskip", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmskip.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("mskip_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmskip.an")
+      s.sql("""CREATE TABLE graftmskip.an.tx PARTITIONED BY (date) AS
+               SELECT * FROM mskip_seed WHERE 1 = 0""")
+      (0 until 6).foreach { d =>
+        s.sql(s"""INSERT INTO graftmskip.an.tx
+                  SELECT /*+ REPARTITION(8) */ * FROM mskip_seed
+                  WHERE date = DATE'2026-03-0${d + 1}'""")
+      }
+      val t = new TableCatalog(s, new Path(wh)).getTable("an", "tx")
+      val refs = t.snapshotHeader.manifests
+      require(refs.nonEmpty && refs.exists(_.summaries.isDefined),
+        s"clustered commits spilled no summarized manifests: $refs")
+      val planned = s.sql("""
+        SELECT status, count(*) AS n,
+               CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM graftmskip.an.tx
+        WHERE date = DATE'2026-03-06'
+        GROUP BY status
+        ORDER BY status""")
+      val before = graft.table.TxLog.manifestResolutionCount
+      val rows = planned.collect().toSeq
+      val resolved = graft.table.TxLog.manifestResolutionCount - before
+      require(resolved < refs.size,
+        s"manifest skipping inactive: resolved $resolved of ${refs.size}")
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), planned.schema)
+    }, oracle = Some(s"""
+      SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/mskip_seed/*.parquet')
+      WHERE date = DATE '2026-03-06'
+      GROUP BY status
+      ORDER BY status""")),
+
+    // ------------------------------------------------------------------
     // Depth-2 multiprobe LSH (the recall/cost knob added r6): probes
     // every bucket within Hamming distance 2 of the query's own —
     // 37/256 buckets instead of 9/256, the Lv et al. VLDB'07 multiprobe
