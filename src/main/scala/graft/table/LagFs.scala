@@ -56,7 +56,7 @@ class LagFs extends org.apache.hadoop.fs.RawLocalFileSystem {
       super.create(f, overwrite, bufferSize, replication, blockSize, progress))
   }
   override def listStatus(f: Path): Array[FileStatus] = {
-    LagFs.hit("list"); LagFs.nested(super.listStatus(f))
+    LagFs.hit("list", Some(f)); LagFs.nested(super.listStatus(f))
   }
   override def delete(f: Path, recursive: Boolean): Boolean = {
     LagFs.hit("delete"); LagFs.nested(super.delete(f, recursive))
@@ -90,17 +90,31 @@ object LagFs {
     try body finally inOp.set(prev)
   }
 
-  private[table] def hit(cat: String): Unit = {
+  /** COUNTED list targets (nested-suppressed like the counts): lets a
+    * spec pin WHICH directories an operation lists — call-count alone
+    * cannot distinguish one list of a 10⁵-entry log dir from one list
+    * of a 1-slot scoped dir (the r17 lease-acquisition fix). */
+  private val listedBuf =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def listedPaths: Seq[String] = {
+    val b = Seq.newBuilder[String]
+    listedBuf.forEach(p => b += p)
+    b.result()
+  }
+
+  private[table] def hit(cat: String, target: Option[Path] = None): Unit = {
     if (inOp.get.booleanValue()) return
     counts.computeIfAbsent(cat,
       _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+    target.foreach(p => listedBuf.add(p.toString))
     if (sys.props.contains("graft.lagfs.trace"))
       new Exception(s"lagfs-$cat").printStackTrace()
     val lag = lagMs
     if (lag > 0) Thread.sleep(lag)
   }
 
-  def reset(): Unit = counts.clear()
+  def reset(): Unit = { counts.clear(); listedBuf.clear() }
 
   def snapshot: Map[String, Long] = {
     val it = counts.entrySet().iterator()

@@ -1495,6 +1495,24 @@ object TxLog {
       ManifestRef(name, files.size, bytes, rows, sums)
     } else writeManifest(logDir, version, files, conf, kinds)
 
+  /** Place a spill of ANY size: chunked into ≤[[ManifestSplitMaxFiles]]
+    * entries per manifest, same as tier-merge output. Without this, a
+    * full-table rewrite (or one commit adding >cap files — bulk
+    * add_files, a giant overwrite) would be born as a single sealed
+    * mega-manifest whose partition summary spans the whole table,
+    * silently re-introducing the resolve-everything cold-plan cost the
+    * merge chunking removed (ADVICE r17 medium). Chunks keep `files`
+    * order, so resolved order and the O(delta) byte-identity contract
+    * (LayoutFuzzSpec) are unchanged. */
+  private def placeManifests(logDir: Path, version: Long,
+      files: Seq[DataFile], conf: Configuration,
+      kinds: Map[String, PartKind]): Seq[ManifestRef] =
+    if (files.size <= ManifestSplitMaxFiles)
+      Seq(placeManifest(logDir, version, files, conf, kinds))
+    else files.grouped(ManifestSplitMaxFiles)
+      .map(chunk => placeManifest(logDir, version, chunk, conf, kinds))
+      .toSeq
+
   private def writeManifest(logDir: Path, version: Long,
       files: Seq[DataFile], conf: Configuration,
       kinds: Map[String, PartKind]): ManifestRef = {
@@ -2212,8 +2230,8 @@ object TxLog {
     val kinds = partKindsOf(snapshot)
     val (spilled, inline, manifestPaths) =
       if (remaining.size > InlineMaxFiles) {
-        (prev.manifests :+
-          placeManifest(logDir, snapshot.version, remaining, conf, kinds),
+        (prev.manifests ++
+          placeManifests(logDir, snapshot.version, remaining, conf, kinds),
           Vector.empty[DataFile],
           prev.manifestPaths ++ remaining.iterator.map(_.path))
       } else (prev.manifests, remaining, prev.manifestPaths)
@@ -2339,8 +2357,8 @@ object TxLog {
     val kinds = partKindsOf(snapshot)
     val (spilled, inline) =
       if (remaining.size > InlineMaxFiles) {
-        (kept.toSeq :+
-          placeManifest(logDir, snapshot.version, remaining.values.toSeq,
+        (kept.toSeq ++
+          placeManifests(logDir, snapshot.version, remaining.values.toSeq,
             conf, kinds),
           Nil)
       } else (kept.toSeq, remaining.values.toSeq)

@@ -71,8 +71,14 @@ class TxTable private (
     * with zero further head probes. Only short-lived handles pin
     * (GraftSql opens a fresh handle per statement); write paths are
     * unaffected — retryingCommit rediscovers the head itself. */
-  @transient @volatile private var pinnedHeader: Snapshot = null
-  @transient @volatile private var pinnedResolved: Snapshot = null
+  // ONE volatile holding the (header, lazily-resolved) PAIR: two
+  // independent volatiles could tear — a thread inside snapshot() that
+  // resolved the OLD header could store its result after a concurrent
+  // re-pin, leaving the header at v2 while snapshot serves v1's files
+  // (ADVICE r17 low). The holder is immutable except for its resolved
+  // slot, and that slot only ever receives the resolution of ITS OWN
+  // header, so a stale writer mutates a holder nobody reads anymore.
+  @transient @volatile private var pinned: TxTable.Pin = null
 
   /** Pin this handle to the table's CURRENT snapshot: one head
     * resolution serves every subsequent metadata read through the
@@ -87,22 +93,24 @@ class TxTable private (
   private[graft] def pinSnapshot(): TxTable = {
     val v = TxLog.currentVersion(logDir, conf).getOrElse(
       throw new IllegalStateException(s"table $name has no committed version"))
-    pinnedResolved = null
-    pinnedHeader = TxLog.readRaw(logDir, v, conf)
+    pinned = new TxTable.Pin(TxLog.readRaw(logDir, v, conf))
     this
   }
 
   def snapshot: Snapshot = {
-    val h = pinnedHeader
-    if (h == null) return TxLog.read(logDir, currentVersion, conf)
-    val r = pinnedResolved
+    val p = pinned
+    if (p == null) return TxLog.read(logDir, currentVersion, conf)
+    val r = p.resolved
     if (r != null) r
     else {
+      val h = p.header
       val resolved =
         if (h.manifests.isEmpty) h
         else h.copy(files =
           TxLog.resolveRefs(logDir, h.manifests, conf) ++ h.files)
-      pinnedResolved = resolved
+      // store into the SAME holder we read the header from — a re-pin
+      // replaced `pinned` with a new holder, so this write is invisible
+      p.resolved = resolved
       resolved
     }
   }
@@ -116,8 +124,8 @@ class TxTable private (
     * `.files` of this view as the table's file list — resolve refs
     * through [[TxLog.resolveRefs]]. */
   private[graft] def snapshotHeader: Snapshot = {
-    val h = pinnedHeader
-    if (h != null) h else TxLog.readRaw(logDir, currentVersion, conf)
+    val p = pinned
+    if (p != null) p.header else TxLog.readRaw(logDir, currentVersion, conf)
   }
   private[graft] def snapshotHeaderAt(version: Long): Snapshot =
     TxLog.readRaw(logDir, version, conf)
@@ -4615,12 +4623,22 @@ class TxTable private (
   def expireSnapshotsOlderThan(cutoffMs: Long): Int = {
     requireMain("expireSnapshots")
     val head = currentVersion
+    // the cleared-through memo advances on BOTH outcomes: after this
+    // call no header with ts <= cutoff remains expirable — either it
+    // was just expired, it is tag/carrier-protected forever, or none
+    // existed (the versionAtOrBefore miss below). Without the miss
+    // path a freshly recreated table under an age policy would admit
+    // a no-op sweep on every commit (the memo would never advance).
+    def advance(): Unit =
+      TxTable.ageClearedThrough.merge(logDir.toString, Long.box(cutoffMs),
+        (a, b) => if (a >= b) a else b)
     val below = try TxLog.versionAtOrBefore(logDir, head, cutoffMs, conf)
-      catch { case _: IllegalArgumentException => return 0 }
+      catch { case _: IllegalArgumentException => advance(); return 0 }
     val keepFrom = math.min(head, below + 1)
     val n = TxLog.expire(logDir, keepFrom, tags.values.toSet, conf)
     TxTable.minVersionBound.merge(logDir.toString, Long.box(keepFrom),
       (a, b) => if (a >= b) a else b)
+    advance()
     n
   }
 
@@ -4662,39 +4680,48 @@ class TxTable private (
   private val LeaseSlotRe = raw"lease-(\d{9})\.json".r
   private def leaseSlotName(seq: Long): String = f"lease-$seq%09d.json"
 
-  /** (seq, path) of every lease slot under the log dir, unsorted. */
-  private def leaseSlots(): Seq[(Long, Path)] =
-    if (!fs.exists(logDir)) Nil
-    else fs.listStatus(logDir).toSeq.flatMap(st => st.getPath.getName match {
-      case LeaseSlotRe(seq) if st.isFile => Some(seq.toLong -> st.getPath)
+  /** Scoped home of the lease slots: acquisition lists THIS directory
+    * only — O(slots), where listing the log dir to find them was
+    * O(log entries), ~10⁵ statuses per admitted sweep on a
+    * retention-less log (r17 VERDICT observation 2). Nothing else
+    * lives here; vacuum walks `data/` only and never sees it. */
+  private val maintDir = new Path(root, "_maintenance")
+
+  /** (seq, path, mtime) of every lease slot, unsorted. The mtime
+    * bounds how long an UNREADABLE slot can be treated as held. */
+  private def leaseSlots(): Seq[(Long, Path, Long)] =
+    if (!fs.exists(maintDir)) Nil
+    else fs.listStatus(maintDir).toSeq.flatMap(st => st.getPath.getName match {
+      case LeaseSlotRe(seq) if st.isFile =>
+        Some((seq.toLong, st.getPath, st.getModificationTime))
       case _ => None
     })
 
-  /** Try to take the maintenance lease for `ttlMs`. Some(holderToken)
-    * on success; None when a live (unexpired, unreleased) holder
-    * exists or a racer wins the successor slot. An UNREADABLE highest
-    * slot (half-written racer) counts as held — skipping one cycle is
-    * the advisory-lease failure mode, never duplicate work by default. */
-  private def tryAcquireMaintenanceLease(ttlMs: Long): Option[String] = {
-    val holder = java.util.UUID.randomUUID().toString
-    val slots = leaseSlots()
-    val next = slots.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
-    val live = slots.maxByOption(_._1).flatMap { case (_, p) =>
-      try {
-        val in = fs.open(p)
-        val json = try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-        Some(org.json4s.jackson.JsonMethods.parse(json)
-          .extract[TxTable.MaintenanceLease])
-      } catch {
-        case _: java.io.FileNotFoundException => None // released
-        case scala.util.control.NonFatal(_) =>
-          Some(TxTable.MaintenanceLease("unreadable", Long.MaxValue))
-      }
+  /** Parse one slot. None = released (deleted) mid-read. An
+    * unreadable slot (half-written racer on a non-atomic store)
+    * counts as held only until `mtime + max(ttl, default TTL)` — a
+    * PERSISTENT corrupt slot must eventually expire, or maintenance
+    * for the table would be silently disabled forever, contradicting
+    * the crashed-holder-never-wedges contract (ADVICE r17 low). */
+  private def readLeaseSlot(p: Path, mtime: Long, ttlMs: Long)
+      : Option[TxTable.MaintenanceLease] =
+    try {
+      val in = fs.open(p)
+      val json = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Some(org.json4s.jackson.JsonMethods.parse(json)
+        .extract[TxTable.MaintenanceLease])
+    } catch {
+      case _: java.io.FileNotFoundException => None // released
+      case scala.util.control.NonFatal(_) =>
+        Some(TxTable.MaintenanceLease("unreadable",
+          mtime + math.max(ttlMs, TxTable.DefaultMaintainLeaseMs)))
     }
-    if (live.exists(_.expiresAtMs > System.currentTimeMillis())) return None
+
+  private def writeLeaseSlot(seq: Long, holder: String, ttlMs: Long)
+      : Boolean = {
     val content = {
       implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
       org.json4s.jackson.Serialization.write(TxTable.MaintenanceLease(
@@ -4703,27 +4730,63 @@ class TxTable private (
     val scheme = Option(root.toUri.getScheme).getOrElse(
       Option(fs.getUri).map(_.getScheme).getOrElse("file"))
     try {
+      fs.mkdirs(maintDir)
       TxLog.protocolFor(scheme).putIfAbsent(fs,
-        new Path(logDir, leaseSlotName(next)),
+        new Path(maintDir, leaseSlotName(seq)),
         content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        next, None)
-      // winner housekeeping: drop inert lower-seq slots (best-effort)
-      try slots.foreach { case (seq, p) => if (seq < next) fs.delete(p, false) }
-      catch { case _: Exception => () }
-      Some(holder)
-    } catch { case _: CommitConflictException => None }
+        seq, None)
+      true
+    } catch { case _: CommitConflictException => false }
   }
 
-  /** Release the lease `holder` took: delete the slot iff it is still
-    * ours (a TTL takeover may have superseded us mid-sweep — deleting
-    * the successor's slot would double-grant). Best-effort. */
-  private def releaseMaintenanceLease(holder: String): Unit = try {
-    leaseSlots().maxByOption(_._1).foreach { case (_, p) =>
-      val in = fs.open(p)
-      val json = try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      if (json.contains(holder)) fs.delete(p, false)
+  /** Try to take the maintenance lease for `ttlMs`. Some(holderToken)
+    * on success; None when a live (unexpired, unreleased) holder
+    * exists or a racer wins the successor slot. Skipping one cycle is
+    * the advisory-lease failure mode, never duplicate work by default. */
+  private[table] def tryAcquireMaintenanceLease(ttlMs: Long): Option[String] = {
+    val holder = java.util.UUID.randomUUID().toString
+    val slots = leaseSlots()
+    val next = slots.map(_._1).maxOption.map(_ + 1).getOrElse(0L)
+    val live = slots.maxByOption(_._1).flatMap { case (_, p, mt) =>
+      readLeaseSlot(p, mt, ttlMs) }
+    if (live.exists(_.expiresAtMs > System.currentTimeMillis())) return None
+    if (!writeLeaseSlot(next, holder, ttlMs)) return None
+    // winner housekeeping: drop inert lower-seq slots (best-effort)
+    try slots.foreach { case (seq, p, _) =>
+      if (seq < next) fs.delete(p, false) }
+    catch { case _: Exception => () }
+    Some(holder)
+  }
+
+  /** Extend `holder`'s hold by CASing the successor slot with a fresh
+    * expiry — the renewal timer calls this at TTL/2 while the sweep
+    * runs, so a sweep LONGER than the TTL keeps its dedup (without
+    * renewal, a parked compaction past the TTL would be taken over
+    * and duplicated — r17 VERDICT observation 2). False = the lease
+    * is no longer ours (a TTL takeover already happened); the caller
+    * stops renewing and the sweep finishes advisorily. */
+  private[table] def renewMaintenanceLease(holder: String, ttlMs: Long): Boolean = {
+    val slots = leaseSlots()
+    val top = slots.maxByOption(_._1)
+    val ours = top.exists { case (_, p, mt) =>
+      readLeaseSlot(p, mt, ttlMs).exists(_.holder == holder) }
+    if (!ours) return false
+    val next = top.map(_._1 + 1).getOrElse(0L)
+    if (!writeLeaseSlot(next, holder, ttlMs)) return false
+    // our superseded slot is inert — drop it so the dir stays ~1 slot
+    try top.foreach { case (_, p, _) => fs.delete(p, false) }
+    catch { case _: Exception => () }
+    true
+  }
+
+  /** Release the lease `holder` took: delete every slot that is still
+    * OURS (the token is per-acquire unique, so this can never release
+    * another process's hold — a TTL takeover's successor slot carries
+    * its own token and is left alone). Best-effort. */
+  private[table] def releaseMaintenanceLease(holder: String): Unit = try {
+    leaseSlots().foreach { case (_, p, mt) =>
+      if (readLeaseSlot(p, mt, 0L).exists(_.holder == holder))
+        fs.delete(p, false)
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -4771,9 +4834,26 @@ class TxTable private (
     if (!c.get("smallThreshold").contains(thr)) return false
     if (c.getOrElse("smallCount", 0L) >= pI("minSmallFiles", 16, _ >= 2))
       return false
-    if (pL("maxSnapshotAgeMs", -1L, _ => true) > 0) return false
-    val retain = pI("retainSnapshots", 10, _ >= 1)
     val key = logDir.toString
+    // age-based expiry: gate on the cleared-through horizon instead of
+    // answering "due" unconditionally (which re-admitted a full sweep
+    // evaluation on EVERY commit of an age-policied table — r17
+    // VERDICT observation 1). After a sweep clears through T, no
+    // retained header with ts <= T is expirable, so the dimension is
+    // provably quiet until wall clock passes T + maxAge; the slack on
+    // top batches continuously-aging tables (a steadily-committing
+    // table always has a just-aged-out header the instant a sweep
+    // finishes) — headers linger at most slack past the policy age,
+    // the same approximation every scheduler-driven expiry makes.
+    val maxAge = pL("maxSnapshotAgeMs", -1L, _ => true)
+    if (maxAge > 0) {
+      val cleared = TxTable.ageClearedThrough.get(key)
+      if (cleared == null) return false
+      val slack = pL("ageSlackMs", math.max(60000L, maxAge / 8), _ > 0)
+      if (System.currentTimeMillis() - cleared > maxAge + slack)
+        return false
+    }
+    val retain = pI("retainSnapshots", 10, _ >= 1)
     val bound = TxTable.minVersionBound.computeIfAbsent(key,
       _ => Long.box(TxLog.minVersion(logDir, conf).getOrElse(0L)))
     // a bound ABOVE the head means the log dir was dropped and
@@ -4863,7 +4943,20 @@ class TxTable private (
           return Seq("skipped" -> "maintenance lease held by another process")
         case some => some
       }
+    // renew at TTL/2 while the sweep runs: the biggest sweeps are the
+    // ones whose dedup matters most, and they are exactly the ones
+    // that outlive a fixed TTL. The timer task halts itself (by
+    // throwing) as soon as a renewal fails — lost lease or store
+    // error — and the sweep finishes advisorily either way.
+    val renewal = lease.filter(_ => leaseTtl > 1).map { h =>
+      TxTable.leaseRenewalTimer.scheduleAtFixedRate(() => {
+        if (!renewMaintenanceLease(h, leaseTtl))
+          throw new IllegalStateException("lease lost — stop renewing")
+      }, leaseTtl / 2, math.max(1L, leaseTtl / 2),
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
     try {
+    TxTable.maintainSweepTestHook()
     val out = scala.collection.mutable.Buffer.empty[(String, String)]
     // 1. small-file compaction: bin-pack when the debris has
     // accumulated past the same floor the inline auto-compactor uses —
@@ -4977,7 +5070,10 @@ class TxTable private (
       } catch { case scala.util.control.NonFatal(_) => () }
       out.toSeq
     }
-    } finally lease.foreach(releaseMaintenanceLease)
+    } finally {
+      renewal.foreach(_.cancel(false))
+      lease.foreach(releaseMaintenanceLease)
+    }
   }
 
   /**
@@ -5533,6 +5629,15 @@ object TxTable {
   private[table] final case class MaintenanceLease(
       holder: String, expiresAtMs: Long)
 
+  /** Statement-pin holder: the stored header plus its lazily-resolved
+    * expansion, swapped as ONE reference so the pair can never tear
+    * (ADVICE r17 low). `resolved` is monotone null → resolution-of-
+    * `header`; a writer that raced a re-pin mutates an unreachable
+    * holder. */
+  private[table] final class Pin(val header: Snapshot) {
+    @volatile var resolved: Snapshot = null
+  }
+
   /** Reentrancy guard for the post-commit maintenance trigger: the
     * policy's own compaction commits on the same thread and must not
     * recurse into another evaluation. */
@@ -5557,6 +5662,31 @@ object TxTable {
     * delay to pin epoch latency, or a throw to pin retry stamping). */
   @volatile private[graft] var autoMaintainTestHook: () => Unit = () => ()
 
+  /** Test seam INSIDE a lease-holding sweep (runs right after lease
+    * acquisition, before any dimension): lets specs park a sweep past
+    * its lease TTL to exercise renewal. */
+  @volatile private[graft] var maintainSweepTestHook: () => Unit = () => ()
+
+  /** Timer lane for lease renewals (TTL/2 heartbeats while a sweep
+    * runs). Distinct from [[maintenanceExecutor]], whose single worker
+    * is occupied by the sweep being renewed. Core thread times out, so
+    * nothing outlives the last renewal by more than a few seconds. */
+  private[table] lazy val leaseRenewalTimer
+      : java.util.concurrent.ScheduledThreadPoolExecutor = {
+    val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1,
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, "graft-lease-renewal")
+          t.setDaemon(true)
+          t
+        }
+      })
+    ex.setKeepAliveTime(5L, java.util.concurrent.TimeUnit.SECONDS)
+    ex.allowCoreThreadTimeOut(true)
+    ex.setRemoveOnCancelPolicy(true)
+    ex
+  }
+
   /** Last background-sweep failure (diagnostics; sweeps are
     * best-effort and only warn-log). */
   @volatile private[graft] var lastAutoMaintainFailure: Option[Throwable] = None
@@ -5568,6 +5698,18 @@ object TxTable {
     * only costs a sweep that finds little; it can never be stale-high
     * (only real expiry horizons advance it). */
   private[table] val minVersionBound =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Age-retention horizon CLEARED so far, per log dir (ms, JVM-wide):
+    * after [[TxTable.expireSnapshotsOlderThan]] runs with cutoff T,
+    * no header with timestamp ≤ T remains expirable (gone or
+    * tag/carrier-protected forever), so the age dimension is provably
+    * quiet until wall clock passes T + maxAge + slack. Monotone like
+    * [[minVersionBound]]; absent → evaluate (the admitted sweep seeds
+    * it). Replaces the unconditional "age configured → due" that made
+    * every commit of an age-policied table pay a full background
+    * sweep evaluation (r17 VERDICT observation 1 / ADVICE low). */
+  private[table] val ageClearedThrough =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Counters + policy state at the last FULL signal evaluation (an

@@ -109,7 +109,11 @@ object SnapshotFileIndex {
       new CloningArrayMap(under - k)
     override def updated[V1 >: Array[FileStatus]](k: Path, v: V1)
         : scala.collection.immutable.Map[Path, V1] =
-      under.toMap.updated(k, v)
+      // materializing must CLONE: a plain map over the raw shared
+      // arrays would hand `+`/updated callers mutable access to the
+      // cached geometry this class exists to protect (ADVICE r17 low)
+      under.map { case (p, a) => (p, a.clone()): (Path, V1) }
+        .toMap.updated(k, v)
     override def size: Int = under.size
     override def contains(k: Path): Boolean = under.contains(k)
   }

@@ -103,4 +103,76 @@ class CounterSpec extends SparkSpec {
     // pre-upgrade headers (no counters) are always due
     assert(!t.maintenanceQuiet(afterSweep.copy(counters = Map.empty)))
   }
+
+  test("age-retention gates O(1): quiet while young, due past the horizon") {
+    import spark.implicits._
+    // r17 answered "due" unconditionally whenever maxSnapshotAgeMs was
+    // configured, so an age-policied table paid a full background
+    // sweep evaluation on EVERY commit. The cleared-through memo makes
+    // the age dimension gateable: quiet until wall clock passes the
+    // last cleared horizon + maxAge + slack.
+    // maxAge and slack both 10 min: nothing ages out during the test,
+    // and the quiet window after a sweep (= slack) is comfortably
+    // wider than the sweep itself. The horizon-passed case is driven
+    // by rolling the memo back directly — waiting out a real horizon
+    // would make the spec wall-clock-long and flaky.
+    val maxAge = 600000L
+    val root = new Path(freshDir("agegate"))
+    val t = TxTable.create(spark, root, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Nil)
+    t.setProperties(Map(
+      TxTable.MaintainPrefix + "minSmallFiles" -> "64",
+      TxTable.MaintainPrefix + "retainSnapshots" -> "100",
+      TxTable.MaintainPrefix + "maxSnapshotAgeMs" -> maxAge.toString,
+      TxTable.MaintainPrefix + "ageSlackMs" -> maxAge.toString))
+    (1L to 3L).foreach(i => t.append(Seq(i).toDF("id")))
+    val key = new Path(root, "_log").toString
+    TxTable.ageClearedThrough.remove(key)
+    // no cleared-through memo yet → due (the admitted sweep seeds it)
+    assert(!t.maintenanceQuiet(t.snapshot),
+      "age policy with no cleared horizon must evaluate")
+    t.maintainTableConfigured(orphanGraceMs = Some(0L), trigger = "auto")
+    // the sweep just cleared through (now - maxAge): provably quiet
+    assert(t.maintenanceQuiet(t.snapshot),
+      s"gate not quiet right after an age sweep: ${t.snapshot.counters}")
+    // wall clock passes the cleared horizon + maxAge + slack → due
+    // (simulated by rolling the memo back past the window)
+    TxTable.ageClearedThrough.put(key,
+      Long.box(System.currentTimeMillis() - 2 * maxAge - 1000))
+    assert(!t.maintenanceQuiet(t.snapshot),
+      "gate quiet past the age horizon")
+    // the admitted sweep re-quiets it even when NOTHING was expirable
+    // (memo advances on the versionAtOrBefore-miss path too — without
+    // that a young table under an age policy would hot-loop sweeps)
+    t.maintainTableConfigured(orphanGraceMs = Some(0L), trigger = "auto")
+    assert(t.maintenanceQuiet(t.snapshot),
+      "a sweep that expired nothing did not advance the age horizon")
+    // drop/recreate at the same log dir: the memo claims only
+    // "nothing ≤ T is expirable", which holds vacuously for a younger
+    // table — after a rollback past the window the recreated table is
+    // due (never wedged quiet), and its no-op sweep re-quiets it
+    val fs = root.getFileSystem(conf)
+    fs.delete(root, true)
+    val t2 = TxTable.create(spark, root, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Nil)
+    t2.setProperties(Map(
+      TxTable.MaintainPrefix + "minSmallFiles" -> "64",
+      TxTable.MaintainPrefix + "retainSnapshots" -> "100",
+      TxTable.MaintainPrefix + "maxSnapshotAgeMs" -> maxAge.toString,
+      TxTable.MaintainPrefix + "ageSlackMs" -> maxAge.toString))
+    (1L to 3L).foreach(i => t2.append(Seq(i).toDF("id")))
+    TxTable.ageClearedThrough.put(key,
+      Long.box(System.currentTimeMillis() - 2 * maxAge - 1000))
+    assert(!t2.maintenanceQuiet(t2.snapshot),
+      "recreated table wedged quiet past the horizon")
+    t2.maintainTableConfigured(orphanGraceMs = Some(0L), trigger = "auto")
+    assert(t2.maintenanceQuiet(t2.snapshot),
+      "recreated table's no-op age sweep did not re-quiet the gate")
+  }
+
+  private def conf = spark.sessionState.newHadoopConf()
 }

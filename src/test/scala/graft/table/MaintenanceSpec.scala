@@ -157,10 +157,11 @@ class MaintenanceSpec extends SparkSpec {
     val t = ingestTable("lease", 12, Map(
       // keep the auto trigger out of this test's way
       TxTable.MaintainEnabledProperty -> "false"))
-    val logDir = new Path(t.root, "_log")
-    val fs = logDir.getFileSystem(conf)
+    val maintDir = new Path(t.root, "_maintenance")
+    val fs = maintDir.getFileSystem(conf)
     def putLease(seq: Long, expiresAtMs: Long): Unit = {
-      val out = fs.create(new Path(logDir, f"lease-$seq%09d.json"), true)
+      fs.mkdirs(maintDir)
+      val out = fs.create(new Path(maintDir, f"lease-$seq%09d.json"), true)
       try out.write(
         s"""{"holder":"other-process","expiresAtMs":$expiresAtMs}"""
           .getBytes("UTF-8"))
@@ -179,7 +180,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(acts.exists(_._1 == "compacted"),
       s"takeover sweep did not act: $acts")
     // its own slot was released on completion; the expired one reaped
-    assert(!fs.listStatus(logDir).exists(
+    assert(!fs.exists(maintDir) || !fs.listStatus(maintDir).exists(
       _.getPath.getName.startsWith("lease-")),
       "lease slots survived release")
   }
@@ -205,8 +206,8 @@ class MaintenanceSpec extends SparkSpec {
     val mock = new ConditionalPutMock
     TxLog.protocolOverride = Some(mock)
     try {
-      val logDir = new Path(t.root, "_log")
-      mock.claimed.add(new Path(logDir, "lease-000000000.json").toString)
+      val maintDir = new Path(t.root, "_maintenance")
+      mock.claimed.add(new Path(maintDir, "lease-000000000.json").toString)
       assert(t.maintainTable(orphanGraceMs = 0) ===
         Seq("skipped" -> "maintenance lease held by another process"))
     } finally TxLog.protocolOverride = None
@@ -229,5 +230,116 @@ class MaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t.maintainTable(minSmallFiles = 1)
     }
+  }
+
+  test("lease renewal keeps a sweep longer than its TTL deduped") {
+    // r17 had no mid-sweep renewal: a sweep past the TTL was taken
+    // over and DUPLICATED — dedup lost exactly for the biggest sweeps.
+    // Renewal at TTL/2 CASes successor slots while the sweep runs, so
+    // a competitor keeps skipping for the sweep's whole life.
+    val t = ingestTable("renewal", 12, Map(
+      TxTable.MaintainEnabledProperty -> "false",
+      TxTable.MaintainPrefix + "leaseMs" -> "1000"))
+    val parked = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    TxTable.maintainSweepTestHook = () => {
+      parked.countDown()
+      release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+    try {
+      val sweep = new Thread(() =>
+        t.maintainTable(minSmallFiles = 8, orphanGraceMs = 0))
+      sweep.start()
+      assert(parked.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      // park the sweep for 3× the TTL; a competitor probes throughout
+      // and must never win the lease (without renewal it wins at +1 s)
+      val competitor = TxTable.open(spark, t.root, t.name)
+      val until = System.currentTimeMillis() + 3000
+      while (System.currentTimeMillis() < until) {
+        val got = competitor.tryAcquireMaintenanceLease(1000L)
+        got.foreach(competitor.releaseMaintenanceLease)
+        assert(got.isEmpty,
+          "competitor acquired the lease while the renewed sweep ran")
+        Thread.sleep(300)
+      }
+      release.countDown()
+      sweep.join(30000)
+      assert(!sweep.isAlive, "sweep did not finish")
+      // release dropped every slot of ours — the competitor can now
+      // take the lease immediately
+      val after = competitor.tryAcquireMaintenanceLease(1000L)
+      assert(after.nonEmpty, "lease not released after the sweep")
+      after.foreach(competitor.releaseMaintenanceLease)
+    } finally {
+      release.countDown()
+      TxTable.maintainSweepTestHook = () => ()
+    }
+  }
+
+  test("a persistently corrupt lease slot expires by mtime + TTL") {
+    // ADVICE r17 low: an unreadable slot used to count as held with
+    // expiresAtMs = Long.MaxValue — one corrupt file (non-atomic
+    // putIfAbsent on some store) silently disabled maintenance for
+    // the table FOREVER. It must expire by the slot file's age.
+    val t = ingestTable("corrupt", 10, Map(
+      TxTable.MaintainEnabledProperty -> "false"))
+    val maintDir = new Path(t.root, "_maintenance")
+    val fs = maintDir.getFileSystem(conf)
+    fs.mkdirs(maintDir)
+    val slot = new Path(maintDir, "lease-000000000.json")
+    val out = fs.create(slot, true)
+    try out.write("{not json".getBytes("UTF-8")) finally out.close()
+    // fresh corrupt slot: held (a half-written racer may be live)
+    assert(t.tryAcquireMaintenanceLease(500L).isEmpty,
+      "a fresh unreadable slot must count as held")
+    // age the slot past max(ttl, default TTL): hold expires
+    fs.setTimes(slot,
+      System.currentTimeMillis() - TxTable.DefaultMaintainLeaseMs - 1000, -1)
+    val got = t.tryAcquireMaintenanceLease(500L)
+    assert(got.nonEmpty,
+      "an aged-out corrupt slot wedged maintenance permanently")
+    got.foreach(t.releaseMaintenanceLease)
+  }
+
+  test("lease acquisition lists only the scoped _maintenance dir") {
+    // r17 listed the whole log dir to find lease slots — O(log
+    // entries) per admitted sweep. Pinned over LagFs: the acquire
+    // path's round-trips are O(slots), and the one list it issues
+    // targets _maintenance, never _log.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.lagfs.impl", classOf[LagFs].getName)
+    val base = new java.io.File(freshDir("lease_scope"))
+    val root = new Path("lagfs:" + base.getAbsolutePath)
+    val logDir = new Path(root, "_log")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    // a log with many entries (headers only — acquire must not care)
+    (0L until 40L).foreach { v =>
+      val snap = TxLog.readCurrentTrusted(logDir, hconf)
+      TxLog.commit(logDir, snap.map(_.version), Snapshot(version = v,
+        timestampMs = 1700000000000L + v,
+        operation = if (v == 0L) "CREATE" else "APPEND",
+        schemaJson = schema.json, partitionColumns = Nil,
+        files = Vector.empty), hconf)
+    }
+    val t = TxTable.open(spark, root, "lease_scope")
+    // warm the slot dir (first acquire creates it), then measure
+    t.tryAcquireMaintenanceLease(60000L).foreach(t.releaseMaintenanceLease)
+    LagFs.reset()
+    val got = t.tryAcquireMaintenanceLease(60000L)
+    assert(got.nonEmpty)
+    val listed = LagFs.listedPaths
+    assert(listed.forall(_.endsWith("_maintenance")),
+      s"acquire listed outside the scoped dir: $listed")
+    val ops = LagFs.snapshot
+    assert(ops.getOrElse("list", 0L) <= 2,
+      s"acquire listed more than the slot dir: $ops")
+    assert(ops.getOrElse("open", 0L) <= 1 &&
+      ops.getOrElse("create", 0L) <= 2 &&
+      ops.getOrElse("status", 0L) <= 4,
+      s"acquire round-trips not O(slots): $ops")
+    got.foreach(t.releaseMaintenanceLease)
   }
 }

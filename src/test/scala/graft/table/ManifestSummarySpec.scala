@@ -171,4 +171,43 @@ class ManifestSummarySpec extends SparkSpec {
     assert(viaEq === 13L, s"viaEq=$viaEq")
     assert(viaNull === 10L, s"viaNull=$viaNull")
   }
+
+  test("an oversized single-commit spill is born as sealed chunks") {
+    // ADVICE r17 medium: only mergeTiers chunked its output — a full-
+    // table rewrite or a bulk commit spilling > ManifestSplitMaxFiles
+    // entries in ONE placement created a permanent mega-manifest whose
+    // summary spanned the whole table (sealed, never re-split), so one
+    // matching predicate re-admitted the resolve-everything cold plan.
+    // Metadata-only commit: 70k synthetic entries, no parquet written.
+    val logDir = new Path(freshDir("ms_megaspill"), "_log")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("date",
+        org.apache.spark.sql.types.StringType)))
+    val n = TxLog.ManifestSplitMaxFiles + 5000
+    val files = (0 until n).map(i => DataFile(
+      f"date=2026-01-${i / 8192 + 1}%02d/f$i%07d.parquet",
+      Map("date" -> f"2026-01-${i / 8192 + 1}%02d"), 1024L, 10L)).toVector
+    TxLog.commit(logDir, None, Snapshot(version = 0L,
+      timestampMs = 1700000000000L, operation = "CREATE",
+      schemaJson = schema.json, partitionColumns = Seq("date"),
+      files = files), conf)
+    val hdr = TxLog.readRaw(logDir, 0L, conf)
+    assert(hdr.manifests.size >= 2,
+      s"one placement produced ${hdr.manifests.size} ref(s) for $n files")
+    assert(hdr.manifests.forall(_.fileCount <= TxLog.ManifestSplitMaxFiles),
+      s"mega-manifest born: ${hdr.manifests.map(_.fileCount)}")
+    // chunks carry their own TIGHT summaries (ingest order is date
+    // order here, so the first chunk must not span the whole range)
+    val first = hdr.manifests.minBy(r =>
+      r.summaries.flatMap(_.get("date")).map(_.min).getOrElse(""))
+    val firstMax = first.summaries.flatMap(_.get("date")).map(_.max)
+    assert(firstMax.exists(_ < "2026-01-09"),
+      s"first chunk's summary spans the table: $firstMax")
+    // resolution parity: the chunks concatenate back to the input
+    val resolved = TxLog.read(logDir, 0L, conf).files
+    assert(resolved.map(_.path) === files.map(_.path),
+      "chunked placement changed served order or membership")
+  }
 }
