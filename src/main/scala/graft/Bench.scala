@@ -1152,7 +1152,15 @@ object Bench {
     // dir is deleted on sight to keep target/qwork bounded.
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File("target/qwork/bench_planning1m_wh"))
-    val wh = new java.io.File("target/qwork/bench_planning1m_wh_v2")
+    // v3 (r18): adds an AGE-based retention policy to the baked
+    // properties — maintain_signal below then proves the O(1) age
+    // gate (r17 answered "due" unconditionally whenever
+    // maxSnapshotAgeMs was set, so this key would have read ~1.8 s
+    // instead of µs). The v2 dir predates the property and is deleted
+    // on sight like v1.
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/qwork/bench_planning1m_wh_v2"))
+    val wh = new java.io.File("target/qwork/bench_planning1m_wh_v3")
       .getAbsolutePath
     val logDir = new Path(s"$wh/meta/wide1m/_log")
     val conf = spark.sessionState.newHadoopConf()
@@ -1172,7 +1180,12 @@ object Bench {
     // 1-byte threshold; retention never fires at 10^6)
     val maintProps = Map(
       "graft.maintain.smallFileBytes" -> "1",
-      "graft.maintain.retainSnapshots" -> "1000000")
+      "graft.maintain.retainSnapshots" -> "1000000",
+      // age expiry CONFIGURED but never firing (10-year horizon; the
+      // synthetic commit timestamps are ~2023): the admitted full
+      // eval advances the cleared-through memo and every subsequent
+      // gate read must stay O(1)
+      "graft.maintain.maxSnapshotAgeMs" -> (10L * 365 * 24 * 3600 * 1000L).toString)
     val head = (totalFiles + 99999) / 100000 - 1L
     val (built, buildSecs) = timed {
       if (TxLog.currentVersion(logDir, conf).exists(_ >= head)) false
@@ -1253,6 +1266,45 @@ object Bench {
     // the file index
     require(prunedFiles > 0 && prunedFiles < totalFiles / 50,
       s"partition pruning did not prune: $prunedFiles of $totalFiles")
+    // MOR COLD PRUNED planning (r17 VERDICT task 1 for r18): ONE
+    // outstanding deletion vector routes the scan through
+    // MorScanBuilder — which used to force the FULL resolved snapshot
+    // at builder construction, losing the whole skipping win between
+    // compactions. Group construction now defers into build(), so the
+    // DV-bearing cold pruned plan must resolve O(matching manifests)
+    // like the batch path. The DV is metadata-only here (positions
+    // resolve executor-side, never at plan time) and is cleared right
+    // after so every other key sees the plain table.
+    val morBase = TxLog.readCurrentTrusted(logDir, conf).get
+    val dvTarget = morBase.files
+      .find(_.partitionValues.get("date").contains("2026-03-03")).get.path
+    TxLog.commit(logDir, Some(morBase.version), morBase.copy(
+      version = morBase.version + 1, timestampMs = morBase.timestampMs + 1,
+      operation = "DELETE", added = Nil, manifests = Nil,
+      manifestList = None,
+      deletionVectors = Seq(graft.table.DeletionVector(
+        dvTarget, "dv-bench.bin", 1L)), files = morBase.files), conf,
+      appendOf = Some((morBase, Nil)))
+    var morColdManifests = -1L
+    val (morColdRuns, tMorCold) = runsOf()(() => timed {
+      TxLog.purgeRawCache(logDir)
+      TxLog.purgeManifestCache()
+      org.apache.spark.sql.graft.SnapshotFileIndex.purgeLayoutCache()
+      val before = TxLog.manifestResolutionCount
+      require(planPruned() > 0)
+      morColdManifests = TxLog.manifestResolutionCount - before
+    }._2)
+    require(morColdManifests >= 0 && morColdManifests * 2 < totalRefs,
+      s"MOR manifest skipping did not skip: $morColdManifests of " +
+        s"$totalRefs manifests resolved on a DV-bearing cold pruned plan")
+    locally {
+      val b2 = TxLog.readCurrentTrusted(logDir, conf).get
+      TxLog.commit(logDir, Some(b2.version), b2.copy(
+        version = b2.version + 1, timestampMs = b2.timestampMs + 1,
+        operation = "DELETE", added = Nil, manifests = Nil,
+        manifestList = None, deletionVectors = Nil, files = b2.files),
+        conf, appendOf = Some((b2, Nil)))
+    }
     val t = TxTable.open(spark, new Path(s"$wh/meta/wide1m"), "wide1m")
     // ONE full signal evaluation (what an ADMITTED sweep pays —
     // recorded honestly as its own key) primes the gate's memo; the
@@ -1332,6 +1384,8 @@ object Bench {
       s""""snapshot_read_sec":${f"$tRead%.3f"},""" +
       s""""cold_pruned_sec":${f"$tColdPruned%.3f"},""" +
       s""""cold_pruned_manifests":$coldManifests,""" +
+      s""""mor_cold_pruned_sec":${f"$tMorCold%.3f"},""" +
+      s""""mor_cold_pruned_manifests":$morColdManifests,""" +
       s""""manifest_refs":$totalRefs,""" +
       s""""plan_pruned_sec":${f"$tPlan%.3f"},""" +
       s""""pruned_files":$prunedFiles,""" +
@@ -1342,6 +1396,7 @@ object Bench {
       s""""plan_full_warm_sec":${f"${planFullWarmRuns.min}%.3f"},""" +
       s""""runs":{"snapshot_read":${runsJson(readRuns)},""" +
       s""""cold_pruned":${runsJson(coldPrunedRuns)},""" +
+      s""""mor_cold_pruned":${runsJson(morColdRuns)},""" +
       s""""plan_pruned":${runsJson(planRuns)},""" +
       s""""maintain_signal":${runsJson(sigRuns)},""" +
       s""""plan_after_commit":${runsJson(planAfterRuns)},""" +

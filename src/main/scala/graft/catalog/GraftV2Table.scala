@@ -193,9 +193,12 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             // deleted rows into new files (they'd resurrect with a seq
             // above every delete's) — the MOR scan filters them and
             // still honors the group contract (partition filters only)
+            // constant supplier: a rewrite must see its EXACT file
+            // groups — never manifest-deferred (same rule as the
+            // batch path's allowDeferred = false below)
             val mb = new org.apache.spark.sql.graft.MorScanBuilder(
               tx.spark, new Path(tx.root, "data"), scanFullSchema,
-              snap.partitionColumns, morGroups(snap.files),
+              snap.partitionColumns, _ => morGroups(snap.files),
               partitionFiltersOnly = true, partSpec)
             morBuilders.add(mb)
             mb
@@ -247,9 +250,38 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       // the reader. Streaming a table with outstanding deletes is
       // rejected (the MOR scan has no toMicroBatchStream) — compact()
       // applies and clears them first.
+      //
+      // MANIFEST SKIPPING FOR MOR (r17 VERDICT task 1): group
+      // construction is DEFERRED into the builder's build(), which
+      // hands back the pushed partition conjuncts — only the manifests
+      // those admit are resolved, exactly the batch path's selection
+      // predicate (SnapshotFileIndex.selectRefs, so the two planners
+      // can never prune differently). The reference's headline
+      // workload is a streaming upsert into a merge-on-read table
+      // (kfs/stack/firehose.py:95-101): between compactions one
+      // outstanding DV used to force the FULL resolved snapshot at
+      // scan-builder construction, losing the whole cold-planning win.
+      val canDefer = options.get("startingVersion") == null &&
+        hdr.manifests.nonEmpty &&
+        hdr.manifests.forall(_.sizeBytes >= 0L) &&
+        hdr.manifests.exists(_.summaries.isDefined)
+      val groupsOf: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+          => Seq[org.apache.spark.sql.graft.MorGroup] =
+        if (canDefer) { partFilters =>
+          val logDir = new Path(tx.root, "_log")
+          val conf = tx.spark.sessionState.newHadoopConf()
+          val wanted = org.apache.spark.sql.graft.SnapshotFileIndex
+            .selectRefs(hdr.manifests, partFilters)
+          // delete state rides the HEADER (equalityDeletes /
+          // deletionVectors are carried fields), so grouping the
+          // pruned subset touches no other manifest; DVs of unselected
+          // files simply have no file to attach to in this scan
+          morGroups(
+            graft.table.TxLog.resolveRefs(logDir, wanted, conf) ++ hdr.files)
+        } else { _ => morGroups(scanFilesFor(options)) }
       new org.apache.spark.sql.graft.MorScanBuilder(
         tx.spark, new Path(tx.root, "data"), scanFullSchema,
-        hdr.partitionColumns, morGroups(scanFilesFor(options)),
+        hdr.partitionColumns, groupsOf,
         partitionFiltersOnly = false, partSpec)
     } else {
       // batch plans delegate straight through (pushdown forwarded);
@@ -263,7 +295,12 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             hdr.files.forall(_.rowCount >= 0))
           Some(hdr.manifests.map(_.rowCount).sum +
             hdr.files.map(_.rowCount).sum)       // DVs never reach here
-        else if (snap.files.forall(_.rowCount >= 0))
+        else if (!index.isDeferred && snap.files.forall(_.rowCount >= 0))
+          // incomplete header sums on a DEFERRED scan (an add_files
+          // import anywhere in history): skip the statistic rather
+          // than materialize the snapshot at plan time (r17 VERDICT
+          // observation 3) — eager scans already hold the file list,
+          // so their fallback costs nothing extra
           Some(snap.files.map(_.rowCount).sum)
         else None
       ScanBridge.streamCapable(builder, index,
@@ -309,7 +346,11 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     * stay O(1) however much delete state accumulates. */
   private def morGroups(scanFiles: Seq[graft.table.DataFile])
       : Seq[org.apache.spark.sql.graft.MorGroup] = {
-    val deletes = snap.equalityDeletes
+    // delete state from the HEADER (equalityDeletes/deletionVectors
+    // are carried commit-to-commit in the snapshot JSON itself):
+    // touching `snap` here would force full manifest resolution under
+    // the deferred MOR path
+    val deletes = hdr.equalityDeletes
     val deletesDir = new Path(tx.root, "deletes")
     val maxInline = tx.morMaxInlineDeleteKeys
     def deferred(d: graft.table.EqualityDeleteFile): Boolean =
@@ -346,7 +387,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
           fullSchema(d.keyColumn).dataType)
       }.toMap
     val dvByFile: Map[String, org.apache.spark.sql.graft.DvRef] =
-      snap.deletionVectors.map(d => d.dataFile ->
+      hdr.deletionVectors.map(d => d.dataFile ->
         org.apache.spark.sql.graft.DvRef(
           new Path(deletesDir, d.path).toString, d.count)).toMap
     scanFiles

@@ -75,7 +75,15 @@ class MorScanBuilder(
     dataDir: Path,
     fullSchema: StructType,
     partitionColumns: Seq[String],
-    groups: Seq[MorGroup],
+    /** MOR groups, DEFERRED until `build()` so manifest skipping
+      * applies to merge-on-read reads too (r17 VERDICT task 1 for
+      * r18): the supplier receives the pushed PARTITION-column
+      * conjuncts and may resolve only the manifests those admit
+      * before grouping — a DV-bearing table between compactions keeps
+      * the O(matching manifests) cold plan. Eager callers pass a
+      * constant function. */
+    groupsOf: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+      => Seq[MorGroup],
     /** forward only partition-column conjuncts to the group scans
       * (group-based row-level operations must read whole file groups) */
     partitionFiltersOnly: Boolean,
@@ -84,10 +92,6 @@ class MorScanBuilder(
     partSpec: Seq[_root_.graft.table.PartField] = Nil)
   extends SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-
-  private val keyColumns: Seq[String] =
-    (groups.flatMap(_.deletedKeys.keys) ++
-      groups.flatMap(_.deferredKeys.map(_.column))).distinct
 
   // default to the TABLE schema (derived hidden-partition fields are
   // scan-internal — never part of a result)
@@ -119,9 +123,10 @@ class MorScanBuilder(
         f.deterministic &&
         f.references.forall(a => partitionColumns.contains(a.name)))
       // report data filters as pushed for plan visibility via a probe
-      // builder (best-effort)
-      val probe = newGroupBuilder(groups.headOption.getOrElse(
-        MorGroup(Nil, Map.empty, Map.empty)), withRowIndex = false)
+      // builder over an EMPTY group (best-effort; materializing real
+      // groups here would defeat the deferred construction)
+      val probe = newGroupBuilder(
+        MorGroup(Nil, Map.empty, Map.empty), withRowIndex = false)
       probe.pushFilters(filters)
       pushedReport = probe.pushedFilters
       rest
@@ -155,6 +160,20 @@ class MorScanBuilder(
   }
 
   override def build(): Scan = {
+    // materialize the groups NOW, under the pushed partition-column
+    // conjuncts: a deferred supplier resolves only the matching
+    // manifests; file-level partition pruning below (each group's
+    // SnapshotFileIndex) then refines within them exactly as before.
+    // Pruning by partition value never changes delete application —
+    // deletes attach per FILE (seq-grouping), so dropping a file the
+    // query cannot match drops its delete work with it.
+    val partConjuncts = pushed.filter(f => f.references.nonEmpty &&
+      f.deterministic &&
+      f.references.forall(a => partitionColumns.contains(a.name)))
+    val groups = groupsOf(partConjuncts)
+    val keyColumns: Seq[String] =
+      (groups.flatMap(_.deletedKeys.keys) ++
+        groups.flatMap(_.deferredKeys.map(_.column))).distinct
     // each group reads the requested columns PLUS its key columns
     val readCols: Seq[String] = {
       val req = requested.fieldNames.toSeq

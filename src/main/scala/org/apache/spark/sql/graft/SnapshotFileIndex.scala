@@ -36,6 +36,75 @@ object SnapshotFileIndex {
 
   private[graft] type Entry = (String, Path, FileStatus, Map[String, String])
 
+  /** Can a file (or manifest) with these column stats possibly hold a
+    * row satisfying `filter`? Mirrors `TxTable.readWhere`'s pruning
+    * but over arbitrary pushed Catalyst conjuncts. Internal literal
+    * values (UTF8String, epoch-day Int, Long, Double) feed
+    * `FileStats.mayContainRange` directly — its tag-dispatched
+    * comparison accepts them. On the companion because BOTH deferred
+    * planners share it: the batch index's manifest selection and the
+    * MOR scan's deferred grouping (r17 VERDICT task 1 follow-up). */
+  def mayMatch(
+      stats: Map[String, _root_.graft.table.ColStats],
+      filter: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import _root_.graft.table.FileStats
+    def range(name: String, lo: Option[Any], hi: Option[Any]): Boolean =
+      FileStats.mayContainRange(stats, name, lo, hi)
+    filter match {
+      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+      case Or(l, r)  => mayMatch(stats, l) || mayMatch(stats, r)
+      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, Some(v), Some(v))
+      case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, Some(v), Some(v))
+      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, Some(v), None)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, Some(v), None)
+      case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, None, Some(v))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+        range(a.name, None, Some(v))
+      case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, None, Some(v))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, None, Some(v))
+      case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, Some(v), None)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+        range(a.name, Some(v), None)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall {
+            case Literal(v, _) => v != null
+            case _             => false
+          } =>
+        vs.exists { case Literal(v, _) => range(a.name, Some(v), Some(v)) }
+      case IsNull(a: AttributeReference) =>
+        // stats exist only when the column has ≥1 non-null value; a
+        // recorded nullCount of 0 proves no NULL row is present
+        stats.get(a.name).forall(_.nullCount > 0)
+      case _ => true
+    }
+  }
+
+  /** The manifest refs `filters` cannot rule out — manifest skipping's
+    * selection predicate. Empty filters, refs without summaries, and
+    * anything a summary cannot decide select conservatively. ONE
+    * definition for the batch deferred index ([[SnapshotFileIndex
+    * .selectLayout]]) and the MOR deferred grouping
+    * ([[_root_.graft.catalog.GraftV2Table]]), so the two planners can
+    * never prune differently. */
+  def selectRefs(
+      refs: Seq[_root_.graft.table.ManifestRef],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[_root_.graft.table.ManifestRef] =
+    if (filters.isEmpty) refs
+    else refs.filter(r => r.summaries match {
+      case Some(s) => filters.forall(f => mayMatch(s, f))
+      case None => true
+    })
+
   /** One leaf directory's share of the layout: the parsed dir Path,
     * its entries, and the SAME entries' FileStatuses as the array
     * shape Spark's `leafDirToChildrenFiles` consumers want. Arrays are
@@ -473,12 +542,7 @@ class SnapshotFileIndex(
       partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : SnapshotFileIndex.Layout = deferredLock.synchronized {
     val d = deferred.get
-    val wanted =
-      if (partitionFilters.isEmpty) d.refs
-      else d.refs.filter(r => r.summaries match {
-        case Some(s) => partitionFilters.forall(f => mayMatch(s, f))
-        case None => true
-      })
+    val wanted = SnapshotFileIndex.selectRefs(d.refs, partitionFilters)
     val wantedSet = wanted.iterator.map(_.path).toSet
     if (activeLayout != null && activeRefSet == wantedSet) activeLayout
     else {
@@ -509,6 +573,11 @@ class SnapshotFileIndex(
       val l = activeLayout
       if (l != null) l else selectLayout(Nil)
     }
+
+  /** Whether this index defers file materialization to manifest
+    * skipping — statistics callers must then never force `snap.files`
+    * just to report a row count (r17 VERDICT observation 3). */
+  def isDeferred: Boolean = deferred.isDefined
 
   private def statuses = layout.statuses
   private def relByPath = layout.relByPath
@@ -666,53 +735,11 @@ class SnapshotFileIndex(
     dirs
   }
 
-  /** Can a file with these column stats possibly hold a row satisfying
-    * `filter`? Mirrors `TxTable.readWhere`'s pruning but over arbitrary
-    * pushed Catalyst conjuncts. Internal literal values (UTF8String,
-    * epoch-day Int, Long, Double) feed `FileStats.mayContainRange`
-    * directly — its tag-dispatched comparison accepts them. */
+  // file/manifest stats pruning predicate — shared with the MOR
+  // deferred grouping, so it lives on the companion
   private def mayMatch(stats: Map[String, _root_.graft.table.ColStats],
-      filter: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import _root_.graft.table.FileStats
-    def range(name: String, lo: Option[Any], hi: Option[Any]): Boolean =
-      FileStats.mayContainRange(stats, name, lo, hi)
-    filter match {
-      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
-      case Or(l, r)  => mayMatch(stats, l) || mayMatch(stats, r)
-      case EqualTo(a: AttributeReference, Literal(v, _)) if v != null =>
-        range(a.name, Some(v), Some(v))
-      case EqualTo(Literal(v, _), a: AttributeReference) if v != null =>
-        range(a.name, Some(v), Some(v))
-      case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
-        range(a.name, Some(v), None)
-      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
-        range(a.name, Some(v), None)
-      case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
-        range(a.name, None, Some(v))
-      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
-        range(a.name, None, Some(v))
-      case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
-        range(a.name, None, Some(v))
-      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
-        range(a.name, None, Some(v))
-      case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
-        range(a.name, Some(v), None)
-      case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
-        range(a.name, Some(v), None)
-      case In(a: AttributeReference, vs)
-          if vs.nonEmpty && vs.forall {
-            case Literal(v, _) => v != null
-            case _             => false
-          } =>
-        vs.exists { case Literal(v, _) => range(a.name, Some(v), Some(v)) }
-      case IsNull(a: AttributeReference) =>
-        // stats exist only when the column has ≥1 non-null value; a
-        // recorded nullCount of 0 proves no NULL row is present
-        stats.get(a.name).forall(_.nullCount > 0)
-      case _ => true
-    }
-  }
+      filter: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    SnapshotFileIndex.mayMatch(stats, filter)
 
   /** Can this file's Bloom filters possibly accept a row satisfying
     * `filter`? Probes only equality/IN on indexed columns; everything

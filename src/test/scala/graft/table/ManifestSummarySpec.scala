@@ -137,6 +137,100 @@ class ManifestSummarySpec extends SparkSpec {
     }
   }
 
+  test("a DV-bearing table keeps manifest skipping on merge-on-read reads") {
+    // r17 forced the FULL resolved snapshot whenever any deletion
+    // vector or equality delete was outstanding (morGroups ran at
+    // scan-builder construction, before filters arrived) — a
+    // streaming-upsert MOR table lost the whole cold-planning win
+    // between compactions. Group construction now defers into
+    // build(), selecting refs with the SAME predicate the batch path
+    // uses.
+    val t = buildTable(freshDir("ms_mor"))
+    // positional delete on half of one date's rows: files untouched,
+    // one DV per affected file
+    t.deletePos(col("date") === lit(java.sql.Date.valueOf("2026-01-03")) &&
+      col("id") % 2 === 0)
+    assert(t.snapshot.deletionVectors.nonEmpty)
+    val q = "SELECT id FROM graftms.ms.t WHERE date = DATE'2026-01-03'"
+    val expected = spark.sql(q).collect().map(_.getLong(0)).sorted
+    assert(expected.length === 20, s"${expected.length} rows survived")
+    // cold shape: purge parsed headers, manifest content, layouts
+    val logDir = new Path(t.root, "_log")
+    TxLog.purgeRawCache(logDir)
+    TxLog.purgeManifestCache()
+    org.apache.spark.sql.graft.SnapshotFileIndex.purgeLayoutCache()
+    val totalRefs = t.snapshotHeader.manifests.size
+    assert(totalRefs >= 2, s"nothing to skip: $totalRefs refs")
+    val before = TxLog.manifestResolutionCount
+    val pruned = spark.sql(q).collect().map(_.getLong(0)).sorted
+    val resolved = TxLog.manifestResolutionCount - before
+    assert(pruned.toSeq === expected.toSeq,
+      "pruned MOR result diverged (DV not applied or wrong skip)")
+    assert(resolved < totalRefs,
+      s"DV-bearing read resolved all $totalRefs manifests (no skipping)")
+    // unfiltered MOR read: full-selection fallback, DVs still applied
+    assert(spark.sql("SELECT count(*) FROM graftms.ms.t")
+      .head().getLong(0) === 460L)
+  }
+
+  test("deferred scans skip exact row stats instead of resolving (add_files shape)") {
+    // r17: when ANY ref carried rowCount = -1 (an add_files import
+    // anywhere in history), the exactRows fallback touched snap.files —
+    // materializing the whole snapshot at PLAN time even though the
+    // scan itself deferred. The statistic is now skipped instead.
+    val t = buildTable(freshDir("ms_addf"))
+    val logDir = new Path(t.root, "_log")
+    val fs = logDir.getFileSystem(conf)
+    val cur = TxLog.read(logDir, t.currentVersion, conf)
+    // an import-shaped commit: a real parquet copied under a fresh
+    // partition, appended with UNKNOWN rowCount (the unreadable-footer
+    // degrade add_files takes)
+    val donor = cur.files.head
+    val rel = "date=2026-01-13/gimport-0001.parquet"
+    val dataDir = new Path(t.root, "data")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dataDir, donor.path),
+      fs, new Path(dataDir, rel), false, conf)
+    TxLog.commit(logDir, Some(cur.version), cur.copy(
+      version = cur.version + 1,
+      timestampMs = System.currentTimeMillis(),
+      operation = "ADD_FILES",
+      files = cur.files :+ DataFile(rel, Map("date" -> "2026-01-13"),
+        rowCount = -1L, sizeBytes = donor.sizeBytes)), conf)
+    val hdr = TxLog.readRaw(logDir, cur.version + 1, conf)
+    assert(hdr.manifests.nonEmpty &&
+      hdr.manifests.forall(_.sizeBytes >= 0L) &&
+      hdr.manifests.exists(_.summaries.isDefined),
+      "import commit lost deferral eligibility")
+    assert(hdr.manifests.exists(_.rowCount < 0) || hdr.files.exists(_.rowCount < 0),
+      "import commit did not produce an unknown row sum")
+    // r17 behavior: the exactRows fallback called snap.files during
+    // OPTIMIZATION — every manifest resolved before any filter could
+    // prune. Now the only resolution planning pays is listFiles'
+    // filter-pruned selection (Spark's supportsColumnar forces
+    // partition planning inside executedPlan, so "zero" is not
+    // reachable — "only the matching manifests" is the real contract).
+    val day = java.time.LocalDate.parse("2026-01-05").toEpochDay
+    val matchRefs = hdr.manifests.count(r =>
+      r.summaries.flatMap(_.get("date")) match {
+        case Some(cs) => cs.min.toLong <= day && day <= cs.max.toLong
+        case None => true
+      })
+    assert(matchRefs < hdr.manifests.size, "nothing skippable")
+    val df = spark.sql(
+      "SELECT id FROM graftms.ms.t WHERE date = DATE'2026-01-05'")
+    val before = TxLog.manifestResolutionCount
+    df.queryExecution.executedPlan // full planning, no execution
+    val atPlan = TxLog.manifestResolutionCount - before
+    assert(atPlan <= matchRefs,
+      s"planning resolved $atPlan manifests (> $matchRefs matching) — " +
+        "the unknown-rowCount statistic forced the snapshot")
+    // execution: result unaffected by the import (different partition)
+    val rows = df.collect().map(_.getLong(0)).sorted
+    assert(rows.length === 40)
+    assert(TxLog.manifestResolutionCount - before < hdr.manifests.size,
+      "resolved every manifest despite the date filter")
+  }
+
   test("summaries never skip wrongly: nulls and strings prune conservatively") {
     val root = new Path(freshDir("ms_cons"))
     import spark.implicits._
