@@ -87,7 +87,8 @@ private[graft] object GraftProcedures {
           pDefault("target_file_size_bytes", LongType, (128L * 1024 * 1024).toString),
           pDefault("zorder_by", StringType, "NULL"),
           pDefault("where", StringType, "NULL"),
-          pDefault("small_files_only", StringType, "false"))
+          pDefault("small_files_only", StringType, "false"),
+          pDefault("sort_by", StringType, "NULL"))
         case "rewrite_position_deletes" => Array(TableParam,
           pDefault("target_file_size_bytes", LongType, (128L * 1024 * 1024).toString))
         case "rollback_to_version"   => Array(TableParam, p("version", LongType))
@@ -186,13 +187,20 @@ private[graft] object GraftProcedures {
               }.toMap
             val smallOnly = !input.isNullAt(4) &&
               input.getString(4).trim.equalsIgnoreCase("true")
+            // sort strategy (Iceberg rewrite_data_files(strategy =>
+            // 'sort')): range-sort the rewrite by these columns so
+            // footer min/max ranges become tight on them
+            val sortBy = if (input.isNullAt(5)) Nil
+              else input.getString(5).split(",").map(_.trim)
+                .filter(_.nonEmpty).toSeq
             result("version" ->
               (if (smallOnly) {
                 require(zorder.isEmpty,
                   "small_files_only bin-packs; it cannot zorder")
-                t.compactSmallFiles(input.getLong(1), partitionFilter = pf)
+                t.compactSmallFiles(input.getLong(1), partitionFilter = pf,
+                  sortBy = sortBy)
               } else t.compact(input.getLong(1), clusterBy = zorder,
-                partitionFilter = pf)))
+                partitionFilter = pf, sortBy = sortBy)))
           case "rewrite_position_deletes" =>
             val (v, n) = t.rewritePositionDeletes(input.getLong(1))
             result("version" -> v, "rewritten_files" -> n)

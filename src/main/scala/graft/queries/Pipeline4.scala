@@ -111,6 +111,73 @@ object Pipeline4 {
       ORDER BY status""")),
 
     // ------------------------------------------------------------------
+    // Sort-clustered rewrite (r18 — the Iceberg
+    // `rewrite_data_files(strategy => 'sort')` / OPTIMIZE shape the
+    // managed service's compaction applies to the reference's tables,
+    // kinesis-firehose-stream/README.md:12-13): ingest-ordered files
+    // each span the full value range of a data column, so a selective
+    // non-partition predicate skips nothing; after the sorted rewrite
+    // each file covers a narrow interval and footer min/max skipping
+    // prunes most of the table. Pinned by scanned-FILE counts before
+    // vs after on the same query; the oracle recomputes the aggregate
+    // from the staged seed (rewrites must never change results).
+    Q("table_clustered_rewrite", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("clust_seed", "parquet") {
+        SampleData.transactions(s, 480, seed = 59L)
+          .withColumn("amt",
+            pmod(abs(hash(col("transaction_id"))), lit(10000)).cast(DoubleType) / lit(100.0))
+          .select("transaction_id", "status", "amt")
+      }
+      val wh = Pipeline.scratch("clust")
+      s.conf.set("spark.sql.catalog.graftclust", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftclust.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("clust_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftclust.an")
+      // hash-scattered ingest: 8 files, each spanning ~the full amt
+      // range — the worst case for min/max skipping
+      s.sql("""CREATE TABLE graftclust.an.tx AS
+               SELECT /*+ REPARTITION(8) */ * FROM clust_seed""")
+      val q = """SELECT status, count(*) AS n,
+                        CAST(sum(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total
+                 FROM graftclust.an.tx
+                 WHERE amt >= 10 AND amt < 25
+                 GROUP BY status ORDER BY status"""
+      // exchange-free probe (same pushed predicate): an aggregate
+      // would plan under AdaptiveSparkPlanExec, hiding the scan from
+      // a plan-tree collect
+      val probeQ = """SELECT transaction_id FROM graftclust.an.tx
+                      WHERE amt >= 10 AND amt < 25"""
+      def filesScanned(): Int =
+        s.sql(probeQ).queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                fp.files.map(_.filePath.toString).toSeq
+              case _ => Seq.empty[String]
+            }.distinct.length
+        }.sum
+      val before = filesScanned()
+      val t = new TableCatalog(s, new Path(wh)).getTable("an", "tx")
+      val bytes = t.snapshot.files.map(_.sizeBytes).sum
+      // keep ~8 output files: the pin must prove CLUSTERING (tight
+      // ranges), not bin-packing-to-one-file
+      s.sql("CALL graftclust.system.rewrite_data_files(" +
+        s"table => 'an.tx', target_file_size_bytes => ${
+          math.max(1L, bytes / 8)}, sort_by => 'amt')")
+      val after = filesScanned()
+      require(before >= 6,
+        s"ingest layout unexpectedly skippable already: $before files")
+      require(after * 2 <= before,
+        s"sorted rewrite did not tighten file skipping: $after of $before")
+      s.sql(q)
+    }, oracle = Some(s"""
+      SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/clust_seed/*.parquet')
+      WHERE amt >= 10 AND amt < 25
+      GROUP BY status ORDER BY status""")),
+
+    // ------------------------------------------------------------------
     // Depth-2 multiprobe LSH (the recall/cost knob added r6): probes
     // every bucket within Hamming distance 2 of the query's own —
     // 37/256 buckets instead of 9/256, the Lv et al. VLDB'07 multiprobe

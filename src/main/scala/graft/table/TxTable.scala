@@ -4272,7 +4272,18 @@ class TxTable private (
       /** restrict the rewrite to matching partitions (the Delta
         * `OPTIMIZE ... WHERE` surface) — at 100 TB you compact the
         * partitions the stream fragmented today, not the lake */
-      partitionFilter: Map[String, String] = Map.empty): Long = {
+      partitionFilter: Map[String, String] = Map.empty,
+      /** SORT strategy (the Iceberg `rewrite_data_files(strategy =>
+        * 'sort')` shape): range-partition and sort by these columns so
+        * each output file covers a narrow interval of the sort key —
+        * footer min/max ranges become tight and file skipping composes
+        * with manifest skipping on non-partition predicates. The
+        * one-dimensional complement of `clusterBy` (Z-order): prefer
+        * sort for a single dominant predicate column, Z-order when
+        * several compete. Mutually exclusive with `clusterBy`. */
+      sortBy: Seq[String] = Nil): Long = {
+    require(clusterBy.isEmpty || sortBy.isEmpty,
+      "choose ONE clustering strategy: clusterBy (zorder) or sortBy (sort)")
     val s = snapshot
     val affected = s.files.filter(f => partitionFilter.forall {
       case (k, v) => f.partitionValues.get(k).contains(v)
@@ -4283,8 +4294,16 @@ class TxTable private (
     val numFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = withDerivedParts(dfFor(s.copy(files = affected)), s)
     val rewritten =
-      if (clusterBy.isEmpty) df.repartition(numFiles)
-      else {
+      if (clusterBy.isEmpty && sortBy.isEmpty) df.repartition(numFiles)
+      else if (sortBy.nonEmpty) {
+        // same partition-cols-first rule as the Z path below: each
+        // task stays on few partition values, the sort key clusters
+        // within them, and ONE repartitionByRange gives the global
+        // ordering (sampling the key once — no extra shuffle)
+        val rangeCols = (s.partitionColumns ++ sortBy).map(col)
+        df.repartitionByRange(numFiles, rangeCols: _*)
+          .sortWithinPartitions(rangeCols: _*)
+      } else {
         // range on (partition cols, z): a bare z-range crossed with
         // partitionBy would write numFiles × nPartitions tiny files —
         // leading with the partition columns keeps each task on few
@@ -4325,7 +4344,14 @@ class TxTable private (
   def compactSmallFiles(targetFileBytes: Long = 128L * 1024 * 1024,
       smallerThanBytes: Long = 0L,
       partitionFilter: Map[String, String] = Map.empty,
-      minInputFiles: Int = 2): Long = {
+      minInputFiles: Int = 2,
+      /** cluster the packed output by these columns (continuous
+        * clustering: each maintenance pass leaves the NEW data sorted,
+        * so footer ranges stay tight as the table grows — wired from
+        * `graft.maintain.sortColumns` by the declarative policy). Only
+        * the small files being packed are touched; already-sized files
+        * keep their layout until an explicit OPTIMIZE. */
+      sortBy: Seq[String] = Nil): Long = {
     val s = snapshot
     val small = if (smallerThanBytes > 0L) smallerThanBytes
       else targetFileBytes / 2
@@ -4337,7 +4363,14 @@ class TxTable private (
     val numFiles =
       math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
     val df = withDerivedParts(dfFor(s.copy(files = affected)), s)
-    val newFiles = writeFiles(df.repartition(numFiles), s.partitionColumns)
+    val packed =
+      if (sortBy.isEmpty) df.repartition(numFiles)
+      else {
+        val rangeCols = (s.partitionColumns ++ sortBy).map(col)
+        df.repartitionByRange(numFiles, rangeCols: _*)
+          .sortWithinPartitions(rangeCols: _*)
+      }
+    val newFiles = writeFiles(packed, s.partitionColumns)
     commitRewrite(s, "COMPACT", affected, newFiles)
   }
 
@@ -4911,7 +4944,15 @@ class TxTable private (
         * maintenance activity). CALL sweeps stay commit-free beyond
         * the work itself: the caller already receives the action rows,
         * and specs/schedulers pin version numbers around them. */
-      trigger: String = "call"): Seq[(String, String)] = {
+      trigger: String = "call",
+      /** CONTINUOUS CLUSTERING (r17 VERDICT task 2): compaction packs
+        * the small files RANGE-SORTED by these columns instead of
+        * hash-scattered, so every maintenance pass tightens footer
+        * min/max ranges on the predicate columns — file skipping then
+        * composes with manifest skipping without anyone scheduling an
+        * OPTIMIZE. Declaratively wired from `graft.maintain
+        * .sortColumns`. */
+      sortColumns: Seq[String] = Nil): Seq[(String, String)] = {
     // validate EVERYTHING before any dimension runs: compaction and
     // index upkeep COMMIT work, so a bad retention argument surfacing
     // only in step 3's require would leave a half-applied maintenance
@@ -4966,10 +5007,12 @@ class TxTable private (
     val smallCount = before.files.count(_.sizeBytes < smallFileBytes)
     if (smallCount >= minSmallFiles) {
       val v = compactSmallFiles(targetFileBytes, smallFileBytes,
-        minInputFiles = minSmallFiles)
+        minInputFiles = minSmallFiles, sortBy = sortColumns)
       if (v != before.version)
         out += "compacted" ->
-          s"$smallCount small files -> ${snapshotAt(v).files.size} total"
+          (s"$smallCount small files -> ${snapshotAt(v).files.size} total" +
+            (if (sortColumns.isEmpty) ""
+             else s" (clustered by ${sortColumns.mkString(",")})"))
     }
     // 2. index upkeep AFTER compaction (its rewrites are exactly the
     // uncovered files a refresh then picks up) and BEFORE expiry (a
@@ -5148,7 +5191,9 @@ class TxTable private (
         pB("maintainIndexes", true)),
       checkRecall = checkRecall.getOrElse(pB("checkRecall", false)),
       orphansOnlyAfterWork = orphansOnlyAfterWork,
-      trigger = trigger)
+      trigger = trigger,
+      sortColumns = props.get(TxTable.MaintainPrefix + "sortColumns").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
   }
 
   /** Post-commit CONTINUOUS maintenance (opt-in,

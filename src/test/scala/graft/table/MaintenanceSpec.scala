@@ -2,6 +2,7 @@ package graft.table
 
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{col, sum}
 
 /**
  * Round-17 maintenance surfaces: the ASYNC post-commit trigger (sweeps
@@ -230,6 +231,50 @@ class MaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       t.maintainTable(minSmallFiles = 1)
     }
+  }
+
+  test("graft.maintain.sortColumns clusters compaction output (continuous clustering)") {
+    import spark.implicits._
+    // small ingest files hold INTERLEAVED v values (every file spans
+    // the whole range — nothing skippable); a policy-driven sweep with
+    // sortColumns must pack them RANGE-SORTED, so the output files'
+    // footer ranges are disjoint and file skipping starts working
+    // without anyone scheduling an OPTIMIZE.
+    val t = TxTable.create(spark, new Path(freshDir("maint_sortcols")),
+      "maint_sortcols",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.IntegerType))), Nil)
+    t.setProperties(Map(
+      TxTable.MaintainEnabledProperty -> "false",
+      TxTable.MaintainPrefix + "sortColumns" -> "v",
+      TxTable.MaintainPrefix + "minSmallFiles" -> "3",
+      TxTable.MaintainPrefix + "smallFileBytes" -> "100000",
+      TxTable.MaintainPrefix + "targetFileBytes" -> "1200",
+      TxTable.MaintainPrefix + "retainSnapshots" -> "100"))
+    (0 until 3).foreach { c =>
+      t.append((0 until 8).map(i => (s"k${c}_$i", c + i * 3))
+        .toDF("id", "v").coalesce(1))
+    }
+    val acts = t.maintainTableConfigured(orphanGraceMs = Some(0L))
+    assert(acts.exists { case (a, d) =>
+      a == "compacted" && d.contains("clustered by v") }, s"acts: $acts")
+    val files = t.snapshot.files
+    assert(files.size >= 2, s"need >=2 outputs to prove clustering: $files")
+    val ranges = files.map { f =>
+      val cs = f.stats.get("v")
+      (cs.min.toLong, cs.max.toLong)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"output ranges overlap: $ranges")
+      case _ => ()
+    }
+    // clustering never changes content
+    assert(t.toDF.select(sum(col("v"))).head().getLong(0) ===
+      (0 until 3).flatMap(c => (0 until 8).map(i => c + i * 3)).sum.toLong)
   }
 
   test("lease renewal keeps a sweep longer than its TTL deduped") {
