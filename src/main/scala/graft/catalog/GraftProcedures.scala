@@ -43,7 +43,7 @@ private[graft] object GraftProcedures {
 
   val names: Seq[String] = Seq(
     "expire_snapshots", "remove_orphan_files", "rewrite_data_files",
-    "rewrite_position_deletes",
+    "rewrite_position_deletes", "evolve_partition_spec",
     "rollback_to_version", "rollback_to_timestamp", "fast_forward",
     "create_branch", "drop_branch", "create_tag", "add_files",
     "analyze_table", "build_bloom_index", "refresh_bloom_index",
@@ -89,6 +89,8 @@ private[graft] object GraftProcedures {
           pDefault("where", StringType, "NULL"),
           pDefault("small_files_only", StringType, "false"),
           pDefault("sort_by", StringType, "NULL"))
+        case "evolve_partition_spec" => Array(TableParam,
+          p("spec", StringType))
         case "rewrite_position_deletes" => Array(TableParam,
           pDefault("target_file_size_bytes", LongType, (128L * 1024 * 1024).toString))
         case "rollback_to_version"   => Array(TableParam, p("version", LongType))
@@ -201,6 +203,13 @@ private[graft] object GraftProcedures {
                   sortBy = sortBy)
               } else t.compact(input.getLong(1), clusterBy = zorder,
                 partitionFilter = pf, sortBy = sortBy)))
+          case "evolve_partition_spec" =>
+            // metadata-only spec evolution (day -> month as data ages):
+            // old files keep their own partition values; reads prune
+            // per file against whichever spec wrote it
+            result("version" -> t.alterPartitionSpec(
+              graft.table.PartitionTransform.parseSpecList(
+                input.getString(1))))
           case "rewrite_position_deletes" =>
             val (v, n) = t.rewritePositionDeletes(input.getLong(1))
             result("version" -> v, "rewritten_files" -> n)

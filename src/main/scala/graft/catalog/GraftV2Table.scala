@@ -95,6 +95,13 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
   private val partSpec: Seq[graft.table.PartField] =
     graft.table.PartitionTransform.resolve(hdr)
 
+  /** retired-spec derived fields (metadata-only spec evolution): old
+    * files still carry THEIR values, so source-column predicates
+    * project onto these too — each file pruned by whichever fields its
+    * own values hold (missing → kept, conservative). */
+  private val priorSpec: Seq[graft.table.PartField] =
+    hdr.previousSpecFields.filterNot(partSpec.contains)
+
   private def zoneId: String =
     tx.spark.sessionState.conf.sessionLocalTimeZone
 
@@ -150,7 +157,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     // rewrite touches only partitions that can hold matches
     val constraints = {
       import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, Literal => CLit}
-      val sourceDts = partSpec.filterNot(_.isIdentity)
+      val sourceDts = (partSpec ++ priorSpec).filterNot(_.isIdentity)
         .map(f => f.source -> fullSchema(f.source).dataType).toMap
       def attr(a: String) = sourceDts.get(a).map(dt => AttributeReference(a, dt)())
       val exprs = v1.flatMap {
@@ -163,7 +170,8 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
           attr(a).map(CIn(_, vs.toIndexedSeq.map(x => CLit(x): org.apache.spark.sql.catalyst.expressions.Expression)))
         case _ => None
       }
-      graft.table.PartitionTransform.constraintsFor(partSpec, exprs, zoneId)
+      graft.table.PartitionTransform.constraintsFor(
+        partSpec ++ priorSpec, exprs, zoneId)
     }
     tx.delete(cond, partFilter, constraints)
   }
@@ -199,7 +207,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             val mb = new org.apache.spark.sql.graft.MorScanBuilder(
               tx.spark, new Path(tx.root, "data"), scanFullSchema,
               snap.partitionColumns, _ => morGroups(snap.files),
-              partitionFiltersOnly = true, partSpec)
+              partitionFiltersOnly = true, partSpec, priorSpec)
             morBuilders.add(mb)
             mb
           } else {
@@ -282,7 +290,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       new org.apache.spark.sql.graft.MorScanBuilder(
         tx.spark, new Path(tx.root, "data"), scanFullSchema,
         hdr.partitionColumns, groupsOf,
-        partitionFiltersOnly = false, partSpec)
+        partitionFiltersOnly = false, partSpec, priorSpec)
     } else {
       // batch plans delegate straight through (pushdown forwarded);
       // toMicroBatchStream tails the commit log from this snapshot on
@@ -445,7 +453,8 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
           hdr.files.map(_.sizeBytes).sum)
       val index = ScanBridge.snapshotIndex(tx.spark,
         new Path(tx.root, "data"), scanFullSchema, hdr.partitionColumns,
-        Nil, Map.empty, partSpec, blooms0, fullKey, Some(deferred))
+        Nil, Map.empty, partSpec, blooms0, fullKey, Some(deferred),
+        priorSpec = priorSpec)
       return (ScanBridge.parquetScanBuilder(tx.spark, index,
         scanFullSchema, dataSchema, options), index)
     }
@@ -467,7 +476,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       scanFullSchema, snap.partitionColumns,
       scanFiles.map(f => (f.path, f.partitionValues, f.sizeBytes)),
       scanFiles.flatMap(f => f.stats.map(f.path -> _)).toMap, partSpec,
-      blooms0, layoutKey)
+      blooms0, layoutKey, priorSpec = priorSpec)
     (ScanBridge.parquetScanBuilder(tx.spark, index, scanFullSchema, dataSchema,
       options), index)
   }

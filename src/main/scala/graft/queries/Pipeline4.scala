@@ -111,6 +111,81 @@ object Pipeline4 {
       ORDER BY status""")),
 
     // ------------------------------------------------------------------
+    // Metadata-only partition spec evolution (r18 — the Iceberg
+    // spec-id model): a day(ts)-partitioned table evolves to
+    // month(ts) as data ages, with ZERO files rewritten; old files
+    // keep their ts_day values, new files lay out by ts_month, and a
+    // query across the boundary prunes BOTH sides — each file by the
+    // spec that wrote it (pinned via scanned-file counts). The oracle
+    // recomputes the aggregate from the staged seed: evolution must
+    // never change results.
+    Q("table_spec_evolution", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("specev_seed", "parquet") {
+        SampleData.transactions(s, 400, seed = 61L)
+          .withColumn("ts", to_timestamp(date_add(
+            lit(java.sql.Date.valueOf("2026-01-01")),
+            pmod(abs(hash(col("transaction_id"))), lit(40)).cast("int"))))
+          .select("transaction_id", "status", "amount", "ts")
+      }
+      val wh = Pipeline.scratch("specev")
+      s.conf.set("spark.sql.catalog.graftspecev", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftspecev.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("specev_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftspecev.an")
+      s.sql("""CREATE TABLE graftspecev.an.tx
+               (transaction_id STRING, status STRING,
+                amount DECIMAL(12,2), ts TIMESTAMP)
+               PARTITIONED BY (days(ts))""")
+      s.sql("""INSERT INTO graftspecev.an.tx SELECT * FROM specev_seed
+               WHERE ts < TIMESTAMP'2026-02-01 00:00:00'""")
+      s.sql("CALL graftspecev.system.evolve_partition_spec(" +
+        "table => 'an.tx', spec => 'month(ts)')")
+      s.sql("""INSERT INTO graftspecev.an.tx SELECT * FROM specev_seed
+               WHERE ts >= TIMESTAMP'2026-02-01 00:00:00'""")
+      val t = new TableCatalog(s, new Path(wh)).getTable("an", "tx")
+      val files = t.snapshot.files
+      val total = files.size
+      def scanned(sql: String): Int =
+        s.sql(sql).queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                fp.files.map(_.filePath.toString).toSeq
+              case _ => Seq.empty[String]
+            }.distinct.length
+        }.sum
+      // boundary probe: old side prunes by the RETIRED ts_day field,
+      // new side keeps only what ts_month cannot exclude
+      val expectBoundary = files.count(f =>
+        f.partitionValues.get("ts_day").exists(_ >= "2026-01-20") ||
+        f.partitionValues.get("ts_month").exists(_ >= "2026-02"))
+      val got = scanned("""SELECT transaction_id FROM graftspecev.an.tx
+        WHERE ts >= TIMESTAMP'2026-01-20 00:00:00'
+          AND ts <  TIMESTAMP'2026-02-05 00:00:00'""")
+      require(got == expectBoundary && got < total,
+        s"boundary pruning wrong: scanned $got, expected $expectBoundary " +
+          s"of $total")
+      // February probe: every OLD-spec file pruned via ts_day
+      val newFiles = files.count(_.partitionValues.contains("ts_month"))
+      val gotNew = scanned("""SELECT transaction_id FROM graftspecev.an.tx
+        WHERE ts >= TIMESTAMP'2026-02-01 00:00:00'""")
+      require(gotNew == newFiles && gotNew < total,
+        s"new-spec pruning wrong: scanned $gotNew, expected $newFiles")
+      s.sql("""SELECT status, count(*) AS n,
+                      CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+               FROM graftspecev.an.tx
+               WHERE ts >= TIMESTAMP'2026-01-20 00:00:00'
+                 AND ts <  TIMESTAMP'2026-02-05 00:00:00'
+               GROUP BY status ORDER BY status""")
+    }, oracle = Some(s"""
+      SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/specev_seed/*.parquet')
+      WHERE ts >= TIMESTAMP '2026-01-20 00:00:00'
+        AND ts <  TIMESTAMP '2026-02-05 00:00:00'
+      GROUP BY status ORDER BY status""")),
+
+    // ------------------------------------------------------------------
     // Sort-clustered rewrite (r18 — the Iceberg
     // `rewrite_data_files(strategy => 'sort')` / OPTIMIZE shape the
     // managed service's compaction applies to the reference's tables,

@@ -180,6 +180,32 @@ object PartitionTransform {
     }
   }
 
+  /** Parse a comma-separated spec list — bare columns (identity) and
+    * transform calls (`month(ts)`, `bucket(8, id)`) — the procedure-
+    * argument form of the DDL's PARTITIONED BY list. Top-level-comma
+    * split only (bucket/truncate carry a nested one). */
+  def parseSpecList(list: String): Seq[PartField] = {
+    val items = scala.collection.mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    list.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => items += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) items += sb.toString
+    val CallRe = """(?is)^\s*(\w+)\s*\((.*)\)\s*$""".r
+    def clean(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
+    items.map(_.trim).filter(_.nonEmpty).map {
+      case CallRe(fn, args) =>
+        fromCall(fn, args.split(",").map(clean).toSeq)
+      case bare =>
+        val c = clean(bare)
+        PartField(c, Identity, c)
+    }.toSeq
+  }
+
   /** A spec field as Spark's V2 connector `Transform` (what
     * `Table.partitioning()` and SPJ `KeyGroupedPartitioning` report).
     * Param-first argument order for bucket/truncate — the Iceberg

@@ -317,6 +317,19 @@ final case class Snapshot(
       * identity, the pre-transform log shape). When non-empty,
       * `partitionColumns == partitionSpec.map(_.name)`. */
     partitionSpec: Seq[PartField] = Nil,
+    /** PARTITION SPEC EVOLUTION (the Iceberg spec-id shape, r18):
+      * derived fields of RETIRED specs whose data files this table may
+      * still reference — `day(ts)` after an evolution to `month(ts)`.
+      * Data files are self-describing (each carries its own
+      * partitionValues), so a metadata-only evolution never rewrites
+      * anything: readers project source-column predicates onto the
+      * CURRENT spec's fields AND these, and each file is pruned by
+      * whichever fields its own values carry (missing field → kept,
+      * conservative). Carried commit-to-commit; a full rewrite under
+      * the current spec may clear it. Field NAMES are stable for the
+      * table's life — evolution refuses to redefine a name with a
+      * different (transform, source, param). */
+    previousSpecFields: Seq[PartField] = Nil,
     /** minimum READER format version this header requires (the
       * Iceberg format-version / Delta minReaderVersion gate): 1 = the
       * original inline layout every reader understands; 2 = the refs

@@ -2058,7 +2058,8 @@ class TxTable private (
     val index = org.apache.spark.sql.graft.ScanBridge.snapshotIndex(
       spark, dataDir, fullSchema, s.partitionColumns,
       s.files.map(f => (f.path, f.partitionValues, f.sizeBytes)),
-      s.files.flatMap(f => f.stats.map(f.path -> _)).toMap, spec)
+      s.files.flatMap(f => f.stats.map(f.path -> _)).toMap, spec,
+      priorSpec = s.previousSpecFields.filterNot(spec.contains))
     Some(org.apache.spark.sql.graft.ScanBridge.parquetFrame(
       spark, index, partitionSchema, dataSchema))
   }
@@ -2963,6 +2964,7 @@ class TxTable private (
       constraints: Map[String, String] = null,
       properties: Map[String, String] = null,
       partitionSpec: Seq[PartField] = null,
+      previousSpecFields: Seq[PartField] = null,
       changeFiles: Seq[String] = Nil,
       deletionVectors: Seq[DeletionVector] = null,
       pendingTxn: Option[String] = None,
@@ -2998,6 +3000,11 @@ class TxTable private (
     val spec = Option(partitionSpec).getOrElse(
       prior.map(_.partitionSpec).filter(_.map(_.name) == partitionColumns)
         .getOrElse(Nil))
+    // retired-spec fields carry unconditionally (old files may survive
+    // any single commit); evolvePartitionSpec appends to them and a
+    // full rewrite under the current spec may pass Nil to clear
+    val prevSpec = Option(previousSpecFields).getOrElse(
+      prior.map(_.previousSpecFields).getOrElse(Nil))
     TxLog.commit(logDir, expected, Snapshot(
       version = next,
       timestampMs = System.currentTimeMillis(),
@@ -3011,6 +3018,7 @@ class TxTable private (
       constraints = cks,
       properties = props,
       partitionSpec = spec,
+      previousSpecFields = prevSpec,
       changeFiles = changeFiles,
       deletionVectors = dvs,
       info = info,
@@ -4448,6 +4456,60 @@ class TxTable private (
     val newFiles = writeFiles(derived, parts)
     commit(Some(s.version), "REPARTITION", schema, parts, newFiles,
       droppedColumns = Nil, equalityDeletes = Nil, partitionSpec = newSpec)
+  }
+
+  /**
+   * METADATA-ONLY partition spec evolution (the Iceberg spec-id model,
+   * r17 VERDICT task 6): change the table's spec over its lifetime —
+   * `day(ts)` → `month(ts)` as data ages — without touching a single
+   * data file. Existing files keep their old derived partition values
+   * (each DataFile is self-describing); NEW writes lay out under the
+   * new spec; reads project source-column predicates onto the current
+   * spec's fields AND every retired spec's
+   * ([[Snapshot.previousSpecFields]]) and prune each file by whichever
+   * fields its own values carry — missing field → kept, conservative,
+   * never wrong. Contrast [[evolvePartitionSpec]], the one-commit
+   * COPY-ON-WRITE normalization (simpler layout, O(table) cost): at
+   * 100 TB the metadata-only form is the only affordable one.
+   *
+   * Constraints (validated against the whole spec HISTORY):
+   *  - identity fields must be preserved exactly — identity columns'
+   *    values live ONLY in directory metadata (data files exclude
+   *    them), so they cannot be derived for old files under a changed
+   *    identity set;
+   *  - a derived field NAME means one (transform, source, param) for
+   *    the table's life — redefinition would make one stored value
+   *    mean two different things.
+   */
+  def alterPartitionSpec(newSpec: Seq[PartField]): Long = {
+    requireMain("alterPartitionSpec")
+    retryingCommit("EVOLVE_SPEC") { expected =>
+      val cur = snapshotAt(expected)
+      val schema = schemaOf(cur)
+      PartitionTransform.validate(newSpec, schema)
+      val curSpec = PartitionTransform.resolve(cur)
+      require(newSpec != curSpec, "new spec equals the current spec")
+      require(curSpec.filter(_.isIdentity).toSet ==
+          newSpec.filter(_.isIdentity).toSet,
+        s"metadata-only evolution cannot change IDENTITY fields " +
+          s"(${curSpec.filter(_.isIdentity).map(_.name).mkString(",")} -> " +
+          s"${newSpec.filter(_.isIdentity).map(_.name).mkString(",")}): " +
+          "identity values are not stored in data files — use " +
+          "repartitionTable/evolvePartitionSpec (copy-on-write) instead")
+      val history = cur.previousSpecFields ++ curSpec
+      (history ++ newSpec).groupBy(_.name).foreach { case (n, defs) =>
+        require(defs.distinct.size == 1,
+          s"partition field '$n' redefined across the spec history: " +
+            defs.distinct.mkString(" vs "))
+      }
+      val retired = (history.filterNot(newSpec.contains)).distinct
+      // metadata-only: same files, zero added — the O(delta) append
+      // path carries every manifest untouched
+      commit(Some(expected), "EVOLVE_SPEC", schema,
+        newSpec.map(_.name), cur.files,
+        partitionSpec = newSpec, previousSpecFields = retired,
+        appendOf = Some((cur, Nil)))
+    }
   }
 
   /** Morton/Z value over `clusterBy`: min-max normalize each column to a

@@ -89,7 +89,9 @@ class MorScanBuilder(
     partitionFiltersOnly: Boolean,
     /** hidden-partitioning spec (fullSchema then includes the derived
       * string fields); requested columns never include them */
-    partSpec: Seq[_root_.graft.table.PartField] = Nil)
+    partSpec: Seq[_root_.graft.table.PartField] = Nil,
+    /** retired-spec fields (metadata-only evolution) — prune-only */
+    priorSpec: Seq[_root_.graft.table.PartField] = Nil)
   extends SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
 
@@ -143,7 +145,8 @@ class MorScanBuilder(
   private def newGroupBuilder(g: MorGroup, withRowIndex: Boolean)
       : ParquetScanBuilder = {
     val index = new SnapshotFileIndex(spark, dataDir, fullSchema,
-      partitionColumns, g.files, g.statsByPath, partSpec)
+      partitionColumns, g.files, g.statsByPath, partSpec,
+      priorSpec = priorSpec)
     indexes += index
     val base =
       StructType(fullSchema.filterNot(f => partitionColumns.contains(f.name)))

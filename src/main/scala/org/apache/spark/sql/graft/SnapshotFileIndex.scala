@@ -478,7 +478,15 @@ class SnapshotFileIndex(
       * layout-dependent call OUTSIDE a listing (SPJ key grouping,
       * unfiltered listings) falls back to resolving everything —
       * conservative, never wrong. */
-    deferred: Option[ScanBridge.DeferredFiles] = None)
+    deferred: Option[ScanBridge.DeferredFiles] = None,
+    /** RETIRED partition-spec fields (metadata-only spec evolution,
+      * r18): derived fields of previous specs whose files this
+      * snapshot may still reference. They participate ONLY in the
+      * source-predicate → partition-value projection below — each
+      * file is pruned by whichever fields its own stored values
+      * carry (missing → kept). Never part of the partition schema,
+      * SPJ reporting, or listing geometry. */
+    priorSpec: Seq[_root_.graft.table.PartField] = Nil)
   extends PartitioningAwareFileIndex(spark, Map.empty, Some(fullSchema), NoopCache) {
 
   // Fully qualify against the filesystem: `allFiles()` looks leaf dirs up
@@ -695,9 +703,9 @@ class SnapshotFileIndex(
     // hidden partitioning: project source-column predicates onto the
     // derived partition values (bucket equality, day/hour ranges)
     val specConstraints =
-      if (partSpec.forall(_.isIdentity)) Nil
+      if (partSpec.forall(_.isIdentity) && priorSpec.isEmpty) Nil
       else _root_.graft.table.PartitionTransform.constraintsFor(
-        partSpec, effFilters, zoneId)
+        partSpec ++ priorSpec, effFilters, zoneId)
     val dirs =
       if ((effFilters.isEmpty || (statsOf.isEmpty && bloomByColumn.isEmpty)) &&
           keepRt.isEmpty && specConstraints.isEmpty)
@@ -984,10 +992,11 @@ object ScanBridge {
       partSpec: Seq[_root_.graft.table.PartField] = Nil,
       bloomByColumn: Map[String, (org.apache.spark.sql.types.DataType, Map[String, Array[Byte]])] = Map.empty,
       layoutKey: Option[(String, String)] = None,
-      deferred: Option[DeferredFiles] = None)
+      deferred: Option[DeferredFiles] = None,
+      priorSpec: Seq[_root_.graft.table.PartField] = Nil)
       : SnapshotFileIndex =
     new SnapshotFileIndex(spark, dataDir, fullSchema, partitionColumns, files,
-      statsByPath, partSpec, bloomByColumn, layoutKey, deferred)
+      statsByPath, partSpec, bloomByColumn, layoutKey, deferred, priorSpec)
 
   /** DataFrame over a snapshot-pinned index through Spark's V1 parquet
     * relation (`HadoopFsRelation` + `LogicalRelation`, both

@@ -306,4 +306,76 @@ class HiddenPartitionSpec extends SparkSpec {
       assert(spark.table("graft.t.docs").count() === 5)
     }
   }
+
+  test("metadata-only spec evolution: day(ts) -> month(ts), mixed-spec pruning") {
+    withCatalog("evolve") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hp")
+      spark.sql("""CREATE TABLE graft.hp.ev (id LONG, ts TIMESTAMP, v STRING)
+        PARTITIONED BY (days(ts))""")
+      val cat = new TableCatalog(spark, new Path(wh))
+      val t = cat.getTable("hp", "ev")
+      t.append(rows(0 until 8, "2026-01-01"))
+      t.append(rows(8 until 16, "2026-01-02"))
+      val vBefore = t.currentVersion
+      val filesBefore = t.snapshot.files.map(_.path).toSet
+      // the evolution is ONE metadata commit: zero files rewritten
+      val v = t.alterPartitionSpec(Seq(PartField("ts_month", "month", "ts")))
+      assert(v === vBefore + 1)
+      assert(t.snapshot.files.map(_.path).toSet === filesBefore)
+      assert(t.snapshot.partitionColumns === Seq("ts_month"))
+      assert(t.snapshot.previousSpecFields ===
+        Seq(PartField("ts_day", "day", "ts")))
+      // time travel reads the OLD spec in its own layout
+      assert(t.snapshotAt(vBefore).partitionColumns === Seq("ts_day"))
+      // new writes land under the NEW spec only
+      t.append(rows(16 until 24, "2026-02-10"))
+      val newFiles = t.snapshot.files.filterNot(f => filesBefore(f.path))
+      assert(newFiles.nonEmpty)
+      assert(newFiles.forall(_.partitionValues.keySet == Set("ts_month")))
+      assert(newFiles.forall(_.partitionValues("ts_month") == "2026-02"))
+      val total = t.snapshot.files.size
+      // pruning on the OLD side of the boundary: a one-day predicate
+      // scans only that day's files (projected onto the RETIRED
+      // ts_day field — new-spec files are excluded via ts_month)
+      val qOld = spark.sql("""SELECT id FROM graft.hp.ev
+        WHERE ts >= TIMESTAMP'2026-01-02 00:00:00'
+          AND ts <  TIMESTAMP'2026-01-03 00:00:00'""")
+      assert(qOld.collect().map(_.getLong(0)).sorted === (8L until 16L).toArray)
+      val day2Files = t.snapshot.files.count(
+        _.partitionValues.get("ts_day").contains("2026-01-02"))
+      assert(scannedFiles(qOld) === day2Files,
+        s"old-spec pruning inactive: ${scannedFiles(qOld)} of $total scanned")
+      // and on the NEW side: a February predicate scans only new files
+      val qNew = spark.sql("""SELECT id FROM graft.hp.ev
+        WHERE ts >= TIMESTAMP'2026-02-01 00:00:00'""")
+      assert(qNew.collect().map(_.getLong(0)).sorted === (16L until 24L).toArray)
+      assert(scannedFiles(qNew) === newFiles.size,
+        s"new-spec pruning inactive: ${scannedFiles(qNew)} of $total scanned")
+      assert(spark.table("graft.hp.ev").count() === 24)
+      // guards: identity fields cannot change metadata-only (their
+      // values are not in the data files) ...
+      intercept[IllegalArgumentException] {
+        t.alterPartitionSpec(Seq(PartField("v", "identity", "v")))
+      }
+      // ... and a field NAME means one definition for the table's life
+      intercept[IllegalArgumentException] {
+        t.alterPartitionSpec(Seq(PartField("ts_day", "month", "ts")))
+      }
+      // evolving BACK reuses the historical field (same definition —
+      // allowed), via the CALL surface; ts_month becomes retired
+      spark.sql(
+        "CALL graft.system.evolve_partition_spec(table => 'hp.ev', spec => 'day(ts)')")
+      val t2 = cat.getTable("hp", "ev")
+      assert(t2.snapshot.partitionColumns === Seq("ts_day"))
+      assert(t2.snapshot.previousSpecFields.toSet ===
+        Set(PartField("ts_month", "month", "ts")))
+      t2.append(rows(24 until 28, "2026-03-01"))
+      assert(spark.table("graft.hp.ev").count() === 28)
+      // three spec generations in one table, still pruned correctly
+      val qMar = spark.sql("""SELECT id FROM graft.hp.ev
+        WHERE ts >= TIMESTAMP'2026-03-01 00:00:00'""")
+      assert(qMar.collect().map(_.getLong(0)).sorted === (24L until 28L).toArray)
+      assert(scannedFiles(qMar) < t2.snapshot.files.size)
+    }
+  }
 }
