@@ -590,11 +590,29 @@ object Bench {
       // once-per-corpus cost; the persisted-index block below records
       // what a deployment's QUERIES actually pay after it.
       val sweep = Seq(-1, 36, 72, 108).map { np =>
-        val (r, sec) = timedRecall(Similarity.ivfPqTopK(emb, queries,
-          k = 10, dim = 64, nCells = -1, nprobe = np,
-          iters = 3, rerankTo = 300))
         val label = if (np <= 0) "default_calibrated" else np.toString
-        s""""nprobe_$label":{"recall":${f"$r%.4f"},"sec":${f"$sec%.3f"}}"""
+        if (np <= 0) {
+          // the shipped default is the BARRED key — record a runs
+          // array like every other timing key so a window-position
+          // outlier is attributable (r17 VERDICT observation 5: one
+          // driver rerun read 31.99 s against 7.61 committed with
+          // nothing to attribute it to)
+          var recall = -1.0
+          val (runs, sec) = runsOf()(() => {
+            val (r, s0) = timedRecall(Similarity.ivfPqTopK(emb, queries,
+              k = 10, dim = 64, nCells = -1, nprobe = np,
+              iters = 3, rerankTo = 300))
+            recall = r
+            s0
+          })
+          s""""nprobe_$label":{"recall":${f"$recall%.4f"},""" +
+            s""""sec":${f"$sec%.3f"},"runs":${runsJson(runs)}}"""
+        } else {
+          val (r, sec) = timedRecall(Similarity.ivfPqTopK(emb, queries,
+            k = 10, dim = 64, nCells = -1, nprobe = np,
+            iters = 3, rerankTo = 300))
+          s""""nprobe_$label":{"recall":${f"$r%.4f"},"sec":${f"$sec%.3f"}}"""
+        }
       }
       // the persisted-index regime (r12 VERDICT task 1): train +
       // encode + calibrate ONCE (build_sec), then time SEARCH ONLY

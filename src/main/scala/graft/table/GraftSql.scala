@@ -2481,6 +2481,9 @@ object GraftSql {
     "fast_forward"             -> "OWNER",
     "create_tag"               -> "OWNER",
     "add_files"                -> "INSERT",
+    // changes the table's partition LAYOUT contract for all future
+    // writes and readers — ALTER TABLE-class DDL, the owner's call
+    "evolve_partition_spec"    -> "OWNER",
     "rewrite_data_files"       -> "INSERT",
     "rewrite_position_deletes" -> "INSERT",
     "build_bloom_index"        -> "INSERT",
