@@ -3345,9 +3345,11 @@ class TxTable private (
           cur.appTxns + (a -> math.max(v, cur.appTxns.getOrElse(a, Long.MinValue)))
         }.getOrElse(cur.appTxns)
         // a full replacement: outstanding MOR deletes are moot — clear
+        // (and retired spec fields with them: every file is current-spec)
         commit(Some(expected), "OVERWRITE", schemaOf(s),
           s.partitionColumns, newFiles, droppedColumns = Nil,
-          equalityDeletes = Nil, appTxns = txns, pendingTxn = pendingTxn)
+          equalityDeletes = Nil, previousSpecFields = Nil,
+          appTxns = txns, pendingTxn = pendingTxn)
       }
     }
   }
@@ -3366,6 +3368,21 @@ class TxTable private (
     val unknown = partitionFilter.keySet -- s.partitionColumns.toSet
     require(unknown.isEmpty,
       s"not partition columns of $name: ${unknown.mkString(", ")}")
+    // across a metadata-only spec evolution, a DERIVED-field static
+    // overwrite is ambiguous: old-spec files carry no value for the
+    // field, so rows of the target partition could survive in them
+    // (silent duplicates after the replace). Identity fields are safe
+    // — every file carries identity values whatever spec wrote it.
+    if (s.previousSpecFields.nonEmpty) {
+      val spec = PartitionTransform.resolve(s)
+      val derived = partitionFilter.keySet.filter(c =>
+        spec.exists(f => f.name == c && !f.isIdentity))
+      require(derived.isEmpty,
+        s"static overwrite of derived partition(s) ${derived.mkString(",")} " +
+          s"is ambiguous while retired-spec files remain " +
+          s"(${s.previousSpecFields.map(_.name).mkString(",")}) — " +
+          "compact() to normalize the layout first")
+    }
     val newFiles = writeFiles(withDerivedParts(align(df, schemaOf(s),
       constraints = s.constraints), s), s.partitionColumns)
     retryingCommit("OVERWRITE") { expected =>
@@ -4334,7 +4351,8 @@ class TxTable private (
     commit(Some(s.version), "COMPACT", schemaOf(s), s.partitionColumns,
       kept ++ newFiles,
       droppedColumns = if (full) Nil else null,
-      equalityDeletes = if (full) Nil else null)
+      equalityDeletes = if (full) Nil else null,
+      previousSpecFields = if (full) Nil else null)
   }
 
   /**
@@ -4436,7 +4454,8 @@ class TxTable private (
       newPartitionColumns)
     // explicit empty spec: the new layout is identity-partitioned
     commit(Some(s.version), "REPARTITION", schema, newPartitionColumns, newFiles,
-      droppedColumns = Nil, equalityDeletes = Nil, partitionSpec = Nil)
+      droppedColumns = Nil, equalityDeletes = Nil, partitionSpec = Nil,
+      previousSpecFields = Nil)
   }
 
   /** Partition evolution onto a HIDDEN-partitioning spec (`day(ts)`,
@@ -4455,7 +4474,8 @@ class TxTable private (
       spark.sessionState.conf.sessionLocalTimeZone)
     val newFiles = writeFiles(derived, parts)
     commit(Some(s.version), "REPARTITION", schema, parts, newFiles,
-      droppedColumns = Nil, equalityDeletes = Nil, partitionSpec = newSpec)
+      droppedColumns = Nil, equalityDeletes = Nil, partitionSpec = newSpec,
+      previousSpecFields = Nil)
   }
 
   /**

@@ -376,6 +376,25 @@ class HiddenPartitionSpec extends SparkSpec {
         WHERE ts >= TIMESTAMP'2026-03-01 00:00:00'""")
       assert(qMar.collect().map(_.getLong(0)).sorted === (24L until 28L).toArray)
       assert(scannedFiles(qMar) < t2.snapshot.files.size)
+      // a DERIVED-field static overwrite is ambiguous while retired-
+      // spec files remain: old files carry no value for the field, so
+      // target-partition rows could silently survive the replace
+      intercept[IllegalArgumentException] {
+        t2.overwritePartitions(rows(100 until 102, "2026-03-01"),
+          Map("ts_day" -> "2026-03-01"))
+      }
+      assert(spark.table("graft.hp.ev").count() === 28,
+        "the refused overwrite must not have committed")
+      // a FULL rewrite normalizes every file under the current spec
+      // and clears the retired fields — the guard then lifts
+      t2.compact()
+      assert(t2.snapshot.previousSpecFields.isEmpty,
+        "full compact did not clear retired spec fields")
+      assert(t2.snapshot.files.forall(_.partitionValues.keySet == Set("ts_day")))
+      assert(spark.table("graft.hp.ev").count() === 28)
+      t2.overwritePartitions(rows(100 until 102, "2026-03-01"),
+        Map("ts_day" -> "2026-03-01"))
+      assert(spark.table("graft.hp.ev").count() === 28 - 4 + 2)
     }
   }
 }
