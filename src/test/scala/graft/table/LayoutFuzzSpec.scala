@@ -166,6 +166,65 @@ class LayoutFuzzSpec extends SparkSpec {
       files.map(_.path).sorted.distinct)
   }
 
+  test("spec-evolution commits lay out byte-identically on both paths") {
+    // a metadata-only EVOLVE_SPEC commit rides the O(delta) append
+    // fast path (files unchanged, zero added) with CHANGED
+    // partitionColumns / partitionSpec / previousSpecFields — the
+    // byte-identity contract must hold for it and for the appends
+    // that follow under the new spec. Inline-only file counts keep
+    // every byte deterministic (no UUID manifest names to
+    // canonicalize).
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val baseA = new java.io.File(freshDir("layout_evolve_a"), "_log")
+    val baseB = new java.io.File(freshDir("layout_evolve_b"), "_log")
+    val dirA = new Path(baseA.getAbsolutePath)
+    val dirB = new Path(baseB.getAbsolutePath)
+    val daySpec = Seq(PartField("ts_day", "day", "ts"))
+    val monthSpec = Seq(PartField("ts_month", "month", "ts"))
+    val dayFiles = (0 until 20).map(i => DataFile(
+      f"ts_day=2026-01-${i % 5 + 1}%02d/d$i%04d.parquet",
+      Map("ts_day" -> f"2026-01-${i % 5 + 1}%02d"), 10L, 1000L,
+      seq = 0L)).toVector
+    val monthFiles = (0 until 3).map(i => DataFile(
+      f"ts_month=2026-02/m$i%04d.parquet",
+      Map("ts_month" -> "2026-02"), 10L, 1000L, seq = 2L)).toVector
+    val steps: Seq[Snapshot] = Seq(
+      Snapshot(0L, 1700000000000L, "CREATE", schema.json, Seq("ts_day"),
+        dayFiles, partitionSpec = daySpec),
+      // the evolution: same files, new spec, day retired
+      Snapshot(1L, 1700000001000L, "EVOLVE_SPEC", schema.json,
+        Seq("ts_month"), dayFiles, partitionSpec = monthSpec,
+        previousSpecFields = daySpec),
+      // appends under the NEW spec keep carrying the retired fields
+      Snapshot(2L, 1700000002000L, "APPEND", schema.json,
+        Seq("ts_month"), dayFiles ++ monthFiles,
+        partitionSpec = monthSpec, previousSpecFields = daySpec))
+    var expected: Option[Long] = None
+    steps.foreach { snap =>
+      TxLog.commit(dirA, expected, snap, conf)
+      TxLog.purgeRawCache(dirB)           // cold cache → full path
+      TxLog.commit(dirB, expected, snap, conf)
+      expected = Some(snap.version)
+    }
+    val a = listFiles(baseA)
+    val b = listFiles(baseB)
+    assert(a.keySet === b.keySet,
+      s"file sets diverged: ${a.keySet.diff(b.keySet)} vs ${b.keySet.diff(a.keySet)}")
+    a.foreach { case (name, bytes) =>
+      assert(java.util.Arrays.equals(bytes, b(name)),
+        s"$name differs between fast-path and full-path logs")
+    }
+    // the retired fields round-trip through parse and resolution
+    val head = TxLog.read(dirA, 2L, conf)
+    assert(head.previousSpecFields === daySpec)
+    assert(head.partitionSpec === monthSpec)
+    assert(head.files.size === 23)
+  }
+
   test("ref list spills to a manifest-list file, is reused, and cascades") {
     // Deterministic walk of the two-level layout's whole life cycle:
     // tier-sized bursts (33, 150, 550 files — tiers 1, 2, 3 at
