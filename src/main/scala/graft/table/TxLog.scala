@@ -2092,8 +2092,64 @@ object TxLog {
         case StringKind => ColStats("string", minS, maxS, nulls)
       })
     }
+    // DATA-COLUMN summaries (r18): fold the members' per-file footer
+    // stats into manifest-level [min, max] — the level that makes
+    // SORT-CLUSTERED layouts skip at the MANIFEST before any file is
+    // listed (manifests cover contiguous ingest runs, so a clustered
+    // table's manifest ranges are as tight as its file ranges; Iceberg
+    // stores the same per-manifest column bounds). Conservative
+    // exactly like the partition kinds: a column is stamped only when
+    // EVERY member file carries stats for it under ONE tag the merge
+    // understands — any gap (stat-less file, tag mix, unparseable
+    // value, oversized string bound) drops the column for THIS
+    // manifest, which is always read for predicates on it, never
+    // wrongly skipped. nullCount sums, so IS NULL pruning stays
+    // existence-exact.
+    files.headOption.flatMap(_.stats).foreach { first =>
+      first.keys.toSeq.sorted.foreach { c =>
+        if (!kinds.contains(c)) {
+          var tag: String = null
+          var mn: String = null
+          var mx: String = null
+          var nulls = 0L
+          var ok = true
+          val it = files.iterator
+          while (ok && it.hasNext) {
+            it.next().stats.flatMap(_.get(c)) match {
+              case None => ok = false
+              case Some(cs) =>
+                if (tag == null) tag = cs.tag
+                if (cs.tag != tag) ok = false
+                else try {
+                  if (mn == null || cmpStored(tag, cs.min, mn) < 0) mn = cs.min
+                  if (mx == null || cmpStored(tag, cs.max, mx) > 0) mx = cs.max
+                  nulls += cs.nullCount
+                } catch { case scala.util.control.NonFatal(_) => ok = false }
+            }
+          }
+          // long string bounds (free-text columns) would bloat every
+          // header the ref rides in — skip them; truncation would need
+          // Iceberg's increment-last-char upper-bound widening to stay
+          // sound, not worth it for text nobody range-filters
+          if (ok && tag != null &&
+              (tag != "string" || (mn.length <= 64 && mx.length <= 64)))
+            out += c -> ColStats(tag, mn, mx, nulls)
+        }
+      }
+    }
     val m = out.result()
     (if (m.isEmpty) None else Some(m), bytes, rowSum)
+  }
+
+  /** Ordering of two STORED stat strings under their tag — exact for
+    * integral tags (string compare of decimal integers is wrong the
+    * moment widths differ: "9" > "10"). Unknown tags throw and the
+    * caller drops the column (conservative). */
+  private def cmpStored(tag: String, a: String, b: String): Int = tag match {
+    case "long" | "date" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case "string" => a.compareTo(b)
+    case other => throw new IllegalArgumentException(s"tag $other")
   }
 
   // ---- maintenance counters (r16 VERDICT task 3) ---------------------

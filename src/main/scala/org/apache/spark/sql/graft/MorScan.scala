@@ -170,10 +170,12 @@ class MorScanBuilder(
     // Pruning by partition value never changes delete application —
     // deletes attach per FILE (seq-grouping), so dropping a file the
     // query cannot match drops its delete work with it.
-    val partConjuncts = pushed.filter(f => f.references.nonEmpty &&
-      f.deterministic &&
-      f.references.forall(a => partitionColumns.contains(a.name)))
-    val groups = groupsOf(partConjuncts)
+    // every deterministic pushed conjunct participates — partition
+    // AND data columns (manifest summaries carry merged data bounds);
+    // selectRefs keeps any manifest a summary cannot rule out, and
+    // dropping a whole file no row of which can match is always safe
+    // under MOR semantics (deletes only REMOVE rows)
+    val groups = groupsOf(pushed.filter(_.deterministic))
     val keyColumns: Seq[String] =
       (groups.flatMap(_.deletedKeys.keys) ++
         groups.flatMap(_.deferredKeys.map(_.column))).distinct

@@ -679,7 +679,13 @@ class SnapshotFileIndex(
     // activeLayout mid-walk under this thread's feet — planning is
     // driver-side, so the serialization costs nothing real.
     if (deferred.isDefined) deferredLock.synchronized {
-      selectLayout(partitionFilters)
+      // DATA filters participate in selection too (r18): manifest
+      // summaries now carry merged data-column bounds, so a
+      // sort-clustered table skips manifests on non-partition
+      // predicates before any file materializes. Columns without a
+      // summary — free text, mixed tags, stat-less members — keep the
+      // manifest (selectRefs is conservative per column).
+      selectLayout(partitionFilters ++ dataFilters.filter(_.deterministic))
       return listFilesInner(partitionFilters, dataFilters)
     }
     listFilesInner(partitionFilters, dataFilters)

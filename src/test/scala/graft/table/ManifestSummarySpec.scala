@@ -231,6 +231,47 @@ class ManifestSummarySpec extends SparkSpec {
       "resolved every manifest despite the date filter")
   }
 
+  test("data-column summaries skip manifests on non-partition predicates") {
+    // r18: manifest refs fold their members' per-file footer stats
+    // into manifest-level [min, max] per data column — the level that
+    // makes ingest-ordered (and sort-clustered) layouts skip at the
+    // MANIFEST before any file materializes. buildTable's ids are
+    // monotone across commits (d*1000+i), so tier manifests cover
+    // disjoint id ranges with NO date predicate anywhere in the query.
+    val t = buildTable(freshDir("ms_datacol"))
+    val hdr = t.snapshotHeader
+    val withId = hdr.manifests.filter(_.summaries.exists(_.contains("id")))
+    assert(withId.nonEmpty, "no ref carries a data-column summary")
+    // summary == recount over the members' footer stats
+    withId.foreach { r =>
+      val files = TxLog.resolveRefs(new Path(t.root, "_log"), Seq(r), conf)
+      val cs = r.summaries.get("id")
+      assert(cs.tag === "long")
+      val mins = files.map(_.stats.get("id").min.toLong)
+      val maxs = files.map(_.stats.get("id").max.toLong)
+      assert(cs.min.toLong === mins.min, s"id min of $r")
+      assert(cs.max.toLong === maxs.max, s"id max of $r")
+    }
+    val q = "SELECT v FROM graftms.ms.t WHERE id BETWEEN 3005 AND 3030"
+    val expected = spark.sql(q).collect().map(_.getDouble(0)).sorted
+    assert(expected.length === 26)
+    val logDir = new Path(t.root, "_log")
+    TxLog.purgeRawCache(logDir)
+    TxLog.purgeManifestCache()
+    org.apache.spark.sql.graft.SnapshotFileIndex.purgeLayoutCache()
+    val totalRefs = hdr.manifests.size
+    val before = TxLog.manifestResolutionCount
+    val pruned = spark.sql(q).collect().map(_.getDouble(0)).sorted
+    val resolved = TxLog.manifestResolutionCount - before
+    assert(pruned.toSeq === expected.toSeq, "data-pruned result diverged")
+    assert(resolved < totalRefs,
+      s"data-column predicate skipped nothing: $resolved of $totalRefs")
+    // a predicate every summary admits still reads everything
+    assert(spark.sql(
+      "SELECT count(*) FROM graftms.ms.t WHERE v > 0").head().getLong(0)
+      === 480L)
+  }
+
   test("summaries never skip wrongly: nulls and strings prune conservatively") {
     val root = new Path(freshDir("ms_cons"))
     import spark.implicits._
