@@ -124,7 +124,14 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
 
   override def properties(): util.Map[String, String] =
     (hdr.properties ++
-      Map("provider" -> "graft", "version" -> hdr.version.toString)).asJava
+      Map("provider" -> "graft", "version" -> hdr.version.toString) ++
+      // spec-evolution observability: SHOW TBLPROPERTIES answers
+      // "which retired layouts may this table's files still carry"
+      (if (hdr.previousSpecFields.isEmpty) Map.empty[String, String]
+       else Map("previous-spec-fields" -> hdr.previousSpecFields
+         .map(f => s"${f.transform}(${
+           if (f.param > 0) s"${f.param}, " else ""}${f.source}) AS ${f.name}")
+         .mkString(", ")))).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,

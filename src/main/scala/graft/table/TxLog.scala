@@ -2011,14 +2011,32 @@ object TxLog {
               Some(LongKind)
             case DateType => Some(DateKind)
             case StringType => Some(StringKind)
+            // TIMESTAMP identity partitions stay unstamped by design
+            // (r17 VERDICT observation 4): the stored string was
+            // rendered under the WRITER's session zone, which a reader
+            // cannot recover — comparing a pushed instant against it
+            // under another zone could skip wrongly. Date-family
+            // HIDDEN transforms of a timestamp are covered below
+            // (their rendering is fixed-pattern), and the SOURCE
+            // column's footer stats (micros, zone-free) now carry the
+            // data-column manifest summary anyway.
             case _ => None
           }
           def ofField(name: String): Option[PartKind] = {
             val spec = snapshot.partitionSpec.find(_.name == name)
             spec match {
               case Some(f) if !f.isIdentity => f.transform match {
-                case "year" | "month" | "day" | "hour" | "bucket" =>
-                  Some(LongKind)
+                // rendered forms decide the kind: year "2026" and
+                // bucket "3" parse as longs; day "2026-01-02" is the
+                // validated ISO date; month "2026-01" and hour
+                // "2026-01-02-10" are fixed-width zero-padded patterns
+                // whose lexicographic order IS chronological order.
+                // (day used to map to LongKind — toLong failed on
+                // every value and the summary silently dropped:
+                // conservative, but pure waste.)
+                case "year" | "bucket" => Some(LongKind)
+                case "day" => Some(DateKind)
+                case "month" | "hour" => Some(StringKind)
                 case "truncate" =>
                   schema.fields.find(_.name == f.source)
                     .flatMap(x => ofType(x.dataType))

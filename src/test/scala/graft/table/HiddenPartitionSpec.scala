@@ -327,6 +327,11 @@ class HiddenPartitionSpec extends SparkSpec {
         Seq(PartField("ts_day", "day", "ts")))
       // time travel reads the OLD spec in its own layout
       assert(t.snapshotAt(vBefore).partitionColumns === Seq("ts_day"))
+      // observability: SHOW TBLPROPERTIES names the retired fields
+      val props = spark.sql("SHOW TBLPROPERTIES graft.hp.ev").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("previous-spec-fields").contains("day(ts) AS ts_day"),
+        s"retired fields not observable: $props")
       // new writes land under the NEW spec only
       t.append(rows(16 until 24, "2026-02-10"))
       val newFiles = t.snapshot.files.filterNot(f => filesBefore(f.path))
