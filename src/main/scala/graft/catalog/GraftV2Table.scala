@@ -164,8 +164,13 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     // rewrite touches only partitions that can hold matches
     val constraints = {
       import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, Literal => CLit}
+      // tolerant lookup: dropColumn now refuses to drop a retired
+      // field's source, but a log written before that guard may carry
+      // a dangling source name — skip it (constraint lost = the read
+      // keeps those files, conservative) rather than fail every DELETE
       val sourceDts = (partSpec ++ priorSpec).filterNot(_.isIdentity)
-        .map(f => f.source -> fullSchema(f.source).dataType).toMap
+        .flatMap(f => fullSchema.fields.find(_.name == f.source)
+          .map(sf => f.source -> sf.dataType)).toMap
       def attr(a: String) = sourceDts.get(a).map(dt => AttributeReference(a, dt)())
       val exprs = v1.flatMap {
         case sources.EqualTo(a, v) if v != null => attr(a).map(CEq(_, CLit(v)))

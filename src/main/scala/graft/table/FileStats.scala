@@ -29,7 +29,13 @@ import scala.jdk.CollectionConverters._
 object FileStats {
 
   /** Footer metadata for one file: exact row count plus min/max stats
-    * for scalar orderable columns (one footer read serves both). */
+    * for scalar orderable columns — top-level AND leaf columns nested
+    * under plain STRUCT groups, the latter recorded under their dotted
+    * path ("transaction_metadata.merchant_id"). The reference's own
+    * schema carries two STRUCT columns whose fields the flagship query
+    * filters on (kfs/scripts/update_metadata.py:100-112,
+    * kfs/README.md:177-179) — without leaf stats those predicates skip
+    * nothing at file or manifest level. One footer read serves both. */
   def collect(file: Path, conf: Configuration): (Long, Map[String, ColStats]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
@@ -37,14 +43,70 @@ object FileStats {
       val schema = footer.getFileMetaData.getSchema
       val rowCount = footer.getBlocks.asScala.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map[String, (Any, Any, Long, String)]()
+      // nulls from chunks that record NO value bounds (all-null row
+      // groups): folded into the column's nullCount at emit — without
+      // this a multi-row-group file with one all-null group recorded
+      // nullCount 0 and IS NULL pruning wrongly skipped it (ADVICE r18)
+      val extraNulls = scala.collection.mutable.Map[String, Long]()
+      // conservative kill switch: any chunk whose statistics cannot be
+      // trusted (absent, null-count-less, NaN bounds) drops the whole
+      // column for THIS file — the file is then always read for
+      // predicates on it, never wrongly skipped
+      val poisoned = scala.collection.mutable.Set[String]()
+      val topLevel = schema.getFields.asScala.map(_.getName).toSet
+      import org.apache.parquet.schema.Type.Repetition.REPEATED
+      // The stats key for a chunk path: the bare name for top-level
+      // scalars; the dotted path for a leaf whose every enclosing group
+      // is a plain non-repeated STRUCT (no LIST/MAP annotation, no
+      // repetition — under repetition, num_nulls and per-value bounds
+      // count LIST SLOTS, not rows, and GetStructField semantics no
+      // longer line up with the chunk's definition levels).
+      def statName(parts: Array[String]): Option[String] =
+        if (parts.length == 1) Some(parts(0))
+        else {
+          val structsOk = (1 until parts.length).forall { i =>
+            val t = schema.getType(parts.take(i): _*)
+            !t.isPrimitive && t.getRepetition != REPEATED &&
+              t.getLogicalTypeAnnotation == null
+          }
+          val leafOk =
+            schema.getType(parts: _*).getRepetition != REPEATED
+          if (!structsOk || !leafOk) None
+          else {
+            val dotted = parts.mkString(".")
+            if (topLevel.contains(dotted)) {
+              // a literal top-level column named "a.b" would alias this
+              // struct leaf in the stats map — poison BOTH readings so
+              // neither can serve the other's predicate
+              poisoned += dotted; None
+            } else Some(dotted)
+          }
+        }
       footer.getBlocks.asScala.foreach { block =>
         block.getColumns.asScala.foreach { chunk =>
           val pathParts = chunk.getPath.toArray
-          if (pathParts.length == 1) { // top-level scalar columns only
-            val name = pathParts(0)
+          statName(pathParts).foreach { name =>
             val stats = chunk.getStatistics
-            if (stats != null && stats.hasNonNullValue) {
-              val primitive = schema.getType(Array(name): _*).asPrimitiveType()
+            if (stats == null) poisoned += name
+            else if (!stats.hasNonNullValue) {
+              // no bounds recorded: PROVABLY all-null (or empty) only
+              // when num_nulls accounts for every value in the chunk —
+              // otherwise the writer dropped the bounds (oversized
+              // binary stats, NaN policies) and the chunk hides VALUES
+              // outside other chunks' bounds, so nothing about the
+              // column is knowable for this file
+              if (stats.isNumNullsSet &&
+                  stats.getNumNulls == chunk.getValueCount) {
+                extraNulls(name) =
+                  extraNulls.getOrElse(name, 0L) + stats.getNumNulls
+              } else poisoned += name
+            } else if (!stats.isNumNullsSet) {
+              // bounds without a null count: IS NULL pruning would
+              // trust a number that was never written
+              poisoned += name
+            } else {
+              val primitive =
+                schema.getType(pathParts: _*).asPrimitiveType()
               val logical = primitive.getLogicalTypeAnnotation
               // Logical annotations change the VALUE ENCODING of the
               // physical type: a Decimal-annotated INT64 stores unscaled
@@ -67,9 +129,17 @@ object FileStats {
                       stats.genericGetMin.asInstanceOf[Number].longValue(),
                       stats.genericGetMax.asInstanceOf[Number].longValue()))
                   case (DOUBLE | FLOAT, _) =>
-                    Some(("double",
-                      stats.genericGetMin.asInstanceOf[Number].doubleValue(),
-                      stats.genericGetMax.asInstanceOf[Number].doubleValue()))
+                    val mnD = stats.genericGetMin.asInstanceOf[Number].doubleValue()
+                    val mxD = stats.genericGetMax.asInstanceOf[Number].doubleValue()
+                    if (mnD.isNaN || mxD.isNaN) { poisoned += name; None }
+                    else
+                      // widen signed zeros: a writer may record one zero
+                      // sign while the file holds the other; Double
+                      // .compareTo at probe time distinguishes them, so
+                      // an exact -0.0 max would wrongly exclude +0.0
+                      Some(("double",
+                        if (mnD == 0.0d) -0.0d else mnD,
+                        if (mxD == 0.0d) 0.0d else mxD))
                   case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
                     Some(("string",
                       stats.genericGetMin.asInstanceOf[Binary].toStringUsingUTF8,
@@ -89,9 +159,12 @@ object FileStats {
           }
         }
       }
-      (rowCount, acc.map { case (name, (mn, mx, nulls, tag)) =>
-        name -> ColStats(tag, mn.toString, mx.toString, nulls)
-      }.toMap)
+      (rowCount, acc.iterator
+        .filterNot { case (name, _) => poisoned.contains(name) }
+        .map { case (name, (mn, mx, nulls, tag)) =>
+          name -> ColStats(tag, mn.toString, mx.toString,
+            nulls + extraNulls.getOrElse(name, 0L))
+        }.toMap)
     } finally reader.close()
   }
 
@@ -111,15 +184,30 @@ object FileStats {
   }
 
   /** Can a file with these stats contain a value in [lo, hi] (either
-    * bound optional, inclusive)? Unknown columns → must read (true). */
+    * bound optional, inclusive)? Unknown columns → must read (true).
+    * NaN is unprovable either way: a NaN probe bound can hit rows a
+    * NaN-ignoring writer left outside its min/max (Spark's NaN = NaN
+    * is TRUE), and a stored NaN bound (legacy stats collected before
+    * NaN poisoning) orders above everything under Double.compareTo —
+    * both cases answer "may contain" instead of skipping. */
   def mayContainRange(stats: Map[String, ColStats], column: String,
       lo: Option[Any], hi: Option[Any]): Boolean =
     stats.get(column) match {
       case None => true
       case Some(cs) =>
-        val loOk = hi.forall(h => compare(cs.tag, cs.min, h) <= 0)
-        val hiOk = lo.forall(l => compare(cs.tag, cs.max, l) >= 0)
-        loOk && hiOk
+        def nanProbe(v: Any): Boolean = v match {
+          case d: java.lang.Double => d.isNaN
+          case f: java.lang.Float  => f.isNaN
+          case _ => false
+        }
+        if (cs.tag == "double" &&
+            (cs.min == "NaN" || cs.max == "NaN" ||
+             lo.exists(nanProbe) || hi.exists(nanProbe))) true
+        else {
+          val loOk = hi.forall(h => compare(cs.tag, cs.min, h) <= 0)
+          val hiOk = lo.forall(l => compare(cs.tag, cs.max, l) >= 0)
+          loOk && hiOk
+        }
     }
 
   private def compare(tag: String, stored: String, v: Any): Int = tag match {

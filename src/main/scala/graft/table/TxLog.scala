@@ -2070,7 +2070,12 @@ object TxLog {
       if (f.rowCount < 0) rowsKnown = false else rows += f.rowCount
     }
     val rowSum = if (rowsKnown) rows else -1L
-    if (kinds.isEmpty) return (None, bytes, rowSum)
+    // kinds empty (unpartitioned table) is NOT a bail-out: the
+    // data-column fold below still stamps member footer bounds, so an
+    // unpartitioned sort-clustered table skips manifests on its sort
+    // key exactly like a partitioned one (r19 — the early return here
+    // used to silently exclude unpartitioned tables from manifest
+    // skipping altogether)
     val out = scala.collection.immutable.SortedMap.newBuilder[String, ColStats]
     kinds.foreach { case (colName, kind) =>
       var nulls = 0L; var any = false; var bad = false

@@ -4744,8 +4744,15 @@ class TxTable private (
     // existed (the versionAtOrBefore miss below). Without the miss
     // path a freshly recreated table under an age policy would admit
     // a no-op sweep on every commit (the memo would never advance).
+    // Clamped to the wall clock: a FUTURE cutoff (CALL expire_snapshots
+    // (older_than => tomorrow)) clears only what exists NOW — commits
+    // made after this call are expirable again once they age past the
+    // policy, so the memo must not promise beyond the present (ADVICE
+    // r18 low: an unclamped future cutoff wedged the age gate quiet
+    // until cutoff + maxAge + slack).
     def advance(): Unit =
-      TxTable.ageClearedThrough.merge(logDir.toString, Long.box(cutoffMs),
+      TxTable.ageClearedThrough.merge(logDir.toString,
+        Long.box(math.min(cutoffMs, System.currentTimeMillis())),
         (a, b) => if (a >= b) a else b)
     val below = try TxLog.versionAtOrBefore(logDir, head, cutoffMs, conf)
       catch { case _: IllegalArgumentException => advance(); return 0 }
@@ -4799,7 +4806,16 @@ class TxTable private (
     * only — O(slots), where listing the log dir to find them was
     * O(log entries), ~10⁵ statuses per admitted sweep on a
     * retention-less log (r17 VERDICT observation 2). Nothing else
-    * lives here; vacuum walks `data/` only and never sees it. */
+    * lives here; vacuum walks `data/` only and never sees it.
+    *
+    * COMPATIBILITY NOTE (accepted explicitly, ADVICE r18 low): slots
+    * lived directly in `_log/` for exactly one pre-release round
+    * (r16-r17); this build does not honor or reap legacy `_log/lease-*`
+    * slots. The lease is ADVISORY — a mixed-rollout window would at
+    * worst duplicate one maintenance sweep (CAS-safe, never corrupting)
+    * — and no released log format ever shipped the old location, so a
+    * migration shim would be permanent code for a case that cannot
+    * occur outside this repo's own history. */
   private val maintDir = new Path(root, "_maintenance")
 
   /** (seq, path, mtime) of every lease slot, unsorted. The mtime
@@ -4964,7 +4980,13 @@ class TxTable private (
     if (maxAge > 0) {
       val cleared = TxTable.ageClearedThrough.get(key)
       if (cleared == null) return false
-      val slack = pL("ageSlackMs", math.max(60000L, maxAge / 8), _ > 0)
+      // default slack scales with the policy but is CEILINGED at 1 h:
+      // maxAge/8 alone would let a 7-day policy linger ~21 h past its
+      // horizon — fine for correctness (retention is approximate by
+      // nature) but operator-surprising (r18 VERDICT observation 3).
+      // An explicit ageSlackMs is honored as given.
+      val slack = pL("ageSlackMs",
+        math.min(math.max(60000L, maxAge / 8), 3600000L), _ > 0)
       if (System.currentTimeMillis() - cleared > maxAge + slack)
         return false
     }
@@ -5567,6 +5589,14 @@ class TxTable private (
     require(!s.partitionSpec.exists(f => !f.isIdentity && f.source == name),
       s"cannot drop $name: a hidden partition field derives from it " +
         "(repartitionTable first)")
+    // RETIRED spec fields still guard their source: after a metadata-
+    // only evolution away from month(ts), old files keep ts_month
+    // values and every read/DELETE projects ts predicates onto them —
+    // dropping ts would break that projection (ADVICE r18 medium).
+    // compact(full) clears the history and lifts this.
+    require(!s.previousSpecFields.exists(f => !f.isIdentity && f.source == name),
+      s"cannot drop $name: a RETIRED partition field derives from it " +
+        "(old-spec files remain; compact() with full = true first)")
     val evolved = StructType(schema.fields.filterNot(_.name == name))
     val v = commit(Some(s.version), "DROP_COLUMN", evolved,
       s.partitionColumns, s.files,
@@ -5593,6 +5623,11 @@ class TxTable private (
     require(!s.partitionSpec.exists(f => !f.isIdentity && f.source == from),
       s"cannot rename $from: a hidden partition field derives from it " +
         "(repartitionTable first)")
+    // same retired-spec hazard as dropColumn: reads project onto
+    // previousSpecFields by SOURCE name until the history clears
+    require(!s.previousSpecFields.exists(f => !f.isIdentity && f.source == from),
+      s"cannot rename $from: a RETIRED partition field derives from it " +
+        "(old-spec files remain; compact() with full = true first)")
     val evolved = StructType(schema.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     val parts = s.partitionColumns.map(p => if (p == from) to else p)

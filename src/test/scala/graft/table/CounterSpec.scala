@@ -174,5 +174,58 @@ class CounterSpec extends SparkSpec {
       "recreated table's no-op age sweep did not re-quiet the gate")
   }
 
+  test("age slack is ceilinged at 1 h on long-retention policies") {
+    import spark.implicits._
+    // a 7-day policy's proportional slack (maxAge/8 ≈ 21 h) would let
+    // headers linger most of a day past the horizon; the default is
+    // now min(max(60 s, maxAge/8), 1 h) so sweeps fire within an
+    // operator-predictable window (r18 VERDICT observation 3)
+    val maxAge = 7L * 24 * 3600 * 1000
+    val root = new Path(freshDir("ageslack"))
+    val t = TxTable.create(spark, root, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Nil)
+    t.setProperties(Map(
+      TxTable.MaintainPrefix + "minSmallFiles" -> "64",
+      TxTable.MaintainPrefix + "retainSnapshots" -> "100",
+      TxTable.MaintainPrefix + "maxSnapshotAgeMs" -> maxAge.toString))
+    (1L to 3L).foreach(i => t.append(Seq(i).toDF("id")))
+    val key = new Path(root, "_log").toString
+    t.maintainTableConfigured(orphanGraceMs = Some(0L), trigger = "auto")
+    // inside the window: cleared horizon + maxAge + 59 min → quiet
+    TxTable.ageClearedThrough.put(key,
+      Long.box(System.currentTimeMillis() - maxAge - 59L * 60 * 1000))
+    assert(t.maintenanceQuiet(t.snapshot),
+      "gate fired inside the ceilinged slack window")
+    // past the ceiling: + 61 min → due (maxAge/8 would have slept ~21 h)
+    TxTable.ageClearedThrough.put(key,
+      Long.box(System.currentTimeMillis() - maxAge - 61L * 60 * 1000))
+    assert(!t.maintenanceQuiet(t.snapshot),
+      "7-day policy still quiet past horizon + 1 h — slack unceilinged")
+  }
+
+  test("a future expiry cutoff cannot wedge the age gate quiet") {
+    import spark.implicits._
+    // ADVICE r18 low: expire_snapshots(older_than => future) used to
+    // advance the cleared-through memo to the future timestamp, whose
+    // "nothing <= T remains expirable" claim fails for commits made
+    // AFTER the call — the gate then slept until future + maxAge +
+    // slack. The memo advance is clamped to the wall clock.
+    val root = new Path(freshDir("agefuture"))
+    val t = TxTable.create(spark, root, "t",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))), Nil)
+    (1L to 3L).foreach(i => t.append(Seq(i).toDF("id")))
+    val key = new Path(root, "_log").toString
+    TxTable.ageClearedThrough.remove(key)
+    val farFuture = System.currentTimeMillis() + 365L * 24 * 3600 * 1000
+    t.expireSnapshotsOlderThan(farFuture)
+    val memo = TxTable.ageClearedThrough.get(key)
+    assert(memo != null && memo <= System.currentTimeMillis(),
+      s"memo advanced into the future: $memo")
+  }
+
   private def conf = spark.sessionState.newHadoopConf()
 }

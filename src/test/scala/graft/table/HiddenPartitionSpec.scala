@@ -402,4 +402,35 @@ class HiddenPartitionSpec extends SparkSpec {
       assert(spark.table("graft.hp.ev").count() === 28 - 4 + 2)
     }
   }
+
+  test("a RETIRED spec field's source cannot be dropped or renamed") {
+    // ADVICE r18 medium: dropColumn guarded only the CURRENT spec's
+    // sources — after evolving month(ts) -> bucket(8, id) the ts
+    // column could drop while old files still carried ts_month values,
+    // and every subsequent DELETE threw building the constraint
+    // projection. The guard now covers previousSpecFields too.
+    withCatalog("retired_src") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hp")
+      spark.sql("""CREATE TABLE graft.hp.rsrc (id LONG, ts TIMESTAMP, v STRING)
+        PARTITIONED BY (months(ts))""")
+      val t = new TableCatalog(spark, new Path(wh)).getTable("hp", "rsrc")
+      t.append(rows(0 until 8, "2026-01-05"))
+      t.alterPartitionSpec(Seq(PartField("id_bucket", "bucket", "id", 8)))
+      assert(t.snapshot.previousSpecFields ===
+        Seq(PartField("ts_month", "month", "ts")))
+      // ts derives nothing in the CURRENT spec, but retired-spec files
+      // still project ts predicates onto their ts_month values
+      intercept[IllegalArgumentException] { t.dropColumn("ts") }
+      intercept[IllegalArgumentException] { t.renameColumn("ts", "ts2") }
+      // DELETE through the V2 path still builds its constraints
+      spark.sql(
+        "DELETE FROM graft.hp.rsrc WHERE ts < TIMESTAMP'2026-01-05 11:00:00'")
+      assert(spark.table("graft.hp.rsrc").count() === 7)
+      // a full rewrite clears the history and lifts the guard
+      t.compact()
+      assert(t.snapshot.previousSpecFields.isEmpty)
+      t.dropColumn("ts")
+      assert(t.toDF.columns.toSeq === Seq("id", "v"))
+    }
+  }
 }

@@ -1,0 +1,244 @@
+package graft.table
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Nested-field statistics end-to-end (r18 VERDICT task 1) plus the
+ * footer-statistics conservativeness pins (all-null row groups — ADVICE
+ * r18 low — and NaN / signed-zero double bounds, r18 VERDICT task 6).
+ *
+ * The reference's own schema carries two STRUCT columns whose fields
+ * the flagship query filters on (`transaction_metadata`,
+ * `fraud_indicators` — kfs/scripts/update_metadata.py:100-112,
+ * kfs/README.md:177-179): predicates like
+ * `transaction_metadata.merchant_id = …` must skip at FILE level (leaf
+ * footer stats under the dotted path) and at MANIFEST level (the
+ * data-column summary fold over those leaves).
+ */
+class NestedStatsSpec extends SparkSpec {
+
+  private def conf = spark.sessionState.newHadoopConf()
+
+  /** Distinct files a probe query's executed plan actually scans
+    * (exchange-free probe — aggregates would plan under AQE and hide
+    * the scan from a plan-tree collect). */
+  private def filesScanned(sql: String): Int =
+    spark.sql(sql).queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+          case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+            fp.files.map(_.filePath.toString).toSeq
+          case _ => Seq.empty[String]
+        }.distinct.length
+    }.sum
+
+  test("struct-leaf footer stats prune files on nested predicates") {
+    val wh = freshDir("ns_files")
+    spark.conf.set("spark.sql.catalog.graftns", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftns.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftns.ns")
+    spark.sql("""CREATE TABLE graftns.ns.t
+                 (meta STRUCT<mid: BIGINT, merchant: STRING>, score DOUBLE)""")
+    import spark.implicits._
+    val df = (0L until 400L).map(i => (i, f"m$i%03d", i * 2.0))
+      .toDF("id", "mname", "score")
+      .select(struct(col("id").as("mid"), col("mname").as("merchant"))
+        .as("meta"), col("score"))
+    val t = new TableCatalog(spark, new Path(wh)).getTable("ns", "t")
+    // range-clustered on the NESTED key: 8 files, disjoint mid ranges
+    t.append(df.repartitionByRange(8, col("meta.mid")))
+    val files = t.snapshot.files
+    assert(files.size >= 6, s"expected ~8 clustered files, got ${files.size}")
+    // footer stats recorded under the dotted leaf paths
+    val midStats = files.flatMap(_.stats.flatMap(_.get("meta.mid")))
+    assert(midStats.size === files.size, "meta.mid stats missing on some file")
+    assert(midStats.forall(_.tag === "long"))
+    val merchStats = files.flatMap(_.stats.flatMap(_.get("meta.merchant")))
+    assert(merchStats.size === files.size)
+    assert(merchStats.forall(_.tag === "string"))
+    // file-level pruning on a nested range predicate: exactly the files
+    // whose [min, max] interval intersects [100, 140]
+    val expect = files.count(_.stats.exists(_.get("meta.mid").exists(cs =>
+      cs.min.toLong <= 140L && cs.max.toLong >= 100L)))
+    val got = filesScanned(
+      "SELECT score FROM graftns.ns.t WHERE meta.mid BETWEEN 100 AND 140")
+    assert(got === expect && got < files.size,
+      s"nested range pruning: scanned $got, expected $expect of ${files.size}")
+    // nested string equality prunes too
+    val gotEq = filesScanned(
+      "SELECT score FROM graftns.ns.t WHERE meta.merchant = 'm007'")
+    assert(gotEq < files.size, s"nested string equality skipped nothing")
+    // and the pruned results are exact
+    assert(spark.sql(
+      "SELECT sum(score) FROM graftns.ns.t WHERE meta.mid BETWEEN 100 AND 140")
+      .head().getDouble(0) === (100L to 140L).map(_ * 2.0).sum)
+    assert(spark.sql(
+      "SELECT count(*) FROM graftns.ns.t WHERE meta.merchant = 'm007'")
+      .head().getLong(0) === 1L)
+  }
+
+  test("manifest summaries fold struct leaves and prune cold plans") {
+    val wh = freshDir("ns_manifest")
+    spark.conf.set("spark.sql.catalog.graftnsm", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftnsm.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftnsm.ns")
+    spark.sql("""CREATE TABLE graftnsm.ns.t
+                 (meta STRUCT<mid: BIGINT, tag: STRING>, v DOUBLE, date DATE)
+                 PARTITIONED BY (date)""")
+    val t = new TableCatalog(spark, new Path(wh)).getTable("ns", "t")
+    import spark.implicits._
+    // 12 commits of 40 files, meta.mid MONOTONE across commits — tier
+    // manifests then cover disjoint mid ranges (the sort-clustered
+    // shape at manifest granularity)
+    (0 until 12).foreach { d =>
+      val date = java.sql.Date.valueOf(f"2026-02-${d + 1}%02d")
+      val rows = (1 to 40).map(i => (d * 1000L + i, s"t$d", i * 1.5, date))
+        .toDF("mid", "tagv", "v", "date")
+        .select(struct(col("mid"), col("tagv").as("tag")).as("meta"),
+          col("v"), col("date"))
+      t.append(rows.repartition(40))
+    }
+    val hdr = t.snapshotHeader
+    val withMid = hdr.manifests.filter(_.summaries.exists(_.contains("meta.mid")))
+    assert(withMid.nonEmpty, "no manifest summary carries the struct leaf")
+    // summary == recount over the members' dotted footer stats
+    withMid.foreach { r =>
+      val files = TxLog.resolveRefs(new Path(t.root, "_log"), Seq(r), conf)
+      val cs = r.summaries.get("meta.mid")
+      assert(cs.tag === "long")
+      assert(cs.min.toLong ===
+        files.map(_.stats.get("meta.mid").min.toLong).min, s"min of $r")
+      assert(cs.max.toLong ===
+        files.map(_.stats.get("meta.mid").max.toLong).max, s"max of $r")
+    }
+    val q = "SELECT v FROM graftnsm.ns.t WHERE meta.mid BETWEEN 3005 AND 3030"
+    val expected = spark.sql(q).collect().map(_.getDouble(0)).sorted
+    assert(expected.length === 26)
+    // cold: purge parsed headers, manifest content, and layouts
+    TxLog.purgeRawCache(new Path(t.root, "_log"))
+    TxLog.purgeManifestCache()
+    org.apache.spark.sql.graft.SnapshotFileIndex.purgeLayoutCache()
+    val before = TxLog.manifestResolutionCount
+    val pruned = spark.sql(q).collect().map(_.getDouble(0)).sorted
+    val resolved = TxLog.manifestResolutionCount - before
+    assert(pruned.toSeq === expected.toSeq, "nested-pruned result diverged")
+    assert(resolved < hdr.manifests.size,
+      s"nested predicate skipped no manifest: $resolved of ${hdr.manifests.size}")
+  }
+
+  test("unpartitioned tables stamp data-column summaries too") {
+    // the summarize fold used to bail out when a table had no
+    // partition columns — an unpartitioned sort-clustered table (the
+    // rewrite_data_files shape) then never skipped a manifest
+    val root = new Path(freshDir("ns_unpart"))
+    import spark.implicits._
+    val t = TxTable.create(spark, root, "unpart",
+      StructType(Seq(StructField("id", LongType), StructField("v", DoubleType))),
+      Nil)
+    (0 until 8).foreach { b =>
+      t.append((1 to 40).map(i => (b * 1000L + i, i * 0.5))
+        .toDF("id", "v").repartition(10))
+    }
+    val hdr = t.snapshotHeader
+    val withId = hdr.manifests.filter(_.summaries.exists(_.contains("id")))
+    assert(withId.nonEmpty,
+      s"unpartitioned manifests carry no data summaries: ${hdr.manifests}")
+    withId.foreach { r =>
+      val files = TxLog.resolveRefs(new Path(t.root, "_log"), Seq(r), conf)
+      val cs = r.summaries.get("id")
+      assert(cs.min.toLong === files.map(_.stats.get("id").min.toLong).min)
+      assert(cs.max.toLong === files.map(_.stats.get("id").max.toLong).max)
+    }
+  }
+
+  test("an all-null row group's nulls still count toward nullCount") {
+    // ADVICE r18 low: collect only accumulated getNumNulls for chunks
+    // WITH bounds — a multi-row-group file whose first group is
+    // all-null recorded nullCount 0, and IS NULL pruning wrongly
+    // skipped the file
+    val dir = freshDir("ns_allnull")
+    import spark.implicits._
+    (0 until 40000).map(i => (i.toLong, if (i < 20000) null else f"v$i%05d"))
+      .toDF("id", "s")
+      .coalesce(1).sortWithinPartitions("id")
+      .write
+      .option("parquet.block.size", "16384")
+      .option("parquet.page.size", "4096")
+      .parquet(dir)
+    val f = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val p = new Path(f.getAbsolutePath)
+    // the shape must actually have >1 row group and an all-null chunk,
+    // or this test pins nothing
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    val blocks = try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.toSeq.map(b =>
+        b.getColumns.asScala.toSeq)
+    } finally reader.close()
+    assert(blocks.size > 1, s"only ${blocks.size} row group(s) — shrink block size")
+    val sChunks = blocks.map(_.find(_.getPath.toArray.sameElements(Array("s"))).get)
+    assert(sChunks.exists(c => !c.getStatistics.hasNonNullValue),
+      "no all-null chunk materialized")
+    val (rows, stats) = FileStats.collect(p, conf)
+    assert(rows === 40000L)
+    val cs = stats("s")
+    assert(cs.nullCount === 20000L,
+      s"all-null row-group nulls dropped: ${cs.nullCount}")
+    // bounds still usable (from the value-bearing groups)
+    assert(cs.min === "v20000" && cs.max === "v39999")
+  }
+
+  test("NaN and signed-zero double values never cause a wrong skip") {
+    val root = new Path(freshDir("ns_nan"))
+    import spark.implicits._
+    val t = TxTable.create(spark, root, "nan",
+      StructType(Seq(StructField("id", LongType), StructField("x", DoubleType))),
+      Nil)
+    // file A: clean range; file B: NaN mixed with a value the range
+    // probe must find; file C: all-NaN; file D: negative zero only
+    t.append(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x").coalesce(1))
+    t.append(Seq((3L, Double.NaN), (4L, 5.0)).toDF("id", "x").coalesce(1))
+    t.append(Seq((5L, Double.NaN)).toDF("id", "x").coalesce(1))
+    t.append(Seq((6L, -0.0)).toDF("id", "x").coalesce(1))
+    // whatever the writer recorded, OUR stats must never carry NaN
+    t.snapshot.files.flatMap(_.stats.flatMap(_.get("x"))).foreach { cs =>
+      assert(cs.min != "NaN" && cs.max != "NaN",
+        s"NaN leaked into recorded bounds: $cs")
+    }
+    // Spark NaN semantics: NaN = NaN is TRUE — both NaN rows must
+    // survive any file-level skipping
+    assert(t.toDF.filter(col("x") === lit(Double.NaN)).count() === 2L)
+    // range probe must find file B's 5.0 even though B also holds NaN
+    assert(t.toDF.filter(col("x") >= 4.5 && col("x") <= 5.5)
+      .select("id").as[Long].collect().toSeq === Seq(4L))
+    // signed zero: 0.0 = -0.0 in SQL — the -0.0 file must be read
+    assert(t.toDF.filter(col("x") === 0.0).count() === 1L)
+    // and nothing over-matches
+    assert(t.toDF.filter(col("x") === 3.0).count() === 0L)
+  }
+
+  test("a dotted top-level name never aliases a struct leaf") {
+    val dir = freshDir("ns_alias")
+    import spark.implicits._
+    // the file holds BOTH a literal "a.b" top-level column and a
+    // struct a{b} — the two stats readings collide under one dotted
+    // key, so neither may be stamped (either serving the other's
+    // predicate could skip wrongly)
+    val df = Seq((1L, "topval", 9L), (2L, "topval2", 10L))
+      .toDF("id", "ab", "inner")
+      .select(col("id"), col("ab").as("a.b"),
+        struct(col("inner").as("b")).as("a"))
+    df.coalesce(1).write.parquet(dir)
+    val f = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val (_, stats) = FileStats.collect(new Path(f.getAbsolutePath), conf)
+    assert(!stats.contains("a.b"),
+      s"ambiguous dotted key stamped: ${stats.keySet}")
+    assert(stats.contains("id"), "unrelated columns must keep stats")
+  }
+}
