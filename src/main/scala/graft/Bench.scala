@@ -1156,7 +1156,7 @@ object Bench {
     planning1m(spark)
 
   private def planning1m(spark: SparkSession): String = try {
-    import graft.table.{DataFile, Snapshot, TxLog, TxTable}
+    import graft.table.{ColStats, DataFile, Snapshot, TxLog, TxTable}
     import org.apache.hadoop.fs.Path
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
@@ -1178,7 +1178,15 @@ object Bench {
     // on sight like v1.
     org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File("target/qwork/bench_planning1m_wh_v2"))
-    val wh = new java.io.File("target/qwork/bench_planning1m_wh_v3")
+    // v4 (r19): bakes per-file footer stats for the MONOTONE id column
+    // (file i covers ids [i*1000, i*1000+999] — the sort-clustered
+    // layout shape), so the manifest-list data-column summaries exist
+    // and `data_cold_pruned` below can prove NON-partition manifest
+    // skipping at the 10⁶ scale point. snapshot_read now includes the
+    // stats parse — PERF_NOTES carries the v3→v4 delta attribution.
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/qwork/bench_planning1m_wh_v3"))
+    val wh = new java.io.File("target/qwork/bench_planning1m_wh_v4")
       .getAbsolutePath
     val logDir = new Path(s"$wh/meta/wide1m/_log")
     val conf = spark.sessionState.newHadoopConf()
@@ -1217,7 +1225,9 @@ object Bench {
           // derives partition directories from parent paths
           files = files ++ (next until next + n).map(i => DataFile(
             f"date=${dateOf(i)}/w$i%08d.parquet",
-            Map("date" -> dateOf(i)), 1000L, 1000000L))
+            Map("date" -> dateOf(i)), 1000L, 1000000L,
+            stats = Some(Map("id" -> ColStats("long",
+              (i * 1000L).toString, (i * 1000L + 999L).toString, 0L)))))
           next += n
           val v = expected.map(_ + 1).getOrElse(0L)
           expected = Some(TxLog.commit(logDir, expected, Snapshot(v,
@@ -1240,9 +1250,8 @@ object Bench {
     spark.conf.set("spark.sql.catalog.graftbenchplan",
       "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graftbenchplan.warehouse", wh)
-    def planPruned(): Int = {
-      val df = spark.sql("SELECT id FROM graftbenchplan.meta.wide1m " +
-        "WHERE date = '2026-03-03'")
+    def planQuery(sql: String): Int = {
+      val df = spark.sql(sql)
       val scan = df.queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2
           .BatchScanExec => b
@@ -1254,6 +1263,8 @@ object Bench {
         case _ => 1
       }.sum
     }
+    def planPruned(): Int = planQuery(
+      "SELECT id FROM graftbenchplan.meta.wide1m WHERE date = '2026-03-03'")
     // COLD PRUNED planning (r16 VERDICT task 1 — the headline of the
     // manifest-skipping work): from a fresh-driver state (headers,
     // manifest content, AND layouts purged), a date-pruned plan must
@@ -1284,6 +1295,31 @@ object Bench {
     // the file index
     require(prunedFiles > 0 && prunedFiles < totalFiles / 50,
       s"partition pruning did not prune: $prunedFiles of $totalFiles")
+    // DATA-COLUMN cold pruned planning (r18 VERDICT task 4): a
+    // NON-partition range predicate on the monotone id column — no
+    // date conjunct anywhere — must skip at the manifest level via
+    // the r18 data-column summaries (the v4 log's files carry footer
+    // stats, the sorted-layout shape a clustered rewrite produces),
+    // then at the file level via the same stats. ~51 of 10⁶ files
+    // match.
+    var dataColdManifests = -1L
+    var dataPrunedFiles = -1
+    val (dataColdRuns, tDataCold) = runsOf()(() => timed {
+      TxLog.purgeRawCache(logDir)
+      TxLog.purgeManifestCache()
+      org.apache.spark.sql.graft.SnapshotFileIndex.purgeLayoutCache()
+      val before = TxLog.manifestResolutionCount
+      dataPrunedFiles = planQuery(
+        "SELECT date FROM graftbenchplan.meta.wide1m " +
+          "WHERE id BETWEEN 500000000 AND 500050000")
+      require(dataPrunedFiles > 0)
+      dataColdManifests = TxLog.manifestResolutionCount - before
+    }._2)
+    require(dataColdManifests >= 0 && dataColdManifests * 2 < totalRefs,
+      s"data-column manifest skipping did not skip: $dataColdManifests " +
+        s"of $totalRefs manifests resolved on a cold id-range plan")
+    require(dataPrunedFiles < totalFiles / 1000,
+      s"data-column file skipping did not prune: $dataPrunedFiles files")
     // MOR COLD PRUNED planning (r17 VERDICT task 1 for r18): ONE
     // outstanding deletion vector routes the scan through
     // MorScanBuilder — which used to force the FULL resolved snapshot
@@ -1315,6 +1351,50 @@ object Bench {
     require(morColdManifests >= 0 && morColdManifests * 2 < totalRefs,
       s"MOR manifest skipping did not skip: $morColdManifests of " +
         s"$totalRefs manifests resolved on a DV-bearing cold pruned plan")
+    // ROW-LEVEL cold pruned planning (r18 VERDICT task 3): a
+    // partition-scoped UPDATE/DELETE/MERGE scan — here the HARDEST
+    // shape, group-based rewrite on a DV-bearing table — must also
+    // resolve O(matching manifests). Until r19 the row-level paths
+    // kept an eager supplier and parsed all 10⁶ entries before
+    // grouping. Scan planning only: the rewrite COMMIT still
+    // assembles kept ∪ new (inherently O(table), like any conflict-
+    // checked commit).
+    var rowlevelManifests = -1L
+    val (rowlevelRuns, tRowlevel) = runsOf()(() => timed {
+      TxLog.purgeRawCache(logDir)
+      TxLog.purgeManifestCache()
+      org.apache.spark.sql.graft.SnapshotFileIndex.purgeLayoutCache()
+      val before = TxLog.manifestResolutionCount
+      val v2t = new graft.catalog.GraftV2Table(
+        TxTable.open(spark, new Path(s"$wh/meta/wide1m"), "wide1m"))
+      val info = new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+        override def command() = org.apache.spark.sql.connector.write
+          .RowLevelOperation.Command.UPDATE
+        override def options() =
+          org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      }
+      val sb = v2t.newRowLevelOperationBuilder(info).build()
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      val pred = org.apache.spark.sql.catalyst.expressions.EqualTo(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "date", org.apache.spark.sql.types.StringType)(),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString("2026-03-03"),
+          org.apache.spark.sql.types.StringType))
+      sb match {
+        case m: org.apache.spark.sql.graft.MorScanBuilder =>
+          m.pushFilters(Seq(pred))
+        case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+          c.pushFilters(Seq(pred))
+        case other => throw new IllegalStateException(
+          s"unexpected row-level builder ${other.getClass}")
+      }
+      require(sb.build().toBatch.planInputPartitions().nonEmpty)
+      rowlevelManifests = TxLog.manifestResolutionCount - before
+    }._2)
+    require(rowlevelManifests >= 0 && rowlevelManifests * 2 < totalRefs,
+      s"row-level manifest skipping did not skip: $rowlevelManifests of " +
+        s"$totalRefs manifests resolved planning a one-partition rewrite scan")
     locally {
       val b2 = TxLog.readCurrentTrusted(logDir, conf).get
       TxLog.commit(logDir, Some(b2.version), b2.copy(
@@ -1404,6 +1484,11 @@ object Bench {
       s""""cold_pruned_manifests":$coldManifests,""" +
       s""""mor_cold_pruned_sec":${f"$tMorCold%.3f"},""" +
       s""""mor_cold_pruned_manifests":$morColdManifests,""" +
+      s""""data_cold_pruned_sec":${f"$tDataCold%.3f"},""" +
+      s""""data_cold_pruned_manifests":$dataColdManifests,""" +
+      s""""data_pruned_files":$dataPrunedFiles,""" +
+      s""""rowlevel_cold_pruned_sec":${f"$tRowlevel%.3f"},""" +
+      s""""rowlevel_cold_pruned_manifests":$rowlevelManifests,""" +
       s""""manifest_refs":$totalRefs,""" +
       s""""plan_pruned_sec":${f"$tPlan%.3f"},""" +
       s""""pruned_files":$prunedFiles,""" +
@@ -1415,6 +1500,8 @@ object Bench {
       s""""runs":{"snapshot_read":${runsJson(readRuns)},""" +
       s""""cold_pruned":${runsJson(coldPrunedRuns)},""" +
       s""""mor_cold_pruned":${runsJson(morColdRuns)},""" +
+      s""""data_cold_pruned":${runsJson(dataColdRuns)},""" +
+      s""""rowlevel_cold_pruned":${runsJson(rowlevelRuns)},""" +
       s""""plan_pruned":${runsJson(planRuns)},""" +
       s""""maintain_signal":${runsJson(sigRuns)},""" +
       s""""plan_after_commit":${runsJson(planAfterRuns)},""" +

@@ -212,21 +212,39 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
             // outstanding MOR deletes: the rewrite scan must NOT copy
             // deleted rows into new files (they'd resurrect with a seq
             // above every delete's) — the MOR scan filters them and
-            // still honors the group contract (partition filters only)
-            // constant supplier: a rewrite must see its EXACT file
-            // groups — never manifest-deferred (same rule as the
-            // batch path's allowDeferred = false below)
+            // still honors the group contract (partition filters only).
+            // MANIFEST SKIPPING (r18 VERDICT task 3): the operation's
+            // own partition conjuncts feed the SAME selectRefs the
+            // batch and read-side MOR planners use, so a one-partition
+            // DELETE/UPDATE/MERGE on a 10⁶-file table resolves
+            // O(matching manifests), not O(table). The rewrite still
+            // sees the EXACT groups of every manifest that can hold a
+            // match — a file in a skipped manifest provably matches no
+            // statement row, is never listed, and therefore is KEPT,
+            // the same contract file-level pruning already provides.
+            val canDefer = hdr.manifests.nonEmpty &&
+              hdr.manifests.forall(_.sizeBytes >= 0L) &&
+              hdr.manifests.exists(_.summaries.isDefined)
+            val groupsOf: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+                => Seq[org.apache.spark.sql.graft.MorGroup] =
+              if (canDefer) { partFilters =>
+                val wanted = org.apache.spark.sql.graft.SnapshotFileIndex
+                  .selectRefs(hdr.manifests, partFilters)
+                morGroups(graft.table.TxLog.resolveRefs(
+                  new Path(tx.root, "_log"), wanted,
+                  tx.spark.sessionState.newHadoopConf()) ++ hdr.files)
+              } else { _ => morGroups(snap.files) }
             val mb = new org.apache.spark.sql.graft.MorScanBuilder(
               tx.spark, new Path(tx.root, "data"), scanFullSchema,
-              snap.partitionColumns, _ => morGroups(snap.files),
+              hdr.partitionColumns, groupsOf,
               partitionFiltersOnly = true, partSpec, priorSpec)
             morBuilders.add(mb)
             mb
           } else {
-            // row-level ops capture the exact file set they rewrite —
-            // always materialized, never manifest-deferred
-            val (builder, index) = scanBuilderCapturing(options,
-              allowDeferred = false)
+            // row-level ops capture the exact file set they rewrite;
+            // manifest-deferred is safe for the same reason as the MOR
+            // branch above — an unlisted file is kept, never rewritten
+            val (builder, index) = scanBuilderCapturing(options)
             indexes.add(index)
             // group-scan contract: partition filters prune file groups,
             // but no pushed filter may drop ROWS of a matched group (the
@@ -429,8 +447,7 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
       }
   }
 
-  private def scanBuilderCapturing(options: CaseInsensitiveStringMap,
-      allowDeferred: Boolean = true)
+  private def scanBuilderCapturing(options: CaseInsensitiveStringMap)
       : (ScanBuilder, org.apache.spark.sql.graft.SnapshotFileIndex) = {
     // identity partition columns come back from directory metadata;
     // a derived field's SOURCE column is ordinary file data
@@ -445,13 +462,15 @@ class GraftV2Table(val tx: TxTable, val asOfVersion: Option[Long] = None)
     // summarized) defers file materialization — the index resolves
     // only the manifests the pushed partition filters admit, so a
     // cold date-pruned plan at 10⁶ files parses O(matching manifests)
-    // instead of the whole snapshot. Incremental reads, legacy logs,
-    // and row-level operations keep the eager path.
+    // instead of the whole snapshot. Incremental reads and legacy
+    // logs keep the eager path; row-level operations defer too since
+    // r19 (an unlisted file is kept, never rewritten — their parked
+    // statement filters join the selection in listFiles).
     val tableKey = s"${tx.root}|${tx.branchName.getOrElse("")}" +
       s"|${tx.spark.sessionState.conf.sessionLocalTimeZone}"
     val fullKey = Some((tableKey,
       s"$tableKey|v${hdr.version}|t${hdr.timestampMs}"))
-    if (allowDeferred && options.get("startingVersion") == null &&
+    if (options.get("startingVersion") == null &&
         hdr.manifests.nonEmpty &&
         hdr.manifests.forall(r => r.sizeBytes >= 0L) &&
         hdr.manifests.exists(_.summaries.isDefined)) {

@@ -2189,20 +2189,41 @@ object TxLog {
   private def canonCounters(m: Map[String, Long]): Map[String, Long] =
     scala.collection.immutable.SortedMap[String, Long]() ++ m
 
+  /** Partition-value keys whose live-file CARRIER counts ride the
+    * counters as `spec.<name>`: every DERIVED field of the current
+    * spec and the retired history (r18 VERDICT task 2). `spec.f ==
+    * totalFiles` proves every live file was laid out with a value for
+    * f (derived static overwrite is well-defined); a RETIRED field at
+    * `spec.f == 0` proves the history entry is vacuous and a
+    * metadata-only MAINTAIN commit may clear it. Identity fields are
+    * excluded — every file carries identity values whatever spec
+    * wrote it. */
+  private def trackedSpecNames(snapshot: Snapshot): Seq[String] =
+    if (snapshot.partitionSpec.forall(_.isIdentity) &&
+        snapshot.previousSpecFields.isEmpty) Nil
+    else (snapshot.partitionSpec ++ snapshot.previousSpecFields)
+      .filterNot(_.isIdentity).map(_.name).distinct
+
   /** Full recount over a RESOLVED file list (CREATE, rewrites, removed
     * files, threshold changes — paths that already walk O(files)).
     * cum* derive from the parent's counters plus this commit's delta;
     * a pre-upgrade parent contributes 0 (counters are since-upgrade). */
   private def countersFull(files: Seq[DataFile], props: Map[String, String],
-      prev: Map[String, Long], addedCount: Long, removedCount: Long)
-      : Map[String, Long] = {
+      prev: Map[String, Long], addedCount: Long, removedCount: Long,
+      tracked: Seq[String]): Map[String, Long] = {
     val thr = smallThresholdOf(props)
     var totalBytes = 0L; var totalRows = 0L
     var rowsKnown = true; var small = 0L
+    val specCounts = new Array[Long](tracked.length)
     files.foreach { f =>
       totalBytes += f.sizeBytes
       if (f.rowCount < 0) rowsKnown = false else totalRows += f.rowCount
       if (f.sizeBytes < thr) small += 1
+      var i = 0
+      while (i < tracked.length) {
+        if (f.partitionValues.contains(tracked(i))) specCounts(i) += 1
+        i += 1
+      }
     }
     val base = Map(
       "totalFiles" -> files.size.toLong,
@@ -2210,20 +2231,27 @@ object TxLog {
       "smallCount" -> small,
       "smallThreshold" -> thr,
       "cumAdded" -> (prev.getOrElse("cumAdded", 0L) + addedCount),
-      "cumRemoved" -> (prev.getOrElse("cumRemoved", 0L) + removedCount))
+      "cumRemoved" -> (prev.getOrElse("cumRemoved", 0L) + removedCount)) ++
+      tracked.iterator.zipWithIndex.map { case (n, i) =>
+        ("spec." + n) -> specCounts(i) }
     canonCounters(
       if (rowsKnown) base + ("totalRows" -> totalRows) else base)
   }
 
   /** O(added) incremental stamping for the append fast paths. None
-    * when the prior has no counters (pre-upgrade parent) or the
-    * configured threshold changed — callers then recount from the
-    * resolved list they already hold. */
+    * when the prior has no counters (pre-upgrade parent), the
+    * configured threshold changed, or a tracked spec field has no
+    * prior carrier count (the commit right after an evolution/upgrade
+    * seeds it once from the resolved list) — callers then recount
+    * from the resolved list they already hold. */
   private def countersAppend(prev: Map[String, Long], added: Seq[DataFile],
-      props: Map[String, String]): Option[Map[String, Long]] = {
+      props: Map[String, String], tracked: Seq[String])
+      : Option[Map[String, Long]] = {
     if (prev.isEmpty) return None
     val thr = smallThresholdOf(props)
     if (!prev.get("smallThreshold").contains(thr)) return None
+    val specKeys = tracked.map("spec." + _)
+    if (specKeys.exists(k => !prev.contains(k))) return None
     var b = 0L; var r = 0L; var small = 0L
     var known = prev.contains("totalRows")
     added.foreach { f =>
@@ -2231,12 +2259,19 @@ object TxLog {
       if (f.rowCount < 0) known = false else r += f.rowCount
       if (f.sizeBytes < thr) small += 1
     }
-    val base = (prev - "totalRows") ++ Map(
+    // stale spec.* keys (history cleared by a RETIRE/rewrite commit)
+    // drop here so the append and full paths stay byte-identical
+    val cleaned = prev.filter { case (k, _) =>
+      !k.startsWith("spec.") || specKeys.contains(k) }
+    val base = (cleaned - "totalRows") ++ Map(
       "totalFiles" -> (prev.getOrElse("totalFiles", 0L) + added.size),
       "totalBytes" -> (prev.getOrElse("totalBytes", 0L) + b),
       "smallCount" -> (prev.getOrElse("smallCount", 0L) + small),
       "smallThreshold" -> thr,
-      "cumAdded" -> (prev.getOrElse("cumAdded", 0L) + added.size))
+      "cumAdded" -> (prev.getOrElse("cumAdded", 0L) + added.size)) ++
+      tracked.iterator.map(n => ("spec." + n) ->
+        (prev.getOrElse("spec." + n, 0L) +
+          added.count(_.partitionValues.contains(n))))
     Some(canonCounters(
       if (known) base + ("totalRows" -> (prev.getOrElse("totalRows", 0L) + r))
       else base))
@@ -2343,9 +2378,9 @@ object TxLog {
       else refs.iterator.flatMap(loadManifest(logDir, _, conf)).toVector ++
         inline
     val counters = countersAppend(prev.counters, addedFiles,
-      snapshot.properties).getOrElse(
+      snapshot.properties, trackedSpecNames(snapshot)).getOrElse(
       countersFull(resolved, snapshot.properties, prev.counters,
-        addedFiles.size, 0L))
+        addedFiles.size, 0L, trackedSpecNames(snapshot)))
     val laid = snapshot.copy(files = inline, manifests = inlineRefs,
       manifestList = listPath, added = addedFiles.map(_.path),
       carried = carriedFor(logDir, snapshot.version, refs),
@@ -2468,7 +2503,7 @@ object TxLog {
     val removedCount =
       math.max(0L, prevPaths.size.toLong - (stamped.size - added.size))
     val counters = countersFull(stamped, snapshot.properties,
-      prevCounters, added.size, removedCount)
+      prevCounters, added.size, removedCount, trackedSpecNames(snapshot))
     val state = LayoutState(snapshot.version,
       stamped.iterator.map(f => f.path -> f).toMap,
       stamped.iterator.map(_.path).filterNot(inlinePathSet).toSet,

@@ -3369,19 +3369,37 @@ class TxTable private (
     require(unknown.isEmpty,
       s"not partition columns of $name: ${unknown.mkString(", ")}")
     // across a metadata-only spec evolution, a DERIVED-field static
-    // overwrite is ambiguous: old-spec files carry no value for the
-    // field, so rows of the target partition could survive in them
-    // (silent duplicates after the replace). Identity fields are safe
-    // — every file carries identity values whatever spec wrote it.
-    if (s.previousSpecFields.nonEmpty) {
+    // overwrite is ambiguous: files written before the field existed
+    // carry no value for it, so rows of the target partition could
+    // survive in them (silent duplicates after the replace). Identity
+    // fields are safe — every file carries identity values whatever
+    // spec wrote it. The proof is the `spec.<field>` carrier counter:
+    // the overwrite is well-defined exactly when EVERY live file was
+    // laid out with a value for the field (r18 VERDICT task 2 — this
+    // also lifts the refusal the moment incremental compactions have
+    // rewritten the last pre-field file, without waiting for a full
+    // rewrite, and closes the unpartitioned→hidden evolution case
+    // where the old spec retired NO fields yet old files still lack
+    // the new derived value).
+    locally {
       val spec = PartitionTransform.resolve(s)
       val derived = partitionFilter.keySet.filter(c =>
         spec.exists(f => f.name == c && !f.isIdentity))
-      require(derived.isEmpty,
-        s"static overwrite of derived partition(s) ${derived.mkString(",")} " +
-          s"is ambiguous while retired-spec files remain " +
-          s"(${s.previousSpecFields.map(_.name).mkString(",")}) — " +
-          "compact() to normalize the layout first")
+      derived.foreach { c =>
+        val total = s.counters.get("totalFiles")
+        val carriers = s.counters.get("spec." + c)
+        val why = (total, carriers) match {
+          case (Some(t), Some(k)) if k != t =>
+            s"${t - k} of $t live files predate the field " +
+              "(written under an earlier partition spec) — " +
+              "compact() to normalize the layout first"
+          case _ =>
+            "no carrier counter for the field (log predates " +
+              "counter stamping) — commit or compact() first"
+        }
+        require(total.isDefined && carriers == total,
+          s"static overwrite of derived partition $c is ambiguous: $why")
+      }
     }
     val newFiles = writeFiles(withDerivedParts(align(df, schemaOf(s),
       constraints = s.constraints), s), s.partitionColumns)
@@ -4532,6 +4550,37 @@ class TxTable private (
     }
   }
 
+  /** Do the counters PROVE the retired spec history is vacuous — no
+    * live file still carries a value for any retired field? The
+    * `spec.<name>` carrier counters decrement as rewrites replace
+    * old-spec files, so steady incremental policy compaction drives
+    * them to zero long before anyone schedules a full rewrite. An
+    * ABSENT counter (pre-upgrade log with no commit since) is
+    * unknown, not zero — never vacuous. */
+  private def specHistoryVacuous(s: Snapshot): Boolean =
+    s.previousSpecFields.nonEmpty &&
+      s.previousSpecFields.forall(f =>
+        s.counters.get("spec." + f.name).contains(0L))
+
+  /** Clear a VACUOUS spec history with one metadata-only commit
+    * (r18 VERDICT task 2). Until r19 `previousSpecFields` persisted
+    * until a FULL rewrite even after incremental compactions had
+    * replaced every old-spec file — so the derived-field static-
+    * overwrite refusal held forever on a steadily-maintained evolved
+    * table and every read kept projecting onto dead fields. Returns
+    * the commit version, or None when the history is absent or not
+    * provably vacuous. Runs as a MAINTAIN dimension; callable
+    * directly too. */
+  def retireSpecHistory(): Option[Long] = {
+    requireMain("retireSpecHistory")
+    val s = snapshot
+    if (!specHistoryVacuous(s)) None
+    else Some(commit(Some(s.version), "RETIRE_SPEC_HISTORY", schemaOf(s),
+      s.partitionColumns, s.files,
+      partitionSpec = s.partitionSpec, previousSpecFields = Nil,
+      appendOf = Some((s, Nil))))
+  }
+
   /** Morton/Z value over `clusterBy`: min-max normalize each column to a
     * 16-bit bucket (bounds from one small aggregate over the table),
     * then bit-interleave the buckets. Nulls sort first (bucket 0). */
@@ -5171,6 +5220,20 @@ class TxTable private (
           }
         }
       }
+    }
+    // 2.5. spec-history retirement: the compaction above may have just
+    // rewritten the last old-spec file — when the carrier counters
+    // prove the retired fields vacuous, ONE metadata-only commit
+    // clears them (reads stop projecting onto dead fields; the
+    // derived-overwrite and drop/rename-source guards lift)
+    locally {
+      val sSpec = snapshot
+      if (sSpec.previousSpecFields.nonEmpty)
+        retireSpecHistory().foreach { _ =>
+          out += "retired_spec" ->
+            ("cleared vacuous retired partition fields " +
+              sSpec.previousSpecFields.map(_.name).mkString(","))
+        }
     }
     // 3. snapshot expiry: count-based retention, tightened by an
     // optional age bound (the Iceberg maxSnapshotAgeMs shape)

@@ -556,8 +556,13 @@ class SnapshotFileIndex(
   // planner calls may interleave.
   private val deferredLock = new Object
   @volatile private var activeLayout: SnapshotFileIndex.Layout = null
-  @volatile private var activeStats
-      : Map[String, Map[String, _root_.graft.table.ColStats]] = Map.empty
+  // stats map built LAZILY from the resolved selection: an unfiltered
+  // plan never consults statsOf, and eagerly zipping a million-entry
+  // map per full selection cost ~1-2 s of pure waste at the 10⁶ shape
+  // once files carried footer stats (r19 plan_full regression)
+  @volatile private var activeResolved: Seq[_root_.graft.table.DataFile] = Nil
+  @volatile private var activeStatsMemo
+      : Map[String, Map[String, _root_.graft.table.ColStats]] = null
   @volatile private var activeRefSet: Set[String] = null
 
   /** Resolve the refs `partitionFilters` cannot rule out and lay out
@@ -585,7 +590,8 @@ class SnapshotFileIndex(
       val l = buildFor(
         resolved.map(f => (f.path, f.partitionValues, f.sizeBytes)),
         key, asPrior = full)
-      activeStats = resolved.flatMap(f => f.stats.map(f.path -> _)).toMap
+      activeResolved = resolved
+      activeStatsMemo = null
       activeRefSet = wantedSet
       activeLayout = l
       l
@@ -608,9 +614,24 @@ class SnapshotFileIndex(
   private def relByPath = layout.relByPath
 
   /** Per-file min/max stats for data skipping: construction-time map
-    * in eager mode, the resolved subset's in deferred mode. */
+    * in eager mode, the resolved subset's in deferred mode (memoized
+    * on first FILTERED listing — see [[activeResolved]]). */
   private def statsOf: Map[String, Map[String, _root_.graft.table.ColStats]] =
-    if (deferred.isEmpty) statsByPath else activeStats
+    if (deferred.isEmpty) statsByPath
+    else {
+      val m = activeStatsMemo
+      if (m != null) m
+      else deferredLock.synchronized {
+        val again = activeStatsMemo
+        if (again != null) again
+        else {
+          val built = activeResolved.iterator
+            .flatMap(f => f.stats.map(f.path -> _)).toMap
+          activeStatsMemo = built
+          built
+        }
+      }
+    }
 
   // ---- scan-file capture (group-based row-level operations) ----------
   // A copy-on-write REPLACE must rewrite exactly the file groups its
@@ -676,10 +697,25 @@ class SnapshotFileIndex(
       (rendered, typed)
     }
 
-  /** Distinct partition-value tuples in the snapshot. */
+  /** Distinct partition-value tuples in the snapshot — EXACT when the
+    * file list is already materialized (eager index, or a deferred one
+    * some listing has resolved). A deferred index with NOTHING
+    * materialized returns a cheap surrogate instead of forcing the
+    * full O(table) resolution: the one consumer is the scan's
+    * connector-level `KeyGroupedPartitioning.numPartitions`, and
+    * Spark's V2ScanPartitioningAndOrdering reads only `keys()` from it
+    * (verified against the 4.1 bytecode — `numPartitions()` is never
+    * invoked; the exec-side partitioning is rebuilt from the planned
+    * partitions). Without this guard, v2 bucketing being ON by default
+    * meant ANY pruned query whose output includes the partition
+    * columns resolved the million-entry snapshot at plan time just to
+    * report a number nobody reads (found pinning `data_cold_pruned`). */
   def distinctPartitionKeys: Int =
-    statuses.map(s => partitionColumns.map(c => s._4.getOrElse(c, null)))
-      .distinct.size
+    if (deferred.isDefined && activeLayout == null)
+      math.max(1, deferred.get.refs.size + deferred.get.inline.size)
+    else
+      statuses.map(s => partitionColumns.map(c => s._4.getOrElse(c, null)))
+        .distinct.size
 
   def session: SparkSession = spark
 
@@ -701,8 +737,13 @@ class SnapshotFileIndex(
       // sort-clustered table skips manifests on non-partition
       // predicates before any file materializes. Columns without a
       // summary — free text, mixed tags, stat-less members — keep the
-      // manifest (selectRefs is conservative per column).
-      selectLayout(partitionFilters ++ dataFilters.filter(_.deterministic))
+      // manifest (selectRefs is conservative per column). The parked
+      // file-prune filters of a group-based row-level operation join
+      // the selection for the same reason they may drop whole FILES:
+      // a manifest none of whose members can hold a statement match
+      // contributes only kept-unchanged files (r18 VERDICT task 3).
+      selectLayout(partitionFilters ++
+        (dataFilters ++ filePruneFilters).filter(_.deterministic))
       return listFilesInner(partitionFilters, dataFilters)
     }
     listFilesInner(partitionFilters, dataFilters)

@@ -403,6 +403,80 @@ class HiddenPartitionSpec extends SparkSpec {
     }
   }
 
+  test("spec history auto-retires once incremental compaction empties it") {
+    // r18 VERDICT task 2: previousSpecFields used to persist until a
+    // FULL rewrite even after incremental policy compactions had
+    // replaced every old-spec file. The spec.<field> carrier counters
+    // now prove vacuousness, a MAINTAIN dimension clears the history
+    // metadata-only, and the derived-overwrite guard lifts.
+    withCatalog("retire") { wh =>
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.hp")
+      spark.sql("""CREATE TABLE graft.hp.ret (id LONG, ts TIMESTAMP, v STRING)
+        PARTITIONED BY (days(ts))""")
+      val t = new TableCatalog(spark, new Path(wh)).getTable("hp", "ret")
+      t.append(rows(0 until 8, "2026-01-01"))
+      t.append(rows(8 until 16, "2026-01-02"))
+      t.alterPartitionSpec(Seq(PartField("ts_month", "month", "ts")))
+      t.append(rows(16 until 24, "2026-02-10"))
+      // carrier counters stamped: old-spec files still live
+      val s0 = t.snapshot
+      assert(s0.counters.get("spec.ts_day").exists(_ > 0L),
+        s"retired-field carrier counter missing: ${s0.counters}")
+      assert(s0.counters.get("spec.ts_month").exists(_ > 0L))
+      // vacuous it is not — no retirement yet
+      assert(t.retireSpecHistory().isEmpty)
+      // a derived static overwrite is still refused (counters < total)
+      intercept[IllegalArgumentException] {
+        t.overwritePartitions(rows(100 until 102, "2026-02-10"),
+          Map("ts_month" -> "2026-02"))
+      }
+      // INCREMENTAL compaction (not a full rewrite) replaces every
+      // old-spec file — files here are tiny, so all get packed
+      t.compactSmallFiles()
+      val s1 = t.snapshot
+      assert(s1.counters.get("spec.ts_day").contains(0L),
+        s"carrier counter did not reach zero: ${s1.counters}")
+      assert(s1.previousSpecFields.nonEmpty,
+        "incremental compaction must not clear the history itself")
+      // the guard lifts ALREADY (proof is the counter, not the clear)
+      t.overwritePartitions(rows(100 until 102, "2026-02-10"),
+        Map("ts_month" -> "2026-02"))
+      // the maintenance pass clears the vacuous history metadata-only
+      val actions = t.maintainTableConfigured(orphanGraceMs = Some(0L))
+      assert(actions.exists(_._1 == "retired_spec"),
+        s"maintenance did not retire the vacuous history: $actions")
+      val s2 = t.snapshot
+      assert(s2.previousSpecFields.isEmpty)
+      // the retirement commit itself is metadata-only: same file set
+      // as its parent
+      val retireV = (0L to t.currentVersion).find(v =>
+        t.snapshotAt(v).operation == "RETIRE_SPEC_HISTORY")
+      assert(retireV.isDefined, "no RETIRE_SPEC_HISTORY commit in the log")
+      assert(t.snapshotAt(retireV.get).files.map(_.path).toSet ===
+        t.snapshotAt(retireV.get - 1).files.map(_.path).toSet,
+        "retirement rewrote files")
+      // the dead carrier counter drops from subsequent commits
+      t.append(rows(200 until 202, "2026-03-05"))
+      assert(!t.snapshot.counters.contains("spec.ts_day"),
+        s"stale carrier key survived: ${t.snapshot.counters}")
+      assert(t.snapshot.counters.contains("spec.ts_month"))
+      // observability: the property is gone
+      val props = spark.sql("SHOW TBLPROPERTIES graft.hp.ret").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(!props.contains("previous-spec-fields"),
+        s"retired history still advertised: $props")
+      // and the source-column drop guard lifted with the history
+      // (ts still sources the CURRENT ts_month field, so probe via a
+      // fresh evolution away from it, then drop)
+      t.alterPartitionSpec(Seq(PartField("id_bucket", "bucket", "id", 4)))
+      t.compactSmallFiles()
+      t.retireSpecHistory()
+      assert(t.snapshot.previousSpecFields.isEmpty)
+      t.dropColumn("ts")
+      assert(t.toDF.columns.toSeq === Seq("id", "v"))
+    }
+  }
+
   test("a RETIRED spec field's source cannot be dropped or renamed") {
     // ADVICE r18 medium: dropColumn guarded only the CURRENT spec's
     // sources — after evolving month(ts) -> bucket(8, id) the ts

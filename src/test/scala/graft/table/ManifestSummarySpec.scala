@@ -307,6 +307,71 @@ class ManifestSummarySpec extends SparkSpec {
     assert(viaNull === 10L, s"viaNull=$viaNull")
   }
 
+  test("partition-scoped row-level operations plan O(matching manifests)") {
+    // r18 VERDICT task 3: the row-level scan paths kept an EAGER
+    // supplier — a one-partition UPDATE/DELETE/MERGE parsed every
+    // manifest before grouping. Both branches (batch and DV-bearing
+    // MOR) now defer through the SAME selectRefs predicate; a file in
+    // a skipped manifest provably matches no statement row and is
+    // kept, never rewritten. (The commit itself still resolves the
+    // table to assemble kept ∪ new — this pins SCAN planning.)
+    val t = buildTable(freshDir("ms_rowlvl"))
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.DateType
+    val day = java.time.LocalDate.parse("2026-01-05").toEpochDay.toInt
+    val info = new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+      override def command() = org.apache.spark.sql.connector.write
+        .RowLevelOperation.Command.UPDATE
+      override def options() =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    }
+    def planScan(): Long = {
+      TxLog.purgeRawCache(new Path(t.root, "_log"))
+      TxLog.purgeManifestCache()
+      org.apache.spark.sql.graft.SnapshotFileIndex.purgeLayoutCache()
+      val before = TxLog.manifestResolutionCount
+      val sb = new graft.catalog.GraftV2Table(t)
+        .newRowLevelOperationBuilder(info).build()
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      val pred = EqualTo(
+        AttributeReference("date", DateType)(), Literal(day, DateType))
+      sb match {
+        case m: org.apache.spark.sql.graft.MorScanBuilder =>
+          m.pushFilters(Seq(pred))
+        case c: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+          c.pushFilters(Seq(pred))
+        case other => fail(s"unexpected builder ${other.getClass}")
+      }
+      sb.build().toBatch.planInputPartitions()
+      TxLog.manifestResolutionCount - before
+    }
+    val totalRefs = t.snapshotHeader.manifests.size
+    assert(totalRefs >= 2, s"nothing to skip: $totalRefs refs")
+    val batchResolved = planScan()
+    assert(batchResolved < totalRefs,
+      s"batch row-level scan resolved $batchResolved of $totalRefs")
+    // DV-bearing shape: outstanding deletes must not force the table
+    t.deletePos(col("date") === lit(java.sql.Date.valueOf("2026-01-03")) &&
+      col("id") % 2 === 0)
+    assert(t.snapshot.deletionVectors.nonEmpty)
+    val totalRefs2 = t.snapshotHeader.manifests.size
+    val morResolved = planScan()
+    assert(morResolved < totalRefs2,
+      s"MOR row-level scan resolved $morResolved of $totalRefs2")
+    // end-to-end: a real UPDATE through SQL on the DV'd partition —
+    // deleted rows must NOT resurrect through the rewrite
+    spark.sql("""UPDATE graftms.ms.t SET v = v + 10000
+                 WHERE date = DATE'2026-01-03'""")
+    assert(spark.sql(
+      "SELECT count(*) FROM graftms.ms.t WHERE date = DATE'2026-01-03'")
+      .head().getLong(0) === 20L, "deleted rows resurrected or lost")
+    assert(spark.sql(
+      "SELECT count(*) FROM graftms.ms.t WHERE v >= 10000")
+      .head().getLong(0) === 20L, "update missed rows")
+    assert(spark.sql("SELECT count(*) FROM graftms.ms.t")
+      .head().getLong(0) === 460L)
+  }
+
   test("an oversized single-commit spill is born as sealed chunks") {
     // ADVICE r17 medium: only mergeTiers chunked its output — a full-
     // table rewrite or a bulk commit spilling > ManifestSplitMaxFiles
