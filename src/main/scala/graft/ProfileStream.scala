@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * COW by default / MOR with GRAFT_PROFILE_MOR=1) with a job listener,
   * printing per-batch wall time, job count, summed job time, and
   * inter-job gap time — the fixed-cost budget the ≥8k rows/s bar
-  * depends on. */
+  * depends on. GRAFT_PROFILE_ROWS overrides the row count — 400000
+  * replays the bench's 10× MOR point (r18 VERDICT observation 1: the
+  * 1× A/B harness needed extending to the 10× shape). */
 object ProfileStream {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -18,7 +20,8 @@ object ProfileStream {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val streamRows = 40000L
+    val streamRows = sys.env.get("GRAFT_PROFILE_ROWS")
+      .map(_.trim.toLong).getOrElse(40000L)
     val envDir = new java.io.File("target/qwork/profile_stream_env").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(envDir))
     graft.ingest.SampleData.toCdcEnvelopes(

@@ -253,6 +253,74 @@ object Pipeline4 {
       GROUP BY status ORDER BY status""")),
 
     // ------------------------------------------------------------------
+    // Nested-field statistics end-to-end (r19 — the reference's own
+    // schema carries STRUCT columns whose fields the flagship query
+    // filters on: transaction_metadata / fraud_indicators,
+    // kfs/scripts/update_metadata.py:100-112, kfs/README.md:177-179).
+    // Footer stats for struct LEAVES are recorded under their dotted
+    // path, a GetStructField predicate probes them, and a sorted
+    // rewrite ON THE NESTED KEY tightens per-file ranges so the same
+    // query skips most files — pinned by scanned-file counts before vs
+    // after; the oracle recomputes the aggregate from the flat seed
+    // (struct packing and rewrites must never change results).
+    Q("table_nested_stats", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("nested_seed", "parquet") {
+        SampleData.transactions(s, 480, seed = 67L)
+          .withColumn("amt",
+            pmod(abs(hash(col("transaction_id"))), lit(10000)).cast(DoubleType) / lit(100.0))
+          .select("transaction_id", "status", "amt")
+      }
+      val wh = Pipeline.scratch("nested")
+      s.conf.set("spark.sql.catalog.graftnested", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftnested.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("nested_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftnested.an")
+      // hash-scattered ingest of a STRUCT column: 8 files, each
+      // spanning ~the full meta.amount range
+      s.sql("""CREATE TABLE graftnested.an.tx AS
+               SELECT /*+ REPARTITION(8) */ transaction_id, status,
+                      named_struct('merchant_id', transaction_id,
+                                   'amount', amt) AS meta
+               FROM nested_seed""")
+      val t = new TableCatalog(s, new Path(wh)).getTable("an", "tx")
+      require(t.snapshot.files.forall(_.stats.exists(_.contains("meta.amount"))),
+        "struct-leaf footer stats missing under the dotted path")
+      val q = """SELECT status, count(*) AS n,
+                        CAST(sum(CAST(meta.amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+                 FROM graftnested.an.tx
+                 WHERE meta.amount >= 10 AND meta.amount < 25
+                 GROUP BY status ORDER BY status"""
+      // exchange-free probe (same pushed nested predicate)
+      val probeQ = """SELECT transaction_id FROM graftnested.an.tx
+                      WHERE meta.amount >= 10 AND meta.amount < 25"""
+      def filesScanned(): Int =
+        s.sql(probeQ).queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan.toBatch.planInputPartitions().toSeq.flatMap {
+              case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+                fp.files.map(_.filePath.toString).toSeq
+              case _ => Seq.empty[String]
+            }.distinct.length
+        }.sum
+      val before = filesScanned()
+      val bytes = t.snapshot.files.map(_.sizeBytes).sum
+      s.sql("CALL graftnested.system.rewrite_data_files(" +
+        s"table => 'an.tx', target_file_size_bytes => ${
+          math.max(1L, bytes / 8)}, sort_by => 'meta.amount')")
+      val after = filesScanned()
+      require(before >= 6,
+        s"ingest layout unexpectedly skippable already: $before files")
+      require(after * 2 <= before,
+        s"nested sorted rewrite did not tighten skipping: $after of $before")
+      s.sql(q)
+    }, oracle = Some(s"""
+      SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(amt AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/nested_seed/*.parquet')
+      WHERE amt >= 10 AND amt < 25
+      GROUP BY status ORDER BY status""")),
+
+    // ------------------------------------------------------------------
     // Depth-2 multiprobe LSH (the recall/cost knob added r6): probes
     // every bucket within Hamming distance 2 of the query's own —
     // 37/256 buckets instead of 9/256, the Lv et al. VLDB'07 multiprobe

@@ -63,7 +63,13 @@ object FileStats {
       // longer line up with the chunk's definition levels).
       def statName(parts: Array[String]): Option[String] =
         if (parts.length == 1) Some(parts(0))
-        else {
+        else if (parts.exists(_.contains('.'))) {
+          // a FIELD NAME containing a literal dot makes the dotted key
+          // ambiguous (struct a with field "b.c" and struct a.b with
+          // field c both render "a.b.c") — poison the rendering so no
+          // other chunk's stats can serve this column's predicates
+          poisoned += parts.mkString("."); None
+        } else {
           val structsOk = (1 until parts.length).forall { i =>
             val t = schema.getType(parts.take(i): _*)
             !t.isPrimitive && t.getRepetition != REPEATED &&
@@ -200,9 +206,13 @@ object FileStats {
           case f: java.lang.Float  => f.isNaN
           case _ => false
         }
-        if (cs.tag == "double" &&
-            (cs.min == "NaN" || cs.max == "NaN" ||
-             lo.exists(nanProbe) || hi.exists(nanProbe))) true
+        // the probe guard is tag-INDEPENDENT: a NaN literal can reach
+        // a "long"-tagged column too (int files under a widened double
+        // schema), where the exact-decimal compare would throw on
+        // BigDecimal(NaN) at plan time
+        if (lo.exists(nanProbe) || hi.exists(nanProbe) ||
+            (cs.tag == "double" &&
+             (cs.min == "NaN" || cs.max == "NaN"))) true
         else {
           val loOk = hi.forall(h => compare(cs.tag, cs.min, h) <= 0)
           val hiOk = lo.forall(l => compare(cs.tag, cs.max, l) >= 0)

@@ -4573,12 +4573,20 @@ class TxTable private (
     * directly too. */
   def retireSpecHistory(): Option[Long] = {
     requireMain("retireSpecHistory")
-    val s = snapshot
-    if (!specHistoryVacuous(s)) None
-    else Some(commit(Some(s.version), "RETIRE_SPEC_HISTORY", schemaOf(s),
-      s.partitionColumns, s.files,
-      partitionSpec = s.partitionSpec, previousSpecFields = Nil,
-      appendOf = Some((s, Nil))))
+    if (!specHistoryVacuous(snapshot)) None
+    else Some(retryingCommit("RETIRE_SPEC_HISTORY") { expected =>
+      val cur = snapshotAt(expected)
+      // re-check against the head each attempt: new-spec writes can
+      // only keep the history vacuous (new files never carry retired
+      // fields), but a concurrent RESTORE to an older version could
+      // resurrect carriers — fail closed rather than clear blindly
+      require(specHistoryVacuous(cur),
+        "spec history no longer provably vacuous at the commit head")
+      commit(Some(expected), "RETIRE_SPEC_HISTORY", schemaOf(cur),
+        cur.partitionColumns, cur.files,
+        partitionSpec = cur.partitionSpec, previousSpecFields = Nil,
+        appendOf = Some((cur, Nil)))
+    })
   }
 
   /** Morton/Z value over `clusterBy`: min-max normalize each column to a
@@ -5228,12 +5236,16 @@ class TxTable private (
     // derived-overwrite and drop/rename-source guards lift)
     locally {
       val sSpec = snapshot
-      if (sSpec.previousSpecFields.nonEmpty)
+      // best-effort inside a sweep (a lost race or a concurrent
+      // restore must not abort the expiry/vacuum dimensions below);
+      // direct retireSpecHistory() callers still see the error
+      if (sSpec.previousSpecFields.nonEmpty) try {
         retireSpecHistory().foreach { _ =>
           out += "retired_spec" ->
             ("cleared vacuous retired partition fields " +
               sSpec.previousSpecFields.map(_.name).mkString(","))
         }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     // 3. snapshot expiry: count-based retention, tightened by an
     // optional age bound (the Iceberg maxSnapshotAgeMs shape)

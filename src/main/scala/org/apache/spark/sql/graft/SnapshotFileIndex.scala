@@ -63,7 +63,9 @@ object SnapshotFileIndex {
     object ColRef {
       def unapply(e: Expression): Option[String] = e match {
         case a: AttributeReference => Some(a.name)
-        case g: GetStructField =>
+        case g: GetStructField if !g.extractFieldName.contains('.') =>
+          // a field name with a literal dot renders ambiguously (the
+          // collect side poisons those keys) — refuse the probe too
           unapply(g.child).map(_ + "." + g.extractFieldName)
         case _ => None
       }
