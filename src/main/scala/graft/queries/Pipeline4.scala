@@ -253,6 +253,66 @@ object Pipeline4 {
       GROUP BY status ORDER BY status""")),
 
     // ------------------------------------------------------------------
+    // Spec-history retirement (r19 — the Iceberg-gap the r18 VERDICT
+    // named: previousSpecFields used to persist until a FULL rewrite,
+    // so a steadily-maintained evolved table kept projecting reads
+    // onto dead fields forever). The spec.<field> carrier counters
+    // prove vacuousness after ordinary INCREMENTAL compaction, one
+    // metadata-only commit clears the history, and results are
+    // identical through evolution + compaction + retirement — the
+    // oracle recomputes the aggregate from the flat seed.
+    Q("table_spec_retirement", fn = (s, dir) => {
+      val seedDir = Pipeline.stagedInput("retire_seed", "parquet") {
+        SampleData.transactions(s, 400, seed = 71L)
+          .withColumn("ts", to_timestamp(date_add(
+            lit(java.sql.Date.valueOf("2026-01-01")),
+            pmod(abs(hash(col("transaction_id"))), lit(40)).cast("int"))))
+          .select("transaction_id", "status", "amount", "ts")
+      }
+      val wh = Pipeline.scratch("retire")
+      s.conf.set("spark.sql.catalog.graftretire", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftretire.warehouse", wh)
+      s.read.parquet(seedDir).createOrReplaceTempView("retire_seed")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftretire.an")
+      s.sql("""CREATE TABLE graftretire.an.tx
+               (transaction_id STRING, status STRING,
+                amount DECIMAL(12,2), ts TIMESTAMP)
+               PARTITIONED BY (days(ts))""")
+      s.sql("""INSERT INTO graftretire.an.tx SELECT * FROM retire_seed
+               WHERE ts < TIMESTAMP'2026-02-01 00:00:00'""")
+      s.sql("CALL graftretire.system.evolve_partition_spec(" +
+        "table => 'an.tx', spec => 'month(ts)')")
+      s.sql("""INSERT INTO graftretire.an.tx SELECT * FROM retire_seed
+               WHERE ts >= TIMESTAMP'2026-02-01 00:00:00'""")
+      val t = new TableCatalog(s, new Path(wh)).getTable("an", "tx")
+      require(t.snapshot.counters.get("spec.ts_day").exists(_ > 0L),
+        s"retired-field carrier counter missing: ${t.snapshot.counters}")
+      require(t.retireSpecHistory().isEmpty,
+        "history retired while old-spec files were still live")
+      // ordinary INCREMENTAL policy compaction (not a full rewrite)
+      // replaces every old-spec file
+      t.compactSmallFiles()
+      require(t.snapshot.counters.get("spec.ts_day").contains(0L),
+        s"carriers not zero after compaction: ${t.snapshot.counters}")
+      require(t.snapshot.previousSpecFields.nonEmpty,
+        "incremental compaction must not clear the history itself")
+      val v = t.retireSpecHistory()
+      require(v.isDefined, "provably vacuous history did not retire")
+      require(t.snapshot.previousSpecFields.isEmpty)
+      // the retirement commit is metadata-only: same file set as parent
+      require(t.snapshotAt(v.get).files.map(_.path).toSet ==
+          t.snapshotAt(v.get - 1).files.map(_.path).toSet,
+        "retirement rewrote files")
+      s.sql("""SELECT status, count(*) AS n,
+                      CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+               FROM graftretire.an.tx GROUP BY status ORDER BY status""")
+    }, oracle = Some(s"""
+      SELECT status, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM read_parquet('$root/retire_seed/*.parquet')
+      GROUP BY status ORDER BY status""")),
+
+    // ------------------------------------------------------------------
     // Nested-field statistics end-to-end (r19 — the reference's own
     // schema carries STRUCT columns whose fields the flagship query
     // filters on: transaction_metadata / fraud_indicators,

@@ -222,6 +222,23 @@ class NestedStatsSpec extends SparkSpec {
     assert(t.toDF.filter(col("x") === 3.0).count() === 0L)
   }
 
+  test("a struct field name containing a dot never stamps an ambiguous key") {
+    val dir = freshDir("ns_dotfield")
+    import spark.implicits._
+    // struct a with FIELD "b.c" renders the same dotted key as struct
+    // a.b with field c — neither reading may be stamped
+    val df = Seq((1L, 7L), (2L, 9L)).toDF("id", "x")
+      .select(col("id"),
+        struct(col("x").as("b.c")).as("a"))
+    df.coalesce(1).write.parquet(dir)
+    val f = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).head
+    val (_, stats) = FileStats.collect(new Path(f.getAbsolutePath), conf)
+    assert(!stats.contains("a.b.c"),
+      s"ambiguous dotted rendering stamped: ${stats.keySet}")
+    assert(stats.contains("id"))
+  }
+
   test("a dotted top-level name never aliases a struct leaf") {
     val dir = freshDir("ns_alias")
     import spark.implicits._
