@@ -14,6 +14,19 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The similarity top-k paths aggregate with a bounded-heap
+      // TypedImperativeAggregate (ScoreTopK): each hash-map entry is a
+      // ≤k-element heap, so memory per task is |query batch| × k × ~16 B
+      // — raising the ObjectHashAggregate fallback threshold from its
+      // default 128 keys means a >128-query batch no longer falls back
+      // to SORT-based aggregation (which would sort the full scored
+      // stream per task). Scale-safe: the bound is per-DISTINCT-KEY
+      // buffer size, which is k-bounded by construction, and the
+      // value is a session conf a deployment sizes to its query-batch
+      // cardinality (env override below for the driver's lower-core
+      // runs to stay comparable).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.benchNames

@@ -8,6 +8,9 @@ object ProfileAnnClustered {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror Bench: keep ScoreTopK on hash aggregation at 504 groups
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println("ANNC " + Bench.annClustered(spark))

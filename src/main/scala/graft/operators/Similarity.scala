@@ -32,11 +32,7 @@ object Similarity {
     val scored = corpus.join(broadcast(queries))
       .select(col(queryId), col(corpusId),
         cosine(col(corpusVec), col(queryVec)).as("score"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("score").desc, col(corpusId).asc)
-    scored.select(col(queryId), col(corpusId), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k, queryId, corpusId)
   }
 
   /**
@@ -179,14 +175,35 @@ object Similarity {
         org.apache.spark.sql.graft.ColumnBridge.expression(col("codes")),
         org.apache.spark.sql.graft.ColumnBridge.expression(lut)))
 
-  /** Per-query top-k of scored (queryId, corpusId, score) rows. */
+  /**
+   * Per-query top-k of scored (queryId, corpusId, score) rows.
+   *
+   * A k-bounded heap AGGREGATE ([[graft.functions.expressions.ScoreTopK]]),
+   * not a `row_number()` window: the window form's exchange carried
+   * EVERY scored row — |queries| × |probed corpus| (query, id, score)
+   * triples, 10⁸ rows at the bench's 504-query × 200k-corpus batch
+   * point and unbounded at lake scale — and its sort then ordered them
+   * all to keep k per query. The aggregate builds partial heaps
+   * map-side where the scores are computed (guide §2.3 "aggregate
+   * before you shuffle"), so the exchange carries one ≤k-entry heap
+   * per (query, map partition) and nothing is ever globally sorted.
+   * Selection is bit-identical to the window (same ORDER BY: score
+   * desc, ties to the smallest id; scores pass through unchanged), so
+   * the oracle-checked outputs of every ANN query are byte-equal.
+   */
   private def topKByScore(scored: DataFrame, k: Int,
       queryId: String, corpusId: String): DataFrame = {
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("score").desc, col(corpusId).asc)
-    scored.select(col(queryId), col(corpusId), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.expressions.ScoreTopK(
+        ColumnBridge.expression(col("score")),
+        ColumnBridge.expression(col(corpusId)), k).toAggregateExpression())
+    scored.groupBy(col(queryId)).agg(agg.as("__tk"))
+      .select(col(queryId), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col(queryId), col("__e.id").as(corpusId),
+        col("__e.score").as("score"),
+        (col("__pos") + 1).cast(org.apache.spark.sql.types.IntegerType)
+          .as("rank"))
   }
 
   /** One-or-more Lloyd rounds per subspace: re-encode (narrow pass),
@@ -845,11 +862,7 @@ object Similarity {
     val scored = cells.join(broadcast(probes), "cell")
       .select(col(queryId), col(corpusId),
         cosine(col(corpusVec), col(queryVec)).as("score"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("score").desc, col(corpusId).asc)
-    scored.select(col(queryId), col(corpusId), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k, queryId, corpusId)
   }
 
   /**
@@ -891,10 +904,6 @@ object Similarity {
         cosine(col(corpusVec), col(queryVec)).as("score"))
       // a (query, corpus) pair can surface from several probes — dedup
       .groupBy(col(queryId), col(corpusId)).agg(max("score").as("score"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("score").desc, col(corpusId).asc)
-    scored.select(col(queryId), col(corpusId), col("score"),
-        row_number().over(w).as("rank"))
-      .filter(col("rank") <= k)
+    topKByScore(scored, k, queryId, corpusId)
   }
 }
