@@ -899,11 +899,17 @@ object Similarity {
     // probe set is |queries|×(nBits+1) — pin the broadcast so a large
     // query batch under the 10MB auto-threshold can never demote this
     // to a shuffle of the bucketed corpus
+    // a (query, corpus) pair surfaces from EXACTLY ONE probe: a corpus
+    // row carries a single bucket, and a query's probe buckets are
+    // pairwise distinct (XOR of one bucket with the pairwise-distinct
+    // masks), so the equi-join on `bucket` can never emit the same pair
+    // twice — the r19-opt round removed the `groupBy(query, id)
+    // .agg(max(score))` "dedup" that shuffled every scored row to
+    // reduce duplicates that cannot exist (one full exchange of the
+    // scored stream, gone outright; guide §2.4)
     val scored = bucketedCorpus.join(broadcast(probedQueries), "bucket")
       .select(col(queryId), col(corpusId),
         cosine(col(corpusVec), col(queryVec)).as("score"))
-      // a (query, corpus) pair can surface from several probes — dedup
-      .groupBy(col(queryId), col(corpusId)).agg(max("score").as("score"))
     topKByScore(scored, k, queryId, corpusId)
   }
 }
