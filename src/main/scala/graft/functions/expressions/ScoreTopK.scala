@@ -19,14 +19,18 @@ import java.nio.ByteBuffer
  * shuffle, never the scored stream itself.
  *
  * This replaces the `row_number() OVER (PARTITION BY query ORDER BY
- * score DESC, id ASC) <= k` plan on the similarity-search paths, whose
- * exchange carried EVERY scored (query, id, score) row — |queries| ×
- * |probed corpus| rows — and whose window sort then sorted them all.
- * The aggregate form is the map-side-combine shape (partial heaps built
- * where the scores are computed); selection is bit-identical because
- * the comparator is the window's exact ORDER BY: higher score wins,
- * ties to the SMALLEST id, and both forms see the identical double
- * values (no re-association — scores pass through unchanged).
+ * score DESC, id ASC) <= k` plan on the similarity-search paths.
+ * Spark 4's rank-limit pushdown (WindowGroupLimit) already kept that
+ * plan's exchange small — but its partial mode requires a per-task
+ * FULL SORT of the scored stream (|queries| × |probed corpus| rows,
+ * O(n log n) compares and a complete materialization per task) before
+ * it can emit the first k per group. The aggregate form sorts nothing:
+ * partial heaps build where the scores are computed, and only the
+ * final ≤k entries per (group, task) are ordered at eval. Selection is
+ * bit-identical because the comparator is the window's exact ORDER BY:
+ * higher score wins, ties to the SMALLEST id, and both forms see the
+ * identical double values (no re-association — scores pass through
+ * unchanged).
  *
  * Differences from the window form, by design (and irrelevant to the
  * similarity paths, whose kernels never produce them): rows with a NULL

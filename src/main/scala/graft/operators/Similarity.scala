@@ -179,17 +179,19 @@ object Similarity {
    * Per-query top-k of scored (queryId, corpusId, score) rows.
    *
    * A k-bounded heap AGGREGATE ([[graft.functions.expressions.ScoreTopK]]),
-   * not a `row_number()` window: the window form's exchange carried
-   * EVERY scored row — |queries| × |probed corpus| (query, id, score)
-   * triples, 10⁸ rows at the bench's 504-query × 200k-corpus batch
-   * point and unbounded at lake scale — and its sort then ordered them
-   * all to keep k per query. The aggregate builds partial heaps
-   * map-side where the scores are computed (guide §2.3 "aggregate
-   * before you shuffle"), so the exchange carries one ≤k-entry heap
-   * per (query, map partition) and nothing is ever globally sorted.
-   * Selection is bit-identical to the window (same ORDER BY: score
-   * desc, ties to the smallest id; scores pass through unchanged), so
-   * the oracle-checked outputs of every ANN query are byte-equal.
+   * not a `row_number()` window: the window form's partial
+   * WindowGroupLimit (Spark 4's rank-limit pushdown) required a FULL
+   * per-task SORT of every scored row — |queries| × |probed corpus|
+   * (query, id, score) triples, 10⁸ rows at the bench's 504-query ×
+   * 200k-corpus batch point and unbounded at lake scale — before the
+   * first k per group could be emitted. The aggregate sorts nothing:
+   * partial heaps build map-side where the scores are computed (a
+   * losing row costs one root compare), and the exchange carries one
+   * ≤k-entry heap per (query, map partition). Measured at the clustered
+   * batch point: 10.8 → 1.5 s. Selection is bit-identical to the
+   * window (same ORDER BY: score desc, ties to the smallest id; scores
+   * pass through unchanged), so the oracle-checked outputs of every
+   * ANN query are byte-equal.
    */
   private def topKByScore(scored: DataFrame, k: Int,
       queryId: String, corpusId: String): DataFrame = {
