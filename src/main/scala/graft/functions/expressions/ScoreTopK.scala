@@ -94,7 +94,17 @@ case class ScoreTopK(
     val s = score.eval(input)
     if (s != null) {
       val i = id.eval(input)
-      if (i != null) buf.insert(s.asInstanceOf[Double], i, idCmp)
+      if (i != null) {
+        // a UTF8String evaluated off an unsafe row may point into a
+        // buffer the aggregation iterator reuses — copy before the
+        // value outlives this input row (the collect_list contract);
+        // primitives arrive boxed and immutable
+        val owned = i match {
+          case u: UTF8String => u.clone()
+          case other => other
+        }
+        buf.insert(s.asInstanceOf[Double], owned, idCmp)
+      }
     }
     buf
   }
