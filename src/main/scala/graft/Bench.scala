@@ -102,7 +102,11 @@ object Bench {
     sentinels("before_queries") = sentinelMs()
     sentinels("before_queries_par") = sentinelParMs()
     val results = names.map { name =>
+      // guide §1.5: label every timed key so the SQL/stages UI (and
+      // event logs, when enabled) map back to bench keys by name
+      spark.sparkContext.setJobDescription(s"bench:query:$name")
       val (runs, best) = stableMin(4)(fns(name)(spark, sfDir).count())
+      spark.sparkContext.setJobDescription(null)
       (name, runs, best)
     }
     def jmap(f: ((String, Seq[Double], Double)) => Double): String =
@@ -144,7 +148,9 @@ object Bench {
         // rebuilding dedup keys run under the checksum action so their
         // reassembly stage is inside the timed plan (see
         // [[checksumTextKeys]]).
+        spark.sparkContext.setJobDescription(s"bench:pipeline:$name")
         val (runs, best) = stableMin(4)(timedAction(name, fn(spark, sfDir)))
+        spark.sparkContext.setJobDescription(null)
         name -> (if (runs.exists(_ <= 0)) -1.0 else best)
       }
     }
@@ -164,7 +170,8 @@ object Bench {
       System.gc(); Thread.sleep(100)
       sentinels(s"before_$name") = sentinelMs()
       sentinels(s"before_${name}_par") = sentinelParMs()
-      body
+      spark.sparkContext.setJobDescription(s"bench:section:$name")
+      try body finally spark.sparkContext.setJobDescription(null)
     }
     val metadataJson = sectioned("metadata")(metadataShakeout(spark))
     val meta100kJson = sectioned("metadata_100k")(metadata100k(spark))
