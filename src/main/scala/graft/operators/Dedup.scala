@@ -67,6 +67,17 @@ object Dedup {
   def exactIncremental(batch: DataFrame, fingerprintStore: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val fp = batch.withColumn("fingerprint", contentFingerprint(col(textCol)))
+    // keep-first via the rank window, KEPT after an r19-opt A/B of the
+    // min_by-over-groupBy alternative: min_by's struct buffer forces
+    // SortAggregate, whose partial mode sorts the batch per task by
+    // fingerprint — the same per-task sort the window's partial
+    // WindowGroupLimit pays by (fingerprint, id) — and both shapes
+    // already send only ~one row per (fingerprint, task) through the
+    // exchange, so the rewrite moved nothing (plan pair committed as
+    // plans/r19/dedup_incremental_{before,after}.txt in the round
+    // notes). The batch is the SMALL side of this operator by contract
+    // (history is fingerprints-only), so the per-task sort is bounded
+    // by one ingest cycle.
     val w = Window.partitionBy(col("fingerprint")).orderBy(col(idCol))
     fp.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")

@@ -22,6 +22,27 @@ class OperatorsSpec extends SparkSpec {
     assert(drops === Set(1L))
   }
 
+  test("incremental dedup: keep-first within batch, anti-join the store") {
+    // pins the r19-opt min_by rewrite against the former keep-first
+    // window: smallest id per fingerprint survives, anything whose
+    // fingerprint is already in the store is dropped, and the returned
+    // frame keeps the batch's columns with `fingerprint` appended
+    val store = Dedup.exact(docs.filter(col("doc_id") === 3))
+      .select(col("fingerprint"))
+    val batch = docs.filter(col("doc_id") =!= 3)
+    val out = Dedup.exactIncremental(batch, store)
+    // the using-join leads with the join column, same as the pre-r19
+    // window form (both shapes end in the identical anti-join)
+    assert(out.columns.toSeq === Seq("fingerprint", "doc_id", "text"))
+    // docs 0/1 are exact dups → min id 0 survives; 2 and 4 are unique
+    // within the batch; nothing matches the store (doc 3's content)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ===
+      Seq(0L, 2L, 4L))
+    // a batch whose fingerprints are all in the store yields nothing
+    val storeAll = Dedup.exact(docs).select(col("fingerprint"))
+    assert(Dedup.exactIncremental(batch, storeAll).count() === 0)
+  }
+
   test("minhash-lsh finds near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, threshold = 0.4, numHashes = 16,
       rowsPerBand = 2, shingleLen = 2)
